@@ -1,0 +1,160 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Semi-structured / array / text / sessionization declared queries
+  * (SURVEY.md §2C q20–q24).
+  */
+object Analytics {
+
+  /** Exact double-precision dot product of two float vectors: cast each
+    * element to double BEFORE multiplying so both engines do the identical
+    * double arithmetic, then a sequential left fold. Pure higher-order
+    * Catalyst expressions — codegen-friendly, no UDF.
+    */
+  private[queries] def dotUdfFree(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** B24 — JSON extraction from events.props ({"k": <0..99>}), bucketed. */
+  private def q20(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(get_json_object(col("props"), "$.k").cast("int").as("k"), col("value"))
+      .groupBy(floor(col("k") / 10.0).cast("int").as("k_bucket"))
+      .agg(count(lit(1)).as("n"), round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("k_bucket"))
+
+  private val q20Sql =
+    """SELECT CAST(FLOOR(CAST(json_extract_string(props, '$.k') AS INT) / 10.0) AS INT) AS k_bucket,
+      |  COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k_bucket""".stripMargin
+
+  /** B22,B27 — array higher-order functions over embeddings: L2 norm via
+    * fold, max element, first element, dimension.
+    */
+  private def q21(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    e.select(
+        col("vec_id"), col("label"),
+        round(sqrt(dotUdfFree(col("embedding"), col("embedding"))), 4).as("l2_norm"),
+        array_max(col("embedding")).as("max_c"),
+        element_at(col("embedding"), 1).as("first_c"),
+        size(col("embedding")).as("dim"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q21Sql =
+    """SELECT vec_id, label,
+      |  ROUND(SQRT(list_sum(list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 4) AS l2_norm,
+      |  list_max(embedding) AS max_c,
+      |  embedding[1] AS first_c,
+      |  CAST(len(embedding) AS INT) AS dim
+      |FROM embeddings
+      |ORDER BY vec_id""".stripMargin
+
+  /** B21 — exact cosine/dot top-K similarity search against one query
+    * vector. The query side is a 1-row broadcast; the scan side streams —
+    * this is the brute-force baseline that stays correct at any scale
+    * (top-K via TakeOrderedAndProject, no global sort).
+    */
+  private def q22(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 1).select(col("embedding").as("q_emb"))
+    e.filter(col("vec_id") =!= 1)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(dotUdfFree(col("embedding"), col("q_emb")), 4).as("dot"))
+      .orderBy(col("dot").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val q22Sql =
+    """SELECT e.vec_id,
+      |  ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |    CAST(q.embedding AS DOUBLE[])), 4) AS dot
+      |FROM embeddings e,
+      |  (SELECT embedding FROM embeddings WHERE vec_id = 1) q
+      |WHERE e.vec_id <> 1
+      |ORDER BY dot DESC, e.vec_id
+      |LIMIT 10""".stripMargin
+
+  /** B29 — text stats: tokenize, per-language term frequencies, top-5 terms
+    * with deterministic tie-break.
+    */
+  private def q23(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("n").desc, col("word"))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("lang"), col("word"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy(col("lang"), col("rn"))
+  }
+
+  private val q23Sql =
+    """SELECT lang, word, n, rn
+      |FROM (
+      |  SELECT lang, word, COUNT(*) AS n,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY COUNT(*) DESC, word) AS rn
+      |  FROM (SELECT lang, UNNEST(string_split(text, ' ')) AS word FROM documents) toks
+      |  GROUP BY lang, word
+      |) t
+      |WHERE rn <= 5
+      |ORDER BY lang, rn""".stripMargin
+
+  /** B36 — batch sessionization: 30-minute-gap islands via lag + running
+    * sum, then per-session stats. The same gap semantics as
+    * session_window() on the streaming path (see graft.streaming).
+    */
+  private def q24(s: SparkSession, dir: String): DataFrame = {
+    val gapUs = 1800000000L // 30 minutes in microseconds
+    val wOrd = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"))
+      .withColumn("prev_ts", lag(col("ts_us"), 1).over(wOrd))
+      .withColumn("is_new",
+        when(col("prev_ts").isNull || col("ts_us") - col("prev_ts") > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum(col("is_new")).over(wRun))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"), (max(col("ts_us")) - min(col("ts_us"))).as("dur_us"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private val q24Sql =
+    """SELECT user_id, session_id, COUNT(*) AS n_events,
+      |  MAX(ts_us) - MIN(ts_us) AS dur_us
+      |FROM (
+      |  SELECT user_id, event_id, ts_us,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id
+      |      ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      |  FROM (
+      |    SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |      CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+      |           WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000 THEN 1
+      |           ELSE 0 END AS is_new
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |  ) flagged
+      |) sessions
+      |GROUP BY user_id, session_id
+      |ORDER BY user_id, session_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q20_json_events", q20, Some(q20Sql)),
+    QueryDef("q21_array_embeddings", q21, Some(q21Sql)),
+    QueryDef("q22_cosine_topk", q22, Some(q22Sql)),
+    QueryDef("q23_text_stats", q23, Some(q23Sql)),
+    QueryDef("q24_sessionize", q24, Some(q24Sql)))
+}

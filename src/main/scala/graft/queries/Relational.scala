@@ -1,0 +1,488 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Batch-relational declared queries (SURVEY.md §2C q01–q19, q25).
+  *
+  * Every query is pure DataFrame API: Catalyst handles pushdown, pruning,
+  * join selection (broadcast for the small dims), and whole-stage codegen.
+  * Scale posture per query is noted inline — no collect(), no driver loops;
+  * the only intentional single-partition windows are over already-aggregated
+  * tiny frames (monthly counts).
+  */
+object Relational {
+
+  /** B1,B2,B3 — scan + filter + project with a computed column.
+    * Filter on year(l_shipdate) and column pruning both reach the parquet
+    * scan (PushedFilters / ReadSchema).
+    */
+  private def q01(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(year(col("l_shipdate")) === 1995)
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_extendedprice"), col("l_discount"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val q01Sql =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_discount,
+      |  ROUND(l_extendedprice * (1 - l_discount), 4) AS revenue
+      |FROM lineitem
+      |WHERE EXTRACT(YEAR FROM l_shipdate) = 1995
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** B11,B27 — TPC-H Q1-alike pricing summary: hash aggregate with partial
+    * (map-side) aggregation for free; 6 aggregates over 2 group keys.
+    */
+  private def q02(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 4).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val q02Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |  ROUND(SUM(l_quantity), 4) AS sum_qty,
+      |  ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+      |  ROUND(AVG(l_quantity), 4) AS avg_qty,
+      |  ROUND(AVG(l_extendedprice), 4) AS avg_price,
+      |  ROUND(AVG(l_discount), 4) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** B4,B5 — star join with explicitly broadcast dimensions (nation/region
+    * are tiny at any scale factor; customer⋈orders shuffles on the fact key).
+    */
+  private def q03(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(round(sum(col("o_totalprice")), 4).as("revenue"), count(lit(1)).as("n_orders"))
+      .orderBy(col("r_name"))
+
+  private val q03Sql =
+    """SELECT r_name, ROUND(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name
+      |ORDER BY r_name""".stripMargin
+
+  /** B4 — 3-way fact join, top revenue orders (deterministic: rounded
+    * revenue DESC then unique o_orderkey).
+    */
+  private def q04(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
+      .groupBy(col("o_orderkey"), col("c_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(100)
+
+  private val q04Sql =
+    """SELECT o_orderkey, c_name,
+      |  ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      |FROM orders
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |GROUP BY o_orderkey, c_name
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** B6 — left outer join keeping order-less customers (COUNT(col) skips
+    * nulls on both engines).
+    */
+  private def q05(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("o_custkey") === col("c_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_name"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .orderBy(col("c_custkey"))
+
+  private val q05Sql =
+    """SELECT c_custkey, c_name, COUNT(o_orderkey) AS n_orders
+      |FROM customer
+      |LEFT JOIN orders ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY c_custkey""".stripMargin
+
+  /** B7 — left semi (EXISTS) and left anti (NOT EXISTS), tagged and unioned. */
+  private def q06(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+    val o = Tables.orders(s, dir)
+    val semi = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), lit("has_orders").as("tag"))
+    val anti = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), lit("no_orders").as("tag"))
+    semi.unionByName(anti).orderBy(col("c_custkey"), col("tag"))
+  }
+
+  private val q06Sql =
+    """SELECT c_custkey, 'has_orders' AS tag FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS tag FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey, tag""".stripMargin
+
+  /** B8 — theta (non-equi) join; supplier side is tiny so Spark plans a
+    * broadcast nested-loop join.
+    */
+  private def q07(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .join(broadcast(Tables.supplier(s, dir)), col("s_acctbal") > col("p_retailprice"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("p_brand"))
+
+  private val q07Sql =
+    """SELECT p_brand, COUNT(*) AS n_pairs
+      |FROM part
+      |JOIN supplier ON s_acctbal > p_retailprice
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin
+
+  /** B9 — time-range self-join on events: pairs of events of the same user
+    * at most 5 minutes apart. Scale design: instead of the naive
+    * equi-join-on-user + filter (quadratic per user), each left row is
+    * exploded into its own and the next 5-minute bucket, and the join runs
+    * on (user_id, bucket) — each qualifying pair is found exactly once in
+    * the right row's home bucket, and per-bucket match lists stay O(1) at
+    * any scale factor.
+    */
+  private def q08(s: SparkSession, dir: String): DataFrame = {
+    val bucketUs = 300000000L // 5 minutes in microseconds
+    val e = Tables.events(s, dir)
+    val a = e.select(
+        col("user_id"), col("event_id").as("a_id"), col("ts_us").as("a_ts"),
+        explode(array(
+          expr(s"ts_us div $bucketUs"),
+          expr(s"ts_us div $bucketUs") + lit(1L))).as("bucket"))
+    val b = e.select(
+        col("user_id"), col("event_id").as("b_id"), col("ts_us").as("b_ts"),
+        expr(s"ts_us div $bucketUs").as("bucket"))
+    a.join(b, Seq("user_id", "bucket"))
+      .filter(col("b_ts") > col("a_ts") && col("b_ts") <= col("a_ts") + lit(bucketUs))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q08Sql =
+    """SELECT a.user_id, COUNT(*) AS n_pairs
+      |FROM events a
+      |JOIN events b ON b.user_id = a.user_id
+      |  AND epoch_us(b.ts) > epoch_us(a.ts)
+      |  AND epoch_us(b.ts) <= epoch_us(a.ts) + 300000000
+      |GROUP BY a.user_id
+      |ORDER BY a.user_id""".stripMargin
+
+  /** B10 — as-of join: for each event, the latest order of that user with
+    * o_orderdate <= event time. Composed as range join + per-event
+    * row_number (deterministic tie-break on o_orderkey DESC).
+    */
+  private def q09(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
+    val o = Tables.orders(s, dir)
+      // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the cast
+      // is value-preserving and matches DuckDB's epoch_us(o_orderdate).
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+    val w = Window.partitionBy(col("event_id"))
+      .orderBy(col("od_us").desc, col("o_orderkey").desc)
+    e.join(o, col("o_custkey") === col("user_id") && col("od_us") <= col("ts_us"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("o_orderkey").as("latest_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q09Sql =
+    """SELECT event_id, o_orderkey AS latest_orderkey
+      |FROM (
+      |  SELECT e.event_id, o.o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |      ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  JOIN orders o ON o.o_custkey = e.user_id
+      |    AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+      |) t
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
+  private def revenueByGeo(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+
+  /** B12 — ROLLUP over (region, nation) with GROUPING() tags. */
+  private def q10(s: SparkSession, dir: String): DataFrame =
+    revenueByGeo(s, dir)
+      .rollup(col("r_name"), col("n_name"))
+      .agg(
+        grouping(col("r_name")).cast("int").as("g_r"),
+        grouping(col("n_name")).cast("int").as("g_n"),
+        round(sum(col("o_totalprice")), 4).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .select(col("g_r"), col("g_n"), col("r_name"), col("n_name"), col("revenue"), col("n_orders"))
+      .orderBy(col("g_r"), col("g_n"), col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+
+  private val q10Sql =
+    """SELECT CAST(GROUPING(r_name) AS INT) AS g_r, CAST(GROUPING(n_name) AS INT) AS g_n,
+      |  r_name, n_name,
+      |  ROUND(SUM(o_totalprice), 4) AS revenue, COUNT(*) AS n_orders
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY ROLLUP(r_name, n_name)
+      |ORDER BY g_r, g_n, r_name NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** B12 — CUBE over (o_orderstatus, o_orderpriority). */
+  private def q11(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(
+        grouping(col("o_orderstatus")).cast("int").as("g_s"),
+        grouping(col("o_orderpriority")).cast("int").as("g_p"),
+        count(lit(1)).as("n_orders"))
+      .select(col("g_s"), col("g_p"), col("o_orderstatus"), col("o_orderpriority"), col("n_orders"))
+      .orderBy(col("g_s"), col("g_p"),
+        col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+
+  private val q11Sql =
+    """SELECT CAST(GROUPING(o_orderstatus) AS INT) AS g_s,
+      |  CAST(GROUPING(o_orderpriority) AS INT) AS g_p,
+      |  o_orderstatus, o_orderpriority, COUNT(*) AS n_orders
+      |FROM orders
+      |GROUP BY CUBE(o_orderstatus, o_orderpriority)
+      |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
+  /** B14 — ranking window: top-3 orders per customer by totalprice. */
+  private def q12(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val q12Sql =
+    """SELECT o_custkey, rn, o_orderkey, o_totalprice
+      |FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders
+      |) t
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** B15 — lag/lead analytics over per-user event streams (microsecond
+    * BIGINT time axis, see Tables.events).
+    */
+  private def q13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .select(
+        col("event_id"), col("user_id"), col("value"),
+        round(col("value") - lag(col("value"), 1).over(w), 4).as("delta_prev"),
+        round(lead(col("value"), 1).over(w) - col("value"), 4).as("delta_next"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q13Sql =
+    """SELECT event_id, user_id, value,
+      |  ROUND(value - LAG(value) OVER w, 4) AS delta_prev,
+      |  ROUND(LEAD(value) OVER w - value, 4) AS delta_next
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |ORDER BY event_id""".stripMargin
+
+  /** B16 — running-total rows-frame window per customer over order dates. */
+  private def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(w), 4).as("running_total"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q14Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+      |    ORDER BY o_orderdate, o_orderkey
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+      |FROM orders
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  /** B17 — global top-K: planner turns orderBy+limit into
+    * TakeOrderedAndProject (no full sort at scale).
+    */
+  private def q15(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"), col("l_quantity"))
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(20)
+
+  private val q15Sql =
+    """SELECT l_orderkey, l_linenumber, l_extendedprice, l_quantity
+      |FROM lineitem
+      |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+      |LIMIT 20""".stripMargin
+
+  /** B18 — INTERSECT and EXCEPT (set semantics), tagged and unioned. */
+  private def q16(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir).select(col("l_suppkey").as("suppkey"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey").as("suppkey"))
+    val both = li.intersect(su).select(col("suppkey"), lit("in_both").as("tag"))
+    val liOnly = li.except(su).select(col("suppkey"), lit("li_only").as("tag"))
+    both.unionByName(liOnly).orderBy(col("suppkey"), col("tag"))
+  }
+
+  private val q16Sql =
+    """SELECT suppkey, 'in_both' AS tag FROM
+      |  (SELECT l_suppkey AS suppkey FROM lineitem
+      |   INTERSECT
+      |   SELECT s_suppkey AS suppkey FROM supplier)
+      |UNION ALL
+      |SELECT suppkey, 'li_only' AS tag FROM
+      |  (SELECT l_suppkey AS suppkey FROM lineitem
+      |   EXCEPT
+      |   SELECT s_suppkey AS suppkey FROM supplier)
+      |ORDER BY suppkey, tag""".stripMargin
+
+  /** B19 — exact deduplication (dropDuplicates == DISTINCT). */
+  private def q17(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates()
+      .orderBy(col("user_id"), col("event_type"))
+
+  private val q17Sql =
+    """SELECT DISTINCT user_id, event_type
+      |FROM events
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** B25 — string function battery over part. */
+  private def q18(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(
+        col("p_partkey"),
+        upper(regexp_extract(col("p_name"), "^(\\w+)", 1)).as("adj"),
+        length(col("p_name")).cast("int").as("name_len"),
+        concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        lpad(col("p_size").cast("string"), 4, "0").as("size_pad"),
+        regexp_replace(col("p_name"), " ", "_").as("name_us"))
+      .orderBy(col("p_partkey"))
+
+  private val q18Sql =
+    """SELECT p_partkey,
+      |  UPPER(regexp_extract(p_name, '^(\w+)', 1)) AS adj,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len,
+      |  CONCAT(p_brand, '/', p_type) AS brand_type,
+      |  SUBSTRING(p_name, 1, 5) AS name5,
+      |  LPAD(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+      |  REPLACE(p_name, ' ', '_') AS name_us
+      |FROM part
+      |ORDER BY p_partkey""".stripMargin
+
+  /** B26 — date functions: monthly order counts + month-over-month delta.
+    * The unpartitioned lag window runs over ~tens of pre-aggregated rows —
+    * safe at any scale factor.
+    */
+  private def q19(s: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables.orders(s, dir)
+      .groupBy(date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM").as("month"))
+      .agg(count(lit(1)).as("n_orders"))
+    val w = Window.orderBy(col("month"))
+    monthly
+      .withColumn("mom_delta", col("n_orders") - lag(col("n_orders"), 1).over(w))
+      .orderBy(col("month"))
+  }
+
+  private val q19Sql =
+    """SELECT month, n_orders, n_orders - LAG(n_orders) OVER (ORDER BY month) AS mom_delta
+      |FROM (
+      |  SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+      |    COUNT(*) AS n_orders
+      |  FROM orders
+      |  GROUP BY 1
+      |) t
+      |ORDER BY month""".stripMargin
+
+  /** B31 — pivot: per-user event-type counts as columns. Spark's
+    * groupBy().pivot() with an explicit value list (single-shuffle plan);
+    * oracle uses the equivalent CASE aggregation.
+    */
+  private def q25(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "purchase", "error", "signup", "view")
+    val pivoted = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+    types.foldLeft(pivoted)((df, t) => df.withColumnRenamed(t, s"n_$t"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q25Sql =
+    """SELECT user_id,
+      |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+      |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+      |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error,
+      |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+      |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view
+      |FROM events
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_scan_filter_project", q01, Some(q01Sql)),
+    QueryDef("q02_pricing_summary", q02, Some(q02Sql)),
+    QueryDef("q03_join_broadcast_dims", q03, Some(q03Sql)),
+    QueryDef("q04_multiway_join", q04, Some(q04Sql)),
+    QueryDef("q05_outer_join", q05, Some(q05Sql)),
+    QueryDef("q06_semi_anti", q06, Some(q06Sql)),
+    QueryDef("q07_theta_join", q07, Some(q07Sql)),
+    QueryDef("q08_range_join_events", q08, Some(q08Sql)),
+    QueryDef("q09_asof_latest_order", q09, Some(q09Sql)),
+    QueryDef("q10_rollup", q10, Some(q10Sql)),
+    QueryDef("q11_cube", q11, Some(q11Sql)),
+    QueryDef("q12_window_rank", q12, Some(q12Sql)),
+    QueryDef("q13_window_lag_lead", q13, Some(q13Sql)),
+    QueryDef("q14_window_running", q14, Some(q14Sql)),
+    QueryDef("q15_topk", q15, Some(q15Sql)),
+    QueryDef("q16_setops", q16, Some(q16Sql)),
+    QueryDef("q17_dedup_exact", q17, Some(q17Sql)),
+    QueryDef("q18_string_funcs", q18, Some(q18Sql)),
+    QueryDef("q19_date_funcs", q19, Some(q19Sql)),
+    QueryDef("q25_pivot_case", q25, Some(q25Sql)))
+}

@@ -1,0 +1,135 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data-pipeline operators over `documents` (north star: dedup,
+  * text analysis at 100 TB). These are the oracle-expressible forms; the
+  * scale paths that have no SQL oracle (MinHash+LSH banding, SimHash,
+  * embedding ANN) live in [[graft.operators]] with property-based tests.
+  */
+object TextPipeline {
+
+  /** Token counting: whitespace tokens + regex word tokens + chars/token.
+    * All per-row expressions — fully codegen'd, embarrassingly parallel.
+    */
+  private def q26(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit("\\w+"), lit(0))).as("n_word_tokens"),
+        col("n_chars"),
+        round(col("n_chars") / size(split(col("text"), " ")), 4).as("chars_per_token"))
+      .orderBy(col("doc_id"))
+
+  private val q26Sql =
+    """SELECT doc_id, lang,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws_tokens,
+      |  CAST(len(regexp_extract_all(text, '\w+')) AS INT) AS n_word_tokens,
+      |  n_chars,
+      |  ROUND(n_chars / len(string_split(text, ' ')), 4) AS chars_per_token
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  private val stopwords = Seq("the", "a", "of", "and", "to")
+
+  /** Quality scoring: stopword ratio, average token length, punctuation
+    * count, composite score — per-row higher-order array expressions.
+    */
+  private def q27(s: SparkSession, dir: String): DataFrame = {
+    val words = split(col("text"), " ")
+    val nTokens = size(words)
+    val nStop = size(filter(words, w => w.isInCollection(stopwords)))
+    val sumLen = aggregate(words, lit(0), (acc, w) => acc + length(w))
+    Tables.documents(s, dir)
+      .select(
+        col("doc_id"),
+        nTokens.as("n_tokens"),
+        round(nStop / nTokens, 4).as("stop_ratio"),
+        round(sumLen.cast("double") / nTokens, 4).as("avg_token_len"),
+        size(regexp_extract_all(col("text"), lit("[^\\w\\s]"), lit(0))).as("n_punct"),
+        round((lit(1.0) - nStop / nTokens) * least(nTokens, lit(100)) / 100.0, 4).as("quality_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q27Sql =
+    """SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+      |  ROUND(len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'a', 'of', 'and', 'to')))
+      |    / len(string_split(text, ' ')), 4) AS stop_ratio,
+      |  ROUND(CAST(list_sum(list_transform(string_split(text, ' '),
+      |      w -> length(w))) AS DOUBLE)
+      |    / len(string_split(text, ' ')), 4) AS avg_token_len,
+      |  CAST(len(regexp_extract_all(text, '[^\w\s]')) AS INT) AS n_punct,
+      |  ROUND((1.0 - len(list_filter(string_split(text, ' '),
+      |      w -> w IN ('the', 'a', 'of', 'and', 'to')))
+      |    / len(string_split(text, ' ')))
+      |    * LEAST(len(string_split(text, ' ')), 100) / 100.0, 4) AS quality_score
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** Exact dedup by content hash (the scalable first pass of any dedup
+    * pipeline): group on md5(text), keep lowest doc_id per group.
+    */
+  private def q28(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(md5(col("text")).as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+      .orderBy(col("text_hash"))
+
+  private val q28Sql =
+    """SELECT md5(text) AS text_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+      |FROM documents
+      |GROUP BY 1
+      |ORDER BY text_hash""".stripMargin
+
+  /** Word-set Jaccard similarity between document pairs (the exact oracle
+    * form of near-dup detection; bounded to doc_id < 40 because all-pairs
+    * is quadratic by construction — the scale path is MinHash+LSH in
+    * graft.operators.MinHashDedup).
+    */
+  private def q29(s: SparkSession, dir: String): DataFrame = {
+    val dw = Tables.documents(s, dir)
+      .filter(col("doc_id") < 40)
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("word"))
+    val sizes = dw.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = dw.as("a")
+      .join(dw.as("b"),
+        col("a.word") === col("b.word") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n", "n_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        round(col("n_inter") / (col("n_a") + col("n_b") - col("n_inter")), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q29Sql =
+    """WITH dw AS (
+      |  SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS word
+      |  FROM documents WHERE doc_id < 40
+      |), sizes AS (
+      |  SELECT doc_id, COUNT(*) AS n FROM dw GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+      |  FROM dw a JOIN dw b ON a.word = b.word AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, n_inter,
+      |  ROUND(n_inter / (sa.n + sb.n - n_inter), 4) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q26_token_stats", q26, Some(q26Sql)),
+    QueryDef("q27_quality_score", q27, Some(q27Sql)),
+    QueryDef("q28_dedup_exact_docs", q28, Some(q28Sql)),
+    QueryDef("q29_word_jaccard", q29, Some(q29Sql)))
+}
