@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Public raster→points API mirroring the reference's three entry points
+  * (SURVEY §3.1 E1–E3): library `raster2df`, library `raster2csv`, and a
+  * CLI `main` with the reference's flags.
+  *
+  * raster2points/raster2points.py::raster2df / ::raster2csv / ::main
+  * (anchors unverified per SURVEY §0).
+  */
+object Raster {
+
+  /** One row per pixel with data in the first raster:
+    * (lon, lat, <col per raster>[, area]).
+    */
+  def raster2df(
+      spark: SparkSession,
+      rasters: Seq[String],
+      colNames: Seq[String] = Nil,
+      maxBlockSize: Int = 4096,
+      calcArea: Boolean = false): DataFrame = {
+    var reader = spark.read.format("geotiff")
+      .option("paths", rasters.mkString(","))
+      .option("maxBlockSize", maxBlockSize)
+      .option("calcArea", calcArea)
+    if (colNames.nonEmpty) reader = reader.option("colNames", colNames.mkString(","))
+    reader.load()
+  }
+
+  /** Write the point table as CSV. `separator` accepts "," ";" or "t" (tab),
+    * matching the reference CLI. `singleFile=true` mirrors the reference's
+    * one-output-file behavior (driver-side merge; avoid at scale).
+    */
+  def raster2csv(
+      spark: SparkSession,
+      rasters: Seq[String],
+      output: String,
+      separator: String = ",",
+      colNames: Seq[String] = Nil,
+      maxBlockSize: Int = 4096,
+      calcArea: Boolean = false,
+      singleFile: Boolean = false): Unit = {
+    val sep = if (separator == "t") "\t" else separator
+    val df = raster2df(spark, rasters, colNames, maxBlockSize, calcArea)
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode("overwrite").option("sep", sep).option("header", true).csv(output)
+  }
+
+  /** CLI: raster2csv INPUT... OUTPUT [--col_names a,b] [--separator ,|;|t]
+    * [--max_block_size N] [--calc_area]
+    */
+  def main(args: Array[String]): Unit = {
+    val positional = scala.collection.mutable.ArrayBuffer[String]()
+    var colNames: Seq[String] = Nil
+    var separator = ","
+    var maxBlock = 4096
+    var calcArea = false
+    var i = 0
+    while (i < args.length) {
+      args(i) match {
+        case "--col_names" => colNames = args(i + 1).split(',').toSeq; i += 2
+        case "--separator" => separator = args(i + 1); i += 2
+        case "--max_block_size" => maxBlock = args(i + 1).toInt; i += 2
+        case "--calc_area" => calcArea = true; i += 1
+        case p => positional += p; i += 1
+      }
+    }
+    require(positional.size >= 2, "usage: raster2csv INPUT... OUTPUT [options]")
+    val inputs = positional.init.toSeq
+    val output = positional.last
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
+      .appName("raster2csv")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    try raster2csv(spark, inputs, output, separator, colNames, maxBlock, calcArea)
+    finally spark.stop()
+  }
+}

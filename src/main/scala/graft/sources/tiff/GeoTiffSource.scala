@@ -1,0 +1,331 @@
+package graft.sources.tiff
+
+import java.awt.Rectangle
+import java.io.File
+import java.util
+
+import javax.imageio.ImageIO
+
+import scala.collection.mutable.ArrayBuffer
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.functions.GeoMath
+
+/** DataSource V2 GeoTIFF → point-table source (the reference's entire own
+  * surface, SURVEY §2A A1–A14, re-expressed Spark-first).
+  *
+  * Logical contract (mirrors raster2points/raster2points.py::raster2df,
+  * anchors unverified per SURVEY §0): one output row per pixel where the
+  * FIRST raster has data; columns (lon, lat, <one per raster>[, area]).
+  * Values of rasters 2..n pass through raw even when they equal their own
+  * NoData. Grids must match exactly or planning fails.
+  *
+  * Spark mapping:
+  *   - window planning (A2)  -> one InputPartition per <=maxBlockSize² window
+  *   - NoData mask (A3)      -> applied inside the PartitionReader, and the
+  *                              residual filter is still evaluated by Spark
+  *   - lon/lat range filters -> window (partition) pruning via the inverse
+  *                              affine transform (SupportsPushDownFilters)
+  *   - column pruning (A1)   -> SupportsPushDownRequiredColumns; pruned
+  *                              value columns skip their raster read
+  *                              entirely
+  *   - area (A6)             -> computed per row from the window's latitude
+  *
+  * Options: `paths` (comma-separated, first = mask raster), `colNames`
+  * (comma-separated, default val1..valN), `maxBlockSize` (default 4096),
+  * `calcArea` (boolean, default false).
+  *
+  * Scale posture: planning reads only TIFF headers (one tiny IFD read per
+  * raster); each task decodes exactly its window via an ImageIO region
+  * read, so executor memory is bounded by maxBlockSize² regardless of
+  * raster size, and tasks scale with raster area / block².
+  */
+class GeoTiffSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "geotiff"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    GeoTiffTable.fromOptions(options).schema()
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    GeoTiffTable.fromOptions(new CaseInsensitiveStringMap(properties))
+}
+
+object GeoTiffTable {
+  def fromOptions(options: CaseInsensitiveStringMap): GeoTiffTable = {
+    val paths: Seq[String] =
+      Option(options.get("paths")).map(_.split(',').toSeq.map(_.trim).filter(_.nonEmpty))
+        .orElse(Option(options.get("path")).map(Seq(_)))
+        .getOrElse(throw new IllegalArgumentException(
+          "geotiff source requires option 'paths' (comma-separated) or a load(path)"))
+    val colNames = Option(options.get("colNames"))
+      .map(_.split(',').toSeq.map(_.trim))
+      .getOrElse(paths.indices.map(i => s"val${i + 1}"))
+    require(colNames.size == paths.size,
+      s"colNames has ${colNames.size} entries for ${paths.size} rasters")
+    val maxBlock = Option(options.get("maxBlockSize")).map(_.toInt).getOrElse(4096)
+    val calcArea = Option(options.get("calcArea")).exists(_.toBoolean)
+    new GeoTiffTable(paths, colNames, maxBlock, calcArea)
+  }
+
+  /** Smallest Spark type that holds the raster's sample type (Spark has no
+    * unsigned ints, so unsigned widens: u8->short, u16->int, u32->long).
+    */
+  def sparkType(meta: TiffTags.RasterMeta): DataType =
+    (meta.sampleFormat, meta.bitsPerSample) match {
+      case (3, 32) => FloatType
+      case (3, 64) => DoubleType
+      case (2, 8) => ByteType
+      case (2, 16) => ShortType
+      case (2, 32) => IntegerType
+      case (1, 8) => ShortType
+      case (1, 16) => IntegerType
+      case (1, 32) => LongType
+      case (sf, b) => throw new IllegalArgumentException(
+        s"${meta.path}: unsupported sample format/bits: $sf/$b")
+    }
+}
+
+class GeoTiffTable(
+    paths: Seq[String],
+    colNames: Seq[String],
+    maxBlockSize: Int,
+    calcArea: Boolean)
+  extends Table with SupportsRead {
+
+  lazy val metas: Seq[TiffTags.RasterMeta] = {
+    val ms = paths.map(TiffTags.read)
+    val first = ms.head
+    ms.tail.foreach { m =>
+      require(first.sameGrid(m),
+        s"raster grid mismatch: ${first.path} vs ${m.path} (extent/resolution must be identical)")
+    }
+    ms
+  }
+
+  override def name(): String = s"geotiff(${paths.mkString(",")})"
+
+  override def schema(): StructType = {
+    val base = Seq(
+      StructField("lon", DoubleType, nullable = false),
+      StructField("lat", DoubleType, nullable = false)) ++
+      metas.zip(colNames).map { case (m, n) =>
+        StructField(n, GeoTiffTable.sparkType(m), nullable = false)
+      }
+    StructType(if (calcArea) base :+ StructField("area", DoubleType, nullable = false) else base)
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new GeoTiffScanBuilder(metas, colNames, schema(), maxBlockSize, calcArea)
+}
+
+class GeoTiffScanBuilder(
+    metas: Seq[TiffTags.RasterMeta],
+    colNames: Seq[String],
+    fullSchema: StructType,
+    maxBlockSize: Int,
+    calcArea: Boolean)
+  extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = fullSchema
+  private var pushed: Array[Filter] = Array.empty
+  // lon/lat bounds harvested from pushed filters, used for window pruning
+  private var lonMin = Double.NegativeInfinity
+  private var lonMax = Double.PositiveInfinity
+  private var latMin = Double.NegativeInfinity
+  private var latMax = Double.PositiveInfinity
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = ArrayBuffer[Filter]()
+    filters.foreach {
+      case f @ GreaterThan("lon", v: Number) => lonMin = lonMin.max(v.doubleValue()); usable += f
+      case f @ GreaterThanOrEqual("lon", v: Number) => lonMin = lonMin.max(v.doubleValue()); usable += f
+      case f @ LessThan("lon", v: Number) => lonMax = lonMax.min(v.doubleValue()); usable += f
+      case f @ LessThanOrEqual("lon", v: Number) => lonMax = lonMax.min(v.doubleValue()); usable += f
+      case f @ GreaterThan("lat", v: Number) => latMin = latMin.max(v.doubleValue()); usable += f
+      case f @ GreaterThanOrEqual("lat", v: Number) => latMin = latMin.max(v.doubleValue()); usable += f
+      case f @ LessThan("lat", v: Number) => latMax = latMax.min(v.doubleValue()); usable += f
+      case f @ LessThanOrEqual("lat", v: Number) => latMax = latMax.min(v.doubleValue()); usable += f
+      case _ => ()
+    }
+    pushed = usable.toArray
+    // All filters are returned as residuals: window pruning is partition-level
+    // (coarse), Spark re-evaluates exact predicates post-scan.
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def build(): Scan =
+    new GeoTiffScan(metas, colNames, required, maxBlockSize, calcArea,
+      lonMin, lonMax, latMin, latMax)
+}
+
+/** A grid window: the unit of parallelism (reference A2). */
+case class TiffWindow(colOff: Int, rowOff: Int, width: Int, height: Int)
+
+case class GeoTiffPartition(window: TiffWindow) extends InputPartition
+
+class GeoTiffScan(
+    metas: Seq[TiffTags.RasterMeta],
+    colNames: Seq[String],
+    required: StructType,
+    maxBlockSize: Int,
+    calcArea: Boolean,
+    lonMin: Double, lonMax: Double, latMin: Double, latMax: Double)
+  extends Scan with Batch with Serializable {
+
+  override def readSchema(): StructType = required
+
+  override def toBatch: Batch = this
+
+  override def description(): String =
+    s"GeoTiffScan(${metas.map(_.path).mkString(",")}, block=$maxBlockSize)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val m = metas.head
+    val parts = ArrayBuffer[InputPartition]()
+    var r = 0
+    while (r < m.height) {
+      val h = math.min(maxBlockSize, m.height - r)
+      var c = 0
+      while (c < m.width) {
+        val w = math.min(maxBlockSize, m.width - c)
+        // window geo bounds (north-up): lon grows with col, lat shrinks with row
+        val wLonMin = m.originX + c * m.pixelScaleX
+        val wLonMax = m.originX + (c + w) * m.pixelScaleX
+        val wLatMax = m.originY - r * m.pixelScaleY
+        val wLatMin = m.originY - (r + h) * m.pixelScaleY
+        val overlaps = wLonMax >= lonMin && wLonMin <= lonMax &&
+          wLatMax >= latMin && wLatMin <= latMax
+        if (overlaps) parts += GeoTiffPartition(TiffWindow(c, r, w, h))
+        c += w
+      }
+      r += h
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GeoTiffReaderFactory(metas.toArray, colNames.toArray, required, calcArea)
+}
+
+class GeoTiffReaderFactory(
+    metas: Array[TiffTags.RasterMeta],
+    colNames: Array[String],
+    required: StructType,
+    calcArea: Boolean)
+  extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new GeoTiffPartitionReader(metas, colNames, required,
+      partition.asInstanceOf[GeoTiffPartition].window, calcArea)
+}
+
+/** Reads one window of every (non-pruned) raster and streams the valid
+  * pixels of raster 1 as rows. Region reads keep memory at O(window), and
+  * each raster is decoded at most once per task.
+  */
+class GeoTiffPartitionReader(
+    metas: Array[TiffTags.RasterMeta],
+    colNames: Array[String],
+    required: StructType,
+    window: TiffWindow,
+    calcArea: Boolean)
+  extends PartitionReader[InternalRow] {
+
+  private val m0 = metas(0)
+  private val fieldNames = required.fieldNames
+  private val needLon = fieldNames.contains("lon")
+  private val needLat = fieldNames.contains("lat")
+  private val needArea = calcArea && fieldNames.contains("area")
+  // which rasters must actually be decoded: raster 0 always (mask), others
+  // only when their column survived pruning
+  private val valueIdx: Array[Int] = metas.indices
+    .filter(i => i == 0 || fieldNames.contains(colNames(i))).toArray
+
+  private lazy val rasters: Map[Int, java.awt.image.Raster] = valueIdx.map { i =>
+    val reader = ImageIO.getImageReadersByFormatName("tiff").next()
+    val iis = ImageIO.createImageInputStream(new File(metas(i).path))
+    try {
+      reader.setInput(iis)
+      val p = reader.getDefaultReadParam
+      p.setSourceRegion(new Rectangle(window.colOff, window.rowOff, window.width, window.height))
+      i -> reader.read(0, p).getRaster
+    } finally {
+      reader.dispose()
+      iis.close()
+    }
+  }.toMap
+
+  private val types: Array[DataType] = metas.map(GeoTiffTable.sparkType)
+  private var r = 0
+  private var c = -1
+  private var current: InternalRow = _
+
+  private def isNoData(v: Double): Boolean = m0.noData match {
+    case Some(nd) => v == nd || (nd.isNaN && v.isNaN)
+    case None => false
+  }
+
+  private def sampleValue(i: Int, x: Int, y: Int): Any = {
+    val ras = rasters(i)
+    types(i) match {
+      case FloatType => ras.getSampleFloat(x, y, 0)
+      case DoubleType => ras.getSampleDouble(x, y, 0)
+      case ByteType => ras.getSample(x, y, 0).toByte
+      case ShortType => ras.getSample(x, y, 0).toShort
+      case IntegerType => ras.getSample(x, y, 0)
+      case LongType => ras.getSample(x, y, 0).toLong & 0xffffffffL
+      case t => throw new IllegalStateException(s"unexpected type $t")
+    }
+  }
+
+  override def next(): Boolean = {
+    while (true) {
+      c += 1
+      if (c >= window.width) { c = 0; r += 1 }
+      if (r >= window.height) return false
+      val v0 = rasters(0).getSampleDouble(c, r, 0)
+      if (!isNoData(v0)) {
+        val absCol = window.colOff + c
+        val absRow = window.rowOff + r
+        val values = fieldNames.map { f =>
+          if (f == "lon") java.lang.Double.valueOf(m0.lonOf(absCol.toDouble))
+          else if (f == "lat") java.lang.Double.valueOf(m0.latOf(absRow.toDouble))
+          else if (f == "area" && calcArea)
+            java.lang.Double.valueOf(
+              GeoMath.pixelAreaM2(m0.latOf(absRow.toDouble), m0.pixelScaleY, m0.pixelScaleX))
+          else {
+            val i = colNames.indexOf(f)
+            require(i >= 0, s"unknown required column $f")
+            sampleValue(i, c, r)
+          }
+        }
+        current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+        return true
+      }
+    }
+    false
+  }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
+}

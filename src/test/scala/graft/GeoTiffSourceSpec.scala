@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class GeoTiffSourceSpec extends SparkSpec {
+  private val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-tiff"
+
+  // 10x8 float32, origin (10.0, 50.0), 0.5° pixels, nodata -9999 where (r+c)%7==0
+  private lazy val f32 = TiffFixtures.write(s"$tmp/f32.tif", 10, 8, TiffFixtures.F32,
+    (c, r) => if ((r + c) % 7 == 0) -9999.0 else r * 100.0 + c,
+    10.0, 50.0, 0.5, Some("-9999"))
+
+  // same grid uint8: value (c + r) clipped, 0 = its own nodata (passes through)
+  private lazy val u8 = TiffFixtures.write(s"$tmp/u8.tif", 10, 8, TiffFixtures.U8,
+    (c, r) => (c + r) % 256, 10.0, 50.0, 0.5, Some("0"))
+
+  // shifted grid for mismatch test
+  private lazy val shifted = TiffFixtures.write(s"$tmp/shift.tif", 10, 8, TiffFixtures.F32,
+    (c, r) => 1.0, 10.25, 50.0, 0.5, Some("-9999"))
+
+  test("tag scanner reads geometry and nodata") {
+    val m = graft.sources.tiff.TiffTags.read(f32)
+    assert(m.width == 10 && m.height == 8)
+    assert(m.sampleFormat == 3 && m.bitsPerSample == 32)
+    assert(m.pixelScaleX == 0.5 && m.pixelScaleY == 0.5)
+    assert(m.originX == 10.0 && m.originY == 50.0)
+    assert(m.noData.contains(-9999.0))
+  }
+
+  test("raster2df: mask filter, centroid coords, values") {
+    val df = Raster.raster2df(spark, Seq(f32))
+    val expectValid = (for (r <- 0 until 8; c <- 0 until 10 if (r + c) % 7 != 0) yield 1).size
+    assert(df.count() == expectValid)
+    assert(df.columns.toSeq == Seq("lon", "lat", "val1"))
+    // pixel (c=1, r=0): centroid lon = 10 + 1.5*0.5 = 10.75, lat = 50 - 0.25
+    val row = df.filter(col("val1") === 1.0f).collect()
+    assert(row.length == 1)
+    assert(row(0).getDouble(0) == 10.75 && row(0).getDouble(1) == 49.75)
+  }
+
+  test("multi-raster positional zip with nodata pass-through") {
+    val df = Raster.raster2df(spark, Seq(f32, u8), colNames = Seq("a", "b"))
+    assert(df.columns.toSeq == Seq("lon", "lat", "a", "b"))
+    // u8 is uint8 -> widened to short; its 0 values pass through where raster1 valid
+    assert(df.schema("b").dataType.typeName == "short")
+    // pixel (c=1, r=7): raster1 = 701, (7+1)%7 != 0 so valid; u8 = 8
+    val r17 = df.filter(col("a") === 701.0f).collect()(0)
+    assert(r17.getShort(3) == 8)
+    // raster2's own nodata (0 at c=0,r=0) would pass through, but (0,0) is
+    // masked by raster1; instead check (c=2, r=5): (5+2)%7==0 masked; and
+    // count matches raster1 mask only
+    val expectValid = (for (r <- 0 until 8; c <- 0 until 10 if (r + c) % 7 != 0) yield 1).size
+    assert(df.count() == expectValid)
+  }
+
+  test("grid mismatch raises") {
+    val e = intercept[Exception] {
+      Raster.raster2df(spark, Seq(f32, shifted)).collect()
+    }
+    assert(e.getMessage.contains("grid mismatch"))
+  }
+
+  test("multi-window read equals single-window read") {
+    val big = TiffFixtures.write(s"$tmp/big.tif", 300, 200, TiffFixtures.S16,
+      (c, r) => if ((c * 31 + r * 17) % 11 == 0) -1.0 else ((c * 7 + r * 3) % 1000).toDouble,
+      -180.0, 90.0, 1.0, Some("-1"))
+    val one = Raster.raster2df(spark, Seq(big), maxBlockSize = 4096)
+    val many = Raster.raster2df(spark, Seq(big), maxBlockSize = 128)
+    assert(many.rdd.getNumPartitions > 1)
+    assert(one.count() == many.count())
+    val d1 = one.orderBy("lat", "lon").collect().map(_.toSeq)
+    val d2 = many.orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(d1.sameElements(d2))
+  }
+
+  test("lon/lat filters prune windows and still return exact results") {
+    val big = s"$tmp/big.tif" // written by previous test (300x200, 1° pixels)
+    Raster.raster2df(spark, Seq(big), maxBlockSize = 128) // ensure exists
+    val df = Raster.raster2df(spark, Seq(big), maxBlockSize = 128)
+      .filter(col("lon") > -10.0 && col("lon") < 10.0 && col("lat") > 40.0 && col("lat") < 60.0)
+    val full = Raster.raster2df(spark, Seq(big), maxBlockSize = 4096)
+      .filter(col("lon") > -10.0 && col("lon") < 10.0 && col("lat") > 40.0 && col("lat") < 60.0)
+    assert(df.count() == full.count())
+    // pruning visible at the physical level: fewer partitions than the
+    // unfiltered 300x200/128² = 6-window plan
+    assert(df.rdd.getNumPartitions < Raster.raster2df(spark, Seq(big), maxBlockSize = 128).rdd.getNumPartitions)
+    // plan advertises the pushed range filters
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GeoTiffScan") || plan.contains("geotiff"))
+  }
+
+  test("calc_area appends geodesic pixel area consistent with GeoMath") {
+    val df = Raster.raster2df(spark, Seq(f32), calcArea = true)
+    assert(df.columns.contains("area"))
+    val r = df.filter(col("val1") === 1.0f).collect()(0)
+    val expected = graft.functions.GeoMath.pixelAreaM2(49.75, 0.5, 0.5)
+    assert(math.abs(r.getDouble(df.columns.indexOf("area")) - expected) < 1e-6)
+  }
+
+  test("csv sink writes header and separator variants") {
+    val out = s"$tmp/out_csv"
+    Raster.raster2csv(spark, Seq(f32), out, separator = "t", singleFile = true)
+    val files = new java.io.File(out).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(files.nonEmpty)
+    val lines = scala.io.Source.fromFile(files.head).getLines().toList
+    assert(lines.head == "lon\tlat\tval1")
+    assert(lines.size == 69) // 68 valid pixels + header
+  }
+
+  test("column pruning skips pruned value columns") {
+    val df = Raster.raster2df(spark, Seq(f32, u8), colNames = Seq("a", "b")).select("lon", "a")
+    assert(df.columns.toSeq == Seq("lon", "a"))
+    assert(df.count() == 68)
+  }
+}
