@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic text-hashing primitives shared by the dedup /
+  * fingerprinting operators (north star: LLM-data-pipeline dedup at 100 TB).
+  *
+  * Everything here is a pure Catalyst expression chain — no UDFs — so the
+  * operators built on top stay inside whole-stage codegen and, critically,
+  * every hash value is reproducible in DuckDB SQL for the driver's oracle
+  * gate: `h60(x)` == `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+  */
+object TextHash {
+
+  /** Modulus for rolling fingerprints: a prime < 2^31 so `acc*31 + h` stays
+    * well inside Long on both engines.
+    */
+  val FpMod = 2147483629L
+
+  /** 60-bit hash from the md5 hex prefix. md5 agrees across engines, and 15
+    * hex chars keep the value positive in a signed 64-bit integer.
+    */
+  def h60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Whitespace tokens (the parity-simple tokenizer used by the declared
+    * queries; `\\w+` regex tokens are available via regexp_extract_all).
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct n-word shingles: ["a b c", "b c d", ...] for n=3. */
+  def wordShingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    if (n == 1) array_distinct(toks)
+    else array_distinct(
+      transform(sequence(lit(1), size(toks) - (n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  }
+
+  /** Distinct character n-grams. */
+  def charShingles(text: Column, n: Int): Column =
+    array_distinct(
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+
+  /** Order-sensitive polynomial rolling hash over an array of strings:
+    * fold(acc*31 + h60(t) % M) % M. Sequential left fold on both engines →
+    * bit-identical.
+    */
+  def rollingFp(items: Column): Column =
+    aggregate(
+      transform(items, t => h60(t) % FpMod),
+      lit(0L),
+      (acc, h) => (acc * 31 + h) % FpMod)
+
+  /** Order-insensitive content key: rolling hash over the sorted distinct
+    * items — equal iff two documents have the same token SET.
+    */
+  def setFp(items: Column): Column =
+    rollingFp(array_sort(array_distinct(items)))
+}

@@ -1,0 +1,92 @@
+package graft.operators
+
+import graft.functions.TextHash
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate candidate generation
+  * (shingle → minhash signature → band → bucket join).
+  *
+  * Scale design: the only shuffle is the self-join on (band, bandHash) —
+  * candidates are discovered by key equality, never by all-pairs compare, so
+  * cost is O(sum of bucket sizes²) instead of O(n²). Signatures are pure
+  * Catalyst higher-order-function chains (transform/aggregate) — codegen'd,
+  * no UDF, no row blowup. At 100 TB: repartition by bandHash, and skewed
+  * "mega-buckets" (degenerate near-constant docs) should be capped with a
+  * per-bucket count filter before the join (see candidatePairs' maxBucket).
+  *
+  * Hash parity: h60 is reproducible in DuckDB SQL, so a bounded form of the
+  * whole pipeline is oracle-checked end-to-end (queries.Dedup q30).
+  */
+final case class MinHashLSH(
+    numHashes: Int = 12,
+    numBands: Int = 3,
+    shingleSize: Int = 1) {
+
+  require(numHashes % numBands == 0, "numBands must divide numHashes")
+  val rowsPerBand: Int = numHashes / numBands
+
+  def shingles(text: Column): Column = TextHash.wordShingles(text, shingleSize)
+
+  /** k-value MinHash signature: element j = min over shingles of
+    * h60(j + ":" + shingle). Seeding the hash with the function index keeps
+    * the k functions independent while staying oracle-reproducible.
+    */
+  def signature(text: Column): Column =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      j => array_min(transform(shingles(text),
+        s => TextHash.h60(concat(j.cast("string"), lit(":"), s)))))
+
+  /** One md5 bucket key per band over the signature slice. */
+  def bandHashes(sig: Column): Column =
+    transform(sequence(lit(0), lit(numBands - 1)),
+      b => md5(concat_ws(",",
+        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+          x => x.cast("string")))))
+
+  /** Distinct candidate pairs (idA < idB) sharing at least one band bucket.
+    *
+    * `maxBucket` guards against degenerate mega-buckets: buckets with more
+    * than `maxBucket` members are dropped (at scale a near-constant document
+    * cluster would otherwise make one reducer quadratic). Disabled when <= 0.
+    */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxBucket: Int = 0): DataFrame = {
+    val exploded = df
+      .select(col(idCol).as("id"),
+        posexplode(bandHashes(signature(col(textCol)))).as(Seq("band", "bh")))
+    val bounded =
+      if (maxBucket <= 0) exploded
+      else {
+        val ok = exploded.groupBy("band", "bh").count()
+          .filter(col("count") <= maxBucket).drop("count")
+        exploded.join(ok, Seq("band", "bh"), "left_semi")
+      }
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Exact set-Jaccard verification of candidate pairs — the standard
+    * filter-after-LSH step. `pairs` must have (id_a, id_b).
+    */
+  def verifyJaccard(
+      pairs: DataFrame,
+      df: DataFrame,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val sets = df.select(col(idCol).as("id"), shingles(col(textCol)).as("s"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("s_a"), col("s_b"))) /
+          size(array_union(col("s_a"), col("s_b")))).as("jaccard"))
+  }
+}

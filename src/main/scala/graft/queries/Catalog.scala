@@ -17,7 +17,8 @@ final case class QueryDef(
     oracle: Option[String])
 
 object Catalog {
-  val all: Seq[QueryDef] = Relational.defs ++ Analytics.defs ++ TextPipeline.defs
+  val all: Seq[QueryDef] =
+    Relational.defs ++ Analytics.defs ++ TextPipeline.defs ++ Dedup.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.fn).toMap

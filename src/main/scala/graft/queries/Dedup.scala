@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextHash
+import graft.operators.{MinHashLSH, SimHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication / similarity / fingerprinting declared queries (north star:
+  * LLM-training-data pipeline operators). Each is the oracle-checkable
+  * bounded form of a scale operator in [[graft.operators]]; the doc_id /
+  * vec_id bounds keep work constant across scale factors while the operator
+  * itself (band join, fold-based fingerprints) is the 100 TB path.
+  *
+  * Hash parity trick used throughout: Spark
+  * `conv(substring(md5(x),1,15),16,10)` == DuckDB
+  * `('0x'||substr(md5(x),1,15))::BIGINT`, so MinHash signatures, SimHash
+  * bits, and rolling fingerprints are bit-identical across engines.
+  */
+object Dedup {
+
+  /** B20 — MinHash+LSH near-dup pipeline, end-to-end: unigram shingles →
+    * 12-value signature → 3 bands × 4 rows → bucket join → exact-Jaccard
+    * verify ≥ 0.6. Bounded to doc_id < 200.
+    */
+  private def q30(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1)
+    val pairs = lsh.candidatePairs(docs, "doc_id", "text")
+    lsh.verifyJaccard(pairs, docs, "doc_id", "text")
+      .filter(round(col("jaccard"), 4) >= 0.6)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q30Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      |  FROM documents WHERE doc_id < 200
+      |), sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 11), j ->
+      |    list_min(list_transform(s, t ->
+      |      ('0x' || substr(md5(j || ':' || t), 1, 15))::BIGINT))) AS sg
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh
+      |  FROM sig, range(0, 3) r(b)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |)
+      |SELECT p.doc_a, p.doc_b,
+      |  ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+      |FROM pairs p
+      |JOIN sh sa ON sa.doc_id = p.doc_a
+      |JOIN sh sb ON sb.doc_id = p.doc_b
+      |WHERE ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.6
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** B20 — SimHash near-dup: 32-bit fingerprints (pure fold, no explode on
+    * the Spark side), pairs with Hamming distance <= 2. Bounded doc_id < 150.
+    */
+  private def q31(s: SparkSession, dir: String): DataFrame = {
+    val sh = Tables.documents(s, dir).filter(col("doc_id") < 150)
+      .select(col("doc_id"), SimHash.simhashOfText(col("text")).as("simhash"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("simhash").as("h_a"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("simhash").as("h_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("hamming", SimHash.hamming(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q31Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents WHERE doc_id < 150
+      |), th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+      |), bitsum AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+      |  FROM th, range(0, 32) r(b) GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+      |  FROM bitsum GROUP BY 1
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** B20 — character-trigram Jaccard near-dup (the n-gram variant), pairs
+    * with similarity >= 0.5. Bounded doc_id < 40 (all-pairs form is the
+    * oracle; the scale path is LSH as in q30).
+    */
+  private def q32(s: SparkSession, dir: String): DataFrame = {
+    val cg = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), TextHash.charShingles(col("text"), 3).as("g"))
+    val a = cg.select(col("doc_id").as("doc_a"), col("g").as("g_a"))
+    val b = cg.select(col("doc_id").as("doc_b"), col("g").as("g_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("g_a"), col("g_b"))) /
+          size(array_union(col("g_a"), col("g_b"))), 4))
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q32Sql =
+    """WITH cg AS (
+      |  SELECT doc_id, list_distinct(list_transform(
+      |    generate_series(1, length(text) - 2), i -> substr(text, i, 3))) AS g
+      |  FROM documents WHERE doc_id < 40
+      |)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  ROUND(len(list_intersect(a.g, b.g))::DOUBLE
+      |    / len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+      |FROM cg a JOIN cg b ON a.doc_id < b.doc_id
+      |WHERE ROUND(len(list_intersect(a.g, b.g))::DOUBLE
+      |    / len(list_distinct(list_concat(a.g, b.g))), 4) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin
+
+  /** B21 — embedding near-dup: cosine-similar pairs >= 0.4 among
+    * vec_id < 300. Double-precision sequential fold on both sides keeps the
+    * rounded value identical; the threshold tests the ROUNDED value so
+    * borderline floats cannot flip membership.
+    */
+  private def q33(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
+      .select(col("vec_id"), col("embedding"),
+        sqrt(Analytics.dotUdfFree(col("embedding"), col("embedding"))).as("nm"))
+    val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("nm").as("nm_a"))
+    val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"), col("nm").as("nm_b"))
+    a.join(b, col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        round(Analytics.dotUdfFree(col("e_a"), col("e_b")) / (col("nm_a") * col("nm_b")), 4))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private val q33Sql =
+    """WITH n AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      |  FROM embeddings WHERE vec_id < 300
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ROUND(list_dot_product(a.e, b.e) / (a.nm * b.nm), 4) AS cos_sim
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE ROUND(list_dot_product(a.e, b.e) / (a.nm * b.nm), 4) >= 0.4
+      |ORDER BY vec_a, vec_b""".stripMargin
+
+  /** B29 — language-ID by marker-token scoring (n-gram-heuristic family):
+    * per-language marker counts, argmax with alphabetical tie-break.
+    * Deterministic by construction, so fully oracle-checked.
+    */
+  private val markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("window", "batch", "merge"),
+    "en" -> Seq("the", "a", "slow"),
+    "es" -> Seq("data", "row", "stream"),
+    "fr" -> Seq("query", "agg", "big"),
+    "zh" -> Seq("join", "table", "spark"))
+
+  private def q34(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val scoreCols = markers.map { case (lang, ws) =>
+      ws.map(w => size(filter(toks, t => t === w)))
+        .reduce(_ + _).as(s"s_$lang")
+    }
+    val m = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = markers.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === m, lit(l)).otherwise(acc)
+    }
+    // foldRight gives the CASE chain in declaration (alphabetical) order:
+    // the FIRST language reaching the max wins, matching the SQL CASE.
+    Tables.documents(s, dir)
+      .select(col("doc_id") +: col("lang").as("actual_lang") +: scoreCols: _*)
+      .withColumn("pred_lang", pred)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q34Sql = {
+    def cnt(w: String) =
+      s"len(list_filter(string_split(text, ' '), t -> t = '$w'))"
+    val scores = markers.map { case (l, ws) =>
+      ws.map(cnt).mkString(" + ") + s" AS s_$l"
+    }.mkString(",\n    ")
+    val m = "GREATEST(" + markers.map { case (l, _) => s"s_$l" }.mkString(", ") + ")"
+    val cases = markers.map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }.mkString(" ")
+    s"""SELECT doc_id, actual_lang, ${markers.map { case (l, _) => s"CAST(s_$l AS INT) AS s_$l" }.mkString(", ")},
+       |  CASE $cases ELSE 'und' END AS pred_lang
+       |FROM (
+       |  SELECT doc_id, lang AS actual_lang,
+       |    $scores
+       |  FROM documents
+       |) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** B29 — document fingerprinting: order-sensitive rolling hash (fp_seq)
+    * + order-insensitive content key (fp_set) + per-key duplicate-cluster
+    * size. One expression fold per row; cluster size is a key-equality
+    * window — the exact-dedup primitive at any scale.
+    */
+  private def q35(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextHash.tokens(col("text"))
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        TextHash.rollingFp(toks).as("fp_seq"),
+        TextHash.setFp(toks).as("fp_set"))
+      .withColumn("n_set_dups", count(lit(1)).over(Window.partitionBy(col("fp_set"))))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q35Sql =
+    s"""WITH fp AS (
+       |  SELECT doc_id,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(
+       |      string_split(text, ' '),
+       |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${TextHash.FpMod})),
+       |      (a, b) -> (a * 31 + b) % ${TextHash.FpMod}) AS fp_seq,
+       |    list_reduce(list_prepend(0::BIGINT, list_transform(
+       |      list_sort(list_distinct(string_split(text, ' '))),
+       |      t -> ('0x' || substr(md5(t), 1, 15))::BIGINT % ${TextHash.FpMod})),
+       |      (a, b) -> (a * 31 + b) % ${TextHash.FpMod}) AS fp_set
+       |  FROM documents
+       |)
+       |SELECT doc_id, fp_seq, fp_set,
+       |  COUNT(*) OVER (PARTITION BY fp_set) AS n_set_dups
+       |FROM fp
+       |ORDER BY doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_minhash_lsh", q30, Some(q30Sql)),
+    QueryDef("q31_simhash_neardup", q31, Some(q31Sql)),
+    QueryDef("q32_ngram_jaccard", q32, Some(q32Sql)),
+    QueryDef("q33_embedding_neardup", q33, Some(q33Sql)),
+    QueryDef("q34_langid", q34, Some(q34Sql)),
+    QueryDef("q35_fingerprint", q35, Some(q35Sql)))
+}

@@ -1,0 +1,82 @@
+package graft
+
+import graft.functions.TextHash
+import graft.operators.{MinHashLSH, SimHash}
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup of 1
+    (4L, "completely different words entirely unrelated content here now"),
+    (5L, "dog lazy the over jumps fox brown quick the") // permutation of 1
+  ).toDF("doc_id", "text")
+
+  test("minhash: exact duplicates always share every band and are candidates") {
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1)
+    val pairs = lsh.candidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    // permutation has the same token SET -> same unigram signature
+    assert(pairs.contains((1L, 5L)))
+  }
+
+  test("minhash: verifyJaccard gives 1.0 for dups, low for unrelated") {
+    val lsh = MinHashLSH(12, 3, 1)
+    val pairs = lsh.candidatePairs(docs, "doc_id", "text")
+    val j = lsh.verifyJaccard(pairs, docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, v) => (a, b) -> v }.toMap
+    assert(j((1L, 2L)) == 1.0)
+    j.get((1L, 4L)).foreach(v => assert(v < 0.2))
+  }
+
+  test("minhash: maxBucket drops mega-buckets") {
+    val many = (1 to 50).map(i => (i.toLong, "same same text")).toDF("doc_id", "text")
+    val lsh = MinHashLSH(12, 3, 1)
+    assert(lsh.candidatePairs(many, "doc_id", "text", maxBucket = 10).count() == 0)
+    assert(lsh.candidatePairs(many, "doc_id", "text").count() == 50L * 49 / 2)
+  }
+
+  test("simhash: identical token sets get identical fingerprints; near dups are close") {
+    val sh = docs.select($"doc_id", SimHash.simhashOfText($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(1L) == sh(2L))
+    assert(sh(1L) == sh(5L)) // set-based: permutation invariant
+    val hamNear = java.lang.Long.bitCount(sh(1L) ^ sh(3L))
+    val hamFar = java.lang.Long.bitCount(sh(1L) ^ sh(4L))
+    assert(hamNear < hamFar)
+    // fingerprints fit in 32 bits
+    assert(sh.values.forall(v => v >= 0 && v <= 0xffffffffL))
+  }
+
+  test("rolling fingerprint: order-sensitive seq, order-insensitive set key") {
+    val fp = docs.select($"doc_id",
+        TextHash.rollingFp(TextHash.tokens($"text")).as("seq"),
+        TextHash.setFp(TextHash.tokens($"text")).as("set"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, a, b) => id -> (a, b) }.toMap
+    assert(fp(1L) == fp(2L))               // exact dup: both equal
+    assert(fp(1L)._1 != fp(5L)._1)         // permutation: seq differs
+    assert(fp(1L)._2 == fp(5L)._2)         // ...but set key equal
+    assert(fp(1L)._2 != fp(4L)._2)
+  }
+
+  test("minhash signature estimates jaccard") {
+    // property-ish: estimated similarity (matching signature fraction)
+    // within 0.35 of true jaccard for 128 hashes
+    val lsh = MinHashLSH(numHashes = 128, numBands = 32, shingleSize = 1)
+    val sig = docs.select($"doc_id", lsh.signature($"text").as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val sets = docs.collect().map(r =>
+      r.getLong(0) -> r.getString(1).split(" ").toSet).toMap
+    for (a <- sets.keys; b <- sets.keys if a < b) {
+      val trueJ = sets(a).intersect(sets(b)).size.toDouble / sets(a).union(sets(b)).size
+      val estJ = sig(a).zip(sig(b)).count { case (x, y) => x == y }.toDouble / 128
+      assert(math.abs(trueJ - estJ) < 0.35, s"pair ($a,$b): true=$trueJ est=$estJ")
+    }
+  }
+}
