@@ -1,0 +1,52 @@
+package graft.queries
+
+import graft.Tables
+import graft.streaming.Streams
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-parity forms of the streaming window operators (B35): the SAME
+  * [[graft.streaming.Streams]] transforms run here over the batch events
+  * table and are hash-checked against DuckDB epoch arithmetic — proving the
+  * window semantics once, which StreamingSpec then shows are identical on
+  * the MemoryStream path.
+  *
+  * Spark aligns tumbling/sliding windows to the epoch and the session is
+  * pinned UTC, so `window(ts, size[, slide]).start` ==
+  * `(epoch_us // size_us) * size_us`.
+  */
+object StreamParity {
+
+  /** B35 — tumbling 10-minute windows per event type, via Streams.tumblingCounts. */
+  private def q36(s: SparkSession, dir: String): DataFrame =
+    Streams.tumblingCounts(Tables.events(s, dir))
+      .select(unix_micros(col("w_start")).as("w_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy(col("w_start_us"), col("event_type"))
+
+  private val q36Sql =
+    """SELECT (epoch_us(ts) // 600000000) * 600000000 AS w_start_us,
+      |  event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2
+      |ORDER BY w_start_us, event_type""".stripMargin
+
+  /** B35 — sliding windows (10 min size, 5 min slide): every event lands in
+    * exactly two windows; oracle unrolls the slide index.
+    */
+  private def q37(s: SparkSession, dir: String): DataFrame =
+    Streams.slidingCounts(Tables.events(s, dir))
+      .select(unix_micros(col("w_start")).as("w_start_us"), col("n"))
+      .orderBy(col("w_start_us"))
+
+  private val q37Sql =
+    """SELECT ((epoch_us(ts) // 300000000) - k) * 300000000 AS w_start_us,
+      |  COUNT(*) AS n
+      |FROM events, range(0, 2) r(k)
+      |GROUP BY 1
+      |ORDER BY w_start_us""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q36_tumbling_batch", q36, Some(q36Sql)),
+    QueryDef("q37_sliding_batch", q37, Some(q37Sql)))
+}

@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Typed event row shared by the streaming operators and their tests. */
+final case class Event(
+    event_id: Long,
+    user_id: Long,
+    event_type: String,
+    ts: Timestamp,
+    value: Double)
+
+/** Running per-user aggregate emitted by [[Streams.runningUserStats]]. */
+final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
+
+/** Streaming operators (SURVEY §2B B35–B38), written as plain
+  * DataFrame→DataFrame transforms so the SAME code runs on a batch frame and
+  * on a `readStream`/MemoryStream frame — batch results double as the oracle
+  * for the streaming path (tested in StreamingSpec).
+  *
+  * Scale posture: all aggregations key on (window/session, group) so state
+  * is partitioned by group key across executors; watermarks bound state
+  * size; `flatMapGroupsWithState` keeps one small state object per user.
+  */
+object Streams {
+
+  /** B35 — tumbling-window counts per event type. */
+  def tumblingCounts(events: DataFrame, size: String = "10 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** B35 — sliding-window counts (each event lands in size/slide windows). */
+  def slidingCounts(
+      events: DataFrame,
+      size: String = "10 minutes",
+      slide: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("w_start"), col("n"))
+
+  /** B36 — session windows with a fixed inactivity gap, per user. */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("w.end").as("s_end"),
+        col("n_events"), col("sum_value"))
+
+  /** B37 — watermarked tumbling aggregate: in append mode a window only
+    * emits once the watermark passes its end, and events later than the
+    * watermark are dropped.
+    */
+  def watermarkedTumbling(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    tumblingCounts(events.withWatermark("ts", delay))
+
+  /** B38 — stateful dedup by event_id, state bounded by the watermark. */
+  def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** B38 — custom state: running per-user event count + value sum,
+    * re-emitted on every update (OutputMode.Update).
+    */
+  def runningUserStats(events: Dataset[Event]): Dataset[UserStats] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[UserStats, UserStats](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[Event], state: GroupState[UserStats]) =>
+          val prev = state.getOption.getOrElse(UserStats(userId, 0L, 0.0))
+          var n = prev.n_events
+          var s = prev.sum_value
+          rows.foreach { e => n += 1; s += e.value }
+          val next = UserStats(userId, n, s)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{Event, Streams, UserStats}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // offset off the epoch: a row whose ts equals the INITIAL watermark (0)
+  // is dropped as late by watermarked operators
+  private def ts(min: Int): Timestamp = new Timestamp((min + 1440) * 60000L)
+
+  private val batch1 = Seq(
+    Event(1, 1, "click", ts(0), 1.0),
+    Event(2, 1, "click", ts(4), 2.0),
+    Event(3, 2, "view", ts(11), 3.0),
+    Event(4, 2, "view", ts(14), 4.0))
+  private val batch2 = Seq(
+    Event(5, 1, "click", ts(21), 5.0),
+    Event(6, 2, "view", ts(24), 6.0))
+
+  /** Run a streaming transform over MemoryStream micro-batches and collect
+    * the final results from the in-memory sink.
+    */
+  private def runStream(
+      batches: Seq[Seq[Event]],
+      mode: OutputMode,
+      name: String)(f: DataFrame => DataFrame): DataFrame = {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = f(input.toDF()).writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try {
+      batches.foreach { b => input.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    spark.table(name)
+  }
+
+  test("tumbling window: stream (complete mode) equals batch") {
+    val streamed = runStream(Seq(batch1, batch2), OutputMode.Complete, "t_tumble")(
+      Streams.tumblingCounts(_))
+      .orderBy("w_start", "event_type").collect().toSeq
+    val batch = Streams.tumblingCounts((batch1 ++ batch2).toDF())
+      .orderBy("w_start", "event_type").collect().toSeq
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
+  test("sliding window: stream equals batch, events in 2 windows") {
+    val streamed = runStream(Seq(batch1, batch2), OutputMode.Complete, "t_slide")(
+      Streams.slidingCounts(_))
+      .orderBy("w_start").collect().toSeq
+    val batch = Streams.slidingCounts((batch1 ++ batch2).toDF())
+      .orderBy("w_start").collect().toSeq
+    assert(streamed == batch)
+    // total n across sliding windows = 2x event count (size = 2 * slide)
+    assert(batch.map(_.getLong(1)).sum == 2L * (batch1.size + batch2.size))
+  }
+
+  test("session window: stream equals batch gap semantics") {
+    val streamed = runStream(Seq(batch1, batch2), OutputMode.Complete, "t_sess")(
+      Streams.sessionStats(_, "30 minutes"))
+      .orderBy("user_id", "s_start").collect().toSeq
+    val batch = Streams.sessionStats((batch1 ++ batch2).toDF(), "30 minutes")
+      .orderBy("user_id", "s_start").collect().toSeq
+    assert(streamed == batch)
+    // 30-min gap: each user's events all within gaps -> one session per user
+    assert(batch.size == 2)
+  }
+
+  test("watermark drops events later than the delay (append mode)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.watermarkedTumbling(input.toDF(), "5 minutes").writeStream
+      .format("memory").queryName("t_wm").outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: events up to t=40 -> watermark advances to 35
+      input.addData(Seq(
+        Event(1, 1, "click", ts(2), 1.0),
+        Event(2, 1, "click", ts(40), 1.0)))
+      q.processAllAvailable()
+      // batch 2: a VERY late event for the long-closed [0,10) window
+      input.addData(Seq(Event(3, 1, "click", ts(1), 99.0)))
+      q.processAllAvailable()
+      // batch 3: advance watermark far so everything else emits
+      input.addData(Seq(Event(4, 1, "click", ts(120), 1.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("t_wm")
+      .select(unix_micros(col("w_start")) / 60000000, col("n"), col("sum_value"))
+      .as[(Double, Long, Double)].collect().toMap2
+    // the first 10-min window emitted BEFORE the late event arrived: n=1, sum=1.0
+    assert(rows(1440.0) == ((1L, 1.0)))
+  }
+
+  test("dropDuplicatesWithinWatermark removes repeated event_ids") {
+    val streamed = runStream(
+      Seq(batch1 ++ batch1, batch1 :+ Event(7, 3, "click", ts(15), 7.0)),
+      OutputMode.Append, "t_dedup")(Streams.dedupWithinWatermark(_, "1 hour"))
+    assert(streamed.count() == batch1.size + 1)
+    assert(streamed.select("event_id").as[Long].collect().toSet ==
+      (batch1.map(_.event_id).toSet + 7L))
+  }
+
+  test("flatMapGroupsWithState keeps running per-user state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.runningUserStats(input.toDS()).writeStream
+      .format("memory").queryName("t_state").outputMode(OutputMode.Update).start()
+    try {
+      input.addData(batch1); q.processAllAvailable()
+      input.addData(batch2); q.processAllAvailable()
+    } finally q.stop()
+    // last update per user reflects ALL events
+    val last = spark.table("t_state").as[UserStats].collect()
+      .groupBy(_.user_id).map { case (u, rows) => u -> rows.maxBy(_.n_events) }
+    assert(last(1L) == UserStats(1L, 3, 8.0))
+    assert(last(2L) == UserStats(2L, 3, 13.0))
+  }
+
+  private implicit class MapOps(rows: Array[(Double, Long, Double)]) {
+    def toMap2: Map[Double, (Long, Double)] =
+      rows.map { case (k, a, b) => k -> ((a, b)) }.toMap
+  }
+}
