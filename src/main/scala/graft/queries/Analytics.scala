@@ -10,16 +10,9 @@ import org.apache.spark.sql.functions._
   */
 object Analytics {
 
-  /** Exact double-precision dot product of two float vectors: cast each
-    * element to double BEFORE multiplying so both engines do the identical
-    * double arithmetic, then a sequential left fold. Pure higher-order
-    * Catalyst expressions — codegen-friendly, no UDF.
-    */
+  /** Exact double-precision dot product — see [[graft.functions.VectorMath]]. */
   private[queries] def dotUdfFree(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, v) => acc + v)
+    graft.functions.VectorMath.dot(a, b)
 
   /** B24 — JSON extraction from events.props ({"k": <0..99>}), bucketed. */
   private def q20(s: SparkSession, dir: String): DataFrame =

@@ -1,0 +1,91 @@
+package graft.queries
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.Ann
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal + similarity-search declared queries (q38, q39). */
+object Media {
+
+  /** Multimodal column pipeline, oracle-checked: build the
+    * struct<uri,bytes,meta> media column, then extract the stub-codec
+    * header fields FROM THE BINARY BYTES with Spark binary functions
+    * (hex/substr/conv) — proving the bytes plumbing — while DuckDB derives
+    * the same values from the md5 hex string.
+    */
+  private def q38(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+    val bytes = col("media.bytes")
+    def byteAt(i: Int): org.apache.spark.sql.Column =
+      conv(hex(substring(bytes, i, 1)), 16, 10).cast("int")
+    media.select(
+      col("doc_id"),
+      col("media.uri").as("uri"),
+      length(bytes).cast("int").as("n_bytes"),
+      (byteAt(1) % 128 + 1).as("width"),
+      (byteAt(2) % 128 + 1).as("height"),
+      (byteAt(3) % 8 + 1).as("n_frames"),
+      round(
+        aggregate(
+          transform(sequence(lit(1), lit(16)),
+            i => conv(hex(bytes.substr(i, lit(1))), 16, 10).cast("long")),
+          lit(0L), (acc, v) => acc + v).cast("double") / 16.0,
+        4).as("mean_byte"),
+      element_at(col("media.meta"), "lang").as("meta_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q38Sql =
+    """SELECT doc_id,
+      |  'mem://' || source || '/' || doc_id || '.img' AS uri,
+      |  CAST(octet_length(from_hex(md5(text))) AS INT) AS n_bytes,
+      |  CAST(('0x' || substr(md5(text), 1, 2))::INT % 128 + 1 AS INT) AS width,
+      |  CAST(('0x' || substr(md5(text), 3, 2))::INT % 128 + 1 AS INT) AS height,
+      |  CAST(('0x' || substr(md5(text), 5, 2))::INT % 8 + 1 AS INT) AS n_frames,
+      |  ROUND(CAST(list_sum(list_transform(generate_series(1, 16),
+      |    i -> ('0x' || substr(md5(text), i*2-1, 2))::BIGINT)) AS DOUBLE) / 16.0, 4) AS mean_byte,
+      |  lang AS meta_lang
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin
+
+  /** B21 — exact ANN baseline: top-5 cosine neighbors for query vectors
+    * {1,2,3} via the broadcast-queries brute-force operator (the LSH scale
+    * path is Ann.lshTopK, recall-tested in AnnSpec).
+    */
+  private def q39(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val corpus = e.select(col("vec_id").as("id"), col("embedding"))
+    val queries = e.filter(col("vec_id").isin(1, 2, 3))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    Ann.bruteForceTopK(corpus.filter(!col("id").isin(1, 2, 3)), queries, 5)
+      .select(col("q_id"), col("rank"), col("id"), round(col("cos_sim"), 4).as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q39Sql =
+    """WITH c AS (
+      |  SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+      |    sqrt(list_sum(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nm
+      |  FROM embeddings
+      |), scored AS (
+      |  SELECT q.id AS q_id, c.id,
+      |    list_dot_product(q.e, c.e) / (q.nm * c.nm) AS cs
+      |  FROM c, (SELECT * FROM c WHERE id IN (1, 2, 3)) q
+      |  WHERE c.id NOT IN (1, 2, 3)
+      |)
+      |SELECT q_id, rank, id, ROUND(cs, 4) AS cos_sim
+      |FROM (
+      |  SELECT q_id, id, cs,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cs DESC, id) AS INT) AS rank
+      |  FROM scored
+      |) t
+      |WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q38_multimodal_media", q38, Some(q38Sql)),
+    QueryDef("q39_ann_bruteforce", q39, Some(q39Sql)))
+}

@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.{Ann, Vec}
+import org.apache.spark.sql.functions._
+
+class AnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select(col("vec_id").as("id"), col("embedding"))
+    .as[Vec].cache()
+
+  test("brute force: self is its own nearest neighbor with cos 1.0") {
+    val queries = corpus.toDF().filter(col("id") === 1)
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    val top = Ann.bruteForceTopK(corpus.toDF(), queries, 1).collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[Long]("id") == 1L)
+    assert(math.abs(top(0).getAs[Double]("cos_sim") - 1.0) < 1e-12)
+  }
+
+  test("lsh keys: one key per (vector, table); deterministic under a seed") {
+    val keys = Ann.lshKeys(corpus, nbits = 6, tables = 4, seed = 42L)
+    assert(keys.count() == corpus.count() * 4)
+    val a = keys.orderBy("id", "table").collect().toSeq
+    val b = Ann.lshKeys(corpus, 6, 4, 42L).orderBy("id", "table").collect().toSeq
+    assert(a == b)
+    // buckets within range
+    assert(keys.agg(max("bucket")).head().getLong(0) < (1L << 6))
+  }
+
+  test("lsh topk beats random-candidate recall vs brute force") {
+    val queryIds = Seq(1L, 2L, 3L, 4L, 5L)
+    val queries = corpus.toDF().filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Ann.bruteForceTopK(
+        corpus.toDF().filter(!col("id").isin(queryIds: _*)), queries, 10)
+      .select("q_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.lshTopK(spark, corpus, queryIds, k = 10, nbits = 6, tables = 8)
+      .select("q_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = queryIds.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // 500 vectors, 64 buckets x 8 tables: random candidate sets of the same
+    // size would recall ~their fraction of the corpus (<0.35); require the
+    // LSH structure to do clearly better on the clustered embeddings
+    assert(meanRecall > 0.35, s"mean recall $meanRecall (per-query: $recalls)")
+  }
+}
