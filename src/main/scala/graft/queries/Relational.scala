@@ -16,12 +16,15 @@ import org.apache.spark.sql.functions._
 object Relational {
 
   /** B1,B2,B3 — scan + filter + project with a computed column.
-    * Filter on year(l_shipdate) and column pruning both reach the parquet
-    * scan (PushedFilters / ReadSchema).
+    * The year predicate is written as a sargable timestamp RANGE (not
+    * `year(col) === 1995`, which wraps the column in a function and blocks
+    * parquet predicate pushdown) so both bounds reach the scan as
+    * PushedFilters and row groups outside 1995 are skipped by footer stats.
     */
   private def q01(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .filter(year(col("l_shipdate")) === 1995)
+      .filter(col("l_shipdate") >= lit("1995-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1996-01-01").cast("timestamp_ntz"))
       .select(
         col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_extendedprice"), col("l_discount"),
