@@ -127,9 +127,59 @@ object TextPipeline {
       |JOIN sizes sb ON sb.doc_id = doc_b
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** TF-IDF top-3 terms per document: two hash aggregations (term counts,
+    * document frequency) + a broadcast scalar N + per-doc ranking window.
+    * Ordering uses the ROUNDED score so a last-ulp ln() difference between
+    * engines cannot flip ranks; word tie-break makes it total.
+    */
+  private def q40(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
+    val df = toks.select("doc_id", "word").distinct()
+      .groupBy("word").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "word")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("word"))
+    scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("rn"), col("word"), col("tf"), col("df"), col("score"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val q40Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+      |), tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      |), df AS (
+      |  SELECT word, COUNT(*) AS df FROM (SELECT DISTINCT doc_id, word FROM toks) GROUP BY 1
+      |), n AS (
+      |  SELECT COUNT(*) AS n_docs FROM documents
+      |), scored AS (
+      |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+      |    ROUND(tf.tf * ln((n.n_docs + 1.0) / (df.df + 1.0)), 4) AS score
+      |  FROM tf JOIN df USING (word), n
+      |)
+      |SELECT doc_id, rn, word, tf, df, score
+      |FROM (
+      |  SELECT doc_id, word, tf, df, score,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, word) AS INT) AS rn
+      |  FROM scored
+      |) t
+      |WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q26_token_stats", q26, Some(q26Sql)),
     QueryDef("q27_quality_score", q27, Some(q27Sql)),
     QueryDef("q28_dedup_exact_docs", q28, Some(q28Sql)),
-    QueryDef("q29_word_jaccard", q29, Some(q29Sql)))
+    QueryDef("q29_word_jaccard", q29, Some(q29Sql)),
+    QueryDef("q40_tfidf", q40, Some(q40Sql)))
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SURVEY §2C non-oracle declared ops: approx_distinct (B13) and
+  * sample_bounds (B30) — gated by statistical bounds, not hash equality.
+  */
+class ApproxSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 5% of exact on every key column") {
+    val checks = Seq(
+      ("orders", "o_custkey"), ("lineitem", "l_orderkey"),
+      ("events", "user_id"), ("lineitem", "l_suppkey"))
+    checks.foreach { case (t, c) =>
+      val df = Tables(spark, dir, t)
+      val exact = df.agg(countDistinct(col(c))).head().getLong(0)
+      val approx = df.agg(approx_count_distinct(col(c), 0.02)).head().getLong(0)
+      val err = math.abs(approx - exact).toDouble / exact
+      assert(err <= 0.05, s"$t.$c: exact=$exact approx=$approx err=$err")
+    }
+  }
+
+  test("sample fraction lands within binomial bounds and is seed-stable") {
+    val li = Tables.lineitem(spark, dir)
+    val n = li.count()
+    val s1 = li.sample(withReplacement = false, 0.1, seed = 7)
+    val c1 = s1.count()
+    // binomial(n, 0.1): mean n/10, sd ~ sqrt(n*0.09); allow 6 sigma
+    val sd = math.sqrt(n * 0.1 * 0.9)
+    assert(math.abs(c1 - n * 0.1) < 6 * sd, s"n=$n sampled=$c1")
+    // same seed -> identical sample
+    val c2 = li.sample(withReplacement = false, 0.1, seed = 7).count()
+    assert(c1 == c2)
+  }
+
+  test("approx_percentile brackets the exact median") {
+    val li = Tables.lineitem(spark, dir)
+    val approx = li.agg(
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))).head().getDouble(0)
+    val exact = li.agg(median(col("l_extendedprice"))).head().getDouble(0)
+    assert(math.abs(approx - exact) / exact < 0.02, s"approx=$approx exact=$exact")
+  }
+}
