@@ -1,7 +1,7 @@
 package graft.operators
 
-import graft.functions.VectorMath
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -25,12 +25,21 @@ final case class Vec(id: Long, embedding: Array[Float])
   */
 object Ann {
 
+  /** Cosine via the native codegen'd vec_dot expression — identical math to
+    * VectorMath.cosine (sequential double accumulate), ~an order of
+    * magnitude less per-row overhead in the scoring loop.
+    */
+  private def cosineNative(a: Column, b: Column): Column =
+    GraftFunctions.vecDot(a, b) /
+      (sqrt(GraftFunctions.vecDot(a, a)) * sqrt(GraftFunctions.vecDot(b, b)))
+
   /** Exact top-k neighbors of each query vector by cosine. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    GraftFunctions.register(corpus.sparkSession)
     val scored = corpus
       .crossJoin(broadcast(queries))
       .select(col("q_id"), col("id"),
-        VectorMath.cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        cosineNative(col("embedding"), col("q_emb")).as("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -92,11 +101,12 @@ object Ann {
     val corpusDf = corpus.toDF("id", "embedding")
     val qDf = corpusDf.filter(col("id").isin(queryIds: _*))
       .select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    GraftFunctions.register(spark)
     val scored = candidates
       .join(corpusDf, "id")
       .join(broadcast(qDf), "q_id")
       .select(col("q_id"), col("id"),
-        VectorMath.cosine(col("embedding"), col("q_emb")).as("cos_sim"))
+        cosineNative(col("embedding"), col("q_emb")).as("cos_sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }

@@ -1,0 +1,46 @@
+package graft.plans
+
+import graft.functions.expr.DotProductF
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+
+/** Registration of graft's native Catalyst expressions.
+  *
+  * Two paths to the same registry entry:
+  *   - config path: `spark.sql.extensions=graft.plans.GraftExtensions`
+  *     (cluster-wide, survives new sessions);
+  *   - imperative path: `GraftFunctions.register(spark)` — idempotent,
+  *     used by operators so any caller-supplied session works.
+  */
+object GraftFunctions {
+
+  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "vec_dot" -> (children => DotProductF(children(0), children(1))))
+
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    functions.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+  }
+
+  /** Column-API handle for the native dot product; the session must have
+    * [[register]] applied (operators call it themselves).
+    */
+  def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+}
+
+/** `spark.sql.extensions` entry point injecting the native functions. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.functions.foreach { case (name, builder) =>
+      ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(classOf[DotProductF].getName, name),
+        builder))
+    }
+}

@@ -135,14 +135,16 @@ object Dedup {
     * borderline floats cannot flip membership.
     */
   private def q33(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    val dot = graft.plans.GraftFunctions.vecDot _
     val n = Tables.embeddings(s, dir).filter(col("vec_id") < 300)
       .select(col("vec_id"), col("embedding"),
-        sqrt(Analytics.dotUdfFree(col("embedding"), col("embedding"))).as("nm"))
+        sqrt(dot(col("embedding"), col("embedding"))).as("nm"))
     val a = n.select(col("vec_id").as("vec_a"), col("embedding").as("e_a"), col("nm").as("nm_a"))
     val b = n.select(col("vec_id").as("vec_b"), col("embedding").as("e_b"), col("nm").as("nm_b"))
     a.join(b, col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",
-        round(Analytics.dotUdfFree(col("e_a"), col("e_b")) / (col("nm_a") * col("nm_b")), 4))
+        round(dot(col("e_a"), col("e_b")) / (col("nm_a") * col("nm_b")), 4))
       .filter(col("cos_sim") >= 0.4)
       .select(col("vec_a"), col("vec_b"), col("cos_sim"))
       .orderBy(col("vec_a"), col("vec_b"))

@@ -1,0 +1,70 @@
+package graft
+
+import graft.functions.VectorMath
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class DotProductSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native vec_dot is bit-identical to the higher-order-function form") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf()).select($"vec_id", $"embedding")
+    val both = e.crossJoin(
+        e.select($"vec_id".as("v2"), $"embedding".as("e2")).limit(20))
+      .select(
+        VectorMath.dot($"embedding", $"e2").as("hof"),
+        GraftFunctions.vecDot($"embedding", $"e2").as("native"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      // bit-identical: same upcasts, same sequential accumulate order
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("nulls propagate; mismatched lengths use the shorter prefix") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Some(Seq(1f, 2f, 3f)), Some(Seq(4f, 5f, 6f))),
+      (None, Some(Seq(1f))),
+      (Some(Seq(2f, 3f)), Some(Seq(10f)))).toDF("a", "b")
+    val out = df.select(GraftFunctions.vecDot($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 32.0)
+    assert(out(1).isNullAt(0))
+    assert(out(2).getDouble(0) == 20.0)
+  }
+
+  test("vec_dot runs inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    val e = Tables.embeddings(spark, sf())
+    val plan = e.select(GraftFunctions.vecDot($"embedding", $"embedding"))
+      .queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark whole-stage-codegen stages in the plan string
+    assert(plan.contains("*("), plan)
+    assert(plan.toLowerCase.contains("vec_dot"), plan)
+  }
+
+  test("microbench: native dot at least as fast as HOF dot (informational)") {
+    GraftFunctions.register(spark)
+    // 200k rows of dim-64 vectors, built once
+    val vecs = spark.range(200000)
+      .select($"id", transform(sequence(lit(1), lit(64)),
+        i => (i * ($"id" % 97 + 1) % 1000).cast("float")).as("v"))
+      .cache()
+    vecs.count()
+    def time(c: org.apache.spark.sql.Column): Double = {
+      val t0 = System.nanoTime()
+      vecs.select(sum(c)).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // warm both paths, then measure
+    time(VectorMath.dot($"v", $"v")); time(GraftFunctions.vecDot($"v", $"v"))
+    val hof = time(VectorMath.dot($"v", $"v"))
+    val native = time(GraftFunctions.vecDot($"v", $"v"))
+    info(f"HOF dot: $hof%.3fs, native vec_dot: $native%.3fs (${hof / native}%.1fx)")
+    assert(native <= hof * 1.5, f"native $native%.3fs slower than HOF $hof%.3fs")
+    vecs.unpersist()
+  }
+}
