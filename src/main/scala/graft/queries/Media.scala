@@ -85,7 +85,31 @@ object Media {
       |WHERE rank <= 5
       |ORDER BY q_id, rank""".stripMargin
 
+  /** B22/B34 — per-label embedding centroids in long form: posexplode →
+    * two-key hash aggregate. The typed-Aggregator form (operators.VectorMean)
+    * computes the same centroids group-at-a-time and is equality-tested
+    * against this in VectorMeanSpec; this long form is the oracle shape.
+    */
+  private def q41(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "c")))
+      .groupBy(col("label"), col("pos"))
+      .agg(round(avg(col("c").cast("double")), 4).as("mean_c"), count(lit(1)).as("n"))
+      .orderBy(col("label"), col("pos"))
+
+  private val q41Sql =
+    """SELECT label, idx - 1 AS pos,
+      |  ROUND(AVG(CAST(v AS DOUBLE)), 4) AS mean_c, COUNT(*) AS n
+      |FROM (
+      |  SELECT label, unnest(embedding) AS v,
+      |    generate_subscripts(embedding, 1) AS idx
+      |  FROM embeddings
+      |)
+      |GROUP BY 1, 2
+      |ORDER BY label, pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_media", q38, Some(q38Sql)),
-    QueryDef("q39_ann_bruteforce", q39, Some(q39Sql)))
+    QueryDef("q39_ann_bruteforce", q39, Some(q39Sql)),
+    QueryDef("q41_vector_stats", q41, Some(q41Sql)))
 }
