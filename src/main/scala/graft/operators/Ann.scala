@@ -78,6 +78,83 @@ object Ann {
     }.toDF("id", "table", "bucket")
   }
 
+  /** IVF coarse quantizer: `nCells` centroid vectors chosen
+    * deterministically from the corpus (every (n/nCells)-th by id order —
+    * a cheap stand-in for trained k-means centroids; swap in trained ones
+    * without changing the search path). Returns (id, cell) assignments via
+    * a partition-local map against the broadcast centroids.
+    */
+  def ivfAssign(corpus: Dataset[Vec], centroids: Array[Vec]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    corpus.mapPartitions { it =>
+      val cents = bc.value
+      it.map { v => (v.id, nearestCells(v.embedding, cents, 1).head) }
+    }.toDF("id", "cell")
+  }
+
+  /** Pick every (n/nCells)-th vector (by id order) as a centroid. */
+  def ivfCentroids(corpus: Dataset[Vec], nCells: Int): Array[Vec] = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val w = Window.orderBy(col("id"))
+    val n = corpus.count()
+    val step = math.max(1L, n / nCells)
+    corpus.toDF()
+      .withColumn("rn", row_number().over(w))
+      .filter((col("rn") - 1) % step === 0)
+      .limit(nCells)
+      .drop("rn").as[Vec].collect()
+  }
+
+  private def nearestCells(v: Array[Float], cents: Array[Vec], nprobe: Int): Seq[Int] = {
+    val sims = cents.indices.map { ci =>
+      val c = cents(ci).embedding
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { dot += v(i).toDouble * c(i); na += v(i).toDouble * v(i); nb += c(i).toDouble * c(i); i += 1 }
+      ci -> dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    sims.sortBy { case (ci, s) => (-s, ci) }.take(nprobe).map(_._1)
+  }
+
+  /** IVF approximate top-k: search only the `nprobe` cells nearest to each
+    * query vector — candidates come from a cell-key equi-join, then exact
+    * cosine reranks. At scale the assignment table is computed once and
+    * reused across queries (the classic IVF index).
+    */
+  def ivfTopK(
+      spark: SparkSession,
+      corpus: Dataset[Vec],
+      queryIds: Seq[Long],
+      k: Int,
+      nCells: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = ivfCentroids(corpus, nCells)
+    val assigned = ivfAssign(corpus, cents).cache()
+    val bc = spark.sparkContext.broadcast(cents)
+    val qCells = corpus.filter(col("id").isin(queryIds: _*)).as[Vec]
+      .flatMap { q => nearestCells(q.embedding, bc.value, nprobe).map(c => (q.id, c)) }
+      .toDF("q_id", "cell")
+    val candidates = assigned.join(broadcast(qCells), "cell")
+      .filter(col("id") =!= col("q_id"))
+      .select("q_id", "id").distinct()
+    val corpusDf = corpus.toDF("id", "embedding")
+    val qDf = corpusDf.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    GraftFunctions.register(spark)
+    val scored = candidates
+      .join(corpusDf, "id")
+      .join(broadcast(qDf), "q_id")
+      .select(col("q_id"), col("id"),
+        cosineNative(col("embedding"), col("q_emb")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos_sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Approximate top-k: candidates share any (table, bucket) with the
     * query, then exact cosine ranks candidates. Returns the same schema as
     * bruteForceTopK (queries with < k candidates return fewer rows — the

@@ -1,0 +1,50 @@
+package graft.queries
+
+import graft.Tables
+import graft.operators.{Ann, MinHashLSH, Vec}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** UNBOUNDED scale-path forms of the dedup / similarity operators — the
+  * code that runs over the FULL table with no doc_id/vec_id bound, exactly
+  * as it would at cluster scale. Not DuckDB-expressible at acceptable oracle
+  * cost (the oracle would be the quadratic form), so these are declared
+  * without oracle SQL: the driver records rows-only checks, the bench times
+  * them, and their correctness is pinned by (a) the bounded oracle twins
+  * (q30/q33/q39) and (b) the operator unit/property tests.
+  */
+object ScalePaths {
+
+  /** q30's operator over ALL documents, mega-buckets capped (the cap is the
+    * skew guard that makes degenerate corpora safe at scale).
+    */
+  private def q44(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 3)
+    lsh.candidatePairs(docs, "doc_id", "text", maxBucket = 50)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** Sign-LSH ANN over the full embeddings table. */
+  private def q45(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding")).as[Vec]
+    Ann.lshTopK(s, corpus, queryIds = Seq(1L, 2L, 3L), k = 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** IVF ANN over the full embeddings table. */
+  private def q46(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding")).as[Vec]
+    Ann.ivfTopK(s, corpus, queryIds = Seq(1L, 2L, 3L), k = 10)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q44_minhash_lsh_full", q44, None),
+    QueryDef("q45_ann_lsh", q45, None),
+    QueryDef("q46_ann_ivf", q46, None))
+}

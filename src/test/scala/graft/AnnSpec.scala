@@ -29,6 +29,26 @@ class AnnSpec extends SparkSpec {
     assert(keys.agg(max("bucket")).head().getLong(0) < (1L << 6))
   }
 
+  test("ivf topk recall vs brute force") {
+    val queryIds = Seq(1L, 2L, 3L, 4L, 5L)
+    val queries = corpus.toDF().filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = Ann.bruteForceTopK(
+        corpus.toDF().filter(!col("id").isin(queryIds: _*)), queries, 10)
+      .select("q_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val approx = Ann.ivfTopK(spark, corpus, queryIds, k = 10, nCells = 16, nprobe = 4)
+      .select("q_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = queryIds.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble / exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    // nprobe/nCells = 1/4 of the corpus scanned; require better than the
+    // random-candidate baseline of ~0.25
+    assert(meanRecall > 0.3, s"mean recall $meanRecall (per-query: $recalls)")
+  }
+
   test("lsh topk beats random-candidate recall vs brute force") {
     val queryIds = Seq(1L, 2L, 3L, 4L, 5L)
     val queries = corpus.toDF().filter(col("id").isin(queryIds: _*))
