@@ -144,10 +144,67 @@ object Analytics {
       |GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
 
+  /** B31 complement — unpivot (melt) the per-user event-type counts back to
+    * long form with Dataset.unpivot; oracle is the equivalent UNION ALL.
+    */
+  private def q47(s: SparkSession, dir: String): DataFrame = {
+    val types = Seq("click", "purchase", "view")
+    val pivoted = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0, types)
+    pivoted.unpivot(
+        Array(col("user_id")),
+        types.map(col).toArray,
+        "event_type", "n")
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  private val q47Sql =
+    """SELECT user_id, event_type, n FROM (
+      |  SELECT user_id, 'click' AS event_type,
+      |    COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n FROM events GROUP BY user_id
+      |  UNION ALL
+      |  SELECT user_id, 'purchase',
+      |    COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) FROM events GROUP BY user_id
+      |  UNION ALL
+      |  SELECT user_id, 'view',
+      |    COUNT(CASE WHEN event_type = 'view' THEN 1 END) FROM events GROUP BY user_id
+      |) t
+      |ORDER BY user_id, event_type""".stripMargin
+
+  /** B23 — map functions over parsed JSON: from_json to map<string,int>,
+    * map_keys / element_at / size.
+    */
+  private def q48(s: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"),
+      org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType,
+        org.apache.spark.sql.types.IntegerType))
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        concat_ws(",", array_sort(map_keys(m))).as("keys"),
+        element_at(m, "k").as("k_val"),
+        size(map_keys(m)).as("n_keys"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q48Sql =
+    """SELECT event_id,
+      |  array_to_string(list_sort(json_keys(props)), ',') AS keys,
+      |  CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+      |  CAST(len(json_keys(props)) AS INT) AS n_keys
+      |FROM events
+      |ORDER BY event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q20_json_events", q20, Some(q20Sql)),
     QueryDef("q21_array_embeddings", q21, Some(q21Sql)),
     QueryDef("q22_cosine_topk", q22, Some(q22Sql)),
     QueryDef("q23_text_stats", q23, Some(q23Sql)),
-    QueryDef("q24_sessionize", q24, Some(q24Sql)))
+    QueryDef("q24_sessionize", q24, Some(q24Sql)),
+    QueryDef("q47_unpivot", q47, Some(q47Sql)),
+    QueryDef("q48_map_funcs", q48, Some(q48Sql)))
 }
