@@ -21,21 +21,39 @@ import org.apache.spark.sql.functions._
 final case class MinHashLSH(
     numHashes: Int = 12,
     numBands: Int = 3,
-    shingleSize: Int = 1) {
+    shingleSize: Int = 1,
+    oracleParityHash: Boolean = false) {
 
   require(numHashes % numBands == 0, "numBands must divide numHashes")
   val rowsPerBand: Int = numHashes / numBands
+
+  /** Per-function shingle hash. Default is Spark's native xxhash64 (seeded
+    * by the function index — codegen'd, no string building, the scale
+    * path). `oracleParityHash=true` switches to the md5-hex h60 that DuckDB
+    * can reproduce, for the hash-checked bounded form (queries.Dedup q30).
+    */
+  private def shingleHash(j: Column, s: Column): Column =
+    if (oracleParityHash) TextHash.h60(concat(j.cast("string"), lit(":"), s))
+    else call_function("xxhash64", j, s)
 
   def shingles(text: Column): Column = TextHash.wordShingles(text, shingleSize)
 
   /** k-value MinHash signature: element j = min over shingles of
     * h60(j + ":" + shingle). Seeding the hash with the function index keeps
     * the k functions independent while staying oracle-reproducible.
+    *
+    * Written as ONE aggregate pass over the shingle array carrying a
+    * k-element minimum accumulator — the `transform(hashIdx, j =>
+    * array_min(transform(shingles, ...)))` formulation re-evaluates the
+    * shingle expression k times per row (Catalyst does not CSE across
+    * lambda bodies), which measured 60x slower at sf0.1.
     */
   def signature(text: Column): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      j => array_min(transform(shingles(text),
-        s => TextHash.h60(concat(j.cast("string"), lit(":"), s)))))
+    aggregate(
+      shingles(text),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, j) => least(m, shingleHash(j, s))))
 
   /** One md5 bucket key per band over the signature slice. */
   def bandHashes(sig: Column): Column =
@@ -55,9 +73,14 @@ final case class MinHashLSH(
       idCol: String,
       textCol: String,
       maxBucket: Int = 0): DataFrame = {
+    // cache at the reuse boundary: the (id, band, bh) keys are read 2-4
+    // times below (bucket-size pass + both sides of the self-join), and
+    // without a materialization Catalyst would recompute every md5
+    // signature on each side
     val exploded = df
       .select(col(idCol).as("id"),
         posexplode(bandHashes(signature(col(textCol)))).as(Seq("band", "bh")))
+      .cache()
     val bounded =
       if (maxBucket <= 0) exploded
       else {

@@ -25,7 +25,8 @@ object Dedup {
     */
   private def q30(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 200)
-    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1)
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1,
+      oracleParityHash = true)
     val pairs = lsh.candidatePairs(docs, "doc_id", "text")
     lsh.verifyJaccard(pairs, docs, "doc_id", "text")
       .filter(round(col("jaccard"), 4) >= 0.6)

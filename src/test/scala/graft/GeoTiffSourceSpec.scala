@@ -89,6 +89,20 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(plan.contains("GeoTiffScan") || plan.contains("geotiff"))
   }
 
+  test("tiled TIFF layout reads identically to the stripped layout") {
+    val stripped = TiffFixtures.write(s"$tmp/layout_s.tif", 150, 120, TiffFixtures.F32,
+      (c, r) => if ((c + r) % 5 == 0) -9999.0 else c * 1000.0 + r,
+      0.0, 60.0, 0.25, Some("-9999"))
+    val tiled = TiffFixtures.write(s"$tmp/layout_t.tif", 150, 120, TiffFixtures.F32,
+      (c, r) => if ((c + r) % 5 == 0) -9999.0 else c * 1000.0 + r,
+      0.0, 60.0, 0.25, Some("-9999"), tileSize = 64)
+    val a = Raster.raster2df(spark, Seq(stripped), maxBlockSize = 70)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val b = Raster.raster2df(spark, Seq(tiled), maxBlockSize = 70)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("calc_area appends geodesic pixel area consistent with GeoMath") {
     val df = Raster.raster2df(spark, Seq(f32), calcArea = true)
     assert(df.columns.contains("area"))

@@ -31,7 +31,8 @@ object TiffFixtures {
       originX: Double,
       originY: Double,
       pixelSize: Double,
-      noData: Option[String]): String = {
+      noData: Option[String],
+      tileSize: Int = 0): String = {
 
     val (bufType, img) = dtype match {
       case F32 =>
@@ -63,6 +64,10 @@ object TiffFixtures {
     try {
       writer.setOutput(ios)
       val param = writer.getDefaultWriteParam
+      if (tileSize > 0) {
+        param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setTiling(tileSize, tileSize, 0, 0)
+      }
       val meta = writer.getDefaultImageMetadata(ImageTypeSpecifier.createFromRenderedImage(img), param)
       val dir = TIFFDirectory.createFromMetadata(meta)
 
