@@ -38,6 +38,17 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(row(0).getDouble(0) == 10.75 && row(0).getDouble(1) == 49.75)
   }
 
+  test("golden: every emitted row matches the independently computed table") {
+    // independent oracle: recompute the full expected point table from the
+    // fixture's defining function + affine params (not via TiffTags)
+    val expected = (for {
+      r <- 0 until 8; c <- 0 until 10 if (r + c) % 7 != 0
+    } yield (10.0 + (c + 0.5) * 0.5, 50.0 - (r + 0.5) * 0.5, (r * 100 + c).toFloat)).toSet
+    val got = Raster.raster2df(spark, Seq(f32)).collect()
+      .map(row => (row.getDouble(0), row.getDouble(1), row.getFloat(2))).toSet
+    assert(got == expected)
+  }
+
   test("multi-raster positional zip with nodata pass-through") {
     val df = Raster.raster2df(spark, Seq(f32, u8), colNames = Seq("a", "b"))
     assert(df.columns.toSeq == Seq("lon", "lat", "a", "b"))
