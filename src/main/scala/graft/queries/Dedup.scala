@@ -245,11 +245,33 @@ object Dedup {
        |FROM fp
        |ORDER BY doc_id""".stripMargin
 
+  /** B20 family — fuzzy matching by edit distance on text prefixes
+    * (levenshtein agrees across engines; bounded all-pairs oracle form).
+    */
+  private def q51(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(s, dir).filter(col("doc_id") < 40)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("prefix"))
+    val a = d.select(col("doc_id").as("doc_a"), col("prefix").as("p_a"))
+    val b = d.select(col("doc_id").as("doc_b"), col("prefix").as("p_b"))
+    a.join(b, col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        levenshtein(col("p_a"), col("p_b")).as("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q51Sql =
+    """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |  CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS INT) AS edit_dist
+      |FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+      |WHERE a.doc_id < 40 AND b.doc_id < 40
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_minhash_lsh", q30, Some(q30Sql)),
     QueryDef("q31_simhash_neardup", q31, Some(q31Sql)),
     QueryDef("q32_ngram_jaccard", q32, Some(q32Sql)),
     QueryDef("q33_embedding_neardup", q33, Some(q33Sql)),
     QueryDef("q34_langid", q34, Some(q34Sql)),
-    QueryDef("q35_fingerprint", q35, Some(q35Sql)))
+    QueryDef("q35_fingerprint", q35, Some(q35Sql)),
+    QueryDef("q51_edit_distance", q51, Some(q51Sql)))
 }

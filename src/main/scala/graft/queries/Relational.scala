@@ -467,6 +467,56 @@ object Relational {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
 
+  /** B14 — ntile quartiles of customers by balance within market segment
+    * (deterministic: c_custkey tie-break inside the window order).
+    */
+  private def q49(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, dir)
+      .withColumn("quartile", ntile(4).over(w))
+      .groupBy(col("c_mktsegment"), col("quartile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 4).as("min_bal"),
+        round(max(col("c_acctbal")), 4).as("max_bal"))
+      .orderBy(col("c_mktsegment"), col("quartile"))
+  }
+
+  private val q49Sql =
+    """SELECT c_mktsegment, quartile, COUNT(*) AS n,
+      |  ROUND(MIN(c_acctbal), 4) AS min_bal, ROUND(MAX(c_acctbal), 4) AS max_bal
+      |FROM (
+      |  SELECT c_mktsegment, c_acctbal,
+      |    CAST(NTILE(4) OVER (PARTITION BY c_mktsegment
+      |      ORDER BY c_acctbal, c_custkey) AS INT) AS quartile
+      |  FROM customer
+      |) t
+      |GROUP BY c_mktsegment, quartile
+      |ORDER BY c_mktsegment, quartile""".stripMargin
+
+  /** B11/B34 family — exact interpolated percentiles per group (Spark
+    * `percentile` == DuckDB `quantile_cont`, verified same interpolation).
+    */
+  private def q50(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
+      .orderBy(col("l_returnflag"))
+
+  private val q50Sql =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+      |  ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+      |  ROUND(quantile_cont(l_quantity, 0.75), 4) AS p75,
+      |  ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS price_p99
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_scan_filter_project", q01, Some(q01Sql)),
     QueryDef("q02_pricing_summary", q02, Some(q02Sql)),
@@ -487,5 +537,7 @@ object Relational {
     QueryDef("q17_dedup_exact", q17, Some(q17Sql)),
     QueryDef("q18_string_funcs", q18, Some(q18Sql)),
     QueryDef("q19_date_funcs", q19, Some(q19Sql)),
-    QueryDef("q25_pivot_case", q25, Some(q25Sql)))
+    QueryDef("q25_pivot_case", q25, Some(q25Sql)),
+    QueryDef("q49_ntile_quartiles", q49, Some(q49Sql)),
+    QueryDef("q50_percentiles", q50, Some(q50Sql)))
 }
