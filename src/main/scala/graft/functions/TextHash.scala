@@ -29,20 +29,30 @@ object TextHash {
     */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct n-word shingles: ["a b c", "b c d", ...] for n=3. */
+  /** Distinct n-word shingles: ["a b c", "b c d", ...] for n=3. Documents
+    * shorter than n tokens yield an empty array — the when-guard is
+    * load-bearing: sequence(1, 0) DESCENDS in Spark (default step -1) and
+    * slice would then throw on start index 0.
+    */
   def wordShingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
     if (n == 1) array_distinct(toks)
     else array_distinct(
-      transform(sequence(lit(1), size(toks) - (n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array().cast("array<string>")))
   }
 
-  /** Distinct character n-grams. */
+  /** Distinct character n-grams; same short-input guard as wordShingles
+    * (substr would silently mis-shingle on the descending sequence).
+    */
   def charShingles(text: Column, n: Int): Column =
     array_distinct(
-      transform(sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n))))
+      when(length(text) >= n,
+        transform(sequence(lit(1), length(text) - (n - 1)),
+          i => text.substr(i, lit(n))))
+        .otherwise(array().cast("array<string>")))
 
   /** Order-sensitive polynomial rolling hash over an array of strings:
     * fold(acc*31 + h60(t) % M) % M. Sequential left fold on both engines →

@@ -57,22 +57,30 @@ object Ann {
   def lshKeys(ds: Dataset[Vec], nbits: Int, tables: Int, seed: Long): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
-    val dim = ds.head().embedding.length
+    // dim is derived from each partition's first vector (planes are built
+    // per partition anyway) — no eager head() job, empty input yields
+    // empty output instead of throwing
     ds.mapPartitions { it =>
-      val ps = planes(dim, nbits, tables, seed)
-      it.flatMap { v =>
-        (0 until tables).iterator.map { t =>
-          var bucket = 0L
-          var b = 0
-          while (b < nbits) {
-            var s = 0.0
-            var i = 0
-            val p = ps(t)(b)
-            while (i < dim) { s += p(i) * v.embedding(i); i += 1 }
-            if (s >= 0) bucket |= (1L << b)
-            b += 1
+      if (!it.hasNext) Iterator.empty
+      else {
+        val first = it.next()
+        val dim = first.embedding.length
+        val ps = planes(dim, nbits, tables, seed)
+        (Iterator.single(first) ++ it).flatMap { v =>
+          (0 until tables).iterator.map { t =>
+            var bucket = 0L
+            var b = 0
+            while (b < nbits) {
+              var s = 0.0
+              var i = 0
+              val p = ps(t)(b)
+              val n = math.min(dim, v.embedding.length)
+              while (i < n) { s += p(i) * v.embedding(i); i += 1 }
+              if (s >= 0) bucket |= (1L << b)
+              b += 1
+            }
+            (v.id, t, bucket)
           }
-          (v.id, t, bucket)
         }
       }
     }.toDF("id", "table", "bucket")

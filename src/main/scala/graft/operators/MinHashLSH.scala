@@ -78,6 +78,10 @@ final case class MinHashLSH(
     // without a materialization Catalyst would recompute every md5
     // signature on each side
     val exploded = df
+      // zero-shingle documents (shorter than the shingle width) have no
+      // content to compare — without this filter they'd all share the
+      // fold's initial accumulator signature and bucket together
+      .filter(size(shingles(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         posexplode(bandHashes(signature(col(textCol)))).as(Seq("band", "bh")))
       .cache()

@@ -252,37 +252,33 @@ class GeoTiffPartitionReader(
 
   private val m0 = metas(0)
   private val fieldNames = required.fieldNames
-  private val needLon = fieldNames.contains("lon")
-  private val needLat = fieldNames.contains("lat")
-  private val needArea = calcArea && fieldNames.contains("area")
   // which rasters must actually be decoded: raster 0 always (mask), others
   // only when their column survived pruning
   private val valueIdx: Array[Int] = metas.indices
     .filter(i => i == 0 || fieldNames.contains(colNames(i))).toArray
 
-  private lazy val rasters: Map[Int, java.awt.image.Raster] = valueIdx.map { i =>
-    val reader = ImageIO.getImageReadersByFormatName("tiff").next()
-    val iis = ImageIO.createImageInputStream(new File(metas(i).path))
-    try {
-      reader.setInput(iis)
-      val p = reader.getDefaultReadParam
-      p.setSourceRegion(new Rectangle(window.colOff, window.rowOff, window.width, window.height))
-      i -> reader.read(0, p).getRaster
-    } finally {
-      reader.dispose()
-      iis.close()
+  private lazy val rasters: Array[java.awt.image.Raster] = {
+    val arr = new Array[java.awt.image.Raster](metas.length)
+    valueIdx.foreach { i =>
+      val reader = ImageIO.getImageReadersByFormatName("tiff").next()
+      val iis = ImageIO.createImageInputStream(new File(metas(i).path))
+      try {
+        reader.setInput(iis)
+        val p = reader.getDefaultReadParam
+        p.setSourceRegion(new Rectangle(window.colOff, window.rowOff, window.width, window.height))
+        arr(i) = reader.read(0, p).getRaster
+      } finally {
+        reader.dispose()
+        iis.close()
+      }
     }
-  }.toMap
+    arr
+  }
 
   private val types: Array[DataType] = metas.map(GeoTiffTable.sparkType)
   private var r = 0
   private var c = -1
   private var current: InternalRow = _
-
-  private def isNoData(v: Double): Boolean = m0.noData match {
-    case Some(nd) => v == nd || (nd.isNaN && v.isNaN)
-    case None => false
-  }
 
   private def sampleValue(i: Int, x: Int, y: Int): Any = {
     val ras = rasters(i)
@@ -297,28 +293,56 @@ class GeoTiffPartitionReader(
     }
   }
 
+  /** NoData test at the FIRST raster's native precision — comparing the
+    * raw double sample would miss (a) f32 nodata whose ASCII form is not
+    * the float's exact decimal expansion, and (b) unsigned-32 nodata
+    * >= 2^31, which getSampleDouble sign-extends.
+    */
+  private lazy val maskedAt: (Int, Int) => Boolean = m0.noData match {
+    case None => (_, _) => false
+    case Some(nd) => types(0) match {
+      case FloatType =>
+        val ndF = nd.toFloat
+        (x, y) => { val v = rasters(0).getSampleFloat(x, y, 0); v == ndF || (ndF.isNaN && v.isNaN) }
+      case DoubleType =>
+        (x, y) => { val v = rasters(0).getSampleDouble(x, y, 0); v == nd || (nd.isNaN && v.isNaN) }
+      case ByteType => (x, y) => rasters(0).getSample(x, y, 0).toByte.toDouble == nd
+      case ShortType => (x, y) => rasters(0).getSample(x, y, 0).toShort.toDouble == nd
+      case IntegerType => (x, y) => rasters(0).getSample(x, y, 0).toDouble == nd
+      case LongType => (x, y) => (rasters(0).getSample(x, y, 0).toLong & 0xffffffffL).toDouble == nd
+      case t => throw new IllegalStateException(s"unexpected type $t")
+    }
+  }
+
+  /** One extractor per required field, resolved ONCE — the per-pixel loop
+    * must not do string comparisons or name lookups (this runs per valid
+    * pixel, millions of times per task).
+    */
+  private lazy val extractors: Array[(Int, Int) => Any] = fieldNames.map { f =>
+    if (f == "lon")
+      (x: Int, _: Int) => java.lang.Double.valueOf(m0.lonOf((window.colOff + x).toDouble))
+    else if (f == "lat")
+      (_: Int, y: Int) => java.lang.Double.valueOf(m0.latOf((window.rowOff + y).toDouble))
+    else if (f == "area" && calcArea)
+      (_: Int, y: Int) => java.lang.Double.valueOf(
+        GeoMath.pixelAreaM2(m0.latOf((window.rowOff + y).toDouble), m0.pixelScaleY, m0.pixelScaleX))
+    else {
+      val i = colNames.indexOf(f)
+      require(i >= 0, s"unknown required column $f")
+      (x: Int, y: Int) => sampleValue(i, x, y)
+    }
+  }
+
   override def next(): Boolean = {
     while (true) {
       c += 1
       if (c >= window.width) { c = 0; r += 1 }
       if (r >= window.height) return false
-      val v0 = rasters(0).getSampleDouble(c, r, 0)
-      if (!isNoData(v0)) {
-        val absCol = window.colOff + c
-        val absRow = window.rowOff + r
-        val values = fieldNames.map { f =>
-          if (f == "lon") java.lang.Double.valueOf(m0.lonOf(absCol.toDouble))
-          else if (f == "lat") java.lang.Double.valueOf(m0.latOf(absRow.toDouble))
-          else if (f == "area" && calcArea)
-            java.lang.Double.valueOf(
-              GeoMath.pixelAreaM2(m0.latOf(absRow.toDouble), m0.pixelScaleY, m0.pixelScaleX))
-          else {
-            val i = colNames.indexOf(f)
-            require(i >= 0, s"unknown required column $f")
-            sampleValue(i, c, r)
-          }
-        }
-        current = new GenericInternalRow(values.asInstanceOf[Array[Any]])
+      if (!maskedAt(c, r)) {
+        val values = new Array[Any](extractors.length)
+        var i = 0
+        while (i < extractors.length) { values(i) = extractors(i)(c, r); i += 1 }
+        current = new GenericInternalRow(values)
         return true
       }
     }

@@ -128,7 +128,12 @@ object TiffTags {
       // Tiepoint maps raster (i, j) -> geo (x, y); origin = top-left corner.
       val originX = tie(3) - tie(0) * scale(0)
       val originY = tie(4) + tie(1) * scale(1)
-      val noData = ascii(42113).flatMap(s => scala.util.Try(s.toDouble).toOption)
+      // GDAL writes lowercase "nan" for float NaN nodata; Java's toDouble
+      // only accepts "NaN", so normalize case before parsing.
+      val noData = ascii(42113).flatMap { s =>
+        if (s.equalsIgnoreCase("nan")) Some(Double.NaN)
+        else scala.util.Try(s.toDouble).toOption
+      }
 
       RasterMeta(path, width, height, bps, sampleFormat,
         scale(0), scale(1), originX, originY, noData)

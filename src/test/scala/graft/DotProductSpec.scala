@@ -24,16 +24,18 @@ class DotProductSpec extends SparkSpec {
     }
   }
 
-  test("nulls propagate; mismatched lengths use the shorter prefix") {
+  test("nulls and length mismatches yield NULL, matching the HOF form") {
     GraftFunctions.register(spark)
     val df = Seq(
       (Some(Seq(1f, 2f, 3f)), Some(Seq(4f, 5f, 6f))),
       (None, Some(Seq(1f))),
       (Some(Seq(2f, 3f)), Some(Seq(10f)))).toDF("a", "b")
-    val out = df.select(GraftFunctions.vecDot($"a", $"b")).collect()
-    assert(out(0).getDouble(0) == 32.0)
-    assert(out(1).isNullAt(0))
-    assert(out(2).getDouble(0) == 20.0)
+    val out = df.select(GraftFunctions.vecDot($"a", $"b"),
+      VectorMath.dot($"a", $"b")).collect()
+    assert(out(0).getDouble(0) == 32.0 && out(0).getDouble(1) == 32.0)
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    // dimension mismatch: both forms surface NULL, not a partial score
+    assert(out(2).isNullAt(0) && out(2).isNullAt(1))
   }
 
   test("vec_dot runs inside whole-stage codegen") {

@@ -122,6 +122,26 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(math.abs(r.getDouble(df.columns.indexOf("area")) - expected) < 1e-6)
   }
 
+  test("nodata 'nan' (GDAL lowercase form) masks NaN pixels") {
+    val p = TiffFixtures.write(s"$tmp/nan.tif", 6, 4, TiffFixtures.F32,
+      (c, r) => if ((c + r) % 3 == 0) Double.NaN else c + r * 10.0,
+      0.0, 10.0, 0.5, Some("nan"))
+    val m = graft.sources.tiff.TiffTags.read(p)
+    assert(m.noData.exists(_.isNaN))
+    val n = Raster.raster2df(spark, Seq(p)).count()
+    val expect = (for (r <- 0 until 4; c <- 0 until 6 if (c + r) % 3 != 0) yield 1).size
+    assert(n == expect)
+  }
+
+  test("f32 nodata compares at float precision (truncated ASCII form)") {
+    // -3.4e+38 has no exact float decimal expansion; the mask must compare
+    // float-to-float, not the double-widened sample to the double parse
+    val p = TiffFixtures.write(s"$tmp/f32nd.tif", 5, 3, TiffFixtures.F32,
+      (c, r) => if (c == 0) -3.4e38 else c + r * 10.0,
+      0.0, 10.0, 0.5, Some("-3.4e+38"))
+    assert(Raster.raster2df(spark, Seq(p)).count() == 4 * 3)
+  }
+
   test("csv sink writes header and separator variants") {
     val out = s"$tmp/out_csv"
     Raster.raster2csv(spark, Seq(f32), out, separator = "t", singleFile = true)

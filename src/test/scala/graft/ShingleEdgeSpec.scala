@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.TextHash
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.functions._
+
+/** Regression tests for short-input shingle edges: Spark's sequence(1, 0)
+  * DESCENDS (default step -1), which crashed slice / silently mis-shingled
+  * substr before the when-guards.
+  */
+class ShingleEdgeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("word shingles of docs shorter than n are empty, not an error") {
+    val df = Seq((1L, "one two"), (2L, "a"), (3L, ""), (4L, "x y z w")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextHash.wordShingles($"text", 3).as("sh"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty && out(3L).isEmpty)
+    assert(out(4L) == Seq("x y z", "y z w"))
+  }
+
+  test("char shingles of short texts are empty, not wrong") {
+    val df = Seq((1L, "ab"), (2L, ""), (3L, "abcd")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextHash.charShingles($"text", 3).as("g"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(out(1L).isEmpty && out(2L).isEmpty)
+    assert(out(3L) == Seq("abc", "bcd"))
+  }
+
+  test("minhash pipeline survives short documents in the corpus") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "hi"), (4L, "")).toDF("doc_id", "text")
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 3)
+    val pairs = lsh.candidatePairs(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // the real dup still found
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L)) // shorts: no shingles, no buckets
+  }
+}
