@@ -55,6 +55,19 @@ final case class MinHashLSH(
       (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
         (m, j) => least(m, shingleHash(j, s))))
 
+  /** Band hashes of the empty-shingle-set signature (all Long.MaxValue):
+    * the bucket keys a contentless document would land in.
+    */
+  lazy val emptySignatureBandHashes: Seq[String] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig = Seq.fill(numHashes)(Long.MaxValue)
+    (0 until numBands).map { b =>
+      val s = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(",")
+      md.reset()
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    }
+  }
+
   /** One md5 bucket key per band over the signature slice. */
   def bandHashes(sig: Column): Column =
     transform(sequence(lit(0), lit(numBands - 1)),
@@ -77,13 +90,14 @@ final case class MinHashLSH(
     // times below (bucket-size pass + both sides of the self-join), and
     // without a materialization Catalyst would recompute every md5
     // signature on each side
+    // Zero-shingle documents (shorter than the shingle width) all share the
+    // fold's initial accumulator signature and would bucket together; their
+    // band hashes are the CONSTANTS below, so excluding them costs one
+    // not-in filter instead of re-evaluating the shingle expression per row.
     val exploded = df
-      // zero-shingle documents (shorter than the shingle width) have no
-      // content to compare — without this filter they'd all share the
-      // fold's initial accumulator signature and bucket together
-      .filter(size(shingles(col(textCol))) > 0)
       .select(col(idCol).as("id"),
         posexplode(bandHashes(signature(col(textCol)))).as(Seq("band", "bh")))
+      .filter(!col("bh").isin(emptySignatureBandHashes: _*))
       .cache()
     val bounded =
       if (maxBucket <= 0) exploded
