@@ -65,6 +65,26 @@ object Streams {
     events.withWatermark("ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream inner join: match each purchase to the clicks of the
+    * same user in the preceding hour. Both sides are watermarked so Spark
+    * can bound the join state buffers (the unbounded-state trap of
+    * stream-stream joins); the time-range predicate lets late state expire.
+    */
+  def clickToPurchase(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      delay: String = "10 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", delay)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", delay)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
+  }
+
   /** B38 — custom state: running per-user event count + value sum,
     * re-emitted on every update (OutputMode.Update).
     */

@@ -107,6 +107,31 @@ class StreamingSpec extends SparkSpec {
       (batch1.map(_.event_id).toSet + 7L))
   }
 
+  test("stream-stream join matches clicks to purchases within the hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = Streams.clickToPurchase(clicks.toDF(), purchases.toDF()).writeStream
+      .format("memory").queryName("t_ssj").outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(Seq(
+        Event(1, 1, "click", ts(0), 1.0),
+        Event(2, 1, "click", ts(30), 1.0),
+        Event(3, 2, "click", ts(5), 1.0)))
+      purchases.addData(Seq(Event(10, 1, "purchase", ts(40), 9.0)))
+      q.processAllAvailable()
+      // user 1's both clicks precede the purchase within an hour; user 2 never purchases
+      val got = spark.table("t_ssj")
+        .select("user_id", "click_id", "purchase_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == Set((1L, 1L, 10L), (1L, 2L, 10L)))
+      // a second purchase 2h later matches nothing (clicks too old)
+      purchases.addData(Seq(Event(11, 1, "purchase", ts(160), 9.0)))
+      q.processAllAvailable()
+      assert(spark.table("t_ssj").count() == 2)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
