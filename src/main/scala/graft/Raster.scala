@@ -57,12 +57,18 @@ object Raster {
     var maxBlock = 4096
     var calcArea = false
     var i = 0
+    def flagValue(name: String): String = {
+      require(i + 1 < args.length, s"$name requires a value")
+      args(i + 1)
+    }
     while (i < args.length) {
       args(i) match {
-        case "--col_names" => colNames = args(i + 1).split(',').toSeq; i += 2
-        case "--separator" => separator = args(i + 1); i += 2
-        case "--max_block_size" => maxBlock = args(i + 1).toInt; i += 2
+        case "--col_names" => colNames = flagValue("--col_names").split(',').toSeq; i += 2
+        case "--separator" => separator = flagValue("--separator"); i += 2
+        case "--max_block_size" => maxBlock = flagValue("--max_block_size").toInt; i += 2
         case "--calc_area" => calcArea = true; i += 1
+        case f if f.startsWith("--") =>
+          throw new IllegalArgumentException(s"unknown flag: $f")
         case p => positional += p; i += 1
       }
     }

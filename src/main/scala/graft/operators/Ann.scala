@@ -67,6 +67,8 @@ object Ann {
         val dim = first.embedding.length
         val ps = planes(dim, nbits, tables, seed)
         (Iterator.single(first) ++ it).flatMap { v =>
+          require(v.embedding.length == dim,
+            s"ragged embedding dimensions: vector ${v.id} has ${v.embedding.length}, expected $dim")
           (0 until tables).iterator.map { t =>
             var bucket = 0L
             var b = 0
@@ -74,8 +76,7 @@ object Ann {
               var s = 0.0
               var i = 0
               val p = ps(t)(b)
-              val n = math.min(dim, v.embedding.length)
-              while (i < n) { s += p(i) * v.embedding(i); i += 1 }
+              while (i < dim) { s += p(i) * v.embedding(i); i += 1 }
               if (s >= 0) bucket |= (1L << b)
               b += 1
             }

@@ -55,17 +55,21 @@ final case class MinHashLSH(
       (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
         (m, j) => least(m, shingleHash(j, s))))
 
-  /** Band hashes of the empty-shingle-set signature (all Long.MaxValue):
-    * the bucket keys a contentless document would land in.
+  /** Bucket keys that contentless documents land in and must never join:
+    * the band hashes of the empty-shingle-set signature (all Long.MaxValue),
+    * plus md5("") — a NULL text's signature is NULL, and concat_ws skips the
+    * null array, collapsing every band hash to md5 of the empty string.
     */
   lazy val emptySignatureBandHashes: Seq[String] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    val sig = Seq.fill(numHashes)(Long.MaxValue)
-    (0 until numBands).map { b =>
-      val s = sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(",")
+    def md5hex(s: String): String = {
       md.reset()
       md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
     }
+    val sig = Seq.fill(numHashes)(Long.MaxValue)
+    (0 until numBands).map { b =>
+      md5hex(sig.slice(b * rowsPerBand, (b + 1) * rowsPerBand).mkString(","))
+    } :+ md5hex("")
   }
 
   /** One md5 bucket key per band over the signature slice. */

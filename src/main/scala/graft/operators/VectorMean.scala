@@ -19,8 +19,10 @@ class VectorMean(dim: Int)
   override def zero: VecMeanBuf = VecMeanBuf(Array.ofDim[Double](dim), 0L)
 
   override def reduce(b: VecMeanBuf, a: Array[Float]): VecMeanBuf = {
+    require(a.length == dim,
+      s"ragged embedding dimensions: got ${a.length}, expected $dim")
     var i = 0
-    while (i < dim && i < a.length) { b.sums(i) += a(i); i += 1 }
+    while (i < dim) { b.sums(i) += a(i); i += 1 }
     VecMeanBuf(b.sums, b.n + 1)
   }
 

@@ -75,6 +75,7 @@ object GeoTiffTable {
     require(colNames.size == paths.size,
       s"colNames has ${colNames.size} entries for ${paths.size} rasters")
     val maxBlock = Option(options.get("maxBlockSize")).map(_.toInt).getOrElse(4096)
+    require(maxBlock > 0, s"maxBlockSize must be positive, got $maxBlock")
     val calcArea = Option(options.get("calcArea")).exists(_.toBoolean)
     new GeoTiffTable(paths, colNames, maxBlock, calcArea)
   }

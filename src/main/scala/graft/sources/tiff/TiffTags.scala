@@ -113,7 +113,10 @@ object TiffTags {
         val b = payload(e)
         val bytes = new Array[Byte](e.count.toInt)
         b.get(bytes)
-        new String(bytes, "US-ASCII").takeWhile(c => c != '\u0000' && c != ' ').trim
+        // NUL-terminate first, THEN trim: stopping at the first space would
+        // turn a leading-whitespace payload (" -9999") into "" and silently
+        // disable the NoData mask
+        new String(bytes, "US-ASCII").takeWhile(_ != '\u0000').trim
       }
 
       val width = shortOrLong(256)

@@ -27,15 +27,18 @@ class ShingleEdgeSpec extends SparkSpec {
     assert(out(3L) == Seq("abc", "bcd"))
   }
 
-  test("minhash pipeline survives short documents in the corpus") {
+  test("minhash pipeline survives short and null documents in the corpus") {
     val docs = Seq(
-      (1L, "the quick brown fox jumps over the lazy dog"),
-      (2L, "the quick brown fox jumps over the lazy dog"),
-      (3L, "hi"), (4L, "")).toDF("doc_id", "text")
+      (1L, Some("the quick brown fox jumps over the lazy dog")),
+      (2L, Some("the quick brown fox jumps over the lazy dog")),
+      (3L, Some("hi")), (4L, Some("")),
+      (5L, None), (6L, None)).toDF("doc_id", "text")
     val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 3)
     val pairs = lsh.candidatePairs(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toSet
     assert(pairs.contains((1L, 2L))) // the real dup still found
-    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L)) // shorts: no shingles, no buckets
+    // shorts: no shingles -> no buckets; nulls: null signature -> md5("")
+    // band hash, excluded by the constant filter
+    assert(!pairs.exists(p => p._1 >= 3L || p._2 >= 3L))
   }
 }

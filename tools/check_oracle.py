@@ -35,8 +35,10 @@ def main(sf_dir, out_dir):
     for name in sorted(oracle):
         sql = oracle[name]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
-        if not files:
-            print(f"FAIL {name}: no spark output")
+        if len(files) != 1:
+            # Verify coalesces to one part; anything else means row order
+            # across parts is undefined and the in-order compare is invalid
+            print(f"FAIL {name}: expected exactly 1 parquet part, got {len(files)}")
             continue
         try:
             mine = con.sql(f"SELECT * FROM read_parquet('{files[0]}')")
