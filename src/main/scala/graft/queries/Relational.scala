@@ -517,6 +517,32 @@ object Relational {
       |GROUP BY l_returnflag
       |ORDER BY l_returnflag""".stripMargin
 
+  /** B15 completion — first_value/last_value/nth_value over a full-partition
+    * frame: each order row sees the customer's cheapest, priciest, and
+    * second order (deterministic tie-break in the window order).
+    */
+  private def q53(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        first(col("o_orderkey")).over(w).as("cheapest_order"),
+        last(col("o_orderkey")).over(w).as("priciest_order"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_cheapest"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val q53Sql =
+    """SELECT o_custkey, o_orderkey,
+      |  FIRST_VALUE(o_orderkey) OVER w AS cheapest_order,
+      |  LAST_VALUE(o_orderkey) OVER w AS priciest_order,
+      |  NTH_VALUE(o_orderkey, 2) OVER w AS second_cheapest
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+      |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q01_scan_filter_project", q01, Some(q01Sql)),
     QueryDef("q02_pricing_summary", q02, Some(q02Sql)),
@@ -539,5 +565,6 @@ object Relational {
     QueryDef("q19_date_funcs", q19, Some(q19Sql)),
     QueryDef("q25_pivot_case", q25, Some(q25Sql)),
     QueryDef("q49_ntile_quartiles", q49, Some(q49Sql)),
-    QueryDef("q50_percentiles", q50, Some(q50Sql)))
+    QueryDef("q50_percentiles", q50, Some(q50Sql)),
+    QueryDef("q53_window_first_last", q53, Some(q53Sql)))
 }

@@ -46,7 +46,41 @@ object StreamParity {
       |GROUP BY 1
       |ORDER BY w_start_us""".stripMargin
 
+  /** B36 — the REAL session_window() operator in batch mode, hash-checked
+    * against DuckDB's gap-island formulation: proves Spark's session merge
+    * semantics (end = last event + gap) equal the lag+cumsum islands that
+    * q24 uses, closing the loop between the two formulations.
+    */
+  private def q52(s: SparkSession, dir: String): DataFrame =
+    Streams.sessionStats(Tables.events(s, dir), "30 minutes")
+      .select(col("user_id"),
+        unix_micros(col("s_start")).as("s_start_us"),
+        unix_micros(col("s_end")).as("s_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("s_start_us"))
+
+  private val q52Sql =
+    """SELECT user_id, MIN(ts_us) AS s_start_us,
+      |  MAX(ts_us) + 1800000000 AS s_end_us,
+      |  COUNT(*) AS n_events, ROUND(SUM(value), 4) AS sum_value
+      |FROM (
+      |  SELECT user_id, value, ts_us,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island
+      |  FROM (
+      |    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+      |      CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL THEN 1
+      |           WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000 THEN 1
+      |           ELSE 0 END AS is_new
+      |    FROM events
+      |    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+      |  ) flagged
+      |) sessions
+      |GROUP BY user_id, island
+      |ORDER BY user_id, s_start_us""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_tumbling_batch", q36, Some(q36Sql)),
-    QueryDef("q37_sliding_batch", q37, Some(q37Sql)))
+    QueryDef("q37_sliding_batch", q37, Some(q37Sql)),
+    QueryDef("q52_session_window_batch", q52, Some(q52Sql)))
 }
