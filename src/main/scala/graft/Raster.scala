@@ -13,6 +13,11 @@ object Raster {
 
   /** One row per pixel with data in the first raster:
     * (lon, lat, <col per raster>[, area]).
+    *
+    * Paths and column names must not contain ',': the geotiff source's
+    * options are comma-separated strings (DSv2 options are flat
+    * string->string), so a comma would silently split one entry into bogus
+    * ones — rejected here at the API boundary instead.
     */
   def raster2df(
       spark: SparkSession,
@@ -20,6 +25,10 @@ object Raster {
       colNames: Seq[String] = Nil,
       maxBlockSize: Int = 4096,
       calcArea: Boolean = false): DataFrame = {
+    require(rasters.forall(!_.contains(",")),
+      s"raster paths must not contain ',': ${rasters.filter(_.contains(","))}")
+    require(colNames.forall(!_.contains(",")),
+      s"column names must not contain ',': ${colNames.filter(_.contains(","))}")
     var reader = spark.read.format("geotiff")
       .option("paths", rasters.mkString(","))
       .option("maxBlockSize", maxBlockSize)

@@ -25,6 +25,14 @@ object Tables {
     if (name == "events") events(spark, dir)
     else spark.read.parquet(s"$dir/$name.parquet")
 
+  /** SESSION-WIDE SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong`
+    * for the whole session and leaves it set. It cannot be scoped per-read:
+    * the parquet-to-Spark schema converter consults the live SQLConf at
+    * physical-planning/execution time (after this method returns), so
+    * restoring the previous value would break the scan it was set for. Any
+    * later nanos-timestamp parquet read in the same session will therefore
+    * also load as BIGINT nanoseconds instead of erroring.
+    */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$dir/events.parquet")

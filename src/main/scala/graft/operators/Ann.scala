@@ -10,7 +10,7 @@ final case class Vec(id: Long, embedding: Array[Float])
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
-  * Two paths (north star: similarity search at 100 TB):
+  * Three paths (north star: similarity search at 100 TB):
   *   - [[bruteForceTopK]]: exact baseline. Broadcast the (small) query set,
   *     stream the corpus once, per-query top-k via ranking window. Cost
   *     O(|corpus| * |queries| * dim) with NO corpus shuffle — correct at any
@@ -19,9 +19,16 @@ final case class Vec(id: Long, embedding: Array[Float])
   *     bucket keys (L independent tables of nbits hyperplanes); candidates
   *     are bucket-key equi-joins (shuffle on bucket key, never all-pairs),
   *     then exact cosine ranks the candidates. Recall tuned by (nbits, L).
+  *   - [[ivfTopK]]: IVF coarse quantization. Centroids come from a BOUNDED
+  *     deterministic sample (size independent of corpus scale) trained with
+  *     seeded Lloyd's iterations; search probes only the nprobe nearest
+  *     cells per query via a cell-key equi-join.
   *
-  * Hyperplanes are derived deterministically from a seed so plans are
-  * reproducible run-to-run (no Math.random in the plan).
+  * Hyperplanes / centroid seeds are derived deterministically so plans are
+  * reproducible run-to-run (no Math.random in the plan). No operator here
+  * caches: every intermediate is consumed exactly once (the round-1 forms
+  * cached frames that were never unpersisted and leaked executor storage
+  * across a long session).
   */
 object Ann {
 
@@ -50,48 +57,45 @@ object Ann {
     Array.fill(tables, nbits, dim)(rnd.nextGaussian())
   }
 
+  /** First embedding's length — one limit-1 scan job. */
+  def headDim(corpus: Dataset[Vec]): Int = corpus.head().embedding.length
+
   /** (id, table, bucket) keys for every vector: bucket = sign bits of the
     * nbits hyperplane projections. Runs as a partition-local map (typed,
     * one pass, planes built once per partition).
+    *
+    * `dim` is explicit and validated against EVERY vector: the hyperplanes
+    * are a function of (dim, seed), so a ragged corpus hashed with
+    * per-partition dims would silently produce meaningless buckets
+    * (round-1 advice finding) — fail loudly instead.
     */
-  def lshKeys(ds: Dataset[Vec], nbits: Int, tables: Int, seed: Long): DataFrame = {
+  def lshKeys(ds: Dataset[Vec], dim: Int, nbits: Int, tables: Int, seed: Long): DataFrame = {
     val spark = ds.sparkSession
     import spark.implicits._
-    // dim is derived from each partition's first vector (planes are built
-    // per partition anyway) — no eager head() job, empty input yields
-    // empty output instead of throwing
     ds.mapPartitions { it =>
-      if (!it.hasNext) Iterator.empty
-      else {
-        val first = it.next()
-        val dim = first.embedding.length
-        val ps = planes(dim, nbits, tables, seed)
-        (Iterator.single(first) ++ it).flatMap { v =>
-          require(v.embedding.length == dim,
-            s"ragged embedding dimensions: vector ${v.id} has ${v.embedding.length}, expected $dim")
-          (0 until tables).iterator.map { t =>
-            var bucket = 0L
-            var b = 0
-            while (b < nbits) {
-              var s = 0.0
-              var i = 0
-              val p = ps(t)(b)
-              while (i < dim) { s += p(i) * v.embedding(i); i += 1 }
-              if (s >= 0) bucket |= (1L << b)
-              b += 1
-            }
-            (v.id, t, bucket)
+      val ps = planes(dim, nbits, tables, seed)
+      it.flatMap { v =>
+        require(v.embedding.length == dim,
+          s"ragged embedding dimensions: vector ${v.id} has ${v.embedding.length}, expected $dim")
+        (0 until tables).iterator.map { t =>
+          var bucket = 0L
+          var b = 0
+          while (b < nbits) {
+            var s = 0.0
+            var i = 0
+            val p = ps(t)(b)
+            while (i < dim) { s += p(i) * v.embedding(i); i += 1 }
+            if (s >= 0) bucket |= (1L << b)
+            b += 1
           }
+          (v.id, t, bucket)
         }
       }
     }.toDF("id", "table", "bucket")
   }
 
-  /** IVF coarse quantizer: `nCells` centroid vectors chosen
-    * deterministically from the corpus (every (n/nCells)-th by id order —
-    * a cheap stand-in for trained k-means centroids; swap in trained ones
-    * without changing the search path). Returns (id, cell) assignments via
-    * a partition-local map against the broadcast centroids.
+  /** Returns (id, cell) assignments via a partition-local map against the
+    * broadcast centroids.
     */
   def ivfAssign(corpus: Dataset[Vec], centroids: Array[Vec]): DataFrame = {
     val spark = corpus.sparkSession
@@ -103,18 +107,88 @@ object Ann {
     }.toDF("id", "cell")
   }
 
-  /** Pick every (n/nCells)-th vector (by id order) as a centroid. */
-  def ivfCentroids(corpus: Dataset[Vec], nCells: Int): Array[Vec] = {
+  /** Deterministic subsample of ~`target` vectors WITHOUT a global sort:
+    * a hash-mod filter spreads the selection pseudo-randomly over the id
+    * space, and orderBy+limit on the survivors compiles to
+    * TakeOrderedAndProject (per-partition top-k + driver merge). The only
+    * full pass is the count — a map-side partial aggregate with no data
+    * movement. The round-1 form ran row_number over an UNPARTITIONED window,
+    * which moved the entire corpus to a single partition — the engine's one
+    * outright 100x-scale failure; this replaces it.
+    */
+  private def hashModSample(corpus: Dataset[Vec], target: Int): Array[Vec] = {
     val spark = corpus.sparkSession
     import spark.implicits._
-    val w = Window.orderBy(col("id"))
-    val n = corpus.count()
-    val step = math.max(1L, n / nCells)
+    val n = corpus.toDF().count()
+    val step = math.max(1L, n / math.max(1L, target.toLong))
     corpus.toDF()
-      .withColumn("rn", row_number().over(w))
-      .filter((col("rn") - 1) % step === 0)
-      .limit(nCells)
-      .drop("rn").as[Vec].collect()
+      .filter(pmod(xxhash64(col("id")), lit(step)) === 0)
+      .orderBy(col("id"))
+      .limit(target)
+      .as[Vec].collect()
+  }
+
+  /** IVF coarse quantizer seeds: `nCells` deterministically-sampled corpus
+    * vectors (4x oversampled hash-mod filter, top-nCells by id). A cheap
+    * stand-in for trained centroids — see [[ivfCentroidsKMeans]] for the
+    * trained path; both share the shuffle-free selection.
+    */
+  def ivfCentroids(corpus: Dataset[Vec], nCells: Int): Array[Vec] =
+    hashModSample(corpus, nCells * 4).take(nCells)
+
+  /** Trained coarse quantizer: seeded Lloyd's iterations (spherical k-means
+    * by cosine) over a BOUNDED deterministic sample of ~nCells*sampleFactor
+    * vectors. The sample size is independent of corpus scale, so the
+    * driver-side training cost is O(sample * nCells * dim * iters) — fixed —
+    * while the selection itself is the same shuffle-free hash-mod scan as
+    * [[ivfCentroids]]. Deterministic: same corpus + params => same centroids.
+    */
+  def ivfCentroidsKMeans(
+      corpus: Dataset[Vec],
+      nCells: Int,
+      iters: Int = 5,
+      sampleFactor: Int = 32): Array[Vec] = {
+    val sample = hashModSample(corpus, nCells * sampleFactor)
+    if (sample.length <= nCells)
+      return sample.zipWithIndex.map { case (v, i) => Vec(i.toLong, v.embedding) }
+    val dim = sample(0).embedding.length
+    var cents: Array[Array[Double]] =
+      sample.take(nCells).map(_.embedding.map(_.toDouble))
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(nCells)(new Array[Double](dim))
+      val counts = new Array[Long](nCells)
+      sample.foreach { v =>
+        val ci = nearestCentroid(v.embedding, cents)
+        counts(ci) += 1
+        val s = sums(ci)
+        var i = 0
+        while (i < dim) { s(i) += v.embedding(i); i += 1 }
+      }
+      cents = Array.tabulate(nCells) { ci =>
+        if (counts(ci) == 0L) cents(ci) // empty cluster: keep previous seed
+        else sums(ci).map(_ / counts(ci))
+      }
+      iter += 1
+    }
+    cents.zipWithIndex.map { case (c, i) => Vec(i.toLong, c.map(_.toFloat)) }
+  }
+
+  private def nearestCentroid(v: Array[Float], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestSim = Double.NegativeInfinity
+    var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci)
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { dot += v(i).toDouble * c(i); na += v(i).toDouble * v(i); nb += c(i) * c(i); i += 1 }
+      val sim = dot / (math.sqrt(na) * math.sqrt(nb))
+      if (sim > bestSim) { bestSim = sim; best = ci }
+      ci += 1
+    }
+    best
   }
 
   private def nearestCells(v: Array[Float], cents: Array[Vec], nprobe: Int): Seq[Int] = {
@@ -132,7 +206,8 @@ object Ann {
   /** IVF approximate top-k: search only the `nprobe` cells nearest to each
     * query vector — candidates come from a cell-key equi-join, then exact
     * cosine reranks. At scale the assignment table is computed once and
-    * reused across queries (the classic IVF index).
+    * reused across queries (the classic IVF index). `trained=true` (default)
+    * uses the k-means quantizer; false uses raw sampled seeds.
     */
   def ivfTopK(
       spark: SparkSession,
@@ -140,10 +215,14 @@ object Ann {
       queryIds: Seq[Long],
       k: Int,
       nCells: Int = 16,
-      nprobe: Int = 4): DataFrame = {
+      nprobe: Int = 4,
+      trained: Boolean = true): DataFrame = {
     import spark.implicits._
-    val cents = ivfCentroids(corpus, nCells)
-    val assigned = ivfAssign(corpus, cents).cache()
+    val cents =
+      if (trained) ivfCentroidsKMeans(corpus, nCells)
+      else ivfCentroids(corpus, nCells)
+    // assignments are consumed exactly once by the candidate join — no cache
+    val assigned = ivfAssign(corpus, cents)
     val bc = spark.sparkContext.broadcast(cents)
     val qCells = corpus.filter(col("id").isin(queryIds: _*)).as[Vec]
       .flatMap { q => nearestCells(q.embedding, bc.value, nprobe).map(c => (q.id, c)) }
@@ -168,6 +247,11 @@ object Ann {
     * query, then exact cosine ranks candidates. Returns the same schema as
     * bruteForceTopK (queries with < k candidates return fewer rows — the
     * recall/latency trade).
+    *
+    * The query-side keys are computed from the FILTERED corpus (a pruned
+    * scan of <= |queryIds| rows) rather than by filtering the full key set,
+    * so the full-corpus keys are built exactly once and nothing needs a
+    * cache; the tiny query side broadcasts.
     */
   def lshTopK(
       spark: SparkSession,
@@ -178,10 +262,11 @@ object Ann {
       tables: Int = 4,
       seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    val keys = lshKeys(corpus, nbits, tables, seed).cache()
-    val qKeys = keys.filter(col("id").isin(queryIds: _*))
+    val dim = headDim(corpus)
+    val keys = lshKeys(corpus, dim, nbits, tables, seed)
+    val qKeys = lshKeys(corpus.filter(col("id").isin(queryIds: _*)), dim, nbits, tables, seed)
       .withColumnRenamed("id", "q_id")
-    val candidates = keys.join(qKeys, Seq("table", "bucket"))
+    val candidates = keys.join(broadcast(qKeys), Seq("table", "bucket"))
       .filter(col("id") =!= col("q_id"))
       .select("q_id", "id").distinct()
     val corpusDf = corpus.toDF("id", "embedding")

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.functions.TextHash
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate candidate generation
@@ -90,10 +91,12 @@ final case class MinHashLSH(
       idCol: String,
       textCol: String,
       maxBucket: Int = 0): DataFrame = {
-    // cache at the reuse boundary: the (id, band, bh) keys are read 2-4
-    // times below (bucket-size pass + both sides of the self-join), and
-    // without a materialization Catalyst would recompute every md5
-    // signature on each side
+    // No cache (the round-1 form cached here and leaked the blocks across a
+    // long session): both self-join sides below are the SAME plan shuffled
+    // on the same (band, bh) key, so ReuseExchange materializes the
+    // signatures once in the shuffle files and reads them twice. The
+    // mega-bucket cap is a count-over-window on that same key — it rides
+    // the join's own exchange instead of adding a groupBy + semi-join pass.
     // Zero-shingle documents (shorter than the shingle width) all share the
     // fold's initial accumulator signature and would bucket together; their
     // band hashes are the CONSTANTS below, so excluding them costs one
@@ -102,14 +105,13 @@ final case class MinHashLSH(
       .select(col(idCol).as("id"),
         posexplode(bandHashes(signature(col(textCol)))).as(Seq("band", "bh")))
       .filter(!col("bh").isin(emptySignatureBandHashes: _*))
-      .cache()
     val bounded =
       if (maxBucket <= 0) exploded
-      else {
-        val ok = exploded.groupBy("band", "bh").count()
-          .filter(col("count") <= maxBucket).drop("count")
-        exploded.join(ok, Seq("band", "bh"), "left_semi")
-      }
+      else exploded
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
     bounded.as("a")
       .join(bounded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&

@@ -1,7 +1,8 @@
 package graft.operators
 
 import graft.functions.TextHash
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** 32-bit SimHash document fingerprinting.
@@ -43,4 +44,61 @@ object SimHash {
   /** Hamming distance between two fingerprints. */
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b)).cast("int")
+
+  /** The band substring of a fingerprint: bits [b*width, (b+1)*width). */
+  private def bandKey(fp: Column, b: Column, width: Int): Column =
+    call_function("shiftright", fp, b * width).bitwiseAND(lit((1L << width) - 1))
+
+  /** Banded near-dup pairing — the UNBOUNDED scale path the all-pairs
+    * oracle form (queries.Dedup q31) is the bounded twin of.
+    *
+    * Split the 32-bit fingerprint into `bands` contiguous bit ranges; by
+    * pigeonhole, any pair within Hamming distance < bands agrees on at
+    * least one whole band, so candidates are discovered by an equi-join on
+    * (band, bandKey) — shuffle on the band key, never all-pairs — and the
+    * exact Hamming check then verifies. Complete for maxHamming <= bands-1
+    * (DedupSpec proves equality against the all-pairs form).
+    *
+    * `maxBucket` is the same skew guard as MinHashLSH.candidatePairs: at
+    * corpus scale, degenerate fingerprints (e.g. the all-zero fingerprint of
+    * token-free documents) would otherwise put one quadratic bucket on a
+    * single reducer. Disabled when <= 0.
+    */
+  def candidatePairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      bands: Int = 4,
+      maxHamming: Int = 3,
+      maxBucket: Int = 0): DataFrame = {
+    require(Bits % bands == 0, s"bands must divide $Bits, got $bands")
+    require(maxHamming < bands,
+      s"banded pairing is only complete for maxHamming < bands ($maxHamming >= $bands)")
+    val width = Bits / bands
+    // (id, fp, band, key) — fp rides along so the verify step needs no
+    // join back to the corpus
+    val keyed = df
+      .select(col(idCol).as("id"), simhashOfText(col(textCol)).as("fp"))
+      .select(col("id"), col("fp"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => bandKey(col("fp"), b, width))).as(Seq("band", "key")))
+    // Both self-join sides are the same plan shuffled on (band, key):
+    // ReuseExchange computes the fingerprints once (same design as
+    // MinHashLSH.candidatePairs; no cache, nothing leaks).
+    val bounded =
+      if (maxBucket <= 0) keyed
+      else keyed
+        .withColumn("bucket_n",
+          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+        .filter(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
+    bounded.as("a")
+      .join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hamming(col("a.fp"), col("b.fp")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }

@@ -176,6 +176,12 @@ object Analytics {
 
   /** B23 — map functions over parsed JSON: from_json to map<string,int>,
     * map_keys / element_at / size.
+    *
+    * The map is materialized in its own projection so the plan carries ONE
+    * JsonToStructs: the round-1 form inlined `m` into three output columns
+    * and paid three per-row JSON parses (16% of the whole bench).
+    * CollapseProject keeps the split because from_json is non-cheap and
+    * referenced more than once.
     */
   private def q48(s: SparkSession, dir: String): DataFrame = {
     val m = from_json(col("props"),
@@ -183,11 +189,12 @@ object Analytics {
         org.apache.spark.sql.types.StringType,
         org.apache.spark.sql.types.IntegerType))
     Tables.events(s, dir)
+      .select(col("event_id"), m.as("m"))
       .select(
         col("event_id"),
-        concat_ws(",", array_sort(map_keys(m))).as("keys"),
-        element_at(m, "k").as("k_val"),
-        size(map_keys(m)).as("n_keys"))
+        concat_ws(",", array_sort(map_keys(col("m")))).as("keys"),
+        element_at(col("m"), "k").as("k_val"),
+        size(map_keys(col("m"))).as("n_keys"))
       .orderBy(col("event_id"))
   }
 

@@ -201,8 +201,12 @@ object Relational {
       |ORDER BY a.user_id""".stripMargin
 
   /** B10 — as-of join: for each event, the latest order of that user with
-    * o_orderdate <= event time. Composed as range join + per-event
-    * row_number (deterministic tie-break on o_orderkey DESC).
+    * o_orderdate <= event time. Composed as range join + per-event max_by
+    * aggregate: a hash aggregate with map-side partials, so the
+    * (events⋈orders) expansion is reduced before it shuffles — strictly
+    * cheaper than the round-1 row_number form, which sorted the whole
+    * expansion. Tie-break on (od_us, o_orderkey) DESC via the struct key
+    * (o_orderkey makes the key unique, so max_by is deterministic).
     */
   private def q09(s: SparkSession, dir: String): DataFrame = {
     val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
@@ -211,12 +215,10 @@ object Relational {
       // is value-preserving and matches DuckDB's epoch_us(o_orderdate).
       .select(col("o_custkey"), col("o_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
-    val w = Window.partitionBy(col("event_id"))
-      .orderBy(col("od_us").desc, col("o_orderkey").desc)
     e.join(o, col("o_custkey") === col("user_id") && col("od_us") <= col("ts_us"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("event_id"), col("o_orderkey").as("latest_orderkey"))
+      .groupBy(col("event_id"))
+      .agg(max_by(col("o_orderkey"),
+        struct(col("od_us"), col("o_orderkey"))).as("latest_orderkey"))
       .orderBy(col("event_id"))
   }
 

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.operators.{Ann, MinHashLSH, Vec}
+import graft.operators.{Ann, MinHashLSH, SimHash, Vec}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -43,8 +43,21 @@ object ScalePaths {
       .orderBy(col("q_id"), col("rank"))
   }
 
+  /** q31's operator over ALL documents via the banded SimHash pairing
+    * (4 bands of 8 bits → complete for Hamming <= 3), mega-buckets capped.
+    * The bounded all-pairs twin (q31) is the oracle; DedupSpec proves the
+    * banded form returns exactly the all-pairs result on the same corpus.
+    */
+  private def q54(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    SimHash.candidatePairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, maxBucket = 50)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q44_minhash_lsh_full", q44, None),
     QueryDef("q45_ann_lsh", q45, None),
-    QueryDef("q46_ann_ivf", q46, None))
+    QueryDef("q46_ann_ivf", q46, None),
+    QueryDef("q54_simhash_banded_full", q54, None))
 }

@@ -10,6 +10,8 @@ class AnnSpec extends SparkSpec {
     .select(col("vec_id").as("id"), col("embedding"))
     .as[Vec].cache()
 
+  private lazy val dim = Ann.headDim(corpus)
+
   test("brute force: self is its own nearest neighbor with cos 1.0") {
     val queries = corpus.toDF().filter(col("id") === 1)
       .select(col("id").as("q_id"), col("embedding").as("q_emb"))
@@ -20,13 +22,32 @@ class AnnSpec extends SparkSpec {
   }
 
   test("lsh keys: one key per (vector, table); deterministic under a seed") {
-    val keys = Ann.lshKeys(corpus, nbits = 6, tables = 4, seed = 42L)
+    val keys = Ann.lshKeys(corpus, dim, nbits = 6, tables = 4, seed = 42L)
     assert(keys.count() == corpus.count() * 4)
     val a = keys.orderBy("id", "table").collect().toSeq
-    val b = Ann.lshKeys(corpus, 6, 4, 42L).orderBy("id", "table").collect().toSeq
+    val b = Ann.lshKeys(corpus, dim, 6, 4, 42L).orderBy("id", "table").collect().toSeq
     assert(a == b)
     // buckets within range
     assert(keys.agg(max("bucket")).head().getLong(0) < (1L << 6))
+  }
+
+  test("lsh keys: ragged dimensions fail loudly instead of mis-bucketing") {
+    val ragged = Seq(
+      Vec(1L, Array(1f, 2f, 3f)),
+      Vec(2L, Array(1f, 2f))).toDS()
+    val ex = intercept[Exception] {
+      Ann.lshKeys(ragged, dim = 3, nbits = 4, tables = 2, seed = 1L).collect()
+    }
+    assert(ex.getMessage.contains("ragged embedding dimensions") ||
+      Option(ex.getCause).exists(_.getMessage.contains("ragged embedding dimensions")))
+  }
+
+  test("kmeans centroids: deterministic, bounded, right count") {
+    val a = Ann.ivfCentroidsKMeans(corpus, nCells = 8)
+    val b = Ann.ivfCentroidsKMeans(corpus, nCells = 8)
+    assert(a.length == 8 && b.length == 8)
+    assert(a.map(_.embedding.toSeq).toSeq == b.map(_.embedding.toSeq).toSeq)
+    assert(a.forall(_.embedding.length == dim))
   }
 
   test("ivf topk recall vs brute force") {
@@ -68,5 +89,13 @@ class AnnSpec extends SparkSpec {
     // size would recall ~their fraction of the corpus (<0.35); require the
     // LSH structure to do clearly better on the clustered embeddings
     assert(meanRecall > 0.35, s"mean recall $meanRecall (per-query: $recalls)")
+  }
+
+  test("ann operators leave no cached RDDs behind (round-1 leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Ann.lshTopK(spark, corpus, Seq(1L, 2L), k = 5).collect()
+    Ann.ivfTopK(spark, corpus, Seq(1L, 2L), k = 5).collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == before, s"operator leaked cached RDDs: ${after -- before}")
   }
 }

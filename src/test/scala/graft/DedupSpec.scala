@@ -65,6 +65,47 @@ class DedupSpec extends SparkSpec {
     assert(fp(1L)._2 != fp(4L)._2)
   }
 
+  test("simhash banded pairing: exact dups are candidates for any band split") {
+    // exact dups have Hamming 0, so every band agrees — any split finds them
+    for (bands <- Seq(2, 4, 8)) {
+      val pairs = SimHash.candidatePairs(docs, "doc_id", "text",
+          bands = bands, maxHamming = bands - 1)
+        .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+      assert(pairs.contains((1L, 2L)), s"bands=$bands missed exact dup (1,2)")
+      assert(pairs.contains((1L, 5L)), s"bands=$bands missed set-dup (1,5)")
+    }
+  }
+
+  test("simhash banded pairing == all-pairs form within its Hamming bound") {
+    // pigeonhole completeness: with 4 bands, every pair at Hamming <= 3
+    // must be found; compare against the brute-force all-pairs computation
+    val fps = docs.select($"doc_id", SimHash.simhashOfText($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- fps.keys; b <- fps.keys if a < b
+      d = java.lang.Long.bitCount(fps(a) ^ fps(b)) if d <= 3
+    } yield (a, b, d)).toSet
+    val banded = SimHash.candidatePairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == expected)
+  }
+
+  test("simhash banded pairing: maxBucket drops degenerate mega-buckets") {
+    val many = (1 to 40).map(i => (i.toLong, "same same text")).toDF("doc_id", "text")
+    assert(SimHash.candidatePairs(many, "doc_id", "text", maxBucket = 10).count() == 0)
+    assert(SimHash.candidatePairs(many, "doc_id", "text").count() == 40L * 39 / 2)
+  }
+
+  test("dedup operators leave no cached RDDs behind (round-1 leak)") {
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val lsh = MinHashLSH(12, 3, 1)
+    lsh.candidatePairs(docs, "doc_id", "text", maxBucket = 10).collect()
+    SimHash.candidatePairs(docs, "doc_id", "text").collect()
+    val after = spark.sparkContext.getPersistentRDDs.keySet
+    assert(after == before, s"operator leaked cached RDDs: ${after -- before}")
+  }
+
   test("minhash signature estimates jaccard") {
     // property-ish: estimated similarity (matching signature fraction)
     // within 0.35 of true jaccard for 128 hashes
