@@ -23,11 +23,12 @@ final case class DecodedMedia(
     mean_byte: Double)
 
 /** Multimodal column plumbing (schema, partition-preserving batched decode,
-  * feature extraction). The DECODE ITSELF IS A STUB — this container has no
-  * image/audio codecs — but it is a deterministic function of the bytes, so
-  * the pipeline is fully testable and oracle-checkable; swap
-  * [[StubCodec.decode]] for a real codec (e.g. javax.imageio / ffmpeg JNI)
-  * without touching any Spark plumbing.
+  * feature extraction) behind a [[MediaCodec]] seam with two
+  * implementations: [[Multimodal.StubCodec]], a deterministic fake used by
+  * the oracle-checked q38 (its output is a pure function of the bytes, so
+  * DuckDB can reproduce it), and [[Multimodal.ImageIoCodec]], a REAL
+  * PNG/JPEG decoder on JDK ImageIO — no external deps — proving the same
+  * plumbing carries real image decoding.
   *
   * Scale posture: media bytes stay opaque binary in the DataFrame (columnar
   * parquet/binaryFile storage, no driver materialization); decode runs via
@@ -37,11 +38,20 @@ final case class DecodedMedia(
   */
 object Multimodal {
 
-  /** ======= STUB ======= deterministic fake codec standing in for a real
-    * image decoder. "Header" layout it pretends to parse: byte0→width,
-    * byte1→height, byte2→frame count.
+  /** A media codec: `openPartition()` is called once per partition (the
+    * place to initialize a native context) and returns the decode function
+    * bytes => (width, height, n_frames, mean_byte).
     */
-  object StubCodec {
+  trait MediaCodec extends Serializable {
+    def openPartition(): Array[Byte] => (Int, Int, Int, Double)
+  }
+
+  /** ======= STUB ======= deterministic fake codec standing in for a real
+    * video/audio decoder (this container ships no such codecs). "Header"
+    * layout it pretends to parse: byte0→width, byte1→height, byte2→frame
+    * count. Being a pure function of the bytes keeps q38 oracle-checkable.
+    */
+  object StubCodec extends MediaCodec {
     final class Handle // stands in for a real per-executor codec context
 
     def open(): Handle = new Handle
@@ -53,6 +63,36 @@ object Multimodal {
       val fr = (bytes(2) & 0xff) % 8 + 1
       val mean = bytes.map(_ & 0xff).sum.toDouble / bytes.length
       (w, ht, fr, mean)
+    }
+
+    def openPartition(): Array[Byte] => (Int, Int, Int, Double) = {
+      val h = open()
+      bytes => decode(h, bytes)
+    }
+  }
+
+  /** Real still-image codec on JDK ImageIO (PNG/JPEG/GIF/BMP — whatever the
+    * JVM's registered readers handle). n_frames is 1; mean_byte is the mean
+    * over every 8-bit RGB component of every pixel.
+    */
+  object ImageIoCodec extends MediaCodec {
+    def openPartition(): Array[Byte] => (Int, Int, Int, Double) = { bytes =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "bytes are not a decodable image")
+      val w = img.getWidth
+      val h = img.getHeight
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+          x += 1
+        }
+        y += 1
+      }
+      (w, h, 1, sum.toDouble / (w.toLong * h * 3))
     }
   }
 
@@ -72,16 +112,19 @@ object Multimodal {
           lit("source"), col("source"),
           lit("lang"), col("lang")).as("meta")).as("media"))
 
-  /** Batched, partition-preserving decode: one codec handle per partition,
+  /** Batched, partition-preserving decode: one codec context per partition,
     * streamed over the rows — the Spark-idiomatic shape for expensive
-    * per-row native decodes.
+    * per-row native decodes. Defaults to the stub (q38's oracle-checkable
+    * contract); pass [[ImageIoCodec]] for real image bytes.
     */
-  def decode(media: Dataset[MediaRow]): Dataset[DecodedMedia] = {
+  def decode(
+      media: Dataset[MediaRow],
+      codec: MediaCodec = StubCodec): Dataset[DecodedMedia] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      val h = StubCodec.open() // once per partition, like a real codec ctx
+      val dec = codec.openPartition() // once per partition
       it.map { m =>
-        val (w, ht, fr, mean) = StubCodec.decode(h, m.bytes)
+        val (w, ht, fr, mean) = dec(m.bytes)
         DecodedMedia(m.doc_id, m.uri, w, ht, fr, mean)
       }
     }

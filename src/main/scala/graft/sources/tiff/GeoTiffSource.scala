@@ -239,6 +239,83 @@ class GeoTiffReaderFactory(
       partition.asInstanceOf[GeoTiffPartition].window, calcArea)
 }
 
+/** Uniform window-of-pixels accessor: (x, y) are WINDOW-relative. Two
+  * implementations — the ImageIO region read for classic TIFF, and the raw
+  * strip reader for BigTIFF (which ImageIO cannot decode). Both hold only
+  * O(window) memory.
+  */
+private[tiff] trait PixelGrid {
+  def getSample(x: Int, y: Int): Int
+  def getSampleFloat(x: Int, y: Int): Float
+  def getSampleDouble(x: Int, y: Int): Double
+}
+
+private[tiff] final class AwtPixelGrid(r: java.awt.image.Raster) extends PixelGrid {
+  def getSample(x: Int, y: Int): Int = r.getSample(x, y, 0)
+  def getSampleFloat(x: Int, y: Int): Float = r.getSampleFloat(x, y, 0)
+  def getSampleDouble(x: Int, y: Int): Double = r.getSampleDouble(x, y, 0)
+}
+
+/** Raw uncompressed-strip window reader for BigTIFF: seeks each window row
+  * inside its strip and reads exactly window.width samples, so a task reads
+  * O(window) bytes of a raster of any size (strips are row-contiguous:
+  * sample (row, col) lives at stripOffsets(row / rowsPerStrip) +
+  * ((row % rowsPerStrip) * width + col) * bytesPerSample).
+  */
+private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWindow)
+  extends PixelGrid {
+
+  private val bytesPer = meta.bitsPerSample / 8
+  private val rowBytes = window.width * bytesPer
+  private val buf: java.nio.ByteBuffer = {
+    val raf = new java.io.RandomAccessFile(meta.path, "r")
+    try {
+      val arr = new Array[Byte](rowBytes * window.height)
+      var y = 0
+      while (y < window.height) {
+        val row = (window.rowOff + y).toLong
+        val strip = (row / meta.rowsPerStrip).toInt
+        val rowInStrip = row % meta.rowsPerStrip
+        raf.seek(meta.stripOffsets(strip) +
+          (rowInStrip * meta.width + window.colOff) * bytesPer)
+        raf.readFully(arr, y * rowBytes, rowBytes)
+        y += 1
+      }
+      java.nio.ByteBuffer.wrap(arr).order(
+        if (meta.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+        else java.nio.ByteOrder.BIG_ENDIAN)
+    } finally raf.close()
+  }
+
+  private def idx(x: Int, y: Int): Int = y * rowBytes + x * bytesPer
+
+  /** Integer sample with the same conventions as AWT's getSample: unsigned
+    * widths zero-extend, signed widths sign-extend, 32-bit returns raw bits
+    * (the caller widens u32 with & 0xffffffffL exactly as for AWT).
+    */
+  def getSample(x: Int, y: Int): Int = {
+    val i = idx(x, y)
+    (meta.bitsPerSample, meta.sampleFormat) match {
+      case (8, 2) => buf.get(i).toInt
+      case (8, _) => buf.get(i) & 0xff
+      case (16, 2) => buf.getShort(i).toInt
+      case (16, _) => buf.getShort(i) & 0xffff
+      case (32, _) => buf.getInt(i)
+      case (b, f) => throw new IllegalStateException(
+        s"${meta.path}: unsupported BigTIFF integer layout bits=$b format=$f")
+    }
+  }
+
+  def getSampleFloat(x: Int, y: Int): Float =
+    if (meta.sampleFormat == 3 && meta.bitsPerSample == 32) buf.getFloat(idx(x, y))
+    else getSample(x, y).toFloat
+
+  def getSampleDouble(x: Int, y: Int): Double =
+    if (meta.sampleFormat == 3 && meta.bitsPerSample == 64) buf.getDouble(idx(x, y))
+    else if (meta.sampleFormat == 3) getSampleFloat(x, y).toDouble
+    else getSample(x, y).toDouble
+}
+
 /** Reads one window of every (non-pruned) raster and streams the valid
   * pixels of raster 1 as rows. Region reads keep memory at O(window), and
   * each raster is decoded at most once per task.
@@ -258,19 +335,23 @@ class GeoTiffPartitionReader(
   private val valueIdx: Array[Int] = metas.indices
     .filter(i => i == 0 || fieldNames.contains(colNames(i))).toArray
 
-  private lazy val rasters: Array[java.awt.image.Raster] = {
-    val arr = new Array[java.awt.image.Raster](metas.length)
+  private lazy val rasters: Array[PixelGrid] = {
+    val arr = new Array[PixelGrid](metas.length)
     valueIdx.foreach { i =>
-      val reader = ImageIO.getImageReadersByFormatName("tiff").next()
-      val iis = ImageIO.createImageInputStream(new File(metas(i).path))
-      try {
-        reader.setInput(iis)
-        val p = reader.getDefaultReadParam
-        p.setSourceRegion(new Rectangle(window.colOff, window.rowOff, window.width, window.height))
-        arr(i) = reader.read(0, p).getRaster
-      } finally {
-        reader.dispose()
-        iis.close()
+      if (metas(i).bigTiff) {
+        arr(i) = new RawStripGrid(metas(i), window)
+      } else {
+        val reader = ImageIO.getImageReadersByFormatName("tiff").next()
+        val iis = ImageIO.createImageInputStream(new File(metas(i).path))
+        try {
+          reader.setInput(iis)
+          val p = reader.getDefaultReadParam
+          p.setSourceRegion(new Rectangle(window.colOff, window.rowOff, window.width, window.height))
+          arr(i) = new AwtPixelGrid(reader.read(0, p).getRaster)
+        } finally {
+          reader.dispose()
+          iis.close()
+        }
       }
     }
     arr
@@ -284,12 +365,12 @@ class GeoTiffPartitionReader(
   private def sampleValue(i: Int, x: Int, y: Int): Any = {
     val ras = rasters(i)
     types(i) match {
-      case FloatType => ras.getSampleFloat(x, y, 0)
-      case DoubleType => ras.getSampleDouble(x, y, 0)
-      case ByteType => ras.getSample(x, y, 0).toByte
-      case ShortType => ras.getSample(x, y, 0).toShort
-      case IntegerType => ras.getSample(x, y, 0)
-      case LongType => ras.getSample(x, y, 0).toLong & 0xffffffffL
+      case FloatType => ras.getSampleFloat(x, y)
+      case DoubleType => ras.getSampleDouble(x, y)
+      case ByteType => ras.getSample(x, y).toByte
+      case ShortType => ras.getSample(x, y).toShort
+      case IntegerType => ras.getSample(x, y)
+      case LongType => ras.getSample(x, y).toLong & 0xffffffffL
       case t => throw new IllegalStateException(s"unexpected type $t")
     }
   }
@@ -304,13 +385,13 @@ class GeoTiffPartitionReader(
     case Some(nd) => types(0) match {
       case FloatType =>
         val ndF = nd.toFloat
-        (x, y) => { val v = rasters(0).getSampleFloat(x, y, 0); v == ndF || (ndF.isNaN && v.isNaN) }
+        (x, y) => { val v = rasters(0).getSampleFloat(x, y); v == ndF || (ndF.isNaN && v.isNaN) }
       case DoubleType =>
-        (x, y) => { val v = rasters(0).getSampleDouble(x, y, 0); v == nd || (nd.isNaN && v.isNaN) }
-      case ByteType => (x, y) => rasters(0).getSample(x, y, 0).toByte.toDouble == nd
-      case ShortType => (x, y) => rasters(0).getSample(x, y, 0).toShort.toDouble == nd
-      case IntegerType => (x, y) => rasters(0).getSample(x, y, 0).toDouble == nd
-      case LongType => (x, y) => (rasters(0).getSample(x, y, 0).toLong & 0xffffffffL).toDouble == nd
+        (x, y) => { val v = rasters(0).getSampleDouble(x, y); v == nd || (nd.isNaN && v.isNaN) }
+      case ByteType => (x, y) => rasters(0).getSample(x, y).toByte.toDouble == nd
+      case ShortType => (x, y) => rasters(0).getSample(x, y).toShort.toDouble == nd
+      case IntegerType => (x, y) => rasters(0).getSample(x, y).toDouble == nd
+      case LongType => (x, y) => (rasters(0).getSample(x, y).toLong & 0xffffffffL).toDouble == nd
       case t => throw new IllegalStateException(s"unexpected type $t")
     }
   }

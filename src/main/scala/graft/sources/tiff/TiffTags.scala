@@ -4,13 +4,23 @@ import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Minimal TIFF IFD tag scanner for the GeoTIFF metadata the raster source
-  * needs. Pixel decode is delegated to the JDK ImageIO TIFF plugin; this
-  * parser only pulls the geometry/nodata tags, which the ImageIO metadata
-  * tree does not reliably surface for private tags.
+  * needs. Pixel decode is delegated to the JDK ImageIO TIFF plugin for
+  * classic TIFF; this parser only pulls the geometry/nodata tags, which the
+  * ImageIO metadata tree does not reliably surface for private tags.
   *
-  * Covers classic TIFF (both byte orders), IFD0 only. Tags read:
+  * Covers classic TIFF (magic 42, 4-byte offsets) AND BigTIFF (magic 43,
+  * 8-byte offsets) in both byte orders, IFD0 only. BigTIFF matters at the
+  * posture this engine claims: real-world global rasters exceed the 4 GiB
+  * classic-TIFF limit routinely. ImageIO cannot decode BigTIFF, so for
+  * BigTIFF we also read the strip layout tags (259/273/278/279/277) and the
+  * source decodes uncompressed strips itself ([[GeoTiffPartitionReader]]);
+  * compressed BigTIFF is rejected with a typed error rather than garbage.
+  *
+  * Tags read:
   *   - 256/257 ImageWidth/ImageLength
   *   - 258 BitsPerSample, 339 SampleFormat (1=uint, 2=int, 3=float)
+  *   - 259 Compression, 277 SamplesPerPixel, 278 RowsPerStrip,
+  *     273 StripOffsets, 279 StripByteCounts (BigTIFF only)
   *   - 33550 ModelPixelScale (GeoTIFF: sx, sy, sz)
   *   - 33922 ModelTiepoint  (GeoTIFF: i, j, k, x, y, z)
   *   - 42113 GDAL_NODATA    (ASCII)
@@ -32,7 +42,14 @@ object TiffTags {
       pixelScaleY: Double, // positive magnitude from tag; applied as negative (north-up)
       originX: Double, // geo X of the raster's top-left corner
       originY: Double,
-      noData: Option[Double]) {
+      noData: Option[Double],
+      // BigTIFF raw-strip decode layout (empty for classic TIFF, where
+      // ImageIO handles pixels); littleEndian rides along so executors can
+      // decode without re-reading the header.
+      bigTiff: Boolean = false,
+      littleEndian: Boolean = true,
+      rowsPerStrip: Long = Long.MaxValue,
+      stripOffsets: Array[Long] = Array.empty) {
 
     /** Pixel-centroid longitude of column `col`. */
     def lonOf(col: Double): Double = originX + (col + 0.5) * pixelScaleX
@@ -48,13 +65,16 @@ object TiffTags {
   }
 
   private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 6 -> 1,
-    7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8)
+    7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8, 13 -> 4,
+    16 -> 8, 17 -> 8, 18 -> 8)
 
   def read(path: String): RasterMeta = {
     val raf = new RandomAccessFile(path, "r")
     try {
-      val head = new Array[Byte](8)
-      raf.readFully(head)
+      val head = new Array[Byte](16)
+      raf.seek(0)
+      val headRead = raf.read(head)
+      require(headRead >= 8, s"$path: not a TIFF (file too short)")
       val order = (head(0), head(1)) match {
         case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
         case ('M', 'M') => ByteOrder.BIG_ENDIAN
@@ -62,32 +82,48 @@ object TiffTags {
       }
       val hb = ByteBuffer.wrap(head).order(order)
       val magic = hb.getShort(2) & 0xffff
-      if (magic == 43) throw new IllegalArgumentException(s"$path: BigTIFF not supported")
-      if (magic != 42) throw new IllegalArgumentException(s"$path: not a TIFF (magic=$magic)")
-      val ifdOffset = hb.getInt(4).toLong & 0xffffffffL
+      val bigTiff = magic match {
+        case 42 => false
+        case 43 =>
+          val offSize = hb.getShort(4) & 0xffff
+          val pad = hb.getShort(6) & 0xffff
+          require(offSize == 8 && pad == 0,
+            s"$path: malformed BigTIFF header (offset size $offSize, pad $pad)")
+          true
+        case _ => throw new IllegalArgumentException(s"$path: not a TIFF (magic=$magic)")
+      }
+      val ifdOffset = if (bigTiff) hb.getLong(8) else hb.getInt(4).toLong & 0xffffffffL
+      // classic: 2-byte entry count, 12-byte entries, 4-byte value field
+      // BigTIFF: 8-byte entry count, 20-byte entries, 8-byte value field
+      val (countSize, entrySize, valueFieldSize, valueFieldOff) =
+        if (bigTiff) (8, 20, 8, 12) else (2, 12, 4, 8)
 
       raf.seek(ifdOffset)
-      val cntBuf = new Array[Byte](2)
+      val cntBuf = new Array[Byte](countSize)
       raf.readFully(cntBuf)
-      val n = ByteBuffer.wrap(cntBuf).order(order).getShort(0) & 0xffff
-      val entriesRaw = new Array[Byte](n * 12)
+      val cb = ByteBuffer.wrap(cntBuf).order(order)
+      val n = (if (bigTiff) cb.getLong(0) else (cb.getShort(0) & 0xffff).toLong).toInt
+      val entriesRaw = new Array[Byte](n * entrySize)
       raf.readFully(entriesRaw)
       val eb = ByteBuffer.wrap(entriesRaw).order(order)
 
       val entries = (0 until n).map { i =>
-        val off = i * 12
+        val off = i * entrySize
         val tag = eb.getShort(off) & 0xffff
         val tpe = eb.getShort(off + 2) & 0xffff
-        val count = eb.getInt(off + 4).toLong & 0xffffffffL
-        val inline = new Array[Byte](4)
-        eb.position(off + 8); eb.get(inline); eb.position(0)
-        val valueOffset = ByteBuffer.wrap(inline).order(order).getInt(0).toLong & 0xffffffffL
+        val count =
+          if (bigTiff) eb.getLong(off + 4)
+          else eb.getInt(off + 4).toLong & 0xffffffffL
+        val inline = new Array[Byte](valueFieldSize)
+        eb.position(off + valueFieldOff); eb.get(inline); eb.position(0)
+        val ib = ByteBuffer.wrap(inline).order(order)
+        val valueOffset = if (bigTiff) ib.getLong(0) else ib.getInt(0).toLong & 0xffffffffL
         Entry(tag, tpe, count, valueOffset, inline)
       }.map(e => e.tag -> e).toMap
 
       def payload(e: Entry): ByteBuffer = {
         val size = TypeSizes.getOrElse(e.fieldType, 1) * e.count.toInt
-        if (size <= 4) ByteBuffer.wrap(e.inline).order(order)
+        if (size <= valueFieldSize) ByteBuffer.wrap(e.inline).order(order)
         else {
           val buf = new Array[Byte](size)
           raf.seek(e.valueOffset)
@@ -96,11 +132,23 @@ object TiffTags {
         }
       }
 
+      /** One integer value of SHORT(3)/LONG(4)/LONG8(16) type at index i. */
+      def intAt(e: Entry, b: ByteBuffer, i: Int): Long = e.fieldType match {
+        case 3 => (b.getShort(i * 2) & 0xffff).toLong
+        case 4 => b.getInt(i * 4).toLong & 0xffffffffL
+        case 16 => b.getLong(i * 8)
+        case t => throw new IllegalArgumentException(
+          s"$path: tag ${e.tag} expected integer type, got $t")
+      }
+
       def shortOrLong(tag: Int, default: Int = -1): Int = entries.get(tag) match {
         case None => default
-        case Some(e) =>
-          val b = payload(e)
-          if (e.fieldType == 3) b.getShort(0) & 0xffff else b.getInt(0)
+        case Some(e) => intAt(e, payload(e), 0).toInt
+      }
+
+      def longs(tag: Int): Option[Array[Long]] = entries.get(tag).map { e =>
+        val b = payload(e)
+        Array.tabulate(e.count.toInt)(i => intAt(e, b, i))
       }
 
       def doubles(tag: Int): Option[Array[Double]] = entries.get(tag).map { e =>
@@ -138,8 +186,30 @@ object TiffTags {
         else scala.util.Try(s.toDouble).toOption
       }
 
-      RasterMeta(path, width, height, bps, sampleFormat,
-        scale(0), scale(1), originX, originY, noData)
+      if (!bigTiff) {
+        RasterMeta(path, width, height, bps, sampleFormat,
+          scale(0), scale(1), originX, originY, noData)
+      } else {
+        // BigTIFF pixels are decoded by our own strip reader (ImageIO has no
+        // BigTIFF support), which only handles the uncompressed single-band
+        // layout — gate explicitly on everything else.
+        val compression = shortOrLong(259, 1)
+        require(compression == 1,
+          s"$path: BigTIFF compression $compression unsupported (only 1 = none)")
+        val spp = shortOrLong(277, 1)
+        require(spp == 1,
+          s"$path: BigTIFF SamplesPerPixel $spp unsupported (only single-band)")
+        require(!entries.contains(322) && !entries.contains(324),
+          s"$path: tiled BigTIFF unsupported (only stripped layout)")
+        val offsets = longs(273).getOrElse(
+          throw new IllegalArgumentException(s"$path: BigTIFF missing StripOffsets (273)"))
+        val rps = entries.get(278).map(e => intAt(e, payload(e), 0))
+          .getOrElse(height.toLong)
+        RasterMeta(path, width, height, bps, sampleFormat,
+          scale(0), scale(1), originX, originY, noData,
+          bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
+          rowsPerStrip = rps, stripOffsets = offsets)
+      }
     } finally raf.close()
   }
 }

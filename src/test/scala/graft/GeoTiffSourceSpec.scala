@@ -142,6 +142,74 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(Raster.raster2df(spark, Seq(p)).count() == 4 * 3)
   }
 
+  test("BigTIFF: tag scanner reads magic-43 layout") {
+    val p = TiffFixtures.writeBigTiff(s"$tmp/big43.tif", 10, 8,
+      (c, r) => if ((r + c) % 7 == 0) -9999.0 else r * 100.0 + c,
+      10.0, 50.0, 0.5, Some("-9999"), rowsPerStrip = 3)
+    val m = graft.sources.tiff.TiffTags.read(p)
+    assert(m.bigTiff && m.littleEndian)
+    assert(m.width == 10 && m.height == 8)
+    assert(m.sampleFormat == 3 && m.bitsPerSample == 32)
+    assert(m.originX == 10.0 && m.originY == 50.0)
+    assert(m.noData.contains(-9999.0))
+    assert(m.rowsPerStrip == 3 && m.stripOffsets.length == 3)
+  }
+
+  test("BigTIFF reads identically to the classic TIFF of the same grid") {
+    // same defining function as the classic f32 fixture; multi-strip layout
+    val p = TiffFixtures.writeBigTiff(s"$tmp/big43b.tif", 10, 8,
+      (c, r) => if ((r + c) % 7 == 0) -9999.0 else r * 100.0 + c,
+      10.0, 50.0, 0.5, Some("-9999"), rowsPerStrip = 3)
+    val classic = Raster.raster2df(spark, Seq(f32))
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val big = Raster.raster2df(spark, Seq(p))
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(big.nonEmpty && big.sameElements(classic))
+  }
+
+  test("BigTIFF multi-window read equals single-window read") {
+    val p = TiffFixtures.writeBigTiff(s"$tmp/big43c.tif", 300, 200,
+      (c, r) => if ((c * 31 + r * 17) % 11 == 0) -1.0 else ((c * 7 + r * 3) % 1000).toDouble,
+      -180.0, 90.0, 1.0, Some("-1"), rowsPerStrip = 16)
+    val one = Raster.raster2df(spark, Seq(p), maxBlockSize = 4096)
+    val many = Raster.raster2df(spark, Seq(p), maxBlockSize = 128)
+    assert(many.rdd.getNumPartitions > 1)
+    val d1 = one.orderBy("lat", "lon").collect().map(_.toSeq)
+    val d2 = many.orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(d1.nonEmpty && d1.sameElements(d2))
+  }
+
+  test("BigTIFF zips positionally with a classic raster on the same grid") {
+    val p = TiffFixtures.writeBigTiff(s"$tmp/big43d.tif", 10, 8,
+      (c, r) => c * 10.0 + r, 10.0, 50.0, 0.5, None)
+    val df = Raster.raster2df(spark, Seq(f32, p), colNames = Seq("a", "b"))
+    val r17 = df.filter(col("a") === 701.0f).collect()(0)
+    assert(r17.getFloat(3) == 17.0f) // BigTIFF value at (c=1, r=7)
+  }
+
+  test("compressed BigTIFF is rejected with a typed error") {
+    // flip the compression tag of a valid fixture to 5 (LZW)
+    val src = TiffFixtures.writeBigTiff(s"$tmp/big43e.tif", 4, 4,
+      (c, r) => 1.0, 0.0, 10.0, 0.5, None)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
+    // IFD offset is at header bytes 8..15 (LE)
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getLong(8)
+    val n = bb.getLong(ifd.toInt)
+    var found = false
+    for (i <- 0 until n.toInt) {
+      val off = ifd.toInt + 8 + i * 20
+      if ((bb.getShort(off) & 0xffff) == 259) { bb.putShort(off + 12, 5); found = true }
+    }
+    assert(found)
+    val bad = s"$tmp/big43e_lzw.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), bytes)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.tiff.TiffTags.read(bad)
+    }
+    assert(e.getMessage.contains("compression"))
+  }
+
   test("csv sink writes header and separator variants") {
     val out = s"$tmp/out_csv"
     Raster.raster2csv(spark, Seq(f32), out, separator = "t", singleFile = true)

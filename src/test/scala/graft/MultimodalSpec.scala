@@ -42,6 +42,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("ImageIoCodec decodes real PNG bytes through the same plumbing") {
+    import graft.multimodal.MediaRow
+    // generate deterministic PNGs in-memory: doc i is (8+i)x(5+i), all
+    // pixels gray level g = 40*i
+    def png(i: Int): Array[Byte] = {
+      val w = 8 + i; val h = 5 + i; val g = 40 * i
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (g << 16) | (g << 8) | g
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = (0 until 4).map(i =>
+      MediaRow(i.toLong, s"mem://png/$i.png", png(i), Map("format" -> "png"))).toDS()
+    val decoded = Multimodal.decode(rows.repartition(2), Multimodal.ImageIoCodec)
+    assert(decoded.rdd.getNumPartitions == 2) // partition-preserving
+    val d = decoded.collect().sortBy(_.doc_id)
+    assert(d.length == 4)
+    d.foreach { m =>
+      val i = m.doc_id.toInt
+      assert(m.width == 8 + i && m.height == 5 + i && m.n_frames == 1)
+      // uniform gray image: mean over RGB components == the gray level
+      assert(math.abs(m.mean_byte - 40 * i) < 1e-9, s"doc $i mean ${m.mean_byte}")
+    }
+    // real resize plan over real decoded dims
+    val plan = Multimodal.resizePlan(decoded, maxSide = 6).collect()
+    assert(plan.forall(r => r.getAs[Int]("out_w") <= 6 && r.getAs[Int]("out_h") <= 6))
+  }
+
+  test("ImageIoCodec rejects undecodable bytes loudly") {
+    import graft.multimodal.MediaRow
+    val junk = Seq(MediaRow(1L, "u", Array[Byte](1, 2, 3, 4), Map.empty)).toDS()
+    val e = intercept[Exception] {
+      Multimodal.decode(junk, Multimodal.ImageIoCodec).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("not a decodable image")))
+  }
+
   test("resize plan caps the longest side") {
     val decoded = Multimodal.decode(Multimodal.toMediaRows(Multimodal.mediaFromDocuments(docs)))
     val plan = Multimodal.resizePlan(decoded, maxSide = 64).collect()

@@ -91,4 +91,88 @@ object TiffFixtures {
     }
     path
   }
+
+  /** Hand-written little-endian BigTIFF (magic 43, 8-byte offsets): f32
+    * samples, uncompressed strips, same GeoTIFF tags as [[write]]. ImageIO's
+    * TIFF writer cannot emit BigTIFF, so the byte layout is assembled
+    * directly — which doubles as documentation of what TiffTags must parse.
+    * `rowsPerStrip <= 0` means one strip for the whole image.
+    */
+  def writeBigTiff(
+      path: String,
+      width: Int,
+      height: Int,
+      value: (Int, Int) => Double,
+      originX: Double,
+      originY: Double,
+      pixelSize: Double,
+      noData: Option[String],
+      rowsPerStrip: Int = 0): String = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
+    val nStrips = (height + rps - 1) / rps
+    val pixOff = 16L
+    val pixBytes = width.toLong * height * 4
+    val stripOff = Array.tabulate(nStrips)(s => pixOff + s.toLong * rps * width * 4)
+    val stripCnt = Array.tabulate(nStrips) { s =>
+      math.min(rps, height - s * rps).toLong * width * 4
+    }
+    var cur = pixOff + pixBytes
+    val scaleOff = cur; cur += 24
+    val tieOff = cur; cur += 48
+    val soOff = cur; if (nStrips > 1) cur += nStrips * 8L
+    val scOff = cur; if (nStrips > 1) cur += nStrips * 8L
+    val ndBytes = noData.map(s => s.getBytes("US-ASCII") :+ 0.toByte)
+    val ndOff = cur
+    ndBytes.foreach { b => if (b.length > 8) cur += b.length }
+    val ifdOff = cur
+    val nTags = 11 + (if (ndBytes.isDefined) 1 else 0)
+    val total = (ifdOff + 8 + nTags * 20 + 8).toInt
+    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    // header: II, 43, offset-size 8, pad 0, IFD offset
+    buf.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0).putLong(ifdOff)
+    for (r <- 0 until height; c <- 0 until width)
+      buf.putFloat((pixOff + (r.toLong * width + c) * 4).toInt, value(c, r).toFloat)
+    buf.position(scaleOff.toInt)
+    buf.putDouble(pixelSize).putDouble(pixelSize).putDouble(0.0)
+    buf.position(tieOff.toInt)
+    Seq(0.0, 0.0, 0.0, originX, originY, 0.0).foreach(buf.putDouble)
+    if (nStrips > 1) {
+      buf.position(soOff.toInt); stripOff.foreach(buf.putLong)
+      buf.position(scOff.toInt); stripCnt.foreach(buf.putLong)
+    }
+    ndBytes.foreach { b => if (b.length > 8) { buf.position(ndOff.toInt); buf.put(b) } }
+    buf.position(ifdOff.toInt)
+    buf.putLong(nTags.toLong)
+    // entries must be ascending by tag; value field is 8 bytes, values
+    // smaller than 8 bytes sit left-justified (low bytes in LE)
+    def entry(tag: Int, tpe: Int, count: Long)(writeVal: ByteBuffer => Unit): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putLong(count)
+      val pos = buf.position()
+      writeVal(buf)
+      buf.position(pos + 8)
+    }
+    entry(256, 4, 1)(_.putInt(width))              // ImageWidth
+    entry(257, 4, 1)(_.putInt(height))             // ImageLength
+    entry(258, 3, 1)(_.putShort(32))               // BitsPerSample
+    entry(259, 3, 1)(_.putShort(1))                // Compression = none
+    entry(273, 16, nStrips.toLong)(b =>            // StripOffsets (LONG8)
+      if (nStrips == 1) b.putLong(stripOff(0)) else b.putLong(soOff))
+    entry(277, 3, 1)(_.putShort(1))                // SamplesPerPixel
+    entry(278, 4, 1)(_.putInt(rps))                // RowsPerStrip
+    entry(279, 16, nStrips.toLong)(b =>            // StripByteCounts (LONG8)
+      if (nStrips == 1) b.putLong(stripCnt(0)) else b.putLong(scOff))
+    entry(339, 3, 1)(_.putShort(3))                // SampleFormat = float
+    entry(33550, 12, 3)(_.putLong(scaleOff))       // ModelPixelScale
+    entry(33922, 12, 6)(_.putLong(tieOff))         // ModelTiepoint
+    ndBytes.foreach { b =>
+      entry(42113, 2, b.length.toLong)(bb =>       // GDAL_NODATA
+        if (b.length <= 8) bb.put(b) else bb.putLong(ndOff))
+    }
+    buf.putLong(0L) // next-IFD terminator
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, buf.array())
+    path
+  }
 }
