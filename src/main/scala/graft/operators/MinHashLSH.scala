@@ -28,33 +28,36 @@ final case class MinHashLSH(
   require(numHashes % numBands == 0, "numBands must divide numHashes")
   val rowsPerBand: Int = numHashes / numBands
 
-  /** Per-function shingle hash. Default is Spark's native xxhash64 (seeded
-    * by the function index — codegen'd, no string building, the scale
-    * path). `oracleParityHash=true` switches to the md5-hex h60 that DuckDB
-    * can reproduce, for the hash-checked bounded form (queries.Dedup q30).
-    */
-  private def shingleHash(j: Column, s: Column): Column =
-    if (oracleParityHash) TextHash.h60(concat(j.cast("string"), lit(":"), s))
-    else call_function("xxhash64", j, s)
-
   def shingles(text: Column): Column = TextHash.wordShingles(text, shingleSize)
 
-  /** k-value MinHash signature: element j = min over shingles of
-    * h60(j + ":" + shingle). Seeding the hash with the function index keeps
-    * the k functions independent while staying oracle-reproducible.
-    *
-    * Written as ONE aggregate pass over the shingle array carrying a
-    * k-element minimum accumulator — the `transform(hashIdx, j =>
+  /** k-value MinHash signature as ONE aggregate pass over the shingle array
+    * carrying a k-element minimum accumulator — the `transform(hashIdx, j =>
     * array_min(transform(shingles, ...)))` formulation re-evaluates the
     * shingle expression k times per row (Catalyst does not CSE across
     * lambda bodies), which measured 60x slower at sf0.1.
+    *
+    * Scale path: each shingle string is hashed ONCE (xxhash64 over the
+    * string), and the k values derive from re-hashing that 8-byte value
+    * seeded by the function index — k fixed-width long hashes per shingle
+    * instead of k variable-length string hashes. (A multiply-add family
+    * would be cheaper still, but ANSI mode makes wrapping `*` throw.)
+    * `oracleParityHash=true` switches to the md5-hex h60(j + ":" + shingle)
+    * per function that DuckDB can reproduce, for the hash-checked bounded
+    * form (queries.Dedup q30).
     */
   def signature(text: Column): Column =
-    aggregate(
-      shingles(text),
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-        (m, j) => least(m, shingleHash(j, s))))
+    if (oracleParityHash)
+      aggregate(
+        shingles(text),
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+          (m, j) => least(m, TextHash.h60(concat(j.cast("string"), lit(":"), s)))))
+    else
+      aggregate(
+        transform(shingles(text), s => call_function("xxhash64", s)),
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+          (m, j) => least(m, call_function("xxhash64", j, h))))
 
   /** Bucket keys that contentless documents land in and must never join:
     * the band hashes of the empty-shingle-set signature (all Long.MaxValue),
@@ -73,12 +76,21 @@ final case class MinHashLSH(
     } :+ md5hex("")
   }
 
-  /** One md5 bucket key per band over the signature slice. */
+  /** One md5 bucket key per band over the signature slice. NOTE: only apply
+    * this to a signature that is already a materialized ATTRIBUTE — handing
+    * it `signature(...)` directly re-evaluates the whole signature once per
+    * band (Catalyst does not CSE into lambda bodies); candidatePairs uses
+    * the explode-then-[[bandHash]] form for exactly that reason.
+    */
   def bandHashes(sig: Column): Column =
     transform(sequence(lit(0), lit(numBands - 1)),
-      b => md5(concat_ws(",",
-        transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
-          x => x.cast("string")))))
+      b => bandHash(sig, b))
+
+  /** md5 bucket key of 0-based band `b` of a signature. */
+  def bandHash(sig: Column, b: Column): Column =
+    md5(concat_ws(",",
+      transform(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)),
+        x => x.cast("string"))))
 
   /** Distinct candidate pairs (idA < idB) sharing at least one band bucket.
     *
@@ -101,9 +113,15 @@ final case class MinHashLSH(
     // fold's initial accumulator signature and would bucket together; their
     // band hashes are the CONSTANTS below, so excluding them costs one
     // not-in filter instead of re-evaluating the shingle expression per row.
+    // The signature is materialized as an attribute BELOW the Generate and
+    // the per-band md5 computes above it — the single-projection
+    // posexplode(bandHashes(signature(...))) form evaluated the signature
+    // once PER BAND (3x the dominant cost; lambdas defeat CSE).
     val exploded = df
-      .select(col(idCol).as("id"),
-        posexplode(bandHashes(signature(col(textCol)))).as(Seq("band", "bh")))
+      .select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
+      .select(col("id"), col("sig"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .select(col("id"), col("band"), bandHash(col("sig"), col("band")).as("bh"))
       .filter(!col("bh").isin(emptySignatureBandHashes: _*))
     val bounded =
       if (maxBucket <= 0) exploded
