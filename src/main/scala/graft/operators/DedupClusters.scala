@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Duplicate-cluster formation: connected components over a near-dup pair
+  * list — the final stage of a corpus dedup pipeline (pairs → clusters →
+  * one canonical representative per cluster).
+  *
+  * Algorithm: alternating min-label hook + two pointer-doubling compress
+  * steps per round (the MapReduce hash-min family). Each round:
+  *   - hook:     label(v) := min(label(v), min over neighbors' labels)
+  *   - compress: label(v) := label(label(v)), twice
+  * Hooking alone needs O(diameter) rounds on path-shaped components; the
+  * doubling compresses label chains so `rounds` R converges far beyond
+  * diameter R (property-tested on a 64-node path at the default R = 6).
+  *
+  * Scale posture: every step is a key-equality shuffle on node id. Each
+  * round is materialized with an EAGER localCheckpoint — iterative graph
+  * algorithms must truncate lineage every round, because each round
+  * references its predecessor several times and the composed LOGICAL plan
+  * (not just the physical recompute) grows exponentially with the round
+  * count; plain persist() does not help, since the analyzed tree keeps the
+  * full lineage. This is the same checkpoint-per-iteration discipline
+  * GraphX uses. Early exit when a round changes no labels.
+  *
+  * Storage lifecycle: each round's checkpoint blocks are released by
+  * Spark's ContextCleaner as soon as the round's frame becomes
+  * unreachable; the returned frame's blocks live until the caller drops
+  * the reference (or the session ends). Nothing needs manual unpersist.
+  *
+  * Components are identified by their MINIMUM member id — deterministic, so
+  * the result is oracle-checkable against a DuckDB recursive CTE (q55).
+  */
+object DedupClusters {
+
+  /** (id, label) for every node appearing in `pairs`; label = component id
+    * (the component's minimum node id once converged). `pairs` must have
+    * two columns (id_a, id_b); nodes not in any pair are absent (callers
+    * left-join and coalesce to give singletons their own id).
+    */
+  def connectedComponents(pairs: DataFrame, rounds: Int = 6): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var r = 0
+    var converged = labels.isEmpty
+    while (r < rounds && !converged) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("label")).as("nmin"))
+      val hooked = labels
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      val next = compress(compress(hooked)).localCheckpoint(true) // eager
+      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
+        .filter(col("label") =!= col("prev")).limit(1).count()
+      labels = next
+      converged = changed == 0L
+      r += 1
+    }
+    labels
+  }
+
+  /** label(v) := label(label(v)) — every label value is itself a node id,
+    * so the lookup join is total.
+    */
+  private def compress(labels: DataFrame): DataFrame =
+    labels.as("a")
+      .join(labels.select(col("id").as("lid"), col("label").as("llabel")).as("b"),
+        col("a.label") === col("b.lid"))
+      .select(col("a.id").as("id"), col("b.llabel").as("label"))
+
+  /** Assign every row of `df` its duplicate-cluster id and size: rows whose
+    * `idCol` appears in `pairs` get their component's min id; singletons
+    * keep their own id with size 1. The canonical "keep one per cluster"
+    * step is then `filter(col(idCol) === col("cluster_id"))`.
+    */
+  def clusterAssignments(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      rounds: Int = 6): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cc = connectedComponents(pairs, rounds)
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+  }
+}

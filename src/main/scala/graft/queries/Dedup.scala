@@ -267,7 +267,62 @@ object Dedup {
       |WHERE a.doc_id < 40 AND b.doc_id < 40
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** B20 capstone — duplicate-cluster formation: SimHash near-dup pairs
+    * (Hamming <= 2, bounded corpus) → connected components → every doc
+    * labeled with its cluster's min doc_id and the cluster size. The oracle
+    * computes the same components with a recursive CTE; the Spark side is
+    * the iterative hash-min operator (operators.DedupClusters) that runs
+    * unbounded in q56.
+    */
+  private def q55(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+    val sh = docs.select(col("doc_id"), SimHash.simhashOfText(col("text")).as("simhash"))
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(SimHash.hamming(col("h_a"), col("h_b")) <= 2)
+      .select("id_a", "id_b")
+    graft.operators.DedupClusters.clusterAssignments(docs, "doc_id", pairs)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q55Sql =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents WHERE doc_id < 150
+      |), th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+      |), bitsum AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+      |  FROM th, range(0, 32) r(b) GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+      |  FROM bitsum GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+      |), comp AS (
+      |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+      |)
+      |SELECT d.doc_id,
+      |  COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+      |  COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)) AS cluster_size
+      |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      |WHERE d.doc_id < 150
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),
     QueryDef("q30_minhash_lsh", q30, Some(q30Sql)),
     QueryDef("q31_simhash_neardup", q31, Some(q31Sql)),
     QueryDef("q32_ngram_jaccard", q32, Some(q32Sql)),

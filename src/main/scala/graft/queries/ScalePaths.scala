@@ -55,9 +55,25 @@ object ScalePaths {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Full-corpus dedup composition: banded SimHash candidate pairs →
+    * connected components → cluster assignment, keeping only docs in
+    * multi-member clusters. q55 is the bounded oracle twin of the same
+    * operator chain.
+    */
+  private def q56(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = SimHash.candidatePairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 3, maxBucket = 50)
+      .select("id_a", "id_b")
+    graft.operators.DedupClusters.clusterAssignments(docs, "doc_id", pairs)
+      .filter(col("cluster_size") > 1)
+      .orderBy(col("cluster_id"), col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q44_minhash_lsh_full", q44, None),
     QueryDef("q45_ann_lsh", q45, None),
     QueryDef("q46_ann_ivf", q46, None),
-    QueryDef("q54_simhash_banded_full", q54, None))
+    QueryDef("q54_simhash_banded_full", q54, None),
+    QueryDef("q56_dedup_clusters_full", q56, None))
 }

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.DedupClusters
+import org.apache.spark.sql.functions._
+
+class DedupClustersSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver-side union-find oracle: min id per component. */
+  private def ufOracle(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  private def ccOf(pairs: Seq[(Long, Long)], rounds: Int = 6): Map[Long, Long] =
+    DedupClusters.connectedComponents(pairs.toDF("id_a", "id_b"), rounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("cliques, chains, and singleton separation match union-find") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (1L, 3L), // clique {1,2,3}
+      (10L, 11L), (11L, 12L),       // chain {10,11,12}
+      (20L, 21L))                   // pair {20,21}
+    assert(ccOf(pairs) == ufOracle(pairs))
+    val cc = ccOf(pairs)
+    assert(cc(3L) == 1L && cc(12L) == 10L && cc(21L) == 20L)
+  }
+
+  test("64-node path converges within the default rounds") {
+    // worst-case diameter shape for min-label propagation; the doubling
+    // compress must carry the min across 63 hops in 6 rounds
+    val pairs = (1L until 64L).map(i => (i, i + 1))
+    assert(ccOf(pairs) == ufOracle(pairs))
+    assert(ccOf(pairs).values.toSet == Set(1L))
+  }
+
+  test("random graph matches union-find") {
+    val rnd = new scala.util.Random(7)
+    val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    assert(ccOf(pairs) == ufOracle(pairs))
+  }
+
+  test("empty pair set yields empty components") {
+    assert(ccOf(Seq.empty).isEmpty)
+  }
+
+  test("clusterAssignments gives singletons their own id and size 1") {
+    val docs = (1L to 8L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val got = DedupClusters.clusterAssignments(docs, "doc_id", pairs)
+      .select("doc_id", "cluster_id", "cluster_size")
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L), (4L, 4L, 1L),
+      (5L, 5L, 2L), (6L, 5L, 2L), (7L, 7L, 1L), (8L, 8L, 1L)))
+  }
+
+  test("keep-one-per-cluster representative filter") {
+    val docs = (1L to 6L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = DedupClusters.clusterAssignments(docs, "doc_id", pairs)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L, 6L))
+  }
+
+  test("plan stays bounded: the result is a checkpointed leaf, not a composed tree") {
+    // the operator must truncate lineage each round — a composed plan over
+    // R rounds is exponential in R and hangs Catalyst long before R = 6
+    val pairs = (1L until 32L).map(i => (i, i + 1))
+    val cc = DedupClusters.connectedComponents(pairs.toDF("id_a", "id_b"))
+    assert(cc.queryExecution.analyzed.collectLeaves().size == 1)
+    assert(cc.queryExecution.analyzed.toString.linesIterator.size < 10)
+  }
+}
