@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data-pipeline operators over `documents` (north star: dedup,
@@ -176,10 +177,92 @@ object TextPipeline {
       |WHERE rn <= 3
       |ORDER BY doc_id, rn""".stripMargin
 
+  /** B29 — document chunking with overlap, the LLM context-window prep op:
+    * 50-token chunks on a 40-token stride (10-token overlap), one output
+    * row per chunk. Pure explode over a sequence of chunk starts — no
+    * shuffle until the final deterministic ORDER BY; the token array is an
+    * attribute below the Generate so it tokenizes once per doc.
+    */
+  private def q57(s: SparkSession, dir: String): DataFrame = {
+    val chunk = 50
+    val stride = 40
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).as("n"))
+      .select(col("doc_id"), col("toks"), col("n"),
+        posexplode(sequence(lit(1), greatest(col("n"), lit(1)), lit(stride)))
+          .as(Seq("chunk_idx", "start")))
+      .select(
+        col("doc_id"),
+        col("chunk_idx"),
+        least(lit(chunk), col("n") - col("start") + 1).as("chunk_tokens"),
+        element_at(col("toks"), col("start")).as("first_tok"),
+        element_at(col("toks"), least(col("n"), col("start") + chunk - 1)).as("last_tok"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val q57Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS n
+      |  FROM documents
+      |)
+      |SELECT doc_id,
+      |  CAST(FLOOR((start - 1) / 40.0) AS INT) AS chunk_idx,
+      |  CAST(LEAST(50, n - start + 1) AS INT) AS chunk_tokens,
+      |  toks[start] AS first_tok,
+      |  toks[LEAST(n, start + 49)] AS last_tok
+      |FROM t, UNNEST(generate_series(1, GREATEST(n, 1), 40)) AS u(start)
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** B29 — deterministic sequence packing: docs are packed contiguously
+    * (by doc_id) into 2048-token bins WITHIN each source shard — each doc's
+    * bin is floor(tokens-before-it / capacity). Per-shard packing keeps the
+    * running sum a partitioned window (the global-cumsum variant would be a
+    * single-partition scale-killer); real pipelines pack per input shard
+    * for exactly the same reason.
+    */
+  private def q58(s: SparkSession, dir: String): DataFrame = {
+    val capacity = 2048
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).as("n_tokens"))
+      .withColumn("cum_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("source"),
+        floor(col("cum_before") / capacity.toDouble).cast("int").as("bin"),
+        col("n_tokens"))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  private val q58Sql =
+    """SELECT source, bin, COUNT(*) AS n_docs,
+      |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM (
+      |  SELECT source,
+      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
+      |      / 2048.0) AS INT) AS bin,
+      |    n_tokens
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+      |    FROM documents
+      |  ) t
+      |) b
+      |GROUP BY source, bin
+      |ORDER BY source, bin""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q26_token_stats", q26, Some(q26Sql)),
     QueryDef("q27_quality_score", q27, Some(q27Sql)),
     QueryDef("q28_dedup_exact_docs", q28, Some(q28Sql)),
     QueryDef("q29_word_jaccard", q29, Some(q29Sql)),
-    QueryDef("q40_tfidf", q40, Some(q40Sql)))
+    QueryDef("q40_tfidf", q40, Some(q40Sql)),
+    QueryDef("q57_chunking", q57, Some(q57Sql)),
+    QueryDef("q58_sequence_packing", q58, Some(q58Sql)))
 }
