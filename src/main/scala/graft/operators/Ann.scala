@@ -217,12 +217,63 @@ object Ann {
       nCells: Int = 16,
       nprobe: Int = 4,
       trained: Boolean = true): DataFrame = {
-    import spark.implicits._
     val cents =
       if (trained) ivfCentroidsKMeans(corpus, nCells)
       else ivfCentroids(corpus, nCells)
     // assignments are consumed exactly once by the candidate join — no cache
-    val assigned = ivfAssign(corpus, cents)
+    ivfSearch(spark, corpus, ivfAssign(corpus, cents), cents, queryIds, k, nprobe)
+  }
+
+  /** Persist an IVF index (centroids + per-vector cell assignments) as
+    * parquet — the build-once / search-many lifecycle: at corpus scale the
+    * assignment pass is the expensive step, so it runs once and every
+    * later query reads the (cell-keyed, partition-prunable) assignment
+    * table instead of re-quantizing the corpus.
+    */
+  def buildIvfIndex(
+      corpus: Dataset[Vec],
+      path: String,
+      nCells: Int = 16,
+      trained: Boolean = true): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents =
+      if (trained) ivfCentroidsKMeans(corpus, nCells)
+      else ivfCentroids(corpus, nCells)
+    spark.createDataset(cents.toIndexedSeq)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(corpus, cents)
+      .write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  /** Search against a persisted index from [[buildIvfIndex]]: loads the
+    * (small, ≤nCells) centroid set to the driver and streams the
+    * assignment table — the corpus itself is only touched to fetch
+    * candidate and query embeddings.
+    */
+  def ivfTopKIndexed(
+      spark: SparkSession,
+      corpus: Dataset[Vec],
+      indexPath: String,
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = spark.read.parquet(s"$indexPath/centroids").as[Vec]
+      .collect().sortBy(_.id)
+    val assigned = spark.read.parquet(s"$indexPath/assignments")
+    ivfSearch(spark, corpus, assigned, cents, queryIds, k, nprobe)
+  }
+
+  private def ivfSearch(
+      spark: SparkSession,
+      corpus: Dataset[Vec],
+      assigned: DataFrame,
+      cents: Array[Vec],
+      queryIds: Seq[Long],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    import spark.implicits._
     val bc = spark.sparkContext.broadcast(cents)
     val qCells = corpus.filter(col("id").isin(queryIds: _*)).as[Vec]
       .flatMap { q => nearestCells(q.embedding, bc.value, nprobe).map(c => (q.id, c)) }

@@ -108,8 +108,59 @@ object Media {
       |GROUP BY 1, 2
       |ORDER BY label, pos""".stripMargin
 
+  /** B21/B22 — int8 scalar quantization of embeddings (the storage-
+    * compression step before large-scale ANN): per-vector symmetric scale
+    * = max|x|/127, quantized code = floor(x/scale + 0.5) — the floor form
+    * because Spark's round() is HALF_UP while DuckDB's is half-even on
+    * doubles, so an exact .5 boundary would hash-mismatch. All per-row
+    * higher-order expressions.
+    */
+  private def q59(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val absMax = aggregate(e, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), e, absMax.as("abs_max"))
+      .select(col("vec_id"), col("embedding"),
+        (col("abs_max") / 127.0).as("scale"))
+      .select(
+        col("vec_id"),
+        round(col("scale"), 6).as("scale_r"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") / col("scale") + 0.5).cast("int")).as("codes"))
+      .select(
+        col("vec_id"),
+        col("scale_r"),
+        element_at(col("codes"), 1).as("first_code"),
+        array_max(col("codes")).as("max_code"),
+        array_min(col("codes")).as("min_code"),
+        aggregate(col("codes"), lit(0L), (acc, c) => acc + abs(c)).as("l1_codes"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q59Sql =
+    """WITH q AS (
+      |  SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+      |    embedding
+      |  FROM embeddings
+      |), c AS (
+      |  SELECT vec_id, scale,
+      |    list_transform(embedding,
+      |      x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS INT)) AS codes
+      |  FROM q
+      |)
+      |SELECT vec_id,
+      |  ROUND(scale, 6) AS scale_r,
+      |  codes[1] AS first_code,
+      |  list_max(codes) AS max_code,
+      |  list_min(codes) AS min_code,
+      |  CAST(list_sum(list_transform(codes, c -> abs(c))) AS BIGINT) AS l1_codes
+      |FROM c
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_media", q38, Some(q38Sql)),
     QueryDef("q39_ann_bruteforce", q39, Some(q39Sql)),
-    QueryDef("q41_vector_stats", q41, Some(q41Sql)))
+    QueryDef("q41_vector_stats", q41, Some(q41Sql)),
+    QueryDef("q59_embedding_quantize", q59, Some(q59Sql)))
 }

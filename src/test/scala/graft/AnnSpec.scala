@@ -91,6 +91,19 @@ class AnnSpec extends SparkSpec {
     assert(meanRecall > 0.35, s"mean recall $meanRecall (per-query: $recalls)")
   }
 
+  test("persisted IVF index: indexed search == direct search") {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft-ivf-index"
+    Ann.buildIvfIndex(corpus, path, nCells = 16)
+    val direct = Ann.ivfTopK(spark, corpus, Seq(1L, 2L, 3L), k = 10, nCells = 16, nprobe = 4)
+      .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val indexed = Ann.ivfTopKIndexed(spark, corpus, path, Seq(1L, 2L, 3L), k = 10, nprobe = 4)
+      .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(indexed == direct)
+    assert(indexed.nonEmpty)
+    // the persisted centroid set is bounded and typed
+    assert(spark.read.parquet(s"$path/centroids").count() <= 16)
+  }
+
   test("ann operators leave no cached RDDs behind (round-1 leak)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Ann.lshTopK(spark, corpus, Seq(1L, 2L), k = 5).collect()
