@@ -24,7 +24,8 @@ object Raster {
       rasters: Seq[String],
       colNames: Seq[String] = Nil,
       maxBlockSize: Int = 4096,
-      calcArea: Boolean = false): DataFrame = {
+      calcArea: Boolean = false,
+      bands: Seq[Int] = Nil): DataFrame = {
     require(rasters.forall(!_.contains(",")),
       s"raster paths must not contain ',': ${rasters.filter(_.contains(","))}")
     require(colNames.forall(!_.contains(",")),
@@ -34,6 +35,10 @@ object Raster {
       .option("maxBlockSize", maxBlockSize)
       .option("calcArea", calcArea)
     if (colNames.nonEmpty) reader = reader.option("colNames", colNames.mkString(","))
+    // 1-based band per raster (read N bands of one file by repeating its
+    // path with different band indices); default = band 1, the reference's
+    // behavior
+    if (bands.nonEmpty) reader = reader.option("bands", bands.mkString(","))
     reader.load()
   }
 
@@ -49,15 +54,16 @@ object Raster {
       colNames: Seq[String] = Nil,
       maxBlockSize: Int = 4096,
       calcArea: Boolean = false,
-      singleFile: Boolean = false): Unit = {
+      singleFile: Boolean = false,
+      bands: Seq[Int] = Nil): Unit = {
     val sep = if (separator == "t") "\t" else separator
-    val df = raster2df(spark, rasters, colNames, maxBlockSize, calcArea)
+    val df = raster2df(spark, rasters, colNames, maxBlockSize, calcArea, bands)
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite").option("sep", sep).option("header", true).csv(output)
   }
 
   /** CLI: raster2csv INPUT... OUTPUT [--col_names a,b] [--separator ,|;|t]
-    * [--max_block_size N] [--calc_area]
+    * [--max_block_size N] [--calc_area] [--bands 1,2,...]
     */
   def main(args: Array[String]): Unit = {
     val positional = scala.collection.mutable.ArrayBuffer[String]()
@@ -65,6 +71,7 @@ object Raster {
     var separator = ","
     var maxBlock = 4096
     var calcArea = false
+    var bands: Seq[Int] = Nil
     var i = 0
     def flagValue(name: String): String = {
       require(i + 1 < args.length, s"$name requires a value")
@@ -76,6 +83,7 @@ object Raster {
         case "--separator" => separator = flagValue("--separator"); i += 2
         case "--max_block_size" => maxBlock = flagValue("--max_block_size").toInt; i += 2
         case "--calc_area" => calcArea = true; i += 1
+        case "--bands" => bands = flagValue("--bands").split(',').toSeq.map(_.trim.toInt); i += 2
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $f")
         case p => positional += p; i += 1
@@ -90,7 +98,8 @@ object Raster {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try raster2csv(spark, inputs, output, separator, colNames, maxBlock, calcArea)
+    try raster2csv(spark, inputs, output, separator, colNames, maxBlock, calcArea,
+      singleFile = false, bands = bands)
     finally spark.stop()
   }
 }

@@ -77,7 +77,15 @@ object GeoTiffTable {
     val maxBlock = Option(options.get("maxBlockSize")).map(_.toInt).getOrElse(4096)
     require(maxBlock > 0, s"maxBlockSize must be positive, got $maxBlock")
     val calcArea = Option(options.get("calcArea")).exists(_.toBoolean)
-    new GeoTiffTable(paths, colNames, maxBlock, calcArea)
+    // 1-based band per raster (GDAL convention); read N bands of one file
+    // by listing the same path N times with different band indices
+    val bands = Option(options.get("bands"))
+      .map(_.split(',').toSeq.map(_.trim.toInt))
+      .getOrElse(paths.map(_ => 1))
+    require(bands.size == paths.size,
+      s"bands has ${bands.size} entries for ${paths.size} rasters")
+    require(bands.forall(_ >= 1), s"band indices are 1-based, got $bands")
+    new GeoTiffTable(paths, colNames, maxBlock, calcArea, bands)
   }
 
   /** Smallest Spark type that holds the raster's sample type (Spark has no
@@ -102,7 +110,8 @@ class GeoTiffTable(
     paths: Seq[String],
     colNames: Seq[String],
     maxBlockSize: Int,
-    calcArea: Boolean)
+    calcArea: Boolean,
+    bands: Seq[Int])
   extends Table with SupportsRead {
 
   lazy val metas: Seq[TiffTags.RasterMeta] = {
@@ -111,6 +120,10 @@ class GeoTiffTable(
     ms.tail.foreach { m =>
       require(first.sameGrid(m),
         s"raster grid mismatch: ${first.path} vs ${m.path} (extent/resolution must be identical)")
+    }
+    ms.zip(bands).foreach { case (m, b) =>
+      require(b <= m.samplesPerPixel,
+        s"${m.path}: band $b requested but raster has ${m.samplesPerPixel} band(s)")
     }
     ms
   }
@@ -131,7 +144,7 @@ class GeoTiffTable(
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoTiffScanBuilder(metas, colNames, schema(), maxBlockSize, calcArea)
+    new GeoTiffScanBuilder(metas, colNames, schema(), maxBlockSize, calcArea, bands)
 }
 
 class GeoTiffScanBuilder(
@@ -139,7 +152,8 @@ class GeoTiffScanBuilder(
     colNames: Seq[String],
     fullSchema: StructType,
     maxBlockSize: Int,
-    calcArea: Boolean)
+    calcArea: Boolean,
+    bands: Seq[Int])
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private var required: StructType = fullSchema
@@ -175,7 +189,7 @@ class GeoTiffScanBuilder(
   override def pushedFilters(): Array[Filter] = pushed
 
   override def build(): Scan =
-    new GeoTiffScan(metas, colNames, required, maxBlockSize, calcArea,
+    new GeoTiffScan(metas, colNames, required, maxBlockSize, calcArea, bands,
       lonMin, lonMax, latMin, latMax)
 }
 
@@ -190,6 +204,7 @@ class GeoTiffScan(
     required: StructType,
     maxBlockSize: Int,
     calcArea: Boolean,
+    bands: Seq[Int],
     lonMin: Double, lonMax: Double, latMin: Double, latMax: Double)
   extends Scan with Batch with Serializable {
 
@@ -225,18 +240,19 @@ class GeoTiffScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoTiffReaderFactory(metas.toArray, colNames.toArray, required, calcArea)
+    new GeoTiffReaderFactory(metas.toArray, colNames.toArray, required, calcArea, bands.toArray)
 }
 
 class GeoTiffReaderFactory(
     metas: Array[TiffTags.RasterMeta],
     colNames: Array[String],
     required: StructType,
-    calcArea: Boolean)
+    calcArea: Boolean,
+    bands: Array[Int])
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoTiffPartitionReader(metas, colNames, required,
-      partition.asInstanceOf[GeoTiffPartition].window, calcArea)
+      partition.asInstanceOf[GeoTiffPartition].window, calcArea, bands)
 }
 
 /** Uniform window-of-pixels accessor: (x, y) are WINDOW-relative. Two
@@ -250,10 +266,10 @@ private[tiff] trait PixelGrid {
   def getSampleDouble(x: Int, y: Int): Double
 }
 
-private[tiff] final class AwtPixelGrid(r: java.awt.image.Raster) extends PixelGrid {
-  def getSample(x: Int, y: Int): Int = r.getSample(x, y, 0)
-  def getSampleFloat(x: Int, y: Int): Float = r.getSampleFloat(x, y, 0)
-  def getSampleDouble(x: Int, y: Int): Double = r.getSampleDouble(x, y, 0)
+private[tiff] final class AwtPixelGrid(r: java.awt.image.Raster, band: Int = 0) extends PixelGrid {
+  def getSample(x: Int, y: Int): Int = r.getSample(x, y, band)
+  def getSampleFloat(x: Int, y: Int): Float = r.getSampleFloat(x, y, band)
+  def getSampleDouble(x: Int, y: Int): Double = r.getSampleDouble(x, y, band)
 }
 
 /** Raw uncompressed-strip window reader for BigTIFF: seeks each window row
@@ -325,7 +341,8 @@ class GeoTiffPartitionReader(
     colNames: Array[String],
     required: StructType,
     window: TiffWindow,
-    calcArea: Boolean)
+    calcArea: Boolean,
+    bands: Array[Int])
   extends PartitionReader[InternalRow] {
 
   private val m0 = metas(0)
@@ -339,6 +356,8 @@ class GeoTiffPartitionReader(
     val arr = new Array[PixelGrid](metas.length)
     valueIdx.foreach { i =>
       if (metas(i).bigTiff) {
+        require(bands(i) == 1,
+          s"${metas(i).path}: BigTIFF raw reader is single-band; band ${bands(i)} requested")
         arr(i) = new RawStripGrid(metas(i), window)
       } else {
         val reader = ImageIO.getImageReadersByFormatName("tiff").next()
@@ -347,7 +366,7 @@ class GeoTiffPartitionReader(
           reader.setInput(iis)
           val p = reader.getDefaultReadParam
           p.setSourceRegion(new Rectangle(window.colOff, window.rowOff, window.width, window.height))
-          arr(i) = new AwtPixelGrid(reader.read(0, p).getRaster)
+          arr(i) = new AwtPixelGrid(reader.read(0, p).getRaster, bands(i) - 1)
         } finally {
           reader.dispose()
           iis.close()

@@ -43,6 +43,7 @@ object TiffTags {
       originX: Double, // geo X of the raster's top-left corner
       originY: Double,
       noData: Option[Double],
+      samplesPerPixel: Int = 1,
       // BigTIFF raw-strip decode layout (empty for classic TIFF, where
       // ImageIO handles pixels); littleEndian rides along so executors can
       // decode without re-reading the header.
@@ -188,7 +189,8 @@ object TiffTags {
 
       if (!bigTiff) {
         RasterMeta(path, width, height, bps, sampleFormat,
-          scale(0), scale(1), originX, originY, noData)
+          scale(0), scale(1), originX, originY, noData,
+          samplesPerPixel = shortOrLong(277, 1))
       } else {
         // BigTIFF pixels are decoded by our own strip reader (ImageIO has no
         // BigTIFF support), which only handles the uncompressed single-band
@@ -207,6 +209,7 @@ object TiffTags {
           .getOrElse(height.toLong)
         RasterMeta(path, width, height, bps, sampleFormat,
           scale(0), scale(1), originX, originY, noData,
+          samplesPerPixel = 1,
           bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
           rowsPerStrip = rps, stripOffsets = offsets)
       }

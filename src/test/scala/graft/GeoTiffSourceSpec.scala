@@ -210,6 +210,39 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("compression"))
   }
 
+  test("multi-band: reading bands 1-3 of one RGB raster as three columns") {
+    val p = TiffFixtures.writeRGB(s"$tmp/rgb.tif", 10, 8,
+      (band, c, r) => band match {
+        case 1 => c * 10
+        case 2 => r * 20
+        case _ => c + r
+      },
+      10.0, 50.0, 0.5)
+    val m = graft.sources.tiff.TiffTags.read(p)
+    assert(m.samplesPerPixel == 3)
+    val df = Raster.raster2df(spark, Seq(p, p, p),
+      colNames = Seq("red", "green", "blue"), bands = Seq(1, 2, 3))
+    assert(df.columns.toSeq == Seq("lon", "lat", "red", "green", "blue"))
+    assert(df.count() == 80) // no nodata: all pixels emitted
+    // pixel (c=3, r=2): red 30, green 40, blue 5
+    val row = df.filter(col("red") === 30 && col("green") === 40).collect()
+    assert(row.exists(r => r.getShort(4) == 5))
+  }
+
+  test("multi-band: default band is 1 and out-of-range bands fail loudly") {
+    val p = s"$tmp/rgb.tif" // written by previous test
+    TiffFixtures.writeRGB(p, 10, 8, (b, c, r) => b * 10 + c, 10.0, 50.0, 0.5)
+    val red = Raster.raster2df(spark, Seq(p)).orderBy("lat", "lon")
+      .collect().map(_.getShort(2)).toSeq
+    val band1 = Raster.raster2df(spark, Seq(p), bands = Seq(1)).orderBy("lat", "lon")
+      .collect().map(_.getShort(2)).toSeq
+    assert(red == band1)
+    val e = intercept[Exception] {
+      Raster.raster2df(spark, Seq(p), bands = Seq(4)).collect()
+    }
+    assert(e.getMessage.contains("band 4 requested"))
+  }
+
   test("csv sink writes header and separator variants") {
     val out = s"$tmp/out_csv"
     Raster.raster2csv(spark, Seq(f32), out, separator = "t", singleFile = true)

@@ -92,6 +92,49 @@ object TiffFixtures {
     path
   }
 
+  /** 3-band RGB GeoTIFF (u8 per band) via ImageIO, with the same geo tags:
+    * band values come from `value(band, c, r)` with band 1..3 = R,G,B.
+    */
+  def writeRGB(
+      path: String,
+      width: Int,
+      height: Int,
+      value: (Int, Int, Int) => Int,
+      originX: Double,
+      originY: Double,
+      pixelSize: Double): String = {
+    val img = new BufferedImage(width, height, BufferedImage.TYPE_INT_RGB)
+    for (r <- 0 until height; c <- 0 until width) {
+      val rgb = ((value(1, c, r) & 0xff) << 16) |
+        ((value(2, c, r) & 0xff) << 8) | (value(3, c, r) & 0xff)
+      img.setRGB(c, r, rgb)
+    }
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    f.delete()
+    val ios = ImageIO.createImageOutputStream(f)
+    try {
+      writer.setOutput(ios)
+      val param = writer.getDefaultWriteParam
+      val meta = writer.getDefaultImageMetadata(ImageTypeSpecifier.createFromRenderedImage(img), param)
+      val dir = TIFFDirectory.createFromMetadata(meta)
+      val scaleTag = new TIFFTag("ModelPixelScale", 33550, 1 << TIFFTag.TIFF_DOUBLE)
+      val tieTag = new TIFFTag("ModelTiepoint", 33922, 1 << TIFFTag.TIFF_DOUBLE)
+      val set = new TIFFTagSet(java.util.Arrays.asList(scaleTag, tieTag))
+      dir.addTagSet(set)
+      dir.addTIFFField(new TIFFField(scaleTag, TIFFTag.TIFF_DOUBLE, 3,
+        Array[Double](pixelSize, pixelSize, 0.0)))
+      dir.addTIFFField(new TIFFField(tieTag, TIFFTag.TIFF_DOUBLE, 6,
+        Array[Double](0.0, 0.0, 0.0, originX, originY, 0.0)))
+      writer.write(null, new IIOImage(img, null, dir.getAsMetadata), param)
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    path
+  }
+
   /** Hand-written little-endian BigTIFF (magic 43, 8-byte offsets): f32
     * samples, uncompressed strips, same GeoTIFF tags as [[write]]. ImageIO's
     * TIFF writer cannot emit BigTIFF, so the byte layout is assembled
