@@ -235,6 +235,29 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** B4 + skew salting — the salted equi-join operator, oracle-checked by
+    * construction: salting only changes the shuffle layout, so the result
+    * must equal the PLAIN join (which is exactly what the oracle SQL runs).
+    * events.user_id is the skew-shaped key in the testdata.
+    */
+  private def q60(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("user_id"), col("value"))
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    graft.operators.SkewJoin.saltedInnerJoin(e, c, "user_id", salts = 8)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val q60Sql =
+    """SELECT c.c_mktsegment, COUNT(*) AS n,
+      |  ROUND(SUM(e.value), 4) AS sum_value
+      |FROM events e
+      |JOIN customer c ON c.c_custkey = e.user_id
+      |GROUP BY 1
+      |ORDER BY c_mktsegment""".stripMargin
+
   private def revenueByGeo(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
@@ -568,5 +591,6 @@ object Relational {
     QueryDef("q25_pivot_case", q25, Some(q25Sql)),
     QueryDef("q49_ntile_quartiles", q49, Some(q49Sql)),
     QueryDef("q50_percentiles", q50, Some(q50Sql)),
-    QueryDef("q53_window_first_last", q53, Some(q53Sql)))
+    QueryDef("q53_window_first_last", q53, Some(q53Sql)),
+    QueryDef("q60_salted_join", q60, Some(q60Sql)))
 }

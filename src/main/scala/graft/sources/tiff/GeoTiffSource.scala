@@ -41,8 +41,11 @@ import graft.functions.GeoMath
   *   - area (A6)             -> computed per row from the window's latitude
   *
   * Options: `paths` (comma-separated, first = mask raster), `colNames`
-  * (comma-separated, default val1..valN), `maxBlockSize` (default 4096),
-  * `calcArea` (boolean, default false).
+  * (comma-separated, default val1..valN), `bands` (comma-separated 1-based
+  * band per raster, default all 1 — repeat a path with different bands to
+  * read several bands of one file), `maxBlockSize` (default 4096),
+  * `calcArea` (boolean, default false). Paths/colNames must not contain
+  * ',' (flat string options).
   *
   * Scale posture: planning reads only TIFF headers (one tiny IFD read per
   * raster); each task decodes exactly its window via an ImageIO region
