@@ -216,46 +216,51 @@ object TextPipeline {
       |ORDER BY doc_id, chunk_idx""".stripMargin
 
   /** B29 — deterministic sequence packing: docs are packed contiguously
-    * (by doc_id) into 2048-token bins WITHIN each source shard — each doc's
-    * bin is floor(tokens-before-it / capacity). Per-shard packing keeps the
-    * running sum a partitioned window (the global-cumsum variant would be a
-    * single-partition scale-killer); real pipelines pack per input shard
-    * for exactly the same reason.
+    * (by doc_id) into 2048-token bins WITHIN each (source, shard) group,
+    * where shard = doc_id div 1000 — each doc's bin is
+    * floor(tokens-before-it / capacity). The compound key matters at scale:
+    * a running sum partitioned ONLY by source puts each source's entire
+    * corpus on one task (source cardinality is tiny), while the doc_id
+    * sub-shard bounds every window partition at ~1000 rows regardless of
+    * corpus size. The global-cumsum variant would be worse still — a
+    * single-partition sort.
     */
   private def q58(s: SparkSession, dir: String): DataFrame = {
     val capacity = 2048
-    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val shard = floor(col("doc_id") / 1000.0).cast("int")
+    val w = Window.partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.documents(s, dir)
-      .select(col("doc_id"), col("source"),
+      .select(col("doc_id"), col("source"), shard.as("shard"),
         size(split(col("text"), " ")).as("n_tokens"))
       .withColumn("cum_before",
         sum(col("n_tokens")).over(w) - col("n_tokens"))
-      .select(col("source"),
+      .select(col("source"), col("shard"),
         floor(col("cum_before") / capacity.toDouble).cast("int").as("bin"),
         col("n_tokens"))
-      .groupBy(col("source"), col("bin"))
+      .groupBy(col("source"), col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("bin_tokens"))
-      .orderBy(col("source"), col("bin"))
+      .orderBy(col("source"), col("shard"), col("bin"))
   }
 
   private val q58Sql =
-    """SELECT source, bin, COUNT(*) AS n_docs,
+    """SELECT source, shard, bin, COUNT(*) AS n_docs,
       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
       |FROM (
-      |  SELECT source,
-      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |  SELECT source, shard,
+      |    CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id
       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens)
       |      / 2048.0) AS INT) AS bin,
       |    n_tokens
       |  FROM (
       |    SELECT doc_id, source,
+      |      CAST(FLOOR(doc_id / 1000.0) AS INT) AS shard,
       |      CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
       |    FROM documents
       |  ) t
       |) b
-      |GROUP BY source, bin
-      |ORDER BY source, bin""".stripMargin
+      |GROUP BY source, shard, bin
+      |ORDER BY source, shard, bin""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q26_token_stats", q26, Some(q26Sql)),
