@@ -158,9 +158,37 @@ object Media {
       |FROM c
       |ORDER BY vec_id""".stripMargin
 
+  /** Multimodal resize planning through the TYPED pipeline (struct column →
+    * Dataset[MediaRow] → per-partition codec decode → resize plan), not
+    * just column expressions — so the oracle check covers the encoder and
+    * mapPartitions plumbing too. DuckDB reproduces the stub codec's header
+    * arithmetic from the md5 hex string.
+    */
+  private def q61(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.mediaFromDocuments(Tables.documents(s, dir))
+    val decoded = Multimodal.decode(Multimodal.toMediaRows(media))
+    Multimodal.resizePlan(decoded, maxSide = 64)
+      .select(col("doc_id"), col("width"), col("height"), col("out_w"), col("out_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q61Sql =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(('0x' || substr(md5(text), 1, 2))::INT % 128 + 1 AS INT) AS width,
+      |    CAST(('0x' || substr(md5(text), 3, 2))::INT % 128 + 1 AS INT) AS height
+      |  FROM documents
+      |)
+      |SELECT doc_id, width, height,
+      |  CAST(CEIL(width * LEAST(1.0, 64.0 / GREATEST(width, height))) AS INT) AS out_w,
+      |  CAST(CEIL(height * LEAST(1.0, 64.0 / GREATEST(width, height))) AS INT) AS out_h
+      |FROM d
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_media", q38, Some(q38Sql)),
     QueryDef("q39_ann_bruteforce", q39, Some(q39Sql)),
     QueryDef("q41_vector_stats", q41, Some(q41Sql)),
-    QueryDef("q59_embedding_quantize", q59, Some(q59Sql)))
+    QueryDef("q59_embedding_quantize", q59, Some(q59Sql)),
+    QueryDef("q61_media_resize", q61, Some(q61Sql)))
 }

@@ -187,6 +187,19 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(r17.getFloat(3) == 17.0f) // BigTIFF value at (c=1, r=7)
   }
 
+  test("big-endian BigTIFF reads identically to little-endian") {
+    def v(c: Int, r: Int): Double = if ((r + c) % 7 == 0) -9999.0 else r * 100.0 + c
+    val le = TiffFixtures.writeBigTiff(s"$tmp/big43le.tif", 10, 8, v,
+      10.0, 50.0, 0.5, Some("-9999"), rowsPerStrip = 3)
+    val be = TiffFixtures.writeBigTiff(s"$tmp/big43be.tif", 10, 8, v,
+      10.0, 50.0, 0.5, Some("-9999"), rowsPerStrip = 3, bigEndian = true)
+    val mbe = graft.sources.tiff.TiffTags.read(be)
+    assert(mbe.bigTiff && !mbe.littleEndian && mbe.noData.contains(-9999.0))
+    val a = Raster.raster2df(spark, Seq(le)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val b = Raster.raster2df(spark, Seq(be)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
   test("compressed BigTIFF is rejected with a typed error") {
     // flip the compression tag of a valid fixture to 5 (LZW)
     val src = TiffFixtures.writeBigTiff(s"$tmp/big43e.tif", 4, 4,

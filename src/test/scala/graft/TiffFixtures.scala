@@ -150,7 +150,8 @@ object TiffFixtures {
       originY: Double,
       pixelSize: Double,
       noData: Option[String],
-      rowsPerStrip: Int = 0): String = {
+      rowsPerStrip: Int = 0,
+      bigEndian: Boolean = false): String = {
     import java.nio.{ByteBuffer, ByteOrder}
     val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
     val nStrips = (height + rps - 1) / rps
@@ -171,9 +172,11 @@ object TiffFixtures {
     val ifdOff = cur
     val nTags = 11 + (if (ndBytes.isDefined) 1 else 0)
     val total = (ifdOff + 8 + nTags * 20 + 8).toInt
-    val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
-    // header: II, 43, offset-size 8, pad 0, IFD offset
-    buf.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0).putLong(ifdOff)
+    val buf = ByteBuffer.allocate(total)
+      .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    // header: II/MM, 43, offset-size 8, pad 0, IFD offset
+    val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
+    buf.put(bom).put(bom).putShort(43).putShort(8).putShort(0).putLong(ifdOff)
     for (r <- 0 until height; c <- 0 until width)
       buf.putFloat((pixOff + (r.toLong * width + c) * 4).toInt, value(c, r).toFloat)
     buf.position(scaleOff.toInt)
@@ -188,7 +191,8 @@ object TiffFixtures {
     buf.position(ifdOff.toInt)
     buf.putLong(nTags.toLong)
     // entries must be ascending by tag; value field is 8 bytes, values
-    // smaller than 8 bytes sit left-justified (low bytes in LE)
+    // smaller than 8 bytes sit left-justified (first bytes of the field in
+    // either byte order — ByteBuffer's relative puts give exactly that)
     def entry(tag: Int, tpe: Int, count: Long)(writeVal: ByteBuffer => Unit): Unit = {
       buf.putShort(tag.toShort).putShort(tpe.toShort).putLong(count)
       val pos = buf.position()
