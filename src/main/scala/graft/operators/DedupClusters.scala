@@ -58,8 +58,11 @@ object DedupClusters {
         .select(col("id"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       val next = compress(compress(hooked)).localCheckpoint(true) // eager
-      val changed = next.join(labels.withColumnRenamed("label", "prev"), "id")
-        .filter(col("label") =!= col("prev")).limit(1).count()
+      // round 1 always changes labels when edges exist — skip its probe job
+      val changed =
+        if (r == 0) 1L
+        else next.join(labels.withColumnRenamed("label", "prev"), "id")
+          .filter(col("label") =!= col("prev")).limit(1).count()
       labels = next
       converged = changed == 0L
       r += 1
