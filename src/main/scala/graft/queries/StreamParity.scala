@@ -79,8 +79,31 @@ object StreamParity {
       |GROUP BY user_id, island
       |ORDER BY user_id, s_start_us""".stripMargin
 
+  /** Stream-stream join batch parity: the SAME Streams.clickToPurchase
+    * transform (watermarks are a no-op on batch frames) matching each
+    * purchase to the same user's clicks in the preceding hour, against the
+    * plain-SQL time-range join.
+    */
+  private def q62(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    Streams.clickToPurchase(
+        ev.filter(col("event_type") === "click"),
+        ev.filter(col("event_type") === "purchase"))
+      .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+  }
+
+  private val q62Sql =
+    """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id
+      |FROM events c
+      |JOIN events p ON p.user_id = c.user_id
+      |  AND c.event_type = 'click' AND p.event_type = 'purchase'
+      |  AND epoch_us(c.ts) <= epoch_us(p.ts)
+      |  AND epoch_us(c.ts) >= epoch_us(p.ts) - 3600000000
+      |ORDER BY 1, 2, 3""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q36_tumbling_batch", q36, Some(q36Sql)),
     QueryDef("q37_sliding_batch", q37, Some(q37Sql)),
-    QueryDef("q52_session_window_batch", q52, Some(q52Sql)))
+    QueryDef("q52_session_window_batch", q52, Some(q52Sql)),
+    QueryDef("q62_stream_join_batch", q62, Some(q62Sql)))
 }
