@@ -57,7 +57,9 @@ object Ann {
     Array.fill(tables, nbits, dim)(rnd.nextGaussian())
   }
 
-  /** First embedding's length — one limit-1 scan job. */
+  /** First embedding's length — one limit-1 scan job. Throws on an empty
+    * corpus; operators that accept empty input take(1) and branch instead.
+    */
   def headDim(corpus: Dataset[Vec]): Int = corpus.head().embedding.length
 
   /** (id, table, bucket) keys for every vector: bucket = sign bits of the
@@ -128,13 +130,23 @@ object Ann {
       .as[Vec].collect()
   }
 
+  /** Every 4th of a 4x sample, so seeds stay spread across the id range —
+    * take(nCells) of the ordered sample would concentrate every seed in
+    * the lowest-id quarter, which for id-correlated embeddings (time- or
+    * cluster-ordered corpora) collapses quantizer coverage.
+    */
+  private def stridedSeeds(sample: Array[Vec], nCells: Int): Array[Vec] =
+    sample.zipWithIndex.collect {
+      case (v, i) if i % 4 == 0 => v
+    }.take(nCells)
+
   /** IVF coarse quantizer seeds: `nCells` deterministically-sampled corpus
-    * vectors (4x oversampled hash-mod filter, top-nCells by id). A cheap
+    * vectors (4x oversampled hash-mod filter, strided back down). A cheap
     * stand-in for trained centroids — see [[ivfCentroidsKMeans]] for the
     * trained path; both share the shuffle-free selection.
     */
   def ivfCentroids(corpus: Dataset[Vec], nCells: Int): Array[Vec] =
-    hashModSample(corpus, nCells * 4).take(nCells)
+    stridedSeeds(hashModSample(corpus, nCells * 4), nCells)
 
   /** Trained coarse quantizer: seeded Lloyd's iterations (spherical k-means
     * by cosine) over a BOUNDED deterministic sample of ~nCells*sampleFactor
@@ -152,8 +164,11 @@ object Ann {
     if (sample.length <= nCells)
       return sample.zipWithIndex.map { case (v, i) => Vec(i.toLong, v.embedding) }
     val dim = sample(0).embedding.length
-    var cents: Array[Array[Double]] =
-      sample.take(nCells).map(_.embedding.map(_.toDouble))
+    // strided init for the same id-spread reason as ivfCentroids: Lloyd's
+    // converges to a much better quantizer from spread seeds
+    var cents: Array[Array[Double]] = sample.zipWithIndex.collect {
+      case (v, i) if i % math.max(1, sample.length / nCells) == 0 => v
+    }.take(nCells).map(_.embedding.map(_.toDouble))
     var iter = 0
     while (iter < iters) {
       val sums = Array.fill(nCells)(new Array[Double](dim))
@@ -313,7 +328,12 @@ object Ann {
       tables: Int = 4,
       seed: Long = 42L): DataFrame = {
     import spark.implicits._
-    val dim = headDim(corpus)
+    // empty corpus => empty result (not a head() crash): there is no dim
+    // to derive and nothing to search
+    val first = corpus.take(1)
+    if (first.isEmpty)
+      return Seq.empty[(Long, Long, Double, Int)].toDF("q_id", "id", "cos_sim", "rank")
+    val dim = first(0).embedding.length
     val keys = lshKeys(corpus, dim, nbits, tables, seed)
     val qKeys = lshKeys(corpus.filter(col("id").isin(queryIds: _*)), dim, nbits, tables, seed)
       .withColumnRenamed("id", "q_id")

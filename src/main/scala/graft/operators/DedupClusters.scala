@@ -38,8 +38,15 @@ object DedupClusters {
     * (the component's minimum node id once converged). `pairs` must have
     * two columns (id_a, id_b); nodes not in any pair are absent (callers
     * left-join and coalesce to give singletons their own id).
+    *
+    * `rounds` is a SAFETY CEILING, not the expected iteration count: the
+    * loop exits as soon as a round changes no labels (near-dup graphs
+    * typically converge in 2-3), and with hook + double compress per round
+    * the default ceiling covers diameters far beyond any real duplicate
+    * cluster. If the ceiling is ever hit while labels are still moving the
+    * result would be silently under-merged, so that case throws instead.
     */
-  def connectedComponents(pairs: DataFrame, rounds: Int = 6): DataFrame = {
+  def connectedComponents(pairs: DataFrame, rounds: Int = 16): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -67,6 +74,9 @@ object DedupClusters {
       converged = changed == 0L
       r += 1
     }
+    require(converged,
+      s"connected components did not converge within $rounds rounds — " +
+        "raise `rounds`; returning partial labels would silently under-merge clusters")
     labels
   }
 
@@ -88,7 +98,7 @@ object DedupClusters {
       df: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      rounds: Int = 6): DataFrame = {
+      rounds: Int = 16): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val cc = connectedComponents(pairs, rounds)
     df.select(col(idCol))

@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextHash
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** MinHash + banded LSH near-duplicate candidate generation
@@ -103,12 +102,6 @@ final case class MinHashLSH(
       idCol: String,
       textCol: String,
       maxBucket: Int = 0): DataFrame = {
-    // No cache (the round-1 form cached here and leaked the blocks across a
-    // long session): both self-join sides below are the SAME plan shuffled
-    // on the same (band, bh) key, so ReuseExchange materializes the
-    // signatures once in the shuffle files and reads them twice. The
-    // mega-bucket cap is a count-over-window on that same key — it rides
-    // the join's own exchange instead of adding a groupBy + semi-join pass.
     // Zero-shingle documents (shorter than the shingle width) all share the
     // fold's initial accumulator signature and would bucket together; their
     // band hashes are the CONSTANTS below, so excluding them costs one
@@ -116,24 +109,16 @@ final case class MinHashLSH(
     // The signature is materialized as an attribute BELOW the Generate and
     // the per-band md5 computes above it — the single-projection
     // posexplode(bandHashes(signature(...))) form evaluated the signature
-    // once PER BAND (3x the dominant cost; lambdas defeat CSE).
-    val exploded = df
+    // once PER BAND (3x the dominant cost; lambdas defeat CSE). The bucket
+    // cap + self-join scaffold (no cache, AQE exchange reuse) is shared
+    // with SimHash in BandedSelfJoin.
+    val keyed = df
       .select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-      .select(col("id"), col("band"), bandHash(col("sig"), col("band")).as("bh"))
-      .filter(!col("bh").isin(emptySignatureBandHashes: _*))
-    val bounded =
-      if (maxBucket <= 0) exploded
-      else exploded
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("bh"))))
-        .filter(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
-    bounded.as("a")
-      .join(bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.id") < col("b.id"))
+      .select(col("id"), col("band"), bandHash(col("sig"), col("band")).as("key"))
+      .filter(!col("key").isin(emptySignatureBandHashes: _*))
+    BandedSelfJoin.pairs(keyed, maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }

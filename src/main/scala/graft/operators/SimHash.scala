@@ -2,7 +2,6 @@ package graft.operators
 
 import graft.functions.TextHash
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** 32-bit SimHash document fingerprinting.
@@ -76,26 +75,14 @@ object SimHash {
       s"banded pairing is only complete for maxHamming < bands ($maxHamming >= $bands)")
     val width = Bits / bands
     // (id, fp, band, key) — fp rides along so the verify step needs no
-    // join back to the corpus
+    // join back to the corpus; bucket cap + self-join scaffold shared with
+    // MinHashLSH via BandedSelfJoin (no cache, AQE exchange reuse).
     val keyed = df
       .select(col(idCol).as("id"), simhashOfText(col(textCol)).as("fp"))
       .select(col("id"), col("fp"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => bandKey(col("fp"), b, width))).as(Seq("band", "key")))
-    // Both self-join sides are the same plan shuffled on (band, key):
-    // ReuseExchange computes the fingerprints once (same design as
-    // MinHashLSH.candidatePairs; no cache, nothing leaks).
-    val bounded =
-      if (maxBucket <= 0) keyed
-      else keyed
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-        .filter(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
-    bounded.as("a")
-      .join(bounded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
+    BandedSelfJoin.pairs(keyed, maxBucket)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

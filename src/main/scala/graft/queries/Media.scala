@@ -120,8 +120,10 @@ object Media {
     val absMax = aggregate(e, lit(0.0d), (acc, x) => greatest(acc, abs(x.cast("double"))))
     Tables.embeddings(s, dir)
       .select(col("vec_id"), e, absMax.as("abs_max"))
+      // the greatest() floor guards the all-zero vector: abs_max=0 would
+      // make x/scale NaN and the int cast throw under ANSI mode
       .select(col("vec_id"), col("embedding"),
-        (col("abs_max") / 127.0).as("scale"))
+        (greatest(col("abs_max"), lit(1e-30)) / 127.0).as("scale"))
       .select(
         col("vec_id"),
         round(col("scale"), 6).as("scale_r"),
@@ -140,7 +142,8 @@ object Media {
   private val q59Sql =
     """WITH q AS (
       |  SELECT vec_id,
-      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+      |    GREATEST(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))), 1e-30)
+      |      / 127.0 AS scale,
       |    embedding
       |  FROM embeddings
       |), c AS (

@@ -50,7 +50,9 @@ object TiffTags {
       bigTiff: Boolean = false,
       littleEndian: Boolean = true,
       rowsPerStrip: Long = Long.MaxValue,
-      stripOffsets: Array[Long] = Array.empty) {
+      // IndexedSeq, not Array: an Array field would silently break the
+      // case class's generated equals/hashCode (reference equality)
+      stripOffsets: IndexedSeq[Long] = Vector.empty) {
 
     /** Pixel-centroid longitude of column `col`. */
     def lonOf(col: Double): Double = originX + (col + 0.5) * pixelScaleX
@@ -74,8 +76,9 @@ object TiffTags {
     try {
       val head = new Array[Byte](16)
       raf.seek(0)
-      val headRead = raf.read(head)
-      require(headRead >= 8, s"$path: not a TIFF (file too short)")
+      // readFully, not read(): a short read would leave zeroed bytes that
+      // parse as a (bogus) header. Classic needs 8 bytes; BigTIFF 16.
+      raf.readFully(head, 0, 8)
       val order = (head(0), head(1)) match {
         case ('I', 'I') => ByteOrder.LITTLE_ENDIAN
         case ('M', 'M') => ByteOrder.BIG_ENDIAN
@@ -86,6 +89,7 @@ object TiffTags {
       val bigTiff = magic match {
         case 42 => false
         case 43 =>
+          raf.readFully(head, 8, 8) // rest of the 16-byte BigTIFF header
           val offSize = hb.getShort(4) & 0xffff
           val pad = hb.getShort(6) & 0xffff
           require(offSize == 8 && pad == 0,
@@ -205,6 +209,7 @@ object TiffTags {
           s"$path: tiled BigTIFF unsupported (only stripped layout)")
         val offsets = longs(273).getOrElse(
           throw new IllegalArgumentException(s"$path: BigTIFF missing StripOffsets (273)"))
+          .toIndexedSeq
         val rps = entries.get(278).map(e => intAt(e, payload(e), 0))
           .getOrElse(height.toLong)
         RasterMeta(path, width, height, bps, sampleFormat,
