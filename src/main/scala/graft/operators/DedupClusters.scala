@@ -39,14 +39,46 @@ object DedupClusters {
     * two columns (id_a, id_b); nodes not in any pair are absent (callers
     * left-join and coalesce to give singletons their own id).
     *
-    * `rounds` is a SAFETY CEILING, not the expected iteration count: the
-    * loop exits as soon as a round changes no labels (near-dup graphs
-    * typically converge in 2-3), and with hook + double compress per round
-    * the default ceiling covers diameters far beyond any real duplicate
-    * cluster. If the ceiling is ever hit while labels are still moving the
-    * result would be silently under-merged, so that case throws instead.
+    * Size-adaptive: the pair list after LSH candidate generation is orders
+    * of magnitude smaller than the corpus (only near-duplicates appear),
+    * so when it fits comfortably on the driver (`driverMaxPairs`) the
+    * components are solved with a single union-find pass — exact and
+    * converged by construction, no iteration jobs at all. Larger pair sets
+    * fall through to the distributed hook/compress loop, whose per-round
+    * cost only pays off at that scale.
+    *
+    * `rounds` is a SAFETY CEILING for the distributed loop, not the
+    * expected iteration count: the loop exits as soon as a round changes no
+    * labels, and with hook + double compress per round the default ceiling
+    * covers diameters far beyond any real duplicate cluster. If the ceiling
+    * is ever hit while labels are still moving the result would be silently
+    * under-merged, so that case throws instead.
     */
-  def connectedComponents(pairs: DataFrame, rounds: Int = 16): DataFrame = {
+  def connectedComponents(
+      pairs: DataFrame,
+      rounds: Int = 16,
+      driverMaxPairs: Long = 5000000L): DataFrame = {
+    val spark = pairs.sparkSession
+    if (driverMaxPairs > 0 && pairs.limit((driverMaxPairs + 1).toInt).count() <= driverMaxPairs) {
+      import spark.implicits._
+      val edgeList = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+        .as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      // iterative find with path compression: a recursive form would
+      // overflow the stack on a multi-million-edge chain
+      def find(x: Long): Long = {
+        var root = x
+        while (parent.getOrElseUpdate(root, root) != root) root = parent(root)
+        var cur = x
+        while (cur != root) { val nxt = parent(cur); parent(cur) = root; cur = nxt }
+        root
+      }
+      edgeList.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return parent.keys.toSeq.map(k => (k, find(k))).toDF("id", "label")
+    }
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -98,9 +130,10 @@ object DedupClusters {
       df: DataFrame,
       idCol: String,
       pairs: DataFrame,
-      rounds: Int = 16): DataFrame = {
+      rounds: Int = 16,
+      driverMaxPairs: Long = 5000000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cc = connectedComponents(pairs, rounds)
+    val cc = connectedComponents(pairs, rounds, driverMaxPairs)
     df.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left")
       .select(col(idCol), coalesce(col("label"), col(idCol)).as("cluster_id"))

@@ -20,34 +20,43 @@ class DedupClustersSpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
-  private def ccOf(pairs: Seq[(Long, Long)], rounds: Int = 6): Map[Long, Long] =
-    DedupClusters.connectedComponents(pairs.toDF("id_a", "id_b"), rounds)
+  /** driverMaxPairs = 0 forces the DISTRIBUTED hook/compress path; the
+    * default exercises the driver union-find path.
+    */
+  private def ccOf(
+      pairs: Seq[(Long, Long)],
+      rounds: Int = 6,
+      driverMaxPairs: Long = 5000000L): Map[Long, Long] =
+    DedupClusters.connectedComponents(pairs.toDF("id_a", "id_b"), rounds, driverMaxPairs)
       .as[(Long, Long)].collect().toMap
 
-  test("cliques, chains, and singleton separation match union-find") {
+  test("cliques, chains, and singleton separation match union-find (both paths)") {
     val pairs = Seq(
       (1L, 2L), (2L, 3L), (1L, 3L), // clique {1,2,3}
       (10L, 11L), (11L, 12L),       // chain {10,11,12}
       (20L, 21L))                   // pair {20,21}
     assert(ccOf(pairs) == ufOracle(pairs))
+    assert(ccOf(pairs, driverMaxPairs = 0L) == ufOracle(pairs)) // distributed
     val cc = ccOf(pairs)
     assert(cc(3L) == 1L && cc(12L) == 10L && cc(21L) == 20L)
   }
 
-  test("64-node path converges within the default rounds") {
+  test("64-node path converges on the distributed path") {
     // worst-case diameter shape for min-label propagation; the doubling
-    // compress must carry the min across 63 hops in 6 rounds
+    // compress must carry the min across 63 hops within the round ceiling
     val pairs = (1L until 64L).map(i => (i, i + 1))
-    assert(ccOf(pairs) == ufOracle(pairs))
-    assert(ccOf(pairs).values.toSet == Set(1L))
+    val cc = ccOf(pairs, rounds = 16, driverMaxPairs = 0L)
+    assert(cc == ufOracle(pairs))
+    assert(cc.values.toSet == Set(1L))
   }
 
-  test("random graph matches union-find") {
+  test("random graph matches union-find (both paths)") {
     val rnd = new scala.util.Random(7)
     val pairs = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
       .filter { case (a, b) => a != b }
       .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
     assert(ccOf(pairs) == ufOracle(pairs))
+    assert(ccOf(pairs, rounds = 16, driverMaxPairs = 0L) == ufOracle(pairs))
   }
 
   test("empty pair set yields empty components") {
@@ -78,7 +87,8 @@ class DedupClustersSpec extends SparkSpec {
     // the operator must truncate lineage each round — a composed plan over
     // R rounds is exponential in R and hangs Catalyst long before R = 6
     val pairs = (1L until 32L).map(i => (i, i + 1))
-    val cc = DedupClusters.connectedComponents(pairs.toDF("id_a", "id_b"))
+    val cc = DedupClusters.connectedComponents(pairs.toDF("id_a", "id_b"),
+      driverMaxPairs = 0L)
     assert(cc.queryExecution.analyzed.collectLeaves().size == 1)
     assert(cc.queryExecution.analyzed.toString.linesIterator.size < 10)
   }
