@@ -62,10 +62,19 @@ object Raster {
     out.write.mode("overwrite").option("sep", sep).option("header", true).csv(output)
   }
 
-  /** CLI: raster2csv INPUT... OUTPUT [--col_names a,b] [--separator ,|;|t]
-    * [--max_block_size N] [--calc_area] [--bands 1,2,...]
+  /** Parsed CLI arguments (extracted from main so the flag grammar is
+    * directly testable without building a session).
     */
-  def main(args: Array[String]): Unit = {
+  final case class CliArgs(
+      inputs: Seq[String],
+      output: String,
+      colNames: Seq[String] = Nil,
+      separator: String = ",",
+      maxBlockSize: Int = 4096,
+      calcArea: Boolean = false,
+      bands: Seq[Int] = Nil)
+
+  def parseArgs(args: Array[String]): CliArgs = {
     val positional = scala.collection.mutable.ArrayBuffer[String]()
     var colNames: Seq[String] = Nil
     var separator = ","
@@ -90,16 +99,23 @@ object Raster {
       }
     }
     require(positional.size >= 2, "usage: raster2csv INPUT... OUTPUT [options]")
-    val inputs = positional.init.toSeq
-    val output = positional.last
+    CliArgs(positional.init.toSeq, positional.last,
+      colNames, separator, maxBlock, calcArea, bands)
+  }
+
+  /** CLI: raster2csv INPUT... OUTPUT [--col_names a,b] [--separator ,|;|t]
+    * [--max_block_size N] [--calc_area] [--bands 1,2,...]
+    */
+  def main(args: Array[String]): Unit = {
+    val a = parseArgs(args)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"))
       .appName("raster2csv")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    try raster2csv(spark, inputs, output, separator, colNames, maxBlock, calcArea,
-      singleFile = false, bands = bands)
+    try raster2csv(spark, a.inputs, a.output, a.separator, a.colNames,
+      a.maxBlockSize, a.calcArea, singleFile = false, bands = a.bands)
     finally spark.stop()
   }
 }
