@@ -28,19 +28,42 @@ object GraftFunctions {
     }
   }
 
+  /** Install graft's optimizer rewrites on an existing session (idempotent).
+    * Split from [[register]] so tests can compare the HOF and native forms
+    * without the rule collapsing both sides to the same plan.
+    */
+  def installPlanRewrites(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraOptimizations.contains(RewriteDotProduct))
+      exp.extraOptimizations = exp.extraOptimizations :+ RewriteDotProduct
+  }
+
+  /** Remove the rewrites again (test isolation on a shared session). */
+  def removePlanRewrites(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    exp.extraOptimizations =
+      exp.extraOptimizations.filterNot(_ == RewriteDotProduct)
+  }
+
   /** Column-API handle for the native dot product; the session must have
     * [[register]] applied (operators call it themselves).
     */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 }
 
-/** `spark.sql.extensions` entry point injecting the native functions. */
+/** `spark.sql.extensions` entry point injecting the native functions and
+  * the optimizer rewrites (cluster-wide, survives new sessions).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(classOf[DotProductF].getName, name),
         builder))
     }
+    ext.injectOptimizerRule(_ => RewriteDotProduct)
+  }
 }
