@@ -112,14 +112,44 @@ final case class MinHashLSH(
     // once PER BAND (3x the dominant cost; lambdas defeat CSE). The bucket
     // cap + self-join scaffold (no cache, AQE exchange reuse) is shared
     // with SimHash in BandedSelfJoin.
-    val keyed = df
-      .select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
+    val keyed = bandIndex(df, idCol, textCol)
+    BandedSelfJoin.pairs(keyed, maxBucket)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** (id, band, key) band-bucket rows for every document — the persistable
+    * LSH INDEX of a corpus. Write it once (parquet, partitioned/bucketed by
+    * (band, key)) and dedup every incoming batch against it via
+    * [[candidatesAgainstIndex]] without re-reading the corpus: the
+    * build-once/search-many lifecycle that makes continuous ingestion
+    * affordable at 100 TB (re-running candidatePairs over corpus+batch
+    * re-hashes the whole corpus per batch).
+    */
+  def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
       .select(col("id"), col("band"), bandHash(col("sig"), col("band")).as("key"))
       .filter(!col("key").isin(emptySignatureBandHashes: _*))
-    BandedSelfJoin.pairs(keyed, maxBucket)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+
+  /** Near-dup candidates of a NEW batch against an existing [[bandIndex]]:
+    * one equi-join on (band, key) — cost scales with the batch size and the
+    * buckets it touches, never with corpus size. Returns distinct
+    * (new_id, index_id) pairs; self-matches (same id on both sides, e.g.
+    * re-ingested rows) are dropped.
+    */
+  def candidatesAgainstIndex(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame): DataFrame = {
+    val batch = bandIndex(newDf, idCol, textCol)
+    batch.as("n")
+      .join(index.as("x"),
+        col("n.band") === col("x.band") && col("n.key") === col("x.key"))
+      .filter(col("n.id") =!= col("x.id"))
+      .select(col("n.id").as("new_id"), col("x.id").as("index_id"))
       .distinct()
   }
 

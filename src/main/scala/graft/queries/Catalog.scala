@@ -19,7 +19,8 @@ final case class QueryDef(
 object Catalog {
   val all: Seq[QueryDef] =
     Relational.defs ++ Analytics.defs ++ TextPipeline.defs ++ Dedup.defs ++
-      StreamParity.defs ++ Media.defs ++ SqlEntry.defs ++ ScalePaths.defs
+      StreamParity.defs ++ Media.defs ++ SqlEntry.defs ++ ScalePaths.defs ++
+      Curation.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.fn).toMap

@@ -1,0 +1,343 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextHash
+import graft.operators.{DedupClusters, MinHashLSH, SimHash}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the steps between "raw crawl" and "training
+  * set" that a 100 TB data pipeline runs after dedup: incremental dedup of
+  * new batches against a persisted index, deterministic train/val/test
+  * splitting, text normalization, repetition-based quality signals
+  * (C4/Gopher-style), benchmark decontamination, duplicate-cluster
+  * representative selection, deterministic corpus shuffling, and
+  * language-balanced sampling.
+  *
+  * All eight are oracle-checked: every hash/"random" choice is a
+  * deterministic md5-derived value ([[TextHash.h60]]) reproducible in
+  * DuckDB, so even the sampling/shuffling queries hash-match exactly.
+  * Scale posture per query in its Scaladoc.
+  */
+object Curation {
+
+  /** B20 — INCREMENTAL near-dup dedup: an existing corpus (doc_id < 300) is
+    * indexed once ([[MinHashLSH.bandIndex]]); a new batch (doc_id 300..399)
+    * joins the index on (band, bucket-key) — cost scales with the batch,
+    * not the corpus. The full pipeline (signature → band join → exact
+    * Jaccard verify >= 0.6) is hash-checked via the md5 parity hash family.
+    */
+  private def q63(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 400)
+    val existing = docs.filter(col("doc_id") < 300)
+    val batch = docs.filter(col("doc_id") >= 300)
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1,
+      oracleParityHash = true)
+    val index = lsh.bandIndex(existing, "doc_id", "text")
+    val cands = lsh.candidatesAgainstIndex(batch, "doc_id", "text", index)
+      .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
+    lsh.verifyJaccard(cands, docs, "doc_id", "text")
+      .filter(round(col("jaccard"), 4) >= 0.6)
+      .select(col("id_a").as("new_id"), col("id_b").as("match_id"),
+        round(col("jaccard"), 4).as("jaccard"))
+      .orderBy(col("new_id"), col("match_id"))
+  }
+
+  private val q63Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      |  FROM documents WHERE doc_id < 400
+      |), sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 11), j ->
+      |    list_min(list_transform(s, t ->
+      |      ('0x' || substr(md5(j || ':' || t), 1, 15))::BIGINT))) AS sg
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh
+      |  FROM sig, range(0, 3) r(b)
+      |), cand AS (
+      |  SELECT DISTINCT n.doc_id AS new_id, x.doc_id AS match_id
+      |  FROM bands n JOIN bands x ON n.b = x.b AND n.bh = x.bh
+      |  WHERE n.doc_id >= 300 AND x.doc_id < 300
+      |)
+      |SELECT c.new_id, c.match_id,
+      |  ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+      |FROM cand c
+      |JOIN sh sa ON sa.doc_id = c.new_id
+      |JOIN sh sb ON sb.doc_id = c.match_id
+      |WHERE ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.6
+      |ORDER BY new_id, match_id""".stripMargin
+
+  /** Deterministic train/val/test split: bucket = h60(doc_id) mod 100,
+    * <80 train / <90 val / else test. A pure per-row projection — no
+    * shuffle, no state, stable under re-runs and across engines, which is
+    * exactly why hash-mod beats `rand()` for dataset splits at any scale.
+    */
+  private def q64(s: SparkSession, dir: String): DataFrame = {
+    val bucket = TextHash.h60(col("doc_id").cast("string")) % 100
+    Tables.documents(s, dir)
+      .select(col("doc_id"), bucket.as("bucket"))
+      .withColumn("split",
+        when(col("bucket") < 80, lit("train"))
+          .when(col("bucket") < 90, lit("val"))
+          .otherwise(lit("test")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q64Sql =
+    """SELECT doc_id, bucket,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Text normalization (cleaning pass): lowercase, strip non-alphanumerics,
+    * collapse runs of spaces, trim. Output carries md5 of the normalized
+    * text so the oracle checks the WHOLE cleaned string, not a prefix.
+    * Per-row expressions only — fully codegen'd, embarrassingly parallel.
+    */
+  private def q65(s: SparkSession, dir: String): DataFrame = {
+    val norm = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""), " +", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("n_raw"),
+        length(norm).as("n_norm"),
+        md5(norm).as("norm_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q65Sql =
+    """SELECT doc_id, CAST(length(text) AS INT) AS n_raw,
+      |  CAST(length(norm) AS INT) AS n_norm, md5(norm) AS norm_hash
+      |FROM (
+      |  SELECT doc_id, text,
+      |    trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+      |      ' +', ' ', 'g')) AS norm
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Repetition quality signals (C4/Gopher-family): duplicate-word ratio
+    * and top-word frequency ratio per document. Two hash aggregations with
+    * map-side partials; ROUND is the floor(x*1e4+0.5) form because ratios
+    * with power-of-two denominators (e.g. 3/32 = 0.09375) sit exactly on
+    * the .5 boundary where Spark (HALF_UP) and DuckDB (half-even) disagree.
+    */
+  private def q66(s: SparkSession, dir: String): DataFrame = {
+    def r4(c: org.apache.spark.sql.Column) =
+      floor(c * 10000 + 0.5) / 10000.0
+    val wc = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    wc.groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_freq"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        r4(lit(1) - col("n_distinct") / col("n_tokens")).as("dup_ratio"),
+        col("top_freq"),
+        r4(col("top_freq") / col("n_tokens")).as("top_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q66Sql =
+    """WITH c AS (
+      |  SELECT doc_id, word, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      |  GROUP BY 1, 2
+      |), s AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_freq
+      |  FROM c GROUP BY 1
+      |)
+      |SELECT doc_id, n_tokens, n_distinct,
+      |  FLOOR((1 - n_distinct / n_tokens) * 10000 + 0.5) / 10000.0 AS dup_ratio,
+      |  top_freq,
+      |  FLOOR(top_freq / n_tokens * 10000 + 0.5) / 10000.0 AS top_ratio
+      |FROM s
+      |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: flag corpus documents sharing any 5-word
+    * shingle with a held-out benchmark set (here doc_id < 10 stands in for
+    * the eval set). The benchmark side is tiny by construction → broadcast
+    * semi-structure: explode grams on both sides, equi-join on the gram,
+    * count per document. At 100 TB the corpus side streams; only the
+    * benchmark grams are materialized.
+    */
+  private def q67(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    def grams(d: DataFrame) = d.select(col("doc_id"),
+      explode(TextHash.wordShingles(col("text"), 5)).as("gram"))
+    val bench = grams(docs.filter(col("doc_id") < 10))
+      .select(col("gram")).distinct()
+    grams(docs.filter(col("doc_id") >= 10))
+      .join(broadcast(bench), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q67Sql =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      |), g AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(toks) - 4),
+      |    i -> array_to_string(toks[i:i+4], ' ')))) AS gram
+      |  FROM t
+      |), bench AS (
+      |  SELECT DISTINCT gram FROM g WHERE doc_id < 10
+      |)
+      |SELECT c.doc_id, COUNT(*) AS n_shared
+      |FROM g c JOIN bench b USING (gram)
+      |WHERE c.doc_id >= 10
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+
+  /** B41 follow-through — cluster representative selection: after duplicate
+    * clusters form (SimHash pairs → connected components, the bounded q55
+    * pipeline), keep ONE document per cluster — the longest text, doc_id as
+    * tie-break. This is the "which copy do we train on" decision; the
+    * argmax is a per-cluster window over cluster-partitioned data.
+    */
+  private def q68(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+    val sh = docs.select(col("doc_id"), SimHash.simhashOfText(col("text")).as("simhash"))
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(SimHash.hamming(col("h_a"), col("h_b")) <= 2)
+      .select("id_a", "id_b")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    DedupClusters.clusterAssignments(docs, "doc_id", pairs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_doc"),
+        col("cluster_size"), col("n_chars").as("keep_n_chars"))
+      .orderBy(col("cluster_id"))
+  }
+
+  private val q68Sql =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents WHERE doc_id < 150
+      |), th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+      |), bitsum AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+      |  FROM th, range(0, 32) r(b) GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+      |  FROM bitsum GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+      |), comp AS (
+      |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+      |), asg AS (
+      |  SELECT d.doc_id,
+      |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+      |    COUNT(*) OVER (PARTITION BY COALESCE(c.cluster_id, d.doc_id)) AS cluster_size,
+      |    d.n_chars
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      |  WHERE d.doc_id < 150
+      |)
+      |SELECT cluster_id, keep_doc, cluster_size, keep_n_chars
+      |FROM (
+      |  SELECT cluster_id, doc_id AS keep_doc, cluster_size,
+      |    n_chars AS keep_n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY cluster_id
+      |      ORDER BY n_chars DESC, doc_id) AS rn
+      |  FROM asg
+      |) t
+      |WHERE rn = 1
+      |ORDER BY cluster_id""".stripMargin
+
+  /** Deterministic corpus shuffle into training shards: shard =
+    * h60("shuf:"+id) mod 8, position = rank of the hash within the shard.
+    * The per-shard window is the scale boundary — each shard sorts
+    * independently (corpus/8 per task group), no global sort; adding shards
+    * scales the sort out linearly.
+    */
+  private def q69(s: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.h60(concat(lit("shuf:"), col("doc_id").cast("string")))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), (h % 8).cast("int").as("shard"), h.as("hkey"))
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("shard")).orderBy(col("hkey"), col("doc_id"))))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy(col("shard"), col("pos"))
+  }
+
+  private val q69Sql =
+    """SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) AS INT) AS pos
+      |FROM (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5('shuf:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |  FROM documents
+      |)
+      |ORDER BY shard, pos""".stripMargin
+
+  /** Language-balanced sampling: a fixed quota (20) per language, chosen by
+    * hash order — deterministic "random" sampling that cannot drift between
+    * runs or engines. The window partitions by language, so per-partition
+    * state is the quota count, not the corpus.
+    */
+  private def q70(s: SparkSession, dir: String): DataFrame = {
+    val h = TextHash.h60(concat(lit("bal:"), col("doc_id").cast("string")))
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), h.as("hkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val q70Sql =
+    """SELECT lang, rk, doc_id
+      |FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rk
+      |  FROM (
+      |    SELECT lang, doc_id,
+      |      ('0x' || substr(md5('bal:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |    FROM documents
+      |  )
+      |) t
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q63_incremental_dedup", q63, Some(q63Sql)),
+    QueryDef("q64_hash_split", q64, Some(q64Sql)),
+    QueryDef("q65_text_normalize", q65, Some(q65Sql)),
+    QueryDef("q66_repetition", q66, Some(q66Sql)),
+    QueryDef("q67_decontaminate", q67, Some(q67Sql)),
+    QueryDef("q68_cluster_keep_best", q68, Some(q68Sql)),
+    QueryDef("q69_corpus_shuffle", q69, Some(q69Sql)),
+    QueryDef("q70_balanced_sample", q70, Some(q70Sql)))
+}

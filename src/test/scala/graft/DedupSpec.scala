@@ -41,6 +41,26 @@ class DedupSpec extends SparkSpec {
     assert(lsh.candidatePairs(many, "doc_id", "text").count() == 50L * 49 / 2)
   }
 
+  test("minhash: index-based incremental candidates == self-join cross pairs") {
+    // scale-path hash family (xxhash64) — the config q63's oracle twin
+    // (md5 parity) does NOT cover
+    val corpus = Tables.documents(spark, sf()).filter($"doc_id" < 100)
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 2)
+    val existing = corpus.filter($"doc_id" < 70)
+    val batch = corpus.filter($"doc_id" >= 70)
+    val viaIndex = lsh.candidatesAgainstIndex(
+        batch, "doc_id", "text", lsh.bandIndex(existing, "doc_id", "text"))
+      .as[(Long, Long)].collect().toSet
+    // candidatePairs emits id_a < id_b; a cross pair has exactly one side
+    // >= 70 and it is always id_b — flip to (new_id, index_id)
+    val cross = lsh.candidatePairs(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect()
+      .filter { case (a, b) => a < 70 && b >= 70 }
+      .map { case (a, b) => (b, a) }.toSet
+    assert(viaIndex == cross)
+    assert(viaIndex.nonEmpty)
+  }
+
   test("simhash: identical token sets get identical fingerprints; near dups are close") {
     val sh = docs.select($"doc_id", SimHash.simhashOfText($"text").as("h"))
       .as[(Long, Long)].collect().toMap
