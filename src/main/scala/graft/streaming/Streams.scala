@@ -85,6 +85,30 @@ object Streams {
       .select(col("c_user").as("user_id"), col("click_id"), col("purchase_id"))
   }
 
+  /** Streaming ingestion dedup: flag each arriving document that collides
+    * with the existing corpus's persisted LSH band index
+    * ([[graft.operators.MinHashLSH.bandIndex]]) — a STREAM-STATIC equi-join
+    * on (band, key), the Spark-first shape for "dedup new data against
+    * what we already have": the static side is a plain DataFrame (readable
+    * from parquet, broadcast or shuffled by Catalyst as its size
+    * dictates), the stream side computes signatures per micro-batch with a
+    * stateless join. The trailing dropDuplicates collapses multi-band hits
+    * AND suppresses re-emission if the same document arrives again — its
+    * state is one row per emitted collision pair; on an unbounded stream
+    * bound it with `withWatermark` + dropDuplicatesWithinWatermark, or move
+    * the dedup into foreachBatch for batch-local semantics.
+    */
+  def streamDedupAgainstIndex(
+      docs: DataFrame,
+      index: DataFrame,
+      lsh: graft.operators.MinHashLSH = graft.operators.MinHashLSH()): DataFrame =
+    lsh.bandIndex(docs, "doc_id", "text").as("n")
+      .join(index.as("x"),
+        col("n.band") === col("x.band") && col("n.key") === col("x.key"))
+      .filter(col("n.id") =!= col("x.id"))
+      .select(col("n.id").as("doc_id"), col("x.id").as("matched_id"))
+      .dropDuplicates("doc_id", "matched_id")
+
   /** B38 — custom state: running per-user event count + value sum,
     * re-emitted on every update (OutputMode.Update).
     */

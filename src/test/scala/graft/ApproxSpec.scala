@@ -34,6 +34,21 @@ class ApproxSpec extends SparkSpec {
     assert(c1 == c2)
   }
 
+  test("hll sketches are mergeable: per-group sketches union to the global estimate") {
+    // the 100 TB pattern: build per-partition/per-day sketches once, merge
+    // cheaply forever — hll_union_agg over stored sketch binaries must
+    // estimate the same cardinality as sketching the whole column
+    val li = Tables.lineitem(spark, dir)
+    val perGroup = li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_orderkey")).as("sk"))
+    val merged = perGroup
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .head().getLong(0)
+    val exact = li.agg(countDistinct(col("l_orderkey"))).head().getLong(0)
+    val err = math.abs(merged - exact).toDouble / exact
+    assert(err <= 0.05, s"merged=$merged exact=$exact err=$err")
+  }
+
   test("approx_percentile brackets the exact median") {
     val li = Tables.lineitem(spark, dir)
     val approx = li.agg(

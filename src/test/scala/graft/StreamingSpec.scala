@@ -132,6 +132,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static LSH index dedup flags arriving duplicates exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely different words entirely unrelated content here now"))
+      .toDF("doc_id", "text")
+    val lsh = graft.operators.MinHashLSH(12, 3, 1)
+    val index = lsh.bandIndex(corpus, "doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val q = Streams.streamDedupAgainstIndex(
+        input.toDF().toDF("doc_id", "text"), index, lsh)
+      .writeStream.format("memory").queryName("t_lshdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog"), // dup of 1
+        (11L, "zebra xylophone quark nebula glyph prism vortex")))
+      q.processAllAvailable()
+      input.addData(Seq(
+        (10L, "the quick brown fox jumps over the lazy dog"), // re-sent: suppressed
+        (12L, "dog lazy the over jumps fox brown quick the"))) // same token SET as 1
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_lshdedup").as[(Long, Long)].collect().toSet
+    assert(got == Set((10L, 1L), (12L, 1L)))
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
