@@ -1,0 +1,239 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{
+  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.LongType
+
+/** Native AS-OF JOIN — the whole-operator extension path (SURVEY §4.2c):
+  * custom LogicalPlan + SparkStrategy + SparkPlan, because no Spark
+  * builtin expresses "latest right row at or before each left row's time,
+  * per key" as ONE operator. The composed forms (range join + max_by, or
+  * range join + WindowGroupLimit — queries q09) materialize the full
+  * (left x right-history) expansion before reducing it; this operator
+  * never expands: both sides shuffle once on the key, sort within
+  * partitions by (key, time), and a single merge pass carries one
+  * candidate row per key — O(left + right) per partition, O(1) state.
+  *
+  * Scale: distribution requirements are exactly SortMergeJoin's, so
+  * EnsureRequirements co-partitions the children (and AQE validates after
+  * coalescing); skew on the key falls back to the same AQE skew handling
+  * any SMJ gets. The merge needs no per-key buffering, so a hot key costs
+  * time, not memory.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    isLeftOuter: Boolean) extends BinaryNode {
+
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. Installed per-session via
+  * [[AsOf.install]] (experimental.extraStrategies) or cluster-wide via
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case j: AsOfJoinPlan =>
+      AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
+        j.rightKeys, j.leftTime, j.rightTime, j.rightTieBreak,
+        j.isLeftOuter) :: Nil
+    case _ => Nil
+  }
+}
+
+final case class AsOfJoinExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    isLeftOuter: Boolean) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  // SMJ-shaped requirements: hash-cluster both sides on the key,
+  // sort (key, time[, tiebreak]) within partitions. EnsureRequirements
+  // inserts the exchanges/sorts and aligns partition counts.
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(ClusteredDistribution(leftKeys), ClusteredDistribution(rightKeys))
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) ++
+      (SortOrder(rightTime, Ascending) +:
+        rightTieBreak.map(SortOrder(_, Ascending))))
+
+  // output rows follow the left child's (key, time) sort within partitions
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  // every output row's left half comes from the left child's partition, so
+  // downstream ops keyed the same way need no re-shuffle
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val outer = isLeftOuter
+    val keyTypes = leftKeys.map(_.dataType)
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lTimeEval = BindReferences.bindReference(lTime, lOut)
+      val rTimeEval = BindReferences.bindReference(rTime, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      new Iterator[InternalRow] {
+        // current right head (not yet consumed) and the best candidate so
+        // far for candidateKey: the LAST right row advanced past with
+        // time <= current left time — right's (time, tiebreak) sort makes
+        // "last" the max. Rows are copied when retained (iterators reuse).
+        private var rHead: InternalRow = _
+        private var rHeadKey: InternalRow = _
+        private var rDone = !rIter.hasNext
+        if (!rDone) advanceRight()
+        private var candidate: InternalRow = _
+        private var candidateKey: InternalRow = _
+        private var nextOut: InternalRow = _
+
+        private def advanceRight(): Unit = {
+          var ok = false
+          while (!ok && rIter.hasNext) {
+            rHead = rIter.next()
+            val k = rKeyProj(rHead)
+            // null keys/times never match anything — skip them here
+            if (!k.anyNull && rTimeEval.eval(rHead) != null) {
+              rHeadKey = k.copy()
+              ok = true
+            }
+          }
+          if (!ok) { rDone = true; rHead = null; rHeadKey = null }
+        }
+
+        private def computeNext(): Unit = {
+          nextOut = null
+          while (nextOut == null && lIter.hasNext) {
+            val l = lIter.next()
+            val lk = lKeyProj(l)
+            val ltRaw = if (lk.anyNull) null else lTimeEval.eval(l)
+            if (ltRaw != null) {
+              val lt = ltRaw.asInstanceOf[Long]
+              // drop right state for keys before the current left key
+              while (!rDone && keyOrd.compare(rHeadKey, lk) < 0) advanceRight()
+              // consume right rows of this key with time <= left time;
+              // the last one wins (sorted by time asc, tiebreak asc)
+              while (!rDone && keyOrd.compare(rHeadKey, lk) == 0 &&
+                  rTimeEval.eval(rHead).asInstanceOf[Long] <= lt) {
+                candidate = rHead.copy()
+                candidateKey = rHeadKey
+                advanceRight()
+              }
+              val hit = candidate != null && keyOrd.compare(candidateKey, lk) == 0
+              if (hit) nextOut = resultProj(joined(l, candidate))
+              else if (outer) nextOut = resultProj(joined(l, nullRight))
+            } else if (outer) {
+              nextOut = resultProj(joined(l, nullRight))
+            }
+          }
+        }
+
+        override def hasNext: Boolean = {
+          if (nextOut == null) computeNext()
+          nextOut != null
+        }
+
+        override def next(): InternalRow = {
+          if (!hasNext) throw new NoSuchElementException
+          val r = nextOut
+          nextOut = null
+          r
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Public API: `AsOf.join(events, orders, Seq("user_id"), Seq("o_custkey"),
+  * "ts_us", "od_us", tieBreak = Seq("o_orderkey"))`. Time columns must be
+  * LongType (epoch micros by convention — cast timestamps with
+  * `unix_micros` first); the requirement is checked here, eagerly.
+  */
+object AsOf {
+
+  /** Idempotently add the planner strategy to an existing session. */
+  def install(spark: SparkSession): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  def join(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      tieBreak: Seq[String] = Nil,
+      joinType: String = "inner"): DataFrame = {
+    require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+      "as-of join needs equally many left and right keys")
+    val isOuter = joinType match {
+      case "inner" => false
+      case "left" | "left_outer" => true
+      case t => throw new IllegalArgumentException(
+        s"as-of join supports inner/left, got '$t'")
+    }
+    val spark = left.sparkSession
+    install(spark)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = right.queryExecution.analyzed
+    def resolve(plan: LogicalPlan, name: String): Attribute =
+      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
+        s"column '$name' not in ${plan.output.map(_.name).mkString("[", ",", "]")}"))
+    val lt = resolve(lPlan, leftTime)
+    val rt = resolve(rPlan, rightTime)
+    require(lt.dataType == LongType && rt.dataType == LongType,
+      s"as-of time columns must be LongType epoch micros, got " +
+        s"(${lt.dataType.simpleString}, ${rt.dataType.simpleString})")
+    org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
+      AsOfJoinPlan(lPlan, rPlan,
+        leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
+        lt, rt, tieBreak.map(resolve(rPlan, _)), isOuter))
+  }
+}

@@ -235,6 +235,38 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** B10 via the NATIVE as-of join operator (plans.AsOf: custom
+    * LogicalPlan → Strategy → sort-merge SparkPlan) — same task and same
+    * oracle as q09, but the plan never materializes the
+    * (events x order-history) expansion: one shuffle per side, one merge
+    * pass, O(1) state per key. The two declared forms keep each other
+    * honest: q09 pins the semantics in pure DataFrame algebra, q71 proves
+    * the custom operator implements exactly those semantics.
+    */
+  private def q71(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
+    val o = Tables.orders(s, dir)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
+    graft.plans.AsOf.join(e, o, Seq("user_id"), Seq("o_custkey"),
+        "ts_us", "od_us", tieBreak = Seq("o_orderkey"))
+      .select(col("event_id"), col("o_orderkey").as("latest_orderkey"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q71Sql = // identical semantics to q09 — intentionally
+    """SELECT event_id, o_orderkey AS latest_orderkey
+      |FROM (
+      |  SELECT e.event_id, o.o_orderkey,
+      |    ROW_NUMBER() OVER (PARTITION BY e.event_id
+      |      ORDER BY epoch_us(o.o_orderdate) DESC, o.o_orderkey DESC) AS rn
+      |  FROM events e
+      |  JOIN orders o ON o.o_custkey = e.user_id
+      |    AND epoch_us(o.o_orderdate) <= epoch_us(e.ts)
+      |) t
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   /** B4 + skew salting — the salted equi-join operator, oracle-checked by
     * construction: salting only changes the shuffle layout, so the result
     * must equal the PLAIN join (which is exactly what the oracle SQL runs).
@@ -578,6 +610,7 @@ object Relational {
     QueryDef("q07_theta_join", q07, Some(q07Sql)),
     QueryDef("q08_range_join_events", q08, Some(q08Sql)),
     QueryDef("q09_asof_latest_order", q09, Some(q09Sql)),
+    QueryDef("q71_asof_native", q71, Some(q71Sql)),
     QueryDef("q10_rollup", q10, Some(q10Sql)),
     QueryDef("q11_cube", q11, Some(q11Sql)),
     QueryDef("q12_window_rank", q12, Some(q12Sql)),

@@ -1,0 +1,90 @@
+package graft
+
+import graft.plans.AsOf
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The native as-of join operator (custom LogicalPlan + Strategy +
+  * sort-merge SparkPlan). Semantics oracle: the composed range-join +
+  * max_by form (q09), plus hand-checked synthetic cases for the edges the
+  * testdata cannot produce (unmatched keys, ties, nulls, outer).
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def lDf: DataFrame = Seq(
+    (Option(1L), 10L, "l-a"),
+    (Option(1L), 5L, "l-b"),
+    (Option(2L), 7L, "l-c"),
+    (Option.empty[Long], 9L, "l-null"))
+    .toDF("k", "t", "ltag")
+
+  private def rDf: DataFrame = Seq(
+    (Option(1L), 6L, "r-old"),
+    (Option(1L), 10L, "r-new"),
+    (Option(3L), 1L, "r-other"),
+    (Option.empty[Long], 1L, "r-null"))
+    .toDF("k2", "rt", "rtag")
+
+  test("native as-of == composed range-join + max_by on real tables") {
+    val dir = sf("sf0.01")
+    val composed = queries.Catalog.queries("q09_asof_latest_order")(spark, dir)
+    val native = queries.Catalog.queries("q71_asof_native")(spark, dir)
+    assert(native.count() == composed.count())
+    assert(native.exceptAll(composed).isEmpty && composed.exceptAll(native).isEmpty)
+  }
+
+  test("inner: latest right row at or before each left time, per key") {
+    val out = AsOf.join(lDf, rDf, Seq("k"), Seq("k2"), "t", "rt")
+      .select($"ltag", $"rtag").as[(String, String)].collect().toSet
+    // (1,10) matches r-new (rt=10<=10); (1,5) has no right row at/before 5;
+    // (2,7) has no key-2 right rows; null keys never match
+    assert(out == Set(("l-a", "r-new")))
+  }
+
+  test("left outer keeps unmatched and null-key left rows with null right") {
+    val out = AsOf.join(lDf, rDf, Seq("k"), Seq("k2"), "t", "rt",
+        joinType = "left")
+      .select($"ltag", $"rtag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(out == Set(
+      ("l-a", Some("r-new")), ("l-b", None), ("l-c", None), ("l-null", None)))
+  }
+
+  test("tie-break picks the greatest tie-break column among equal times") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 10L, 3L, "three"), (1L, 10L, 9L, "nine"), (1L, 10L, 5L, "five"))
+      .toDF("k2", "rt", "seq", "rtag")
+    val out = AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt",
+        tieBreak = Seq("seq"))
+      .select($"rtag").as[String].collect().toSeq
+    assert(out == Seq("nine"))
+  }
+
+  test("plan shape: AsOfJoinExec with one exchange per side, no expansion") {
+    val dir = sf("sf0.01")
+    val e = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts_us")
+    val o = Tables.orders(spark, dir).select($"o_custkey", $"o_orderkey",
+      unix_micros($"o_orderdate".cast("timestamp")).as("od_us"))
+    val df = AsOf.join(e, o, Seq("user_id"), Seq("o_custkey"), "ts_us", "od_us",
+      tieBreak = Seq("o_orderkey"))
+    df.collect()
+    // AQE's toString prints final AND initial plans — count the final only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("AsOfJoin"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+    // the merge's output ordering comes for free from the child sorts
+    assert("Sort \\[".r.findAllIn(plan).size == 2, plan)
+  }
+
+  test("time columns must be LongType — timestamps are rejected eagerly") {
+    val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+      .toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("k2", "rt")
+    val err = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt")
+    }
+    assert(err.getMessage.contains("LongType"))
+  }
+}
