@@ -35,7 +35,9 @@ final case class AsOfJoinPlan(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    isLeftOuter: Boolean) extends BinaryNode {
+    isLeftOuter: Boolean,
+    forward: Boolean = false,
+    tolerance: Option[Long] = None) extends BinaryNode {
 
   override def output: Seq[Attribute] =
     if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -55,7 +57,7 @@ object AsOfJoinStrategy extends SparkStrategy {
     case j: AsOfJoinPlan =>
       AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
         j.rightKeys, j.leftTime, j.rightTime, j.rightTieBreak,
-        j.isLeftOuter) :: Nil
+        j.isLeftOuter, j.forward, j.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -68,7 +70,9 @@ final case class AsOfJoinExec(
     leftTime: Expression,
     rightTime: Expression,
     rightTieBreak: Seq[Expression],
-    isLeftOuter: Boolean) extends BinaryExecNode {
+    isLeftOuter: Boolean,
+    forward: Boolean,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -102,6 +106,8 @@ final case class AsOfJoinExec(
     val lTime = leftTime
     val rTime = rightTime
     val outer = isLeftOuter
+    val fwd = forward
+    val tol = tolerance
     val keyTypes = leftKeys.map(_.dataType)
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -124,6 +130,7 @@ final case class AsOfJoinExec(
         if (!rDone) advanceRight()
         private var candidate: InternalRow = _
         private var candidateKey: InternalRow = _
+        private var candidateTime: Long = 0L
         private var nextOut: InternalRow = _
 
         private def advanceRight(): Unit = {
@@ -150,17 +157,34 @@ final case class AsOfJoinExec(
               val lt = ltRaw.asInstanceOf[Long]
               // drop right state for keys before the current left key
               while (!rDone && keyOrd.compare(rHeadKey, lk) < 0) advanceRight()
-              // consume right rows of this key with time <= left time;
-              // the last one wins (sorted by time asc, tiebreak asc)
-              while (!rDone && keyOrd.compare(rHeadKey, lk) == 0 &&
-                  rTimeEval.eval(rHead).asInstanceOf[Long] <= lt) {
-                candidate = rHead.copy()
-                candidateKey = rHeadKey
-                advanceRight()
+              if (fwd) {
+                // FORWARD: earliest right row at/after lt. Left times
+                // ascend, so rows strictly before lt are dead for every
+                // later left row too — consume them; the head (if same
+                // key) is then the match, left unconsumed for reuse.
+                while (!rDone && keyOrd.compare(rHeadKey, lk) == 0 &&
+                    rTimeEval.eval(rHead).asInstanceOf[Long] < lt) advanceRight()
+                val hit = !rDone && keyOrd.compare(rHeadKey, lk) == 0 &&
+                  tol.forall(t =>
+                    rTimeEval.eval(rHead).asInstanceOf[Long] - lt <= t)
+                if (hit) nextOut = resultProj(joined(l, rHead))
+                else if (outer) nextOut = resultProj(joined(l, nullRight))
+              } else {
+                // BACKWARD: consume right rows of this key with time <= lt;
+                // the last one wins (sorted by time asc, tiebreak asc)
+                while (!rDone && keyOrd.compare(rHeadKey, lk) == 0 &&
+                    rTimeEval.eval(rHead).asInstanceOf[Long] <= lt) {
+                  candidateTime = rTimeEval.eval(rHead).asInstanceOf[Long]
+                  candidate = rHead.copy()
+                  candidateKey = rHeadKey
+                  advanceRight()
+                }
+                val hit = candidate != null &&
+                  keyOrd.compare(candidateKey, lk) == 0 &&
+                  tol.forall(t => lt - candidateTime <= t)
+                if (hit) nextOut = resultProj(joined(l, candidate))
+                else if (outer) nextOut = resultProj(joined(l, nullRight))
               }
-              val hit = candidate != null && keyOrd.compare(candidateKey, lk) == 0
-              if (hit) nextOut = resultProj(joined(l, candidate))
-              else if (outer) nextOut = resultProj(joined(l, nullRight))
             } else if (outer) {
               nextOut = resultProj(joined(l, nullRight))
             }
@@ -202,6 +226,13 @@ object AsOf {
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
   }
 
+  /** @param direction "backward" (default; latest right row at/before the
+    *   left time — ties resolved to the greatest tieBreak) or "forward"
+    *   (earliest right row at/after — ties resolved to the least tieBreak).
+    * @param tolerance max |left time − right time| in the time column's
+    *   units for a match to count (None = unbounded) — the pandas
+    *   merge_asof surface.
+    */
   def join(
       left: DataFrame,
       right: DataFrame,
@@ -210,9 +241,14 @@ object AsOf {
       leftTime: String,
       rightTime: String,
       tieBreak: Seq[String] = Nil,
-      joinType: String = "inner"): DataFrame = {
+      joinType: String = "inner",
+      direction: String = "backward",
+      tolerance: Option[Long] = None): DataFrame = {
     require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
       "as-of join needs equally many left and right keys")
+    require(direction == "backward" || direction == "forward",
+      s"as-of direction must be backward or forward, got '$direction'")
+    require(tolerance.forall(_ >= 0), "as-of tolerance must be >= 0")
     val isOuter = joinType match {
       case "inner" => false
       case "left" | "left_outer" => true
@@ -234,6 +270,7 @@ object AsOf {
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
       AsOfJoinPlan(lPlan, rPlan,
         leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
-        lt, rt, tieBreak.map(resolve(rPlan, _)), isOuter))
+        lt, rt, tieBreak.map(resolve(rPlan, _)), isOuter,
+        forward = direction == "forward", tolerance = tolerance))
   }
 }

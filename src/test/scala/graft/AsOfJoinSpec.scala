@@ -61,6 +61,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out == Seq("nine"))
   }
 
+  test("forward direction matches the earliest right row at/after the left time") {
+    val out = AsOf.join(lDf, rDf, Seq("k"), Seq("k2"), "t", "rt",
+        direction = "forward", joinType = "left")
+      .select($"ltag", $"rtag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    // (1,10) -> rt=10; (1,5) -> rt=6 (earliest at/after 5); (2,7) -> none
+    assert(out == Set(
+      ("l-a", Some("r-new")), ("l-b", Some("r-old")), ("l-c", None), ("l-null", None)))
+  }
+
+  test("tolerance bounds the time gap in both directions") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 6L, "past"), (1L, 14L, "future")).toDF("k2", "rt", "rtag")
+    def run(dir: String, tol: Option[Long]) =
+      AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt",
+          joinType = "left", direction = dir, tolerance = tol)
+        .select($"rtag").collect().map(r => Option(r.getString(0))).toSeq
+    assert(run("backward", Some(3L)) == Seq(None))        // gap 4 > 3
+    assert(run("backward", Some(4L)) == Seq(Some("past")))
+    assert(run("forward", Some(3L)) == Seq(None))         // gap 4 > 3
+    assert(run("forward", Some(4L)) == Seq(Some("future")))
+  }
+
   test("plan shape: AsOfJoinExec with one exchange per side, no expansion") {
     val dir = sf("sf0.01")
     val e = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts_us")
