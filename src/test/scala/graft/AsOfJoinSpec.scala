@@ -101,6 +101,29 @@ class AsOfJoinSpec extends SparkSpec {
     assert("Sort \\[".r.findAllIn(plan).size == 2, plan)
   }
 
+  test("randomized equivalence vs composed max_by form (200 x 300 rows, seeded)") {
+    // adversarial shape: few keys (collisions), few distinct times (ties),
+    // duplicate (key, time) pairs on both sides
+    val rnd = new scala.util.Random(42)
+    val l = (1 to 200).map(i => (rnd.nextInt(8).toLong, rnd.nextInt(20).toLong, i.toLong))
+      .toDF("k", "t", "lid")
+    val r = (1 to 300).map(i => (rnd.nextInt(8).toLong, rnd.nextInt(20).toLong, i.toLong))
+      .toDF("k2", "rt", "rid")
+    val native = AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt",
+        tieBreak = Seq("rid"))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val composed = l.join(r, $"k" === $"k2" && $"rt" <= $"t")
+      .groupBy($"lid")
+      .agg(max_by($"rid", struct($"rt", $"rid")).as("rid"))
+      .as[(Long, Long)].collect().toSet
+    assert(native == composed)
+    assert(native.nonEmpty)
+    // and the left-outer row count is exactly the left side
+    val outer = AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt",
+      tieBreak = Seq("rid"), joinType = "left")
+    assert(outer.count() == 200)
+  }
+
   test("time columns must be LongType — timestamps are rejected eagerly") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("k", "t")
