@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.{
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
 
 /** Native AS-OF JOIN — the whole-operator extension path (SURVEY §4.2c):
@@ -78,6 +79,10 @@ final case class AsOfJoinExec(
     if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
     else left.output ++ right.output
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
   // SMJ-shaped requirements: hash-cluster both sides on the key,
   // sort (key, time[, tiebreak]) within partitions. EnsureRequirements
   // inserts the exchanges/sorts and aligns partition counts.
@@ -109,6 +114,8 @@ final case class AsOfJoinExec(
     val fwd = forward
     val tol = tolerance
     val keyTypes = leftKeys.map(_.dataType)
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -167,7 +174,7 @@ final case class AsOfJoinExec(
                 val hit = !rDone && keyOrd.compare(rHeadKey, lk) == 0 &&
                   tol.forall(t =>
                     rTimeEval.eval(rHead).asInstanceOf[Long] - lt <= t)
-                if (hit) nextOut = resultProj(joined(l, rHead))
+                if (hit) { numMatched += 1; nextOut = resultProj(joined(l, rHead)) }
                 else if (outer) nextOut = resultProj(joined(l, nullRight))
               } else {
                 // BACKWARD: consume right rows of this key with time <= lt;
@@ -182,7 +189,7 @@ final case class AsOfJoinExec(
                 val hit = candidate != null &&
                   keyOrd.compare(candidateKey, lk) == 0 &&
                   tol.forall(t => lt - candidateTime <= t)
-                if (hit) nextOut = resultProj(joined(l, candidate))
+                if (hit) { numMatched += 1; nextOut = resultProj(joined(l, candidate)) }
                 else if (outer) nextOut = resultProj(joined(l, nullRight))
               }
             } else if (outer) {
@@ -200,6 +207,7 @@ final case class AsOfJoinExec(
           if (!hasNext) throw new NoSuchElementException
           val r = nextOut
           nextOut = null
+          numOutputRows += 1
           r
         }
       }

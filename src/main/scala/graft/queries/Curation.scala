@@ -331,6 +331,26 @@ object Curation {
       |WHERE rk <= 20
       |ORDER BY lang, rk""".stripMargin
 
+  /** The q64 split assignment as a reusable column (same md5-derived
+    * bucketing, so [[writeSplits]] output provably agrees with the
+    * oracle-checked query).
+    */
+  def splitCol(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val bucket = TextHash.h60(idCol.cast("string")) % 100
+    when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Materialize the curated corpus as training shards: parquet partitioned
+    * by (split, lang), so "read the train split for language X" is
+    * directory pruning — the scan never opens other partitions' files. At
+    * cluster scale add `.bucketBy(n, "doc_id")` (table sink) for
+    * co-located downstream joins.
+    */
+  def writeSplits(docs: DataFrame, path: String): Unit =
+    docs.withColumn("split", splitCol(col("doc_id")))
+      .write.partitionBy("split", "lang").mode("overwrite").parquet(path)
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_incremental_dedup", q63, Some(q63Sql)),
     QueryDef("q64_hash_split", q64, Some(q64Sql)),
