@@ -267,6 +267,44 @@ object Relational {
       |WHERE rn = 1
       |ORDER BY event_id""".stripMargin
 
+  /** B10 — FORWARD as-of with tolerance via the native operator: each
+    * click's next purchase by the same user within one hour (left outer —
+    * clicks without a purchase keep NULLs). The funnel twin of the
+    * stream-stream join q62, here as one merge pass instead of a range
+    * join; forward ties resolve to the least event_id.
+    */
+  private def q72(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), col("user_id").as("p_user"),
+        col("ts_us").as("p_ts_us"))
+    graft.plans.AsOf.join(c, p, Seq("user_id"), Seq("p_user"),
+        "ts_us", "p_ts_us", tieBreak = Seq("p_event_id"),
+        joinType = "left", direction = "forward",
+        tolerance = Some(3600000000L))
+      .select(col("event_id"), col("p_event_id").as("next_purchase_id"),
+        (col("p_ts_us") - col("ts_us")).as("gap_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val q72Sql =
+    """SELECT event_id, next_purchase_id, gap_us
+      |FROM (
+      |  SELECT c.event_id, p.event_id AS next_purchase_id,
+      |    epoch_us(p.ts) - epoch_us(c.ts) AS gap_us,
+      |    ROW_NUMBER() OVER (PARTITION BY c.event_id
+      |      ORDER BY epoch_us(p.ts) ASC, p.event_id ASC) AS rn
+      |  FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |  LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      |    ON p.user_id = c.user_id
+      |    AND epoch_us(p.ts) >= epoch_us(c.ts)
+      |    AND epoch_us(p.ts) <= epoch_us(c.ts) + 3600000000
+      |) t
+      |WHERE rn = 1
+      |ORDER BY event_id""".stripMargin
+
   /** B4 + skew salting — the salted equi-join operator, oracle-checked by
     * construction: salting only changes the shuffle layout, so the result
     * must equal the PLAIN join (which is exactly what the oracle SQL runs).
@@ -611,6 +649,7 @@ object Relational {
     QueryDef("q08_range_join_events", q08, Some(q08Sql)),
     QueryDef("q09_asof_latest_order", q09, Some(q09Sql)),
     QueryDef("q71_asof_native", q71, Some(q71Sql)),
+    QueryDef("q72_next_purchase_asof", q72, Some(q72Sql)),
     QueryDef("q10_rollup", q10, Some(q10Sql)),
     QueryDef("q11_cube", q11, Some(q11Sql)),
     QueryDef("q12_window_rank", q12, Some(q12Sql)),

@@ -49,6 +49,36 @@ class ApproxSpec extends SparkSpec {
     assert(err <= 0.05, s"merged=$merged exact=$exact err=$err")
   }
 
+  test("count-min sketch over-estimates within eps*N and never under-counts") {
+    import org.apache.spark.util.sketch.CountMinSketch
+    val docs = Tables.documents(spark, dir)
+      .select(explode(split(col("text"), " ")).as("word"))
+    val bytes = docs
+      .agg(expr("count_min_sketch(word, 0.001d, 0.99d, 1)")).head()
+      .getAs[Array[Byte]](0)
+    val cms = CountMinSketch.readFrom(new java.io.ByteArrayInputStream(bytes))
+    val exact = docs.groupBy("word").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = exact.map(_._2).sum
+    exact.foreach { case (w, c) =>
+      val est = cms.estimateCount(w)
+      assert(est >= c, s"CMS under-counted '$w': $est < $c")
+      assert(est <= c + (0.001 * n).toLong + 1, s"'$w': est=$est exact=$c n=$n")
+    }
+  }
+
+  test("bloom filter prefilter: no false negatives on indexed doc hashes") {
+    val docs = Tables.documents(spark, dir)
+    val existing = docs.filter(col("doc_id") < 300).select(md5(col("text")).as("h"))
+    val bf = existing.stat.bloomFilter("h", expectedNumItems = 1000, fpp = 0.01)
+    // every indexed hash must hit (a miss would silently skip a real dup)
+    val misses = existing.collect().count(r => !bf.mightContain(r.getString(0)))
+    assert(misses == 0)
+    // and the filter is selective on genuinely new content
+    val novel = (1 to 1000).count(i => bf.mightContain(s"definitely-not-a-doc-$i"))
+    assert(novel <= 50, s"fpp blowout: $novel/1000")
+  }
+
   test("approx_percentile brackets the exact median") {
     val li = Tables.lineitem(spark, dir)
     val approx = li.agg(
