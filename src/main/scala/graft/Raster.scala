@@ -62,6 +62,32 @@ object Raster {
     out.write.mode("overwrite").option("sep", sep).option("header", true).csv(output)
   }
 
+  /** Zonal statistics over a raster point table: grid cells of
+    * `cellDeg`×`cellDeg` degrees keyed by the cell's SW corner, with
+    * count / mean / min / max per value column (and summed area when
+    * present). The raster analog of a GROUP BY rollup — one hash
+    * aggregate with map-side partials, so zone summaries of a
+    * continent-scale raster shuffle only (zones × columns) rows. Composes
+    * with the source's lon/lat window pruning: filter the frame first and
+    * only intersecting raster windows are ever decoded.
+    */
+  def zonalStats(points: DataFrame, cellDeg: Double): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cellDeg > 0, s"cellDeg must be positive, got $cellDeg")
+    val valueCols = points.columns.filterNot(Seq("lon", "lat", "area").contains)
+    val aggs = valueCols.flatMap { c =>
+      Seq(count(col(c)).as(s"${c}_n"), avg(col(c)).as(s"${c}_mean"),
+        min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
+    } ++ (if (points.columns.contains("area"))
+      Seq(sum(col("area")).as("area_sum")) else Nil)
+    points
+      .groupBy(
+        (floor(col("lon") / cellDeg) * cellDeg).as("cell_lon"),
+        (floor(col("lat") / cellDeg) * cellDeg).as("cell_lat"))
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(col("cell_lon"), col("cell_lat"))
+  }
+
   /** Parsed CLI arguments (extracted from main so the flag grammar is
     * directly testable without building a session).
     */

@@ -18,6 +18,26 @@ class GeoTiffSourceSpec extends SparkSpec {
   private lazy val shifted = TiffFixtures.write(s"$tmp/shift.tif", 10, 8, TiffFixtures.F32,
     (c, r) => 1.0, 10.25, 50.0, 0.5, Some("-9999"))
 
+  test("zonal stats: grid-cell aggregates match a driver-side recompute") {
+    val pts = Raster.raster2df(spark, Seq(f32), calcArea = true)
+    val zs = Raster.zonalStats(pts, cellDeg = 2.0).collect()
+    // reference: same cells computed in plain Scala from the point rows
+    val rows = pts.collect().map(r =>
+      (r.getDouble(0), r.getDouble(1), r.getFloat(2).toDouble, r.getDouble(3)))
+    val expect = rows.groupBy { case (lon, lat, _, _) =>
+      (math.floor(lon / 2.0) * 2.0, math.floor(lat / 2.0) * 2.0) }
+    assert(zs.length == expect.size)
+    zs.foreach { r =>
+      val key = (r.getDouble(0), r.getDouble(1))
+      val cell = expect(key)
+      assert(r.getLong(2) == cell.length)                       // val1_n
+      assert(math.abs(r.getDouble(3) - cell.map(_._3).sum / cell.length) < 1e-9)
+      assert(r.getFloat(4).toDouble == cell.map(_._3).min)      // min (f32 exact)
+      assert(r.getFloat(5).toDouble == cell.map(_._3).max)
+      assert(math.abs(r.getDouble(6) - cell.map(_._4).sum) < 1e-6) // area_sum
+    }
+  }
+
   test("tag scanner reads geometry and nodata") {
     val m = graft.sources.tiff.TiffTags.read(f32)
     assert(m.width == 10 && m.height == 8)
