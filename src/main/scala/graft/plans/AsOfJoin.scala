@@ -7,7 +7,9 @@ import org.apache.spark.sql.catalyst.expressions.{
   Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
-import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{
+  BroadcastDistribution, ClusteredDistribution, Distribution,
+  IdentityBroadcastMode, UnspecifiedDistribution}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.LongType
@@ -49,16 +51,29 @@ final case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
-/** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. Installed per-session via
-  * [[AsOf.install]] (experimental.extraStrategies) or cluster-wide via
+/** Plans [[AsOfJoinPlan]] physically — with the same size-based judgment
+  * Spark applies to equi-joins (BroadcastHashJoin vs SortMergeJoin): a
+  * right side under `spark.sql.autoBroadcastJoinThreshold` is broadcast
+  * ([[AsOfJoinBroadcastExec]] — the LEFT side is neither shuffled nor
+  * sorted, the dominant win when a petabyte fact stream joins a dim-sized
+  * reference history); otherwise both sides shuffle-sort-merge
+  * ([[AsOfJoinExec]]). Installed per-session via [[AsOf.install]]
+  * (experimental.extraStrategies) or cluster-wide via
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
-      AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
-        j.rightKeys, j.leftTime, j.rightTime, j.rightTieBreak,
-        j.isLeftOuter, j.forward, j.tolerance) :: Nil
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      if (threshold > 0 && j.right.stats.sizeInBytes <= threshold)
+        AsOfJoinBroadcastExec(planLater(j.left), planLater(j.right),
+          j.leftKeys, j.rightKeys, j.leftTime, j.rightTime, j.rightTieBreak,
+          j.isLeftOuter, j.forward, j.tolerance) :: Nil
+      else
+        AsOfJoinExec(planLater(j.left), planLater(j.right), j.leftKeys,
+          j.rightKeys, j.leftTime, j.rightTime, j.rightTieBreak,
+          j.isLeftOuter, j.forward, j.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -216,6 +231,140 @@ final case class AsOfJoinExec(
 
   override protected def withNewChildrenInternal(
       newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast variant: the right side arrives whole at every task
+  * (IdentityBroadcastMode); each partition builds key → time-sorted rows
+  * once, then answers every left row with a binary search — the LEFT side
+  * keeps its partitioning AND ordering, no shuffle, no sort. This is the
+  * 100 TB fast path: an events stream as-of-joining a dim-sized reference
+  * history touches the fact table exactly once, in place. Build cost is
+  * per-task (like BroadcastNestedLoopJoin's relation scan) — fine for a
+  * right side that fit under the broadcast threshold to begin with.
+  */
+final case class AsOfJoinBroadcastExec(
+    left: SparkPlan,
+    right: SparkPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    rightTieBreak: Seq[Expression],
+    isLeftOuter: Boolean,
+    forward: Boolean,
+    tolerance: Option[Long]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    if (isLeftOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"),
+    "numMatched" -> SQLMetrics.createMetric(sparkContext, "number of matched left rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    Seq(UnspecifiedDistribution, BroadcastDistribution(IdentityBroadcastMode))
+
+  // the left side passes through untouched — partitioning and ordering
+  // survive, so downstream stages reuse them
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val rTie = rightTieBreak
+    val outer = isLeftOuter
+    val fwd = forward
+    val tol = tolerance
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatched = longMetric("numMatched")
+    val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val rTimeEval = BindReferences.bindReference(rTime, rOut)
+      val rowOrd = RowOrdering.create(
+        SortOrder(rTime, Ascending) +: rTie.map(SortOrder(_, Ascending)), rOut)
+      // key -> rows sorted by (time asc, tiebreak asc) + parallel times array
+      val index = new java.util.HashMap[InternalRow, (Array[Long], Array[InternalRow])]()
+      locally {
+        val grouped = new java.util.HashMap[InternalRow, scala.collection.mutable.ArrayBuffer[InternalRow]]()
+        broadcastRows.value.foreach { r =>
+          val k = rKeyProj(r)
+          if (!k.anyNull && rTimeEval.eval(r) != null) {
+            var buf = grouped.get(k)
+            if (buf == null) {
+              buf = new scala.collection.mutable.ArrayBuffer[InternalRow]
+              grouped.put(k.copy(), buf)
+            }
+            buf += r.copy()
+          }
+        }
+        grouped.forEach { (k, buf) =>
+          val sorted = buf.sorted(rowOrd.asInstanceOf[Ordering[InternalRow]]).toArray
+          index.put(k, (sorted.map(rTimeEval.eval(_).asInstanceOf[Long]), sorted))
+        }
+      }
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val lTimeEval = BindReferences.bindReference(lTime, lOut)
+      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(rOut.length)
+
+      // greatest idx with times(idx) <= t, or -1 (ties adjacent: the last
+      // has the greatest tiebreak); forward uses lower-bound instead
+      def upperIdx(times: Array[Long], t: Long): Int = {
+        var lo = 0; var hi = times.length - 1; var res = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (times(mid) <= t) { res = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        res
+      }
+      def lowerIdx(times: Array[Long], t: Long): Int = {
+        var lo = 0; var hi = times.length - 1; var res = times.length
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (times(mid) >= t) { res = mid; hi = mid - 1 } else lo = mid + 1
+        }
+        res
+      }
+
+      lIter.flatMap { l =>
+        val lk = lKeyProj(l)
+        val ltRaw = if (lk.anyNull) null else lTimeEval.eval(l)
+        val grp = if (ltRaw == null) null else index.get(lk)
+        var hit: InternalRow = null
+        if (grp != null) {
+          val lt = ltRaw.asInstanceOf[Long]
+          val (times, rows) = grp
+          if (fwd) {
+            val i = lowerIdx(times, lt)
+            if (i < times.length && tol.forall(times(i) - lt <= _)) hit = rows(i)
+          } else {
+            val i = upperIdx(times, lt)
+            if (i >= 0 && tol.forall(lt - times(i) <= _)) hit = rows(i)
+          }
+        }
+        if (hit != null) {
+          numMatched += 1; numOutputRows += 1
+          Iterator.single(resultProj(joined(l, hit)))
+        } else if (outer) {
+          numOutputRows += 1
+          Iterator.single(resultProj(joined(l, nullRight)))
+        } else Iterator.empty
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinBroadcastExec =
     copy(left = newLeft, right = newRight)
 }
 

@@ -84,21 +84,53 @@ class AsOfJoinSpec extends SparkSpec {
     assert(run("forward", Some(4L)) == Seq(Some("future")))
   }
 
-  test("plan shape: AsOfJoinExec with one exchange per side, no expansion") {
+  private def withThreshold[A](v: String)(f: => A): A = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", v)
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  private def realTableJoin = {
     val dir = sf("sf0.01")
     val e = Tables.events(spark, dir).select($"event_id", $"user_id", $"ts_us")
     val o = Tables.orders(spark, dir).select($"o_custkey", $"o_orderkey",
       unix_micros($"o_orderdate".cast("timestamp")).as("od_us"))
-    val df = AsOf.join(e, o, Seq("user_id"), Seq("o_custkey"), "ts_us", "od_us",
+    AsOf.join(e, o, Seq("user_id"), Seq("o_custkey"), "ts_us", "od_us",
       tieBreak = Seq("o_orderkey"))
+  }
+
+  test("plan shape, merge path: one exchange + one sort per side, no expansion") {
+    withThreshold("-1") {
+      val df = realTableJoin
+      df.collect()
+      // AQE's toString prints final AND initial plans — count the final only
+      val plan = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("AsOfJoin"), plan)
+      assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
+      // the merge's output ordering comes for free from the child sorts
+      assert("Sort \\[".r.findAllIn(plan).size == 2, plan)
+    }
+  }
+
+  test("plan shape, broadcast path: dim-sized right broadcasts, left untouched") {
+    val df = realTableJoin
     df.collect()
-    // AQE's toString prints final AND initial plans — count the final only
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert(plan.contains("AsOfJoin"), plan)
-    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 2, plan)
-    // the merge's output ordering comes for free from the child sorts
-    assert("Sort \\[".r.findAllIn(plan).size == 2, plan)
+    assert(plan.contains("AsOfJoinBroadcast"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 0, plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert("Sort \\[".r.findAllIn(plan).size == 0, plan)
+  }
+
+  test("broadcast and merge paths return identical results") {
+    val viaBroadcast = realTableJoin.orderBy($"event_id").collect().toSeq
+    val viaMerge = withThreshold("-1") {
+      realTableJoin.orderBy($"event_id").collect().toSeq
+    }
+    assert(viaBroadcast == viaMerge)
+    assert(viaBroadcast.nonEmpty)
   }
 
   test("randomized equivalence vs composed max_by form (200 x 300 rows, seeded)") {
@@ -109,19 +141,31 @@ class AsOfJoinSpec extends SparkSpec {
       .toDF("k", "t", "lid")
     val r = (1 to 300).map(i => (rnd.nextInt(8).toLong, rnd.nextInt(20).toLong, i.toLong))
       .toDF("k2", "rt", "rid")
-    val native = AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt",
+    def native = AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt",
         tieBreak = Seq("rid"))
       .select($"lid", $"rid").as[(Long, Long)].collect().toSet
     val composed = l.join(r, $"k" === $"k2" && $"rt" <= $"t")
       .groupBy($"lid")
       .agg(max_by($"rid", struct($"rt", $"rid")).as("rid"))
       .as[(Long, Long)].collect().toSet
-    assert(native == composed)
+    assert(native == composed)                    // broadcast path (small right)
+    assert(withThreshold("-1")(native) == composed) // shuffle-merge path
     assert(native.nonEmpty)
     // and the left-outer row count is exactly the left side
     val outer = AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt",
       tieBreak = Seq("rid"), joinType = "left")
     assert(outer.count() == 200)
+    // forward with tolerance vs the composed min_by form
+    val tol = 5L
+    val nativeFwd = AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt",
+        tieBreak = Seq("rid"), direction = "forward", tolerance = Some(tol))
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    val composedFwd = l.join(r, $"k" === $"k2" && $"rt" >= $"t" && $"rt" <= $"t" + tol)
+      .groupBy($"lid")
+      .agg(min_by($"rid", struct($"rt", $"rid")).as("rid"))
+      .as[(Long, Long)].collect().toSet
+    assert(nativeFwd == composedFwd)
+    assert(nativeFwd.nonEmpty)
   }
 
   test("time columns must be LongType — timestamps are rejected eagerly") {
