@@ -331,6 +331,57 @@ object Curation {
       |WHERE rk <= 20
       |ORDER BY lang, rk""".stripMargin
 
+  /** Language-model quality score (CCNet family): train a char-bigram
+    * model on the corpus itself (counts → probabilities), score each doc
+    * by its mean log-probability. Documents whose character statistics
+    * diverge from the corpus (mojibake, binary spill, wrong language)
+    * score low. Two hash aggregations + one broadcast scalar; the model
+    * join is a broadcast (distinct bigrams ≪ corpus). Cross-engine float
+    * exactness: each ln(p) is snapped to a 1e-6 integer grid and summed
+    * as BIGINT — identical in both engines — then the final division is
+    * floor-rounded (negative scores: round() HALF_UP vs half-even
+    * diverges, floor(x·1e4+0.5) does not).
+    */
+  private def q73(s: SparkSession, dir: String): DataFrame = {
+    val bigrams = explode(
+      when(length(col("text")) >= 2,
+        transform(sequence(lit(1), length(col("text")) - 1),
+          i => col("text").substr(i, lit(2))))
+        .otherwise(array().cast("array<string>"))).as("bg")
+    val bg = Tables.documents(s, dir).select(col("doc_id"), bigrams)
+    val docBg = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("mc"))
+    val total = bg.agg(count(lit(1)).as("n_total"))
+    val term = floor(
+      log(col("mc").cast("double") / col("n_total")) * 1e6 + 0.5).cast("long")
+    val raw = sum(col("c") * col("term")).cast("double") / 1e6 / sum(col("c"))
+    docBg.join(broadcast(model), "bg").crossJoin(broadcast(total))
+      .withColumn("term", term)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (floor(raw * 10000 + 0.5) / 10000.0).as("lm_score"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q73Sql =
+    """WITH bg AS (
+      |  SELECT doc_id, unnest(list_transform(
+      |    generate_series(1, length(text) - 1), i -> substr(text, i, 2))) AS bg
+      |  FROM documents
+      |), model AS (
+      |  SELECT bg, COUNT(*) AS mc FROM bg GROUP BY 1
+      |), tot AS (
+      |  SELECT COUNT(*) AS n_total FROM bg
+      |), docbg AS (
+      |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |  FLOOR(CAST(SUM(c * CAST(FLOOR(ln(mc / n_total) * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+      |    / 1000000.0 / SUM(c) * 10000 + 0.5) / 10000.0 AS lm_score
+      |FROM docbg JOIN model USING (bg), tot
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin
+
   /** The q64 split assignment as a reusable column (same md5-derived
     * bucketing, so [[writeSplits]] output provably agrees with the
     * oracle-checked query).
@@ -359,5 +410,6 @@ object Curation {
     QueryDef("q67_decontaminate", q67, Some(q67Sql)),
     QueryDef("q68_cluster_keep_best", q68, Some(q68Sql)),
     QueryDef("q69_corpus_shuffle", q69, Some(q69Sql)),
-    QueryDef("q70_balanced_sample", q70, Some(q70Sql)))
+    QueryDef("q70_balanced_sample", q70, Some(q70Sql)),
+    QueryDef("q73_lm_score", q73, Some(q73Sql)))
 }
