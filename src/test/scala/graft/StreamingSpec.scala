@@ -159,6 +159,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((10L, 1L), (12L, 1L)))
   }
 
+  test("stream-static as-of enrichment: each event joins its reference version") {
+    // the classic enrichment shape: a stream as-of-joins a versioned
+    // static reference (broadcast path — stateless per micro-batch)
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      (1L, 0L, "v1"), (1L, 20L, "v2"),   // user 1: v2 from t=20
+      (2L, 5L, "v1"))
+      .toDF("r_user", "r_ts", "version")
+    val input = MemoryStream[Event]
+    val stream = input.toDF()
+      .select($"event_id", $"user_id", unix_micros($"ts").as("ts_l"))
+    val joinedDf = graft.plans.AsOf.join(
+      stream, ref.withColumn("r_ts_us", $"r_ts" * 60000000L + 1440L * 60000000L)
+        .select($"r_user", $"r_ts_us", $"version"),
+      Seq("user_id"), Seq("r_user"), "ts_l", "r_ts_us", joinType = "left")
+    val q = joinedDf.select($"event_id", $"version").writeStream
+      .format("memory").queryName("t_asof_enrich")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq(
+        Event(1, 1, "click", ts(10), 1.0),   // before user-1 v2 -> v1
+        Event(2, 1, "click", ts(25), 1.0),   // after t=20 -> v2
+        Event(3, 2, "view", ts(2), 1.0),     // user 2 -> v1 (from t=5? no: t=2 < 5 -> NULL)
+        Event(4, 3, "view", ts(9), 1.0)))    // unknown user -> NULL
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_asof_enrich").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(got == Map(1L -> Some("v1"), 2L -> Some("v2"),
+      3L -> None, 4L -> None))
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
