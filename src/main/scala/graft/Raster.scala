@@ -75,7 +75,9 @@ object Raster {
     import org.apache.spark.sql.functions._
     require(cellDeg > 0, s"cellDeg must be positive, got $cellDeg")
     val valueCols = points.columns.filterNot(Seq("lon", "lat", "area").contains)
-    val aggs = valueCols.flatMap { c =>
+    // n_pixels leads so the aggregation list is never empty (a lon/lat-only
+    // frame is a valid count-per-cell rollup, not a crash)
+    val aggs = Seq(count(lit(1)).as("n_pixels")) ++ valueCols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}_n"), avg(col(c)).as(s"${c}_mean"),
         min(col(c)).as(s"${c}_min"), max(col(c)).as(s"${c}_max"))
     } ++ (if (points.columns.contains("area"))

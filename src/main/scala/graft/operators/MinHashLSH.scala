@@ -138,19 +138,47 @@ final case class MinHashLSH(
     * buckets it touches, never with corpus size. Returns distinct
     * (new_id, index_id) pairs; self-matches (same id on both sides, e.g.
     * re-ingested rows) are dropped.
+    *
+    * `maxBucket` drops index buckets larger than the cap before the join —
+    * the same mega-bucket guard candidatePairs applies: one degenerate
+    * boilerplate bucket in the index would otherwise cost
+    * batch-bucket x index-bucket rows per arriving batch. Disabled <= 0.
     */
   def candidatesAgainstIndex(
       newDf: DataFrame,
       idCol: String,
       textCol: String,
-      index: DataFrame): DataFrame = {
+      index: DataFrame,
+      maxBucket: Int = 0): DataFrame =
+    rawCandidatesAgainstIndex(newDf, idCol, textCol, index, maxBucket)
+      .distinct()
+
+  /** [[candidatesAgainstIndex]] without the trailing distinct — the shared
+    * core for the streaming path, where a global distinct is an aggregation
+    * the sink mode may not allow (Streams.streamDedupAgainstIndex uses
+    * stateful dropDuplicates instead).
+    */
+  def rawCandidatesAgainstIndex(
+      newDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      index: DataFrame,
+      maxBucket: Int = 0): DataFrame = {
+    val idx =
+      if (maxBucket <= 0) index
+      else {
+        val hot = index.groupBy(col("band"), col("key"))
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket)
+          .select(col("band"), col("key"))
+        index.join(hot, Seq("band", "key"), "left_anti")
+      }
     val batch = bandIndex(newDf, idCol, textCol)
     batch.as("n")
-      .join(index.as("x"),
+      .join(idx.as("x"),
         col("n.band") === col("x.band") && col("n.key") === col("x.key"))
       .filter(col("n.id") =!= col("x.id"))
       .select(col("n.id").as("new_id"), col("x.id").as("index_id"))
-      .distinct()
   }
 
   /** Exact set-Jaccard verification of candidate pairs — the standard

@@ -131,13 +131,19 @@ final case class AsOfJoinExec(
     val keyTypes = leftKeys.map(_.dataType)
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
+    // project OUTPUT attrs bound against THEMSELVES (right side
+    // nullability-adjusted for outer), as Spark's join execs do: binding
+    // against the raw child attrs takes nullability from the non-nullable
+    // input schema, codegen skips the null check, and the all-null pad row
+    // reads back as 0s
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
       val lTimeEval = BindReferences.bindReference(lTime, lOut)
       val rTimeEval = BindReferences.bindReference(rTime, rOut)
       val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
-      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
 
@@ -285,6 +291,7 @@ final case class AsOfJoinBroadcastExec(
     val tol = tolerance
     val numOutputRows = longMetric("numOutputRows")
     val numMatched = longMetric("numMatched")
+    val outAttrs = output
     val broadcastRows = right.executeBroadcast[Array[InternalRow]]()
     left.execute().mapPartitions { lIter =>
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -313,7 +320,8 @@ final case class AsOfJoinBroadcastExec(
       }
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val lTimeEval = BindReferences.bindReference(lTime, lOut)
-      val resultProj = UnsafeProjection.create(lOut ++ rOut, lOut ++ rOut)
+      // output attrs bound against themselves — see AsOfJoinExec (null pad)
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rOut.length)
 
@@ -416,17 +424,32 @@ object AsOf {
     install(spark)
     val lPlan = left.queryExecution.analyzed
     val rPlan = right.queryExecution.analyzed
+    // session resolver, not ==: column lookup must follow
+    // spark.sql.caseSensitive like every other reference in the query
+    val resolver = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.analyzer.resolver
     def resolve(plan: LogicalPlan, name: String): Attribute =
-      plan.output.find(_.name == name).getOrElse(throw new IllegalArgumentException(
-        s"column '$name' not in ${plan.output.map(_.name).mkString("[", ",", "]")}"))
+      plan.output.find(a => resolver(a.name, name)).getOrElse(
+        throw new IllegalArgumentException(
+          s"column '$name' not in ${plan.output.map(_.name).mkString("[", ",", "]")}"))
     val lt = resolve(lPlan, leftTime)
     val rt = resolve(rPlan, rightTime)
     require(lt.dataType == LongType && rt.dataType == LongType,
       s"as-of time columns must be LongType epoch micros, got " +
         s"(${lt.dataType.simpleString}, ${rt.dataType.simpleString})")
+    val lk = leftKeys.map(resolve(lPlan, _))
+    val rk = rightKeys.map(resolve(rPlan, _))
+    // mismatched key types would compare raw UnsafeRow bytes of different
+    // widths — silently empty results, not an error — so reject eagerly
+    // (a normal equi-join would insert casts; here the caller casts)
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key types must match exactly: '${a.name}' is " +
+          s"${a.dataType.simpleString} but '${b.name}' is " +
+          s"${b.dataType.simpleString} — cast one side first")
+    }
     org.apache.spark.sql.graftbridge.Bridge.ofRows(spark,
-      AsOfJoinPlan(lPlan, rPlan,
-        leftKeys.map(resolve(lPlan, _)), rightKeys.map(resolve(rPlan, _)),
+      AsOfJoinPlan(lPlan, rPlan, lk, rk,
         lt, rt, tieBreak.map(resolve(rPlan, _)), isOuter,
         forward = direction == "forward", tolerance = tolerance))
   }

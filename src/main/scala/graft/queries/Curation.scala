@@ -37,10 +37,14 @@ object Curation {
     val index = lsh.bandIndex(existing, "doc_id", "text")
     val cands = lsh.candidatesAgainstIndex(batch, "doc_id", "text", index)
       .select(col("new_id").as("id_a"), col("index_id").as("id_b"))
+    // floor(x*1e4+0.5), not round(): |intersect|/|union| can have a
+    // power-of-two denominator, landing exactly on the .5 boundary where
+    // Spark (HALF_UP) and DuckDB (half-even) disagree (q66 convention)
+    val j4 = floor(col("jaccard") * 10000 + 0.5) / 10000.0
     lsh.verifyJaccard(cands, docs, "doc_id", "text")
-      .filter(round(col("jaccard"), 4) >= 0.6)
+      .filter(j4 >= 0.6)
       .select(col("id_a").as("new_id"), col("id_b").as("match_id"),
-        round(col("jaccard"), 4).as("jaccard"))
+        j4.as("jaccard"))
       .orderBy(col("new_id"), col("match_id"))
   }
 
@@ -62,13 +66,13 @@ object Curation {
       |  WHERE n.doc_id >= 300 AND x.doc_id < 300
       |)
       |SELECT c.new_id, c.match_id,
-      |  ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
-      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+      |  FLOOR(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    / len(list_distinct(list_concat(sa.s, sb.s))) * 10000 + 0.5) / 10000.0 AS jaccard
       |FROM cand c
       |JOIN sh sa ON sa.doc_id = c.new_id
       |JOIN sh sb ON sb.doc_id = c.match_id
-      |WHERE ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
-      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.6
+      |WHERE FLOOR(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    / len(list_distinct(list_concat(sa.s, sb.s))) * 10000 + 0.5) / 10000.0 >= 0.6
       |ORDER BY new_id, match_id""".stripMargin
 
   /** Deterministic train/val/test split: bucket = h60(doc_id) mod 100,
@@ -349,9 +353,12 @@ object Curation {
           i => col("text").substr(i, lit(2))))
         .otherwise(array().cast("array<string>"))).as("bg")
     val bg = Tables.documents(s, dir).select(col("doc_id"), bigrams)
+    // model and total derive from docBg, not from three separate explodes:
+    // the explode + (doc_id, bg) aggregate subtree is then identical in all
+    // branches, so AQE reuses its one shuffle instead of re-scanning
     val docBg = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-    val model = bg.groupBy(col("bg")).agg(count(lit(1)).as("mc"))
-    val total = bg.agg(count(lit(1)).as("n_total"))
+    val model = docBg.groupBy(col("bg")).agg(sum(col("c")).as("mc"))
+    val total = docBg.agg(sum(col("c")).as("n_total"))
     val term = floor(
       log(col("mc").cast("double") / col("n_total")) * 1e6 + 0.5).cast("long")
     val raw = sum(col("c") * col("term")).cast("double") / 1e6 / sum(col("c"))

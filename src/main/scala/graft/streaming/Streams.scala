@@ -101,12 +101,10 @@ object Streams {
   def streamDedupAgainstIndex(
       docs: DataFrame,
       index: DataFrame,
-      lsh: graft.operators.MinHashLSH = graft.operators.MinHashLSH()): DataFrame =
-    lsh.bandIndex(docs, "doc_id", "text").as("n")
-      .join(index.as("x"),
-        col("n.band") === col("x.band") && col("n.key") === col("x.key"))
-      .filter(col("n.id") =!= col("x.id"))
-      .select(col("n.id").as("doc_id"), col("x.id").as("matched_id"))
+      lsh: graft.operators.MinHashLSH = graft.operators.MinHashLSH(),
+      maxBucket: Int = 0): DataFrame =
+    lsh.rawCandidatesAgainstIndex(docs, "doc_id", "text", index, maxBucket)
+      .select(col("new_id").as("doc_id"), col("index_id").as("matched_id"))
       .dropDuplicates("doc_id", "matched_id")
 
   /** B38 — custom state: running per-user event count + value sum,

@@ -168,6 +168,44 @@ class AsOfJoinSpec extends SparkSpec {
     assert(nativeFwd.nonEmpty)
   }
 
+  test("left outer pads NON-NULLABLE right columns with real NULLs, not zeros") {
+    // regression: resultProj built from the raw (non-nullable) right attrs
+    // codegen'd without null checks and read the null pad row as 0s
+    val l = Seq((1L, 10L, "la"), (2L, 7L, "lb")).toDF("k", "t", "ltag")
+    val r = Seq((1L, 6L, 55L)).toDF("k2", "rt", "rv") // all non-nullable
+    def run(threshold: String) = withThreshold(threshold) {
+      AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt", joinType = "left")
+        .orderBy($"k").collect()
+    }
+    for (rows <- Seq(run("10MB"), run("-1"))) {
+      assert(rows(0).getLong(5) == 55L)
+      assert(rows(1).isNullAt(3) && rows(1).isNullAt(4) && rows(1).isNullAt(5),
+        rows.mkString("; "))
+    }
+  }
+
+  test("mismatched key types are rejected eagerly, not silently empty") {
+    // regression: Int-vs-Long keys compared as raw UnsafeRow bytes never
+    // matched; now the API demands an explicit cast
+    val l = Seq((1, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("k2", "rt")
+    val err = intercept[IllegalArgumentException] {
+      AsOf.join(l, r, Seq("k"), Seq("k2"), "t", "rt")
+    }
+    assert(err.getMessage.contains("key types must match"), err.getMessage)
+    // and the documented fix works
+    val ok = AsOf.join(l.select($"k".cast("long").as("k"), $"t"),
+      r, Seq("k"), Seq("k2"), "t", "rt")
+    assert(ok.count() == 1)
+  }
+
+  test("column resolution is case-insensitive like the rest of the session") {
+    val l = Seq((1L, 10L)).toDF("k", "t")
+    val r = Seq((1L, 5L)).toDF("k2", "rt")
+    val df = AsOf.join(l, r, Seq("K"), Seq("K2"), "T", "RT")
+    assert(df.count() == 1)
+  }
+
   test("time columns must be LongType — timestamps are rejected eagerly") {
     val l = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
       .toDF("k", "t")

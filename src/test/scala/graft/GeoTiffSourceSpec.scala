@@ -30,12 +30,17 @@ class GeoTiffSourceSpec extends SparkSpec {
     zs.foreach { r =>
       val key = (r.getDouble(0), r.getDouble(1))
       val cell = expect(key)
-      assert(r.getLong(2) == cell.length)                       // val1_n
-      assert(math.abs(r.getDouble(3) - cell.map(_._3).sum / cell.length) < 1e-9)
-      assert(r.getFloat(4).toDouble == cell.map(_._3).min)      // min (f32 exact)
-      assert(r.getFloat(5).toDouble == cell.map(_._3).max)
-      assert(math.abs(r.getDouble(6) - cell.map(_._4).sum) < 1e-6) // area_sum
+      assert(r.getLong(2) == cell.length)                       // n_pixels
+      assert(r.getLong(3) == cell.length)                       // val1_n
+      assert(math.abs(r.getDouble(4) - cell.map(_._3).sum / cell.length) < 1e-9)
+      assert(r.getFloat(5).toDouble == cell.map(_._3).min)      // min (f32 exact)
+      assert(r.getFloat(6).toDouble == cell.map(_._3).max)
+      assert(math.abs(r.getDouble(7) - cell.map(_._4).sum) < 1e-6) // area_sum
     }
+    // a lon/lat-only frame is a valid count rollup, not a crash
+    val counts = Raster.zonalStats(pts.select(col("lon"), col("lat")), 2.0)
+    assert(counts.columns.toSeq == Seq("cell_lon", "cell_lat", "n_pixels"))
+    assert(counts.collect().map(_.getLong(2)).sum == pts.count())
   }
 
   test("tag scanner reads geometry and nodata") {
