@@ -352,13 +352,19 @@ object Curation {
         transform(sequence(lit(1), length(col("text")) - 1),
           i => col("text").substr(i, lit(2))))
         .otherwise(array().cast("array<string>"))).as("bg")
-    val bg = Tables.documents(s, dir).select(col("doc_id"), bigrams)
-    // model and total derive from docBg, not from three separate explodes:
-    // the explode + (doc_id, bg) aggregate subtree is then identical in all
-    // branches, so AQE reuses its one shuffle instead of re-scanning
+    val docs = Tables.documents(s, dir)
+    val bg = docs.select(col("doc_id"), bigrams)
+    // The (doc_id, bg) pre-aggregation collapses the 9M-row bigram stream
+    // via map-side combine BEFORE anything shuffles (measured faster than
+    // broadcast-joining the model into the raw stream, which processed all
+    // 9M rows through join+agg); model derives from docBg so both branches
+    // share one explode+shuffle (AQE ReusedExchange). The total needs no
+    // explode at all — a doc of length L contributes exactly max(L-1, 0)
+    // bigrams, one cheap arithmetic scan.
     val docBg = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
     val model = docBg.groupBy(col("bg")).agg(sum(col("c")).as("mc"))
-    val total = docBg.agg(sum(col("c")).as("n_total"))
+    val total = docs.agg(
+      sum(greatest(length(col("text")) - 1, lit(0))).as("n_total"))
     val term = floor(
       log(col("mc").cast("double") / col("n_total")) * 1e6 + 0.5).cast("long")
     val raw = sum(col("c") * col("term")).cast("double") / 1e6 / sum(col("c"))
@@ -378,7 +384,7 @@ object Curation {
       |), model AS (
       |  SELECT bg, COUNT(*) AS mc FROM bg GROUP BY 1
       |), tot AS (
-      |  SELECT COUNT(*) AS n_total FROM bg
+      |  SELECT SUM(GREATEST(length(text) - 1, 0)) AS n_total FROM documents
       |), docbg AS (
       |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2
       |)
