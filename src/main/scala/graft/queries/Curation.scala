@@ -395,6 +395,46 @@ object Curation {
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin
 
+  /** Pretraining mix weights per source: token share of each source and
+    * the up/down-sampling weight that would flatten the mix to uniform
+    * (weight = target_share / actual_share, the standard dataset-mixture
+    * computation). One aggregation + a broadcast scalar; shares and
+    * weights floor-rounded (power-of-two token counts sit on the rounding
+    * boundary).
+    */
+  private def q74(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) =
+      floor(c * 1000000 + 0.5) / 1000000.0
+    val perSource = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).as("n_tokens"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+    val totals = perSource.agg(
+      sum(col("tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        r6(col("tokens") / col("corpus_tokens")).as("share"),
+        r6((col("corpus_tokens") / col("n_sources")) / col("tokens")).as("uniform_weight"))
+      .orderBy(col("source"))
+  }
+
+  private val q74Sql =
+    """WITH per AS (
+      |  SELECT source, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens
+      |  FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+      |    COUNT(*) AS n_sources
+      |  FROM per
+      |)
+      |SELECT source, n_docs, tokens,
+      |  FLOOR(tokens / corpus_tokens * 1000000 + 0.5) / 1000000.0 AS share,
+      |  FLOOR((corpus_tokens / n_sources) / tokens * 1000000 + 0.5) / 1000000.0 AS uniform_weight
+      |FROM per, tot
+      |ORDER BY source""".stripMargin
+
   /** The q64 split assignment as a reusable column (same md5-derived
     * bucketing, so [[writeSplits]] output provably agrees with the
     * oracle-checked query).
@@ -424,5 +464,6 @@ object Curation {
     QueryDef("q68_cluster_keep_best", q68, Some(q68Sql)),
     QueryDef("q69_corpus_shuffle", q69, Some(q69Sql)),
     QueryDef("q70_balanced_sample", q70, Some(q70Sql)),
-    QueryDef("q73_lm_score", q73, Some(q73Sql)))
+    QueryDef("q73_lm_score", q73, Some(q73Sql)),
+    QueryDef("q74_source_mix", q74, Some(q74Sql)))
 }
