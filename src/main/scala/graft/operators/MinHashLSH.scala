@@ -40,6 +40,10 @@ final case class MinHashLSH(
     * seeded by the function index — k fixed-width long hashes per shingle
     * instead of k variable-length string hashes. (A multiply-add family
     * would be cheaper still, but ANSI mode makes wrapping `*` throw.)
+    * Since round 3 the whole fold is the native codegen'd `minhash_sig`
+    * expression (functions.expr.MinHashSigF) — bit-identical to the HOF
+    * chain it replaced (equality-tested in DedupSpec), but one tight loop
+    * instead of a per-shingle accumulator-array allocation.
     * `oracleParityHash=true` switches to the md5-hex h60(j + ":" + shingle)
     * per function that DuckDB can reproduce, for the hash-checked bounded
     * form (queries.Dedup q30).
@@ -52,11 +56,18 @@ final case class MinHashLSH(
         (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
           (m, j) => least(m, TextHash.h60(concat(j.cast("string"), lit(":"), s)))))
     else
-      aggregate(
-        transform(shingles(text), s => call_function("xxhash64", s)),
-        array_repeat(lit(Long.MaxValue), numHashes),
-        (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
-          (m, j) => least(m, call_function("xxhash64", j, h))))
+      call_function("minhash_sig", shingles(text), lit(numHashes))
+
+  /** The pre-round-3 declarative scale-path fold — kept as the reference
+    * semantics the native expression must reproduce bit-for-bit
+    * (DedupSpec equality test).
+    */
+  private[graft] def signatureHof(text: Column): Column =
+    aggregate(
+      transform(shingles(text), s => call_function("xxhash64", s)),
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, h) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
+        (m, j) => least(m, call_function("xxhash64", j, h))))
 
   /** Bucket keys that contentless documents land in and must never join:
     * the band hashes of the empty-shingle-set signature (all Long.MaxValue),
@@ -126,12 +137,14 @@ final case class MinHashLSH(
     * affordable at 100 TB (re-running candidatePairs over corpus+batch
     * re-hashes the whole corpus per batch).
     */
-  def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+  def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))
       .select(col("id"), col("band"), bandHash(col("sig"), col("band")).as("key"))
       .filter(!col("key").isin(emptySignatureBandHashes: _*))
+  }
 
   /** Near-dup candidates of a NEW batch against an existing [[bandIndex]]:
     * one equi-join on (band, key) — cost scales with the batch size and the

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (children => DotProductF(children(0), children(1))))
+    "vec_dot" -> (children => DotProductF(children(0), children(1))),
+    "minhash_sig" -> (children =>
+      graft.functions.expr.MinHashSigF(children(0), children(1))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

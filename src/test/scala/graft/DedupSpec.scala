@@ -61,6 +61,22 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("native minhash_sig is bit-identical to the HOF fold it replaced") {
+    graft.plans.GraftFunctions.register(spark)
+    val corpus = Tables.documents(spark, sf()).limit(100)
+    for (lsh <- Seq(MinHashLSH(12, 3, 3), MinHashLSH(8, 2, 1))) {
+      val both = corpus.select(
+        lsh.signature(col("text")).as("native"),
+        lsh.signatureHof(col("text")).as("hof"))
+      assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    }
+    // empty shingle set -> all-MaxValue accumulator, exactly like the fold
+    val empty = spark.range(1).select(lit("ab").as("text"))
+      .select(MinHashLSH(4, 2, 3).signature(col("text")).as("sig"))
+      .head().getSeq[Long](0)
+    assert(empty == Seq.fill(4)(Long.MaxValue))
+  }
+
   test("simhash: identical token sets get identical fingerprints; near dups are close") {
     val sh = docs.select($"doc_id", SimHash.simhashOfText($"text").as("h"))
       .as[(Long, Long)].collect().toMap
@@ -129,6 +145,7 @@ class DedupSpec extends SparkSpec {
   test("minhash signature estimates jaccard") {
     // property-ish: estimated similarity (matching signature fraction)
     // within 0.35 of true jaccard for 128 hashes
+    graft.plans.GraftFunctions.register(spark) // signature() -> minhash_sig
     val lsh = MinHashLSH(numHashes = 128, numBands = 32, shingleSize = 1)
     val sig = docs.select($"doc_id", lsh.signature($"text").as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
