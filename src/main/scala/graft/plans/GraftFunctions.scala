@@ -20,7 +20,9 @@ object GraftFunctions {
   val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "vec_dot" -> (children => DotProductF(children(0), children(1))),
     "minhash_sig" -> (children =>
-      graft.functions.expr.MinHashSigF(children(0), children(1))))
+      graft.functions.expr.MinHashSigF(children(0), children(1))),
+    "simhash32" -> (children =>
+      graft.functions.expr.SimHash32F(children(0))))
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -14,4 +14,15 @@ import org.apache.spark.sql.classic.{Dataset, SparkSession}
 object Bridge {
   def ofRows(spark: org.apache.spark.sql.SparkSession, plan: LogicalPlan): DataFrame =
     Dataset.ofRows(spark.asInstanceOf[SparkSession], plan)
+
+  /** Column ⇄ catalyst Expression, for wrapping graft's native expressions
+    * without a function-registry round-trip (registry entries need a
+    * session in hand; pure column builders like SimHash.simhash don't
+    * have one).
+    */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  def expression(c: org.apache.spark.sql.Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -77,6 +77,20 @@ class DedupSpec extends SparkSpec {
     assert(empty == Seq.fill(4)(Long.MaxValue))
   }
 
+  test("native simhash32 is bit-identical to the HOF fold it replaced") {
+    val corpus = Tables.documents(spark, sf()).limit(150)
+    val both = corpus.select(
+      SimHash.simhashOfText(col("text")).as("native"),
+      SimHash.simhashHof(split(col("text"), " ")).as("hof"))
+    assert(both.filter(not(col("native") <=> col("hof"))).count() == 0)
+    // edge parity: duplicate tokens, empty-string token, null token
+    val edge = spark.range(1).select(
+      array(lit("a"), lit("a"), lit(""), lit(null).cast("string"), lit("b")).as("toks"))
+    val r = edge.select(SimHash.simhash(col("toks")).as("native"),
+      SimHash.simhashHof(col("toks")).as("hof")).head()
+    assert(r.getLong(0) == r.getLong(1))
+  }
+
   test("simhash: identical token sets get identical fingerprints; near dups are close") {
     val sh = docs.select($"doc_id", SimHash.simhashOfText($"text").as("h"))
       .as[(Long, Long)].collect().toMap
