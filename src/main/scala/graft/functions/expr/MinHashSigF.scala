@@ -54,9 +54,26 @@ case class MinHashSigF(left: Expression, right: Expression)
   private lazy val seeds: Array[Long] =
     Array.tabulate(numHashes)(j => XXH64.hashInt(j, 42L))
 
-  override protected def nullSafeEval(arr: Any, kv: Any): Any = {
-    val a = arr.asInstanceOf[ArrayData]
-    val sig = Array.fill(numHashes)(Long.MaxValue)
+  // single implementation shared by the interpreted and codegen paths —
+  // two hand-kept copies of the loop could silently diverge
+  override protected def nullSafeEval(arr: Any, kv: Any): Any =
+    MinHashSigF.compute(arr.asInstanceOf[ArrayData], seeds)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
+    nullSafeCodeGen(ctx, ev, (a, _) =>
+      s"${ev.value} = graft.functions.expr.MinHashSigF.compute($a, $seedsRef);")
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): MinHashSigF =
+    copy(left = newLeft, right = newRight)
+}
+
+object MinHashSigF {
+  def compute(a: ArrayData, seeds: Array[Long]): GenericArrayData = {
+    val k = seeds.length
+    val sig = Array.fill(k)(Long.MaxValue)
     val n = a.numElements()
     var i = 0
     while (i < n) {
@@ -66,7 +83,7 @@ case class MinHashSigF(left: Expression, right: Expression)
         h = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
       }
       var j = 0
-      while (j < numHashes) {
+      while (j < k) {
         val v = XXH64.hashLong(h, seeds(j))
         if (v < sig(j)) sig(j) = v
         j += 1
@@ -75,41 +92,4 @@ case class MinHashSigF(left: Expression, right: Expression)
     }
     new GenericArrayData(sig)
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val seedsRef = ctx.addReferenceObj("seeds", seeds, "long[]")
-    val xxh = classOf[XXH64].getName
-    val gad = classOf[GenericArrayData].getName
-    nullSafeCodeGen(ctx, ev, (a, _) => {
-      val sig = ctx.freshName("sig")
-      val n = ctx.freshName("n")
-      val i = ctx.freshName("i")
-      val j = ctx.freshName("j")
-      val h = ctx.freshName("h")
-      val v = ctx.freshName("v")
-      val s = ctx.freshName("s")
-      s"""
-         |long[] $sig = new long[$numHashes];
-         |java.util.Arrays.fill($sig, Long.MAX_VALUE);
-         |int $n = $a.numElements();
-         |for (int $i = 0; $i < $n; $i++) {
-         |  long $h = 42L;
-         |  if (!$a.isNullAt($i)) {
-         |    UTF8String $s = $a.getUTF8String($i);
-         |    $h = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(),
-         |      $s.numBytes(), 42L);
-         |  }
-         |  for (int $j = 0; $j < $numHashes; $j++) {
-         |    long $v = $xxh.hashLong($h, $seedsRef[$j]);
-         |    if ($v < $sig[$j]) $sig[$j] = $v;
-         |  }
-         |}
-         |${ev.value} = new $gad($sig);
-       """.stripMargin
-    })
-  }
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): MinHashSigF =
-    copy(left = newLeft, right = newRight)
 }

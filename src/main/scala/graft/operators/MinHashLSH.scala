@@ -55,8 +55,15 @@ final case class MinHashLSH(
         array_repeat(lit(Long.MaxValue), numHashes),
         (acc, s) => zip_with(acc, sequence(lit(0), lit(numHashes - 1)),
           (m, j) => least(m, TextHash.h60(concat(j.cast("string"), lit(":"), s)))))
-    else
-      call_function("minhash_sig", shingles(text), lit(numHashes))
+    else {
+      // Bridge-wrapped, not call_function: the registry form would make
+      // signature() fail on any session that had not run
+      // GraftFunctions.register first (hidden precondition)
+      import org.apache.spark.sql.graftbridge.Bridge
+      Bridge.column(graft.functions.expr.MinHashSigF(
+        Bridge.expression(shingles(text)),
+        org.apache.spark.sql.catalyst.expressions.Literal(numHashes)))
+    }
 
   /** The pre-round-3 declarative scale-path fold — kept as the reference
     * semantics the native expression must reproduce bit-for-bit
@@ -138,7 +145,6 @@ final case class MinHashLSH(
     * re-hashes the whole corpus per batch).
     */
   def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    graft.plans.GraftFunctions.register(df.sparkSession)
     df.select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
       .select(col("id"), col("sig"),
         explode(sequence(lit(0), lit(numBands - 1))).as("band"))

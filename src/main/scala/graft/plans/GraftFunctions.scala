@@ -17,17 +17,32 @@ import org.apache.spark.sql.functions.call_function
   */
 object GraftFunctions {
 
-  val functions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_dot" -> (children => DotProductF(children(0), children(1))),
-    "minhash_sig" -> (children =>
-      graft.functions.expr.MinHashSigF(children(0), children(1))),
-    "simhash32" -> (children =>
-      graft.functions.expr.SimHash32F(children(0))))
+  /** (name, implementing class, arity-checked builder). The arity check
+    * turns a wrong-argument-count SQL call into a clear analysis error
+    * instead of an IndexOutOfBoundsException from positional indexing.
+    */
+  val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = {
+    def checked(name: String, arity: Int)(
+        build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+      children => {
+        if (children.length != arity) throw new IllegalArgumentException(
+          s"$name requires exactly $arity argument(s), got ${children.length}")
+        build(children)
+      }
+    Seq(
+      ("vec_dot", classOf[DotProductF],
+        checked("vec_dot", 2)(c => DotProductF(c(0), c(1)))),
+      ("minhash_sig", classOf[graft.functions.expr.MinHashSigF],
+        checked("minhash_sig", 2)(c =>
+          graft.functions.expr.MinHashSigF(c(0), c(1)))),
+      ("simhash32", classOf[graft.functions.expr.SimHash32F],
+        checked("simhash32", 1)(c => graft.functions.expr.SimHash32F(c(0)))))
+  }
 
   def register(spark: SparkSession): Unit = {
     val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .sessionState.functionRegistry
-    functions.foreach { case (name, builder) =>
+    functions.foreach { case (name, _, builder) =>
       reg.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
   }
@@ -62,10 +77,10 @@ object GraftFunctions {
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftFunctions.functions.foreach { case (name, builder) =>
+    GraftFunctions.functions.foreach { case (name, cls, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
-        new ExpressionInfo(classOf[DotProductF].getName, name),
+        new ExpressionInfo(cls.getName, name),
         builder))
     }
     ext.injectOptimizerRule(_ => RewriteDotProduct)

@@ -62,7 +62,8 @@ class DedupSpec extends SparkSpec {
   }
 
   test("native minhash_sig is bit-identical to the HOF fold it replaced") {
-    graft.plans.GraftFunctions.register(spark)
+    // deliberately NO GraftFunctions.register: signature() must work on
+    // any session (Bridge-wrapped expression, no registry precondition)
     val corpus = Tables.documents(spark, sf()).limit(100)
     for (lsh <- Seq(MinHashLSH(12, 3, 3), MinHashLSH(8, 2, 1))) {
       val both = corpus.select(
@@ -159,7 +160,6 @@ class DedupSpec extends SparkSpec {
   test("minhash signature estimates jaccard") {
     // property-ish: estimated similarity (matching signature fraction)
     // within 0.35 of true jaccard for 128 hashes
-    graft.plans.GraftFunctions.register(spark) // signature() -> minhash_sig
     val lsh = MinHashLSH(numHashes = 128, numBands = 32, shingleSize = 1)
     val sig = docs.select($"doc_id", lsh.signature($"text").as("sig"))
       .as[(Long, Seq[Long])].collect().toMap
