@@ -96,6 +96,53 @@ object Multimodal {
     }
   }
 
+  /** Real audio codec: hand-parsed RIFF/WAVE PCM (no deps — the RIFF
+    * container is a 12-byte header plus (id, size, payload) chunks). The
+    * codec tuple maps audio-semantically:
+    * (sample_rate, channels, n_samples_per_channel, mean |amplitude|).
+    * Supports PCM16 LE, the canonical training-audio interchange format.
+    */
+  object WavCodec extends MediaCodec {
+    def openPartition(): Array[Byte] => (Int, Int, Int, Double) = { bytes =>
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      require(bytes.length >= 12 &&
+        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
+        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
+        "not a RIFF/WAVE stream")
+      var pos = 12
+      var sampleRate = 0
+      var channels = 0
+      var bitsPerSample = 0
+      var dataOff = -1
+      var dataLen = 0
+      while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val size = bb.getInt(pos + 4)
+        id match {
+          case "fmt " =>
+            require(bb.getShort(pos + 8) == 1, "only PCM wav supported")
+            channels = bb.getShort(pos + 10)
+            sampleRate = bb.getInt(pos + 12)
+            bitsPerSample = bb.getShort(pos + 22)
+          case "data" => dataOff = pos + 8; dataLen = size
+          case _ => // skip unknown chunk
+        }
+        pos += 8 + size + (size & 1) // chunks are 2-byte aligned
+      }
+      require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
+      require(bitsPerSample == 16, s"only PCM16 supported, got $bitsPerSample")
+      val nFrames = dataLen / (channels * 2)
+      var sum = 0L
+      var i = 0
+      while (i < dataLen / 2) {
+        sum += math.abs(bb.getShort(dataOff + i * 2).toLong)
+        i += 1
+      }
+      (sampleRate, channels, nFrames, sum.toDouble / (dataLen / 2))
+    }
+  }
+
   /** Synthesize a media column from the documents table: deterministic
     * 16-byte payload (md5 of the text), a uri, and typed metadata. In a real
     * pipeline this is `spark.read.format("binaryFile")` or a parquet table

@@ -73,6 +73,47 @@ class MultimodalSpec extends SparkSpec {
     assert(plan.forall(r => r.getAs[Int]("out_w") <= 6 && r.getAs[Int]("out_h") <= 6))
   }
 
+  test("WavCodec decodes real PCM16 audio through the same plumbing") {
+    import graft.multimodal.MediaRow
+    // synthesize canonical RIFF/WAVE PCM16: doc i is (8000*(i+1)) Hz mono,
+    // 400 samples of a square wave at amplitude 1000*(i+1) -> mean |amp|
+    // is exactly the amplitude
+    def wav(i: Int): Array[Byte] = {
+      val rate = 8000 * (i + 1); val n = 400; val amp = (1000 * (i + 1)).toShort
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(rate).putInt(rate * 2)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      for (s <- 0 until n)
+        bb.putShort(if (s % 2 == 0) amp else (-amp).toShort)
+      bb.array()
+    }
+    val rows = (0 until 3).map(i =>
+      MediaRow(i.toLong, s"mem://wav/$i.wav", wav(i), Map("format" -> "wav"))).toDS()
+    val decoded = Multimodal.decode(rows.repartition(2), Multimodal.WavCodec)
+      .collect().sortBy(_.doc_id)
+    assert(decoded.length == 3)
+    decoded.foreach { m =>
+      val i = m.doc_id.toInt
+      assert(m.width == 8000 * (i + 1), s"sample rate: ${m.width}")   // sample_rate
+      assert(m.height == 1)                                           // channels
+      assert(m.n_frames == 400)                                       // samples
+      assert(math.abs(m.mean_byte - 1000 * (i + 1)) < 1e-9)           // mean |amp|
+    }
+  }
+
+  test("WavCodec rejects non-RIFF bytes loudly") {
+    val err = intercept[Exception] {
+      Multimodal.WavCodec.openPartition()(Array.fill[Byte](64)(7))
+    }
+    assert(err.getMessage.contains("RIFF"), err.getMessage)
+  }
+
   test("ImageIoCodec rejects undecodable bytes loudly") {
     import graft.multimodal.MediaRow
     val junk = Seq(MediaRow(1L, "u", Array[Byte](1, 2, 3, 4), Map.empty)).toDS()
