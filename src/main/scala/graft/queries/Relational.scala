@@ -591,15 +591,21 @@ object Relational {
 
   /** B11/B34 family — exact interpolated percentiles per group (Spark
     * `percentile` == DuckDB `quantile_cont`, verified same interpolation).
+    * The three l_quantity quantiles share ONE percentile buffer via the
+    * array form — each scalar percentile() call would otherwise collect
+    * its own copy of every value per group (4 buffers → 2).
     */
   private def q50(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_quantity, 0.75)"), 4).as("p75"),
+        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
         round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
+      .select(col("l_returnflag"),
+        round(element_at(col("qs"), 1), 4).as("p25"),
+        round(element_at(col("qs"), 2), 4).as("p50"),
+        round(element_at(col("qs"), 3), 4).as("p75"),
+        col("price_p99"))
       .orderBy(col("l_returnflag"))
 
   private val q50Sql =
