@@ -119,6 +119,9 @@ object Multimodal {
       while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
         val id = new String(bytes, pos, 4, "US-ASCII")
         val size = bb.getInt(pos + 4)
+        // a corrupt negative size would stop the cursor advancing (or walk
+        // it backwards) — an infinite loop, not just a bad read
+        require(size >= 0, s"corrupt RIFF chunk size $size at offset $pos")
         id match {
           case "fmt " =>
             require(bb.getShort(pos + 8) == 1, "only PCM wav supported")

@@ -114,6 +114,18 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage.contains("RIFF"), err.getMessage)
   }
 
+  test("WavCodec rejects a corrupt negative chunk size instead of looping") {
+    val bb = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(24)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(-8) // size that never advances
+    val err = intercept[Exception] {
+      Multimodal.WavCodec.openPartition()(bb.array())
+    }
+    assert(err.getMessage.contains("corrupt"), err.getMessage)
+  }
+
   test("ImageIoCodec rejects undecodable bytes loudly") {
     import graft.multimodal.MediaRow
     val junk = Seq(MediaRow(1L, "u", Array[Byte](1, 2, 3, 4), Map.empty)).toDS()
