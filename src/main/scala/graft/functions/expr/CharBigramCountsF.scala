@@ -1,0 +1,73 @@
+package graft.functions.expr
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData, MapData}
+import org.apache.spark.sql.types.{DataType, IntegerType, MapType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-document character-bigram histogram —
+  * `char_bigram_counts(text)` = map(bigram -> occurrence count), the fused
+  * form of
+  *
+  *   explode(transform(sequence(1, length(text)-1), i -> substr(text, i, 2)))
+  *   ... groupBy(doc_id, bg).count()
+  *
+  * Use this when the CONSUMER wants per-document histograms (feature
+  * vectors, per-doc divergence scoring): one row per document, no explode.
+  * For corpus-level aggregation (q73's LM model) the plain explode +
+  * codegen'd hash aggregation measured ~7% FASTER than exploding these
+  * maps — per-row map allocation loses to Tungsten's hash aggregate — so
+  * q73 deliberately does not use it; the honest measurement is recorded
+  * in its comment. Bigrams are codepoint-based (UTF8String.substringSQL),
+  * identical to SQL substr(text, i, 2); equality with the explode+count
+  * derivation is tested in CurationSpec. Key order is unspecified.
+  */
+case class CharBigramCountsF(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"char_bigram_counts requires a string, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType =
+    MapType(StringType, IntegerType, valueContainsNull = false)
+
+  override def prettyName: String = "char_bigram_counts"
+
+  override protected def nullSafeEval(v: Any): Any =
+    CharBigramCountsF.compute(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.expr.CharBigramCountsF.compute($s)")
+
+  override protected def withNewChildInternal(newChild: Expression): CharBigramCountsF =
+    copy(child = newChild)
+}
+
+object CharBigramCountsF {
+  def compute(s: UTF8String): MapData = {
+    val n = s.numChars()
+    val counts = new java.util.LinkedHashMap[UTF8String, Int]()
+    var i = 1
+    while (i < n) {
+      val bg = s.substringSQL(i, 2)
+      counts.merge(bg, 1, (a, b) => a + b)
+      i += 1
+    }
+    val keys = new Array[Any](counts.size)
+    val vals = new Array[Any](counts.size)
+    var j = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      keys(j) = e.getKey
+      vals(j) = e.getValue
+      j += 1
+    }
+    new ArrayBasedMapData(new GenericArrayData(keys), new GenericArrayData(vals))
+  }
+}

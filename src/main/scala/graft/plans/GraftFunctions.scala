@@ -36,7 +36,10 @@ object GraftFunctions {
         checked("minhash_sig", 2)(c =>
           graft.functions.expr.MinHashSigF(c(0), c(1)))),
       ("simhash32", classOf[graft.functions.expr.SimHash32F],
-        checked("simhash32", 1)(c => graft.functions.expr.SimHash32F(c(0)))))
+        checked("simhash32", 1)(c => graft.functions.expr.SimHash32F(c(0)))),
+      ("char_bigram_counts", classOf[graft.functions.expr.CharBigramCountsF],
+        checked("char_bigram_counts", 1)(c =>
+          graft.functions.expr.CharBigramCountsF(c(0)))))
   }
 
   def register(spark: SparkSession): Unit = {

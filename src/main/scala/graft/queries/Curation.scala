@@ -355,12 +355,14 @@ object Curation {
     val docs = Tables.documents(s, dir)
     val bg = docs.select(col("doc_id"), bigrams)
     // The (doc_id, bg) pre-aggregation collapses the 9M-row bigram stream
-    // via map-side combine BEFORE anything shuffles (measured faster than
-    // broadcast-joining the model into the raw stream, which processed all
-    // 9M rows through join+agg); model derives from docBg so both branches
-    // share one explode+shuffle (AQE ReusedExchange). The total needs no
-    // explode at all — a doc of length L contributes exactly max(L-1, 0)
-    // bigrams, one cheap arithmetic scan.
+    // via map-side combine BEFORE anything shuffles. Two rejected
+    // alternatives, both measured slower at sf0.1: broadcast-joining the
+    // model into the raw stream (4.7s — all 9M rows through join+agg) and
+    // the char_bigram_counts map expression (3.5s vs 3.3s — per-doc map
+    // allocation loses to codegen'd hash aggregation). Model derives from
+    // docBg so both branches share one explode+shuffle (AQE
+    // ReusedExchange); the total needs no bigram pass at all — a doc of
+    // length L contributes exactly max(L-1, 0) bigrams.
     val docBg = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
     val model = docBg.groupBy(col("bg")).agg(sum(col("c")).as("mc"))
     val total = docs.agg(

@@ -4,6 +4,7 @@ import graft.queries.{Catalog, Curation}
 import org.apache.spark.sql.functions._
 
 class CurationSpec extends SparkSpec {
+  import spark.implicits._
 
   test("writeSplits lays out (split, lang) partitions and pruning hits them") {
     val docs = Tables.documents(spark, sf())
@@ -24,6 +25,34 @@ class CurationSpec extends SparkSpec {
     val disagree = back.select(col("doc_id"), col("split").as("s_disk"))
       .join(q64, "doc_id").filter(col("split") =!= col("s_disk")).count()
     assert(disagree == 0)
+  }
+
+  test("char_bigram_counts matches the explode+count derivation") {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val docs = Tables.documents(spark, sf()).limit(60)
+    val native = docs
+      .select(col("doc_id"), explode(Bridge.column(
+        graft.functions.expr.CharBigramCountsF(
+          Bridge.expression(col("text"))))).as(Seq("bg", "c")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2).toLong)).toSet
+    val derived = docs
+      .select(col("doc_id"), explode(
+        when(length(col("text")) >= 2,
+          transform(sequence(lit(1), length(col("text")) - 1),
+            i => col("text").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(native == derived)
+    assert(native.nonEmpty)
+    // edges: null and too-short text produce no rows
+    val edge = Seq((1L, null.asInstanceOf[String]), (2L, "x"), (3L, "xy"))
+      .toDF("doc_id", "text")
+    val out = edge.select(col("doc_id"), explode(Bridge.column(
+        graft.functions.expr.CharBigramCountsF(
+          Bridge.expression(col("text"))))).as(Seq("bg", "c")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(out.toSeq == Seq((3L, "xy", 1)))
   }
 
   test("imperative extension installs are idempotent") {
