@@ -22,6 +22,17 @@ final case class DecodedMedia(
     n_frames: Int,
     mean_byte: Double)
 
+/** Decoded audio features — audio-named, so image consumers
+  * (resize / frame-sample) cannot silently misread them.
+  */
+final case class DecodedAudio(
+    doc_id: Long,
+    uri: String,
+    sample_rate: Int,
+    channels: Int,
+    n_samples: Int,
+    mean_amplitude: Double)
+
 /** Multimodal column plumbing (schema, partition-preserving batched decode,
   * feature extraction) behind a [[MediaCodec]] seam with two
   * implementations: [[Multimodal.StubCodec]], a deterministic fake used by
@@ -96,53 +107,36 @@ object Multimodal {
     }
   }
 
-  /** Real audio codec: hand-parsed RIFF/WAVE PCM (no deps — the RIFF
-    * container is a 12-byte header plus (id, size, payload) chunks). The
-    * codec tuple maps audio-semantically:
-    * (sample_rate, channels, n_samples_per_channel, mean |amplitude|).
-    * Supports PCM16 LE, the canonical training-audio interchange format.
+  /** Real audio codec on JDK javax.sound (same zero-dependency standing as
+    * [[ImageIoCodec]]'s javax.imageio — and, unlike a hand-rolled RIFF
+    * parser, the chunk walking, bounds checking, and WAVE_FORMAT_EXTENSIBLE
+    * handling are the JDK's problem). The codec tuple maps
+    * audio-semantically: (sample_rate, channels, n_samples_per_channel,
+    * mean |amplitude|); prefer the typed [[decodeAudio]] door, which names
+    * the fields honestly instead of reusing the image schema.
     */
   object WavCodec extends MediaCodec {
     def openPartition(): Array[Byte] => (Int, Int, Int, Double) = { bytes =>
-      val bb = java.nio.ByteBuffer.wrap(bytes)
-        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      require(bytes.length >= 12 &&
-        bytes(0) == 'R' && bytes(1) == 'I' && bytes(2) == 'F' && bytes(3) == 'F' &&
-        bytes(8) == 'W' && bytes(9) == 'A' && bytes(10) == 'V' && bytes(11) == 'E',
-        "not a RIFF/WAVE stream")
-      var pos = 12
-      var sampleRate = 0
-      var channels = 0
-      var bitsPerSample = 0
-      var dataOff = -1
-      var dataLen = 0
-      while (pos + 8 <= bytes.length && (dataOff < 0 || sampleRate == 0)) {
-        val id = new String(bytes, pos, 4, "US-ASCII")
-        val size = bb.getInt(pos + 4)
-        // a corrupt negative size would stop the cursor advancing (or walk
-        // it backwards) — an infinite loop, not just a bad read
-        require(size >= 0, s"corrupt RIFF chunk size $size at offset $pos")
-        id match {
-          case "fmt " =>
-            require(bb.getShort(pos + 8) == 1, "only PCM wav supported")
-            channels = bb.getShort(pos + 10)
-            sampleRate = bb.getInt(pos + 12)
-            bitsPerSample = bb.getShort(pos + 22)
-          case "data" => dataOff = pos + 8; dataLen = size
-          case _ => // skip unknown chunk
-        }
-        pos += 8 + size + (size & 1) // chunks are 2-byte aligned
-      }
-      require(sampleRate > 0 && dataOff >= 0, "missing fmt/data chunk")
-      require(bitsPerSample == 16, s"only PCM16 supported, got $bitsPerSample")
-      val nFrames = dataLen / (channels * 2)
-      var sum = 0L
-      var i = 0
-      while (i < dataLen / 2) {
-        sum += math.abs(bb.getShort(dataOff + i * 2).toLong)
-        i += 1
-      }
-      (sampleRate, channels, nFrames, sum.toDouble / (dataLen / 2))
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = ais.getFormat
+        require(fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16,
+          s"only signed PCM16 supported, got $fmt")
+        val data = ais.readAllBytes()
+        val n = data.length / 2
+        require(n > 0, "empty audio data") // 0/0 would be a silent NaN
+        val bb = java.nio.ByteBuffer.wrap(data).order(
+          if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+          else java.nio.ByteOrder.LITTLE_ENDIAN)
+        var sum = 0L
+        var i = 0
+        while (i < n) { sum += math.abs(bb.getShort(i * 2).toLong); i += 1 }
+        (fmt.getSampleRate.toInt, fmt.getChannels,
+          n / fmt.getChannels, sum.toDouble / n)
+      } finally ais.close()
     }
   }
 
@@ -176,6 +170,21 @@ object Multimodal {
       it.map { m =>
         val (w, ht, fr, mean) = dec(m.bytes)
         DecodedMedia(m.doc_id, m.uri, w, ht, fr, mean)
+      }
+    }
+  }
+
+  /** Typed audio decode — the honest door for audio rows: decoded fields
+    * carry audio names instead of riding [[DecodedMedia]]'s image schema
+    * (where resizePlan/sampleFrames would happily "resize" a sample rate).
+    */
+  def decodeAudio(media: Dataset[MediaRow]): Dataset[DecodedAudio] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      val dec = WavCodec.openPartition() // once per partition
+      it.map { m =>
+        val (rate, ch, n, mean) = dec(m.bytes)
+        DecodedAudio(m.doc_id, m.uri, rate, ch, n, mean)
       }
     }
   }

@@ -95,35 +95,48 @@ class MultimodalSpec extends SparkSpec {
     }
     val rows = (0 until 3).map(i =>
       MediaRow(i.toLong, s"mem://wav/$i.wav", wav(i), Map("format" -> "wav"))).toDS()
-    val decoded = Multimodal.decode(rows.repartition(2), Multimodal.WavCodec)
-      .collect().sortBy(_.doc_id)
-    assert(decoded.length == 3)
-    decoded.foreach { m =>
+    val decoded = Multimodal.decodeAudio(rows.repartition(2))
+    assert(decoded.rdd.getNumPartitions == 2) // partition-preserving
+    val d = decoded.collect().sortBy(_.doc_id)
+    assert(d.length == 3)
+    d.foreach { m =>
       val i = m.doc_id.toInt
-      assert(m.width == 8000 * (i + 1), s"sample rate: ${m.width}")   // sample_rate
-      assert(m.height == 1)                                           // channels
-      assert(m.n_frames == 400)                                       // samples
-      assert(math.abs(m.mean_byte - 1000 * (i + 1)) < 1e-9)           // mean |amp|
+      assert(m.sample_rate == 8000 * (i + 1))
+      assert(m.channels == 1)
+      assert(m.n_samples == 400)
+      assert(math.abs(m.mean_amplitude - 1000 * (i + 1)) < 1e-9)
     }
   }
 
-  test("WavCodec rejects non-RIFF bytes loudly") {
-    val err = intercept[Exception] {
+  test("WavCodec rejects non-audio and corrupt bytes loudly, never loops") {
+    intercept[Exception] {
       Multimodal.WavCodec.openPartition()(Array.fill[Byte](64)(7))
     }
-    assert(err.getMessage.contains("RIFF"), err.getMessage)
-  }
-
-  test("WavCodec rejects a corrupt negative chunk size instead of looping") {
+    // crafted negative chunk size: must error, not spin or parse garbage
     val bb = java.nio.ByteBuffer.allocate(32)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(24)
       .put("WAVE".getBytes("US-ASCII"))
-    bb.put("fmt ".getBytes("US-ASCII")).putInt(-8) // size that never advances
-    val err = intercept[Exception] {
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(-8)
+    intercept[Exception] {
       Multimodal.WavCodec.openPartition()(bb.array())
     }
-    assert(err.getMessage.contains("corrupt"), err.getMessage)
+    // structurally valid but EMPTY data chunk: loud, not a silent NaN
+    def emptyWav: Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(36)
+        .put("WAVE".getBytes("US-ASCII"))
+      b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      b.put("data".getBytes("US-ASCII")).putInt(0)
+      b.array()
+    }
+    val err = intercept[Exception] {
+      Multimodal.WavCodec.openPartition()(emptyWav)
+    }
+    assert(err.getMessage.contains("empty audio"), err.getMessage)
   }
 
   test("ImageIoCodec rejects undecodable bytes loudly") {
