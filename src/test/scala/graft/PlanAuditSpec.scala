@@ -1,0 +1,65 @@
+package graft
+
+import graft.queries.Catalog
+
+/** Executable plan audit: the scale-critical physical-plan properties the
+  * design argues for (DESIGN.md §2) asserted on the flagship queries, so a
+  * regression that silently drops a pushdown, un-broadcasts a dim join, or
+  * turns top-K into a global sort fails CI — not a 100x-scale run.
+  * Assertions read the FINAL adaptive plan (AQE's toString also prints the
+  * initial plan; split it off first).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(name: String): String = {
+    val df = Catalog.queries(name)(spark, sf("sf0.01"))
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  private def scanLines(plan: String): String =
+    plan.linesIterator.filter(_.contains("FileScan")).mkString("\n")
+
+  test("q01: sargable date range reaches the scan; unused columns pruned") {
+    val scans = scanLines(finalPlan("q01_scan_filter_project"))
+    assert(scans.contains("isnotnull(l_shipdate"), scans)
+    assert(scans.contains("l_shipdate#") && scans.contains(">= 1995-01-01"), scans)
+    // projection needs 6 of 11 lineitem columns — the rest must not be read
+    assert(!scans.contains("l_tax") && !scans.contains("l_returnflag"), scans)
+  }
+
+  test("q03: all dim joins broadcast, nothing sort-merges") {
+    val p = finalPlan("q03_join_broadcast_dims")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q04: three-way join runs on broadcast hash joins") {
+    val p = finalPlan("q04_multiway_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q15: global top-K is TakeOrderedAndProject, not a full sort") {
+    val p = finalPlan("q15_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert("Sort \\[".r.findAllIn(p).isEmpty, p)
+  }
+
+  test("q02: aggregation is partial+final with whole-stage codegen") {
+    val p = finalPlan("q02_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size == 2, p)
+    assert(p.contains("*("), p) // whole-stage-codegen stage markers
+  }
+
+  test("q17: distinct-count scan reads only the two grouped columns") {
+    val scans = scanLines(finalPlan("q17_dedup_exact"))
+    assert(scans.contains("user_id") && scans.contains("event_type"), scans)
+    assert(!scans.contains("props") && !scans.contains("value"), scans)
+  }
+
+  test("q63: incremental-dedup doc_id bounds are pushed into both scans") {
+    val scans = scanLines(finalPlan("q63_incremental_dedup"))
+    assert(scans.contains("(doc_id#") && scans.contains("< 400"), scans)
+  }
+}
