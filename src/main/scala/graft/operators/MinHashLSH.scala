@@ -144,11 +144,23 @@ final case class MinHashLSH(
     * affordable at 100 TB (re-running candidatePairs over corpus+batch
     * re-hashes the whole corpus per batch).
     */
-  def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    df.select(col(idCol).as("id"), signature(col(textCol)).as("sig"))
-      .select(col("id"), col("sig"),
-        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
-      .select(col("id"), col("band"), bandHash(col("sig"), col("band")).as("key"))
+  def bandIndex(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    bandIndex(df, idCol, textCol, Nil)
+
+  /** [[bandIndex]] threading extra source columns through unchanged —
+    * `carry` lets a watermarked stream keep its event-time column alive to
+    * a downstream `dropDuplicatesWithinWatermark` (which requires the
+    * event-time attribute in its input schema).
+    */
+  def bandIndex(
+      df: DataFrame, idCol: String, textCol: String,
+      carry: Seq[String]): DataFrame = {
+    val extra = carry.map(col)
+    df.select(col(idCol).as("id") +: signature(col(textCol)).as("sig") +: extra: _*)
+      .select(col("id") +: col("sig") +:
+        explode(sequence(lit(0), lit(numBands - 1))).as("band") +: extra: _*)
+      .select(col("id") +: col("band") +:
+        bandHash(col("sig"), col("band")).as("key") +: extra: _*)
       .filter(!col("key").isin(emptySignatureBandHashes: _*))
   }
 
@@ -182,7 +194,8 @@ final case class MinHashLSH(
       idCol: String,
       textCol: String,
       index: DataFrame,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0,
+      carry: Seq[String] = Nil): DataFrame = {
     val idx =
       if (maxBucket <= 0) index
       else {
@@ -192,12 +205,13 @@ final case class MinHashLSH(
           .select(col("band"), col("key"))
         index.join(hot, Seq("band", "key"), "left_anti")
       }
-    val batch = bandIndex(newDf, idCol, textCol)
+    val batch = bandIndex(newDf, idCol, textCol, carry)
     batch.as("n")
       .join(idx.as("x"),
         col("n.band") === col("x.band") && col("n.key") === col("x.key"))
       .filter(col("n.id") =!= col("x.id"))
-      .select(col("n.id").as("new_id"), col("x.id").as("index_id"))
+      .select(col("n.id").as("new_id") +: col("x.id").as("index_id") +:
+        carry.map(c => col("n." + c)): _*)
   }
 
   /** Exact set-Jaccard verification of candidate pairs — the standard

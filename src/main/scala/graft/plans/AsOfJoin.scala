@@ -4,9 +4,9 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{
-  Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
+  Alias, Ascending, Attribute, BindReferences, Expression, GenericInternalRow,
   JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
-import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{
   BroadcastDistribution, ClusteredDistribution, Distribution,
   IdentityBroadcastMode, UnspecifiedDistribution}
@@ -423,7 +423,17 @@ object AsOf {
     val spark = left.sparkSession
     install(spark)
     val lPlan = left.queryExecution.analyzed
-    val rPlan = right.queryExecution.analyzed
+    // A self-join-shaped call (right derived from the same DataFrame as
+    // left) carries the SAME attribute exprIds on both sides; Spark's
+    // analyzer dedupRight only repairs its builtin join nodes, so here the
+    // output would hold duplicate exprIds and UnsafeProjection would bind
+    // the right side's columns to the left's ordinals — silently mirrored
+    // values, no error. Re-alias the right side with fresh exprIds (a
+    // Project of fresh Aliases), exactly what Dataset.join's dedup does.
+    val rPlanRaw = right.queryExecution.analyzed
+    val rPlan =
+      if (lPlan.outputSet.intersect(rPlanRaw.outputSet).isEmpty) rPlanRaw
+      else Project(rPlanRaw.output.map(a => Alias(a, a.name)()), rPlanRaw)
     // session resolver, not ==: column lookup must follow
     // spark.sql.caseSensitive like every other reference in the query
     val resolver = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.functions.expr.DotProductF
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{AnalysisException, Column, SparkSession}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
@@ -18,15 +18,22 @@ import org.apache.spark.sql.functions.call_function
 object GraftFunctions {
 
   /** (name, implementing class, arity-checked builder). The arity check
-    * turns a wrong-argument-count SQL call into a clear analysis error
-    * instead of an IndexOutOfBoundsException from positional indexing.
+    * turns a wrong-argument-count SQL call into the same positioned
+    * AnalysisException (WRONG_NUM_ARGS, SQLSTATE 42605) every builtin
+    * function raises, instead of an IndexOutOfBoundsException from
+    * positional indexing or a raw IllegalArgumentException mid-analysis.
     */
   val functions: Seq[(String, Class[_], Seq[Expression] => Expression)] = {
     def checked(name: String, arity: Int)(
         build: Seq[Expression] => Expression): Seq[Expression] => Expression =
       children => {
-        if (children.length != arity) throw new IllegalArgumentException(
-          s"$name requires exactly $arity argument(s), got ${children.length}")
+        if (children.length != arity) throw new AnalysisException(
+          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+          messageParameters = Map(
+            "functionName" -> s"`$name`",
+            "expectedNum" -> arity.toString,
+            "actualNum" -> children.length.toString,
+            "docroot" -> "https://spark.apache.org/docs/latest"))
         build(children)
       }
     Seq(

@@ -94,18 +94,35 @@ object Streams {
     * dictates), the stream side computes signatures per micro-batch with a
     * stateless join. The trailing dropDuplicates collapses multi-band hits
     * AND suppresses re-emission if the same document arrives again — its
-    * state is one row per emitted collision pair; on an unbounded stream
-    * bound it with `withWatermark` + dropDuplicatesWithinWatermark, or move
-    * the dedup into foreachBatch for batch-local semantics.
+    * state is one row per emitted collision pair — fine for bounded tests,
+    * unbounded growth on an unbounded stream. Pass `watermark` (event-time
+    * column, delay) to bound it: the stream is watermarked BEFORE the
+    * signature computation, the event-time column rides through the band
+    * join (dropDuplicatesWithinWatermark needs it in its input schema), and
+    * the dedup switches to `dropDuplicatesWithinWatermark`, whose state
+    * expires once the watermark passes a pair's event time + delay.
+    *
+    * @param watermark optional (eventTimeCol, delay) — e.g. `("ts", "10
+    *   minutes")`; None keeps the exact-dedup default for bounded inputs.
     */
   def streamDedupAgainstIndex(
       docs: DataFrame,
       index: DataFrame,
       lsh: graft.operators.MinHashLSH = graft.operators.MinHashLSH(),
-      maxBucket: Int = 0): DataFrame =
-    lsh.rawCandidatesAgainstIndex(docs, "doc_id", "text", index, maxBucket)
-      .select(col("new_id").as("doc_id"), col("index_id").as("matched_id"))
-      .dropDuplicates("doc_id", "matched_id")
+      maxBucket: Int = 0,
+      watermark: Option[(String, String)] = None): DataFrame = watermark match {
+    case Some((tsCol, delay)) =>
+      lsh.rawCandidatesAgainstIndex(
+          docs.withWatermark(tsCol, delay), "doc_id", "text", index,
+          maxBucket, carry = Seq(tsCol))
+        .select(col("new_id").as("doc_id"), col("index_id").as("matched_id"),
+          col(tsCol))
+        .dropDuplicatesWithinWatermark("doc_id", "matched_id")
+    case None =>
+      lsh.rawCandidatesAgainstIndex(docs, "doc_id", "text", index, maxBucket)
+        .select(col("new_id").as("doc_id"), col("index_id").as("matched_id"))
+        .dropDuplicates("doc_id", "matched_id")
+  }
 
   /** B38 — custom state: running per-user event count + value sum,
     * re-emitted on every update (OutputMode.Update).

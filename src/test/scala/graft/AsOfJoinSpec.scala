@@ -215,4 +215,23 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(err.getMessage.contains("LongType"))
   }
+
+  test("self-join-shaped right (shared exprIds) joins real values, not mirrors") {
+    // both sides derive from the SAME DataFrame, so without the right-side
+    // re-alias the analyzed plans share attribute exprIds and the output
+    // projection would silently mirror left values into the right columns
+    val base = Seq((1L, 10L, 100.0), (1L, 5L, 50.0), (1L, 2L, 20.0))
+      .toDF("k", "t", "v")
+    val expected = Set(
+      (10L, 100.0, 5L, 50.0),  // latest right with t<10 at/before 10 is (5, 50)
+      (5L, 50.0, 5L, 50.0),
+      (2L, 20.0, 2L, 20.0))
+    def run = AsOf.join(base, base.filter($"t" < 10L),
+        Seq("k"), Seq("k"), "t", "t")
+      .collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getLong(4), r.getDouble(5)))
+      .toSet
+    assert(run == expected)                      // broadcast path
+    assert(withThreshold("-1")(run) == expected) // shuffle-merge path
+  }
 }

@@ -69,4 +69,14 @@ class DotProductSpec extends SparkSpec {
     assert(native <= hof * 1.5, f"native $native%.3fs slower than HOF $hof%.3fs")
     vecs.unpersist()
   }
+
+  test("wrong arity raises a positioned AnalysisException, not a raw IAE") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0F)) AS d").collect()
+    }
+    assert(e.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", e.getMessage)
+    assert(e.getMessage.contains("`vec_dot`") &&
+      e.getMessage.contains("2 parameters"), e.getMessage)
+  }
 }

@@ -159,6 +159,38 @@ class StreamingSpec extends SparkSpec {
     assert(got == Set((10L, 1L), (12L, 1L)))
   }
 
+  test("watermarked LSH dedup: suppressed within the delay, state expires after") {
+    implicit val sqlCtx = spark.sqlContext
+    val dup = "the quick brown fox jumps over the lazy dog"
+    val corpus = Seq((1L, dup)).toDF("doc_id", "text")
+    val lsh = graft.operators.MinHashLSH(12, 3, 1)
+    val index = lsh.bandIndex(corpus, "doc_id", "text")
+    val input = MemoryStream[(Long, String, Timestamp)]
+    val q = Streams.streamDedupAgainstIndex(
+        input.toDF().toDF("doc_id", "text", "ts"), index, lsh,
+        watermark = Some(("ts", "10 minutes")))
+      .writeStream.format("memory").queryName("t_lshdedup_wm")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq((10L, dup, ts(0))))
+      q.processAllAvailable()
+      // same collision pair again, within the watermark delay: suppressed
+      input.addData(Seq((10L, dup, ts(5))))
+      q.processAllAvailable()
+      // push the watermark far past ts(5) + 10min -> pair state evicted
+      input.addData(Seq((99L, "zebra xylophone quark nebula glyph prism", ts(500))))
+      q.processAllAvailable()
+      // the same pair after expiry IS re-emitted — proof state was dropped,
+      // i.e. the dedup state is bounded by the watermark, not unbounded
+      input.addData(Seq((10L, dup, ts(501))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_lshdedup_wm").select("doc_id", "matched_id")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.count(_ == ((10L, 1L))) == 2, got)
+    assert(got.size == 2, got)
+  }
+
   test("stream-static as-of enrichment: each event joins its reference version") {
     // the classic enrichment shape: a stream as-of-joins a versioned
     // static reference (broadcast path — stateless per micro-batch)
