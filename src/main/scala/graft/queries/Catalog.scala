@@ -20,7 +20,7 @@ object Catalog {
   val all: Seq[QueryDef] =
     Relational.defs ++ Analytics.defs ++ TextPipeline.defs ++ Dedup.defs ++
       StreamParity.defs ++ Media.defs ++ SqlEntry.defs ++ ScalePaths.defs ++
-      Curation.defs
+      Curation.defs ++ TimeSeries.defs
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.fn).toMap

@@ -262,6 +262,80 @@ object TextPipeline {
       |GROUP BY source, shard, bin
       |ORDER BY source, shard, bin""".stripMargin
 
+  /** PII redaction — the scrub step every training-data pipeline runs
+    * before text leaves curation: regex-replace emails, phone numbers, and
+    * IPv4 addresses with typed placeholders. The PII-shaped text is
+    * composed deterministically from customer keys (the synthetic tables
+    * carry no real PII), then redacted; the oracle verifies the redaction
+    * byte-for-byte. Pure per-row projection: no shuffle, fully parallel,
+    * and the patterns stay in RE2-compatible syntax so the same operator
+    * runs under Java regex (Spark) and RE2 (DuckDB) identically.
+    */
+  private def q77(s: SparkSession, dir: String): DataFrame = {
+    val msg = concat(
+      col("c_name"), lit(" contact user"), col("c_custkey").cast("string"),
+      lit("@mail.example.org or +1-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (col("c_custkey") % 200).cast("string"),
+      lit("."), (col("c_custkey") % 256).cast("string"),
+      lit("."), (col("c_custkey") % 100).cast("string"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), msg.as("m"))
+      .select(col("c_custkey"), length(col("m")).cast("long").as("msg_len"),
+        regexp_replace(regexp_replace(regexp_replace(col("m"),
+          lit("[a-zA-Z0-9._#]+@[a-zA-Z0-9.]+\\.[a-zA-Z]+"), lit("[EMAIL]")),
+          lit("\\+[0-9]-[0-9]{3}-[0-9]{4}"), lit("[PHONE]")),
+          lit("[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"), lit("[IP]"))
+          .as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  private val q77Sql =
+    """WITH msg AS (
+      |  SELECT c_custkey, c_name || ' contact user' || c_custkey ||
+      |    '@mail.example.org or +1-555-' ||
+      |    lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0') ||
+      |    ' ip 10.' || (c_custkey % 200) || '.' || (c_custkey % 256) ||
+      |    '.' || (c_custkey % 100) AS m
+      |  FROM customer
+      |)
+      |SELECT c_custkey, CAST(length(m) AS BIGINT) AS msg_len,
+      |  regexp_replace(regexp_replace(regexp_replace(m,
+      |    '[a-zA-Z0-9._#]+@[a-zA-Z0-9.]+\.[a-zA-Z]+', '[EMAIL]', 'g'),
+      |    '\+[0-9]-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g') AS redacted
+      |FROM msg ORDER BY c_custkey""".stripMargin
+
+  /** Inverted-index build (token -> sorted posting list + document
+    * frequency) — the retrieval-side structure for corpus search and
+    * n-gram-overlap decontamination at scale. One explode + distinct +
+    * hash aggregate; posting lists are sorted in-row (`sort_array`), so
+    * the output is deterministic without a global sort of the postings.
+    * At 100 TB the same plan holds: the aggregate shuffles (token, doc_id)
+    * pairs once, and hot tokens (stopwords) can be capped with the q44
+    * maxBucket convention before the collect_list.
+    */
+  private def q78(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token") =!= "")
+      .distinct()
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(sort_array(collect_list(col("doc_id"))),
+            _.cast("string"))).as("postings"))
+      .orderBy("token")
+
+  private val q78Sql =
+    """WITH t AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+      |  FROM documents
+      |)
+      |SELECT token, count(*) AS df,
+      |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+      |FROM t WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q26_token_stats", q26, Some(q26Sql)),
     QueryDef("q27_quality_score", q27, Some(q27Sql)),
@@ -269,5 +343,7 @@ object TextPipeline {
     QueryDef("q29_word_jaccard", q29, Some(q29Sql)),
     QueryDef("q40_tfidf", q40, Some(q40Sql)),
     QueryDef("q57_chunking", q57, Some(q57Sql)),
-    QueryDef("q58_sequence_packing", q58, Some(q58Sql)))
+    QueryDef("q58_sequence_packing", q58, Some(q58Sql)),
+    QueryDef("q77_pii_redact", q77, Some(q77Sql)),
+    QueryDef("q78_inverted_index", q78, Some(q78Sql)))
 }

@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series and statistical-aggregate operators (engine surface B16/B26/
+  * B27 extensions): calendar resampling with gap-filling forward
+  * interpolation, and the full SQL statistical-aggregate family
+  * (corr/covariance/variance/regression/median).
+  *
+  * Scale posture: the gap-fill grid is generated PER KEY from that key's own
+  * [min, max] span (`sequence` + explode) — no global calendar broadcast, no
+  * cross-key skew; the forward-fill window and the grid join both key on
+  * user_id, so under AQE the aggregate, join, and window share one hash
+  * partitioning. Stat aggregates are single-pass hash aggregates with
+  * map-side partials (Spark's CentralMomentAgg/Corr/Covariance are all
+  * mergeable) — the textbook 100 TB shape.
+  */
+object TimeSeries {
+
+  /** ROUND(x, 4) via floor(x*1e4+0.5): Spark round() is HALF_UP, DuckDB
+    * half-even on doubles — this form agrees on both engines (repo-wide
+    * convention, see Curation q63).
+    */
+  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+
+  /** Reusable gap-fill operator: given one row per (key, day), emit every
+    * day of each key's own [min, max] span, carrying the last seen value
+    * forward over missing days (`last(..., ignoreNulls)` over an
+    * unbounded-preceding rows frame) and flagging filled rows with
+    * `is_gap`. The first grid day always has data (the span starts at an
+    * observed day), so the filled value is never null. The per-key grid,
+    * the join, and the fill window all hash on `keyCol`, so the whole
+    * operator is one shuffle.
+    */
+  def gapFillDaily(
+      daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val grid = daily.groupBy(keyCol)
+      .agg(min(dayCol).as("d0"), max(dayCol).as("d1"))
+      .select(col(keyCol),
+        explode(expr("sequence(d0, d1, interval 1 day)")).as(dayCol))
+    val ff = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(daily, Seq(keyCol, dayCol), "left")
+      .select(col(keyCol), col(dayCol),
+        last(col(valueCol), ignoreNulls = true).over(ff).as(s"${valueCol}_ff"),
+        when(col(valueCol).isNull, lit(1)).otherwise(lit(0)).as("is_gap"))
+  }
+
+  /** Gap-fill / resample query: daily average event value per user,
+    * forward-filled across each user's inactive days via [[gapFillDaily]].
+    */
+  private def q75(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(r4(avg("value")).as("v"))
+    gapFillDaily(daily, "user_id", "day", "v")
+      .select(col("user_id"), col("day"), col("v_ff").as("value_ff"),
+        col("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  private val q75Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, FLOOR(avg(value)*10000+0.5)/10000.0 AS v
+      |  FROM ev GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id
+      |)
+      |SELECT g.user_id, g.day,
+      |  last_value(d.v IGNORE NULLS) OVER (PARTITION BY g.user_id ORDER BY g.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_ff,
+      |  CASE WHEN d.v IS NULL THEN 1 ELSE 0 END AS is_gap
+      |FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+      |ORDER BY g.user_id, g.day""".stripMargin
+
+  /** B27 statistical aggregates, the full SQL-standard family in one hash
+    * aggregate: Pearson correlation, population/sample covariance,
+    * stddev/variance, least-squares regression (slope/intercept/r2), and
+    * exact median. Every one is a mergeable partial aggregate in Spark —
+    * one shuffle of 3-6 moment doubles per group, never the raw rows.
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count(lit(1)).as("n"),
+        r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qp"),
+        r4(covar_pop(col("l_quantity"), col("l_extendedprice"))).as("covar_p"),
+        r4(covar_samp(col("l_quantity"), col("l_extendedprice"))).as("covar_s"),
+        r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+        r4(var_pop(col("l_quantity"))).as("var_qty"),
+        r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+        r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("icept"),
+        r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"),
+        r4(median(col("l_quantity").cast("double"))).as("med_qty"))
+      .orderBy("l_returnflag")
+
+  private val q76Sql =
+    """SELECT l_returnflag,
+      |  count(*) AS n,
+      |  FLOOR(corr(l_quantity, l_extendedprice)*10000+0.5)/10000.0 AS corr_qp,
+      |  FLOOR(covar_pop(l_quantity, l_extendedprice)*10000+0.5)/10000.0 AS covar_p,
+      |  FLOOR(covar_samp(l_quantity, l_extendedprice)*10000+0.5)/10000.0 AS covar_s,
+      |  FLOOR(stddev_samp(l_quantity)*10000+0.5)/10000.0 AS sd_qty,
+      |  FLOOR(var_pop(l_quantity)*10000+0.5)/10000.0 AS var_qty,
+      |  FLOOR(regr_slope(l_extendedprice, l_quantity)*10000+0.5)/10000.0 AS slope,
+      |  FLOOR(regr_intercept(l_extendedprice, l_quantity)*10000+0.5)/10000.0 AS icept,
+      |  FLOOR(regr_r2(l_extendedprice, l_quantity)*10000+0.5)/10000.0 AS r2,
+      |  FLOOR(median(CAST(l_quantity AS DOUBLE))*10000+0.5)/10000.0 AS med_qty
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q75_gap_fill", q75, Some(q75Sql)),
+    QueryDef("q76_stat_funcs", q76, Some(q76Sql)))
+}
