@@ -46,7 +46,46 @@ object SqlEntry {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
       |ORDER BY g_s, g_p, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
 
+  /** Correlated EXISTS / NOT EXISTS predicates — Catalyst's
+    * RewritePredicateSubquery decorrelates them into LEFT SEMI and LEFT
+    * ANTI hash joins (no per-row subquery execution), the form that
+    * scales: two joins on o_custkey, broadcast when orders' filtered side
+    * is small.
+    */
+  private def q79(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "customer", "orders")(q79Sql)
+
+  private val q79Sql =
+    """SELECT c_custkey, c_name
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey
+      |                AND o.o_totalprice > 150000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey
+      |                    AND o.o_orderstatus = 'F')
+      |ORDER BY c_custkey""".stripMargin
+
+  /** Rank-distribution windows (percent_rank, cume_dist) completing the
+    * B14 ranking family; total-ordered by a unique tiebreak so the
+    * distribution values are deterministic on both engines.
+    */
+  private def q80(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "orders")(q80Sql)
+
+  private val q80Sql =
+    """SELECT o_orderpriority, o_orderkey,
+      |  CAST(FLOOR(percent_rank() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey)*10000+0.5) AS DOUBLE)/10000 AS pr,
+      |  CAST(FLOOR(cume_dist() OVER (PARTITION BY o_orderpriority
+      |    ORDER BY o_totalprice, o_orderkey)*10000+0.5) AS DOUBLE)/10000 AS cd
+      |FROM orders
+      |WHERE o_orderkey % 100 = 0
+      |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_scalar_subquery", q42, Some(q42Sql)),
-    QueryDef("q43_grouping_sets", q43, Some(q43Sql)))
+    QueryDef("q43_grouping_sets", q43, Some(q43Sql)),
+    QueryDef("q79_exists_subquery", q79, Some(q79Sql)),
+    QueryDef("q80_rank_distribution", q80, Some(q80Sql)))
 }
