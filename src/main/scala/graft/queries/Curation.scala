@@ -180,8 +180,13 @@ object Curation {
     */
   private def q67(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    def grams(d: DataFrame) = d.select(col("doc_id"),
-      explode(TextHash.wordShingles(col("text"), 5)).as("gram"))
+    // tokens materialized as an attribute BELOW the shingle transform —
+    // inlining them re-splits the text once per shingle (no CSE into
+    // lambdas; 2.3x at sf0.1)
+    def grams(d: DataFrame) = d
+      .select(col("doc_id"), TextHash.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextHash.wordShinglesOf(col("toks"), 5)).as("gram"))
     val bench = grams(docs.filter(col("doc_id") < 10))
       .select(col("gram")).distinct()
     grams(docs.filter(col("doc_id") >= 10))
