@@ -62,8 +62,39 @@ final case class AsOfJoinPlan(
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 object AsOfJoinStrategy extends SparkStrategy {
+
+  /** Post-resolution validation shared by the DataFrame and SQL paths.
+    * `AsOf.join` already rejects these eagerly with caller-friendly
+    * IllegalArgumentExceptions; the SQL table function builds the plan from
+    * unresolved names, so types are only knowable here. Mismatched key
+    * types would compare raw UnsafeRow bytes (silently empty result) and a
+    * non-Long time would ClassCastException mid-task — both must die at
+    * planning with a positioned error instead.
+    */
+  private def validate(j: AsOfJoinPlan): Unit = {
+    def fail(msg: String): Nothing = throw new org.apache.spark.sql.AnalysisException(
+      msg, None, None, None, None, Map.empty, Array.empty)
+    j.leftKeys.zip(j.rightKeys).foreach { case (a, b) =>
+      if (a.dataType != b.dataType) fail(
+        s"asof_join key types must match exactly: ${a.sql} is " +
+          s"${a.dataType.simpleString} but ${b.sql} is " +
+          s"${b.dataType.simpleString} — cast one side first")
+    }
+    Seq(j.leftTime, j.rightTime).foreach { t =>
+      if (t.dataType != LongType) fail(
+        s"asof_join time columns must be BIGINT epoch micros, but ${t.sql} " +
+          s"is ${t.dataType.simpleString} (cast timestamps with unix_micros)")
+    }
+    if (j.left.outputSet.intersect(j.right.outputSet).nonEmpty) fail(
+      "asof_join: the two sides share column instances (self-join over the " +
+        "same table/view); alias one side's columns in a subquery or view " +
+        "first, or use the Scala AsOf.join API which de-duplicates " +
+        "automatically")
+  }
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case j: AsOfJoinPlan =>
+      validate(j)
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
       if (threshold > 0 && j.right.stats.sizeInBytes <= threshold)
@@ -462,5 +493,88 @@ object AsOf {
       AsOfJoinPlan(lPlan, rPlan, lk, rk,
         lt, rt, tieBreak.map(resolve(rPlan, _)), isOuter,
         forward = direction == "forward", tolerance = tolerance))
+  }
+}
+
+/** SQL surface for the native as-of join — a table-valued function
+  * (registered by [[GraftFunctions.register]] /
+  * `spark.sql.extensions=graft.plans.GraftExtensions`):
+  *
+  * {{{
+  * SELECT * FROM asof_join(
+  *   'events_v', 'orders_v',        -- left/right table or view names
+  *   'user_id', 'o_custkey',        -- keys ('a,b' for compound keys)
+  *   'ts_us', 'od_us'               -- BIGINT epoch-micro time columns
+  *   [, 'inner'|'left'              -- join type      (default inner)
+  *   [, 'backward'|'forward'        -- direction      (default backward)
+  *   [, tolerance]]])               -- max gap, BIGINT (default unbounded)
+  * }}}
+  *
+  * The builder runs at analysis time on unresolved names: table names
+  * become `UnresolvedRelation`s and column names `UnresolvedAttribute`s,
+  * which the analyzer resolves against the two children with its standard
+  * rules (so `spark.sql.caseSensitive` etc. apply). Type checks that need
+  * resolution (Long times, matching key types, self-join exprId overlap)
+  * happen in [[AsOfJoinStrategy]] with positioned AnalysisExceptions.
+  */
+object AsOfSql {
+  import org.apache.spark.sql.AnalysisException
+  import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.types.{IntegerType, StringType}
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def fail(msg: String): Nothing =
+    throw new AnalysisException(msg, None, None, None, None, Map.empty, Array.empty)
+
+  private def strArg(args: Seq[Expression], i: Int, what: String): String =
+    args(i) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(
+        s"asof_join argument ${i + 1} ($what) must be a string literal, " +
+          s"got ${other.sql}")
+    }
+
+  def builder(args: Seq[Expression]): LogicalPlan = {
+    if (args.length < 6 || args.length > 9) throw new AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> "`asof_join`",
+        "expectedNum" -> "6 to 9",
+        "actualNum" -> args.length.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+    def rel(i: Int, what: String): LogicalPlan =
+      UnresolvedRelation(strArg(args, i, what).split('.').toIndexedSeq)
+    def attrs(i: Int, what: String): Seq[Expression] =
+      strArg(args, i, what).split(',').toIndexedSeq
+        .map(n => UnresolvedAttribute(Seq(n.trim)))
+    val joinType =
+      if (args.length > 6) strArg(args, 6, "join type") else "inner"
+    if (joinType != "inner" && joinType != "left" && joinType != "left_outer")
+      fail(s"asof_join supports inner/left, got '$joinType'")
+    val direction =
+      if (args.length > 7) strArg(args, 7, "direction") else "backward"
+    if (direction != "backward" && direction != "forward")
+      fail(s"asof_join direction must be backward or forward, got '$direction'")
+    val tolerance: Option[Long] =
+      if (args.length <= 8) None
+      else args(8) match {
+        case Literal(v: Long, LongType) if v >= 0 => Some(v)
+        case Literal(v: Int, IntegerType) if v >= 0 => Some(v.toLong)
+        case other => fail(
+          s"asof_join argument 9 (tolerance) must be a non-negative integer " +
+            s"literal, got ${other.sql}")
+      }
+    val lk = attrs(2, "left keys")
+    val rk = attrs(3, "right keys")
+    if (lk.size != rk.size) fail(
+      s"asof_join needs equally many left and right keys, got ${lk.size} vs ${rk.size}")
+    AsOfJoinPlan(
+      rel(0, "left table"), rel(1, "right table"), lk, rk,
+      attrs(4, "left time").head, attrs(5, "right time").head,
+      rightTieBreak = Nil,
+      isLeftOuter = joinType != "inner",
+      forward = direction == "forward",
+      tolerance = tolerance)
   }
 }

@@ -49,12 +49,26 @@ object GraftFunctions {
           graft.functions.expr.CharBigramCountsF(c(0)))))
   }
 
+  /** Table-valued functions: (name, doc class, builder to a LogicalPlan).
+    * `asof_join` makes the native as-of operator SQL-callable
+    * (`SELECT * FROM asof_join('l', 'r', ...)` — see [[AsOfSql]]).
+    */
+  val tableFunctions: Seq[(String, Class[_],
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
+    Seq(("asof_join", classOf[AsOfJoinPlan], AsOfSql.builder _))
+
   def register(spark: SparkSession): Unit = {
-    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry
+    val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState
     functions.foreach { case (name, _, builder) =>
-      reg.createOrReplaceTempFunction(name, builder, "scala_udf")
+      state.functionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
+    tableFunctions.foreach { case (name, _, builder) =>
+      state.tableFunctionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
+    }
+    // the TVF yields a bare AsOfJoinPlan — the planner strategy must be
+    // installed for it to execute
+    AsOf.install(spark)
   }
 
   /** Install graft's optimizer rewrites on an existing session (idempotent).
@@ -89,6 +103,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.functions.foreach { case (name, cls, builder) =>
       ext.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo(cls.getName, name),
+        builder))
+    }
+    GraftFunctions.tableFunctions.foreach { case (name, cls, builder) =>
+      ext.injectTableFunction((
         FunctionIdentifier(name),
         new ExpressionInfo(cls.getName, name),
         builder))

@@ -216,6 +216,50 @@ class AsOfJoinSpec extends SparkSpec {
     assert(err.getMessage.contains("LongType"))
   }
 
+  test("SQL table function asof_join matches the Scala API on all variants") {
+    graft.plans.GraftFunctions.register(spark)
+    lDf.createOrReplaceTempView("asof_l")
+    rDf.createOrReplaceTempView("asof_r")
+    def viaSql(extra: String) = spark.sql(
+      s"SELECT ltag, rtag FROM asof_join('asof_l', 'asof_r', 'k', 'k2', 't', 'rt'$extra)")
+      .collect().map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    def viaApi(jt: String, dir: String, tol: Option[Long]) =
+      AsOf.join(lDf, rDf, Seq("k"), Seq("k2"), "t", "rt",
+          joinType = jt, direction = dir, tolerance = tol)
+        .select($"ltag", $"rtag").collect()
+        .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(viaSql("") == viaApi("inner", "backward", None))
+    assert(viaSql(", 'left'") == viaApi("left", "backward", None))
+    assert(viaSql(", 'left', 'forward'") == viaApi("left", "forward", None))
+    assert(viaSql(", 'inner', 'backward', 2") == viaApi("inner", "backward", Some(2L)))
+  }
+
+  test("SQL asof_join rejects bad arity, types, and self-joins with analysis errors") {
+    import org.apache.spark.sql.AnalysisException
+    graft.plans.GraftFunctions.register(spark)
+    lDf.createOrReplaceTempView("asof_l")
+    rDf.createOrReplaceTempView("asof_r")
+    val arity = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM asof_join('asof_l', 'asof_r')").collect()
+    }
+    assert(arity.getCondition == "WRONG_NUM_ARGS.WITHOUT_SUGGESTION", arity.getMessage)
+    val badTime = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM asof_join('asof_l', 'asof_r', 'k', 'k2', 't', 'rtag')")
+        .collect()
+    }
+    assert(badTime.getMessage.contains("BIGINT epoch micros"), badTime.getMessage)
+    // same view on both sides shares attribute instances — the analyzer's
+    // ambiguity check or the strategy's overlap guard must reject, never
+    // silently mirror columns
+    val self = intercept[AnalysisException] {
+      spark.sql("SELECT * FROM asof_join('asof_l', 'asof_l', 'k', 'k', 't', 't')")
+        .collect()
+    }
+    assert(self.getMessage.contains("ambiguous") ||
+      self.getMessage.contains("alias one side"), self.getMessage)
+  }
+
   test("self-join-shaped right (shared exprIds) joins real values, not mirrors") {
     // both sides derive from the SAME DataFrame, so without the right-side
     // re-alias the analyzed plans share attribute exprIds and the output
