@@ -206,7 +206,36 @@ object Analytics {
       |FROM events
       |ORDER BY event_id""".stripMargin
 
+  /** Z-order (Morton) layout key over (user bucket, value bucket) — the
+    * multi-dimensional clustering key a 100 TB table sorts by so parquet
+    * min/max pruning works for BOTH filter columns at once (file-skipping
+    * demonstrated in ZOrderSpec). The curve value itself is plain
+    * shift/and arithmetic, bit-identical across engines, so the whole
+    * mapping is oracle-checked.
+    */
+  private def q81(s: SparkSession, dir: String): DataFrame = {
+    val x = pmod(col("user_id"), lit(1024L))
+    val y = pmod(floor(col("value")).cast("long"), lit(1024L))
+    Tables.events(s, dir)
+      .select(col("event_id"), x.as("x"), y.as("y"))
+      .withColumn("z", graft.functions.ZOrder.zValue(Seq(col("x"), col("y")), 10))
+      .orderBy("z", "event_id")
+  }
+
+  private val q81Sql =
+    """WITH b AS (
+      |  SELECT event_id,
+      |    ((user_id % 1024) + 1024) % 1024 AS x,
+      |    ((CAST(FLOOR(value) AS BIGINT) % 1024) + 1024) % 1024 AS y
+      |  FROM events
+      |)
+      |SELECT event_id, x, y,
+      |  CAST(list_sum(list_transform(range(0, 10), i ->
+      |    (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
+      |FROM b ORDER BY z, event_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q81_zorder_key", q81, Some(q81Sql)),
     QueryDef("q20_json_events", q20, Some(q20Sql)),
     QueryDef("q21_array_embeddings", q21, Some(q21Sql)),
     QueryDef("q22_cosine_topk", q22, Some(q22Sql)),
