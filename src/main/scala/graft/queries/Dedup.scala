@@ -321,8 +321,60 @@ object Dedup {
       |WHERE d.doc_id < 150
       |ORDER BY d.doc_id""".stripMargin
 
+  /** Distributed k-means ASSIGNMENT — the scale half of embedding
+    * clustering (SemDeDup-style semantic grouping): centroids broadcast to
+    * every task, each vector computes its nearest centroid in one pass,
+    * zero corpus shuffle before the per-vector argmin. The centroids here
+    * are deterministic (vec_id < 8) so the whole step is oracle-checked;
+    * trained centroids come from the driver-side bounded-sample Lloyd's in
+    * [[graft.operators.Ann.ivfCentroidsKMeans]] and plug into the same
+    * assignment. Squared L2 via the native vec_dot expression
+    * (|a|^2 + |b|^2 - 2ab); distances rounded before the argmin and ties
+    * broken by centroid id, so the choice is deterministic on both engines.
+    */
+  private def q82(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import graft.plans.GraftFunctions.vecDot
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val d2 = vecDot(col("embedding"), col("embedding")) +
+      vecDot(col("c_emb"), col("c_emb")) -
+      lit(2.0) * vecDot(col("embedding"), col("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_id"))
+    emb.filter(col("vec_id") >= 8)
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"),
+        (floor(d2 * 10000 + 0.5) / 10000.0).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"), col("dist2"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q82Sql =
+    """WITH c AS (
+      |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |  FROM embeddings WHERE vec_id < 8
+      |), d AS (
+      |  SELECT e.vec_id, c.c_id,
+      |    FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |      + list_dot_product(c.c_emb, c.c_emb)
+      |      - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_emb))
+      |      * 10000 + 0.5) / 10000.0 AS dist2
+      |  FROM embeddings e, c
+      |  WHERE e.vec_id >= 8
+      |)
+      |SELECT vec_id, c_id AS cluster, dist2
+      |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |        ORDER BY dist2, c_id) AS rn FROM d)
+      |WHERE rn = 1
+      |ORDER BY vec_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),
+    QueryDef("q82_kmeans_assign", q82, Some(q82Sql)),
     QueryDef("q30_minhash_lsh", q30, Some(q30Sql)),
     QueryDef("q31_simhash_neardup", q31, Some(q31Sql)),
     QueryDef("q32_ngram_jaccard", q32, Some(q32Sql)),
