@@ -32,7 +32,15 @@ object ZOrder {
       i <- 0 until bits
       (c, j) <- cols.zipWithIndex
     } yield shiftleft(shiftright(c, i).bitwiseAND(lit(1L)), i * n + j)
-    terms.reduce(_ + _)
+    // out-of-range inputs would silently interleave only their low bits —
+    // colliding z values that quietly destroy the clustering property this
+    // key exists for. Fail the task loudly instead; callers bucket first
+    // (zValueBucketed) when range isn't guaranteed.
+    val inRange = cols.map(c => c >= 0 && c < lit(1L << bits)).reduce(_ && _)
+    when(inRange, terms.reduce(_ + _))
+      .otherwise(raise_error(lit(
+        s"zValue input outside [0, ${1L << bits}) — bucket keys first " +
+          "(zValueBucketed) or widen bits")).cast("long"))
   }
 
   /** [[zValue]] with each column first bucketed into [0, 2^bits) by

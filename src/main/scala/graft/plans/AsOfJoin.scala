@@ -72,8 +72,22 @@ object AsOfJoinStrategy extends SparkStrategy {
     * planning with a positioned error instead.
     */
   private def validate(j: AsOfJoinPlan): Unit = {
-    def fail(msg: String): Nothing = throw new org.apache.spark.sql.AnalysisException(
-      msg, None, None, None, None, Map.empty, Array.empty)
+    import GraftErrors.fail
+    // the analyzer resolves TVF column names against BOTH children, so a
+    // name that only exists on the wrong side resolves "successfully" and
+    // would die later in BindReferences mid-task — catch it here
+    def mustBeFrom(what: String, es: Seq[Expression], side: LogicalPlan,
+        sideName: String): Unit =
+      es.foreach { e =>
+        if (!e.references.subsetOf(side.outputSet)) fail(
+          s"asof_join: $what ${e.sql} does not come from the $sideName side " +
+            s"(available: ${side.output.map(_.name).mkString(", ")})")
+      }
+    mustBeFrom("left key", j.leftKeys, j.left, "left")
+    mustBeFrom("left time", Seq(j.leftTime), j.left, "left")
+    mustBeFrom("right key", j.rightKeys, j.right, "right")
+    mustBeFrom("right time", Seq(j.rightTime), j.right, "right")
+    mustBeFrom("tie-break", j.rightTieBreak, j.right, "right")
     j.leftKeys.zip(j.rightKeys).foreach { case (a, b) =>
       if (a.dataType != b.dataType) fail(
         s"asof_join key types must match exactly: ${a.sql} is " +
@@ -518,14 +532,11 @@ object AsOf {
   * happen in [[AsOfJoinStrategy]] with positioned AnalysisExceptions.
   */
 object AsOfSql {
-  import org.apache.spark.sql.AnalysisException
+  import GraftErrors.{fail, wrongNumArgs}
   import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation}
   import org.apache.spark.sql.catalyst.expressions.Literal
   import org.apache.spark.sql.types.{IntegerType, StringType}
   import org.apache.spark.unsafe.types.UTF8String
-
-  private def fail(msg: String): Nothing =
-    throw new AnalysisException(msg, None, None, None, None, Map.empty, Array.empty)
 
   private def strArg(args: Seq[Expression], i: Int, what: String): String =
     args(i) match {
@@ -536,18 +547,23 @@ object AsOfSql {
     }
 
   def builder(args: Seq[Expression]): LogicalPlan = {
-    if (args.length < 6 || args.length > 9) throw new AnalysisException(
-      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-      messageParameters = Map(
-        "functionName" -> "`asof_join`",
-        "expectedNum" -> "6 to 9",
-        "actualNum" -> args.length.toString,
-        "docroot" -> "https://spark.apache.org/docs/latest"))
+    if (args.length < 6 || args.length > 9)
+      wrongNumArgs("asof_join", "6 to 9", args.length)
     def rel(i: Int, what: String): LogicalPlan =
       UnresolvedRelation(strArg(args, i, what).split('.').toIndexedSeq)
-    def attrs(i: Int, what: String): Seq[Expression] =
-      strArg(args, i, what).split(',').toIndexedSeq
-        .map(n => UnresolvedAttribute(Seq(n.trim)))
+    def attrs(i: Int, what: String): Seq[Expression] = {
+      val names = strArg(args, i, what).split(',').toIndexedSeq.map(_.trim)
+      if (names.exists(_.isEmpty)) fail(
+        s"asof_join argument ${i + 1} ($what) contains an empty column name")
+      names.map(n => UnresolvedAttribute(Seq(n)))
+    }
+    def attr(i: Int, what: String): Expression = attrs(i, what) match {
+      case Seq(one) => one
+      case many => fail(
+        s"asof_join argument ${i + 1} ($what) must name exactly ONE " +
+          s"column, got ${many.size} — compound lists are only valid for " +
+          "the key arguments")
+    }
     val joinType =
       if (args.length > 6) strArg(args, 6, "join type") else "inner"
     if (joinType != "inner" && joinType != "left" && joinType != "left_outer")
@@ -571,7 +587,7 @@ object AsOfSql {
       s"asof_join needs equally many left and right keys, got ${lk.size} vs ${rk.size}")
     AsOfJoinPlan(
       rel(0, "left table"), rel(1, "right table"), lk, rk,
-      attrs(4, "left time").head, attrs(5, "right time").head,
+      attr(4, "left time"), attr(5, "right time"),
       rightTieBreak = Nil,
       isLeftOuter = joinType != "inner",
       forward = direction == "forward",

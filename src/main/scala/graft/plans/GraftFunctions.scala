@@ -15,6 +15,25 @@ import org.apache.spark.sql.functions.call_function
   *   - imperative path: `GraftFunctions.register(spark)` — idempotent,
   *     used by operators so any caller-supplied session works.
   */
+/** Shared constructors for the two Spark error shapes graft raises during
+  * analysis/planning — one place to absorb a Spark upgrade changing either
+  * the positional AnalysisException constructor or the error-class
+  * parameter map.
+  */
+object GraftErrors {
+  def fail(msg: String): Nothing =
+    throw new AnalysisException(msg, None, None, None, None, Map.empty, Array.empty)
+
+  def wrongNumArgs(name: String, expected: String, actual: Int): Nothing =
+    throw new AnalysisException(
+      errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+      messageParameters = Map(
+        "functionName" -> s"`$name`",
+        "expectedNum" -> expected,
+        "actualNum" -> actual.toString,
+        "docroot" -> "https://spark.apache.org/docs/latest"))
+}
+
 object GraftFunctions {
 
   /** (name, implementing class, arity-checked builder). The arity check
@@ -27,13 +46,8 @@ object GraftFunctions {
     def checked(name: String, arity: Int)(
         build: Seq[Expression] => Expression): Seq[Expression] => Expression =
       children => {
-        if (children.length != arity) throw new AnalysisException(
-          errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
-          messageParameters = Map(
-            "functionName" -> s"`$name`",
-            "expectedNum" -> arity.toString,
-            "actualNum" -> children.length.toString,
-            "docroot" -> "https://spark.apache.org/docs/latest"))
+        if (children.length != arity)
+          GraftErrors.wrongNumArgs(name, arity.toString, children.length)
         build(children)
       }
     Seq(

@@ -40,7 +40,7 @@ object Curation {
     // floor(x*1e4+0.5), not round(): |intersect|/|union| can have a
     // power-of-two denominator, landing exactly on the .5 boundary where
     // Spark (HALF_UP) and DuckDB (half-even) disagree (q66 convention)
-    val j4 = floor(col("jaccard") * 10000 + 0.5) / 10000.0
+    val j4 = Parity.r4(col("jaccard"))
     lsh.verifyJaccard(cands, docs, "doc_id", "text")
       .filter(j4 >= 0.6)
       .select(col("id_a").as("new_id"), col("id_b").as("match_id"),
@@ -137,8 +137,7 @@ object Curation {
     * the .5 boundary where Spark (HALF_UP) and DuckDB (half-even) disagree.
     */
   private def q66(s: SparkSession, dir: String): DataFrame = {
-    def r4(c: org.apache.spark.sql.Column) =
-      floor(c * 10000 + 0.5) / 10000.0
+    def r4(c: org.apache.spark.sql.Column) = Parity.r4(c)
     val wc = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
       .groupBy(col("doc_id"), col("word"))
@@ -379,7 +378,7 @@ object Curation {
       .withColumn("term", term)
       .groupBy(col("doc_id"))
       .agg(sum(col("c")).as("n_bigrams"),
-        (floor(raw * 10000 + 0.5) / 10000.0).as("lm_score"))
+        Parity.r4(raw).as("lm_score"))
       .orderBy(col("doc_id"))
   }
 
@@ -410,8 +409,7 @@ object Curation {
     * boundary).
     */
   private def q74(s: SparkSession, dir: String): DataFrame = {
-    def r6(c: org.apache.spark.sql.Column) =
-      floor(c * 1000000 + 0.5) / 1000000.0
+    def r6(c: org.apache.spark.sql.Column) = Parity.r6(c)
     val perSource = Tables.documents(s, dir)
       .select(col("source"), size(split(col("text"), " ")).as("n_tokens"))
       .groupBy(col("source"))

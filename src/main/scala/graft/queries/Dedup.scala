@@ -336,17 +336,21 @@ object Dedup {
     graft.plans.GraftFunctions.register(s)
     import graft.plans.GraftFunctions.vecDot
     val emb = Tables.embeddings(s, dir)
+    // norms are per-SIDE constants — compute them once below the cross
+    // join, not once per (vector, centroid) pair (the q67 lesson: the
+    // inner loop should only pay for the 8 cross terms, not 24 dots)
     val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
-    val d2 = vecDot(col("embedding"), col("embedding")) +
-      vecDot(col("c_emb"), col("c_emb")) -
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        vecDot(col("embedding"), col("embedding")).as("c2"))
+    val d2 = col("e2") + col("c2") -
       lit(2.0) * vecDot(col("embedding"), col("c_emb"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_id"))
     emb.filter(col("vec_id") >= 8)
+      .withColumn("e2", vecDot(col("embedding"), col("embedding")))
       .crossJoin(broadcast(cents))
       .select(col("vec_id"), col("c_id"),
-        (floor(d2 * 10000 + 0.5) / 10000.0).as("dist2"))
+        Parity.r4(d2).as("dist2"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .select(col("vec_id"), col("c_id").as("cluster"), col("dist2"))

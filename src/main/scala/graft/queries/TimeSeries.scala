@@ -20,11 +20,7 @@ import org.apache.spark.sql.functions._
   */
 object TimeSeries {
 
-  /** ROUND(x, 4) via floor(x*1e4+0.5): Spark round() is HALF_UP, DuckDB
-    * half-even on doubles — this form agrees on both engines (repo-wide
-    * convention, see Curation q63).
-    */
-  private def r4(c: Column): Column = floor(c * 10000 + 0.5) / 10000.0
+  private def r4(c: Column): Column = Parity.r4(c)
 
   /** Reusable gap-fill operator: given one row per (key, day), emit every
     * day of each key's own [min, max] span, carrying the last seen value

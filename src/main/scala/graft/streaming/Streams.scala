@@ -118,6 +118,9 @@ object Streams {
         .select(col("new_id").as("doc_id"), col("index_id").as("matched_id"),
           col(tsCol))
         .dropDuplicatesWithinWatermark("doc_id", "matched_id")
+        // event time was only input to the dedup's state expiry — drop it
+        // so both modes emit the same (doc_id, matched_id) schema
+        .drop(tsCol)
     case None =>
       lsh.rawCandidatesAgainstIndex(docs, "doc_id", "text", index, maxBucket)
         .select(col("new_id").as("doc_id"), col("index_id").as("matched_id"))

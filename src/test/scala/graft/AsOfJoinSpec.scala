@@ -258,6 +258,24 @@ class AsOfJoinSpec extends SparkSpec {
     }
     assert(self.getMessage.contains("ambiguous") ||
       self.getMessage.contains("alias one side"), self.getMessage)
+    // a name that only exists on the OTHER side resolves (the analyzer
+    // searches both children) but must die at planning, not in
+    // BindReferences mid-task
+    val wrongSide = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM asof_join('asof_l', 'asof_r', 'k', 'k2', 'rt', 'rt')")
+        .collect()
+    }
+    assert(wrongSide.getMessage.contains("does not come from the left side"),
+      wrongSide.getMessage)
+    // compound lists are for keys only; a multi-name time arg must not be
+    // silently truncated to its first column
+    val multiTime = intercept[AnalysisException] {
+      spark.sql(
+        "SELECT * FROM asof_join('asof_l', 'asof_r', 'k', 'k2', 't,rt', 'rt')")
+        .collect()
+    }
+    assert(multiTime.getMessage.contains("exactly ONE"), multiTime.getMessage)
   }
 
   test("self-join-shaped right (shared exprIds) joins real values, not mirrors") {
