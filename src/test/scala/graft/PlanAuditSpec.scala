@@ -62,4 +62,30 @@ class PlanAuditSpec extends SparkSpec {
     val scans = scanLines(finalPlan("q63_incremental_dedup"))
     assert(scans.contains("(doc_id#") && scans.contains("< 400"), scans)
   }
+
+  test("q79: EXISTS/NOT EXISTS decorrelate to broadcast semi + anti joins") {
+    val p = finalPlan("q79_exists_subquery")
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q82: centroids broadcast to the scoring loop, corpus never shuffles") {
+    val p = finalPlan("q82_kmeans_assign")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    // the only hash exchange allowed is the per-vector argmin window
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
+  }
+
+  test("q76: stat family is one partial+final aggregate pair, one exchange") {
+    val p = finalPlan("q76_stat_funcs")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q67: decontamination gram sets broadcast; corpus side never shuffles for the join") {
+    val p = finalPlan("q67_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
