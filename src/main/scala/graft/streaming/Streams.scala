@@ -17,6 +17,15 @@ final case class Event(
 /** Running per-user aggregate emitted by [[Streams.runningUserStats]]. */
 final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
+/** Open-session state carried by [[Streams.sessionsWithTimeout]]. */
+final case class OpenSession(
+    start_ms: Long, last_ms: Long, n_events: Long, sum_value: Double)
+
+/** A CLOSED session emitted by [[Streams.sessionsWithTimeout]]. */
+final case class ClosedSession(
+    user_id: Long, s_start: Timestamp, s_end: Timestamp,
+    n_events: Long, sum_value: Double)
+
 /** Streaming operators (SURVEY §2B B35–B38), written as plain
   * DataFrame→DataFrame transforms so the SAME code runs on a batch frame and
   * on a `readStream`/MemoryStream frame — batch results double as the oracle
@@ -125,6 +134,78 @@ object Streams {
       lsh.rawCandidatesAgainstIndex(docs, "doc_id", "text", index, maxBucket)
         .select(col("new_id").as("doc_id"), col("index_id").as("matched_id"))
         .dropDuplicates("doc_id", "matched_id")
+  }
+
+  /** B38 — custom sessionization with EVENT-TIME TIMEOUT: the pattern
+    * `session_window` cannot express — sessions close and emit EXACTLY
+    * once, either when a new event arrives past the gap (close-and-reopen)
+    * or when the WATERMARK passes the open session's gap deadline
+    * (`GroupStateTimeout.EventTimeTimeout` fires the group function with
+    * `hasTimedOut` even though no new rows arrived). State is one
+    * [[OpenSession]] per active user — bounded by active users, not
+    * history; the watermark guarantees every session eventually closes,
+    * so nothing leaks.
+    *
+    * The same custom-close hook is where production variants hang their
+    * session caps (max duration / max events) and richer session payloads.
+    */
+  def sessionsWithTimeout(
+      events: Dataset[Event],
+      gap: String = "30 minutes",
+      delay: String = "10 minutes"): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
+    require(gapMs.months == 0 && gapMs.days == 0,
+      "session gap must be a sub-day interval")
+    val gapMillis = gapMs.microseconds / 1000L
+    def close(uid: Long, s: OpenSession): ClosedSession =
+      ClosedSession(uid, new Timestamp(s.start_ms), new Timestamp(s.last_ms),
+        s.n_events, s.sum_value)
+    events.withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, ClosedSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
+          if (state.hasTimedOut) {
+            // watermark passed the gap deadline: the open session is final
+            val s = state.get
+            state.remove()
+            Iterator.single(close(uid, s))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
+            var open = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              open match {
+                case Some(s) if t - s.last_ms <= gapMillis =>
+                  open = Some(s.copy(last_ms = math.max(s.last_ms, t),
+                    n_events = s.n_events + 1, sum_value = s.sum_value + e.value))
+                case Some(s) =>
+                  closed += close(uid, s)
+                  open = Some(OpenSession(t, t, 1, e.value))
+                case None =>
+                  open = Some(OpenSession(t, t, 1, e.value))
+              }
+            }
+            open match {
+              case Some(s) =>
+                val deadline = s.last_ms + gapMillis
+                if (deadline <= state.getCurrentWatermarkMs()) {
+                  // the watermark already passed while this batch was in
+                  // flight — close now; a timeout would be un-settable
+                  closed += close(uid, s)
+                  state.remove()
+                } else {
+                  state.update(s)
+                  state.setTimeoutTimestamp(deadline)
+                }
+              case None => state.remove()
+            }
+            closed.iterator
+          }
+      }
   }
 
   /** B38 — custom state: running per-user event count + value sum,

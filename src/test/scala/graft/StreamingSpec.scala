@@ -223,6 +223,47 @@ class StreamingSpec extends SparkSpec {
       3L -> None, 4L -> None))
   }
 
+  test("event-time-timeout sessionizer closes by gap AND by watermark, exactly once") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = Streams.sessionsWithTimeout(input.toDS(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("t_sess_timeout")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events, one session; user 2: single event
+      input.addData(Seq(
+        Event(1, 1, "click", ts(0), 1.0),
+        Event(2, 1, "click", ts(5), 2.0),
+        Event(3, 2, "view", ts(3), 3.0)))
+      q.processAllAvailable()
+      // user 1 again past the 30-min gap: closes [0,5] inline AND opens a
+      // new session; watermark -> ts(50), timing out user 2's [3,3]
+      input.addData(Seq(Event(4, 1, "click", ts(60), 4.0)))
+      q.processAllAvailable()
+      // watermark -> ts(190): user 1's [60,60] deadline (ts 90) passes
+      input.addData(Seq(Event(5, 3, "view", ts(200), 5.0)))
+      q.processAllAvailable()
+      // watermark -> ts(390): closes user 3; user 9 stays open (not emitted)
+      input.addData(Seq(Event(6, 9, "view", ts(400), 6.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_sess_timeout")
+      .as[graft.streaming.ClosedSession].collect().toSet
+    assert(got == Set(
+      graft.streaming.ClosedSession(1, ts(0), ts(5), 2, 3.0),
+      graft.streaming.ClosedSession(2, ts(3), ts(3), 1, 3.0),
+      graft.streaming.ClosedSession(1, ts(60), ts(60), 1, 4.0),
+      graft.streaming.ClosedSession(3, ts(200), ts(200), 1, 5.0)), got)
+    // every closed session agrees with the batch session_window oracle
+    val batch = Streams.sessionStats(Seq(
+      Event(1, 1, "click", ts(0), 1.0), Event(2, 1, "click", ts(5), 2.0),
+      Event(3, 2, "view", ts(3), 3.0), Event(4, 1, "click", ts(60), 4.0),
+      Event(5, 3, "view", ts(200), 5.0)).toDF(), "30 minutes")
+      .select(col("user_id"), col("s_start"), col("n_events"), col("sum_value"))
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    assert(got.map(s => (s.user_id, s.s_start, s.n_events, s.sum_value)) == batch)
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
