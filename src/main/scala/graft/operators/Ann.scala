@@ -118,7 +118,7 @@ object Ann {
     * which moved the entire corpus to a single partition — the engine's one
     * outright 100x-scale failure; this replaces it.
     */
-  private def hashModSample(corpus: Dataset[Vec], target: Int): Array[Vec] = {
+  private[operators] def hashModSample(corpus: Dataset[Vec], target: Int): Array[Vec] = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val n = corpus.toDF().count()

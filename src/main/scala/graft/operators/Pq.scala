@@ -1,0 +1,140 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Product-quantization codes: `code(j)` is the chosen centroid of
+  * subspace j, always in [0, k).
+  */
+final case class PqCode(id: Long, code: Array[Int])
+
+/** Per-subspace codebooks: `codebooks(j)(c)` is centroid c of subspace j
+  * (length subDim). Total in-memory size m * k * subDim floats — a few KB,
+  * broadcast-trivial.
+  */
+final case class PqModel(
+    m: Int, k: Int, subDim: Int, codebooks: Array[Array[Array[Float]]])
+
+/** Product quantization — the memory side of billion-scale vector search
+  * (IVF narrows WHERE to look, PQ shrinks WHAT is stored): a dim-D float
+  * vector (4D bytes) becomes m sub-codes (m bytes at k=256; here k is
+  * caller-chosen), a 16-48x cut that lets the whole corpus index live in
+  * executor memory. Search uses asymmetric distance computation (ADC): per
+  * query, an m x k lookup table of exact subspace distances is computed
+  * once on the driver, then every code row costs m array lookups — no
+  * float math per candidate.
+  *
+  * Scale posture: training is the same BOUNDED deterministic sample +
+  * seeded Lloyd's as [[Ann.ivfCentroidsKMeans]] (driver cost fixed,
+  * independent of corpus size); encoding is one map over the corpus with
+  * the codebooks in the task closure (a few KB); the ADC scan is one map +
+  * TakeOrdered — no shuffle anywhere but the final top-k reduction.
+  */
+object Pq {
+
+  /** Plain L2 Lloyd's over driver-local sample slices (PQ quantizes
+    * Euclidean cells; the cosine variant in Ann is for IVF's unit-sphere
+    * coarse cells). Deterministic: strided init, fixed iteration count,
+    * ties to the lowest centroid id.
+    */
+  private def lloydL2(
+      samples: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val n = samples.length
+    val dim = samples(0).length
+    var cents: Array[Array[Double]] = samples.zipWithIndex.collect {
+      case (v, i) if i % math.max(1, n / k) == 0 => v.map(_.toDouble)
+    }.take(k)
+    var iter = 0
+    while (iter < iters) {
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val counts = new Array[Long](cents.length)
+      samples.foreach { v =>
+        val ci = nearestL2(v, cents)
+        counts(ci) += 1
+        val s = sums(ci)
+        var i = 0
+        while (i < dim) { s(i) += v(i); i += 1 }
+      }
+      cents = Array.tabulate(cents.length) { ci =>
+        if (counts(ci) == 0L) cents(ci) else sums(ci).map(_ / counts(ci))
+      }
+      iter += 1
+    }
+    cents.map(_.map(_.toFloat))
+  }
+
+  private def nearestL2(v: Array[Float], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var ci = 0
+    while (ci < cents.length) {
+      val c = cents(ci); var d = 0.0; var i = 0
+      while (i < c.length) { val t = v(i) - c(i); d += t * t; i += 1 }
+      if (d < bestD) { bestD = d; best = ci }
+      ci += 1
+    }
+    best
+  }
+
+  /** Train per-subspace codebooks on a bounded deterministic sample.
+    * Vector dim must be divisible by m.
+    */
+  def train(
+      corpus: Dataset[Vec], m: Int, k: Int,
+      iters: Int = 8, sampleFactor: Int = 32): PqModel = {
+    val sample = Ann.hashModSample(corpus, k * sampleFactor)
+    require(sample.nonEmpty, "PQ training sample is empty")
+    val dim = sample(0).embedding.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      val slices = sample.map(_.embedding.slice(j * subDim, (j + 1) * subDim))
+      lloydL2(slices, k, iters)
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Encode every vector as its per-subspace nearest-centroid codes. The
+    * model rides the task closure (a few KB); one map, no shuffle.
+    */
+  def encode(corpus: Dataset[Vec], model: PqModel): Dataset[PqCode] = {
+    import corpus.sparkSession.implicits._
+    val m = model.m; val subDim = model.subDim
+    // converted once here, serialized into the task closure — NOT per row
+    val booksD: Array[Array[Array[Double]]] =
+      model.codebooks.map(_.map(_.map(_.toDouble)))
+    corpus.map { v =>
+      val code = Array.tabulate(m) { j =>
+        val slice = v.embedding.slice(j * subDim, (j + 1) * subDim)
+        nearestL2(slice, booksD(j))
+      }
+      PqCode(v.id, code)
+    }
+  }
+
+  /** ADC top-k by (approximate) squared L2: the m x k query lookup table
+    * is exact per subspace; each candidate costs m lookups. Deterministic
+    * ties to the lowest id via TakeOrdered on (dist2, id).
+    */
+  def adcTopK(
+      codes: Dataset[PqCode], model: PqModel,
+      query: Array[Float], kNN: Int): DataFrame = {
+    import codes.sparkSession.implicits._
+    require(query.length == model.m * model.subDim,
+      s"query dim ${query.length} != model dim ${model.m * model.subDim}")
+    val m = model.m; val subDim = model.subDim
+    val lut: Array[Array[Double]] = Array.tabulate(m) { j =>
+      val q = query.slice(j * subDim, (j + 1) * subDim)
+      model.codebooks(j).map { c =>
+        var d = 0.0; var i = 0
+        while (i < subDim) { val t = q(i) - c(i); d += t * t; i += 1 }
+        d
+      }
+    }
+    codes.map { c =>
+      var d = 0.0; var j = 0
+      while (j < m) { d += lut(j)(c.code(j)); j += 1 }
+      (c.id, d)
+    }.toDF("id", "dist2")
+      .orderBy(col("dist2"), col("id"))
+      .limit(kNN)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.operators.{Ann, Pq, Vec}
+import org.apache.spark.sql.functions._
+
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    .select(col("vec_id").as("id"), col("embedding"))
+    .as[Vec].cache()
+
+  private lazy val model = Pq.train(corpus, m = 8, k = 16, iters = 8)
+
+  test("training is deterministic; codes are within [0, k) and m long") {
+    val a = Pq.train(corpus, m = 8, k = 16, iters = 8)
+    assert(model.codebooks.flatten.flatten.toSeq == a.codebooks.flatten.flatten.toSeq)
+    assert(model.subDim * model.m == Ann.headDim(corpus))
+    val codes = Pq.encode(corpus, model).collect()
+    assert(codes.length == corpus.count())
+    codes.foreach { c =>
+      assert(c.code.length == 8)
+      assert(c.code.forall(x => x >= 0 && x < 16), c.code.mkString(","))
+    }
+  }
+
+  test("adc self-query ranks the query's own code distance at zero-ish top") {
+    val q = corpus.filter(_.id == 7L).head().embedding
+    val codes = Pq.encode(corpus, model)
+    val top = Pq.adcTopK(codes, model, q, kNN = 5)
+      .select("id").as[Long].collect().toSeq
+    // the query vector's own quantization cell must be among the closest
+    assert(top.contains(7L), s"top-5 $top does not contain the query itself")
+  }
+
+  test("adc recall@10 beats the random-candidate baseline vs exact L2") {
+    val all = corpus.collect()
+    val queryIds = Seq(1L, 2L, 3L, 4L, 5L)
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var i = 0
+      while (i < a.length) { val t = a(i).toDouble - b(i); d += t * t; i += 1 }
+      d
+    }
+    val codes = Pq.encode(corpus.filter(v => !queryIds.contains(v.id)), model)
+      .cache()
+    val recalls = queryIds.map { qid =>
+      val q = all.find(_.id == qid).get.embedding
+      val exact = all.filter(v => !queryIds.contains(v.id))
+        .sortBy(v => (l2(q, v.embedding), v.id)).take(10).map(_.id).toSet
+      val approx = Pq.adcTopK(codes, model, q, kNN = 10)
+        .select("id").as[Long].collect().toSet
+      approx.intersect(exact).size.toDouble / exact.size
+    }
+    val mean = recalls.sum / recalls.size
+    // 10 of ~495 -> random baseline ~0.02; require an order better
+    assert(mean > 0.2, s"mean ADC recall $mean (per-query: $recalls)")
+    codes.unpersist()
+  }
+}
