@@ -76,10 +76,30 @@ object ScalePaths {
       .orderBy(col("cluster_id"), col("doc_id"))
   }
 
+  /** Product-quantized ANN over the full embeddings table: train (bounded
+    * deterministic sample), encode (one map, m-byte codes), ADC top-10 for
+    * three queries. Correctness pinned by PqSpec (determinism, recall vs
+    * exact L2); the bench times the full train+encode+search lifecycle.
+    */
+  private def q83(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding")).as[Vec]
+    val model = graft.operators.Pq.train(corpus, m = 8, k = 16)
+    val queries = corpus.filter(v => Seq(1L, 2L, 3L).contains(v.id)).collect()
+    val codes = graft.operators.Pq.encode(
+      corpus.filter(v => !Seq(1L, 2L, 3L).contains(v.id)), model)
+    queries.sortBy(_.id).map { q =>
+      graft.operators.Pq.adcTopK(codes, model, q.embedding, kNN = 10)
+        .select(lit(q.id).as("q_id"), col("id"), col("dist2"))
+    }.reduce(_.unionAll(_))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q44_minhash_lsh_full", q44, None),
     QueryDef("q45_ann_lsh", q45, None),
     QueryDef("q46_ann_ivf", q46, None),
     QueryDef("q54_simhash_banded_full", q54, None),
-    QueryDef("q56_dedup_clusters_full", q56, None))
+    QueryDef("q56_dedup_clusters_full", q56, None),
+    QueryDef("q83_ann_pq", q83, None))
 }
