@@ -440,6 +440,61 @@ object Curation {
       |FROM per, tot
       |ORDER BY source""".stripMargin
 
+  /** Weighted source resampling — APPLYING q74's uniform-mix weights: each
+    * document keeps with probability min(1, uniform_weight) of its source,
+    * decided by the same deterministic md5-derived hash family as the q64
+    * split (no rand(), so the sampled corpus is reproducible across runs
+    * and engines — the property that makes a 100 TB resample auditable).
+    * Overrepresented sources downsample toward the uniform token budget;
+    * underrepresented ones keep everything (upsampling is an epoch-repeat
+    * concern, not a filter). Output: per-source kept counts/tokens.
+    */
+  private def q84(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val per = docs.groupBy("source").agg(sum(col("n_tokens")).as("tokens"))
+    val tot = per.agg(sum(col("tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    val w = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        least(lit(1.0), (col("corpus_tokens").cast("double") /
+          col("n_sources")) / col("tokens")).as("keep_frac"))
+    val hash = pmod(TextHash.h60(
+      concat(col("doc_id").cast("string"), lit(":"), col("source"))),
+      lit(1000000L))
+    docs.join(broadcast(w), "source")
+      .filter(hash < floor(col("keep_frac") * 1000000))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum(col("n_tokens")).as("kept_tokens"))
+      .orderBy("source")
+  }
+
+  private val q84Sql =
+    """WITH d AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      |  FROM documents
+      |), per AS (
+      |  SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |  FROM d GROUP BY source
+      |), tot AS (
+      |  SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+      |    COUNT(*) AS n_sources
+      |  FROM per
+      |), w AS (
+      |  SELECT source,
+      |    LEAST(1.0, (CAST(corpus_tokens AS DOUBLE) / n_sources) / tokens)
+      |      AS keep_frac
+      |  FROM per, tot
+      |)
+      |SELECT d.source, COUNT(*) AS n_kept,
+      |  CAST(SUM(d.n_tokens) AS BIGINT) AS kept_tokens
+      |FROM d JOIN w USING (source)
+      |WHERE ('0x' || substr(md5(d.doc_id || ':' || d.source), 1, 15))::BIGINT
+      |    % 1000000 < FLOOR(keep_frac * 1000000)
+      |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   /** The q64 split assignment as a reusable column (same md5-derived
     * bucketing, so [[writeSplits]] output provably agrees with the
     * oracle-checked query).
@@ -470,5 +525,6 @@ object Curation {
     QueryDef("q69_corpus_shuffle", q69, Some(q69Sql)),
     QueryDef("q70_balanced_sample", q70, Some(q70Sql)),
     QueryDef("q73_lm_score", q73, Some(q73Sql)),
-    QueryDef("q74_source_mix", q74, Some(q74Sql)))
+    QueryDef("q74_source_mix", q74, Some(q74Sql)),
+    QueryDef("q84_weighted_resample", q84, Some(q84Sql)))
 }
