@@ -440,6 +440,72 @@ object Curation {
       |FROM per, tot
       |ORDER BY source""".stripMargin
 
+  /** The END STATE of the dedup pipeline in one call: for EVERY document,
+    * its cluster, the cluster size, and the keep/drop decision (longest
+    * text per cluster wins, doc_id tie-break) — near-dup pairs → connected
+    * components → representative selection → decision table. q55 exposes
+    * the clusters and q68 the survivors; this is the full per-document
+    * verdict a curation run materializes before writing the kept corpus
+    * (`kept = 0` rows ARE the dedup report).
+    */
+  private def q85(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 150)
+    val sh = docs.select(col("doc_id"), SimHash.simhashOfText(col("text")).as("simhash"))
+    val a = sh.select(col("doc_id").as("id_a"), col("simhash").as("h_a"))
+    val b = sh.select(col("doc_id").as("id_b"), col("simhash").as("h_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(SimHash.hamming(col("h_a"), col("h_b")) <= 2)
+      .select("id_a", "id_b")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    DedupClusters.clusterAssignments(docs, "doc_id", pairs)
+      .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+        when(col("rn") === 1, lit(1)).otherwise(lit(0)).as("kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q85Sql =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents WHERE doc_id < 150
+      |), th AS (
+      |  SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+      |), bitsum AS (
+      |  SELECT doc_id, b,
+      |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+      |  FROM th, range(0, 32) r(b) GROUP BY 1, 2
+      |), sh AS (
+      |  SELECT doc_id,
+      |    SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+      |  FROM bitsum GROUP BY 1
+      |), pairs AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+      |), comp AS (
+      |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+      |), assigned AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+      |    d.n_chars
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      |  WHERE d.doc_id < 150
+      |)
+      |SELECT doc_id, cluster_id,
+      |  COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |  CASE WHEN row_number() OVER (PARTITION BY cluster_id
+      |    ORDER BY n_chars DESC, doc_id) = 1 THEN 1 ELSE 0 END AS kept
+      |FROM assigned
+      |ORDER BY doc_id""".stripMargin
+
   /** Weighted source resampling — APPLYING q74's uniform-mix weights: each
     * document keeps with probability min(1, uniform_weight) of its source,
     * decided by the same deterministic md5-derived hash family as the q64
@@ -526,5 +592,6 @@ object Curation {
     QueryDef("q70_balanced_sample", q70, Some(q70Sql)),
     QueryDef("q73_lm_score", q73, Some(q73Sql)),
     QueryDef("q74_source_mix", q74, Some(q74Sql)),
-    QueryDef("q84_weighted_resample", q84, Some(q84Sql)))
+    QueryDef("q84_weighted_resample", q84, Some(q84Sql)),
+    QueryDef("q85_dedup_verdict", q85, Some(q85Sql)))
 }
