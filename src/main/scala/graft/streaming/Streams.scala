@@ -136,6 +136,45 @@ object Streams {
         .dropDuplicates("doc_id", "matched_id")
   }
 
+  /** STREAM-STREAM AS-OF join (within tolerance), composed Spark-first:
+    * a watermarked interval join buffers only `tolerance` of right history
+    * per key (the state bound stream-stream joins demand), then a
+    * watermarked `max_by` aggregate keeps the LATEST right match per left
+    * row — pandas merge_asof's backward semantics, incrementally, in
+    * append mode. Rows emit once the watermark closes their group; a left
+    * row with no right match within tolerance does not emit (inner
+    * semantics — the composed form cannot express outer without a second
+    * state layer; use the batch AsOf.join for that).
+    *
+    * Contrast with [[graft.plans.AsOf]]: the custom operator is the batch
+    * and stream-STATIC path (zero state); this composition is the
+    * both-sides-streaming path, built entirely from operators whose state
+    * eviction Spark already manages.
+    */
+  def streamAsOf(
+      left: DataFrame,
+      right: DataFrame,
+      tolerance: String = "1 hour",
+      delay: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark("ts", delay)
+      .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
+        col("ts").as("l_ts"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", delay)
+      .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
+        col("value").as("r_value"))
+    l.join(r,
+      col("l_user") === col("r_user") &&
+        col("r_ts") <= col("l_ts") &&
+        col("r_ts") >= col("l_ts") - expr(s"INTERVAL $tolerance"))
+      .groupBy(col("l_id"), col("l_user"), col("l_ts"), col("l_value"))
+      // max of the struct, not max_by: struct ordering tie-breaks equal
+      // r_ts by r_value deterministically
+      .agg(max(struct(col("r_ts"), col("r_value"))).as("m"))
+      .select(col("l_id").as("event_id"), col("l_user").as("user_id"),
+        col("l_ts").as("ts"), col("l_value").as("value"),
+        col("m.r_ts").as("matched_ts"), col("m.r_value").as("matched_value"))
+  }
+
   /** B38 — custom sessionization with EVENT-TIME TIMEOUT: the pattern
     * `session_window` cannot express — sessions close and emit EXACTLY
     * once, either when a new event arrives past the gap (close-and-reopen)

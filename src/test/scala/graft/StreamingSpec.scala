@@ -223,6 +223,43 @@ class StreamingSpec extends SparkSpec {
       3L -> None, 4L -> None))
   }
 
+  test("stream-stream as-of: each left row gets the LATEST right match in tolerance") {
+    implicit val sqlCtx = spark.sqlContext
+    val lIn = MemoryStream[Event]
+    val rIn = MemoryStream[Event]
+    val q = Streams.streamAsOf(lIn.toDF(), rIn.toDF(), "1 hour", "10 minutes")
+      .writeStream.format("memory").queryName("t_stream_asof")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two right versions before the left event; latest (t=20) wins
+      // user 2: right version AFTER the left event only -> no match, no row
+      // user 3: right version 2h before the left event -> outside tolerance
+      rIn.addData(Seq(
+        Event(100, 1, "v", ts(5), 1.0),
+        Event(101, 1, "v", ts(20), 2.0),
+        Event(102, 2, "v", ts(50), 9.0),
+        Event(103, 3, "v", ts(0), 7.0)))
+      lIn.addData(Seq(
+        Event(1, 1, "click", ts(30), 0.5),
+        Event(2, 2, "click", ts(40), 0.6),
+        Event(3, 3, "click", ts(130), 0.7)))
+      q.processAllAvailable()
+      // push both watermarks far ahead so the join state closes and the
+      // aggregate emits its final groups (the flush rows themselves stay
+      // open — nothing ever advances the watermark past them)
+      rIn.addData(Seq(Event(199, 9, "v", ts(500), 0.0)))
+      lIn.addData(Seq(Event(99, 9, "click", ts(500), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_stream_asof")
+      .select("event_id", "matched_ts", "matched_value")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getDouble(2)))
+      .toSet
+    // user 1's left row matched the LATEST of its two right versions;
+    // user 2 (right only after) and user 3 (outside tolerance) emit nothing
+    assert(got == Set((1L, ts(20), 2.0)), got)
+  }
+
   test("event-time-timeout sessionizer closes by gap AND by watermark, exactly once") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
