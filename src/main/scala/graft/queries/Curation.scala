@@ -581,6 +581,25 @@ object Curation {
     docs.withColumn("split", splitCol(col("doc_id")))
       .write.partitionBy("split", "lang").mode("overwrite").parquet(path)
 
+  /** Small-file compaction — the standing maintenance job of any long-lived
+    * 100 TB table (streaming ingestion and per-batch writes strand
+    * thousands of KB-sized files; every downstream scan then pays one task
+    * + one footer read per file). Rewrites a directory to `targetFiles`
+    * range-partitioned, internally sorted files: file count drops to the
+    * target AND each file covers a disjoint `sortCol` range, so min/max
+    * pruning on the sort key skips whole files afterwards (same layout
+    * contract as the Z-order path, one-dimensional form).
+    */
+  def compactShards(
+      spark: SparkSession, in: String, out: String,
+      sortCol: String, targetFiles: Int): Unit = {
+    require(targetFiles > 0, "targetFiles must be positive")
+    spark.read.parquet(in)
+      .repartitionByRange(targetFiles, col(sortCol))
+      .sortWithinPartitions(sortCol)
+      .write.mode("overwrite").parquet(out)
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_incremental_dedup", q63, Some(q63Sql)),
     QueryDef("q64_hash_split", q64, Some(q64Sql)),

@@ -69,4 +69,32 @@ class CurationSpec extends SparkSpec {
     GraftFunctions.removePlanRewrites(spark)
     assert(!exp.extraOptimizations.contains(RewriteDotProduct))
   }
+
+  test("compactShards: 64 stranded files -> target count, disjoint sorted ranges") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("compact").toString
+    // simulate streaming-ingestion debris: 64 tiny unsorted files
+    spark.range(10000).select($"id", ($"id" % 97).as("v"))
+      .repartition(64).write.parquet(s"$base/in")
+    def parquetFiles(p: String) =
+      new java.io.File(p).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$base/in") == 64)
+    graft.queries.Curation.compactShards(spark, s"$base/in", s"$base/out", "id", 4)
+    assert(parquetFiles(s"$base/out") == 4)
+    // content identical
+    val in = spark.read.parquet(s"$base/in")
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.exceptAll(in).isEmpty && in.exceptAll(out).isEmpty)
+    // each file covers a DISJOINT id range (the pruning contract): sort
+    // files by their min id and check max(file_i) < min(file_{i+1})
+    val ranges = out.groupBy(input_file_name().as("f"))
+      .agg(min("id").as("lo"), max("id").as("hi"))
+      .orderBy("lo").select("lo", "hi").as[(Long, Long)].collect()
+    assert(ranges.length == 4)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi < lo2, ranges.mkString(","))
+      case _ =>
+    }
+  }
 }
