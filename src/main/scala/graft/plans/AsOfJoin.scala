@@ -26,9 +26,12 @@ import org.apache.spark.sql.types.LongType
   *
   * Scale: distribution requirements are exactly SortMergeJoin's, so
   * EnsureRequirements co-partitions the children (and AQE validates after
-  * coalescing); skew on the key falls back to the same AQE skew handling
-  * any SMJ gets. The merge needs no per-key buffering, so a hot key costs
-  * time, not memory.
+  * coalescing). Skew caveat, stated honestly: AQE's OptimizeSkewedJoin
+  * pattern-matches ONLY the built-in SMJ/SHJ execs, so it will NOT split a
+  * hot key here — but the merge holds O(1) state (no per-key buffering),
+  * so a hot key costs straggler time, never memory; if that time matters,
+  * salt upstream (operators/SkewJoin) or broadcast the dim side
+  * ([[AsOfJoinBroadcastExec]], which sidesteps the shuffle entirely).
   */
 final case class AsOfJoinPlan(
     left: LogicalPlan,
