@@ -83,9 +83,31 @@ object SqlEntry {
       |WHERE o_orderkey % 100 = 0
       |ORDER BY o_orderpriority, o_orderkey""".stripMargin
 
+  /** VALUE-based (RANGE) window frames — each order sees its price
+    * neighborhood (±5000) within its status, regardless of row position.
+    * RANGE frames include all ORDER BY peers, so the frame contents are
+    * deterministic even under ties; the summed measure is an integer
+    * derivation (floor of the price) because a double sum's accumulation
+    * order inside a sliding frame is engine-specific.
+    */
+  private def q86(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir, "orders")(q86Sql)
+
+  private val q86Sql =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |    RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS BIGINT) AS n_near,
+      |  CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) OVER (
+      |    PARTITION BY o_orderstatus ORDER BY o_totalprice
+      |    RANGE BETWEEN 5000 PRECEDING AND 5000 FOLLOWING) AS BIGINT) AS sum_near
+      |FROM orders
+      |WHERE o_orderkey % 20 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q42_scalar_subquery", q42, Some(q42Sql)),
     QueryDef("q43_grouping_sets", q43, Some(q43Sql)),
     QueryDef("q79_exists_subquery", q79, Some(q79Sql)),
-    QueryDef("q80_rank_distribution", q80, Some(q80Sql)))
+    QueryDef("q80_rank_distribution", q80, Some(q80Sql)),
+    QueryDef("q86_range_frame", q86, Some(q86Sql)))
 }
