@@ -431,12 +431,16 @@ final case class AsOfJoinBroadcastExec(
   */
 object AsOf {
 
-  /** Idempotently add the planner strategy to an existing session. */
+  /** Idempotently add the planner strategy and the as-of predicate
+    * pushdown rule to an existing session.
+    */
   def install(spark: SparkSession): Unit = {
     val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .experimental
     if (!exp.extraStrategies.contains(AsOfJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+    if (!exp.extraOptimizations.contains(PushFilterThroughAsOf))
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOf
   }
 
   /** @param direction "backward" (default; latest right row at/before the

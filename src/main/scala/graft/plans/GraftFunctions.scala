@@ -128,6 +128,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         builder))
     }
     ext.injectOptimizerRule(_ => RewriteDotProduct)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -278,6 +278,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(multiTime.getMessage.contains("exactly ONE"), multiTime.getMessage)
   }
 
+  test("left-side filters push through the as-of join into the scan; right-side stay") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val dir = sf("sf0.01")
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"ts_us")
+    val od = graft.Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey",
+        unix_micros($"o_orderdate".cast("timestamp")).as("od_us"))
+    val joined = AsOf.join(ev, od, Seq("user_id"), Seq("o_custkey"),
+      "ts_us", "od_us", joinType = "left")
+    // left-referencing predicate: must sink below the join (and from
+    // there Catalyst carries it into the parquet scan's PushedFilters)
+    val lf = joined.filter($"event_type" === "click")
+    val asofL = lf.queryExecution.optimizedPlan
+      .collect { case j: graft.plans.AsOfJoinPlan => j }.head
+    assert(asofL.left.exists(_.isInstanceOf[LFilter]),
+      lf.queryExecution.optimizedPlan.toString)
+    lf.collect()
+    val scans = lf.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.filter(_.contains("PushedFilters")).mkString("\n")
+    assert(scans.contains("EqualTo(event_type,click)"), scans)
+    // pushing must not change results
+    val prefiltered = AsOf.join(ev.filter($"event_type" === "click"), od,
+      Seq("user_id"), Seq("o_custkey"), "ts_us", "od_us", joinType = "left")
+    assert(lf.exceptAll(prefiltered).isEmpty && prefiltered.exceptAll(lf).isEmpty)
+    // right-referencing predicate: filtering right history would CHANGE
+    // which row is latest — it must stay above the join
+    val rf = joined.filter($"o_orderkey" > 100)
+    val asofR = rf.queryExecution.optimizedPlan
+      .collect { case j: graft.plans.AsOfJoinPlan => j }.head
+    assert(!asofR.left.exists(_.isInstanceOf[LFilter]) &&
+      !asofR.right.exists(_.isInstanceOf[LFilter]),
+      rf.queryExecution.optimizedPlan.toString)
+  }
+
   test("self-join-shaped right (shared exprIds) joins real values, not mirrors") {
     // both sides derive from the SAME DataFrame, so without the right-side
     // re-alias the analyzed plans share attribute exprIds and the output
