@@ -441,6 +441,8 @@ object AsOf {
       exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
     if (!exp.extraOptimizations.contains(PushFilterThroughAsOf))
       exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsOf
+    if (!exp.extraOptimizations.contains(PruneAsOfColumns))
+      exp.extraOptimizations = exp.extraOptimizations :+ PruneAsOfColumns
   }
 
   /** @param direction "backward" (default; latest right row at/before the

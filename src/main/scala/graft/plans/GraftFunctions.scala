@@ -129,6 +129,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     ext.injectOptimizerRule(_ => RewriteDotProduct)
     ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
+    ext.injectOptimizerRule(_ => PruneAsOfColumns)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -1,7 +1,7 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeSet, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
 
 /** Predicate pushdown through [[AsOfJoinPlan]] — the optimizer work
@@ -36,5 +36,32 @@ object PushFilterThroughAsOf extends Rule[LogicalPlan] {
         val pushed = j.copy(left = Filter(push.reduce(And), j.left))
         keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
       }
+  }
+}
+
+/** Column pruning through [[AsOfJoinPlan]] — the other half of what
+  * Catalyst can't do for an unknown node: a `Project` above the join
+  * previously still dragged every child column through the shuffle, sort,
+  * and merge. Children are narrowed to (projected ∪ key ∪ time ∪
+  * tie-break) attributes; Catalyst's own ColumnPruning then walks the
+  * inserted Projects down into the scans' ReadSchema. At 100 TB this is
+  * the difference between shuffling two columns and shuffling the table.
+  */
+object PruneAsOfColumns extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case p @ Project(_, j: AsOfJoinPlan) =>
+      val required = AttributeSet(
+        p.references ++
+          j.leftKeys.flatMap(_.references) ++
+          j.rightKeys.flatMap(_.references) ++
+          j.leftTime.references ++ j.rightTime.references ++
+          j.rightTieBreak.flatMap(_.references))
+      val lKeep = j.left.output.filter(required.contains)
+      val rKeep = j.right.output.filter(required.contains)
+      if (lKeep.length == j.left.output.length &&
+          rKeep.length == j.right.output.length) p
+      else p.copy(child = j.copy(
+        left = Project(lKeep, j.left),
+        right = Project(rKeep, j.right)))
   }
 }

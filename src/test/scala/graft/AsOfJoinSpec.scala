@@ -314,6 +314,35 @@ class AsOfJoinSpec extends SparkSpec {
       rf.queryExecution.optimizedPlan.toString)
   }
 
+  test("projection prunes unused columns below the as-of join into ReadSchema") {
+    val dir = sf("sf0.01")
+    val ev = graft.Tables.events(spark, dir)
+      .select($"event_id", $"user_id", $"event_type", $"props", $"value", $"ts_us")
+    val od = graft.Tables.orders(spark, dir)
+      .select($"o_custkey", $"o_orderkey", $"o_orderpriority", $"o_totalprice",
+        unix_micros($"o_orderdate".cast("timestamp")).as("od_us"))
+    val narrow = AsOf.join(ev, od, Seq("user_id"), Seq("o_custkey"),
+        "ts_us", "od_us")
+      .select($"event_id", $"o_orderkey")
+    val j = narrow.queryExecution.optimizedPlan
+      .collect { case j: graft.plans.AsOfJoinPlan => j }.head
+    // children carry only (projected + key + time) columns
+    val lNames = j.left.output.map(_.name).toSet
+    val rNames = j.right.output.map(_.name).toSet
+    assert(lNames == Set("event_id", "user_id", "ts_us"), lNames)
+    assert(rNames == Set("o_orderkey", "o_custkey", "od_us"), rNames)
+    // and the pruning reaches the scans: props/value/o_totalprice unread
+    narrow.collect()
+    val scans = narrow.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+      .linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!scans.contains("props") && !scans.contains("o_totalprice"), scans)
+    // results unchanged vs the unpruned wide form
+    val wide = AsOf.join(ev, od, Seq("user_id"), Seq("o_custkey"),
+      "ts_us", "od_us")
+    assert(narrow.count() == wide.count())
+  }
+
   test("self-join-shaped right (shared exprIds) joins real values, not mirrors") {
     // both sides derive from the SAME DataFrame, so without the right-side
     // re-alias the analyzed plans share attribute exprIds and the output
