@@ -137,4 +137,42 @@ object Pq {
       .orderBy(col("dist2"), col("id"))
       .limit(kNN)
   }
+
+  /** Batch ADC: all queries' lookup tables ride one task closure and the
+    * corpus is scanned ONCE — q queries cost q*m lookups per candidate in
+    * a single pass, not q passes (the realistic search shape; per-query
+    * [[adcTopK]] re-scans per call). Top-k per query via a ranking window
+    * on (dist2, id) — deterministic ties.
+    */
+  def adcTopKMany(
+      codes: Dataset[PqCode], model: PqModel,
+      queries: Seq[(Long, Array[Float])], kNN: Int): DataFrame = {
+    import codes.sparkSession.implicits._
+    val m = model.m
+    val luts: Array[(Long, Array[Array[Double]])] =
+      queries.map { case (qid, q) =>
+        require(q.length == model.m * model.subDim,
+          s"query $qid dim ${q.length} != model dim ${model.m * model.subDim}")
+        (qid, Array.tabulate(m) { j =>
+          val qs = q.slice(j * model.subDim, (j + 1) * model.subDim)
+          model.codebooks(j).map { c =>
+            var d = 0.0; var i = 0
+            while (i < model.subDim) { val t = qs(i) - c(i); d += t * t; i += 1 }
+            d
+          }
+        })
+      }.toArray
+    val scored = codes.flatMap { c =>
+      luts.iterator.map { case (qid, lut) =>
+        var d = 0.0; var j = 0
+        while (j < m) { d += lut(j)(c.code(j)); j += 1 }
+        (qid, c.id, d)
+      }
+    }.toDF("q_id", "id", "dist2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dist2"), col("id"))
+    scored.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= kNN)
+      .select(col("q_id"), col("id"), col("dist2"))
+  }
 }

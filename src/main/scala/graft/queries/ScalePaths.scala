@@ -77,9 +77,11 @@ object ScalePaths {
   }
 
   /** Product-quantized ANN over the full embeddings table: train (bounded
-    * deterministic sample), encode (one map, m-byte codes), ADC top-10 for
-    * three queries. Correctness pinned by PqSpec (determinism, recall vs
-    * exact L2); the bench times the full train+encode+search lifecycle.
+    * deterministic sample), encode (one map, m-byte codes), and ONE
+    * single-pass ADC scan answering all three queries (adcTopKMany — the
+    * per-query form would re-encode the corpus per call). Correctness
+    * pinned by PqSpec; the bench times the full train+encode+search
+    * lifecycle.
     */
   private def q83(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -87,12 +89,11 @@ object ScalePaths {
       .select(col("vec_id").as("id"), col("embedding")).as[Vec]
     val model = graft.operators.Pq.train(corpus, m = 8, k = 16)
     val queries = corpus.filter(v => Seq(1L, 2L, 3L).contains(v.id)).collect()
+      .sortBy(_.id).map(v => (v.id, v.embedding)).toSeq
     val codes = graft.operators.Pq.encode(
       corpus.filter(v => !Seq(1L, 2L, 3L).contains(v.id)), model)
-    queries.sortBy(_.id).map { q =>
-      graft.operators.Pq.adcTopK(codes, model, q.embedding, kNN = 10)
-        .select(lit(q.id).as("q_id"), col("id"), col("dist2"))
-    }.reduce(_.unionAll(_))
+    graft.operators.Pq.adcTopKMany(codes, model, queries, kNN = 10)
+      .orderBy(col("q_id"), col("dist2"), col("id"))
   }
 
   val defs: Seq[QueryDef] = Seq(

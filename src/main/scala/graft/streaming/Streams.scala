@@ -17,9 +17,17 @@ final case class Event(
 /** Running per-user aggregate emitted by [[Streams.runningUserStats]]. */
 final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
-/** Open-session state carried by [[Streams.sessionsWithTimeout]]. */
+/** One open session interval in [[Streams.sessionsWithTimeout]]'s state. */
 final case class OpenSession(
     start_ms: Long, last_ms: Long, n_events: Long, sum_value: Double)
+
+/** Per-user state of [[Streams.sessionsWithTimeout]]: ALL open sessions,
+  * sorted by start — a non-late out-of-order event may open an EARLIER
+  * session than the current one, or bridge two neighbors into one, so a
+  * single open interval cannot represent the state faithfully. Bounded by
+  * the watermark: sessions more than the gap behind it close and leave.
+  */
+final case class OpenSessions(sessions: Seq[OpenSession])
 
 /** A CLOSED session emitted by [[Streams.sessionsWithTimeout]]. */
 final case class ClosedSession(
@@ -150,6 +158,13 @@ object Streams {
     * and stream-STATIC path (zero state); this composition is the
     * both-sides-streaming path, built entirely from operators whose state
     * eviction Spark already manages.
+    *
+    * Input contract: left rows are KEYED by `event_id` — the final
+    * aggregate groups on it, so physically duplicated deliveries of the
+    * same event (at-least-once sources) intentionally collapse to one
+    * output row. For sources that can redeliver with the same key, that is
+    * the dedup you want; if duplicate event_ids are distinct events,
+    * dedupe or re-key upstream (`dropDuplicatesWithinWatermark`).
     */
   def streamAsOf(
       left: DataFrame,
@@ -201,49 +216,46 @@ object Streams {
     def close(uid: Long, s: OpenSession): ClosedSession =
       ClosedSession(uid, new Timestamp(s.start_ms), new Timestamp(s.last_ms),
         s.n_events, s.sum_value)
+    // insert a singleton interval, then merge any adjacent pair within the
+    // gap — one insertion can bridge its two neighbors (session_window's
+    // merge semantics, so stream output == the batch oracle even for
+    // non-late OUT-OF-ORDER events across batches)
+    def insert(ss: Seq[OpenSession], t: Long, v: Double): Seq[OpenSession] = {
+      val withNew = (ss :+ OpenSession(t, t, 1, v)).sortBy(s => (s.start_ms, s.last_ms))
+      withNew.foldLeft(Vector.empty[OpenSession]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(p) if s.start_ms - p.last_ms <= gapMillis =>
+            acc.init :+ OpenSession(p.start_ms,
+              math.max(p.last_ms, s.last_ms),
+              p.n_events + s.n_events, p.sum_value + s.sum_value)
+          case _ => acc :+ s
+        }
+      }
+    }
+    // a session is FINAL once the watermark passes last + gap: any future
+    // non-late event has ts >= watermark > last + gap, so it can neither
+    // extend it nor bridge into it
+    def sweep(uid: Long, ss: Seq[OpenSession], wm: Long)
+        : (Seq[ClosedSession], Seq[OpenSession]) = {
+      val (done, open) = ss.partition(_.last_ms + gapMillis <= wm)
+      (done.map(close(uid, _)), open)
+    }
     events.withWatermark("ts", delay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[OpenSession, ClosedSession](
+      .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (uid: Long, rows: Iterator[Event], state: GroupState[OpenSession]) =>
-          if (state.hasTimedOut) {
-            // watermark passed the gap deadline: the open session is final
-            val s = state.get
-            state.remove()
-            Iterator.single(close(uid, s))
-          } else {
-            val sorted = rows.toSeq.sortBy(_.ts.getTime)
-            val closed = scala.collection.mutable.ArrayBuffer[ClosedSession]()
-            var open = state.getOption
-            sorted.foreach { e =>
-              val t = e.ts.getTime
-              open match {
-                case Some(s) if t - s.last_ms <= gapMillis =>
-                  open = Some(s.copy(last_ms = math.max(s.last_ms, t),
-                    n_events = s.n_events + 1, sum_value = s.sum_value + e.value))
-                case Some(s) =>
-                  closed += close(uid, s)
-                  open = Some(OpenSession(t, t, 1, e.value))
-                case None =>
-                  open = Some(OpenSession(t, t, 1, e.value))
-              }
-            }
-            open match {
-              case Some(s) =>
-                val deadline = s.last_ms + gapMillis
-                if (deadline <= state.getCurrentWatermarkMs()) {
-                  // the watermark already passed while this batch was in
-                  // flight — close now; a timeout would be un-settable
-                  closed += close(uid, s)
-                  state.remove()
-                } else {
-                  state.update(s)
-                  state.setTimeoutTimestamp(deadline)
-                }
-              case None => state.remove()
-            }
-            closed.iterator
+        (uid: Long, rows: Iterator[Event], state: GroupState[OpenSessions]) =>
+          val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
+          val merged = rows.foldLeft(prior) { (ss, e) =>
+            insert(ss, e.ts.getTime, e.value)
           }
+          val (emitted, open) = sweep(uid, merged, state.getCurrentWatermarkMs())
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(OpenSessions(open))
+            state.setTimeoutTimestamp(open.map(_.last_ms).min + gapMillis)
+          }
+          emitted.iterator
       }
   }
 

@@ -33,6 +33,21 @@ class PqSpec extends SparkSpec {
     assert(top.contains(7L), s"top-5 $top does not contain the query itself")
   }
 
+  test("adcTopKMany single pass equals per-query adcTopK") {
+    val all = corpus.collect()
+    val qs = Seq(3L, 9L).map(id => (id, all.find(_.id == id).get.embedding))
+    val codes = Pq.encode(corpus, model).cache()
+    val many = Pq.adcTopKMany(codes, model, qs, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val single = qs.flatMap { case (qid, q) =>
+      Pq.adcTopK(codes, model, q, kNN = 7)
+        .collect().map(r => (qid, r.getLong(0))).toSeq
+    }
+    assert(many == single)
+    codes.unpersist()
+  }
+
   test("adc recall@10 beats the random-candidate baseline vs exact L2") {
     val all = corpus.collect()
     val queryIds = Seq(1L, 2L, 3L, 4L, 5L)

@@ -301,6 +301,39 @@ class StreamingSpec extends SparkSpec {
     assert(got.map(s => (s.user_id, s.s_start, s.n_events, s.sum_value)) == batch)
   }
 
+  test("sessionizer merges non-late OUT-OF-ORDER events, including bridging two sessions") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    // generous lateness (60m) so old-but-valid events arrive across batches
+    val q = Streams.sessionsWithTimeout(input.toDS(), "30 minutes", "60 minutes")
+      .writeStream.format("memory").queryName("t_sess_ooo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two sessions 50min apart...
+      input.addData(Seq(
+        Event(1, 1, "a", ts(0), 1.0),
+        Event(2, 1, "a", ts(50), 2.0)))
+      q.processAllAvailable()
+      // ...then an OUT-OF-ORDER event at t=25 bridges them into ONE
+      input.addData(Seq(Event(3, 1, "a", ts(25), 4.0)))
+      q.processAllAvailable()
+      // advance the watermark far enough to close everything of user 1
+      input.addData(Seq(Event(9, 9, "a", ts(400), 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_sess_ooo")
+      .as[graft.streaming.ClosedSession].collect().toSet
+    assert(got == Set(
+      graft.streaming.ClosedSession(1, ts(0), ts(50), 3, 7.0)), got)
+    // and it equals the batch session_window oracle on the same events
+    val batch = Streams.sessionStats(Seq(
+      Event(1, 1, "a", ts(0), 1.0), Event(2, 1, "a", ts(50), 2.0),
+      Event(3, 1, "a", ts(25), 4.0)).toDF(), "30 minutes")
+      .select(col("user_id"), col("s_start"), col("n_events"), col("sum_value"))
+      .as[(Long, Timestamp, Long, Double)].collect().toSet
+    assert(got.map(s => (s.user_id, s.s_start, s.n_events, s.sum_value)) == batch)
+  }
+
   test("flatMapGroupsWithState keeps running per-user state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[Event]
