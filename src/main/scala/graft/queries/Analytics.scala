@@ -234,8 +234,32 @@ object Analytics {
       |    (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1)))) AS BIGINT) AS z
       |FROM b ORDER BY z, event_id""".stripMargin
 
+  /** B24 write side — JSON ENCODE: struct → compact JSON text, checked
+    * byte-for-byte against DuckDB's to_json (both emit `{"k":v,...}` with
+    * no whitespace and struct field order; values here are ints/strings so
+    * numeric formatting cannot diverge).
+    */
+  private def q87(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"),
+        to_json(struct(
+          col("o_orderkey").as("k"),
+          col("o_orderstatus").as("s"),
+          col("o_orderpriority").as("p"))).as("j"))
+      .orderBy("o_orderkey")
+
+  private val q87Sql =
+    """SELECT o_orderkey,
+      |  to_json(struct_pack(k := o_orderkey, s := o_orderstatus,
+      |    p := o_orderpriority)) AS j
+      |FROM orders
+      |WHERE o_orderkey % 10 = 0
+      |ORDER BY o_orderkey""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q81_zorder_key", q81, Some(q81Sql)),
+    QueryDef("q87_json_encode", q87, Some(q87Sql)),
     QueryDef("q20_json_events", q20, Some(q20Sql)),
     QueryDef("q21_array_embeddings", q21, Some(q21Sql)),
     QueryDef("q22_cosine_topk", q22, Some(q22Sql)),
