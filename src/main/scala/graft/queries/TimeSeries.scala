@@ -46,6 +46,84 @@ object TimeSeries {
         when(col(valueCol).isNull, lit(1)).otherwise(lit(0)).as("is_gap"))
   }
 
+  /** Linear-interpolation resample — [[gapFillDaily]]'s smooth sibling:
+    * missing days take the straight line between the previous and next
+    * observed values (both always exist: the grid spans observed days).
+    * Two symmetric ignore-nulls windows find the neighbors; the lerp is
+    * plain arithmetic in identical operation order on both engines, so
+    * even the doubles hash-match after rounding. Same one-key-hash plan
+    * shape as the forward fill.
+    */
+  def interpolateDaily(
+      daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val grid = daily.groupBy(keyCol)
+      .agg(min(dayCol).as("d0g"), max(dayCol).as("d1g"))
+      .select(col(keyCol),
+        explode(expr("sequence(d0g, d1g, interval 1 day)")).as(dayCol))
+    val wPrev = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val obsDay = when(v.isNotNull, col(dayCol))
+    val lerp = col("v0") + (col("v1") - col("v0")) *
+      (datediff(col(dayCol), col("pd")) / datediff(col("nd"), col("pd")))
+    grid.join(daily, Seq(keyCol, dayCol), "left")
+      .select(col(keyCol), col(dayCol), v,
+        last(v, ignoreNulls = true).over(wPrev).as("v0"),
+        last(obsDay, ignoreNulls = true).over(wPrev).as("pd"),
+        first(v, ignoreNulls = true).over(wNext).as("v1"),
+        first(obsDay, ignoreNulls = true).over(wNext).as("nd"))
+      .select(col(keyCol), col(dayCol),
+        when(v.isNotNull, v).otherwise(Parity.r4(lerp))
+          .as(s"${valueCol}_lerp"),
+        when(v.isNull, lit(1)).otherwise(lit(0)).as("is_gap"))
+  }
+
+  /** q75's interpolating variant over the same per-user daily series. */
+  private def q88(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+      .groupBy("user_id", "day")
+      .agg(r4(avg("value")).as("v"))
+    interpolateDaily(daily, "user_id", "day", "v")
+      .select(col("user_id"), col("day"), col("v_lerp").as("value_lerp"),
+        col("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  private val q88Sql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day, value
+      |  FROM events
+      |), daily AS (
+      |  SELECT user_id, day, FLOOR(avg(value)*10000+0.5)/10000.0 AS v
+      |  FROM ev GROUP BY 1, 2
+      |), grid AS (
+      |  SELECT user_id,
+      |    CAST(unnest(generate_series(min(day), max(day), INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM daily GROUP BY user_id
+      |), n AS (
+      |  SELECT g.user_id, g.day, d.v,
+      |    last_value(d.v IGNORE NULLS) OVER wp AS v0,
+      |    last_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wp AS pd,
+      |    first_value(d.v IGNORE NULLS) OVER wn AS v1,
+      |    first_value(CASE WHEN d.v IS NOT NULL THEN g.day END IGNORE NULLS) OVER wn AS nd
+      |  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+      |  WINDOW wp AS (PARTITION BY g.user_id ORDER BY g.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wn AS (PARTITION BY g.user_id ORDER BY g.day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |)
+      |SELECT user_id, day,
+      |  CASE WHEN v IS NOT NULL THEN v
+      |    ELSE FLOOR((v0 + (v1 - v0) * ((day - pd) / (nd - pd)))*10000+0.5)/10000.0
+      |  END AS value_lerp,
+      |  CASE WHEN v IS NULL THEN 1 ELSE 0 END AS is_gap
+      |FROM n
+      |ORDER BY user_id, day""".stripMargin
+
   /** Gap-fill / resample query: daily average event value per user,
     * forward-filled across each user's inactive days via [[gapFillDaily]].
     */
@@ -117,5 +195,6 @@ object TimeSeries {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q75_gap_fill", q75, Some(q75Sql)),
-    QueryDef("q76_stat_funcs", q76, Some(q76Sql)))
+    QueryDef("q76_stat_funcs", q76, Some(q76Sql)),
+    QueryDef("q88_interpolate", q88, Some(q88Sql)))
 }

@@ -49,6 +49,23 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.count(_._1 == "solo") == 1)
   }
 
+  test("interpolation fills gaps on the straight line between neighbors") {
+    val daily = Seq(
+      ("a", d("2024-01-01"), 1.0),
+      ("a", d("2024-01-04"), 4.0),
+      ("a", d("2024-01-05"), 2.0))
+      .toDF("k", "day", "v")
+    val out = TimeSeries.interpolateDaily(daily, "k", "day", "v")
+      .orderBy("k", "day")
+      .as[(String, Date, Double, Int)].collect().toSeq
+    assert(out == Seq(
+      ("a", d("2024-01-01"), 1.0, 0),
+      ("a", d("2024-01-02"), 2.0, 1),   // 1 + (4-1) * 1/3
+      ("a", d("2024-01-03"), 3.0, 1),   // 1 + (4-1) * 2/3
+      ("a", d("2024-01-04"), 4.0, 0),
+      ("a", d("2024-01-05"), 2.0, 0)))
+  }
+
   test("gap-fill is one shuffle: agg, join, and window share the key hash") {
     val daily = spark.range(100)
       .select((col("id") % 7).as("k"),
