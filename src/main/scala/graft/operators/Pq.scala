@@ -8,6 +8,15 @@ import org.apache.spark.sql.functions._
   */
 final case class PqCode(id: Long, code: Array[Int])
 
+/** IVF-PQ code: coarse cell + PQ code of the RESIDUAL (v − centroid). */
+final case class IvfPqCode(id: Long, cell: Int, code: Array[Int])
+
+/** Trained IVF-PQ index parameters: coarse centroids + a PQ model fit on
+  * residuals. Both derive from bounded deterministic samples, so the whole
+  * index is reproducible and its driver-side footprint is a few KB.
+  */
+final case class IvfPqModel(centroids: Array[Array[Float]], pq: PqModel)
+
 /** Per-subspace codebooks: `codebooks(j)(c)` is centroid c of subspace j
   * (length subDim). Total in-memory size m * k * subDim floats — a few KB,
   * broadcast-trivial.
@@ -174,5 +183,97 @@ object Pq {
     scored.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= kNN)
       .select(col("q_id"), col("id"), col("dist2"))
+  }
+
+  // ---------------------------------------------------------------- IVF-PQ
+
+  /** Train the combined index: coarse k-means cells (reusing the IVF
+    * trainer) + a PQ model fit on RESIDUALS (v − centroid) — residuals
+    * concentrate near zero, so the same codebook budget quantizes them
+    * much more finely than raw vectors (the standard IVF-PQ layout).
+    * All training inputs are the bounded deterministic sample.
+    */
+  def trainIvfPq(
+      corpus: Dataset[Vec], nCells: Int, m: Int, k: Int,
+      iters: Int = 8, sampleFactor: Int = 32): IvfPqModel = {
+    val cents = Ann.ivfCentroidsKMeans(corpus, nCells)
+      .map(_.embedding)
+    val centsD = cents.map(_.map(_.toDouble))
+    val sample = Ann.hashModSample(corpus, k * sampleFactor)
+    require(sample.nonEmpty, "IVF-PQ training sample is empty")
+    val dim = sample(0).embedding.length
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val residuals = sample.map { v =>
+      val c = cents(nearestL2(v.embedding, centsD))
+      Array.tabulate(dim)(i => v.embedding(i) - c(i))
+    }
+    val subDim = dim / m
+    val codebooks = Array.tabulate(m) { j =>
+      lloydL2(residuals.map(_.slice(j * subDim, (j + 1) * subDim)), k, iters)
+    }
+    IvfPqModel(cents, PqModel(m, k, subDim, codebooks))
+  }
+
+  /** Encode: assign each vector its coarse cell, PQ-encode the residual.
+    * One map; the few-KB model rides the closure.
+    */
+  def encodeIvfPq(corpus: Dataset[Vec], model: IvfPqModel): Dataset[IvfPqCode] = {
+    import corpus.sparkSession.implicits._
+    val centsD = model.centroids.map(_.map(_.toDouble))
+    val booksD = model.pq.codebooks.map(_.map(_.map(_.toDouble)))
+    val m = model.pq.m; val subDim = model.pq.subDim
+    corpus.map { v =>
+      val cell = nearestL2(v.embedding, centsD)
+      val c = model.centroids(cell)
+      val res = Array.tabulate(v.embedding.length)(i => v.embedding(i) - c(i))
+      val code = Array.tabulate(m)(j =>
+        nearestL2(res.slice(j * subDim, (j + 1) * subDim), booksD(j)))
+      IvfPqCode(v.id, cell, code)
+    }
+  }
+
+  /** ADC search probing only the `nprobe` nearest cells: per probed cell
+    * the query RESIDUAL gets its own m x k lookup table (the residual
+    * differs per cell), then candidates in those cells cost m lookups
+    * each. The cell filter is the IVF win (≈ nprobe/nCells of the corpus
+    * scanned — with codes partitioned by cell, partition pruning); the
+    * code width is the PQ win.
+    */
+  def ivfPqTopK(
+      codes: Dataset[IvfPqCode], model: IvfPqModel,
+      query: Array[Float], nprobe: Int, kNN: Int): DataFrame = {
+    import codes.sparkSession.implicits._
+    val centsD = model.centroids.map(_.map(_.toDouble))
+    val m = model.pq.m; val subDim = model.pq.subDim
+    val probed: Array[Int] = centsD.indices
+      .sortBy { ci =>
+        val c = centsD(ci); var d = 0.0; var i = 0
+        while (i < c.length) { val t = query(i) - c(i); d += t * t; i += 1 }
+        (d, ci)
+      }
+      .take(nprobe).toArray
+    // per probed cell: LUT of the query residual against the codebooks
+    val luts: Map[Int, Array[Array[Double]]] = probed.map { ci =>
+      val c = model.centroids(ci)
+      val res = Array.tabulate(query.length)(i => query(i) - c(i))
+      ci -> Array.tabulate(m) { j =>
+        val qs = res.slice(j * subDim, (j + 1) * subDim)
+        model.pq.codebooks(j).map { cb =>
+          var d = 0.0; var i = 0
+          while (i < subDim) { val t = qs(i) - cb(i); d += t * t; i += 1 }
+          d
+        }
+      }
+    }.toMap
+    val probedSet = probed.toSet
+    codes.filter(c => probedSet.contains(c.cell))
+      .map { c =>
+        val lut = luts(c.cell)
+        var d = 0.0; var j = 0
+        while (j < m) { d += lut(j)(c.code(j)); j += 1 }
+        (c.id, c.cell, d)
+      }.toDF("id", "cell", "dist2")
+      .orderBy(col("dist2"), col("id"))
+      .limit(kNN)
   }
 }
