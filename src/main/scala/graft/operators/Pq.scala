@@ -276,4 +276,55 @@ object Pq {
       .orderBy(col("dist2"), col("id"))
       .limit(kNN)
   }
+
+  /** Batch IVF-PQ: one scan answers every query — each code row is scored
+    * against exactly the queries probing its cell (union of per-query
+    * probe sets filters the scan; per-(query, cell) residual LUTs ride the
+    * closure). Top-k per query via the same deterministic ranking window
+    * as [[adcTopKMany]].
+    */
+  def ivfPqTopKMany(
+      codes: Dataset[IvfPqCode], model: IvfPqModel,
+      queries: Seq[(Long, Array[Float])], nprobe: Int, kNN: Int): DataFrame = {
+    import codes.sparkSession.implicits._
+    val centsD = model.centroids.map(_.map(_.toDouble))
+    val m = model.pq.m; val subDim = model.pq.subDim
+    // per query: probed cells + per-cell residual LUT
+    val perQuery: Array[(Long, Map[Int, Array[Array[Double]]])] =
+      queries.map { case (qid, q) =>
+        val probed = centsD.indices.sortBy { ci =>
+          val c = centsD(ci); var d = 0.0; var i = 0
+          while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+          (d, ci)
+        }.take(nprobe)
+        qid -> probed.map { ci =>
+          val c = model.centroids(ci)
+          val res = Array.tabulate(q.length)(i => q(i) - c(i))
+          ci -> Array.tabulate(m) { j =>
+            val qs = res.slice(j * subDim, (j + 1) * subDim)
+            model.pq.codebooks(j).map { cb =>
+              var d = 0.0; var i = 0
+              while (i < subDim) { val t = qs(i) - cb(i); d += t * t; i += 1 }
+              d
+            }
+          }
+        }.toMap
+      }.toArray
+    val anyProbed: Set[Int] = perQuery.flatMap(_._2.keys).toSet
+    val scored = codes.filter(c => anyProbed.contains(c.cell))
+      .flatMap { c =>
+        perQuery.iterator.flatMap { case (qid, luts) =>
+          luts.get(c.cell).map { lut =>
+            var d = 0.0; var j = 0
+            while (j < m) { d += lut(j)(c.code(j)); j += 1 }
+            (qid, c.id, d)
+          }
+        }
+      }.toDF("q_id", "id", "dist2")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("dist2"), col("id"))
+    scored.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= kNN)
+      .select(col("q_id"), col("id"), col("dist2"))
+  }
 }

@@ -96,11 +96,29 @@ object ScalePaths {
       .orderBy(col("q_id"), col("dist2"), col("id"))
   }
 
+  /** IVF-PQ over the full embeddings table: the combined index's whole
+    * lifecycle (coarse+residual training, encode, one multi-query probe
+    * scan). Correctness pinned by PqSpec's ivf-pq recall/determinism tests.
+    */
+  private def q89(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding")).as[Vec]
+    val model = graft.operators.Pq.trainIvfPq(corpus, nCells = 16, m = 8, k = 16)
+    val queries = corpus.filter(v => Seq(1L, 2L, 3L).contains(v.id)).collect()
+      .sortBy(_.id).map(v => (v.id, v.embedding)).toSeq
+    val codes = graft.operators.Pq.encodeIvfPq(
+      corpus.filter(v => !Seq(1L, 2L, 3L).contains(v.id)), model)
+    graft.operators.Pq.ivfPqTopKMany(codes, model, queries, nprobe = 6, kNN = 10)
+      .orderBy(col("q_id"), col("dist2"), col("id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q44_minhash_lsh_full", q44, None),
     QueryDef("q45_ann_lsh", q45, None),
     QueryDef("q46_ann_ivf", q46, None),
     QueryDef("q54_simhash_banded_full", q54, None),
     QueryDef("q56_dedup_clusters_full", q56, None),
-    QueryDef("q83_ann_pq", q83, None))
+    QueryDef("q83_ann_pq", q83, None),
+    QueryDef("q89_ann_ivfpq", q89, None))
 }

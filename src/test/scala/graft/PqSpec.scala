@@ -82,6 +82,23 @@ class PqSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("ivfPqTopKMany single pass equals per-query ivfPqTopK") {
+    import graft.operators.Pq
+    val ivfpq = Pq.trainIvfPq(corpus, nCells = 16, m = 8, k = 16)
+    val all = corpus.collect()
+    val qs = Seq(3L, 9L).map(id => (id, all.find(_.id == id).get.embedding))
+    val codes = Pq.encodeIvfPq(corpus, ivfpq).cache()
+    val many = Pq.ivfPqTopKMany(codes, ivfpq, qs, nprobe = 6, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val single = qs.flatMap { case (qid, q) =>
+      Pq.ivfPqTopK(codes, ivfpq, q, nprobe = 6, kNN = 7)
+        .collect().map(r => (qid, r.getLong(0))).toSeq
+    }
+    assert(many == single)
+    codes.unpersist()
+  }
+
   test("adc recall@10 beats the random-candidate baseline vs exact L2") {
     val all = corpus.collect()
     val queryIds = Seq(1L, 2L, 3L, 4L, 5L)
