@@ -83,6 +83,32 @@ object Pq {
     best
   }
 
+  /** m x k table of exact subspace squared distances from `v` (a query or
+    * a query residual) to every codebook centroid — THE shared LUT builder
+    * behind all four ADC search forms, so their math cannot drift apart.
+    */
+  private def lutFor(v: Array[Float], model: PqModel): Array[Array[Double]] =
+    Array.tabulate(model.m) { j =>
+      val qs = v.slice(j * model.subDim, (j + 1) * model.subDim)
+      model.codebooks(j).map { cb =>
+        var d = 0.0; var i = 0
+        while (i < model.subDim) { val t = qs(i) - cb(i); d += t * t; i += 1 }
+        d
+      }
+    }
+
+  /** The `nprobe` nearest coarse cells to a query, ties to the lowest id. */
+  private def probeCells(
+      q: Array[Float], centsD: Array[Array[Double]], nprobe: Int): Array[Int] =
+    centsD.indices.sortBy { ci =>
+      val c = centsD(ci); var d = 0.0; var i = 0
+      while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
+      (d, ci)
+    }.take(nprobe).toArray
+
+  private def residual(v: Array[Float], c: Array[Float]): Array[Float] =
+    Array.tabulate(v.length)(i => v(i) - c(i))
+
   /** Train per-subspace codebooks on a bounded deterministic sample.
     * Vector dim must be divisible by m.
     */
@@ -129,15 +155,8 @@ object Pq {
     import codes.sparkSession.implicits._
     require(query.length == model.m * model.subDim,
       s"query dim ${query.length} != model dim ${model.m * model.subDim}")
-    val m = model.m; val subDim = model.subDim
-    val lut: Array[Array[Double]] = Array.tabulate(m) { j =>
-      val q = query.slice(j * subDim, (j + 1) * subDim)
-      model.codebooks(j).map { c =>
-        var d = 0.0; var i = 0
-        while (i < subDim) { val t = q(i) - c(i); d += t * t; i += 1 }
-        d
-      }
-    }
+    val m = model.m
+    val lut = lutFor(query, model)
     codes.map { c =>
       var d = 0.0; var j = 0
       while (j < m) { d += lut(j)(c.code(j)); j += 1 }
@@ -162,14 +181,7 @@ object Pq {
       queries.map { case (qid, q) =>
         require(q.length == model.m * model.subDim,
           s"query $qid dim ${q.length} != model dim ${model.m * model.subDim}")
-        (qid, Array.tabulate(m) { j =>
-          val qs = q.slice(j * model.subDim, (j + 1) * model.subDim)
-          model.codebooks(j).map { c =>
-            var d = 0.0; var i = 0
-            while (i < model.subDim) { val t = qs(i) - c(i); d += t * t; i += 1 }
-            d
-          }
-        })
+        (qid, lutFor(q, model))
       }.toArray
     val scored = codes.flatMap { c =>
       luts.iterator.map { case (qid, lut) =>
@@ -187,25 +199,25 @@ object Pq {
 
   // ---------------------------------------------------------------- IVF-PQ
 
-  /** Train the combined index: coarse k-means cells (reusing the IVF
-    * trainer) + a PQ model fit on RESIDUALS (v − centroid) — residuals
-    * concentrate near zero, so the same codebook budget quantizes them
-    * much more finely than raw vectors (the standard IVF-PQ layout).
-    * All training inputs are the bounded deterministic sample.
+  /** Train the combined index on ONE bounded deterministic sample: coarse
+    * L2 k-means cells (L2, not the IVF cosine trainer — encode assigns
+    * cells by L2, and training with the same metric keeps cells and
+    * assignments consistent) + a PQ model fit on RESIDUALS (v − centroid).
+    * Residuals concentrate near zero, so the same codebook budget
+    * quantizes them much more finely than raw vectors (the standard
+    * IVF-PQ layout). `iters`/`sampleFactor` apply to BOTH stages.
     */
   def trainIvfPq(
       corpus: Dataset[Vec], nCells: Int, m: Int, k: Int,
       iters: Int = 8, sampleFactor: Int = 32): IvfPqModel = {
-    val cents = Ann.ivfCentroidsKMeans(corpus, nCells)
-      .map(_.embedding)
-    val centsD = cents.map(_.map(_.toDouble))
-    val sample = Ann.hashModSample(corpus, k * sampleFactor)
+    val sample = Ann.hashModSample(corpus, math.max(nCells, k) * sampleFactor)
     require(sample.nonEmpty, "IVF-PQ training sample is empty")
     val dim = sample(0).embedding.length
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val cents = lloydL2(sample.map(_.embedding), nCells, iters)
+    val centsD = cents.map(_.map(_.toDouble))
     val residuals = sample.map { v =>
-      val c = cents(nearestL2(v.embedding, centsD))
-      Array.tabulate(dim)(i => v.embedding(i) - c(i))
+      residual(v.embedding, cents(nearestL2(v.embedding, centsD)))
     }
     val subDim = dim / m
     val codebooks = Array.tabulate(m) { j =>
@@ -244,26 +256,11 @@ object Pq {
       query: Array[Float], nprobe: Int, kNN: Int): DataFrame = {
     import codes.sparkSession.implicits._
     val centsD = model.centroids.map(_.map(_.toDouble))
-    val m = model.pq.m; val subDim = model.pq.subDim
-    val probed: Array[Int] = centsD.indices
-      .sortBy { ci =>
-        val c = centsD(ci); var d = 0.0; var i = 0
-        while (i < c.length) { val t = query(i) - c(i); d += t * t; i += 1 }
-        (d, ci)
-      }
-      .take(nprobe).toArray
+    val m = model.pq.m
+    val probed = probeCells(query, centsD, nprobe)
     // per probed cell: LUT of the query residual against the codebooks
     val luts: Map[Int, Array[Array[Double]]] = probed.map { ci =>
-      val c = model.centroids(ci)
-      val res = Array.tabulate(query.length)(i => query(i) - c(i))
-      ci -> Array.tabulate(m) { j =>
-        val qs = res.slice(j * subDim, (j + 1) * subDim)
-        model.pq.codebooks(j).map { cb =>
-          var d = 0.0; var i = 0
-          while (i < subDim) { val t = qs(i) - cb(i); d += t * t; i += 1 }
-          d
-        }
-      }
+      ci -> lutFor(residual(query, model.centroids(ci)), model.pq)
     }.toMap
     val probedSet = probed.toSet
     codes.filter(c => probedSet.contains(c.cell))
@@ -288,26 +285,13 @@ object Pq {
       queries: Seq[(Long, Array[Float])], nprobe: Int, kNN: Int): DataFrame = {
     import codes.sparkSession.implicits._
     val centsD = model.centroids.map(_.map(_.toDouble))
-    val m = model.pq.m; val subDim = model.pq.subDim
-    // per query: probed cells + per-cell residual LUT
+    val m = model.pq.m
+    // per query: probed cells + per-cell residual LUT (same helpers as the
+    // single-query form — the "*Many equals per-query" invariant is free)
     val perQuery: Array[(Long, Map[Int, Array[Array[Double]]])] =
       queries.map { case (qid, q) =>
-        val probed = centsD.indices.sortBy { ci =>
-          val c = centsD(ci); var d = 0.0; var i = 0
-          while (i < c.length) { val t = q(i) - c(i); d += t * t; i += 1 }
-          (d, ci)
-        }.take(nprobe)
-        qid -> probed.map { ci =>
-          val c = model.centroids(ci)
-          val res = Array.tabulate(q.length)(i => q(i) - c(i))
-          ci -> Array.tabulate(m) { j =>
-            val qs = res.slice(j * subDim, (j + 1) * subDim)
-            model.pq.codebooks(j).map { cb =>
-              var d = 0.0; var i = 0
-              while (i < subDim) { val t = qs(i) - cb(i); d += t * t; i += 1 }
-              d
-            }
-          }
+        qid -> probeCells(q, centsD, nprobe).map { ci =>
+          ci -> lutFor(residual(q, model.centroids(ci)), model.pq)
         }.toMap
       }.toArray
     val anyProbed: Set[Int] = perQuery.flatMap(_._2.keys).toSet

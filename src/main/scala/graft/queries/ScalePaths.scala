@@ -79,7 +79,7 @@ object ScalePaths {
   /** Product-quantized ANN over the full embeddings table: train (bounded
     * deterministic sample), encode (one map, m-byte codes), and ONE
     * single-pass ADC scan answering all three queries (adcTopKMany — the
-    * per-query form would re-encode the corpus per call). Correctness
+    * per-query form re-scans the encoded codes once per call). Correctness
     * pinned by PqSpec; the bench times the full train+encode+search
     * lifecycle.
     */

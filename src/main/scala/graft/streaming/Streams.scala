@@ -191,16 +191,17 @@ object Streams {
   }
 
   /** B38 — custom sessionization with EVENT-TIME TIMEOUT: the pattern
-    * `session_window` cannot express — sessions close and emit EXACTLY
-    * once, either when a new event arrives past the gap (close-and-reopen)
-    * or when the WATERMARK passes the open session's gap deadline
-    * (`GroupStateTimeout.EventTimeTimeout` fires the group function with
-    * `hasTimedOut` even though no new rows arrived). State is one
-    * [[OpenSession]] per active user — bounded by active users, not
-    * history; the watermark guarantees every session eventually closes,
-    * so nothing leaks.
+    * `session_window` cannot express — each session closes and emits
+    * EXACTLY once, when the WATERMARK passes strictly beyond its gap
+    * deadline (`GroupStateTimeout.EventTimeTimeout` fires the group
+    * function with `hasTimedOut` even when no new rows arrive). Open
+    * sessions are held (never closed inline) so non-late OUT-OF-ORDER
+    * events can still extend or bridge them; state is the [[OpenSessions]]
+    * interval list per active user — bounded by the watermark horizon, not
+    * history, so nothing leaks and the emitted sessions equal the batch
+    * `session_window` oracle.
     *
-    * The same custom-close hook is where production variants hang their
+    * The insert/sweep hooks are where production variants hang their
     * session caps (max duration / max events) and richer session payloads.
     */
   def sessionsWithTimeout(
@@ -232,12 +233,13 @@ object Streams {
         }
       }
     }
-    // a session is FINAL once the watermark passes last + gap: any future
-    // non-late event has ts >= watermark > last + gap, so it can neither
-    // extend it nor bridge into it
+    // a session is FINAL once the watermark passes STRICTLY beyond
+    // last + gap: an event at ts == watermark is still non-late, and at
+    // ts == last + gap it still merges (inclusive gap) — closing at
+    // equality would emit a session a boundary event may yet extend
     def sweep(uid: Long, ss: Seq[OpenSession], wm: Long)
         : (Seq[ClosedSession], Seq[OpenSession]) = {
-      val (done, open) = ss.partition(_.last_ms + gapMillis <= wm)
+      val (done, open) = ss.partition(_.last_ms + gapMillis < wm)
       (done.map(close(uid, _)), open)
     }
     events.withWatermark("ts", delay)
@@ -249,11 +251,15 @@ object Streams {
           val merged = rows.foldLeft(prior) { (ss, e) =>
             insert(ss, e.ts.getTime, e.value)
           }
-          val (emitted, open) = sweep(uid, merged, state.getCurrentWatermarkMs())
+          val wm = state.getCurrentWatermarkMs()
+          val (emitted, open) = sweep(uid, merged, wm)
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenSessions(open))
-            state.setTimeoutTimestamp(open.map(_.last_ms).min + gapMillis)
+            // a deadline exactly AT the watermark is legal state (strict
+            // sweep) but an illegal timeout — clamp one past the watermark
+            state.setTimeoutTimestamp(
+              math.max(open.map(_.last_ms).min + gapMillis, wm + 1))
           }
           emitted.iterator
       }
