@@ -52,6 +52,19 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT ltag, rtag FROM asof_join('ext_l', 'ext_r', 'k', 'k2', 't', 'rt')")
         .collect().map(r => (r.getString(0), r.getString(1))).toSet
       assert(out == Set(("a", "r2")))
+      // the injected as-of rules fire too: a left-side filter sinks below
+      // the join, where ConvertToLocalRelation folds it INTO the Seq-backed
+      // relation (2 rows -> 1) — the pushdown provably ran on this
+      // extensions-only session
+      val filtered = s2.sql(
+        "SELECT ltag FROM asof_join('ext_l', 'ext_r', 'k', 'k2', 't', 'rt') " +
+          "WHERE ltag = 'a'")
+      val asof = filtered.queryExecution.optimizedPlan
+        .collect { case j: graft.plans.AsOfJoinPlan => j }.head
+      val leftRows = asof.left.collect {
+        case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.size
+      }.sum
+      assert(leftRows == 1, filtered.queryExecution.optimizedPlan.toString)
       // optimizer rule: HOF dot-product rewritten to the native expression
       // (range-backed, non-foldable arrays — Seq-backed frames collapse to
       // LocalRelation before injected rules run)
