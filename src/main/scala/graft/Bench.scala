@@ -6,11 +6,28 @@ import org.apache.spark.sql.SparkSession
   * sink (count() would let Catalyst drop unreferenced projections and
   * under-measure); a warmup pass on the smallest table initializes codegen
   * and the parquet footer caches outside the timed region.
+  *
+  * Repeat-median methodology (round-6): single-shot timings proved too noisy
+  * to gate on — BENCH_r05 vs r04 differed 2x on three queries with zero code
+  * change, and BASELINE.md records a 59.6-75.2s spread across identical
+  * commits. The bench now runs SPARK_GRAFT_BENCH_REPEATS (default 3) full
+  * sweeps over the query set and reports the per-query MEDIAN as the
+  * headline number, plus min/max spread for noise diagnosis. Sweeping the
+  * whole set N times (rather than repeating each query N times back-to-back)
+  * spreads JIT/cache/GC effects evenly instead of handing pass-2 a
+  * same-query warm cache.
   */
 object Bench {
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPEATS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -27,25 +44,40 @@ object Bench {
     // classloading): measured ~5s one-time cost that the alphabetically
     // first query would otherwise absorb
     spark.range(10).write.format("noop").mode("overwrite").save()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // timings(name) = one entry per sweep; -1 marks a failed run
+    val timings = scala.collection.mutable.Map[String, Vector[Double]]()
+      .withDefaultValue(Vector.empty)
+    for (sweep <- 1 to repeats; name <- names) {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}"); false
+          System.err.println(s"[bench] $name failed (sweep $sweep): ${e.getMessage}"); false
         }
-      // a failed query must not read as a (fast) success: record -1
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      timings(name) :+= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
+    // per-query median over successful sweeps; any failed sweep poisons the query
+    val perQuery = names.map { n =>
+      val ts = timings(n)
+      n -> (if (ts.exists(_ < 0)) -1.0 else r3(median(ts)))
+    }
+    val qs = perQuery.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val spread = names.map { n =>
+      val ts = timings(n).filter(_ >= 0)
+      val (lo, hi) = if (ts.isEmpty) (-1.0, -1.0) else (r3(ts.min), r3(ts.max))
+      s"\"" + n + "\":[" + lo + "," + hi + "]"
+    }.mkString("{", ",", "}")
     // A failed query must poison the TOTAL, not shrink it: summing only the
     // successes would let a broken query read as a faster run (round-1
     // advice finding). total=-1 + "failed" count + nonzero exit make the
     // bench gate reject any run with errors.
-    val failed = results.count(_._2 < 0)
-    val total = if (failed > 0) -1.0 else results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":$qs,"sf":"$sfDir"}""")
+    val failed = perQuery.count(_._2 < 0)
+    val total = if (failed > 0) -1.0 else r3(perQuery.map(_._2).sum)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"repeats":$repeats,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Product-quantization codes: `code(j)` is the chosen centroid of
@@ -282,20 +282,37 @@ object Pq {
     */
   def ivfPqTopKMany(
       codes: Dataset[IvfPqCode], model: IvfPqModel,
-      queries: Seq[(Long, Array[Float])], nprobe: Int, kNN: Int): DataFrame = {
-    import codes.sparkSession.implicits._
+      queries: Seq[(Long, Array[Float])], nprobe: Int, kNN: Int): DataFrame =
+    ivfPqScore(codes, model, ivfPqLuts(model, queries, nprobe), kNN)
+
+  /** Per query: probed cells + per-cell residual LUT (same helpers as the
+    * single-query form — the "*Many equals per-query" invariant is free).
+    */
+  private def ivfPqLuts(
+      model: IvfPqModel, queries: Seq[(Long, Array[Float])],
+      nprobe: Int): Array[(Long, Map[Int, Array[Array[Double]]])] = {
     val centsD = model.centroids.map(_.map(_.toDouble))
+    queries.map { case (qid, q) =>
+      qid -> probeCells(q, centsD, nprobe).map { ci =>
+        ci -> lutFor(residual(q, model.centroids(ci)), model.pq)
+      }.toMap
+    }.toArray
+  }
+
+  /** One scan scores every code row against exactly the queries probing its
+    * cell. The cell filter is a Column predicate so that when `codes` comes
+    * from a cell-partitioned parquet index the probed-cell restriction
+    * becomes PARTITION PRUNING (only nprobe/nCells of the files are read) —
+    * a typed lambda filter would force a full scan.
+    */
+  private def ivfPqScore(
+      codes: Dataset[IvfPqCode], model: IvfPqModel,
+      perQuery: Array[(Long, Map[Int, Array[Array[Double]]])],
+      kNN: Int): DataFrame = {
+    import codes.sparkSession.implicits._
     val m = model.pq.m
-    // per query: probed cells + per-cell residual LUT (same helpers as the
-    // single-query form — the "*Many equals per-query" invariant is free)
-    val perQuery: Array[(Long, Map[Int, Array[Array[Double]]])] =
-      queries.map { case (qid, q) =>
-        qid -> probeCells(q, centsD, nprobe).map { ci =>
-          ci -> lutFor(residual(q, model.centroids(ci)), model.pq)
-        }.toMap
-      }.toArray
-    val anyProbed: Set[Int] = perQuery.flatMap(_._2.keys).toSet
-    val scored = codes.filter(c => anyProbed.contains(c.cell))
+    val anyProbed = perQuery.flatMap(_._2.keys).distinct.toSeq
+    val scored = codes.filter(col("cell").isin(anyProbed: _*)).as[IvfPqCode]
       .flatMap { c =>
         perQuery.iterator.flatMap { case (qid, luts) =>
           luts.get(c.cell).map { lut =>
@@ -310,5 +327,131 @@ object Pq {
     scored.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("rn") <= kNN)
       .select(col("q_id"), col("id"), col("dist2"))
+  }
+
+  // ------------------------------------------------ persisted index lifecycle
+  //
+  // Encode-once / search-many is the entire point of PQ at scale: training
+  // and encoding cost one corpus pass each, searches cost m lookups per
+  // candidate. The inline forms above retrain per call; these persist the
+  // few-KB model and the m-byte codes to parquet (mirroring
+  // Ann.buildIvfIndex / ivfTopKIndexed) so every later query reads codes
+  // from disk without touching the float corpus at all. Floats round-trip
+  // parquet exactly, so search-from-disk is bit-identical to inline search
+  // on the same model (PqSpec proves it).
+  //
+  // Layout: <path>/meta  one row (m, k, subDim[, nCells])
+  //         <path>/model one row per (subspace j, centroid c) codebook entry
+  //         <path>/centroids (IVF-PQ only) one row per coarse cell
+  //         <path>/codes PqCode rows; IvfPqCode partitioned BY CELL so a
+  //           probe of nprobe cells prunes to nprobe/nCells of the files.
+
+  private def writePqModel(
+      spark: SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    Seq((model.m, model.k, model.subDim)).toDF("m", "k", "sub_dim")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val rows = for {
+      j <- model.codebooks.indices
+      c <- model.codebooks(j).indices
+    } yield (j, c, model.codebooks(j)(c).toSeq)
+    rows.toDF("j", "c", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+  }
+
+  private def readPqModel(spark: SparkSession, path: String): PqModel = {
+    import spark.implicits._
+    val (m, k, subDim) = spark.read.parquet(s"$path/meta")
+      .select("m", "k", "sub_dim").as[(Int, Int, Int)].head()
+    val rows = spark.read.parquet(s"$path/model")
+      .select("j", "c", "centroid").as[(Int, Int, Array[Float])].collect()
+    val byJ = rows.groupBy(_._1)
+    val codebooks = Array.tabulate(m) { j =>
+      byJ(j).sortBy(_._2).map(_._3)
+    }
+    PqModel(m, k, subDim, codebooks)
+  }
+
+  /** Train on the bounded sample, encode the whole corpus, persist model +
+    * codes. Returns the trained model (callers holding it skip the re-read).
+    */
+  def buildPqIndex(
+      corpus: Dataset[Vec], path: String, m: Int, k: Int,
+      iters: Int = 8, sampleFactor: Int = 32): PqModel = {
+    val model = train(corpus, m, k, iters, sampleFactor)
+    writePqModel(corpus.sparkSession, model, path)
+    encode(corpus, model).write.mode("overwrite").parquet(s"$path/codes")
+    model
+  }
+
+  def loadPqModel(spark: SparkSession, path: String): PqModel =
+    readPqModel(spark, path)
+
+  def loadPqCodes(spark: SparkSession, path: String): Dataset[PqCode] = {
+    import spark.implicits._
+    spark.read.parquet(s"$path/codes").as[PqCode]
+  }
+
+  /** Batch ADC against a persisted [[buildPqIndex]] index: model to the
+    * driver (a few KB), codes streamed from parquet, zero retraining.
+    */
+  def adcTopKManyIndexed(
+      spark: SparkSession, indexPath: String,
+      queries: Seq[(Long, Array[Float])], kNN: Int): DataFrame = {
+    val model = readPqModel(spark, indexPath)
+    adcTopKMany(loadPqCodes(spark, indexPath), model, queries, kNN)
+  }
+
+  /** Train, encode, persist the combined IVF-PQ index; codes are written
+    * PARTITIONED BY CELL so later probes read only their cells' files.
+    */
+  def buildIvfPqIndex(
+      corpus: Dataset[Vec], path: String, nCells: Int, m: Int, k: Int,
+      iters: Int = 8, sampleFactor: Int = 32): IvfPqModel = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val model = trainIvfPq(corpus, nCells, m, k, iters, sampleFactor)
+    Seq((model.pq.m, model.pq.k, model.pq.subDim, model.centroids.length))
+      .toDF("m", "k", "sub_dim", "n_cells")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    model.centroids.zipWithIndex
+      .map { case (cent, ci) => (ci, cent.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+    writePqModel(spark, model.pq, s"$path/pq")
+    encodeIvfPq(corpus, model).write
+      .partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    model
+  }
+
+  def loadIvfPqModel(spark: SparkSession, path: String): IvfPqModel = {
+    import spark.implicits._
+    val pq = readPqModel(spark, s"$path/pq")
+    val cents = spark.read.parquet(s"$path/centroids")
+      .select("cell", "centroid")
+      .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+    IvfPqModel(cents, pq)
+  }
+
+  def loadIvfPqCodes(spark: SparkSession, path: String): Dataset[IvfPqCode] = {
+    import spark.implicits._
+    // partition column `cell` comes back from the directory names; select to
+    // the case-class field order so the encoder binds by position too
+    spark.read.parquet(s"$path/codes")
+      .select(col("id"), col("cell").cast("int").as("cell"), col("code"))
+      .as[IvfPqCode]
+  }
+
+  /** Batch search against a persisted [[buildIvfPqIndex]] index: the probed
+    * cells reach the parquet scan as a partition filter, so only
+    * nprobe/nCells of the code files are read — the on-disk analog of the
+    * IVF candidate join.
+    */
+  def ivfPqTopKManyIndexed(
+      spark: SparkSession, indexPath: String,
+      queries: Seq[(Long, Array[Float])], nprobe: Int, kNN: Int): DataFrame = {
+    val model = loadIvfPqModel(spark, indexPath)
+    ivfPqScore(loadIvfPqCodes(spark, indexPath), model,
+      ivfPqLuts(model, queries, nprobe), kNN)
   }
 }

@@ -94,12 +94,15 @@ object Media {
     Tables.embeddings(s, dir)
       .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "c")))
       .groupBy(col("label"), col("pos"))
-      .agg(round(avg(col("c").cast("double")), 4).as("mean_c"), count(lit(1)).as("n"))
+      // + 0.0 normalizes IEEE negative zero: a group mean of -0.00001 rounds
+      // to -0.0 in one engine and 0.0 in the other (seen at sf0.001)
+      .agg((round(avg(col("c").cast("double")), 4) + lit(0.0)).as("mean_c"),
+        count(lit(1)).as("n"))
       .orderBy(col("label"), col("pos"))
 
   private val q41Sql =
     """SELECT label, idx - 1 AS pos,
-      |  ROUND(AVG(CAST(v AS DOUBLE)), 4) AS mean_c, COUNT(*) AS n
+      |  ROUND(AVG(CAST(v AS DOUBLE)), 4) + 0.0 AS mean_c, COUNT(*) AS n
       |FROM (
       |  SELECT label, unnest(embedding) AS v,
       |    generate_subscripts(embedding, 1) AS idx

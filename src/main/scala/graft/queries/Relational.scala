@@ -594,6 +594,12 @@ object Relational {
     * The three l_quantity quantiles share ONE percentile buffer via the
     * array form — each scalar percentile() call would otherwise collect
     * its own copy of every value per group (4 buffers → 2).
+    *
+    * Scale caveat: exact percentile buffers EVERY value per group
+    * (O(group-size) memory), acceptable only while groups fit an executor.
+    * The 100 TB path is `approx_percentile` — bounded GK summary with rank
+    * error <= n/accuracy, guarantee verified in ApproxSpec ("approx_
+    * percentile rank error"); this exact form stays as the oracle anchor.
     */
   private def q50(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)

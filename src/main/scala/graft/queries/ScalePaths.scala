@@ -96,20 +96,47 @@ object ScalePaths {
       .orderBy(col("q_id"), col("dist2"), col("id"))
   }
 
-  /** IVF-PQ over the full embeddings table: the combined index's whole
-    * lifecycle (coarse+residual training, encode, one multi-query probe
-    * scan). Correctness pinned by PqSpec's ivf-pq recall/determinism tests.
+  /** Deterministic per-dataset scratch path for persisted-index queries —
+    * overwrite-mode builds make repeated runs (Verify, bench sweeps)
+    * idempotent.
+    */
+  private def idxPath(kind: String, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_idx_${math.abs(dir.hashCode)}"
+
+  /** IVF-PQ over the full embeddings table via the PERSISTED index
+    * lifecycle: train+encode+write once (overwrite-idempotent), then search
+    * strictly from disk — the probed cells reach the parquet scan as a
+    * partition filter, the float corpus is never touched by the search.
+    * Correctness pinned by PqSpec's indexed==inline equality test.
     */
   private def q89(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val corpus = Tables.embeddings(s, dir)
       .select(col("vec_id").as("id"), col("embedding")).as[Vec]
-    val model = graft.operators.Pq.trainIvfPq(corpus, nCells = 16, m = 8, k = 16)
     val queries = corpus.filter(v => Seq(1L, 2L, 3L).contains(v.id)).collect()
       .sortBy(_.id).map(v => (v.id, v.embedding)).toSeq
-    val codes = graft.operators.Pq.encodeIvfPq(
-      corpus.filter(v => !Seq(1L, 2L, 3L).contains(v.id)), model)
-    graft.operators.Pq.ivfPqTopKMany(codes, model, queries, nprobe = 6, kNN = 10)
+    val path = idxPath("ivfpq", dir)
+    graft.operators.Pq.buildIvfPqIndex(
+      corpus.filter(v => !Seq(1L, 2L, 3L).contains(v.id)), path,
+      nCells = 16, m = 8, k = 16)
+    graft.operators.Pq.ivfPqTopKManyIndexed(s, path, queries, nprobe = 6, kNN = 10)
+      .orderBy(col("q_id"), col("dist2"), col("id"))
+  }
+
+  /** Plain PQ via the persisted index: encode-once to parquet codes, ADC
+    * search from disk with zero retraining (the shape a 100 TB corpus runs —
+    * the inline q83 twin retrains per call and pins the math).
+    */
+  private def q90(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = Tables.embeddings(s, dir)
+      .select(col("vec_id").as("id"), col("embedding")).as[Vec]
+    val queries = corpus.filter(v => Seq(1L, 2L, 3L).contains(v.id)).collect()
+      .sortBy(_.id).map(v => (v.id, v.embedding)).toSeq
+    val path = idxPath("pq", dir)
+    graft.operators.Pq.buildPqIndex(
+      corpus.filter(v => !Seq(1L, 2L, 3L).contains(v.id)), path, m = 8, k = 16)
+    graft.operators.Pq.adcTopKManyIndexed(s, path, queries, kNN = 10)
       .orderBy(col("q_id"), col("dist2"), col("id"))
   }
 
@@ -120,5 +147,6 @@ object ScalePaths {
     QueryDef("q54_simhash_banded_full", q54, None),
     QueryDef("q56_dedup_clusters_full", q56, None),
     QueryDef("q83_ann_pq", q83, None),
-    QueryDef("q89_ann_ivfpq", q89, None))
+    QueryDef("q89_ann_ivfpq", q89, None),
+    QueryDef("q90_ann_pq_indexed", q90, None))
 }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -142,6 +142,82 @@ object Streams {
       lsh.rawCandidatesAgainstIndex(docs, "doc_id", "text", index, maxBucket)
         .select(col("new_id").as("doc_id"), col("index_id").as("matched_id"))
         .dropDuplicates("doc_id", "matched_id")
+  }
+
+  /** Streaming EMBEDDING dedup against a persisted IVF index
+    * ([[graft.operators.Ann.buildIvfIndex]]) — the vector analog of
+    * [[streamDedupAgainstIndex]]: each arriving vector probes its `nprobe`
+    * nearest coarse cells (computed per row against the ≤nCells centroids
+    * loaded once at plan time — an expression over literal centroids, no
+    * per-batch driver work), candidates come from a STREAM-STATIC equi-join
+    * on the cell key against the persisted assignment table, and exact
+    * cosine ≥ `threshold` (the same native vec_dot math as the batch IVF
+    * search) decides a duplicate. All stateless per micro-batch except the
+    * trailing pair dedup, which follows the text operator's contract:
+    * exact `dropDuplicates` for bounded inputs, or pass `watermark`
+    * (event-time column, delay) to switch to
+    * `dropDuplicatesWithinWatermark` so pair state expires with the
+    * watermark instead of growing forever.
+    *
+    * @param vectors streaming frame with `id` (LONG), `embedding`
+    *   (ARRAY<FLOAT>), plus the event-time column when `watermark` is set
+    * @param corpus the INDEXED corpus (`id`, `embedding`) — the static side
+    *   that candidate embeddings are fetched from (the assignment table
+    *   stores only (id, cell), exactly like the batch search path)
+    */
+  def streamDedupAgainstIvfIndex(
+      vectors: DataFrame,
+      indexPath: String,
+      corpus: DataFrame,
+      threshold: Double = 0.9,
+      nprobe: Int = 4,
+      watermark: Option[(String, String)] = None): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    def cosine(a: Column, b: Column): Column =
+      graft.plans.GraftFunctions.vecDot(a, b) /
+        (sqrt(graft.plans.GraftFunctions.vecDot(a, a)) *
+          sqrt(graft.plans.GraftFunctions.vecDot(b, b)))
+    val cents = spark.read.parquet(s"$indexPath/centroids")
+      .as[graft.operators.Vec].collect().sortBy(_.id)
+    // (−sim, cell) structs sort lexicographically: highest similarity
+    // first, ties to the LOWER cell id — the batch nearestCells rule
+    val cellScores = array(cents.map { c =>
+      struct((-cosine(col("embedding"), typedlit(c.embedding.toSeq)))
+        .as("nsim"), lit(c.id.toInt).as("cell"))
+    }: _*)
+    // the watermark MUST be declared on the raw input: declared downstream
+    // of the similarity filter it would only see rows that survived the
+    // threshold, so a batch of non-duplicates would never advance it and
+    // dedup state would never expire
+    val src = watermark match {
+      case Some((tsCol, delay)) => vectors.withWatermark(tsCol, delay)
+      case None => vectors
+    }
+    val probed = src
+      .withColumn("cell", explode(
+        slice(array_sort(cellScores), 1, nprobe).getField("cell")))
+    val assigned = spark.read.parquet(s"$indexPath/assignments")
+      .select(col("id").as("matched_id"), col("cell"))
+    val matchedEmb = corpus
+      .select(col("id").as("matched_id"), col("embedding").as("matched_emb"))
+    val scored = probed
+      .join(assigned, "cell")
+      .join(matchedEmb, "matched_id")
+      .withColumn("cos_sim", cosine(col("embedding"), col("matched_emb")))
+      .filter(col("cos_sim") >= threshold && col("id") =!= col("matched_id"))
+    watermark match {
+      case Some((tsCol, delay)) =>
+        // event time rides the chain from `src` and only feeds the dedup's
+        // state expiry — drop it so both modes emit the same schema
+        scored.select(col("id"), col("matched_id"), col(tsCol))
+          .dropDuplicatesWithinWatermark("id", "matched_id")
+          .drop(tsCol)
+      case None =>
+        scored.select(col("id"), col("matched_id"))
+          .dropDuplicates("id", "matched_id")
+    }
   }
 
   /** STREAM-STREAM AS-OF join (within tolerance), composed Spark-first:

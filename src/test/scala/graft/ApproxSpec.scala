@@ -49,6 +49,43 @@ class ApproxSpec extends SparkSpec {
     assert(err <= 0.05, s"merged=$merged exact=$exact err=$err")
   }
 
+  test("approx_percentile rank error stays within n/accuracy of exact per group") {
+    // the SCALE-SAFE percentile twin of q50/q76: exact percentile() buffers
+    // every value per group (O(group) memory — fine at sf0.1, lethal at
+    // 100x); approx_percentile keeps a bounded GK summary with the hard
+    // guarantee |rank(v) - p*n| <= n/accuracy. Verify that guarantee
+    // directly: the approx value's rank window must contain the target rank.
+    import spark.implicits._
+    val acc = 1000
+    val ps = Seq(0.25, 0.5, 0.75, 0.99)
+    val li = Tables.lineitem(spark, dir)
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"approx_percentile(l_extendedprice, " +
+        s"array(${ps.map(_ + "D").mkString(",")}), $acc)").as("ap"),
+        count(lit(1)).as("n"))
+      .collect()
+    val checks = approx.flatMap { r =>
+      val vs = r.getSeq[Double](1)
+      ps.indices.map(i =>
+        (r.getString(0), ps(i), vs(i), r.getLong(2)))
+    }.toSeq.toDF("g", "p", "v", "n")
+    val ranks = li.join(broadcast(checks), col("l_returnflag") === col("g"))
+      .groupBy(col("g"), col("p"), col("v"), col("n"))
+      .agg(
+        sum(when(col("l_extendedprice") < col("v"), 1L).otherwise(0L)).as("lt"),
+        sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("le"))
+      .collect()
+    assert(ranks.length == approx.length * ps.size)
+    ranks.foreach { r =>
+      val (g, p, n) = (r.getString(0), r.getDouble(1), r.getLong(3))
+      val (lt, le) = (r.getLong(4), r.getLong(5))
+      val target = p * n
+      val slack = n.toDouble / acc + 1
+      assert(lt <= target + slack && le >= target - slack,
+        s"group $g p=$p: rank window [$lt, $le] misses target $target ± $slack")
+    }
+  }
+
   test("count-min sketch over-estimates within eps*N and never under-counts") {
     import org.apache.spark.util.sketch.CountMinSketch
     val docs = Tables.documents(spark, dir)

@@ -99,6 +99,55 @@ class PqSpec extends SparkSpec {
     codes.unpersist()
   }
 
+  test("persisted PQ index: model round-trips parquet; search-from-disk == inline") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_idx").toString
+    val built = Pq.buildPqIndex(corpus, path, m = 8, k = 16)
+    // the few-KB model must round-trip parquet bit-exactly
+    val loaded = Pq.loadPqModel(spark, path)
+    assert((loaded.m, loaded.k, loaded.subDim) == (built.m, built.k, built.subDim))
+    assert(loaded.codebooks.flatten.flatten.toSeq ==
+      built.codebooks.flatten.flatten.toSeq)
+    val all = corpus.collect()
+    val qs = Seq(3L, 9L).map(id => (id, all.find(_.id == id).get.embedding))
+    val fromDisk = Pq.adcTopKManyIndexed(spark, path, qs, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = Pq.adcTopKMany(Pq.encode(corpus, built), built, qs, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromDisk == inline)
+  }
+
+  test("persisted IVF-PQ index: search-from-disk == inline; probe prunes partitions") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+    val built = Pq.buildIvfPqIndex(corpus, path, nCells = 16, m = 8, k = 16)
+    val loaded = Pq.loadIvfPqModel(spark, path)
+    assert(loaded.centroids.flatten.toSeq == built.centroids.flatten.toSeq)
+    assert(loaded.pq.codebooks.flatten.flatten.toSeq ==
+      built.pq.codebooks.flatten.flatten.toSeq)
+    val all = corpus.collect()
+    val qs = Seq(3L, 9L).map(id => (id, all.find(_.id == id).get.embedding))
+    val fromDisk = Pq.ivfPqTopKManyIndexed(spark, path, qs, nprobe = 6, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = Pq.ivfPqTopKMany(Pq.encodeIvfPq(corpus, built), built, qs,
+        nprobe = 6, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromDisk == inline)
+    // the probed-cell restriction must reach the scan as PartitionFilters
+    // (cell is a parquet partition column), not a post-scan filter
+    val planned = Pq.ivfPqTopKManyIndexed(spark, path, qs, nprobe = 6, kNN = 7)
+    val plan = planned.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scanLine = plan.linesIterator
+      .find(l => l.contains("FileScan") && l.contains("codes"))
+      .getOrElse(fail(s"no codes FileScan in plan:\n$plan"))
+    assert(scanLine.contains("PartitionFilters: [") &&
+      scanLine.replaceAll(".*PartitionFilters", "").contains("cell"),
+      s"no partition filter on cell in:\n$scanLine")
+  }
+
   test("adc recall@10 beats the random-candidate baseline vs exact L2") {
     val all = corpus.collect()
     val queryIds = Seq(1L, 2L, 3L, 4L, 5L)

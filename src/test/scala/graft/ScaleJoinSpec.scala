@@ -22,6 +22,39 @@ class ScaleJoinSpec extends SparkSpec {
     assert(plain.select("k", "payload", "rv").except(salted.select("k", "payload", "rv")).isEmpty)
   }
 
+  test("salted as-of join equals the unsalted join under a hot key") {
+    // 90% of left rows share one hot key; right holds 20 history rows/key
+    val left = spark.range(5000)
+      .select(when($"id" % 10 === 0, $"id" % 7).otherwise(lit(999L)).as("k"),
+        ($"id" * 13 % 1000).as("t"), $"id".as("payload"))
+    val right = spark.range(50 * 20)
+      .select(($"id" % 50).as("rk"), expr("(id DIV 50) * 47 % 1000").as("rt"),
+        ($"id" * 3).as("rv"))
+    // kill broadcast so BOTH forms run the shuffle-merge exec — the path
+    // the salt exists to balance (a broadcastable right needs no salting)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      for ((jt, dir, tol) <- Seq(("inner", "backward", None),
+          ("left", "forward", Some(100L)))) {
+        val plain = graft.plans.AsOf.join(left, right, Seq("k"), Seq("rk"),
+          "t", "rt", tieBreak = Seq("rv"), joinType = jt, direction = dir,
+          tolerance = tol)
+        val salted = graft.plans.AsOf.joinSalted(left, right, Seq("k"), Seq("rk"),
+          "t", "rt", salts = 8, tieBreak = Seq("rv"), joinType = jt,
+          direction = dir, tolerance = tol)
+        assert(salted.columns.toSeq == plain.columns.toSeq)
+        assert(salted.count() == plain.count(), s"$jt/$dir row count")
+        assert(salted.except(plain).isEmpty && plain.except(salted).isEmpty,
+          s"$jt/$dir rows differ")
+        val plan = salted.queryExecution.executedPlan.toString
+          .split("== Initial Plan ==").head
+        assert(plan.contains("AsOfJoin"), plan)
+        assert(!plan.contains("AsOfJoinBroadcast"), plan)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("bucketed tables join without any shuffle exchange") {
     val wh = spark.conf.get("spark.sql.warehouse.dir")
     info(s"warehouse: $wh")

@@ -191,6 +191,50 @@ class StreamingSpec extends SparkSpec {
     assert(got.size == 2, got)
   }
 
+  test("streaming embedding dedup vs persisted IVF index: collisions flagged, state watermark-bounded") {
+    implicit val sqlCtx = spark.sqlContext
+    // 8 near-orthogonal indexed vectors; index persisted once, searched many
+    val dim = 4
+    // ids 1-4: unit axes; ids 5-8: two-axis diagonals — eight distinct
+    // directions, no pair above cosine 0.71, so threshold 0.95 isolates
+    def mk(i: Int): Array[Float] = {
+      val a = new Array[Float](dim)
+      if (i < 4) a(i) = 1f
+      else { a(i - 4) = 0.7f; a((i - 3) % dim) = 0.7f }
+      a
+    }
+    val corpusVecs = (0 until 8).map(i => graft.operators.Vec(i.toLong + 1, mk(i)))
+    val corpus = spark.createDataset(corpusVecs)
+    val idxPath = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    graft.operators.Ann.buildIvfIndex(corpus, idxPath, nCells = 4)
+    val dupEmb: Seq[Float] = Seq(0.999f, 0.02f, 0f, 0f)   // ~= vector 1 only
+    val novel: Seq[Float] = Seq(0.5f, -0.5f, 0.5f, -0.5f) // far from all
+    val input = MemoryStream[(Long, Seq[Float], Timestamp)]
+    val q = Streams.streamDedupAgainstIvfIndex(
+        input.toDF().toDF("id", "embedding", "ts"), idxPath, corpus.toDF(),
+        threshold = 0.95, nprobe = 2,
+        watermark = Some(("ts", "10 minutes")))
+      .writeStream.format("memory").queryName("t_ivfdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq((100L, dupEmb, ts(0)), (101L, novel, ts(0))))
+      q.processAllAvailable()
+      // same collision pair within the delay: suppressed by dedup state
+      input.addData(Seq((100L, dupEmb, ts(5))))
+      q.processAllAvailable()
+      // advance the watermark far past ts(5) + 10min -> pair state evicted
+      input.addData(Seq((102L, novel, ts(500))))
+      q.processAllAvailable()
+      // after expiry the pair re-emits — proof the state is bounded by the
+      // watermark (the unbounded-dedup trap the watermark mode exists for)
+      input.addData(Seq((100L, dupEmb, ts(501))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_ivfdedup").as[(Long, Long)].collect().toSeq
+    assert(got.count(_ == ((100L, 1L))) == 2, s"got $got")
+    assert(got.size == 2, s"novel vectors must not be flagged: $got")
+  }
+
   test("stream-static as-of enrichment: each event joins its reference version") {
     // the classic enrichment shape: a stream as-of-joins a versioned
     // static reference (broadcast path — stateless per micro-batch)
