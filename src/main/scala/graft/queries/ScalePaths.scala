@@ -58,7 +58,11 @@ object ScalePaths {
   /** Full-corpus dedup composition: banded SimHash candidate pairs →
     * connected components → cluster assignment, keeping only docs in
     * multi-member clusters. q55 is the bounded oracle twin of the same
-    * operator chain.
+    * operator chain; DedupClustersSpec additionally proves this exact
+    * banded chain equals the all-pairs chain on one corpus. (A DuckDB
+    * oracle restricted to a doc_id bound would be unsound: full-corpus
+    * clusters may cross the bound, changing ids and sizes — so this stays
+    * rows-only by design.)
     *
     * Hamming <= 2 (not 3): on this synthetic corpus the shared 30-word
     * vocabulary makes the <=3 threshold graph one giant chain-shaped

@@ -83,6 +83,36 @@ class DedupClustersSpec extends SparkSpec {
     assert(kept == Seq(1L, 3L, 4L, 6L))
   }
 
+  test("q56's banded chain equals q55's all-pairs chain on the same corpus") {
+    // the full-corpus scale path (banded SimHash pairs -> CC -> cluster
+    // assignment, q56's chain) must produce the SAME clusters as the
+    // oracle-checked all-pairs chain (q55's shape) when run over one
+    // corpus. This is the equality that pins q56's correctness: a driver
+    // oracle restricted to a doc_id bound would be UNSOUND instead, because
+    // full-corpus clusters can cross the bound and change ids/sizes.
+    // maxBucket stays 0 (uncapped) here: the cap is a DELIBERATE recall
+    // sacrifice for degenerate mega-buckets — on this corpus's giant
+    // artifact cluster it drops real pairs, so capped != all-pairs by
+    // design (the cap's own behavior is covered in DedupSpec).
+    import graft.operators.SimHash
+    val docs = Tables.documents(spark, sf()).filter(col("doc_id") < 150)
+    val banded = SimHash.candidatePairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 2, maxBucket = 0)
+      .select("id_a", "id_b")
+    val sh = docs.select(col("doc_id"), SimHash.simhashOfText(col("text")).as("h"))
+    val allPairs = sh.select(col("doc_id").as("id_a"), col("h").as("h_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("h").as("h_b")),
+        col("id_a") < col("id_b"))
+      .filter(SimHash.hamming(col("h_a"), col("h_b")) <= 2)
+      .select("id_a", "id_b")
+    def chain(pairs: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      DedupClusters.clusterAssignments(docs, "doc_id", pairs)
+        .as[(Long, Long, Long)].collect().toSet
+    val (b, a) = (chain(banded), chain(allPairs))
+    assert(b == a, s"banded chain diverges: only-banded=${b -- a} only-allpairs=${a -- b}")
+    assert(a.exists(_._3 > 1), "fixture has no multi-member cluster — test is vacuous")
+  }
+
   test("plan stays bounded: the result is a checkpointed leaf, not a composed tree") {
     // the operator must truncate lineage each round — a composed plan over
     // R rounds is exponential in R and hangs Catalyst long before R = 6
