@@ -340,56 +340,88 @@ object Pq {
   // parquet exactly, so search-from-disk is bit-identical to inline search
   // on the same model (PqSpec proves it).
   //
-  // Layout: <path>/meta  one row (m, k, subDim[, nCells])
-  //         <path>/model one row per (subspace j, centroid c) codebook entry
+  // Layout: <path>/model one row per (subspace j, centroid c) codebook entry
+  //         <path>/meta  one row (m, k, subDim, build_id)
   //         <path>/centroids (IVF-PQ only) one row per coarse cell
-  //         <path>/codes PqCode rows; IvfPqCode partitioned BY CELL so a
-  //           probe of nprobe cells prunes to nprobe/nCells of the files.
+  //         <path>/codes PqCode rows + a constant build_id column;
+  //           IvfPqCode partitioned BY CELL so a probe of nprobe cells
+  //           prunes to nprobe/nCells of the files.
+  //
+  // Rebuild-in-place safety: writes are codes FIRST, model/meta LAST, each
+  // build stamped with a fresh build_id in BOTH meta and the codes rows
+  // (constant column — run-length-encoded to nothing in parquet). A crash
+  // mid-rebuild leaves either missing model files (load throws) or a
+  // build_id mismatch between codes and meta — the indexed searches check
+  // it and fail loudly instead of decoding codes against the wrong
+  // codebooks. The codes overwrite pins partitionOverwriteMode=static so a
+  // session-level `dynamic` setting cannot leave stale cell partitions
+  // from a previous build alive.
 
   private def writePqModel(
-      spark: SparkSession, model: PqModel, path: String): Unit = {
+      spark: SparkSession, model: PqModel, path: String,
+      buildId: String): Unit = {
     import spark.implicits._
-    Seq((model.m, model.k, model.subDim)).toDF("m", "k", "sub_dim")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
     val rows = for {
       j <- model.codebooks.indices
       c <- model.codebooks(j).indices
     } yield (j, c, model.codebooks(j)(c).toSeq)
     rows.toDF("j", "c", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/model")
+    // meta last: it is the commit marker the readers require
+    Seq((model.m, model.k, model.subDim, buildId))
+      .toDF("m", "k", "sub_dim", "build_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  private def readPqModel(spark: SparkSession, path: String): PqModel = {
+  private def readPqModelWithId(
+      spark: SparkSession, path: String): (PqModel, String) = {
     import spark.implicits._
-    val (m, k, subDim) = spark.read.parquet(s"$path/meta")
-      .select("m", "k", "sub_dim").as[(Int, Int, Int)].head()
+    val (m, k, subDim, buildId) = spark.read.parquet(s"$path/meta")
+      .select("m", "k", "sub_dim", "build_id")
+      .as[(Int, Int, Int, String)].head()
     val rows = spark.read.parquet(s"$path/model")
       .select("j", "c", "centroid").as[(Int, Int, Array[Float])].collect()
     val byJ = rows.groupBy(_._1)
     val codebooks = Array.tabulate(m) { j =>
       byJ(j).sortBy(_._2).map(_._3)
     }
-    PqModel(m, k, subDim, codebooks)
+    (PqModel(m, k, subDim, codebooks), buildId)
   }
 
-  /** Train on the bounded sample, encode the whole corpus, persist model +
-    * codes. Returns the trained model (callers holding it skip the re-read).
+  /** The codes' stamped build id (one tiny scan of one file) checked
+    * against the model's: a mismatch means a rebuild died between the
+    * codes and model writes — decoding would be silently wrong.
+    */
+  private def requireConsistentBuild(
+      spark: SparkSession, codesPath: String, modelBuildId: String): Unit = {
+    val head = spark.read.parquet(codesPath).select("build_id").take(1)
+    head.foreach { r =>
+      require(r.getString(0) == modelBuildId,
+        s"index at $codesPath is inconsistent: codes build ${r.getString(0)} " +
+          s"!= model build $modelBuildId — a rebuild failed partway; rebuild the index")
+    }
+  }
+
+  /** Train on the bounded sample, encode the whole corpus, persist codes +
+    * model. Returns the trained model (callers holding it skip the re-read).
     */
   def buildPqIndex(
       corpus: Dataset[Vec], path: String, m: Int, k: Int,
       iters: Int = 8, sampleFactor: Int = 32): PqModel = {
     val model = train(corpus, m, k, iters, sampleFactor)
-    writePqModel(corpus.sparkSession, model, path)
-    encode(corpus, model).write.mode("overwrite").parquet(s"$path/codes")
+    val buildId = java.util.UUID.randomUUID().toString
+    encode(corpus, model).withColumn("build_id", lit(buildId))
+      .write.mode("overwrite").parquet(s"$path/codes")
+    writePqModel(corpus.sparkSession, model, path, buildId)
     model
   }
 
   def loadPqModel(spark: SparkSession, path: String): PqModel =
-    readPqModel(spark, path)
+    readPqModelWithId(spark, path)._1
 
   def loadPqCodes(spark: SparkSession, path: String): Dataset[PqCode] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/codes").as[PqCode]
+    spark.read.parquet(s"$path/codes").select(col("id"), col("code")).as[PqCode]
   }
 
   /** Batch ADC against a persisted [[buildPqIndex]] index: model to the
@@ -398,7 +430,8 @@ object Pq {
   def adcTopKManyIndexed(
       spark: SparkSession, indexPath: String,
       queries: Seq[(Long, Array[Float])], kNN: Int): DataFrame = {
-    val model = readPqModel(spark, indexPath)
+    val (model, buildId) = readPqModelWithId(spark, indexPath)
+    requireConsistentBuild(spark, s"$indexPath/codes", buildId)
     adcTopKMany(loadPqCodes(spark, indexPath), model, queries, kNN)
   }
 
@@ -411,22 +444,22 @@ object Pq {
     val spark = corpus.sparkSession
     import spark.implicits._
     val model = trainIvfPq(corpus, nCells, m, k, iters, sampleFactor)
-    Seq((model.pq.m, model.pq.k, model.pq.subDim, model.centroids.length))
-      .toDF("m", "k", "sub_dim", "n_cells")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val buildId = java.util.UUID.randomUUID().toString
+    encodeIvfPq(corpus, model).withColumn("build_id", lit(buildId))
+      .write.partitionBy("cell")
+      .option("partitionOverwriteMode", "static")
+      .mode("overwrite").parquet(s"$path/codes")
     model.centroids.zipWithIndex
       .map { case (cent, ci) => (ci, cent.toSeq) }.toSeq
       .toDF("cell", "centroid")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
-    writePqModel(spark, model.pq, s"$path/pq")
-    encodeIvfPq(corpus, model).write
-      .partitionBy("cell").mode("overwrite").parquet(s"$path/codes")
+    writePqModel(spark, model.pq, s"$path/pq", buildId)
     model
   }
 
   def loadIvfPqModel(spark: SparkSession, path: String): IvfPqModel = {
     import spark.implicits._
-    val pq = readPqModel(spark, s"$path/pq")
+    val pq = readPqModelWithId(spark, s"$path/pq")._1
     val cents = spark.read.parquet(s"$path/centroids")
       .select("cell", "centroid")
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
@@ -450,7 +483,15 @@ object Pq {
   def ivfPqTopKManyIndexed(
       spark: SparkSession, indexPath: String,
       queries: Seq[(Long, Array[Float])], nprobe: Int, kNN: Int): DataFrame = {
-    val model = loadIvfPqModel(spark, indexPath)
+    val (pqModel, buildId) = readPqModelWithId(spark, s"$indexPath/pq")
+    requireConsistentBuild(spark, s"$indexPath/codes", buildId)
+    val model = {
+      import spark.implicits._
+      val cents = spark.read.parquet(s"$indexPath/centroids")
+        .select("cell", "centroid")
+        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
+      IvfPqModel(cents, pqModel)
+    }
     ivfPqScore(loadIvfPqCodes(spark, indexPath), model,
       ivfPqLuts(model, queries, nprobe), kNN)
   }

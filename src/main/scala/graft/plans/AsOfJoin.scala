@@ -548,8 +548,12 @@ object AsOf {
       tolerance: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.{explode, lit, monotonically_increasing_id, pmod, sequence}
     require(salts > 0, s"salts must be positive, got $salts")
-    (leftKeys ++ rightKeys).foreach(k => require(
-      k != "__salt_l" && k != "__salt_r", s"key '$k' collides with salt column"))
+    // guard the whole schemas, not just the keys: withColumn would silently
+    // OVERWRITE a pre-existing column of the same name and the trailing
+    // drop would then remove the user's data
+    (left.columns ++ right.columns).foreach(c => require(
+      c != "__salt_l" && c != "__salt_r",
+      s"column '$c' collides with joinSalted's internal salt column"))
     // any per-row salt assignment is correct (it only balances load)
     val saltedLeft = left.withColumn("__salt_l",
       pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))

@@ -100,12 +100,15 @@ object ScalePaths {
       .orderBy(col("q_id"), col("dist2"), col("id"))
   }
 
-  /** Deterministic per-dataset scratch path for persisted-index queries —
-    * overwrite-mode builds make repeated runs (Verify, bench sweeps)
-    * idempotent.
+  /** Per-dataset scratch path for persisted-index queries — stable within
+    * one JVM so repeated runs (Verify, bench sweeps) rebuild idempotently,
+    * but suffixed with the process id so two concurrent JVMs benching the
+    * same dataset cannot race one path (one process's overwrite deleting
+    * files mid-read of the other's search).
     */
   private def idxPath(kind: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_idx_${math.abs(dir.hashCode)}"
+    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_idx_" +
+      s"${math.abs(dir.hashCode)}_p${ProcessHandle.current().pid()}"
 
   /** IVF-PQ over the full embeddings table via the PERSISTED index
     * lifecycle: train+encode+write once (overwrite-idempotent), then search

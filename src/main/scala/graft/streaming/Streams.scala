@@ -181,11 +181,23 @@ object Streams {
           sqrt(graft.plans.GraftFunctions.vecDot(b, b)))
     val cents = spark.read.parquet(s"$indexPath/centroids")
       .as[graft.operators.Vec].collect().sortBy(_.id)
-    // (−sim, cell) structs sort lexicographically: highest similarity
-    // first, ties to the LOWER cell id — the batch nearestCells rule
-    val cellScores = array(cents.map { c =>
-      struct((-cosine(col("embedding"), typedlit(c.embedding.toSeq)))
-        .as("nsim"), lit(c.id.toInt).as("cell"))
+    // (−score, cell) structs sort lexicographically: highest score first,
+    // ties to the LOWER cell — the batch nearestCells rule. Two subtleties:
+    //   - the assignment table's cell is the centroid's ARRAY POSITION in
+    //     id order (Ann.ivfAssign indexes the centroid array), NOT Vec.id —
+    //     an untrained index keeps raw corpus ids there, so lit(c.id) would
+    //     silently match nothing; zipWithIndex is correct for both kinds
+    //   - cosine's query-norm divisor is constant across cells and cannot
+    //     change the per-row ranking, so score = dot * (1/|c|) with the
+    //     reciprocal centroid norms precomputed here — custom expressions
+    //     are not constant-folded, so the full cosine would re-evaluate
+    //     vecDot(emb, emb) once per centroid per row in a hot stream
+    val cellScores = array(cents.zipWithIndex.map { case (c, ci) =>
+      val invNorm = 1.0 / math.sqrt(
+        c.embedding.foldLeft(0.0)((s, x) => s + x.toDouble * x))
+      struct((-graft.plans.GraftFunctions.vecDot(
+          col("embedding"), typedlit(c.embedding.toSeq)) * lit(invNorm))
+        .as("nscore"), lit(ci).as("cell"))
     }: _*)
     // the watermark MUST be declared on the raw input: declared downstream
     // of the similarity filter it would only see rows that survived the

@@ -143,9 +143,13 @@ class PqSpec extends SparkSpec {
     val scanLine = plan.linesIterator
       .find(l => l.contains("FileScan") && l.contains("codes"))
       .getOrElse(fail(s"no codes FileScan in plan:\n$plan"))
-    assert(scanLine.contains("PartitionFilters: [") &&
-      scanLine.replaceAll(".*PartitionFilters", "").contains("cell"),
-      s"no partition filter on cell in:\n$scanLine")
+    // extract ONLY the bracketed PartitionFilters list: matching 'cell'
+    // anywhere after the label would false-pass when the predicate lands in
+    // the alphabetically-later PushedFilters/DataFilters instead
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(scanLine).map(_.group(1))
+      .getOrElse(fail(s"no PartitionFilters in scan:\n$scanLine"))
+    assert(pf.contains("cell"), s"cell predicate not a partition filter: [$pf]")
   }
 
   test("adc recall@10 beats the random-candidate baseline vs exact L2") {

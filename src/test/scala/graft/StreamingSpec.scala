@@ -206,7 +206,10 @@ class StreamingSpec extends SparkSpec {
     val corpusVecs = (0 until 8).map(i => graft.operators.Vec(i.toLong + 1, mk(i)))
     val corpus = spark.createDataset(corpusVecs)
     val idxPath = java.nio.file.Files.createTempDirectory("graft_sivf").toString
-    graft.operators.Ann.buildIvfIndex(corpus, idxPath, nCells = 4)
+    // trained = false persists RAW sampled seeds whose Vec.id is a corpus
+    // vector id, NOT the 0..nCells-1 array position — the regression shape
+    // where probing by centroid id instead of position matches nothing
+    graft.operators.Ann.buildIvfIndex(corpus, idxPath, nCells = 4, trained = false)
     val dupEmb: Seq[Float] = Seq(0.999f, 0.02f, 0f, 0f)   // ~= vector 1 only
     val novel: Seq[Float] = Seq(0.5f, -0.5f, 0.5f, -0.5f) // far from all
     val input = MemoryStream[(Long, Seq[Float], Timestamp)]
