@@ -600,6 +600,27 @@ object Curation {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** B40 completion — JSONL (newline-delimited JSON) round trip: the
+    * interchange format of LLM corpus pipelines (public text datasets ship
+    * as .jsonl shards). Write the documents table as JSONL shards, read it
+    * back with an EXPLICIT schema — at 100 TB schema inference would scan
+    * the corpus a second time before the first real query — and return the
+    * rows. The oracle is the identity query on the parquet table, so the
+    * hash match proves the round trip is lossless through JSON string
+    * escaping (quotes, newlines, unicode in `text`).
+    */
+  private def q91(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
+      s"${math.abs(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+    docs.write.mode("overwrite").json(path)
+    s.read.schema(docs.schema).json(path)
+      .orderBy(col("doc_id"))
+  }
+
+  private val q91Sql =
+    "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_incremental_dedup", q63, Some(q63Sql)),
     QueryDef("q64_hash_split", q64, Some(q64Sql)),
@@ -612,5 +633,6 @@ object Curation {
     QueryDef("q73_lm_score", q73, Some(q73Sql)),
     QueryDef("q74_source_mix", q74, Some(q74Sql)),
     QueryDef("q84_weighted_resample", q84, Some(q84Sql)),
-    QueryDef("q85_dedup_verdict", q85, Some(q85Sql)))
+    QueryDef("q85_dedup_verdict", q85, Some(q85Sql)),
+    QueryDef("q91_jsonl_roundtrip", q91, Some(q91Sql)))
 }
