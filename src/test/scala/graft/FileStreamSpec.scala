@@ -43,6 +43,45 @@ class FileStreamSpec extends SparkSpec {
     }
   }
 
+  test("JSONL file stream through LSH-index dedup: the LLM ingestion pipeline shape") {
+    // the production corpus-ingestion pipeline end to end: .jsonl shards
+    // arrive in a directory (the format public text datasets ship as),
+    // stream in with an EXPLICIT schema (inference would scan twice), each
+    // micro-batch dedups against the persisted LSH band index of the
+    // existing corpus, duplicates come out flagged
+    val dir = Files.createTempDirectory("graft-jsonl-stream").toFile
+    try {
+      import spark.implicits._
+      val dup = "the quick brown fox jumps over the lazy dog"
+      val corpus = Seq((1L, dup)).toDF("doc_id", "text")
+      val lsh = graft.operators.MinHashLSH(12, 3, 1)
+      val index = lsh.bandIndex(corpus, "doc_id", "text")
+      // two arriving shards: batch 1 has a dup of doc 1 + a novel doc,
+      // batch 2 re-sends the dup (suppressed) + a token-set dup
+      Seq((10L, dup), (11L, "zebra xylophone quark nebula glyph prism vortex"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").json(dir.getAbsolutePath)
+      Seq((10L, dup), (12L, "dog lazy the over jumps fox brown quick the"))
+        .toDF("doc_id", "text").coalesce(1)
+        .write.mode("append").json(dir.getAbsolutePath)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(dir.getAbsolutePath)
+      val q = Streams.streamDedupAgainstIndex(stream, index, lsh)
+        .writeStream.format("memory").queryName("fs_jsonl_dedup")
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      val got = spark.table("fs_jsonl_dedup").as[(Long, Long)].collect().toSet
+      assert(got == Set((10L, 1L), (12L, 1L)), s"got $got")
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("checkpoint restart resumes exactly-once: no reprocessed rows in the sink") {
     // the operational contract a production pipeline leans on: kill the
     // query, add more input, restart from the SAME checkpoint — every
