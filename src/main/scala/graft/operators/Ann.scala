@@ -255,7 +255,14 @@ object Ann {
     val cents =
       if (trained) ivfCentroidsKMeans(corpus, nCells)
       else ivfCentroids(corpus, nCells)
-    spark.createDataset(cents.toIndexedSeq)
+    // normalize centroid ids to their ARRAY POSITION before persisting:
+    // the assignment table's `cell` is the position, and untrained seeds
+    // otherwise keep raw corpus ids — every index consumer would then have
+    // to know position != id (a trap that produced a real probe-by-id bug
+    // in the streaming dedup). After this, cell == centroid id everywhere.
+    val normalized = cents.zipWithIndex
+      .map { case (v, i) => Vec(i.toLong, v.embedding) }
+    spark.createDataset(normalized.toIndexedSeq)
       .write.mode("overwrite").parquet(s"$path/centroids")
     ivfAssign(corpus, cents)
       .write.mode("overwrite").parquet(s"$path/assignments")

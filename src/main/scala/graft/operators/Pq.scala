@@ -457,14 +457,17 @@ object Pq {
     model
   }
 
-  def loadIvfPqModel(spark: SparkSession, path: String): IvfPqModel = {
+  private def loadCentroids(
+      spark: SparkSession, path: String): Array[Array[Float]] = {
     import spark.implicits._
-    val pq = readPqModelWithId(spark, s"$path/pq")._1
-    val cents = spark.read.parquet(s"$path/centroids")
+    spark.read.parquet(s"$path/centroids")
       .select("cell", "centroid")
       .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
-    IvfPqModel(cents, pq)
   }
+
+  def loadIvfPqModel(spark: SparkSession, path: String): IvfPqModel =
+    IvfPqModel(loadCentroids(spark, path),
+      readPqModelWithId(spark, s"$path/pq")._1)
 
   def loadIvfPqCodes(spark: SparkSession, path: String): Dataset[IvfPqCode] = {
     import spark.implicits._
@@ -485,13 +488,7 @@ object Pq {
       queries: Seq[(Long, Array[Float])], nprobe: Int, kNN: Int): DataFrame = {
     val (pqModel, buildId) = readPqModelWithId(spark, s"$indexPath/pq")
     requireConsistentBuild(spark, s"$indexPath/codes", buildId)
-    val model = {
-      import spark.implicits._
-      val cents = spark.read.parquet(s"$indexPath/centroids")
-        .select("cell", "centroid")
-        .as[(Int, Array[Float])].collect().sortBy(_._1).map(_._2)
-      IvfPqModel(cents, pqModel)
-    }
+    val model = IvfPqModel(loadCentroids(spark, indexPath), pqModel)
     ivfPqScore(loadIvfPqCodes(spark, indexPath), model,
       ivfPqLuts(model, queries, nprobe), kNN)
   }

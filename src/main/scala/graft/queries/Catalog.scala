@@ -16,6 +16,50 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
+/** Scratch directories for queries that persist artifacts mid-query (ANN
+  * indexes, JSONL shards). Paths are pid-suffixed so two concurrent JVMs
+  * cannot race one overwrite path, and every handed-out path is deleted
+  * recursively on JVM exit so repeated driver runs do not accumulate
+  * encoded copies of the tables in /tmp. [[once]] guards per-JVM builds
+  * with an IN-MEMORY set, not a filesystem marker: a marker would let a
+  * recycled pid trust a stale directory left by a crashed run or built
+  * from an older version of the dataset.
+  */
+object Scratch {
+  private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private val issued = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  locally {
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      issued.forEach { p =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(p))
+      }))
+  }
+
+  /** Stable within one JVM for a (kind, dataset dir) pair. unsigned-hex
+    * hash, not math.abs: abs(Int.MinValue) is negative.
+    */
+  def path(kind: String, dir: String): String = {
+    val p = s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_" +
+      s"${java.lang.Integer.toUnsignedString(dir.hashCode, 16)}" +
+      s"_p${ProcessHandle.current().pid()}"
+    issued.add(p)
+    p
+  }
+
+  /** Run `build` only the first time this JVM sees `key`; a build that
+    * throws is forgotten so the next call retries instead of trusting a
+    * half-written artifact.
+    */
+  def once(key: String)(build: => Unit): Unit =
+    if (built.add(key)) {
+      try build
+      catch { case t: Throwable => built.remove(key); throw t }
+    }
+}
+
 object Catalog {
   val all: Seq[QueryDef] =
     Relational.defs ++ Analytics.defs ++ TextPipeline.defs ++ Dedup.defs ++

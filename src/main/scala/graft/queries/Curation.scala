@@ -611,8 +611,7 @@ object Curation {
     */
   private def q91(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_jsonl_" +
-      s"${math.abs(dir.hashCode)}_p${ProcessHandle.current().pid()}"
+    val path = Scratch.path("jsonl", dir)
     docs.write.mode("overwrite").json(path)
     s.read.schema(docs.schema).json(path)
       .orderBy(col("doc_id"))

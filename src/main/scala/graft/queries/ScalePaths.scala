@@ -100,27 +100,17 @@ object ScalePaths {
       .orderBy(col("q_id"), col("dist2"), col("id"))
   }
 
-  /** Per-dataset scratch path for persisted-index queries — stable within
-    * one JVM so repeated runs (Verify, bench sweeps) rebuild idempotently,
-    * but suffixed with the process id so two concurrent JVMs benching the
-    * same dataset cannot race one path (one process's overwrite deleting
-    * files mid-read of the other's search).
+  /** Per-dataset scratch path ([[Scratch.path]]: pid-isolated, deleted on
+    * JVM exit). [[Scratch.once]] makes the BENCH median measure the
+    * lifecycle claim: sweep 1 pays train+encode+write once, later sweeps
+    * time SEARCH-FROM-DISK — exactly the build-once/search-many shape a
+    * production corpus runs. The guard is in-memory, so a fresh JVM always
+    * rebuilds (no stale index can be trusted across runs); a rebuild that
+    * died between codes and model writes is additionally caught by the
+    * build_id check inside the indexed searches.
     */
   private def idxPath(kind: String, dir: String): String =
-    s"${System.getProperty("java.io.tmpdir")}/graft_${kind}_idx_" +
-      s"${math.abs(dir.hashCode)}_p${ProcessHandle.current().pid()}"
-
-  /** Build the index only if this JVM hasn't already: the meta directory is
-    * written LAST in both builders, so its _SUCCESS marker implies a
-    * complete build (a crash mid-build leaves no marker and rebuilds; a
-    * rebuild that died between codes and model is caught separately by the
-    * build_id check inside the indexed searches). This is what makes the
-    * BENCH median measure the lifecycle claim: sweep 1 pays
-    * train+encode+write once, later sweeps time SEARCH-FROM-DISK — exactly
-    * the build-once/search-many shape a production corpus runs.
-    */
-  private def ensureBuilt(metaDir: String)(build: => Unit): Unit =
-    if (!new java.io.File(s"$metaDir/_SUCCESS").exists()) build
+    Scratch.path(s"${kind}_idx", dir)
 
   /** IVF-PQ over the full embeddings table via the PERSISTED index
     * lifecycle: train+encode+write once (overwrite-idempotent), then search
@@ -135,7 +125,7 @@ object ScalePaths {
     val queries = corpus.filter(v => Seq(1L, 2L, 3L).contains(v.id)).collect()
       .sortBy(_.id).map(v => (v.id, v.embedding)).toSeq
     val path = idxPath("ivfpq", dir)
-    ensureBuilt(s"$path/pq/meta") {
+    Scratch.once(path) {
       graft.operators.Pq.buildIvfPqIndex(
         corpus.filter(v => !Seq(1L, 2L, 3L).contains(v.id)), path,
         nCells = 16, m = 8, k = 16)
@@ -155,7 +145,7 @@ object ScalePaths {
     val queries = corpus.filter(v => Seq(1L, 2L, 3L).contains(v.id)).collect()
       .sortBy(_.id).map(v => (v.id, v.embedding)).toSeq
     val path = idxPath("pq", dir)
-    ensureBuilt(s"$path/meta") {
+    Scratch.once(path) {
       graft.operators.Pq.buildPqIndex(
         corpus.filter(v => !Seq(1L, 2L, 3L).contains(v.id)), path, m = 8, k = 16)
     }

@@ -183,10 +183,11 @@ object Streams {
       .as[graft.operators.Vec].collect().sortBy(_.id)
     // (−score, cell) structs sort lexicographically: highest score first,
     // ties to the LOWER cell — the batch nearestCells rule. Two subtleties:
-    //   - the assignment table's cell is the centroid's ARRAY POSITION in
-    //     id order (Ann.ivfAssign indexes the centroid array), NOT Vec.id —
-    //     an untrained index keeps raw corpus ids there, so lit(c.id) would
-    //     silently match nothing; zipWithIndex is correct for both kinds
+    //   - the probe key is the centroid's ARRAY POSITION in id order, the
+    //     assignment table's cell convention (Ann.buildIvfIndex normalizes
+    //     persisted centroid ids to positions, but zipWithIndex keeps this
+    //     correct even for an index whose ids drifted — probing by a wrong
+    //     key would silently match nothing)
     //   - cosine's query-norm divisor is constant across cells and cannot
     //     change the per-row ranking, so score = dot * (1/|c|) with the
     //     reciprocal centroid norms precomputed here — custom expressions
