@@ -600,6 +600,69 @@ object Curation {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** The key→partition mapping shared by [[writeBucketed]] and
+    * [[upsertByKey]]: both sides MUST derive buckets identically or an
+    * upsert would rewrite the wrong partitions.
+    */
+  def bucketOf(key: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
+    pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
+
+  /** Lay a table out hash-partitioned by key bucket — the layout
+    * [[upsertByKey]] requires. `numBuckets` sizes the unit of rewrite: at
+    * 100 TB pick it so one bucket (table_size / numBuckets) is a
+    * comfortable job, e.g. 10k buckets × 10 GB.
+    */
+  def writeBucketed(
+      df: DataFrame, path: String, keyCol: String, numBuckets: Int): Unit = {
+    require(numBuckets > 0, "numBuckets must be positive")
+    df.withColumn("__bucket", bucketOf(col(keyCol), numBuckets))
+      .write.partitionBy("__bucket").mode("overwrite").parquet(path)
+  }
+
+  /** Incremental UPSERT (merge) into a [[writeBucketed]] table — the
+    * standing mutation of a living corpus (re-crawled documents, fixed
+    * labels, new arrivals) done Spark-first without a table format:
+    *
+    *   1. the update batch's buckets are computed driver-side (bounded by
+    *      numBuckets, one distinct over the BATCH);
+    *   2. only those partitions are read back — partition pruning, so the
+    *      read scales with the batch's spread, not the table;
+    *   3. existing rows whose key is in the batch drop out via a left-anti
+    *      join (the update batch broadcasts when small), the batch unions
+    *      in;
+    *   4. the merged rows are localCheckpointed (severing the plan's file
+    *      dependency on the path being overwritten — Spark refuses a scan
+    *      and overwrite of the same files in one plan), then written with
+    *      DYNAMIC partition overwrite so untouched buckets' files are not
+    *      rewritten — or even opened.
+    *
+    * Cost at 100 TB: proportional to (buckets touched × bucket size) +
+    * batch, never the table. `updates` must hold at most one row per key
+    * (checked — "last writer wins" between duplicate update rows would be
+    * nondeterministic under shuffle).
+    */
+  def upsertByKey(
+      spark: SparkSession, path: String, updates: DataFrame,
+      keyCol: String, numBuckets: Int): Unit = {
+    import spark.implicits._
+    require(numBuckets > 0, "numBuckets must be positive")
+    val dupKeys = updates.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"upsert batch has duplicate '$keyCol' values — dedupe first (merge order would be nondeterministic)")
+    val upd = updates.withColumn("__bucket", bucketOf(col(keyCol), numBuckets))
+    val affected = upd.select("__bucket").distinct().as[Int].collect().toSeq
+    val existing = spark.read.parquet(path)
+      .filter(col("__bucket").isin(affected: _*))
+    val merged = existing
+      .join(upd.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .unionByName(upd)
+      .localCheckpoint(true)
+    merged.write.partitionBy("__bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+  }
+
   /** B40 completion — JSONL (newline-delimited JSON) round trip: the
     * interchange format of LLM corpus pipelines (public text datasets ship
     * as .jsonl shards). Write the documents table as JSONL shards, read it

@@ -6,6 +6,49 @@ import org.apache.spark.sql.functions._
 class CurationSpec extends SparkSpec {
   import spark.implicits._
 
+  test("upsertByKey merges exactly and leaves untouched buckets' files alone") {
+    val t = java.nio.file.Files.createTempDirectory("graft_upsert").toString + "/t"
+    val df0 = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    Curation.writeBucketed(df0, t, "id", numBuckets = 8)
+    // file inventory per bucket dir: (path -> mtime); top-level _SUCCESS
+    // is rewritten by any write, so only bucket contents count
+    def listing(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(t))
+        .filter(f => f.getPath.contains("__bucket=") && !f.getName.startsWith("."))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = listing()
+    val updates = Seq((5L, "V5"), (17L, "V17"), (200L, "v200")).toDF("id", "v")
+    Curation.upsertByKey(spark, t, updates, "id", numBuckets = 8)
+    val got = spark.read.parquet(t).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 101, s"expected 100 + 1 new row, got ${got.size}")
+    assert(got(5L) == "V5" && got(17L) == "V17", "updated rows must win")
+    assert(got(200L) == "v200", "new key must insert")
+    assert(got(6L) == "v6" && got(99L) == "v99", "untouched rows must survive")
+    val affected = updates
+      .select(Curation.bucketOf(col("id"), 8).as("b"))
+      .distinct().as[Int].collect().toSet
+    assert(affected.size < 8, "fixture degenerate: every bucket touched")
+    val after = listing()
+    (0 until 8).filterNot(affected).foreach { b =>
+      val pre = before.filter(_._1.contains(s"__bucket=$b/"))
+      val post = after.filter(_._1.contains(s"__bucket=$b/"))
+      assert(pre == post,
+        s"untouched bucket $b was rewritten: before=$pre after=$post")
+      assert(pre.nonEmpty, s"bucket $b unexpectedly empty before upsert")
+    }
+    // duplicate keys in one batch: merge order would be nondeterministic
+    val err = intercept[IllegalArgumentException] {
+      Curation.upsertByKey(spark, t,
+        Seq((1L, "a"), (1L, "b")).toDF("id", "v"), "id", numBuckets = 8)
+    }
+    assert(err.getMessage.contains("duplicate"))
+  }
+
   test("writeSplits lays out (split, lang) partitions and pruning hits them") {
     val docs = Tables.documents(spark, sf())
     val out = java.nio.file.Files.createTempDirectory("graft_splits").toString
