@@ -49,6 +49,35 @@ class CurationSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("streaming upsert: foreachBatch maintains the bucketed table across micro-batches") {
+    // the CDC-shaped maintenance loop: a stream of corrections/arrivals
+    // applied incrementally to the bucketed corpus table — foreachBatch is
+    // the Spark-first bridge from a stream to a batch mutation (each
+    // micro-batch is a bounded DataFrame, so upsertByKey's semantics and
+    // bucket-pruning cost model apply unchanged per batch)
+    implicit val sqlCtx = spark.sqlContext
+    val t = java.nio.file.Files.createTempDirectory("graft_supsert").toString + "/t"
+    Curation.writeBucketed(
+      (0L until 50L).map(i => (i, s"v$i")).toDF("id", "v"), t, "id", 8)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "v").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Curation.upsertByKey(spark, t, batch, "id", numBuckets = 8)
+      }
+      .start()
+    try {
+      input.addData(Seq((7L, "V7"), (60L, "v60")))
+      q.processAllAvailable()
+      input.addData(Seq((7L, "V7b"), (8L, "V8")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.read.parquet(t).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 51, s"50 + 1 new, got ${got.size}")
+    assert(got(7L) == "V7b", "later micro-batch must win over earlier")
+    assert(got(60L) == "v60" && got(8L) == "V8" && got(0L) == "v0")
+  }
+
   test("writeSplits lays out (split, lang) partitions and pruning hits them") {
     val docs = Tables.documents(spark, sf())
     val out = java.nio.file.Files.createTempDirectory("graft_splits").toString
