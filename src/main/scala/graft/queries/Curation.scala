@@ -640,6 +640,12 @@ object Curation {
     * batch, never the table. `updates` must hold at most one row per key
     * (checked — "last writer wins" between duplicate update rows would be
     * nondeterministic under shuffle).
+    *
+    * Isolation caveat, stated honestly: this is SINGLE-WRITER and readers
+    * scanning mid-upsert can observe some buckets new and some old (plain
+    * parquet has no snapshot isolation — that is what table formats add on
+    * top of exactly this rewrite pattern). Serialize upserts per table;
+    * the streaming form (foreachBatch, CurationSpec) does so naturally.
     */
   def upsertByKey(
       spark: SparkSession, path: String, updates: DataFrame,

@@ -152,6 +152,24 @@ class PqSpec extends SparkSpec {
     assert(pf.contains("cell"), s"cell predicate not a partition filter: [$pf]")
   }
 
+  test("a model/codes build mismatch is rejected, not silently decoded") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_mismatch").toString
+    Pq.buildPqIndex(corpus, path, m = 8, k = 16)
+    // simulate a rebuild that died between the codes and model writes: the
+    // meta on disk now carries a build_id the codes were not encoded under
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    Seq((meta.getInt(0), meta.getInt(1), meta.getInt(2), "stale-build"))
+      .toDF("m", "k", "sub_dim", "build_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val all = corpus.collect()
+    val qs = Seq(3L).map(id => (id, all.find(_.id == id).get.embedding))
+    val err = intercept[IllegalArgumentException] {
+      Pq.adcTopKManyIndexed(spark, path, qs, kNN = 5)
+    }
+    assert(err.getMessage.contains("inconsistent"), err.getMessage)
+  }
+
   test("adc recall@10 beats the random-candidate baseline vs exact L2") {
     val all = corpus.collect()
     val queryIds = Seq(1L, 2L, 3L, 4L, 5L)
