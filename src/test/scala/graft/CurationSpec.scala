@@ -49,6 +49,32 @@ class CurationSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("upsert into a bucket directory that does not exist yet creates it") {
+    // sparse layout: 3 rows over 64 buckets leaves most bucket dirs absent;
+    // an arriving key hashing to an absent bucket must create the partition,
+    // not die on the pruned read or drop the row
+    val t = java.nio.file.Files.createTempDirectory("graft_upsert_new").toString + "/t"
+    Curation.writeBucketed(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"), t, "id", 64)
+    val present = new java.io.File(t).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket=")).length
+    // find keys whose bucket dir is absent AND one update to a present key
+    val candidates = (4L until 200L).map(i => (i, s"n$i")).toDF("id", "v")
+      .withColumn("b", Curation.bucketOf(col("id"), 64))
+    val presentBuckets = spark.read.parquet(t)
+      .select("__bucket").distinct().as[Int].collect().toSet
+    val newKey = candidates.as[(Long, String, Int)].collect()
+      .find { case (_, _, b) => !presentBuckets.contains(b) }.get
+    Curation.upsertByKey(spark, t,
+      Seq((newKey._1, newKey._2), (1L, "A")).toDF("id", "v"), "id", 64)
+    val got = spark.read.parquet(t).select("id", "v")
+      .as[(Long, String)].collect().toMap
+    assert(got.size == 4 && got(newKey._1) == newKey._2 && got(1L) == "A")
+    val after = new java.io.File(t).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("__bucket=")).length
+    assert(after == present + 1, s"new bucket dir not created: $present -> $after")
+  }
+
   test("streaming upsert: foreachBatch maintains the bucketed table across micro-batches") {
     // the CDC-shaped maintenance loop: a stream of corrections/arrivals
     // applied incrementally to the bucketed corpus table — foreachBatch is
