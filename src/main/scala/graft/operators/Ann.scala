@@ -268,6 +268,32 @@ object Ann {
       .write.mode("overwrite").parquet(s"$path/assignments")
   }
 
+  /** Append new vectors to a persisted [[buildIvfIndex]] index WITHOUT
+    * retraining: the persisted centroids ARE the quantizer, so index growth
+    * is one assignment pass over the batch plus an append write — cost
+    * scales with the batch, never the indexed corpus. This is the standard
+    * IVF lifecycle for a living corpus (new embeddings arrive continuously;
+    * the quantizer is rebuilt only when distribution drift degrades recall
+    * — until then appends land in existing cells and are immediately
+    * searchable by [[ivfTopKIndexed]] and the streaming dedup).
+    *
+    * Caller owns id uniqueness across appends (same single-writer posture
+    * as the bucketed upsert: a duplicate check here would cost a full
+    * assignments scan per batch — exactly the table-proportional work this
+    * operator exists to avoid).
+    */
+  def appendToIvfIndex(newVecs: Dataset[Vec], indexPath: String): Unit = {
+    val spark = newVecs.sparkSession
+    import spark.implicits._
+    // sortBy(id) == array-position order: buildIvfIndex normalizes centroid
+    // ids to positions before persisting, so assignment here agrees with
+    // every existing cell key
+    val cents = spark.read.parquet(s"$indexPath/centroids").as[Vec]
+      .collect().sortBy(_.id)
+    require(cents.nonEmpty, s"no centroids at $indexPath — build the index first")
+    ivfAssign(newVecs, cents).write.mode("append").parquet(s"$indexPath/assignments")
+  }
+
   /** Search against a persisted index from [[buildIvfIndex]]: loads the
     * (small, ≤nCells) centroid set to the driver and streams the
     * assignment table — the corpus itself is only touched to fetch

@@ -416,6 +416,40 @@ object Pq {
     model
   }
 
+  /** Append new vectors to a persisted [[buildPqIndex]] index: encode with
+    * the PERSISTED codebooks (no retrain — the codebooks are the index's
+    * identity; appended codes are comparable to existing ones precisely
+    * because they share them) and append the m-byte codes. Cost ∝ batch.
+    * The appended rows carry the model's build_id, so the
+    * codes-vs-model consistency check keeps holding across appends; an
+    * index left inconsistent by a died rebuild refuses the append loudly
+    * rather than growing garbage. Caller owns id uniqueness (same
+    * single-writer posture as [[appendToIvfPqIndex]] and the bucketed
+    * upsert).
+    */
+  def appendToPqIndex(newVecs: Dataset[Vec], path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val (model, buildId) = readPqModelWithId(spark, path)
+    requireConsistentBuild(spark, s"$path/codes", buildId)
+    encode(newVecs, model).withColumn("build_id", lit(buildId))
+      .write.mode("append").parquet(s"$path/codes")
+  }
+
+  /** Append to a persisted [[buildIvfPqIndex]] index: coarse-assign +
+    * residual-encode the batch with the persisted centroids and codebooks,
+    * append into the CELL PARTITIONS — only the batch's cells gain files,
+    * untouched cells are not opened, and probes keep pruning to their
+    * cells' files afterwards.
+    */
+  def appendToIvfPqIndex(newVecs: Dataset[Vec], path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val (pqModel, buildId) = readPqModelWithId(spark, s"$path/pq")
+    requireConsistentBuild(spark, s"$path/codes", buildId)
+    val model = IvfPqModel(loadCentroids(spark, path), pqModel)
+    encodeIvfPq(newVecs, model).withColumn("build_id", lit(buildId))
+      .write.partitionBy("cell").mode("append").parquet(s"$path/codes")
+  }
+
   def loadPqModel(spark: SparkSession, path: String): PqModel =
     readPqModelWithId(spark, path)._1
 

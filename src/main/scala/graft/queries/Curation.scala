@@ -669,6 +669,48 @@ object Curation {
       .mode("overwrite").parquet(path)
   }
 
+  /** Partition-pruned DELETE from a [[writeBucketed]] table — the
+    * right-to-erasure / retention-enforcement half of the living-corpus
+    * lifecycle ([[upsertByKey]] is the other). Only the keys' buckets are
+    * read and rewritten, so a deletion batch costs (buckets touched ×
+    * bucket size), never the table.
+    *
+    * The one correctness trap: DYNAMIC partition overwrite replaces only
+    * partitions PRESENT IN THE WRITTEN DATA. A bucket whose every row is
+    * deleted produces no output rows, so the overwrite would silently leave
+    * its old files — and the "deleted" keys — alive. Emptied buckets are
+    * therefore detected (affected minus surviving, a driver-side set
+    * difference bounded by numBuckets) and their directories removed
+    * explicitly. Same single-writer isolation caveat as [[upsertByKey]].
+    */
+  def deleteByKey(
+      spark: SparkSession, path: String, keys: DataFrame,
+      keyCol: String, numBuckets: Int): Unit = {
+    import spark.implicits._
+    require(numBuckets > 0, "numBuckets must be positive")
+    // duplicate keys are harmless for delete (idempotent) — dedupe locally
+    val keyed = keys.select(col(keyCol)).distinct()
+      .withColumn("__bucket", bucketOf(col(keyCol), numBuckets))
+      .localCheckpoint(true)
+    val affected = keyed.select("__bucket").distinct().as[Int].collect().toSet
+    if (affected.isEmpty) return
+    val existing = spark.read.parquet(path)
+      .filter(col("__bucket").isin(affected.toSeq: _*))
+    val remaining = existing
+      .join(keyed.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .localCheckpoint(true)
+    val surviving = remaining.select("__bucket").distinct().as[Int].collect().toSet
+    if (surviving.nonEmpty)
+      remaining.write.partitionBy("__bucket")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    (affected -- surviving).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/__bucket=$b"), true)
+    }
+  }
+
   /** B40 completion — JSONL (newline-delimited JSON) round trip: the
     * interchange format of LLM corpus pipelines (public text datasets ship
     * as .jsonl shards). Write the documents table as JSONL shards, read it
@@ -689,6 +731,79 @@ object Curation {
   private val q91Sql =
     "SELECT doc_id, text, lang, source, n_chars FROM documents ORDER BY doc_id"
 
+  /** B40 — ORC round trip, q91's sibling for Spark's second native columnar
+    * format (corpora arrive in whatever format the upstream wrote; an
+    * engine claiming source coverage must prove losslessness, not assume
+    * it). ORC is self-describing, so the read needs no explicit schema —
+    * the footer, not the data, carries it. DuckDB cannot read ORC, so as
+    * with q91 the oracle is the identity query on the parquet table: the
+    * hash match proves the documents table — unicode text included —
+    * survives the format byte-for-byte.
+    */
+  private def q92(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val path = Scratch.path("orc", dir)
+    docs.write.mode("overwrite").orc(path)
+    s.read.orc(path).orderBy(col("doc_id"))
+  }
+
+  private val q92Sql = q91Sql
+
+  /** Outlier clipping (winsorization) of document lengths per language —
+    * the curation step that keeps a handful of pathological documents from
+    * dominating length statistics and packing decisions. Bounds are the
+    * rank-based 5th/95th percentiles computed with INTEGER arithmetic
+    * (`(5n+99) div 100`, `95n div 100` on row_number ranks): interpolated
+    * percentiles put a float boundary next to integer data, where a
+    * last-ulp engine difference in the boundary flips the clipped-count —
+    * rank thresholds cannot drift. avg of the clipped (all-long) values is
+    * an exact integer sum in both engines, so even the double division is
+    * order-insensitive. One shuffle on lang for the ranking window + its
+    * aggregate (same key), bounds broadcast back onto the corpus scan.
+    */
+  private def q93(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val w = Window.partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val ranked = docs.select(col("lang"), col("n_chars"),
+      row_number().over(w).as("rn"),
+      count(lit(1)).over(Window.partitionBy(col("lang"))).as("n"))
+    val bounds = ranked
+      .groupBy(col("lang"))
+      .agg(
+        min(when(col("rn") === greatest(lit(1L), expr("(5*n + 99) DIV 100")),
+          col("n_chars"))).as("lo"),
+        min(when(col("rn") === greatest(lit(1L), expr("(95*n) DIV 100")),
+          col("n_chars"))).as("hi"))
+    docs.join(broadcast(bounds), "lang")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_chars") < col("lo") || col("n_chars") > col("hi"), 1L)
+          .otherwise(0L)).as("n_clipped"),
+        round(avg(greatest(col("lo"), least(col("hi"), col("n_chars")))), 4)
+          .as("avg_clipped"))
+      .orderBy(col("lang"))
+  }
+
+  private val q93Sql =
+    """WITH ranked AS (
+      |  SELECT lang, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY lang) AS n
+      |  FROM documents),
+      |bounds AS (
+      |  SELECT lang,
+      |    MIN(CASE WHEN rn = GREATEST(1, (5*n + 99) // 100) THEN n_chars END) AS lo,
+      |    MIN(CASE WHEN rn = GREATEST(1, (95*n) // 100) THEN n_chars END) AS hi
+      |  FROM ranked GROUP BY lang)
+      |SELECT d.lang,
+      |  COUNT(*) AS n_docs,
+      |  CAST(SUM(CASE WHEN d.n_chars < b.lo OR d.n_chars > b.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+      |  ROUND(AVG(GREATEST(b.lo, LEAST(b.hi, d.n_chars))), 4) AS avg_clipped
+      |FROM documents d JOIN bounds b USING (lang)
+      |GROUP BY d.lang
+      |ORDER BY d.lang""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_incremental_dedup", q63, Some(q63Sql)),
     QueryDef("q64_hash_split", q64, Some(q64Sql)),
@@ -702,5 +817,7 @@ object Curation {
     QueryDef("q74_source_mix", q74, Some(q74Sql)),
     QueryDef("q84_weighted_resample", q84, Some(q84Sql)),
     QueryDef("q85_dedup_verdict", q85, Some(q85Sql)),
-    QueryDef("q91_jsonl_roundtrip", q91, Some(q91Sql)))
+    QueryDef("q91_jsonl_roundtrip", q91, Some(q91Sql)),
+    QueryDef("q92_orc_roundtrip", q92, Some(q92Sql)),
+    QueryDef("q93_winsorize", q93, Some(q93Sql)))
 }

@@ -104,6 +104,45 @@ class AnnSpec extends SparkSpec {
     assert(spark.read.parquet(s"$path/centroids").count() <= 16)
   }
 
+  test("appendToIvfIndex: append == one-build index with the same centroids") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_append").toString
+    val base = corpus.filter(col("id") < 400).as[Vec]
+    val batch = corpus.filter(col("id") >= 400).as[Vec]
+    assert(base.count() > 0 && batch.count() > 0, "fixture split degenerate")
+    val appended = s"$root/appended"
+    Ann.buildIvfIndex(base, appended, nCells = 16)
+    Ann.appendToIvfIndex(batch, appended)
+    // every corpus vector must now be assigned exactly once
+    val assigned = spark.read.parquet(s"$appended/assignments")
+    assert(assigned.count() == corpus.count())
+    assert(assigned.select("id").distinct().count() == corpus.count())
+    // reference: an index whose assignments were built in ONE pass from the
+    // SAME persisted centroids (a public rebuild would retrain on the full
+    // corpus and move the quantizer — exactly what append avoids)
+    val fresh = s"$root/fresh"
+    val cents = spark.read.parquet(s"$appended/centroids").as[Vec]
+      .collect().sortBy(_.id)
+    spark.read.parquet(s"$appended/centroids")
+      .write.parquet(s"$fresh/centroids")
+    Ann.ivfAssign(corpus, cents).write.parquet(s"$fresh/assignments")
+    val qs = Seq(1L, 2L, 3L, 410L)
+    val viaAppend = Ann.ivfTopKIndexed(spark, corpus, appended, qs, k = 10, nprobe = 4)
+      .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val viaFresh = Ann.ivfTopKIndexed(spark, corpus, fresh, qs, k = 10, nprobe = 4)
+      .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    assert(viaAppend == viaFresh)
+    assert(viaAppend.nonEmpty)
+    // appended vectors are really in the searchable set: some result row
+    // returns a batch id as a neighbor (410's cell-mates include batch ids)
+    assert(viaAppend.exists { case (_, _, id) => id >= 400L },
+      "no appended vector ever surfaced as a neighbor")
+    // appending to a never-built path fails loudly
+    val err = intercept[Exception] {
+      Ann.appendToIvfIndex(batch, s"$root/absent")
+    }
+    assert(err.getMessage != null)
+  }
+
   test("ann operators leave no cached RDDs behind (round-1 leak)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Ann.lshTopK(spark, corpus, Seq(1L, 2L), k = 5).collect()

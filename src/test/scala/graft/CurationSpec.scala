@@ -104,6 +104,56 @@ class CurationSpec extends SparkSpec {
     assert(got(60L) == "v60" && got(8L) == "V8" && got(0L) == "v0")
   }
 
+  test("deleteByKey removes exactly the keys, spares untouched buckets, erases emptied ones") {
+    val t = java.nio.file.Files.createTempDirectory("graft_delete").toString + "/t"
+    val df0 = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    Curation.writeBucketed(df0, t, "id", numBuckets = 8)
+    def listing(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(t))
+        .filter(f => f.getPath.contains("__bucket=") && !f.getName.startsWith("."))
+        .map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val before = listing()
+    // victim bucket: delete EVERY key in it (the dynamic-partition-overwrite
+    // trap — zero surviving rows means the overwrite alone would leave the
+    // old files, and the deleted keys, alive) plus one key elsewhere
+    val byBucket = df0.withColumn("b", Curation.bucketOf(col("id"), 8))
+      .as[(Long, String, Int)].collect()
+      .groupBy(_._3).view.mapValues(_.map(_._1).toSet).toMap
+    val victim = byBucket.keys.min
+    val partial = byBucket.keys.max
+    assert(victim != partial, "fixture degenerate: one bucket")
+    val partialKey = byBucket(partial).head
+    val toDelete = byBucket(victim) + partialKey
+    Curation.deleteByKey(spark, t,
+      toDelete.toSeq.toDF("id"), "id", numBuckets = 8)
+    val got = spark.read.parquet(t).select("id").as[Long].collect().toSet
+    assert(got == (0L until 100L).toSet -- toDelete,
+      s"wrong survivors: missing=${(0L until 100L).toSet -- toDelete -- got} extra=${got.intersect(toDelete)}")
+    // the emptied bucket's directory must be GONE, not stale
+    assert(!new java.io.File(s"$t/__bucket=$victim").exists(),
+      s"emptied bucket $victim left stale files")
+    // untouched buckets byte-identical (same paths, same mtimes)
+    val after = listing()
+    (0 until 8).filterNot(Set(victim, partial)).foreach { b =>
+      val pre = before.filter(_._1.contains(s"__bucket=$b/"))
+      val post = after.filter(_._1.contains(s"__bucket=$b/"))
+      assert(pre == post, s"untouched bucket $b was rewritten")
+    }
+    // deleting nothing is a no-op that rewrites nothing
+    val snap = listing()
+    Curation.deleteByKey(spark, t,
+      Seq.empty[Long].toDF("id"), "id", numBuckets = 8)
+    assert(listing() == snap, "empty delete batch rewrote files")
+    // delete is idempotent: repeating the same batch changes nothing
+    Curation.deleteByKey(spark, t,
+      toDelete.toSeq.toDF("id"), "id", numBuckets = 8)
+    assert(spark.read.parquet(t).count() == (100 - toDelete.size).toLong)
+  }
+
   test("writeSplits lays out (split, lang) partitions and pruning hits them") {
     val docs = Tables.documents(spark, sf())
     val out = java.nio.file.Files.createTempDirectory("graft_splits").toString

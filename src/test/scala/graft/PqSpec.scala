@@ -152,6 +152,65 @@ class PqSpec extends SparkSpec {
     assert(pf.contains("cell"), s"cell predicate not a partition filter: [$pf]")
   }
 
+  test("appendToPqIndex: appended codes == full-corpus encode under the persisted model") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_append").toString
+    val base = corpus.filter(col("id") < 400).as[Vec]
+    val batch = corpus.filter(col("id") >= 400).as[Vec]
+    assert(base.count() > 0 && batch.count() > 0, "fixture split degenerate")
+    val built = Pq.buildPqIndex(base, path, m = 8, k = 16)
+    Pq.appendToPqIndex(batch, path)
+    // codes on disk must equal encoding the WHOLE corpus with the model the
+    // index persisted (the append must not have retrained)
+    val got = Pq.loadPqCodes(spark, path).collect()
+      .map(c => (c.id, c.code.toSeq)).sortBy(_._1).toSeq
+    val expected = Pq.encode(corpus, built).collect()
+      .map(c => (c.id, c.code.toSeq)).sortBy(_._1).toSeq
+    assert(got == expected)
+    // search sees the appended vectors
+    val all = corpus.collect()
+    val qs = Seq(410L).map(id => (id, all.find(_.id == id).get.embedding))
+    val top = Pq.adcTopKManyIndexed(spark, path, qs, kNN = 5)
+      .select("id").as[Long].collect().toSeq
+    assert(top.contains(410L), s"appended vector not retrievable: $top")
+  }
+
+  test("appendToIvfPqIndex: cell partitions grow in place; search == full-corpus encode") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_append").toString
+    val base = corpus.filter(col("id") < 400).as[Vec]
+    val batch = corpus.filter(col("id") >= 400).as[Vec]
+    val built = Pq.buildIvfPqIndex(base, path, nCells = 16, m = 8, k = 16)
+    Pq.appendToIvfPqIndex(batch, path)
+    val got = Pq.loadIvfPqCodes(spark, path).collect()
+      .map(c => (c.id, c.cell, c.code.toSeq)).sortBy(_._1).toSeq
+    val expected = Pq.encodeIvfPq(corpus, built).collect()
+      .map(c => (c.id, c.cell, c.code.toSeq)).sortBy(_._1).toSeq
+    assert(got == expected)
+    val all = corpus.collect()
+    val qs = Seq(3L, 410L).map(id => (id, all.find(_.id == id).get.embedding))
+    val fromDisk = Pq.ivfPqTopKManyIndexed(spark, path, qs, nprobe = 6, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val inline = Pq.ivfPqTopKMany(Pq.encodeIvfPq(corpus, built), built, qs,
+        nprobe = 6, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(fromDisk == inline)
+  }
+
+  test("append to an inconsistent index is refused, not encoded against the wrong codebooks") {
+    import spark.implicits._
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_append_bad").toString
+    Pq.buildPqIndex(corpus, path, m = 8, k = 16)
+    val meta = spark.read.parquet(s"$path/meta").collect().head
+    Seq((meta.getInt(0), meta.getInt(1), meta.getInt(2), "stale-build"))
+      .toDF("m", "k", "sub_dim", "build_id")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    val err = intercept[IllegalArgumentException] {
+      Pq.appendToPqIndex(corpus.filter(col("id") < 5).as[Vec], path)
+    }
+    assert(err.getMessage.contains("inconsistent"), err.getMessage)
+  }
+
   test("a model/codes build mismatch is rejected, not silently decoded") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_pq_mismatch").toString
