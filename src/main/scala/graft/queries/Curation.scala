@@ -669,6 +669,49 @@ object Curation {
       .mode("overwrite").parquet(path)
   }
 
+  /** Compact a [[writeBucketed]] table's fragmented buckets. Every
+    * [[upsertByKey]]/[[deleteByKey]] leaves a fresh set of files in each
+    * touched bucket; after thousands of batches a hot bucket is thousands
+    * of small files and open/footer overhead dominates its scans. This
+    * reads ONLY buckets whose data-file count exceeds `maxFilesPerBucket`
+    * (a driver-side directory listing, no data read), rewrites each as a
+    * single file, and leaves every other bucket untouched — content is
+    * unchanged, so readers are unaffected apart from the same
+    * single-writer caveat as upsert/delete. Returns the compacted bucket
+    * ids (empty = nothing exceeded the threshold, nothing was written).
+    *
+    * The repartition hashes on `__bucket` into one partition per oversized
+    * bucket, so each bucket's rows land whole in one task and the dynamic
+    * overwrite emits exactly one file per bucket (a hash collision between
+    * two bucket values just co-locates them in a task — partitionBy still
+    * splits the output by value).
+    */
+  def compactBuckets(
+      spark: SparkSession, path: String,
+      maxFilesPerBucket: Int = 8): Seq[Int] = {
+    require(maxFilesPerBucket > 0, "maxFilesPerBucket must be positive")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oversized = fs.listStatus(root).toSeq
+      .filter(d => d.isDirectory && d.getPath.getName.startsWith("__bucket="))
+      .filter { d =>
+        fs.listStatus(d.getPath).count { f =>
+          val n = f.getPath.getName
+          f.isFile && !n.startsWith(".") && !n.startsWith("_")
+        } > maxFilesPerBucket
+      }
+      .map(_.getPath.getName.stripPrefix("__bucket=").toInt)
+    if (oversized.isEmpty) return Seq.empty
+    val rows = spark.read.parquet(path)
+      .filter(col("__bucket").isin(oversized: _*))
+      .localCheckpoint(true)
+    rows.repartition(oversized.size, col("__bucket"))
+      .write.partitionBy("__bucket")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite").parquet(path)
+    oversized.sorted
+  }
+
   /** Partition-pruned DELETE from a [[writeBucketed]] table — the
     * right-to-erasure / retention-enforcement half of the living-corpus
     * lifecycle ([[upsertByKey]] is the other). Only the keys' buckets are
@@ -804,6 +847,33 @@ object Curation {
       |GROUP BY d.lang
       |ORDER BY d.lang""".stripMargin
 
+  /** Content checksum per source — the integrity fingerprint a 100 TB
+    * pipeline runs after every copy, migration, or engine swap ("does the
+    * replica hold exactly the rows the primary does?"). Per-row h60 over
+    * the concatenated fields, XOR-aggregated per group: XOR is
+    * commutative, associative, and self-inverse, so the aggregate is
+    * order- and partition-insensitive (no float-summation caveat),
+    * mergeable map-side, and detects any single-row difference. Verifying
+    * a replica costs one scan plus a |sources|-row exchange; comparing two
+    * tables costs comparing two tiny results.
+    */
+  private def q94(s: SparkSession, dir: String): DataFrame = {
+    val content = concat_ws("|",
+      col("doc_id"), col("lang"), col("n_chars"), col("text"))
+    Tables.documents(s, dir)
+      .select(col("source"), TextHash.h60(content).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), expr("bit_xor(h)").as("checksum"))
+      .orderBy(col("source"))
+  }
+
+  private val q94Sql =
+    """SELECT source, COUNT(*) AS n_docs,
+      |  bit_xor(('0x' || substr(md5(concat_ws('|', doc_id, lang, n_chars, text)), 1, 15))::BIGINT) AS checksum
+      |FROM documents
+      |GROUP BY source
+      |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_incremental_dedup", q63, Some(q63Sql)),
     QueryDef("q64_hash_split", q64, Some(q64Sql)),
@@ -819,5 +889,6 @@ object Curation {
     QueryDef("q85_dedup_verdict", q85, Some(q85Sql)),
     QueryDef("q91_jsonl_roundtrip", q91, Some(q91Sql)),
     QueryDef("q92_orc_roundtrip", q92, Some(q92Sql)),
-    QueryDef("q93_winsorize", q93, Some(q93Sql)))
+    QueryDef("q93_winsorize", q93, Some(q93Sql)),
+    QueryDef("q94_source_checksum", q94, Some(q94Sql)))
 }

@@ -143,6 +143,45 @@ class AnnSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("streaming ingestion: foreachBatch appends micro-batches to the persisted IVF index") {
+    // the embedding twin of the streaming upsert: vectors arrive as a
+    // stream, each micro-batch is assigned under the persisted quantizer
+    // and appended — the index grows continuously without a rebuild, and
+    // batch searches see the streamed vectors immediately after
+    implicit val sqlCtx = spark.sqlContext
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_stream").toString + "/idx"
+    val base = corpus.filter(col("id") < 400).as[Vec]
+    Ann.buildIvfIndex(base, path, nCells = 16)
+    val baseCount = base.count()
+    val arrivals = corpus.filter(col("id") >= 400).as[Vec].collect()
+      .sortBy(_.id).take(20)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Ann.appendToIvfIndex(batch.as[Vec], path)
+      }
+      .start()
+    try {
+      input.addData(arrivals.take(10).map(v => (v.id, v.embedding)).toSeq)
+      q.processAllAvailable()
+      input.addData(arrivals.drop(10).map(v => (v.id, v.embedding)).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val assigned = spark.read.parquet(s"$path/assignments")
+    assert(assigned.count() == baseCount + 20)
+    // streamed ids are assigned to valid cells and searchable
+    val streamedCells = assigned
+      .filter(col("id").isin(arrivals.map(_.id).toSeq: _*))
+      .select("cell").as[Int].collect()
+    assert(streamedCells.length == 20)
+    assert(streamedCells.forall(c => c >= 0 && c < 16))
+    val hits = Ann.ivfTopKIndexed(spark, corpus, path,
+        Seq(arrivals.head.id), k = 5, nprobe = 4)
+      .select("id").as[Long].collect()
+    assert(hits.nonEmpty, "streamed vector's neighborhood is empty")
+  }
+
   test("ann operators leave no cached RDDs behind (round-1 leak)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Ann.lshTopK(spark, corpus, Seq(1L, 2L), k = 5).collect()

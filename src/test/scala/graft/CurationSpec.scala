@@ -154,6 +154,49 @@ class CurationSpec extends SparkSpec {
     assert(spark.read.parquet(t).count() == (100 - toDelete.size).toLong)
   }
 
+  test("compactBuckets rewrites only fragmented buckets, down to one file each") {
+    val t = java.nio.file.Files.createTempDirectory("graft_compactb").toString + "/t"
+    val df0 = (0L until 100L).map(i => (i, s"v$i")).toDF("id", "v")
+    // one file per bucket to start
+    Curation.writeBucketed(df0.coalesce(1), t, "id", numBuckets = 4)
+    def dataFiles(b: Int): Seq[String] =
+      Option(new java.io.File(s"$t/__bucket=$b").listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+        .map(_.getPath)
+    // fragment ONE bucket the way production does: small appends, one file
+    // each (new keys that hash into it, per the engine's own bucketOf)
+    val hot = df0.select(Curation.bucketOf(col("id"), 4).as("b"))
+      .as[Int].head()
+    val extraKeys = (1000L until 1300L).map(i => (i, s"x$i")).toDF("id", "v")
+      .withColumn("b", Curation.bucketOf(col("id"), 4))
+      .as[(Long, String, Int)].collect().filter(_._3 == hot).take(10)
+    assert(extraKeys.length == 10, "fixture degenerate: not enough keys for hot bucket")
+    extraKeys.foreach { case (id, v, _) =>
+      Seq((id, v)).toDF("id", "v")
+        .withColumn("__bucket", Curation.bucketOf(col("id"), 4))
+        .coalesce(1)
+        .write.partitionBy("__bucket").mode("append").parquet(t)
+    }
+    assert(dataFiles(hot).size == 11, s"hot bucket has ${dataFiles(hot).size} files")
+    val contentBefore = spark.read.parquet(t).select("id", "v")
+      .as[(Long, String)].collect().toSet
+    def listing(b: Int): Map[String, Long] =
+      dataFiles(b).map(p => p -> new java.io.File(p).lastModified()).toMap
+    val coldBefore = (0 until 4).filterNot(_ == hot).map(b => b -> listing(b))
+    val compacted = Curation.compactBuckets(spark, t, maxFilesPerBucket = 8)
+    assert(compacted == Seq(hot), s"compacted $compacted, expected only $hot")
+    assert(dataFiles(hot).size == 1, s"hot bucket still ${dataFiles(hot).size} files")
+    assert(spark.read.parquet(t).select("id", "v")
+      .as[(Long, String)].collect().toSet == contentBefore, "compaction changed content")
+    coldBefore.foreach { case (b, pre) =>
+      assert(listing(b) == pre, s"cold bucket $b was rewritten")
+    }
+    // nothing oversized anymore: no-op, no writes
+    val snap = (0 until 4).map(listing)
+    assert(Curation.compactBuckets(spark, t, maxFilesPerBucket = 8).isEmpty)
+    assert((0 until 4).map(listing) == snap, "no-op compaction rewrote files")
+  }
+
   test("writeSplits lays out (split, lang) partitions and pruning hits them") {
     val docs = Tables.documents(spark, sf())
     val out = java.nio.file.Files.createTempDirectory("graft_splits").toString
