@@ -88,4 +88,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("q93: winsorize bounds broadcast back onto the corpus; no sort-merge") {
+    val p = finalPlan("q93_winsorize")
+    // the per-lang bounds frame is tiny by construction (one row per lang)
+    // — joining it back must broadcast, not shuffle the corpus side
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q94: checksum aggregates map-side before its one exchange") {
+    val p = finalPlan("q94_source_checksum")
+    // partial+final pair: XOR partials combine map-side, so the exchange
+    // carries |sources| rows per task, not the corpus
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
