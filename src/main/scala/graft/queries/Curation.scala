@@ -669,6 +669,52 @@ object Curation {
       .mode("overwrite").parquet(path)
   }
 
+  /** Per-(source, lang) corpus statistics — doc counts, char volume, and
+    * the q94-style XOR content checksum — chosen to be MERGEABLE: sums,
+    * counts, and XORs combine associatively, which is what makes
+    * [[mergeDocStats]]' incremental maintenance exact.
+    */
+  def docStats(docs: DataFrame): DataFrame =
+    docs.select(col("source"), col("lang"), col("n_chars"),
+        TextHash.h60(concat_ws("|",
+          col("doc_id"), col("lang"), col("n_chars"), col("text"))).as("h"))
+      .groupBy(col("source"), col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        expr("bit_xor(h)").as("checksum"))
+
+  /** Incrementally maintained statistics table — materialized-view
+    * maintenance for the always-on corpus dashboard ("how many docs per
+    * source/lang, how big, what's the content fingerprint"). Each arriving
+    * batch costs one scan of the BATCH plus a |groups|-sized merge — the
+    * corpus is never rescanned. Because every column of [[docStats]] is
+    * mergeable, the maintained table equals a from-scratch recompute after
+    * ANY sequence of batches (spec-proven), and the checksum column makes
+    * the stats table double as a replica-verification manifest.
+    *
+    * The single-file write is deliberate: the frame is bounded by
+    * |sources| × |langs| (group cardinality, not corpus size), and a stats
+    * table wants to be one cheap read. Single-writer, like the other
+    * living-table mutations.
+    */
+  def mergeDocStats(
+      spark: SparkSession, statsPath: String, batch: DataFrame): Unit = {
+    val b = docStats(batch)
+    val p = new org.apache.hadoop.fs.Path(statsPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val merged =
+      if (!fs.exists(p)) b
+      else spark.read.parquet(statsPath).unionByName(b)
+        .groupBy(col("source"), col("lang"))
+        .agg(
+          sum(col("n_docs")).as("n_docs"),
+          sum(col("sum_chars")).as("sum_chars"),
+          expr("bit_xor(checksum)").as("checksum"))
+    merged.localCheckpoint(true)
+      .coalesce(1).write.mode("overwrite").parquet(statsPath)
+  }
+
   /** Compact a [[writeBucketed]] table's fragmented buckets. Every
     * [[upsertByKey]]/[[deleteByKey]] leaves a fresh set of files in each
     * touched bucket; after thousands of batches a hot bucket is thousands

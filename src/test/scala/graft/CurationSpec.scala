@@ -197,6 +197,33 @@ class CurationSpec extends SparkSpec {
     assert((0 until 4).map(listing) == snap, "no-op compaction rewrote files")
   }
 
+  test("mergeDocStats: incrementally maintained stats == from-scratch recompute") {
+    val docs = Tables.documents(spark, sf()).cache()
+    val statsPath = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/stats"
+    // three uneven batches, applied in sequence (first one creates the table)
+    Seq(
+      docs.filter(col("doc_id") % 7 === 0),
+      docs.filter(col("doc_id") % 7 === 1),
+      docs.filter(!(col("doc_id") % 7).isin(0, 1))
+    ).foreach(b => Curation.mergeDocStats(spark, statsPath, b))
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val maintained = spark.read.parquet(statsPath)
+      .select("source", "lang", "n_docs", "sum_chars", "checksum")
+      .collect().map(key).toSet
+    val full = Curation.docStats(docs)
+      .select("source", "lang", "n_docs", "sum_chars", "checksum")
+      .collect().map(key).toSet
+    assert(maintained == full,
+      s"maintained != recompute: only-maintained=${maintained -- full} only-full=${full -- maintained}")
+    assert(full.nonEmpty)
+    // the stats table stays one file regardless of batch count
+    val files = Option(new java.io.File(statsPath).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files.size == 1, s"stats table fragmented: ${files.size} files")
+    docs.unpersist()
+  }
+
   test("writeSplits lays out (split, lang) partitions and pruning hits them") {
     val docs = Tables.documents(spark, sf())
     val out = java.nio.file.Files.createTempDirectory("graft_splits").toString
