@@ -199,6 +199,105 @@ object Multimodal {
       col("media.meta").as("meta")).as[MediaRow]
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of a decodable
+    * image: decode → 8×8 box-averaged luma grid → threshold each cell at
+    * the grid mean. Box pooling is done by hand (NOT
+    * `Image.getScaledInstance`, whose filtering is implementation-defined)
+    * so the hash is bit-deterministic across JVMs. Hamming distance between
+    * hashes approximates visual difference; ≤3 of 64 bits is a robust
+    * near-duplicate signal for re-encoded/lightly-edited copies.
+    *
+    * Honest limitation (inherent to threshold hashes): images with a
+    * near-uniform luma field hash toward all-zeros regardless of their
+    * absolute brightness, so flat white and flat black collide. Production
+    * stacks layer a DCT hash on top for those; the banding/scale shape
+    * below is unchanged by the choice of per-image hash.
+    */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "bytes are not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val cells = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val x0 = gx * w / 8
+        val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
+        val y0 = gy * h / 8
+        val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        var sum = 0.0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += 0.299 * ((rgb >> 16) & 0xff) +
+              0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        cells(gy * 8 + gx) = sum / ((x1 - x0).toLong * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = cells.sum / 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-image perceptual hashes, batched per partition like [[decode]]
+    * (the codec/decode cost is the expensive part; the 8×8 pooling is
+    * noise). Returns (doc_id, ahash).
+    */
+  def imageHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => (m.doc_id, aHash64(m.bytes))))
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Image near-duplicate pairs by banded perceptual hash — the multimodal
+    * twin of the SimHash text path, with the same 100 TB shape: the 64-bit
+    * hash splits into four 16-bit bands, candidates are (band, key)
+    * EQUI-JOIN collisions (two images with Hamming ≤ 3 agree on ≥1 whole
+    * band by pigeonhole — the candidate set is complete for the default
+    * threshold), and only candidates pay the exact `bit_count(xor)` check.
+    * No all-pairs comparison exists at any scale.
+    */
+  def imageNearDupPairs(
+      media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "4 bands over 64 bits are only pigeonhole-complete for Hamming <= 3; " +
+        "raise the band count to raise the threshold")
+    val hashes = imageHashes(media)
+    val banded = hashes.select(
+      col("doc_id"), col("ahash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("ahash"), 16 * b)
+            .bitwiseAND(lit(0xffffL)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("doc_id"), col("ahash"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val right = banded
+      .select(col("band"), col("key"),
+        col("doc_id").as("doc_id_b"), col("ahash").as("ahash_b"))
+    banded.join(right, Seq("band", "key"))
+      .filter(col("doc_id") < col("doc_id_b"))
+      .select(col("doc_id").as("doc_id_a"), col("doc_id_b"),
+        expr("bit_count(ahash ^ ahash_b)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** "Resize": emit target dims + scale factors (stub math, real plumbing). */
   def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int): DataFrame =
     decoded.toDF().select(

@@ -150,6 +150,56 @@ class MultimodalSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("not a decodable image")))
   }
 
+  test("aHash: near-identical images collide, distinct images diverge, banding finds the pair") {
+    // deterministic structured images: a gradient with block patterns
+    def patterned(seed: Int, perturb: Int): Array[Byte] = {
+      val w = 64; val h = 64
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rnd = new java.util.Random(seed)
+      // 8x8 blocks of random brightness — structure at exactly the hash's
+      // cell granularity, so distinct seeds give far-apart hashes
+      val blocks = Array.fill(8, 8)(rnd.nextInt(256))
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = blocks(y / 8)(x / 8)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      // a light edit: flip a few scattered pixels (re-encode artifacts)
+      val prnd = new java.util.Random(999)
+      (0 until perturb).foreach { _ =>
+        val x = prnd.nextInt(w); val y = prnd.nextInt(h)
+        img.setRGB(x, y, 0xffffff)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val base = patterned(1, 0)
+    val nearDup = patterned(1, 12) // same image, 12 of 4096 pixels edited
+    val distinct = patterned(2, 0)
+    // determinism: identical bytes, identical hash
+    assert(Multimodal.aHash64(base) == Multimodal.aHash64(patterned(1, 0)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(Multimodal.aHash64(base), Multimodal.aHash64(nearDup)) <= 3,
+      s"light edit moved the hash ${ham(Multimodal.aHash64(base), Multimodal.aHash64(nearDup))} bits")
+    assert(ham(Multimodal.aHash64(base), Multimodal.aHash64(distinct)) > 10,
+      s"distinct images only ${ham(Multimodal.aHash64(base), Multimodal.aHash64(distinct))} bits apart")
+    // the banded pair join flags exactly the near-dup pair
+    import graft.multimodal.MediaRow
+    val rows = Seq(
+      MediaRow(1L, "mem://a.png", base, Map.empty),
+      MediaRow(2L, "mem://b.png", nearDup, Map.empty),
+      MediaRow(3L, "mem://c.png", distinct, Map.empty)).toDS()
+    val pairs = Multimodal.imageNearDupPairs(rows, maxHamming = 3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+    // thresholds past the banding's pigeonhole guarantee are refused
+    val err = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDupPairs(rows, maxHamming = 9)
+    }
+    assert(err.getMessage.contains("pigeonhole"))
+  }
+
   test("resize plan caps the longest side") {
     val decoded = Multimodal.decode(Multimodal.toMediaRows(Multimodal.mediaFromDocuments(docs)))
     val plan = Multimodal.resizePlan(decoded, maxSide = 64).collect()
