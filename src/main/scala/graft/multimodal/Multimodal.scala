@@ -264,39 +264,106 @@ object Multimodal {
       .toDF("doc_id", "ahash")
   }
 
-  /** Image near-duplicate pairs by banded perceptual hash — the multimodal
-    * twin of the SimHash text path, with the same 100 TB shape: the 64-bit
-    * hash splits into four 16-bit bands, candidates are (band, key)
-    * EQUI-JOIN collisions (two images with Hamming ≤ 3 agree on ≥1 whole
-    * band by pigeonhole — the candidate set is complete for the default
-    * threshold), and only candidates pay the exact `bit_count(xor)` check.
-    * No all-pairs comparison exists at any scale.
+  /** Shared 64-bit-fingerprint banded pairing — the SimHash/MinHash scale
+    * scaffold ([[graft.operators.BandedSelfJoin]]) applied to media
+    * fingerprints: four 16-bit bands, candidates by (band, key) equi-join
+    * (pigeonhole-complete for Hamming ≤ 3 — two hashes that disagree on ≤3
+    * bits agree on ≥1 whole band), exact `bit_count(xor)` on candidates
+    * only, and the mega-bucket cap bounds the degenerate buckets that flat
+    * images / near-silent audio hash into. No all-pairs comparison exists
+    * at any scale.
     */
-  def imageNearDupPairs(
-      media: Dataset[MediaRow], maxHamming: Int = 3): DataFrame = {
+  private def bandedFpPairs(
+      hashes: DataFrame, fpCol: String,
+      maxHamming: Int, maxBucket: Int): DataFrame = {
     require(maxHamming < 4,
       "4 bands over 64 bits are only pigeonhole-complete for Hamming <= 3; " +
         "raise the band count to raise the threshold")
-    val hashes = imageHashes(media)
-    val banded = hashes.select(
-      col("doc_id"), col("ahash"),
+    val keyed = hashes.select(
+      col("doc_id").as("id"), col(fpCol),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
-          shiftrightunsigned(col("ahash"), 16 * b)
+          shiftrightunsigned(col(fpCol), 16 * b)
             .bitwiseAND(lit(0xffffL)).as("key"))
       }: _*)).as("bk"))
-      .select(col("doc_id"), col("ahash"),
+      .select(col("id"), col(fpCol),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    val right = banded
-      .select(col("band"), col("key"),
-        col("doc_id").as("doc_id_b"), col("ahash").as("ahash_b"))
-    banded.join(right, Seq("band", "key"))
-      .filter(col("doc_id") < col("doc_id_b"))
-      .select(col("doc_id").as("doc_id_a"), col("doc_id_b"),
-        expr("bit_count(ahash ^ ahash_b)").as("hamming"))
+    graft.operators.BandedSelfJoin.pairs(keyed, maxBucket)
+      .select(col(s"a.id").as("doc_id_a"), col(s"b.id").as("doc_id_b"),
+        bit_count(col(s"a.$fpCol").bitwiseXOR(col(s"b.$fpCol"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Image near-duplicate pairs by banded perceptual hash — the multimodal
+    * twin of the SimHash text path (see [[bandedFpPairs]] for the shape).
+    */
+  def imageNearDupPairs(
+      media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    bandedFpPairs(imageHashes(media), "ahash", maxHamming, maxBucket)
+
+  /** 64-bit audio energy-envelope fingerprint — [[aHash64]]'s audio twin:
+    * decode PCM16 (same JDK javax.sound path as [[WavCodec]]), split the
+    * sample stream into 64 equal time windows, mean |amplitude| per window,
+    * threshold each at the global window mean. Invariant to sample-rate
+    * metadata and robust to small edits/noise; sensitive to the loudness
+    * envelope, which is what near-duplicate re-encodes preserve. Same
+    * honest limitation as flat images: near-silence (or any constant
+    * envelope, e.g. an unmodulated pure tone) hashes toward all-zeros and
+    * collides; the mega-bucket cap in the pairing bounds the blast radius.
+    */
+  def audioFp64(bytes: Array[Byte]): Long = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val fmt = ais.getFormat
+      require(fmt.getEncoding ==
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16,
+        s"only signed PCM16 supported, got $fmt")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      require(n >= 1, "empty audio data")
+      val bb = java.nio.ByteBuffer.wrap(data).order(
+        if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+        else java.nio.ByteOrder.LITTLE_ENDIAN)
+      val cells = new Array[Double](64)
+      var i = 0
+      while (i < 64) {
+        val s0 = (i.toLong * n / 64).toInt
+        val s1 = math.max(s0 + 1, ((i + 1).toLong * n / 64).toInt)
+        var sum = 0L
+        var s = s0
+        while (s < s1) { sum += math.abs(bb.getShort(s * 2).toLong); s += 1 }
+        cells(i) = sum.toDouble / (s1 - s0)
+        i += 1
+      }
+      val mean = cells.sum / 64
+      var hash = 0L
+      i = 0
+      while (i < 64) {
+        if (cells(i) > mean) hash |= (1L << i)
+        i += 1
+      }
+      hash
+    } finally ais.close()
+  }
+
+  /** Per-clip audio fingerprints, batched per partition. (doc_id, afp). */
+  def audioHashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map(m => (m.doc_id, audioFp64(m.bytes))))
+      .toDF("doc_id", "afp")
+  }
+
+  /** Audio near-duplicate pairs by banded envelope fingerprint — same
+    * (band, key) equi-join scale shape as [[imageNearDupPairs]].
+    */
+  def audioNearDupPairs(
+      media: Dataset[MediaRow], maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    bandedFpPairs(audioHashes(media), "afp", maxHamming, maxBucket)
 
   /** "Resize": emit target dims + scale factors (stub math, real plumbing). */
   def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int): DataFrame =

@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   * pass, and nothing is cached (nothing to leak). `maxBucket <= 0` disables
   * the cap.
   */
-private[operators] object BandedSelfJoin {
+private[graft] object BandedSelfJoin {
   def pairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
     val bounded =
       if (maxBucket <= 0) keyed

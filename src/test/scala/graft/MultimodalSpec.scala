@@ -200,6 +200,50 @@ class MultimodalSpec extends SparkSpec {
     assert(err.getMessage.contains("pigeonhole"))
   }
 
+  test("audioFp64: re-encode-light edits collide, different envelopes diverge, banding pairs them") {
+    import graft.multimodal.MediaRow
+    // PCM16 mono WAV whose loudness envelope is a 64-block random pattern —
+    // structure at exactly the fingerprint's window granularity
+    def wavEnv(seed: Int, zeroed: Int): Array[Byte] = {
+      val n = 6400 // 64 windows x 100 samples
+      val rnd = new java.util.Random(seed)
+      val env = Array.fill(64)(rnd.nextInt(8000) + 200)
+      val samples = Array.tabulate(n) { s =>
+        val amp = env(s / 100)
+        (if (s % 2 == 0) amp else -amp).toShort
+      }
+      val prnd = new java.util.Random(777)
+      (0 until zeroed).foreach(_ => samples(prnd.nextInt(n)) = 0)
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(1).putInt(8000).putInt(16000)
+        .putShort(2).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort(_))
+      bb.array()
+    }
+    val base = wavEnv(1, 0)
+    val nearDup = wavEnv(1, 20) // 20 of 6400 samples dropped out
+    val distinct = wavEnv(2, 0)
+    assert(Multimodal.audioFp64(base) == Multimodal.audioFp64(wavEnv(1, 0)))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(Multimodal.audioFp64(base), Multimodal.audioFp64(nearDup)) <= 3,
+      s"light edit moved the fp ${ham(Multimodal.audioFp64(base), Multimodal.audioFp64(nearDup))} bits")
+    assert(ham(Multimodal.audioFp64(base), Multimodal.audioFp64(distinct)) > 10,
+      s"distinct envelopes only ${ham(Multimodal.audioFp64(base), Multimodal.audioFp64(distinct))} bits apart")
+    val rows = Seq(
+      MediaRow(1L, "mem://a.wav", base, Map.empty),
+      MediaRow(2L, "mem://b.wav", nearDup, Map.empty),
+      MediaRow(3L, "mem://c.wav", distinct, Map.empty)).toDS()
+    val pairs = Multimodal.audioNearDupPairs(rows, maxHamming = 3)
+      .select("doc_id_a", "doc_id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
   test("resize plan caps the longest side") {
     val decoded = Multimodal.decode(Multimodal.toMediaRows(Multimodal.mediaFromDocuments(docs)))
     val plan = Multimodal.resizePlan(decoded, maxSide = 64).collect()
