@@ -107,6 +107,44 @@ object Multimodal {
     }
   }
 
+  /** Real MULTI-FRAME codec on JDK ImageIO's animated-GIF reader — the
+    * closest this container gets to video: n_frames is the actual frame
+    * count (`getNumImages(true)` forces a full directory scan), dims and
+    * mean come from frame 0. Feeding [[sampleFrames]] real frame counts is
+    * the point: the video path (decode → frame-sample → per-frame work) is
+    * then exercised end to end on a real container format, not the stub's
+    * pretend header.
+    */
+  object GifCodec extends MediaCodec {
+    def openPartition(): Array[Byte] => (Int, Int, Int, Double) = { bytes =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, "bytes are not a decodable image container")
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(true)
+        require(nFrames >= 1, "container holds no frames")
+        val img = reader.read(0)
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        (w, h, nFrames, sum.toDouble / (w.toLong * h * 3))
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
   /** Real audio codec on JDK javax.sound (same zero-dependency standing as
     * [[ImageIoCodec]]'s javax.imageio — and, unlike a hand-rolled RIFF
     * parser, the chunk walking, bounds checking, and WAVE_FORMAT_EXTENSIBLE

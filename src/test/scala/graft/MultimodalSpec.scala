@@ -244,6 +244,43 @@ class MultimodalSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("GifCodec reads real multi-frame containers; frame sampling runs on true counts") {
+    import graft.multimodal.MediaRow
+    def gif(frames: Int, shade: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = (shade + f * 16) % 256
+        for (y <- 0 until 16; x <- 0 until 16)
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "mem://a.gif", gif(5, 10), Map("format" -> "gif")),
+      MediaRow(2L, "mem://b.gif", gif(1, 40), Map("format" -> "gif")),
+      MediaRow(3L, "mem://c.gif", gif(8, 70), Map("format" -> "gif"))).toDS()
+    val decoded = Multimodal.decode(rows, Multimodal.GifCodec)
+    val byId = decoded.collect().map(d => d.doc_id -> d).toMap
+    assert(byId(1L).n_frames == 5 && byId(2L).n_frames == 1 && byId(3L).n_frames == 8)
+    assert(byId(1L).width == 16 && byId(1L).height == 16)
+    // frame-0 mean: GIF palettizes, so allow quantization slack
+    assert(math.abs(byId(2L).mean_byte - 40.0) < 8.0, s"${byId(2L).mean_byte}")
+    // sampling stride 3 over the REAL frame counts
+    val sampled = Multimodal.sampleFrames(decoded, stride = 3)
+      .as[(Long, Int)].collect().groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(sampled(1L) == Seq(0, 3) && sampled(2L) == Seq(0) &&
+      sampled(3L) == Seq(0, 3, 6), s"$sampled")
+  }
+
   test("resize plan caps the longest side") {
     val decoded = Multimodal.decode(Multimodal.toMediaRows(Multimodal.mediaFromDocuments(docs)))
     val plan = Multimodal.resizePlan(decoded, maxSide = 64).collect()
