@@ -61,10 +61,17 @@ object Scratch {
 }
 
 object Catalog {
-  val all: Seq[QueryDef] =
-    Relational.defs ++ Analytics.defs ++ TextPipeline.defs ++ Dedup.defs ++
-      StreamParity.defs ++ Media.defs ++ SqlEntry.defs ++ ScalePaths.defs ++
-      Curation.defs ++ TimeSeries.defs
+  val all: Seq[QueryDef] = {
+    val defs =
+      Relational.defs ++ Analytics.defs ++ TextPipeline.defs ++ Dedup.defs ++
+        StreamParity.defs ++ Media.defs ++ SqlEntry.defs ++ ScalePaths.defs ++
+        Curation.defs ++ TimeSeries.defs
+    // a duplicated name would silently SHADOW a query in the Maps below —
+    // the driver would then verify one query twice and the other never
+    val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys
+    require(dups.isEmpty, s"duplicate query names in Catalog: ${dups.mkString(", ")}")
+    defs
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] =
     all.map(d => d.name -> d.fn).toMap

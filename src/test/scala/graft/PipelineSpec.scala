@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{Ann, DedupClusters, MinHashLSH, Vec}
+import graft.queries.Curation
+import org.apache.spark.sql.functions._
+
+/** END-TO-END capstone: the stages a real corpus operator runs, composed
+  * through the library's PUBLIC API on the real testdata — JSONL ingestion,
+  * LSH near-dup dedup to a survivor set, the living bucketed table
+  * (upsert → delete → compact), incrementally maintained stats,
+  * train/val/test sharding, and the growing embedding index. Every stage is
+  * unit-tested elsewhere; this spec proves they COMPOSE: each stage
+  * consumes the previous stage's real output, and the invariants asserted
+  * at the end (row accounting, key uniqueness, stats equality, index
+  * completeness) hold across the whole chain.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("jsonl → dedup → living table → stats → splits → index: the stages compose") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pipeline").toString
+    val docs = Tables.documents(spark, sf())
+
+    // 1 — ingestion: the corpus arrives as JSONL shards; read back with the
+    // EXPLICIT schema (inference would cost a second corpus scan)
+    docs.write.mode("overwrite").json(s"$root/raw")
+    val ingested = spark.read.schema(docs.schema).json(s"$root/raw")
+    val nRaw = ingested.count()
+    assert(nRaw == docs.count())
+
+    // 2 — near-dup dedup: LSH candidates → exact-Jaccard verify → connected
+    // components → keep the smallest doc_id per cluster
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1)
+    val candidates = lsh.candidatePairs(ingested, "doc_id", "text", maxBucket = 200)
+    val pairs = lsh.verifyJaccard(candidates, ingested, "doc_id", "text")
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"))
+    val assign = DedupClusters.clusterAssignments(ingested, "doc_id", pairs)
+    val keep = assign.groupBy(col("cluster_id"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val survivors = ingested.join(keep, "doc_id")
+    val nSurv = survivors.count()
+    assert(nSurv > 0 && nSurv <= nRaw)
+
+    // 3 — the living table: bucketed layout, then one correction upsert,
+    // one deletion, one compaction pass
+    val table = s"$root/corpus"
+    Curation.writeBucketed(survivors, table, "doc_id", numBuckets = 8)
+    val firstId = survivors.agg(min(col("doc_id"))).as[Long].head()
+    val delId = survivors.agg(max(col("doc_id"))).as[Long].head()
+    assert(firstId != delId, "fixture degenerate: one survivor")
+    val fix = survivors.filter(col("doc_id") === firstId)
+      .withColumn("text", concat(col("text"), lit(" [fixed]")))
+    Curation.upsertByKey(spark, table, fix, "doc_id", numBuckets = 8)
+    Curation.deleteByKey(spark, table, Seq(delId).toDF("doc_id"), "doc_id", numBuckets = 8)
+    Curation.compactBuckets(spark, table, maxFilesPerBucket = 4)
+    val live = spark.read.parquet(table)
+    assert(live.count() == nSurv - 1, "row accounting after upsert+delete")
+    assert(live.select("doc_id").distinct().count() == nSurv - 1, "keys stay unique")
+    assert(live.filter(col("doc_id") === firstId)
+      .select("text").as[String].head().endsWith("[fixed]"), "correction visible")
+    assert(live.filter(col("doc_id") === delId).isEmpty, "deleted key gone")
+
+    // 4 — stats maintained batch-by-batch over the ingest == recompute
+    val statsPath = s"$root/stats"
+    Curation.mergeDocStats(spark, statsPath, ingested.filter(col("doc_id") % 2 === 0))
+    Curation.mergeDocStats(spark, statsPath, ingested.filter(col("doc_id") % 2 === 1))
+    def statsSet(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "lang", "n_docs", "sum_chars", "checksum")
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+    assert(statsSet(spark.read.parquet(statsPath)) ==
+      statsSet(Curation.docStats(ingested)), "maintained stats drifted")
+
+    // 5 — training shards from the LIVE table (not the raw ingest)
+    Curation.writeSplits(live, s"$root/splits")
+    val shards = spark.read.parquet(s"$root/splits")
+    assert(shards.count() == live.count(), "sharding dropped or duplicated rows")
+
+    // 6 — the embedding index grows alongside the corpus: build on the
+    // backfill, append the arrivals, search sees both
+    val emb = Tables.embeddings(spark, sf())
+      .select(col("vec_id").as("id"), col("embedding")).as[Vec]
+    val idx = s"$root/ivf"
+    Ann.buildIvfIndex(emb.filter(col("id") < 400).as[Vec], idx, nCells = 16)
+    Ann.appendToIvfIndex(emb.filter(col("id") >= 400).as[Vec], idx)
+    assert(spark.read.parquet(s"$idx/assignments").count() == emb.count(),
+      "index incomplete after append")
+    val hits = Ann.ivfTopKIndexed(spark, emb, idx, Seq(1L), k = 5, nprobe = 4)
+    assert(hits.count() > 0, "indexed search returned nothing")
+  }
+}
