@@ -291,6 +291,12 @@ object Ann {
     val cents = spark.read.parquet(s"$indexPath/centroids").as[Vec]
       .collect().sortBy(_.id)
     require(cents.nonEmpty, s"no centroids at $indexPath — build the index first")
+    // nearestCells tolerates ragged dims by comparing the common prefix —
+    // right for the search path, wrong for growth: appending a
+    // mismatched-dim batch would silently mis-assign into a good index
+    val dim = headDim(newVecs)
+    require(dim == cents(0).embedding.length,
+      s"batch dim $dim != index dim ${cents(0).embedding.length} — wrong index path?")
     ivfAssign(newVecs, cents).write.mode("append").parquet(s"$indexPath/assignments")
   }
 

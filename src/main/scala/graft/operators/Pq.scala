@@ -137,6 +137,12 @@ object Pq {
     val booksD: Array[Array[Array[Double]]] =
       model.codebooks.map(_.map(_.map(_.toDouble)))
     corpus.map { v =>
+      // a short vector would otherwise yield empty tail slices that
+      // "quantize" to centroid 0 — silently wrong codes (an append of a
+      // mismatched batch would corrupt a good index); check is trivial
+      // next to the nearestL2 work
+      require(v.embedding.length == m * subDim,
+        s"vector ${v.id} has dim ${v.embedding.length}, model expects ${m * subDim}")
       val code = Array.tabulate(m) { j =>
         val slice = v.embedding.slice(j * subDim, (j + 1) * subDim)
         nearestL2(slice, booksD(j))
@@ -235,6 +241,10 @@ object Pq {
     val booksD = model.pq.codebooks.map(_.map(_.map(_.toDouble)))
     val m = model.pq.m; val subDim = model.pq.subDim
     corpus.map { v =>
+      // same loud dim guard as encode: a mismatched vector would either
+      // throw an opaque index error or silently residual-encode a prefix
+      require(v.embedding.length == m * subDim,
+        s"vector ${v.id} has dim ${v.embedding.length}, model expects ${m * subDim}")
       val cell = nearestL2(v.embedding, centsD)
       val c = model.centroids(cell)
       val res = Array.tabulate(v.embedding.length)(i => v.embedding(i) - c(i))

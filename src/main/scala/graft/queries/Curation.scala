@@ -789,6 +789,21 @@ object Curation {
       .join(keyed.select(col(keyCol)), Seq(keyCol), "left_anti")
       .localCheckpoint(true)
     val surviving = remaining.select("__bucket").distinct().as[Int].collect().toSet
+    if (surviving.isEmpty) {
+      // would the table end up with NO buckets at all? plain parquet cannot
+      // represent an empty partitioned table (no partition dirs to carry
+      // the schema; a root-level empty file would break partition
+      // discovery for every later write) — refuse BEFORE mutating instead
+      // of leaving an unreadable husk
+      val fs0 = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val onDisk = fs0.listStatus(new org.apache.hadoop.fs.Path(path)).toSeq
+        .filter(d => d.isDirectory && d.getPath.getName.startsWith("__bucket="))
+        .map(_.getPath.getName.stripPrefix("__bucket=").toInt).toSet
+      require((onDisk -- affected).nonEmpty,
+        "delete would empty the whole table — drop and recreate it instead " +
+          "(plain parquet cannot represent an empty partitioned table)")
+    }
     if (surviving.nonEmpty)
       remaining.write.partitionBy("__bucket")
         .option("partitionOverwriteMode", "dynamic")

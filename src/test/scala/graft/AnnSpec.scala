@@ -141,6 +141,12 @@ class AnnSpec extends SparkSpec {
       Ann.appendToIvfIndex(batch, s"$root/absent")
     }
     assert(err.getMessage != null)
+    // a mismatched-dim batch must be refused, not prefix-assigned
+    val wrongDim = Seq(Vec(9999L, Array.fill(3)(0.5f))).toDS()
+    val dimErr = intercept[IllegalArgumentException] {
+      Ann.appendToIvfIndex(wrongDim, appended)
+    }
+    assert(dimErr.getMessage.contains("index dim"), dimErr.getMessage)
   }
 
   test("streaming ingestion: foreachBatch appends micro-batches to the persisted IVF index") {

@@ -152,6 +152,15 @@ class CurationSpec extends SparkSpec {
     Curation.deleteByKey(spark, t,
       toDelete.toSeq.toDF("id"), "id", numBuckets = 8)
     assert(spark.read.parquet(t).count() == (100 - toDelete.size).toLong)
+    // emptying the WHOLE table is refused before mutating (plain parquet
+    // cannot represent an empty partitioned table)
+    val all = spark.read.parquet(t).select("id").as[Long].collect().toSeq
+    val err2 = intercept[IllegalArgumentException] {
+      Curation.deleteByKey(spark, t, all.toDF("id"), "id", numBuckets = 8)
+    }
+    assert(err2.getMessage.contains("empty the whole table"), err2.getMessage)
+    assert(spark.read.parquet(t).count() == (100 - toDelete.size).toLong,
+      "refused delete must not have mutated the table")
   }
 
   test("compactBuckets rewrites only fragmented buckets, down to one file each") {

@@ -197,6 +197,19 @@ class PqSpec extends SparkSpec {
     assert(fromDisk == inline)
   }
 
+  test("a mismatched-dim batch cannot be encoded into an index (silent prefix codes)") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_dim").toString
+    Pq.buildPqIndex(corpus, path, m = 8, k = 16)
+    val wrongDim = Seq(Vec(9999L, Array.fill(3)(0.5f))).toDS()
+    val err = intercept[Exception] {
+      Pq.appendToPqIndex(wrongDim, path)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(err).exists(m => m != null && m.contains("model expects")),
+      s"wrong error: ${msgs(err)}")
+  }
+
   test("append to an inconsistent index is refused, not encoded against the wrong codebooks") {
     import spark.implicits._
     val path = java.nio.file.Files.createTempDirectory("graft_pq_append_bad").toString
