@@ -206,6 +206,40 @@ class CurationSpec extends SparkSpec {
     assert((0 until 4).map(listing) == snap, "no-op compaction rewrote files")
   }
 
+  test("living table vs reference model: random upsert/delete/compact sequences agree") {
+    // state-machine property: the bucketed table under any op sequence must
+    // equal a driver-side Map applying the same ops — the whole-table
+    // contract the individual tests can't cover combinatorially
+    val t = java.nio.file.Files.createTempDirectory("graft_statem").toString + "/t"
+    val rnd = new java.util.Random(20260812L)
+    var model = (0L until 60L).map(i => i -> s"v$i").toMap
+    Curation.writeBucketed(model.toSeq.toDF("id", "v"), t, "id", numBuckets = 8)
+    (1 to 12).foreach { step =>
+      rnd.nextInt(3) match {
+        case 0 => // upsert: mix of updates and inserts, unique keys
+          val keys = (0 until (1 + rnd.nextInt(6)))
+            .map(_ => rnd.nextLong(200L)).distinct
+          val batch = keys.map(k => k -> s"u$step-$k")
+          model ++= batch
+          Curation.upsertByKey(spark, t, batch.toDF("id", "v"), "id", 8)
+        case 1 => // delete: some present, some absent
+          val keys = (0 until (1 + rnd.nextInt(6)))
+            .map(_ => rnd.nextLong(200L)).distinct
+          // never empty the whole table (that is refused by contract)
+          val safe = if (keys.toSet == model.keySet) keys.tail else keys
+          model --= safe
+          if (safe.nonEmpty)
+            Curation.deleteByKey(spark, t, safe.toDF("id"), "id", 8)
+        case 2 =>
+          Curation.compactBuckets(spark, t, maxFilesPerBucket = 2)
+      }
+      val got = spark.read.parquet(t).select("id", "v")
+        .as[(Long, String)].collect().toMap
+      assert(got == model, s"diverged at step $step: " +
+        s"only-table=${got.toSet -- model.toSet} only-model=${model.toSet -- got.toSet}")
+    }
+  }
+
   test("mergeDocStats: incrementally maintained stats == from-scratch recompute") {
     val docs = Tables.documents(spark, sf()).cache()
     val statsPath = java.nio.file.Files.createTempDirectory("graft_stats").toString + "/stats"
