@@ -191,10 +191,43 @@ object Media {
       |FROM d
       |ORDER BY doc_id""".stripMargin
 
+  /** IMAGE near-dup dedup as a full-corpus scale path (rows-only — DuckDB
+    * cannot decode PNG): each document renders to a REAL 8×8 PNG whose
+    * pixels sample the sorted distinct token set (order-insensitive, so
+    * near-duplicate texts produce near-identical images — the testdata has
+    * no binary media column, so the corpus stands in for one), then the
+    * production chain runs unmodified: ImageIO decode → aHash64 → banded
+    * (band, key) equi-join with the mega-bucket cap → exact bit_count on
+    * candidates. ~700 pairs at sf0.01; cost is one PNG encode+decode per
+    * document plus the banded join — no all-pairs path.
+    */
+  private def q95(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = text.split(" ").distinct.sorted
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        while (i < 64) {
+          val g = math.floorMod(toks(i * toks.length / 64).hashCode, 256)
+          img.setRGB(i % 8, i / 8, (g << 16) | (g << 8) | g)
+          i += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        graft.multimodal.MediaRow(id, s"mem://doc/$id.png", bos.toByteArray, Map.empty)
+      })
+    Multimodal.imageNearDupPairs(media, maxHamming = 3)
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_media", q38, Some(q38Sql)),
     QueryDef("q39_ann_bruteforce", q39, Some(q39Sql)),
     QueryDef("q41_vector_stats", q41, Some(q41Sql)),
     QueryDef("q59_embedding_quantize", q59, Some(q59Sql)),
-    QueryDef("q61_media_resize", q61, Some(q61Sql)))
+    QueryDef("q61_media_resize", q61, Some(q61Sql)),
+    QueryDef("q95_image_neardup", q95, None))
 }
