@@ -336,7 +336,51 @@ object TextPipeline {
       |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
       |FROM t WHERE token <> '' GROUP BY token ORDER BY token""".stripMargin
 
+  /** Feature-hash text embedding (the hashing trick, Weinberger et al.) in
+    * LONG FORM — the deterministic in-engine text→vector path: token →
+    * slot = h60(token) mod 16, per-(doc, slot) counts, L2-normalized per
+    * document. Makes the ANN family usable with no external embedding
+    * model: PipelineSpec assembles these rows into vectors and runs exact
+    * cosine top-k over them. Long form (doc_id, slot, w) rather than an
+    * array column so DuckDB can mirror it exactly; one explode + one
+    * two-key hash aggregate + a per-doc window on the same leading key.
+    * The norm divide is a single double op (deterministic), snapped with
+    * the repo's floor-form rounding.
+    */
+  private def q96(s: SparkSession, dir: String): DataFrame = {
+    val slot = pmod(graft.functions.TextHash.h60(col("tok")), lit(16L))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.TextHash.tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), slot.as("slot"))
+      .groupBy(col("doc_id"), col("slot"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nrm", sqrt(sum(col("c") * col("c"))
+        .over(Window.partitionBy(col("doc_id")))))
+      .select(col("doc_id"), col("slot"),
+        Parity.r4(col("c") / col("nrm")).as("w"))
+      .orderBy(col("doc_id"), col("slot"))
+  }
+
+  private val q96Sql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 AS slot
+      |  FROM t WHERE tok <> ''
+      |), c AS (
+      |  SELECT doc_id, slot, COUNT(*) AS c FROM s GROUP BY 1, 2
+      |)
+      |SELECT doc_id, slot,
+      |  FLOOR(c / sqrt(SUM(c * c) OVER (PARTITION BY doc_id)) * 10000 + 0.5)
+      |    / 10000.0 AS w
+      |FROM c
+      |ORDER BY doc_id, slot""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q96_feature_hash", q96, Some(q96Sql)),
     QueryDef("q26_token_stats", q26, Some(q26Sql)),
     QueryDef("q27_quality_score", q27, Some(q27Sql)),
     QueryDef("q28_dedup_exact_docs", q28, Some(q28Sql)),

@@ -88,5 +88,21 @@ class PipelineSpec extends SparkSpec {
       "index incomplete after append")
     val hits = Ann.ivfTopKIndexed(spark, emb, idx, Seq(1L), k = 5, nprobe = 4)
     assert(hits.count() > 0, "indexed search returned nothing")
+
+    // 7 — text → vector → ANN with NO external embedding model: the
+    // feature-hash embedding (q96's long form) assembled into dense
+    // vectors and searched with the same ANN operators
+    val fh = graft.queries.Catalog.queries("q96_feature_hash")(spark, sf())
+    val vecs = fh.groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("w")))).as("m"))
+      .select(col("doc_id").as("id"),
+        transform(sequence(lit(0L), lit(15L)),
+          i => coalesce(element_at(col("m"), i), lit(0.0)).cast("float"))
+          .as("embedding"))
+    val queries = vecs.filter(col("id") < 3)
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    val topText = Ann.bruteForceTopK(vecs.filter(col("id") >= 3), queries, 5)
+    assert(topText.groupBy("q_id").count().filter(col("count") === 5).count() == 3,
+      "each text query must retrieve a full top-5 from its hashed vectors")
   }
 }
