@@ -206,6 +206,38 @@ class CurationSpec extends SparkSpec {
     assert((0 until 4).map(listing) == snap, "no-op compaction rewrote files")
   }
 
+  test("streaming stats: foreachBatch keeps the stats table equal to a recompute") {
+    implicit val sqlCtx = spark.sqlContext
+    val statsPath = java.nio.file.Files.createTempDirectory("graft_sstats").toString + "/stats"
+    val docs = Tables.documents(spark, sf()).limit(60)
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .as[(Long, String, String, String, Long)].collect()
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, String, String, Long)]
+    val q = input.toDF().toDF("doc_id", "text", "lang", "source", "n_chars")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Curation.mergeDocStats(spark, statsPath, batch)
+      }
+      .start()
+    try {
+      input.addData(docs.take(25).toSeq)
+      q.processAllAvailable()
+      input.addData(docs.drop(25).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = docs.toSeq.toDF("doc_id", "text", "lang", "source", "n_chars")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val maintained = spark.read.parquet(statsPath)
+      .select("source", "lang", "n_docs", "sum_chars", "checksum")
+      .collect().map(key).toSet
+    val full = Curation.docStats(all)
+      .select("source", "lang", "n_docs", "sum_chars", "checksum")
+      .collect().map(key).toSet
+    assert(maintained == full)
+  }
+
   test("living table vs reference model: random upsert/delete/compact sequences agree") {
     // state-machine property: the bucketed table under any op sequence must
     // equal a driver-side Map applying the same ops — the whole-table
