@@ -342,10 +342,12 @@ object TextPipeline {
     * document. Makes the ANN family usable with no external embedding
     * model: PipelineSpec assembles these rows into vectors and runs exact
     * cosine top-k over them. Long form (doc_id, slot, w) rather than an
-    * array column so DuckDB can mirror it exactly; one explode + one
-    * two-key hash aggregate + a per-doc window on the same leading key.
-    * The norm divide is a single double op (deterministic), snapped with
-    * the repo's floor-form rounding.
+    * array column so DuckDB can mirror it exactly. Two exchanges, both
+    * cheap at scale: the aggregate's on (doc_id, slot) carries map-side
+    * combined counts, and the norm window's on doc_id carries the
+    * compacted ≤16-rows-per-doc frame — not the token stream. The norm
+    * divide is a single double op (deterministic), snapped with the
+    * repo's floor-form rounding.
     */
   private def q96(s: SparkSession, dir: String): DataFrame = {
     val slot = pmod(graft.functions.TextHash.h60(col("tok")), lit(16L))

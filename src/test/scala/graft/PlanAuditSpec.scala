@@ -89,6 +89,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q44: banded self-join reuses its exchange and never degenerates to all-pairs") {
+    val p = finalPlan("q44_minhash_lsh_full")
+    // the near-dup scale claim in one assertion: candidates come from a
+    // key-equality join (hash exchanges, AQE-reused), never a product
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert("ReusedExchange|AQEShuffleRead".r.findAllIn(p).nonEmpty, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3, p)
+  }
+
   test("q93: winsorize bounds broadcast back onto the corpus; no sort-merge") {
     val p = finalPlan("q93_winsorize")
     // the per-lang bounds frame is tiny by construction (one row per lang)
