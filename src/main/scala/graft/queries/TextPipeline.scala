@@ -381,8 +381,53 @@ object TextPipeline {
       |FROM c
       |ORDER BY doc_id, slot""".stripMargin
 
+  /** The C4/Gopher-style filter CASCADE with an audit trail — production
+    * filters never just drop rows, they record WHY (the reject reasons are
+    * themselves a curation dataset: rule tuning reads them, and dropped-doc
+    * audits need them). One pass over the corpus, one boolean column per
+    * rule, kept = no rule fired. The repetition rule compares in INTEGER
+    * arithmetic ((total−distinct)·100 > 55·total) so no float ratio exists
+    * for the engines to disagree on.
+    */
+  private def q97(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val total = size(toks)
+    val distinctToks = size(array_distinct(toks))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        total.as("n_toks"), distinctToks.as("n_distinct"))
+      .select(
+        col("doc_id"),
+        (col("n_chars") < 100).as("too_short"),
+        (col("n_chars") > 500).as("too_long"),
+        ((col("n_toks") - col("n_distinct")) * 100 > col("n_toks") * 55)
+          .as("repetitive"),
+        (!col("lang").isin("en", "de", "fr", "es", "zh")).as("lang_unknown"))
+      .withColumn("kept",
+        !col("too_short") && !col("too_long") &&
+          !col("repetitive") && !col("lang_unknown"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q97Sql =
+    """SELECT doc_id, too_short, too_long, repetitive, lang_unknown,
+      |  (NOT too_short AND NOT too_long AND NOT repetitive
+      |    AND NOT lang_unknown) AS kept
+      |FROM (
+      |  SELECT doc_id,
+      |    n_chars < 100 AS too_short,
+      |    n_chars > 500 AS too_long,
+      |    (len(string_split(text, ' '))
+      |      - len(list_distinct(string_split(text, ' ')))) * 100
+      |      > len(string_split(text, ' ')) * 55 AS repetitive,
+      |    lang NOT IN ('en', 'de', 'fr', 'es', 'zh') AS lang_unknown
+      |  FROM documents
+      |)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q96_feature_hash", q96, Some(q96Sql)),
+    QueryDef("q97_filter_audit", q97, Some(q97Sql)),
     QueryDef("q26_token_stats", q26, Some(q26Sql)),
     QueryDef("q27_quality_score", q27, Some(q27Sql)),
     QueryDef("q28_dedup_exact_docs", q28, Some(q28Sql)),
