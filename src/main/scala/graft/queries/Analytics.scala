@@ -257,7 +257,57 @@ object Analytics {
       |WHERE o_orderkey % 10 = 0
       |ORDER BY o_orderkey""".stripMargin
 
+  /** Multi-step ordered FUNNEL (view → click → purchase) — the product
+    * analytics staple no other declared query covers: each step's time is
+    * the user's earliest qualifying event STRICTLY AFTER the previous
+    * step (min-time chaining, the standard funnel semantics — a click
+    * before any view does not count). Three filtered aggregates chained by
+    * equi-joins on user_id — every join keys on the same column, so at
+    * scale the three aggregations share one partitioning; micros (BIGINT)
+    * on both engines per the events parity contract.
+    */
+  private def q98(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"))
+    val a = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_view"))
+    val b = ev.filter(col("event_type") === "click").join(a, "user_id")
+      .filter(col("ts_us") > col("t_view"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_click"))
+    val c = ev.filter(col("event_type") === "purchase").join(b, "user_id")
+      .filter(col("ts_us") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("t_purchase"))
+    a.join(b, Seq("user_id"), "left")
+      .join(c, Seq("user_id"), "left")
+      .withColumn("reached",
+        when(col("t_purchase").isNotNull, 3)
+          .when(col("t_click").isNotNull, 2).otherwise(1))
+      .orderBy(col("user_id"))
+  }
+
+  private val q98Sql =
+    """WITH a AS (
+      |  SELECT user_id, MIN(epoch_us(ts)) AS t_view
+      |  FROM events WHERE event_type = 'view' GROUP BY 1
+      |), b AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_click
+      |  FROM events e JOIN a USING (user_id)
+      |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > a.t_view
+      |  GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_purchase
+      |  FROM events e JOIN b USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > b.t_click
+      |  GROUP BY 1
+      |)
+      |SELECT a.user_id, a.t_view, b.t_click, c.t_purchase,
+      |  CASE WHEN c.t_purchase IS NOT NULL THEN 3
+      |       WHEN b.t_click IS NOT NULL THEN 2 ELSE 1 END AS reached
+      |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
+      |ORDER BY a.user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q98_funnel", q98, Some(q98Sql)),
     QueryDef("q81_zorder_key", q81, Some(q81Sql)),
     QueryDef("q87_json_encode", q87, Some(q87Sql)),
     QueryDef("q20_json_events", q20, Some(q20Sql)),
