@@ -306,8 +306,43 @@ object Analytics {
       |FROM a LEFT JOIN b USING (user_id) LEFT JOIN c USING (user_id)
       |ORDER BY a.user_id""".stripMargin
 
+  /** Cohort RETENTION — funnels' sibling product-analytics staple: users
+    * cohorted by first-activity day, retention = distinct users active at
+    * each day offset from their cohort day (long form: cohort_day ×
+    * day_offset → n_users, offsets ≤ 7). Day derivation is integer
+    * division of epoch micros — exact and identical in both engines, no
+    * timezone/calendar function in the hash path. Two aggregations and a
+    * join, all keyed on user_id until the final small rollup.
+    */
+  private def q99(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), expr("ts_us div 86400000000").as("day"))
+      .distinct()
+    val cohort = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(cohort, "user_id")
+      .withColumn("day_offset", col("day") - col("cohort_day"))
+      .filter(col("day_offset") <= 7)
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
+  private val q99Sql =
+    """WITH d AS (
+      |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+      |), f AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1
+      |)
+      |SELECT f.cohort_day, d.day - f.cohort_day AS day_offset,
+      |  COUNT(DISTINCT d.user_id) AS n_users
+      |FROM d JOIN f USING (user_id)
+      |WHERE d.day - f.cohort_day <= 7
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q98_funnel", q98, Some(q98Sql)),
+    QueryDef("q99_retention", q99, Some(q99Sql)),
     QueryDef("q81_zorder_key", q81, Some(q81Sql)),
     QueryDef("q87_json_encode", q87, Some(q87Sql)),
     QueryDef("q20_json_events", q20, Some(q20Sql)),
