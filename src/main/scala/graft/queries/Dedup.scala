@@ -376,7 +376,43 @@ object Dedup {
       |WHERE rn = 1
       |ORDER BY vec_id""".stripMargin
 
+  /** B19/B29 — exact duplicated-substring spans (Lee et al. 2022 style):
+    * maximal per-document spans whose every 20-gram occurs in >= 2 distinct
+    * documents. Full corpus, no doc_id bound — the operator's shuffles are
+    * keyed (gram, then doc_id), never all-pairs, so the oracle form IS the
+    * scale form; `hashShuffle = true` (proven equal in SubstringDedupSpec)
+    * additionally shrinks the shuffled gram key to 8 bytes at 100 TB.
+    * Integer-only arithmetic — no float parity concerns.
+    */
+  private def q100(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstringDedup
+      .duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 20)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private val q100Sql =
+    """WITH g AS (
+      |  SELECT d.doc_id, CAST(t.i AS INT) AS pos,
+      |    substr(d.text, CAST(t.i AS INT), 20) AS gram
+      |  FROM documents d
+      |  JOIN generate_series(1, 100000) t(i) ON t.i <= len(d.text) - 19
+      |), dup AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      |), p AS (
+      |  SELECT g.doc_id, g.pos,
+      |    CASE WHEN g.pos - LAG(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) > 20
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM g JOIN dup USING (gram)
+      |), isl AS (
+      |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM p
+      |)
+      |SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 19 AS INT) AS span_end,
+      |  CAST(MAX(pos) + 20 - MIN(pos) AS INT) AS span_len
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q100_dup_spans", q100, Some(q100Sql)),
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),
     QueryDef("q82_kmeans_assign", q82, Some(q82Sql)),
     QueryDef("q30_minhash_lsh", q30, Some(q30Sql)),

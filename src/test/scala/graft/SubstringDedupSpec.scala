@@ -1,0 +1,104 @@
+package graft
+
+import graft.operators.SubstringDedup
+import org.apache.spark.sql.functions._
+
+class SubstringDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 51 chars — long enough that interior 20-grams exist on both sides
+  private val shared = "the quick brown fox jumps over the lazy dog indeed!"
+
+  private def spans(df: org.apache.spark.sql.DataFrame, k: Int = 20,
+      hashShuffle: Boolean = false): Set[(Long, Int, Int, Int)] =
+    SubstringDedup.duplicatedSpans(df, "doc_id", "text", k = k,
+        hashShuffle = hashShuffle)
+      .as[(Long, Int, Int, Int)].collect().toSet
+
+  test("planted shared sentence yields exactly the shared span in each doc") {
+    // delimiters around `shared` differ between the docs, so the span is
+    // exactly the shared sentence (a common adjacent char — e.g. both docs
+    // wrapping it in spaces — would legitimately widen the span)
+    val docs = Seq(
+      (1L, "AAA(" + shared + ")with an unrelated ending here"),
+      (2L, "BBBBBB[" + shared + "]totally different tail text"),
+      (3L, "no twenty character run of this text appears anywhere else at all")
+    ).toDF("doc_id", "text")
+    val got = spans(docs)
+    // shared starts at 1-based pos 5 in doc 1 (after "AAA("), pos 8 in doc 2
+    assert(got == Set(
+      (1L, 5, 5 + shared.length - 1, shared.length),
+      (2L, 8, 8 + shared.length - 1, shared.length)))
+  }
+
+  test("exact duplicate pair spans each whole document") {
+    val t = "forty characters of fully repeated text!"
+    assert(t.length == 40)
+    val docs = Seq((1L, t), (2L, t)).toDF("doc_id", "text")
+    assert(spans(docs) == Set((1L, 1, 40, 40), (2L, 1, 40, 40)))
+  }
+
+  test("documents shorter than k never appear; two far-apart shared phrases stay two spans") {
+    val s2 = "another repeated phrase shared across documents" // 47 chars
+    val gapA = "x" * 30 // gaps share NO character with each other
+    val gapB = "y" * 30
+    val docs = Seq(
+      (1L, shared + gapA + s2),
+      (2L, shared + gapB + s2),
+      (3L, "tiny")
+    ).toDF("doc_id", "text")
+    val got = spans(docs)
+    assert(!got.exists(_._1 == 3L))
+    // each doc: one span for `shared`, one for s2 — gaps differ so no bridge
+    assert(got.map(_._1).toSeq.sorted == Seq(1L, 2L))
+    assert(got.count(_._1 == 1L) == 2 && got.count(_._1 == 2L) == 2)
+    val s2Start = shared.length + gapA.length + 1
+    assert(got.contains((1L, 1, shared.length, shared.length)))
+    assert(got.contains((1L, s2Start, s2Start + s2.length - 1, s2.length)))
+  }
+
+  test("overlapping duplicated regions merge into one maximal span") {
+    // doc 1 = a+b+c; doc 2 contains a+b, doc 3 contains b+c. The two
+    // duplicated regions of doc 1 overlap on b -> one span, whole doc.
+    val a = "first thirty characters chunk!"
+    val b = "second thirty characters here"
+    val c = "third chunk thirty characters!"
+    val d1 = a + b + c
+    val docs = Seq(
+      (1L, d1),
+      (2L, "QQ<" + a + b + ">"),
+      (3L, "<" + b + c + ">QQ")
+    ).toDF("doc_id", "text")
+    val got = spans(docs)
+    val d1Spans = got.filter(_._1 == 1L)
+    assert(d1Spans.size == 1)
+    val (_, s, e, _) = d1Spans.head
+    assert(s == 1 && e == d1.length)
+  }
+
+  test("hashShuffle variant equals exact-string variant on a mixed corpus") {
+    val rng = new scala.util.Random(42)
+    val phrases = Vector(shared,
+      "another repeated phrase shared across documents",
+      "a third phrase that several documents reuse verbatim",
+      "entirely unique filler material goes in between")
+    val docs = (1 to 40).map { i =>
+      val parts = (0 until 3).map { j =>
+        if (rng.nextBoolean()) phrases(rng.nextInt(phrases.length))
+        else s"unique-$i-$j " + rng.alphanumeric.take(25).mkString
+      }
+      (i.toLong, parts.mkString(" "))
+    }.toDF("doc_id", "text")
+    assert(spans(docs, hashShuffle = false) == spans(docs, hashShuffle = true))
+  }
+
+  test("minDocs threshold: a phrase in two docs vanishes at minDocs = 3") {
+    val docs = Seq(
+      (1L, shared + " one"), (2L, shared + " two"),
+      (3L, "unrelated text that matches no other document in this corpus")
+    ).toDF("doc_id", "text")
+    val strict = SubstringDedup.duplicatedSpans(docs, "doc_id", "text",
+      k = 20, minDocs = 3)
+    assert(strict.count() == 0)
+  }
+}
