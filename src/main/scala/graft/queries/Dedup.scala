@@ -411,8 +411,76 @@ object Dedup {
       |FROM isl GROUP BY doc_id, grp
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** B21/B20 — SemDeDup (Abbas et al. 2023): semantic dedup = k-means
+    * cluster assignment, then cosine near-dup pairs WITHIN each cluster
+    * only. The self-join is keyed on the cluster id — with k grown
+    * proportionally to corpus size, per-cluster population stays bounded
+    * and the candidate set is O(sum of cluster-size squared), never global
+    * all-pairs. Assignment is q82's broadcast-centroid argmin (same
+    * Parity.r4 + tie-break determinism); pair scoring is q33's rounded
+    * cosine. Deterministic centroids (vec_id < 8) keep it oracle-checked;
+    * trained centroids from Ann.ivfCentroidsKMeans plug into the same code.
+    */
+  private def q101(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.GraftFunctions.register(s)
+    import graft.plans.GraftFunctions.vecDot
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
+        vecDot(col("embedding"), col("embedding")).as("c2"))
+    val d2 = col("e2") + col("c2") -
+      lit(2.0) * vecDot(col("embedding"), col("c_emb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_id"))
+    val assigned = emb.filter(col("vec_id") >= 8)
+      .withColumn("e2", vecDot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("c_id"), col("embedding"), col("e2"),
+        Parity.r4(d2).as("dist2"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"),
+        sqrt(col("e2")).as("nm"))
+    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+      col("embedding").as("e_a"), col("nm").as("nm_a"))
+    val b = assigned.select(col("cluster").as("cl_b"), col("vec_id").as("vec_b"),
+      col("embedding").as("e_b"), col("nm").as("nm_b"))
+    a.join(b, col("cluster") === col("cl_b") && col("vec_a") < col("vec_b"))
+      .withColumn("cos_sim",
+        round(vecDot(col("e_a"), col("e_b")) / (col("nm_a") * col("nm_b")), 4))
+      .filter(col("cos_sim") >= 0.4)
+      .select(col("cluster"), col("vec_a"), col("vec_b"), col("cos_sim"))
+      .orderBy(col("cluster"), col("vec_a"), col("vec_b"))
+  }
+
+  private val q101Sql =
+    """WITH c AS (
+      |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |  FROM embeddings WHERE vec_id < 8
+      |), d AS (
+      |  SELECT e.vec_id, c.c_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+      |    FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |      + list_dot_product(c.c_emb, c.c_emb)
+      |      - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_emb))
+      |      * 10000 + 0.5) / 10000.0 AS dist2
+      |  FROM embeddings e, c
+      |  WHERE e.vec_id >= 8
+      |), a AS (
+      |  SELECT vec_id, c_id AS cl, emb,
+      |    sqrt(list_dot_product(emb, emb)) AS nm
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY dist2, c_id) AS rn FROM d)
+      |  WHERE rn = 1
+      |)
+      |SELECT x.cl AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+      |  ROUND(list_dot_product(x.emb, y.emb) / (x.nm * y.nm), 4) AS cos_sim
+      |FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+      |WHERE ROUND(list_dot_product(x.emb, y.emb) / (x.nm * y.nm), 4) >= 0.4
+      |ORDER BY cluster, vec_a, vec_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_dup_spans", q100, Some(q100Sql)),
+    QueryDef("q101_semantic_dedup", q101, Some(q101Sql)),
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),
     QueryDef("q82_kmeans_assign", q82, Some(q82Sql)),
     QueryDef("q30_minhash_lsh", q30, Some(q30Sql)),

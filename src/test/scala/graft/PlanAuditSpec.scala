@@ -106,6 +106,27 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q100: substring dedup is one explode pass, no join, no product") {
+    val p = finalPlan("q100_dup_spans")
+    // single-pass strategy: dup marking is a window over the gram key —
+    // there must be NO join of any kind and exactly one Generate (explode)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert("Generate explode".r.findAllIn(p).size == 1, p)
+    // exchanges: gram window + doc_id window + final ORDER BY range — 3
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 3, p)
+  }
+
+  test("q101: semantic dedup joins on the cluster key, centroids broadcast") {
+    val p = finalPlan("q101_semantic_dedup")
+    // within-cluster pairing must be a key-equality join on cluster id,
+    // never a global product; the only nested-loop allowed is the
+    // broadcast of the 8 centroids into the assignment argmin
+    assert(!p.contains("CartesianProduct"), p)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q94: checksum aggregates map-side before its one exchange") {
     val p = finalPlan("q94_source_checksum")
     // partial+final pair: XOR partials combine map-side, so the exchange
