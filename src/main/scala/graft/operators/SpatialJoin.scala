@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-zone spatial join — the downstream half of the reference's
+  * raster→points pipeline (raster2points emits pixel centroids; the
+  * canonical consumer aggregates them per zone: tree-cover loss per admin
+  * area, emissions per tile). [[graft.Raster.zonalStats]] is the
+  * uniform-grid sibling (pure GROUP BY, no zone table); this operator
+  * handles ARBITRARY zone rectangles, where the naive form is a theta join
+  * (point-in-box inequality) that Spark can only execute as a nested-loop
+  * product. Grid bucketing makes it a KEY-EQUALITY join — the interval-join
+  * technique of q08 lifted to 2-D:
+  *
+  *   1. each point gets ONE grid-cell key: (floor(x/cell), floor(y/cell));
+  *   2. each zone bbox is exploded to EVERY cell it overlaps (a zone
+  *      spanning c cells appears c times — choose `cellSize` near the
+  *      median zone extent so c stays small);
+  *   3. equi-join on the cell key, then the exact containment predicate
+  *      filters the per-cell candidates.
+  *
+  * Scale posture: the shuffle is hash-partitioned on cell keys — points
+  * never replicate, zone replication is bounded by ceil(w/cell)*ceil(h/cell)
+  * per zone, and a dense cell is one shuffle partition's worth of work, not
+  * a driver loop. With few zones AQE broadcasts the exploded zone side and
+  * the points never shuffle at all. Containment is CLOSED on both edges
+  * ([xmin,xmax] x [ymin,ymax]): a point on a shared boundary belongs to
+  * both zones, matching the inner-join semantics of the theta-join oracle.
+  */
+object SpatialJoin {
+
+  /** Points (with `xCol`,`yCol`) inner-joined to the zones whose bbox
+    * contains them. Zones: (zone id column(s), xmin, ymin, xmax, ymax).
+    */
+  def pointsInZones(
+      points: DataFrame,
+      zones: DataFrame,
+      cellSize: Double,
+      xCol: String = "x",
+      yCol: String = "y"): DataFrame = {
+    require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    def cell(c: Column): Column = floor(c / lit(cellSize)).cast("long")
+    val p = points
+      .withColumn("_cx", cell(col(xCol)))
+      .withColumn("_cy", cell(col(yCol)))
+    val z = zones
+      .withColumn("_cx", explode(sequence(cell(col("xmin")), cell(col("xmax")))))
+      .withColumn("_cy", explode(sequence(cell(col("ymin")), cell(col("ymax")))))
+    p.join(z, Seq("_cx", "_cy"))
+      .filter(col(xCol) >= col("xmin") && col(xCol) <= col("xmax") &&
+        col(yCol) >= col("ymin") && col(yCol) <= col("ymax"))
+      .drop("_cx", "_cy")
+  }
+
+  /** Per-zone aggregate of a value column: n points, sum, min, max.
+    * (mean = sum/n is derivable; kept out so the output stays exact
+    * integer-friendly for oracle comparison.)
+    */
+  def zonalStats(
+      points: DataFrame,
+      zones: DataFrame,
+      cellSize: Double,
+      valueCol: String,
+      zoneIdCol: String = "zone_id",
+      xCol: String = "x",
+      yCol: String = "y"): DataFrame =
+    pointsInZones(points, zones, cellSize, xCol, yCol)
+      .groupBy(col(zoneIdCol))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col(valueCol)).as("val_sum"),
+        min(col(valueCol)).as("val_min"),
+        max(col(valueCol)).as("val_max"))
+}

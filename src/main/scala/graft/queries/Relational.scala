@@ -650,7 +650,49 @@ object Relational {
       |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       |ORDER BY o_custkey, o_orderkey""".stripMargin
 
+  /** 2-D spatial join (zonal statistics over arbitrary zone rectangles) —
+    * B9's interval-join bucketization lifted to two dimensions via
+    * [[graft.operators.SpatialJoin]]: points keyed by grid cell, zone
+    * bboxes exploded to overlapped cells, equi-join + exact containment.
+    * Synthetic-but-deterministic geometry: coordinates and boxes are
+    * DYADIC rationals (/4, *0.5, *6) derived from integer keys, so every
+    * float is exact in both engines; the value is acctbal in integer
+    * cents (floor(x*100+0.5) — the established cross-engine rounding).
+    */
+  private def q102(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.customer(s, dir).select(
+      ((col("c_custkey") % 128) / lit(4.0)).as("x"),
+      (expr("(c_custkey div 128) % 128") / lit(4.0)).as("y"),
+      expr("CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)").as("v"))
+    val z = Tables.region(s, dir).select(
+      col("r_regionkey").as("zone_id"),
+      (col("r_regionkey") * lit(6.0)).as("xmin"),
+      lit(0.0).as("ymin"),
+      (col("r_regionkey") * lit(6.0) + lit(8.0)).as("xmax"),
+      (lit(0.5) + col("r_regionkey") * lit(0.5)).as("ymax"))
+    graft.operators.SpatialJoin.zonalStats(p, z, cellSize = 4.0, valueCol = "v")
+      .orderBy(col("zone_id"))
+  }
+
+  private val q102Sql =
+    """WITH p AS (
+      |  SELECT (c_custkey % 128) / 4.0 AS x,
+      |    ((c_custkey // 128) % 128) / 4.0 AS y,
+      |    CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS v
+      |  FROM customer
+      |), z AS (
+      |  SELECT r_regionkey AS zone_id, r_regionkey * 6.0 AS xmin,
+      |    0.0 AS ymin, r_regionkey * 6.0 + 8.0 AS xmax,
+      |    0.5 + r_regionkey * 0.5 AS ymax
+      |  FROM region
+      |)
+      |SELECT zone_id, COUNT(*) AS n_points, CAST(SUM(v) AS BIGINT) AS val_sum,
+      |  MIN(v) AS val_min, MAX(v) AS val_max
+      |FROM p JOIN z ON x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
+      |GROUP BY zone_id ORDER BY zone_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q102_zonal_join", q102, Some(q102Sql)),
     QueryDef("q01_scan_filter_project", q01, Some(q01Sql)),
     QueryDef("q02_pricing_summary", q02, Some(q02Sql)),
     QueryDef("q03_join_broadcast_dims", q03, Some(q03Sql)),
