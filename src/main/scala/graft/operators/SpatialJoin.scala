@@ -53,6 +53,45 @@ object SpatialJoin {
       .drop("_cx", "_cy")
   }
 
+  /** Radius self-join — all pairs of points within Euclidean distance
+    * `radius` (the near-neighbor primitive under DBSCAN, stay-point
+    * detection, trajectory co-location). Cell size = radius, so every
+    * qualifying pair sits in the same or an ADJACENT cell: the left side
+    * is exploded to its 3x3 cell neighborhood (constant 9x replication),
+    * the right side keeps its single home cell, and the equi-join on the
+    * cell key bounds candidates to local density — never all-pairs. The
+    * exact predicate compares SQUARED distance (no sqrt: exact arithmetic
+    * on exact inputs, and monotone so the filter is equivalent). Pairs are
+    * emitted once (`idCol` left < right), self-pairs excluded.
+    */
+  def radiusJoin(
+      points: DataFrame,
+      radius: Double,
+      idCol: String = "pid",
+      xCol: String = "x",
+      yCol: String = "y"): DataFrame = {
+    require(radius > 0, s"radius must be positive, got $radius")
+    def cell(c: Column): Column = floor(c / lit(radius)).cast("long")
+    val offsets = Seq(-1L, 0L, 1L)
+    val a = points
+      .select(col(idCol).as("id_a"), col(xCol).as("x_a"), col(yCol).as("y_a"))
+      .withColumn("_dx", explode(typedLit(offsets)))
+      .withColumn("_dy", explode(typedLit(offsets)))
+      .select(col("id_a"), col("x_a"), col("y_a"),
+        (cell(col("x_a")) + col("_dx")).as("_cx"),
+        (cell(col("y_a")) + col("_dy")).as("_cy"))
+    val b = points
+      .select(col(idCol).as("id_b"), col(xCol).as("x_b"), col(yCol).as("y_b"))
+      .withColumn("_cx", cell(col("x_b")))
+      .withColumn("_cy", cell(col("y_b")))
+    val d2 = (col("x_a") - col("x_b")) * (col("x_a") - col("x_b")) +
+      (col("y_a") - col("y_b")) * (col("y_a") - col("y_b"))
+    a.join(b, Seq("_cx", "_cy"))
+      .filter(col("id_a") < col("id_b") && d2 <= lit(radius * radius))
+      .select(col("id_a"), col("id_b"), col("x_a"), col("y_a"),
+        col("x_b"), col("y_b"))
+  }
+
   /** Per-zone aggregate of a value column: n points, sum, min, max.
     * (mean = sum/n is derivable; kept out so the output stays exact
     * integer-friendly for oracle comparison.)

@@ -691,8 +691,41 @@ object Relational {
       |FROM p JOIN z ON x >= xmin AND x <= xmax AND y >= ymin AND y <= ymax
       |GROUP BY zone_id ORDER BY zone_id""".stripMargin
 
+  /** Radius self-join (near-neighbor pairs — the DBSCAN / stay-point
+    * primitive) via [[graft.operators.SpatialJoin.radiusJoin]]: cell size
+    * = radius, left side exploded to its 3x3 neighborhood (constant 9x),
+    * equi-join on the cell key, exact SQUARED-distance predicate. Same
+    * dyadic-rational geometry discipline as q102 (here /4 and /8 offsets,
+    * r = 3/8, r^2 = 9/64 — every comparison exact in both engines).
+    */
+  private def q103(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.customer(s, dir).select(
+      col("c_custkey").as("pid"),
+      ((col("c_custkey") % 64) / lit(4.0) + (col("c_custkey") % 7) / lit(8.0)).as("x"),
+      (expr("(c_custkey div 64) % 64") / lit(4.0) + (col("c_custkey") % 5) / lit(8.0)).as("y"))
+    graft.operators.SpatialJoin.radiusJoin(p, radius = 0.375)
+      .select(col("id_a"), col("id_b"),
+        ((col("x_a") - col("x_b")) * (col("x_a") - col("x_b")) +
+          (col("y_a") - col("y_b")) * (col("y_a") - col("y_b"))).as("dist2"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  private val q103Sql =
+    """WITH p AS (
+      |  SELECT c_custkey AS pid,
+      |    (c_custkey % 64) / 4.0 + (c_custkey % 7) / 8.0 AS x,
+      |    ((c_custkey // 64) % 64) / 4.0 + (c_custkey % 5) / 8.0 AS y
+      |  FROM customer
+      |)
+      |SELECT a.pid AS id_a, b.pid AS id_b,
+      |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+      |FROM p a JOIN p b ON a.pid < b.pid
+      |WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 0.140625
+      |ORDER BY id_a, id_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q102_zonal_join", q102, Some(q102Sql)),
+    QueryDef("q103_radius_join", q103, Some(q103Sql)),
     QueryDef("q01_scan_filter_project", q01, Some(q01Sql)),
     QueryDef("q02_pricing_summary", q02, Some(q02Sql)),
     QueryDef("q03_join_broadcast_dims", q03, Some(q03Sql)),

@@ -67,6 +67,23 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got == Set((1L, 1L), (1L, 2L), (2L, 2L)))
   }
 
+  test("radius join equals brute force; pairs unique; boundary pair included") {
+    for (r <- Seq(0.5, 2.0, 7.0)) {
+      val bruteP = points.as("a").crossJoin(points.as("b"))
+        .filter(col("a.pid") < col("b.pid") &&
+          (col("a.x") - col("b.x")) * (col("a.x") - col("b.x")) +
+            (col("a.y") - col("b.y")) * (col("a.y") - col("b.y")) <= r * r)
+        .select(col("a.pid"), col("b.pid")).as[(Long, Long)].collect()
+      val got = SpatialJoin.radiusJoin(points, r)
+        .select("id_a", "id_b").as[(Long, Long)].collect()
+      assert(got.length == got.distinct.length, s"r=$r emitted duplicate pairs")
+      assert(got.toSet == bruteP.toSet, s"r=$r diverged from brute force")
+    }
+    // pair at EXACTLY the radius (closed predicate), in adjacent cells
+    val p = Seq((1L, 0.75, 0.0, 0L), (2L, 1.75, 0.0, 0L)).toDF("pid", "x", "y", "v")
+    assert(SpatialJoin.radiusJoin(p, 1.0).count() == 1)
+  }
+
   test("raster points feed per-zone sums: direct filter sum equals join sum") {
     // the end-to-end consumer path: GeoTIFF -> points -> per-zone stats
     val tmp = java.nio.file.Files.createTempDirectory("spatial").toString
