@@ -23,7 +23,7 @@ class CatalogSpec extends AnyFunSuite {
   }
 
   test("query names follow the qNN_ naming convention") {
-    val bad = SparkEntry.queries.keys.filterNot(_.matches("q\\d{2}_[a-z0-9_]+"))
+    val bad = SparkEntry.queries.keys.filterNot(_.matches("q\\d{2,3}_[a-z0-9_]+"))
     assert(bad.isEmpty, s"non-conforming names: $bad")
   }
 }
