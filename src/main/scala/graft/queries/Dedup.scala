@@ -478,9 +478,61 @@ object Dedup {
       |WHERE ROUND(list_dot_product(x.emb, y.emb) / (x.nm * y.nm), 4) >= 0.4
       |ORDER BY cluster, vec_a, vec_b""".stripMargin
 
+  /** DBSCAN via [[graft.operators.Dbscan]] (radiusJoin → degree filter →
+    * connected components over core-core edges → border attachment; see
+    * the operator's scaladoc for the stage-by-stage scale argument). The
+    * oracle recomputes the identical semantics with a recursive CTE.
+    * Geometry is q103's dyadic lattice thinned to every 3rd customer so
+    * eps = 0.5, minPts = 4 yields a dozen real clusters plus border and
+    * noise points (not one degenerate blob).
+    */
+  private def q104(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.customer(s, dir).filter(col("c_custkey") % 3 === 0).select(
+      col("c_custkey").as("pid"),
+      ((col("c_custkey") % 64) / lit(4.0) + (col("c_custkey") % 7) / lit(8.0)).as("x"),
+      (expr("(c_custkey div 64) % 64") / lit(4.0) + (col("c_custkey") % 5) / lit(8.0)).as("y"))
+    graft.operators.Dbscan.cluster(p, eps = 0.5, minPts = 4)
+      .orderBy(col("pid"))
+  }
+
+  private val q104Sql =
+    """WITH RECURSIVE p AS (
+      |  SELECT c_custkey AS pid,
+      |    (c_custkey % 64) / 4.0 + (c_custkey % 7) / 8.0 AS x,
+      |    ((c_custkey // 64) % 64) / 4.0 + (c_custkey % 5) / 8.0 AS y
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |), nb AS (
+      |  SELECT a.pid AS src, b.pid AS dst
+      |  FROM p a JOIN p b ON a.pid <> b.pid
+      |  WHERE (a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y) <= 0.25
+      |), deg AS (SELECT src, COUNT(*) AS n FROM nb GROUP BY 1),
+      |core AS (SELECT src AS pid FROM deg WHERE n >= 3),
+      |ce AS (
+      |  SELECT nb.src, nb.dst FROM nb
+      |  JOIN core c1 ON c1.pid = nb.src JOIN core c2 ON c2.pid = nb.dst
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM ce
+      |  UNION
+      |  SELECT e.src, reach.r FROM ce e JOIN reach ON reach.id = e.dst
+      |), comp AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+      |corec AS (
+      |  SELECT c.pid, COALESCE(comp.cluster_id, c.pid) AS cluster_id
+      |  FROM core c LEFT JOIN comp ON comp.id = c.pid
+      |), borderc AS (
+      |  SELECT nb.src AS pid, MIN(cc.cluster_id) AS cluster_id
+      |  FROM nb JOIN corec cc ON cc.pid = nb.dst
+      |  WHERE nb.src NOT IN (SELECT pid FROM core)
+      |  GROUP BY 1
+      |)
+      |SELECT pid, cluster_id, role FROM (
+      |  SELECT pid, cluster_id, 'core' AS role FROM corec
+      |  UNION ALL SELECT pid, cluster_id, 'border' AS role FROM borderc
+      |) ORDER BY pid""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_dup_spans", q100, Some(q100Sql)),
     QueryDef("q101_semantic_dedup", q101, Some(q101Sql)),
+    QueryDef("q104_dbscan", q104, Some(q104Sql)),
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),
     QueryDef("q82_kmeans_assign", q82, Some(q82Sql)),
     QueryDef("q30_minhash_lsh", q30, Some(q30Sql)),
