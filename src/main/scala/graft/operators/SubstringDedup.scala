@@ -48,6 +48,60 @@ import org.apache.spark.sql.functions._
   */
 object SubstringDedup {
 
+  /** The dedup ACTION: every document with its duplicated spans cut out
+    * (Lee et al.'s aggressive mode — all copies removed; pair with a
+    * cluster-representative step to keep one). Output: (doc_id,
+    * clean_text, removed_chars); docs with no duplicated span pass
+    * through unchanged, docs that are duplicated END TO END become the
+    * empty string (a distinct case from "no spans" — the kept-segment
+    * join produces no rows for both, so membership in the span set is
+    * tracked explicitly).
+    *
+    * Stitching is relational: spans → complement segments via lag (the
+    * gap BEFORE each span) plus one terminal segment per doc, then
+    * per-doc ordered concat — collect_list of (start, seg) structs,
+    * array_sort (lexicographic on the leading int), transform to drop the
+    * key, array_join. The per-doc segment list is bounded by span count,
+    * not corpus size, so the collect_list buffer is small and the whole
+    * step stays one hash aggregate.
+    */
+  def excise(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 20,
+      minDocs: Int = 2,
+      hashShuffle: Boolean = false,
+      singlePass: Boolean = true): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val spans = duplicatedSpans(docs, idCol, textCol, k, minDocs, hashShuffle, singlePass)
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
+    val mid = spans
+      .withColumn("prev_end", lag(col("span_end"), 1, 0).over(w))
+      .select(col("doc_id"), (col("prev_end") + 1).as("s"),
+        (col("span_start") - 1).as("e"))
+    val lastSeg = spans.groupBy(col("doc_id"))
+      .agg(max(col("span_end")).as("last_end"))
+      .join(base, "doc_id")
+      .select(col("doc_id"), (col("last_end") + 1).as("s"),
+        length(col("text")).as("e"))
+    val kept = mid.union(lastSeg).filter(col("e") >= col("s"))
+      .join(base, "doc_id")
+      .select(col("doc_id"), col("s"), expr("substr(text, s, e - s + 1)").as("seg"))
+      .groupBy(col("doc_id"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("s"), col("seg")))),
+          x => x.getField("seg")), "").as("kept"))
+    val hasSpan = spans.select(col("doc_id")).distinct()
+      .withColumn("has_span", lit(true))
+    val clean = when(col("has_span").isNull, col("text"))
+      .otherwise(coalesce(col("kept"), lit("")))
+    base.join(hasSpan, Seq("doc_id"), "left")
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), clean.as("clean_text"),
+        (length(col("text")) - length(clean)).as("removed_chars"))
+  }
+
   /** Maximal per-document spans of text duplicated (k-gram-exactly) across
     * >= minDocs distinct documents. Output: (doc_id, span_start, span_end,
     * span_len), 1-based inclusive character positions, ordered.

@@ -529,10 +529,67 @@ object Dedup {
       |  UNION ALL SELECT pid, cluster_id, 'border' AS role FROM borderc
       |) ORDER BY pid""".stripMargin
 
+  /** B19/B29 — the dedup ACTION closing the q100 loop: duplicated spans
+    * EXCISED from every document ([[graft.operators.SubstringDedup.excise]]).
+    * Pure string/integer output — no float parity surface. Fully-duplicated
+    * docs become the empty string (24 such docs at sf0.01), untouched docs
+    * pass through byte-identical.
+    */
+  private def q105(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstringDedup
+      .excise(Tables.documents(s, dir), "doc_id", "text", k = 20)
+      .orderBy(col("doc_id"))
+
+  private val q105Sql =
+    """WITH g AS (
+      |  SELECT d.doc_id, CAST(t.i AS INT) AS pos,
+      |    substr(d.text, CAST(t.i AS INT), 20) AS gram
+      |  FROM documents d
+      |  JOIN generate_series(1, 100000) t(i) ON t.i <= len(d.text) - 19
+      |), dup AS (
+      |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
+      |), p AS (
+      |  SELECT g.doc_id, g.pos,
+      |    CASE WHEN g.pos - LAG(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) > 20
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM g JOIN dup USING (gram)
+      |), isl AS (
+      |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM p
+      |), sp AS (
+      |  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 19 AS span_end
+      |  FROM isl GROUP BY doc_id, grp
+      |), wp AS (
+      |  SELECT doc_id, span_start, span_end,
+      |    COALESCE(LAG(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS prev_end
+      |  FROM sp
+      |), segs AS (
+      |  SELECT doc_id, prev_end + 1 AS s, span_start - 1 AS e FROM wp
+      |  UNION ALL
+      |  SELECT doc_id, MAX(span_end) + 1 AS s,
+      |    (SELECT CAST(len(d.text) AS INT) FROM documents d WHERE d.doc_id = sp.doc_id) AS e
+      |  FROM sp GROUP BY doc_id
+      |), cl AS (
+      |  SELECT segs.doc_id,
+      |    string_agg(substr(d.text, s, e - s + 1), '' ORDER BY s) AS kept
+      |  FROM segs JOIN documents d ON d.doc_id = segs.doc_id
+      |  WHERE e >= s
+      |  GROUP BY segs.doc_id
+      |), hs AS (SELECT DISTINCT doc_id FROM sp)
+      |SELECT d.doc_id,
+      |  CASE WHEN hs.doc_id IS NULL THEN d.text ELSE COALESCE(cl.kept, '') END AS clean_text,
+      |  CAST(len(d.text) - len(CASE WHEN hs.doc_id IS NULL THEN d.text
+      |    ELSE COALESCE(cl.kept, '') END) AS INT) AS removed_chars
+      |FROM documents d
+      |LEFT JOIN hs ON hs.doc_id = d.doc_id
+      |LEFT JOIN cl ON cl.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_dup_spans", q100, Some(q100Sql)),
     QueryDef("q101_semantic_dedup", q101, Some(q101Sql)),
     QueryDef("q104_dbscan", q104, Some(q104Sql)),
+    QueryDef("q105_dup_excise", q105, Some(q105Sql)),
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),
     QueryDef("q82_kmeans_assign", q82, Some(q82Sql)),
     QueryDef("q30_minhash_lsh", q30, Some(q30Sql)),

@@ -95,6 +95,36 @@ class SubstringDedupSpec extends SparkSpec {
         s"hashShuffle=$hs singlePass=$sp diverged")
   }
 
+  test("excise removes exactly the spans: unchanged, partial, and total cases") {
+    val docs = Seq(
+      (1L, "AAA(" + shared + ")with an unrelated ending here"),
+      (2L, "BBBBBB[" + shared + "]totally different tail text"),
+      (3L, "no twenty character run of this text appears anywhere else at all"),
+      (4L, shared), // duplicated end to end -> empty
+      (5L, shared)
+    ).toDF("doc_id", "text")
+    val got = SubstringDedup.excise(docs, "doc_id", "text")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == (("AAA()with an unrelated ending here", shared.length)))
+    assert(got(2L) == (("BBBBBB[]totally different tail text", shared.length)))
+    assert(got(3L)._2 == 0 && got(3L)._1.startsWith("no twenty"))
+    assert(got(4L) == (("", shared.length)))
+    assert(got(5L) == (("", shared.length)))
+  }
+
+  test("excise stitches multiple spans per doc in order") {
+    val s2 = "another repeated phrase shared across documents"
+    // tails differ from their FIRST character — a shared tail prefix would
+    // legitimately extend the second span into it
+    val d1 = shared + "xxxxxxxxxxxxxxxxxxxxxxxxxxxxxx" + s2 + "1-tail-one"
+    val d2 = shared + "yyyyyyyyyyyyyyyyyyyyyyyyyyyyyy" + s2 + "2-tail-two"
+    val docs = Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+    val got = SubstringDedup.excise(docs, "doc_id", "text")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) == "x" * 30 + "1-tail-one")
+    assert(got(2L) == "y" * 30 + "2-tail-two")
+  }
+
   test("minDocs threshold: a phrase in two docs vanishes at minDocs = 3") {
     val docs = Seq(
       (1L, shared + " one"), (2L, shared + " two"),
