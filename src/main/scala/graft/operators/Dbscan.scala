@@ -34,8 +34,13 @@ object Dbscan {
       xCol: String = "x",
       yCol: String = "y"): DataFrame = {
     require(minPts >= 2, s"minPts must be >= 2, got $minPts")
+    // the explode-heavy spatial join is consumed by several downstream
+    // actions (connectedComponents' size probe and rounds, the final
+    // collect's corec + borderc branches) — materialize it once; cross-
+    // ACTION exchange reuse does not exist, so without this the join
+    // re-executes 3-4x
     val pairs = SpatialJoin.radiusJoin(points, eps, idCol, xCol, yCol)
-      .select("id_a", "id_b")
+      .select("id_a", "id_b").localCheckpoint()
     val nb = pairs.union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst")
     val core = nb.groupBy(col("src")).agg(count(lit(1)).as("n"))

@@ -74,7 +74,12 @@ object SubstringDedup {
       hashShuffle: Boolean = false,
       singlePass: Boolean = true): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val spans = duplicatedSpans(docs, idCol, textCol, k, minDocs, hashShuffle, singlePass)
+    // spans feed three branches (mid, lastSeg, hasSpan); materialize the
+    // expensive gram-explode/window pipeline once — the span list is tiny
+    // relative to the corpus. `base` is deliberately NOT cached: its three
+    // references are column-pruned scans, the right trade at corpus scale.
+    val spans = duplicatedSpans(docs, idCol, textCol, k, minDocs,
+      hashShuffle, singlePass).localCheckpoint()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
     val mid = spans
       .withColumn("prev_end", lag(col("span_end"), 1, 0).over(w))
@@ -105,6 +110,12 @@ object SubstringDedup {
   /** Maximal per-document spans of text duplicated (k-gram-exactly) across
     * >= minDocs distinct documents. Output: (doc_id, span_start, span_end,
     * span_len), 1-based inclusive character positions, ordered.
+    *
+    * NOTE: `singlePass` only applies when `minDocs == 2` — the min!=max
+    * window trick cannot express a distinct-count threshold, so minDocs > 2
+    * always takes the two-pass groupBy+join strategy regardless of the
+    * flag (plan-shape expectations like q100's no-join audit hold only for
+    * the default minDocs).
     */
   def duplicatedSpans(
       docs: DataFrame,

@@ -390,11 +390,14 @@ object Dedup {
       .orderBy(col("doc_id"), col("span_start"))
 
   private val q100Sql =
-    """WITH g AS (
-      |  SELECT d.doc_id, CAST(t.i AS INT) AS pos,
-      |    substr(d.text, CAST(t.i AS INT), 20) AS gram
-      |  FROM documents d
-      |  JOIN generate_series(1, 100000) t(i) ON t.i <= len(d.text) - 19
+    """WITH g0 AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, CAST(len(text) AS INT) - 19)) AS pos0
+      |  FROM documents WHERE len(text) >= 20
+      |), g AS (
+      |  SELECT doc_id, CAST(pos0 AS INT) AS pos,
+      |    substr(text, CAST(pos0 AS INT), 20) AS gram
+      |  FROM g0
       |), dup AS (
       |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
       |), p AS (
@@ -541,11 +544,14 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   private val q105Sql =
-    """WITH g AS (
-      |  SELECT d.doc_id, CAST(t.i AS INT) AS pos,
-      |    substr(d.text, CAST(t.i AS INT), 20) AS gram
-      |  FROM documents d
-      |  JOIN generate_series(1, 100000) t(i) ON t.i <= len(d.text) - 19
+    """WITH g0 AS (
+      |  SELECT doc_id, text,
+      |    unnest(generate_series(1, CAST(len(text) AS INT) - 19)) AS pos0
+      |  FROM documents WHERE len(text) >= 20
+      |), g AS (
+      |  SELECT doc_id, CAST(pos0 AS INT) AS pos,
+      |    substr(text, CAST(pos0 AS INT), 20) AS gram
+      |  FROM g0
       |), dup AS (
       |  SELECT gram FROM g GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2
       |), p AS (
