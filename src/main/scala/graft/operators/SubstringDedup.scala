@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -72,14 +72,15 @@ object SubstringDedup {
       k: Int = 20,
       minDocs: Int = 2,
       hashShuffle: Boolean = false,
-      singlePass: Boolean = true): DataFrame = {
+      singlePass: Boolean = true,
+      maxGramFreq: Int = 0): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // spans feed three branches (mid, lastSeg, hasSpan); materialize the
     // expensive gram-explode/window pipeline once — the span list is tiny
     // relative to the corpus. `base` is deliberately NOT cached: its three
     // references are column-pruned scans, the right trade at corpus scale.
     val spans = duplicatedSpans(docs, idCol, textCol, k, minDocs,
-      hashShuffle, singlePass).localCheckpoint()
+      hashShuffle, singlePass, maxGramFreq).localCheckpoint()
     val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
     val mid = spans
       .withColumn("prev_end", lag(col("span_end"), 1, 0).over(w))
@@ -116,6 +117,14 @@ object SubstringDedup {
     * always takes the two-pass groupBy+join strategy regardless of the
     * flag (plan-shape expectations like q100's no-join audit hold only for
     * the default minDocs).
+    *
+    * `maxGramFreq` (disabled when <= 0) drops grams occurring more than
+    * that many times corpus-wide BEFORE span formation — the
+    * `MinHashLSH.maxBucket` guard transplanted: at 100 TB a degenerate
+    * near-constant gram (a run of spaces, a boilerplate line) would
+    * otherwise concentrate one straggler group. Capped grams are treated
+    * as NOT duplicated, so spans can shrink or split — a documented
+    * recall trade, same as maxBucket's.
     */
   def duplicatedSpans(
       docs: DataFrame,
@@ -124,7 +133,8 @@ object SubstringDedup {
       k: Int = 20,
       minDocs: Int = 2,
       hashShuffle: Boolean = false,
-      singlePass: Boolean = true): DataFrame = {
+      singlePass: Boolean = true,
+      maxGramFreq: Int = 0): DataFrame = {
     require(k >= 1, s"gram length must be positive, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val base = docs
@@ -140,13 +150,16 @@ object SubstringDedup {
     // a gram occurs in >= 2 distinct docs iff min(doc_id) != max(doc_id) —
     // min/max are both window-able (single pass) and map-side combinable
     // (two-pass), where count_distinct is neither.
+    val freqOk: Column => Column = cnt =>
+      if (maxGramFreq > 0) cnt <= maxGramFreq else lit(true)
     val marked =
       if (singlePass && minDocs == 2) {
         val wG = Window.partitionBy(col("gram"))
         grams
           .withColumn("lo", min(col("doc_id")).over(wG))
           .withColumn("hi", max(col("doc_id")).over(wG))
-          .filter(col("lo") =!= col("hi"))
+          .withColumn("cnt", count(lit(1)).over(wG))
+          .filter(col("lo") =!= col("hi") && freqOk(col("cnt")))
           .select(col("doc_id"), col("pos"))
       } else {
         // co-partition on gram: the aggregate inherits this exchange and
@@ -156,13 +169,15 @@ object SubstringDedup {
         val dup =
           if (minDocs == 2)
             parted.groupBy(col("gram"))
-              .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
-              .filter(col("lo") =!= col("hi"))
+              .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"),
+                count(lit(1)).as("cnt"))
+              .filter(col("lo") =!= col("hi") && freqOk(col("cnt")))
               .select(col("gram"))
           else
             parted.groupBy(col("gram"))
-              .agg(count_distinct(col("doc_id")).as("nd"))
-              .filter(col("nd") >= minDocs)
+              .agg(count_distinct(col("doc_id")).as("nd"),
+                count(lit(1)).as("cnt"))
+              .filter(col("nd") >= minDocs && freqOk(col("cnt")))
               .select(col("gram"))
         parted.join(dup, "gram")
           .select(col("doc_id"), col("pos"))

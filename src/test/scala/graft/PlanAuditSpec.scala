@@ -116,6 +116,13 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q103: radius join is a key-equality join on cells, never a product") {
+    val p = finalPlan("q103_radius_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
+      || p.contains("ShuffledHashJoin"), p)
+  }
+
   test("q101: semantic dedup joins on the cluster key, centroids broadcast") {
     val p = finalPlan("q101_semantic_dedup")
     // within-cluster pairing must be a key-equality join on cluster id,

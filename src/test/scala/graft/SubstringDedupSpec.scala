@@ -125,6 +125,26 @@ class SubstringDedupSpec extends SparkSpec {
     assert(got(2L) == "y" * 30 + "2-tail-two")
   }
 
+  test("maxGramFreq drops degenerate mega-grams in both strategies, keeps real dups") {
+    // 60 docs all containing the same boilerplate line (the degenerate
+    // gram family), 2 docs sharing a genuine sentence
+    val boiler = "=== START OF BOILERPLATE HEADER LINE ==="
+    // the char straight after the boilerplate is UNIQUE per doc, so no
+    // gram crossing the boundary is shared by any two docs
+    val docs = ((1 to 60).map(i => (i.toLong,
+      boiler + (160 + i).toChar + s"filler-$i-" + ("z" + i.toString) * 8)) ++
+      Seq((101L, "PRE(" + shared + ")one"), (102L, "QQQQ[" + shared + "]two"))).toDF("doc_id", "text")
+    for (sp <- Seq(true, false)) {
+      val capped = SubstringDedup.duplicatedSpans(docs, "doc_id", "text",
+        k = 20, singlePass = sp, maxGramFreq = 50)
+        .as[(Long, Int, Int, Int)].collect()
+      // boilerplate grams occur 60x > cap -> their spans vanish entirely
+      assert(!capped.exists(_._1 <= 60L), s"singlePass=$sp kept capped spans")
+      // the 2-doc genuine duplicate survives untouched
+      assert(capped.count(r => r._1 == 101L || r._1 == 102L) == 2, s"singlePass=$sp")
+    }
+  }
+
   test("minDocs threshold: a phrase in two docs vanishes at minDocs = 3") {
     val docs = Seq(
       (1L, shared + " one"), (2L, shared + " two"),
