@@ -1,12 +1,13 @@
 package graft
 
-import graft.operators.{Ann, DedupClusters, MinHashLSH, Vec}
+import graft.operators.{Ann, DedupClusters, MinHashLSH, SubstringDedup, Vec}
 import graft.queries.Curation
 import org.apache.spark.sql.functions._
 
 /** END-TO-END capstone: the stages a real corpus operator runs, composed
   * through the library's PUBLIC API on the real testdata — JSONL ingestion,
-  * LSH near-dup dedup to a survivor set, the living bucketed table
+  * exact duplicated-substring excision (Lee et al.-style, acting before the
+  * fuzzier near-dup pass), LSH near-dup dedup to a survivor set, the living bucketed table
   * (upsert → delete → compact), incrementally maintained stats,
   * train/val/test sharding, and the growing embedding index. Every stage is
   * unit-tested elsewhere; this spec proves they COMPOSE: each stage
@@ -28,17 +29,29 @@ class PipelineSpec extends SparkSpec {
     val nRaw = ingested.count()
     assert(nRaw == docs.count())
 
+    // 1b — exact substring dedup ACTS first: duplicated spans excised so
+    // verbatim boilerplate cannot glue otherwise-distinct docs together in
+    // the fuzzier near-dup stage; fully-excised docs (nothing original
+    // left) drop out of the corpus here
+    val excised = SubstringDedup.excise(ingested, "doc_id", "text", k = 20)
+    assert(excised.count() == nRaw, "excise must emit every input doc")
+    val removed = excised.agg(sum(col("removed_chars"))).as[Long].head()
+    assert(removed > 0, "synthetic corpus is heavily duplicated; none removed")
+    val cleanDocs = ingested.drop("text")
+      .join(excised.filter(length(col("clean_text")) > 0)
+        .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
+
     // 2 — near-dup dedup: LSH candidates → exact-Jaccard verify → connected
     // components → keep the smallest doc_id per cluster
     val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1)
-    val candidates = lsh.candidatePairs(ingested, "doc_id", "text", maxBucket = 200)
-    val pairs = lsh.verifyJaccard(candidates, ingested, "doc_id", "text")
+    val candidates = lsh.candidatePairs(cleanDocs, "doc_id", "text", maxBucket = 200)
+    val pairs = lsh.verifyJaccard(candidates, cleanDocs, "doc_id", "text")
       .filter(col("jaccard") >= 0.6)
       .select(col("id_a"), col("id_b"))
-    val assign = DedupClusters.clusterAssignments(ingested, "doc_id", pairs)
+    val assign = DedupClusters.clusterAssignments(cleanDocs, "doc_id", pairs)
     val keep = assign.groupBy(col("cluster_id"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val survivors = ingested.join(keep, "doc_id")
+    val survivors = cleanDocs.join(keep, "doc_id")
     val nSurv = survivors.count()
     assert(nSurv > 0 && nSurv <= nRaw)
 
