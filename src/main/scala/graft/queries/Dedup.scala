@@ -591,8 +591,64 @@ object Dedup {
       |LEFT JOIN cl ON cl.doc_id = d.doc_id
       |ORDER BY d.doc_id""".stripMargin
 
+  /** B19/B29 — WINNOWED substring dedup (Schleimer et al. 2003), the
+    * sub-linear scale path beside q100's exhaustive form: each w=8 window
+    * contributes only its min-hash gram (rightmost tie-break via the
+    * order-free `hash*4096+(4095-pos)` key), ~2/(w+1) of the positions
+    * shuffle, and any duplicated run >= w+k-1 = 27 chars is still
+    * guaranteed detected. The 48-bit md5 parity hash is computed
+    * IDENTICALLY by DuckDB, so unlike most sampled algorithms this one is
+    * fully oracle-checked — the fingerprint choice is bit-reproducible
+    * across engines.
+    */
+  private def q106(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SubstringDedup
+      .winnowedSpans(Tables.documents(s, dir), "doc_id", "text", k = 20, w = 8,
+        oracleParityHash = true)
+      .orderBy(col("doc_id"), col("span_start"))
+
+  private val q106Sql =
+    """WITH g0 AS (
+      |  SELECT doc_id, text, CAST(len(text) AS INT) - 19 AS npos,
+      |    unnest(generate_series(1, CAST(len(text) AS INT) - 19)) AS pos0
+      |  FROM documents WHERE len(text) >= 20
+      |), g AS (
+      |  SELECT doc_id, npos, CAST(pos0 AS INT) AS pos,
+      |    ('0x' || substr(md5(substr(text, CAST(pos0 AS INT), 20)), 1, 12))::BIGINT * 4096
+      |      + (4095 - CAST(pos0 AS INT)) AS key
+      |  FROM g0
+      |), wm AS (
+      |  SELECT doc_id, npos, pos,
+      |    MIN(key) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+      |  FROM g
+      |), fp AS (
+      |  SELECT DISTINCT doc_id,
+      |    CAST(4095 - (wmin % 4096) AS INT) AS pos,
+      |    wmin // 4096 AS gh
+      |  FROM wm WHERE pos <= npos - 7
+      |), mk AS (
+      |  SELECT doc_id, pos FROM (
+      |    SELECT doc_id, pos,
+      |      MIN(doc_id) OVER (PARTITION BY gh) AS lo,
+      |      MAX(doc_id) OVER (PARTITION BY gh) AS hi
+      |    FROM fp)
+      |  WHERE lo <> hi
+      |), isl AS (
+      |  SELECT doc_id, pos, SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      |  FROM (SELECT doc_id, pos,
+      |      CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 27
+      |           THEN 1 ELSE 0 END AS brk
+      |    FROM mk)
+      |)
+      |SELECT doc_id, MIN(pos) AS span_start, CAST(MAX(pos) + 19 AS INT) AS span_end,
+      |  CAST(MAX(pos) + 20 - MIN(pos) AS INT) AS span_len
+      |FROM isl GROUP BY doc_id, grp
+      |ORDER BY doc_id, span_start""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_dup_spans", q100, Some(q100Sql)),
+    QueryDef("q106_winnow_spans", q106, Some(q106Sql)),
     QueryDef("q101_semantic_dedup", q101, Some(q101Sql)),
     QueryDef("q104_dbscan", q104, Some(q104Sql)),
     QueryDef("q105_dup_excise", q105, Some(q105Sql)),

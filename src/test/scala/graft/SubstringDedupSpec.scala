@@ -145,6 +145,45 @@ class SubstringDedupSpec extends SparkSpec {
     }
   }
 
+  test("winnowing: long duplicated runs always detected, spans stay inside real duplication") {
+    val rng = new scala.util.Random(11)
+    // shared phrase comfortably above the w+k-1 = 27 guarantee threshold
+    val longShared = shared + " and this continuation pushes it well past the winnowing bound"
+    val docs = (1 to 20).map { i =>
+      val pre = s"<$i>" + rng.alphanumeric.take(10 + rng.nextInt(20)).mkString
+      val post = rng.alphanumeric.take(15).mkString + s"</$i>"
+      (i.toLong, pre + longShared + post)
+    }.toDF("doc_id", "text")
+    val exact = spans(docs)
+    val exactByDoc = exact.groupBy(_._1)
+    // both hash modes (production xxhash64 and the md5 oracle-parity form)
+    // must satisfy the guarantee and soundness — fingerprint CHOICES
+    // differ between them, the properties must not
+    for (parity <- Seq(false, true)) {
+      val winnowed = SubstringDedup.winnowedSpans(docs, "doc_id", "text",
+        k = 20, w = 8, oracleParityHash = parity)
+        .as[(Long, Int, Int, Int)].collect()
+      // guarantee: every doc's long duplication is found
+      assert(winnowed.map(_._1).distinct.length == 20,
+        s"winnowing (parity=$parity) missed a doc")
+      // soundness: every winnowed span sits inside SOME exact span
+      // (selected fingerprints are real duplicated grams; islands never
+      // bridge beyond the exact form's merge distance plus the winnow gap)
+      winnowed.foreach { case (d, s, e, _) =>
+        assert(exactByDoc(d).exists { case (_, es, ee, _) => s >= es && e <= ee },
+          s"winnowed span ($d,$s,$e) parity=$parity escapes every exact span")
+      }
+    }
+  }
+
+  test("winnowing rejects docs beyond the 12-bit position encoding") {
+    val docs = Seq((1L, "x" * 5000), (2L, "y" * 30)).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      SubstringDedup.winnowedSpans(docs, "doc_id", "text")
+    }
+    assert(e.getMessage.contains("split longer documents"))
+  }
+
   test("minDocs threshold: a phrase in two docs vanishes at minDocs = 3") {
     val docs = Seq(
       (1L, shared + " one"), (2L, shared + " two"),
