@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** EXACT set-similarity join with prefix filtering — the PPJoin family
+  * (Chaudhuri et al. 2006; Xiao et al. 2011), the deterministic
+  * counterpart to [[MinHashLSH]]: where LSH trades recall for speed
+  * probabilistically, prefix filtering has a THEOREM — two token sets with
+  * Jaccard >= t must share at least one token among each side's first
+  * `|s| - ceil(t*|s|) + 1` tokens when both sets are ordered by ascending
+  * global document frequency. Candidates come from an equi-join on those
+  * prefix tokens only; exact Jaccard verification then removes false
+  * positives, and the theorem guarantees zero false negatives.
+  *
+  * Scale posture: the candidate join is keyed on prefix TOKENS — the
+  * rarest tokens of each document by construction, so on Zipf-distributed
+  * real corpora each join key touches few documents and the candidate set
+  * is a tiny fraction of all-pairs (the spec demonstrates >5x pruning on
+  * a Zipfian corpus; this repo's 30-word synthetic vocabulary is the
+  * documented adversarial case where no prefix is rare, just as DESIGN §2
+  * notes for unigram LSH). Ordering tokens by (df, token) makes the
+  * prefix deterministic, so the whole operator is oracle-checkable.
+  */
+object SetSimilarityJoin {
+
+  private def tokenSets(docs: DataFrame, idCol: String, textCol: String) =
+    docs.select(col(idCol).as("id"),
+      array_distinct(split(col(textCol), " ")).as("s"))
+
+  /** Distinct candidate pairs (id_a < id_b) sharing >= 1 prefix token. */
+  def prefixCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val toks = tokenSets(docs, idCol, textCol)
+      .select(col("id"), explode(col("s")).as("t"))
+    val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("id"))
+    val ranked = toks.join(freq, "t")
+      .withColumn("rn", row_number().over(wDoc.orderBy(col("df"), col("t"))))
+      .withColumn("sz", count(lit(1)).over(wDoc))
+    val prefix = ranked
+      .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("t"))
+    prefix.select(col("id").as("id_a"), col("t"))
+      .join(prefix.select(col("id").as("id_b"), col("t")), "t")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+  }
+
+  /** The full join: candidates verified by exact Jaccard >= threshold.
+    * Output (id_a, id_b, jaccard), jaccard rounded to 4 places (the
+    * repo's cross-engine comparison convention).
+    */
+  def join(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double): DataFrame = {
+    val sets = tokenSets(docs, idCol, textCol)
+    prefixCandidates(docs, idCol, textCol, threshold)
+      .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
+          size(array_union(col("s_a"), col("s_b"))), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+}

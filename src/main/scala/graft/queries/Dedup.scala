@@ -646,9 +646,56 @@ object Dedup {
       |FROM isl GROUP BY doc_id, grp
       |ORDER BY doc_id, span_start""".stripMargin
 
+  /** B20 — EXACT set-similarity join via prefix filtering
+    * ([[graft.operators.SetSimilarityJoin]], PPJoin family): the
+    * deterministic complement to MinHash — candidates share a token in the
+    * rarest-first prefix of length |s|−ceil(t·|s|)+1, exact-Jaccard
+    * verified, zero false negatives by theorem. Bounded corpus like the
+    * other pairwise oracles (this synthetic vocabulary is the documented
+    * adversarial no-pruning case; the Zipfian pruning claim is spec-proven
+    * in SetSimilarityJoinSpec).
+    */
+  private def q107(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SetSimilarityJoin
+      .join(Tables.documents(s, dir).filter(col("doc_id") < 150),
+        "doc_id", "text", threshold = 0.7)
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  private val q107Sql =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS t
+      |  FROM documents WHERE doc_id < 150
+      |), freq AS (
+      |  SELECT t, COUNT(*) AS df FROM tok GROUP BY 1
+      |), ranked AS (
+      |  SELECT tok.doc_id, tok.t,
+      |    ROW_NUMBER() OVER (PARTITION BY tok.doc_id ORDER BY f.df, tok.t) AS rn,
+      |    COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
+      |  FROM tok JOIN freq f ON f.t = tok.t
+      |), prefix AS (
+      |  SELECT doc_id, t FROM ranked WHERE rn <= sz - CEIL(0.7 * sz) + 1
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM prefix a JOIN prefix b ON a.t = b.t AND a.doc_id < b.doc_id
+      |), sets AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      |  FROM documents WHERE doc_id < 150
+      |)
+      |SELECT c.doc_a, c.doc_b,
+      |  ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+      |FROM cand c
+      |JOIN sets sa ON sa.doc_id = c.doc_a
+      |JOIN sets sb ON sb.doc_id = c.doc_b
+      |WHERE ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.7
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q100_dup_spans", q100, Some(q100Sql)),
     QueryDef("q106_winnow_spans", q106, Some(q106Sql)),
+    QueryDef("q107_prefix_join", q107, Some(q107Sql)),
     QueryDef("q101_semantic_dedup", q101, Some(q101Sql)),
     QueryDef("q104_dbscan", q104, Some(q104Sql)),
     QueryDef("q105_dup_excise", q105, Some(q105Sql)),
