@@ -34,11 +34,15 @@ object SetSimilarityJoin {
       docs: DataFrame,
       idCol: String,
       textCol: String,
+      threshold: Double): DataFrame =
+    candidatesFromSets(tokenSets(docs, idCol, textCol), threshold)
+
+  private def candidatesFromSets(
+      sets: DataFrame,
       threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
-    val toks = tokenSets(docs, idCol, textCol)
-      .select(col("id"), explode(col("s")).as("t"))
+    val toks = sets.select(col("id"), explode(col("s")).as("t"))
     val freq = toks.groupBy(col("t")).agg(count(lit(1)).as("df"))
     val wDoc = Window.partitionBy(col("id"))
     val ranked = toks.join(freq, "t")
@@ -63,8 +67,12 @@ object SetSimilarityJoin {
       idCol: String,
       textCol: String,
       threshold: Double): DataFrame = {
+    // tokenize ONCE and derive candidates + both verification sides from
+    // the same frame — not checkpointed, because the token-set frame is
+    // corpus-sized (re-running a pruned scan beats materializing it; the
+    // small-frame checkpoint pattern of Dbscan/excise does not apply)
     val sets = tokenSets(docs, idCol, textCol)
-    prefixCandidates(docs, idCol, textCol, threshold)
+    candidatesFromSets(sets, threshold)
       .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .select(col("id_a"), col("id_b"),

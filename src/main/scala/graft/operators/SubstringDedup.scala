@@ -73,6 +73,15 @@ object SubstringDedup {
     * fingerprints inside one contiguous duplicated run are at most w-1
     * positions apart, plus the k-1 gram overlap), and spans are reported
     * in gram-position space like [[duplicatedSpans]].
+    *
+    * APPROXIMATION CONTRACT: every span endpoint is a genuinely
+    * duplicated gram (fingerprints are real duplicated grams), but the
+    * wider merge gap means a winnowed span may BRIDGE two exact spans
+    * separated by a non-duplicated gap of k+1..k+w-1 positions,
+    * enclosing that gap's original text. Winnowed spans are therefore a
+    * detection/reporting result (equal to [[duplicatedSpans]] re-merged
+    * at gap k+w-1, restricted to selected fingerprints); to EXCISE text,
+    * use [[excise]]/[[duplicatedSpans]], which never over-cut.
     */
   def winnowedSpans(
       docs: DataFrame,
@@ -88,12 +97,17 @@ object SubstringDedup {
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= k)
+    // the 12-bit position-encoding cap is enforced IN the plan (raise_error
+    // on the npos expression every row consumes) — an eager pre-scan here
+    // would cost a full extra pass over the corpus per call
     val maxLen = 4095 + k - 1
-    val tooLong = base.filter(length(col("text")) > maxLen).limit(1).count()
-    require(tooLong == 0,
-      s"winnowedSpans position encoding supports docs up to $maxLen chars; " +
-        "split longer documents first (chunking keeps the guarantee when " +
-        s"chunks overlap by >= ${w + k - 2} chars)")
+    val nposGuarded = when(length(col("text")) <= maxLen,
+      length(col("text")) - (k - 1))
+      .otherwise(raise_error(concat(
+        lit(s"winnowedSpans position encoding supports docs up to $maxLen " +
+          "chars (split longer documents first; chunks overlapping by >= " +
+          s"${w + k - 2} chars keep the guarantee); got length "),
+        length(col("text")).cast("string"))).cast("int"))
     // hash choice mirrors MinHashLSH.oracleParityHash: md5-derived 48 bits
     // reproduce bit-identically in DuckDB (the oracle form); xxhash64
     // masked to 48 bits is ~1.8x faster end-to-end and is the production
@@ -105,8 +119,7 @@ object SubstringDedup {
         conv(substring(md5(gramExpr), 1, 12), 16, 10).cast("long")
       else pmod(xxhash64(gramExpr), lit(1L << 48))
     val grams = base
-      .select(col("doc_id"), col("text"),
-        (length(col("text")) - (k - 1)).as("npos"),
+      .select(col("doc_id"), col("text"), nposGuarded.as("npos"),
         explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
       .select(col("doc_id"), col("npos"), col("pos"),
         (gh48 * lit(4096L) + (lit(4095) - col("pos"))).as("key"))
@@ -121,16 +134,36 @@ object SubstringDedup {
         (lit(4095) - (col("wmin") % 4096)).cast("int").as("pos"),
         expr("wmin div 4096").as("gh")) // div: `/` on longs is DOUBLE division
       .distinct()
-    val wG = Window.partitionBy(col("gh"))
-    val marked = fingerprints
-      .withColumn("lo", min(col("doc_id")).over(wG))
-      .withColumn("hi", max(col("doc_id")).over(wG))
-      .filter(col("lo") =!= col("hi"))
-      .select(col("doc_id"), col("pos"))
+    val marked =
+      if (minDocs == 2) {
+        val wG = Window.partitionBy(col("gh"))
+        fingerprints
+          .withColumn("lo", min(col("doc_id")).over(wG))
+          .withColumn("hi", max(col("doc_id")).over(wG))
+          .filter(col("lo") =!= col("hi"))
+          .select(col("doc_id"), col("pos"))
+      } else {
+        // a distinct-count threshold is not window-able (duplicatedSpans'
+        // same caveat); the fingerprint frame is already winnowed small,
+        // so the aggregate+join detour is cheap here
+        val dup = fingerprints.groupBy(col("gh"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs)
+          .select(col("gh"))
+        fingerprints.join(dup, "gh").select(col("doc_id"), col("pos"))
+      }
+    islandsToSpans(marked, k, gap = k + w - 1)
+  }
+
+  /** Gaps-and-islands span assembly shared by the exhaustive and winnowed
+    * forms: positions with consecutive gaps <= `gap` merge into one
+    * maximal span `[min pos, max pos + k - 1]`.
+    */
+  private def islandsToSpans(marked: DataFrame, k: Int, gap: Int): DataFrame = {
     val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     marked
       .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(wOrd) > k + w - 1, 1).otherwise(0))
+        when(col("pos") - lag(col("pos"), 1).over(wOrd) > gap, 1).otherwise(0))
       .withColumn("grp", sum(col("brk"))
         .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("doc_id"), col("grp"))
@@ -274,16 +307,6 @@ object SubstringDedup {
         parted.join(dup, "gram")
           .select(col("doc_id"), col("pos"))
       }
-    val wOrd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    marked
-      .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(wOrd) > k, 1).otherwise(0))
-      .withColumn("grp", sum(col("brk"))
-        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy(col("doc_id"), col("grp"))
-      .agg(min(col("pos")).as("span_start"),
-        (max(col("pos")) + lit(k - 1)).as("span_end"))
-      .withColumn("span_len", col("span_end") - col("span_start") + 1)
-      .select(col("doc_id"), col("span_start"), col("span_end"), col("span_len"))
+    islandsToSpans(marked, k, gap = k)
   }
 }
