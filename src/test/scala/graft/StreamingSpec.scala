@@ -397,6 +397,32 @@ class StreamingSpec extends SparkSpec {
     assert(last(2L) == UserStats(2L, 3, 13.0))
   }
 
+  test("streaming geofence: the BATCH spatial join runs unchanged stream-static") {
+    // SpatialJoin.pointsInZones is pure stateless composition (project +
+    // explode + equi-join + filter), so a streaming point feed against
+    // static zones needs no wrapper, no watermark, and no state store —
+    // this test pins that claim
+    implicit val sqlCtx = spark.sqlContext
+    val zones = Seq(
+      (1L, 0.0, 0.0, 10.0, 10.0),
+      (2L, 20.0, 20.0, 30.0, 30.0)).toDF("zone_id", "xmin", "ymin", "xmax", "ymax")
+    val input = MemoryStream[(Long, Double, Double)]
+    val pts = input.toDF().toDF("pid", "x", "y")
+    val q = graft.operators.SpatialJoin.pointsInZones(pts, zones, cellSize = 8.0)
+      .select("pid", "zone_id")
+      .writeStream.format("memory").queryName("t_geofence")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(Seq((1L, 5.0, 5.0), (2L, 25.0, 25.0), (3L, 50.0, 50.0)))
+      q.processAllAvailable()
+      input.addData(Seq((4L, 9.5, 0.5), (5L, 15.0, 15.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("t_geofence").as[(Long, Long)].collect().toSet
+    // in-zone points match their zone across batches; out-of-zone never emit
+    assert(got == Set((1L, 1L), (2L, 2L), (4L, 1L)))
+  }
+
   private implicit class MapOps(rows: Array[(Double, Long, Double)]) {
     def toMap2: Map[Double, (Long, Double)] =
       rows.map { case (k, a, b) => k -> ((a, b)) }.toMap
