@@ -50,10 +50,15 @@ object SetSimilarityJoin {
       .withColumn("sz", count(lit(1)).over(wDoc))
     val prefix = ranked
       .filter(col("rn") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("id"), col("t"))
-    prefix.select(col("id").as("id_a"), col("t"))
-      .join(prefix.select(col("id").as("id_b"), col("t")), "t")
-      .filter(col("id_a") < col("id_b"))
+      .select(col("id"), col("t"), col("sz"))
+    // PPJoin's length filter: J >= t forces min(|a|,|b|) >= t*max(|a|,|b|)
+    // (J <= |a|/|b| when |a| <= |b|), so size-incompatible pairs are
+    // pruned before the distinct — completeness is untouched by theorem
+    prefix.select(col("id").as("id_a"), col("t"), col("sz").as("sz_a"))
+      .join(prefix.select(col("id").as("id_b"), col("t"), col("sz").as("sz_b")), "t")
+      .filter(col("id_a") < col("id_b") &&
+        col("sz_a").cast("double") >= lit(threshold) * col("sz_b") &&
+        col("sz_b").cast("double") >= lit(threshold) * col("sz_a"))
       .select(col("id_a"), col("id_b"))
       .distinct()
   }

@@ -674,10 +674,11 @@ object Dedup {
       |    COUNT(*) OVER (PARTITION BY tok.doc_id) AS sz
       |  FROM tok JOIN freq f ON f.t = tok.t
       |), prefix AS (
-      |  SELECT doc_id, t FROM ranked WHERE rn <= sz - CEIL(0.7 * sz) + 1
+      |  SELECT doc_id, t, sz FROM ranked WHERE rn <= sz - CEIL(0.7 * sz) + 1
       |), cand AS (
       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       |  FROM prefix a JOIN prefix b ON a.t = b.t AND a.doc_id < b.doc_id
+      |    AND a.sz >= 0.7 * b.sz AND b.sz >= 0.7 * a.sz
       |), sets AS (
       |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
       |  FROM documents WHERE doc_id < 150
