@@ -32,20 +32,39 @@ object SpatialJoin {
 
   /** Points (with `xCol`,`yCol`) inner-joined to the zones whose bbox
     * contains them. Zones: (zone id column(s), xmin, ymin, xmax, ymax).
+    *
+    * `maxCellsPerZone` (default 1M) fails LOUDLY — in the plan, no extra
+    * scan — when a zone's bbox/cellSize ratio would explode it to more
+    * grid cells than that: the silent alternative is a billion-row
+    * Generate from one mis-sized `cellSize` argument. Raise the limit
+    * only with a cellSize chosen near the median zone extent.
     */
   def pointsInZones(
       points: DataFrame,
       zones: DataFrame,
       cellSize: Double,
       xCol: String = "x",
-      yCol: String = "y"): DataFrame = {
+      yCol: String = "y",
+      maxCellsPerZone: Long = 1000000L): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
     def cell(c: Column): Column = floor(c / lit(cellSize)).cast("long")
     val p = points
       .withColumn("_cx", cell(col(xCol)))
       .withColumn("_cy", cell(col(yCol)))
+    val nCells = (cell(col("xmax")) - cell(col("xmin")) + 1) *
+      (cell(col("ymax")) - cell(col("ymin")) + 1)
+    // the guard lives INSIDE the sequence bound the explode consumes — a
+    // standalone guard column would be pruned away as unused (the
+    // winnowedSpans npos lesson)
+    val cxMaxGuarded = when(nCells <= maxCellsPerZone, cell(col("xmax")))
+      .otherwise(raise_error(concat(
+        lit(s"pointsInZones: a zone bbox spans more than $maxCellsPerZone " +
+          s"grid cells at cellSize=$cellSize ("),
+        nCells.cast("string"),
+        lit(") — pick cellSize near the median zone extent or raise " +
+          "maxCellsPerZone"))).cast("long"))
     val z = zones
-      .withColumn("_cx", explode(sequence(cell(col("xmin")), cell(col("xmax")))))
+      .withColumn("_cx", explode(sequence(cell(col("xmin")), cxMaxGuarded)))
       .withColumn("_cy", explode(sequence(cell(col("ymin")), cell(col("ymax")))))
     p.join(z, Seq("_cx", "_cy"))
       .filter(col(xCol) >= col("xmin") && col(xCol) <= col("xmax") &&

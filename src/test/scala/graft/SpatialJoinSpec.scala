@@ -67,6 +67,18 @@ class SpatialJoinSpec extends SparkSpec {
     assert(got == Set((1L, 1L), (1L, 2L), (2L, 2L)))
   }
 
+  test("a zone exploding past maxCellsPerZone fails loudly, not with a silent blowup") {
+    val p = Seq((1L, 0.5, 0.5, 1L)).toDF("pid", "x", "y", "v")
+    val z = Seq((1L, 0.0, 0.0, 100000.0, 100000.0)).toDF("zone_id", "xmin", "ymin", "xmax", "ymax")
+    val df = SpatialJoin.pointsInZones(p, z, cellSize = 0.01, maxCellsPerZone = 1000L)
+    val e = intercept[Exception] { df.count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
+    assert(messages(e).exists(m => m != null && m.contains("maxCellsPerZone")), e.toString)
+    // and a sane configuration on the same data still works
+    assert(SpatialJoin.pointsInZones(p, z, cellSize = 50000.0).count() == 1)
+  }
+
   test("radius join equals brute force; pairs unique; boundary pair included") {
     for (r <- Seq(0.5, 2.0, 7.0)) {
       val bruteP = points.as("a").crossJoin(points.as("b"))
