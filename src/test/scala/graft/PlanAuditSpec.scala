@@ -116,6 +116,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q102: zonal join equi-joins on cell keys; the tiny zone side broadcasts") {
+    val p = finalPlan("q102_zonal_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // 5 zones explode to a handful of cells — AQE must broadcast them,
+    // leaving the points side entirely unshuffled before the aggregate
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q103: radius join is a key-equality join on cells, never a product") {
     val p = finalPlan("q103_radius_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
