@@ -425,7 +425,68 @@ object TextPipeline {
       |)
       |ORDER BY doc_id""".stripMargin
 
+  /** B29 — BM25 ranked retrieval (Robertson/Spärck Jones; k1 = 1.2,
+    * b = 0.75): the inverted-index family's scoring half — given query
+    * terms, rank documents by summed per-term BM25. Shape at scale: the
+    * term filter cuts the token stream to the query's postings BEFORE any
+    * shuffle (like a q78 index probe), doc-length stats are one tiny
+    * aggregate broadcast back, and the final top-20 is
+    * TakeOrderedAndProject. Log parity follows q40's precedent (ln +
+    * round-4 hash-matches DuckDB); ties broken by doc_id.
+    */
+  private def q108(s: SparkSession, dir: String): DataFrame = {
+    val qTerms = Seq("spark", "join", "stream")
+    val (k1, b) = (1.2, 0.75)
+    val docs = Tables.documents(s, dir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val hits = toks.filter(col("word").isin(qTerms: _*))
+    val tf = hits.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
+    val df = hits.select(col("doc_id"), col("word")).distinct()
+      .groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+    tf.join(df, "word")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("term_score", idf * col("tf") * lit(k1 + 1.0) / norm)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("term_score")), 4).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val q108Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+      |), dl AS (
+      |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+      |), hits AS (
+      |  SELECT doc_id, word FROM toks WHERE word IN ('spark', 'join', 'stream')
+      |), tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf FROM hits GROUP BY 1, 2
+      |), df AS (
+      |  SELECT word, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, word FROM hits) GROUP BY 1
+      |)
+      |SELECT tf.doc_id,
+      |  ROUND(SUM(
+      |    ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |      * tf.tf * 2.2
+      |      / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+      |FROM tf
+      |JOIN df ON df.word = tf.word
+      |JOIN dl ON dl.doc_id = tf.doc_id
+      |CROSS JOIN stats s
+      |GROUP BY 1
+      |ORDER BY score DESC, tf.doc_id
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q108_bm25", q108, Some(q108Sql)),
     QueryDef("q96_feature_hash", q96, Some(q96Sql)),
     QueryDef("q97_filter_audit", q97, Some(q97Sql)),
     QueryDef("q26_token_stats", q26, Some(q26Sql)),

@@ -116,6 +116,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q108: BM25 top-20 is TakeOrderedAndProject over broadcast-joined postings") {
+    val p = finalPlan("q108_bm25")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // stats is a 1-row frame: its cross join must be a broadcast NLJ, and
+    // the df/dl joins hash-join — nothing sort-merges at this scale
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q102: zonal join equi-joins on cell keys; the tiny zone side broadcasts") {
     val p = finalPlan("q102_zonal_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
