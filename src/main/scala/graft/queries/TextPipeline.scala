@@ -485,8 +485,26 @@ object TextPipeline {
       |ORDER BY score DESC, tf.doc_id
       |LIMIT 20""".stripMargin
 
+  /** B29 — BM25 via the PERSISTED inverted index
+    * ([[graft.operators.TextIndex]]): build once per JVM (Scratch.once,
+    * the q89/q90 lifecycle pattern), then score strictly from disk — the
+    * query terms reach the postings parquet scan as a pushed In filter,
+    * the corpus text is never touched. Same formula as q108, so the SAME
+    * oracle SQL checks it: an indexed search that drifts from the inline
+    * form fails the hash compare, not just a spec.
+    */
+  private def q109(s: SparkSession, dir: String): DataFrame = {
+    val path = Scratch.path("textidx", dir)
+    Scratch.once(path) {
+      graft.operators.TextIndex.buildTextIndex(
+        Tables.documents(s, dir), "doc_id", "text", path)
+    }
+    graft.operators.TextIndex.bm25TopK(s, path, Seq("spark", "join", "stream"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_bm25", q108, Some(q108Sql)),
+    QueryDef("q109_bm25_indexed", q109, Some(q108Sql)),
     QueryDef("q96_feature_hash", q96, Some(q96Sql)),
     QueryDef("q97_filter_audit", q97, Some(q97Sql)),
     QueryDef("q26_token_stats", q26, Some(q26Sql)),
