@@ -37,6 +37,37 @@ object TextIndex {
       .write.mode("overwrite").parquet(s"$path/stats")
   }
 
+  /** Incremental APPEND of new documents — the text twin of
+    * `Ann.appendToIvfIndex`: for NEW doc ids, postings and doclens are
+    * strictly additive (parquet append, cost ∝ batch), and only the 1-row
+    * stats frame is recomputed from the merged doclens. Ids already in
+    * the index are refused loudly BEFORE any write (appending them would
+    * silently double their postings); same single-writer isolation caveat
+    * as `Curation.upsertByKey`.
+    */
+  def appendToTextIndex(
+      newDocs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = newDocs.sparkSession
+    val existing = spark.read.parquet(s"$path/doclens").select(col("doc_id"))
+    val overlap = newDocs.select(col(idCol).as("doc_id"))
+      .join(existing, "doc_id").limit(1).count()
+    require(overlap == 0,
+      "appendToTextIndex: batch contains doc ids already indexed — " +
+        "appending would double their postings; rebuild or delete first")
+    val toks = newDocs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+    toks.groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+      .write.mode("append").parquet(s"$path/postings")
+    toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      .write.mode("append").parquet(s"$path/doclens")
+    spark.read.parquet(s"$path/doclens")
+      .agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
   /** BM25 top-k strictly from the persisted index — no tokenization, no
     * corpus access; the term filter reaches the postings scan.
     */

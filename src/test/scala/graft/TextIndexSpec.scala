@@ -34,6 +34,34 @@ class TextIndexSpec extends SparkSpec {
     assert(top.head._1 == 3L && top.map(_._1).toSet == Set(1L, 3L))
   }
 
+  test("append equals rebuild: indexing half the corpus then appending the rest") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val full = java.nio.file.Files.createTempDirectory("ti_full").toString
+    val inc = java.nio.file.Files.createTempDirectory("ti_inc").toString
+    TextIndex.buildTextIndex(docs, "doc_id", "text", full)
+    TextIndex.buildTextIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text", inc)
+    TextIndex.appendToTextIndex(docs.filter(col("doc_id") % 2 === 1), "doc_id", "text", inc)
+    val terms = Seq("spark", "join", "stream")
+    val a = TextIndex.bm25TopK(spark, full, terms).as[(Long, Double)].collect().toSeq
+    val b = TextIndex.bm25TopK(spark, inc, terms).as[(Long, Double)].collect().toSeq
+    assert(a.nonEmpty && a == b)
+  }
+
+  test("appending already-indexed ids is refused before any write") {
+    val root = java.nio.file.Files.createTempDirectory("ti_dup").toString
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+    TextIndex.buildTextIndex(docs, "doc_id", "text", root)
+    val before = TextIndex.bm25TopK(spark, root, Seq("beta")).as[(Long, Double)].collect().toSeq
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.appendToTextIndex(Seq((2L, "beta again")).toDF("doc_id", "text"),
+        "doc_id", "text", root)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // the refused append must not have touched the index
+    val after = TextIndex.bm25TopK(spark, root, Seq("beta")).as[(Long, Double)].collect().toSeq
+    assert(after == before)
+  }
+
   test("rebuild is overwrite-idempotent: same scores after a second build") {
     val root = java.nio.file.Files.createTempDirectory("textidx2").toString
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha delta")).toDF("doc_id", "text")
