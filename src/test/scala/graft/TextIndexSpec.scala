@@ -62,6 +62,33 @@ class TextIndexSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("streaming ingestion: foreachBatch grows the text index; scores match a full rebuild") {
+    // the text twin of the streaming IVF ingestion: documents arrive as a
+    // stream, each micro-batch appends its postings — retrieval sees the
+    // streamed docs immediately, no rebuild
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val path = java.nio.file.Files.createTempDirectory("ti_stream").toString
+    TextIndex.buildTextIndex(docs.filter(col("doc_id") < 40), "doc_id", "text", path)
+    val arrivals = docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+      .as[(Long, String)].collect().sortBy(_._1)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        TextIndex.appendToTextIndex(batch, "doc_id", "text", path)
+      }
+      .start()
+    try {
+      input.addData(arrivals.take(10).toSeq); q.processAllAvailable()
+      input.addData(arrivals.drop(10).toSeq); q.processAllAvailable()
+    } finally q.stop()
+    val full = java.nio.file.Files.createTempDirectory("ti_stream_full").toString
+    TextIndex.buildTextIndex(docs.filter(col("doc_id") < 60), "doc_id", "text", full)
+    val terms = Seq("spark", "join", "stream")
+    assert(TextIndex.bm25TopK(spark, path, terms).as[(Long, Double)].collect().toSeq ==
+      TextIndex.bm25TopK(spark, full, terms).as[(Long, Double)].collect().toSeq)
+  }
+
   test("rebuild is overwrite-idempotent: same scores after a second build") {
     val root = java.nio.file.Files.createTempDirectory("textidx2").toString
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha delta")).toDF("doc_id", "text")
