@@ -117,5 +117,19 @@ class PipelineSpec extends SparkSpec {
     val topText = Ann.bruteForceTopK(vecs.filter(col("id") >= 3), queries, 5)
     assert(topText.groupBy("q_id").count().filter(col("count") === 5).count() == 3,
       "each text query must retrieve a full top-5 from its hashed vectors")
+
+    // 8 — the LIVE corpus becomes keyword-searchable: inverted index built
+    // from the living table (post-upsert/delete), BM25 retrieval returns
+    // surviving docs only — the deleted doc must be unfindable
+    val tIdx = s"$root/textidx"
+    graft.operators.TextIndex.buildTextIndex(live, "doc_id", "text", tIdx)
+    val ranked = graft.operators.TextIndex
+      .bm25TopK(spark, tIdx, Seq("spark", "join", "stream"), k = 10)
+    assert(ranked.count() > 0, "retrieval over the live corpus found nothing")
+    val rankedIds = ranked.select("doc_id").as[Long].collect().toSet
+    assert(!rankedIds.contains(delId), "deleted doc resurfaced in retrieval")
+    assert(rankedIds.subsetOf(
+      live.select("doc_id").as[Long].collect().toSet),
+      "retrieval returned a doc not in the live table")
   }
 }
