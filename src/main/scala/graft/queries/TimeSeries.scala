@@ -193,7 +193,46 @@ object TimeSeries {
       |  FLOOR(median(CAST(l_quantity AS DOUBLE))*10000+0.5)/10000.0 AS med_qty
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** B26/B27 — recency-weighted (exponential-decay) user features, the
+    * feature-store staple: per user, value mass and purchase count decayed
+    * by e^(−λ·age_days) from the corpus max timestamp (λ = 0.1/day ⇒
+    * ~7-day half-life). One broadcast 1-row reference time, one hash
+    * aggregate — map-side partials carry the decayed partial sums, so the
+    * exchange is |users| rows at any corpus size. exp parity follows the
+    * q40 ln precedent (IEEE libm + round-4 hash-matches DuckDB); ages are
+    * exact integer micros so the exponent is bit-identical on both sides.
+    */
+  private def q110(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts_us"), col("value"))
+    val mx = e.agg(max(col("ts_us")).as("t_ref"))
+    val wgt = exp(lit(-0.1) * (col("t_ref") - col("ts_us")) / lit(86400000000.0))
+    e.crossJoin(broadcast(mx))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value") * wgt), 4).as("decayed_value"),
+        round(sum(when(col("event_type") === "purchase", wgt)
+          .otherwise(lit(0.0))), 4).as("decayed_purchases"))
+      .orderBy(col("user_id"))
+  }
+
+  private val q110Sql =
+    """WITH e AS (
+      |  SELECT user_id, event_type, epoch_us(ts) AS ts_us, value FROM events
+      |), mx AS (
+      |  SELECT MAX(ts_us) AS t_ref FROM e
+      |)
+      |SELECT user_id,
+      |  COUNT(*) AS n_events,
+      |  ROUND(SUM(value * EXP(-0.1 * (t_ref - ts_us) / 86400000000.0)), 4) AS decayed_value,
+      |  ROUND(SUM(CASE WHEN event_type = 'purchase'
+      |    THEN EXP(-0.1 * (t_ref - ts_us) / 86400000000.0) ELSE 0 END), 4) AS decayed_purchases
+      |FROM e CROSS JOIN mx
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q110_decay_features", q110, Some(q110Sql)),
     QueryDef("q75_gap_fill", q75, Some(q75Sql)),
     QueryDef("q76_stat_funcs", q76, Some(q76Sql)),
     QueryDef("q88_interpolate", q88, Some(q88Sql)))
