@@ -116,6 +116,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 3, p)
   }
 
+  test("q110: decay features aggregate map-side; one hash exchange of |users| rows") {
+    val p = finalPlan("q110_decay_features")
+    // reference time broadcasts; the decayed sums partial-aggregate before
+    // the single user_id exchange (plus the final ORDER BY range exchange)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q108: BM25 top-20 is TakeOrderedAndProject over broadcast-joined postings") {
     val p = finalPlan("q108_bm25")
     assert(p.contains("TakeOrderedAndProject"), p)
