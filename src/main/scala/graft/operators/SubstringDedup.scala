@@ -23,17 +23,25 @@ import org.apache.spark.sql.functions._
   *      island, anything closer overlaps or abuts the previous gram.
   *
   * Step 2 strategy (`singlePass`, measured at sf0.1 / local[8]):
-  *   - `true` (default): per-gram min/max of doc_id as WINDOW functions
+  *   - `Some(true)`: per-gram min/max of doc_id as WINDOW functions
   *     over the gram key — ONE pass over the exploded frame, one exchange;
   *     a gram spans >= 2 docs iff min != max. 2.7-3.1 s. WindowExec
   *     buffers each gram group (spilling, not OOM — but a degenerate gram
   *     duplicated billions of times at 100 TB makes a straggler group).
-  *   - `false`: groupBy(gram).agg(min, max) then an equi-join back — the
-  *     aggregate is a strictly O(1)-memory map-side combine, immune to
+  *   - `Some(false)`: groupBy(gram).agg(min, max) then an equi-join back —
+  *     the aggregate is a strictly O(1)-memory map-side combine, immune to
   *     degenerate grams; costs a second explode pass and a join (SMJ via
   *     co-partitioning; do NOT let this broadcast — building a
   *     HashedRelation of the full gram frame was measured 2x slower than
   *     SMJ here: 9.4 s broadcast vs 4.5 s SMJ).
+  *   - `None` (default): AUTO — singlePass while Catalyst's size estimate
+  *     of the pruned (doc_id, text) input is at most
+  *     [[SubstringDedup.SinglePassMaxBytes]], the skew-immune two-pass
+  *     form above it. Small corpora keep the cheaper one-exchange plan
+  *     (q100's no-join plan audit holds at test scale); a 100 TB corpus
+  *     auto-selects the strategy that cannot be stalled by one degenerate
+  *     gram. The estimate comes from `optimizedPlan.stats` — file-size
+  *     metadata, no extra Spark job.
   *   `SubstringDedupSpec` proves both strategies equal on a mixed corpus.
   *
   * Scale posture: the only data-expanding step is the gram explode
@@ -47,6 +55,22 @@ import org.apache.spark.sql.functions._
   * corpus, and q100 declares the exact form over the full documents table.
   */
 object SubstringDedup {
+
+  /** Auto-strategy threshold (see `singlePass = None` in the class doc):
+    * corpora whose pruned (doc_id, text) columns are estimated above this
+    * take the skew-immune two-pass marking. 2 GiB ~ the point where a
+    * single degenerate-gram window group could plausibly dominate one
+    * task; below it the one-exchange window strategy measured faster.
+    */
+  val SinglePassMaxBytes: Long = 2L << 30
+
+  /** The `singlePass = None` decision, factored out for direct testing:
+    * window marking iff Catalyst's size estimate of `base` (already
+    * column-pruned to (doc_id, text)) is at most `threshold` bytes.
+    */
+  private[graft] def autoSinglePass(
+      base: DataFrame, threshold: Long = SinglePassMaxBytes): Boolean =
+    base.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
 
   /** WINNOWED duplicated spans — the sub-linear fingerprint variant of
     * [[duplicatedSpans]] (Schleimer et al. 2003, the MOSS algorithm):
@@ -64,10 +88,20 @@ object SubstringDedup {
     * trick (48-bit here), so DuckDB computes the IDENTICAL hash and the
     * result is exactly oracle-checkable — even a hash collision affects
     * both engines identically. The per-window argmin is encoded order-
-    * free as one BIGINT key `hash*4096 + (4095-pos)` (min key = min
-    * hash, rightmost position on ties), which is why positions must fit
-    * in 12 bits: documents longer than 4095+k-1 chars are rejected
-    * loudly rather than silently mis-winnowed.
+    * free as one BIGINT key `hash*4096 + (4095-localPos)` (min key = min
+    * hash, rightmost position on ties) — codegen-friendly long min, no
+    * struct ordering in the hot window.
+    *
+    * Documents of ANY length are supported via SEGMENTED winnowing: gram
+    * positions are processed in segments of `segmentLen` (default 4088 =
+    * 4095-(w-1), so local offsets fit the 12-bit field), each segment
+    * carrying the next w-1 positions as lookahead so every full window
+    * lies entirely inside exactly one segment. A window's argmin compares
+    * `hash*4096 + (4095 - (pos - segStart))` — within one window all
+    * positions share a segment, so the shifted offsets order identically
+    * to global positions and the selected fingerprint is IDENTICAL to
+    * unchunked winnowing (SubstringDedupSpec proves segmentLen-invariance
+    * directly). Decode adds segStart back to recover the global position.
     *
     * Islands merge selected positions with gaps <= k+w-1 (consecutive
     * fingerprints inside one contiguous duplicated run are at most w-1
@@ -90,24 +124,17 @@ object SubstringDedup {
       k: Int = 20,
       w: Int = 8,
       minDocs: Int = 2,
-      oracleParityHash: Boolean = false): DataFrame = {
+      oracleParityHash: Boolean = false,
+      segmentLen: Int = 4088): DataFrame = {
     require(k >= 1, s"gram length must be positive, got $k")
     require(w >= 2, s"winnowing window must be >= 2, got $w")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(segmentLen >= w && segmentLen + w - 1 <= 4096,
+      s"segmentLen must be in [$w, ${4096 - w + 1}] so local offsets fit " +
+        s"the 12-bit key field, got $segmentLen")
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= k)
-    // the 12-bit position-encoding cap is enforced IN the plan (raise_error
-    // on the npos expression every row consumes) — an eager pre-scan here
-    // would cost a full extra pass over the corpus per call
-    val maxLen = 4095 + k - 1
-    val nposGuarded = when(length(col("text")) <= maxLen,
-      length(col("text")) - (k - 1))
-      .otherwise(raise_error(concat(
-        lit(s"winnowedSpans position encoding supports docs up to $maxLen " +
-          "chars (split longer documents first; chunks overlapping by >= " +
-          s"${w + k - 2} chars keep the guarantee); got length "),
-        length(col("text")).cast("string"))).cast("int"))
     // hash choice mirrors MinHashLSH.oracleParityHash: md5-derived 48 bits
     // reproduce bit-identically in DuckDB (the oracle form); xxhash64
     // masked to 48 bits is ~1.8x faster end-to-end and is the production
@@ -118,20 +145,36 @@ object SubstringDedup {
       if (oracleParityHash)
         conv(substring(md5(gramExpr), 1, 12), 16, 10).cast("long")
       else pmod(xxhash64(gramExpr), lit(1L << 48))
+    // segmented explode: segment j owns gram positions [j*S+1, (j+1)*S]
+    // and additionally carries the next w-1 positions as lookahead, so a
+    // w-window starting at any owned position is complete within the
+    // segment. The overlap duplicates only (w-1)/S of the rows (~0.2%).
+    val S = segmentLen
     val grams = base
-      .select(col("doc_id"), col("text"), nposGuarded.as("npos"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
-      .select(col("doc_id"), col("npos"), col("pos"),
-        (gh48 * lit(4096L) + (lit(4095) - col("pos"))).as("key"))
-    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .select(col("doc_id"), col("text"),
+        (length(col("text")) - (k - 1)).as("npos"))
+      .select(col("doc_id"), col("text"), col("npos"),
+        explode(sequence(lit(0),
+          expr(s"cast((npos - 1) div $S as int)"))).as("seg"))
+      .select(col("doc_id"), col("text"), col("npos"), col("seg"),
+        explode(sequence(col("seg") * S + 1,
+          least(col("seg") * S + lit(S + w - 1), col("npos")))).as("pos"))
+      .select(col("doc_id"), col("npos"), col("seg"), col("pos"),
+        (gh48 * lit(4096L) +
+          (lit(4095) - (col("pos") - col("seg") * S))).as("key"))
+    val wWin = Window.partitionBy(col("doc_id"), col("seg")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
     val fingerprints = grams
       .withColumn("wmin", min(col("key")).over(wWin))
       // only FULL windows select (classic winnowing); the guarantee does
-      // not need partial tail windows, and they would over-select
-      .filter(col("pos") <= col("npos") - (w - 1))
+      // not need partial tail windows, and they would over-select. The
+      // seg-ownership bound makes each window count exactly once across
+      // segments (lookahead rows never start a window).
+      .filter(col("pos") <= col("npos") - (w - 1) &&
+        col("pos") <= (col("seg") + 1) * S)
       .select(col("doc_id"),
-        (lit(4095) - (col("wmin") % 4096)).cast("int").as("pos"),
+        (col("seg") * S + (lit(4095) - (col("wmin") % 4096)))
+          .cast("int").as("pos"),
         expr("wmin div 4096").as("gh")) // div: `/` on longs is DOUBLE division
       .distinct()
     val marked =
@@ -197,7 +240,7 @@ object SubstringDedup {
       k: Int = 20,
       minDocs: Int = 2,
       hashShuffle: Boolean = false,
-      singlePass: Boolean = true,
+      singlePass: Option[Boolean] = None,
       maxGramFreq: Int = 0): DataFrame = {
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // spans feed three branches (mid, lastSeg, hasSpan); materialize the
@@ -237,11 +280,12 @@ object SubstringDedup {
     * >= minDocs distinct documents. Output: (doc_id, span_start, span_end,
     * span_len), 1-based inclusive character positions, ordered.
     *
-    * NOTE: `singlePass` only applies when `minDocs == 2` — the min!=max
-    * window trick cannot express a distinct-count threshold, so minDocs > 2
+    * NOTE: `singlePass` (None = auto by corpus-size estimate, see the
+    * class doc) only applies when `minDocs == 2` — the min!=max window
+    * trick cannot express a distinct-count threshold, so minDocs > 2
     * always takes the two-pass groupBy+join strategy regardless of the
-    * flag (plan-shape expectations like q100's no-join audit hold only for
-    * the default minDocs).
+    * flag (plan-shape expectations like q100's no-join audit hold only
+    * for the default minDocs at sub-threshold corpus size).
     *
     * `maxGramFreq` (disabled when <= 0) drops grams occurring more than
     * that many times corpus-wide BEFORE span formation — the
@@ -258,13 +302,14 @@ object SubstringDedup {
       k: Int = 20,
       minDocs: Int = 2,
       hashShuffle: Boolean = false,
-      singlePass: Boolean = true,
+      singlePass: Option[Boolean] = None,
       maxGramFreq: Int = 0): DataFrame = {
     require(k >= 1, s"gram length must be positive, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= k) // sequence(1, n) descends for n < 1
+    val useWindowMarking = singlePass.getOrElse(autoSinglePass(base))
     val gramExpr = expr(s"substr(text, pos, $k)")
     val grams = base
       .select(col("doc_id"), col("text"),
@@ -278,7 +323,7 @@ object SubstringDedup {
     val freqOk: Column => Column = cnt =>
       if (maxGramFreq > 0) cnt <= maxGramFreq else lit(true)
     val marked =
-      if (singlePass && minDocs == 2) {
+      if (useWindowMarking && minDocs == 2) {
         val wG = Window.partitionBy(col("gram"))
         grams
           .withColumn("lo", min(col("doc_id")).over(wG))

@@ -594,8 +594,10 @@ object Dedup {
   /** B19/B29 — WINNOWED substring dedup (Schleimer et al. 2003), the
     * sub-linear scale path beside q100's exhaustive form: each w=8 window
     * contributes only its min-hash gram (rightmost tie-break via the
-    * order-free `hash*4096+(4095-pos)` key), ~2/(w+1) of the positions
-    * shuffle, and any duplicated run >= w+k-1 = 27 chars is still
+    * order-free `hash*4096+(4095-localPos)` key, segmented so documents
+    * of ANY length winnow — chunking is proven selection-identical in
+    * SubstringDedupSpec), ~2/(w+1) of the positions shuffle, and any
+    * duplicated run >= w+k-1 = 27 chars is still
     * guaranteed detected. The 48-bit md5 parity hash is computed
     * IDENTICALLY by DuckDB, so unlike most sampled algorithms this one is
     * fully oracle-checked — the fingerprint choice is bit-reproducible

@@ -10,7 +10,8 @@ class SubstringDedupSpec extends SparkSpec {
   private val shared = "the quick brown fox jumps over the lazy dog indeed!"
 
   private def spans(df: org.apache.spark.sql.DataFrame, k: Int = 20,
-      hashShuffle: Boolean = false, singlePass: Boolean = true): Set[(Long, Int, Int, Int)] =
+      hashShuffle: Boolean = false,
+      singlePass: Option[Boolean] = Some(true)): Set[(Long, Int, Int, Int)] =
     SubstringDedup.duplicatedSpans(df, "doc_id", "text", k = k,
         hashShuffle = hashShuffle, singlePass = singlePass)
       .as[(Long, Int, Int, Int)].collect().toSet
@@ -90,7 +91,7 @@ class SubstringDedupSpec extends SparkSpec {
       (i.toLong, parts.mkString(" "))
     }.toDF("doc_id", "text")
     val baseline = spans(docs)
-    for (hs <- Seq(false, true); sp <- Seq(false, true))
+    for (hs <- Seq(false, true); sp <- Seq(Some(false), Some(true), None))
       assert(spans(docs, hashShuffle = hs, singlePass = sp) == baseline,
         s"hashShuffle=$hs singlePass=$sp diverged")
   }
@@ -136,7 +137,7 @@ class SubstringDedupSpec extends SparkSpec {
       Seq((101L, "PRE(" + shared + ")one"), (102L, "QQQQ[" + shared + "]two"))).toDF("doc_id", "text")
     for (sp <- Seq(true, false)) {
       val capped = SubstringDedup.duplicatedSpans(docs, "doc_id", "text",
-        k = 20, singlePass = sp, maxGramFreq = 50)
+        k = 20, singlePass = Some(sp), maxGramFreq = 50)
         .as[(Long, Int, Int, Int)].collect()
       // boilerplate grams occur 60x > cap -> their spans vanish entirely
       assert(!capped.exists(_._1 <= 60L), s"singlePass=$sp kept capped spans")
@@ -201,15 +202,78 @@ class SubstringDedupSpec extends SparkSpec {
     assert(at4.count() == 0, "no gram is in 4 distinct docs")
   }
 
-  test("winnowing rejects docs beyond the 12-bit position encoding at execution") {
-    val docs = Seq((1L, "x" * 5000), (2L, "y" * 30)).toDF("doc_id", "text")
-    // the guard is IN the plan (no eager pre-scan), so it fires on action
-    val df = SubstringDedup.winnowedSpans(docs, "doc_id", "text")
-    val e = intercept[Exception] { df.count() }
-    def messages(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => x.getMessage +: messages(x.getCause))
-    assert(messages(e).exists(m => m != null && m.contains("split longer documents")),
-      e.toString)
+  test("winnowing handles documents far beyond the old 4095-char cap") {
+    val rng = new scala.util.Random(7)
+    def filler(n: Int) = rng.alphanumeric.take(n).mkString
+    // ~12k-char docs; the shared run sits near position ~8100, i.e. in the
+    // THIRD 4088-position segment, and a second copy straddles the first
+    // segment boundary (positions ~4080..4230) to exercise the lookahead
+    // overlap between segments
+    val longShared = shared + " and this continuation pushes it well past the winnowing bound"
+    val d1 = filler(4070) + longShared + filler(3900) + longShared + filler(3800)
+    val d2 = filler(8100) + longShared + filler(3900)
+    val d3 = filler(12000) // no duplication
+    val docs = Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+    for (parity <- Seq(false, true)) {
+      val got = SubstringDedup.winnowedSpans(docs, "doc_id", "text",
+          k = 20, w = 8, oracleParityHash = parity)
+        .as[(Long, Int, Int, Int)].collect()
+      // guarantee: every >= w+k-1 duplicated run is detected in both docs
+      assert(got.count(_._1 == 1L) >= 1, s"parity=$parity missed doc 1")
+      assert(got.count(_._1 == 2L) >= 1, s"parity=$parity missed doc 2")
+      assert(!got.exists(_._1 == 3L), s"parity=$parity false positive in doc 3")
+      // soundness: spans stay inside the exhaustive spans re-merged at the
+      // winnow gap (same containment contract as the short-doc test)
+      val exact = spans(docs).toSeq.sortBy(t => (t._1, t._2))
+      got.foreach { case (d, s, e, _) =>
+        val ok = exact.filter(_._1 == d)
+          .foldLeft(List.empty[(Int, Int)]) { (acc, t) =>
+            acc match {
+              case (ps, pe) :: rest if t._2 - pe <= 8 =>
+                (ps, math.max(pe, t._3)) :: rest
+              case _ => (t._2, t._3) :: acc
+            }
+          }
+          .exists { case (es, ee) => s >= es && e <= ee }
+        assert(ok, s"parity=$parity span ($d,$s,$e) escapes exact spans")
+      }
+    }
+  }
+
+  test("winnowing is segmentLen-invariant: chunked == unchunked selection") {
+    // all docs fit in ONE default segment, so segmentLen=4088 IS the
+    // unchunked computation; tiny segments force many chunks + overlap
+    // stitching — identical output proves the chunking is exact
+    val rng = new scala.util.Random(13)
+    val docs = (1 to 25).map { i =>
+      val pre = rng.alphanumeric.take(5 + rng.nextInt(120)).mkString
+      val post = rng.alphanumeric.take(rng.nextInt(150)).mkString
+      (i.toLong, if (i % 3 == 0) pre + shared + post else pre + post)
+    }.toDF("doc_id", "text")
+    for (parity <- Seq(false, true)) {
+      val unchunked = SubstringDedup.winnowedSpans(docs, "doc_id", "text",
+          k = 20, w = 8, oracleParityHash = parity, segmentLen = 4088)
+        .as[(Long, Int, Int, Int)].collect().toSet
+      for (seg <- Seq(40, 97, 512)) {
+        val chunked = SubstringDedup.winnowedSpans(docs, "doc_id", "text",
+            k = 20, w = 8, oracleParityHash = parity, segmentLen = seg)
+          .as[(Long, Int, Int, Int)].collect().toSet
+        assert(chunked == unchunked, s"segmentLen=$seg parity=$parity diverged")
+      }
+    }
+  }
+
+  test("auto strategy: window marking under the size threshold, two-pass above") {
+    val docs = Seq((1L, shared + " one"), (2L, shared + " two")).toDF("doc_id", "text")
+    val base = docs.select(col("doc_id"), col("text"))
+    assert(SubstringDedup.autoSinglePass(base), "tiny corpus must pick window marking")
+    assert(!SubstringDedup.autoSinglePass(base, threshold = 1L),
+      "corpus above threshold must pick the skew-immune two-pass strategy")
+    // and the auto default (None) on a tiny corpus produces the no-join
+    // window plan — the same shape q100's plan audit pins at test scale
+    val plan = SubstringDedup.duplicatedSpans(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
   }
 
   test("minDocs threshold: a phrase in two docs vanishes at minDocs = 3") {
