@@ -89,6 +89,123 @@ class TextIndexSpec extends SparkSpec {
       TextIndex.bm25TopK(spark, full, terms).as[(Long, Double)].collect().toSeq)
   }
 
+  test("search never touches doclens: scoring reads term-pruned postings only") {
+    val root = java.nio.file.Files.createTempDirectory("ti_nodl").toString
+    val docs = Seq(
+      (1L, "spark joins the stream"), (2L, "a quiet unrelated sentence"),
+      (3L, "spark spark spark")).toDF("doc_id", "text")
+    TextIndex.buildTextIndex(docs, "doc_id", "text", root)
+    val q = TextIndex.bm25TopK(spark, root, Seq("spark", "stream"))
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    // dl is denormalized onto the postings rows at build time — the plan
+    // must scan postings/stats/deletes but NEVER the |docs|-row doclens
+    assert(!plan.contains("doclens"), plan)
+    assert(plan.contains("postings"), plan)
+  }
+
+  test("delete-then-search equals rebuild-without-then-search, exactly") {
+    val docs = Tables.documents(spark, sf()).select(col("doc_id"), col("text"))
+    val full = java.nio.file.Files.createTempDirectory("ti_del").toString
+    val ref = java.nio.file.Files.createTempDirectory("ti_del_ref").toString
+    TextIndex.buildTextIndex(docs, "doc_id", "text", full)
+    val victims = TextIndex.bm25TopK(spark, full, Seq("spark", "join", "stream"), k = 5)
+      .as[(Long, Double)].collect().map(_._1).take(3).toSeq
+    TextIndex.deleteFromTextIndex(spark, full, victims)
+    TextIndex.buildTextIndex(
+      docs.filter(!col("doc_id").isin(victims: _*)), "doc_id", "text", ref)
+    val terms = Seq("spark", "join", "stream")
+    val afterDelete = TextIndex.bm25TopK(spark, full, terms).as[(Long, Double)].collect().toSeq
+    val rebuilt = TextIndex.bm25TopK(spark, ref, terms).as[(Long, Double)].collect().toSeq
+    assert(afterDelete.nonEmpty && afterDelete == rebuilt)
+    assert(afterDelete.forall(r => !victims.contains(r._1)))
+    // idempotent re-delete: tombstones never double-count the stats
+    TextIndex.deleteFromTextIndex(spark, full, victims)
+    assert(TextIndex.bm25TopK(spark, full, terms).as[(Long, Double)].collect().toSeq
+      == afterDelete)
+    // deleting an id that was never indexed is a no-op
+    TextIndex.deleteFromTextIndex(spark, full, Seq(999999999L))
+    assert(TextIndex.bm25TopK(spark, full, terms).as[(Long, Double)].collect().toSeq
+      == afterDelete)
+  }
+
+  test("compaction folds tombstones physically and re-opens deleted ids for append") {
+    val root = java.nio.file.Files.createTempDirectory("ti_compact").toString
+    val docs = Seq(
+      (1L, "spark joins the stream"), (2L, "spark quiet sentence"),
+      (3L, "stream of words"), (4L, "unrelated filler text")).toDF("doc_id", "text")
+    TextIndex.buildTextIndex(docs, "doc_id", "text", root)
+    TextIndex.deleteFromTextIndex(spark, root, Seq(2L))
+    val tombstoned = TextIndex.bm25TopK(spark, root, Seq("spark", "stream"))
+      .as[(Long, Double)].collect().toSeq
+    TextIndex.compactTextIndex(spark, root)
+    // scores identical after physical compaction
+    assert(TextIndex.bm25TopK(spark, root, Seq("spark", "stream"))
+      .as[(Long, Double)].collect().toSeq == tombstoned)
+    // tombstones folded in: postings/doclens no longer carry doc 2,
+    // deletes is empty again
+    assert(spark.read.parquet(s"$root/postings")
+      .filter(col("doc_id") === 2L).count() == 0)
+    assert(spark.read.parquet(s"$root/deletes").count() == 0)
+    // and the erased id can come back as a NEW document
+    TextIndex.appendToTextIndex(
+      Seq((2L, "spark returns anew")).toDF("doc_id", "text"), "doc_id", "text", root)
+    val back = TextIndex.bm25TopK(spark, root, Seq("spark")).as[(Long, Double)].collect()
+    assert(back.map(_._1).contains(2L))
+  }
+
+  test("incremental stats: many appends leave stats exactly equal to a rebuild's") {
+    val root = java.nio.file.Files.createTempDirectory("ti_stats").toString
+    val ref = java.nio.file.Files.createTempDirectory("ti_stats_ref").toString
+    val docs = Tables.documents(spark, sf())
+      .select(col("doc_id"), col("text")).filter(col("doc_id") < 90)
+    TextIndex.buildTextIndex(docs.filter(col("doc_id") < 30), "doc_id", "text", root)
+    TextIndex.appendToTextIndex(
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 60), "doc_id", "text", root)
+    TextIndex.appendToTextIndex(
+      docs.filter(col("doc_id") >= 60), "doc_id", "text", root)
+    TextIndex.buildTextIndex(docs, "doc_id", "text", ref)
+    val a = spark.read.parquet(s"$root/stats")
+      .select("n_docs", "sum_dl", "avgdl").collect()(0)
+    val b = spark.read.parquet(s"$ref/stats")
+      .select("n_docs", "sum_dl", "avgdl").collect()(0)
+    assert(a == b, s"incremental stats $a != rebuilt stats $b")
+  }
+
+  test("a died append is detected loudly and compaction repairs it") {
+    val root = java.nio.file.Files.createTempDirectory("ti_crash").toString
+    val docs = Seq(
+      (1L, "spark joins the stream"), (2L, "spark quiet sentence")).toDF("doc_id", "text")
+    TextIndex.buildTextIndex(docs, "doc_id", "text", root)
+    val before = TextIndex.bm25TopK(spark, root, Seq("spark"))
+      .as[(Long, Double)].collect().toSeq
+    // simulate an append that died between the postings write and the
+    // stats commit: orphan rows carrying gen+1 under the same build
+    val buildId = spark.read.parquet(s"$root/stats")
+      .select("build_id").as[String].head()
+    Seq(("spark", 9L, 2L, 2L, 1L, buildId))
+      .toDF("word", "doc_id", "tf", "dl", "gen", "build_id")
+      .write.mode("append").parquet(s"$root/postings")
+    // queries touching the orphan rows fail loudly instead of serving a
+    // half-applied append
+    val e = intercept[Exception] {
+      TextIndex.bm25TopK(spark, root, Seq("spark")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("compactTextIndex")), e.toString)
+    // the next append refuses instead of overlaying the dead generation
+    val e2 = intercept[IllegalArgumentException] {
+      TextIndex.appendToTextIndex(
+        Seq((7L, "new words")).toDF("doc_id", "text"), "doc_id", "text", root)
+    }
+    assert(e2.getMessage.contains("uncommitted generation"))
+    // compaction drops the uncommitted rows and restores the committed view
+    TextIndex.compactTextIndex(spark, root)
+    assert(TextIndex.bm25TopK(spark, root, Seq("spark"))
+      .as[(Long, Double)].collect().toSeq == before)
+  }
+
   test("rebuild is overwrite-idempotent: same scores after a second build") {
     val root = java.nio.file.Files.createTempDirectory("textidx2").toString
     val docs = Seq((1L, "alpha beta gamma"), (2L, "alpha alpha delta")).toDF("doc_id", "text")
