@@ -300,6 +300,39 @@ object Ann {
     ivfAssign(newVecs, cents).write.mode("append").parquet(s"$indexPath/assignments")
   }
 
+  /** The assignment table minus tombstoned ids — EVERY consumer of a
+    * persisted IVF index (batch search here, the streaming dedup) must
+    * read assignments through this so deleted vectors stop matching the
+    * moment [[deleteFromIvfIndex]] returns.
+    */
+  def loadIvfAssignments(spark: SparkSession, indexPath: String): DataFrame =
+    IndexTombstones.filterLive(spark,
+      spark.read.parquet(s"$indexPath/assignments"), s"$indexPath/deletes")
+
+  /** O(batch) tombstone DELETE from a persisted [[buildIvfIndex]] index —
+    * the erasure half of the lifecycle (append is the growth half). The
+    * centroids are untouched (they are the quantizer, not data), so
+    * delete-then-search equals a same-centroid rebuild without the
+    * deleted vectors, exactly (AnnSpec). Physical reclamation at the next
+    * [[compactIvfIndex]]; a tombstoned id can only be re-appended after
+    * that compact (the tombstone hides it by id until then).
+    */
+  def deleteFromIvfIndex(
+      spark: SparkSession, indexPath: String, ids: Seq[Long]): Unit =
+    IndexTombstones.record(spark, s"$indexPath/deletes",
+      spark.read.parquet(s"$indexPath/assignments").select(col("id")), ids)
+
+  /** Fold tombstones into the assignment table physically and reset the
+    * tombstone set. Cost ∝ index (explicit maintenance, like
+    * `Curation.compactBuckets`); the assignment rows are 2 longs each, so
+    * even at corpus scale this rewrite moves ~16 bytes/vector.
+    */
+  def compactIvfIndex(spark: SparkSession, indexPath: String): Unit = {
+    val live = loadIvfAssignments(spark, indexPath).localCheckpoint(true)
+    live.write.mode("overwrite").parquet(s"$indexPath/assignments")
+    IndexTombstones.clear(spark, s"$indexPath/deletes")
+  }
+
   /** Search against a persisted index from [[buildIvfIndex]]: loads the
     * (small, ≤nCells) centroid set to the driver and streams the
     * assignment table — the corpus itself is only touched to fetch
@@ -315,7 +348,7 @@ object Ann {
     import spark.implicits._
     val cents = spark.read.parquet(s"$indexPath/centroids").as[Vec]
       .collect().sortBy(_.id)
-    val assigned = spark.read.parquet(s"$indexPath/assignments")
+    val assigned = loadIvfAssignments(spark, indexPath)
     ivfSearch(spark, corpus, assigned, cents, queryIds, k, nprobe)
   }
 

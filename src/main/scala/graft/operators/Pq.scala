@@ -465,7 +465,36 @@ object Pq {
 
   def loadPqCodes(spark: SparkSession, path: String): Dataset[PqCode] = {
     import spark.implicits._
-    spark.read.parquet(s"$path/codes").select(col("id"), col("code")).as[PqCode]
+    // tombstoned (deleted) codes are folded out here so every consumer —
+    // indexed search included — stops serving them the moment
+    // deleteFromPqIndex returns
+    IndexTombstones.filterLive(spark,
+        spark.read.parquet(s"$path/codes"), s"$path/deletes")
+      .select(col("id"), col("code")).as[PqCode]
+  }
+
+  /** O(batch) tombstone DELETE from a persisted [[buildPqIndex]] index.
+    * The codebooks are untouched (they are the quantizer), so
+    * delete-then-search equals inline search over the remaining codes
+    * under the same model, exactly (PqSpec). Reclaim physically with
+    * [[compactPqIndex]]; a tombstoned id can only be re-appended after
+    * that compact.
+    */
+  def deleteFromPqIndex(
+      spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    IndexTombstones.record(spark, s"$path/deletes",
+      spark.read.parquet(s"$path/codes").select(col("id")), ids)
+
+  /** Fold tombstones into the codes physically; build_id is preserved
+    * (the model is untouched, so codes stay consistent with it) and the
+    * tombstone set resets.
+    */
+  def compactPqIndex(spark: SparkSession, path: String): Unit = {
+    val live = IndexTombstones.filterLive(spark,
+        spark.read.parquet(s"$path/codes"), s"$path/deletes")
+      .localCheckpoint(true)
+    live.write.mode("overwrite").parquet(s"$path/codes")
+    IndexTombstones.clear(spark, s"$path/deletes")
   }
 
   /** Batch ADC against a persisted [[buildPqIndex]] index: model to the
@@ -516,10 +545,56 @@ object Pq {
   def loadIvfPqCodes(spark: SparkSession, path: String): Dataset[IvfPqCode] = {
     import spark.implicits._
     // partition column `cell` comes back from the directory names; select to
-    // the case-class field order so the encoder binds by position too
-    spark.read.parquet(s"$path/codes")
+    // the case-class field order so the encoder binds by position too.
+    // Tombstones fold out here (see loadPqCodes); the anti-join key is the
+    // id so probes keep their cell-partition pruning untouched.
+    IndexTombstones.filterLive(spark,
+        spark.read.parquet(s"$path/codes"), s"$path/deletes")
       .select(col("id"), col("cell").cast("int").as("cell"), col("code"))
       .as[IvfPqCode]
+  }
+
+  /** O(batch) tombstone DELETE from a persisted [[buildIvfPqIndex]]
+    * index — same contract as [[deleteFromPqIndex]] (centroids and
+    * codebooks untouched; exact rebuild-without equivalence, PqSpec).
+    */
+  def deleteFromIvfPqIndex(
+      spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    IndexTombstones.record(spark, s"$path/deletes",
+      spark.read.parquet(s"$path/codes").select(col("id")), ids)
+
+  /** CELL-PRUNED physical compaction of an IVF-PQ index: only the cell
+    * partitions that actually hold tombstoned ids are rewritten (dynamic
+    * partition overwrite — the `Curation.deleteByKey` pattern in cell
+    * space); untouched cells' files are not opened. A cell emptied of all
+    * its rows cannot be dynamically overwritten (no rows to write), so
+    * emptied cells' directories are removed explicitly — the same trap
+    * deleteByKey documents.
+    */
+  def compactIvfPqIndex(spark: SparkSession, path: String): Unit = {
+    import spark.implicits._
+    val codes = spark.read.parquet(s"$path/codes")
+    val delsOpt = IndexTombstones.parquetIfExists(spark, s"$path/deletes")
+    if (delsOpt.isEmpty) return
+    val dels = delsOpt.get
+    val affected = codes.join(broadcast(dels.select(col("id"))), "id")
+      .select(col("cell").cast("int")).distinct().as[Int].collect().toSeq
+    if (affected.nonEmpty) {
+      val live = codes.filter(col("cell").isin(affected: _*))
+        .join(broadcast(dels.select(col("id"))), Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      val surviving = live.select(col("cell").cast("int"))
+        .distinct().as[Int].collect().toSet
+      live.write.partitionBy("cell")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(s"$path/codes")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (affected.toSet -- surviving).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/codes/cell=$c"), true)
+      }
+    }
+    IndexTombstones.clear(spark, s"$path/deletes")
   }
 
   /** Batch search against a persisted [[buildIvfPqIndex]] index: the probed

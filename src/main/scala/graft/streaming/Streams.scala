@@ -211,7 +211,9 @@ object Streams {
     val probed = src
       .withColumn("cell", explode(
         slice(array_sort(cellScores), 1, nprobe).getField("cell")))
-    val assigned = spark.read.parquet(s"$indexPath/assignments")
+    // through loadIvfAssignments so tombstoned (erased) vectors stop
+    // matching the moment they are deleted from the index
+    val assigned = graft.operators.Ann.loadIvfAssignments(spark, indexPath)
       .select(col("id").as("matched_id"), col("cell"))
     val matchedEmb = corpus
       .select(col("id").as("matched_id"), col("embedding").as("matched_emb"))

@@ -188,6 +188,42 @@ class AnnSpec extends SparkSpec {
     assert(hits.nonEmpty, "streamed vector's neighborhood is empty")
   }
 
+  test("deleteFromIvfIndex: delete == same-centroid rebuild without; compact folds it in") {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_del").toString
+    val idx = s"$root/idx"; val ref = s"$root/ref"
+    Ann.buildIvfIndex(corpus, idx, nCells = 16)
+    val qs = Seq(1L, 3L, 4L)
+    // victims = actual baseline hits, so the delete provably changes results
+    val baseline = Ann.ivfTopKIndexed(spark, corpus, idx, qs, k = 10, nprobe = 4)
+      .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val victims = baseline.map(_._3).filterNot(qs.contains).take(3).toSeq
+    assert(victims.nonEmpty)
+    Ann.deleteFromIvfIndex(spark, idx, victims)
+    // reference: an index with the SAME centroids whose assignments were
+    // built from the remaining vectors only (a public rebuild would
+    // retrain the quantizer — the delete contract deliberately does not)
+    val cents = spark.read.parquet(s"$idx/centroids").as[Vec].collect().sortBy(_.id)
+    spark.read.parquet(s"$idx/centroids").write.parquet(s"$ref/centroids")
+    Ann.ivfAssign(corpus.filter(!col("id").isin(victims: _*)).as[Vec], cents)
+      .write.parquet(s"$ref/assignments")
+    def search(path: String) =
+      Ann.ivfTopKIndexed(spark, corpus, path, qs, k = 10, nprobe = 4)
+        .select("q_id", "rank", "id").as[(Long, Int, Long)].collect().toSet
+    val afterDelete = search(idx)
+    assert(afterDelete == search(ref) && afterDelete.nonEmpty)
+    assert(afterDelete != baseline)
+    assert(!afterDelete.exists(r => victims.contains(r._3)))
+    // re-deleting + deleting a never-indexed id are both no-ops
+    Ann.deleteFromIvfIndex(spark, idx, victims :+ 999999999L)
+    assert(search(idx) == afterDelete)
+    // compaction: identical results, tombstones physically folded + reset
+    Ann.compactIvfIndex(spark, idx)
+    assert(search(idx) == afterDelete)
+    assert(spark.read.parquet(s"$idx/assignments")
+      .filter(col("id").isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(s"$idx/deletes").count() == 0)
+  }
+
   test("ann operators leave no cached RDDs behind (round-1 leak)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     Ann.lshTopK(spark, corpus, Seq(1L, 2L), k = 5).collect()

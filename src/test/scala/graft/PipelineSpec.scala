@@ -131,5 +131,23 @@ class PipelineSpec extends SparkSpec {
     assert(rankedIds.subsetOf(
       live.select("doc_id").as[Long].collect().toSet),
       "retrieval returned a doc not in the live table")
+
+    // 9 — right-to-erasure closes the lifecycle: one request removes a doc
+    // from the CORPUS and every INDEX serving it (text + embedding), at
+    // batch cost, no rebuilds — and it stops being findable anywhere
+    val eraseId = rankedIds.head // provably findable before erasure
+    Curation.deleteByKey(spark, table, Seq(eraseId).toDF("doc_id"), "doc_id", numBuckets = 8)
+    graft.operators.TextIndex.deleteFromTextIndex(spark, tIdx, Seq(eraseId))
+    Ann.deleteFromIvfIndex(spark, idx, Seq(eraseId))
+    assert(spark.read.parquet(table).filter(col("doc_id") === eraseId).isEmpty,
+      "erased doc still in the corpus")
+    val rankedAfter = graft.operators.TextIndex
+      .bm25TopK(spark, tIdx, Seq("spark", "join", "stream"), k = 10)
+      .select("doc_id").as[Long].collect().toSet
+    assert(!rankedAfter.contains(eraseId), "erased doc resurfaced in retrieval")
+    val nnAfter = Ann.ivfTopKIndexed(spark, emb, idx,
+      Seq(1L, 2L, 3L).filterNot(_ == eraseId), k = 20, nprobe = 16)
+    assert(nnAfter.filter(col("id") === eraseId).isEmpty,
+      "erased doc resurfaced as an ANN candidate")
   }
 }

@@ -197,6 +197,74 @@ class PqSpec extends SparkSpec {
     assert(fromDisk == inline)
   }
 
+  test("deleteFromPqIndex: delete == inline search over remaining codes; compact folds") {
+    val path = java.nio.file.Files.createTempDirectory("graft_pq_del").toString
+    val built = Pq.buildPqIndex(corpus, path, m = 8, k = 16)
+    val all = corpus.collect()
+    val qs = Seq(3L, 9L).map(id => (id, all.find(_.id == id).get.embedding))
+    def fromDisk() = Pq.adcTopKManyIndexed(spark, path, qs, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // victims = baseline hits, so the delete provably changes the results
+    val victims = fromDisk().map(_._2).filterNot(Seq(3L, 9L).contains).take(2)
+    Pq.deleteFromPqIndex(spark, path, victims)
+    val inline = Pq.adcTopKMany(
+        Pq.encode(corpus.filter(!col("id").isin(victims: _*)).as[Vec], built),
+        built, qs, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val afterDelete = fromDisk()
+    assert(afterDelete == inline && afterDelete.nonEmpty)
+    assert(!afterDelete.exists(r => victims.contains(r._2)))
+    Pq.compactPqIndex(spark, path)
+    assert(fromDisk() == afterDelete)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("id").isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(s"$path/deletes").count() == 0)
+  }
+
+  test("deleteFromIvfPqIndex: delete == inline over remaining; compaction is cell-pruned") {
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_del").toString
+    val built = Pq.buildIvfPqIndex(corpus, path, nCells = 16, m = 8, k = 16)
+    val all = corpus.collect()
+    val qs = Seq(3L, 9L).map(id => (id, all.find(_.id == id).get.embedding))
+    def fromDisk() = Pq.ivfPqTopKManyIndexed(spark, path, qs, nprobe = 6, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val victims = fromDisk().map(_._2).filterNot(Seq(3L, 9L).contains).take(2)
+    Pq.deleteFromIvfPqIndex(spark, path, victims)
+    val inline = Pq.ivfPqTopKMany(
+        Pq.encodeIvfPq(corpus.filter(!col("id").isin(victims: _*)).as[Vec], built),
+        built, qs, nprobe = 6, kNN = 7)
+      .orderBy("q_id", "dist2", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val afterDelete = fromDisk()
+    assert(afterDelete == inline && afterDelete.nonEmpty)
+    // cell-pruned compaction: capture each cell directory's file listing;
+    // only cells holding a victim may change
+    val victimCells = spark.read.parquet(s"$path/codes")
+      .filter(col("id").isin(victims: _*))
+      .select(col("cell").cast("int")).distinct().as[Int].collect().toSet
+    def listing(): Map[String, Set[String]] = {
+      val root = new java.io.File(s"$path/codes")
+      root.listFiles().filter(d => d.isDirectory && d.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName)
+          .filterNot(n => n.startsWith(".") || n.startsWith("_")).toSet).toMap
+    }
+    val before = listing()
+    Pq.compactIvfPqIndex(spark, path)
+    val after = listing()
+    for ((cellDir, files) <- after if !victimCells.contains(
+        cellDir.stripPrefix("cell=").toInt))
+      assert(files == before(cellDir), s"untouched $cellDir was rewritten")
+    assert(victimCells.forall(c => !after.contains(s"cell=$c")
+      || after(s"cell=$c") != before(s"cell=$c")))
+    assert(fromDisk() == afterDelete)
+    assert(spark.read.parquet(s"$path/codes")
+      .filter(col("id").isin(victims: _*)).count() == 0)
+    assert(spark.read.parquet(s"$path/deletes").count() == 0)
+  }
+
   test("a mismatched-dim batch cannot be encoded into an index (silent prefix codes)") {
     val path = java.nio.file.Files.createTempDirectory("graft_pq_dim").toString
     Pq.buildPqIndex(corpus, path, m = 8, k = 16)
