@@ -119,10 +119,14 @@ object Multimodal {
     def openPartition(): Array[Byte] => (Int, Int, Int, Double) = { bytes =>
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
-      val readers = javax.imageio.ImageIO.getImageReaders(iis)
-      require(readers.hasNext, "bytes are not a decodable image container")
-      val reader = readers.next()
+      // the reader lookup can reject the bytes — from that point on the
+      // stream must close on EVERY exit, or each bad row leaks a stream
+      // for the life of the partition-long closure
+      var reader: javax.imageio.ImageReader = null
       try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, "bytes are not a decodable image container")
+        reader = readers.next()
         reader.setInput(iis)
         val nFrames = reader.getNumImages(true)
         require(nFrames >= 1, "container holds no frames")
@@ -141,7 +145,10 @@ object Multimodal {
           y += 1
         }
         (w, h, nFrames, sum.toDouble / (w.toLong * h * 3))
-      } finally { reader.dispose(); iis.close() }
+      } finally {
+        if (reader != null) reader.dispose()
+        iis.close()
+      }
     }
   }
 

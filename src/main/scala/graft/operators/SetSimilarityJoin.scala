@@ -77,12 +77,19 @@ object SetSimilarityJoin {
     // corpus-sized (re-running a pruned scan beats materializing it; the
     // small-frame checkpoint pattern of Dbscan/excise does not apply)
     val sets = tokenSets(docs, idCol, textCol)
+    // threshold on the UNROUNDED ratio (as inter >= t*union, exact integer
+    // sizes on both sides of one double multiply) — rounding first would
+    // admit pairs up to 5e-5 below t and drop true matches at thresholds
+    // like 1/3 that 4 decimals cannot represent; the output column alone
+    // carries the repo's 4-place cross-engine rounding convention
     candidatesFromSets(sets, threshold)
       .join(sets.select(col("id").as("id_a"), col("s").as("s_a")), "id_a")
       .join(sets.select(col("id").as("id_b"), col("s").as("s_b")), "id_b")
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("s_a"), col("s_b"))).cast("double") /
-          size(array_union(col("s_a"), col("s_b"))), 4).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+        size(array_intersect(col("s_a"), col("s_b"))).cast("double").as("inter"),
+        size(array_union(col("s_a"), col("s_b"))).cast("double").as("uni"))
+      .filter(col("inter") >= lit(threshold) * col("uni"))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter") / col("uni"), 4).as("jaccard"))
   }
 }

@@ -47,6 +47,19 @@ object SpatialJoin {
       yCol: String = "y",
       maxCellsPerZone: Long = 1000000L): DataFrame = {
     require(cellSize > 0, s"cellSize must be positive, got $cellSize")
+    // a shared column name (e.g. a zone centroid also called `x`) would
+    // make the containment filter's col(xCol) ambiguous and die in an
+    // opaque AnalysisException mid-plan — fail up front, self-describing
+    val shared = points.columns.toSet.intersect(zones.columns.toSet)
+    require(shared.isEmpty,
+      s"pointsInZones: points and zones must not share column names, both " +
+        s"have [${shared.toSeq.sorted.mkString(", ")}] — rename or prefix " +
+        "the zone columns before joining")
+    val reserved = Set("_cx", "_cy")
+      .intersect(points.columns.toSet ++ zones.columns.toSet)
+    require(reserved.isEmpty,
+      s"pointsInZones: [${reserved.toSeq.sorted.mkString(", ")}] are " +
+        "reserved working-column names — rename them first")
     def cell(c: Column): Column = floor(c / lit(cellSize)).cast("long")
     val p = points
       .withColumn("_cx", cell(col(xCol)))

@@ -691,8 +691,8 @@ object Dedup {
       |FROM cand c
       |JOIN sets sa ON sa.doc_id = c.doc_a
       |JOIN sets sb ON sb.doc_id = c.doc_b
-      |WHERE ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
-      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.7
+      |WHERE len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    >= 0.7 * len(list_distinct(list_concat(sa.s, sb.s)))
       |ORDER BY doc_a, doc_b""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(

@@ -36,6 +36,26 @@ class SetSimilarityJoinSpec extends SparkSpec {
     }
   }
 
+  test("threshold compares the unrounded Jaccard, not the 4-place rounding") {
+    // pair at jaccard EXACTLY 1/3: inter {a,b} = 2, union = 6. Rounded to
+    // 4 places (0.3333) it sits BELOW 1.0/3 — filtering on the rounded
+    // value would drop a true match at an unrepresentable threshold
+    val exactThird = Seq(
+      (1L, "a b p q"), (2L, "a b r s")).toDF("doc_id", "text")
+    val hit = SetSimilarityJoin.join(exactThird, "doc_id", "text", 1.0 / 3)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(hit == Set((1L, 2L)), s"true 1/3 match dropped: $hit")
+    // pair at 13999/19999 = 0.699985 < 0.7, which ROUNDS to 0.7000 —
+    // filtering after rounding would wrongly admit it at threshold 0.7
+    val shared = (1 to 13999).map(i => s"s$i")
+    val dA = (shared ++ (1 to 3000).map(i => s"a$i")).mkString(" ")
+    val dB = (shared ++ (1 to 3000).map(i => s"b$i")).mkString(" ")
+    val nearMiss = Seq((1L, dA), (2L, dB)).toDF("doc_id", "text")
+    val admitted = SetSimilarityJoin.join(nearMiss, "doc_id", "text", 0.7)
+      .count()
+    assert(admitted == 0, "0.699985 pair admitted at threshold 0.7")
+  }
+
   test("exact duplicates always survive at threshold 1.0") {
     val got = SetSimilarityJoin.join(df, "doc_id", "text", 1.0)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet

@@ -79,6 +79,26 @@ class SpatialJoinSpec extends SparkSpec {
     assert(SpatialJoin.pointsInZones(p, z, cellSize = 50000.0).count() == 1)
   }
 
+  test("points/zones sharing a column name fail loudly up front, not in analysis") {
+    val pts = Seq((1L, 0.5, 0.5)).toDF("pid", "x", "y")
+    // a zones frame carrying its own `x` (e.g. a centroid) would make the
+    // containment filter ambiguous — the guard must name the collision
+    val zones = Seq(("z1", 0.4, 0.0, 0.0, 1.0, 1.0))
+      .toDF("zone", "x", "xmin", "ymin", "xmax", "ymax")
+    val e = intercept[IllegalArgumentException] {
+      graft.operators.SpatialJoin.pointsInZones(pts, zones, cellSize = 1.0)
+    }
+    assert(e.getMessage.contains("share column names") && e.getMessage.contains("[x]"),
+      e.getMessage)
+    val reserved = Seq((1L, 0.5, 0.5, 9L)).toDF("pid", "x", "y", "_cx")
+    val zonesOk = Seq(("z1", 0.0, 0.0, 1.0, 1.0))
+      .toDF("zone", "xmin", "ymin", "xmax", "ymax")
+    val e2 = intercept[IllegalArgumentException] {
+      graft.operators.SpatialJoin.pointsInZones(reserved, zonesOk, cellSize = 1.0)
+    }
+    assert(e2.getMessage.contains("reserved"), e2.getMessage)
+  }
+
   test("radius join equals brute force; pairs unique; boundary pair included") {
     for (r <- Seq(0.5, 2.0, 7.0)) {
       val bruteP = points.as("a").crossJoin(points.as("b"))
