@@ -65,11 +65,22 @@ object GraftFunctions {
 
   /** Table-valued functions: (name, doc class, builder to a LogicalPlan).
     * `asof_join` makes the native as-of operator SQL-callable
-    * (`SELECT * FROM asof_join('l', 'r', ...)` — see [[AsOfSql]]).
+    * (`SELECT * FROM asof_join('l', 'r', ...)` — see [[AsOfSql]]); the
+    * rest expose the Scala-only operators to a SQL prompt — each SQL form
+    * returns the operator's OWN plan (see [[SqlTableFunctions]]).
     */
   val tableFunctions: Seq[(String, Class[_],
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] =
-    Seq(("asof_join", classOf[AsOfJoinPlan], AsOfSql.builder _))
+    Seq(
+      ("asof_join", classOf[AsOfJoinPlan], AsOfSql.builder _),
+      ("bm25_search", SqlTableFunctions.getClass,
+        SqlTableFunctions.bm25Builder _),
+      ("radius_join", SqlTableFunctions.getClass,
+        SqlTableFunctions.radiusJoinBuilder _),
+      ("points_in_zones", SqlTableFunctions.getClass,
+        SqlTableFunctions.pointsInZonesBuilder _),
+      ("prefix_similarity_join", SqlTableFunctions.getClass,
+        SqlTableFunctions.prefixJoinBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -1,0 +1,123 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{NumericType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL table-valued surface for the operators a SQL-only user could not
+  * otherwise reach — BM25 retrieval from a persisted index, the spatial
+  * joins, and the exact set-similarity join:
+  *
+  * {{{
+  * SELECT * FROM bm25_search('/idx/path', 'spark,join,stream', 20)
+  * SELECT * FROM radius_join('points_v', 0.5)            -- or (, 'pid','x','y')
+  * SELECT * FROM points_in_zones('pts_v', 'zones_v', 1.0) -- or (, 'x','y')
+  * SELECT * FROM prefix_similarity_join('docs_v', 'doc_id', 'text', 0.7)
+  * }}}
+  *
+  * Each builder runs at analysis time: scalar arguments must be literals
+  * (checked with the same positioned AnalysisExceptions the builtins
+  * raise), table arguments resolve through the session catalog (temp
+  * views included), and the returned plan IS the Scala operator's own
+  * plan — the SQL form shares every guard, every plan shape, and every
+  * spec with the DataFrame form rather than re-implementing it. Follows
+  * [[AsOfSql]]'s registration path (GraftFunctions.register /
+  * `spark.sql.extensions=graft.plans.GraftExtensions`).
+  */
+object SqlTableFunctions {
+  import GraftErrors.{fail, wrongNumArgs}
+
+  private def strArg(fn: String, args: Seq[Expression], i: Int,
+      what: String): String =
+    args(i) match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"$fn argument ${i + 1} ($what) must be a string " +
+        s"literal, got ${other.sql}")
+    }
+
+  private def numArg(fn: String, args: Seq[Expression], i: Int,
+      what: String): Double =
+    args(i) match {
+      case l @ Literal(v, _: NumericType) if v != null =>
+        // covers INT/BIGINT/DOUBLE and SQL decimal literals (0.5 parses
+        // as DecimalType) — Literal.eval is a plain driver-side value
+        l.eval().toString.toDouble
+      case other => fail(s"$fn argument ${i + 1} ($what) must be a numeric " +
+        s"literal, got ${other.sql}")
+    }
+
+  private def intArg(fn: String, args: Seq[Expression], i: Int,
+      what: String): Int = {
+    val d = numArg(fn, args, i, what)
+    if (d != math.rint(d) || d < Int.MinValue || d > Int.MaxValue)
+      fail(s"$fn argument ${i + 1} ($what) must be an integer, got $d")
+    d.toInt
+  }
+
+  private def table(fn: String, name: String) =
+    SparkSession.active.table(name)
+
+  /** bm25_search(index_path, 'term1,term2,...', k) */
+  def bm25Builder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "bm25_search"
+    if (args.length != 3) wrongNumArgs(fn, "3", args.length)
+    val path = strArg(fn, args, 0, "index path")
+    val terms = strArg(fn, args, 1, "query terms")
+      .split(',').toIndexedSeq.map(_.trim).filter(_.nonEmpty)
+    if (terms.isEmpty) fail(s"$fn argument 2 (query terms) names no terms")
+    val k = intArg(fn, args, 2, "k")
+    if (k <= 0) fail(s"$fn argument 3 (k) must be positive, got $k")
+    graft.operators.TextIndex.bm25TopK(SparkSession.active, path, terms, k)
+      .queryExecution.logical
+  }
+
+  /** radius_join(points_table, radius [, id_col, x_col, y_col]) */
+  def radiusJoinBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "radius_join"
+    if (args.length != 2 && args.length != 5)
+      wrongNumArgs(fn, "2 or 5", args.length)
+    val pts = table(fn, strArg(fn, args, 0, "points table"))
+    val radius = numArg(fn, args, 1, "radius")
+    if (radius <= 0) fail(s"$fn argument 2 (radius) must be positive, got $radius")
+    val (idc, xc, yc) =
+      if (args.length == 5)
+        (strArg(fn, args, 2, "id column"), strArg(fn, args, 3, "x column"),
+          strArg(fn, args, 4, "y column"))
+      else ("pid", "x", "y")
+    graft.operators.SpatialJoin.radiusJoin(pts, radius, idc, xc, yc)
+      .queryExecution.logical
+  }
+
+  /** points_in_zones(points_table, zones_table, cell_size [, x_col, y_col]) */
+  def pointsInZonesBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "points_in_zones"
+    if (args.length != 3 && args.length != 5)
+      wrongNumArgs(fn, "3 or 5", args.length)
+    val pts = table(fn, strArg(fn, args, 0, "points table"))
+    val zones = table(fn, strArg(fn, args, 1, "zones table"))
+    val cellSize = numArg(fn, args, 2, "cell size")
+    if (cellSize <= 0) fail(s"$fn argument 3 (cell size) must be positive, got $cellSize")
+    val (xc, yc) =
+      if (args.length == 5)
+        (strArg(fn, args, 3, "x column"), strArg(fn, args, 4, "y column"))
+      else ("x", "y")
+    graft.operators.SpatialJoin.pointsInZones(pts, zones, cellSize, xc, yc)
+      .queryExecution.logical
+  }
+
+  /** prefix_similarity_join(docs_table, id_col, text_col, threshold) */
+  def prefixJoinBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "prefix_similarity_join"
+    if (args.length != 4) wrongNumArgs(fn, "4", args.length)
+    val docs = table(fn, strArg(fn, args, 0, "documents table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val textCol = strArg(fn, args, 2, "text column")
+    val threshold = numArg(fn, args, 3, "threshold")
+    if (threshold <= 0 || threshold > 1)
+      fail(s"$fn argument 4 (threshold) must be in (0, 1], got $threshold")
+    graft.operators.SetSimilarityJoin.join(docs, idCol, textCol, threshold)
+      .queryExecution.logical
+  }
+}

@@ -86,4 +86,81 @@ class ExtensionsSpec extends SparkSpec {
       SparkSession.setDefaultSession(base)
     }
   }
+
+  test("operator TVFs: bm25/radius/zones/prefix callable from pure SQL, args validated") {
+    import spark.implicits._
+    // same registry entries as the extensions path above — the imperative
+    // door; the config-driven test already proves the injection wiring
+    graft.plans.GraftFunctions.register(spark)
+    def msgOf(sql: String): String =
+      intercept[Exception] { spark.sql(sql).collect() }.getMessage
+
+    // bm25_search over a real persisted index
+    val idxPath = java.nio.file.Files.createTempDirectory("ext_bm25").toString
+    graft.operators.TextIndex.buildTextIndex(
+      Seq((1L, "spark joins the stream"), (2L, "quiet unrelated words"),
+        (3L, "spark spark spark")).toDF("doc_id", "text"),
+      "doc_id", "text", idxPath)
+    val viaSql = spark.sql(
+      s"SELECT * FROM bm25_search('$idxPath', 'spark,stream', 10)")
+      .as[(Long, Double)].collect().toSeq
+    val viaScala = graft.operators.TextIndex
+      .bm25TopK(spark, idxPath, Seq("spark", "stream"), 10)
+      .as[(Long, Double)].collect().toSeq
+    assert(viaSql == viaScala && viaSql.nonEmpty)
+    assert(msgOf(s"SELECT * FROM bm25_search('$idxPath', ' , ', 10)")
+      .contains("names no terms"))
+    assert(msgOf(s"SELECT * FROM bm25_search('$idxPath', 'spark', 0)")
+      .contains("must be positive"))
+    assert(msgOf(s"SELECT * FROM bm25_search('$idxPath', 'spark')")
+      .contains("3"))
+
+    // radius_join == Scala form on a view
+    Seq((1L, 0.0, 0.0), (2L, 0.3, 0.4), (3L, 9.0, 9.0))
+      .toDF("pid", "x", "y").createOrReplaceTempView("ext_pts")
+    try {
+      val rjSql = spark.sql("SELECT * FROM radius_join('ext_pts', 1.0)")
+        .collect().toSet
+      val rjScala = graft.operators.SpatialJoin
+        .radiusJoin(spark.table("ext_pts"), 1.0).collect().toSet
+      assert(rjSql == rjScala && rjSql.nonEmpty)
+      assert(msgOf("SELECT * FROM radius_join('ext_pts', -1.0)")
+        .contains("must be positive"))
+      assert(msgOf("SELECT * FROM radius_join('ext_pts', 'oops')")
+        .contains("numeric literal"))
+
+      // points_in_zones == Scala form
+      Seq(("zone_a", -1.0, -1.0, 1.0, 1.0))
+        .toDF("zone", "xmin", "ymin", "xmax", "ymax")
+        .createOrReplaceTempView("ext_zones")
+      val pzSql = spark.sql(
+        "SELECT pid, zone FROM points_in_zones('ext_pts', 'ext_zones', 1.0)")
+        .as[(Long, String)].collect().toSet
+      assert(pzSql == Set((1L, "zone_a"), (2L, "zone_a")))
+      assert(msgOf(
+        "SELECT * FROM points_in_zones('ext_pts', 'ext_zones', 0)")
+        .contains("must be positive"))
+
+      // prefix_similarity_join == Scala form
+      Seq((1L, "a b p q"), (2L, "a b p r"), (3L, "x y z w"))
+        .toDF("doc_id", "text").createOrReplaceTempView("ext_docs")
+      val pjSql = spark.sql(
+        "SELECT * FROM prefix_similarity_join('ext_docs', 'doc_id', 'text', 0.5)")
+        .as[(Long, Long, Double)].collect().toSet
+      val pjScala = graft.operators.SetSimilarityJoin
+        .join(spark.table("ext_docs"), "doc_id", "text", 0.5)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pjSql == pjScala && pjSql == Set((1L, 2L, 0.6)))
+      assert(msgOf(
+        "SELECT * FROM prefix_similarity_join('ext_docs', 'doc_id', 'text', 1.5)")
+        .contains("(0, 1]"))
+      // a missing table surfaces as the standard analysis error
+      assert(msgOf("SELECT * FROM radius_join('no_such_view', 1.0)")
+        .toLowerCase.contains("no_such_view"))
+    } finally {
+      spark.catalog.dropTempView("ext_pts")
+      spark.catalog.dropTempView("ext_zones")
+      spark.catalog.dropTempView("ext_docs")
+    }
+  }
 }
