@@ -1,0 +1,184 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-rehearsal tooling (round-7): /root/testdata tops out at sf0.1
+  * (5k docs, 1.5 MB of text), so every 100 TB posture claim was a
+  * plan-shape argument. These two mains turn the heavy-family claims into
+  * measurements: [[ScaleDataGen]] synthesizes a documents/embeddings
+  * slice 1-2 orders of magnitude past sf0.1 (same schemas, same word-soup
+  * shape, deterministic), [[ScaleRehearsal]] runs named declared queries
+  * over it with per-query shuffle-write / spill / peak-memory counters
+  * from a SparkListener. Findings land in BASELINE.md.
+  *
+  * Usage:
+  * {{{
+  *   runMain graft.tools.ScaleDataGen /tmp/graft_scale/sf2 1000000 400000
+  *   SPARK_GRAFT_CPUS=32 runMain graft.tools.ScaleRehearsal \
+  *     /tmp/graft_scale/sf2 q100_dup_spans q105_dup_excise ...
+  * }}}
+  */
+object ScaleDataGen {
+
+  // same flavor as the driver's word-soup corpus: a small content
+  // vocabulary so grams/tokens collide realistically across documents
+  private val vocab: Array[String] = Array(
+    "spark", "join", "stream", "batch", "table", "column", "row", "scan",
+    "filter", "group", "agg", "sort", "hash", "merge", "window", "key",
+    "value", "query", "part", "line", "order", "data", "fast", "slow",
+    "big", "small", "vector", "index", "cache", "shuffle")
+
+  /** ~200 deterministic boilerplate sentences (10 words each) — the
+    * cross-document duplicated material that drives MinHash buckets and
+    * duplicated-substring spans, like real web boilerplate.
+    */
+  private def phrases: Array[String] = {
+    val rng = new scala.util.Random(7L)
+    Array.fill(200)((0 until 10)
+      .map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: ScaleDataGen <outDir> [nDocs] [nVecs]")
+    val outDir = args(0)
+    val nDocs = if (args.length > 1) args(1).toLong else 500000L
+    val nVecs = if (args.length > 2) args(2).toLong else 200000L
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    val ph = phrases
+    val vb = vocab
+    val langs = Array("en", "en", "en", "en", "en", "en", "fr", "de", "zh", "es")
+
+    // documents: deterministic text from a CONTENT id — 1 in 17 docs
+    // replays an earlier doc's content (exact-dup groups for q17/q44), 1 in
+    // 12 words is a 10-word boilerplate phrase (near-dup + substring-dup
+    // material), ~1% of docs are 12k+ chars (exercises segmented
+    // winnowing far past the old 4095-char cap at scale)
+    spark.range(nDocs).mapPartitions { it =>
+      it.map { jid =>
+        val id: Long = jid // range yields boxed java.lang.Long in closures
+        val contentId: Long =
+          if (id % 17 == 0 && id >= 97) id - (id % 97) else id
+        val rng = new scala.util.Random(contentId * 0x9E3779B97L + 42L)
+        val nWords =
+          if (contentId % 101 == 0) 2000 + rng.nextInt(800)
+          else 40 + rng.nextInt(60)
+        val sb = new StringBuilder
+        var w = 0
+        while (w < nWords) {
+          if (rng.nextInt(12) == 0) {
+            sb.append(ph(rng.nextInt(ph.length))); w += 10
+          } else {
+            sb.append(vb(rng.nextInt(vb.length))); w += 1
+          }
+          if (w < nWords) sb.append(' ')
+        }
+        val text = sb.toString
+        (id, text, langs(rng.nextInt(langs.length)),
+          s"src${rng.nextInt(20)}", text.length.toLong)
+      }
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+
+    // embeddings: 64-dim, 64 cluster centers (SemDeDup shape); every 11th
+    // vector is a near-duplicate of its predecessor (tiny perturbation)
+    spark.range(nVecs).mapPartitions { it =>
+      it.map { jid =>
+        val id: Long = jid
+        val base: Long = if (id % 11 == 0 && id > 0) id - 1 else id
+        val cluster = (base % 64).toInt
+        val crng = new scala.util.Random(1000L + cluster)
+        val center = Array.fill(64)(crng.nextGaussian().toFloat)
+        val vrng = new scala.util.Random(base * 0x9E3779B97L + 7L)
+        val v = Array.tabulate(64)(i =>
+          center(i) + 0.08f * vrng.nextGaussian().toFloat)
+        val out =
+          if (base == id) v
+          else {
+            val prng = new scala.util.Random(id * 31L + 5L)
+            Array.tabulate(64)(i => v(i) + 0.002f * prng.nextGaussian().toFloat)
+          }
+        (id, out, cluster)
+      }
+    }.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+
+    println(s"""{"outDir":"$outDir","nDocs":$nDocs,"nVecs":$nVecs}""")
+    spark.stop()
+  }
+}
+
+/** Run named declared queries over a [[ScaleDataGen]] slice, one sweep,
+  * with per-query wall time + task-metric counters (shuffle write, memory/
+  * disk spill, peak execution memory) — the numbers that say whether a
+  * plan would survive a 100x scale-up, not just whether it finishes.
+  */
+object ScaleRehearsal {
+
+  private class Metrics extends org.apache.spark.scheduler.SparkListener {
+    @volatile var shuffleWrite = 0L
+    @volatile var memSpill = 0L
+    @volatile var diskSpill = 0L
+    @volatile var peakExecMem = 0L
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = te.taskMetrics
+      if (m != null) {
+        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+        memSpill += m.memoryBytesSpilled
+        diskSpill += m.diskBytesSpilled
+        peakExecMem = math.max(peakExecMem, m.peakExecutionMemory)
+      }
+    }
+    def reset(): Unit = { shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakExecMem = 0 }
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 2, "usage: ScaleRehearsal <dir> <query> [query...]")
+    val dir = args(0)
+    val names = args.drop(1).toSeq
+    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    require(unknown.isEmpty,
+      s"unknown queries: ${unknown.mkString(", ")} — declared names are in " +
+        "SparkEntry.queries")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.plans.GraftFunctions.installPlanRewrites(spark)
+    val metrics = new Metrics
+    spark.sparkContext.addSparkListener(metrics)
+    spark.range(10).write.format("noop").mode("overwrite").save()
+    def gb(x: Long): Double = math.rint(x / 1e7) / 100.0
+    for (name <- names) {
+      val fn = graft.SparkEntry.queries(name)
+      metrics.reset()
+      val t0 = System.nanoTime()
+      val ok =
+        try { fn(spark, dir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[rehearsal] $name failed: $e"); false
+        }
+      val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      // listener bus is async (private API) — give in-flight task-end
+      // events a beat before reading the counters
+      Thread.sleep(500)
+      println(s"""{"query":"$name","ok":$ok,"sec":$secs,""" +
+        s""""shuffle_write_gb":${gb(metrics.shuffleWrite)},""" +
+        s""""mem_spill_gb":${gb(metrics.memSpill)},""" +
+        s""""disk_spill_gb":${gb(metrics.diskSpill)},""" +
+        s""""peak_task_mem_gb":${gb(metrics.peakExecMem)}}""")
+    }
+    spark.stop()
+  }
+}
