@@ -126,9 +126,46 @@ object SubstringDedup {
       minDocs: Int = 2,
       oracleParityHash: Boolean = false,
       segmentLen: Int = 4088): DataFrame = {
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    val fingerprints = winnowedFingerprints(
+      docs, idCol, textCol, k, w, oracleParityHash, segmentLen)
+    val marked =
+      if (minDocs == 2) {
+        val wG = Window.partitionBy(col("gh"))
+        fingerprints
+          .withColumn("lo", min(col("doc_id")).over(wG))
+          .withColumn("hi", max(col("doc_id")).over(wG))
+          .filter(col("lo") =!= col("hi"))
+          .select(col("doc_id"), col("pos"))
+      } else {
+        // a distinct-count threshold is not window-able (duplicatedSpans'
+        // same caveat); the fingerprint frame is already winnowed small,
+        // so the aggregate+join detour is cheap here
+        val dup = fingerprints.groupBy(col("gh"))
+          .agg(count_distinct(col("doc_id")).as("nd"))
+          .filter(col("nd") >= minDocs)
+          .select(col("gh"))
+        fingerprints.join(dup, "gh").select(col("doc_id"), col("pos"))
+      }
+    islandsToSpans(marked, k, gap = k + w - 1)
+  }
+
+  /** The fingerprint-selection stage of [[winnowedSpans]]: the distinct
+    * (doc_id, pos, gh) winnow-selected gram positions, before the
+    * cross-document duplicate marking. Factored out so RecallSpec can
+    * measure the selected-position fraction (the shuffle saving) without
+    * re-implementing the window.
+    */
+  private[graft] def winnowedFingerprints(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      w: Int,
+      oracleParityHash: Boolean,
+      segmentLen: Int): DataFrame = {
     require(k >= 1, s"gram length must be positive, got $k")
     require(w >= 2, s"winnowing window must be >= 2, got $w")
-    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     require(segmentLen >= w && segmentLen + w - 1 <= 4096,
       s"segmentLen must be in [$w, ${4096 - w + 1}] so local offsets fit " +
         s"the 12-bit key field, got $segmentLen")
@@ -164,7 +201,7 @@ object SubstringDedup {
           (lit(4095) - (col("pos") - col("seg") * S))).as("key"))
     val wWin = Window.partitionBy(col("doc_id"), col("seg")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
-    val fingerprints = grams
+    grams
       .withColumn("wmin", min(col("key")).over(wWin))
       // only FULL windows select (classic winnowing); the guarantee does
       // not need partial tail windows, and they would over-select. The
@@ -177,25 +214,6 @@ object SubstringDedup {
           .cast("int").as("pos"),
         expr("wmin div 4096").as("gh")) // div: `/` on longs is DOUBLE division
       .distinct()
-    val marked =
-      if (minDocs == 2) {
-        val wG = Window.partitionBy(col("gh"))
-        fingerprints
-          .withColumn("lo", min(col("doc_id")).over(wG))
-          .withColumn("hi", max(col("doc_id")).over(wG))
-          .filter(col("lo") =!= col("hi"))
-          .select(col("doc_id"), col("pos"))
-      } else {
-        // a distinct-count threshold is not window-able (duplicatedSpans'
-        // same caveat); the fingerprint frame is already winnowed small,
-        // so the aggregate+join detour is cheap here
-        val dup = fingerprints.groupBy(col("gh"))
-          .agg(count_distinct(col("doc_id")).as("nd"))
-          .filter(col("nd") >= minDocs)
-          .select(col("gh"))
-        fingerprints.join(dup, "gh").select(col("doc_id"), col("pos"))
-      }
-    islandsToSpans(marked, k, gap = k + w - 1)
   }
 
   /** Gaps-and-islands span assembly shared by the exhaustive and winnowed
