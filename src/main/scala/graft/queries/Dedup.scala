@@ -421,38 +421,19 @@ object Dedup {
     * and the candidate set is O(sum of cluster-size squared), never global
     * all-pairs. Assignment is q82's broadcast-centroid argmin (same
     * Parity.r4 + tie-break determinism); pair scoring is q33's rounded
-    * cosine. Deterministic centroids (vec_id < 8) keep it oracle-checked;
-    * trained centroids from Ann.ivfCentroidsKMeans plug into the same code.
+    * cosine. Deterministic centroids (vec_id < 8) keep it oracle-checked —
+    * and quadratic in corpus size, so this form is the TEST-SCALE twin:
+    * the scale form is [[graft.operators.SemDeDup.pairsAuto]] (k grown as
+    * n/targetClusterSize; shares this query's pair code via
+    * [[graft.operators.SemDeDup.pairs]]), declared rows-only as q111.
     */
   private def q101(s: SparkSession, dir: String): DataFrame = {
-    graft.plans.GraftFunctions.register(s)
-    import graft.plans.GraftFunctions.vecDot
     val emb = Tables.embeddings(s, dir)
     val cents = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"),
-        vecDot(col("embedding"), col("embedding")).as("c2"))
-    val d2 = col("e2") + col("c2") -
-      lit(2.0) * vecDot(col("embedding"), col("c_emb"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_id"))
-    val assigned = emb.filter(col("vec_id") >= 8)
-      .withColumn("e2", vecDot(col("embedding"), col("embedding")))
-      .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"), col("embedding"), col("e2"),
-        Parity.r4(d2).as("dist2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"),
-        sqrt(col("e2")).as("nm"))
-    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
-      col("embedding").as("e_a"), col("nm").as("nm_a"))
-    val b = assigned.select(col("cluster").as("cl_b"), col("vec_id").as("vec_b"),
-      col("embedding").as("e_b"), col("nm").as("nm_b"))
-    a.join(b, col("cluster") === col("cl_b") && col("vec_a") < col("vec_b"))
-      .withColumn("cos_sim",
-        round(vecDot(col("e_a"), col("e_b")) / (col("nm_a") * col("nm_b")), 4))
-      .filter(col("cos_sim") >= 0.4)
-      .select(col("cluster"), col("vec_a"), col("vec_b"), col("cos_sim"))
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    graft.operators.SemDeDup
+      .pairs(emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
+        cents, minCos = 0.4)
       .orderBy(col("cluster"), col("vec_a"), col("vec_b"))
   }
 

@@ -153,8 +153,30 @@ object ScalePaths {
       .orderBy(col("q_id"), col("dist2"), col("id"))
   }
 
+  /** SemDeDup's SCALE form over the full embeddings table: k-means
+    * centroids trained with k = ceil(n / targetClusterSize), so the
+    * within-cluster pair join stays O(n * targetClusterSize) as the corpus
+    * grows — the contract q101 (8 fixed centroids, oracle-checkable,
+    * quadratic) cannot honor; the round-7 rehearsal measured the fixed-k
+    * form failing to finish at 400k vectors while this form completes.
+    * Rows-only by design: trained centroids are not DuckDB-replayable at
+    * acceptable cost; the pair math is pinned by q101's oracle (shared
+    * code via SemDeDup.pairs) and recall vs brute force by RecallSpec.
+    * targetClusterSize=64 keeps k meaningful (>= 8 trained cells) at
+    * verify scale; minCos=0.4 is q33/q101's threshold — the testdata
+    * vectors are near-orthogonal, so higher cuts return nothing.
+    */
+  private def q111(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.SemDeDup
+      .pairsAuto(emb, "vec_id", "embedding", minCos = 0.4,
+        targetClusterSize = 64)
+      .orderBy(col("cluster"), col("vec_a"), col("vec_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q44_minhash_lsh_full", q44, None),
+    QueryDef("q111_semdedup_scale", q111, None),
     QueryDef("q45_ann_lsh", q45, None),
     QueryDef("q46_ann_ivf", q46, None),
     QueryDef("q54_simhash_banded_full", q54, None),

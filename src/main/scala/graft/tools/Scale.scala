@@ -121,6 +121,37 @@ object ScaleDataGen {
   */
 object ScaleRehearsal {
 
+  /** Rehearsal-only entries beyond the declared catalog: strategy-PINNED
+    * forms of operators whose declared queries auto-select, so the
+    * rehearsal can measure both sides of an auto-threshold (the numbers
+    * that calibrate [[graft.operators.SubstringDedup.SinglePassMaxBytes]]),
+    * plus scale-contract forms whose declared twins fix a parameter for
+    * oracle-checkability (q101's 8 deterministic centroids vs the
+    * k-grows-with-N semantic-dedup contract).
+    */
+  private val extraQueries: Map[String,
+      (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    "q100_window" -> ((s, dir) =>
+      graft.operators.SubstringDedup.duplicatedSpans(
+        graft.Tables.documents(s, dir), "doc_id", "text",
+        k = 20, singlePass = Some(true))),
+    "q100_twopass" -> ((s, dir) =>
+      graft.operators.SubstringDedup.duplicatedSpans(
+        graft.Tables.documents(s, dir), "doc_id", "text",
+        k = 20, singlePass = Some(false))),
+    "q100_twopass_hash" -> ((s, dir) =>
+      graft.operators.SubstringDedup.duplicatedSpans(
+        graft.Tables.documents(s, dir), "doc_id", "text",
+        k = 20, hashShuffle = true, singlePass = Some(false))),
+    // q111's declared form uses targetClusterSize=64 to force trained
+    // cells at verify scale; at 400k+ vectors that k would hit the
+    // driver-side Lloyd's quadratic-in-k wall (SemDeDup.pairsAuto doc) —
+    // the default 1024 target is the scale-appropriate setting
+    "q111_t1024" -> ((s, dir) =>
+      graft.operators.SemDeDup.pairsAuto(
+        graft.Tables.embeddings(s, dir), "vec_id", "embedding",
+        minCos = 0.95)))
+
   private class Metrics extends org.apache.spark.scheduler.SparkListener {
     @volatile var shuffleWrite = 0L
     @volatile var memSpill = 0L
@@ -143,10 +174,12 @@ object ScaleRehearsal {
     require(args.length >= 2, "usage: ScaleRehearsal <dir> <query> [query...]")
     val dir = args(0)
     val names = args.drop(1).toSeq
-    val unknown = names.filterNot(graft.SparkEntry.queries.contains)
+    val unknown = names
+      .filterNot(graft.SparkEntry.queries.contains)
+      .filterNot(extraQueries.contains)
     require(unknown.isEmpty,
       s"unknown queries: ${unknown.mkString(", ")} — declared names are in " +
-        "SparkEntry.queries")
+        s"SparkEntry.queries, rehearsal extras: ${extraQueries.keys.mkString(", ")}")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -161,7 +194,7 @@ object ScaleRehearsal {
     spark.range(10).write.format("noop").mode("overwrite").save()
     def gb(x: Long): Double = math.rint(x / 1e7) / 100.0
     for (name <- names) {
-      val fn = graft.SparkEntry.queries(name)
+      val fn = graft.SparkEntry.queries.getOrElse(name, extraQueries(name))
       metrics.reset()
       val t0 = System.nanoTime()
       val ok =

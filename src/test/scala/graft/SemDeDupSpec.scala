@@ -1,0 +1,91 @@
+package graft
+
+import graft.operators.SemDeDup
+import org.apache.spark.sql.functions._
+
+/** SemDeDup's scale form ([[SemDeDup.pairsAuto]], q111): trained-centroid
+  * clustering with k grown as n/targetClusterSize. The pair math is shared
+  * with the oracle-checked q101 via [[SemDeDup.pairs]]; these tests pin
+  * the properties the oracle cannot: planted duplicates are found, the
+  * approximation only UNDER-reports (every emitted pair is a true
+  * above-threshold pair), and measured recall vs brute force is recorded.
+  */
+class SemDeDupSpec extends SparkSpec {
+
+  private def vec(seed: Int, scale: Float = 1f): Array[Float] = {
+    val r = new scala.util.Random(seed)
+    Array.fill(16)(r.nextGaussian().toFloat * scale)
+  }
+
+  test("planted near-duplicates are found with trained centroids") {
+    import spark.implicits._
+    // three well-separated centers, 30 members each, plus one exact
+    // duplicate pair (ids 900/901) inside center 0. Noise scale 2 on
+    // norm-40 centers puts distinct same-center pairs at cos ~0.96 —
+    // measurably below the 0.9999 threshold (0.1 noise was NOT: all
+    // same-center pairs rounded to 0.9999 at 4 decimals)
+    val centers = Array(vec(1, 10f), vec(2, 10f), vec(3, 10f))
+    val rows = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      val n = vec(100 + i, 2f)
+      (i.toLong, c.zip(n).map { case (a, b) => a + b })
+    } ++ Seq(
+      (900L, centers(0).map(_ + 0.01f)),
+      (901L, centers(0).map(_ + 0.01f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = SemDeDup
+      .pairsAuto(emb, "vec_id", "embedding", minCos = 0.9999,
+        targetClusterSize = 16)
+      .collect()
+    assert(got.exists(r =>
+      r.getAs[Long]("vec_a") == 900L && r.getAs[Long]("vec_b") == 901L),
+      s"planted duplicate pair missing from ${got.length} pairs")
+    assert(got.length == 1, s"expected only the planted pair, got ${got.length}")
+  }
+
+  test("pairsAuto only under-reports: every pair is a true pair; recall measured") {
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+      .select(col("vec_id"), col("embedding"))
+    val got = SemDeDup
+      .pairsAuto(emb, "vec_id", "embedding", minCos = 0.4,
+        targetClusterSize = 64)
+      .select(col("vec_a"), col("vec_b"), col("cos_sim"))
+      .localCheckpoint()
+    // brute-force truth — affordable at 500 vectors (125k pairs)
+    graft.plans.GraftFunctions.register(spark)
+    import graft.plans.GraftFunctions.vecDot
+    val v = emb.select(col("vec_id").as("id"), col("embedding").as("e"),
+      sqrt(vecDot(col("embedding"), col("embedding"))).as("nm"))
+    val truth = v.as("a").crossJoin(v.as("b"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+        round(vecDot(col("a.e"), col("b.e")) /
+          (col("a.nm") * col("b.nm")), 4).as("cos_true"))
+      .filter(col("cos_true") >= 0.4)
+      .localCheckpoint()
+
+    // soundness: emitted pairs == the truth rows for those ids, same score
+    val bad = got.join(truth, Seq("vec_a", "vec_b"), "left")
+      .filter(col("cos_true").isNull || col("cos_true") =!= col("cos_sim"))
+      .count()
+    assert(bad == 0, s"$bad emitted pairs are not true >=0.4 pairs")
+
+    val nTruth = truth.count()
+    val nHit = truth.join(got, Seq("vec_a", "vec_b"), "left_semi").count()
+    val recall = nHit.toDouble / nTruth
+    println(f"[recall] semdedup(target=64) cos>=0.4: $recall%.4f (n=$nTruth)")
+    // measured 0.4407 (n=59) on the near-orthogonal sf0.01 corpus with
+    // k=8 trained cells — SemDeDup's documented trade: cos>=0.4 pairs in
+    // a structure-free random corpus straddle cell boundaries. Floor at
+    // 0.35 guards regression without overstating the approximation;
+    // DESIGN.md §4 records the number alongside the other recall rows.
+    assert(recall >= 0.35, f"semdedup recall $recall%.4f")
+  }
+
+  test("q111 declared form returns rows and respects pair ordering") {
+    val df = SparkEntry.queries("q111_semdedup_scale")(spark, sf("sf0.01"))
+    val rows = df.collect()
+    assert(rows.nonEmpty, "q111 returned no rows at sf0.01")
+    assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+}
