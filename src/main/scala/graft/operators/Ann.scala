@@ -189,6 +189,34 @@ object Ann {
     cents.zipWithIndex.map { case (c, i) => Vec(i.toLong, c.map(_.toFloat)) }
   }
 
+  /** Distributed k-means via Spark ML (k-means|| seeding + distributed
+    * Lloyd's): the training path for k beyond [[ivfCentroidsKMeans]]'s
+    * driver wall. The sampled driver trainer costs ~32*k^2*d*iters driver
+    * flops — quadratic in k, impractical past k ~ 2000; this one is
+    * O(n*k*d) per iteration spread across executors with only k*d bytes
+    * ever on the driver, so k up to [[SemDeDup.MaxCentroids]] (and the
+    * full corpus, not a 32k-point sample) stays tractable. Seeded, so
+    * centroids are reproducible run-to-run on a fixed corpus. Same
+    * Array[Vec] contract as the driver trainer: ids 0..k-1, float
+    * embeddings.
+    */
+  def kMeansCentroidsDistributed(
+      corpus: Dataset[Vec],
+      nCells: Int,
+      iters: Int = 5,
+      seed: Long = 42L): Array[Vec] = {
+    import org.apache.spark.ml.functions.array_to_vector
+    val feats = corpus.toDF()
+      .select(array_to_vector(col("embedding")).as("features"))
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nCells).setMaxIter(iters).setSeed(seed)
+      .setFeaturesCol("features")
+      .fit(feats)
+    model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      Vec(i.toLong, c.toArray.map(_.toFloat))
+    }
+  }
+
   private def nearestCentroid(v: Array[Float], cents: Array[Array[Double]]): Int = {
     var best = 0
     var bestSim = Double.NegativeInfinity

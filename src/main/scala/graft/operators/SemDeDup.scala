@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.plans.GraftFunctions
@@ -53,6 +52,15 @@ object SemDeDup {
     * engines and partitionings), then every same-cluster pair with
     * `round(cosine, 4) >= minCos` is emitted as
     * (cluster, vec_a, vec_b, cos_sim), vec_a < vec_b.
+    *
+    * The argmin is a hash aggregate (`min_by` over the (dist2, c_id)
+    * struct), NOT a window over the crossJoin output: partial aggregation
+    * collapses each map task's n_p*k assignment rows back to n_p rows
+    * BEFORE the exchange, so the shuffle carries one row per member —
+    * a window's partitionBy would ship all n*k rows (embedding included)
+    * through the exchange, ~k times the corpus (47 GB at 400k x 391
+    * measured in the round-7 rehearsal). No ties exist in the ordering
+    * struct (c_id is its second field), so min_by is deterministic.
     */
   def pairs(
       members: DataFrame,
@@ -66,16 +74,16 @@ object SemDeDup {
         vecDot(col("c_emb"), col("c_emb")).as("c2"))
     val d2 = col("e2") + col("c2") -
       lit(2.0) * vecDot(col("embedding"), col("c_emb"))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("dist2"), col("c_id"))
     val assigned = members
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("e2", vecDot(col("embedding"), col("embedding")))
       .crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("c_id"), col("embedding"), col("e2"),
-        Parity.r4(d2).as("dist2"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("c_id").as("cluster"), col("embedding"),
+      .groupBy(col("vec_id"))
+      .agg(
+        min_by(col("c_id"), struct(Parity.r4(d2), col("c_id"))).as("cluster"),
+        first(col("embedding")).as("embedding"),
+        first(col("e2")).as("e2"))
+      .select(col("vec_id"), col("cluster"), col("embedding"),
         sqrt(col("e2")).as("nm"))
     val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("e_a"), col("nm").as("nm_a"))
@@ -102,13 +110,18 @@ object SemDeDup {
     * bounded fraction of the corpus, and AQE's skew-join handles a hot
     * cluster key at execution time.
     *
-    * Training cost caveat: [[Ann.ivfCentroidsKMeans]] runs Lloyd's on a
-    * driver-side sample of 32*k points — ~32*k^2*d*iters driver flops,
-    * QUADRATIC in k. Fast to k ~ 2000 (about 2M vectors at the default
-    * target); above that, pick a coarser targetClusterSize or train
-    * centroids distributedly and call [[pairs]] directly — the pair stage
-    * is k-agnostic.
+    * Training auto-selects by k: [[Ann.ivfCentroidsKMeans]] runs Lloyd's
+    * on a driver-side sample of 32*k points — ~32*k^2*d*iters driver
+    * flops, QUADRATIC in k, fast only to k ~ [[DriverTrainMaxK]] (about
+    * 2M vectors at the default target). Beyond that the trainer switches
+    * to [[Ann.kMeansCentroidsDistributed]] (Spark ML k-means||, O(n*k*d)
+    * per iteration across executors, full corpus not a sample). The two
+    * trainers yield different (both valid) quantizers, so a given corpus
+    * gets deterministic output from whichever side of the threshold it
+    * lands on.
     */
+  val DriverTrainMaxK: Int = 2048
+
   def pairsAuto(
       members: DataFrame,
       idCol: String,
@@ -128,7 +141,9 @@ object SemDeDup {
     require(n > 0, "pairsAuto on an empty embedding frame")
     val k = math.min(MaxCentroids.toLong,
       math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
-    val cents = Ann.ivfCentroidsKMeans(ds, k, iters)
+    val cents =
+      if (k <= DriverTrainMaxK) Ann.ivfCentroidsKMeans(ds, k, iters)
+      else Ann.kMeansCentroidsDistributed(ds, k, iters)
     val centsDf = cents.toSeq
       .map(v => (v.id, v.embedding))
       .toDF("c_id", "c_emb")

@@ -159,6 +159,11 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
       || p.contains("ShuffledHashJoin"), p)
+    // the centroid argmin must be the partial-aggregated min_by, never a
+    // window over the crossJoin output: a window's partitionBy ships all
+    // n*k assignment rows through the exchange; partial min_by ships n
+    assert(!p.contains("Window"), p)
+    assert(p.contains("min_by"), p)
   }
 
   test("q94: checksum aggregates map-side before its one exchange") {

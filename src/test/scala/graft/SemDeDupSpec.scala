@@ -82,6 +82,37 @@ class SemDeDupSpec extends SparkSpec {
     assert(recall >= 0.35, f"semdedup recall $recall%.4f")
   }
 
+  test("distributed k-means trainer separates planted centers; pairs() composes") {
+    import spark.implicits._
+    val centers = Array(vec(1, 10f), vec(2, 10f), vec(3, 10f))
+    val rows = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      val n = vec(200 + i, 2f)
+      (i.toLong, c.zip(n).map { case (a, b) => a + b })
+    } ++ Seq(
+      (900L, centers(0).map(_ + 0.01f)),
+      (901L, centers(0).map(_ + 0.01f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val ds = emb.select(col("vec_id").as("id"), col("embedding"))
+      .as[graft.operators.Vec]
+    val cents = graft.operators.Ann.kMeansCentroidsDistributed(ds, 3, iters = 5)
+    assert(cents.length == 3, s"expected 3 centroids, got ${cents.length}")
+    // the three planted prototypes must land in three DISTINCT cells —
+    // i.e. the distributed quantizer actually separates the structure
+    def nearest(v: Array[Float]): Long = cents.minBy { c =>
+      c.embedding.zip(v).map { case (a, b) => (a - b) * (a - b) }.sum
+    }.id
+    assert(centers.map(nearest).distinct.length == 3,
+      "planted centers collapsed into fewer than 3 cells")
+    // and the shared pair stage composes with distributed centroids
+    val centsDf = cents.toSeq.map(v => (v.id, v.embedding)).toDF("c_id", "c_emb")
+    val got = SemDeDup.pairs(emb, "vec_id", "embedding", centsDf, minCos = 0.9999)
+      .collect()
+    assert(got.length == 1 && got.head.getAs[Long]("vec_a") == 900L &&
+      got.head.getAs[Long]("vec_b") == 901L,
+      s"expected exactly the planted pair, got ${got.mkString(", ")}")
+  }
+
   test("q111 declared form returns rows and respects pair ordering") {
     val df = SparkEntry.queries("q111_semdedup_scale")(spark, sf("sf0.01"))
     val rows = df.collect()
