@@ -50,7 +50,10 @@ import org.apache.spark.sql.functions._
   * xxhash64 instead of the k-char string, so the groupBy/join exchanges
   * carry (hash, doc_id, pos) triples regardless of k — the variant to run
   * at 100 TB, accepting the vanishing 64-bit collision odds exactly as
-  * Lee et al.'s hash-based pipeline does. The exact-string form is the
+  * Lee et al.'s hash-based pipeline does (round-7 rehearsal, 1M docs:
+  * two-pass 999 s string-keyed vs 547 s hashed — 1.8x from shuffle bytes
+  * alone; it stays opt-in because the declared q100 must stay exact for
+  * its DuckDB oracle). The exact-string form is the
   * oracle-checkable twin; `SubstringDedupSpec` proves the two agree on a
   * corpus, and q100 declares the exact form over the full documents table.
   */
@@ -58,11 +61,16 @@ object SubstringDedup {
 
   /** Auto-strategy threshold (see `singlePass = None` in the class doc):
     * corpora whose pruned (doc_id, text) columns are estimated above this
-    * take the skew-immune two-pass marking. 2 GiB ~ the point where a
-    * single degenerate-gram window group could plausibly dominate one
-    * task; below it the one-exchange window strategy measured faster.
+    * take the skew-immune two-pass marking. Calibrated by the round-7
+    * scale rehearsal (1M docs / 182 MB parquet, local[32]): window
+    * marking 1907 s vs two-pass 999 s (and 547 s with hashShuffle) — the
+    * window's per-gram group buffering loses well before the original
+    * 2 GiB guess; at sf0.1 (60k docs / ~20 MB) the window still wins
+    * (2.7 s vs 4.5 s). 64 MiB splits the measured bracket: small corpora
+    * keep the cheaper one-exchange plan, anything larger takes the
+    * strategy that cannot be stalled by one degenerate gram.
     */
-  val SinglePassMaxBytes: Long = 2L << 30
+  val SinglePassMaxBytes: Long = 64L << 20
 
   /** The `singlePass = None` decision, factored out for direct testing:
     * window marking iff Catalyst's size estimate of `base` (already
