@@ -67,24 +67,62 @@ object SemDeDup {
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
-      minCos: Double): DataFrame = {
+      minCos: Double): DataFrame =
+    pairStage(assignCarry(members, idCol, vecCol, centroids), minCos)
+
+  /** Squared-distance to each centroid, shared by every assignment path. */
+  private def centsWithNorm(centroids: DataFrame): DataFrame =
+    centroids.select(col("c_id"), col("c_emb"),
+      vecDot(col("c_emb"), col("c_emb")).as("c2"))
+
+  private def d2Expr = col("e2") + col("c2") -
+    lit(2.0) * vecDot(col("embedding"), col("c_emb"))
+
+  /** Assignment that CARRIES the embedding through the aggregate —
+    * (vec_id, cluster, embedding, nm) in one pass, for paths that score
+    * pairs immediately after assigning.
+    */
+  private def assignCarry(
+      members: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
     GraftFunctions.register(members.sparkSession)
-    val cents = centroids
-      .select(col("c_id"), col("c_emb"),
-        vecDot(col("c_emb"), col("c_emb")).as("c2"))
-    val d2 = col("e2") + col("c2") -
-      lit(2.0) * vecDot(col("embedding"), col("c_emb"))
-    val assigned = members
+    members
       .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
       .withColumn("e2", vecDot(col("embedding"), col("embedding")))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(centsWithNorm(centroids)))
       .groupBy(col("vec_id"))
       .agg(
-        min_by(col("c_id"), struct(Parity.r4(d2), col("c_id"))).as("cluster"),
+        min_by(col("c_id"), struct(Parity.r4(d2Expr), col("c_id"))).as("cluster"),
         first(col("embedding")).as("embedding"),
         first(col("e2")).as("e2"))
       .select(col("vec_id"), col("cluster"), col("embedding"),
         sqrt(col("e2")).as("nm"))
+  }
+
+  /** Embedding-free assignment — (vec_id, cluster) only. Same argmin and
+    * parity rounding as [[assignCarry]]; the difference is the exchange:
+    * the partial min_by state is two numerics, so the shuffle behind the
+    * aggregate never carries the embedding column. This is the index
+    * build/append path, where assignments are persisted and embeddings
+    * stay in the corpus.
+    */
+  def assign(
+      members: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    GraftFunctions.register(members.sparkSession)
+    members
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("e2", vecDot(col("embedding"), col("embedding")))
+      .crossJoin(broadcast(centsWithNorm(centroids)))
+      .groupBy(col("vec_id"))
+      .agg(min_by(col("c_id"), struct(Parity.r4(d2Expr), col("c_id"))).as("cluster"))
+  }
+
+  /** Same-cluster pair scoring over an assigned frame
+    * (vec_id, cluster, embedding, nm): every pair with
+    * round(cos, 4) >= minCos, vec_a < vec_b.
+    */
+  private def pairStage(assigned: DataFrame, minCos: Double): DataFrame = {
     val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("e_a"), col("nm").as("nm_a"))
     val b = assigned.select(col("cluster").as("cl_b"), col("vec_id").as("vec_b"),
@@ -148,5 +186,143 @@ object SemDeDup {
       .map(v => (v.id, v.embedding))
       .toDF("c_id", "c_emb")
     pairs(members, idCol, vecCol, centsDf, minCos)
+  }
+
+  // ---- persisted index lifecycle ------------------------------------
+  //
+  // Layout mirrors Ann.buildIvfIndex: `<path>/centroids` is the quantizer
+  // (c_id, c_emb), `<path>/assignments` the (vec_id, cluster) table,
+  // `<path>/deletes` the shared tombstone set. The quantizer is MODEL, not
+  // data: append/delete never touch it, which is exactly why
+  // delete-then-search equals rebuild-without (the IndexTombstones
+  // contract) and why append cost is one batch-sized assignment pass.
+  // Embeddings are NOT persisted — the corpus parquet already holds them;
+  // duplicating them into the index would double the 100 TB footprint for
+  // no query benefit (pair scoring re-joins the corpus by id either way).
+
+  /** Persist a SemDeDup index: the (broadcast-small) centroid quantizer
+    * plus the corpus' cluster assignments. One assignment pass — the
+    * expensive step at corpus scale — after which [[pairsIndexed]] and
+    * [[incrementalPairs]] read the stored assignments instead of
+    * re-quantizing. Caller supplies centroids (trained via
+    * [[Ann.ivfCentroidsKMeans]]/[[Ann.kMeansCentroidsDistributed]], or
+    * deterministic for oracle parity).
+    */
+  def buildIndex(
+      members: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, path: String): Unit = {
+    val k = centroids.count()
+    require(k > 0 && k <= MaxCentroids,
+      s"centroid count $k outside (0, $MaxCentroids] — the quantizer must stay broadcast-small")
+    centroids.select(col("c_id").cast("long").as("c_id"), col("c_emb"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    assign(members, idCol, vecCol, centroids)
+      .write.mode("overwrite").parquet(s"$path/assignments")
+  }
+
+  /** The stored quantizer. Broadcast-small by [[buildIndex]]'s ceiling. */
+  def loadCentroids(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/centroids")
+
+  /** The assignment table minus tombstoned ids — every index consumer
+    * must read assignments through this so deleted vectors stop pairing
+    * the moment [[deleteFromIndex]] returns.
+    */
+  def loadAssignments(spark: SparkSession, path: String): DataFrame =
+    IndexTombstones.filterLive(spark,
+      spark.read.parquet(s"$path/assignments"), s"$path/deletes", "vec_id")
+
+  /** Grow the index without retraining: assign the batch under the STORED
+    * quantizer and append — cost ∝ batch, never the indexed corpus. Caller
+    * owns id uniqueness across appends (single-writer posture, as with
+    * [[Ann.appendToIvfIndex]]); a tombstoned id can only be re-appended
+    * after [[compactIndex]] folds the tombstone away.
+    */
+  def appendToIndex(
+      batch: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
+    val spark = batch.sparkSession
+    val cents = loadCentroids(spark, path)
+    val cdim = cents.select(size(col("c_emb"))).head().getInt(0)
+    val bdim = batch.select(size(col(vecCol))).head().getInt(0)
+    require(bdim == cdim,
+      s"batch dim $bdim != index dim $cdim — wrong index path?")
+    assign(batch, idCol, vecCol, cents)
+      .write.mode("append").parquet(s"$path/assignments")
+  }
+
+  /** O(batch) tombstone DELETE — the erasure half of the lifecycle. */
+  def deleteFromIndex(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    IndexTombstones.record(spark, s"$path/deletes",
+      spark.read.parquet(s"$path/assignments").select(col("vec_id").as("id")),
+      ids)
+
+  /** Fold tombstones into the assignment table physically and reset the
+    * tombstone set. Cost ∝ index, but assignment rows are two longs — the
+    * rewrite moves ~16 bytes per indexed vector.
+    */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val live = loadAssignments(spark, path).localCheckpoint(true)
+    live.write.mode("overwrite").parquet(s"$path/assignments")
+    IndexTombstones.clear(spark, s"$path/deletes")
+  }
+
+  /** Full within-corpus pairs from the STORED assignments: no
+    * re-quantization — the corpus is touched only to fetch embeddings by
+    * id for the pair scoring. Equals [[pairs]] over the live (non-deleted)
+    * members under the stored centroids, exactly (SemDeDupSpec).
+    */
+  def pairsIndexed(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, minCos: Double): DataFrame = {
+    val spark = corpus.sparkSession
+    GraftFunctions.register(spark)
+    val emb = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+    val assigned = loadAssignments(spark, path)
+      .join(emb, "vec_id")
+      .withColumn("nm", sqrt(vecDot(col("embedding"), col("embedding"))))
+    pairStage(assigned, minCos)
+  }
+
+  /** Incremental semantic dedup: pairs INVOLVING the batch — batch vs the
+    * live indexed corpus plus within-batch — under the stored quantizer.
+    * This is the arrival-time dedup decision ("is anything in this batch a
+    * semantic dup of what we already hold, or of each other?") and it
+    * costs O(batch × cluster population), never a corpus self-join: the
+    * batch assigns in one pass, the assignment table is pruned to the
+    * (≤ k, broadcast-small) clusters the batch touches, and only those
+    * clusters' members fetch embeddings. Contract (q112's oracle): equal
+    * to [[pairs]] over indexed ∪ batch filtered to pairs with a batch
+    * member. Indexed copies of re-sent batch ids are excluded from the
+    * indexed side (same id never pairs with itself); `corpus` supplies
+    * embeddings for indexed ids — batch rows need not be in it.
+    */
+  def incrementalPairs(
+      batch: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      path: String, minCos: Double): DataFrame = {
+    val spark = batch.sparkSession
+    GraftFunctions.register(spark)
+    val cents = loadCentroids(spark, path)
+    val bAssigned = assignCarry(batch, idCol, vecCol, cents)
+      .localCheckpoint(true) // consumed 4× below (clusters, ids, cross, within)
+    val bClusters = bAssigned.select(col("cluster")).distinct()
+    val bIds = bAssigned.select(col("vec_id"))
+    val liveEmb = loadAssignments(spark, path)
+      .join(broadcast(bClusters), Seq("cluster"), "left_semi")
+      .join(broadcast(bIds), Seq("vec_id"), "left_anti")
+      .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
+        "vec_id")
+      .withColumn("nm", sqrt(vecDot(col("embedding"), col("embedding"))))
+    val b = bAssigned.select(col("cluster").as("cl_b"), col("vec_id").as("b_id"),
+      col("embedding").as("e_b"), col("nm").as("nm_b"))
+    val cross = liveEmb
+      .join(b, col("cluster") === col("cl_b"))
+      .withColumn("cos_sim",
+        round(vecDot(col("embedding"), col("e_b")) / (col("nm") * col("nm_b")), 4))
+      .filter(col("cos_sim") >= minCos)
+      .select(col("cluster"),
+        least(col("vec_id"), col("b_id")).as("vec_a"),
+        greatest(col("vec_id"), col("b_id")).as("vec_b"),
+        col("cos_sim"))
+    cross.unionByName(pairStage(bAssigned, minCos))
   }
 }

@@ -462,6 +462,59 @@ object Dedup {
       |WHERE ROUND(list_dot_product(x.emb, y.emb) / (x.nm * y.nm), 4) >= 0.4
       |ORDER BY cluster, vec_a, vec_b""".stripMargin
 
+  /** B21/B38 — INCREMENTAL SemDeDup against a PERSISTED index
+    * ([[graft.operators.SemDeDup.buildIndex]] / incrementalPairs): the
+    * corpus' cluster assignments are built once and stored; an arriving
+    * batch (every 5th vector here) assigns under the stored quantizer and
+    * pairs only against the clusters it touches — the arrival-time dedup
+    * decision at O(batch × cluster population). The oracle recomputes the
+    * same thing the definitional way — q101's full-union assignment and
+    * pair join, filtered to pairs involving a batch member — so an
+    * incremental path that drifts from the batch-recompute semantics fails
+    * the hash compare. Same deterministic centroids (vec_id < 8) as q101.
+    */
+  private def q112(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    val existing = emb.filter(col("vec_id") >= 8 && col("vec_id") % 5 =!= 0)
+    val batch = emb.filter(col("vec_id") >= 8 && col("vec_id") % 5 === 0)
+    val path = Scratch.path("semdedupidx", dir)
+    Scratch.once(path) {
+      graft.operators.SemDeDup
+        .buildIndex(existing, "vec_id", "embedding", cents, path)
+    }
+    graft.operators.SemDeDup
+      .incrementalPairs(batch, emb, "vec_id", "embedding", path, minCos = 0.4)
+      .orderBy(col("cluster"), col("vec_a"), col("vec_b"))
+  }
+
+  private val q112Sql =
+    """WITH c AS (
+      |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |  FROM embeddings WHERE vec_id < 8
+      |), d AS (
+      |  SELECT e.vec_id, c.c_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+      |    FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |      + list_dot_product(c.c_emb, c.c_emb)
+      |      - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_emb))
+      |      * 10000 + 0.5) / 10000.0 AS dist2
+      |  FROM embeddings e, c
+      |  WHERE e.vec_id >= 8
+      |), a AS (
+      |  SELECT vec_id, c_id AS cl, emb,
+      |    sqrt(list_dot_product(emb, emb)) AS nm
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY dist2, c_id) AS rn FROM d)
+      |  WHERE rn = 1
+      |)
+      |SELECT x.cl AS cluster, x.vec_id AS vec_a, y.vec_id AS vec_b,
+      |  ROUND(list_dot_product(x.emb, y.emb) / (x.nm * y.nm), 4) AS cos_sim
+      |FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+      |WHERE ROUND(list_dot_product(x.emb, y.emb) / (x.nm * y.nm), 4) >= 0.4
+      |  AND (x.vec_id % 5 = 0 OR y.vec_id % 5 = 0)
+      |ORDER BY cluster, vec_a, vec_b""".stripMargin
+
   /** DBSCAN via [[graft.operators.Dbscan]] (radiusJoin → degree filter →
     * connected components over core-core edges → border attachment; see
     * the operator's scaladoc for the stage-by-stage scale argument). The
@@ -681,6 +734,7 @@ object Dedup {
     QueryDef("q106_winnow_spans", q106, Some(q106Sql)),
     QueryDef("q107_prefix_join", q107, Some(q107Sql)),
     QueryDef("q101_semantic_dedup", q101, Some(q101Sql)),
+    QueryDef("q112_semdedup_incremental", q112, Some(q112Sql)),
     QueryDef("q104_dbscan", q104, Some(q104Sql)),
     QueryDef("q105_dup_excise", q105, Some(q105Sql)),
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),

@@ -102,6 +102,22 @@ class PipelineSpec extends SparkSpec {
     val hits = Ann.ivfTopKIndexed(spark, emb, idx, Seq(1L), k = 5, nprobe = 4)
     assert(hits.count() > 0, "indexed search returned nothing")
 
+    // 6b — the SEMANTIC dedup index lives the same lifecycle: built on the
+    // backfill, grown by append, queried for arrival-time duplicate
+    // decisions without re-quantizing the corpus
+    val embDf = emb.toDF("vec_id", "embedding")
+    val semIdx = s"$root/semidx"
+    val semCents = embDf.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    graft.operators.SemDeDup.buildIndex(
+      embDf.filter(col("vec_id") >= 8 && col("vec_id") < 400),
+      "vec_id", "embedding", semCents, semIdx)
+    graft.operators.SemDeDup.appendToIndex(
+      embDf.filter(col("vec_id") >= 400), "vec_id", "embedding", semIdx)
+    val semPairs = graft.operators.SemDeDup
+      .pairsIndexed(embDf, "vec_id", "embedding", semIdx, minCos = -1.0)
+    assert(semPairs.count() > 0, "semantic index yielded no same-cluster pairs")
+
     // 7 — text → vector → ANN with NO external embedding model: the
     // feature-hash embedding (q96's long form) assembled into dense
     // vectors and searched with the same ANN operators
@@ -135,10 +151,14 @@ class PipelineSpec extends SparkSpec {
     // 9 — right-to-erasure closes the lifecycle: one request removes a doc
     // from the CORPUS and every INDEX serving it (text + embedding), at
     // batch cost, no rebuilds — and it stops being findable anywhere
-    val eraseId = rankedIds.head // provably findable before erasure
+    // provably findable before erasure; >= 8 so it is also a semantic-index
+    // member (ids < 8 are that index's centroids, never indexed data)
+    val eraseId = rankedIds.find(_ >= 8)
+      .getOrElse(sys.error("all top-ranked docs are centroid ids — fixture degenerate"))
     Curation.deleteByKey(spark, table, Seq(eraseId).toDF("doc_id"), "doc_id", numBuckets = 8)
     graft.operators.TextIndex.deleteFromTextIndex(spark, tIdx, Seq(eraseId))
     Ann.deleteFromIvfIndex(spark, idx, Seq(eraseId))
+    graft.operators.SemDeDup.deleteFromIndex(spark, semIdx, Seq(eraseId))
     assert(spark.read.parquet(table).filter(col("doc_id") === eraseId).isEmpty,
       "erased doc still in the corpus")
     val rankedAfter = graft.operators.TextIndex
@@ -149,5 +169,13 @@ class PipelineSpec extends SparkSpec {
       Seq(1L, 2L, 3L).filterNot(_ == eraseId), k = 20, nprobe = 16)
     assert(nnAfter.filter(col("id") === eraseId).isEmpty,
       "erased doc resurfaced as an ANN candidate")
+    val semAfter = graft.operators.SemDeDup
+      .pairsIndexed(embDf, "vec_id", "embedding", semIdx, minCos = -1.0)
+    assert(semAfter
+      .filter(col("vec_a") === eraseId || col("vec_b") === eraseId).isEmpty,
+      "erased doc still pairs in the semantic index")
+    assert(semPairs
+      .filter(col("vec_a") === eraseId || col("vec_b") === eraseId).count() > 0,
+      "erasure not exercised: the erased id had no semantic pairs to lose")
   }
 }

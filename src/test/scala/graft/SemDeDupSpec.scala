@@ -113,6 +113,133 @@ class SemDeDupSpec extends SparkSpec {
       s"expected exactly the planted pair, got ${got.mkString(", ")}")
   }
 
+  // deterministic hash of a pair frame for exact-equality comparison
+  private def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+    df.collect().map(r => (r.getAs[Long]("cluster"), r.getAs[Long]("vec_a"),
+      r.getAs[Long]("vec_b"), r.getAs[Double]("cos_sim"))).toSet
+
+  test("persisted index: build/pairsIndexed/append/delete/compact lifecycle") {
+    import spark.implicits._
+    val centers = Array(vec(1, 10f), vec(2, 10f), vec(3, 10f))
+    def mk(ids: Range, seedOff: Int) = ids.map { i =>
+      val c = centers(i % 3)
+      val n = vec(seedOff + i, 2f)
+      (i.toLong, c.zip(n).map { case (a, b) => a + b })
+    }
+    val existing = mk(0 until 60, 300).toDF("vec_id", "embedding")
+    val batch = mk(60 until 90, 300).toDF("vec_id", "embedding")
+    val union = existing.unionByName(batch)
+    val cents = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toSeq.toDF("c_id", "c_emb")
+    val root = java.nio.file.Files.createTempDirectory("graft_semdedup_idx").toString
+    val path = s"$root/idx"
+    val minCos = 0.9
+
+    // build on existing: indexed pairs == inline pairs, exactly
+    SemDeDup.buildIndex(existing, "vec_id", "embedding", cents, path)
+    val inline = pairSet(SemDeDup.pairs(existing, "vec_id", "embedding", cents, minCos))
+    assert(inline.nonEmpty, "test geometry produced no pairs — thresholds wrong")
+    assert(pairSet(SemDeDup.pairsIndexed(existing, "vec_id", "embedding", path, minCos))
+      == inline, "pairsIndexed drifted from inline pairs")
+
+    // incremental: pairs involving the batch == union pairs filtered to batch members
+    val incr = pairSet(SemDeDup.incrementalPairs(
+      batch, existing, "vec_id", "embedding", path, minCos))
+    val unionPairs = pairSet(SemDeDup.pairs(union, "vec_id", "embedding", cents, minCos))
+    val expected = unionPairs.filter(p => p._2 >= 60 || p._3 >= 60)
+    assert(incr == expected,
+      s"incremental drifted: ${incr.size} vs expected ${expected.size}")
+    assert(expected.exists(p => p._2 < 60), "no cross batch-vs-indexed pair exercised")
+    assert(expected.exists(p => p._2 >= 60 && p._3 >= 60), "no within-batch pair exercised")
+
+    // append: index over existing+batch == one-shot build over the union
+    SemDeDup.appendToIndex(batch, "vec_id", "embedding", path)
+    assert(pairSet(SemDeDup.pairsIndexed(union, "vec_id", "embedding", path, minCos))
+      == unionPairs, "append drifted from one-shot build")
+
+    // delete: tombstoned ids stop pairing immediately, == rebuild-without
+    val gone = Seq(0L, 3L, 61L)
+    SemDeDup.deleteFromIndex(spark, path, gone)
+    val without = union.filter(!col("vec_id").isin(gone: _*))
+    val rebuilt = pairSet(SemDeDup.pairs(without, "vec_id", "embedding", cents, minCos))
+    assert(pairSet(SemDeDup.pairsIndexed(union, "vec_id", "embedding", path, minCos))
+      == rebuilt, "delete-then-pairs != rebuild-without")
+    assert(rebuilt != unionPairs, "deleted ids had no pairs — delete not exercised")
+
+    // compact folds tombstones physically; results unchanged; re-append works
+    SemDeDup.compactIndex(spark, path)
+    assert(pairSet(SemDeDup.pairsIndexed(union, "vec_id", "embedding", path, minCos))
+      == rebuilt, "compact changed results")
+    SemDeDup.appendToIndex(
+      union.filter(col("vec_id") === 0L), "vec_id", "embedding", path)
+    assert(pairSet(SemDeDup.pairsIndexed(union, "vec_id", "embedding", path, minCos))
+      == pairSet(SemDeDup.pairs(
+        union.filter(!col("vec_id").isin(3L, 61L)), "vec_id", "embedding", cents, minCos)),
+      "re-append after compact drifted")
+  }
+
+  test("streaming ingestion: foreachBatch grows the index; pairs equal a one-shot build") {
+    // the semantic twin of the streaming IVF/text-index ingestion: vectors
+    // arrive as a stream, each micro-batch assigns under the persisted
+    // quantizer and appends — after the stream drains, the incrementally
+    // grown index yields EXACTLY the pairs of an index built in one shot
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val centers = Array(vec(1, 10f), vec(2, 10f), vec(3, 10f))
+    def mk(ids: Range) = ids.map { i =>
+      val c = centers(i % 3)
+      val n = vec(400 + i, 2f)
+      (i.toLong, c.zip(n).map { case (a, b) => a + b })
+    }
+    val existing = mk(0 until 60).toDF("vec_id", "embedding")
+    val arrivals = mk(60 until 80)
+    val union = existing.unionByName(arrivals.toDF("vec_id", "embedding"))
+    val cents = centers.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+      .toSeq.toDF("c_id", "c_emb")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_stream").toString + "/idx"
+    SemDeDup.buildIndex(existing, "vec_id", "embedding", cents, path)
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Array[Float])]
+    val q = input.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        SemDeDup.appendToIndex(batch, "vec_id", "embedding", path)
+      }
+      .start()
+    try {
+      input.addData(arrivals.take(10))
+      q.processAllAvailable()
+      input.addData(arrivals.drop(10))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = pairSet(SemDeDup.pairsIndexed(union, "vec_id", "embedding", path, 0.9))
+    val oneShot = pairSet(SemDeDup.pairs(union, "vec_id", "embedding", cents, 0.9))
+    assert(oneShot.nonEmpty, "test geometry produced no pairs")
+    assert(got == oneShot, "streamed index drifted from one-shot build")
+  }
+
+  test("appendToIndex refuses a dimension-mismatched batch") {
+    import spark.implicits._
+    val cents = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("c_id", "c_emb")
+    val ok = Seq((1L, Array(1f, 1f, 1f, 1f))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files.createTempDirectory("graft_semdedup_dim").toString + "/idx"
+    SemDeDup.buildIndex(ok, "vec_id", "embedding", cents, path)
+    val bad = Seq((2L, Array(1f, 1f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SemDeDup.appendToIndex(bad, "vec_id", "embedding", path)
+    }
+    assert(e.getMessage.contains("dim"), e.getMessage)
+  }
+
+  test("q112 declared form returns rows with a batch member in every pair") {
+    val df = SparkEntry.queries("q112_semdedup_incremental")(spark, sf("sf0.01"))
+    val rows = df.collect()
+    assert(rows.nonEmpty, "q112 returned no rows at sf0.01")
+    assert(rows.forall(r => r.getAs[Long]("vec_a") % 5 == 0 ||
+      r.getAs[Long]("vec_b") % 5 == 0), "pair without a batch member")
+    assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+  }
+
   test("q111 declared form returns rows and respects pair ordering") {
     val df = SparkEntry.queries("q111_semdedup_scale")(spark, sf("sf0.01"))
     val rows = df.collect()
