@@ -188,6 +188,53 @@ object SemDeDup {
     pairs(members, idCol, vecCol, centsDf, minCos)
   }
 
+  /** The SemDeDup ACTION closing the pairs loop (as excise closes the
+    * duplicated-spans loop): semantic duplicate components = connected
+    * components over the ≥-threshold pair graph; keep each component's
+    * lowest-id member, drop the rest. Returns the surviving rows with
+    * every input column plus `dup_count` — how many members (itself
+    * included) the survivor represents, i.e. the dedup ratio ledger a
+    * training-mix builder needs for upsampling decisions.
+    *
+    * Scale shape: the pair graph is the cluster-keyed join (never
+    * all-pairs); components via [[DedupClusters.clusterAssignments]]
+    * (size-adaptive driver/distributed union-find). Near-dup components
+    * are overwhelmingly tiny, so the CC input is |pairs|, not |corpus|.
+    */
+  def dedup(
+      members: DataFrame,
+      idCol: String,
+      vecCol: String,
+      centroids: DataFrame,
+      minCos: Double): DataFrame = {
+    val p = pairs(members, idCol, vecCol, centroids, minCos)
+      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
+    val assign = DedupClusters.clusterAssignments(members, idCol, p)
+    members.join(
+      assign.filter(col(idCol) === col("cluster_id"))
+        .select(col(idCol), col("cluster_size").as("dup_count")),
+      idCol)
+  }
+
+  /** [[dedup]] under [[pairsAuto]]'s trained, size-scaled quantizer — the
+    * form a 100 TB corpus runs.
+    */
+  def dedupAuto(
+      members: DataFrame,
+      idCol: String,
+      vecCol: String,
+      minCos: Double,
+      targetClusterSize: Int = 1024,
+      iters: Int = 5): DataFrame = {
+    val p = pairsAuto(members, idCol, vecCol, minCos, targetClusterSize, iters)
+      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
+    val assign = DedupClusters.clusterAssignments(members, idCol, p)
+    members.join(
+      assign.filter(col(idCol) === col("cluster_id"))
+        .select(col(idCol), col("cluster_size").as("dup_count")),
+      idCol)
+  }
+
   // ---- persisted index lifecycle ------------------------------------
   //
   // Layout mirrors Ann.buildIvfIndex: `<path>/centroids` is the quantizer

@@ -515,6 +515,66 @@ object Dedup {
       |  AND (x.vec_id % 5 = 0 OR y.vec_id % 5 = 0)
       |ORDER BY cluster, vec_a, vec_b""".stripMargin
 
+  /** B41/B20 — the SemDeDup ACTION ([[graft.operators.SemDeDup.dedup]]):
+    * q101's semantic pair graph → connected components → keep each
+    * component's lowest id, emit survivors with their dup_count (how many
+    * members the survivor represents). The oracle recomputes components
+    * with a recursive CTE over the same pair join — the full
+    * pairs→CC→representative→survivor chain is hash-pinned end to end.
+    */
+  private def q113(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("c_id"), col("embedding").as("c_emb"))
+    graft.operators.SemDeDup
+      .dedup(emb.filter(col("vec_id") >= 8), "vec_id", "embedding",
+        cents, minCos = 0.4)
+      .select(col("vec_id"), col("dup_count"))
+      .orderBy(col("vec_id"))
+  }
+
+  private val q113Sql =
+    """WITH RECURSIVE c AS (
+      |  SELECT vec_id AS c_id, CAST(embedding AS DOUBLE[]) AS c_emb
+      |  FROM embeddings WHERE vec_id < 8
+      |), d AS (
+      |  SELECT e.vec_id, c.c_id, CAST(e.embedding AS DOUBLE[]) AS emb,
+      |    FLOOR((list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))
+      |      + list_dot_product(c.c_emb, c.c_emb)
+      |      - 2 * list_dot_product(CAST(e.embedding AS DOUBLE[]), c.c_emb))
+      |      * 10000 + 0.5) / 10000.0 AS dist2
+      |  FROM embeddings e, c
+      |  WHERE e.vec_id >= 8
+      |), a AS (
+      |  SELECT vec_id, c_id AS cl, emb,
+      |    sqrt(list_dot_product(emb, emb)) AS nm
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+      |          ORDER BY dist2, c_id) AS rn FROM d)
+      |  WHERE rn = 1
+      |), p AS (
+      |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+      |  FROM a x JOIN a y ON x.cl = y.cl AND x.vec_id < y.vec_id
+      |  WHERE ROUND(list_dot_product(x.emb, y.emb) / (x.nm * y.nm), 4) >= 0.4
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM p
+      |  UNION ALL SELECT id_b, id_a FROM p
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+      |), comp AS (
+      |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+      |), asg AS (
+      |  SELECT a.vec_id, COALESCE(cm.cluster_id, a.vec_id) AS cluster_id
+      |  FROM a LEFT JOIN comp cm ON cm.id = a.vec_id
+      |), sz AS (
+      |  SELECT vec_id, cluster_id,
+      |    COUNT(*) OVER (PARTITION BY cluster_id) AS dup_count
+      |  FROM asg
+      |)
+      |SELECT vec_id, dup_count FROM sz WHERE vec_id = cluster_id
+      |ORDER BY vec_id""".stripMargin
+
   /** DBSCAN via [[graft.operators.Dbscan]] (radiusJoin → degree filter →
     * connected components over core-core edges → border attachment; see
     * the operator's scaladoc for the stage-by-stage scale argument). The
@@ -735,6 +795,7 @@ object Dedup {
     QueryDef("q107_prefix_join", q107, Some(q107Sql)),
     QueryDef("q101_semantic_dedup", q101, Some(q101Sql)),
     QueryDef("q112_semdedup_incremental", q112, Some(q112Sql)),
+    QueryDef("q113_semdedup_action", q113, Some(q113Sql)),
     QueryDef("q104_dbscan", q104, Some(q104Sql)),
     QueryDef("q105_dup_excise", q105, Some(q105Sql)),
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),

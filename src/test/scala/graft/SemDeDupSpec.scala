@@ -178,6 +178,32 @@ class SemDeDupSpec extends SparkSpec {
       "re-append after compact drifted")
   }
 
+  test("dedup action: keeps the lowest-id representative with its dup_count") {
+    import spark.implicits._
+    val centers = Array(vec(1, 10f), vec(2, 10f), vec(3, 10f))
+    val rows = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      val n = vec(500 + i, 2f)
+      (i.toLong, c.zip(n).map { case (a, b) => a + b })
+    } ++ Seq( // a 3-member duplicate chain: 900~901~902
+      (900L, centers(0).map(_ + 0.01f)),
+      (901L, centers(0).map(_ + 0.01f)),
+      (902L, centers(0).map(_ + 0.011f)))
+    val emb = rows.toDF("vec_id", "embedding")
+    val got = SemDeDup
+      .dedupAuto(emb, "vec_id", "embedding", minCos = 0.9999,
+        targetClusterSize = 16)
+      .select("vec_id", "dup_count")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(!got.contains(901L) && !got.contains(902L),
+      "non-representative duplicates survived")
+    assert(got.get(900L).contains(3L),
+      s"representative's dup_count wrong: ${got.get(900L)}")
+    assert(got.size == rows.size - 2, "survivor count off")
+    assert(got.filter(_._1 != 900L).values.forall(_ == 1L),
+      "a singleton claimed duplicates")
+  }
+
   test("streaming ingestion: foreachBatch grows the index; pairs equal a one-shot build") {
     // the semantic twin of the streaming IVF/text-index ingestion: vectors
     // arrive as a stream, each micro-batch assigns under the persisted
