@@ -575,6 +575,38 @@ object Dedup {
       |SELECT vec_id, dup_count FROM sz WHERE vec_id = cluster_id
       |ORDER BY vec_id""".stripMargin
 
+  /** B21/B27 — Johnson–Lindenstrauss embedding compression
+    * ([[graft.operators.RandomProjection]]): 64-dim float embeddings →
+    * 16-dim via a ±1/√m Rademacher matrix whose signs both engines derive
+    * from md5 parity — the oracle regenerates the IDENTICAL matrix from
+    * scratch and replays the projection, so the whole transform (matrix,
+    * inner products, rounding) is hash-pinned. Exploded to
+    * (vec_id, j, val) rows so the compare stays scalar.
+    */
+  private def q114(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    graft.operators.RandomProjection.project(emb, "vec_id", "embedding", m = 16)
+      .select(col("vec_id"), posexplode(col("proj")))
+      .select(col("vec_id"), col("pos").cast("long").as("j"),
+        Parity.r4(col("col")).as("val"))
+      .orderBy(col("vec_id"), col("j"))
+  }
+
+  private val q114Sql =
+    """WITH r AS (
+      |  SELECT j, i,
+      |    CASE WHEN ('0x' || substr(md5(CAST(j*64 + i AS VARCHAR)), 1, 1))::INT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END / sqrt(16.0) AS s
+      |  FROM range(0, 16) a(j), range(0, 64) b(i)
+      |), e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |)
+      |SELECT e.vec_id, r.j,
+      |  FLOOR(SUM(e.emb[r.i + 1] * r.s) * 10000 + 0.5) / 10000.0 AS val
+      |FROM e, r
+      |GROUP BY 1, 2
+      |ORDER BY vec_id, j""".stripMargin
+
   /** DBSCAN via [[graft.operators.Dbscan]] (radiusJoin → degree filter →
     * connected components over core-core edges → border attachment; see
     * the operator's scaladoc for the stage-by-stage scale argument). The
@@ -796,6 +828,7 @@ object Dedup {
     QueryDef("q101_semantic_dedup", q101, Some(q101Sql)),
     QueryDef("q112_semdedup_incremental", q112, Some(q112Sql)),
     QueryDef("q113_semdedup_action", q113, Some(q113Sql)),
+    QueryDef("q114_random_projection", q114, Some(q114Sql)),
     QueryDef("q104_dbscan", q104, Some(q104Sql)),
     QueryDef("q105_dup_excise", q105, Some(q105Sql)),
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),
