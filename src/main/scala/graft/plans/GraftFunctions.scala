@@ -80,7 +80,11 @@ object GraftFunctions {
       ("points_in_zones", SqlTableFunctions.getClass,
         SqlTableFunctions.pointsInZonesBuilder _),
       ("prefix_similarity_join", SqlTableFunctions.getClass,
-        SqlTableFunctions.prefixJoinBuilder _))
+        SqlTableFunctions.prefixJoinBuilder _),
+      ("semdedup_pairs", SqlTableFunctions.getClass,
+        SqlTableFunctions.semDeDupPairsBuilder _),
+      ("jl_project", SqlTableFunctions.getClass,
+        SqlTableFunctions.jlProjectBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -15,6 +15,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM radius_join('points_v', 0.5)            -- or (, 'pid','x','y')
   * SELECT * FROM points_in_zones('pts_v', 'zones_v', 1.0) -- or (, 'x','y')
   * SELECT * FROM prefix_similarity_join('docs_v', 'doc_id', 'text', 0.7)
+  * SELECT * FROM semdedup_pairs('emb_v', 'vec_id', 'embedding', 'cents_v', 0.4)
+  * SELECT * FROM jl_project('emb_v', 'vec_id', 'embedding', 16)
   * }}}
   *
   * Each builder runs at analysis time: scalar arguments must be literals
@@ -104,6 +106,40 @@ object SqlTableFunctions {
         (strArg(fn, args, 3, "x column"), strArg(fn, args, 4, "y column"))
       else ("x", "y")
     graft.operators.SpatialJoin.pointsInZones(pts, zones, cellSize, xc, yc)
+      .queryExecution.logical
+  }
+
+  /** semdedup_pairs(members_table, id_col, vec_col, centroids_table, min_cos) —
+    * `centroids_table` must expose (c_id, c_emb) and stay broadcast-small
+    * (the operator's own MaxCentroids guard applies downstream).
+    */
+  def semDeDupPairsBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "semdedup_pairs"
+    if (args.length != 5) wrongNumArgs(fn, "5", args.length)
+    val members = table(fn, strArg(fn, args, 0, "members table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val vecCol = strArg(fn, args, 2, "vector column")
+    val cents = table(fn, strArg(fn, args, 3, "centroids table"))
+    val minCos = numArg(fn, args, 4, "min cosine")
+    if (minCos < -1 || minCos > 1)
+      fail(s"$fn argument 5 (min cosine) must be in [-1, 1], got $minCos")
+    graft.operators.SemDeDup.pairs(members, idCol, vecCol, cents, minCos)
+      .queryExecution.logical
+  }
+
+  /** jl_project(table, id_col, vec_col, m) — Johnson–Lindenstrauss
+    * compression of `vec_col` to m dims (see
+    * [[graft.operators.RandomProjection]]).
+    */
+  def jlProjectBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "jl_project"
+    if (args.length != 4) wrongNumArgs(fn, "4", args.length)
+    val df = table(fn, strArg(fn, args, 0, "input table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val vecCol = strArg(fn, args, 2, "vector column")
+    val m = intArg(fn, args, 3, "target dim")
+    if (m <= 0) fail(s"$fn argument 4 (target dim) must be positive, got $m")
+    graft.operators.RandomProjection.project(df, idCol, vecCol, m)
       .queryExecution.logical
   }
 

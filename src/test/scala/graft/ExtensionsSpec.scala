@@ -154,6 +154,41 @@ class ExtensionsSpec extends SparkSpec {
       assert(msgOf(
         "SELECT * FROM prefix_similarity_join('ext_docs', 'doc_id', 'text', 1.5)")
         .contains("(0, 1]"))
+      // semdedup_pairs == Scala form
+      val r = new scala.util.Random(5)
+      val base = Array.fill(8)(r.nextGaussian().toFloat * 10f)
+      Seq((0L, base), (1L, base.map(_ + 0.01f)), (2L, base.map(_ + 0.011f)),
+        (3L, base.map(-_)))
+        .toDF("vec_id", "embedding").createOrReplaceTempView("ext_emb")
+      Seq((0L, base), (1L, base.map(-_)))
+        .toDF("c_id", "c_emb").createOrReplaceTempView("ext_cents")
+      val sdSql = spark.sql(
+        "SELECT * FROM semdedup_pairs('ext_emb', 'vec_id', 'embedding', 'ext_cents', 0.99)")
+        .collect().toSet
+      val sdScala = graft.operators.SemDeDup
+        .pairs(spark.table("ext_emb"), "vec_id", "embedding",
+          spark.table("ext_cents"), 0.99)
+        .collect().toSet
+      assert(sdSql == sdScala && sdSql.nonEmpty)
+      assert(msgOf(
+        "SELECT * FROM semdedup_pairs('ext_emb', 'vec_id', 'embedding', 'ext_cents', 2.0)")
+        .contains("[-1, 1]"))
+
+      // jl_project == Scala form
+      val jlSql = spark.sql(
+        "SELECT * FROM jl_project('ext_emb', 'vec_id', 'embedding', 4)")
+        .collect().map(row => (row.getLong(0), row.getSeq[Double](1))).toSet
+      val jlScala = graft.operators.RandomProjection
+        .project(spark.table("ext_emb"), "vec_id", "embedding", 4)
+        .collect().map(row => (row.getLong(0), row.getSeq[Double](1))).toSet
+      assert(jlSql == jlScala && jlSql.size == 4)
+      assert(msgOf(
+        "SELECT * FROM jl_project('ext_emb', 'vec_id', 'embedding', 0)")
+        .contains("must be positive"))
+      assert(msgOf(
+        "SELECT * FROM jl_project('ext_emb', 'vec_id', 'embedding', 99)")
+        .contains("compress"))
+
       // a missing table surfaces as the standard analysis error
       assert(msgOf("SELECT * FROM radius_join('no_such_view', 1.0)")
         .toLowerCase.contains("no_such_view"))
@@ -161,6 +196,8 @@ class ExtensionsSpec extends SparkSpec {
       spark.catalog.dropTempView("ext_pts")
       spark.catalog.dropTempView("ext_zones")
       spark.catalog.dropTempView("ext_docs")
+      spark.catalog.dropTempView("ext_emb")
+      spark.catalog.dropTempView("ext_cents")
     }
   }
 }
