@@ -166,6 +166,35 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("min_by"), p)
   }
 
+  test("q112: incremental semdedup never self-joins the corpus; batch sides broadcast") {
+    val p = finalPlan("q112_semdedup_incremental")
+    // the indexed side is pruned by TWO broadcast joins (semi on the
+    // batch's clusters, anti on the batch's ids) before any embedding is
+    // fetched; the pair stage is cluster-key equality. No product, no
+    // window. (The batch argmin itself sits behind the localCheckpoint so
+    // it is not in this plan — q101's audit pins its min_by shape.)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q114: JL projection is a pure scan-side map — no exchange, no join") {
+    val df = Catalog.queries("q114_random_projection")(spark, sf("sf0.01"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the matrix is a literal: the whole projection must pipeline with the
+    // parquet scan — any join or hashpartitioning exchange means the
+    // matrix stopped being a literal. (The final orderBy is the Verify
+    // determinism contract, not part of the operator: allow its range
+    // exchange, nothing else.)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).isEmpty, p)
+    assert(p.contains("Generate explode") || p.contains("Generate posexplode"), p)
+  }
+
   test("q94: checksum aggregates map-side before its one exchange") {
     val p = finalPlan("q94_source_checksum")
     // partial+final pair: XOR partials combine map-side, so the exchange
