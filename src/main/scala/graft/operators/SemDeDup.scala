@@ -1,11 +1,10 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.plans.GraftFunctions
 import graft.plans.GraftFunctions.vecDot
-import graft.queries.Parity
 
 /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
   * web-scale through semantic deduplication"): semantic near-duplicate
@@ -53,14 +52,15 @@ object SemDeDup {
     * `round(cosine, 4) >= minCos` is emitted as
     * (cluster, vec_a, vec_b, cos_sim), vec_a < vec_b.
     *
-    * The argmin is a hash aggregate (`min_by` over the (dist2, c_id)
-    * struct), NOT a window over the crossJoin output: partial aggregation
-    * collapses each map task's n_p*k assignment rows back to n_p rows
-    * BEFORE the exchange, so the shuffle carries one row per member —
-    * a window's partitionBy would ship all n*k rows (embedding included)
-    * through the exchange, ~k times the corpus (47 GB at 400k x 391
-    * measured in the round-7 rehearsal). No ties exist in the ordering
-    * struct (c_id is its second field), so min_by is deterministic.
+    * The argmin is a TRUE hash aggregate — min over the [[packExpr]]
+    * packed long — NOT a window over the crossJoin output and NOT a
+    * min_by(struct): partial aggregation collapses each map task's n_p*k
+    * assignment rows back to n_p rows BEFORE the exchange (a window's
+    * partitionBy would ship all n*k rows, ~47 GB at 400k x 391), and the
+    * one-long buffer keeps the planner on HashAggregate (the struct form
+    * planned as SortAggregate and spilled 134 GB at the same scale — see
+    * [[packExpr]]). No ties exist in the pack (c_id occupies the low
+    * bits), so the argmin is deterministic.
     */
   def pairs(
       members: DataFrame,
@@ -70,41 +70,51 @@ object SemDeDup {
       minCos: Double): DataFrame =
     pairStage(assignCarry(members, idCol, vecCol, centroids), minCos)
 
-  /** Squared-distance to each centroid, shared by every assignment path. */
+  /** Squared-distance to each centroid, shared by every assignment path.
+    * The c_id domain guard lives here so every argmin sees it: ids must
+    * fit the [[packExpr]] low bits, and they are cluster LABELS (small
+    * ints by construction everywhere in the repo), not data ids — the
+    * raise_error fires in-plan, costing nothing on valid input.
+    */
   private def centsWithNorm(centroids: DataFrame): DataFrame =
-    centroids.select(col("c_id"), col("c_emb"),
+    centroids.select(
+      when(col("c_id") >= 0 && col("c_id") < MaxCentroids, col("c_id"))
+        .otherwise(raise_error(concat(
+          lit(s"semdedup centroid id out of [0, $MaxCentroids): "),
+          col("c_id")))).as("c_id"),
+      col("c_emb"),
       vecDot(col("c_emb"), col("c_emb")).as("c2"))
 
   private def d2Expr = col("e2") + col("c2") -
     lit(2.0) * vecDot(col("embedding"), col("c_emb"))
 
-  /** Assignment that CARRIES the embedding through the aggregate —
-    * (vec_id, cluster, embedding, nm) in one pass, for paths that score
-    * pairs immediately after assigning.
+  /** The argmin ordering (parity-rounded d2, c_id) packed into ONE long:
+    * floor(d2*1e4 + 0.5) in the high bits, c_id in the low 16. Numeric
+    * order on the pack == lexicographic order on the pair (c_id < 2^16 by
+    * the centsWithNorm guard; distinct scaled distances stay distinct
+    * doubles well past 2^40, so the pre-pack comparison is unchanged from
+    * the struct form — q101/q112/q113 hashes are identical).
+    *
+    * WHY a packed long and not min_by(struct(...)): a struct ordering is
+    * not a mutable fixed-width aggregation buffer, so Catalyst planned the
+    * whole argmin as SortAggregate — the map side SORTED all n*k expanded
+    * rows (embeddings included) before collapsing them. The round-7 sf2
+    * rehearsal measured the consequence: 91 GB memory spill + 43 GB disk
+    * spill at 400k x 391 cells. min(long) is a plain HashAggregate: the
+    * n*k expansion streams through a 16-byte-per-group hash map and the
+    * exchange still carries one row per member.
     */
-  private def assignCarry(
-      members: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    GraftFunctions.register(members.sparkSession)
-    members
-      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-      .withColumn("e2", vecDot(col("embedding"), col("embedding")))
-      .crossJoin(broadcast(centsWithNorm(centroids)))
-      .groupBy(col("vec_id"))
-      .agg(
-        min_by(col("c_id"), struct(Parity.r4(d2Expr), col("c_id"))).as("cluster"),
-        first(col("embedding")).as("embedding"),
-        first(col("e2")).as("e2"))
-      .select(col("vec_id"), col("cluster"), col("embedding"),
-        sqrt(col("e2")).as("nm"))
-  }
+  private def packExpr: Column =
+    floor(d2Expr * 10000.0 + 0.5).cast("long") * MaxCentroids.toLong +
+      col("c_id")
 
-  /** Embedding-free assignment — (vec_id, cluster) only. Same argmin and
-    * parity rounding as [[assignCarry]]; the difference is the exchange:
-    * the partial min_by state is two numerics, so the shuffle behind the
-    * aggregate never carries the embedding column. This is the index
-    * build/append path, where assignments are persisted and embeddings
-    * stay in the corpus.
+  private def unpackCluster(packed: Column): Column =
+    pmod(packed, lit(MaxCentroids.toLong))
+
+  /** Embedding-free assignment — (vec_id, cluster) via the packed-long
+    * argmin. This is the index build/append path, where assignments are
+    * persisted and embeddings stay in the corpus; the aggregate state is
+    * one long, the exchange one row per member.
     */
   def assign(
       members: DataFrame, idCol: String, vecCol: String,
@@ -115,8 +125,25 @@ object SemDeDup {
       .withColumn("e2", vecDot(col("embedding"), col("embedding")))
       .crossJoin(broadcast(centsWithNorm(centroids)))
       .groupBy(col("vec_id"))
-      .agg(min_by(col("c_id"), struct(Parity.r4(d2Expr), col("c_id"))).as("cluster"))
+      .agg(min(packExpr).as("packed"))
+      .select(col("vec_id"), unpackCluster(col("packed")).as("cluster"))
   }
+
+  /** [[assign]] plus the pair-scoring columns: (vec_id, cluster,
+    * embedding, nm). The embedding is NOT carried through the aggregate
+    * (a first(array) buffer would force the same SortAggregate the packed
+    * argmin exists to avoid) — it re-attaches by an id-keyed join of n
+    * rows, which at 400k x 64-dim is ~100 MB of exchange vs the 134 GB
+    * of measured sort spill it replaces.
+    */
+  private def assignCarry(
+      members: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    members
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .join(assign(members, idCol, vecCol, centroids), "vec_id")
+      .select(col("vec_id"), col("cluster"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nm"))
 
   /** Same-cluster pair scoring over an assigned frame
     * (vec_id, cluster, embedding, nm): every pair with
@@ -160,6 +187,35 @@ object SemDeDup {
     */
   val DriverTrainMaxK: Int = 2048
 
+  /** The size-scaled trained quantizer shared by every auto form:
+    * k = ceil(n / targetClusterSize) clamped to [1, [[MaxCentroids]]],
+    * trainer auto-selected by k (driver Lloyd's vs k-means|| — see class
+    * doc). Returns the (c_id, c_emb) frame the explicit-centroid entry
+    * points accept; ids are 0..k-1 by both trainers' contract.
+    */
+  def trainedCentroids(
+      members: DataFrame,
+      idCol: String,
+      vecCol: String,
+      targetClusterSize: Int = 1024,
+      iters: Int = 5): DataFrame = {
+    require(targetClusterSize >= 2,
+      s"targetClusterSize must be >= 2, got $targetClusterSize")
+    val s = members.sparkSession
+    import s.implicits._
+    val ds = members
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("embedding"))
+      .as[Vec]
+    val n = ds.count()
+    require(n > 0, "training a quantizer on an empty embedding frame")
+    val k = math.min(MaxCentroids.toLong,
+      math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
+    val cents =
+      if (k <= DriverTrainMaxK) Ann.ivfCentroidsKMeans(ds, k, iters)
+      else Ann.kMeansCentroidsDistributed(ds, k, iters)
+    cents.toSeq.map(v => (v.id, v.embedding)).toDF("c_id", "c_emb")
+  }
+
   def pairsAuto(
       members: DataFrame,
       idCol: String,
@@ -167,26 +223,10 @@ object SemDeDup {
       minCos: Double,
       targetClusterSize: Int = 1024,
       iters: Int = 5,
-      spark: SparkSession = null): DataFrame = {
-    require(targetClusterSize >= 2,
-      s"targetClusterSize must be >= 2, got $targetClusterSize")
-    val s = Option(spark).getOrElse(members.sparkSession)
-    import s.implicits._
-    val ds = members
-      .select(col(idCol).cast("long").as("id"), col(vecCol).as("embedding"))
-      .as[Vec]
-    val n = ds.count()
-    require(n > 0, "pairsAuto on an empty embedding frame")
-    val k = math.min(MaxCentroids.toLong,
-      math.max(1L, (n + targetClusterSize - 1) / targetClusterSize)).toInt
-    val cents =
-      if (k <= DriverTrainMaxK) Ann.ivfCentroidsKMeans(ds, k, iters)
-      else Ann.kMeansCentroidsDistributed(ds, k, iters)
-    val centsDf = cents.toSeq
-      .map(v => (v.id, v.embedding))
-      .toDF("c_id", "c_emb")
-    pairs(members, idCol, vecCol, centsDf, minCos)
-  }
+      spark: SparkSession = null): DataFrame =
+    pairs(members, idCol, vecCol,
+      trainedCentroids(members, idCol, vecCol, targetClusterSize, iters),
+      minCos)
 
   /** The SemDeDup ACTION closing the pairs loop (as excise closes the
     * duplicated-spans loop): semantic duplicate components = connected
@@ -266,6 +306,17 @@ object SemDeDup {
     assign(members, idCol, vecCol, centroids)
       .write.mode("overwrite").parquet(s"$path/assignments")
   }
+
+  /** [[buildIndex]] under [[trainedCentroids]]' size-scaled quantizer —
+    * the one-call scale build (train k = n/targetClusterSize, persist
+    * quantizer + assignments).
+    */
+  def buildIndexAuto(
+      members: DataFrame, idCol: String, vecCol: String, path: String,
+      targetClusterSize: Int = 1024, iters: Int = 5): Unit =
+    buildIndex(members, idCol, vecCol,
+      trainedCentroids(members, idCol, vecCol, targetClusterSize, iters),
+      path)
 
   /** The stored quantizer. Broadcast-small by [[buildIndex]]'s ceiling. */
   def loadCentroids(spark: SparkSession, path: String): DataFrame =

@@ -150,6 +150,26 @@ object ScaleRehearsal {
     "q111_t1024" -> ((s, dir) =>
       graft.operators.SemDeDup.pairsAuto(
         graft.Tables.embeddings(s, dir), "vec_id", "embedding",
+        minCos = 0.95)),
+    // q112/q113's declared forms pin 8 deterministic centroids for the
+    // oracle (quadratic in corpus size — q101's documented trade); these
+    // are their k-grows-with-N scale forms, exercising the persisted index
+    // (trained build + incremental batch pairs) and the dedup action
+    "q112_t1024" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      val emb = graft.Tables.embeddings(s, dir)
+      val path = graft.queries.Scratch.path("semdedup_scale_idx", dir)
+      graft.queries.Scratch.once(path) {
+        graft.operators.SemDeDup.buildIndexAuto(
+          emb.filter(col("vec_id") % 5 =!= 0), "vec_id", "embedding", path)
+      }
+      graft.operators.SemDeDup.incrementalPairs(
+        emb.filter(col("vec_id") % 5 === 0), emb, "vec_id", "embedding",
+        path, minCos = 0.95)
+    }),
+    "q113_t1024" -> ((s, dir) =>
+      graft.operators.SemDeDup.dedupAuto(
+        graft.Tables.embeddings(s, dir), "vec_id", "embedding",
         minCos = 0.95)))
 
   private class Metrics extends org.apache.spark.scheduler.SparkListener {

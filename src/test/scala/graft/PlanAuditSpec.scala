@@ -159,11 +159,13 @@ class PlanAuditSpec extends SparkSpec {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p)
     assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin")
       || p.contains("ShuffledHashJoin"), p)
-    // the centroid argmin must be the partial-aggregated min_by, never a
-    // window over the crossJoin output: a window's partitionBy ships all
-    // n*k assignment rows through the exchange; partial min_by ships n
+    // the centroid argmin must be a PARTIAL HASH aggregate over the
+    // packed-long ordering, never a window (ships n*k rows through the
+    // exchange) and never a SortAggregate (the min_by(struct) form sorted
+    // the n*k expansion map-side: 134 GB of measured spill at sf2)
     assert(!p.contains("Window"), p)
-    assert(p.contains("min_by"), p)
+    assert(!p.contains("SortAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).nonEmpty, p)
   }
 
   test("q112: incremental semdedup never self-joins the corpus; batch sides broadcast") {
