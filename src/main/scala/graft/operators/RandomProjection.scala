@@ -54,7 +54,13 @@ object RandomProjection {
     */
   def project(df: DataFrame, idCol: String, vecCol: String, m: Int): DataFrame = {
     require(m >= 1, s"target dim m must be >= 1, got $m")
-    val d = df.select(size(col(vecCol))).head().getInt(0)
+    // the d probe is an eager one-row pruned scan: the literal matrix
+    // needs the width at plan-construction time (SQL callers via
+    // jl_project pay it at analysis — documented there)
+    val probe = df.select(size(col(vecCol))).limit(1).collect()
+    require(probe.nonEmpty, "project on an empty frame — width is unknowable")
+    require(!probe(0).isNullAt(0), s"first $vecCol is null")
+    val d = probe(0).getInt(0)
     require(m <= d, s"projection must compress: m=$m > d=$d")
     val matrix = typedLit(signMatrix(m, d))
     val v = col(vecCol).cast("array<double>")

@@ -61,6 +61,11 @@ object SemDeDup {
     * planned as SortAggregate and spilled 134 GB at the same scale — see
     * [[packExpr]]). No ties exist in the pack (c_id occupies the low
     * bits), so the argmin is deterministic.
+    *
+    * Member ids must be UNIQUE — the corpus-key contract every index
+    * operator in the repo shares (see [[Ann.appendToIvfIndex]]): a
+    * duplicated id re-attaches once per copy at the embedding join and
+    * fans out into duplicated pair rows.
     */
   def pairs(
       members: DataFrame,
@@ -104,9 +109,19 @@ object SemDeDup {
     * n*k expansion streams through a 16-byte-per-group hash map and the
     * exchange still carries one row per member.
     */
-  private def packExpr: Column =
-    floor(d2Expr * 10000.0 + 0.5).cast("long") * MaxCentroids.toLong +
-      col("c_id")
+  private def packExpr: Column = {
+    val scaled = floor(d2Expr * 10000.0 + 0.5).cast("long")
+    // magnitude guard, same loud-failure posture as the c_id guard: past
+    // 2^46 the *MaxCentroids multiply would overflow Long (ANSI mode dies
+    // opaquely; non-ANSI wraps negative and silently WINS the min). d2 ~
+    // 1.4e10 means L2 norms ~ 1e5 — unnormalized feature vectors, not
+    // embeddings; the fix there is normalizing, not a wider pack
+    val guarded = when(scaled < (1L << 46), scaled)
+      .otherwise(raise_error(concat(
+        lit("semdedup: squared centroid distance too large to pack ("),
+        scaled, lit(" * 1e-4) — normalize the embedding column"))))
+    guarded * MaxCentroids.toLong + col("c_id")
+  }
 
   private def unpackCluster(packed: Column): Column =
     pmod(packed, lit(MaxCentroids.toLong))
@@ -145,6 +160,12 @@ object SemDeDup {
       .select(col("vec_id"), col("cluster"), col("embedding"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nm"))
 
+  /** The ONE cosine-scoring expression (rounding included) every pair
+    * emitter shares — a parity-precision tweak lands everywhere at once.
+    */
+  private def cosScore(eA: Column, eB: Column, nmA: Column, nmB: Column): Column =
+    round(vecDot(eA, eB) / (nmA * nmB), 4)
+
   /** Same-cluster pair scoring over an assigned frame
     * (vec_id, cluster, embedding, nm): every pair with
     * round(cos, 4) >= minCos, vec_a < vec_b.
@@ -156,7 +177,7 @@ object SemDeDup {
       col("embedding").as("e_b"), col("nm").as("nm_b"))
     a.join(b, col("cluster") === col("cl_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",
-        round(vecDot(col("e_a"), col("e_b")) / (col("nm_a") * col("nm_b")), 4))
+        cosScore(col("e_a"), col("e_b"), col("nm_a"), col("nm_b")))
       .filter(col("cos_sim") >= minCos)
       .select(col("cluster"), col("vec_a"), col("vec_b"), col("cos_sim"))
   }
@@ -222,8 +243,7 @@ object SemDeDup {
       vecCol: String,
       minCos: Double,
       targetClusterSize: Int = 1024,
-      iters: Int = 5,
-      spark: SparkSession = null): DataFrame =
+      iters: Int = 5): DataFrame =
     pairs(members, idCol, vecCol,
       trainedCentroids(members, idCol, vecCol, targetClusterSize, iters),
       minCos)
@@ -265,15 +285,10 @@ object SemDeDup {
       vecCol: String,
       minCos: Double,
       targetClusterSize: Int = 1024,
-      iters: Int = 5): DataFrame = {
-    val p = pairsAuto(members, idCol, vecCol, minCos, targetClusterSize, iters)
-      .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
-    val assign = DedupClusters.clusterAssignments(members, idCol, p)
-    members.join(
-      assign.filter(col(idCol) === col("cluster_id"))
-        .select(col(idCol), col("cluster_size").as("dup_count")),
-      idCol)
-  }
+      iters: Int = 5): DataFrame =
+    dedup(members, idCol, vecCol,
+      trainedCentroids(members, idCol, vecCol, targetClusterSize, iters),
+      minCos)
 
   // ---- persisted index lifecycle ------------------------------------
   //
@@ -303,7 +318,11 @@ object SemDeDup {
       s"centroid count $k outside (0, $MaxCentroids] — the quantizer must stay broadcast-small")
     centroids.select(col("c_id").cast("long").as("c_id"), col("c_emb"))
       .write.mode("overwrite").parquet(s"$path/centroids")
-    assign(members, idCol, vecCol, centroids)
+    // assign from the PERSISTED quantizer, not the caller's frame: a live
+    // centroids plan re-executes per action, and a nondeterministic one
+    // would persist one quantizer while assignments were computed under
+    // another — the stored parquet is the single source of truth
+    assign(members, idCol, vecCol, loadCentroids(members.sparkSession, path))
       .write.mode("overwrite").parquet(s"$path/assignments")
   }
 
@@ -339,9 +358,14 @@ object SemDeDup {
   def appendToIndex(
       batch: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = batch.sparkSession
+    // empty micro-batches are routine under foreachBatch (empty trigger,
+    // source rebalance) — appending zero rows is a no-op, not a crash
+    val probe = batch.select(size(col(vecCol))).limit(1).collect()
+    if (probe.isEmpty) return
+    require(!probe(0).isNullAt(0), s"first $vecCol in the batch is null")
     val cents = loadCentroids(spark, path)
     val cdim = cents.select(size(col("c_emb"))).head().getInt(0)
-    val bdim = batch.select(size(col(vecCol))).head().getInt(0)
+    val bdim = probe(0).getInt(0)
     require(bdim == cdim,
       s"batch dim $bdim != index dim $cdim — wrong index path?")
     assign(batch, idCol, vecCol, cents)
@@ -415,7 +439,7 @@ object SemDeDup {
     val cross = liveEmb
       .join(b, col("cluster") === col("cl_b"))
       .withColumn("cos_sim",
-        round(vecDot(col("embedding"), col("e_b")) / (col("nm") * col("nm_b")), 4))
+        cosScore(col("embedding"), col("e_b"), col("nm"), col("nm_b")))
       .filter(col("cos_sim") >= minCos)
       .select(col("cluster"),
         least(col("vec_id"), col("b_id")).as("vec_a"),

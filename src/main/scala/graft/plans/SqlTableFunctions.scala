@@ -129,7 +129,10 @@ object SqlTableFunctions {
 
   /** jl_project(table, id_col, vec_col, m) — Johnson–Lindenstrauss
     * compression of `vec_col` to m dims (see
-    * [[graft.operators.RandomProjection]]).
+    * [[graft.operators.RandomProjection]]). Note: the operator probes the
+    * vector width with a one-row scan at plan construction, which for the
+    * SQL form happens at ANALYSIS time (EXPLAIN included) — the price of
+    * a literal matrix.
     */
   def jlProjectBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "jl_project"

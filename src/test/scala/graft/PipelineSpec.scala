@@ -155,6 +155,11 @@ class PipelineSpec extends SparkSpec {
     // member (ids < 8 are that index's centroids, never indexed data)
     val eraseId = rankedIds.find(_ >= 8)
       .getOrElse(sys.error("all top-ranked docs are centroid ids — fixture degenerate"))
+    // count the erased id's semantic pairs BEFORE deleting — semPairs is
+    // a lazy frame and must not be trusted to replay pre-delete state
+    // after the tombstone lands
+    val semPairsOfErased = semPairs
+      .filter(col("vec_a") === eraseId || col("vec_b") === eraseId).count()
     Curation.deleteByKey(spark, table, Seq(eraseId).toDF("doc_id"), "doc_id", numBuckets = 8)
     graft.operators.TextIndex.deleteFromTextIndex(spark, tIdx, Seq(eraseId))
     Ann.deleteFromIvfIndex(spark, idx, Seq(eraseId))
@@ -174,8 +179,7 @@ class PipelineSpec extends SparkSpec {
     assert(semAfter
       .filter(col("vec_a") === eraseId || col("vec_b") === eraseId).isEmpty,
       "erased doc still pairs in the semantic index")
-    assert(semPairs
-      .filter(col("vec_a") === eraseId || col("vec_b") === eraseId).count() > 0,
+    assert(semPairsOfErased > 0,
       "erasure not exercised: the erased id had no semantic pairs to lose")
   }
 }

@@ -174,7 +174,7 @@ class PlanAuditSpec extends SparkSpec {
     // batch's clusters, anti on the batch's ids) before any embedding is
     // fetched; the pair stage is cluster-key equality. No product, no
     // window. (The batch argmin itself sits behind the localCheckpoint so
-    // it is not in this plan — q101's audit pins its min_by shape.)
+    // it is not in this plan — q101's audit pins its hash-aggregate shape.)
     assert(!p.contains("CartesianProduct"), p)
     assert(p.contains("LeftSemi") && p.contains("LeftAnti"), p)
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p)

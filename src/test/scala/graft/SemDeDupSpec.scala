@@ -255,6 +255,12 @@ class SemDeDupSpec extends SparkSpec {
       SemDeDup.appendToIndex(bad, "vec_id", "embedding", path)
     }
     assert(e.getMessage.contains("dim"), e.getMessage)
+    // an EMPTY batch is a no-op, not a crash — foreachBatch delivers them
+    // routinely (empty trigger, source rebalance)
+    val before = SemDeDup.loadAssignments(spark, path).count()
+    SemDeDup.appendToIndex(
+      ok.filter(col("vec_id") < 0), "vec_id", "embedding", path)
+    assert(SemDeDup.loadAssignments(spark, path).count() == before)
   }
 
   test("q112 declared form returns rows with a batch member in every pair") {
