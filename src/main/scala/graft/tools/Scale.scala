@@ -175,7 +175,31 @@ object ScaleRehearsal {
     "q113_t1024" -> ((s, dir) =>
       graft.operators.SemDeDup.dedupAuto(
         graft.Tables.embeddings(s, dir), "vec_id", "embedding",
-        minCos = 0.9999)))
+        minCos = 0.9999)),
+    // correctness at scale, not just wall time: the slice plants a twin at
+    // every 11th id (copy of id-1, 0.002 noise → cos ≈ 1.0, vs ~0.9997
+    // between mere cluster-mates). Perfect dedup at 0.9999 drops exactly
+    // the planted copies (lowest id survives); copies that SURVIVE are the
+    // operator's misses (twin straddled a trained-cell boundary), so
+    // missed/planted is the action's measured miss rate at 400k vectors.
+    // Printed eagerly — the rehearsal's noop sink would discard the row
+    "q113_recall" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.embeddings(s, dir)
+      val planted = emb
+        .filter(col("vec_id") % 11 === 0 && col("vec_id") > 0).count()
+      val agg = graft.operators.SemDeDup
+        .dedupAuto(emb, "vec_id", "embedding", minCos = 0.9999)
+        .agg(
+          count(lit(1)).as("survivors"),
+          sum(when(col("vec_id") % 11 === 0 && col("vec_id") > 0, 1L)
+            .otherwise(0L)).as("planted_copies_surviving"))
+        .localCheckpoint(true)
+      val row = agg.head()
+      println(s"""{"probe":"q113_recall","planted":$planted,""" +
+        s""""survivors":${row.getLong(0)},"missed":${row.getLong(1)}}""")
+      agg
+    }))
 
   private class Metrics extends org.apache.spark.scheduler.SparkListener {
     @volatile var shuffleWrite = 0L
