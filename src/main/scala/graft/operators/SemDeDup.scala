@@ -428,9 +428,14 @@ object SemDeDup {
       .localCheckpoint(true) // consumed 4× below (clusters, ids, cross, within)
     val bClusters = bAssigned.select(col("cluster")).distinct()
     val bIds = bAssigned.select(col("vec_id"))
+    // bClusters is PROVABLY broadcast-small (≤ k ≤ MaxCentroids) — hint it.
+    // bIds is batch-sized with no such bound: leave the anti-join to AQE,
+    // which broadcasts it at runtime when the checkpointed batch is small
+    // (the plan audit sees exactly that at test scale) and falls back to a
+    // shuffled join for a batch too big to hold on the driver
     val liveEmb = loadAssignments(spark, path)
       .join(broadcast(bClusters), Seq("cluster"), "left_semi")
-      .join(broadcast(bIds), Seq("vec_id"), "left_anti")
+      .join(bIds, Seq("vec_id"), "left_anti")
       .join(corpus.select(col(idCol).as("vec_id"), col(vecCol).as("embedding")),
         "vec_id")
       .withColumn("nm", sqrt(vecDot(col("embedding"), col("embedding"))))
