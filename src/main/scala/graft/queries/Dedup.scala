@@ -607,6 +607,66 @@ object Dedup {
       |GROUP BY 1, 2
       |ORDER BY vec_id, j""".stripMargin
 
+  /** B21/B27 — the compression COMPOSES with search: brute-force cosine
+    * top-5 computed entirely in q114's 16-dim projected space. The oracle
+    * regenerates the matrix, projects, and ranks — so matrix, projection,
+    * scoring, and tie-break are hash-pinned through the whole composition.
+    * Ranking compares the PARITY-ROUNDED cosine (ties → lowest id): the
+    * engines' projection sums can differ in the last ulp (group-SUM order
+    * is arbitrary in DuckDB), so ranking on raw doubles would be fragile;
+    * at 4 decimals both engines see identical keys.
+    */
+  private def q115(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(s, dir)
+    val dot = (x: org.apache.spark.sql.Column, y: org.apache.spark.sql.Column) =>
+      aggregate(zip_with(x, y, (a, b) => a * b), lit(0.0), (acc, v) => acc + v)
+    val proj = graft.operators.RandomProjection
+      .project(emb, "vec_id", "embedding", m = 16)
+      .withColumn("nm", sqrt(dot(col("proj"), col("proj"))))
+    val qs = proj.filter(col("vec_id").isin(1L, 2L, 3L))
+      .select(col("vec_id").as("q_id"), col("proj").as("q_proj"),
+        col("nm").as("q_nm"))
+    val sc = proj.filter(!col("vec_id").isin(1L, 2L, 3L))
+      .crossJoin(broadcast(qs))
+      .withColumn("cs",
+        Parity.r4(dot(col("proj"), col("q_proj")) / (col("nm") * col("q_nm"))))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cs").desc, col("vec_id"))
+    sc.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rank").cast("long").as("rank"),
+        col("cs").as("cos_sim"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  private val q115Sql =
+    """WITH r AS (
+      |  SELECT j, i,
+      |    CASE WHEN ('0x' || substr(md5(CAST(j*64 + i AS VARCHAR)), 1, 1))::INT % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END / sqrt(16.0) AS s
+      |  FROM range(0, 16) a(j), range(0, 64) b(i)
+      |), e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |), p AS (
+      |  SELECT e.vec_id, r.j, SUM(e.emb[r.i + 1] * r.s) AS v
+      |  FROM e, r GROUP BY 1, 2
+      |), pv AS (
+      |  SELECT vec_id, list(v ORDER BY j) AS pe FROM p GROUP BY 1
+      |), q AS (
+      |  SELECT vec_id AS q_id, pe AS qe FROM pv WHERE vec_id IN (1, 2, 3)
+      |), sc AS (
+      |  SELECT q.q_id, c.vec_id,
+      |    FLOOR(list_dot_product(c.pe, q.qe)
+      |      / (sqrt(list_dot_product(c.pe, c.pe)) * sqrt(list_dot_product(q.qe, q.qe)))
+      |      * 10000 + 0.5) / 10000.0 AS cs
+      |  FROM pv c, q WHERE c.vec_id NOT IN (1, 2, 3)
+      |)
+      |SELECT q_id, vec_id, rank, cs AS cos_sim
+      |FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, vec_id) AS rank
+      |      FROM sc)
+      |WHERE rank <= 5
+      |ORDER BY q_id, rank""".stripMargin
+
   /** DBSCAN via [[graft.operators.Dbscan]] (radiusJoin → degree filter →
     * connected components over core-core edges → border attachment; see
     * the operator's scaladoc for the stage-by-stage scale argument). The
@@ -829,6 +889,7 @@ object Dedup {
     QueryDef("q112_semdedup_incremental", q112, Some(q112Sql)),
     QueryDef("q113_semdedup_action", q113, Some(q113Sql)),
     QueryDef("q114_random_projection", q114, Some(q114Sql)),
+    QueryDef("q115_projected_ann", q115, Some(q115Sql)),
     QueryDef("q104_dbscan", q104, Some(q104Sql)),
     QueryDef("q105_dup_excise", q105, Some(q105Sql)),
     QueryDef("q55_dedup_clusters", q55, Some(q55Sql)),
