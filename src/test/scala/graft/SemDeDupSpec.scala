@@ -244,6 +244,28 @@ class SemDeDupSpec extends SparkSpec {
     assert(got == oneShot, "streamed index drifted from one-shot build")
   }
 
+  test("buildIndexAuto: the persisted trained index reproduces pairsAuto exactly") {
+    import spark.implicits._
+    val centers = Array(vec(1, 10f), vec(2, 10f), vec(3, 10f))
+    val emb = ((0 until 90).map { i =>
+      val c = centers(i % 3)
+      val n = vec(700 + i, 2f)
+      (i.toLong, c.zip(n).map { case (a, b) => a + b })
+    } ++ Seq((900L, centers(0).map(_ + 0.01f)),
+      (901L, centers(0).map(_ + 0.01f)))).toDF("vec_id", "embedding")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_semdedup_auto").toString + "/idx"
+    SemDeDup.buildIndexAuto(emb, "vec_id", "embedding", path,
+      targetClusterSize = 16)
+    val indexed = pairSet(SemDeDup.pairsIndexed(emb, "vec_id", "embedding", path, 0.9))
+    // both paths train on the same data with the same deterministic
+    // trainer, so the persisted-index route must be EXACTLY the inline one
+    val inline = pairSet(SemDeDup.pairsAuto(emb, "vec_id", "embedding", 0.9,
+      targetClusterSize = 16))
+    assert(inline.nonEmpty && indexed == inline,
+      s"auto-built index drifted: ${indexed.size} vs ${inline.size}")
+  }
+
   test("appendToIndex refuses a dimension-mismatched batch") {
     import spark.implicits._
     val cents = Seq((0L, Array(1f, 0f, 0f, 0f))).toDF("c_id", "c_emb")
