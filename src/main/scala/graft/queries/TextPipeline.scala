@@ -434,8 +434,12 @@ object TextPipeline {
     * TakeOrderedAndProject. Log parity follows q40's precedent (ln +
     * round-4 hash-matches DuckDB); ties broken by doc_id.
     */
-  private def q108(s: SparkSession, dir: String): DataFrame = {
-    val qTerms = Seq("spark", "join", "stream")
+  /** BM25 scores for every matching doc — shared by q108 (ranked list)
+    * and q116 (lexical leg of the hybrid fusion). Scores are rounded to 4
+    * decimals BEFORE any ranking so rank order is engine-independent.
+    */
+  private def bm25Scored(s: SparkSession, dir: String,
+      qTerms: Seq[String]): DataFrame = {
     val (k1, b) = (1.2, 0.75)
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
@@ -453,9 +457,12 @@ object TextPipeline {
       .withColumn("term_score", idf * col("tf") * lit(k1 + 1.0) / norm)
       .groupBy(col("doc_id"))
       .agg(round(sum(col("term_score")), 4).as("score"))
+  }
+
+  private def q108(s: SparkSession, dir: String): DataFrame =
+    bm25Scored(s, dir, Seq("spark", "join", "stream"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(20)
-  }
 
   private val q108Sql =
     """WITH toks AS (
@@ -502,9 +509,133 @@ object TextPipeline {
     graft.operators.TextIndex.bm25TopK(s, path, Seq("spark", "join", "stream"))
   }
 
+  /** Hybrid retrieval (q116): the BM25 lexical ranking fused with an
+    * embedding dot-product semantic ranking by Reciprocal Rank Fusion
+    * ([[graft.operators.HybridSearch]]). The "query" is q108's terms plus
+    * document 0's embedding (doc_id and vec_id share the 0..n-1 id space
+    * in the testdata); doc 0 itself is excluded from both legs so the
+    * query document does not retrieve itself. Both legs rank on
+    * 4-decimal-rounded scores with an id tiebreak, so the ranks — and
+    * therefore the fused scores — are engine-independent and the whole
+    * fusion is oracle-checkable.
+    */
+  private def q116(s: SparkSession, dir: String): DataFrame = {
+    val lex = bm25Scored(s, dir, Seq("spark", "join", "stream"))
+      .filter(col("doc_id") =!= 0)
+      .select(col("doc_id").as("id"), col("score"))
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val sem = e.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("id"),
+        round(graft.functions.VectorMath.dot(col("embedding"), col("q_emb")), 4).as("score"))
+    graft.operators.HybridSearch.rrf(
+      Seq(lex, sem), "id", "score", topK = 20, perListK = 50, rrfK = 60)
+  }
+
+  private val q116Sql =
+    """WITH toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM documents
+      |), dl AS (
+      |  SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1
+      |), stats AS (
+      |  SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl
+      |), hits AS (
+      |  SELECT doc_id, word FROM toks WHERE word IN ('spark', 'join', 'stream')
+      |), tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf FROM hits GROUP BY 1, 2
+      |), df AS (
+      |  SELECT word, COUNT(*) AS df
+      |  FROM (SELECT DISTINCT doc_id, word FROM hits) GROUP BY 1
+      |), bm AS (
+      |  SELECT tf.doc_id AS id,
+      |    ROUND(SUM(
+      |      ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+      |        * tf.tf * 2.2
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl))), 4) AS score
+      |  FROM tf
+      |  JOIN df ON df.word = tf.word
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats s
+      |  WHERE tf.doc_id <> 0
+      |  GROUP BY 1
+      |), sem AS (
+      |  SELECT e.vec_id AS id,
+      |    ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+      |      CAST(q.embedding AS DOUBLE[])), 4) AS score
+      |  FROM embeddings e,
+      |    (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+      |  WHERE e.vec_id <> 0
+      |), u AS (
+      |  SELECT id, score, 1 AS list_id FROM bm
+      |  UNION ALL
+      |  SELECT id, score, 2 AS list_id FROM sem
+      |), r AS (
+      |  SELECT id, list_id,
+      |    row_number() OVER (PARTITION BY list_id ORDER BY score DESC, id) AS rank
+      |  FROM u
+      |), f AS (
+      |  SELECT * FROM r WHERE rank <= 50
+      |)
+      |SELECT id,
+      |  MAX(CASE WHEN list_id = 1 THEN rank END) AS rank_1,
+      |  MAX(CASE WHEN list_id = 2 THEN rank END) AS rank_2,
+      |  FLOOR(SUM(1.0 / (60 + rank)) * 1000000 + 0.5) / 1000000.0 AS rrf_score
+      |FROM f
+      |GROUP BY 1
+      |ORDER BY rrf_score DESC, id
+      |LIMIT 20""".stripMargin
+
+  /** Sparse TF-IDF cosine pairs (q117): the top document pairs by cosine
+    * in TF-IDF space via [[graft.operators.SparseCosineJoin]]'s postings
+    * self-join. Bounded to doc_id < 60 and uncapped for the oracle — the
+    * 31-word corpus makes every term a stop term, so the df cap's scale
+    * behavior is spec-tested on a Zipfian corpus instead
+    * (SparseCosineJoinSpec).
+    */
+  private def q117(s: SparkSession, dir: String): DataFrame =
+    graft.operators.SparseCosineJoin.pairs(
+      Tables.documents(s, dir).filter(col("doc_id") < 60),
+      "doc_id", "text")
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("cos"), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+
+  private val q117Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text FROM documents WHERE doc_id < 60
+      |), toks AS (
+      |  SELECT doc_id, UNNEST(string_split(text, ' ')) AS word FROM d
+      |), tf AS (
+      |  SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+      |), nd AS (
+      |  SELECT COUNT(*) AS n FROM d
+      |), df AS (
+      |  SELECT word, COUNT(*) AS df FROM tf GROUP BY 1
+      |), w AS (
+      |  SELECT tf.doc_id, tf.word, tf.tf * ln(nd.n / df.df) AS w
+      |  FROM tf JOIN df ON df.word = tf.word CROSS JOIN nd
+      |), nm AS (
+      |  SELECT doc_id, sqrt(SUM(w * w)) AS nm FROM w GROUP BY 1
+      |), dp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dp
+      |  FROM w a JOIN w b ON a.word = b.word AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT dp.doc_a, dp.doc_b,
+      |  ROUND(dp.dp / (na.nm * nb.nm), 4) AS cos_sim
+      |FROM dp
+      |JOIN nm na ON na.doc_id = dp.doc_a
+      |JOIN nm nb ON nb.doc_id = dp.doc_b
+      |ORDER BY cos_sim DESC, dp.doc_a, dp.doc_b
+      |LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q108_bm25", q108, Some(q108Sql)),
     QueryDef("q109_bm25_indexed", q109, Some(q108Sql)),
+    QueryDef("q116_hybrid_rrf", q116, Some(q116Sql)),
+    QueryDef("q117_sparse_cosine", q117, Some(q117Sql)),
     QueryDef("q96_feature_hash", q96, Some(q96Sql)),
     QueryDef("q97_filter_audit", q97, Some(q97Sql)),
     QueryDef("q26_token_stats", q26, Some(q26Sql)),
