@@ -1,0 +1,98 @@
+package graft
+
+import graft.operators.SparseCosineJoin
+import org.apache.spark.sql.functions._
+
+/** [[SparseCosineJoin]] (q117): hand-computed cosines, the df cap's
+  * capped-space-exactness contract, and the Zipf-corpus join-volume
+  * reduction that is the operator's scale argument.
+  */
+class SparseCosineJoinSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("hand-computed TF-IDF cosines on a 3-doc corpus") {
+    val out = SparseCosineJoin.pairs(
+      docs(0L -> "x x y", 1L -> "x z", 2L -> "y z z"), "doc_id", "text")
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        math.floor(r.getAs[Double]("cos") * 1e4 + 0.5) / 1e4)
+      .toMap
+    // idf = ln(3/2) for every term; the idf factor cancels in each cosine:
+    // cos(0,1) = 2/sqrt(5*2*... ) — worked through: 2/sqrt(10), 1/5, 2/sqrt(10)
+    assert(out == Map((0L, 1L) -> 0.6325, (0L, 2L) -> 0.2, (1L, 2L) -> 0.6325))
+  }
+
+  test("duplicate documents score exactly cosine 1") {
+    val out = SparseCosineJoin.pairs(
+      docs(0L -> "a b c a", 1L -> "a b c a", 2L -> "q r s"), "doc_id", "text")
+      .collect()
+    val dup = out.find(r => r.getAs[Long]("id_a") == 0L && r.getAs[Long]("id_b") == 1L)
+    assert(dup.isDefined && math.abs(dup.get.getAs[Double]("cos") - 1.0) < 1e-12)
+    // (0,2)/(1,2) share no term — no row at all, not a zero row
+    assert(out.length == 1)
+  }
+
+  /** Seeded Zipfian corpus: term `i` of a 200-term vocab drawn with
+    * probability ∝ 1/(i+1) — a handful of stop terms dominate token mass,
+    * like real text and unlike the 31-word testdata corpus.
+    */
+  private def zipfCorpus(nDocs: Int, docLen: Int) = {
+    val rnd = new scala.util.Random(42)
+    val weights = (0 until 200).map(i => 1.0 / (i + 1))
+    val cum = weights.scanLeft(0.0)(_ + _).tail
+    val total = cum.last
+    def draw(): Int = { val u = rnd.nextDouble() * total; cum.indexWhere(u <= _) }
+    docs((0 until nDocs).map { d =>
+      d.toLong -> (0 until docLen).map(_ => s"t${draw()}").mkString(" ")
+    }: _*)
+  }
+
+  test("df cap equals exact cosine of the stop-term-free space") {
+    val corpus = zipfCorpus(nDocs = 80, docLen = 30)
+    val frac = 0.25
+    val capped = SparseCosineJoin.pairs(corpus, "doc_id", "text", maxDfFrac = frac)
+    // manually delete stop terms from the TEXT, then run uncapped: if the
+    // capped result is "the exact cosine of the capped space", the two
+    // must agree to the last bit of 4-decimal rounding
+    val stop = corpus
+      .select(col("doc_id"), explode(array_distinct(split(col("text"), " "))).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("df"))
+      .filter(col("df") > frac * 80).select("t")
+      .collect().map(_.getString(0)).toSet
+    val cleaned = corpus.select(col("doc_id"),
+      array_join(filter(split(col("text"), " "),
+        t => !t.isin(stop.toSeq.map(lit(_)): _*)), " ").as("text"))
+    val manual = SparseCosineJoin.pairs(cleaned, "doc_id", "text")
+    def canon(f: org.apache.spark.sql.DataFrame) =
+      f.select(col("id_a"), col("id_b"), graft.queries.Parity.r4(col("cos")).as("c"))
+        .orderBy("id_a", "id_b").collect().toSeq
+    assert(canon(capped) == canon(manual))
+  }
+
+  test("df cap collapses the Zipf-corpus join volume") {
+    val corpus = zipfCorpus(nDocs = 80, docLen = 30)
+    // join volume is sum(df^2) over kept terms — measure it directly
+    val df = corpus
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .groupBy(col("doc_id"), col("t")).agg(count(lit(1)))
+      .groupBy(col("t")).agg(count(lit(1)).as("df"))
+    def volume(frame: org.apache.spark.sql.DataFrame): Long =
+      frame.agg(sum(col("df") * col("df"))).collect()(0).getLong(0)
+    val uncapped = volume(df)
+    val capped = volume(df.filter(col("df") <= 0.25 * 80))
+    assert(capped * 5 < uncapped,
+      s"expected >5x volume cut, got $uncapped -> $capped")
+  }
+
+  test("rejects out-of-range parameters") {
+    val d = docs(0L -> "a")
+    intercept[IllegalArgumentException](
+      SparseCosineJoin.pairs(d, "doc_id", "text", maxDfFrac = 0.0))
+    intercept[IllegalArgumentException](
+      SparseCosineJoin.pairs(d, "doc_id", "text", minCos = 1.5))
+  }
+}
