@@ -340,7 +340,79 @@ object Analytics {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** PageRank centrality (q118) on the customer↔supplier co-purchase
+    * graph ([[graft.operators.PageRank]], 3 iterations, undirected, so
+    * dangling redistribution is provably a no-op and the unrolled oracle
+    * stays readable). Ranks are scaled by N (≈1.0-sized values) before
+    * 6-decimal rounding so parity granularity is relative, not absolute.
+    */
+  private def q118(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val ranks = graft.operators.PageRank.run(
+      e, "src", "dst", iters = 3, damping = 0.85, undirected = true)
+    val n = ranks.agg(count(lit(1)).as("n"))
+    ranks.crossJoin(broadcast(n))
+      .select(col("id").as("node"),
+        Parity.r6(col("rank") * col("n")).as("rank_n"))
+      .orderBy(col("rank_n").desc, col("node"))
+      .limit(25)
+  }
+
+  private val q118Sql =
+    """WITH e0 AS (
+      |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |), edges AS (
+      |  SELECT 'c:' || c AS src, 's:' || s AS dst FROM e0
+      |  UNION ALL
+      |  SELECT 's:' || s AS src, 'c:' || c AS dst FROM e0
+      |), nodes AS (
+      |  SELECT DISTINCT id FROM (
+      |    SELECT src AS id FROM edges UNION ALL SELECT dst FROM edges)
+      |), nn AS (
+      |  SELECT COUNT(*) AS n FROM nodes
+      |), deg AS (
+      |  SELECT src AS id, COUNT(*) AS outdeg FROM edges GROUP BY 1
+      |), r0 AS (
+      |  SELECT id, 1.0 / (SELECT n FROM nn) AS rank FROM nodes
+      |), c1 AS (
+      |  SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS contrib
+      |  FROM edges e JOIN r0 r ON r.id = e.src JOIN deg d ON d.id = e.src
+      |  GROUP BY 1
+      |), r1 AS (
+      |  SELECT n.id, 0.15 / (SELECT n FROM nn)
+      |    + 0.85 * COALESCE(c.contrib, 0) AS rank
+      |  FROM nodes n LEFT JOIN c1 c ON c.id = n.id
+      |), c2 AS (
+      |  SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS contrib
+      |  FROM edges e JOIN r1 r ON r.id = e.src JOIN deg d ON d.id = e.src
+      |  GROUP BY 1
+      |), r2 AS (
+      |  SELECT n.id, 0.15 / (SELECT n FROM nn)
+      |    + 0.85 * COALESCE(c.contrib, 0) AS rank
+      |  FROM nodes n LEFT JOIN c2 c ON c.id = n.id
+      |), c3 AS (
+      |  SELECT e.dst AS id, SUM(r.rank / d.outdeg) AS contrib
+      |  FROM edges e JOIN r2 r ON r.id = e.src JOIN deg d ON d.id = e.src
+      |  GROUP BY 1
+      |), r3 AS (
+      |  SELECT n.id, 0.15 / (SELECT n FROM nn)
+      |    + 0.85 * COALESCE(c.contrib, 0) AS rank
+      |  FROM nodes n LEFT JOIN c3 c ON c.id = n.id
+      |)
+      |SELECT id AS node,
+      |  FLOOR(rank * (SELECT n FROM nn) * 1000000 + 0.5) / 1000000.0 AS rank_n
+      |FROM r3
+      |ORDER BY rank_n DESC, node
+      |LIMIT 25""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q118_pagerank", q118, Some(q118Sql)),
     QueryDef("q98_funnel", q98, Some(q98Sql)),
     QueryDef("q99_retention", q99, Some(q99Sql)),
     QueryDef("q81_zorder_key", q81, Some(q81Sql)),
