@@ -205,4 +205,33 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q116: RRF fusion is broadcast-joined retrievals into one top-K") {
+    val p = finalPlan("q116_hybrid_rrf")
+    // the 1-row query vector and the bm25 dim frames broadcast; fused
+    // top-20 must be TakeOrderedAndProject, never a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
+  test("q117: sparse-cosine candidates come from a term equi-join, not a product") {
+    val p = finalPlan("q117_sparse_cosine")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins allowed are broadcasts of the 1-row
+    // n_docs stats frame onto the weights subtree (which appears once per
+    // use: both join sides + norms); every one must be a BuildRight cross
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(p).size
+    assert(nlj <= 3, p)
+    assert("BroadcastNestedLoopJoin BuildRight, Cross".r.findAllIn(p).size == nlj, p)
+  }
+
+  test("q118: pagerank output stage is checkpoint-truncated and top-K bounded") {
+    val p = finalPlan("q118_pagerank")
+    // iterations live behind localCheckpoint truncations; the final stage
+    // must be: checkpointed ranks x broadcast 1-row count -> top-25
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
 }
