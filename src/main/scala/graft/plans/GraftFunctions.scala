@@ -84,7 +84,13 @@ object GraftFunctions {
       ("semdedup_pairs", SqlTableFunctions.getClass,
         SqlTableFunctions.semDeDupPairsBuilder _),
       ("jl_project", SqlTableFunctions.getClass,
-        SqlTableFunctions.jlProjectBuilder _))
+        SqlTableFunctions.jlProjectBuilder _),
+      ("sparse_cosine_join", SqlTableFunctions.getClass,
+        SqlTableFunctions.sparseCosineBuilder _),
+      ("rrf_fuse", SqlTableFunctions.getClass,
+        SqlTableFunctions.rrfFuseBuilder _),
+      ("pagerank", SqlTableFunctions.getClass,
+        SqlTableFunctions.pageRankBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -17,6 +17,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM prefix_similarity_join('docs_v', 'doc_id', 'text', 0.7)
   * SELECT * FROM semdedup_pairs('emb_v', 'vec_id', 'embedding', 'cents_v', 0.4)
   * SELECT * FROM jl_project('emb_v', 'vec_id', 'embedding', 16)
+  * SELECT * FROM sparse_cosine_join('docs_v', 'doc_id', 'text', 0.3, 0.25)
+  * SELECT * FROM rrf_fuse('lex_v', 'sem_v', 'id', 'score', 20)
+  * SELECT * FROM pagerank('edges_v', 'src', 'dst', 3, 0.85, true)
   * }}}
   *
   * Each builder runs at analysis time: scalar arguments must be literals
@@ -143,6 +146,85 @@ object SqlTableFunctions {
     val m = intArg(fn, args, 3, "target dim")
     if (m <= 0) fail(s"$fn argument 4 (target dim) must be positive, got $m")
     graft.operators.RandomProjection.project(df, idCol, vecCol, m)
+      .queryExecution.logical
+  }
+
+  /** sparse_cosine_join(docs_table, id_col, text_col [, min_cos, max_df_frac]) */
+  def sparseCosineBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "sparse_cosine_join"
+    if (args.length != 3 && args.length != 5)
+      wrongNumArgs(fn, "3 or 5", args.length)
+    val docs = table(fn, strArg(fn, args, 0, "documents table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val textCol = strArg(fn, args, 2, "text column")
+    val (minCos, maxDfFrac) =
+      if (args.length == 5)
+        (numArg(fn, args, 3, "min cosine"), numArg(fn, args, 4, "max df fraction"))
+      else (0.0, 1.0)
+    // range guards live in the operator's own require()s and surface as
+    // the analysis error below would — but raise them HERE so the SQL
+    // user gets the positioned AnalysisException the builtins raise
+    if (minCos < 0 || minCos > 1)
+      fail(s"$fn argument 4 (min cosine) must be in [0, 1], got $minCos")
+    if (maxDfFrac <= 0 || maxDfFrac > 1)
+      fail(s"$fn argument 5 (max df fraction) must be in (0, 1], got $maxDfFrac")
+    graft.operators.SparseCosineJoin.pairs(docs, idCol, textCol, minCos, maxDfFrac)
+      .queryExecution.logical
+  }
+
+  /** rrf_fuse(lex_table, sem_table, id_col, score_col, top_k [, per_list_k, rrf_k])
+    * — two-list Reciprocal Rank Fusion ([[graft.operators.HybridSearch]]);
+    * the DataFrame form accepts any number of lists, the SQL form covers
+    * the canonical lexical+semantic pair.
+    */
+  def rrfFuseBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "rrf_fuse"
+    if (args.length != 5 && args.length != 7)
+      wrongNumArgs(fn, "5 or 7", args.length)
+    val lex = table(fn, strArg(fn, args, 0, "lexical table"))
+    val sem = table(fn, strArg(fn, args, 1, "semantic table"))
+    val idCol = strArg(fn, args, 2, "id column")
+    val scoreCol = strArg(fn, args, 3, "score column")
+    val topK = intArg(fn, args, 4, "top k")
+    val (perListK, rrfK) =
+      if (args.length == 7)
+        (intArg(fn, args, 5, "per-list k"), intArg(fn, args, 6, "rrf k"))
+      else (50, 60)
+    if (topK <= 0 || perListK <= 0 || rrfK <= 0)
+      fail(s"$fn k arguments must be positive, got $topK/$perListK/$rrfK")
+    graft.operators.HybridSearch.rrf(Seq(lex, sem), idCol, scoreCol,
+      topK, perListK, rrfK).queryExecution.logical
+  }
+
+  /** pagerank(edges_table, src_col, dst_col, iters [, damping, undirected]) —
+    * NOTE: PageRank iterations run eagerly (localCheckpoint per round),
+    * which for the SQL form means at ANALYSIS time — same caveat family
+    * as jl_project's width probe, but heavier: EXPLAIN runs the
+    * iterations. The returned plan scans the final checkpointed ranks.
+    */
+  def pageRankBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "pagerank"
+    if (args.length != 4 && args.length != 6)
+      wrongNumArgs(fn, "4 or 6", args.length)
+    val edges = table(fn, strArg(fn, args, 0, "edges table"))
+    val srcCol = strArg(fn, args, 1, "src column")
+    val dstCol = strArg(fn, args, 2, "dst column")
+    val iters = intArg(fn, args, 3, "iterations")
+    if (iters < 1 || iters > 100)
+      fail(s"$fn argument 4 (iterations) must be in [1, 100], got $iters")
+    val (damping, undirected) =
+      if (args.length == 6) {
+        val d = numArg(fn, args, 4, "damping")
+        val u = args(5) match {
+          case Literal(b: Boolean, _) => b
+          case other => fail(s"$fn argument 6 (undirected) must be a " +
+            s"boolean literal, got ${other.sql}")
+        }
+        (d, u)
+      } else (0.85, false)
+    if (damping <= 0 || damping >= 1)
+      fail(s"$fn argument 5 (damping) must be in (0, 1), got $damping")
+    graft.operators.PageRank.run(edges, srcCol, dstCol, iters, damping, undirected)
       .queryExecution.logical
   }
 

@@ -189,6 +189,49 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT * FROM jl_project('ext_emb', 'vec_id', 'embedding', 99)")
         .contains("compress"))
 
+      // sparse_cosine_join == Scala form
+      val scSql = spark.sql(
+        "SELECT * FROM sparse_cosine_join('ext_docs', 'doc_id', 'text')")
+        .as[(Long, Long, Double)].collect().toSet
+      val scScala = graft.operators.SparseCosineJoin
+        .pairs(spark.table("ext_docs"), "doc_id", "text")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(scSql == scScala && scSql.nonEmpty)
+      assert(msgOf(
+        "SELECT * FROM sparse_cosine_join('ext_docs', 'doc_id', 'text', 0.0, 1.5)")
+        .contains("(0, 1]"))
+
+      // rrf_fuse == Scala form (two tiny rankings)
+      Seq((10L, 3.0), (11L, 2.0)).toDF("id", "score")
+        .createOrReplaceTempView("ext_lex")
+      Seq((11L, 9.0), (12L, 8.0)).toDF("id", "score")
+        .createOrReplaceTempView("ext_sem")
+      val rrfSql = spark.sql(
+        "SELECT * FROM rrf_fuse('ext_lex', 'ext_sem', 'id', 'score', 5)")
+        .collect().map(_.toSeq).toSeq
+      val rrfScala = graft.operators.HybridSearch.rrf(
+        Seq(spark.table("ext_lex"), spark.table("ext_sem")),
+        "id", "score", topK = 5)
+        .collect().map(_.toSeq).toSeq
+      assert(rrfSql == rrfScala && rrfSql.head.head == 11L) // in both lists
+      assert(msgOf(
+        "SELECT * FROM rrf_fuse('ext_lex', 'ext_sem', 'id', 'score', 0)")
+        .contains("positive"))
+
+      // pagerank == Scala form (triangle stays uniform)
+      Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+        .createOrReplaceTempView("ext_edges")
+      val prSql = spark.sql(
+        "SELECT * FROM pagerank('ext_edges', 'src', 'dst', 3, 0.85, true)")
+        .as[(String, Double)].collect().toMap
+      assert(prSql.size == 3 &&
+        prSql.values.forall(v => math.abs(v - 1.0 / 3) < 1e-12), prSql.toString)
+      assert(msgOf("SELECT * FROM pagerank('ext_edges', 'src', 'dst', 0)")
+        .contains("[1, 100]"))
+      assert(msgOf(
+        "SELECT * FROM pagerank('ext_edges', 'src', 'dst', 3, 0.85, 'yes')")
+        .contains("boolean"))
+
       // a missing table surfaces as the standard analysis error
       assert(msgOf("SELECT * FROM radius_join('no_such_view', 1.0)")
         .toLowerCase.contains("no_such_view"))
@@ -198,6 +241,9 @@ class ExtensionsSpec extends SparkSpec {
       spark.catalog.dropTempView("ext_docs")
       spark.catalog.dropTempView("ext_emb")
       spark.catalog.dropTempView("ext_cents")
+      spark.catalog.dropTempView("ext_lex")
+      spark.catalog.dropTempView("ext_sem")
+      spark.catalog.dropTempView("ext_edges")
     }
   }
 }
