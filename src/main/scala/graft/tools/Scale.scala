@@ -199,6 +199,54 @@ object ScaleRehearsal {
       println(s"""{"probe":"q113_recall","planted":$planted,""" +
         s""""survivors":${row.getLong(0)},"missed":${row.getLong(1)}}""")
       agg
+    }),
+    // q117's scale form needs a Zipf vocabulary (the slice's 30-word
+    // uniform vocab makes EVERY term a stop term — SparseCosineJoin's
+    // documented adversarial case, where the right answer is "don't run
+    // uncapped lexical pairing on a degenerate vocab", not a bigger
+    // shuffle). Inline corpus: 1M docs x 40 tokens, 100k-term Zipf(1)
+    // vocab via log-uniform inverse CDF; df cap 1e-4 keeps terms in
+    // <=100 docs, bounding the join's sum(df^2) at ~2e8 rows — the knob a
+    // real deployment turns, measured at a realistic vocab/corpus ratio.
+    // The `dir` argument is unused: the corpus is generated in-plan
+    "q117_zipf" -> ((s, _) => {
+      import org.apache.spark.sql.functions.col
+      import s.implicits._
+      val docs = s.range(1000000L).mapPartitions { it =>
+        val nV = 100000.0
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97L + 13L)
+          val text = Array.fill(40) {
+            val i = math.exp(rng.nextDouble() * math.log(nV + 1)).toLong
+            s"t$i"
+          }.mkString(" ")
+          (id, text)
+        }
+      }.toDF("doc_id", "text")
+      graft.operators.SparseCosineJoin.pairs(
+        docs, "doc_id", "text", minCos = 0.3, maxDfFrac = 1e-4)
+        .filter(col("cos") <= 1.0) // keep the filter column referenced
+    }),
+    // q118's scale form: 1M-node power-law digraph, 5 out-edges per node
+    // (dst = floor(n*u^3) skews in-degree toward low ids — hub structure
+    // like a web graph), 5 PageRank iterations. Measures the per-iteration
+    // |E|-join + |V|-aggregate cost and the localCheckpoint overhead that
+    // bounds the iterative plan. `dir` unused, corpus generated in-plan
+    "q118_graph" -> ((s, _) => {
+      import s.implicits._
+      val n = 1000000L
+      val edges = s.range(n).mapPartitions { it =>
+        it.flatMap { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x5851F42DL + 99L)
+          (0 until 5).map { _ =>
+            val u = rng.nextDouble()
+            (id, (n * u * u * u).toLong.min(n - 1))
+          }
+        }
+      }.toDF("src", "dst")
+      graft.operators.PageRank.run(edges, "src", "dst", iters = 5)
     }))
 
   private class Metrics extends org.apache.spark.scheduler.SparkListener {
