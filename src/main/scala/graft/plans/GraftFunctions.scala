@@ -60,7 +60,21 @@ object GraftFunctions {
         checked("simhash32", 1)(c => graft.functions.expr.SimHash32F(c(0)))),
       ("char_bigram_counts", classOf[graft.functions.expr.CharBigramCountsF],
         checked("char_bigram_counts", 1)(c =>
-          graft.functions.expr.CharBigramCountsF(c(0)))))
+          graft.functions.expr.CharBigramCountsF(c(0)))),
+      // Spark ships these two for its own runtime row-level filtering but
+      // does not register them for users; graft's bloom decontamination
+      // ([[graft.operators.BloomDecontaminate]]) surfaces them — a
+      // mergeable bloom build + codegen'd probe, no UDF
+      ("bloom_agg",
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate],
+        checked("bloom_agg", 3)(c =>
+          new org.apache.spark.sql.catalyst.expressions.aggregate
+            .BloomFilterAggregate(c(0), c(1), c(2)).toAggregateExpression())),
+      ("bloom_might_contain",
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain],
+        checked("bloom_might_contain", 2)(c =>
+          org.apache.spark.sql.catalyst.expressions
+            .BloomFilterMightContain(c(0), c(1)))))
   }
 
   /** Table-valued functions: (name, doc class, builder to a LogicalPlan).

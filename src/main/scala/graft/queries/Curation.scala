@@ -195,6 +195,22 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** q119 — q67's decontamination through the broadcast-bloom scale path
+    * ([[graft.operators.BloomDecontaminate]]): same split as q67 (docs
+    * < 10 are the benchmark), but the probe is Spark's own bloom sketch —
+    * not reproducible in DuckDB, so rows-only by design; q67 is the
+    * oracle-checked exact twin and BloomDecontaminateSpec pins the
+    * no-false-negative / bounded-fp contract between the two forms.
+    */
+  private def q119(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    graft.operators.BloomDecontaminate.contaminationFlags(
+      docs.filter(col("doc_id") >= 10), docs.filter(col("doc_id") < 10),
+      "doc_id", "text")
+      .select(col("doc_id"), col("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   private val q67Sql =
     """WITH t AS (
       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -941,6 +957,7 @@ object Curation {
     QueryDef("q65_text_normalize", q65, Some(q65Sql)),
     QueryDef("q66_repetition", q66, Some(q66Sql)),
     QueryDef("q67_decontaminate", q67, Some(q67Sql)),
+    QueryDef("q119_bloom_decontaminate", q119, None),
     QueryDef("q68_cluster_keep_best", q68, Some(q68Sql)),
     QueryDef("q69_corpus_shuffle", q69, Some(q69Sql)),
     QueryDef("q70_balanced_sample", q70, Some(q70Sql)),
