@@ -36,10 +36,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.installPlanRewrites(spark)
-    // warmup: touch each table once (footer cache, codegen JIT)
+    // warmup: touch each table once (footer cache, codegen JIT). Per-table
+    // try/catch: a broken/drifted table must poison ITS queries (which fail
+    // below and are counted), not crash the JVM before anything is timed —
+    // round 7's testdata regeneration killed the whole bench exactly this way.
     Seq("region", "nation", "customer", "supplier", "part", "orders",
       "lineitem", "events", "documents", "embeddings")
-      .foreach(t => Tables(spark, sfDir, t).count())
+      .foreach { t =>
+        try Tables(spark, sfDir, t).count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] warmup failed for table $t: ${e.getMessage}")
+        }
+      }
     // warm the noop WRITE path too (datasource lookup + commit-protocol
     // classloading): measured ~5s one-time cost that the alphabetically
     // first query would otherwise absorb

@@ -2,18 +2,20 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated testdata tables (TESTDATA.md / FIXTURES.md).
   *
-  * All tables are plain parquet reads except `events`, whose `ts` column is
-  * parquet TIMESTAMP(NANOS) — a type Spark 4.x does not support natively,
-  * and which DuckDB 1.0 silently truncates to microseconds on read. We read
-  * it as a raw nanosecond BIGINT via `spark.sql.legacy.parquet.nanosAsLong`
-  * and expose:
-  *   - `ts_ns` : BIGINT nanoseconds since epoch (raw parquet value)
+  * All tables are plain parquet reads except `events`, whose `ts` column's
+  * physical parquet type has drifted across testdata regenerations —
+  * TIMESTAMP(NANOS) through round 6, TIMESTAMP(MICROS, isAdjustedToUTC=false)
+  * from round 7's regeneration. The loader adapts to whichever encoding is on
+  * disk and always exposes the same logical schema:
+  *   - `ts_ns` : BIGINT nanoseconds since epoch
   *   - `ts_us` : BIGINT microseconds since epoch == DuckDB `epoch_us(ts)`
   *   - `ts`    : TIMESTAMP at microsecond precision (for interval/window ops)
-  * so both engines agree bit-for-bit on every time value used in a query.
+  * so both engines agree bit-for-bit on every time value used in a query,
+  * and no downstream operator ever sees the physical encoding.
   *
   * Scale note: these are single-file reads here; at cluster scale the same
   * code reads directory-partitioned parquet unchanged, and every downstream
@@ -23,22 +25,133 @@ import org.apache.spark.sql.functions._
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") events(spark, dir)
-    else spark.read.parquet(s"$dir/$name.parquet")
+    else guard(name, spark.read.parquet(s"$dir/$name.parquet"), s"$dir/$name.parquet")
 
-  /** SESSION-WIDE SIDE EFFECT: sets `spark.sql.legacy.parquet.nanosAsLong`
-    * for the whole session and leaves it set. It cannot be scoped per-read:
-    * the parquet-to-Spark schema converter consults the live SQLConf at
-    * physical-planning/execution time (after this method returns), so
-    * restoring the previous value would break the scan it was set for. Any
-    * later nanos-timestamp parquet read in the same session will therefore
-    * also load as BIGINT nanoseconds instead of erroring.
+  /** Accepted microsecond-precision timestamp encodings; NANOS-era data loads
+    * as bigint via the nanosAsLong legacy conf (events only). */
+  private val TsTypes = Set("timestamp", "timestamp_ntz")
+
+  /** Expected logical schema per table: column name → accepted simpleString
+    * types. A set (not a single type) wherever the driver's generator has
+    * legitimately drifted across regenerations (ts precision/encoding) so the
+    * loaders adapt to benign drift but fail LOUDLY — naming the column — on
+    * anything else. Order-insensitive: queries select columns by name. */
+  private val expectedSchemas: Map[String, Seq[(String, Set[String])]] = Map(
+    "region" -> Seq("r_regionkey" -> Set("int", "bigint"), "r_name" -> Set("string")),
+    "nation" -> Seq("n_nationkey" -> Set("int", "bigint"), "n_name" -> Set("string"),
+      "n_regionkey" -> Set("int", "bigint")),
+    "customer" -> Seq("c_custkey" -> Set("bigint"), "c_name" -> Set("string"),
+      "c_nationkey" -> Set("int", "bigint"), "c_acctbal" -> Set("double"),
+      "c_mktsegment" -> Set("string")),
+    "supplier" -> Seq("s_suppkey" -> Set("bigint"), "s_name" -> Set("string"),
+      "s_nationkey" -> Set("int", "bigint"), "s_acctbal" -> Set("double")),
+    "part" -> Seq("p_partkey" -> Set("bigint"), "p_name" -> Set("string"),
+      "p_brand" -> Set("string"), "p_type" -> Set("string"),
+      "p_size" -> Set("int", "bigint"), "p_retailprice" -> Set("double")),
+    "orders" -> Seq("o_orderkey" -> Set("bigint"), "o_custkey" -> Set("bigint"),
+      "o_orderstatus" -> Set("string"), "o_totalprice" -> Set("double"),
+      "o_orderdate" -> (TsTypes + "date"), "o_orderpriority" -> Set("string")),
+    "lineitem" -> Seq("l_orderkey" -> Set("bigint"), "l_partkey" -> Set("bigint"),
+      "l_suppkey" -> Set("bigint"), "l_linenumber" -> Set("int", "bigint"),
+      "l_quantity" -> Set("double"), "l_extendedprice" -> Set("double"),
+      "l_discount" -> Set("double"), "l_tax" -> Set("double"),
+      "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
+      "l_shipdate" -> (TsTypes + "date")),
+    "events" -> Seq("event_id" -> Set("bigint"),
+      "ts" -> (TsTypes + "bigint"), // bigint = NANOS footer via nanosAsLong
+      "user_id" -> Set("bigint"), "event_type" -> Set("string"),
+      "value" -> Set("double"), "props" -> Set("string")),
+    "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
+      "lang" -> Set("string"), "source" -> Set("string"),
+      "n_chars" -> Set("int", "bigint")),
+    "embeddings" -> Seq("vec_id" -> Set("bigint"),
+      "embedding" -> Set("array<float>", "array<double>"),
+      "label" -> Set("int", "bigint"))
+  )
+
+  /** Fails with a self-describing message naming every drifted/missing/extra
+    * column if `df`'s schema is outside the accepted envelope for `name`.
+    * Turns the next silent testdata regeneration into a 5-minute fix instead
+    * of a round of debugging downstream DATATYPE_MISMATCH errors. */
+  private[graft] def guard(name: String, df: DataFrame, path: String): DataFrame = {
+    expectedSchemas.get(name).foreach { exp =>
+      val actual = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+      val expNames = exp.map(_._1).toSet
+      val problems = Seq.newBuilder[String]
+      exp.foreach { case (c, accepted) =>
+        actual.get(c) match {
+          case None =>
+            problems += s"missing column `$c` (expected one of ${accepted.mkString("/")})"
+          case Some(t) if !accepted.contains(t) =>
+            problems += s"column `$c` has type $t, expected one of ${accepted.mkString("/")}"
+          case _ => ()
+        }
+      }
+      (actual.keySet -- expNames).toSeq.sorted.foreach { c =>
+        problems += s"unexpected extra column `$c` (${actual(c)})"
+      }
+      val ps = problems.result()
+      if (ps.nonEmpty)
+        throw new IllegalStateException(
+          s"Tables.$name: testdata schema drift at $path — ${ps.mkString("; ")}. " +
+            s"Loaded schema: ${df.schema.simpleString}. If the drift is benign, " +
+            s"widen Tables.expectedSchemas/$name or adapt in the loader.")
+    }
+    df
+  }
+
+  /** True when the failure chain says the parquet footer declares a
+    * TIMESTAMP(NANOS) column, which Spark 4.x cannot represent natively. */
+  private def isNanosTypeError(e: Throwable): Boolean = {
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      val m = Option(t.getMessage).getOrElse("")
+      m.contains("NANOS") || m.contains("nanosAsLong")
+    }
+  }
+
+  /** Adapts to the on-disk `ts` encoding (see class doc). The legacy
+    * `nanosAsLong` conf is set ONLY if the footer actually declares
+    * TIMESTAMP(NANOS) (the plain read throws at schema inference) — and then
+    * it is left set session-wide, because the parquet-to-Spark schema
+    * converter consults the live SQLConf again at execution time, after this
+    * method returns; restoring the old value would break the scan it was set
+    * for.
+    *
+    * TIMESTAMP_NTZ parity precondition: the NTZ→TIMESTAMP cast interprets the
+    * wall-clock value in the session timezone. DuckDB's naive read + epoch_us
+    * treats it as UTC, so the session timezone MUST be UTC for the two
+    * engines to agree — asserted below rather than assumed, since every entry
+    * point (SparkEntry/Verify/Bench/specs) pins spark.sql.session.timeZone=UTC.
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/events.parquet")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts_us", expr("ts_ns div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val path = s"$dir/events.parquet"
+    val raw = guard("events",
+      try spark.read.parquet(path)
+      catch {
+        case e: Throwable if isNanosTypeError(e) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(path)
+      }, path)
+    raw.schema("ts").dataType match {
+      case LongType => // TIMESTAMP(NANOS) footer read as raw nanosecond BIGINT
+        raw.withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts_us", expr("ts_ns div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampType | TimestampNTZType =>
+        val tz = spark.conf.get("spark.sql.session.timeZone")
+        require(tz == "UTC",
+          s"Tables.events: session timeZone is '$tz' but must be 'UTC' — the " +
+            "TIMESTAMP_NTZ→TIMESTAMP cast below is timezone-sensitive and only " +
+            "matches DuckDB's naive epoch_us(ts) under UTC")
+        raw.withColumn("ts_us", unix_micros(col("ts").cast(TimestampType)))
+          .withColumn("ts_ns", col("ts_us") * lit(1000L))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case other =>
+        throw new IllegalStateException(
+          s"Tables.events: unsupported physical type for events.ts: $other " +
+            s"(expected LongType via nanosAsLong, TimestampType, or TimestampNTZType); " +
+            s"testdata at $path has drifted — update Tables.events to adapt")
+    }
   }
 
   def region(spark: SparkSession, dir: String): DataFrame   = apply(spark, dir, "region")
