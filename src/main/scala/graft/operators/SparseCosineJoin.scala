@@ -22,18 +22,40 @@ import org.apache.spark.sql.functions._
   * volume lives in a handful of stop terms; the spec measures the
   * reduction). Norms are computed over the KEPT terms, so the capped
   * result is the exact cosine of the capped space, not an approximation
-  * of the uncapped one. This repo's 31-word synthetic corpus is the
-  * documented adversarial case (every term is a stop term — same caveat
-  * as [[SetSimilarityJoin]]); q117 therefore runs uncapped on a bounded
-  * doc slice, and the cap's effect is spec-tested on a Zipfian corpus.
+  * of the uncapped one.
+  *
+  * DEFAULT = [[AutoDf]]: the df cap is derived from corpus stats, in-plan,
+  * as `df ≤ max(256, min(n/2, 64·√n))` —
+  *   - `256` floor: a corpus where every term has df ≤ 256 has trivially
+  *     bounded join volume (≤ 256·Σdf), so corpora under 512 documents are
+  *     NEVER pruned and stay exact — which also keeps this repo's
+  *     adversarial 31-word synthetic vocabulary (where every term is a
+  *     majority term, same caveat as [[SetSimilarityJoin]]) exact on the
+  *     bounded slices the oracle queries use (q117, 60 docs);
+  *   - `n/2`: a term in more than half the documents discriminates less
+  *     than one bit (idf < ln 2) and is a stop term by the majority rule —
+  *     this binds for 512 ≤ n ≤ 16384;
+  *   - `64·√n`: a sublinearly-growing absolute cap that bounds join volume
+  *     at Σ_{kept} df² ≤ 64·√n·Σdf — subquadratic in corpus size where the
+  *     uncapped worst case is n·Σdf; binds above n = 16384, so the kept-df
+  *     FRACTION shrinks as the corpus grows, mirroring how a fixed stopword
+  *     list covers an ever-larger share of join volume on real text.
+  * The uncapped plan is still available explicitly (`maxDfFrac = 1.0`);
+  * the auto default's stop-term pruning is spec-tested on a Zipfian corpus.
   */
 object SparseCosineJoin {
+
+  /** Sentinel for `maxDfFrac`: derive the df cap from corpus stats (see
+    * class doc). This is the default — the uncapped Σdf² self-join must be
+    * an explicit opt-in, never what a caller gets by not thinking about it. */
+  val AutoDf: Double = Double.NaN
 
   /** Scored pairs (id_a < id_b) sharing ≥ 1 kept term.
     *
     * @param minCos    emit only pairs with cosine ≥ this (0.0 = all
     *                  sharing a term); applied on the UNROUNDED value
-    * @param maxDfFrac keep terms with df ≤ maxDfFrac·n_docs
+    * @param maxDfFrac keep terms with df ≤ maxDfFrac·n_docs; [[AutoDf]]
+    *                  (default) derives the cap from corpus stats
     * @return (id_a, id_b, cos) — cos unrounded; callers round for parity
     */
   def pairs(
@@ -41,18 +63,24 @@ object SparseCosineJoin {
       idCol: String,
       textCol: String,
       minCos: Double = 0.0,
-      maxDfFrac: Double = 1.0): DataFrame = {
-    require(maxDfFrac > 0 && maxDfFrac <= 1,
-      s"maxDfFrac must be in (0, 1], got $maxDfFrac")
+      maxDfFrac: Double = AutoDf): DataFrame = {
+    require(maxDfFrac.isNaN || (maxDfFrac > 0 && maxDfFrac <= 1),
+      s"maxDfFrac must be in (0, 1] or SparseCosineJoin.AutoDf, got $maxDfFrac")
     require(minCos >= 0 && minCos <= 1, s"minCos must be in [0, 1], got $minCos")
     val tf = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
     val stats = docs.agg(count(lit(1)).as("n_docs"))
     val df = tf.groupBy(col("t")).agg(count(lit(1)).as("df"))
+    // df cap, computed in-plan from the broadcast 1-row stats (no collect)
+    val dfCap =
+      if (maxDfFrac.isNaN)
+        greatest(lit(256.0),
+          least(col("n_docs") / 2.0, lit(64.0) * sqrt(col("n_docs"))))
+      else lit(maxDfFrac) * col("n_docs")
     val w = tf.join(df, "t")
       .crossJoin(broadcast(stats))
-      .filter(col("df") <= lit(maxDfFrac) * col("n_docs"))
+      .filter(col("df") <= dfCap)
       .select(col("id"), col("t"),
         (col("tf") * log(col("n_docs") / col("df"))).as("w"))
     val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nm"))

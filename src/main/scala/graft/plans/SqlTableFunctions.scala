@@ -160,7 +160,10 @@ object SqlTableFunctions {
     val (minCos, maxDfFrac) =
       if (args.length == 5)
         (numArg(fn, args, 3, "min cosine"), numArg(fn, args, 4, "max df fraction"))
-      else (0.0, 1.0)
+      // 3-arg form inherits the operator's corpus-stat auto df cap (AutoDf =
+      // NaN, which the range guard below ignores: NaN compares false) — the
+      // uncapped self-join is explicit-only in SQL too
+      else (0.0, graft.operators.SparseCosineJoin.AutoDf)
     // range guards live in the operator's own require()s and surface as
     // the analysis error below would — but raise them HERE so the SQL
     // user gets the positioned AnalysisException the builtins raise

@@ -588,15 +588,17 @@ object TextPipeline {
 
   /** Sparse TF-IDF cosine pairs (q117): the top document pairs by cosine
     * in TF-IDF space via [[graft.operators.SparseCosineJoin]]'s postings
-    * self-join. Bounded to doc_id < 60 and uncapped for the oracle — the
-    * 31-word corpus makes every term a stop term, so the df cap's scale
-    * behavior is spec-tested on a Zipfian corpus instead
-    * (SparseCosineJoinSpec).
+    * self-join. Bounded to doc_id < 60 and EXPLICITLY uncapped
+    * (maxDfFrac = 1.0) to pin the oracle contract independent of the auto
+    * df-cap's constants — the 31-word corpus makes every term a stop term,
+    * so the auto cap's scale behavior is spec-tested on a Zipfian corpus
+    * instead (SparseCosineJoinSpec). The auto default would give the same
+    * result here anyway (60 docs < the 256-df floor).
     */
   private def q117(s: SparkSession, dir: String): DataFrame =
     graft.operators.SparseCosineJoin.pairs(
       Tables.documents(s, dir).filter(col("doc_id") < 60),
-      "doc_id", "text")
+      "doc_id", "text", maxDfFrac = 1.0)
       .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
         round(col("cos"), 4).as("cos_sim"))
       .orderBy(col("cos_sim").desc, col("doc_a"), col("doc_b"))

@@ -88,6 +88,32 @@ class SparseCosineJoinSpec extends SparkSpec {
       s"expected >5x volume cut, got $uncapped -> $capped")
   }
 
+  test("auto default prunes stop terms on a Zipfian corpus") {
+    // n = 1000 puts the auto cap in the majority-rule regime:
+    // max(256, min(500, 64*sqrt(1000)=2023)) = 500 = 0.5*n — so the default
+    // must equal an explicit maxDfFrac = 0.5 run and differ from uncapped
+    // (the Zipf head terms have df ~ n > 500).
+    val corpus = zipfCorpus(nDocs = 1000, docLen = 30)
+    def canon(f: org.apache.spark.sql.DataFrame) =
+      f.select(col("id_a"), col("id_b"), graft.queries.Parity.r4(col("cos")).as("c"))
+        .orderBy("id_a", "id_b").collect().toSeq
+    val auto = canon(SparseCosineJoin.pairs(corpus, "doc_id", "text"))
+    val half = canon(SparseCosineJoin.pairs(corpus, "doc_id", "text", maxDfFrac = 0.5))
+    val uncapped = canon(SparseCosineJoin.pairs(corpus, "doc_id", "text", maxDfFrac = 1.0))
+    assert(auto == half, "auto default must equal the majority-rule cap at n=1000")
+    assert(auto != uncapped, "auto default must actually prune the Zipf head")
+  }
+
+  test("auto default never prunes below the 256-df floor (small corpora exact)") {
+    // every term here has df = 2 > n/2 = 1.5 — the majority rule alone would
+    // empty the space; the 256 floor must keep the corpus exact instead
+    val out = SparseCosineJoin.pairs(
+      docs(0L -> "a b c a", 1L -> "a b c a", 2L -> "q r s"), "doc_id", "text")
+      .collect()
+    assert(out.length == 1 &&
+      math.abs(out.head.getAs[Double]("cos") - 1.0) < 1e-12)
+  }
+
   test("rejects out-of-range parameters") {
     val d = docs(0L -> "a")
     intercept[IllegalArgumentException](
