@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.queries.Parity
+
+/** In-engine trained quality classifier — the fastText-style "quality
+  * filter" stage of an LLM data pipeline, trained and scored entirely
+  * in-plan, with no external ML runtime.
+  *
+  * The supervision story is DISTILLATION: the rule cascade (q97's
+  * C4/Gopher-style filters) produces cheap weak labels, and a linear model
+  * over hashed text features learns to imitate them — the standard way a
+  * production pipeline turns a hand-tuned cascade into a scored, tunable
+  * signal (score thresholds replace hard rules; borderline docs become
+  * rankable instead of binary).
+  *
+  * Features (long form `(doc_id, slot, x)` so DuckDB mirrors them exactly,
+  * the q96 precedent):
+  *   - slots 0–15: the hashing-trick token counts, L2-normalized, r4 —
+  *     IDENTICAL to q96's declared output (same hash, same rounding)
+  *   - slot 16: ln(n_chars / 300) — length signal, centered at the corpus
+  *     target length
+  *   - slot 17: distinct-token ratio − 0.5 — diversity (anti-repetition)
+  *   - slot 18: constant 1.0 — bias as a feature, so the intercept falls
+  *     out of the same aggregates as every other weight
+  *
+  * Two trainers:
+  *   - [[trainCentroid]]: closed-form nearest-class-centroid (Rocchio) —
+  *     w = μ⁺ − μ⁻, midpoint intercept; ONE pass, two hash aggregates,
+  *     zero iterations, fully expressible in ANSI SQL → q120 is
+  *     oracle-checked end-to-end INCLUDING training.
+  *   - [[trainLogistic]]: full-batch gradient descent on logistic loss —
+  *     deterministic (no sampling, no shuffling; the "S" in SGD is
+  *     deliberately dropped for engine-independence), weights snapped to
+  *     r6 after every update so the training trajectory itself is
+  *     bit-reproducible cross-engine → q121's 3-iteration run is
+  *     oracle-checked against the same GD unrolled in DuckDB SQL.
+  *
+  * Scale posture: the feature frame is n·19 rows built by one token-stream
+  * aggregate (map-side combined). Each GD iteration is one slot-keyed
+  * 19-row broadcast join + one hash aggregate whose output is 19 rows —
+  * the driver holds 19 doubles, the k-means-centroid pattern ([[SemDeDup]]).
+  * Iteration plans restart from literal weights, so plan depth is CONSTANT
+  * in the iteration count (no localCheckpoint chain needed, unlike
+  * [[PageRank]] whose per-iteration state is |V|-sized and must stay
+  * distributed).
+  */
+object QualityClassifier {
+
+  /** Slots 0–15 hashed tokens; 16 length; 17 diversity; 18 bias. */
+  val Dims = 19
+  val HashSlots = 16
+
+  /** Long-form feature frame `(doc_id, slot, x)` — see class doc. */
+  def features(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nCharsCol: String = "n_chars"): DataFrame = {
+    val slot = pmod(graft.functions.TextHash.h60(col("tok")), lit(HashSlots.toLong))
+    val hashed = docs
+      .select(col(idCol).as("doc_id"),
+        explode(graft.functions.TextHash.tokens(col(textCol))).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("doc_id"), slot.as("slot"))
+      .groupBy(col("doc_id"), col("slot"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("nrm", sqrt(sum(col("c") * col("c"))
+        .over(Window.partitionBy(col("doc_id")))))
+      .select(col("doc_id"), col("slot").cast("int").as("slot"),
+        Parity.r4(col("c") / col("nrm")).as("x"))
+    val toks = split(col(textCol), " ")
+    val engineered = docs.select(col(idCol).as("doc_id"),
+      Parity.r4(log(col(nCharsCol) / lit(300.0))).as("x_len"),
+      Parity.r4(size(array_distinct(toks)).cast("double") / size(toks) - lit(0.5))
+        .as("x_div"))
+    hashed.unionByName(
+      engineered.select(col("doc_id"), lit(16).as("slot"), col("x_len").as("x")))
+      .unionByName(
+        engineered.select(col("doc_id"), lit(17).as("slot"), col("x_div").as("x")))
+      .unionByName(
+        docs.select(col(idCol).as("doc_id"), lit(18).as("slot"), lit(1.0).as("x")))
+  }
+
+  /** Weak labels from the q97 rule cascade: `(doc_id, y)` with y ∈ {0.0, 1.0}
+    * (1 = kept by every rule). */
+  def cascadeLabels(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", nCharsCol: String = "n_chars",
+      langCol: String = "lang"): DataFrame = {
+    val toks = split(col(textCol), " ")
+    val total = size(toks)
+    val dis = size(array_distinct(toks))
+    docs.select(col(idCol).as("doc_id"),
+      when((col(nCharsCol) >= 100) && (col(nCharsCol) <= 500) &&
+        ((total - dis) * 100 <= total * 55) &&
+        col(langCol).isin("en", "de", "fr", "es", "zh"), 1.0)
+        .otherwise(0.0).as("y"))
+  }
+
+  /** Closed-form centroid (Rocchio) classifier, entirely in-plan: per-class
+    * per-slot means over the IMPLICIT-ZERO feature space (sum over present
+    * rows / class size — missing (doc, slot) rows are zeros and must count
+    * in the denominator), w = μ⁺ − μ⁻ with the midpoint intercept
+    * b = −(‖μ⁺‖² − ‖μ⁻‖²)/2 added to the bias slot's contribution. Means
+    * are r6-snapped BEFORE the dot product so both engines score identical
+    * weights. Returns `(doc_id, score, pred, y)`; score r4.
+    */
+  def centroidScores(feat: DataFrame, labels: DataFrame): DataFrame = {
+    val counts = labels.groupBy(col("y")).agg(count(lit(1)).as("n_c"))
+    val mu = feat.join(labels, "doc_id")
+      .groupBy(col("slot"), col("y")).agg(sum(col("x")).as("sx"))
+      .join(broadcast(counts), "y")
+      .select(col("slot"), col("y"), Parity.r6(col("sx") / col("n_c")).as("mu"))
+    // w_s = mu+ - mu-;  half-norm term for the midpoint intercept
+    val w = mu.groupBy(col("slot")).agg(
+      sum(when(col("y") === 1.0, col("mu")).otherwise(-col("mu"))).as("w"),
+      sum(when(col("y") === 1.0, col("mu") * col("mu"))
+        .otherwise(-col("mu") * col("mu"))).as("sqdiff"))
+    val b = w.agg((-sum(col("sqdiff")) / 2).as("b"))
+    feat.join(broadcast(w.select(col("slot"), col("w"))), "slot")
+      .groupBy(col("doc_id")).agg(sum(col("x") * col("w")).as("dot"))
+      .crossJoin(broadcast(b))
+      .join(labels, "doc_id")
+      .select(col("doc_id"), Parity.r4(col("dot") + col("b")).as("score"),
+        (col("dot") + col("b") > 0).as("pred"), col("y"))
+  }
+
+  /** Full-batch logistic-loss gradient descent. Deterministic: fixed
+    * iteration count, no sampling, gradients from one hash aggregate, and
+    * (when `snapR6`, the cross-engine parity mode) weights rounded to 1e-6
+    * after every update — the rounding grid exceeds float noise in the
+    * ≤n-term gradient sums by ~6 orders of magnitude, so the whole training
+    * TRAJECTORY is reproducible in any engine that can sum and exp.
+    *
+    * Each iteration collects only the `Dims`-row gradient (the bounded
+    * driver-side materialization this repo allows for trainers — centroids,
+    * codebooks, 1-row stats) and rebuilds the next plan from LITERAL
+    * weights: plan depth constant in `iters`.
+    *
+    * @return trained weights, index = slot
+    */
+  def trainLogistic(feat: DataFrame, labels: DataFrame, iters: Int = 3,
+      lr: Double = 0.5, l2: Double = 0.0, snapR6: Boolean = true): Array[Double] = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
+    val joined = feat.join(labels, "doc_id")
+    val n = labels.count().toDouble
+    require(n > 0, "trainLogistic: empty label set")
+    var wts = Array.fill(Dims)(0.0)
+    for (_ <- 1 to iters) {
+      val wCol = map(wts.zipWithIndex.flatMap {
+        case (v, i) => Seq(lit(i), lit(v)) }: _*)
+      // margin per doc from the CURRENT literal weights, then one aggregate:
+      // grad_s = sum_d x_ds * (sigmoid(m_d) - y_d) / n  (+ l2 * w_s)
+      val margins = joined
+        .withColumn("wx", element_at(wCol, col("slot")) * col("x"))
+        .groupBy(col("doc_id"), col("y")).agg(sum(col("wx")).as("m"))
+        .select(col("doc_id"), col("y"),
+          (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
+      val grad = feat.join(margins, "doc_id")
+        .groupBy(col("slot"))
+        .agg((sum(col("x") * (col("p") - col("y"))) / n).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      wts = wts.zipWithIndex.map { case (wv, s) =>
+        val upd = wv - lr * (grad.getOrElse(s, 0.0) + l2 * wv)
+        // floor(x*1e6+0.5) — the Parity.r6 form, NOT rint: DuckDB's oracle
+        // snaps with FLOOR(x*1e6+0.5)/1e6 and the two must agree on .5s
+        if (snapR6) math.floor(upd * 1e6 + 0.5) / 1e6 else upd
+      }
+    }
+    wts
+  }
+
+  /** Scores `feat` with literal `weights`: `(doc_id, p, pred)` where
+    * p = sigmoid(w·x) r4-snapped. Pure scan + one slot-keyed aggregate —
+    * the deployable inference path. */
+  def score(feat: DataFrame, weights: Array[Double]): DataFrame = {
+    require(weights.length == Dims, s"expected $Dims weights, got ${weights.length}")
+    val wCol = map(weights.zipWithIndex.flatMap {
+      case (v, i) => Seq(lit(i), lit(v)) }: _*)
+    feat.withColumn("wx", element_at(wCol, col("slot")) * col("x"))
+      .groupBy(col("doc_id")).agg(sum(col("wx")).as("m"))
+      .select(col("doc_id"),
+        Parity.r4(lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"),
+        (col("m") > 0).as("pred"))
+  }
+}

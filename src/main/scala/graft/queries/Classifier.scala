@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.QualityClassifier
+
+/** Declared queries for the in-engine trained quality classifier
+  * ([[graft.operators.QualityClassifier]]): the fastText-style quality
+  * filter stage, distilling the q97 rule cascade into linear scorers over
+  * hashed text features — TRAINING INCLUDED in the oracle check, not just
+  * scoring. q120 is the closed-form centroid model; q121 is three unrolled
+  * full-batch logistic-GD iterations whose weight trajectory is r6-snapped
+  * on both engines so DuckDB replays the identical training run.
+  */
+object Classifier {
+
+  /** Shared oracle SQL prelude: long-form features (q96's hashed slots +
+    * length/diversity/bias) and cascade labels, kept textually in sync with
+    * [[QualityClassifier.features]] / [[QualityClassifier.cascadeLabels]].
+    */
+  private val featSql =
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |), s AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % 16 AS slot
+      |  FROM t WHERE tok <> ''
+      |), c AS (
+      |  SELECT doc_id, slot, COUNT(*) AS c FROM s GROUP BY 1, 2
+      |), hashed AS (
+      |  SELECT doc_id, CAST(slot AS INT) AS slot,
+      |    FLOOR(c / sqrt(SUM(c * c) OVER (PARTITION BY doc_id)) * 10000 + 0.5)
+      |      / 10000.0 AS x
+      |  FROM c
+      |), eng AS (
+      |  SELECT doc_id,
+      |    FLOOR(ln(n_chars / 300.0) * 10000 + 0.5) / 10000.0 AS x_len,
+      |    FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+      |      / len(string_split(text, ' ')) - 0.5) * 10000 + 0.5) / 10000.0 AS x_div
+      |  FROM documents
+      |), feat AS (
+      |  SELECT doc_id, slot, x FROM hashed
+      |  UNION ALL SELECT doc_id, 16, x_len FROM eng
+      |  UNION ALL SELECT doc_id, 17, x_div FROM eng
+      |  UNION ALL SELECT doc_id, 18, 1.0 FROM documents
+      |), lab AS (
+      |  SELECT doc_id, CAST(CASE WHEN n_chars >= 100 AND n_chars <= 500
+      |    AND (len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' ')))) * 100
+      |        <= len(string_split(text, ' ')) * 55
+      |    AND lang IN ('en', 'de', 'fr', 'es', 'zh') THEN 1.0 ELSE 0.0 END
+      |    AS DOUBLE) AS y
+      |  FROM documents
+      |)""".stripMargin
+
+  /** q120: centroid (Rocchio) classifier, trained AND scored in one plan. */
+  private def q120(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    QualityClassifier.centroidScores(
+      QualityClassifier.features(docs), QualityClassifier.cascadeLabels(docs))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q120Sql = featSql +
+    """, nc AS (
+      |  SELECT y, COUNT(*) AS n_c FROM lab GROUP BY 1
+      |), mu AS (
+      |  SELECT f.slot, l.y,
+      |    FLOOR(SUM(f.x) / ANY_VALUE(nc.n_c) * 1000000 + 0.5) / 1000000.0 AS mu
+      |  FROM feat f JOIN lab l USING (doc_id) JOIN nc ON nc.y = l.y
+      |  GROUP BY f.slot, l.y
+      |), w AS (
+      |  SELECT slot,
+      |    SUM(CASE WHEN y = 1.0 THEN mu ELSE -mu END) AS w,
+      |    SUM(CASE WHEN y = 1.0 THEN mu * mu ELSE -mu * mu END) AS sqdiff
+      |  FROM mu GROUP BY 1
+      |), b AS (
+      |  SELECT -SUM(sqdiff) / 2 AS b FROM w
+      |), dots AS (
+      |  SELECT f.doc_id, SUM(f.x * w.w) AS dot
+      |  FROM feat f JOIN w ON w.slot = f.slot GROUP BY 1
+      |)
+      |SELECT d.doc_id,
+      |  FLOOR((d.dot + b.b) * 10000 + 0.5) / 10000.0 AS score,
+      |  (d.dot + b.b) > 0 AS pred, l.y
+      |FROM dots d CROSS JOIN b JOIN lab l ON l.doc_id = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** q121: logistic regression, 3 unrolled full-batch GD iterations
+    * (lr = 0.5, l2 = 0, weights r6-snapped per update — both engines replay
+    * the same trajectory). Training runs at plan-construction time via
+    * bounded 19-row gradient collects (the k-means-trainer pattern; the
+    * SQL-TVF determination in DESIGN.md §5 covers the same property).
+    */
+  private def q121(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    // n·19-row frames reused by 3 gradient passes + final scoring —
+    // localCheckpoint so the token explode/window runs once, not 4×
+    val feat = QualityClassifier.features(docs).localCheckpoint(true)
+    val labels = QualityClassifier.cascadeLabels(docs).localCheckpoint(true)
+    val w = QualityClassifier.trainLogistic(feat, labels, iters = 3, lr = 0.5)
+    QualityClassifier.score(feat, w)
+      .join(labels, "doc_id")
+      .select(col("doc_id"), col("p"), col("pred"), col("y"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q121Sql = featSql +
+    """, n AS (
+      |  SELECT COUNT(*) AS n FROM lab
+      |), w1 AS (
+      |  SELECT f.slot, FLOOR((0.0 - 0.5 * (SUM(f.x * (0.5 - l.y)) / ANY_VALUE(n.n)))
+      |    * 1000000 + 0.5) / 1000000.0 AS w
+      |  FROM feat f JOIN lab l USING (doc_id) CROSS JOIN n
+      |  GROUP BY f.slot
+      |), m1 AS (
+      |  SELECT f.doc_id, SUM(f.x * w1.w) AS m
+      |  FROM feat f JOIN w1 ON w1.slot = f.slot GROUP BY 1
+      |), w2 AS (
+      |  SELECT f.slot, FLOOR((ANY_VALUE(w1.w) - 0.5 *
+      |      (SUM(f.x * (1.0 / (1.0 + exp(-m1.m)) - l.y)) / ANY_VALUE(n.n)))
+      |    * 1000000 + 0.5) / 1000000.0 AS w
+      |  FROM feat f JOIN lab l USING (doc_id) JOIN m1 ON m1.doc_id = f.doc_id
+      |    JOIN w1 ON w1.slot = f.slot CROSS JOIN n
+      |  GROUP BY f.slot
+      |), m2 AS (
+      |  SELECT f.doc_id, SUM(f.x * w2.w) AS m
+      |  FROM feat f JOIN w2 ON w2.slot = f.slot GROUP BY 1
+      |), w3 AS (
+      |  SELECT f.slot, FLOOR((ANY_VALUE(w2.w) - 0.5 *
+      |      (SUM(f.x * (1.0 / (1.0 + exp(-m2.m)) - l.y)) / ANY_VALUE(n.n)))
+      |    * 1000000 + 0.5) / 1000000.0 AS w
+      |  FROM feat f JOIN lab l USING (doc_id) JOIN m2 ON m2.doc_id = f.doc_id
+      |    JOIN w2 ON w2.slot = f.slot CROSS JOIN n
+      |  GROUP BY f.slot
+      |), m3 AS (
+      |  SELECT f.doc_id, SUM(f.x * w3.w) AS m
+      |  FROM feat f JOIN w3 ON w3.slot = f.slot GROUP BY 1
+      |)
+      |SELECT m3.doc_id,
+      |  FLOOR((1.0 / (1.0 + exp(-m3.m))) * 10000 + 0.5) / 10000.0 AS p,
+      |  m3.m > 0 AS pred, l.y
+      |FROM m3 JOIN lab l ON l.doc_id = m3.doc_id
+      |ORDER BY m3.doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q120_quality_centroid", q120, Some(q120Sql)),
+    QueryDef("q121_quality_logistic", q121, Some(q121Sql)))
+}

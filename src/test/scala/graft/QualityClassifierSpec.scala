@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators.QualityClassifier
+import org.apache.spark.sql.functions._
+
+/** [[QualityClassifier]] (q120/q121): feature shape, trainer determinism,
+  * convergence on separable data, and honest accuracy vs the cascade labels
+  * on the real corpus.
+  */
+class QualityClassifierSpec extends SparkSpec {
+
+  private lazy val docs = Tables.documents(spark, sf())
+  private lazy val feat = QualityClassifier.features(docs).localCheckpoint(true)
+  private lazy val labels = QualityClassifier.cascadeLabels(docs).localCheckpoint(true)
+
+  test("feature frame: every doc has exactly the engineered+bias slots, hashed ≤ 16") {
+    val perDoc = feat.groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("slot") >= 16, 1).otherwise(0)).as("eng"))
+    assert(perDoc.filter(col("eng") =!= 3).count() == 0)
+    assert(perDoc.filter(col("n") > 16 + 3).count() == 0)
+    // hashed slots are L2-normalized: sum of squares ≈ 1 per doc (r4 rounding)
+    val norms = feat.filter(col("slot") < 16)
+      .groupBy("doc_id").agg(sum(col("x") * col("x")).as("ss"))
+      .filter(abs(col("ss") - 1.0) > 0.01)
+    assert(norms.count() == 0)
+  }
+
+  test("logistic GD separates a linearly separable planted corpus") {
+    import spark.implicits._
+    // y = 1 iff the length feature (slot 16) is positive; all other slots noise
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).flatMap { id =>
+      val sign = if (id % 2 == 0) 1.0 else -1.0
+      Seq((id, 16, sign * (0.5 + rnd.nextDouble())),
+        (id, 17, rnd.nextDouble() - 0.5), (id, 18, 1.0))
+    }
+    val f = rows.toDF("doc_id", "slot", "x")
+    val l = (0L until 200L).map(id => (id, if (id % 2 == 0) 1.0 else 0.0))
+      .toDF("doc_id", "y")
+    val w = QualityClassifier.trainLogistic(f, l, iters = 30, lr = 1.0)
+    val scored = QualityClassifier.score(f, w).join(l, "doc_id")
+    val wrong = scored.filter((col("pred") && col("y") === 0.0) ||
+      (!col("pred") && col("y") === 1.0)).count()
+    assert(wrong == 0, s"separable data must reach 100% train accuracy, $wrong wrong")
+    assert(w(16) > 0, "the separating weight must be learned positive")
+  }
+
+  test("trainLogistic is deterministic across runs") {
+    val w1 = QualityClassifier.trainLogistic(feat, labels, iters = 3)
+    val w2 = QualityClassifier.trainLogistic(feat, labels, iters = 3)
+    assert(w1.toSeq == w2.toSeq)
+  }
+
+  test("more iterations do not hurt training loss (monotone-ish descent)") {
+    def loss(w: Array[Double]): Double =
+      QualityClassifier.score(feat, w).join(labels, "doc_id")
+        .select(avg(-(col("y") * log(greatest(col("p"), lit(1e-12))) +
+          (lit(1.0) - col("y")) *
+            log(greatest(lit(1.0) - col("p"), lit(1e-12))))).as("l"))
+        .collect()(0).getDouble(0)
+    val l1 = loss(QualityClassifier.trainLogistic(feat, labels, iters = 1))
+    val l5 = loss(QualityClassifier.trainLogistic(feat, labels, iters = 5))
+    val l20 = loss(QualityClassifier.trainLogistic(feat, labels, iters = 20))
+    assert(l5 <= l1 + 1e-9 && l20 <= l5 + 1e-9, s"loss rose: $l1 -> $l5 -> $l20")
+  }
+
+  test("distillation accuracy on the real corpus beats the base rate") {
+    val n = labels.count().toDouble
+    val base = math.max(
+      labels.filter(col("y") === 1.0).count() / n,
+      labels.filter(col("y") === 0.0).count() / n)
+    def acc(scored: org.apache.spark.sql.DataFrame): Double =
+      scored.filter((col("pred") && col("y") === 1.0) ||
+        (!col("pred") && col("y") === 0.0)).count() / n
+    val centroidAcc = acc(QualityClassifier.centroidScores(feat, labels))
+    val wLong = QualityClassifier.trainLogistic(feat, labels, iters = 50, lr = 2.0)
+    val logisticAcc = acc(QualityClassifier.score(feat, wLong).join(labels, "doc_id"))
+    info(f"base=$base%.3f centroid=$centroidAcc%.3f logistic=$logisticAcc%.3f")
+    assert(centroidAcc > base, "centroid must beat predicting the majority class")
+    assert(logisticAcc > base, "logistic must beat predicting the majority class")
+  }
+}
