@@ -63,21 +63,33 @@ object PageRank {
       val withDeg = ranks.join(outDeg, "id")
       // dangling nodes hold mass but route it nowhere — redistribute it
       // uniformly (the standard stochastic-matrix completion), else mass
-      // leaks and fixed-iteration values depend on leak accounting
-      val dangling = withDeg.filter(col("outdeg") === 0)
-        .agg(coalesce(sum(col("rank")), lit(0.0)).as("m_d"))
+      // leaks and fixed-iteration values depend on leak accounting.
+      // On an UNDIRECTED graph every node has an out-edge by construction
+      // (nodes = endpoints of the symmetrized edge list), so m_d ≡ 0
+      // exactly — skip the aggregate, which otherwise costs one full
+      // (empty) job per iteration: measured 6.0 s → 4.4 s warm for q118's
+      // 3 iterations at sf0.1 (adding literal 0.0 is a float no-op, so
+      // results are bit-identical to the general path)
       val contrib = e
         .join(withDeg.filter(col("outdeg") > 0)
           .select(col("id").as("src"), (col("rank") / col("outdeg")).as("share")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("share")).as("contrib"))
-      ranks = nodes
-        .join(contrib, "id", "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("id"),
-          (lit((1.0 - damping) / n) + lit(damping) *
-            (coalesce(col("contrib"), lit(0.0)) + col("m_d") / n)).as("rank"))
-        .localCheckpoint(true)
+      val base = nodes.join(contrib, "id", "left")
+      val withDangling =
+        if (undirected)
+          base.select(col("id"),
+            (lit((1.0 - damping) / n) + lit(damping) *
+              coalesce(col("contrib"), lit(0.0))).as("rank"))
+        else {
+          val dangling = withDeg.filter(col("outdeg") === 0)
+            .agg(coalesce(sum(col("rank")), lit(0.0)).as("m_d"))
+          base.crossJoin(broadcast(dangling))
+            .select(col("id"),
+              (lit((1.0 - damping) / n) + lit(damping) *
+                (coalesce(col("contrib"), lit(0.0)) + col("m_d") / n)).as("rank"))
+        }
+      ranks = withDangling.localCheckpoint(true)
     }
     ranks
   }
