@@ -228,6 +228,95 @@ object ScaleRehearsal {
         docs, "doc_id", "text", minCos = 0.3, maxDfFrac = 1e-4)
         .filter(col("cos") <= 1.0) // keep the filter column referenced
     }),
+    // The round-8 AUTO df cap, evaluated at the scale where its sqrt(n)
+    // regime binds (n=1M -> cap 64000): computes sum(df^2) join volume
+    // over the q117_zipf corpus's df frame uncapped / auto / df<=100 —
+    // an aggregate over |vocab| rows, so the MEASUREMENT is cheap even
+    // where the uncapped JOIN is infeasible (that's the point: the
+    // numbers printed are the join sizes a deployment would face).
+    // Printed eagerly; `dir` unused
+    "q117_autocap_volume" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val n = 1000000L
+      val docs = s.range(n).mapPartitions { it =>
+        val nV = 100000.0
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97L + 13L)
+          val text = Array.fill(40) {
+            val i = math.exp(rng.nextDouble() * math.log(nV + 1)).toLong
+            s"t$i"
+          }.mkString(" ")
+          (id, text)
+        }
+      }.toDF("doc_id", "text")
+      val df = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+        .groupBy(col("doc_id"), col("t")).agg(count(lit(1)))
+        .groupBy(col("t")).agg(count(lit(1)).as("df"))
+      val autoCap = math.max(256.0, math.min(n / 2.0, 64.0 * math.sqrt(n.toDouble)))
+      val vols = df.agg(
+        sum(col("df") * col("df")).as("uncapped"),
+        sum(when(col("df") <= autoCap, col("df") * col("df"))
+          .otherwise(0L)).as("auto"),
+        sum(when(col("df") <= 100, col("df") * col("df"))
+          .otherwise(0L)).as("df100"),
+        count(lit(1)).as("vocab")).localCheckpoint(true)
+      val r = vols.head()
+      println(s"""{"probe":"q117_autocap_volume","n_docs":$n,""" +
+        s""""auto_cap":${autoCap.toLong},"vocab":${r.getLong(3)},""" +
+        s""""vol_uncapped":${r.getLong(0)},"vol_auto":${r.getLong(1)},""" +
+        s""""vol_df100":${r.getLong(2)}}""")
+      vols
+    }),
+    // Round-8 quality classifier at 1M docs: feature build (token-stream
+    // aggregate + per-doc window) + closed-form centroid train/score +
+    // 3 logistic-GD iterations (each one 19-row gradient collect) — the
+    // full q120+q121 path at 200x the sf0.1 doc count. Lengths and langs
+    // are varied so the cascade labels split the corpus. Prints agreement
+    // counts eagerly; `dir` unused
+    "q120_quality_1m" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val vb = Array("spark", "join", "stream", "batch", "table", "column",
+        "row", "scan", "filter", "group", "agg", "sort", "hash", "merge",
+        "window", "key", "value", "query", "part", "line", "order", "data",
+        "fast", "slow", "big", "small", "vector", "index", "cache", "shuffle")
+      val langs = Array("en", "en", "en", "en", "fr", "de", "zh", "es", "xx", "en")
+      val docs = s.range(1000000L).mapPartitions { it =>
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x6C8E9CF5L + 7L)
+          val nTok = 5 + rng.nextInt(95)
+          // every 7th doc is repetitive (3-word vocabulary slice)
+          val pool = if (id % 7 == 0) 3 else vb.length
+          val text = Array.fill(nTok)(vb(rng.nextInt(pool))).mkString(" ")
+          (id, text, langs(rng.nextInt(langs.length)), text.length)
+        }
+      }.toDF("doc_id", "text", "lang", "n_chars")
+      val feat = graft.operators.QualityClassifier.features(docs)
+        .localCheckpoint(true)
+      val labels = graft.operators.QualityClassifier.cascadeLabels(docs)
+        .localCheckpoint(true)
+      val cent = graft.operators.QualityClassifier.centroidScores(feat, labels)
+      val w = graft.operators.QualityClassifier
+        .trainLogistic(feat, labels, iters = 3, lr = 0.5)
+      val logi = graft.operators.QualityClassifier.score(feat, w)
+        .join(labels, "doc_id")
+      val agg = cent.select(lit("centroid").as("m"),
+          (col("pred") === (col("y") === 1.0)).cast("long").as("ok"))
+        .union(logi.select(lit("logistic").as("m"),
+          (col("pred") === (col("y") === 1.0)).cast("long").as("ok")))
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n"), sum(col("ok")).as("agree"))
+        .localCheckpoint(true)
+      agg.collect().foreach { r =>
+        println(s"""{"probe":"q120_quality_1m","model":"${r.getString(0)}",""" +
+          s""""n":${r.getLong(1)},"agree":${r.getLong(2)}}""")
+      }
+      agg
+    }),
     // q118's scale form: 1M-node power-law digraph, 5 out-edges per node
     // (dst = floor(n*u^3) skews in-degree toward low ids — hub structure
     // like a web graph), 5 PageRank iterations. Measures the per-iteration
