@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** In-engine BPE tokenizer training (Sennrich, Haddow & Birch 2016 — the
+  * subword vocabulary learner behind GPT/Llama-family tokenizers) — the
+  * missing half of the pipeline's token accounting: `q26`-style counting
+  * answers "how many whitespace words", this answers "how many TOKENS will
+  * the model see", which is what sequence packing (q58), source mixing
+  * (q74) and training-cost estimates actually need.
+  *
+  * Training is CORPUS-SCALE ONLY ONCE: one pass builds the word-type
+  * frequency table (Heaps-law bounded — millions of types at 100 TB, a
+  * trivial hash aggregate), and every merge iteration runs on WORD TYPES
+  * weighted by frequency, never on the corpus. Each iteration is one
+  * explode+aggregate over the type table, an `orderBy…limit(1)` argmax
+  * (1-row collect, the bounded-trainer pattern shared with k-means and
+  * the logistic classifier), and one literal `replace` — then a
+  * localCheckpoint truncates the iterative lineage (the repo rule).
+  *
+  * Representation: a word's symbol sequence is a single SPACE-DELIMITED
+  * string `" h e l l o "`. Applying merge (l, r) is then
+  * `replace(sym, " l r ", " lr ")` — string replace is leftmost,
+  * non-overlapping, and resumes after each replacement, which is EXACTLY
+  * BPE's single-pass merge semantics (`"a a a"` + (a,a) → `"aa a"`, not
+  * `"aaa"`), and is reproducible verbatim in any SQL engine. That makes
+  * the whole training trajectory oracle-replayable: q122's DuckDB oracle
+  * unrolls the same argmax+replace iterations CTE-by-CTE and must land on
+  * the identical merge table. Ties in pair counts break on (l, r)
+  * lexicographic order in both engines, so the learned vocabulary is a
+  * well-defined function of the corpus, not of execution order.
+  *
+  * Encoding: words seen in training are encoded by a dictionary equi-join
+  * against the final word-type frame — the scalable path (broadcast when
+  * the dictionary is small, shuffle join otherwise). [[applyMerges]]
+  * covers UNSEEN words with a constant-depth chain of the same literal
+  * replaces (plan size linear in the merge count, zero extra passes),
+  * and a spec proves the two paths agree on every trained word.
+  */
+object Bpe {
+
+  /** One learned merge: `l`+`r` → `l+r`, with the weighted pair count at
+    * selection time. */
+  final case class Merge(l: String, r: String, cnt: Long)
+
+  /** Word-type table `(word, freq, sym)` — `sym` is the spaced symbol
+    * string (see class doc). One corpus pass. */
+  def wordTypes(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" "))
+          .as("sym"))
+
+  /** Learns `nMerges` merge rules; returns them plus the final word-type
+    * frame (the encoding dictionary). Deterministic: argmax ties break on
+    * (l, r) order.
+    */
+  def train(wordTypes: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 10000,
+      s"nMerges must be in [1, 10000], got $nMerges")
+    var wt = wordTypes.localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var learned = 0
+    var exhausted = false
+    while (learned < nMerges && !exhausted) {
+      val a = split(trim(col("sym")), " ")
+      val top = wt
+        .select(col("freq"),
+          when(size(a) >= 2,
+            transform(sequence(lit(1), size(a) - 1),
+              k => struct(element_at(a, k).as("l"), element_at(a, k + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))
+            .as("prs"))
+        .select(col("freq"), explode(col("prs")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // every word is a single symbol
+      else {
+        val m = Merge(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += m
+        learned += 1
+        wt = wt.withColumn("sym",
+          replace(col("sym"), lit(s" ${m.l} ${m.r} "), lit(s" ${m.l}${m.r} ")))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.result(), wt)
+  }
+
+  /** The learned merge table as a tiny literal frame
+    * `(rank, l, r, merged, cnt)`. */
+  def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case (m, i) => (i + 1, m.l, m.r, m.l + m.r, m.cnt) }
+      .toDF("rank", "l", "r", "merged", "cnt")
+  }
+
+  /** Token counts per document via the DICTIONARY path: explode words,
+    * equi-join the trained word-type frame, sum piece counts. Words not in
+    * the dictionary are dropped (train-corpus encoding never hits this;
+    * for novel corpora pre-extend the dictionary with [[applyMerges]]).
+    */
+  def encodeCounts(docs: DataFrame, trainedWordTypes: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val dict = trainedWordTypes
+      .select(col("word"),
+        size(split(trim(col("sym")), " ")).cast("long").as("n_pieces"))
+    docs.select(col(idCol).as(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(dict, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("n_pieces")).as("n_pieces"))
+  }
+
+  /** The general (unseen-word) encoder: applies the merge list to a raw
+    * word column as a constant-depth chain of literal replaces — the same
+    * operations training applied, so for any trained word this EQUALS the
+    * dictionary path (spec-pinned). Returns the spaced symbol string;
+    * wrap with `size(split(trim(…), " "))` for a piece count.
+    */
+  def applyMerges(word: Column, merges: Seq[Merge]): Column =
+    merges.foldLeft(
+      concat(lit(" "), array_join(split(word, ""), " "), lit(" "))) {
+      (acc, m) => replace(acc, lit(s" ${m.l} ${m.r} "), lit(s" ${m.l}${m.r} "))
+    }
+}
