@@ -234,4 +234,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q120: centroid classifier is hash aggregates + broadcast weights, no product") {
+    val p = finalPlan("q120_quality_centroid")
+    // the 19-row weight/intercept frames broadcast onto the feature frame;
+    // per-class means and per-doc dots are partial+final hash aggregates
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are 1-row broadcasts (intercept, counts)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q121: logistic scoring is one aggregate over literal weights, no shuffle of weights") {
+    val p = finalPlan("q121_quality_logistic")
+    // scoring joins the checkpointed feature frame against a LITERAL weight
+    // map folded into the projection — no weight-side join at all; the
+    // per-doc margin is a partial+final hash aggregate
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ExistingRDD"), p) // checkpointed features
+  }
+
+  test("q122: BPE training output is a literal merge table; corpus cost is upstream") {
+    val p = finalPlan("q122_bpe_train")
+    // training already ran at construction (bounded 1-row argmax collects);
+    // the declared plan must be a tiny local scan, no corpus re-read
+    assert(p.contains("LocalTableScan") || p.contains("ExistingRDD"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q123: BPE encode is a dictionary equi-join, aggregated map-side") {
+    val p = finalPlan("q123_bpe_encode")
+    // token stream joins the trained dictionary on word equality; counts
+    // aggregate partial+final; never a product, never a sort-merge join
+    assert(p.contains("HashAggregate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
 }
