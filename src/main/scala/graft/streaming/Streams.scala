@@ -356,6 +356,25 @@ object Streams {
       }
   }
 
+  /** Streaming quality scoring — the deployment shape of the trained
+    * classifier ([[graft.operators.QualityClassifier]]): weights are
+    * trained OFFLINE (batch) and folded into each micro-batch as literals;
+    * the per-batch work is the same bounded feature build + one aggregate
+    * as the batch path, so stream scores are identical to batch scores by
+    * construction (StreamingSpec pins it). foreachBatch rather than a
+    * direct streaming plan because the feature build aggregates per
+    * document — legal inside a micro-batch, unbounded as a raw streaming
+    * aggregation.
+    */
+  def scoreQualityBatches(
+      docs: DataFrame,
+      weights: Array[Double])(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      sink(graft.operators.QualityClassifier.score(
+        graft.operators.QualityClassifier.features(batch), weights), id)
+    }
+
   /** B38 — custom state: running per-user event count + value sum,
     * re-emitted on every update (OutputMode.Update).
     */

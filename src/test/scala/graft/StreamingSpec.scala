@@ -427,4 +427,34 @@ class StreamingSpec extends SparkSpec {
     def toMap2: Map[Double, (Long, Double)] =
       rows.map { case (k, a, b) => k -> ((a, b)) }.toMap
   }
+
+  test("streaming quality scoring equals batch scoring with the same weights") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Tables.documents(spark, sf())
+    val feat = graft.operators.QualityClassifier.features(train).localCheckpoint(true)
+    val labels = graft.operators.QualityClassifier.cascadeLabels(train).localCheckpoint(true)
+    val w = graft.operators.QualityClassifier.trainLogistic(feat, labels, iters = 3)
+
+    // stream the same corpus through in two micro-batches
+    val rows = train.select(col("doc_id"), col("text"), col("n_chars"))
+      .as[(Long, String, Long)].collect()
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    val input = MemoryStream[(Long, String, Long)]
+    val got = scala.collection.mutable.Map[Long, (Double, Boolean)]()
+    val q = Streams.scoreQualityBatches(
+        input.toDF().toDF("doc_id", "text", "n_chars"), w) { (scored, _) =>
+      scored.collect().foreach(r =>
+        got(r.getAs[Long]("doc_id")) = (r.getAs[Double]("p"), r.getAs[Boolean]("pred")))
+    }.start()
+    try {
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+    } finally q.stop()
+
+    val batchScores = graft.operators.QualityClassifier.score(feat, w)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Double]("p"), r.getAs[Boolean]("pred"))).toMap
+    assert(got.toMap == batchScores)
+  }
 }
