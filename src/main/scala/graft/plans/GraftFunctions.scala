@@ -104,7 +104,11 @@ object GraftFunctions {
       ("rrf_fuse", SqlTableFunctions.getClass,
         SqlTableFunctions.rrfFuseBuilder _),
       ("pagerank", SqlTableFunctions.getClass,
-        SqlTableFunctions.pageRankBuilder _))
+        SqlTableFunctions.pageRankBuilder _),
+      ("bpe_token_counts", SqlTableFunctions.getClass,
+        SqlTableFunctions.bpeTokenCountsBuilder _),
+      ("quality_scores", SqlTableFunctions.getClass,
+        SqlTableFunctions.qualityScoresBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -20,6 +20,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM sparse_cosine_join('docs_v', 'doc_id', 'text', 0.3, 0.25)
   * SELECT * FROM rrf_fuse('lex_v', 'sem_v', 'id', 'score', 20)
   * SELECT * FROM pagerank('edges_v', 'src', 'dst', 3, 0.85, true)
+  * SELECT * FROM bpe_token_counts('docs_v', 'doc_id', 'text', 6)
+  * SELECT * FROM quality_scores('docs_v', 'logistic', 3)
   * }}}
   *
   * Each builder runs at analysis time: scalar arguments must be literals
@@ -229,6 +231,60 @@ object SqlTableFunctions {
       fail(s"$fn argument 5 (damping) must be in (0, 1), got $damping")
     graft.operators.PageRank.run(edges, srcCol, dstCol, iters, damping, undirected)
       .queryExecution.logical
+  }
+
+  /** bpe_token_counts(docs_table, id_col, text_col, n_merges) — trains a
+    * BPE vocabulary on the table and returns per-row token counts under
+    * it ([[graft.operators.Bpe]]). Training (n_merges bounded argmax
+    * rounds) runs at ANALYSIS time — the pagerank caveat family,
+    * DESIGN.md §5; n_merges is capped accordingly for the SQL form.
+    */
+  def bpeTokenCountsBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "bpe_token_counts"
+    if (args.length != 4) wrongNumArgs(fn, "4", args.length)
+    val docs = table(fn, strArg(fn, args, 0, "documents table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val textCol = strArg(fn, args, 2, "text column")
+    val nMerges = intArg(fn, args, 3, "merge count")
+    if (nMerges < 1 || nMerges > 64)
+      fail(s"$fn argument 4 (merge count) must be in [1, 64], got $nMerges")
+    val (_, dict) = graft.operators.Bpe.train(
+      graft.operators.Bpe.wordTypes(docs, textCol), nMerges)
+    graft.operators.Bpe.encodeCounts(docs, dict, idCol, textCol)
+      .queryExecution.logical
+  }
+
+  /** quality_scores(docs_table, model [, iters]) — trains the quality
+    * classifier on the table's doc_id/text/n_chars/lang columns (the
+    * cascade-label convention) and scores every row; model = 'centroid'
+    * (closed-form, zero iterations) or 'logistic' (full-batch GD, iters
+    * ≤ 20, analysis-time training per DESIGN.md §5).
+    */
+  def qualityScoresBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "quality_scores"
+    if (args.length != 2 && args.length != 3)
+      wrongNumArgs(fn, "2 or 3", args.length)
+    val docs = table(fn, strArg(fn, args, 0, "documents table"))
+    val model = strArg(fn, args, 1, "model")
+    val qc = graft.operators.QualityClassifier
+    val feat = qc.features(docs)
+    val labels = qc.cascadeLabels(docs)
+    model match {
+      case "centroid" =>
+        if (args.length == 3)
+          fail(s"$fn: 'centroid' takes no iteration argument")
+        qc.centroidScores(feat, labels).queryExecution.logical
+      case "logistic" =>
+        val iters = if (args.length == 3) intArg(fn, args, 2, "iterations") else 3
+        if (iters < 1 || iters > 20)
+          fail(s"$fn argument 3 (iterations) must be in [1, 20], got $iters")
+        val f = feat.localCheckpoint(true)
+        val w = qc.trainLogistic(f, labels, iters = iters)
+        qc.score(f, w).queryExecution.logical
+      case other =>
+        fail(s"$fn argument 2 (model) must be 'centroid' or 'logistic', " +
+          s"got '$other'")
+    }
   }
 
   /** prefix_similarity_join(docs_table, id_col, text_col, threshold) */

@@ -232,6 +232,45 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT * FROM pagerank('ext_edges', 'src', 'dst', 3, 0.85, 'yes')")
         .contains("boolean"))
 
+      // bpe_token_counts == Scala form
+      Seq((0L, "low low lower"), (1L, "newest newest"))
+        .toDF("doc_id", "text").createOrReplaceTempView("ext_bpe")
+      val bpeSql = spark.sql(
+        "SELECT * FROM bpe_token_counts('ext_bpe', 'doc_id', 'text', 2)")
+        .as[(Long, Long)].collect().toMap
+      val (_, bpeDict) = graft.operators.Bpe.train(
+        graft.operators.Bpe.wordTypes(spark.table("ext_bpe"), "text"), 2)
+      val bpeScala = graft.operators.Bpe
+        .encodeCounts(spark.table("ext_bpe"), bpeDict, "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+      assert(bpeSql == bpeScala && bpeSql.nonEmpty)
+      assert(msgOf(
+        "SELECT * FROM bpe_token_counts('ext_bpe', 'doc_id', 'text', 0)")
+        .contains("[1, 64]"))
+
+      // quality_scores == Scala form (needs the cascade-label columns)
+      Seq((0L, "alpha beta gamma delta", "en", 150L),
+          (1L, "rep rep rep rep rep rep", "en", 30L))
+        .toDF("doc_id", "text", "lang", "n_chars")
+        .createOrReplaceTempView("ext_qdocs")
+      val qc = graft.operators.QualityClassifier
+      val qSql = spark.sql(
+        "SELECT * FROM quality_scores('ext_qdocs', 'centroid')")
+        .collect().map(_.toSeq).toSet
+      val qScala = qc.centroidScores(
+        qc.features(spark.table("ext_qdocs")),
+        qc.cascadeLabels(spark.table("ext_qdocs")))
+        .collect().map(_.toSeq).toSet
+      assert(qSql == qScala && qSql.nonEmpty)
+      val qlSql = spark.sql(
+        "SELECT * FROM quality_scores('ext_qdocs', 'logistic', 2)")
+        .collect().map(_.toSeq).toSet
+      assert(qlSql.nonEmpty && qlSql != qSql) // different model, same rows
+      assert(msgOf("SELECT * FROM quality_scores('ext_qdocs', 'svm')")
+        .contains("'centroid' or 'logistic'"))
+      assert(msgOf("SELECT * FROM quality_scores('ext_qdocs', 'logistic', 99)")
+        .contains("[1, 20]"))
+
       // a missing table surfaces as the standard analysis error
       assert(msgOf("SELECT * FROM radius_join('no_such_view', 1.0)")
         .toLowerCase.contains("no_such_view"))
@@ -243,6 +282,8 @@ class ExtensionsSpec extends SparkSpec {
       spark.catalog.dropTempView("ext_cents")
       spark.catalog.dropTempView("ext_lex")
       spark.catalog.dropTempView("ext_sem")
+      spark.catalog.dropTempView("ext_bpe")
+      spark.catalog.dropTempView("ext_qdocs")
       spark.catalog.dropTempView("ext_edges")
     }
   }
