@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.MinHashLSH
+
+/** Corpus-reporting queries — the artifacts a curation pipeline publishes
+  * about its output, composed from signals the catalog already computes:
+  * q124 the per-source data card (the "datasheet" row a mixing decision
+  * reads), q125 the cross-split near-dup leakage audit (the eval-integrity
+  * check a train/val/test split must pass before anyone trusts the val
+  * loss).
+  */
+object Reporting {
+
+  /** q124: one row per source — volume, token mass, rule-cascade keep
+    * rate, exact-duplicate rate, mean length, dominant language. All
+    * single-pass aggregates; the dominant language is a deterministic
+    * argmax (count desc, lang asc).
+    */
+  private def q124(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val labels = graft.operators.QualityClassifier.cascadeLabels(docs)
+    val base = docs.join(labels, "doc_id")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        Parity.r4(avg(col("y"))).as("kept_rate"),
+        Parity.r4(lit(1.0) -
+          countDistinct(col("text")).cast("double") / count(lit(1)))
+          .as("exact_dup_rate"),
+        Parity.r4(avg(col("n_chars"))).as("avg_chars"))
+    val topLang = docs.groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("c").desc, col("lang"))))
+      .filter(col("rn") === 1)
+      .select(col("source"), col("lang").as("top_lang"))
+    base.join(topLang, "source").orderBy(col("source"))
+  }
+
+  private val q124Sql =
+    """WITH lab AS (
+      |  SELECT doc_id, source, text, n_chars, lang,
+      |    CAST(CASE WHEN n_chars >= 100 AND n_chars <= 500
+      |      AND (len(string_split(text, ' ')) - len(list_distinct(string_split(text, ' ')))) * 100
+      |          <= len(string_split(text, ' ')) * 55
+      |      AND lang IN ('en', 'de', 'fr', 'es', 'zh') THEN 1.0 ELSE 0.0 END
+      |      AS DOUBLE) AS y
+      |  FROM documents
+      |), base AS (
+      |  SELECT source,
+      |    COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+      |    FLOOR(AVG(y) * 10000 + 0.5) / 10000.0 AS kept_rate,
+      |    FLOOR((1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*))
+      |      * 10000 + 0.5) / 10000.0 AS exact_dup_rate,
+      |    FLOOR(AVG(n_chars) * 10000 + 0.5) / 10000.0 AS avg_chars
+      |  FROM lab GROUP BY 1
+      |), lc AS (
+      |  SELECT source, lang, COUNT(*) AS c FROM documents GROUP BY 1, 2
+      |), tl AS (
+      |  SELECT source, lang AS top_lang FROM (
+      |    SELECT source, lang,
+      |      ROW_NUMBER() OVER (PARTITION BY source ORDER BY c DESC, lang) AS rn
+      |    FROM lc) WHERE rn = 1
+      |)
+      |SELECT b.source, b.n_docs, b.n_tokens, b.kept_rate, b.exact_dup_rate,
+      |  b.avg_chars, tl.top_lang
+      |FROM base b JOIN tl ON tl.source = b.source
+      |ORDER BY b.source""".stripMargin
+
+  /** q125: near-dup pairs (q30's md5-parity MinHash+LSH config, same
+    * bounded slice) that CROSS the q64 hash-split boundary — each row is a
+    * val/test document whose near-twin sits in train, i.e. measured eval
+    * contamination. Composition of two oracle-checked queries, itself
+    * oracle-checked.
+    */
+  private def q125(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1,
+      oracleParityHash = true)
+    val pairs = lsh.verifyJaccard(
+        lsh.candidatePairs(docs, "doc_id", "text"), docs, "doc_id", "text")
+      .filter(round(col("jaccard"), 4) >= 0.6)
+    val split = graft.functions.TextHash.h60(col("doc_id").cast("string")) % 100
+    val splits = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        when(split < 80, lit("train")).when(split < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("id_a"), col("split").as("split_a")), "id_a")
+      .join(splits.select(col("doc_id").as("id_b"), col("split").as("split_b")), "id_b")
+      .filter(col("split_a") =!= col("split_b"))
+      .select(col("id_a").as("doc_a"), col("id_b").as("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"),
+        col("split_a"), col("split_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val q125Sql =
+    """WITH sh AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      |  FROM documents WHERE doc_id < 120
+      |), sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 11), j ->
+      |    list_min(list_transform(s, t ->
+      |      ('0x' || substr(md5(j || ':' || t), 1, 15))::BIGINT))) AS sg
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh
+      |  FROM sig, range(0, 3) r(b)
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |), jac AS (
+      |  SELECT p.doc_a, p.doc_b,
+      |    ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |      / len(list_distinct(list_concat(sa.s, sb.s))), 4) AS jaccard
+      |  FROM pairs p
+      |  JOIN sh sa ON sa.doc_id = p.doc_a
+      |  JOIN sh sb ON sb.doc_id = p.doc_b
+      |), sp AS (
+      |  SELECT doc_id,
+      |    CASE WHEN bucket < 80 THEN 'train'
+      |         WHEN bucket < 90 THEN 'val'
+      |         ELSE 'test' END AS split
+      |  FROM (
+      |    SELECT doc_id,
+      |      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket
+      |    FROM documents)
+      |)
+      |SELECT j.doc_a, j.doc_b, j.jaccard, sa.split AS split_a, sb.split AS split_b
+      |FROM jac j
+      |JOIN sp sa ON sa.doc_id = j.doc_a
+      |JOIN sp sb ON sb.doc_id = j.doc_b
+      |WHERE j.jaccard >= 0.6 AND sa.split <> sb.split
+      |ORDER BY j.doc_a, j.doc_b""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q124_data_card", q124, Some(q124Sql)),
+    QueryDef("q125_split_leakage", q125, Some(q125Sql)))
+}
