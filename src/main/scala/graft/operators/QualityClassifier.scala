@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 import graft.queries.Parity
 
 /** In-engine trained quality classifier — the fastText-style "quality
-  * filter" stage of an LLM data pipeline, trained and scored entirely
+  * filter" stage of an LLM data pipeline (linear model over hashed text
+  * features: Joulin et al. 2017, "Bag of Tricks for Efficient Text
+  * Classification"; the centroid form is Rocchio 1971 relevance feedback;
+  * hashing trick: Weinberger et al. 2009), trained and scored entirely
   * in-plan, with no external ML runtime.
   *
   * The supervision story is DISTILLATION: the rule cascade (q97's
