@@ -66,10 +66,13 @@ object PageRank {
       // leaks and fixed-iteration values depend on leak accounting.
       // On an UNDIRECTED graph every node has an out-edge by construction
       // (nodes = endpoints of the symmetrized edge list), so m_d ≡ 0
-      // exactly — skip the aggregate, which otherwise costs one full
-      // (empty) job per iteration: measured 6.0 s → 4.4 s warm for q118's
-      // 3 iterations at sf0.1 (adding literal 0.0 is a float no-op, so
-      // results are bit-identical to the general path)
+      // exactly — skip the aggregate. Honest measurement (same warm shell,
+      // both paths, sf0.1, 3 iterations): skip 3.8-4.0 s vs general
+      // 3.8-4.1 s — the empty per-iteration aggregate job costs ~nothing
+      // in wall time here; the skip's value is one fewer job per iteration
+      // (scheduler pressure at high iteration counts / many concurrent
+      // queries), and results are bit-identical (the removed term added
+      // literal 0.0)
       val contrib = e
         .join(withDeg.filter(col("outdeg") > 0)
           .select(col("id").as("src"), (col("rank") / col("outdeg")).as("share")), "src")
