@@ -317,6 +317,38 @@ object ScaleRehearsal {
       }
       agg
     }),
+    // Round-8 BPE trainer at scale: 1M docs × 40 tokens over the 100k-term
+    // Zipf vocab (the q117_zipf generator) — the claim under test is that
+    // corpus-scale work is ONE word-count pass and every merge iteration
+    // runs on the ~100k-row word-TYPE table, so 16 merges cost 16 small
+    // aggregates, not 16 corpus scans. Prints the learned merge count and
+    // total encoded pieces eagerly; `dir` unused
+    "q122_bpe_1m" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val docs = s.range(1000000L).mapPartitions { it =>
+        val nV = 100000.0
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97L + 13L)
+          val text = Array.fill(40) {
+            val i = math.exp(rng.nextDouble() * math.log(nV + 1)).toLong
+            s"t$i"
+          }.mkString(" ")
+          (id, text)
+        }
+      }.toDF("doc_id", "text")
+      val (merges, dict) = graft.operators.Bpe.train(
+        graft.operators.Bpe.wordTypes(docs, "text"), 16)
+      val agg = dict.agg(
+        count(lit(1)).as("word_types"),
+        sum(col("freq") * size(split(trim(col("sym")), " ")))
+          .as("total_pieces")).localCheckpoint(true)
+      val r = agg.head()
+      println(s"""{"probe":"q122_bpe_1m","merges":${merges.length},""" +
+        s""""word_types":${r.getLong(0)},"total_pieces":${r.getLong(1)}}""")
+      agg
+    }),
     // q118's scale form: 1M-node power-law digraph, 5 out-edges per node
     // (dst = floor(n*u^3) skews in-degree toward low ids — hub structure
     // like a web graph), 5 PageRank iterations. Measures the per-iteration
