@@ -142,7 +142,26 @@ object Reporting {
       |WHERE j.jaccard >= 0.6 AND sa.split <> sb.split
       |ORDER BY j.doc_a, j.doc_b""".stripMargin
 
+  /** q126: exact top-20 corpus tokens via the bounded-state two-pass
+    * ([[graft.operators.HeavyHitters]] — Misra–Gries candidates + exact
+    * recount). The oracle is the PLAIN exact top-20, which the two-pass
+    * must equal whenever the sketch's retention condition holds (capacity
+    * 256 ≫ this corpus's distinct-token count, so it holds trivially here;
+    * the tight-capacity regime is spec-tested on a Zipf corpus).
+    */
+  private def q126(s: SparkSession, dir: String): DataFrame =
+    graft.operators.HeavyHitters.exactTopK(
+      Tables.documents(s, dir), "text", k = 20, capacity = 256)
+
+  private val q126Sql =
+    """SELECT token, cnt FROM (
+      |  SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |  WHERE token <> '' GROUP BY 1)
+      |ORDER BY cnt DESC, token LIMIT 20""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q124_data_card", q124, Some(q124Sql)),
-    QueryDef("q125_split_leakage", q125, Some(q125Sql)))
+    QueryDef("q125_split_leakage", q125, Some(q125Sql)),
+    QueryDef("q126_heavy_tokens", q126, Some(q126Sql)))
 }
