@@ -108,7 +108,9 @@ object GraftFunctions {
       ("bpe_token_counts", SqlTableFunctions.getClass,
         SqlTableFunctions.bpeTokenCountsBuilder _),
       ("quality_scores", SqlTableFunctions.getClass,
-        SqlTableFunctions.qualityScoresBuilder _))
+        SqlTableFunctions.qualityScoresBuilder _),
+      ("heavy_tokens", SqlTableFunctions.getClass,
+        SqlTableFunctions.heavyTokensBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -22,6 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM pagerank('edges_v', 'src', 'dst', 3, 0.85, true)
   * SELECT * FROM bpe_token_counts('docs_v', 'doc_id', 'text', 6)
   * SELECT * FROM quality_scores('docs_v', 'logistic', 3)
+  * SELECT * FROM heavy_tokens('docs_v', 'text', 20, 256)
   * }}}
   *
   * Each builder runs at analysis time: scalar arguments must be literals
@@ -285,6 +286,26 @@ object SqlTableFunctions {
         fail(s"$fn argument 2 (model) must be 'centroid' or 'logistic', " +
           s"got '$other'")
     }
+  }
+
+  /** heavy_tokens(docs_table, text_col, k [, capacity]) — exact top-k
+    * tokens via the bounded-state Misra–Gries two-pass
+    * ([[graft.operators.HeavyHitters]]); the candidate sketch runs at
+    * ANALYSIS time (bounded ≤ capacity collect, DESIGN.md §5 family).
+    */
+  def heavyTokensBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "heavy_tokens"
+    if (args.length != 3 && args.length != 4)
+      wrongNumArgs(fn, "3 or 4", args.length)
+    val docs = table(fn, strArg(fn, args, 0, "documents table"))
+    val textCol = strArg(fn, args, 1, "text column")
+    val k = intArg(fn, args, 2, "k")
+    if (k < 1 || k > 100000) fail(s"$fn argument 3 (k) must be in [1, 100000], got $k")
+    val capacity = if (args.length == 4) intArg(fn, args, 3, "capacity") else 4096
+    if (capacity < k || capacity > 100000)
+      fail(s"$fn argument 4 (capacity) must be in [k, 100000], got $capacity")
+    graft.operators.HeavyHitters.exactTopK(docs, textCol, k, capacity)
+      .queryExecution.logical
   }
 
   /** prefix_similarity_join(docs_table, id_col, text_col, threshold) */

@@ -271,6 +271,17 @@ class ExtensionsSpec extends SparkSpec {
       assert(msgOf("SELECT * FROM quality_scores('ext_qdocs', 'logistic', 99)")
         .contains("[1, 20]"))
 
+      // heavy_tokens == Scala form
+      val htSql = spark.sql(
+        "SELECT * FROM heavy_tokens('ext_bpe', 'text', 3, 16)")
+        .as[(String, Long)].collect().toSeq
+      val htScala = graft.operators.HeavyHitters
+        .exactTopK(spark.table("ext_bpe"), "text", 3, 16)
+        .as[(String, Long)].collect().toSeq
+      assert(htSql == htScala && htSql.nonEmpty)
+      assert(msgOf("SELECT * FROM heavy_tokens('ext_bpe', 'text', 20, 5)")
+        .contains("[k, 100000]"))
+
       // a missing table surfaces as the standard analysis error
       assert(msgOf("SELECT * FROM radius_join('no_such_view', 1.0)")
         .toLowerCase.contains("no_such_view"))
