@@ -349,6 +349,48 @@ object ScaleRehearsal {
         s""""word_types":${r.getLong(0)},"total_pieces":${r.getLong(1)}}""")
       agg
     }),
+    // Round-8 heavy hitters at scale: exact top-20 tokens from 1M docs ×
+    // 40 tokens (100k-term Zipf vocab) BOTH ways — the bounded-state
+    // two-pass (MG capacity 4096) and the plain cardinality-sized groupBy
+    // it replaces — so the trade is a measurement, not an argument. The
+    // two must agree exactly (asserted; Zipf head ≫ n/4097). Prints both
+    // timings eagerly; `dir` unused
+    "q126_hh_1m" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val docs = s.range(1000000L).mapPartitions { it =>
+        val nV = 100000.0
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97L + 13L)
+          val text = Array.fill(40) {
+            val i = math.exp(rng.nextDouble() * math.log(nV + 1)).toLong
+            s"t$i"
+          }.mkString(" ")
+          (id, text)
+        }
+      }.toDF("doc_id", "text").localCheckpoint(true)
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = f
+        (a, math.rint((System.nanoTime() - t0) / 1e7) / 100.0)
+      }
+      val (sketch, tSketch) = timed {
+        graft.operators.HeavyHitters.exactTopK(docs, "text", 20, 4096)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+      val (plain, tPlain) = timed {
+        docs.select(explode(split(col("text"), " ")).as("token"))
+          .filter(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token")).limit(20)
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      }
+      require(sketch == plain, "two-pass must equal plain exact top-20")
+      println(s"""{"probe":"q126_hh_1m","agree":true,""" +
+        s""""two_pass_sec":$tSketch,"plain_groupby_sec":$tPlain}""")
+      Seq((tSketch, tPlain)).toDF("two_pass_sec", "plain_groupby_sec")
+    }),
     // q118's scale form: 1M-node power-law digraph, 5 out-edges per node
     // (dst = floor(n*u^3) skews in-degree toward low ids — hub structure
     // like a web graph), 5 PageRank iterations. Measures the per-iteration
