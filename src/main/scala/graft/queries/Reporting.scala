@@ -160,8 +160,68 @@ object Reporting {
       |  WHERE token <> '' GROUP BY 1)
       |ORDER BY cnt DESC, token LIMIT 20""".stripMargin
 
+  /** q127: corpus drift between two snapshots ([[graft.operators.Drift]]
+    * — PSI over fixed, deterministic buckets): the even-id half of the
+    * corpus as snapshot A vs the odd-id half as snapshot B (a
+    * scale-independent split; a real deployment passes two table
+    * versions), length drift over 12 fixed buckets of [0, 600] chars and
+    * language-mix drift over categories. Reading the value needs PSI's
+    * small-sample bias in mind (E[PSI] ≈ buckets·(1/n_a + 1/n_b) under no
+    * drift — DriftSpec documents it); the query is the monitoring hook,
+    * the spec plants real drift and asserts the alarm fires.
+    */
+  private def q127(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    graft.operators.Drift.numericPsi(a, b, "n_chars", 0.0, 600.0, 12)
+      .unionByName(graft.operators.Drift.categoricalPsi(a, b, "lang"))
+      .orderBy(col("metric"))
+  }
+
+  private val q127Sql =
+    """WITH a AS (
+      |  SELECT * FROM documents WHERE doc_id % 2 = 0
+      |), b AS (
+      |  SELECT * FROM documents WHERE doc_id % 2 = 1
+      |), na AS (
+      |  SELECT CAST(LEAST(GREATEST(FLOOR(CAST(n_chars AS DOUBLE) / 50), 0), 11) AS INT) AS key,
+      |    COUNT(*) AS c FROM a GROUP BY 1
+      |), nb AS (
+      |  SELECT CAST(LEAST(GREATEST(FLOOR(CAST(n_chars AS DOUBLE) / 50), 0), 11) AS INT) AS key,
+      |    COUNT(*) AS c FROM b GROUP BY 1
+      |), nsa AS (
+      |  SELECT key, c / SUM(c) OVER () AS p FROM na
+      |), nsb AS (
+      |  SELECT key, c / SUM(c) OVER () AS q FROM nb
+      |), npsi AS (
+      |  SELECT 'n_chars' AS metric,
+      |    FLOOR(SUM((p + 0.000001 - (q + 0.000001))
+      |      * ln((p + 0.000001) / (q + 0.000001))) * 10000 + 0.5) / 10000.0 AS psi
+      |  FROM (
+      |    SELECT COALESCE(nsa.p, 0.0) AS p, COALESCE(nsb.q, 0.0) AS q
+      |    FROM nsa FULL OUTER JOIN nsb ON nsb.key = nsa.key)
+      |), la AS (
+      |  SELECT lang AS key, COUNT(*) AS c FROM a GROUP BY 1
+      |), lb AS (
+      |  SELECT lang AS key, COUNT(*) AS c FROM b GROUP BY 1
+      |), lsa AS (
+      |  SELECT key, c / SUM(c) OVER () AS p FROM la
+      |), lsb AS (
+      |  SELECT key, c / SUM(c) OVER () AS q FROM lb
+      |), lpsi AS (
+      |  SELECT 'lang' AS metric,
+      |    FLOOR(SUM((p + 0.000001 - (q + 0.000001))
+      |      * ln((p + 0.000001) / (q + 0.000001))) * 10000 + 0.5) / 10000.0 AS psi
+      |  FROM (
+      |    SELECT COALESCE(lsa.p, 0.0) AS p, COALESCE(lsb.q, 0.0) AS q
+      |    FROM lsa FULL OUTER JOIN lsb ON lsb.key = lsa.key)
+      |)
+      |SELECT * FROM lpsi UNION ALL SELECT * FROM npsi ORDER BY metric""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q124_data_card", q124, Some(q124Sql)),
     QueryDef("q125_split_leakage", q125, Some(q125Sql)),
-    QueryDef("q126_heavy_tokens", q126, Some(q126Sql)))
+    QueryDef("q126_heavy_tokens", q126, Some(q126Sql)),
+    QueryDef("q127_corpus_drift", q127, Some(q127Sql)))
 }
