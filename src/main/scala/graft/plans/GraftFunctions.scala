@@ -110,7 +110,9 @@ object GraftFunctions {
       ("quality_scores", SqlTableFunctions.getClass,
         SqlTableFunctions.qualityScoresBuilder _),
       ("heavy_tokens", SqlTableFunctions.getClass,
-        SqlTableFunctions.heavyTokensBuilder _))
+        SqlTableFunctions.heavyTokensBuilder _),
+      ("corpus_drift", SqlTableFunctions.getClass,
+        SqlTableFunctions.corpusDriftBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

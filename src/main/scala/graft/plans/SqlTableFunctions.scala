@@ -308,6 +308,33 @@ object SqlTableFunctions {
       .queryExecution.logical
   }
 
+  /** corpus_drift(a_table, b_table, col, lo, hi, n_buckets) — numeric
+    * fixed-bucket PSI between two snapshots; the 3-arg form
+    * corpus_drift(a_table, b_table, col) computes categorical PSI over
+    * the column's observed values ([[graft.operators.Drift]]).
+    */
+  def corpusDriftBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "corpus_drift"
+    if (args.length != 3 && args.length != 6)
+      wrongNumArgs(fn, "3 or 6", args.length)
+    val a = table(fn, strArg(fn, args, 0, "snapshot A table"))
+    val b = table(fn, strArg(fn, args, 1, "snapshot B table"))
+    val colName = strArg(fn, args, 2, "column")
+    if (args.length == 3)
+      graft.operators.Drift.categoricalPsi(a, b, colName)
+        .queryExecution.logical
+    else {
+      val lo = numArg(fn, args, 3, "bucket range low")
+      val hi = numArg(fn, args, 4, "bucket range high")
+      val n = intArg(fn, args, 5, "bucket count")
+      if (hi <= lo) fail(s"$fn: need high > low, got [$lo, $hi]")
+      if (n < 2 || n > 10000)
+        fail(s"$fn argument 6 (bucket count) must be in [2, 10000], got $n")
+      graft.operators.Drift.numericPsi(a, b, colName, lo, hi, n)
+        .queryExecution.logical
+    }
+  }
+
   /** prefix_similarity_join(docs_table, id_col, text_col, threshold) */
   def prefixJoinBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "prefix_similarity_join"

@@ -282,6 +282,22 @@ class ExtensionsSpec extends SparkSpec {
       assert(msgOf("SELECT * FROM heavy_tokens('ext_bpe', 'text', 20, 5)")
         .contains("[k, 100000]"))
 
+      // corpus_drift == Scala form (categorical + numeric arities)
+      val cdSql = spark.sql(
+        "SELECT * FROM corpus_drift('ext_qdocs', 'ext_qdocs', 'lang')")
+        .as[(String, Double)].collect().toSeq
+      val cdScala = graft.operators.Drift.categoricalPsi(
+        spark.table("ext_qdocs"), spark.table("ext_qdocs"), "lang")
+        .as[(String, Double)].collect().toSeq
+      assert(cdSql == cdScala && math.abs(cdSql.head._2) < 1e-9)
+      val cdNum = spark.sql(
+        "SELECT * FROM corpus_drift('ext_qdocs', 'ext_qdocs', 'n_chars', 0, 600, 6)")
+        .as[(String, Double)].collect().toSeq
+      assert(math.abs(cdNum.head._2) < 1e-9)
+      assert(msgOf(
+        "SELECT * FROM corpus_drift('ext_qdocs', 'ext_qdocs', 'n_chars', 0, 600, 1)")
+        .contains("[2, 10000]"))
+
       // a missing table surfaces as the standard analysis error
       assert(msgOf("SELECT * FROM radius_join('no_such_view', 1.0)")
         .toLowerCase.contains("no_such_view"))
