@@ -44,7 +44,7 @@ object Bench {
       "lineitem", "events", "documents", "embeddings")
       .foreach { t =>
         try Tables(spark, sfDir, t).count()
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] warmup failed for table $t: ${e.getMessage}")
         }
       }
@@ -61,7 +61,7 @@ object Bench {
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
+        catch { case scala.util.control.NonFatal(e) =>
           System.err.println(s"[bench] $name failed (sweep $sweep): ${e.getMessage}"); false
         }
       timings(name) :+= (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
@@ -86,6 +86,12 @@ object Bench {
     val failed = perQuery.count(_._2 < 0)
     val total = if (failed > 0) -1.0 else r3(perQuery.map(_._2).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"repeats":$repeats,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    // Second, SHORT summary line: the full line above is >2000 chars at 127
+    // queries, and a tail-capture of the process output slices off its head —
+    // including the total (BENCH_r08 had rc=0 but parsed:null for exactly
+    // this reason). Printing the headline fields again in a compact trailer
+    // guarantees any bounded tail capture still contains a parseable total.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":${names.length},"sf":"$sfDir"}""")
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

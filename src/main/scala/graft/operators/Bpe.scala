@@ -20,16 +20,27 @@ import org.apache.spark.sql.functions._
   * localCheckpoint truncates the iterative lineage (the repo rule).
   *
   * Representation: a word's symbol sequence is a single SPACE-DELIMITED
-  * string `" h e l l o "`. Applying merge (l, r) is then
-  * `replace(sym, " l r ", " lr ")` — string replace is leftmost,
-  * non-overlapping, and resumes after each replacement, which is EXACTLY
-  * BPE's single-pass merge semantics (`"a a a"` + (a,a) → `"aa a"`, not
-  * `"aaa"`), and is reproducible verbatim in any SQL engine. That makes
-  * the whole training trajectory oracle-replayable: q122's DuckDB oracle
-  * unrolls the same argmax+replace iterations CTE-by-CTE and must land on
-  * the identical merge table. Ties in pair counts break on (l, r)
-  * lexicographic order in both engines, so the learned vocabulary is a
-  * well-defined function of the corpus, not of execution order.
+  * string `" h e l l o "`. Applying merge (l, r) as a naive
+  * `replace(sym, " l r ", " lr ")` is WRONG for adjacent occurrences:
+  * the match consumes the shared delimiter space, so `" a b a b "`
+  * yields `" ab a b "` (3 pieces) instead of BPE's [ab, ab] — a real
+  * divergence from Sennrich-style merging found by round-8 review. The
+  * fix is the DOUBLED-DELIMITER closed form: double every space once
+  * (`replace(sym, " ", "  ")`), apply the merge as
+  * `replace(d, " l  r ", " lr ")` — the pattern consumes only ONE of the
+  * two spaces at each boundary, so every boundary keeps exactly two
+  * spaces after the replacement (the invariant is preserved, letting a
+  * whole merge CHAIN run on the doubled form with one replace per merge)
+  * — then collapse (`replace(d, "  ", " ")`). Leftmost non-overlapping
+  * replace on the doubled form IS true left-to-right single-pass BPE:
+  * `"a a a a"` + (a,a) → [aa, aa], `"a a a"` + (a,a) → [aa, a]. All
+  * three pieces are plain literal replaces, reproducible verbatim in any
+  * SQL engine, so the whole training trajectory stays oracle-replayable:
+  * q122's DuckDB oracle unrolls the same argmax+replace iterations
+  * CTE-by-CTE and must land on the identical merge table. Ties in pair
+  * counts break on (l, r) lexicographic order in both engines, so the
+  * learned vocabulary is a well-defined function of the corpus, not of
+  * execution order.
   *
   * Encoding: words seen in training are encoded by a dictionary equi-join
   * against the final word-type frame — the scalable path (broadcast when
@@ -43,6 +54,18 @@ object Bpe {
   /** One learned merge: `l`+`r` → `l+r`, with the weighted pair count at
     * selection time. */
   final case class Merge(l: String, r: String, cnt: Long)
+
+  /** Single-space sym → doubled-delimiter form (see class doc). */
+  private def doubled(sym: Column): Column = replace(sym, lit(" "), lit("  "))
+
+  /** Doubled-delimiter form → canonical single-space sym. Safe because the
+    * merge step preserves the exactly-two-spaces-per-boundary invariant. */
+  private def collapsed(sym: Column): Column = replace(sym, lit("  "), lit(" "))
+
+  /** One merge applied to the DOUBLED form — preserves the invariant, so
+    * these chain with one replace per merge. */
+  private def mergeOnDoubled(d: Column, m: Merge): Column =
+    replace(d, lit(s" ${m.l}  ${m.r} "), lit(s" ${m.l}${m.r} "))
 
   /** Word-type table `(word, freq, sym)` — `sym` is the spaced symbol
     * string (see class doc). One corpus pass. */
@@ -87,7 +110,7 @@ object Bpe {
         merges += m
         learned += 1
         wt = wt.withColumn("sym",
-          replace(col("sym"), lit(s" ${m.l} ${m.r} "), lit(s" ${m.l}${m.r} ")))
+          collapsed(mergeOnDoubled(doubled(col("sym")), m)))
           .localCheckpoint(true)
       }
     }
@@ -121,14 +144,42 @@ object Bpe {
   }
 
   /** The general (unseen-word) encoder: applies the merge list to a raw
-    * word column as a constant-depth chain of literal replaces — the same
+    * word column as a chain of literal replaces on the doubled-delimiter
+    * form (double once, one replace per merge, collapse once — the
+    * invariant makes the chain depth `merges.length + 2`). Same
     * operations training applied, so for any trained word this EQUALS the
     * dictionary path (spec-pinned). Returns the spaced symbol string;
     * wrap with `size(split(trim(…), " "))` for a piece count.
+    *
+    * Plan-depth note (round-9 rehearsal, BASELINE.md): the chain is one
+    * Catalyst expression linear in merge count. Measured safe through
+    * 2048 merges; above that, segment with [[applyMergesSegmented]].
     */
   def applyMerges(word: Column, merges: Seq[Merge]): Column =
-    merges.foldLeft(
-      concat(lit(" "), array_join(split(word, ""), " "), lit(" "))) {
-      (acc, m) => replace(acc, lit(s" ${m.l} ${m.r} "), lit(s" ${m.l}${m.r} "))
+    collapsed(merges.foldLeft(
+      doubled(concat(lit(" "), array_join(split(word, ""), " "), lit(" ")))) {
+      (acc, m) => mergeOnDoubled(acc, m)
+    })
+
+  /** Production-merge-count encoder: applies `merges` to `df`'s `wordCol`
+    * in segments of `segment` replaces, materializing (localCheckpoint)
+    * between segments so no single plan/codegen unit carries the whole
+    * chain. Use for 8k–32k-merge vocabularies where a single expression
+    * chain would hit codegen/analyzer depth cliffs; result column
+    * `outCol` holds the spaced symbol string, identical to
+    * [[applyMerges]] output (spec-pinned).
+    */
+  def applyMergesSegmented(df: DataFrame, wordCol: String, outCol: String,
+      merges: Seq[Merge], segment: Int = 512): DataFrame = {
+    require(segment >= 1, s"segment must be >= 1, got $segment")
+    val start = df.withColumn(outCol,
+      doubled(concat(lit(" "), array_join(split(col(wordCol), ""), " "),
+        lit(" "))))
+    val chained = merges.grouped(segment).foldLeft(start) { (acc, seg) =>
+      acc.withColumn(outCol,
+        seg.foldLeft(col(outCol))((c, m) => mergeOnDoubled(c, m)))
+        .localCheckpoint(true)
     }
+    chained.withColumn(outCol, collapsed(col(outCol)))
+  }
 }

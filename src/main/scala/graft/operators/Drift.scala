@@ -44,10 +44,21 @@ object Drift {
         (col("c") / sum(col("c")).over(
           org.apache.spark.sql.expressions.Window.partitionBy())).as(side))
 
+  /** Null handling: a NULL value (or a NULL bucket from a NULL numeric)
+    * is ONE category, the sentinel `__null__` — without this, the
+    * full-outer join's `key = key` never matches NULL=NULL and a
+    * null-bearing column would count its null group as two unmatched
+    * buckets, each smoothed against ε, silently spiking the PSI
+    * (round-8 review). Keys are compared as strings so the sentinel is
+    * type-uniform; distinct non-null keys stay distinct under the cast.
+    */
+  private def nullSafeKey(k: Column): Column =
+    coalesce(k.cast("string"), lit("__null__"))
+
   private def psiOf(a: DataFrame, b: DataFrame, keyA: Column, keyB: Column,
       metric: String): DataFrame = {
-    val sa = shares(a, keyA, "p")
-    val sb = shares(b, keyB, "q")
+    val sa = shares(a, nullSafeKey(keyA), "p")
+    val sb = shares(b, nullSafeKey(keyB), "q")
     sa.join(sb, Seq("key"), "full_outer")
       .select(
         (coalesce(col("p"), lit(0.0)) + Eps).as("p"),

@@ -107,7 +107,15 @@ object HeavyHitters {
       .select(explode(split(col(textCol), " ")).as("token"))
       .filter(col("token") =!= "")
     val cand = candidates(toks, "token", capacity)
-    toks.filter(col("token").isin(cand: _*))
+    // Membership as a broadcast LEFT SEMI join, not isin(cand: _*): at the
+    // 100k capacity bound an In-list embeds 100k string literals in the
+    // plan (analysis/codegen footprint linear in capacity); a broadcast
+    // semi-join keeps the plan constant-size and the probe is the same
+    // hashed lookup on the scan side.
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val candDf = spark.createDataset(cand).toDF("token")
+    toks.join(broadcast(candDf), Seq("token"), "left_semi")
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(k)

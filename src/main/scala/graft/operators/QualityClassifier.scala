@@ -73,7 +73,11 @@ object QualityClassifier {
         Parity.r4(col("c") / col("nrm")).as("x"))
     val toks = split(col(textCol), " ")
     val engineered = docs.select(col(idCol).as("doc_id"),
-      Parity.r4(log(col(nCharsCol) / lit(300.0))).as("x_len"),
+      // greatest(n_chars, 1): Spark's log returns NULL at n_chars<=0 while
+      // DuckDB's ln() RAISES — an empty document would silently drop this
+      // feature row here and error the whole oracle query there. Clamped
+      // identically in the featSql prelude (round-8 review).
+      Parity.r4(log(greatest(col(nCharsCol), lit(1)) / lit(300.0))).as("x_len"),
       Parity.r4(size(array_distinct(toks)).cast("double") / size(toks) - lit(0.5))
         .as("x_div"))
     hashed.unionByName(

@@ -35,7 +35,7 @@ object Classifier {
       |  FROM c
       |), eng AS (
       |  SELECT doc_id,
-      |    FLOOR(ln(n_chars / 300.0) * 10000 + 0.5) / 10000.0 AS x_len,
+      |    FLOOR(ln(GREATEST(n_chars, 1) / 300.0) * 10000 + 0.5) / 10000.0 AS x_len,
       |    FLOOR((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
       |      / len(string_split(text, ' ')) - 0.5) * 10000 + 0.5) / 10000.0 AS x_div
       |  FROM documents

@@ -185,10 +185,10 @@ object Reporting {
       |), b AS (
       |  SELECT * FROM documents WHERE doc_id % 2 = 1
       |), na AS (
-      |  SELECT CAST(LEAST(GREATEST(FLOOR(CAST(n_chars AS DOUBLE) / 50), 0), 11) AS INT) AS key,
+      |  SELECT COALESCE(CAST(CAST(LEAST(GREATEST(FLOOR(CAST(n_chars AS DOUBLE) / 50), 0), 11) AS INT) AS VARCHAR), '__null__') AS key,
       |    COUNT(*) AS c FROM a GROUP BY 1
       |), nb AS (
-      |  SELECT CAST(LEAST(GREATEST(FLOOR(CAST(n_chars AS DOUBLE) / 50), 0), 11) AS INT) AS key,
+      |  SELECT COALESCE(CAST(CAST(LEAST(GREATEST(FLOOR(CAST(n_chars AS DOUBLE) / 50), 0), 11) AS INT) AS VARCHAR), '__null__') AS key,
       |    COUNT(*) AS c FROM b GROUP BY 1
       |), nsa AS (
       |  SELECT key, c / SUM(c) OVER () AS p FROM na
@@ -202,9 +202,9 @@ object Reporting {
       |    SELECT COALESCE(nsa.p, 0.0) AS p, COALESCE(nsb.q, 0.0) AS q
       |    FROM nsa FULL OUTER JOIN nsb ON nsb.key = nsa.key)
       |), la AS (
-      |  SELECT lang AS key, COUNT(*) AS c FROM a GROUP BY 1
+      |  SELECT COALESCE(lang, '__null__') AS key, COUNT(*) AS c FROM a GROUP BY 1
       |), lb AS (
-      |  SELECT lang AS key, COUNT(*) AS c FROM b GROUP BY 1
+      |  SELECT COALESCE(lang, '__null__') AS key, COUNT(*) AS c FROM b GROUP BY 1
       |), lsa AS (
       |  SELECT key, c / SUM(c) OVER () AS p FROM la
       |), lsb AS (

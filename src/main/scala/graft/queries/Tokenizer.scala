@@ -43,8 +43,9 @@ object Tokenizer {
         |  SELECT l, r, cnt FROM pr$i ORDER BY cnt DESC, l, r LIMIT 1
         |), wt$i AS (
         |  SELECT word, freq,
-        |    replace(sym, ' ' || m.l || ' ' || m.r || ' ',
-        |                 ' ' || m.l || m.r || ' ') AS sym
+        |    replace(replace(replace(sym, ' ', '  '),
+        |      ' ' || m.l || '  ' || m.r || ' ',
+        |      ' ' || m.l || m.r || ' '), '  ', ' ') AS sym
         |  FROM wt${i - 1} CROSS JOIN m$i m
         |)""".stripMargin)
     }

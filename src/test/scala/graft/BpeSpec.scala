@@ -44,6 +44,37 @@ class BpeSpec extends SparkSpec {
     assert(sym == " aa a ", s"got '$sym'")
   }
 
+  test("adjacent pair occurrences both merge (round-8 review fix)") {
+    // naive ' l r '→' lr ' replace consumed the shared delimiter space and
+    // left 'abab' as [ab, a, b]; the doubled-delimiter form must not
+    val docs = corpus(0L -> "abab abab abab")
+    val (merges, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), 1)
+    assert(merges.head.l == "a" && merges.head.r == "b" && merges.head.cnt == 6L)
+    val sym = dict.select(col("sym")).collect()(0).getString(0)
+    assert(sym == " ab ab ", s"got '$sym'")
+  }
+
+  test("aaaa under one (a,a) merge becomes [aa, aa], not [aa, a, a]") {
+    val docs = corpus(0L -> "aaaa aaaa")
+    val (merges, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), 1)
+    assert(merges.head.l == "a" && merges.head.r == "a")
+    val sym = dict.select(col("sym")).collect()(0).getString(0)
+    assert(sym == " aa aa ", s"got '$sym'")
+  }
+
+  test("segmented merge application equals the single-expression chain") {
+    val docs = Tables.documents(spark, sf())
+    val (merges, _) = Bpe.train(Bpe.wordTypes(docs, "text"), 8)
+    val words = docs.select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "").distinct()
+    // segment=3 forces multiple checkpointed segments over 8 merges
+    val seg = Bpe.applyMergesSegmented(words, "word", "sym", merges, segment = 3)
+    val mismatches = seg
+      .withColumn("sym1", Bpe.applyMerges(col("word"), merges))
+      .filter(col("sym") =!= col("sym1")).count()
+    assert(mismatches == 0)
+  }
+
   test("dictionary encode equals the applyMerges fold on every trained word") {
     val docs = Tables.documents(spark, sf())
     val (merges, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), 8)

@@ -56,6 +56,21 @@ class DriftSpec extends SparkSpec {
     assert(lPsi >= 0 && lPsi < 0.25, s"lang psi=$lPsi")
   }
 
+  test("null values form ONE matched category, not two eps-smoothed ghosts") {
+    // Identical snapshots with 30% nulls: a null-naive full-outer join
+    // (key = key never matches NULL) would see each side's null bucket as
+    // unmatched and spike the PSI; the sentinel coalesce must keep it ~0.
+    val snap = (0 until 1000)
+      .map(i => (i.toLong, if (i % 10 < 3) None else Some(s"l${i % 4}")))
+      .toDF("id", "cat")
+    assert(math.abs(psiVal(Drift.categoricalPsi(snap, snap, "cat"))) < 1e-9)
+    // and a null-share SHIFT is real drift the metric must still see
+    val fewNulls = (0 until 1000)
+      .map(i => (i.toLong, if (i % 100 < 1) None else Some(s"l${i % 4}")))
+      .toDF("id", "cat")
+    assert(psiVal(Drift.categoricalPsi(snap, fewNulls, "cat")) > 0.1)
+  }
+
   test("rejects out-of-range parameters") {
     val d = Seq((0L, 1.0)).toDF("id", "v")
     intercept[IllegalArgumentException](Drift.numericPsi(d, d, "v", 0, 400, 1))

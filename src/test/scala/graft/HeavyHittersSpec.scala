@@ -67,6 +67,18 @@ class HeavyHittersSpec extends SparkSpec {
     assert(cand.size <= 16, s"state leaked past capacity: ${cand.size}")
   }
 
+  test("pass-2 membership is a broadcast left-semi join, not an In-list") {
+    // the candidate probe must keep the plan constant-size in capacity
+    // (100k literals in an In predicate was the round-8 review finding)
+    val docs = zipfDocs(100, 20)
+    val top = HeavyHitters.exactTopK(docs, "text", k = 5, capacity = 64)
+    top.collect()
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftSemi"),
+      s"expected a broadcast left-semi candidate probe, got:\n$plan")
+    assert(!plan.contains(" IN ("), "candidate membership must not be an In-list")
+  }
+
   test("rejects out-of-range parameters") {
     val docs = zipfDocs(5, 5)
     intercept[IllegalArgumentException](
