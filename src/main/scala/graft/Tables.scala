@@ -27,8 +27,8 @@ object Tables {
     if (name == "events") events(spark, dir)
     else guard(name, spark.read.parquet(s"$dir/$name.parquet"), s"$dir/$name.parquet")
 
-  /** Accepted microsecond-precision timestamp encodings; NANOS-era data loads
-    * as bigint via the nanosAsLong legacy conf (events only). */
+  /** Accepted microsecond-precision timestamp encodings; NANOS-era events
+    * data loads as bigint via an explicit per-read schema (no session conf). */
   private val TsTypes = Set("timestamp", "timestamp_ntz")
 
   /** Expected logical schema per table: column name → accepted simpleString
@@ -58,7 +58,7 @@ object Tables {
       "l_returnflag" -> Set("string"), "l_linestatus" -> Set("string"),
       "l_shipdate" -> (TsTypes + "date")),
     "events" -> Seq("event_id" -> Set("bigint"),
-      "ts" -> (TsTypes + "bigint"), // bigint = NANOS footer via nanosAsLong
+      "ts" -> (TsTypes + "bigint"), // bigint = NANOS footer via explicit schema
       "user_id" -> Set("bigint"), "event_type" -> Set("string"),
       "value" -> Set("double"), "props" -> Set("string")),
     "documents" -> Seq("doc_id" -> Set("bigint"), "text" -> Set("string"),
@@ -109,13 +109,25 @@ object Tables {
     }
   }
 
-  /** Adapts to the on-disk `ts` encoding (see class doc). The legacy
-    * `nanosAsLong` conf is set ONLY if the footer actually declares
-    * TIMESTAMP(NANOS) (the plain read throws at schema inference) — and then
-    * it is left set session-wide, because the parquet-to-Spark schema
-    * converter consults the live SQLConf again at execution time, after this
-    * method returns; restoring the old value would break the scan it was set
-    * for.
+  /** Explicit read schema for NANOS-era events files: `ts` typed as raw
+    * nanosecond BIGINT. Supplying a user schema bypasses parquet schema
+    * INFERENCE (where Spark rejects TIMESTAMP(NANOS) unless the
+    * session-global legacy `nanosAsLong` conf is set), and the execution
+    * path accepts INT64→LongType for a user-supplied schema with no conf at
+    * all — probed against a real parquet-mr-written NANOS file (round 9;
+    * the per-read `.option(...)` form does NOT work, inference consults
+    * SQLConf directly). This keeps the adaptation scoped to this one read:
+    * no session-wide mutation, so a mixed-era multi-dataset session loads
+    * OTHER nanos-typed parquet with Spark's default (loud) behavior. */
+  private val nanosEraEventsSchema = org.apache.spark.sql.types.StructType(
+    Seq("event_id" -> LongType, "ts" -> LongType, "user_id" -> LongType,
+      "event_type" -> org.apache.spark.sql.types.StringType,
+      "value" -> org.apache.spark.sql.types.DoubleType,
+      "props" -> org.apache.spark.sql.types.StringType)
+      .map { case (n, t) => org.apache.spark.sql.types.StructField(n, t) })
+
+  /** Adapts to the on-disk `ts` encoding (see class doc): a NANOS footer is
+    * re-read under [[nanosEraEventsSchema]] — per-read, conf-free.
     *
     * TIMESTAMP_NTZ parity precondition: the NTZ→TIMESTAMP cast interprets the
     * wall-clock value in the session timezone. DuckDB's naive read + epoch_us
@@ -129,8 +141,7 @@ object Tables {
       try spark.read.parquet(path)
       catch {
         case e: Throwable if isNanosTypeError(e) =>
-          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          spark.read.parquet(path)
+          spark.read.schema(nanosEraEventsSchema).parquet(path)
       }, path)
     raw.schema("ts").dataType match {
       case LongType => // TIMESTAMP(NANOS) footer read as raw nanosecond BIGINT
@@ -149,7 +160,7 @@ object Tables {
       case other =>
         throw new IllegalStateException(
           s"Tables.events: unsupported physical type for events.ts: $other " +
-            s"(expected LongType via nanosAsLong, TimestampType, or TimestampNTZType); " +
+            s"(expected LongType via the NANOS-era explicit schema, TimestampType, or TimestampNTZType); " +
             s"testdata at $path has drifted — update Tables.events to adapt")
     }
   }

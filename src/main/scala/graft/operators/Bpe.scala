@@ -151,27 +151,38 @@ object Bpe {
     * dictionary path (spec-pinned). Returns the spaced symbol string;
     * wrap with `size(split(trim(…), " "))` for a piece count.
     *
-    * Plan-depth note (round-9 rehearsal, BASELINE.md): the chain is one
-    * Catalyst expression linear in merge count. Measured safe through
-    * 2048 merges; above that, segment with [[applyMergesSegmented]].
+    * Plan-depth bound (round-9 `bpe_chain_depth` probe, BASELINE.md): the
+    * chain is one Catalyst expression linear in merge count, and Catalyst
+    * analysis RECURSES over it — 256 merges analyze fine, 512 throw
+    * `StackOverflowError` on a default driver stack. The require pins the
+    * measured-safe bound; production merge counts (8k–32k) go through
+    * [[applyMergesSegmented]], which checkpoints every `segment` merges so
+    * no single plan carries the whole chain.
     */
-  def applyMerges(word: Column, merges: Seq[Merge]): Column =
+  def applyMerges(word: Column, merges: Seq[Merge]): Column = {
+    require(merges.length <= 256,
+      s"applyMerges chains ${merges.length} replaces in ONE expression; " +
+        "Catalyst analysis stack-overflows past ~512 (measured) — use " +
+        "applyMergesSegmented for production merge counts")
     collapsed(merges.foldLeft(
       doubled(concat(lit(" "), array_join(split(word, ""), " "), lit(" ")))) {
       (acc, m) => mergeOnDoubled(acc, m)
     })
+  }
 
   /** Production-merge-count encoder: applies `merges` to `df`'s `wordCol`
     * in segments of `segment` replaces, materializing (localCheckpoint)
     * between segments so no single plan/codegen unit carries the whole
     * chain. Use for 8k–32k-merge vocabularies where a single expression
-    * chain would hit codegen/analyzer depth cliffs; result column
-    * `outCol` holds the spaced symbol string, identical to
+    * chain stack-overflows Catalyst analysis (measured at ~512, see
+    * [[applyMerges]]); the 128 default sits 4x under the cliff. Result
+    * column `outCol` holds the spaced symbol string, identical to
     * [[applyMerges]] output (spec-pinned).
     */
   def applyMergesSegmented(df: DataFrame, wordCol: String, outCol: String,
-      merges: Seq[Merge], segment: Int = 512): DataFrame = {
-    require(segment >= 1, s"segment must be >= 1, got $segment")
+      merges: Seq[Merge], segment: Int = 128): DataFrame = {
+    require(segment >= 1 && segment <= 256,
+      s"segment must be in [1, 256] (analysis cliff at ~512), got $segment")
     val start = df.withColumn(outCol,
       doubled(concat(lit(" "), array_join(split(col(wordCol), ""), " "),
         lit(" "))))

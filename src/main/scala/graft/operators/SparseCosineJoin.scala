@@ -52,10 +52,26 @@ object SparseCosineJoin {
 
   /** Scored pairs (id_a < id_b) sharing ≥ 1 kept term.
     *
+    * Head-term skew (round-9): ALL df² candidate pairs of one term share
+    * one join key, and AQE's skew-join split cannot help — it triggers on
+    * partition INPUT bytes (spark.sql.adaptive.skewJoin thresholds), and a
+    * hot term's input is df posting rows (kilobytes) while its OUTPUT is
+    * df² pairs; the explosion is invisible to input-size heuristics (the
+    * `sparse_skew` rehearsal probe measures exactly this). Terms with
+    * df > `saltDfAbove` are therefore SALTED: the a-side gets
+    * `salt = hash(id) mod S`, the b-side is replicated to every salt, and
+    * the join key becomes (t, salt) — each (a, b) pair still meets exactly
+    * once per shared term, so salted sub-blocks compose exactly and the
+    * result is row-identical to the unsalted plan. `S = min(⌈(df/saltDfAbove)²⌉,
+    * 256)` bounds per-key candidate volume at max(saltDfAbove², df²/256)
+    * while keeping b-side replication ≤ 256·df rows.
+    *
     * @param minCos    emit only pairs with cosine ≥ this (0.0 = all
     *                  sharing a term); applied on the UNROUNDED value
     * @param maxDfFrac keep terms with df ≤ maxDfFrac·n_docs; [[AutoDf]]
     *                  (default) derives the cap from corpus stats
+    * @param saltDfAbove terms with df above this get a salted join key
+    *                  (see above); `Int.MaxValue` disables salting
     * @return (id_a, id_b, cos) — cos unrounded; callers round for parity
     */
   def pairs(
@@ -63,10 +79,12 @@ object SparseCosineJoin {
       idCol: String,
       textCol: String,
       minCos: Double = 0.0,
-      maxDfFrac: Double = AutoDf): DataFrame = {
+      maxDfFrac: Double = AutoDf,
+      saltDfAbove: Int = 4096): DataFrame = {
     require(maxDfFrac.isNaN || (maxDfFrac > 0 && maxDfFrac <= 1),
       s"maxDfFrac must be in (0, 1] or SparseCosineJoin.AutoDf, got $maxDfFrac")
     require(minCos >= 0 && minCos <= 1, s"minCos must be in [0, 1], got $minCos")
+    require(saltDfAbove >= 1, s"saltDfAbove must be >= 1, got $saltDfAbove")
     val tf = docs
       .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("t"))
       .groupBy(col("id"), col("t")).agg(count(lit(1)).as("tf"))
@@ -81,11 +99,19 @@ object SparseCosineJoin {
     val w = tf.join(df, "t")
       .crossJoin(broadcast(stats))
       .filter(col("df") <= dfCap)
-      .select(col("id"), col("t"),
+      .select(col("id"), col("t"), col("df"),
         (col("tf") * log(col("n_docs") / col("df"))).as("w"))
     val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nm"))
-    val dotp = w.select(col("id").as("id_a"), col("t"), col("w").as("w_a"))
-      .join(w.select(col("id").as("id_b"), col("t"), col("w").as("w_b")), "t")
+    // per-term salt count (1 = unsalted); see the head-term skew note above
+    val nSalt = least(
+      ceil(pow(col("df") / lit(saltDfAbove.toDouble), 2.0)),
+      lit(256.0)).cast("int")
+    val sideA = w.select(col("id").as("id_a"), col("t"), col("w").as("w_a"),
+      pmod(xxhash64(col("id")), greatest(nSalt, lit(1))).cast("int").as("s"))
+    val sideB = w.select(col("id").as("id_b"), col("t"), col("w").as("w_b"),
+      explode(sequence(lit(0), greatest(nSalt, lit(1)) - 1)).as("s"))
+    val dotp = sideA
+      .join(sideB, Seq("t", "s"))
       .filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(sum(col("w_a") * col("w_b")).as("dp"))

@@ -88,7 +88,67 @@ object Tokenizer {
       |FROM toks t JOIN enc e ON e.word = t.word
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q128: token-BUDGET-aware source mixing — q74's pretraining mix
+    * weights recomputed over MODEL-VISIBLE tokens (the learned BPE
+    * vocabulary's piece counts, q123) instead of whitespace words. This
+    * is the quantity a training run actually budgets: a source of long
+    * agglutinative words carries more BPE tokens per whitespace word, so
+    * its uniform-mix weight differs from q74's. Whole trajectory
+    * (training + encoding + mixing) is oracle-replayed.
+    */
+  private def q128(s: SparkSession, dir: String): DataFrame = {
+    def r6(c: org.apache.spark.sql.Column) = Parity.r6(c)
+    val docs = Tables.documents(s, dir)
+    val (_, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), NMerges)
+    val pieces = dict.select(col("word"),
+      size(split(trim(col("sym")), " ")).cast("long").as("n_pieces"))
+    val tok = docs
+      .select(col("source"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(pieces, "word")
+      .groupBy(col("source")).agg(sum(col("n_pieces")).as("tokens"))
+    val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val perSource = nd.join(tok, "source")
+    val totals = perSource.agg(
+      sum(col("tokens")).as("corpus_tokens"),
+      count(lit(1)).as("n_sources"))
+    perSource.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_docs"), col("tokens"),
+        r6(col("tokens") / col("corpus_tokens")).as("share"),
+        r6((col("corpus_tokens") / col("n_sources")) / col("tokens"))
+          .as("uniform_weight"))
+      .orderBy(col("source"))
+  }
+
+  private val q128Sql = trainSql(NMerges) +
+    s""", enc AS (
+      |  SELECT word, CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
+      |    AS n_pieces
+      |  FROM wt$NMerges
+      |), srctoks AS (
+      |  SELECT d.source, unnest(string_split(d.text, ' ')) AS word
+      |  FROM documents d
+      |), per AS (
+      |  SELECT t.source, CAST(SUM(e.n_pieces) AS BIGINT) AS tokens
+      |  FROM srctoks t JOIN enc e ON e.word = t.word
+      |  WHERE t.word <> ''
+      |  GROUP BY 1
+      |), nd AS (
+      |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1
+      |), tot AS (
+      |  SELECT CAST(SUM(tokens) AS BIGINT) AS corpus_tokens,
+      |    COUNT(*) AS n_sources FROM per
+      |)
+      |SELECT per.source, nd.n_docs, per.tokens,
+      |  FLOOR(per.tokens / tot.corpus_tokens * 1000000 + 0.5) / 1000000.0
+      |    AS share,
+      |  FLOOR((tot.corpus_tokens / tot.n_sources) / per.tokens * 1000000
+      |    + 0.5) / 1000000.0 AS uniform_weight
+      |FROM per JOIN nd ON nd.source = per.source, tot
+      |ORDER BY per.source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_bpe_train", q122, Some(q122Sql)),
-    QueryDef("q123_bpe_encode", q123, Some(q123Sql)))
+    QueryDef("q123_bpe_encode", q123, Some(q123Sql)),
+    QueryDef("q128_token_budget_mix", q128, Some(q128Sql)))
 }

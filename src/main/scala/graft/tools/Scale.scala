@@ -391,6 +391,101 @@ object ScaleRehearsal {
         s""""two_pass_sec":$tSketch,"plain_groupby_sec":$tPlain}""")
       Seq((tSketch, tPlain)).toDF("two_pass_sec", "plain_groupby_sec")
     }),
+    // Round-9 BPE at a PRODUCTION merge count: a real tokenizer is 8k-32k
+    // merges, round 8 only rehearsed 16. Trains 1024 merges on the 1M-doc
+    // Zipf corpus's word-TYPE table and reports per-merge wall time for
+    // the first and last 64 merges (the linearity check: each iteration
+    // is one explode+agg over the ~100k-row type table plus a 1-row
+    // argmax collect, so late merges must not cost more than early ones),
+    // then verifies applyMergesSegmented(segment=128) equals the trained
+    // dictionary syms on a 10k-word sample. `dir` unused
+    "bpe_1k_merges" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val docs = s.range(1000000L).mapPartitions { it =>
+        val nV = 100000.0
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97L + 13L)
+          val text = Array.fill(40) {
+            val i = math.exp(rng.nextDouble() * math.log(nV + 1)).toLong
+            s"t$i"
+          }.mkString(" ")
+          (id, text)
+        }
+      }.toDF("doc_id", "text")
+      val wt = graft.operators.Bpe.wordTypes(docs, "text").localCheckpoint(true)
+      def trainTimed(n: Int): (Seq[graft.operators.Bpe.Merge],
+          org.apache.spark.sql.DataFrame, Double) = {
+        val t0 = System.nanoTime()
+        val (m, d) = graft.operators.Bpe.train(wt, n)
+        (m, d, math.rint((System.nanoTime() - t0) / 1e7) / 100.0)
+      }
+      val (m64, _, t64) = trainTimed(64)
+      val (m1k, dict, t1k) = trainTimed(1024)
+      require(m1k.take(64) == m64, "training must be prefix-stable")
+      val perMergeHead = t64 / 64.0
+      val perMergeTail = (t1k - t64) / (1024.0 - 64.0) // amortized later merges
+      val sample = dict.select(col("word"), col("sym")).limit(10000)
+        .localCheckpoint(true)
+      val seg = graft.operators.Bpe.applyMergesSegmented(
+        sample, "word", "sym2", m1k, segment = 128)
+      val mismatch = seg.filter(col("sym") =!= col("sym2")).count()
+      require(mismatch == 0,
+        s"segmented encode diverged from training on $mismatch words")
+      println(s"""{"probe":"bpe_1k_merges","merges":${m1k.length},""" +
+        s""""train_64_sec":$t64,"train_1024_sec":$t1k,""" +
+        s""""per_merge_head_sec":${math.rint(perMergeHead * 1000) / 1000.0},""" +
+        s""""per_merge_tail_sec":${math.rint(perMergeTail * 1000) / 1000.0},""" +
+        s""""segmented_encode_mismatches":$mismatch}""")
+      Seq((t64, t1k)).toDF("train_64_sec", "train_1024_sec")
+    }),
+    // Round-9 applyMerges plan-depth cliff probe: a SINGLE expression
+    // chain is linear in merge count — this measures where it stops being
+    // viable (codegen 64KB method limit forces interpreted fallback;
+    // analyzer recursion eventually stack-overflows) using fabricated
+    // merges (depth cost is content-independent) over a 10k-word frame.
+    // Reports per-depth wall seconds, or "failed" at the cliff; the safe
+    // bound lands in Bpe.applyMerges' scaladoc. `dir` unused
+    "bpe_chain_depth" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val words = s.range(10000L)
+        .select(concat(lit("w"), col("id").cast("string")).as("word"))
+        .localCheckpoint(true)
+      val results = Seq(256, 512, 1024, 2048, 4096).map { depth =>
+        val merges = (0 until depth).map(i =>
+          graft.operators.Bpe.Merge(s"x$i", s"y$i", 1L))
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            words.select(length(
+              graft.operators.Bpe.applyMerges(col("word"), merges)).as("l"))
+              .agg(sum(col("l"))).head()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bpe_chain_depth] depth=$depth failed: " +
+              e.getClass.getName)
+            false
+          }
+        val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+        println(s"""{"probe":"bpe_chain_depth","depth":$depth,"ok":$ok,""" +
+          s""""sec":$secs}""")
+        (depth, ok, secs)
+      }
+      results.toDF("depth", "ok", "sec")
+    }),
+    // Round-9 sparse-cosine head-term skew probe: a designed corpus where
+    // ONE term (df = 20k of 200k docs, under the AutoDf cap of ~28.6k)
+    // carries 4e8 of the ~5.6e8 candidate pairs — all on one join key.
+    // AQE's skew split can't see it (the hot key's INPUT is ~20k posting
+    // rows, far under the 256MB partition threshold; the df² blowup is in
+    // the join OUTPUT). Run both arms and compare max_task_sec: salted
+    // (default, S=ceil((df/4096)²)=24 sub-keys) vs unsalted
+    // (saltDfAbove=MaxValue). Both count the same pairs (composition is
+    // exact); the unsalted arm's max task carries the whole hot term.
+    "sparse_skew_salted" -> ((s, _) => sparseSkewArm(s, salted = true)),
+    "sparse_skew_unsalted" -> ((s, _) => sparseSkewArm(s, salted = false)),
     // q118's scale form: 1M-node power-law digraph, 5 out-edges per node
     // (dst = floor(n*u^3) skews in-degree toward low ids — hub structure
     // like a web graph), 5 PageRank iterations. Measures the per-iteration
@@ -412,11 +507,35 @@ object ScaleRehearsal {
       graft.operators.PageRank.run(edges, "src", "dst", iters = 5)
     }))
 
+  /** The skew-probe corpus + one arm of the A/B (see sparse_skew_*): 200k
+    * docs; docs ≡ 0 (mod 10) contain hot term "hh" (df = 20000); every doc
+    * gets 20 terms drawn from a 100k-term uniform vocab (df ≈ 40 each). The
+    * aggregate count forces the full dot-product join. */
+  private def sparseSkewArm(s: SparkSession,
+      salted: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val docs = s.range(200000L).mapPartitions { it =>
+      it.map { jid =>
+        val id: Long = jid
+        val rng = new scala.util.Random(id * 0x9E3779B97L + 21L)
+        val rare = Array.fill(20)(s"r${rng.nextInt(100000)}").mkString(" ")
+        val text = if (id % 10 == 0) s"hh $rare" else rare
+        (id, text)
+      }
+    }.toDF("id", "text").localCheckpoint(true)
+    val pairs = graft.operators.SparseCosineJoin.pairs(
+      docs, "id", "text", minCos = 0.5,
+      saltDfAbove = if (salted) 4096 else Int.MaxValue)
+    pairs.agg(count(lit(1)).as("n_pairs"))
+  }
+
   private class Metrics extends org.apache.spark.scheduler.SparkListener {
     @volatile var shuffleWrite = 0L
     @volatile var memSpill = 0L
     @volatile var diskSpill = 0L
     @volatile var peakExecMem = 0L
+    @volatile var maxTaskMs = 0L
     override def onTaskEnd(
         te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
       val m = te.taskMetrics
@@ -425,9 +544,14 @@ object ScaleRehearsal {
         memSpill += m.memoryBytesSpilled
         diskSpill += m.diskBytesSpilled
         peakExecMem = math.max(peakExecMem, m.peakExecutionMemory)
+        // the skew signal: one straggler task = one hot join key
+        maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
       }
     }
-    def reset(): Unit = { shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakExecMem = 0 }
+    def reset(): Unit = {
+      shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakExecMem = 0
+      maxTaskMs = 0
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -470,7 +594,8 @@ object ScaleRehearsal {
         s""""shuffle_write_gb":${gb(metrics.shuffleWrite)},""" +
         s""""mem_spill_gb":${gb(metrics.memSpill)},""" +
         s""""disk_spill_gb":${gb(metrics.diskSpill)},""" +
-        s""""peak_task_mem_gb":${gb(metrics.peakExecMem)}}""")
+        s""""peak_task_mem_gb":${gb(metrics.peakExecMem)},""" +
+        s""""max_task_sec":${metrics.maxTaskMs / 1000.0}}""")
     }
     spark.stop()
   }

@@ -182,4 +182,64 @@ class PipelineSpec extends SparkSpec {
     assert(semPairsOfErased > 0,
       "erasure not exercised: the erased id had no semantic pairs to lose")
   }
+
+  test("cascade → trained quality filter → BPE-budget packing → drift alarm compose") {
+    import graft.operators.{Bpe, Drift, QualityClassifier}
+    val docs = Tables.documents(spark, sf())
+    val nRaw = docs.count()
+
+    // 1 — weak supervision: rule-cascade labels, no human annotation
+    val labels = QualityClassifier.cascadeLabels(docs)
+
+    // 2 — in-engine training on those labels, then score EVERY doc with
+    // the learned literal weights (the deployable inference path)
+    val feat = QualityClassifier.features(docs)
+    val wts = QualityClassifier.trainLogistic(feat, labels, iters = 3)
+    val scored = QualityClassifier.score(feat, wts)
+
+    // 3 — the model IS the filter: keep p >= 0.5. The filter must bite
+    // (drop something) without emptying the corpus.
+    val kept = docs.join(scored.filter(col("p") >= 0.5).select("doc_id"), "doc_id")
+    val nKept = kept.count()
+    assert(nKept > 0 && nKept < nRaw,
+      s"quality filter must be selective: kept $nKept of $nRaw")
+
+    // 4 — BPE trained on the SURVIVING corpus; its piece counts (the
+    // model-visible token budget, not whitespace words) drive q58-style
+    // deterministic sequence packing
+    val (merges, dict) = Bpe.train(Bpe.wordTypes(kept, "text"), 6)
+    assert(merges.nonEmpty)
+    val counts = Bpe.encodeCounts(kept, dict, "doc_id", "text")
+    val capacity = 2048
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"), col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val packed = kept.select(col("doc_id"), col("source"),
+        floor(col("doc_id") / 1000.0).cast("int").as("shard"))
+      .join(counts, "doc_id")
+      .withColumn("cum_before", sum(col("n_pieces")).over(w) - col("n_pieces"))
+      .select(col("source"), col("shard"),
+        floor(col("cum_before") / capacity.toDouble).cast("int").as("bin"),
+        col("n_pieces"))
+      .groupBy(col("source"), col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("bin_tokens"))
+    // token accounting: packing must conserve the corpus's BPE budget
+    val budget = counts.agg(sum(col("n_pieces"))).as[Long].head()
+    val packedTotal = packed.agg(sum(col("bin_tokens"))).as[Long].head()
+    assert(packedTotal == budget,
+      s"packing lost tokens: $packedTotal of $budget")
+
+    // 5 — the q127 monitoring hook closes the loop: quality filtering
+    // CHANGED the corpus (the cascade gates on 100-500 chars), so the
+    // input-vs-output length PSI must fire the action threshold, while
+    // the drift metric itself stays finite and well-defined
+    val psi = Drift.numericPsi(docs, kept, "n_chars", 0.0, 600.0, 12,
+        metric = "n_chars")
+      .unionByName(Drift.categoricalPsi(docs, kept, "lang", metric = "lang"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(psi("n_chars") > 0.25,
+      s"length-selective filtering must alarm the drift monitor: $psi")
+    assert(psi("lang") >= 0.0 && !psi("lang").isNaN && !psi("lang").isInfinite)
+  }
 }

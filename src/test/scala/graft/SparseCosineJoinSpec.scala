@@ -114,6 +114,23 @@ class SparseCosineJoinSpec extends SparkSpec {
       math.abs(out.head.getAs[Double]("cos") - 1.0) < 1e-12)
   }
 
+  test("salted join composes exactly: identical pairs to the unsalted plan") {
+    // saltDfAbove=2 forces multi-salt keys for every term with df > 2, so
+    // this exercises both arms of the salt (rare terms S=1, hot terms
+    // S up to 256) on a corpus with repeated shared terms
+    val corpus = docs((0L until 40L).map(i =>
+      i -> s"hot t${i % 7} u${i % 13}"): _*)
+    def canon(saltAbove: Int) = SparseCosineJoin.pairs(
+      corpus, "doc_id", "text", saltDfAbove = saltAbove)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        math.floor(r.getAs[Double]("cos") * 1e6 + 0.5) / 1e6)
+      .toMap
+    val unsalted = canon(Int.MaxValue)
+    assert(unsalted.nonEmpty)
+    assert(canon(2) == unsalted)
+  }
+
   test("rejects out-of-range parameters") {
     val d = docs(0L -> "a")
     intercept[IllegalArgumentException](

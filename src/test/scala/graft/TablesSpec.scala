@@ -56,6 +56,57 @@ class TablesSpec extends SparkSpec {
     tables.foreach { t => assert(Tables(spark, sf(), t).columns.nonEmpty) }
   }
 
+  test("NANOS-era events load per-read with NO session conf mutation") {
+    // A genuine TIMESTAMP(NANOS) events file (parquet-mr example API —
+    // Spark itself cannot write nanos), the encoding the driver's testdata
+    // used through round 6. The loader must adapt via its explicit
+    // per-read schema and leave spark.sql.legacy.parquet.nanosAsLong
+    // untouched (round-8 verdict: the old conf.set leaked session-wide).
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, stringType}
+    val dir = Files.createTempDirectory("graft-events-nanos").toFile
+    dir.deleteOnExit()
+    val schema = Types.buildMessage()
+      .addField(Types.required(INT64).named("event_id"))
+      .addField(Types.required(INT64)
+        .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.NANOS)).named("ts"))
+      .addField(Types.required(INT64).named("user_id"))
+      .addField(Types.required(BINARY).as(stringType()).named("event_type"))
+      .addField(Types.required(DOUBLE).named("value"))
+      .addField(Types.required(BINARY).as(stringType()).named("props"))
+      .named("spark_schema")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    GroupWriteSupport.setSchema(schema, conf)
+    val pdir = s"${dir.getAbsolutePath}/events.parquet"
+    new java.io.File(pdir).mkdirs()
+    val w = ExampleParquetWriter.builder(
+      new org.apache.hadoop.fs.Path(s"$pdir/part-0.parquet"))
+      .withConf(conf).withType(schema).build()
+    val gf = new SimpleGroupFactory(schema)
+    (0 until 7).foreach { i =>
+      val g = gf.newGroup()
+      g.add("event_id", i.toLong)
+      g.add("ts", 1700000000000000000L + i * 1500000000L) // 1.5s apart
+      g.add("user_id", (i % 3).toLong)
+      g.add("event_type", "view"); g.add("value", i * 1.5)
+      g.add("props", "{}")
+      w.write(g)
+    }
+    w.close()
+    val before = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val e = Tables.events(spark, dir.getAbsolutePath)
+    val rows = e.select(col("event_id"), col("ts_ns"), col("ts_us")).orderBy(col("event_id")).collect()
+    assert(rows.length == 7)
+    assert(rows(1).getLong(1) == 1700000001500000000L)
+    assert(rows(1).getLong(2) == 1700000001500000L) // ns div 1000
+    val after = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    assert(after == before,
+      s"loader mutated session conf: before=$before after=$after")
+  }
+
   test("events loader rejects an unadaptable ts type loudly") {
     val dir = Files.createTempDirectory("graft-events-drift").toFile
     dir.deleteOnExit()
