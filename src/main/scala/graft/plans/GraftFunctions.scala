@@ -124,8 +124,14 @@ object GraftFunctions {
       state.tableFunctionRegistry.createOrReplaceTempFunction(name, builder, "scala_udf")
     }
     // the TVF yields a bare AsOfJoinPlan — the planner strategy must be
-    // installed for it to execute
+    // installed for it to execute; DeferredResult leaves (pagerank,
+    // jl_project, bpe_token_counts, logistic quality_scores,
+    // heavy_tokens) need theirs the same way
     AsOf.install(spark)
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraStrategies.contains(DeferredResultStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ DeferredResultStrategy
   }
 
   /** Install graft's optimizer rewrites on an existing session (idempotent).
@@ -174,5 +180,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => PushFilterThroughAsOf)
     ext.injectOptimizerRule(_ => PruneAsOfColumns)
     ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => DeferredResultStrategy)
   }
 }

@@ -135,10 +135,10 @@ object SqlTableFunctions {
 
   /** jl_project(table, id_col, vec_col, m) — Johnson–Lindenstrauss
     * compression of `vec_col` to m dims (see
-    * [[graft.operators.RandomProjection]]). Note: the operator probes the
-    * vector width with a one-row scan at plan construction, which for the
-    * SQL form happens at ANALYSIS time (EXPLAIN included) — the price of
-    * a literal matrix.
+    * [[graft.operators.RandomProjection]]). The operator probes the
+    * vector width with a one-row scan to build its literal matrix; the
+    * SQL form defers that probe (with the rest of the work) behind a
+    * [[DeferredResult]] leaf so EXPLAIN never scans.
     */
   def jlProjectBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "jl_project"
@@ -148,8 +148,15 @@ object SqlTableFunctions {
     val vecCol = strArg(fn, args, 2, "vector column")
     val m = intArg(fn, args, 3, "target dim")
     if (m <= 0) fail(s"$fn argument 4 (target dim) must be positive, got $m")
-    graft.operators.RandomProjection.project(df, idCol, vecCol, m)
-      .queryExecution.logical
+    if (!df.columns.contains(idCol))
+      fail(s"$fn argument 2 (id column): no column '$idCol' in the input table")
+    DeferredResult(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, df.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("proj",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))),
+      () => graft.operators.RandomProjection.project(df, idCol, vecCol, m))
   }
 
   /** sparse_cosine_join(docs_table, id_col, text_col [, min_cos, max_df_frac]) */
@@ -203,10 +210,9 @@ object SqlTableFunctions {
   }
 
   /** pagerank(edges_table, src_col, dst_col, iters [, damping, undirected]) —
-    * NOTE: PageRank iterations run eagerly (localCheckpoint per round),
-    * which for the SQL form means at ANALYSIS time — same caveat family
-    * as jl_project's width probe, but heavier: EXPLAIN runs the
-    * iterations. The returned plan scans the final checkpointed ranks.
+    * PageRank iterations run eagerly (localCheckpoint per round), so the
+    * SQL form defers them behind a [[DeferredResult]] leaf: EXPLAIN shows
+    * the node without executing an iteration; execution runs them once.
     */
   def pageRankBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "pagerank"
@@ -230,15 +236,22 @@ object SqlTableFunctions {
       } else (0.85, false)
     if (damping <= 0 || damping >= 1)
       fail(s"$fn argument 5 (damping) must be in (0, 1), got $damping")
-    graft.operators.PageRank.run(edges, srcCol, dstCol, iters, damping, undirected)
-      .queryExecution.logical
+    // PageRank.run casts ids to string and emits (id, rank) — the contract
+    // DeferredResultExec verifies at execution
+    DeferredResult(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", StringType),
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.DoubleType))),
+      () => graft.operators.PageRank.run(
+        edges, srcCol, dstCol, iters, damping, undirected))
   }
 
   /** bpe_token_counts(docs_table, id_col, text_col, n_merges) — trains a
     * BPE vocabulary on the table and returns per-row token counts under
     * it ([[graft.operators.Bpe]]). Training (n_merges bounded argmax
-    * rounds) runs at ANALYSIS time — the pagerank caveat family,
-    * DESIGN.md §5; n_merges is capped accordingly for the SQL form.
+    * rounds) is deferred behind a [[DeferredResult]] leaf — EXPLAIN does
+    * not train; n_merges stays capped for the SQL form.
     */
   def bpeTokenCountsBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "bpe_token_counts"
@@ -249,17 +262,26 @@ object SqlTableFunctions {
     val nMerges = intArg(fn, args, 3, "merge count")
     if (nMerges < 1 || nMerges > 64)
       fail(s"$fn argument 4 (merge count) must be in [1, 64], got $nMerges")
-    val (_, dict) = graft.operators.Bpe.train(
-      graft.operators.Bpe.wordTypes(docs, textCol), nMerges)
-    graft.operators.Bpe.encodeCounts(docs, dict, idCol, textCol)
-      .queryExecution.logical
+    if (!docs.columns.contains(idCol))
+      fail(s"$fn argument 2 (id column): no column '$idCol' in the documents table")
+    DeferredResult(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, docs.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("n_pieces",
+          org.apache.spark.sql.types.LongType))),
+      () => {
+        val (_, dict) = graft.operators.Bpe.train(
+          graft.operators.Bpe.wordTypes(docs, textCol), nMerges)
+        graft.operators.Bpe.encodeCounts(docs, dict, idCol, textCol)
+      })
   }
 
   /** quality_scores(docs_table, model [, iters]) — trains the quality
     * classifier on the table's doc_id/text/n_chars/lang columns (the
     * cascade-label convention) and scores every row; model = 'centroid'
-    * (closed-form, zero iterations) or 'logistic' (full-batch GD, iters
-    * ≤ 20, analysis-time training per DESIGN.md §5).
+    * (closed-form, zero iterations — a pure plan, returned directly) or
+    * 'logistic' (full-batch GD, iters ≤ 20 — training is deferred behind
+    * a [[DeferredResult]] leaf so EXPLAIN never runs a gradient step).
     */
   def qualityScoresBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "quality_scores"
@@ -268,20 +290,31 @@ object SqlTableFunctions {
     val docs = table(fn, strArg(fn, args, 0, "documents table"))
     val model = strArg(fn, args, 1, "model")
     val qc = graft.operators.QualityClassifier
-    val feat = qc.features(docs)
-    val labels = qc.cascadeLabels(docs)
+    if (!docs.columns.contains("doc_id"))
+      fail(s"$fn argument 1 (documents table) must have a doc_id column")
+    val idType = docs.schema("doc_id").dataType
+    def field(n: String, t: org.apache.spark.sql.types.DataType) =
+      org.apache.spark.sql.types.StructField(n, t)
+    import org.apache.spark.sql.types.{BooleanType, DoubleType => DblT}
     model match {
       case "centroid" =>
         if (args.length == 3)
           fail(s"$fn: 'centroid' takes no iteration argument")
-        qc.centroidScores(feat, labels).queryExecution.logical
+        qc.centroidScores(qc.features(docs), qc.cascadeLabels(docs))
+          .queryExecution.logical
       case "logistic" =>
         val iters = if (args.length == 3) intArg(fn, args, 2, "iterations") else 3
         if (iters < 1 || iters > 20)
           fail(s"$fn argument 3 (iterations) must be in [1, 20], got $iters")
-        val f = feat.localCheckpoint(true)
-        val w = qc.trainLogistic(f, labels, iters = iters)
-        qc.score(f, w).queryExecution.logical
+        DeferredResult(fn,
+          org.apache.spark.sql.types.StructType(Seq(
+            field("doc_id", idType), field("p", DblT),
+            field("pred", BooleanType))),
+          () => {
+            val f = qc.features(docs).localCheckpoint(true)
+            val w = qc.trainLogistic(f, qc.cascadeLabels(docs), iters = iters)
+            qc.score(f, w)
+          })
       case other =>
         fail(s"$fn argument 2 (model) must be 'centroid' or 'logistic', " +
           s"got '$other'")
@@ -290,8 +323,9 @@ object SqlTableFunctions {
 
   /** heavy_tokens(docs_table, text_col, k [, capacity]) — exact top-k
     * tokens via the bounded-state Misra–Gries two-pass
-    * ([[graft.operators.HeavyHitters]]); the candidate sketch runs at
-    * ANALYSIS time (bounded ≤ capacity collect, DESIGN.md §5 family).
+    * ([[graft.operators.HeavyHitters]]); the candidate sketch (a bounded
+    * ≤ capacity collect) is deferred behind a [[DeferredResult]] leaf so
+    * EXPLAIN never scans the corpus.
     */
   def heavyTokensBuilder(args: Seq[Expression]): LogicalPlan = {
     val fn = "heavy_tokens"
@@ -304,8 +338,12 @@ object SqlTableFunctions {
     val capacity = if (args.length == 4) intArg(fn, args, 3, "capacity") else 4096
     if (capacity < k || capacity > 100000)
       fail(s"$fn argument 4 (capacity) must be in [k, 100000], got $capacity")
-    graft.operators.HeavyHitters.exactTopK(docs, textCol, k, capacity)
-      .queryExecution.logical
+    DeferredResult(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("token", StringType),
+        org.apache.spark.sql.types.StructField("cnt",
+          org.apache.spark.sql.types.LongType))),
+      () => graft.operators.HeavyHitters.exactTopK(docs, textCol, k, capacity))
   }
 
   /** corpus_drift(a_table, b_table, col, lo, hi, n_buckets) — numeric
