@@ -19,7 +19,7 @@ object Classifier {
     * length/diversity/bias) and cascade labels, kept textually in sync with
     * [[QualityClassifier.features]] / [[QualityClassifier.cascadeLabels]].
     */
-  private val featSql =
+  private[queries] val featSql =
     """WITH t AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
       |), s AS (
@@ -61,7 +61,10 @@ object Classifier {
       .orderBy(col("doc_id"))
   }
 
-  private val q120Sql = featSql +
+  /** Centroid training + scoring as reusable CTEs ending in
+    * `scores(doc_id, score, pred)` — q120's oracle body, also composed
+    * by q129's budget-fill oracle. */
+  private[queries] val centroidScoreCtes =
     """, nc AS (
       |  SELECT y, COUNT(*) AS n_c FROM lab GROUP BY 1
       |), mu AS (
@@ -79,12 +82,18 @@ object Classifier {
       |), dots AS (
       |  SELECT f.doc_id, SUM(f.x * w.w) AS dot
       |  FROM feat f JOIN w ON w.slot = f.slot GROUP BY 1
-      |)
-      |SELECT d.doc_id,
-      |  FLOOR((d.dot + b.b) * 10000 + 0.5) / 10000.0 AS score,
-      |  (d.dot + b.b) > 0 AS pred, l.y
-      |FROM dots d CROSS JOIN b JOIN lab l ON l.doc_id = d.doc_id
-      |ORDER BY d.doc_id""".stripMargin
+      |), scores AS (
+      |  SELECT d.doc_id,
+      |    FLOOR((d.dot + b.b) * 10000 + 0.5) / 10000.0 AS score,
+      |    (d.dot + b.b) > 0 AS pred
+      |  FROM dots d CROSS JOIN b
+      |)""".stripMargin
+
+  private val q120Sql = featSql + centroidScoreCtes +
+    """
+      |SELECT s.doc_id, s.score, s.pred, l.y
+      |FROM scores s JOIN lab l ON l.doc_id = s.doc_id
+      |ORDER BY s.doc_id""".stripMargin
 
   /** q121: logistic regression, 3 unrolled full-batch GD iterations
     * (lr = 0.5, l2 = 0, weights r6-snapped per update — both engines replay

@@ -16,13 +16,13 @@ import graft.operators.Bpe
   */
 object Tokenizer {
 
-  private val NMerges = 6
+  private[queries] val NMerges = 6
 
   /** Unrolled DuckDB training prelude: wt0 … wt`n`, m1 … m`n`. Generated,
     * not hand-copied, so the Spark loop and the SQL agree on `n` by
     * construction.
     */
-  private def trainSql(n: Int): String = {
+  private[queries] def trainSql(n: Int): String = {
     val sb = new StringBuilder(
       """WITH toks AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents

@@ -375,6 +375,42 @@ object Streams {
         graft.operators.QualityClassifier.features(batch), weights), id)
     }
 
+  /** Streaming corpus-drift monitoring: each micro-batch's distribution
+    * is PSI-compared against a STATIC reference snapshot (the
+    * [[graft.operators.Drift]] fixed-bucket math, q127) and the per-batch
+    * metric rows go to `sink` tagged with the batch id — the
+    * ingestion-time "is this feed still the corpus we trained on?" alarm
+    * wired into the same lifecycle as [[streamDedupAgainstIndex]].
+    * `foreachBatch` because PSI is a chained aggregation (bucket counts,
+    * then a sum over buckets) that a raw streaming plan cannot express;
+    * per micro-batch it runs the EXACT batch operator, inheriting its
+    * determinism (fixed caller-supplied edges, ε-smoothing, null
+    * sentinel) and its oracle-checked math. Reference-side bucket counts
+    * are recomputed per batch — pre-aggregate the reference to its bucket
+    * histogram once if the snapshot is large (the operator only needs its
+    * shares, which is why `reference` accepts any static frame).
+    *
+    * @param numeric     (column, lo, hi, nBuckets) per monitored numeric
+    * @param categorical monitored categorical columns
+    */
+  def monitorDriftBatches(
+      docs: DataFrame,
+      reference: DataFrame,
+      numeric: Seq[(String, Double, Double, Int)],
+      categorical: Seq[String])(sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(numeric.nonEmpty || categorical.nonEmpty,
+      "monitorDriftBatches: nothing to monitor")
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val parts =
+        numeric.map { case (c, lo, hi, n) =>
+          graft.operators.Drift.numericPsi(reference, batch, c, lo, hi, n) } ++
+        categorical.map(c =>
+          graft.operators.Drift.categoricalPsi(reference, batch, c))
+      sink(parts.reduce(_.unionByName(_)), id)
+    }
+  }
+
   /** B38 — custom state: running per-user event count + value sum,
     * re-emitted on every update (OutputMode.Update).
     */

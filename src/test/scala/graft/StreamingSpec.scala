@@ -428,6 +428,44 @@ class StreamingSpec extends SparkSpec {
       rows.map { case (k, a, b) => k -> ((a, b)) }.toMap
   }
 
+  test("streaming drift monitor: in-distribution batch quiet, shifted batch alarms") {
+    implicit val sqlCtx = spark.sqlContext
+    // reference: lengths uniform over [100, 500), langs uniform over 4
+    val ref = (0 until 2000)
+      .map(i => (i.toLong, (100 + i % 400).toDouble, s"l${i % 4}"))
+      .toDF("id", "len", "lang")
+    val input = MemoryStream[(Long, Double, String)]
+    val got = scala.collection.mutable.Map[Long, Map[String, Double]]()
+    val q = Streams.monitorDriftBatches(
+        input.toDF().toDF("id", "len", "lang"), ref,
+        numeric = Seq(("len", 0.0, 600.0, 12)),
+        categorical = Seq("lang")) { (psi, id) =>
+      got(id) = psi.collect()
+        .map(r => r.getAs[String]("metric") -> r.getAs[Double]("psi")).toMap
+    }.start()
+    try {
+      // batch 0: drawn from the reference distribution
+      input.addData((0 until 1000)
+        .map(i => (i.toLong, (100 + i % 400).toDouble, s"l${i % 4}")))
+      q.processAllAvailable()
+      // batch 1: length distribution shifted up, one language vanished
+      input.addData((0 until 1000)
+        .map(i => (i.toLong, (450 + i % 150).toDouble, s"l${i % 2}")))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got(0L)("len") < 0.1 && got(0L)("lang") < 0.1,
+      s"in-distribution batch must read stable: ${got(0L)}")
+    assert(got(1L)("len") > 0.25 && got(1L)("lang") > 0.25,
+      s"shifted batch must fire the action threshold: ${got(1L)}")
+    // per-batch math IS the batch operator: replay batch 1 through it
+    val replay = graft.operators.Drift.numericPsi(
+      ref, (0 until 1000)
+        .map(i => (i.toLong, (450 + i % 150).toDouble, s"l${i % 2}"))
+        .toDF("id", "len", "lang"), "len", 0.0, 600.0, 12)
+      .collect()(0).getAs[Double]("psi")
+    assert(replay == got(1L)("len"))
+  }
+
   test("streaming quality scoring equals batch scoring with the same weights") {
     implicit val sqlCtx = spark.sqlContext
     val train = Tables.documents(spark, sf())
