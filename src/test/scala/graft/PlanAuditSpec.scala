@@ -271,4 +271,29 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
+
+  test("q129: budget fill broadcasts the 1-row budget; no product, no global sort") {
+    val p = finalPlan("q129_budget_fill")
+    // the per-source window sorts WITHIN partitions; the only broadcast
+    // product is the 1-row budget frame; candidate joins stay equi-joins
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("q130: k-center's declared output is the tiny selection table, corpus cost upstream") {
+    val p = finalPlan("q130_kcenter_select")
+    // selection already ran at construction (bounded 1-row argmax collects
+    // per round); the declared plan is a local scan of k rows
+    assert(p.contains("LocalTableScan") || p.contains("ExistingRDD"), p)
+    assert(!p.contains("FileScan"), p)
+  }
+
+  test("q117: sparse-cosine postings join stays an equi-join under salting") {
+    val p = finalPlan("q117_sparse_cosine")
+    // the salt rides the term key: still a hash equi-join, never a product;
+    // the 1-row stats frame is the only nested-loop broadcast
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
 }
