@@ -112,7 +112,9 @@ object GraftFunctions {
       ("heavy_tokens", SqlTableFunctions.getClass,
         SqlTableFunctions.heavyTokensBuilder _),
       ("corpus_drift", SqlTableFunctions.getClass,
-        SqlTableFunctions.corpusDriftBuilder _))
+        SqlTableFunctions.corpusDriftBuilder _),
+      ("kcenter_select", SqlTableFunctions.getClass,
+        SqlTableFunctions.kcenterBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -346,6 +346,32 @@ object SqlTableFunctions {
       () => graft.operators.HeavyHitters.exactTopK(docs, textCol, k, capacity))
   }
 
+  /** kcenter_select(table, id_col, vec_col, k) — greedy k-center coreset
+    * selection ([[graft.operators.KCenter]]); the per-round argmax
+    * collects are deferred behind a [[DeferredResult]] leaf (EXPLAIN
+    * never scans).
+    */
+  def kcenterBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "kcenter_select"
+    if (args.length != 4) wrongNumArgs(fn, "4", args.length)
+    val df = table(fn, strArg(fn, args, 0, "input table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val vecCol = strArg(fn, args, 2, "vector column")
+    val k = intArg(fn, args, 3, "k")
+    if (k < 1 || k > 1024) fail(s"$fn argument 4 (k) must be in [1, 1024], got $k")
+    if (!df.columns.contains(idCol))
+      fail(s"$fn argument 2 (id column): no column '$idCol' in the input table")
+    DeferredResult(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("sel_dist2",
+          org.apache.spark.sql.types.DoubleType))),
+      () => graft.operators.KCenter.select(df, idCol, vecCol, k))
+  }
+
   /** corpus_drift(a_table, b_table, col, lo, hi, n_buckets) — numeric
     * fixed-bucket PSI between two snapshots; the 3-arg form
     * corpus_drift(a_table, b_table, col) computes categorical PSI over

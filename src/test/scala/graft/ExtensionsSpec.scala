@@ -189,6 +189,18 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT * FROM jl_project('ext_emb', 'vec_id', 'embedding', 99)")
         .contains("compress"))
 
+      // kcenter_select == Scala form
+      val kcSql = spark.sql(
+        "SELECT * FROM kcenter_select('ext_emb', 'vec_id', 'embedding', 3)")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      val kcScala = graft.operators.KCenter
+        .select(spark.table("ext_emb"), "vec_id", "embedding", 3)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(kcSql == kcScala && kcSql.size == 3)
+      assert(msgOf(
+        "SELECT * FROM kcenter_select('ext_emb', 'vec_id', 'embedding', 0)")
+        .contains("[1, 1024]"))
+
       // sparse_cosine_join == Scala form
       val scSql = spark.sql(
         "SELECT * FROM sparse_cosine_join('ext_docs', 'doc_id', 'text')")
@@ -345,7 +357,8 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT * FROM pagerank('ext_poison_edges', 'src', 'dst', 3)",
         "SELECT * FROM jl_project('ext_poison_emb', 'vec_id', 'embedding', 1)",
         "SELECT * FROM bpe_token_counts('ext_poison_docs', 'doc_id', 'text', 2)",
-        "SELECT * FROM heavy_tokens('ext_poison_docs', 'text', 3, 16)")) {
+        "SELECT * FROM heavy_tokens('ext_poison_docs', 'text', 3, 16)",
+        "SELECT * FROM kcenter_select('ext_poison_emb', 'vec_id', 'embedding', 2)")) {
         // analysis + planning + EXPLAIN: must not touch the poisoned scan
         val plan = spark.sql(sql)
         val explained = plan.queryExecution.explainString(
