@@ -35,6 +35,14 @@ import org.apache.spark.sql.types.StructType
   * operators; the node adds one driver-side indirection and zero
   * shuffles. Stats report `defaultSizeInBytes` so the planner never
   * broadcasts a deferred result on a size guess it cannot make.
+  *
+  * Re-execution caveat (the flip side of deferral): each ACTION on a
+  * deferred TVF result re-plans and re-invokes the thunk — collecting a
+  * `pagerank(...)` frame twice trains twice, where the old analysis-time
+  * form trained once and re-scanned its checkpoint. One execution is the
+  * common SQL case (and EXPLAIN is now free, which it was not); callers
+  * iterating over a TVF result should cache/checkpoint it once like any
+  * expensive frame.
   */
 case class DeferredResult(
     fnName: String,

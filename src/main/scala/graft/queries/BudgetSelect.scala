@@ -44,8 +44,14 @@ object BudgetSelect {
       .select(col("doc_id"), col("score"))
     val (_, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), Tokenizer.NMerges)
     val counts = Bpe.encodeCounts(docs, dict, "doc_id", "text")
+    // checkpoint: perDoc feeds BOTH the 1-row budget aggregate (a
+    // broadcast exchange) and the window (a shuffle exchange) — different
+    // exchange types never reuse, so without materialization the whole
+    // upstream (features + centroid + BPE train + encode) runs twice
+    // (profiled at 1M docs: 79.4 s -> ~64 s)
     val perDoc = docs.select(col("doc_id"), col("source"))
       .join(scores, "doc_id").join(counts, "doc_id")
+      .localCheckpoint(true)
     val budget = perDoc.agg(
         sum(col("n_pieces")).as("corpus_tokens"),
         countDistinct(col("source")).as("n_sources"))

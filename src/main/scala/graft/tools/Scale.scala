@@ -475,6 +475,23 @@ object ScaleRehearsal {
       }
       results.toDF("depth", "ok", "sec")
     }),
+    // Round-9 k-center at scale: the declared q130 pins a 300-vector
+    // slice for the unrolled oracle; this runs the operator's real shape
+    // — k=64 greedy rounds over the full 400k x 64-dim embedding slice
+    // (64 corpus scans + 64 bounded argmax collects + checkpoints) —
+    // measuring the per-round cost the class doc claims is flat
+    "kcenter_400k" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.embeddings(s, dir)
+      val t0 = System.nanoTime()
+      val sel = graft.operators.KCenter.select(emb, "vec_id", "embedding", 64)
+        .localCheckpoint(true)
+      val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val n = sel.count()
+      println(s"""{"probe":"kcenter_400k","k":$n,"train_sec":$secs,""" +
+        s""""per_round_sec":${math.rint(secs / 64 * 1000) / 1000.0}}""")
+      sel
+    }),
     // Round-9 sparse-cosine head-term skew probe: a designed corpus where
     // ONE term (df = 20k of 200k docs, under the AutoDf cap of ~28.6k)
     // carries 4e8 of the ~5.6e8 candidate pairs — all on one join key.

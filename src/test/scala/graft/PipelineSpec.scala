@@ -241,5 +241,25 @@ class PipelineSpec extends SparkSpec {
     assert(psi("n_chars") > 0.25,
       s"length-selective filtering must alarm the drift monitor: $psi")
     assert(psi("lang") >= 0.0 && !psi("lang").isNaN && !psi("lang").isInfinite)
+
+    // 6 — a DIVERSE annotation slice from the kept corpus: the q96-style
+    // hashed feature vectors feed greedy k-center, and the selected ids
+    // must be kept docs spread across more than one source (the point of
+    // diversity sampling over top-N-by-score)
+    val vecs = graft.operators.QualityClassifier.features(kept)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("x")))).as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0), lit(15)),
+          i => coalesce(element_at(col("m"), i), lit(0.0)).cast("float"))
+          .as("fvec"))
+    val slice = graft.operators.KCenter.select(vecs, "doc_id", "fvec", 8)
+    val ids = slice.select(col("id")).as[Long].collect().toSet
+    assert(ids.size == 8)
+    val keptIds = kept.select(col("doc_id")).as[Long].collect().toSet
+    assert(ids.subsetOf(keptIds), "annotation slice must come from kept docs")
+    val srcCount = kept.filter(col("doc_id").isin(ids.toSeq: _*))
+      .select(countDistinct(col("source"))).as[Long].head()
+    assert(srcCount > 1, "a diverse slice should span multiple sources")
   }
 }
