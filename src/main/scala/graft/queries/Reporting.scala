@@ -219,9 +219,85 @@ object Reporting {
       |)
       |SELECT * FROM lpsi UNION ALL SELECT * FROM npsi ORDER BY metric""".stripMargin
 
+  /** q131: LEAKAGE-FREE split assignment — the fix for what q125
+    * detects. q125 hashes each DOCUMENT into a split, so near-duplicate
+    * pairs straddle splits (eval contamination); q131 assigns the whole
+    * near-dup CLUSTER (same pair set as q125: md5-parity MinHash+LSH,
+    * exact-Jaccard ≥ 0.6, connected components) by hashing the CLUSTER
+    * id — partners co-locate by construction, so the q125 audit on these
+    * splits returns zero rows (spec-asserted). Same 80/10/10 hash
+    * convention as q125. Oracle: q125's pair CTEs + q55's recursive-CTE
+    * connected components + the cluster-keyed split.
+    */
+  private def q131(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1,
+      oracleParityHash = true)
+    val pairs = lsh.verifyJaccard(
+        lsh.candidatePairs(docs, "doc_id", "text"), docs, "doc_id", "text")
+      .filter(round(col("jaccard"), 4) >= 0.6)
+      .select(col("id_a"), col("id_b"))
+    val assign = graft.operators.DedupClusters
+      .clusterAssignments(docs, "doc_id", pairs)
+    val bucket = graft.functions.TextHash.h60(col("cluster_id").cast("string")) % 100
+    assign.select(col("doc_id"), col("cluster_id"),
+        when(bucket < 80, lit("train")).when(bucket < 90, lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q131Sql =
+    """WITH RECURSIVE sh AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s
+      |  FROM documents WHERE doc_id < 120
+      |), sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 11), j ->
+      |    list_min(list_transform(s, t ->
+      |      ('0x' || substr(md5(j || ':' || t), 1, 15))::BIGINT))) AS sg
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh
+      |  FROM sig, range(0, 3) r(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+      |), pairs AS (
+      |  SELECT p.id_a, p.id_b
+      |  FROM cand p
+      |  JOIN sh sa ON sa.doc_id = p.id_a
+      |  JOIN sh sb ON sb.doc_id = p.id_b
+      |  WHERE ROUND(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |    / len(list_distinct(list_concat(sa.s, sb.s))), 4) >= 0.6
+      |), edges AS (
+      |  SELECT id_a AS src, id_b AS dst FROM pairs
+      |  UNION ALL SELECT id_b, id_a FROM pairs
+      |), reach(id, r) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+      |), comp AS (
+      |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+      |), assigned AS (
+      |  SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      |  WHERE d.doc_id < 120
+      |)
+      |SELECT doc_id, cluster_id,
+      |  CASE WHEN bucket < 80 THEN 'train'
+      |       WHEN bucket < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM (
+      |  SELECT doc_id, cluster_id,
+      |    ('0x' || substr(md5(cluster_id::VARCHAR), 1, 15))::BIGINT % 100
+      |      AS bucket
+      |  FROM assigned)
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q124_data_card", q124, Some(q124Sql)),
     QueryDef("q125_split_leakage", q125, Some(q125Sql)),
     QueryDef("q126_heavy_tokens", q126, Some(q126Sql)),
-    QueryDef("q127_corpus_drift", q127, Some(q127Sql)))
+    QueryDef("q127_corpus_drift", q127, Some(q127Sql)),
+    QueryDef("q131_leakage_free_splits", q131, Some(q131Sql)))
 }
