@@ -475,6 +475,13 @@ object ScaleRehearsal {
       }
       results.toDF("depth", "ok", "sec")
     }),
+    // Round-9 budget-fill A/B: 20M rows across TWO sources — the shape
+    // where the naive per-source window prefix sum degenerates to two
+    // single-threaded 10M-row sort+scan tasks, and the banded two-phase
+    // form (BudgetSelect.fillScalable, 1024 bins) bounds every window
+    // partition at ~10k rows. Same kept count (equality required in-run).
+    "budget_fill_naive" -> ((s, _) => budgetFillArm(s, banded = false)),
+    "budget_fill_banded" -> ((s, _) => budgetFillArm(s, banded = true)),
     // Round-9 k-center at scale: the declared q130 pins a 300-vector
     // slice for the unrolled oracle; this runs the operator's real shape
     // — k=64 greedy rounds over the full 400k x 64-dim embedding slice
@@ -523,6 +530,46 @@ object ScaleRehearsal {
       }.toDF("src", "dst")
       graft.operators.PageRank.run(edges, "src", "dst", iters = 5)
     }))
+
+  /** One arm of the budget-fill A/B (see budget_fill_*): deterministic
+    * 20M-row (doc_id, source, score, n_pieces) frame over two sources;
+    * budget = ~30% of total tokens per source. Emits the kept count (the
+    * two arms must agree; asserted by comparing against the closed-form
+    * expectation is impossible — scores are hashed — so the A/B runner
+    * compares the two printed counts). */
+  private def budgetFillArm(s: SparkSession,
+      banded: Boolean): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import s.implicits._
+    val n = 20000000L
+    val perDoc = s.range(n).select(
+        col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(2L)).cast("string")).as("source"),
+        (pmod(xxhash64(col("id")), lit(100000L)) / 100000.0).as("score"),
+        (lit(1L) + pmod(col("id"), lit(37L))).as("n_pieces"))
+      .localCheckpoint(true)
+    val budgetVal = (n * 19L * 3L) / 20L // ~30% of E[sum n_pieces] per 2 sources
+    val budget = Seq(budgetVal).toDF("budget_tokens")
+    val kept =
+      if (banded)
+        graft.queries.BudgetSelect
+          .fillScalable(perDoc, budget, scoreLo = 0.0, scoreHi = 1.0, nBins = 1024)
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_pieces")).as("tokens_kept"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("score").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+        perDoc.crossJoin(broadcast(budget))
+          .withColumn("cum_before",
+            coalesce(sum(col("n_pieces")).over(w), lit(0L)))
+          .filter(col("cum_before") < col("budget_tokens"))
+          .agg(count(lit(1)).as("n_kept"), sum(col("n_pieces")).as("tokens_kept"))
+      }
+    val r = kept.localCheckpoint(true).head()
+    println(s"""{"probe":"budget_fill_${if (banded) "banded" else "naive"}",""" +
+      s""""n_kept":${r.getLong(0)},"tokens_kept":${r.getLong(1)}}""")
+    kept
+  }
 
   /** The skew-probe corpus + one arm of the A/B (see sparse_skew_*): 200k
     * docs; docs ≡ 0 (mod 10) contain hot term "hh" (df = 20000); every doc
