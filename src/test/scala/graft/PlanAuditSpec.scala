@@ -272,6 +272,26 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q70: per-lang quota sample gets a map-side WindowGroupLimit") {
+    // row_number <= 20 must push a per-partition group limit below the
+    // lang shuffle — the property that keeps window state quota-bounded
+    // instead of corpus-bounded (the scaladoc's claim, pinned here)
+    val p = finalPlan("q70_balanced_sample")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("q93: winsorize bounds come from the length distribution, not a per-doc sort") {
+    // the round-9 counting-sort form: the only per-doc work is the
+    // dist hash aggregate; the ranking window runs on the per-(lang,
+    // n_chars) frame. A per-doc row_number would put a Window directly
+    // over the corpus scan — assert the Window's input is an aggregate.
+    val p = finalPlan("q93_winsorize")
+    val winIdx = p.indexOf("RunningWindowFunction")
+    val idx = if (winIdx >= 0) winIdx else p.indexOf("Window")
+    assert(idx >= 0, p)
+    assert(!p.contains("row_number"), "per-doc ranking crept back:\n" + p)
+  }
+
   test("q129: budget fill broadcasts the 1-row budget; no product, no global sort") {
     val p = finalPlan("q129_budget_fill")
     // the per-source window sorts WITHIN partitions; the only broadcast
