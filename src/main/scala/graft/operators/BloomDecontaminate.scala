@@ -62,7 +62,7 @@ object BloomDecontaminate {
       .select(explode(col("__grams")).as("g"))
       .agg(call_function("bloom_agg", xxhash64(col("g")),
         lit(expectedGrams), lit(numBits)).as("__bf"))
-      .head.getAs[Array[Byte]]("__bf")
+      .head().getAs[Array[Byte]]("__bf")
     shingled(train, idCol, textCol, shingleWords)
       .withColumn("contaminated",
         exists(col("__grams"), g =>

@@ -153,7 +153,7 @@ object QualityClassifier {
     require(n > 0, "trainLogistic: empty label set")
     var wts = Array.fill(Dims)(0.0)
     for (_ <- 1 to iters) {
-      val wCol = map(wts.zipWithIndex.flatMap {
+      val wCol = map(wts.toIndexedSeq.zipWithIndex.flatMap {
         case (v, i) => Seq(lit(i), lit(v)) }: _*)
       // margin per doc from the CURRENT literal weights, then one aggregate:
       // grad_s = sum_d x_ds * (sigmoid(m_d) - y_d) / n  (+ l2 * w_s)
@@ -181,7 +181,7 @@ object QualityClassifier {
     * the deployable inference path. */
   def score(feat: DataFrame, weights: Array[Double]): DataFrame = {
     require(weights.length == Dims, s"expected $Dims weights, got ${weights.length}")
-    val wCol = map(weights.zipWithIndex.flatMap {
+    val wCol = map(weights.toIndexedSeq.zipWithIndex.flatMap {
       case (v, i) => Seq(lit(i), lit(v)) }: _*)
     feat.withColumn("wx", element_at(wCol, col("slot")) * col("x"))
       .groupBy(col("doc_id")).agg(sum(col("wx")).as("m"))

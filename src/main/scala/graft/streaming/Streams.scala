@@ -193,7 +193,7 @@ object Streams {
     //     reciprocal centroid norms precomputed here — custom expressions
     //     are not constant-folded, so the full cosine would re-evaluate
     //     vecDot(emb, emb) once per centroid per row in a hot stream
-    val cellScores = array(cents.zipWithIndex.map { case (c, ci) =>
+    val cellScores = array(cents.toIndexedSeq.zipWithIndex.map { case (c, ci) =>
       val invNorm = 1.0 / math.sqrt(
         c.embedding.foldLeft(0.0)((s, x) => s + x.toDouble * x))
       struct((-graft.plans.GraftFunctions.vecDot(
