@@ -65,6 +65,16 @@ class ExtensionsSpec extends SparkSpec {
         case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l.data.size
       }.sum
       assert(leftRows == 1, filtered.queryExecution.optimizedPlan.toString)
+      // the injected DeferredResultStrategy plans deferred TVFs on this
+      // extensions-only session too: EXPLAIN-free analysis, real execution
+      Seq((0L, 1L), (1L, 2L), (2L, 0L)).toDF("src", "dst")
+        .createOrReplaceTempView("ext_pr_edges")
+      val pr = s2.sql(
+        "SELECT * FROM pagerank('ext_pr_edges', 'src', 'dst', 2, 0.85, true)")
+      assert(pr.queryExecution.executedPlan.toString.contains("DeferredResult"))
+      val ranks = pr.collect().map(_.getDouble(1))
+      assert(ranks.length == 3 && math.abs(ranks.sum - 1.0) < 1e-9)
+
       // optimizer rule: HOF dot-product rewritten to the native expression
       // (range-backed, non-foldable arrays — Seq-backed frames collapse to
       // LocalRelation before injected rules run)
@@ -80,6 +90,7 @@ class ExtensionsSpec extends SparkSpec {
         _.exists(_.isInstanceOf[graft.functions.expr.DotProductF]))),
         plan.toString)
     } finally {
+      s2.catalog.dropTempView("ext_pr_edges")
       s2.catalog.dropTempView("ext_l")
       s2.catalog.dropTempView("ext_r")
       SparkSession.setActiveSession(base)
