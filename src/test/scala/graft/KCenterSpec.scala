@@ -50,6 +50,38 @@ class KCenterSpec extends SparkSpec {
       "identical points admit exactly one center")
   }
 
+  test("matches a plain-Scala greedy reference on random point sets") {
+    for (seed <- Seq(5, 23)) {
+      val rng = new scala.util.Random(seed)
+      val points = (0L until 80L).map(i =>
+        i -> Array.fill(4)((math.rint(rng.nextGaussian() * 100) / 100.0).toFloat))
+      def d2(a: Array[Float], b: Array[Float]): Double = {
+        // same r4 snap as the operator, same |x|^2+|c|^2-2xc double math
+        val xx = a.map(x => x.toDouble * x.toDouble).sum
+        val cc = b.map(x => x.toDouble * x.toDouble).sum
+        val xc = a.zip(b).map { case (x, c) => x.toDouble * c.toDouble }.sum
+        math.floor((xx + cc - 2.0 * xc) * 1e4 + 0.5) / 1e4
+      }
+      val byId = points.toMap
+      var centers = Vector(0L) // lowest-id seed
+      var expected = Vector((1, 0L, 0.0))
+      var mind = points.map { case (id, p) => id -> d2(p, byId(0L)) }.toMap
+      for (k <- 2 to 6) {
+        val (nid, nd) = mind.filter(_._2 > 0).toSeq
+          .maxBy { case (id, d) => (d, -id) } // max d, ties -> min id
+        expected :+= ((k, nid, nd))
+        centers :+= nid
+        mind = mind.map { case (id, d) => id -> math.min(d, d2(byId(id), byId(nid))) }
+      }
+      val got = KCenter.select(
+          points.map { case (id, p) => (id, p.toSeq) }.toDF("vec_id", "embedding"),
+          "vec_id", "embedding", 6)
+        .orderBy(col("rank"))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toVector
+      assert(got == expected, s"seed $seed diverged from the greedy reference")
+    }
+  }
+
   test("rejects out-of-range k and empty input") {
     val v = pts(0L -> Seq(1f))
     intercept[IllegalArgumentException](KCenter.select(v, "vec_id", "embedding", 0))

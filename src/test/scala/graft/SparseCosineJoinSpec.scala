@@ -131,6 +131,42 @@ class SparseCosineJoinSpec extends SparkSpec {
     assert(canon(2) == unsalted)
   }
 
+  test("matches a plain-Scala brute-force reference on random corpora (salted)") {
+    // independent of the DuckDB oracle: uncapped TF-IDF cosine recomputed
+    // naively in memory; saltDfAbove=3 forces multi-salt join keys
+    for (seed <- Seq(3, 17)) {
+      val rng = new scala.util.Random(seed)
+      val vocab = Array("a", "b", "c", "d", "e", "f", "g")
+      val corpus = (0L until 50L).map { i =>
+        i -> Array.fill(3 + rng.nextInt(8))(vocab(rng.nextInt(vocab.length)))
+          .mkString(" ")
+      }
+      val n = corpus.length.toDouble
+      val tf = corpus.map { case (id, text) =>
+        id -> text.split(" ").groupBy(identity).map { case (t, xs) => t -> xs.length }
+      }.toMap
+      val df = tf.values.flatMap(_.keys).groupBy(identity).map { case (t, xs) => t -> xs.size }
+      val wts = tf.map { case (id, m) =>
+        id -> m.map { case (t, c) => t -> c * math.log(n / df(t)) }
+      }
+      def norm(m: Map[String, Double]) = math.sqrt(m.values.map(x => x * x).sum)
+      val expected = (for {
+        a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+        shared = wts(a).keySet intersect wts(b).keySet if shared.nonEmpty
+      } yield {
+        val dp = shared.toSeq.map(t => wts(a)(t) * wts(b)(t)).sum
+        (a, b) -> math.floor(dp / (norm(wts(a)) * norm(wts(b))) * 1e6 + 0.5) / 1e6
+      }).toMap
+      val got = SparseCosineJoin.pairs(
+          docs(corpus: _*), "doc_id", "text", maxDfFrac = 1.0, saltDfAbove = 3)
+        .collect()
+        .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+          math.floor(r.getAs[Double]("cos") * 1e6 + 0.5) / 1e6)
+        .toMap
+      assert(got == expected, s"seed $seed diverged from the brute-force reference")
+    }
+  }
+
   test("rejects out-of-range parameters") {
     val d = docs(0L -> "a")
     intercept[IllegalArgumentException](
