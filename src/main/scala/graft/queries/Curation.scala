@@ -430,6 +430,12 @@ object Curation {
       .select(col("source"), size(split(col("text"), " ")).as("n_tokens"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+      // checkpoint: the 20-row per-source frame feeds both the broadcast
+      // totals aggregate and the main select through DIFFERENT exchange
+      // types, which never reuse — without materialization the corpus
+      // tokenize+aggregate runs twice (measured 0.73 -> 0.34 s warm at
+      // sf0.1; the q129 finding, applied to its older siblings)
+      .localCheckpoint(true)
     val totals = perSource.agg(
       sum(col("tokens")).as("corpus_tokens"),
       count(lit(1)).as("n_sources"))
@@ -536,6 +542,7 @@ object Curation {
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
     val per = docs.groupBy("source").agg(sum(col("n_tokens")).as("tokens"))
+      .localCheckpoint(true) // same different-exchange-types trap as q74
     val tot = per.agg(sum(col("tokens")).as("corpus_tokens"),
       count(lit(1)).as("n_sources"))
     val w = per.crossJoin(broadcast(tot))

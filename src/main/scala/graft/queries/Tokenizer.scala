@@ -109,6 +109,10 @@ object Tokenizer {
       .groupBy(col("source")).agg(sum(col("n_pieces")).as("tokens"))
     val nd = docs.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
     val perSource = nd.join(tok, "source")
+      // checkpoint: feeds the broadcast totals AND the main select through
+      // different exchange types (no reuse) — without it the corpus
+      // explode + dictionary join runs twice (the q129/q74 finding)
+      .localCheckpoint(true)
     val totals = perSource.agg(
       sum(col("tokens")).as("corpus_tokens"),
       count(lit(1)).as("n_sources"))
