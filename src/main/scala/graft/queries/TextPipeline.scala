@@ -444,6 +444,11 @@ object TextPipeline {
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      // checkpoint: dl feeds the broadcast stats aggregate AND the main
+      // doc-length join through different exchange types (no reuse) —
+      // without it the corpus explode+aggregate runs twice (the q129/q74
+      // exchange-reuse finding)
+      .localCheckpoint(true)
     val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val hits = toks.filter(col("word").isin(qTerms: _*))
     val tf = hits.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
