@@ -379,11 +379,19 @@ object Curation {
     // alternatives, both measured slower at sf0.1: broadcast-joining the
     // model into the raw stream (4.7s — all 9M rows through join+agg) and
     // the char_bigram_counts map expression (3.5s vs 3.3s — per-doc map
-    // allocation loses to codegen'd hash aggregation). Model derives from
-    // docBg so both branches share one explode+shuffle (AQE
-    // ReusedExchange); the total needs no bigram pass at all — a doc of
-    // length L contributes exactly max(L-1, 0) bigrams.
+    // allocation loses to codegen'd hash aggregation). The total needs no
+    // bigram pass at all — a doc of length L contributes exactly
+    // max(L-1, 0) bigrams. docBg feeds the model aggregate (a BROADCAST
+    // side) and the main join (a shuffle consumer). Round-9 honesty pass:
+    // the final plan shows NO ReusedExchange node, yet a same-shell A/B
+    // measured checkpointed == unchecked (2.9 vs 2.9-3.1 s warm at sf0.1)
+    // — unlike q74, where the identical shape really did run its corpus
+    // aggregate twice (0.73 -> 0.34 s when checkpointed). The checkpoint
+    // stays because it makes single execution PROVABLE rather than
+    // dependent on whichever runtime stage-reuse behavior applies, at
+    // zero measured cost.
     val docBg = bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
     val model = docBg.groupBy(col("bg")).agg(sum(col("c")).as("mc"))
     val total = docs.agg(
       sum(greatest(length(col("text")) - 1, lit(0))).as("n_total"))
