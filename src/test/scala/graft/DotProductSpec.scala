@@ -38,6 +38,40 @@ class DotProductSpec extends SparkSpec {
     assert(out(2).isNullAt(0) && out(2).isNullAt(1))
   }
 
+  test("double and mixed float/double arrays dot exactly (trained-parameter path)") {
+    GraftFunctions.register(spark)
+    // snapped trained values — NOT float-representable; the double path
+    // must not round-trip them through a float cast
+    val c = Seq(0.1234, -2.7182, 3.0001, 0.0007)
+    val f = Seq(1.5f, -0.25f, 2.0f, 8.0f)
+    val expected = c.zip(f).foldLeft(0.0) { case (acc, (x, y)) =>
+      acc + x * y.toDouble } // left fold, same order as the expression
+    val df = Seq((f, c)).toDF("vf", "vd")
+    val out = df.select(
+      GraftFunctions.vecDot($"vd", $"vd").as("dd"),
+      GraftFunctions.vecDot($"vf", $"vd").as("fd"),
+      GraftFunctions.vecDot($"vd", $"vf").as("df")).collect()(0)
+    val ddExpected = c.foldLeft(0.0)((acc, x) => acc + x * x)
+    assert(java.lang.Double.doubleToLongBits(out.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(ddExpected))
+    assert(java.lang.Double.doubleToLongBits(out.getDouble(1)) ==
+      java.lang.Double.doubleToLongBits(expected))
+    assert(java.lang.Double.doubleToLongBits(out.getDouble(2)) ==
+      java.lang.Double.doubleToLongBits(expected))
+  }
+
+  test("double-array vec_dot stays inside whole-stage codegen") {
+    GraftFunctions.register(spark)
+    // parquet-backed, not a local Seq: a LocalTableScan constant-folds the
+    // projection away and there is no codegen stage left to inspect
+    val e = Tables.embeddings(spark, sf())
+      .select($"embedding".cast("array<double>").as("d"))
+    val plan = e.select(GraftFunctions.vecDot($"d", $"d"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*("), plan)
+    assert(plan.toLowerCase.contains("vec_dot"), plan)
+  }
+
   test("vec_dot runs inside whole-stage codegen") {
     GraftFunctions.register(spark)
     val e = Tables.embeddings(spark, sf())
