@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.plans.GraftFunctions
+import graft.plans.GraftFunctions.vecDot
+
+/** q135: hard-negative mining for contrastive/retrieval training data —
+  * for each anchor, the top-K most cosine-similar vectors with a
+  * DIFFERENT label ("hard" negatives: maximally confusable, the pairs a
+  * contrastive loss learns most from; cf. dense-retrieval training à la
+  * DPR/ANCE, where negatives are mined from the nearest non-relevant
+  * neighbors).
+  *
+  * Declared shape: exact brute-force over a broadcast anchor batch —
+  * one corpus scan, label inequality applied in the broadcast join
+  * condition so candidate rows never materialize for same-label pairs,
+  * r4-snapped cosine, ties to the lowest vec_id. Fully oracle-checked.
+  *
+  * 100 TB posture: the anchor batch is the broadcast side (queries are
+  * few; the corpus streams), so cost is corpus_rows × anchors dots with
+  * no shuffle before the per-anchor top-K reduction; the per-anchor
+  * window runs on anchor-keyed partitions of candidate SCORES only (id +
+  * cosine, no embeddings). For anchor batches beyond broadcast size or
+  * latency budgets, the production path is the IVF/PQ index family
+  * ([[graft.operators.Ann]]) with label post-filtering and over-fetch —
+  * same contract as every ANN query in the repo.
+  */
+object HardNegatives {
+
+  private val NAnchors = 8
+  private val K = 5
+
+  private def q135(s: SparkSession, dir: String): DataFrame = {
+    GraftFunctions.register(s)
+    val emb = Tables.embeddings(s, dir)
+    def norm(c: org.apache.spark.sql.Column) = sqrt(vecDot(c, c))
+    val anchors = emb.filter(col("vec_id") < NAnchors)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb"), norm(col("embedding")).as("a_nm"))
+    val w = Window.partitionBy(col("a_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    emb
+      .select(col("vec_id"), col("label"), col("embedding"),
+        norm(col("embedding")).as("nm"))
+      .join(broadcast(anchors), col("label") =!= col("a_label"))
+      .select(col("a_id"), col("vec_id"),
+        Parity.r4(vecDot(col("embedding"), col("a_emb"))
+          / (col("nm") * col("a_nm"))).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= K)
+      .select(col("a_id"), col("rank"), col("vec_id"), col("cos"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+
+  private val q135Sql =
+    s"""WITH v AS (
+       |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb,
+       |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+       |      CAST(embedding AS DOUBLE[]))) AS nm
+       |  FROM embeddings
+       |), a AS (
+       |  SELECT vec_id AS a_id, label AS a_label, emb AS a_emb, nm AS a_nm
+       |  FROM v WHERE vec_id < $NAnchors
+       |), scored AS (
+       |  SELECT a.a_id, v.vec_id,
+       |    FLOOR(list_dot_product(v.emb, a.a_emb) / (v.nm * a.a_nm)
+       |      * 10000 + 0.5) / 10000.0 AS cos
+       |  FROM v JOIN a ON v.label <> a.a_label
+       |)
+       |SELECT a_id, rank, vec_id, cos FROM (
+       |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY a_id
+       |    ORDER BY cos DESC, vec_id) AS INT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $K
+       |ORDER BY a_id, rank""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q135_hard_negatives", q135, Some(q135Sql)))
+}

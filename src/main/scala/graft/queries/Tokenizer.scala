@@ -151,8 +151,52 @@ object Tokenizer {
       |FROM per JOIN nd ON nd.source = per.source, tot
       |ORDER BY per.source""".stripMargin
 
+  /** q136: tokenizer fertility audit — BPE pieces per whitespace word by
+    * (source, lang), THE standard multilingual tokenizer-quality metric
+    * (a language whose words fragment into many pieces pays more of the
+    * model's context budget per word; cf. the fertility tables in
+    * multilingual tokenizer papers). Composes the trained vocabulary with
+    * a per-(source, lang) aggregate; training + encoding + the ratio are
+    * all oracle-replayed.
+    */
+  private def q136(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val (_, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), NMerges)
+    val pieces = dict.select(col("word"),
+      size(split(trim(col("sym")), " ")).cast("long").as("n_pieces"))
+    docs
+      .select(col("source"), col("lang"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .join(pieces, "word")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_tokens"),
+        Parity.r4(sum(col("n_pieces")) / count(lit(1))).as("fertility"))
+      .orderBy(col("source"), col("lang"))
+  }
+
+  private val q136Sql = trainSql(NMerges) +
+    s""", enc AS (
+      |  SELECT word, CAST(len(string_split(trim(sym), ' ')) AS BIGINT)
+      |    AS n_pieces
+      |  FROM wt$NMerges
+      |), sl AS (
+      |  SELECT d.source, d.lang, unnest(string_split(d.text, ' ')) AS word
+      |  FROM documents d
+      |)
+      |SELECT t.source, t.lang, COUNT(*) AS n_words,
+      |  CAST(SUM(e.n_pieces) AS BIGINT) AS n_tokens,
+      |  FLOOR(SUM(e.n_pieces) / COUNT(*) * 10000 + 0.5) / 10000.0
+      |    AS fertility
+      |FROM sl t JOIN enc e ON e.word = t.word
+      |WHERE t.word <> ''
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_bpe_train", q122, Some(q122Sql)),
     QueryDef("q123_bpe_encode", q123, Some(q123Sql)),
-    QueryDef("q128_token_budget_mix", q128, Some(q128Sql)))
+    QueryDef("q128_token_budget_mix", q128, Some(q128Sql)),
+    QueryDef("q136_tokenizer_fertility", q136, Some(q136Sql)))
 }

@@ -510,6 +510,60 @@ object ScaleRehearsal {
     // exact); the unsalted arm's max task carries the whole hot term.
     "sparse_skew_salted" -> ((s, _) => sparseSkewArm(s, salted = true)),
     "sparse_skew_unsalted" -> ((s, _) => sparseSkewArm(s, salted = false)),
+    // Round-9 k-means trainer at scale: k=64, 5 Lloyd rounds over the full
+    // 400k x 64-dim slice — 6 corpus scans (5 assign+recompute + 1 final
+    // assign), 4096-row mean collects per round. The slice PLANTS 64
+    // gaussian clusters (label = base % 64) and the 64 lowest-id seeds
+    // land one per planted cluster, so cluster RECOVERY is measurable at
+    // scale, not just wall time: purity = Σ_c max_label_count(c) / n.
+    "kmeans_400k" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val emb = graft.Tables.embeddings(s, dir)
+      val t0 = System.nanoTime()
+      val cents = graft.operators.KMeans.train(emb, "vec_id", "embedding",
+        k = 64, iters = 5)
+      val tTrain = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val asg = graft.operators.KMeans
+        .assign(emb, "vec_id", "embedding", cents)
+        .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+      val agg = asg.groupBy(col("cluster"), col("label"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("cluster"))
+        .agg(sum(col("n")).as("size"), max(col("n")).as("majority"))
+        .agg(count(lit(1)).as("clusters"), sum(col("size")).as("n"),
+          sum(col("majority")).as("pure"))
+        .localCheckpoint(true)
+      val r = agg.head()
+      val purity = math.rint(r.getLong(2).toDouble / r.getLong(1) * 1e4) / 1e4
+      println(s"""{"probe":"kmeans_400k","k":64,"iters":5,""" +
+        s""""train_sec":$tTrain,"clusters_nonempty":${r.getLong(0)},""" +
+        s""""n":${r.getLong(1)},"purity":$purity}""")
+      agg
+    }),
+    // Round-9 hard-negative mining at a production anchor batch: 256
+    // anchors x 400k corpus with label exclusion — the brute-force arm of
+    // q135's contract. ~100M scored candidate rows stream through the
+    // per-anchor top-5 window; metrics show whether the anchor-keyed
+    // exchange (scores only, no embeddings) stays proportionate.
+    "hardneg_400k" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.plans.GraftFunctions.vecDot
+      val emb = graft.Tables.embeddings(s, dir)
+      def nm(c: org.apache.spark.sql.Column) = sqrt(vecDot(c, c))
+      val anchors = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("a_emb"), nm(col("embedding")).as("a_nm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("cos").desc, col("vec_id"))
+      emb.select(col("vec_id"), col("label"), col("embedding"),
+          nm(col("embedding")).as("nm"))
+        .join(broadcast(anchors), col("label") =!= col("a_label"))
+        .select(col("a_id"), col("vec_id"),
+          (vecDot(col("embedding"), col("a_emb"))
+            / (col("nm") * col("a_nm"))).as("cos"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 5)
+    }),
     // q118's scale form: 1M-node power-law digraph, 5 out-edges per node
     // (dst = floor(n*u^3) skews in-degree toward low ids — hub structure
     // like a web graph), 5 PageRank iterations. Measures the per-iteration

@@ -262,4 +262,94 @@ class PipelineSpec extends SparkSpec {
       .select(countDistinct(col("source"))).as[Long].head()
     assert(srcCount > 1, "a diverse slice should span multiple sources")
   }
+
+  test("kmeans clusters → balanced sample → mixture reweight → hard negatives compose") {
+    import graft.operators.{KMeans, MixtureReweight, QualityClassifier}
+    val emb = Tables.embeddings(spark, sf())
+    val docs = Tables.documents(spark, sf())
+
+    // 1 — cluster structure TRAINED in-engine (k-means, 2 Lloyd rounds)
+    val cents = KMeans.train(emb, "vec_id", "embedding", k = 6, iters = 2)
+    val assigned = KMeans.assign(emb, "vec_id", "embedding", cents)
+    assert(assigned.select(countDistinct(col("cluster"))).as[Long].head() > 1,
+      "training must produce a non-degenerate clustering")
+
+    // 2 — cluster-balanced sample: per-cluster quota in md5-hash order;
+    // no cluster may exceed the quota and every nonempty cluster
+    // contributes min(quota, size)
+    val quota = 20
+    val h = graft.functions.TextHash.h60(
+      concat(lit("bal:"), col("id").cast("string")))
+    val sample = assigned
+      .select(col("id"), col("cluster"), h.as("hkey"))
+      .withColumn("pick", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster")).orderBy(col("hkey"), col("id"))))
+      .filter(col("pick") <= quota)
+    val sizes = assigned.groupBy(col("cluster")).count()
+      .as[(Long, Long)].collect().toMap
+    val taken = sample.groupBy(col("cluster")).count()
+      .as[(Long, Long)].collect().toMap
+    taken.foreach { case (c, n) =>
+      assert(n == math.min(quota.toLong, sizes(c)),
+        s"cluster $c took $n of ${sizes(c)} with quota $quota")
+    }
+
+    // 3 — the balanced ids select a document slice (vec_id ≡ doc_id in
+    // the fixture); mixture reweighting runs on ITS sources with the
+    // trained classifier's pass rate as the metric
+    val sliceDocs = docs.join(
+      sample.select(col("id").as("doc_id")), "doc_id")
+    val preds = QualityClassifier.centroidScores(
+      QualityClassifier.features(sliceDocs),
+      QualityClassifier.cascadeLabels(sliceDocs))
+      .select(col("doc_id"), col("pred"))
+    val per = sliceDocs
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .join(preds, "doc_id")
+      .groupBy(col("source"))
+      .agg(sum(col("n_tok")).as("tokens"),
+        graft.queries.Parity.r6(avg(col("pred").cast("double"))).as("m"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum(col("tokens")).as("ct"))
+    val base = per.crossJoin(broadcast(tot))
+      .select(col("source"),
+        graft.queries.Parity.r6(col("tokens") / col("ct")).as("w0"), col("m"))
+    val traj = MixtureReweight.reweight(
+      base, "source", "w0", "m", iters = 3, eta = 0.5, cap = 0.5)
+    val finalW = traj.filter(col("iter") === 3)
+      .select(sum(col("weight"))).as[Double].head()
+    assert(math.abs(finalW - 1.0) < 1e-3,
+      s"reweighted mixture must stay normalized: $finalW")
+
+    // 4 — hard negatives mined WITHIN the balanced sample: for 3 anchor
+    // vectors, every returned negative must carry a different label and
+    // come from the sample
+    import graft.plans.GraftFunctions.vecDot
+    graft.plans.GraftFunctions.register(spark)
+    val sampleEmb = emb.join(sample.select(col("id").as("vec_id")), "vec_id")
+    def nm(c: org.apache.spark.sql.Column) = sqrt(vecDot(c, c))
+    val anchors = sampleEmb.orderBy(col("vec_id")).limit(3)
+      .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+        col("embedding").as("a_emb"), nm(col("embedding")).as("a_nm"))
+    val negs = sampleEmb
+      .select(col("vec_id"), col("label"), col("embedding"),
+        nm(col("embedding")).as("nmv"))
+      .join(broadcast(anchors), col("label") =!= col("a_label"))
+      .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+        (vecDot(col("embedding"), col("a_emb"))
+          / (col("nmv") * col("a_nm"))).as("cos"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a_id")).orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rank") <= 4)
+    val rows = negs.collect()
+    assert(rows.length == 12, s"3 anchors x 4 negatives, got ${rows.length}")
+    assert(rows.forall(r => r.getAs[Int]("label") != r.getAs[Int]("a_label")),
+      "a hard negative must carry a different label than its anchor")
+    val sampleIds = sample.select(col("id")).as[Long].collect().toSet
+    assert(rows.forall(r => sampleIds.contains(r.getAs[Long]("vec_id"))),
+      "negatives must come from the balanced sample")
+  }
 }
