@@ -267,6 +267,64 @@ object Ann {
     ivfSearch(spark, corpus, ivfAssign(corpus, cents), cents, queryIds, k, nprobe)
   }
 
+  /** FILTERED approximate search — the production path for hard-negative
+    * mining (q135's scale form): for each query, the top-k most
+    * cosine-similar corpus vectors whose label DIFFERS from the query's.
+    * The label filter composes into the candidate set BEFORE any scoring
+    * (a broadcast join of the per-query label against the cell-pruned
+    * candidates), so same-label vectors cost nothing past the id join —
+    * the standard filtered-ANN design (filter during traversal, not
+    * post-filter the final k).
+    *
+    * Over-fetch contract: filtering shrinks each probed cell's usable
+    * candidates by the filtered fraction, so callers should raise
+    * `nprobe` accordingly (a label covering half the corpus wants ~2× the
+    * unfiltered nprobe for the same recall). Recall vs the exact
+    * different-label brute force is measured in AnnSpec.
+    */
+  def ivfHardNegatives(
+      spark: SparkSession,
+      corpus: Dataset[Vec],
+      labels: DataFrame,
+      queryIds: Seq[Long],
+      k: Int,
+      nCells: Int = 16,
+      nprobe: Int = 4): DataFrame = {
+    import spark.implicits._
+    val cents = ivfCentroidsKMeans(corpus, nCells)
+    val assigned = ivfAssign(corpus, cents)
+    val bc = spark.sparkContext.broadcast(cents)
+    val qCells = corpus.filter(col("id").isin(queryIds: _*)).as[Vec]
+      .flatMap { q =>
+        nearestCells(q.embedding, bc.value, nprobe).map(c => (q.id, c))
+      }
+      .toDF("q_id", "cell")
+    val lab = labels.select(col("id").cast("long").as("id"),
+      col("label").as("lab"))
+    val qLab = lab.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("lab").as("q_lab"))
+    // label inequality joins into the candidate stage: cell-pruned ids ⋈
+    // candidate label, anchor label broadcast — same-label rows die here
+    val candidates = assigned.join(broadcast(qCells), "cell")
+      .filter(col("id") =!= col("q_id"))
+      .join(lab, "id")
+      .join(broadcast(qLab), "q_id")
+      .filter(col("lab") =!= col("q_lab"))
+      .select("q_id", "id").distinct()
+    val corpusDf = corpus.toDF("id", "embedding")
+    val qDf = corpusDf.filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    GraftFunctions.register(spark)
+    val scored = candidates
+      .join(corpusDf, "id")
+      .join(broadcast(qDf), "q_id")
+      .select(col("q_id"), col("id"),
+        cosineNative(col("embedding"), col("q_emb")).as("cos_sim"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos_sim").desc, col("id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Persist an IVF index (centroids + per-vector cell assignments) as
     * parquet — the build-once / search-many lifecycle: at corpus scale the
     * assignment pass is the expensive step, so it runs once and every

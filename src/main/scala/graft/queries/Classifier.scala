@@ -152,7 +152,56 @@ object Classifier {
       |FROM m3 JOIN lab l ON l.doc_id = m3.doc_id
       |ORDER BY m3.doc_id""".stripMargin
 
+  /** q137: curriculum ordering (Bengio et al. 2009) — the trained quality
+    * score quantiles define difficulty bands (band 1 = highest-scored =
+    * "easiest" first), and WITHIN each band documents are shuffled by the
+    * repo's deterministic md5 order (the q69 convention), so the training
+    * stream is easy→hard across bands but unordered inside one — the
+    * standard curriculum schedule, reproducible in any engine. Emits
+    * (band, pos, doc_id, score): global training position = (band, pos).
+    *
+    * Scale note (DESIGN §2's low-cardinality-window ledger): the declared
+    * form's global ntile is a one-task sort at corpus scale; the 100 TB
+    * form computes the 3 score cut points first (one aggregate over the
+    * score distribution — exact via the q93 distribution pattern or
+    * approx_percentile) and assigns bands scan-side with a CASE, which is
+    * semantically identical up to boundary ties. The per-band position
+    * window partitions on `band` and is fine (4 partitions × hash order —
+    * the same shape as q69's sharded shuffle with band as the shard).
+    */
+  private def q137(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val scores = QualityClassifier.centroidScores(
+      QualityClassifier.features(docs), QualityClassifier.cascadeLabels(docs))
+      .select(col("doc_id"), col("score"))
+    val bandW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score").desc, col("doc_id"))
+    val h = graft.functions.TextHash.h60(
+      concat(lit("cur:"), col("doc_id").cast("string")))
+    val posW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band")).orderBy(col("hkey"), col("doc_id"))
+    scores
+      .withColumn("band", ntile(4).over(bandW))
+      .withColumn("hkey", h)
+      .withColumn("pos", row_number().over(posW))
+      .select(col("band"), col("pos"), col("doc_id"), col("score"))
+      .orderBy(col("band"), col("pos"))
+  }
+
+  private val q137Sql = featSql + centroidScoreCtes +
+    """
+      |SELECT band, CAST(ROW_NUMBER() OVER (PARTITION BY band
+      |    ORDER BY ('0x' || substr(md5('cur:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+      |      doc_id) AS INT) AS pos,
+      |  doc_id, score
+      |FROM (
+      |  SELECT doc_id, score,
+      |    CAST(NTILE(4) OVER (ORDER BY score DESC, doc_id) AS INT) AS band
+      |  FROM scores)
+      |ORDER BY band, pos""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q120_quality_centroid", q120, Some(q120Sql)),
-    QueryDef("q121_quality_logistic", q121, Some(q121Sql)))
+    QueryDef("q121_quality_logistic", q121, Some(q121Sql)),
+    QueryDef("q137_curriculum_order", q137, Some(q137Sql)))
 }

@@ -126,7 +126,52 @@ object Clustering {
          |WHERE pick <= $Quota
          |ORDER BY cluster, pick""".stripMargin
 
+  /** q139: cluster-quality card — per trained cluster: size, majority
+    * label, and purity (majority share), the standard external clustering
+    * evaluation when labels exist. Closes the loop the kmeans_400k
+    * rehearsal measures at scale (planted-cluster purity 0.94 at 400k
+    * vectors); at sf the labels are the fixture's 0..9, so purity here
+    * reads as "how label-aligned did Lloyd's get from id seeds", a
+    * data-card row, not a benchmark.
+    */
+  private def q139(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val asg = KMeans.fit(emb, "vec_id", "embedding", K, Iters)
+    val cnt = asg.select(col("id"), col("cluster"))
+      .join(emb.select(col("vec_id").as("id"), col("label")), "id")
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("cluster")).agg(sum(col("n")).as("size"))
+    cnt
+      .withColumn("rn", row_number().over(Window.partitionBy(col("cluster"))
+        .orderBy(col("n").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .join(tot, "cluster")
+      .select(col("cluster"), col("size"), col("label").as("top_label"),
+        col("n").as("top_n"), Parity.r4(col("n") / col("size")).as("purity"))
+      .orderBy(col("cluster"))
+  }
+
+  private def q139Sql: String =
+    trainedAsgSql +
+      """, clab AS (
+        |  SELECT a.c_id AS cluster, e.label
+        |  FROM asgF a JOIN embeddings e ON e.vec_id = a.id
+        |), ccnt AS (
+        |  SELECT cluster, label, COUNT(*) AS n FROM clab GROUP BY 1, 2
+        |), ctot AS (
+        |  SELECT cluster, CAST(SUM(n) AS BIGINT) AS size FROM ccnt GROUP BY 1
+        |)
+        |SELECT c.cluster, t.size, c.label AS top_label,
+        |  CAST(c.n AS BIGINT) AS top_n,
+        |  FLOOR(c.n / t.size * 10000 + 0.5) / 10000.0 AS purity
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster
+        |        ORDER BY n DESC, label) AS rn FROM ccnt) c
+        |JOIN ctot t ON t.cluster = c.cluster
+        |WHERE c.rn = 1
+        |ORDER BY c.cluster""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q132_kmeans_train", q132, Some(q132Sql)),
-    QueryDef("q133_cluster_balanced_sample", q133, Some(q133Sql)))
+    QueryDef("q133_cluster_balanced_sample", q133, Some(q133Sql)),
+    QueryDef("q139_cluster_quality", q139, Some(q139Sql)))
 }

@@ -548,6 +548,7 @@ object ScaleRehearsal {
     "hardneg_400k" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import graft.plans.GraftFunctions.vecDot
+      graft.plans.GraftFunctions.register(s)
       val emb = graft.Tables.embeddings(s, dir)
       def nm(c: org.apache.spark.sql.Column) = sqrt(vecDot(c, c))
       val anchors = emb.filter(col("vec_id") < 256)
@@ -563,6 +564,62 @@ object ScaleRehearsal {
             / (col("nm") * col("a_nm"))).as("cos"))
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
+    }),
+    // Round-9 filtered-ANN A/B at the same 256-anchor batch: brute
+    // different-label top-5 (the hardneg_400k arm, ~100M scored pairs)
+    // vs Ann.ivfHardNegatives (cell-pruned candidates, label filter in
+    // the candidate stage). Prints both walls and the IVF arm's recall
+    // against the brute answer — the filtered-search over-fetch contract
+    // measured at scale. Runs both arms itself; `dir` is the slice.
+    "hardneg_ivf_ab" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import graft.plans.GraftFunctions.vecDot
+      import s.implicits._
+      graft.plans.GraftFunctions.register(s)
+      val emb = graft.Tables.embeddings(s, dir)
+      def nm(c: org.apache.spark.sql.Column) = sqrt(vecDot(c, c))
+      def timed[A](f: => A): (A, Double) = {
+        val t0 = System.nanoTime()
+        val a = f
+        (a, math.rint((System.nanoTime() - t0) / 1e7) / 100.0)
+      }
+      val anchors = emb.filter(col("vec_id") < 256)
+        .select(col("vec_id").as("a_id"), col("label").as("a_label"),
+          col("embedding").as("a_emb"), nm(col("embedding")).as("a_nm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("a_id")).orderBy(col("cos").desc, col("vec_id"))
+      val (brute, tBrute) = timed {
+        emb.select(col("vec_id"), col("label"), col("embedding"),
+            nm(col("embedding")).as("nmv"))
+          .join(broadcast(anchors), col("label") =!= col("a_label"))
+          .select(col("a_id"), col("vec_id"),
+            (vecDot(col("embedding"), col("a_emb"))
+              / (col("nmv") * col("a_nm"))).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+          .select("a_id", "vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      }
+      val corpus = emb.select(col("vec_id").as("id"), col("embedding"))
+        .as[graft.operators.Vec]
+      val labels = emb.select(col("vec_id").as("id"), col("label"))
+      val qIds = (0L until 256L).toSeq
+      val (approx, tIvf) = timed {
+        graft.operators.Ann.ivfHardNegatives(s, corpus, labels, qIds,
+            k = 5, nCells = 64, nprobe = 8)
+          .select(col("q_id"), col("id")).as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      }
+      val recalls = qIds.map { q =>
+        val e = brute.getOrElse(q, Set.empty)
+        if (e.isEmpty) 1.0
+        else approx.getOrElse(q, Set.empty).intersect(e).size.toDouble / e.size
+      }
+      val mean = math.rint(recalls.sum / recalls.size * 1e4) / 1e4
+      println(s"""{"probe":"hardneg_ivf_ab","anchors":256,""" +
+        s""""brute_sec":$tBrute,"ivf_sec":$tIvf,"ivf_recall_at5":$mean,""" +
+        s""""ncells":64,"nprobe":8}""")
+      Seq((tBrute, tIvf, mean)).toDF("brute_sec", "ivf_sec", "recall")
     }),
     // q118's scale form: 1M-node power-law digraph, 5 out-edges per node
     // (dst = floor(n*u^3) skews in-degree toward low ids — hub structure

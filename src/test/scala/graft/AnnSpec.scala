@@ -70,6 +70,41 @@ class AnnSpec extends SparkSpec {
     assert(meanRecall > 0.3, s"mean recall $meanRecall (per-query: $recalls)")
   }
 
+  test("filtered ivf hard negatives: only different-label results, useful recall") {
+    val labels = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("id"), col("label"))
+    val labMap = labels.as[(Long, Int)].collect().toMap
+    val queryIds = Seq(1L, 2L, 3L, 4L, 5L)
+    val queries = corpus.toDF().filter(col("id").isin(queryIds: _*))
+      .select(col("id").as("q_id"), col("embedding").as("q_emb"))
+    // exact different-label top-10 per anchor = brute force over the
+    // anchor's complement-label corpus
+    val exact = queryIds.map { q =>
+      val others = corpus.toDF().join(labels, "id")
+        .filter(col("label") =!= labMap(q) && col("id") =!= q)
+      q -> Ann.bruteForceTopK(others.select(col("id"), col("embedding")),
+          queries.filter(col("q_id") === q), 10)
+        .select("id").as[Long].collect().toSet
+    }.toMap
+    val approx = Ann.ivfHardNegatives(spark, corpus, labels, queryIds,
+        k = 10, nCells = 16, nprobe = 8)
+      .select("q_id", "id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // contract 1: every returned negative has a different label
+    approx.foreach { case (q, ids) =>
+      ids.foreach(id => assert(labMap(id) != labMap(q),
+        s"same-label vector $id returned for anchor $q"))
+    }
+    // contract 2: recall beats the scanned-fraction baseline (nprobe 8/16
+    // = half the corpus; over-fetched per the filtered-search contract)
+    val recalls = queryIds.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toDouble /
+        exact(q).size
+    }
+    val meanRecall = recalls.sum / recalls.size
+    assert(meanRecall > 0.5, s"mean recall $meanRecall (per-query: $recalls)")
+  }
+
   test("lsh topk beats random-candidate recall vs brute force") {
     val queryIds = Seq(1L, 2L, 3L, 4L, 5L)
     val queries = corpus.toDF().filter(col("id").isin(queryIds: _*))
