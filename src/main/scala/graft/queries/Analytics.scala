@@ -411,8 +411,66 @@ object Analytics {
       |ORDER BY rank_n DESC, node
       |LIMIT 25""".stripMargin
 
+  /** q140: synchronous label propagation
+    * ([[graft.operators.LabelPropagation]], Raghavan et al. 2007) on the
+    * q118 co-purchase graph — community detection where connected
+    * components are too coarse (the whole bipartite graph is one
+    * component; LPA splits it by local label majorities). 3 synchronous
+    * rounds, ties to the smallest label string; the oracle unrolls every
+    * round (count CTE → rank-1 argmax → coalesce for in-degree-0 nodes,
+    * MATERIALIZED per round — each round is referenced twice, by the
+    * next count and the coalesce, and DuckDB inlines per reference).
+    * Declared output is every node's final label.
+    */
+  private def q140(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+    graft.operators.LabelPropagation.run(e, "src", "dst", iters = 3)
+      .select(col("id").as("node"), col("lbl").as("label"))
+      .orderBy(col("node"))
+  }
+
+  private def q140Sql: String = {
+    val sb = new StringBuilder(
+      """WITH e0 AS (
+        |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |), e AS MATERIALIZED (
+        |  SELECT 'c:' || c AS src, 's:' || s AS dst FROM e0
+        |  UNION ALL
+        |  SELECT 's:' || s AS src, 'c:' || c AS dst FROM e0
+        |), l0 AS MATERIALIZED (
+        |  SELECT DISTINCT id, id AS lbl FROM (
+        |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
+        |)""".stripMargin)
+    for (t <- 1 to 3) {
+      sb.append(s"""
+        |, cn$t AS (
+        |  SELECT e.dst, p.lbl, COUNT(*) AS c
+        |  FROM e JOIN l${t - 1} p ON p.id = e.src
+        |  GROUP BY 1, 2
+        |), w$t AS (
+        |  SELECT dst AS id, lbl FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY dst
+        |      ORDER BY c DESC, lbl) AS rn FROM cn$t)
+        |  WHERE rn = 1
+        |), l$t AS MATERIALIZED (
+        |  SELECT p.id, COALESCE(w.lbl, p.lbl) AS lbl
+        |  FROM l${t - 1} p LEFT JOIN w$t w ON w.id = p.id
+        |)""".stripMargin)
+    }
+    sb.append("""
+      |SELECT id AS node, lbl AS label FROM l3 ORDER BY node""".stripMargin)
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q118_pagerank", q118, Some(q118Sql)),
+    QueryDef("q140_label_propagation", q140, Some(q140Sql)),
     QueryDef("q98_funnel", q98, Some(q98Sql)),
     QueryDef("q99_retention", q99, Some(q99Sql)),
     QueryDef("q81_zorder_key", q81, Some(q81Sql)),

@@ -621,6 +621,35 @@ object ScaleRehearsal {
         s""""ncells":64,"nprobe":8}""")
       Seq((tBrute, tIvf, mean)).toDF("brute_sec", "ivf_sec", "recall")
     }),
+    // Round-9 LPA at scale: 4 synchronous rounds on the same 1M-node
+    // power-law digraph as q118_graph (5M edges, undirected-mirrored to
+    // 10M) — per round one |E| join + one (node, label) aggregate + the
+    // rank-1 window (map-side-pruned by WindowGroupLimit). Prints the
+    // community count eagerly (the quality signal: hub structure should
+    // collapse the graph into far fewer communities than nodes).
+    "q140_graph" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val n = 1000000L
+      val edges = s.range(n).mapPartitions { it =>
+        it.flatMap { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x5851F42DL + 99L)
+          (0 until 5).map { _ =>
+            val u = rng.nextDouble()
+            (id, (n * u * u * u).toLong.min(n - 1))
+          }
+        }
+      }.toDF("src", "dst")
+      val lab = graft.operators.LabelPropagation
+        .runLong(edges, "src", "dst", iters = 4)
+      val agg = lab.agg(count(lit(1)).as("nodes"),
+        countDistinct(col("lbl")).as("communities")).localCheckpoint(true)
+      val r = agg.head()
+      println(s"""{"probe":"q140_graph","nodes":${r.getLong(0)},""" +
+        s""""communities":${r.getLong(1)}}""")
+      agg
+    }),
     // q118's scale form: 1M-node power-law digraph, 5 out-edges per node
     // (dst = floor(n*u^3) skews in-degree toward low ids — hub structure
     // like a web graph), 5 PageRank iterations. Measures the per-iteration
