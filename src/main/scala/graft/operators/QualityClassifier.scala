@@ -176,6 +176,40 @@ object QualityClassifier {
     wts
   }
 
+  /** Platt scaling (Platt 1999): calibrate a raw scorer's outputs into
+    * probabilities by fitting sigmoid(a·s + b) to the labels with
+    * full-batch GD on (a, b) — the post-hoc calibration step every
+    * threshold-based corpus filter wants (a raw margin of 1.7 means
+    * nothing; a calibrated p=0.92 does). Same trainer contract as
+    * [[trainLogistic]]: fixed iterations, ONE aggregate per iteration
+    * (here a 1-row (ga, gb) collect), parameters r6-snapped per update so
+    * the trajectory replays in any engine that can sum and exp (q141).
+    *
+    * @param scored (scoreCol, yCol) rows — the scorer's output with
+    *   binary labels
+    * @return (a, b) of the fitted sigmoid
+    */
+  def calibratePlatt(scored: DataFrame, scoreCol: String, yCol: String,
+      iters: Int = 4, lr: Double = 0.5): (Double, Double) = {
+    require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    var a = 1.0
+    var b = 0.0
+    var t = 0
+    while (t < iters) {
+      val p = lit(1.0) / (lit(1.0) +
+        exp(-(lit(a) * col(scoreCol) + lit(b))))
+      val g = scored.agg(
+        (sum(col(scoreCol) * (p - col(yCol))) / count(lit(1))).as("ga"),
+        (sum(p - col(yCol)) / count(lit(1))).as("gb"))
+        .head()
+      a = r6(a - lr * g.getDouble(0))
+      b = r6(b - lr * g.getDouble(1))
+      t += 1
+    }
+    (a, b)
+  }
+
   /** Scores `feat` with literal `weights`: `(doc_id, p, pred)` where
     * p = sigmoid(w·x) r4-snapped. Pure scan + one slot-keyed aggregate —
     * the deployable inference path. */

@@ -434,7 +434,11 @@ object Analytics {
       .orderBy(col("node"))
   }
 
-  private def q140Sql: String = {
+  /** The q140 LPA trajectory as a reusable CTE prelude ending in
+    * `l{iters}` — shared by q140 (the labels) and q142 (the modularity
+    * card over the same labels).
+    */
+  private def lpaPrelude(iters: Int): String = {
     val sb = new StringBuilder(
       """WITH e0 AS (
         |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
@@ -447,7 +451,7 @@ object Analytics {
         |  SELECT DISTINCT id, id AS lbl FROM (
         |    SELECT src AS id FROM e UNION ALL SELECT dst FROM e)
         |)""".stripMargin)
-    for (t <- 1 to 3) {
+    for (t <- 1 to iters) {
       sb.append(s"""
         |, cn$t AS (
         |  SELECT e.dst, p.lbl, COUNT(*) AS c
@@ -463,14 +467,85 @@ object Analytics {
         |  FROM l${t - 1} p LEFT JOIN w$t w ON w.id = p.id
         |)""".stripMargin)
     }
-    sb.append("""
-      |SELECT id AS node, lbl AS label FROM l3 ORDER BY node""".stripMargin)
     sb.toString
   }
+
+  private def q140Sql: String =
+    lpaPrelude(3) + """
+      |SELECT id AS node, lbl AS label FROM l3 ORDER BY node""".stripMargin
+
+  /** q142: Newman modularity card for the q140 communities — per
+    * community: node count, internal half-edge count, degree mass, and
+    * its modularity contribution Q_c = within/|E| − (degsum/|E|)² over
+    * the mirrored edge set (so Σ Q_c is the standard Newman Q). The
+    * quality report that says whether the LPA labels cut the graph at
+    * sparse boundaries (Q_c > 0: denser inside than a random graph with
+    * the same degrees) — the community counterpart to q139's purity card.
+    * All-integer counts up to the final two divisions; same LPA
+    * trajectory as q140, so the oracle re-verifies the training a second
+    * way through its aggregates.
+    */
+  private def q142(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(concat(lit("c:"), col("o_custkey")).as("src"),
+        concat(lit("s:"), col("l_suppkey")).as("dst"))
+      .distinct()
+    val lab = graft.operators.LabelPropagation.run(base, "src", "dst", 3)
+    val sym = base
+      .union(base.select(col("dst").as("src"), col("src").as("dst")))
+      .localCheckpoint(true)
+    val m2 = sym.agg(count(lit(1)).as("m2"))
+    val degsum = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .join(lab.select(col("id").as("src"), col("lbl")), "src")
+      .groupBy(col("lbl")).agg(sum(col("deg")).as("degsum"))
+    val within = sym
+      .join(lab.select(col("id").as("src"), col("lbl").as("sl")), "src")
+      .join(lab.select(col("id").as("dst"), col("lbl").as("dl")), "dst")
+      .filter(col("sl") === col("dl"))
+      .groupBy(col("sl").as("lbl")).agg(count(lit(1)).as("within"))
+    val nn = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
+    nn.join(degsum, "lbl")
+      .join(within, Seq("lbl"), "left")
+      .crossJoin(broadcast(m2))
+      .select(col("lbl").as("label"), col("n_nodes"),
+        coalesce(col("within"), lit(0L)).as("internal_halfedges"),
+        col("degsum"),
+        Parity.r6(coalesce(col("within"), lit(0L)) / col("m2")
+          - (col("degsum") / col("m2")) * (col("degsum") / col("m2")))
+          .as("q_c"))
+      .orderBy(col("label"))
+  }
+
+  private def q142Sql: String =
+    lpaPrelude(3) + """
+      |, m2t AS (SELECT COUNT(*) AS m2 FROM e),
+      |degs AS (SELECT src AS id, COUNT(*) AS deg FROM e GROUP BY 1),
+      |ds AS (
+      |  SELECT l.lbl, CAST(SUM(d.deg) AS BIGINT) AS degsum
+      |  FROM degs d JOIN l3 l ON l.id = d.id GROUP BY 1
+      |), wi AS (
+      |  SELECT a.lbl, COUNT(*) AS within
+      |  FROM e JOIN l3 a ON a.id = e.src JOIN l3 b ON b.id = e.dst
+      |  WHERE a.lbl = b.lbl GROUP BY 1
+      |), nnc AS (
+      |  SELECT lbl, COUNT(*) AS n_nodes FROM l3 GROUP BY 1
+      |)
+      |SELECT n.lbl AS label, n.n_nodes,
+      |  CAST(COALESCE(w.within, 0) AS BIGINT) AS internal_halfedges,
+      |  ds.degsum,
+      |  FLOOR((COALESCE(w.within, 0) / m2t.m2
+      |    - (ds.degsum / m2t.m2) * (ds.degsum / m2t.m2)) * 1000000 + 0.5)
+      |    / 1000000.0 AS q_c
+      |FROM nnc n JOIN ds ON ds.lbl = n.lbl
+      |LEFT JOIN wi w ON w.lbl = n.lbl, m2t
+      |ORDER BY label""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q118_pagerank", q118, Some(q118Sql)),
     QueryDef("q140_label_propagation", q140, Some(q140Sql)),
+    QueryDef("q142_community_modularity", q142, Some(q142Sql)),
     QueryDef("q98_funnel", q98, Some(q98Sql)),
     QueryDef("q99_retention", q99, Some(q99Sql)),
     QueryDef("q81_zorder_key", q81, Some(q81Sql)),

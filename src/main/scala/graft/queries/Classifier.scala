@@ -200,8 +200,65 @@ object Classifier {
       |  FROM scores)
       |ORDER BY band, pos""".stripMargin
 
+  /** q141: Platt-calibrated quality probabilities
+    * ([[QualityClassifier.calibratePlatt]]) — the centroid scorer's raw
+    * margins mapped to probabilities by a sigmoid fitted in-engine (4 GD
+    * rounds on (a, b), r6-snapped per update). The oracle replays
+    * featurize → centroid train → score → all four calibration rounds →
+    * final calibrated probability per document; `sc2`/`ab{t}` CTEs are
+    * MATERIALIZED (each is referenced by both the next gradient and the
+    * next update — the q134 DuckDB-inlining lesson).
+    */
+  private def q141(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val sc = QualityClassifier.centroidScores(
+      QualityClassifier.features(docs), QualityClassifier.cascadeLabels(docs))
+      .select(col("doc_id"), col("score"), col("y"))
+      .localCheckpoint(true)
+    val (a, b) = QualityClassifier.calibratePlatt(sc, "score", "y",
+      iters = 4, lr = 0.5)
+    sc.select(col("doc_id"), col("score"), col("y"),
+      Parity.r4(lit(1.0) / (lit(1.0) +
+        exp(-(lit(a) * col("score") + lit(b))))).as("p_cal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def q141Sql: String = {
+    val sb = new StringBuilder(featSql + centroidScoreCtes)
+    sb.append(
+      """, sc2 AS MATERIALIZED (
+        |  SELECT s.doc_id, s.score, l.y
+        |  FROM scores s JOIN lab l USING (doc_id)
+        |), ab0 AS (
+        |  SELECT 1.0 AS a, 0.0 AS b
+        |)""".stripMargin)
+    for (t <- 1 to 4) {
+      sb.append(s"""
+        |, g$t AS (
+        |  SELECT
+        |    SUM(s.score * (1.0 / (1.0 + exp(-(ab.a * s.score + ab.b))) - s.y))
+        |      / COUNT(*) AS ga,
+        |    SUM(1.0 / (1.0 + exp(-(ab.a * s.score + ab.b))) - s.y)
+        |      / COUNT(*) AS gb
+        |  FROM sc2 s, ab${t - 1} ab
+        |), ab$t AS MATERIALIZED (
+        |  SELECT FLOOR((ab.a - 0.5 * g.ga) * 1000000 + 0.5) / 1000000.0 AS a,
+        |    FLOOR((ab.b - 0.5 * g.gb) * 1000000 + 0.5) / 1000000.0 AS b
+        |  FROM ab${t - 1} ab, g$t g
+        |)""".stripMargin)
+    }
+    sb.append("""
+      |SELECT s.doc_id, s.score, s.y,
+      |  FLOOR(1.0 / (1.0 + exp(-(ab.a * s.score + ab.b))) * 10000 + 0.5)
+      |    / 10000.0 AS p_cal
+      |FROM sc2 s, ab4 ab
+      |ORDER BY s.doc_id""".stripMargin)
+    sb.toString
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q120_quality_centroid", q120, Some(q120Sql)),
     QueryDef("q121_quality_logistic", q121, Some(q121Sql)),
-    QueryDef("q137_curriculum_order", q137, Some(q137Sql)))
+    QueryDef("q137_curriculum_order", q137, Some(q137Sql)),
+    QueryDef("q141_platt_calibration", q141, Some(q141Sql)))
 }

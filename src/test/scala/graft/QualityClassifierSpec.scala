@@ -65,6 +65,31 @@ class QualityClassifierSpec extends SparkSpec {
     assert(l5 <= l1 + 1e-9 && l20 <= l5 + 1e-9, s"loss rose: $l1 -> $l5 -> $l20")
   }
 
+  test("Platt calibration reduces log-loss over the uncalibrated sigmoid") {
+    import spark.implicits._
+    // miscalibrated scorer: score = 4*y - 2 + noise-free offset — the raw
+    // sigmoid(score) is overconfident; Platt must pull (a, b) toward a
+    // better-calibrated map
+    val scored = (0 until 200).map { i =>
+      val y = if (i % 3 == 0) 1.0 else 0.0
+      val s = (if (y == 1.0) 0.8 else -0.4) + (i % 7) * 0.01
+      (i.toLong, s, y)
+    }.toDF("doc_id", "score", "y")
+    def loss(a: Double, b: Double): Double =
+      scored.select(avg(-(col("y") *
+        log(greatest(lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("score") + lit(b)))), lit(1e-12))) +
+        (lit(1.0) - col("y")) *
+          log(greatest(lit(1.0) - lit(1.0) / (lit(1.0) + exp(-(lit(a) * col("score") + lit(b)))), lit(1e-12))))).as("l"))
+        .collect()(0).getDouble(0)
+    val (a, b) = QualityClassifier.calibratePlatt(scored, "score", "y",
+      iters = 8, lr = 0.5)
+    assert(loss(a, b) < loss(1.0, 0.0) - 1e-6,
+      s"calibration did not reduce loss: (a=$a, b=$b)")
+    // determinism: the snapped trajectory must replay exactly
+    assert((a, b) == QualityClassifier.calibratePlatt(scored, "score", "y",
+      iters = 8, lr = 0.5))
+  }
+
   test("distillation accuracy on the real corpus beats the base rate") {
     val n = labels.count().toDouble
     val base = math.max(
