@@ -94,6 +94,55 @@ object Mixture {
     sb.toString
   }
 
+  /** q144: temperature-smoothed source mixing — w_s ∝ share_s^α with
+    * α = 0.3, the exponent-smoothing knob of multilingual/multi-source
+    * pretraining (mBERT/XLM-R style: α < 1 upsamples small sources,
+    * α = 1 is proportional, α = 0 uniform). One aggregate over the
+    * corpus, pow + normalize on the |S|-row frame; shares are r6-snapped
+    * BEFORE the pow so both engines exponentiate identical doubles, and
+    * the final weights r6-snap after the normalize (pow's last-ulp
+    * wobble across libms is ~10 orders below the snap grid).
+    */
+  private val Alpha = 0.3
+
+  private def q144(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.documents(s, dir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source")).agg(sum(col("n_tok")).as("tokens"))
+      .localCheckpoint(true)
+    val tot = per.agg(sum(col("tokens")).as("ct"))
+    val shared = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("tokens"),
+        Parity.r6(col("tokens") / col("ct")).as("share"))
+      .localCheckpoint(true)
+    val ptot = shared.agg(sum(pow(col("share"), lit(Alpha))).as("pt"))
+    shared.crossJoin(broadcast(ptot))
+      .select(col("source"), col("tokens"), col("share"),
+        Parity.r6(pow(col("share"), lit(Alpha)) / col("pt")).as("temp_weight"))
+      .orderBy(col("source"))
+  }
+
+  private val q144Sql =
+    s"""WITH per AS MATERIALIZED (
+       |  SELECT source, CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+       |    AS tokens
+       |  FROM documents GROUP BY 1
+       |), tot AS (
+       |  SELECT CAST(SUM(tokens) AS BIGINT) AS ct FROM per
+       |), shared AS MATERIALIZED (
+       |  SELECT source, tokens,
+       |    FLOOR(tokens / ct * 1000000 + 0.5) / 1000000.0 AS share
+       |  FROM per, tot
+       |), ptot AS (
+       |  SELECT SUM(POWER(share, $Alpha)) AS pt FROM shared
+       |)
+       |SELECT source, tokens, share,
+       |  FLOOR(POWER(share, $Alpha) / pt * 1000000 + 0.5) / 1000000.0
+       |    AS temp_weight
+       |FROM shared, ptot
+       |ORDER BY source""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q134_mixture_reweight", q134, Some(q134Sql)))
+    QueryDef("q134_mixture_reweight", q134, Some(q134Sql)),
+    QueryDef("q144_mixture_temperature", q144, Some(q144Sql)))
 }
