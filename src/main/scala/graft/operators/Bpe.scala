@@ -117,6 +117,66 @@ object Bpe {
     (merges.result(), wt)
   }
 
+  /** WordPiece-style training (Schuster & Nakajima 2012; the BERT
+    * tokenizer family): same representation and merge APPLICATION as BPE,
+    * but merges are selected by the LIKELIHOOD score
+    * `cnt(l,r) / cnt(l) / cnt(r)` — the pair whose fusion most increases
+    * corpus likelihood under a unigram model — instead of raw pair
+    * frequency. The score is spelled as two LEFT-ASSOCIATIVE divisions
+    * (never `cnt/(cl*cr)`: the product overflows Long at web-scale symbol
+    * counts, and both engines must round identically — two IEEE divisions
+    * of exact integer-valued doubles do). Ties break on (l, r) order, so
+    * the trajectory is oracle-replayable exactly like [[train]] (q145).
+    *
+    * Per iteration: pair counts AND symbol counts are two aggregates over
+    * the word-TYPE table (never the corpus), two broadcast-sized joins
+    * attach the unigram counts, one 1-row argmax collect — the
+    * bounded-trainer shape; corpus-scale work remains the single
+    * [[wordTypes]] pass.
+    */
+  def trainWordPiece(wordTypes: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
+    require(nMerges >= 1 && nMerges <= 10000,
+      s"nMerges must be in [1, 10000], got $nMerges")
+    var wt = wordTypes.localCheckpoint(true)
+    val merges = Seq.newBuilder[Merge]
+    var learned = 0
+    var exhausted = false
+    while (learned < nMerges && !exhausted) {
+      val a = split(trim(col("sym")), " ")
+      val pairs = wt
+        .select(col("freq"),
+          when(size(a) >= 2,
+            transform(sequence(lit(1), size(a) - 1),
+              k => struct(element_at(a, k).as("l"), element_at(a, k + 1).as("r"))))
+            .otherwise(array().cast("array<struct<l:string,r:string>>"))
+            .as("prs"))
+        .select(col("freq"), explode(col("prs")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+      val syms = wt
+        .select(col("freq"), explode(a).as("s"))
+        .groupBy(col("s")).agg(sum(col("freq")).as("c"))
+      val top = pairs
+        .join(syms.select(col("s").as("l"), col("c").as("cl")), "l")
+        .join(syms.select(col("s").as("r"), col("c").as("cr")), "r")
+        .select(col("l"), col("r"), col("cnt"),
+          (col("cnt") / col("cl") / col("cr")).as("score"))
+        .orderBy(col("score").desc, col("l"), col("r"))
+        .limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val m = Merge(top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += m
+        learned += 1
+        wt = wt.withColumn("sym",
+          collapsed(mergeOnDoubled(doubled(col("sym")), m)))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.result(), wt)
+  }
+
   /** The learned merge table as a tiny literal frame
     * `(rank, l, r, merged, cnt)`. */
   def mergeTable(spark: SparkSession, merges: Seq[Merge]): DataFrame = {

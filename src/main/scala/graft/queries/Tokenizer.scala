@@ -194,9 +194,72 @@ object Tokenizer {
       |GROUP BY 1, 2
       |ORDER BY 1, 2""".stripMargin
 
+  /** Unrolled WordPiece training prelude (mirrors [[trainSql]] but ranks
+    * merges by the likelihood score `cnt/cl/cr` — two left-associative
+    * divisions, matching [[graft.operators.Bpe.trainWordPiece]] exactly).
+    * `wt{i}` and `sy{i}` are MATERIALIZED: each round's type table feeds
+    * the pair counts, the symbol counts, AND the next round (DuckDB
+    * inlines per reference site — the q134 lesson).
+    */
+  private[queries] def trainWpSql(n: Int): String = {
+    val sb = new StringBuilder(
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        |), w0 AS (
+        |  SELECT word, COUNT(*) AS freq FROM toks WHERE word <> '' GROUP BY 1
+        |), wt0 AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    ' ' || array_to_string(string_split(word, ''), ' ') || ' ' AS sym
+        |  FROM w0
+        |)""".stripMargin)
+    for (i <- 1 to n) {
+      sb.append(s""", pr$i AS (
+        |  SELECT a[i] AS l, a[i + 1] AS r, SUM(freq) AS cnt
+        |  FROM (SELECT freq, string_split(trim(sym), ' ') AS a FROM wt${i - 1}) t
+        |  CROSS JOIN UNNEST(generate_series(1, len(a) - 1)) AS g(i)
+        |  GROUP BY 1, 2
+        |), sy$i AS MATERIALIZED (
+        |  SELECT s, SUM(freq) AS c FROM (
+        |    SELECT freq, unnest(string_split(trim(sym), ' ')) AS s
+        |    FROM wt${i - 1}) t
+        |  GROUP BY 1
+        |), m$i AS (
+        |  SELECT p.l, p.r, p.cnt
+        |  FROM pr$i p JOIN sy$i a ON a.s = p.l JOIN sy$i b ON b.s = p.r
+        |  ORDER BY p.cnt / a.c / b.c DESC, p.l, p.r LIMIT 1
+        |), wt$i AS MATERIALIZED (
+        |  SELECT word, freq,
+        |    replace(replace(replace(sym, ' ', '  '),
+        |      ' ' || m.l || '  ' || m.r || ' ',
+        |      ' ' || m.l || m.r || ' '), '  ', ' ') AS sym
+        |  FROM wt${i - 1} CROSS JOIN m$i m
+        |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** q145: the WordPiece-scored merge table — same trainer shape as
+    * q122's BPE but with likelihood-ranked selection; the oracle replays
+    * every argmax (pair counts ⋈ unigram counts, two-division score,
+    * (l, r) ties) and every merge application.
+    */
+  private def q145(s: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = Bpe.trainWordPiece(
+      Bpe.wordTypes(Tables.documents(s, dir), "text"), NMerges)
+    Bpe.mergeTable(s, merges).orderBy(col("rank"))
+  }
+
+  private val q145Sql = trainWpSql(NMerges) + "\n" +
+    (1 to NMerges)
+      .map(i => s"SELECT $i AS rank, l, r, l || r AS merged, " +
+        s"CAST(cnt AS BIGINT) AS cnt FROM m$i")
+      .mkString(" UNION ALL ") +
+    " ORDER BY rank"
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q122_bpe_train", q122, Some(q122Sql)),
     QueryDef("q123_bpe_encode", q123, Some(q123Sql)),
     QueryDef("q128_token_budget_mix", q128, Some(q128Sql)),
-    QueryDef("q136_tokenizer_fertility", q136, Some(q136Sql)))
+    QueryDef("q136_tokenizer_fertility", q136, Some(q136Sql)),
+    QueryDef("q145_wordpiece_train", q145, Some(q145Sql)))
 }

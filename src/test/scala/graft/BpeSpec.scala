@@ -98,6 +98,38 @@ class BpeSpec extends SparkSpec {
     assert(p6 > chars, "piece count stays above the word count (no word fully merges in 6 rounds here)")
   }
 
+  test("wordpiece picks the likelihood winner where frequency BPE differs") {
+    // pair counts: ab=4, ax=6, xb=6, qu=3; symbol counts: a=10, b=10,
+    // x=12, q=3, u=3. BPE's frequency argmax is 'a'+'x' (cnt 6, (l,r)
+    // tie-break beats 'x'+'b'); WordPiece's likelihood argmax is 'q'+'u'
+    // (3/3/3 = 0.333 — rare but always together, the 'qu' signature)
+    val docs = corpus(
+      0L -> "ab ab ab ab",
+      1L -> "ax ax ax ax ax ax",
+      2L -> "xb xb xb xb xb xb",
+      3L -> "qu qu qu")
+    val wt = Bpe.wordTypes(docs, "text")
+    val (bpe, _) = Bpe.train(wt, 1)
+    val (wp, _) = Bpe.trainWordPiece(wt, 1)
+    assert(bpe.head.l == "a" && bpe.head.r == "x", bpe.toString)
+    assert(wp.head.l == "q" && wp.head.r == "u", wp.toString)
+    assert(wp.head.cnt == 3L)
+  }
+
+  test("wordpiece training is deterministic and merge application is shared") {
+    val docs = corpus(0L -> "hug hug hug pug pug lug hugs bug")
+    val (m1, d1) = Bpe.trainWordPiece(Bpe.wordTypes(docs, "text"), 3)
+    val (m2, d2) = Bpe.trainWordPiece(Bpe.wordTypes(docs, "text"), 3)
+    assert(m1 == m2)
+    // the trained dictionary symbols obey the same two-spaces invariant
+    // machinery as BPE: re-applying the learned merges reproduces them
+    val reapplied = Bpe.applyMergesSegmented(
+      d1.select(col("word"), col("sym")), "word", "sym2", m1, segment = 2)
+    assert(reapplied.filter(col("sym") =!= col("sym2")).isEmpty)
+    assert(d2.select(col("word"), col("sym")).except(
+      d1.select(col("word"), col("sym"))).isEmpty)
+  }
+
   test("training is deterministic across runs") {
     val docs = Tables.documents(spark, sf())
     val wt = Bpe.wordTypes(docs, "text")
