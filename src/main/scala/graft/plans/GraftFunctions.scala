@@ -114,7 +114,11 @@ object GraftFunctions {
       ("corpus_drift", SqlTableFunctions.getClass,
         SqlTableFunctions.corpusDriftBuilder _),
       ("kcenter_select", SqlTableFunctions.getClass,
-        SqlTableFunctions.kcenterBuilder _))
+        SqlTableFunctions.kcenterBuilder _),
+      ("kmeans_assign", SqlTableFunctions.getClass,
+        SqlTableFunctions.kmeansAssignBuilder _),
+      ("label_propagation", SqlTableFunctions.getClass,
+        SqlTableFunctions.labelPropagationBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

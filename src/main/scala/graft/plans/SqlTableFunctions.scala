@@ -372,6 +372,61 @@ object SqlTableFunctions {
       () => graft.operators.KCenter.select(df, idCol, vecCol, k))
   }
 
+  /** kmeans_assign(table, id_col, vec_col, k, iters) — trains Lloyd's
+    * k-means on the table and returns the final assignment
+    * `(id, cluster, dist2)` ([[graft.operators.KMeans]]). Training (iters
+    * rounds of assignment + k·d mean collects) is deferred behind a
+    * [[DeferredResult]] leaf — EXPLAIN never scans or trains; iters stays
+    * capped for the SQL form.
+    */
+  def kmeansAssignBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "kmeans_assign"
+    if (args.length != 5) wrongNumArgs(fn, "5", args.length)
+    val df = table(fn, strArg(fn, args, 0, "input table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val vecCol = strArg(fn, args, 2, "vector column")
+    val k = intArg(fn, args, 3, "k")
+    val iters = intArg(fn, args, 4, "iterations")
+    if (k < 1 || k > 4096) fail(s"$fn argument 4 (k) must be in [1, 4096], got $k")
+    if (iters < 0 || iters > 64)
+      fail(s"$fn argument 5 (iterations) must be in [0, 64], got $iters")
+    if (!df.columns.contains(idCol))
+      fail(s"$fn argument 2 (id column): no column '$idCol' in the input table")
+    DeferredResult(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cluster",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("dist2",
+          org.apache.spark.sql.types.DoubleType))),
+      () => graft.operators.KMeans.fit(df, idCol, vecCol, k, iters))
+  }
+
+  /** label_propagation(edges_table, src_col, dst_col, iters) —
+    * synchronous community detection
+    * ([[graft.operators.LabelPropagation]]); per-round joins and
+    * argmaxes are deferred behind a [[DeferredResult]] leaf. Edges are
+    * treated as undirected (the common community-detection form).
+    */
+  def labelPropagationBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "label_propagation"
+    if (args.length != 4) wrongNumArgs(fn, "4", args.length)
+    val df = table(fn, strArg(fn, args, 0, "edges table"))
+    val srcCol = strArg(fn, args, 1, "src column")
+    val dstCol = strArg(fn, args, 2, "dst column")
+    val iters = intArg(fn, args, 3, "iterations")
+    if (iters < 0 || iters > 64)
+      fail(s"$fn argument 4 (iterations) must be in [0, 64], got $iters")
+    if (!df.columns.contains(srcCol))
+      fail(s"$fn argument 2 (src column): no column '$srcCol' in the edges table")
+    DeferredResult(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", StringType),
+        org.apache.spark.sql.types.StructField("lbl", StringType))),
+      () => graft.operators.LabelPropagation.run(df, srcCol, dstCol, iters))
+  }
+
   /** corpus_drift(a_table, b_table, col, lo, hi, n_buckets) — numeric
     * fixed-bucket PSI between two snapshots; the 3-arg form
     * corpus_drift(a_table, b_table, col) computes categorical PSI over

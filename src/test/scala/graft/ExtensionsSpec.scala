@@ -212,6 +212,35 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT * FROM kcenter_select('ext_emb', 'vec_id', 'embedding', 0)")
         .contains("[1, 1024]"))
 
+      // kmeans_assign == Scala form
+      val kmSql = spark.sql(
+        "SELECT * FROM kmeans_assign('ext_emb', 'vec_id', 'embedding', 3, 2)")
+        .as[(Long, Long, Double)].collect().toSet
+      val kmScala = graft.operators.KMeans
+        .fit(spark.table("ext_emb"), "vec_id", "embedding", 3, 2)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(kmSql == kmScala && kmSql.nonEmpty)
+      assert(msgOf(
+        "SELECT * FROM kmeans_assign('ext_emb', 'vec_id', 'embedding', 0, 2)")
+        .contains("[1, 4096]"))
+      assert(msgOf(
+        "SELECT * FROM kmeans_assign('ext_emb', 'vec_id', 'embedding', 3, 99)")
+        .contains("[0, 64]"))
+
+      // label_propagation == Scala form
+      Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("src", "dst")
+        .createOrReplaceTempView("ext_edges_lpa")
+      val lpSql = spark.sql(
+        "SELECT * FROM label_propagation('ext_edges_lpa', 'src', 'dst', 2)")
+        .as[(String, String)].collect().toSet
+      val lpScala = graft.operators.LabelPropagation
+        .run(spark.table("ext_edges_lpa"), "src", "dst", 2)
+        .as[(String, String)].collect().toSet
+      assert(lpSql == lpScala && lpSql.size == 3)
+      assert(msgOf(
+        "SELECT * FROM label_propagation('ext_edges_lpa', 'src', 'dst', 99)")
+        .contains("[0, 64]"))
+
       // sparse_cosine_join == Scala form
       val scSql = spark.sql(
         "SELECT * FROM sparse_cosine_join('ext_docs', 'doc_id', 'text')")
@@ -369,7 +398,9 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT * FROM jl_project('ext_poison_emb', 'vec_id', 'embedding', 1)",
         "SELECT * FROM bpe_token_counts('ext_poison_docs', 'doc_id', 'text', 2)",
         "SELECT * FROM heavy_tokens('ext_poison_docs', 'text', 3, 16)",
-        "SELECT * FROM kcenter_select('ext_poison_emb', 'vec_id', 'embedding', 2)")) {
+        "SELECT * FROM kcenter_select('ext_poison_emb', 'vec_id', 'embedding', 2)",
+        "SELECT * FROM kmeans_assign('ext_poison_emb', 'vec_id', 'embedding', 2, 1)",
+        "SELECT * FROM label_propagation('ext_poison_edges', 'src', 'dst', 2)")) {
         // analysis + planning + EXPLAIN: must not touch the poisoned scan
         val plan = spark.sql(sql)
         val explained = plan.queryExecution.explainString(
