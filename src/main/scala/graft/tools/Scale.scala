@@ -565,6 +565,87 @@ object ScaleRehearsal {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 5)
     }),
+    // Round-9 WordPiece trainer at 1M docs (the q122_bpe_1m corpus): the
+    // likelihood selection adds two unigram-count joins per merge on the
+    // ~100k-row type table — this pins that the added per-merge cost
+    // stays type-table-bounded (corpus-scale work is still ONE pass).
+    "wp_16_1m" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val docs = s.range(1000000L).mapPartitions { it =>
+        val nV = 100000.0
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97L + 13L)
+          val text = Array.fill(40) {
+            val i = math.exp(rng.nextDouble() * math.log(nV + 1)).toLong
+            s"t$i"
+          }.mkString(" ")
+          (id, text)
+        }
+      }.toDF("doc_id", "text")
+      val t0 = System.nanoTime()
+      val (merges, dict) = graft.operators.Bpe.trainWordPiece(
+        graft.operators.Bpe.wordTypes(docs, "text"), 16)
+      val agg = dict.agg(count(lit(1)).as("word_types"),
+        sum(col("freq") * size(split(trim(col("sym")), " ")))
+          .as("total_pieces")).localCheckpoint(true)
+      val r = agg.head()
+      val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      println(s"""{"probe":"wp_16_1m","merges":${merges.length},""" +
+        s""""word_types":${r.getLong(0)},"total_pieces":${r.getLong(1)},""" +
+        s""""train_sec":$secs}""")
+      agg
+    }),
+    // Round-9 trained mixture reweighting at 1M docs: the full q134
+    // composition (19-dim featurize + centroid train/score + per-source
+    // aggregate + 4 driver-side MW rounds) — the corpus pass dominates
+    // and the |S|-row iteration is free, which is the operator's claim.
+    "q134_1m" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val langs = Array("en", "en", "en", "en", "fr", "de", "zh", "es", "xx", "en")
+      val vb = Array("spark", "join", "stream", "batch", "table", "column",
+        "row", "scan", "filter", "group", "agg", "sort", "hash", "merge",
+        "window", "key", "value", "query", "part", "line", "order", "data",
+        "fast", "slow", "big", "small", "vector", "index", "cache", "shuffle")
+      val docs = s.range(1000000L).mapPartitions { it =>
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x6C8E9CF5L + 7L)
+          val nTok = 5 + rng.nextInt(95)
+          val pool = if (id % 7 == 0) 3 else vb.length
+          val text = Array.fill(nTok)(vb(rng.nextInt(pool))).mkString(" ")
+          (id, text, langs(rng.nextInt(langs.length)), text.length,
+            s"src${rng.nextInt(20)}")
+        }
+      }.toDF("doc_id", "text", "lang", "n_chars", "source")
+      val t0 = System.nanoTime()
+      val preds = graft.operators.QualityClassifier.centroidScores(
+        graft.operators.QualityClassifier.features(docs),
+        graft.operators.QualityClassifier.cascadeLabels(docs))
+        .select(col("doc_id"), col("pred"))
+      val per = docs
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .join(preds, "doc_id")
+        .groupBy(col("source"))
+        .agg(sum(col("n_tok")).as("tokens"),
+          graft.queries.Parity.r6(avg(col("pred").cast("double"))).as("m"))
+        .localCheckpoint(true)
+      val tot = per.agg(sum(col("tokens")).as("ct"))
+      val base = per.crossJoin(broadcast(tot))
+        .select(col("source"),
+          graft.queries.Parity.r6(col("tokens") / col("ct")).as("w0"),
+          col("m"))
+      val traj = graft.operators.MixtureReweight.reweight(
+        base, "source", "w0", "m", iters = 4, eta = 0.5, cap = 0.06)
+        .localCheckpoint(true)
+      val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val nRows = traj.count()
+      println(s"""{"probe":"q134_1m","traj_rows":$nRows,"total_sec":$secs}""")
+      traj
+    }),
     // Round-9 filtered-ANN A/B at the same 256-anchor batch: brute
     // different-label top-5 (the hardneg_400k arm, ~100M scored pairs)
     // vs Ann.ivfHardNegatives (cell-pruned candidates, label filter in

@@ -351,5 +351,29 @@ class PipelineSpec extends SparkSpec {
     val sampleIds = sample.select(col("id")).as[Long].collect().toSet
     assert(rows.forall(r => sampleIds.contains(r.getAs[Long]("vec_id"))),
       "negatives must come from the balanced sample")
+
+    // 5 — calibration closes the loop: the sampled docs' trained scores
+    // become probabilities, and the curriculum consumes them — bands are
+    // contiguous score ranges, so every band-1 doc must score at least
+    // every band-4 doc (calibration is monotone, so p_cal inherits it)
+    val sc = QualityClassifier.centroidScores(
+      QualityClassifier.features(sliceDocs),
+      QualityClassifier.cascadeLabels(sliceDocs))
+      .select(col("doc_id"), col("score"), col("y"))
+      .localCheckpoint(true)
+    val (ca, cb) = QualityClassifier.calibratePlatt(sc, "score", "y",
+      iters = 4, lr = 0.5)
+    val withP = sc.select(col("doc_id"), col("score"),
+      (lit(1.0) / (lit(1.0) + exp(-(lit(ca) * col("score") + lit(cb)))))
+        .as("p_cal"))
+    val banded = withP.withColumn("band", ntile(4).over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("score").desc, col("doc_id"))))
+    val b1min = banded.filter(col("band") === 1)
+      .agg(min(col("p_cal"))).as[Double].head()
+    val b4max = banded.filter(col("band") === 4)
+      .agg(max(col("p_cal"))).as[Double].head()
+    assert(b1min >= b4max,
+      s"curriculum bands must be probability-monotone: $b1min < $b4max")
   }
 }
