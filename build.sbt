@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Let the forked `run` JVM inherit sbt's raw stdout/stderr instead of
+// routing through sbt's logger, which prefixes every line with
+// "[info] "/"[error] " and defeats line-oriented JSON parsing of
+// Bench's summary trailer (BENCH_r09 had the trailer in the tail but
+// machine-unparseable for exactly this reason).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

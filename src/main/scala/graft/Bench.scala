@@ -91,7 +91,13 @@ object Bench {
     // including the total (BENCH_r08 had rc=0 but parsed:null for exactly
     // this reason). Printing the headline fields again in a compact trailer
     // guarantees any bounded tail capture still contains a parseable total.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":${names.length},"sf":"$sfDir"}""")
+    val trailer = s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"queries":${names.length},"sf":"$sfDir"}"""
+    println(trailer)
+    // Also emit the trailer on STDERR: sbt prefixes every stdout line with
+    // "[info] ", which defeats line-oriented JSON parsing downstream
+    // (BENCH_r09 had the trailer in the tail but parsed:null for exactly
+    // this reason). sbt leaves stderr unprefixed.
+    System.err.println(trailer)
     spark.stop()
     if (failed > 0) sys.exit(1)
   }

@@ -67,6 +67,14 @@ object SqlTableFunctions {
   private def table(fn: String, name: String) =
     SparkSession.active.table(name)
 
+  /** Memo key for a deferred TVF ([[DeferredResult.memoized]]): every
+    * scalar argument plus the resolved input plan's semanticHash —
+    * re-pointing a view at a semantically different frame changes the
+    * key, so the memo never serves results trained on the old frame.
+    */
+  private def argsKey(df: org.apache.spark.sql.DataFrame, scalars: Any*): String =
+    (df.queryExecution.analyzed.semanticHash() +: scalars).mkString("|")
+
   /** bm25_search(index_path, 'term1,term2,...', k) */
   def bm25Builder(args: Seq[Expression]): LogicalPlan = {
     val fn = "bm25_search"
@@ -150,12 +158,13 @@ object SqlTableFunctions {
     if (m <= 0) fail(s"$fn argument 4 (target dim) must be positive, got $m")
     if (!df.columns.contains(idCol))
       fail(s"$fn argument 2 (id column): no column '$idCol' in the input table")
-    DeferredResult(fn,
+    DeferredResult.memoized(fn,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(idCol, df.schema(idCol).dataType),
         org.apache.spark.sql.types.StructField("proj",
           org.apache.spark.sql.types.ArrayType(
             org.apache.spark.sql.types.DoubleType)))),
+      argsKey(df, idCol, vecCol, m),
       () => graft.operators.RandomProjection.project(df, idCol, vecCol, m))
   }
 
@@ -238,11 +247,12 @@ object SqlTableFunctions {
       fail(s"$fn argument 5 (damping) must be in (0, 1), got $damping")
     // PageRank.run casts ids to string and emits (id, rank) — the contract
     // DeferredResultExec verifies at execution
-    DeferredResult(fn,
+    DeferredResult.memoized(fn,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", StringType),
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.DoubleType))),
+      argsKey(edges, srcCol, dstCol, iters, damping, undirected),
       () => graft.operators.PageRank.run(
         edges, srcCol, dstCol, iters, damping, undirected))
   }
@@ -264,11 +274,12 @@ object SqlTableFunctions {
       fail(s"$fn argument 4 (merge count) must be in [1, 64], got $nMerges")
     if (!docs.columns.contains(idCol))
       fail(s"$fn argument 2 (id column): no column '$idCol' in the documents table")
-    DeferredResult(fn,
+    DeferredResult.memoized(fn,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(idCol, docs.schema(idCol).dataType),
         org.apache.spark.sql.types.StructField("n_pieces",
           org.apache.spark.sql.types.LongType))),
+      argsKey(docs, idCol, textCol, nMerges),
       () => {
         val (_, dict) = graft.operators.Bpe.train(
           graft.operators.Bpe.wordTypes(docs, textCol), nMerges)
@@ -306,10 +317,11 @@ object SqlTableFunctions {
         val iters = if (args.length == 3) intArg(fn, args, 2, "iterations") else 3
         if (iters < 1 || iters > 20)
           fail(s"$fn argument 3 (iterations) must be in [1, 20], got $iters")
-        DeferredResult(fn,
+        DeferredResult.memoized(fn,
           org.apache.spark.sql.types.StructType(Seq(
             field("doc_id", idType), field("p", DblT),
             field("pred", BooleanType))),
+          argsKey(docs, model, iters),
           () => {
             val f = qc.features(docs).localCheckpoint(true)
             val w = qc.trainLogistic(f, qc.cascadeLabels(docs), iters = iters)
@@ -338,11 +350,12 @@ object SqlTableFunctions {
     val capacity = if (args.length == 4) intArg(fn, args, 3, "capacity") else 4096
     if (capacity < k || capacity > 100000)
       fail(s"$fn argument 4 (capacity) must be in [k, 100000], got $capacity")
-    DeferredResult(fn,
+    DeferredResult.memoized(fn,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("token", StringType),
         org.apache.spark.sql.types.StructField("cnt",
           org.apache.spark.sql.types.LongType))),
+      argsKey(docs, textCol, k, capacity),
       () => graft.operators.HeavyHitters.exactTopK(docs, textCol, k, capacity))
   }
 
@@ -361,7 +374,7 @@ object SqlTableFunctions {
     if (k < 1 || k > 1024) fail(s"$fn argument 4 (k) must be in [1, 1024], got $k")
     if (!df.columns.contains(idCol))
       fail(s"$fn argument 2 (id column): no column '$idCol' in the input table")
-    DeferredResult(fn,
+    DeferredResult.memoized(fn,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("rank",
           org.apache.spark.sql.types.IntegerType),
@@ -369,6 +382,7 @@ object SqlTableFunctions {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("sel_dist2",
           org.apache.spark.sql.types.DoubleType))),
+      argsKey(df, idCol, vecCol, k),
       () => graft.operators.KCenter.select(df, idCol, vecCol, k))
   }
 
@@ -392,7 +406,7 @@ object SqlTableFunctions {
       fail(s"$fn argument 5 (iterations) must be in [0, 64], got $iters")
     if (!df.columns.contains(idCol))
       fail(s"$fn argument 2 (id column): no column '$idCol' in the input table")
-    DeferredResult(fn,
+    DeferredResult.memoized(fn,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
           org.apache.spark.sql.types.LongType),
@@ -400,6 +414,7 @@ object SqlTableFunctions {
           org.apache.spark.sql.types.LongType),
         org.apache.spark.sql.types.StructField("dist2",
           org.apache.spark.sql.types.DoubleType))),
+      argsKey(df, idCol, vecCol, k, iters),
       () => graft.operators.KMeans.fit(df, idCol, vecCol, k, iters))
   }
 
@@ -420,10 +435,11 @@ object SqlTableFunctions {
       fail(s"$fn argument 4 (iterations) must be in [0, 64], got $iters")
     if (!df.columns.contains(srcCol))
       fail(s"$fn argument 2 (src column): no column '$srcCol' in the edges table")
-    DeferredResult(fn,
+    DeferredResult.memoized(fn,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id", StringType),
         org.apache.spark.sql.types.StructField("lbl", StringType))),
+      argsKey(df, srcCol, dstCol, iters),
       () => graft.operators.LabelPropagation.run(df, srcCol, dstCol, iters))
   }
 
