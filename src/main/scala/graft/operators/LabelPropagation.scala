@@ -107,8 +107,11 @@ object LabelPropagation {
     val guard = (c: org.apache.spark.sql.Column) =>
       when(c >= 0 && c < MaxLongLabel, c).otherwise(raise_error(concat(
         lit(s"lpa: node id out of [0, $MaxLongLabel): "), c)))
+    // guard BOTH branches: with undirected=false a dst-only node never
+    // appears as src, so an unguarded dst branch would let an
+    // out-of-range id through in violation of the documented contract
     val nodes = e.select(guard(col("src")).as("id"))
-      .union(e.select(col("dst").as("id")))
+      .union(e.select(guard(col("dst")).as("id")))
       .distinct().localCheckpoint(true)
     var lab = nodes.select(col("id"), col("id").as("lbl"))
       .localCheckpoint(false)

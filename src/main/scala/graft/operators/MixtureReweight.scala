@@ -20,7 +20,14 @@ import org.apache.spark.sql.functions._
   * -GD precedent: the snap grid dwarfs the ulp noise of summing ≤ |S|
   * doubles in engine-specific order); the metric must be a snapped value
   * in [0, 1] (a rate, e.g. the trained classifier's per-source pass rate)
-  * so `1 + eta*(m - mbar)` stays positive for eta <= 1.
+  * so `1 + eta*(m - mbar)` stays non-negative for eta <= 1. At the
+  * eta = 1 extreme that factor can be exactly 0 (m = 0 with mbar = 1),
+  * and the r6 snap can floor a tiny weight to the grid's 0 — either
+  * would park a source at weight 0 forever (a multiplicative update
+  * cannot revive it). Each post-snap weight is therefore floored at
+  * 1e-6 (the snap grid itself), mirrored verbatim in the DuckDB oracle:
+  * weights stay positive by construction, at the cost of the per-round
+  * sum deviating from 1 by at most |S|·1e-6.
   *
   * 100 TB posture: ONE corpus aggregate produces the |S|-row per-source
   * frame; all T iterations run on driver-held |S|-row state (the
@@ -73,7 +80,9 @@ object MixtureReweight {
       val clipped = w.indices.map(i =>
         math.min(w(i) * (1.0 + eta * (metric(i) - mbar)), cap))
       val tot = clipped.foldLeft(0.0)(_ + _)
-      w = w.indices.map(i => r6(clipped(i) / tot)).toArray
+      // post-snap floor at the snap grid: no source can be zeroed (and
+      // thereby killed) by the eta=1 edge or the snap itself
+      w = w.indices.map(i => math.max(r6(clipped(i) / tot), 1e-6)).toArray
       sources.indices.foreach(i => traj += ((t, sources(i), w(i))))
       t += 1
     }

@@ -185,6 +185,16 @@ object QualityClassifier {
     * (here a 1-row (ga, gb) collect), parameters r6-snapped per update so
     * the trajectory replays in any engine that can sum and exp (q141).
     *
+    * Cross-engine caveat: the per-row sigmoid calls libm `exp` in BOTH
+    * engines, and the snap is applied to the AVERAGED gradient — in
+    * practice the ~ulp libm divergence is ~7 orders below the 1e-6 snap
+    * grid (q141 hash-matches), but an averaged gradient landing within
+    * ~1e-13 of a grid edge could in principle snap differently per
+    * engine and fork the trajectory from that round on. Same residual
+    * risk class as the repo's other in-plan exp/pow uses (q144's
+    * temperature pow); accepted and documented rather than guarded,
+    * because snapping per-row sigmoids would change the fitted model.
+    *
     * @param scored (scoreCol, yCol) rows — the scorer's output with
     *   binary labels
     * @return (a, b) of the fitted sigmoid

@@ -45,13 +45,19 @@ object Classifier {
     * the feature-store argument one level up (score once, consume
     * everywhere). Lazy checkpoint: materializes at first use, reused
     * after; values are identical to the inline form by determinism.
+    * Keyed by (session, dir), not dir alone: the cached frame is
+    * localCheckpoint'd and therefore BOUND to the session that built it —
+    * a second session in the same JVM must train its own copy rather
+    * than receive a frame whose checkpoint blocks live in another
+    * session's state (the values are identical by determinism; only the
+    * binding differs).
     */
-  private val scoreCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val scoreCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
 
   private[queries] def cachedCentroidScores(s: SparkSession,
       dir: String): DataFrame =
-    scoreCache.computeIfAbsent(dir, _ => {
+    scoreCache.computeIfAbsent((s, dir), _ => {
       val (feat, labels) = cachedFeatLab(s, dir)
       QualityClassifier.centroidScores(feat, labels).localCheckpoint(false)
     })

@@ -79,7 +79,9 @@ object Mixture {
         |), ctot$t AS (
         |  SELECT SUM(c) AS tot FROM clip$t
         |), it$t AS MATERIALIZED (
-        |  SELECT source, FLOOR(c / tot * 1000000 + 0.5) / 1000000.0 AS w, m
+        |  SELECT source,
+        |    GREATEST(FLOOR(c / tot * 1000000 + 0.5) / 1000000.0, 0.000001) AS w,
+        |    m
         |  FROM clip$t, ctot$t
         |)""".stripMargin)
     }

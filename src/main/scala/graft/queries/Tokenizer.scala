@@ -22,14 +22,18 @@ object Tokenizer {
     * q129/q136 all consume the identical deterministic training run
     * (train once, encode everywhere — the tokenizer IS a persisted
     * artifact in any real pipeline). The dict frame is already
-    * checkpoint-truncated by the trainer's per-merge rule.
+    * checkpoint-truncated by the trainer's per-merge rule. Keyed by
+    * (session, dir): the dict frame's checkpoints are bound to the
+    * session that trained it — a second session in the same JVM retrains
+    * (identical merges by determinism) instead of receiving a frame
+    * bound to another session's state.
     */
   private val bpeCache = new java.util.concurrent.ConcurrentHashMap[
-    String, (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame)]()
+    (SparkSession, String), (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame)]()
 
   private[queries] def cachedBpe(s: SparkSession, dir: String)
       : (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame) =
-    bpeCache.computeIfAbsent(dir, _ =>
+    bpeCache.computeIfAbsent((s, dir), _ =>
       Bpe.train(Bpe.wordTypes(Tables.documents(s, dir), "text"), NMerges))
 
   /** Unrolled DuckDB training prelude: wt0 … wt`n`, m1 … m`n`. Generated,

@@ -47,6 +47,18 @@ class MixtureReweightSpec extends SparkSpec {
     assert(a((8, "a")) > a((0, "a")))
   }
 
+  test("a collapsing source floors at the snap grid instead of dying at 0") {
+    // eta = 1 with m = 0 vs a dominant m = 1 source decays the loser
+    // geometrically; before the 1e-6 floor the r6 snap eventually
+    // produced exactly 0 — and a multiplicative update can never revive
+    // a zeroed weight. The floor must hold it at the grid.
+    val t = trajMap(MixtureReweight.reweight(
+      base(("a", 0.5, 1.0), ("b", 0.5, 0.0)),
+      "source", "w0", "m", iters = 12, eta = 1.0, cap = 1.0))
+    assert(t((12, "b")) == 1e-6, s"collapsed weight: ${t((12, "b"))}")
+    assert(t.values.forall(_ > 0.0))
+  }
+
   test("input contracts are guarded") {
     intercept[IllegalArgumentException] {
       MixtureReweight.reweight(base(("a", 0.5, 1.5)),
