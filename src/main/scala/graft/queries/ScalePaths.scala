@@ -174,9 +174,35 @@ object ScalePaths {
       .orderBy(col("cluster"), col("vec_a"), col("vec_b"))
   }
 
+  /** q135's SCALE twin (the q111 pairing pattern): FILTERED ANN
+    * hard-negative mining through the IVF index — the same 8 anchors and
+    * k as the oracle-checked brute-force q135, but candidates come from
+    * cell-pruned probes with the label-inequality filter composed into
+    * the candidate join (filter-during-traversal, not post-filter), the
+    * path a production retrieval pipeline runs when the anchor batch or
+    * corpus outgrows the broadcast brute force. Rows-only by design:
+    * trained IVF centroids are not DuckDB-replayable at acceptable cost;
+    * the different-label contract and recall vs exact brute force
+    * (0.92+ at nprobe=8/16) are pinned by AnnSpec, and the scoring math
+    * by q135's oracle (shared cosine/snap code).
+    */
+  private def q146(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val emb = Tables.embeddings(s, dir)
+    val corpus = emb.select(col("vec_id").as("id"), col("embedding")).as[Vec]
+    val labels = emb.select(col("vec_id").as("id"), col("label"))
+    Ann.ivfHardNegatives(s, corpus, labels,
+        queryIds = Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L), k = 5,
+        nCells = 16, nprobe = 8)
+      .select(col("q_id").as("a_id"), col("rank"), col("id").as("vec_id"),
+        col("cos_sim"))
+      .orderBy(col("a_id"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q44_minhash_lsh_full", q44, None),
     QueryDef("q111_semdedup_scale", q111, None),
+    QueryDef("q146_filtered_ann_negatives", q146, None),
     QueryDef("q45_ann_lsh", q45, None),
     QueryDef("q46_ann_ivf", q46, None),
     QueryDef("q54_simhash_banded_full", q54, None),

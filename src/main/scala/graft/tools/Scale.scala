@@ -499,6 +499,39 @@ object ScaleRehearsal {
         s""""per_round_sec":${math.rint(secs / 64 * 1000) / 1000.0}}""")
       sel
     }),
+    // Round-10 k-center at PRODUCTION k: the round-9 rehearsal was k=64
+    // over 400k vectors; a realistic coreset/annotation budget is
+    // hundreds of centers over millions of points. 256 greedy rounds
+    // over an inline 1M x 64-dim planted-cluster corpus — with the
+    // batched-checkpoint update (CheckpointEvery=8), so the probe
+    // measures both the per-round flatness claim AND the checkpoint-churn
+    // fix (the eager-per-round form wrote the full ~270 MB state every
+    // round; this writes it every 8th). `dir` unused
+    "kcenter_1m_k256" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val emb = s.range(1000000L).mapPartitions { it =>
+        it.map { jid =>
+          val id: Long = jid
+          val cluster = (id % 64).toInt
+          val crng = new scala.util.Random(1000L + cluster)
+          val center = Array.fill(64)(crng.nextGaussian().toFloat)
+          val vrng = new scala.util.Random(id * 0x9E3779B97L + 7L)
+          (id, Array.tabulate(64)(i =>
+            center(i) + 0.08f * vrng.nextGaussian().toFloat))
+        }
+      }.toDF("vec_id", "embedding")
+      val t0 = System.nanoTime()
+      val sel = graft.operators.KCenter
+        .select(emb, "vec_id", "embedding", 256)
+        .localCheckpoint(true)
+      val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val n = sel.count()
+      println(s"""{"probe":"kcenter_1m_k256","k":$n,"train_sec":$secs,""" +
+        s""""per_round_sec":${math.rint(secs / 256 * 1000) / 1000.0},""" +
+        s""""checkpoint_every":${graft.operators.KCenter.CheckpointEvery}}""")
+      sel
+    }),
     // Round-9 sparse-cosine head-term skew probe: a designed corpus where
     // ONE term (df = 20k of 200k docs, under the AutoDf cap of ~28.6k)
     // carries 4e8 of the ~5.6e8 candidate pairs — all on one join key.
@@ -596,6 +629,55 @@ object ScaleRehearsal {
         s""""word_types":${r.getLong(0)},"total_pieces":${r.getLong(1)},""" +
         s""""train_sec":$secs}""")
       agg
+    }),
+    // Round-10 WordPiece at a PRODUCTION merge count (the bpe_1k_merges
+    // treatment): 1024 merges over the 1M-doc Zipf corpus's type table.
+    // WordPiece's likelihood argmax adds two unigram-count joins per
+    // merge — the claim under test is that those joins stay type-table-
+    // bounded so the per-merge cost is flat from merge 1 to merge 1024
+    // (head/tail timing), and the 128-segment chained apply reproduces
+    // the trained syms exactly (the segmented-apply cliff holds for the
+    // WordPiece merge sequence too). `dir` unused
+    "wp_1k_merges" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val docs = s.range(1000000L).mapPartitions { it =>
+        val nV = 100000.0
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97L + 13L)
+          val text = Array.fill(40) {
+            val i = math.exp(rng.nextDouble() * math.log(nV + 1)).toLong
+            s"t$i"
+          }.mkString(" ")
+          (id, text)
+        }
+      }.toDF("doc_id", "text")
+      val wt = graft.operators.Bpe.wordTypes(docs, "text").localCheckpoint(true)
+      def trainTimed(n: Int): (Seq[graft.operators.Bpe.Merge],
+          org.apache.spark.sql.DataFrame, Double) = {
+        val t0 = System.nanoTime()
+        val (m, d) = graft.operators.Bpe.trainWordPiece(wt, n)
+        (m, d, math.rint((System.nanoTime() - t0) / 1e7) / 100.0)
+      }
+      val (m64, _, t64) = trainTimed(64)
+      val (m1k, dict, t1k) = trainTimed(1024)
+      require(m1k.take(64) == m64, "training must be prefix-stable")
+      val perMergeHead = t64 / 64.0
+      val perMergeTail = (t1k - t64) / (1024.0 - 64.0)
+      val sample = dict.select(col("word"), col("sym")).limit(10000)
+        .localCheckpoint(true)
+      val seg = graft.operators.Bpe.applyMergesSegmented(
+        sample, "word", "sym2", m1k, segment = 128)
+      val mismatch = seg.filter(col("sym") =!= col("sym2")).count()
+      require(mismatch == 0,
+        s"segmented encode diverged from training on $mismatch words")
+      println(s"""{"probe":"wp_1k_merges","merges":${m1k.length},""" +
+        s""""train_64_sec":$t64,"train_1024_sec":$t1k,""" +
+        s""""per_merge_head_sec":${math.rint(perMergeHead * 1000) / 1000.0},""" +
+        s""""per_merge_tail_sec":${math.rint(perMergeTail * 1000) / 1000.0},""" +
+        s""""segmented_encode_mismatches":$mismatch}""")
+      Seq((t64, t1k)).toDF("train_64_sec", "train_1024_sec")
     }),
     // Round-9 trained mixture reweighting at 1M docs: the full q134
     // composition (19-dim featurize + centroid train/score + per-source
