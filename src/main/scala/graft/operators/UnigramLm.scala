@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unigram language-model tokenizer training (Kudo 2018, the
+  * SentencePiece unigram algorithm — the subword learner behind
+  * T5/ALBERT/XLNet-family tokenizers), completing the trained-tokenizer
+  * family next to BPE ([[Bpe.train]], agglomerative) and WordPiece
+  * ([[Bpe.trainWordPiece]], likelihood-greedy agglomerative): unigram is
+  * the SUBTRACTIVE member — start from a large candidate vocabulary and
+  * re-estimate piece probabilities so segmentation emerges from a
+  * probability model rather than a merge order.
+  *
+  * This implementation is the hard-EM (Viterbi-EM) variant Kudo
+  * describes: the E-step segments every word TYPE with the max-likelihood
+  * (Viterbi) segmentation under the current piece log-probs, the M-step
+  * re-estimates `p(piece) = (count + 1) / (total + |V|)` (add-one
+  * smoothing keeps every candidate alive and every word segmentable —
+  * single characters are always in the vocabulary, so the DP never dead
+  * ends). Soft-EM's forward-backward expectations add nothing the
+  * r6-snapped trajectory could replay cross-engine; the Viterbi variant
+  * keeps every intermediate an exact integer count, which is what makes
+  * the full training trajectory ORACLE-REPLAYABLE (q147's DuckDB oracle
+  * unrolls seed selection, every DP cell, every backtrace step, and
+  * every re-estimation, CTE-by-CTE).
+  *
+  * Training is corpus-scale ONLY ONCE (the [[Bpe]] contract): one pass
+  * builds the word-type table, and each EM round is ONE distributed scan
+  * of the Heaps-law-bounded type table — the Viterbi DP runs inside a
+  * single `aggregate` fold per row (positions are the fold sequence, so
+  * the dp/backtrace arrays build sequentially with no expression
+  * blowup and no extra exchange) — followed by a ≤ |V|-row count collect
+  * (the bounded-trainer pattern shared with k-means, logistic GD and the
+  * MW reweighter). The M-step is |V|-row driver arithmetic. Encoding is
+  * a dictionary equi-join against the segmented type table.
+  *
+  * Determinism: seed candidates rank by (count desc, piece asc) through
+  * a `limit` (TakeOrderedAndProject, never a global sort); DP ties break
+  * toward the SHORTEST last piece (strict `>` in a left fold over piece
+  * lengths 1..P — equivalently: first index attaining the max, which is
+  * what the oracle's GREATEST + first-match CASE computes); log-probs
+  * are r6-snapped. The one cross-engine risk is libm `ln` (both engines
+  * snap AFTER the log): a probability whose log lands within ~1e-13 of
+  * a 1e-6 grid edge could snap differently — the q143/calibratePlatt
+  * residual risk class, documented not guarded.
+  */
+object UnigramLm {
+
+  val MaxVocab = 4096
+  val MaxWordLenCap = 64
+  /** Effectively -inf for DP purposes while staying NaN-free under
+    * addition; any feasible all-chars path scores far above one -1e9. */
+  private val NegInf = -1.0e9
+
+  /** Candidate vocabulary `(piece, cnt)`: every substring of length
+    * 1..`maxPieceLen` of every (≤ `maxWordLen`) word type, weighted by
+    * occurrence × word frequency; ALL single characters are kept (the
+    * feasibility floor), the multi-character tail is the top
+    * `vocabSize − #chars` by (cnt desc, piece asc).
+    */
+  def seedVocab(wordTypes: DataFrame, maxPieceLen: Int, vocabSize: Int,
+      maxWordLen: Int): DataFrame = {
+    val wt = wordTypes.filter(length(col("word")) <= maxWordLen)
+    val occ = wt
+      .select(col("freq"), col("word"),
+        explode(sequence(lit(1), length(col("word")))).as("s"))
+      .select(col("freq"), col("word"), col("s"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("s") + 1)))
+          .as("l"))
+      .select(col("word").substr(col("s"), col("l")).as("piece"), col("freq"))
+      .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+      .localCheckpoint(true)
+    val chars = occ.filter(length(col("piece")) === 1)
+    val nChars = chars.count()
+    require(nChars < vocabSize,
+      s"vocabSize $vocabSize must exceed the $nChars distinct characters")
+    val multis = occ.filter(length(col("piece")) > 1)
+      .orderBy(col("cnt").desc, col("piece"))
+      .limit((vocabSize - nChars).toInt)
+    chars.union(multis)
+  }
+
+  /** The word-type table with a `pieces` column: the Viterbi segmentation
+    * of each (≤ `maxWordLen`) word under literal log-probs `lp`. One
+    * `aggregate` fold builds dp[j] = max over piece lengths l of
+    * dp[j−l] + lp(word[j−l+1..j]) with backpointers; a second fold walks
+    * the backpointers (pieces come out last-first — order is irrelevant
+    * to counting and sizing). The lp map is materialized as an attribute
+    * first: Catalyst does not CSE into lambda bodies, so referencing the
+    * literal map directly would rebuild it per element.
+    */
+  def segmented(wt: DataFrame, lp: Map[String, Double],
+      maxPieceLen: Int): DataFrame = {
+    require(lp.nonEmpty && lp.size <= MaxVocab,
+      s"vocab size must be in [1, $MaxVocab], got ${lp.size}")
+    val lpm = map(lp.toSeq.sortBy(_._1)
+      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    val n = length(col("word"))
+    val base = wt.withColumn("lpm", lpm)
+    val dp = aggregate(
+      sequence(lit(1), n),
+      array(struct(lit(0.0).as("d"), lit(0).as("b"))),
+      (acc: Column, j: Column) => {
+        val cands = (1 to maxPieceLen).map { l =>
+          val piece = col("word").substr(j - lit(l) + lit(1), lit(l))
+          val lpv = coalesce(element_at(col("lpm"), piece), lit(NegInf))
+          val prev = when(lit(l) <= j,
+            element_at(acc, j - lit(l) + lit(1)).getField("d"))
+            .otherwise(lit(NegInf))
+          struct((prev + lpv).as("d"), lit(l).as("b"))
+        }
+        // left fold, strict >: ties keep the earlier (shorter) piece
+        val best = cands.reduceLeft((a, b) =>
+          when(b.getField("d") > a.getField("d"), b).otherwise(a))
+        concat(acc, array(best))
+      })
+    val withDp = base.withColumn("dp", dp)
+    val pieces = aggregate(
+      sequence(lit(1), n),
+      struct(n.as("pos"), array().cast("array<string>").as("ps")),
+      (acc: Column, _: Column) => {
+        val pos = acc.getField("pos")
+        val b = element_at(col("dp"), pos + lit(1)).getField("b")
+        when(pos > 0,
+          struct((pos - b).as("pos"),
+            concat(acc.getField("ps"),
+              array(col("word").substr(pos - b + lit(1), b))).as("ps")))
+          .otherwise(acc)
+      }).getField("ps")
+    withDp.withColumn("pieces", pieces).drop("dp", "lpm")
+  }
+
+  /** Trains `iters` hard-EM rounds; returns the full trajectory
+    * `(iter, piece, prob)` — iter 0 is the smoothed seed estimate — and
+    * the final log-prob map for [[encodeCounts]]/[[segmented]].
+    */
+  def train(wordTypes: DataFrame, maxPieceLen: Int = 4, vocabSize: Int = 64,
+      iters: Int = 2, maxWordLen: Int = 16)
+      : (DataFrame, Map[String, Double]) = {
+    val spark = wordTypes.sparkSession
+    import spark.implicits._
+    require(maxPieceLen >= 1 && maxPieceLen <= 8,
+      s"maxPieceLen must be in [1, 8], got $maxPieceLen")
+    require(vocabSize >= 2 && vocabSize <= MaxVocab,
+      s"vocabSize must be in [2, $MaxVocab], got $vocabSize")
+    require(iters >= 0 && iters <= 64, s"iters must be in [0, 64], got $iters")
+    require(maxWordLen >= maxPieceLen && maxWordLen <= MaxWordLenCap,
+      s"maxWordLen must be in [$maxPieceLen, $MaxWordLenCap], got $maxWordLen")
+    val wt = wordTypes.select(col("word"), col("freq"))
+      .filter(length(col("word")) <= maxWordLen)
+      .localCheckpoint(true)
+    val seed = seedVocab(wt, maxPieceLen, vocabSize, maxWordLen)
+      .collect().map(r => (r.getString(0), r.getLong(1))) // ≤ vocabSize rows
+    val piecesSorted = seed.map(_._1).sorted.toIndexedSeq
+    val v = seed.length
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def mstep(counts: Map[String, Long])
+        : (Map[String, Double], Map[String, Double]) = {
+      val tot = counts.values.sum
+      val ratio = piecesSorted.map(p =>
+        p -> ((counts.getOrElse(p, 0L) + 1.0) / (tot + v))).toMap
+      (ratio.map { case (p, x) => p -> r6(math.log(x)) },
+        ratio.map { case (p, x) => p -> r6(x) })
+    }
+    val traj = Seq.newBuilder[(Int, String, Double)]
+    var (lp, prob) = mstep(seed.toMap)
+    piecesSorted.foreach(p => traj += ((0, p, prob(p))))
+    var t = 1
+    while (t <= iters) {
+      val counts = segmented(wt, lp, maxPieceLen)
+        .select(col("freq"), explode(col("pieces")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("freq")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap // ≤ |V| rows
+      val mp = mstep(counts)
+      lp = mp._1; prob = mp._2
+      piecesSorted.foreach(p => traj += ((t, p, prob(p))))
+      t += 1
+    }
+    (traj.result().toDF("iter", "piece", "prob"), lp)
+  }
+
+  /** Per-row piece counts under a trained model: `(idCol, n_pieces)`.
+    * Distinct words segment once (the dictionary); each document then
+    * pays an equi-join and a sum — the [[Bpe.encodeCounts]] shape. Words
+    * longer than `maxWordLen` fall back to one piece per character (the
+    * training cutoff's documented encode behavior).
+    */
+  def encodeCounts(docs: DataFrame, lp: Map[String, Double], idCol: String,
+      textCol: String, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val types = words.select(col("word")).distinct()
+    val short = segmented(
+      types.filter(length(col("word")) <= maxWordLen), lp, maxPieceLen)
+      .select(col("word"), size(col("pieces")).cast("long").as("np"))
+    val long = types.filter(length(col("word")) > maxWordLen)
+      .select(col("word"), length(col("word")).cast("long").as("np"))
+    val dict = short.union(long)
+    words.join(dict, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("np")).as("n_pieces"))
+  }
+}

@@ -107,6 +107,8 @@ object GraftFunctions {
         SqlTableFunctions.pageRankBuilder _),
       ("bpe_token_counts", SqlTableFunctions.getClass,
         SqlTableFunctions.bpeTokenCountsBuilder _),
+      ("unigram_token_counts", SqlTableFunctions.getClass,
+        SqlTableFunctions.unigramTokenCountsBuilder _),
       ("quality_scores", SqlTableFunctions.getClass,
         SqlTableFunctions.qualityScoresBuilder _),
       ("heavy_tokens", SqlTableFunctions.getClass,

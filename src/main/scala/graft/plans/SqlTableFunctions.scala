@@ -21,6 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM rrf_fuse('lex_v', 'sem_v', 'id', 'score', 20)
   * SELECT * FROM pagerank('edges_v', 'src', 'dst', 3, 0.85, true)
   * SELECT * FROM bpe_token_counts('docs_v', 'doc_id', 'text', 6)
+  * SELECT * FROM unigram_token_counts('docs_v', 'doc_id', 'text', 64, 2)
   * SELECT * FROM quality_scores('docs_v', 'logistic', 3)
   * SELECT * FROM heavy_tokens('docs_v', 'text', 20, 256)
   * }}}
@@ -284,6 +285,46 @@ object SqlTableFunctions {
         val (_, dict) = graft.operators.Bpe.train(
           graft.operators.Bpe.wordTypes(docs, textCol), nMerges)
         graft.operators.Bpe.encodeCounts(docs, dict, idCol, textCol)
+      })
+  }
+
+  /** unigram_token_counts(docs_table, id_col, text_col, vocab_size
+    * [, iters]) — trains a unigram-LM (SentencePiece-style) vocabulary
+    * on the table with hard-EM and returns per-row piece counts under it
+    * ([[graft.operators.UnigramLm]]) — the subtractive counterpart of
+    * `bpe_token_counts`. Training (seed + EM rounds of type-table DP +
+    * bounded collects) is deferred and memoized like the other iterative
+    * TVFs.
+    */
+  def unigramTokenCountsBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "unigram_token_counts"
+    if (args.length != 4 && args.length != 5)
+      wrongNumArgs(fn, "4 or 5", args.length)
+    val docs = table(fn, strArg(fn, args, 0, "documents table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val textCol = strArg(fn, args, 2, "text column")
+    val vocab = intArg(fn, args, 3, "vocab size")
+    val iters = if (args.length == 5) intArg(fn, args, 4, "iterations") else 2
+    if (vocab < 2 || vocab > graft.operators.UnigramLm.MaxVocab)
+      fail(s"$fn argument 4 (vocab size) must be in " +
+        s"[2, ${graft.operators.UnigramLm.MaxVocab}], got $vocab")
+    if (iters < 0 || iters > 16)
+      fail(s"$fn argument 5 (iterations) must be in [0, 16], got $iters")
+    if (!docs.columns.contains(idCol))
+      fail(s"$fn argument 2 (id column): no column '$idCol' in the documents table")
+    DeferredResult.memoized(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, docs.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("n_pieces",
+          org.apache.spark.sql.types.LongType))),
+      argsKey(docs, idCol, textCol, vocab, iters),
+      () => {
+        val (_, lp) = graft.operators.UnigramLm.train(
+          graft.operators.Bpe.wordTypes(docs, textCol),
+          maxPieceLen = 4, vocabSize = vocab, iters = iters,
+          maxWordLen = 16)
+        graft.operators.UnigramLm.encodeCounts(docs, lp, idCol, textCol,
+          maxPieceLen = 4, maxWordLen = 16)
       })
   }
 

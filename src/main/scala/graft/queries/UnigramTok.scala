@@ -1,0 +1,217 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Bpe, UnigramLm}
+
+/** q147/q148: unigram-LM (SentencePiece-style) tokenizer training and
+  * encoding ([[graft.operators.UnigramLm]]) — the subtractive member of
+  * the trained-tokenizer family (BPE q122, WordPiece q145). The DuckDB
+  * oracle replays EVERYTHING: substring seed counting, top-V candidate
+  * selection, every Viterbi DP cell (positions unrolled as CTE columns),
+  * every backtrace step, and every smoothed re-estimation — so the
+  * declared hash verifies the full hard-EM trajectory, not just final
+  * arithmetic. The oracle's GREATEST + first-match CASE is exactly the
+  * operator's left-fold argmax (ties to the shortest last piece).
+  *
+  * Scale note: corpus-scale work is ONE word-type pass (q122's
+  * contract); each EM round is one type-table scan + a ≤V-row collect.
+  * The position unroll is bounded by MaxWordLen = 12 here (the testdata
+  * corpus maxes at 8 chars); the operator itself takes maxWordLen up to
+  * 64 with the documented char-fallback for longer words.
+  */
+object UnigramTok {
+
+  private val P = 4   // max piece length
+  private val V = 40  // vocab budget (chars + top multis)
+  private val T = 2   // hard-EM rounds
+  private val W = 12  // DP width (max word length)
+  private val NegInf = "-1000000000.0"
+
+  /** Trained trajectory + final log-probs once per (session, dataset) —
+    * the trained-artifact-store pattern (train once, q147 declares the
+    * trajectory, q148 encodes under the same model). Session-keyed: the
+    * trajectory frame is checkpoint-bound to its session.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, Map[String, Double])]()
+
+  private def trained(s: SparkSession, dir: String)
+      : (DataFrame, Map[String, Double]) =
+    cache.computeIfAbsent((s, dir), _ => {
+      val wt = Bpe.wordTypes(Tables.documents(s, dir), "text")
+      val (traj, lp) = UnigramLm.train(wt, maxPieceLen = P, vocabSize = V,
+        iters = T, maxWordLen = W)
+      (traj.localCheckpoint(true), lp)
+    })
+
+  private def q147(s: SparkSession, dir: String): DataFrame =
+    trained(s, dir)._1.orderBy(col("iter"), col("piece"))
+
+  private def q148(s: SparkSession, dir: String): DataFrame =
+    UnigramLm.encodeCounts(Tables.documents(s, dir), trained(s, dir)._2,
+        "doc_id", "text", maxPieceLen = P, maxWordLen = W)
+      .orderBy(col("doc_id"))
+
+  // ---- DuckDB oracle generators (programmatic, like Tokenizer.trainSql:
+  // the Spark loop and the SQL agree on P/V/T/W by construction) ----
+
+  /** Shared prelude: word types (len ≤ W), substring seed counts, top-V
+    * candidate vocabulary, and the iter-0 smoothed estimate. */
+  private def seedSql: String =
+    s"""WITH toks AS (
+       |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
+       |), wt AS MATERIALIZED (
+       |  SELECT word, COUNT(*) AS freq FROM toks
+       |  WHERE word <> '' AND len(word) <= $W GROUP BY 1
+       |), occ AS MATERIALIZED (
+       |  SELECT substr(word, s, l) AS piece, SUM(freq) AS cnt
+       |  FROM (
+       |    SELECT word, freq, g1.s, g2.l FROM wt
+       |    CROSS JOIN UNNEST(generate_series(1, len(word))) AS g1(s)
+       |    CROSS JOIN UNNEST(generate_series(1, LEAST($P, len(word) - s + 1))) AS g2(l)
+       |  ) occ_t GROUP BY 1
+       |), chars AS MATERIALIZED (
+       |  SELECT piece, cnt FROM occ WHERE len(piece) = 1
+       |), multis AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rk
+       |    FROM occ WHERE len(piece) > 1) mt
+       |  WHERE rk <= $V - (SELECT COUNT(*) FROM chars)
+       |), vocab AS MATERIALIZED (
+       |  SELECT piece, cnt FROM chars UNION ALL SELECT piece, cnt FROM multis
+       |), tot0 AS (
+       |  SELECT SUM(cnt) AS tot, COUNT(*) AS v FROM vocab
+       |), lp0 AS MATERIALIZED (
+       |  SELECT piece,
+       |    FLOOR(ln((cnt + 1.0) / (tot + v)) * 1000000 + 0.5) / 1000000.0 AS lp,
+       |    FLOOR((cnt + 1.0) / (tot + v) * 1000000 + 0.5) / 1000000.0 AS prob
+       |  FROM vocab, tot0
+       |)""".stripMargin
+
+  /** Viterbi DP + backtrace CTEs over `srcCte` (must expose `word` and
+    * whatever else should flow through) against log-probs `lpCte`.
+    * Emits CTEs `<pre>d_0..W` (dp cells d1..dW, backpointers b1..bW) and
+    * `<pre>r_0..W` (backtrace: piece1..pieceW nullable, pos0..posW);
+    * consumers read `<pre>r_$W`. Positions are compile-time constants,
+    * so every substr/lookup is a literal — the same recurrence the
+    * operator's aggregate-fold evaluates at runtime.
+    */
+  private def dpSql(pre: String, srcCte: String, lpCte: String): String = {
+    val sb = new StringBuilder
+    sb.append(s""", ${pre}d_0 AS (
+      |  SELECT *, len(word) AS ${pre}n, CAST(0.0 AS DOUBLE) AS ${pre}d0
+      |  FROM $srcCte
+      |)""".stripMargin)
+    for (j <- 1 to W) {
+      val ls = 1 to math.min(P, j)
+      val sCols = ls.map { l =>
+        s"${pre}d${j - l} + COALESCE((SELECT lp FROM $lpCte " +
+          s"WHERE piece = substr(word, ${j - l + 1}, $l)), $NegInf) AS ${pre}s${j}_$l"
+      }.mkString(",\n    ")
+      sb.append(s""", ${pre}s_$j AS (
+        |  SELECT *,
+        |    $sCols
+        |  FROM ${pre}d_${j - 1}
+        |), ${pre}g_$j AS (
+        |  SELECT *, ${
+          if (ls.size == 1) s"${pre}s${j}_1"
+          else s"GREATEST(${ls.map(l => s"${pre}s${j}_$l").mkString(", ")})"
+        } AS ${pre}d$j
+        |  FROM ${pre}s_$j
+        |), ${pre}d_$j AS (
+        |  SELECT *, CASE ${
+          ls.map(l => s"WHEN ${pre}s${j}_$l = ${pre}d$j THEN $l").mkString(" ")
+        } END AS ${pre}b$j
+        |  FROM ${pre}g_$j
+        |)""".stripMargin)
+    }
+    sb.append(s""", ${pre}r_0 AS (
+      |  SELECT *, ${pre}n AS ${pre}pos0 FROM ${pre}d_$W
+      |)""".stripMargin)
+    for (s <- 1 to W) {
+      val blCase = (1 to W)
+        .map(j => s"WHEN $j THEN ${pre}b$j").mkString(" ")
+      sb.append(s""", ${pre}rb_$s AS (
+        |  SELECT *, CASE ${pre}pos${s - 1} $blCase ELSE 0 END AS ${pre}bl$s
+        |  FROM ${pre}r_${s - 1}
+        |), ${pre}r_$s AS (
+        |  SELECT *,
+        |    CASE WHEN ${pre}pos${s - 1} > 0
+        |      THEN substr(word, ${pre}pos${s - 1} - ${pre}bl$s + 1, ${pre}bl$s)
+        |    END AS ${pre}piece$s,
+        |    CASE WHEN ${pre}pos${s - 1} > 0
+        |      THEN ${pre}pos${s - 1} - ${pre}bl$s ELSE 0 END AS ${pre}pos$s
+        |  FROM ${pre}rb_$s
+        |)""".stripMargin)
+    }
+    sb.toString
+  }
+
+  /** One EM round `t`: segment `wt` under `lp{t-1}`, count pieces
+    * (freq-weighted), re-estimate `lp{t}` with add-one smoothing over
+    * the FIXED candidate set. */
+  private def emSql(t: Int): String = {
+    val pre = s"e$t"
+    val pieceList = (1 to W).map(s => s"${pre}piece$s").mkString(", ")
+    dpSql(pre, "wt", s"lp${t - 1}") +
+      s""", cnt$t AS MATERIALIZED (
+         |  SELECT piece, SUM(freq) AS cnt FROM (
+         |    SELECT freq, unnest([$pieceList]) AS piece FROM ${pre}r_$W) ct
+         |  WHERE piece IS NOT NULL GROUP BY 1
+         |), tot$t AS (
+         |  SELECT SUM(COALESCE(c.cnt, 0)) AS tot, COUNT(*) AS v
+         |  FROM vocab vb LEFT JOIN cnt$t c ON vb.piece = c.piece
+         |), lp$t AS MATERIALIZED (
+         |  SELECT vb.piece,
+         |    FLOOR(ln((COALESCE(c.cnt, 0) + 1.0) / (tot + v)) * 1000000 + 0.5)
+         |      / 1000000.0 AS lp,
+         |    FLOOR((COALESCE(c.cnt, 0) + 1.0) / (tot + v) * 1000000 + 0.5)
+         |      / 1000000.0 AS prob
+         |  FROM vocab vb LEFT JOIN cnt$t c ON vb.piece = c.piece, tot$t
+         |)""".stripMargin
+  }
+
+  private def q147Sql: String = {
+    val arms = (0 to T)
+      .map(t => s"SELECT $t AS iter, piece, prob FROM lp$t")
+      .mkString("\n  UNION ALL ")
+    seedSql + (1 to T).map(emSql).mkString + s"""
+      |SELECT iter, piece, prob FROM (
+      |  $arms) traj
+      |ORDER BY iter, piece""".stripMargin
+  }
+
+  private def q148Sql: String = {
+    // all distinct words (no length filter) for the encode dictionary;
+    // ≤W words segment under lp{T}, longer words fall back to len(word)
+    val npCase = (1 to W)
+      .map(s => s"CASE WHEN fpiece$s IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    seedSql + (1 to T).map(emSql).mkString + s""", wtall AS MATERIALIZED (
+      |  SELECT DISTINCT word FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) aw
+      |  WHERE word <> ''
+      |), wtenc AS (
+      |  SELECT word FROM wtall WHERE len(word) <= $W
+      |)""".stripMargin +
+      dpSql("f", "wtenc", s"lp$T") + s""", dict AS MATERIALIZED (
+      |  SELECT word, CAST($npCase AS BIGINT) AS np FROM fr_$W
+      |  UNION ALL
+      |  SELECT word, CAST(len(word) AS BIGINT) AS np FROM wtall
+      |  WHERE len(word) > $W
+      |), dwords AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |)
+      |SELECT d.doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces
+      |FROM dwords d JOIN dict USING (word)
+      |WHERE d.word <> ''
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q147_unigram_train", q147, Some(q147Sql)),
+    QueryDef("q148_unigram_encode", q148, Some(q148Sql)))
+}

@@ -397,6 +397,7 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT * FROM pagerank('ext_poison_edges', 'src', 'dst', 3)",
         "SELECT * FROM jl_project('ext_poison_emb', 'vec_id', 'embedding', 1)",
         "SELECT * FROM bpe_token_counts('ext_poison_docs', 'doc_id', 'text', 2)",
+        "SELECT * FROM unigram_token_counts('ext_poison_docs', 'doc_id', 'text', 8, 1)",
         "SELECT * FROM heavy_tokens('ext_poison_docs', 'text', 3, 16)",
         "SELECT * FROM kcenter_select('ext_poison_emb', 'vec_id', 'embedding', 2)",
         "SELECT * FROM kmeans_assign('ext_poison_emb', 'vec_id', 'embedding', 2, 1)",

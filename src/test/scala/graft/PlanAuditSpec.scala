@@ -287,6 +287,21 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
   }
 
+  test("q147/q148: unigram training is a checkpointed artifact; encode is a dict join") {
+    // training ran once at construction (bounded <=V-row collects per EM
+    // round); the declared trajectory must be a tiny checkpoint scan,
+    // never a corpus re-read
+    val p147 = finalPlan("q147_unigram_train")
+    assert(p147.contains("LocalTableScan") || p147.contains("ExistingRDD"), p147)
+    assert(!p147.contains("FileScan"), p147)
+    // encode: distinct words segment once (the Viterbi fold runs inside
+    // a projection over the type table), docs join the dictionary on
+    // word equality, counts aggregate partial+final — never a product
+    val p148 = finalPlan("q148_unigram_encode")
+    assert(p148.contains("HashAggregate"), p148)
+    assert(!p148.contains("CartesianProduct") && !p148.contains("SortMergeJoin"), p148)
+  }
+
   test("q70: per-lang quota sample gets a map-side WindowGroupLimit") {
     // row_number <= 20 must push a per-partition group limit below the
     // lang shuffle — the property that keeps window state quota-bounded
