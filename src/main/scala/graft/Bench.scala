@@ -24,6 +24,46 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Per-query regression guard (round-10): a recorded band file maps each
+    * query to its [min, max] sweep spread from a previously-committed run
+    * at the same sf. A query whose current median exceeds `driftFactor` ×
+    * its recorded max is a regression; the run exits nonzero and names the
+    * offenders, so per-query perf evidence is machine-checked instead of
+    * living in BASELINE.md prose and an eyeball diff.
+    *
+    * The band format is this file's own `spread` output (flat JSON object
+    * of `"name":[lo,hi]`), so recording is `SPARK_GRAFT_BENCH_RECORD_BANDS=
+    * <path>` on a green run and the guard is `SPARK_GRAFT_BENCH_BANDS=
+    * <path>` on any later one. Parsed with a regex rather than a JSON
+    * library: the grammar is a single flat object of string→[num,num]
+    * produced by this same object, and the build has no JSON dependency.
+    */
+  private val bandRe =
+    """"([A-Za-z0-9_]+)"\s*:\s*\[\s*(-?[0-9.eE+-]+)\s*,\s*(-?[0-9.eE+-]+)\s*\]""".r
+
+  def parseBands(s: String): Map[String, (Double, Double)] =
+    bandRe.findAllMatchIn(s)
+      .map(m => m.group(1) -> (m.group(2).toDouble, m.group(3).toDouble))
+      .toMap
+
+  /** Regressions under the drift rule. The absolute floor (default 0.25 s)
+    * keeps sub-100ms queries from tripping the guard on scheduler jitter
+    * alone: a 0.04 s query at 0.09 s is noise, not a plan change.
+    */
+  def regressions(
+      medians: Seq[(String, Double)],
+      bands: Map[String, (Double, Double)],
+      driftFactor: Double = 2.0,
+      floorSec: Double = 0.25): Seq[(String, Double, Double)] =
+    medians.flatMap { case (name, med) =>
+      bands.get(name) match {
+        case Some((_, hi)) if med >= 0 &&
+            med > math.max(hi * driftFactor, hi + floorSec) =>
+          Some((name, med, hi))
+        case _ => None
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -98,7 +138,32 @@ object Bench {
     // (BENCH_r09 had the trailer in the tail but parsed:null for exactly
     // this reason). sbt leaves stderr unprefixed.
     System.err.println(trailer)
+    // Record mode: persist this run's spread as the band file for later
+    // guard runs (only meaningful on a fully-green sweep).
+    sys.env.get("SPARK_GRAFT_BENCH_RECORD_BANDS").foreach { path =>
+      if (failed == 0) {
+        val w = new java.io.PrintWriter(path, "UTF-8")
+        try w.println(spread) finally w.close()
+        System.err.println(s"[bench] recorded bands for ${names.length} queries to $path")
+      } else System.err.println(s"[bench] NOT recording bands: $failed queries failed")
+    }
+    // Guard mode: fail the run if any query's median drifted past its band.
+    val regressed = sys.env.get("SPARK_GRAFT_BENCH_BANDS").map { path =>
+      val bands = parseBands(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+          java.nio.charset.StandardCharsets.UTF_8))
+      val regs = regressions(perQuery, bands)
+      regs.foreach { case (n, med, hi) =>
+        System.err.println(f"[bench] REGRESSION $n: median $med%.3f s vs recorded band max $hi%.3f s")
+      }
+      val rj = regs.map { case (n, med, hi) => s"\"" + n + s"\":[$med,$hi]" }
+        .mkString("{", ",", "}")
+      val guard = s"""{"metric":"guard","regressions":$rj,"checked":${bands.size},"bands":"$path"}"""
+      println(guard); System.err.println(guard)
+      regs.nonEmpty
+    }.getOrElse(false)
     spark.stop()
     if (failed > 0) sys.exit(1)
+    if (regressed) sys.exit(2)
   }
 }

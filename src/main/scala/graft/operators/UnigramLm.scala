@@ -129,7 +129,12 @@ object UnigramLm {
               array(col("word").substr(pos - b + lit(1), b))).as("ps")))
           .otherwise(acc)
       }).getField("ps")
-    withDp.withColumn("pieces", pieces).drop("dp", "lpm")
+    withDp
+      .withColumn("pieces", pieces)
+      // the word's Viterbi log-likelihood (dp[n].d) — free to surface here
+      // and what [[scoreCounts]]'s perplexity estimate consumes
+      .withColumn("score", element_at(col("dp"), n + lit(1)).getField("d"))
+      .drop("dp", "lpm")
   }
 
   /** Trains `iters` hard-EM rounds; returns the full trajectory
@@ -202,5 +207,41 @@ object UnigramLm {
     words.join(dict, "word")
       .groupBy(col(idCol))
       .agg(sum(col("np")).as("n_pieces"))
+  }
+
+  /** Per-row piece counts AND summed Viterbi log-likelihood under a
+    * trained model: `(idCol, n_pieces, lp_sum)` — the inputs to a
+    * CCNet-style perplexity estimate (Wenzek et al. 2020: score each
+    * document under a corpus LM, bucket into head/middle/tail).
+    *
+    * Same dictionary shape as [[encodeCounts]] — distinct words segment
+    * once, documents pay an equi-join and a sum — except each word type
+    * carries its r6-snapped path log-likelihood. The per-document sum is
+    * RE-snapped to the same 1e-6 grid: the addends are grid multiples,
+    * so the true sum is one too, and the engine-dependent summation
+    * order perturbs it by ≪ 0.5e-6 — the re-snap therefore lands both
+    * engines on the bit-identical double, and every downstream op
+    * (ratios, r4, tile ordering) agrees exactly. Snapping only at r4
+    * was measurably NOT enough: a sum landing within a ulp of an r4
+    * half-grid boundary rounded differently per engine (caught at
+    * sf0.001, doc 439). Words longer than `maxWordLen` have no Viterbi
+    * path under the training cutoff and are EXCLUDED from the estimate
+    * (documented modeling choice — the inner dictionary join drops them
+    * on both engines).
+    */
+  def scoreCounts(docs: DataFrame, lp: Map[String, Double], idCol: String,
+      textCol: String, maxPieceLen: Int, maxWordLen: Int): DataFrame = {
+    val words = docs
+      .select(col(idCol), explode(split(col(textCol), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val types = words.select(col("word")).distinct()
+      .filter(length(col("word")) <= maxWordLen)
+    val dict = segmented(types, lp, maxPieceLen)
+      .select(col("word"), size(col("pieces")).cast("long").as("np"),
+        graft.queries.Parity.r6(col("score")).as("sc"))
+    words.join(dict, "word")
+      .groupBy(col(idCol))
+      .agg(sum(col("np")).as("n_pieces"),
+        graft.queries.Parity.r6(sum(col("sc"))).as("lp_sum"))
   }
 }

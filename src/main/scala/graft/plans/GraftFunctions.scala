@@ -120,7 +120,13 @@ object GraftFunctions {
       ("kmeans_assign", SqlTableFunctions.getClass,
         SqlTableFunctions.kmeansAssignBuilder _),
       ("label_propagation", SqlTableFunctions.getClass,
-        SqlTableFunctions.labelPropagationBuilder _))
+        SqlTableFunctions.labelPropagationBuilder _),
+      ("repetition_stats", SqlTableFunctions.getClass,
+        SqlTableFunctions.repetitionStatsBuilder _),
+      ("dsir_weights", SqlTableFunctions.getClass,
+        SqlTableFunctions.dsirWeightsBuilder _),
+      ("mmr_rerank", SqlTableFunctions.getClass,
+        SqlTableFunctions.mmrRerankBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

@@ -24,6 +24,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM unigram_token_counts('docs_v', 'doc_id', 'text', 64, 2)
   * SELECT * FROM quality_scores('docs_v', 'logistic', 3)
   * SELECT * FROM heavy_tokens('docs_v', 'text', 20, 256)
+  * SELECT * FROM repetition_stats('docs_v', 'doc_id', 'text', 2)
+  * SELECT * FROM dsir_weights('docs_v', 'doc_id', 'text', 'is_target', 16)
+  * SELECT * FROM mmr_rerank('emb_v', 'vec_id', 'embedding', 0, 20, 5, 0.7)
   * }}}
   *
   * Each builder runs at analysis time: scalar arguments must be literals
@@ -523,5 +526,102 @@ object SqlTableFunctions {
       fail(s"$fn argument 4 (threshold) must be in (0, 1], got $threshold")
     graft.operators.SetSimilarityJoin.join(docs, idCol, textCol, threshold)
       .queryExecution.logical
+  }
+
+  /** repetition_stats(docs_table, id_col, text_col, n) — Gopher
+    * within-document repetition signals + keep/drop verdict
+    * ([[graft.operators.Repetition]]). Fully declarative (one
+    * explode→aggregate→window), so the builder returns the plan directly.
+    */
+  def repetitionStatsBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "repetition_stats"
+    if (args.length != 4) wrongNumArgs(fn, "4", args.length)
+    val docs = table(fn, strArg(fn, args, 0, "documents table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val textCol = strArg(fn, args, 2, "text column")
+    val n = intArg(fn, args, 3, "n-gram width")
+    if (n < 1 || n > 8) fail(s"$fn argument 4 (n-gram width) must be in [1, 8], got $n")
+    if (!docs.columns.contains(idCol))
+      fail(s"$fn argument 2 (id column): no column '$idCol' in the documents table")
+    graft.operators.Repetition.repetitiveFlag(
+        graft.operators.Repetition.dupNgramStats(docs, idCol, textCol, n))
+      .queryExecution.logical
+  }
+
+  /** dsir_weights(docs_table, id_col, text_col, target_col, n_slots) —
+    * DSIR importance log-weights ([[graft.operators.Dsir]]):
+    * `target_col` names a BOOLEAN column marking the target slice.
+    * Deferred: the slot-model build materializes an intermediate, which
+    * must not run at analysis/EXPLAIN time.
+    */
+  def dsirWeightsBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "dsir_weights"
+    if (args.length != 5) wrongNumArgs(fn, "5", args.length)
+    val docs = table(fn, strArg(fn, args, 0, "documents table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val textCol = strArg(fn, args, 2, "text column")
+    val targetCol = strArg(fn, args, 3, "target flag column")
+    val nSlots = intArg(fn, args, 4, "slot count")
+    if (nSlots < 2 || nSlots > (1 << 20))
+      fail(s"$fn argument 5 (slot count) must be in [2, 2^20], got $nSlots")
+    if (!docs.columns.contains(idCol))
+      fail(s"$fn argument 2 (id column): no column '$idCol' in the documents table")
+    if (!docs.columns.contains(targetCol))
+      fail(s"$fn argument 4 (target flag column): no column '$targetCol' in the documents table")
+    if (docs.schema(targetCol).dataType !=
+        org.apache.spark.sql.types.BooleanType)
+      fail(s"$fn argument 4 (target flag column) must be BOOLEAN, got " +
+        docs.schema(targetCol).dataType.simpleString)
+    val idType = docs.schema(idCol).dataType
+    DeferredResult.memoized(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField(idCol, idType),
+        org.apache.spark.sql.types.StructField("n_toks",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("log_weight",
+          org.apache.spark.sql.types.DoubleType))),
+      argsKey(docs, idCol, textCol, targetCol, nSlots),
+      () => graft.operators.Dsir.importanceWeights(docs,
+        org.apache.spark.sql.functions.col(targetCol), idCol, textCol, nSlots))
+  }
+
+  /** mmr_rerank(emb_table, id_col, vec_col, query_id, n_candidates, k,
+    * lambda) — MMR diversified top-k ([[graft.operators.Mmr]]). Deferred:
+    * the greedy loop collects the bounded candidate set, which must not
+    * run at analysis/EXPLAIN time.
+    */
+  def mmrRerankBuilder(args: Seq[Expression]): LogicalPlan = {
+    val fn = "mmr_rerank"
+    if (args.length != 7) wrongNumArgs(fn, "7", args.length)
+    val emb = table(fn, strArg(fn, args, 0, "embeddings table"))
+    val idCol = strArg(fn, args, 1, "id column")
+    val vecCol = strArg(fn, args, 2, "vector column")
+    val queryId = numArg(fn, args, 3, "query id")
+    val c = intArg(fn, args, 4, "candidate count")
+    val k = intArg(fn, args, 5, "k")
+    val lambda = numArg(fn, args, 6, "lambda")
+    if (queryId != math.rint(queryId))
+      fail(s"$fn argument 4 (query id) must be an integer, got $queryId")
+    if (c < 1 || c > graft.operators.Mmr.MaxCandidates)
+      fail(s"$fn argument 5 (candidate count) must be in [1, " +
+        s"${graft.operators.Mmr.MaxCandidates}], got $c")
+    if (k < 1 || k > c) fail(s"$fn argument 6 (k) must be in [1, candidate count], got $k")
+    if (lambda < 0 || lambda > 1)
+      fail(s"$fn argument 7 (lambda) must be in [0, 1], got $lambda")
+    if (!emb.columns.contains(idCol))
+      fail(s"$fn argument 2 (id column): no column '$idCol' in the embeddings table")
+    DeferredResult.memoized(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("sel_rank",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField(idCol,
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("rel",
+          org.apache.spark.sql.types.DoubleType),
+        org.apache.spark.sql.types.StructField("mmr_score",
+          org.apache.spark.sql.types.DoubleType))),
+      argsKey(emb, idCol, vecCol, queryId.toLong, c, k, lambda),
+      () => graft.operators.Mmr.diversifiedTopK(emb, idCol, vecCol,
+        queryId.toLong, c, k, lambda))
   }
 }

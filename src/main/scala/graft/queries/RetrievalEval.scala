@@ -121,6 +121,84 @@ object RetrievalEval {
        |FROM m JOIN i ON i.a_id = m.a_id
        |ORDER BY m.a_id""".stripMargin
 
+  // ---------- q153: MMR diversified top-k ----------
+
+  private val MmrQueryId = 0L
+  private val MmrC = 20
+  private val MmrK = 5
+  private val MmrLambda = 0.7
+
+  /** q153 — MMR re-ranking over exact-cosine candidates
+    * ([[graft.operators.Mmr]]): top-[[MmrC]] by relevance to vector
+    * [[MmrQueryId]], then [[MmrK]] greedy diversified picks at
+    * λ = [[MmrLambda]]. The oracle unrolls every greedy step as a CTE —
+    * candidate cutoff, per-step max-sim-to-selected, argmax, and the
+    * growing selected set — so the declared hash pins the whole
+    * trajectory, the established trained-loop pattern.
+    */
+  private def q153(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Mmr.diversifiedTopK(Tables.embeddings(s, dir),
+      "vec_id", "embedding", MmrQueryId, MmrC, MmrK, MmrLambda)
+
+  private def q153Sql: String = {
+    // (1.0 - λ) spelled as the SUBTRACTION on both engines: the Scala
+    // greedy computes `1 - lambda` (= 0.30000000000000004 in binary for
+    // λ=0.7), so a literal 0.3 here would be a different double
+    val head =
+      s"""WITH v AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         |    sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+         |      CAST(embedding AS DOUBLE[]))) AS nm
+         |  FROM embeddings
+         |), q AS (
+         |  SELECT emb AS q_emb, nm AS q_nm FROM v WHERE vec_id = $MmrQueryId
+         |), cand AS (
+         |  SELECT v.vec_id,
+         |    FLOOR(list_dot_product(v.emb, q.q_emb) / (v.nm * q.q_nm)
+         |      * 10000 + 0.5) / 10000.0 AS rel
+         |  FROM v CROSS JOIN q WHERE v.vec_id <> $MmrQueryId
+         |  ORDER BY rel DESC, vec_id LIMIT $MmrC
+         |), ce AS MATERIALIZED (
+         |  SELECT c.vec_id, c.rel, v.emb, v.nm FROM cand c JOIN v USING (vec_id)
+         |), sims AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    FLOOR(list_dot_product(a.emb, b.emb) / (a.nm * b.nm)
+         |      * 10000 + 0.5) / 10000.0 AS sim
+         |  FROM ce a JOIN ce b ON a.vec_id <> b.vec_id
+         |), s1 AS (
+         |  SELECT vec_id, rel, score FROM (
+         |    SELECT vec_id, rel, $MmrLambda * rel AS score,
+         |      ROW_NUMBER() OVER (ORDER BY $MmrLambda * rel DESC, vec_id) AS rk
+         |    FROM ce) t WHERE rk = 1
+         |), sel1 AS (SELECT vec_id FROM s1)""".stripMargin
+    val steps = (2 to MmrK).map { t =>
+      s""", r$t AS (
+         |  SELECT c.vec_id, c.rel,
+         |    $MmrLambda * c.rel - (1.0 - $MmrLambda) * MAX(s.sim) AS score
+         |  FROM ce c
+         |  JOIN sims s ON s.ia = c.vec_id
+         |  JOIN sel${t - 1} p ON s.ib = p.vec_id
+         |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${t - 1})
+         |  GROUP BY c.vec_id, c.rel
+         |), s$t AS (
+         |  SELECT vec_id, rel, score FROM (
+         |    SELECT *, ROW_NUMBER() OVER (ORDER BY score DESC, vec_id) AS rk
+         |    FROM r$t) t WHERE rk = 1
+         |), sel$t AS (
+         |  SELECT vec_id FROM sel${t - 1} UNION ALL SELECT vec_id FROM s$t
+         |)""".stripMargin
+    }.mkString
+    val arms = (1 to MmrK).map(t =>
+      s"SELECT CAST($t AS INTEGER) AS sel_rank, vec_id, rel, " +
+        s"FLOOR(score * 10000 + 0.5) / 10000.0 AS mmr_score FROM s$t")
+      .mkString("\n  UNION ALL ")
+    head + steps + s"""
+      |SELECT sel_rank, vec_id, rel, mmr_score FROM (
+      |  $arms) u
+      |ORDER BY sel_rank""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q143_retrieval_metrics", q143, Some(q143Sql)))
+    QueryDef("q143_retrieval_metrics", q143, Some(q143Sql)),
+    QueryDef("q153_mmr_rerank", q153, Some(q153Sql)))
 }

@@ -54,6 +54,30 @@ object UnigramTok {
         "doc_id", "text", maxPieceLen = P, maxWordLen = W)
       .orderBy(col("doc_id"))
 
+  /** q152 — CCNet-style perplexity bucketing (Wenzek et al. 2020) under
+    * the SAME trained unigram LM as q147/q148 (the trained-artifact-store
+    * pattern: one training, three consumers): each document's mean piece
+    * negative log-likelihood, then head/middle/tail tertiles (ntile over
+    * the r4-snapped score, doc_id tie-break). Scale note: the global
+    * ntile is a single-partition window — the deployment form replaces it
+    * with two tertile CUT POINTS + a CASE (the q137 curriculum note);
+    * the declared form keeps ntile so the oracle replays rank-exactly.
+    */
+  private def q152(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scored = UnigramLm.scoreCounts(Tables.documents(s, dir),
+      trained(s, dir)._2, "doc_id", "text", maxPieceLen = P, maxWordLen = W)
+    scored
+      .select(col("doc_id"), col("n_pieces"),
+        Parity.r4(-col("lp_sum") / col("n_pieces")).as("nll_per_piece"))
+      .withColumn("tile", ntile(3).over(
+        Window.orderBy(col("nll_per_piece"), col("doc_id"))))
+      .select(col("doc_id"), col("n_pieces"), col("nll_per_piece"),
+        when(col("tile") === 1, "head").when(col("tile") === 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+      .orderBy(col("doc_id"))
+  }
+
   // ---- DuckDB oracle generators (programmatic, like Tokenizer.trainSql:
   // the Spark loop and the SQL agree on P/V/T/W by construction) ----
 
@@ -211,7 +235,50 @@ object UnigramTok {
       |ORDER BY doc_id""".stripMargin
   }
 
+  private def q152Sql: String = {
+    // dictionary over ≤W word types only (longer words are excluded from
+    // the estimate — scoreCounts' documented cutoff); score = the final
+    // DP cell d_n selected by word length, r6-snapped at the type level
+    val npCase = (1 to W)
+      .map(s => s"CASE WHEN fpiece$s IS NOT NULL THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    val scCase = "CASE fn " +
+      (1 to W).map(j => s"WHEN $j THEN fd$j").mkString(" ") + " END"
+    seedSql + (1 to T).map(emSql).mkString + s""", wtenc AS (
+      |  SELECT word FROM wt WHERE len(word) <= $W
+      |)""".stripMargin +
+      dpSql("f", "wtenc", s"lp$T") + s""", dict AS MATERIALIZED (
+      |  SELECT word, CAST($npCase AS BIGINT) AS np,
+      |    FLOOR(($scCase) * 1000000 + 0.5) / 1000000.0 AS sc
+      |  FROM fr_$W
+      |), dwords AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+      |), persum AS (
+      |  -- lp_sum re-snapped to the 1e-6 grid its addends live on: the
+      |  -- engine-dependent sum order perturbs by << 0.5e-6, so the snap
+      |  -- lands both engines on the bit-identical double (scoreCounts)
+      |  SELECT d.doc_id, CAST(SUM(np) AS BIGINT) AS n_pieces,
+      |    FLOOR(SUM(sc) * 1000000 + 0.5) / 1000000.0 AS lp_sum
+      |  FROM dwords d JOIN dict USING (word)
+      |  WHERE d.word <> ''
+      |  GROUP BY 1
+      |), per AS (
+      |  SELECT doc_id, n_pieces,
+      |    FLOOR(-lp_sum / n_pieces * 10000 + 0.5) / 10000.0 AS nll_per_piece
+      |  FROM persum
+      |), tiled AS (
+      |  SELECT *, NTILE(3) OVER (ORDER BY nll_per_piece, doc_id) AS tile
+      |  FROM per
+      |)
+      |SELECT doc_id, n_pieces, nll_per_piece,
+      |  CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+      |    AS ppl_bucket
+      |FROM tiled
+      |ORDER BY doc_id""".stripMargin
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q147_unigram_train", q147, Some(q147Sql)),
-    QueryDef("q148_unigram_encode", q148, Some(q148Sql)))
+    QueryDef("q148_unigram_encode", q148, Some(q148Sql)),
+    QueryDef("q152_perplexity_buckets", q152, Some(q152Sql)))
 }

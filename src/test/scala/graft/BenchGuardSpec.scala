@@ -1,0 +1,62 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Per-query bench regression guard (round-10, VERDICT r9 task 6).
+  *
+  * The timing comparison itself runs in [[Bench]] guard mode
+  * (`SPARK_GRAFT_BENCH_BANDS=bench/bands_sf0.1.json sbt "runMain
+  * graft.Bench"`) where the environment matches the recording — running a
+  * timed sweep inside the shared, contended test JVM would make the guard
+  * order- and load-dependent. What belongs in `sbt test` is everything
+  * deterministic: the band parser, the drift rule, and the contract that
+  * the committed band file stays in lockstep with the declared catalog
+  * (a new query without a recorded band, or a stale band for a deleted
+  * query, fails here — so the machine-checked evidence chain cannot
+  * silently rot).
+  */
+class BenchGuardSpec extends AnyFunSuite {
+
+  private val bandPath = java.nio.file.Paths.get("bench/bands_sf0.1.json")
+
+  test("parseBands round-trips the bench spread format") {
+    val s = """{"q01_scan":[0.123,0.456],"q147_unigram_train":[1.0,2.5]}"""
+    val bands = Bench.parseBands(s)
+    assert(bands === Map(
+      "q01_scan" -> (0.123, 0.456),
+      "q147_unigram_train" -> (1.0, 2.5)))
+  }
+
+  test("drift rule: 2x factor with an absolute floor, failed runs exempt") {
+    val bands = Map("a" -> (0.1, 0.2), "b" -> (1.0, 2.0), "c" -> (0.02, 0.05))
+    // a: 0.2 max -> threshold max(0.4, 0.45) = 0.45; 0.44 passes, 0.46 fails
+    assert(Bench.regressions(Seq("a" -> 0.44), bands).isEmpty)
+    assert(Bench.regressions(Seq("a" -> 0.46), bands).nonEmpty)
+    // b: threshold max(4.0, 2.25) = 4.0
+    assert(Bench.regressions(Seq("b" -> 3.9), bands).isEmpty)
+    assert(Bench.regressions(Seq("b" -> 4.1), bands) ===
+      Seq(("b", 4.1, 2.0)))
+    // c: tiny query — floor dominates; 0.09 s (>2x band) is still noise
+    assert(Bench.regressions(Seq("c" -> 0.09), bands).isEmpty)
+    // unknown query or failed (-1) median: never a regression
+    assert(Bench.regressions(Seq("zzz" -> 99.0, "a" -> -1.0), bands).isEmpty)
+  }
+
+  test("committed band file exists, parses, and covers the declared catalog") {
+    assert(java.nio.file.Files.exists(bandPath),
+      s"band file $bandPath missing — record with SPARK_GRAFT_BENCH_RECORD_BANDS")
+    val bands = Bench.parseBands(new String(
+      java.nio.file.Files.readAllBytes(bandPath),
+      java.nio.charset.StandardCharsets.UTF_8))
+    val declared = graft.queries.Catalog.all.map(_.name).toSet
+    val missing = declared -- bands.keySet
+    val stale = bands.keySet -- declared
+    assert(missing.isEmpty,
+      s"queries with no recorded band (re-record bands): ${missing.toSeq.sorted.mkString(", ")}")
+    assert(stale.isEmpty,
+      s"bands for queries no longer declared: ${stale.toSeq.sorted.mkString(", ")}")
+    bands.foreach { case (n, (lo, hi)) =>
+      assert(lo >= 0 && hi >= lo, s"malformed band for $n: [$lo,$hi]")
+    }
+  }
+}

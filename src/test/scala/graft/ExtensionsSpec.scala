@@ -393,6 +393,11 @@ class ExtensionsSpec extends SparkSpec {
           org.apache.spark.sql.functions.col("id").as("doc_id"),
           boom(org.apache.spark.sql.functions.col("id")).cast("string").as("text"))
         .createOrReplaceTempView("ext_poison_docs")
+      spark.range(4).select(
+          org.apache.spark.sql.functions.col("id").as("doc_id"),
+          boom(org.apache.spark.sql.functions.col("id")).cast("string").as("text"),
+          (org.apache.spark.sql.functions.col("id") % 2 === 0).as("is_t"))
+        .createOrReplaceTempView("ext_poison_docs_t")
       for (sql <- Seq(
         "SELECT * FROM pagerank('ext_poison_edges', 'src', 'dst', 3)",
         "SELECT * FROM jl_project('ext_poison_emb', 'vec_id', 'embedding', 1)",
@@ -401,7 +406,9 @@ class ExtensionsSpec extends SparkSpec {
         "SELECT * FROM heavy_tokens('ext_poison_docs', 'text', 3, 16)",
         "SELECT * FROM kcenter_select('ext_poison_emb', 'vec_id', 'embedding', 2)",
         "SELECT * FROM kmeans_assign('ext_poison_emb', 'vec_id', 'embedding', 2, 1)",
-        "SELECT * FROM label_propagation('ext_poison_edges', 'src', 'dst', 2)")) {
+        "SELECT * FROM label_propagation('ext_poison_edges', 'src', 'dst', 2)",
+        "SELECT * FROM dsir_weights('ext_poison_docs_t', 'doc_id', 'text', 'is_t', 16)",
+        "SELECT * FROM mmr_rerank('ext_poison_emb', 'vec_id', 'embedding', 0, 3, 2, 0.7)")) {
         // analysis + planning + EXPLAIN: must not touch the poisoned scan
         val plan = spark.sql(sql)
         val explained = plan.queryExecution.explainString(
@@ -431,7 +438,59 @@ class ExtensionsSpec extends SparkSpec {
       spark.catalog.dropTempView("ext_poison_edges")
       spark.catalog.dropTempView("ext_poison_emb")
       spark.catalog.dropTempView("ext_poison_docs")
+      spark.catalog.dropTempView("ext_poison_docs_t")
       spark.catalog.dropTempView("ext_healthy_docs")
+    }
+  }
+
+  test("round-10 TVFs match their Scala operators; args validated") {
+    val sess = spark
+    import sess.implicits._
+    graft.plans.GraftFunctions.register(spark)
+    graft.plans.DeferredResult.clearMemo()
+    def msgOf(sql: String): String =
+      intercept[Exception](spark.sql(sql).collect()).getMessage
+    try {
+      Tables.documents(spark, sf("sf0.001"))
+        .withColumn("is_t", org.apache.spark.sql.functions.col("lang") === "en")
+        .createOrReplaceTempView("ext_r10_docs")
+      Tables.embeddings(spark, sf("sf0.001"))
+        .createOrReplaceTempView("ext_r10_emb")
+
+      val repSql = spark.sql(
+        "SELECT * FROM repetition_stats('ext_r10_docs', 'doc_id', 'text', 2)")
+        .orderBy("doc_id").collect()
+      val repScala = graft.operators.Repetition.repetitiveFlag(
+          graft.operators.Repetition.dupNgramStats(
+            spark.table("ext_r10_docs"), "doc_id", "text", 2))
+        .orderBy("doc_id").collect()
+      assert(repSql.toSeq == repScala.toSeq && repSql.nonEmpty)
+      assert(msgOf("SELECT * FROM repetition_stats('ext_r10_docs', 'doc_id', 'text', 9)")
+        .contains("[1, 8]"))
+
+      val dsirSql = spark.sql(
+        "SELECT * FROM dsir_weights('ext_r10_docs', 'doc_id', 'text', 'is_t', 16)")
+        .orderBy("doc_id").collect()
+      val dsirScala = graft.operators.Dsir.importanceWeights(
+          spark.table("ext_r10_docs"),
+          org.apache.spark.sql.functions.col("is_t"), "doc_id", "text", 16)
+        .orderBy("doc_id").collect()
+      assert(dsirSql.toSeq == dsirScala.toSeq && dsirSql.nonEmpty)
+      assert(msgOf("SELECT * FROM dsir_weights('ext_r10_docs', 'doc_id', 'text', 'lang', 16)")
+        .contains("must be BOOLEAN"))
+
+      val mmrSql = spark.sql(
+        "SELECT * FROM mmr_rerank('ext_r10_emb', 'vec_id', 'embedding', 0, 10, 3, 0.7)")
+        .collect()
+      val mmrScala = graft.operators.Mmr.diversifiedTopK(
+          spark.table("ext_r10_emb"), "vec_id", "embedding", 0L, 10, 3, 0.7)
+        .collect()
+      assert(mmrSql.toSeq == mmrScala.toSeq && mmrSql.length == 3)
+      assert(msgOf("SELECT * FROM mmr_rerank('ext_r10_emb', 'vec_id', 'embedding', 0, 10, 11, 0.7)")
+        .contains("[1, candidate count]"))
+    } finally {
+      spark.catalog.dropTempView("ext_r10_docs")
+      spark.catalog.dropTempView("ext_r10_emb")
     }
   }
 

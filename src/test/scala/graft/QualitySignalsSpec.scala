@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dsir, Mmr, Repetition, UnigramLm}
+
+/** Round-10 quality-signal operators: Gopher repetition stats, DSIR
+  * importance weights, MMR greedy re-ranking, and the unigram-LM
+  * perplexity scorer. The declared queries (q149–q153) are oracle-checked
+  * end-to-end; these tests pin the hand-computable semantics.
+  */
+class QualitySignalsSpec extends SparkSpec {
+  import testImplicits._
+
+  private lazy val testImplicits = spark.implicits
+
+  test("dupNgramStats: fully repetitive vs distinct documents") {
+    val docs = Seq(
+      (1L, "a b a b a"), // 2-grams: a b, b a, a b, b a — all duplicated
+      // 10 distinct 2-char words: no repeated gram, and the top gram's 4
+      // chars are exactly 20% of the 20 non-space chars (== threshold,
+      // strict > keeps it clean)
+      (2L, "xa yb zc wd ve uf tg sh ri qj"),
+      (3L, "q")          // < 2 tokens: excluded
+    ).toDF("doc_id", "text")
+    val out = Repetition.repetitiveFlag(
+        Repetition.dupNgramStats(docs, "doc_id", "text", 2))
+      .orderBy("doc_id").collect()
+    assert(out.length === 2)
+    val r1 = out(0)
+    assert(r1.getLong(1) === 4L)          // n_grams
+    assert(r1.getDouble(2) === 1.0)       // dup_frac: every occurrence repeats
+    assert(r1.getString(3) === "a b")     // count tie (2 vs 2) → lexicographic
+    // top_frac: 2 occurrences × 2 chars ("ab") / 5 non-space chars
+    assert(r1.getDouble(4) === 0.8)
+    assert(r1.getBoolean(5))
+    val r2 = out(1)
+    assert(r2.getLong(1) === 9L && r2.getDouble(2) === 0.0)
+    assert(r2.getString(3) === "ri qj") // all-ties → lexicographic argmin
+    assert(r2.getDouble(4) === 0.2)
+    assert(!r2.getBoolean(5))
+  }
+
+  test("DSIR: target-resembling docs outrank off-target docs") {
+    // target slice speaks {alpha beta}; off-target speaks {gamma delta}
+    val docs = Seq(
+      (1L, true, "alpha beta alpha beta"),
+      (2L, true, "beta alpha beta alpha"),
+      (3L, false, "gamma delta gamma delta"),
+      (4L, false, "alpha beta alpha gamma"),  // mostly target-like
+      (5L, false, "delta gamma delta delta")
+    ).toDF("doc_id", "is_t", "text")
+    val w = Dsir.importanceWeights(docs, col("is_t"), "doc_id", "text",
+        nSlots = 16)
+      .orderBy(col("log_weight").desc, col("doc_id"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(2))
+    val byId = w.toMap
+    assert(byId(4L) > byId(3L) && byId(4L) > byId(5L),
+      s"target-like doc 4 should outrank off-target: $byId")
+    assert(byId(1L) > byId(3L))
+    // weights are finite and the slot table defined every token
+    assert(w.forall { case (_, lw) => !lw.isNaN && !lw.isInfinite })
+  }
+
+  test("MMR greedy diversifies away from redundant candidates") {
+    val cands = Seq((1L, 0.9), (2L, 0.89), (3L, 0.5))
+    val sims = Map((1L, 2L) -> 0.99, (2L, 1L) -> 0.99,
+      (1L, 3L) -> 0.0, (3L, 1L) -> 0.0, (2L, 3L) -> 0.0, (3L, 2L) -> 0.0)
+    val picks = Mmr.greedy(cands, sims, k = 3, lambda = 0.5).map(_._2)
+    // plain top-k would return 1,2,3; MMR demotes 2 (0.99-similar to 1)
+    assert(picks === Seq(1L, 3L, 2L))
+    // score ties break toward the lower id
+    val tied = Mmr.greedy(Seq((7L, 0.5), (4L, 0.5)), Map.empty, 1, 0.7)
+    assert(tied.head._2 === 4L)
+  }
+
+  test("diversifiedTopK matches greedy on the declared fixture") {
+    val out = Mmr.diversifiedTopK(Tables.embeddings(spark, sf("sf0.001")),
+      "vec_id", "embedding", queryId = 0L, nCandidates = 20, k = 5,
+      lambda = 0.7).collect()
+    assert(out.length === 5)
+    assert(out.map(_.getInt(0)).toSeq === (1 to 5))
+    val ids = out.map(_.getLong(1))
+    assert(ids.distinct.length === 5 && !ids.contains(0L))
+    // rank-1 is the pure-relevance argmax; later scores never exceed λ·rel
+    assert(out(0).getDouble(3) ===
+      math.floor(0.7 * out(0).getDouble(2) * 1e4 + 0.5) / 1e4)
+  }
+
+  test("scoreCounts agrees with encodeCounts on piece counts; lp_sum < 0") {
+    val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
+    val wt = graft.operators.Bpe.wordTypes(docs, "text")
+    val (_, lp) = UnigramLm.train(wt, maxPieceLen = 4, vocabSize = 40,
+      iters = 1, maxWordLen = 12)
+    val enc = UnigramLm.encodeCounts(docs, lp, "doc_id", "text", 4, 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sc = UnigramLm.scoreCounts(docs, lp, "doc_id", "text", 4, 12)
+      .collect()
+    assert(sc.nonEmpty)
+    sc.foreach { r =>
+      assert(r.getLong(1) === enc(r.getLong(0)),
+        s"n_pieces mismatch for doc ${r.getLong(0)}")
+      assert(r.getDouble(2) < 0.0, "summed log-likelihood must be negative")
+    }
+  }
+}
