@@ -23,10 +23,10 @@ import graft.operators.{Bpe, UnigramLm}
   */
 object UnigramTok {
 
-  private val P = 4   // max piece length
-  private val V = 40  // vocab budget (chars + top multis)
-  private val T = 2   // hard-EM rounds
-  private val W = 12  // DP width (max word length)
+  private[queries] val P = 4   // max piece length
+  private[queries] val V = 40  // vocab budget (chars + top multis)
+  private[queries] val T = 2   // hard-EM rounds
+  private[queries] val W = 12  // DP width (max word length)
   private val NegInf = "-1000000000.0"
 
   /** Trained trajectory + final log-probs once per (session, dataset) —
@@ -37,7 +37,7 @@ object UnigramTok {
   private val cache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, Map[String, Double])]()
 
-  private def trained(s: SparkSession, dir: String)
+  private[queries] def trained(s: SparkSession, dir: String)
       : (DataFrame, Map[String, Double]) =
     cache.computeIfAbsent((s, dir), _ => {
       val wt = Bpe.wordTypes(Tables.documents(s, dir), "text")
@@ -63,11 +63,20 @@ object UnigramTok {
     * with two tertile CUT POINTS + a CASE (the q137 curriculum note);
     * the declared form keeps ntile so the oracle replays rank-exactly.
     */
+  /** Per-doc Viterbi scores as a second trained-artifact layer over the
+    * same LM (q152 + the q154 pipeline share it; per-document, so q154's
+    * population filter composes). */
+  private val scoredCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+  private[queries] def scoredDocs(s: SparkSession, dir: String): DataFrame =
+    scoredCache.computeIfAbsent((s, dir), _ =>
+      UnigramLm.scoreCounts(Tables.documents(s, dir), trained(s, dir)._2,
+        "doc_id", "text", maxPieceLen = P, maxWordLen = W)
+        .localCheckpoint(true))
+
   private def q152(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val scored = UnigramLm.scoreCounts(Tables.documents(s, dir),
-      trained(s, dir)._2, "doc_id", "text", maxPieceLen = P, maxWordLen = W)
-    scored
+    scoredDocs(s, dir)
       .select(col("doc_id"), col("n_pieces"),
         Parity.r4(-col("lp_sum") / col("n_pieces")).as("nll_per_piece"))
       .withColumn("tile", ntile(3).over(
@@ -83,7 +92,7 @@ object UnigramTok {
 
   /** Shared prelude: word types (len ≤ W), substring seed counts, top-V
     * candidate vocabulary, and the iter-0 smoothed estimate. */
-  private def seedSql: String =
+  private[queries] def seedSql: String =
     s"""WITH toks AS (
        |  SELECT unnest(string_split(text, ' ')) AS word FROM documents
        |), wt AS MATERIALIZED (
@@ -122,7 +131,7 @@ object UnigramTok {
     * so every substr/lookup is a literal — the same recurrence the
     * operator's aggregate-fold evaluates at runtime.
     */
-  private def dpSql(pre: String, srcCte: String, lpCte: String): String = {
+  private[queries] def dpSql(pre: String, srcCte: String, lpCte: String): String = {
     val sb = new StringBuilder
     sb.append(s""", ${pre}d_0 AS (
       |  SELECT *, len(word) AS ${pre}n, CAST(0.0 AS DOUBLE) AS ${pre}d0
@@ -176,7 +185,7 @@ object UnigramTok {
   /** One EM round `t`: segment `wt` under `lp{t-1}`, count pieces
     * (freq-weighted), re-estimate `lp{t}` with add-one smoothing over
     * the FIXED candidate set. */
-  private def emSql(t: Int): String = {
+  private[queries] def emSql(t: Int): String = {
     val pre = s"e$t"
     val pieceList = (1 to W).map(s => s"${pre}piece$s").mkString(", ")
     dpSql(pre, "wt", s"lp${t - 1}") +

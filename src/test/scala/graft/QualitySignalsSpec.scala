@@ -86,6 +86,25 @@ class QualitySignalsSpec extends SparkSpec {
       math.floor(0.7 * out(0).getDouble(2) * 1e4 + 0.5) / 1e4)
   }
 
+  test("q154 pipeline card: verdicts partition the population") {
+    val card = graft.queries.Catalog.queries("q154_curation_pipeline")(
+      spark, sf("sf0.001")).collect()
+    assert(card.nonEmpty)
+    var docs = 0L
+    card.foreach { r =>
+      val Seq(nDocs, rep, con, ppl, dsir, kept, tok) =
+        (1 to 7).map(r.getLong(_))
+      assert(nDocs === rep + con + ppl + dsir + kept,
+        s"verdicts must partition source ${r.getString(0)}")
+      assert(kept > 0 && tok > 0, "a source with zero kept docs is a bug here")
+      docs += nDocs
+    }
+    // population = every doc_id >= 10 (the benchmark slice is excluded)
+    val expect = Tables.documents(spark, sf("sf0.001"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 10).count()
+    assert(docs === expect)
+  }
+
   test("scoreCounts agrees with encodeCounts on piece counts; lp_sum < 0") {
     val docs = Tables.documents(spark, sf("sf0.001")).limit(50)
     val wt = graft.operators.Bpe.wordTypes(docs, "text")
