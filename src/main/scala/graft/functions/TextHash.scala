@@ -30,30 +30,28 @@ object TextHash {
   def tokens(text: Column): Column = split(text, " ")
 
   /** Distinct n-word shingles: ["a b c", "b c d", ...] for n=3. Documents
-    * shorter than n tokens yield an empty array — the when-guard is
-    * load-bearing: sequence(1, 0) DESCENDS in Spark (default step -1) and
-    * slice would then throw on start index 0.
-    *
-    * ⚠ For n > 1 this inlines `tokens(text)` INSIDE the transform lambda,
-    * and Catalyst does not CSE into lambda bodies — the split re-runs per
-    * shingle, O(tokens²) per document. Hot paths must project the token
-    * array as an attribute first and call [[wordShinglesOf]] (measured
-    * 2.3× on q67 at sf0.1).
+    * shorter than n tokens yield an empty array. Since round 10 this is
+    * the NATIVE codegen'd [[graft.functions.expr.WordShinglesF]] — the
+    * prior higher-order-function form ran interpreted and its per-element
+    * lambda walk dominated every shingle-family scan at 1M docs (q150's
+    * profile: ~29 s × 32 uniform map tasks just building shingles). The
+    * coalesce preserves the old form's null contract (null text/tokens →
+    * empty array, via the when/otherwise it used to carry).
     */
   def wordShingles(text: Column, n: Int): Column =
     wordShinglesOf(tokens(text), n)
 
-  /** [[wordShingles]] over an already-computed token-array column; pass an
-    * ATTRIBUTE (a projected column), not an inline expression, so the
-    * lambda references it by slot instead of re-evaluating it per element.
+  /** [[wordShingles]] over an already-computed token-array column. (The
+    * pre-round-10 lambda-CSE warning no longer applies — the native
+    * expression evaluates its child once per row — but projecting the
+    * token array as an attribute first remains good plan hygiene.)
     */
   def wordShinglesOf(toks: Column, n: Int): Column =
-    if (n == 1) array_distinct(toks)
-    else array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", slice(toks, i, lit(n)))))
-        .otherwise(array().cast("array<string>")))
+    coalesce(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.expr.WordShinglesF(
+          org.apache.spark.sql.graftbridge.Bridge.expression(toks), n)),
+      array().cast("array<string>"))
 
   /** Distinct character n-grams; same short-input guard as wordShingles
     * (substr would silently mis-shingle on the descending sequence).

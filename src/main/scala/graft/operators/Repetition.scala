@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Within-document repetition signals — the Gopher repetition filters
@@ -17,20 +17,22 @@ import org.apache.spark.sql.functions._
   *     non-space characters (Gopher's "top n-gram character fraction");
   *     the arg-top gram breaks count ties lexicographically.
   *
-  * Shape for 100 TB: the per-document gram counts come from ONE
-  * explode → hash-aggregate keyed by (doc, gram) — linear in corpus
-  * token count with map-side partial aggregation, never O(len²) per
-  * document (the higher-order-function alternative rescans the token
-  * array once per distinct gram, which dies on long documents). The two
-  * signals then reduce in a SECOND hash-aggregate keyed by doc: totals
-  * are plain sums and the arg-top gram is `min(struct(-count, gram))` —
-  * lexicographic struct comparison IS the (count desc, gram asc) argmax,
-  * so no sort, no window, both aggregates partial-merge map-side (the
-  * window form was measured 1.7× slower at sf0.1: two sort exchanges
-  * over the gram-count table vs none). Document-level constants (`nc`)
-  * ride the aggregates as grouping keys (functionally dependent on the
-  * doc id — zero extra shuffle rows) instead of a join back to the
-  * corpus.
+  * Shape for 100 TB: the statistic is PER-DOCUMENT, so the right plan
+  * moves no data at all — ONE scan, zero exchange, with the per-doc
+  * sort+run-fold fused into the native codegen'd
+  * [[graft.functions.expr.RepStatsF]] expression (sort the document's
+  * own gram array, then one linear fold: a run of length ≥ 2 is
+  * duplication, the longest run is the top gram, strict > keeps the
+  * first = lexicographically smallest maximal gram — the
+  * count-desc/gram-asc tie-break by construction). The round-10 A/B at
+  * 1M docs / 55M grams, all zero-spill: explode → two hash-aggregates
+  * keyed (doc, gram)/(doc) moved 2.12 GB of shuffle at 73 s wall; the
+  * same sort+fold written as higher-order functions ran 37 s (HOFs
+  * evaluate INTERPRETED — the per-element lambda walk was the whole
+  * cost); the native expression runs ~4 s. At 100 TB the explode form's
+  * exchange is corpus-sized; this form is a pure parallel scan.
+  * RepetitionSpec pins the expression row-equal to the HOF reference
+  * derivation.
   *
   * Documents with fewer than n tokens have no n-gram and are excluded
   * (both engines agree by construction).
@@ -45,34 +47,27 @@ object Repetition {
       n: Int): DataFrame = {
     require(n >= 1 && n <= 8, s"n must be in [1, 8], got $n")
     val toks = filter(split(col(textCol), " "), w => w =!= "")
-    // all adjacent n-gram occurrences (NOT distinct — dup_frac counts
-    // occurrences); token array projected as an attribute first so the
-    // transform lambda does not re-split per gram (no CSE into lambdas)
-    val grams = docs
+    import org.apache.spark.sql.graftbridge.Bridge
+    // tokens projected as an attribute, then the fused stats struct as an
+    // attribute (extracting fields from the expression directly would
+    // re-evaluate the sort+fold per field)
+    docs
       .select(col(idCol),
         length(regexp_replace(col(textCol), " ", "")).as("nc"),
         toks.as("toks"))
       .filter(size(col("toks")) >= n)
       .select(col(idCol), col("nc"),
-        explode(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
-          i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("gram"))
-    val counts = grams
-      .groupBy(col(idCol), col("nc"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-    counts
-      .groupBy(col(idCol), col("nc"))
-      .agg(
-        sum(col("c")).as("total"),
-        sum(when(col("c") > 1, col("c")).otherwise(lit(0L))).as("dup_occ"),
-        min(struct((-col("c")).as("negc"), col("gram"))).as("top"))
+        Bridge.column(graft.functions.expr.RepStatsF(
+          Bridge.expression(col("toks")), n)).as("rs"))
       .select(col(idCol),
-        col("total").cast("long").as("n_grams"),
-        graft.queries.Parity.r4(col("dup_occ").cast("double") / col("total"))
-          .as("dup_frac"),
-        col("top").getField("gram").as("top_gram"),
+        col("rs").getField("n_grams").as("n_grams"),
         graft.queries.Parity.r4(
-          (-col("top").getField("negc"))
-            * length(regexp_replace(col("top").getField("gram"), " ", ""))
+          col("rs").getField("dup_occ").cast("double")
+            / col("rs").getField("n_grams")).as("dup_frac"),
+        col("rs").getField("top_gram").as("top_gram"),
+        graft.queries.Parity.r4(
+          col("rs").getField("top_c")
+            * length(regexp_replace(col("rs").getField("top_gram"), " ", ""))
             / col("nc").cast("double")).as("top_frac"))
   }
 
@@ -84,4 +79,5 @@ object Repetition {
       topThreshold: Double = 0.20): DataFrame =
     stats.withColumn("flag_repetitive",
       col("dup_frac") > dupThreshold || col("top_frac") > topThreshold)
+
 }

@@ -61,6 +61,14 @@ object GraftFunctions {
       ("char_bigram_counts", classOf[graft.functions.expr.CharBigramCountsF],
         checked("char_bigram_counts", 1)(c =>
           graft.functions.expr.CharBigramCountsF(c(0)))),
+      ("word_shingles", classOf[graft.functions.expr.WordShinglesF],
+        checked("word_shingles", 2)(c => c(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType) =>
+            graft.functions.expr.WordShinglesF(c(0), v)
+          case other => GraftErrors.fail(
+            s"word_shingles argument 2 (n) must be an integer literal, got ${other.sql}")
+        })),
       // Spark ships these two for its own runtime row-level filtering but
       // does not register them for users; graft's bloom decontamination
       // ([[graft.operators.BloomDecontaminate]]) surfaces them — a

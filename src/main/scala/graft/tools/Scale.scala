@@ -937,6 +937,15 @@ object ScaleRehearsal {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // The sf2 slice is ~180 MB across 32 small part files; the default
+      // 128 MB maxPartitionBytes bin-packs them into TWO scan partitions,
+      // so any map-heavy first stage (per-doc gram explode + partial
+      // aggregation) runs on 2 of 32 cores — measured as a 125 s max-task
+      // straggler on q149's 140 s wall. 8 MB splits the slice across the
+      // box the way a real cluster's file count would; this is the
+      // knob-sizing the 100 TB brief calls out, applied to the REHEARSAL
+      // session (per-query shapes unchanged).
+      .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.installPlanRewrites(spark)

@@ -40,6 +40,54 @@ class QualitySignalsSpec extends SparkSpec {
     assert(!r2.getBoolean(5))
   }
 
+  test("native rep_stats row-equals the HOF reference derivation") {
+    // the declarative derivation RepStatsF fuses, kept as the executable
+    // spec of its contract (dup counting, top-run argmax, tie-breaks)
+    def hofStats(docs: org.apache.spark.sql.DataFrame, n: Int) = {
+      val toks = filter(split(col("text"), " "), w => w =!= "")
+      val base = docs.select(col("doc_id"),
+          length(regexp_replace(col("text"), " ", "")).as("nc"), toks.as("toks"))
+        .filter(size(col("toks")) >= n)
+        .select(col("doc_id"), col("nc"),
+          array_sort(transform(sequence(lit(1), size(col("toks")) - (n - 1)),
+            i => concat_ws(" ", slice(col("toks"), i, lit(n))))).as("g"))
+      val m = size(col("g"))
+      def at(i: org.apache.spark.sql.Column) = element_at(col("g"), i)
+      val dupOcc = size(filter(sequence(lit(1), m), i =>
+        (i > 1 && at(i) === at(i - 1)) || (i < m && at(i) === at(i + 1))))
+      val run = aggregate(sequence(lit(1), m),
+        struct(lit("").as("bg"), lit(0L).as("bc"), lit(0L).as("cc")),
+        (acc: org.apache.spark.sql.Column, i: org.apache.spark.sql.Column) => {
+          val cur = when(i === 1 || at(i) =!= at(i - 1), lit(1L))
+            .otherwise(acc.getField("cc") + lit(1L))
+          val isNew = cur > acc.getField("bc")
+          struct(when(isNew, at(i)).otherwise(acc.getField("bg")).as("bg"),
+            when(isNew, cur).otherwise(acc.getField("bc")).as("bc"), cur.as("cc"))
+        })
+      base.select(col("doc_id"), col("nc"), m.as("m"), dupOcc.as("dup_occ"), run.as("run"))
+        .select(col("doc_id"),
+          col("m").cast("long").as("n_grams"),
+          graft.queries.Parity.r4(col("dup_occ").cast("double") / col("m")).as("dup_frac"),
+          col("run").getField("bg").as("top_gram"),
+          graft.queries.Parity.r4(col("run").getField("bc")
+            * length(regexp_replace(col("run").getField("bg"), " ", ""))
+            / col("nc").cast("double")).as("top_frac"))
+    }
+    import testImplicits._
+    val edge = Seq((1L, "a a a a"), (2L, "b a b a"), (3L, "x"),
+      (4L, "p  q  p  q"), (5L, "zz zz yy yy zz")).toDF("doc_id", "text")
+    for ((docs, label) <- Seq(
+        (Tables.documents(spark, sf("sf0.001")), "corpus"),
+        (edge, "edges"));
+        n <- Seq(2, 3)) {
+      val native = graft.operators.Repetition
+        .dupNgramStats(docs, "doc_id", "text", n).orderBy("doc_id").collect()
+      val hof = hofStats(docs, n).orderBy("doc_id").collect()
+      assert(native.length === hof.length, s"$label n=$n")
+      native.zip(hof).foreach { case (a, b) => assert(a === b, s"$label n=$n") }
+    }
+  }
+
   test("DSIR: target-resembling docs outrank off-target docs") {
     // target slice speaks {alpha beta}; off-target speaks {gamma delta}
     val docs = Seq(

@@ -27,6 +27,42 @@ class ShingleEdgeSpec extends SparkSpec {
     assert(out(3L) == Seq("abc", "bcd"))
   }
 
+  test("native word_shingles row-equals the higher-order reference form") {
+    // the pre-round-10 HOF derivation, kept here as the executable spec of
+    // WordShinglesF's contract (order, dedup, short-input, null-token)
+    def hofForm(toks: org.apache.spark.sql.Column, n: Int) =
+      array_distinct(
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", slice(toks, i, lit(n)))))
+          .otherwise(array().cast("array<string>")))
+    val rng = new scala.util.Random(11L)
+    val vocab = Array("a", "b", "ab", "ba", "aa", "", "x y") // incl. empty + spacey
+    val rows = (0 until 400).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.length))))
+    } :+ (400L, Seq.empty[String])
+    val df = rows.toDF("id", "toks")
+    for (n <- Seq(1, 2, 3, 5)) {
+      val both = df.select($"id",
+          TextHash.wordShinglesOf($"toks", n).as("native"),
+          hofForm($"toks", n).as("hof"))
+        .as[(Long, Seq[String], Seq[String])].collect()
+      both.foreach { case (id, nat, hof) =>
+        assert(nat == hof, s"id=$id n=$n native=$nat hof=$hof")
+      }
+    }
+    // SQL registration path
+    graft.plans.GraftFunctions.register(spark)
+    df.createOrReplaceTempView("shingle_edge_v")
+    val viaSql = spark.sql(
+      "SELECT id, word_shingles(toks, 2) AS sh FROM shingle_edge_v ORDER BY id")
+      .as[(Long, Seq[String])].collect()
+    val viaCol = df.select($"id", TextHash.wordShinglesOf($"toks", 2).as("sh"))
+      .orderBy($"id").as[(Long, Seq[String])].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    spark.catalog.dropTempView("shingle_edge_v")
+  }
+
   test("minhash pipeline survives short and null documents in the corpus") {
     val docs = Seq(
       (1L, Some("the quick brown fox jumps over the lazy dog")),
