@@ -268,13 +268,28 @@ object SubstringDedup {
       hashShuffle: Boolean = false,
       singlePass: Option[Boolean] = None,
       maxGramFreq: Int = 0): DataFrame = {
-    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // spans feed three branches (mid, lastSeg, hasSpan); materialize the
     // expensive gram-explode/window pipeline once — the span list is tiny
     // relative to the corpus. `base` is deliberately NOT cached: its three
     // references are column-pruned scans, the right trade at corpus scale.
     val spans = duplicatedSpans(docs, idCol, textCol, k, minDocs,
       hashShuffle, singlePass, maxGramFreq).localCheckpoint()
+    exciseSpans(docs, idCol, textCol, spans)
+  }
+
+  /** [[excise]] stitching over an ALREADY-COMPUTED span frame (doc_id,
+    * span_start, span_end — [[duplicatedSpans]]'s shape): the production
+    * detect-once/act-many split, and how q100/q105 share one per-dataset
+    * span artifact. The caller owns materialization of `spans` (it is
+    * referenced three times here — pass a checkpointed or persisted
+    * frame, never the raw gram pipeline).
+    */
+  def exciseSpans(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      spans: DataFrame): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
     val mid = spans
       .withColumn("prev_end", lag(col("span_end"), 1, 0).over(w))

