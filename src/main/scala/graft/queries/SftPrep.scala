@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.ChatSft
+
+/** q155–q157: SFT / chat-data preparation ([[graft.operators.ChatSft]])
+  * — the assembly pipeline that turns an interaction log plus a content
+  * store into supervised fine-tuning sequences:
+  *
+  *   - q155 renders gap-sessionized conversations through a chat
+  *     template (`<|role|>text` turns, newline-joined);
+  *   - q156 computes the assistant-turn LOSS-MASK spans as exact
+  *     character offsets into the rendered string;
+  *   - q157 packs conversations into fixed token-budget bins and
+  *     accounts loss tokens per bin (the number SFT batch efficiency is
+  *     measured by).
+  *
+  * The synthetic wiring: conversations are the q24 30-minute-gap
+  * sessions of `events`; each event's turn text is fetched from the
+  * `documents` content store by `event_id % 500` (the content-store
+  * broadcast-join shape); event types map to roles via
+  * [[ChatSft.DefaultRoles]] (configuration, like q77's synthetic PII).
+  * Everything is integer/string arithmetic — fully oracle-checkable.
+  */
+object SftPrep {
+
+  private val GapUs = 1800000000L // 30 minutes
+  private val StoreIds = 500      // content-store ids: every sf has docs 0..499
+  private val TurnChars = 80
+  private val Capacity = 2048
+
+  /** The turn-level frame shared by all three queries: sessionized,
+    * turn-indexed, role-mapped events with their content-store text.
+    * The store join BROADCASTS (500 rows by construction); every event
+    * survives it (ids are pmod-complete), so sessionization above the
+    * join sees the full stream.
+    */
+  private def turns(s: SparkSession, dir: String): DataFrame = {
+    // Shared by all three queries as a per-(JVM, dataset) artifact (the
+    // dupSpans/lpaLabels shape): sessionization + the content join run
+    // once; the frame is integer/string-deterministic and round-trips
+    // parquet exactly.
+    val p = Scratch.path("chatturns", dir)
+    Scratch.once(p) {
+      val store = Tables.documents(s, dir).filter(col("doc_id") < StoreIds)
+        .select(col("doc_id"), substring(col("text"), 1, TurnChars).as("turn_text"))
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          ChatSft.roleOf(col("event_type")).as("role"),
+          pmod(col("event_id"), lit(StoreIds)).as("doc_id"))
+        .join(broadcast(store), "doc_id")
+      ChatSft.sessionTurns(ev, "user_id", "ts_us", "event_id", GapUs)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
+  private val turnsSqlPrelude =
+    s"""WITH t AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |    CASE event_type WHEN 'signup' THEN 'system' WHEN 'view' THEN 'user'
+       |      WHEN 'error' THEN 'user' WHEN 'click' THEN 'assistant'
+       |      WHEN 'purchase' THEN 'assistant' ELSE 'user' END AS role,
+       |    event_id % $StoreIds AS did
+       |  FROM events
+       |), sess AS (
+       |  SELECT *, CAST(SUM(is_new) OVER (PARTITION BY user_id
+       |    ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       |  FROM (
+       |    SELECT t.*, CASE WHEN LAG(ts_us) OVER w IS NULL THEN 1
+       |      WHEN ts_us - LAG(ts_us) OVER w > $GapUs THEN 1 ELSE 0 END AS is_new
+       |    FROM t WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
+       |  ) flagged
+       |), turns AS (
+       |  SELECT sess.user_id, sess.session_id, sess.ts_us, sess.event_id, sess.role,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY sess.user_id, sess.session_id
+       |      ORDER BY sess.ts_us, sess.event_id) AS INT) AS turn_idx,
+       |    '<|' || sess.role || '|>' || substr(d.text, 1, $TurnChars) AS turn
+       |  FROM sess JOIN documents d ON d.doc_id = sess.did
+       |)""".stripMargin
+
+  /** B29/B36 — chat-template rendering per conversation. */
+  private def q155(s: SparkSession, dir: String): DataFrame =
+    ChatSft.renderConversations(turns(s, dir), "user_id", "role", "turn_text")
+      .select(col("user_id"), col("session_id"), col("n_turns"),
+        length(col("rendered")).as("n_chars"),
+        substring(col("rendered"), 1, 64).as("head"))
+      .orderBy(col("user_id"), col("session_id"))
+
+  private val q155Sql =
+    s"""$turnsSqlPrelude
+       |SELECT user_id, session_id, COUNT(*) AS n_turns,
+       |  CAST(len(string_agg(turn, chr(10) ORDER BY ts_us, event_id)) AS INT) AS n_chars,
+       |  substr(string_agg(turn, chr(10) ORDER BY ts_us, event_id), 1, 64) AS head
+       |FROM turns GROUP BY user_id, session_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** B29 — assistant-turn loss-mask spans (1-based inclusive character
+    * offsets into q155's rendered string).
+    */
+  private def q156(s: SparkSession, dir: String): DataFrame =
+    ChatSft.lossMaskSpans(turns(s, dir), "user_id", "role", "turn_text")
+      .orderBy(col("user_id"), col("session_id"), col("turn_idx"))
+
+  private val q156Sql =
+    s"""$turnsSqlPrelude
+       |SELECT user_id, session_id, turn_idx,
+       |  CAST(cum + (turn_idx - 1) + 1 AS BIGINT) AS span_start,
+       |  CAST(cum + (turn_idx - 1) + tl AS BIGINT) AS span_end
+       |FROM (
+       |  SELECT user_id, session_id, turn_idx, role,
+       |    CAST(len(turn) AS INT) AS tl,
+       |    CAST(SUM(CAST(len(turn) AS INT)) OVER (
+       |      PARTITION BY user_id, session_id ORDER BY turn_idx
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - CAST(len(turn) AS INT) AS cum
+       |  FROM turns
+       |) x
+       |WHERE role = 'assistant'
+       |ORDER BY user_id, session_id, turn_idx""".stripMargin
+
+  /** B29 — token-budget packing with loss-token accounting: conversations
+    * pack contiguously (by user_id, session_id) into $Capacity-token bins
+    * WITHIN each user-decade shard — the q58 sub-shard contract: the
+    * running sum's window partition is bounded by the shard, not the
+    * corpus.
+    */
+  private def q157(s: SparkSession, dir: String): DataFrame = {
+    val nt = size(split(ChatSft.renderTurn(col("role"), col("turn_text")), " "))
+    val conv = turns(s, dir)
+      .select(col("user_id"), col("session_id"), col("role"), nt.as("nt"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("nt")).as("n_tokens"),
+        sum(when(col("role") === "assistant", col("nt")).otherwise(0L))
+          .as("loss_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("user_id"), col("session_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    conv
+      .withColumn("shard", floor(col("user_id") / 10.0).cast("int"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col("shard"),
+        floor(col("cum_before") / Capacity.toDouble).cast("int").as("bin"),
+        col("n_tokens"), col("loss_tokens"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_convs"), sum(col("n_tokens")).as("bin_tokens"),
+        sum(col("loss_tokens")).as("loss_tokens"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  private val q157Sql =
+    s"""$turnsSqlPrelude
+       |, conv AS (
+       |  SELECT user_id, session_id,
+       |    CAST(SUM(CAST(len(string_split(turn, ' ')) AS INT)) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN role = 'assistant'
+       |      THEN CAST(len(string_split(turn, ' ')) AS INT) ELSE 0 END) AS BIGINT)
+       |      AS loss_tokens
+       |  FROM turns GROUP BY 1, 2
+       |), binned AS (
+       |  SELECT CAST(FLOOR(user_id / 10.0) AS INT) AS shard,
+       |    CAST(FLOOR((CAST(SUM(n_tokens) OVER (
+       |      PARTITION BY CAST(FLOOR(user_id / 10.0) AS INT)
+       |      ORDER BY user_id, session_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - n_tokens) / $Capacity.0) AS INT) AS bin,
+       |    n_tokens, loss_tokens
+       |  FROM conv
+       |)
+       |SELECT shard, bin, COUNT(*) AS n_convs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |  CAST(SUM(loss_tokens) AS BIGINT) AS loss_tokens
+       |FROM binned GROUP BY shard, bin
+       |ORDER BY shard, bin""".stripMargin
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef("q155_chat_render", q155, Some(q155Sql)),
+    QueryDef("q156_loss_mask_spans", q156, Some(q156Sql)),
+    QueryDef("q157_sft_pack", q157, Some(q157Sql)))
+}

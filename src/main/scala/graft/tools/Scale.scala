@@ -39,7 +39,7 @@ object ScaleDataGen {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length >= 1, "usage: ScaleDataGen <outDir> [nDocs] [nVecs]")
+    require(args.length >= 1, "usage: ScaleDataGen <outDir> [nDocs] [nVecs] [nEvents]")
     val outDir = args(0)
     val nDocs = if (args.length > 1) args(1).toLong else 500000L
     val nVecs = if (args.length > 2) args(2).toLong else 200000L
@@ -109,7 +109,35 @@ object ScaleDataGen {
     }.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
 
-    println(s"""{"outDir":"$outDir","nDocs":$nDocs,"nVecs":$nVecs}""")
+    // events: interaction log for the chat-SFT family (q155–q157) —
+    // per-user streams generated in one closure each (user cardinality
+    // scales with nEvents, per-user history stays ~2000 events, matching
+    // the bounded-window posture the queries rely on). Gap mix: ~70%
+    // 1–20 min (same session), ~30% 31–120 min (new 30-min-gap session).
+    val nEvents = if (args.length > 3) args(3).toLong else 0L
+    if (nEvents > 0) {
+      val nUsers = math.max(nEvents / 2000L, 64L)
+      val perUser = (nEvents + nUsers - 1) / nUsers
+      val types = Array("view", "click", "purchase", "signup", "error")
+      spark.range(nUsers).flatMap { uid0 =>
+        val uid: Long = uid0
+        val rng = new scala.util.Random(uid * 0x9E3779B97L + 99L)
+        var tsUs = 1704067200000000L + rng.nextInt(3600000).toLong * 1000L
+        (0L until perUser).iterator.map { j =>
+          val gapMin =
+            if (rng.nextInt(10) < 7) 1 + rng.nextInt(20) else 31 + rng.nextInt(90)
+          tsUs += gapMin * 60000000L + rng.nextInt(60000).toLong * 1000L
+          (uid * perUser + j,
+            java.time.Instant.ofEpochSecond(tsUs / 1000000L, (tsUs % 1000000L) * 1000L),
+            uid, types(rng.nextInt(types.length)),
+            math.rint(rng.nextDouble() * 2000) / 100.0,
+            s"""{"k": ${rng.nextInt(100)}}""")
+        }
+      }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    }
+
+    println(s"""{"outDir":"$outDir","nDocs":$nDocs,"nVecs":$nVecs,"nEvents":$nEvents}""")
     spark.stop()
   }
 }
