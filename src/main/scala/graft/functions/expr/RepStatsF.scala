@@ -57,9 +57,14 @@ case class RepStatsF(child: Expression, n: Int) extends UnaryExpression {
   override protected def nullSafeEval(v: Any): Any =
     RepStatsF.compute(v.asInstanceOf[ArrayData], n)
 
+  // NOT defineCodeGen: compute returns null for docs shorter than n
+  // tokens, and defineCodeGen's template would leave isNull=false with a
+  // null value (NPE downstream under whole-stage codegen while the
+  // interpreted path correctly yields SQL NULL). Re-check the result.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev,
-      s => s"graft.functions.expr.RepStatsF.compute($s, $n)")
+    nullSafeCodeGen(ctx, ev, s =>
+      s"""${ev.value} = graft.functions.expr.RepStatsF.compute($s, $n);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
 
   override protected def withNewChildInternal(newChild: Expression): RepStatsF =
     copy(child = newChild)

@@ -63,7 +63,14 @@ object WordShinglesF {
     val seen = new java.util.LinkedHashSet[UTF8String]()
     var i = 0
     if (n == 1) {
-      while (i < m) { seen.add(toks.getUTF8String(i)); i += 1 }
+      // concat_ws of a single null token yields "" in the HOF reference
+      // form — mirror it (and honor containsNull=false) instead of
+      // copying the null through
+      while (i < m) {
+        val t = toks.getUTF8String(i)
+        seen.add(if (t == null) UTF8String.EMPTY_UTF8 else t)
+        i += 1
+      }
     } else {
       val parts = new Array[UTF8String](n)
       while (i < m) {

@@ -62,10 +62,19 @@ object Mmr {
 
   /** Diversified top-k of `emb` (idCol, vecCol) for the query vector of
     * row `queryId` (excluded from candidates). Returns
-    * `(sel_rank, idCol, rel, mmr_score)` with mmr_score r4-snapped.
+    * `(sel_rank, idCol, rel, mmr_score)` with mmr_score r4-snapped. The
+    * id column must be integral and is widened to LONG in the output
+    * (the driver-side greedy keys on Long; a non-integral id raises a
+    * clear error instead of a deep ClassCastException — round-10 review).
     */
   def diversifiedTopK(emb: DataFrame, idCol: String, vecCol: String,
       queryId: Long, nCandidates: Int, k: Int, lambda: Double): DataFrame = {
+    emb.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case t => throw new IllegalArgumentException(
+        s"diversifiedTopK: id column `$idCol` must be integral, got ${t.simpleString}")
+    }
     require(nCandidates >= 1 && nCandidates <= MaxCandidates,
       s"nCandidates must be in [1, $MaxCandidates], got $nCandidates")
     require(k >= 1 && k <= nCandidates,
@@ -78,7 +87,8 @@ object Mmr {
     val q = emb.filter(col(idCol) === queryId)
       .select(col(vecCol).as("q_emb"), nm(col(vecCol)).as("q_nm"))
     val cand = emb.filter(col(idCol) =!= queryId)
-      .select(col(idCol), col(vecCol), nm(col(vecCol)).as("nmv"))
+      .select(col(idCol).cast("long").as(idCol), col(vecCol),
+        nm(col(vecCol)).as("nmv"))
       .crossJoin(broadcast(q))
       .select(col(idCol), col(vecCol), col("nmv"),
         graft.queries.Parity.r4(

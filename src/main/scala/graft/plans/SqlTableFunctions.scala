@@ -610,6 +610,15 @@ object SqlTableFunctions {
       fail(s"$fn argument 7 (lambda) must be in [0, 1], got $lambda")
     if (!emb.columns.contains(idCol))
       fail(s"$fn argument 2 (id column): no column '$idCol' in the embeddings table")
+    // validate the id TYPE at analysis time too — the deferred thunk's
+    // driver-side greedy keys on Long, and an unvalidated string id would
+    // otherwise surface as a deep error at first action (round-10 review)
+    emb.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.ByteType | org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType | org.apache.spark.sql.types.LongType => ()
+      case t => fail(s"$fn argument 2 (id column): '$idCol' must be an " +
+        s"integral column (output widens to BIGINT), got ${t.simpleString}")
+    }
     DeferredResult.memoized(fn,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("sel_rank",

@@ -25,6 +25,23 @@ final case class QueryDef(
   * recycled pid trust a stale directory left by a crashed run or built
   * from an older version of the dataset.
   */
+/** Bounded `computeIfAbsent` for the per-(session, dataset) trained-
+  * artifact caches (centroid scores, BPE/unigram models, signal frames,
+  * …): overflow clears the whole map — every value is reproducible, so a
+  * cold retrain is correct, just slower — and a JVM that cycles
+  * SparkSessions cannot pin dead sessions' checkpointed frames forever.
+  * The [[graft.plans.DeferredResult]] MemoCap rule applied to the
+  * query-side stores (round-10 review).
+  */
+object ArtifactCache {
+  val Cap = 64
+  def get[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V], k: K)(
+      build: => V): V = {
+    if (m.size > Cap) m.clear()
+    m.computeIfAbsent(k, _ => build)
+  }
+}
+
 object Scratch {
   private val built = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private val issued = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
@@ -51,13 +68,25 @@ object Scratch {
 
   /** Run `build` only the first time this JVM sees `key`; a build that
     * throws is forgotten so the next call retries instead of trusting a
-    * half-written artifact.
+    * half-written artifact. CONCURRENT callers block until the in-flight
+    * build completes (round-10 review: marking "built" before the
+    * parquet write finishes would let a second query sharing the
+    * artifact — q105 with q100's spans, q156/q157 with q155's turns —
+    * read a missing or half-written path under parallel suite
+    * execution); a waiter woken by a FAILED build retries it.
     */
-  def once(key: String)(build: => Unit): Unit =
-    if (built.add(key)) {
-      try build
-      catch { case t: Throwable => built.remove(key); throw t }
+  def once(key: String)(build: => Unit): Unit = {
+    while (!built.contains(key)) {
+      val latch = new java.util.concurrent.CountDownLatch(1)
+      val prev = inFlight.putIfAbsent(key, latch)
+      if (prev == null) {
+        try { build; built.add(key); () }
+        finally { inFlight.remove(key); latch.countDown() }
+      } else prev.await()
     }
+  }
+  private val inFlight =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CountDownLatch]()
 }
 
 object Catalog {

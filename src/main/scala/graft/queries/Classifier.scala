@@ -57,10 +57,10 @@ object Classifier {
 
   private[queries] def cachedCentroidScores(s: SparkSession,
       dir: String): DataFrame =
-    scoreCache.computeIfAbsent((s, dir), _ => {
+    ArtifactCache.get(scoreCache, (s, dir)) {
       val (feat, labels) = cachedFeatLab(s, dir)
       QualityClassifier.centroidScores(feat, labels).localCheckpoint(false)
-    })
+    }
 
   /** Shared oracle SQL prelude: long-form features (q96's hashed slots +
     * length/diversity/bias) and cascade labels, kept textually in sync with

@@ -62,17 +62,24 @@ object CurationPipeline {
         ntile(5).over(Window.orderBy(col("log_weight"), col("doc_id"))))
     val verdict =
       when(coalesce(col("flag_repetitive"), lit(false)), "repetitive")
-        .when(col("contaminated_frac") >= 0.1, "contaminated")
+        .when(coalesce(col("contaminated_frac"), lit(0.0)) >= 0.1, "contaminated")
         .when(col("ptile") === 3, "ppl_tail")
         .when(col("wtile") === 1, "low_dsir")
         .otherwise("kept")
     def cnt(v: String) =
       sum(when(col("verdict") === v, 1L).otherwise(0L)).as(s"n_$v")
+    // LEFT joins on every signal (round-10 review): a degenerate training
+    // doc can be absent from a signal frame (< 3 tokens -> no shingles;
+    // no scorable word -> no LM score; no tokens -> no DSIR weight) and
+    // must still appear on the card — missing contamination counts as 0,
+    // a missing tile fails no gate (NULL comparisons fall through the
+    // CASE identically in both engines), and a kept-but-unscorable doc
+    // contributes 0 tokens (SUM ignores its NULL n_pieces).
     train.select(col("doc_id"), col("source"))
       .join(rep, Seq("doc_id"), "left")
-      .join(con, Seq("doc_id"))
-      .join(ppl, Seq("doc_id"))
-      .join(dsir, Seq("doc_id"))
+      .join(con, Seq("doc_id"), "left")
+      .join(ppl, Seq("doc_id"), "left")
+      .join(dsir, Seq("doc_id"), "left")
       .withColumn("verdict", verdict)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
@@ -195,15 +202,15 @@ object CurationPipeline {
       |), j AS (
       |  SELECT p.source, t.n_pieces,
       |    CASE WHEN COALESCE(r.flag, FALSE) THEN 'repetitive'
-      |         WHEN c.cfrac >= 0.1 THEN 'contaminated'
+      |         WHEN COALESCE(c.cfrac, 0) >= 0.1 THEN 'contaminated'
       |         WHEN t.ptile = 3 THEN 'ppl_tail'
       |         WHEN w.wtile = 1 THEN 'low_dsir'
       |         ELSE 'kept' END AS verdict
       |  FROM pop p
       |  LEFT JOIN rep_f r USING (doc_id)
-      |  JOIN con_f c USING (doc_id)
-      |  JOIN pp_t t USING (doc_id)
-      |  JOIN ds_w w USING (doc_id)
+      |  LEFT JOIN con_f c USING (doc_id)
+      |  LEFT JOIN pp_t t USING (doc_id)
+      |  LEFT JOIN ds_w w USING (doc_id)
       |)
       |SELECT source, COUNT(*) AS n_docs,
       |  CAST(SUM(CASE WHEN verdict = 'repetitive' THEN 1 ELSE 0 END)

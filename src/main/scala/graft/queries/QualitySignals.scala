@@ -33,7 +33,7 @@ object QualitySignals {
     (SparkSession, String, String), DataFrame]()
   private def artifact(s: SparkSession, dir: String, kind: String)(
       build: => DataFrame): DataFrame =
-    store.computeIfAbsent((s, dir, kind), _ => build.localCheckpoint(true))
+    ArtifactCache.get(store, (s, dir, kind))(build.localCheckpoint(true))
 
   private[queries] def repStats(s: SparkSession, dir: String): DataFrame =
     artifact(s, dir, "rep")(Repetition.repetitiveFlag(

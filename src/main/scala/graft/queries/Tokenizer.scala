@@ -33,7 +33,7 @@ object Tokenizer {
 
   private[queries] def cachedBpe(s: SparkSession, dir: String)
       : (Seq[Bpe.Merge], org.apache.spark.sql.DataFrame) =
-    bpeCache.computeIfAbsent((s, dir), _ =>
+    ArtifactCache.get(bpeCache, (s, dir))(
       Bpe.train(Bpe.wordTypes(Tables.documents(s, dir), "text"), NMerges))
 
   /** Unrolled DuckDB training prelude: wt0 … wt`n`, m1 … m`n`. Generated,

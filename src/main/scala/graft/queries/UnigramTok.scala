@@ -39,12 +39,12 @@ object UnigramTok {
 
   private[queries] def trained(s: SparkSession, dir: String)
       : (DataFrame, Map[String, Double]) =
-    cache.computeIfAbsent((s, dir), _ => {
+    ArtifactCache.get(cache, (s, dir)) {
       val wt = Bpe.wordTypes(Tables.documents(s, dir), "text")
       val (traj, lp) = UnigramLm.train(wt, maxPieceLen = P, vocabSize = V,
         iters = T, maxWordLen = W)
       (traj.localCheckpoint(true), lp)
-    })
+    }
 
   private def q147(s: SparkSession, dir: String): DataFrame =
     trained(s, dir)._1.orderBy(col("iter"), col("piece"))
@@ -69,7 +69,7 @@ object UnigramTok {
   private val scoredCache = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), DataFrame]()
   private[queries] def scoredDocs(s: SparkSession, dir: String): DataFrame =
-    scoredCache.computeIfAbsent((s, dir), _ =>
+    ArtifactCache.get(scoredCache, (s, dir))(
       UnigramLm.scoreCounts(Tables.documents(s, dir), trained(s, dir)._2,
         "doc_id", "text", maxPieceLen = P, maxWordLen = W)
         .localCheckpoint(true))

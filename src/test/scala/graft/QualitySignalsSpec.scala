@@ -88,6 +88,27 @@ class QualitySignalsSpec extends SparkSpec {
     }
   }
 
+  test("rep_stats on a too-short doc is SQL NULL under codegen, not a poisoned row") {
+    // RepStatsF.compute returns null for size(toks) < n; the codegen path
+    // must surface that as isNull=true (defineCodeGen would leave
+    // isNull=false with a null value and NPE on the struct dereference —
+    // the round-10 review finding). No pre-filter here on purpose.
+    import testImplicits._
+    val df = Seq((1L, Seq("a")), (2L, Seq("a", "b", "a", "b")))
+      .toDF("doc_id", "toks")
+    import org.apache.spark.sql.graftbridge.Bridge
+    val out = df.select(col("doc_id"),
+        Bridge.column(graft.functions.expr.RepStatsF(
+          Bridge.expression(col("toks")), 2)).as("st"))
+      .select(col("doc_id"), col("st").isNull.as("is_null"),
+        col("st").getField("n_grams").as("ng"))
+      .orderBy("doc_id").collect()
+    assert(out(0).getBoolean(1) === true)
+    assert(out(0).isNullAt(2))
+    assert(out(1).getBoolean(1) === false)
+    assert(out(1).getLong(2) === 3L)
+  }
+
   test("DSIR: target-resembling docs outrank off-target docs") {
     // target slice speaks {alpha beta}; off-target speaks {gamma delta}
     val docs = Seq(
@@ -151,6 +172,34 @@ class QualitySignalsSpec extends SparkSpec {
     val expect = Tables.documents(spark, sf("sf0.001"))
       .filter(org.apache.spark.sql.functions.col("doc_id") >= 10).count()
     assert(docs === expect)
+  }
+
+  test("q154 card keeps degenerate docs in the population (left-join contract)") {
+    // A 1-token training doc has no 3-gram shingle (absent from the
+    // contamination frame) and an empty doc is absent from EVERY signal
+    // frame; the card's left joins must still count them (round-10
+    // review: inner joins silently dropped them from n_docs).
+    import testImplicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q154edge").toString
+    val docs = (0L until 10L).map(i =>
+      (i, s"bench doc number $i with shared words", "en", "srcB", 0L)) ++ Seq(
+      (10L, "xx", "en", "srcT", 0L),  // 1 token: no shingles
+      (11L, "", "en", "srcT", 0L),    // empty: absent from every signal
+      (12L, "normal words appear here normal words appear here", "en", "srcT", 0L),
+      (13L, "alpha beta gamma delta epsilon zeta eta theta", "en", "srcT", 0L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(s"$dir/documents.parquet")
+    val card = graft.queries.Catalog.queries("q154_curation_pipeline")(spark, dir)
+      .collect()
+    val n = card.map(r =>
+      r.getAs[String]("source") -> r.getAs[Long]("n_docs")).toMap
+    assert(n.getOrElse("srcT", 0L) === 4L, card.mkString("; "))
+    // verdict columns still partition the population
+    card.foreach { r =>
+      val parts = Seq("n_repetitive", "n_contaminated", "n_ppl_tail",
+        "n_low_dsir", "n_kept").map(r.getAs[Long](_)).sum
+      assert(parts === r.getAs[Long]("n_docs"), r.toString)
+    }
   }
 
   test("scoreCounts agrees with encodeCounts on piece counts; lp_sum < 0") {

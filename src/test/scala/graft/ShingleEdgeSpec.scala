@@ -37,7 +37,9 @@ class ShingleEdgeSpec extends SparkSpec {
             i => concat_ws(" ", slice(toks, i, lit(n)))))
           .otherwise(array().cast("array<string>")))
     val rng = new scala.util.Random(11L)
-    val vocab = Array("a", "b", "ab", "ba", "aa", "", "x y") // incl. empty + spacey
+    // incl. empty + spacey + NULL tokens (concat_ws skips nulls; n=1 maps
+    // a null token to "" in both forms)
+    val vocab = Array("a", "b", "ab", "ba", "aa", "", "x y", null)
     val rows = (0 until 400).map { i =>
       (i.toLong, Seq.fill(rng.nextInt(12))(vocab(rng.nextInt(vocab.length))))
     } :+ (400L, Seq.empty[String])
