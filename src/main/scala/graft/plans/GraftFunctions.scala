@@ -134,7 +134,11 @@ object GraftFunctions {
       ("dsir_weights", SqlTableFunctions.getClass,
         SqlTableFunctions.dsirWeightsBuilder _),
       ("mmr_rerank", SqlTableFunctions.getClass,
-        SqlTableFunctions.mmrRerankBuilder _))
+        SqlTableFunctions.mmrRerankBuilder _),
+      ("chat_render", SqlTableFunctions.getClass,
+        SqlTableFunctions.chatRenderBuilder _),
+      ("loss_mask_spans", SqlTableFunctions.getClass,
+        SqlTableFunctions.lossMaskSpansBuilder _))
 
   def register(spark: SparkSession): Unit = {
     val state = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

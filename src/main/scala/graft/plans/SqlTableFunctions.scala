@@ -585,6 +585,52 @@ object SqlTableFunctions {
         org.apache.spark.sql.functions.col(targetCol), idCol, textCol, nSlots))
   }
 
+  /** Shared head of the chat TVFs: resolve the turns table, validate the
+    * five named columns, and return it with the gap in microseconds.
+    */
+  private def chatArgs(fn: String, args: Seq[Expression])
+      : (org.apache.spark.sql.DataFrame, String, String, String, String, String, Long) = {
+    if (args.length != 7) wrongNumArgs(fn, "7", args.length)
+    val t = table(fn, strArg(fn, args, 0, "turns table"))
+    val u = strArg(fn, args, 1, "user column")
+    val ts = strArg(fn, args, 2, "event-time (microseconds) column")
+    val tie = strArg(fn, args, 3, "tie-break column")
+    val role = strArg(fn, args, 4, "role column")
+    val text = strArg(fn, args, 5, "text column")
+    val gapD = numArg(fn, args, 6, "gap (microseconds)")
+    if (gapD != math.rint(gapD) || gapD < 1 || gapD > 86399999999.0)
+      fail(s"$fn argument 7 (gap) must be a positive sub-day microsecond " +
+        s"count, got $gapD")
+    Seq(u, ts, tie, role, text).foreach { c =>
+      if (!t.columns.contains(c))
+        fail(s"$fn: no column '$c' in the turns table")
+    }
+    (t, u, ts, tie, role, text, gapD.toLong)
+  }
+
+  /** chat_render(turns_table, user_col, ts_us_col, tie_col, role_col,
+    * text_col, gap_us) — gap-sessionized chat-template rendering
+    * ([[graft.operators.ChatSft]], the q155 shape). Pure declarative
+    * plan — no deferral needed.
+    */
+  def chatRenderBuilder(args: Seq[Expression]): LogicalPlan = {
+    val (t, u, ts, tie, role, text, gap) = chatArgs("chat_render", args)
+    graft.operators.ChatSft.renderConversations(
+        graft.operators.ChatSft.sessionTurns(t, u, ts, tie, gap), u, role, text)
+      .queryExecution.logical
+  }
+
+  /** loss_mask_spans(turns_table, user_col, ts_us_col, tie_col, role_col,
+    * text_col, gap_us) — assistant-turn loss-mask character spans into
+    * the chat_render string (the q156 shape).
+    */
+  def lossMaskSpansBuilder(args: Seq[Expression]): LogicalPlan = {
+    val (t, u, ts, tie, role, text, gap) = chatArgs("loss_mask_spans", args)
+    graft.operators.ChatSft.lossMaskSpans(
+        graft.operators.ChatSft.sessionTurns(t, u, ts, tie, gap), u, role, text)
+      .queryExecution.logical
+  }
+
   /** mmr_rerank(emb_table, id_col, vec_col, query_id, n_candidates, k,
     * lambda) — MMR diversified top-k ([[graft.operators.Mmr]]). Deferred:
     * the greedy loop collects the bounded candidate set, which must not

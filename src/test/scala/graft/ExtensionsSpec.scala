@@ -488,9 +488,45 @@ class ExtensionsSpec extends SparkSpec {
       assert(mmrSql.toSeq == mmrScala.toSeq && mmrSql.length == 3)
       assert(msgOf("SELECT * FROM mmr_rerank('ext_r10_emb', 'vec_id', 'embedding', 0, 10, 11, 0.7)")
         .contains("[1, candidate count]"))
+
+      // chat TVFs: conversation render + loss-mask spans over a turn table
+      Tables.events(spark, sf("sf0.001"))
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.col("ts_us"),
+          org.apache.spark.sql.functions.expr(
+            "CASE WHEN event_type IN ('click','purchase') THEN 'assistant' " +
+              "ELSE 'user' END").as("role"),
+          org.apache.spark.sql.functions.col("event_type").as("turn_text"))
+        .createOrReplaceTempView("ext_r10_turns")
+      val crSql = spark.sql(
+        "SELECT * FROM chat_render('ext_r10_turns', 'user_id', 'ts_us', " +
+          "'event_id', 'role', 'turn_text', 1800000000)")
+        .orderBy("user_id", "session_id").collect()
+      val st = graft.operators.ChatSft.sessionTurns(
+        spark.table("ext_r10_turns"), "user_id", "ts_us", "event_id", 1800000000L)
+      val crScala = graft.operators.ChatSft
+        .renderConversations(st, "user_id", "role", "turn_text")
+        .orderBy("user_id", "session_id").collect()
+      assert(crSql.toSeq == crScala.toSeq && crSql.nonEmpty)
+      val lmSql = spark.sql(
+        "SELECT * FROM loss_mask_spans('ext_r10_turns', 'user_id', 'ts_us', " +
+          "'event_id', 'role', 'turn_text', 1800000000)")
+        .orderBy("user_id", "session_id", "turn_idx").collect()
+      val lmScala = graft.operators.ChatSft
+        .lossMaskSpans(st, "user_id", "role", "turn_text")
+        .orderBy("user_id", "session_id", "turn_idx").collect()
+      assert(lmSql.toSeq == lmScala.toSeq && lmSql.nonEmpty)
+      assert(msgOf("SELECT * FROM chat_render('ext_r10_turns', 'user_id', " +
+        "'ts_us', 'event_id', 'role', 'turn_text', 0)")
+        .contains("sub-day microsecond"))
+      assert(msgOf("SELECT * FROM chat_render('ext_r10_turns', 'nope', " +
+        "'ts_us', 'event_id', 'role', 'turn_text', 1800000000)")
+        .contains("no column 'nope'"))
     } finally {
       spark.catalog.dropTempView("ext_r10_docs")
       spark.catalog.dropTempView("ext_r10_emb")
+      spark.catalog.dropTempView("ext_r10_turns")
     }
   }
 
