@@ -177,8 +177,69 @@ object SftPrep {
        |FROM binned GROUP BY shard, bin
        |ORDER BY shard, bin""".stripMargin
 
+  /** B29/B34 — q158: preference-pair assembly (the DPO/RLHF data shape):
+    * within every (lang, source) candidate group, pair the HIGHEST-
+    * quality document against the LOWEST as (chosen, rejected) with the
+    * score margin. Quality comes from the q120 trained centroid
+    * classifier via its per-(session, dataset) score artifact — train
+    * once, consume everywhere — and the oracle replays feature build +
+    * training + scoring + both ranked picks in one statement.
+    * Deterministic ties: (score, doc_id); single-doc groups drop (chosen
+    * must differ from rejected). Scale: two row_number windows over the
+    * same (lang, source) partitioning — one exchange, group-bounded
+    * state; the pairing is per-group top-1/bottom-1, never all-pairs.
+    */
+  private def q158(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .join(Classifier.cachedCentroidScores(s, dir)
+        .select(col("doc_id"), col("score")), "doc_id")
+    val wTop = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val wBot = Window.partitionBy(col("lang"), col("source"))
+      .orderBy(col("score").asc, col("doc_id"))
+    val best = cand.withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source"), col("doc_id").as("chosen_id"),
+        col("score").as("chosen_score"))
+    val worst = cand.withColumn("rn", row_number().over(wBot))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("source"), col("doc_id").as("rejected_id"),
+        col("score").as("rejected_score"))
+    best.join(worst, Seq("lang", "source"))
+      .filter(col("chosen_id") =!= col("rejected_id"))
+      .select(col("lang"), col("source"), col("chosen_id"), col("rejected_id"),
+        Parity.r4(col("chosen_score") - col("rejected_score")).as("margin"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private def q158Sql: String = Classifier.featSql + Classifier.centroidScoreCtes +
+    """
+      |, cand AS (
+      |  SELECT d.doc_id, d.lang, d.source, s.score
+      |  FROM documents d JOIN scores s USING (doc_id)
+      |), best AS (
+      |  SELECT lang, source, doc_id AS chosen_id, score AS chosen_score
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+      |          ORDER BY score DESC, doc_id) AS rn FROM cand) t
+      |  WHERE rn = 1
+      |), worst AS (
+      |  SELECT lang, source, doc_id AS rejected_id, score AS rejected_score
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang, source
+      |          ORDER BY score ASC, doc_id) AS rn FROM cand) t
+      |  WHERE rn = 1
+      |)
+      |SELECT b.lang, b.source, b.chosen_id, w.rejected_id,
+      |  FLOOR((b.chosen_score - w.rejected_score) * 10000 + 0.5) / 10000.0
+      |    AS margin
+      |FROM best b JOIN worst w USING (lang, source)
+      |WHERE b.chosen_id <> w.rejected_id
+      |ORDER BY lang, source""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q155_chat_render", q155, Some(q155Sql)),
     QueryDef("q156_loss_mask_spans", q156, Some(q156Sql)),
-    QueryDef("q157_sft_pack", q157, Some(q157Sql)))
+    QueryDef("q157_sft_pack", q157, Some(q157Sql)),
+    QueryDef("q158_preference_pairs", q158, Some(q158Sql)))
 }
