@@ -27,6 +27,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * SELECT * FROM repetition_stats('docs_v', 'doc_id', 'text', 2)
   * SELECT * FROM dsir_weights('docs_v', 'doc_id', 'text', 'is_target', 16)
   * SELECT * FROM mmr_rerank('emb_v', 'vec_id', 'embedding', 0, 20, 5, 0.7)
+  * SELECT * FROM chat_render('turns_v', 'user_id', 'ts_us', 'event_id', 'role', 'turn_text', 1800000000)
+  * SELECT * FROM loss_mask_spans('turns_v', 'user_id', 'ts_us', 'event_id', 'role', 'turn_text', 1800000000)
   * }}}
   *
   * Each builder runs at analysis time: scalar arguments must be literals

@@ -185,32 +185,25 @@ object SftPrep {
     * once, consume everywhere — and the oracle replays feature build +
     * training + scoring + both ranked picks in one statement.
     * Deterministic ties: (score, doc_id); single-doc groups drop (chosen
-    * must differ from rejected). Scale: two row_number windows over the
-    * same (lang, source) partitioning — one exchange, group-bounded
-    * state; the pairing is per-group top-1/bottom-1, never all-pairs.
+    * must differ from rejected). Scale: ONE hash aggregate —
+    * `max(struct(score, -doc_id))` / `min(struct(score, doc_id))` are
+    * the ranked picks with the same tie-breaks (lexicographic struct
+    * compare; the q149 argmax rewrite) — map-side combining, one
+    * exchange, no sort-window and no self-join; never all-pairs.
     */
   private def q158(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cand = Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), col("source"))
       .join(Classifier.cachedCentroidScores(s, dir)
         .select(col("doc_id"), col("score")), "doc_id")
-    val wTop = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(col("score").desc, col("doc_id"))
-    val wBot = Window.partitionBy(col("lang"), col("source"))
-      .orderBy(col("score").asc, col("doc_id"))
-    val best = cand.withColumn("rn", row_number().over(wTop))
-      .filter(col("rn") === 1)
-      .select(col("lang"), col("source"), col("doc_id").as("chosen_id"),
-        col("score").as("chosen_score"))
-    val worst = cand.withColumn("rn", row_number().over(wBot))
-      .filter(col("rn") === 1)
-      .select(col("lang"), col("source"), col("doc_id").as("rejected_id"),
-        col("score").as("rejected_score"))
-    best.join(worst, Seq("lang", "source"))
+    cand.groupBy(col("lang"), col("source"))
+      .agg(
+        max(struct(col("score"), (-col("doc_id")).as("nid"))).as("mx"),
+        min(struct(col("score"), col("doc_id"))).as("mn"))
+      .select(col("lang"), col("source"),
+        (-col("mx.nid")).as("chosen_id"), col("mn.doc_id").as("rejected_id"),
+        Parity.r4(col("mx.score") - col("mn.score")).as("margin"))
       .filter(col("chosen_id") =!= col("rejected_id"))
-      .select(col("lang"), col("source"), col("chosen_id"), col("rejected_id"),
-        Parity.r4(col("chosen_score") - col("rejected_score")).as("margin"))
       .orderBy(col("lang"), col("source"))
   }
 

@@ -11,13 +11,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 final case class TurnEvent(
     event_id: Long, user_id: Long, ts: Timestamp, role: String, text: String)
 
-/** A turn buffered inside an open conversation. */
-final case class ConvTurn(ts_ms: Long, event_id: Long, role: String, text: String)
+/** A turn buffered inside an open conversation (event time in
+  * microseconds — full Timestamp precision, see [[IntervalState]]).
+  */
+final case class ConvTurn(ts_us: Long, event_id: Long, role: String, text: String)
 
-/** An open conversation interval: [start_ms, last_ms] plus its buffered
+/** An open conversation interval: [start_us, last_us] plus its buffered
   * turns (bounded by session length — the gap bound — not history).
   */
-final case class OpenConv(start_ms: Long, last_ms: Long, turns: Seq[ConvTurn])
+final case class OpenConv(start_us: Long, last_us: Long, turns: Seq[ConvTurn])
 
 /** Per-user state: the open-conversation interval list (the
   * [[OpenSessions]] shape, carrying turn payloads).
@@ -33,12 +35,13 @@ final case class ClosedConv(
   * [[graft.operators.ChatSft]]: conversations build up incrementally as
   * interaction events arrive and each emits EXACTLY ONCE, fully
   * rendered, when the watermark passes strictly beyond its gap deadline
-  * ([[Streams.sessionsWithTimeout]]'s interval-list contract, carrying
-  * turn payloads instead of scalar aggregates). Non-late out-of-order
-  * turns still insert into (or bridge) open conversations, so the
-  * rendered output equals the batch
-  * `sessionTurns → renderConversations` composition on the same events —
-  * ChatAssemblySpec pins the parity.
+  * ([[IntervalState]]'s interval-list contract, shared with
+  * [[Streams.sessionsWithTimeout]], carrying turn payloads instead of
+  * scalar aggregates). Non-late out-of-order turns still insert into
+  * (or bridge) open conversations, so the rendered output equals the
+  * batch `sessionTurns → renderConversations` composition on the same
+  * events — at FULL microsecond precision (ChatAssemblySpec pins the
+  * parity, including a sub-millisecond ordering case).
   *
   * State bound: each user's open conversations hold only turns newer
   * than (watermark − gap); the per-conversation buffer is bounded by
@@ -51,40 +54,20 @@ object ChatAssembly {
       gap: String = "30 minutes",
       delay: String = "10 minutes"): Dataset[ClosedConv] = {
     import events.sparkSession.implicits._
-    // the chat template, textually in sync with
-    // ChatSft.renderTurn / renderConversations(sep = "\n"); a LOCAL def
-    // (like sessionsWithTimeout's helpers) so the state closure captures
-    // no object reference
-    def render(turns: Seq[ConvTurn]): String =
-      turns.sortBy(t => (t.ts_ms, t.event_id))
-        .map(t => s"<|${t.role}|>${t.text}").mkString("\n")
     val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
     require(iv.months == 0 && iv.days == 0, "conversation gap must be a sub-day interval")
-    val gapMillis = iv.microseconds / 1000L
+    val gapUs = iv.microseconds
+    // the chat template, textually in sync with
+    // ChatSft.renderTurn / renderConversations(sep = "\n"); LOCAL defs
+    // (like sessionsWithTimeout's) so the state closure captures no
+    // object reference
+    def render(turns: Seq[ConvTurn]): String =
+      turns.sortBy(t => (t.ts_us, t.event_id))
+        .map(t => s"<|${t.role}|>${t.text}").mkString("\n")
     def close(uid: Long, c: OpenConv): ClosedConv =
-      ClosedConv(uid, new Timestamp(c.start_ms), new Timestamp(c.last_ms),
-        c.turns.size.toLong, render(c.turns))
-    // insert a singleton conversation, then merge any adjacent pair
-    // within the gap (one insertion can bridge two open conversations —
-    // the session_window merge semantics)
-    def insert(cs: Seq[OpenConv], t: ConvTurn): Seq[OpenConv] = {
-      val withNew = (cs :+ OpenConv(t.ts_ms, t.ts_ms, Seq(t)))
-        .sortBy(c => (c.start_ms, c.last_ms))
-      withNew.foldLeft(Vector.empty[OpenConv]) { (acc, c) =>
-        acc.lastOption match {
-          case Some(p) if c.start_ms - p.last_ms <= gapMillis =>
-            acc.init :+ OpenConv(p.start_ms, math.max(p.last_ms, c.last_ms),
-              p.turns ++ c.turns)
-          case _ => acc :+ c
-        }
-      }
-    }
-    def sweep(uid: Long, cs: Seq[OpenConv], wm: Long)
-        : (Seq[ClosedConv], Seq[OpenConv]) = {
-      val (done, open) = cs.partition(_.last_ms + gapMillis < wm)
-      (done.map(close(uid, _)), open)
-    }
+      ClosedConv(uid, IntervalState.usToTs(c.start_us),
+        IntervalState.usToTs(c.last_us), c.turns.size.toLong, render(c.turns))
     events.withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenConvs, ClosedConv](
@@ -92,17 +75,23 @@ object ChatAssembly {
         (uid: Long, rows: Iterator[TurnEvent], state: GroupState[OpenConvs]) =>
           val prior = state.getOption.map(_.convs).getOrElse(Seq.empty)
           val merged = rows.foldLeft(prior) { (cs, e) =>
-            insert(cs, ConvTurn(e.ts.getTime, e.event_id, e.role, e.text))
+            val t = ConvTurn(IntervalState.tsToUs(e.ts), e.event_id, e.role, e.text)
+            IntervalState.insert(cs, OpenConv(t.ts_us, t.ts_us, Seq(t)), gapUs)(
+              _.start_us, _.last_us,
+              (p, c) => OpenConv(p.start_us, math.max(p.last_us, c.last_us),
+                p.turns ++ c.turns))
           }
-          val wm = state.getCurrentWatermarkMs()
-          val (emitted, open) = sweep(uid, merged, wm)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) =
+            IntervalState.sweep(merged, wmUs, gapUs)(_.last_us)
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenConvs(open))
+            val tUs = IntervalState.timeoutUs(open, wmUs, gapUs)(_.last_us)
             state.setTimeoutTimestamp(
-              math.max(open.map(_.last_ms).min + gapMillis, wm + 1))
+              math.max(Math.floorDiv(tUs, 1000L), state.getCurrentWatermarkMs() + 1))
           }
-          emitted.iterator
+          done.map(close(uid, _)).iterator
       }
   }
 }

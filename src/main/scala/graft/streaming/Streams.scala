@@ -17,9 +17,11 @@ final case class Event(
 /** Running per-user aggregate emitted by [[Streams.runningUserStats]]. */
 final case class UserStats(user_id: Long, n_events: Long, sum_value: Double)
 
-/** One open session interval in [[Streams.sessionsWithTimeout]]'s state. */
+/** One open session interval in [[Streams.sessionsWithTimeout]]'s state
+  * (event time in microseconds — see [[IntervalState]]).
+  */
 final case class OpenSession(
-    start_ms: Long, last_ms: Long, n_events: Long, sum_value: Double)
+    start_us: Long, last_us: Long, n_events: Long, sum_value: Double)
 
 /** Per-user state of [[Streams.sessionsWithTimeout]]: ALL open sessions,
   * sorted by start — a non-late out-of-order event may open an EARLIER
@@ -294,45 +296,26 @@ object Streams {
     *
     * The insert/sweep hooks are where production variants hang their
     * session caps (max duration / max events) and richer session payloads.
+    *
+    * The interval-list machinery (insert-then-merge, strict sweep,
+    * timeout clamp) is [[IntervalState]], shared with
+    * [[ChatAssembly.assemble]]; event time is MICROSECONDS end to end
+    * (full Timestamp precision — the batch `session_window` oracle
+    * sessionizes at full precision too).
     */
   def sessionsWithTimeout(
       events: Dataset[Event],
       gap: String = "30 minutes",
       delay: String = "10 minutes"): Dataset[ClosedSession] = {
     import events.sparkSession.implicits._
-    val gapMs = org.apache.spark.sql.catalyst.util.IntervalUtils
+    val giv = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(gap))
-    require(gapMs.months == 0 && gapMs.days == 0,
+    require(giv.months == 0 && giv.days == 0,
       "session gap must be a sub-day interval")
-    val gapMillis = gapMs.microseconds / 1000L
+    val gapUs = giv.microseconds
     def close(uid: Long, s: OpenSession): ClosedSession =
-      ClosedSession(uid, new Timestamp(s.start_ms), new Timestamp(s.last_ms),
-        s.n_events, s.sum_value)
-    // insert a singleton interval, then merge any adjacent pair within the
-    // gap — one insertion can bridge its two neighbors (session_window's
-    // merge semantics, so stream output == the batch oracle even for
-    // non-late OUT-OF-ORDER events across batches)
-    def insert(ss: Seq[OpenSession], t: Long, v: Double): Seq[OpenSession] = {
-      val withNew = (ss :+ OpenSession(t, t, 1, v)).sortBy(s => (s.start_ms, s.last_ms))
-      withNew.foldLeft(Vector.empty[OpenSession]) { (acc, s) =>
-        acc.lastOption match {
-          case Some(p) if s.start_ms - p.last_ms <= gapMillis =>
-            acc.init :+ OpenSession(p.start_ms,
-              math.max(p.last_ms, s.last_ms),
-              p.n_events + s.n_events, p.sum_value + s.sum_value)
-          case _ => acc :+ s
-        }
-      }
-    }
-    // a session is FINAL once the watermark passes STRICTLY beyond
-    // last + gap: an event at ts == watermark is still non-late, and at
-    // ts == last + gap it still merges (inclusive gap) — closing at
-    // equality would emit a session a boundary event may yet extend
-    def sweep(uid: Long, ss: Seq[OpenSession], wm: Long)
-        : (Seq[ClosedSession], Seq[OpenSession]) = {
-      val (done, open) = ss.partition(_.last_ms + gapMillis < wm)
-      (done.map(close(uid, _)), open)
-    }
+      ClosedSession(uid, IntervalState.usToTs(s.start_us),
+        IntervalState.usToTs(s.last_us), s.n_events, s.sum_value)
     events.withWatermark("ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSessions, ClosedSession](
@@ -340,19 +323,22 @@ object Streams {
         (uid: Long, rows: Iterator[Event], state: GroupState[OpenSessions]) =>
           val prior = state.getOption.map(_.sessions).getOrElse(Seq.empty)
           val merged = rows.foldLeft(prior) { (ss, e) =>
-            insert(ss, e.ts.getTime, e.value)
+            val t = IntervalState.tsToUs(e.ts)
+            IntervalState.insert(ss, OpenSession(t, t, 1, e.value), gapUs)(
+              _.start_us, _.last_us,
+              (p, s) => OpenSession(p.start_us, math.max(p.last_us, s.last_us),
+                p.n_events + s.n_events, p.sum_value + s.sum_value))
           }
-          val wm = state.getCurrentWatermarkMs()
-          val (emitted, open) = sweep(uid, merged, wm)
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (done, open) = IntervalState.sweep(merged, wmUs, gapUs)(_.last_us)
           if (open.isEmpty) state.remove()
           else {
             state.update(OpenSessions(open))
-            // a deadline exactly AT the watermark is legal state (strict
-            // sweep) but an illegal timeout — clamp one past the watermark
+            val tUs = IntervalState.timeoutUs(open, wmUs, gapUs)(_.last_us)
             state.setTimeoutTimestamp(
-              math.max(open.map(_.last_ms).min + gapMillis, wm + 1))
+              math.max(Math.floorDiv(tUs, 1000L), state.getCurrentWatermarkMs() + 1))
           }
-          emitted.iterator
+          done.map(close(uid, _)).iterator
       }
   }
 

@@ -50,9 +50,11 @@ class ChatAssemblySpec extends SparkSpec {
       (1L, 1L, "<|user|>again"),
       (2L, 1L, "<|system|>welcome")), streamed)
 
-    // batch composition over the same closed events
+    // batch composition over the same closed events (full microsecond
+    // precision — getTime*1000 would truncate sub-ms timestamps)
     val closed = all.map(e =>
-      (e.user_id, e.event_id, e.ts.getTime * 1000L, e.role, e.text))
+      (e.user_id, e.event_id, graft.streaming.IntervalState.tsToUs(e.ts),
+        e.role, e.text))
       .toDF("user_id", "event_id", "ts_us", "role", "turn_text")
     val batch = ChatSft.renderConversations(
         ChatSft.sessionTurns(closed, "user_id", "ts_us", "event_id",
@@ -61,5 +63,40 @@ class ChatAssemblySpec extends SparkSpec {
       .select(col("user_id"), col("n_turns"), col("rendered"))
       .as[(Long, Long, String)].collect().toSet
     assert(streamed === batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("sub-millisecond timestamps order identically in stream and batch") {
+    // two turns 250us apart inside ONE millisecond, event ids in the
+    // OPPOSITE order — ms truncation would sort by event_id and render
+    // them backwards (the round-10 review finding)
+    implicit val sqlCtx = spark.sqlContext
+    def tsUs(min: Int, us: Int): Timestamp =
+      graft.streaming.IntervalState.usToTs((min + 1440) * 60000000L + us)
+    val evs = Seq(
+      TurnEvent(7, 1, tsUs(0, 250), "user", "first"),
+      TurnEvent(5, 1, tsUs(0, 500), "assistant", "second"))
+    val input = MemoryStream[TurnEvent]
+    val q = ChatAssembly.assemble(input.toDS(), "30 minutes", "10 minutes")
+      .writeStream.format("memory").queryName("t_chat_subms")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input.addData(evs)
+      q.processAllAvailable()
+      input.addData(Seq(TurnEvent(9, 9, tsUs(600, 0), "user", "x")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("t_chat_subms").as[ClosedConv].collect()
+      .map(c => (c.user_id, c.rendered)).toSet
+    assert(streamed === Set((1L, "<|user|>first\n<|assistant|>second")), streamed)
+    val batch = ChatSft.renderConversations(
+        ChatSft.sessionTurns(
+          evs.map(e => (e.user_id, e.event_id,
+            graft.streaming.IntervalState.tsToUs(e.ts), e.role, e.text))
+            .toDF("user_id", "event_id", "ts_us", "role", "turn_text"),
+          "user_id", "ts_us", "event_id", 1800000000L),
+        "user_id", "role", "turn_text")
+      .select(col("user_id"), col("rendered"))
+      .as[(Long, String)].collect().toSet
+    assert(streamed === batch)
   }
 }
