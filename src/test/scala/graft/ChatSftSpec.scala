@@ -44,6 +44,56 @@ class ChatSftSpec extends SparkSpec {
       "mystery" -> "user"))
   }
 
+  test("property: spans are disjoint, in-bounds, and substring back to their turns on a random corpus") {
+    // 60 users x random turn streams (multi-byte + empty + spacey texts,
+    // random gaps that split sessions): every assistant span must cut the
+    // rendered string back to exactly its turn, spans within one
+    // conversation must be disjoint and in-bounds.
+    val rng = new scala.util.Random(7L)
+    val vocab = Array("alpha", "b b", "", "çé µ", "x", "tab\tok")
+    val types = Array("view", "click", "purchase", "signup", "error")
+    val rows = (0 until 60).flatMap { u =>
+      var t = 0L
+      (0 until 1 + rng.nextInt(9)).map { i =>
+        t += 100L + rng.nextInt(3) * 1500L // some gaps split (gap=1000)
+        (u.toLong, (u * 100 + i).toLong, t, types(rng.nextInt(types.length)),
+          vocab(rng.nextInt(vocab.length)))
+      }
+    }
+    val df = {
+      import spark.implicits._
+      rows.toDF("user_id", "event_id", "ts_us", "event_type", "turn_text")
+    }
+    val t = turnsOf(df).localCheckpoint(true)
+    val rendered = ChatSft.renderConversations(t, "user_id", "role", "turn_text")
+    val spans = ChatSft.lossMaskSpans(t, "user_id", "role", "turn_text")
+    val joined = spans.join(rendered, Seq("user_id", "session_id"))
+      .select(col("user_id"), col("session_id"), col("turn_idx"),
+        col("span_start"), col("span_end"), length(col("rendered")).as("rlen"),
+        expr("substr(rendered, cast(span_start as int), " +
+          "cast(span_end - span_start + 1 as int))").as("cut"))
+      .collect()
+    assert(joined.nonEmpty)
+    // substring contract + bounds
+    val turnsByKey = t.select(col("user_id"), col("session_id"), col("turn_idx"),
+        ChatSft.renderTurn(col("role"), col("turn_text")).as("turn"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)) -> r.getString(3)).toMap
+    joined.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1), r.getInt(2))
+      assert(r.getAs[String]("cut") === turnsByKey(key), key)
+      assert(r.getLong(3) >= 1 && r.getLong(4) <= r.getInt(5), key)
+    }
+    // disjointness per conversation
+    joined.groupBy(r => (r.getLong(0), r.getLong(1))).foreach { case (k, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a.getLong(4) < b.getLong(3), k)
+        case _ => ()
+      }
+    }
+  }
+
   test("every loss-mask span substrings the rendered string back to its turn") {
     // mixed-length turns incl. one with spaces and one empty text
     val t = turnsOf(ev(
