@@ -1004,3 +1004,107 @@ object ScaleRehearsal {
     spark.stop()
   }
 }
+
+/** Streaming rehearsal for [[graft.streaming.ChatAssembly]]: run the
+  * stateful conversation assembler over a [[ScaleDataGen]] events slice
+  * as a REAL file-source stream (time-range-sorted part files, bounded
+  * files-per-trigger), and check it against the batch
+  * `sessionTurns → renderConversations` composition — count and an
+  * unordered content checksum over the conversations the final watermark
+  * closed. Prints one JSON line with wall time and PEAK STATE ROWS (the
+  * bounded-state claim, measured: state holds ~one open conversation per
+  * active user regardless of history length).
+  *
+  * Usage: `runMain graft.tools.StreamRehearsal /tmp/graft_scale_chat`
+  */
+object StreamRehearsal {
+  def main(args: Array[String]): Unit = {
+    require(args.length >= 1, "usage: StreamRehearsal <sliceDir> [filesPerTrigger]")
+    val dir = args(0)
+    val perTrigger = if (args.length > 1) args(1).toInt else 8
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    spark.sparkContext.setLogLevel("WARN")
+    // same wiring as queries.SftPrep.turns: role map + content-store join
+    val store = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") < 500)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("text"))
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        graft.operators.ChatSft.roleOf(col("event_type")).as("role"),
+        pmod(col("event_id"), lit(500)).as("doc_id"))
+      .join(broadcast(store), "doc_id")
+      .select(col("event_id"), col("user_id"), col("ts"), col("role"), col("text"))
+    // time-range-sorted part files: the file source processes parts in
+    // path order, so event time is monotone ACROSS triggers and nothing
+    // is ever late — lateness semantics are unit-tested; this rehearsal
+    // measures throughput and state size at volume
+    val inDir = s"$dir/stream_turns"
+    ev.repartitionByRange(64, col("ts")).sortWithinPartitions(col("ts"))
+      .write.mode("overwrite").parquet(inDir)
+    // the file source orders by (modification time, path); parallel part
+    // writes finish in arbitrary order, which would process time ranges
+    // out of order and drop whole ranges as late — stamp mtimes in path
+    // (= ts-range) order
+    locally {
+      val parts = new java.io.File(inDir).listFiles()
+        .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
+      parts.zipWithIndex.foreach { case (f, i) =>
+        f.setLastModified(1700000000000L + i * 1000L); ()
+      }
+    }
+    val schema = spark.read.parquet(inDir).schema
+    val nEvents = spark.read.parquet(inDir).count()
+    var nClosed = 0L
+    var checksum = 0L
+    val t0 = System.nanoTime()
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", perTrigger).parquet(inDir)
+      .as[graft.streaming.TurnEvent]
+    val q = graft.streaming.ChatAssembly.assemble(stream, "30 minutes", "10 minutes")
+      .writeStream.outputMode("append")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[graft.streaming.ClosedConv], _: Long) =>
+        val r = df.agg(count(lit(1)),
+          sum(pmod(xxhash64(col("user_id"), col("rendered")), lit(1L << 40)))).collect()(0)
+        StreamRehearsal.synchronized {
+          nClosed += r.getLong(0)
+          checksum += (if (r.isNullAt(1)) 0L else r.getLong(1))
+        }
+        ()
+      }
+      .start()
+    q.processAllAvailable()
+    val peakState = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+    q.stop()
+    val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+    // batch composition: the conversations the final watermark closed
+    val gapUs = 1800000000L
+    val turns = graft.operators.ChatSft.sessionTurns(
+      ev.withColumn("ts_us", unix_micros(col("ts"))),
+      "user_id", "ts_us", "event_id", gapUs)
+    val wmUs = (ev.agg(max(unix_micros(col("ts")))).as[Long].head()
+      / 1000L - 600000L) * 1000L // engine watermark: max event ms - 10 min
+    val rendered = graft.operators.ChatSft
+      .renderConversations(turns, "user_id", "role", "text")
+    val lastTs = turns.groupBy(col("user_id"), col("session_id"))
+      .agg(max(col("ts_us")).as("last_us"))
+    val closedBatch = rendered.join(lastTs, Seq("user_id", "session_id"))
+      .filter(col("last_us") + gapUs < wmUs)
+    val b = closedBatch.agg(count(lit(1)),
+      sum(pmod(xxhash64(col("user_id"), col("rendered")), lit(1L << 40)))).collect()(0)
+    val (bn, bchk) = (b.getLong(0), if (b.isNullAt(1)) 0L else b.getLong(1))
+    println(s"""{"rehearsal":"chat_stream","events":$nEvents,""" +
+      s""""closed_stream":$nClosed,"closed_batch":$bn,""" +
+      s""""checksum_match":${checksum == bchk},""" +
+      s""""peak_state_rows":$peakState,"sec":$secs}""")
+    spark.stop()
+  }
+}
