@@ -184,8 +184,11 @@ object SftPrep {
     * classifier via its per-(session, dataset) score artifact — train
     * once, consume everywhere — and the oracle replays feature build +
     * training + scoring + both ranked picks in one statement.
-    * Deterministic ties: (score, doc_id); single-doc groups drop (chosen
-    * must differ from rejected). Scale: ONE hash aggregate —
+    * Deterministic ties: (score, doc_id). Groups that cannot yield a
+    * REAL preference drop: single-doc groups, and groups whose
+    * candidates ALL tie on score (both argmaxes resolve to the same
+    * doc — a zero-margin "pair" carries no training signal). Scale: ONE
+    * hash aggregate —
     * `max(struct(score, -doc_id))` / `min(struct(score, doc_id))` are
     * the ranked picks with the same tie-breaks (lexicographic struct
     * compare; the q149 argmax rewrite) — map-side combining, one
@@ -234,8 +237,8 @@ object SftPrep {
     * the conversation level before training — templated flows produce
     * near-identical rendered transcripts): SimHash over each rendered
     * conversation, bounded all-pairs at Hamming ≤ 3 (the q31 oracle-twin
-    * pattern; the unbounded path is `SimHash.bandedPairs` over the same
-    * fingerprints, proven complete in DedupSpec). The user_id < 5 slice
+    * pattern; the unbounded path is `SimHash.candidatePairs` over the
+    * same fingerprints, proven complete in DedupSpec). The user_id < 5 slice
     * bounds the pair space for the oracle; fingerprints reuse the shared
     * turns artifact.
     */

@@ -1057,13 +1057,32 @@ object StreamRehearsal {
       val parts = new java.io.File(inDir).listFiles()
         .filter(f => f.getName.startsWith("part-")).sortBy(_.getName)
       parts.zipWithIndex.foreach { case (f, i) =>
-        f.setLastModified(1700000000000L + i * 1000L); ()
+        // a silent stamp failure reintroduces the out-of-order late-drop
+        // trap this block exists to prevent — fail loudly instead
+        require(f.setLastModified(1700000000000L + i * 1000L),
+          s"could not stamp mtime on ${f.getPath}")
       }
     }
     val schema = spark.read.parquet(inDir).schema
     val nEvents = spark.read.parquet(inDir).count()
     var nClosed = 0L
     var checksum = 0L
+    // peak state via a listener, NOT q.recentProgress — that is a ring
+    // buffer (default 100 updates) and a long run would silently evict
+    // early-trigger peaks from the headline bounded-state measurement
+    var peakState = 0L
+    val listener = new org.apache.spark.sql.streaming.StreamingQueryListener {
+      override def onQueryStarted(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress.stateOperators.map(_.numRowsTotal).foldLeft(0L)(math.max)
+        StreamRehearsal.synchronized { peakState = math.max(peakState, p) }
+      }
+      override def onQueryTerminated(
+          e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
     val t0 = System.nanoTime()
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", perTrigger).parquet(inDir)
@@ -1081,9 +1100,10 @@ object StreamRehearsal {
       }
       .start()
     q.processAllAvailable()
-    val peakState = q.recentProgress
-      .flatMap(_.stateOperators.map(_.numRowsTotal)).foldLeft(0L)(math.max)
+    // the listener bus is async — drain it before reading the peak
+    Thread.sleep(500)
     q.stop()
+    spark.streams.removeListener(listener)
     val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
     // batch composition: the conversations the final watermark closed
     val gapUs = 1800000000L

@@ -400,16 +400,30 @@ class PipelineSpec extends SparkSpec {
     val nConvs = rendered.count()
     val packedConvs = packed.agg(sum(col("n_convs"))).as[Long].head()
     assert(packedConvs === nConvs, s"$packedConvs packed vs $nConvs rendered")
-    // 3 — the packed loss tokens equal the assistant-turn token total,
-    //     recomputed independently from the rendered spans: each span IS
-    //     one assistant turn render, whose whitespace-token count the
-    //     packing summed
-    val spanTokens = spans.join(rendered, Seq("user_id", "session_id"))
-      .select((col("span_end") - col("span_start") + 1).as("len"))
-      .agg(sum(col("len"))).as[Long].head()
+    // 3 — EXACT loss-token accounting: q155's head is only 64 chars, so
+    //     recompute each conversation's rendering from the shared turn
+    //     frame, cut every span back out, tokenize the cuts exactly the
+    //     way q157 tokenizes turns, and the sum must EQUAL the packing's
+    //     loss_tokens (each span IS one assistant turn render)
+    val fullRendered = graft.operators.ChatSft.renderConversations(
+      graft.operators.ChatSft.sessionTurns(
+        Tables.events(spark, d)
+          .select(col("user_id"), col("event_id"), col("ts_us"),
+            graft.operators.ChatSft.roleOf(col("event_type")).as("role"),
+            pmod(col("event_id"), lit(500)).as("doc_id"))
+          .join(broadcast(Tables.documents(spark, d).filter(col("doc_id") < 500)
+            .select(col("doc_id"), substring(col("text"), 1, 80).as("turn_text"))),
+            "doc_id"),
+        "user_id", "ts_us", "event_id", 1800000000L),
+      "user_id", "role", "turn_text")
+    val spanTokens = spans.join(fullRendered, Seq("user_id", "session_id"))
+      .select(size(split(expr(
+        "substr(rendered, cast(span_start as int), " +
+          "cast(span_end - span_start + 1 as int))"), " ")).as("nt"))
+      .agg(sum(col("nt"))).as[Long].head()
     val packedLossTokens = packed.agg(sum(col("loss_tokens"))).as[Long].head()
-    assert(packedLossTokens > 0 && spanTokens > packedLossTokens,
-      s"chars $spanTokens should exceed tokens $packedLossTokens")
+    assert(packedLossTokens > 0 && spanTokens === packedLossTokens,
+      s"span tokens $spanTokens != packed loss tokens $packedLossTokens")
     // 4 — preference pairs: chosen/rejected ids are distinct documents
     //     from the corpus and margins are non-negative
     val bad = pairs.filter(col("chosen_id") === col("rejected_id") ||
