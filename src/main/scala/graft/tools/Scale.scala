@@ -159,6 +159,30 @@ object ScaleRehearsal {
     */
   private val extraQueries: Map[String,
       (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
+    // q159's UNBOUNDED scale form: every conversation in the slice
+    // fingerprinted and paired through the banded equi-join (the
+    // declared query bounds all-pairs at user_id < 5 for its oracle).
+    // maxBucket caps the genuinely-degenerate buckets this synthetic
+    // corpus produces (hundreds of single-turn conversations render
+    // byte-identically — real near-dups, quadratic within a bucket).
+    "q159_banded" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val store = graft.Tables.documents(s, dir).filter(col("doc_id") < 500)
+        .select(col("doc_id"), substring(col("text"), 1, 80).as("turn_text"))
+      val ev = graft.Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          graft.operators.ChatSft.roleOf(col("event_type")).as("role"),
+          pmod(col("event_id"), lit(500)).as("doc_id"))
+        .join(broadcast(store), "doc_id")
+      val convs = graft.operators.ChatSft.renderConversations(
+          graft.operators.ChatSft.sessionTurns(
+            ev, "user_id", "ts_us", "event_id", 1800000000L),
+          "user_id", "role", "turn_text")
+        .select((col("user_id") * 1000000L + col("session_id")).as("conv_id"),
+          col("rendered"))
+      graft.operators.SimHash.candidatePairs(convs, "conv_id", "rendered",
+        bands = 4, maxHamming = 3, maxBucket = 1024)
+    }),
     "q100_window" -> ((s, dir) =>
       graft.operators.SubstringDedup.duplicatedSpans(
         graft.Tables.documents(s, dir), "doc_id", "text",
