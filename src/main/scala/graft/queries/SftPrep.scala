@@ -291,10 +291,103 @@ object SftPrep {
        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
        |ORDER BY user_a, sess_a, user_b, sess_b""".stripMargin
 
+  /** B29 — q160: the packing ACTION closing the q157 loop (the
+    * q100→q105 detect/act split applied to packing): conversations
+    * concatenate into their bins ("\n\n"-separated, in the q157 packing
+    * order) and every assistant loss-mask span is REMAPPED into
+    * packed-sequence character coordinates — the (seq_start, seq_end)
+    * table a trainer actually masks with. Offsets are one running-length
+    * window over the (shard, bin) partitioning q157 established; spans
+    * join per conversation. All integer arithmetic.
+    */
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = turns(s, dir)
+    val turnCol = ChatSft.renderTurn(col("role"), col("turn_text"))
+    val conv = t
+      .select(col("user_id"), col("session_id"), col("turn_idx"),
+        turnCol.as("turn"), size(split(turnCol, " ")).as("nt"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("nt")).as("n_tokens"),
+        length(array_join(
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("turn")))),
+            x => x.getField("turn")), "\n")).as("r_len"))
+    val wBin = Window.partitionBy(col("shard"))
+      .orderBy(col("user_id"), col("session_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val binned = conv
+      .withColumn("shard", floor(col("user_id") / 10.0).cast("int"))
+      .withColumn("cum_before", sum(col("n_tokens")).over(wBin) - col("n_tokens"))
+      .withColumn("bin", floor(col("cum_before") / Capacity.toDouble).cast("int"))
+    val wOff = Window.partitionBy(col("shard"), col("bin"))
+      .orderBy(col("user_id"), col("session_id"))
+    val offs = binned
+      .withColumn("conv_off",
+        sum(col("r_len")).over(wOff.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - col("r_len")
+          + (row_number().over(wOff) - 1) * 2L)
+      .select(col("user_id"), col("session_id"), col("shard"), col("bin"),
+        col("conv_off"))
+    ChatSft.lossMaskSpans(t, "user_id", "role", "turn_text")
+      .join(offs, Seq("user_id", "session_id"))
+      .select(col("shard"), col("bin"), col("user_id"), col("session_id"),
+        col("turn_idx"),
+        (col("conv_off") + col("span_start")).as("seq_start"),
+        (col("conv_off") + col("span_end")).as("seq_end"))
+      .orderBy(col("shard"), col("bin"), col("seq_start"))
+  }
+
+  private def q160Sql: String =
+    s"""$turnsSqlPrelude
+       |, convq AS (
+       |  SELECT user_id, session_id,
+       |    CAST(SUM(CAST(len(string_split(turn, ' ')) AS INT)) AS BIGINT) AS n_tokens,
+       |    CAST(len(string_agg(turn, chr(10) ORDER BY ts_us, event_id)) AS INT) AS r_len
+       |  FROM turns GROUP BY 1, 2
+       |), binnedq AS (
+       |  SELECT user_id, session_id, r_len,
+       |    CAST(FLOOR(user_id / 10.0) AS INT) AS shard,
+       |    CAST(FLOOR((CAST(SUM(n_tokens) OVER (
+       |      PARTITION BY CAST(FLOOR(user_id / 10.0) AS INT)
+       |      ORDER BY user_id, session_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - n_tokens) / $Capacity.0) AS INT) AS bin
+       |  FROM convq
+       |), offs AS (
+       |  SELECT user_id, session_id, shard, bin,
+       |    CAST(SUM(r_len) OVER (PARTITION BY shard, bin
+       |        ORDER BY user_id, session_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - r_len
+       |      + 2 * (ROW_NUMBER() OVER (PARTITION BY shard, bin
+       |          ORDER BY user_id, session_id) - 1) AS conv_off
+       |  FROM binnedq
+       |), sp AS (
+       |  SELECT user_id, session_id, turn_idx,
+       |    CAST(cum + (turn_idx - 1) + 1 AS BIGINT) AS span_start,
+       |    CAST(cum + (turn_idx - 1) + tl AS BIGINT) AS span_end
+       |  FROM (
+       |    SELECT user_id, session_id, turn_idx, role,
+       |      CAST(len(turn) AS INT) AS tl,
+       |      CAST(SUM(CAST(len(turn) AS INT)) OVER (
+       |        PARTITION BY user_id, session_id ORDER BY turn_idx
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        - CAST(len(turn) AS INT) AS cum
+       |    FROM turns
+       |  ) x
+       |  WHERE role = 'assistant'
+       |)
+       |SELECT o.shard, o.bin, s.user_id, s.session_id, s.turn_idx,
+       |  CAST(o.conv_off + s.span_start AS BIGINT) AS seq_start,
+       |  CAST(o.conv_off + s.span_end AS BIGINT) AS seq_end
+       |FROM sp s JOIN offs o USING (user_id, session_id)
+       |ORDER BY shard, bin, seq_start""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q155_chat_render", q155, Some(q155Sql)),
     QueryDef("q156_loss_mask_spans", q156, Some(q156Sql)),
     QueryDef("q157_sft_pack", q157, Some(q157Sql)),
     QueryDef("q158_preference_pairs", q158, Some(q158Sql)),
-    QueryDef("q159_conversation_neardup", q159, Some(q159Sql)))
+    QueryDef("q159_conversation_neardup", q159, Some(q159Sql)),
+    QueryDef("q160_sft_sequences", q160, Some(q160Sql)))
 }

@@ -429,5 +429,17 @@ class PipelineSpec extends SparkSpec {
     val bad = pairs.filter(col("chosen_id") === col("rejected_id") ||
       col("margin") < 0).count()
     assert(bad === 0L)
+    // 5 — the packing ACTION (q160): every q156 span appears exactly once
+    //     remapped into packed-sequence coordinates, and remapped spans
+    //     stay disjoint within their (shard, bin) sequence
+    val seqs = q("q160_sft_sequences").localCheckpoint(true)
+    assert(seqs.count() === spans.count())
+    val overlapping = seqs
+      .withColumn("prev_end", lag(col("seq_end"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"), col("bin")).orderBy(col("seq_start"))))
+      .filter(col("prev_end").isNotNull && col("seq_start") <= col("prev_end"))
+      .count()
+    assert(overlapping === 0L)
   }
 }
