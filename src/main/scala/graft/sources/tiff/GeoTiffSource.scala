@@ -275,11 +275,12 @@ private[tiff] final class AwtPixelGrid(r: java.awt.image.Raster, band: Int = 0) 
   def getSampleDouble(x: Int, y: Int): Double = r.getSampleDouble(x, y, band)
 }
 
-/** Raw uncompressed-strip window reader for BigTIFF: seeks each window row
-  * inside its strip and reads exactly window.width samples, so a task reads
-  * O(window) bytes of a raster of any size (strips are row-contiguous:
+/** Raw strip window reader for BigTIFF. Uncompressed strips are seek-read
+  * row by row (a task reads O(window) bytes of a raster of any size:
   * sample (row, col) lives at stripOffsets(row / rowsPerStrip) +
-  * ((row % rowsPerStrip) * width + col) * bytesPerSample).
+  * ((row % rowsPerStrip) * width + col) * bytesPerSample); DEFLATE/LZW
+  * strips are decompressed once per overlapping strip and the window's
+  * columns extracted ([[StripDecode]], O(strip + window) memory).
   */
 private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWindow)
   extends PixelGrid {
@@ -287,23 +288,12 @@ private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWi
   private val bytesPer = meta.bitsPerSample / 8
   private val rowBytes = window.width * bytesPer
   private val buf: java.nio.ByteBuffer = {
-    val raf = new java.io.RandomAccessFile(meta.path, "r")
-    try {
-      val arr = new Array[Byte](rowBytes * window.height)
-      var y = 0
-      while (y < window.height) {
-        val row = (window.rowOff + y).toLong
-        val strip = (row / meta.rowsPerStrip).toInt
-        val rowInStrip = row % meta.rowsPerStrip
-        raf.seek(meta.stripOffsets(strip) +
-          (rowInStrip * meta.width + window.colOff) * bytesPer)
-        raf.readFully(arr, y * rowBytes, rowBytes)
-        y += 1
-      }
-      java.nio.ByteBuffer.wrap(arr).order(
-        if (meta.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
-        else java.nio.ByteOrder.BIG_ENDIAN)
-    } finally raf.close()
+    val arr =
+      if (meta.compression == 1) StripDecode.readRawWindow(meta, window, bytesPer)
+      else StripDecode.readCompressedWindow(meta, window, bytesPer)
+    java.nio.ByteBuffer.wrap(arr).order(
+      if (meta.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
+      else java.nio.ByteOrder.BIG_ENDIAN)
   }
 
   private def idx(x: Int, y: Int): Int = y * rowBytes + x * bytesPer

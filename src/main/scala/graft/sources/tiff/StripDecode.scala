@@ -1,0 +1,244 @@
+package graft.sources.tiff
+
+import java.io.RandomAccessFile
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.Inflater
+
+/** Strip decode for the BigTIFF raw reader: window extraction over
+  * uncompressed strips (seek-only, O(window) I/O) and over DEFLATE/LZW
+  * compressed strips (each overlapping strip is decompressed once, the
+  * predictor is undone, and only the window's columns are kept).
+  *
+  * Memory posture: uncompressed reads hold O(window) bytes; compressed reads
+  * hold O(strip + window) — GDAL writes small strips (commonly 1–16 rows), so
+  * a task stays bounded by rowsPerStrip × width × bytesPerSample regardless
+  * of raster size. A pathological whole-image single strip degrades to
+  * O(image) for that one task; the typed require in [[TiffTags]] has already
+  * admitted only layouts we can decode, so this is a documented cost, not a
+  * correctness risk.
+  *
+  * Covers the layouts real large GeoTIFFs ship with (the reference's own
+  * domain — e.g. WRI/Hansen forest-cover tiles are u8 DEFLATE PREDICTOR=2):
+  * compression 1 (none), 8/32946 (zlib DEFLATE), 5 (LZW, MSB-first with the
+  * TIFF early-change rule), predictor 1 (none) and 2 (horizontal
+  * differencing over integer samples).
+  */
+private[tiff] object StripDecode {
+
+  /** Window bytes from uncompressed strips: seek each window row inside its
+    * strip and read exactly window.width samples (sample (row, col) lives at
+    * stripOffsets(row / rowsPerStrip) + ((row % rowsPerStrip) * width + col)
+    * * bytesPerSample).
+    */
+  def readRawWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int): Array[Byte] = {
+    val rowBytes = window.width * bytesPer
+    val raf = new RandomAccessFile(meta.path, "r")
+    try {
+      val arr = new Array[Byte](rowBytes * window.height)
+      var y = 0
+      while (y < window.height) {
+        val row = (window.rowOff + y).toLong
+        val strip = (row / meta.rowsPerStrip).toInt
+        val rowInStrip = row % meta.rowsPerStrip
+        raf.seek(meta.stripOffsets(strip) +
+          (rowInStrip * meta.width + window.colOff) * bytesPer)
+        raf.readFully(arr, y * rowBytes, rowBytes)
+        y += 1
+      }
+      arr
+    } finally raf.close()
+  }
+
+  /** Window bytes from compressed strips: decompress every strip overlapping
+    * the window's rows (each exactly once), undo the predictor at full strip
+    * width, then copy the window's columns of the window's rows.
+    */
+  def readCompressedWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int): Array[Byte] = {
+    val rowBytes = window.width * bytesPer
+    val out = new Array[Byte](rowBytes * window.height)
+    val raf = new RandomAccessFile(meta.path, "r")
+    try {
+      val firstStrip = (window.rowOff.toLong / meta.rowsPerStrip).toInt
+      val lastStrip = ((window.rowOff + window.height - 1).toLong / meta.rowsPerStrip).toInt
+      var s = firstStrip
+      while (s <= lastStrip) {
+        val stripRow0 = s.toLong * meta.rowsPerStrip
+        val rowsInStrip = math.min(meta.rowsPerStrip, meta.height - stripRow0).toInt
+        val strip = decodeStrip(meta, raf, s, rowsInStrip, bytesPer)
+        // copy the intersection of this strip's rows with the window's rows
+        val yLo = math.max(window.rowOff.toLong, stripRow0)
+        val yHi = math.min((window.rowOff + window.height).toLong, stripRow0 + rowsInStrip)
+        var y = yLo
+        while (y < yHi) {
+          val srcOff = ((y - stripRow0) * meta.width + window.colOff).toInt * bytesPer
+          val dstOff = (y - window.rowOff).toInt * rowBytes
+          System.arraycopy(strip, srcOff, out, dstOff, rowBytes)
+          y += 1
+        }
+        s += 1
+      }
+      out
+    } finally raf.close()
+  }
+
+  /** One strip, decompressed and predictor-undone, at full strip width. */
+  private def decodeStrip(
+      meta: TiffTags.RasterMeta,
+      raf: RandomAccessFile,
+      stripIdx: Int,
+      rowsInStrip: Int,
+      bytesPer: Int): Array[Byte] = {
+    val compLen = meta.stripByteCounts(stripIdx)
+    require(compLen > 0 && compLen <= Int.MaxValue,
+      s"${meta.path}: strip $stripIdx has implausible byte count $compLen")
+    val comp = new Array[Byte](compLen.toInt)
+    raf.seek(meta.stripOffsets(stripIdx))
+    raf.readFully(comp)
+
+    val expected = rowsInStrip * meta.width * bytesPer
+    val out = new Array[Byte](expected)
+    meta.compression match {
+      case 8 | 32946 => // zlib DEFLATE ("Adobe" code 8 and the legacy 32946 are the same stream)
+        val inf = new Inflater()
+        try {
+          inf.setInput(comp)
+          var off = 0
+          while (off < expected && !inf.finished()) {
+            val n = inf.inflate(out, off, expected - off)
+            if (n == 0 && inf.needsInput())
+              throw new IllegalStateException(
+                s"${meta.path}: strip $stripIdx DEFLATE stream truncated at $off/$expected bytes")
+            off += n
+          }
+          require(off == expected,
+            s"${meta.path}: strip $stripIdx inflated to $off bytes, expected $expected")
+        } finally inf.end()
+      case 5 =>
+        val n = TiffLzw.decode(comp, out)
+        require(n == expected,
+          s"${meta.path}: strip $stripIdx LZW-decoded to $n bytes, expected $expected")
+      case c =>
+        throw new IllegalStateException(s"${meta.path}: unexpected compression $c in decodeStrip")
+    }
+    if (meta.predictor == 2) unpredict(out, meta, rowsInStrip, bytesPer)
+    out
+  }
+
+  /** Undo TIFF predictor 2 (horizontal differencing) in place: within each
+    * row, each sample is stored as the delta from its left neighbour, per
+    * sample width, in the file's byte order. Integer samples only (the float
+    * predictor, 3, is rejected at tag-read time).
+    */
+  private def unpredict(arr: Array[Byte], meta: TiffTags.RasterMeta, rowsInStrip: Int, bytesPer: Int): Unit = {
+    val w = meta.width
+    bytesPer match {
+      case 1 =>
+        var r = 0
+        while (r < rowsInStrip) {
+          val base = r * w
+          var x = 1
+          while (x < w) { arr(base + x) = (arr(base + x) + arr(base + x - 1)).toByte; x += 1 }
+          r += 1
+        }
+      case _ =>
+        val bb = ByteBuffer.wrap(arr).order(
+          if (meta.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        var r = 0
+        while (r < rowsInStrip) {
+          val base = r * w * bytesPer
+          var x = 1
+          while (x < w) {
+            val i = base + x * bytesPer
+            if (bytesPer == 2) bb.putShort(i, (bb.getShort(i) + bb.getShort(i - 2)).toShort)
+            else bb.putInt(i, bb.getInt(i) + bb.getInt(i - 4))
+            x += 1
+          }
+          r += 1
+        }
+    }
+  }
+}
+
+/** TIFF-variant LZW decoder (TIFF 6.0 §13): 8-bit symbols, ClearCode 256,
+  * EndOfInformation 257, first dictionary code 258, codes packed MSB-first,
+  * code width 9→12 bits growing at 511/1023/2047 (the spec's "early change"
+  * off-by-one, which every TIFF writer implements). Public algorithm —
+  * implemented from the published spec, no code copied.
+  */
+private[graft] object TiffLzw {
+  private final val Clear = 256
+  private final val Eoi = 257
+
+  /** Decode `in` into `out`; returns the number of bytes produced (decoding
+    * stops at EOI, end of input bits, or a full `out`).
+    */
+  def decode(in: Array[Byte], out: Array[Byte]): Int = {
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4096)
+    var next = 258
+    var codeBits = 9
+    var bitPos = 0L
+    val totalBits = in.length.toLong * 8
+    var outPos = 0
+
+    def readCode(): Int = {
+      if (bitPos + codeBits > totalBits) return Eoi // tolerate writers that omit EOI
+      val byteIdx = (bitPos >> 3).toInt
+      var acc = 0L
+      var i = 0
+      while (i < 4) {
+        acc = (acc << 8) | (if (byteIdx + i < in.length) in(byteIdx + i) & 0xffL else 0L)
+        i += 1
+      }
+      val shift = 32 - (bitPos & 7).toInt - codeBits
+      bitPos += codeBits
+      ((acc >> shift) & ((1 << codeBits) - 1)).toInt
+    }
+
+    /** Emit the dictionary string for `code`; returns its first byte. */
+    def emit(code: Int): Byte = {
+      var sp = 0
+      var c = code
+      while (c >= 258) {
+        stack(sp) = suffix(c); sp += 1; c = prefix(c)
+      }
+      require(c < 256, s"LZW stream references reserved code $c")
+      val first = c.toByte
+      require(outPos + 1 + sp <= out.length,
+        s"LZW output overflow: have ${out.length}, writing past it at $outPos")
+      out(outPos) = first; outPos += 1
+      while (sp > 0) { sp -= 1; out(outPos) = stack(sp); outPos += 1 }
+      first
+    }
+
+    var old = -1
+    var code = readCode()
+    while (code != Eoi && outPos < out.length) {
+      if (code == Clear) {
+        next = 258; codeBits = 9
+        code = readCode()
+        if (code == Eoi) return outPos
+        emit(code)
+        old = code
+      } else {
+        require(code <= next, s"LZW code $code out of range (next=$next)")
+        val first =
+          if (code < next) emit(code)
+          else { // KwKwK: string(old) + firstByte(string(old))
+            val f = emit(old)
+            require(outPos < out.length, "LZW output overflow in KwKwK case")
+            out(outPos) = f; outPos += 1
+            f
+          }
+        if (next < 4096) {
+          prefix(next) = old; suffix(next) = first; next += 1
+          if (next + 1 == (1 << codeBits) && codeBits < 12) codeBits += 1 // early change
+        }
+        old = code
+      }
+      code = readCode()
+    }
+    outPos
+  }
+}

@@ -12,9 +12,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   * 8-byte offsets) in both byte orders, IFD0 only. BigTIFF matters at the
   * posture this engine claims: real-world global rasters exceed the 4 GiB
   * classic-TIFF limit routinely. ImageIO cannot decode BigTIFF, so for
-  * BigTIFF we also read the strip layout tags (259/273/278/279/277) and the
-  * source decodes uncompressed strips itself ([[GeoTiffPartitionReader]]);
-  * compressed BigTIFF is rejected with a typed error rather than garbage.
+  * BigTIFF we also read the strip layout tags (259/273/277/278/279/317) and
+  * the source decodes strips itself ([[GeoTiffPartitionReader]] via
+  * [[StripDecode]]): uncompressed, DEFLATE, and LZW, with the horizontal-
+  * differencing predictor — the layouts GDAL writes for real large rasters.
+  * Unsupported layouts (tiled, multi-band BigTIFF, other codecs) are
+  * rejected with a typed error rather than garbage.
   *
   * Tags read:
   *   - 256/257 ImageWidth/ImageLength
@@ -52,7 +55,13 @@ object TiffTags {
       rowsPerStrip: Long = Long.MaxValue,
       // IndexedSeq, not Array: an Array field would silently break the
       // case class's generated equals/hashCode (reference equality)
-      stripOffsets: IndexedSeq[Long] = Vector.empty) {
+      stripOffsets: IndexedSeq[Long] = Vector.empty,
+      // 1=none, 5=LZW, 8/32946=DEFLATE; predictor 1=none, 2=horizontal
+      // differencing. stripByteCounts is populated only when compressed
+      // (uncompressed strip lengths are computable from the grid).
+      compression: Int = 1,
+      predictor: Int = 1,
+      stripByteCounts: IndexedSeq[Long] = Vector.empty) {
 
     /** Pixel-centroid longitude of column `col`. */
     def lonOf(col: Double): Double = originX + (col + 0.5) * pixelScaleX
@@ -192,16 +201,32 @@ object TiffTags {
       }
 
       if (!bigTiff) {
+        // ImageIO decodes classic-TIFF pixels, so nothing is gated here; the
+        // strip layout is still recorded (informational, and it lets tests
+        // cross-check our strip decoder against independently-written files).
         RasterMeta(path, width, height, bps, sampleFormat,
           scale(0), scale(1), originX, originY, noData,
-          samplesPerPixel = shortOrLong(277, 1))
+          samplesPerPixel = shortOrLong(277, 1),
+          littleEndian = order == ByteOrder.LITTLE_ENDIAN,
+          rowsPerStrip = entries.get(278).map(e => intAt(e, payload(e), 0)).getOrElse(height.toLong),
+          stripOffsets = longs(273).map(_.toIndexedSeq).getOrElse(Vector.empty),
+          compression = shortOrLong(259, 1),
+          predictor = shortOrLong(317, 1),
+          stripByteCounts = longs(279).map(_.toIndexedSeq).getOrElse(Vector.empty))
       } else {
         // BigTIFF pixels are decoded by our own strip reader (ImageIO has no
-        // BigTIFF support), which only handles the uncompressed single-band
-        // layout — gate explicitly on everything else.
+        // BigTIFF support): uncompressed, DEFLATE (8 and the legacy 32946),
+        // and LZW (5) stripped single-band layouts, predictor none or
+        // horizontal-differencing — i.e. what GDAL actually writes for large
+        // rasters. Everything else gets a typed error, never garbage.
         val compression = shortOrLong(259, 1)
-        require(compression == 1,
-          s"$path: BigTIFF compression $compression unsupported (only 1 = none)")
+        require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
+          s"$path: BigTIFF compression $compression unsupported (1=none, 5=LZW, 8/32946=DEFLATE)")
+        val predictor = shortOrLong(317, 1)
+        require(predictor == 1 || predictor == 2,
+          s"$path: TIFF predictor $predictor unsupported (1=none, 2=horizontal differencing)")
+        require(predictor == 1 || sampleFormat != 3,
+          s"$path: predictor 2 over float samples is unsupported (predictor 3 territory)")
         val spp = shortOrLong(277, 1)
         require(spp == 1,
           s"$path: BigTIFF SamplesPerPixel $spp unsupported (only single-band)")
@@ -212,11 +237,16 @@ object TiffTags {
           .toIndexedSeq
         val rps = entries.get(278).map(e => intAt(e, payload(e), 0))
           .getOrElse(height.toLong)
+        val byteCounts =
+          if (compression == 1) Vector.empty[Long]
+          else longs(279).getOrElse(throw new IllegalArgumentException(
+            s"$path: compressed BigTIFF missing StripByteCounts (279)")).toIndexedSeq
         RasterMeta(path, width, height, bps, sampleFormat,
           scale(0), scale(1), originX, originY, noData,
           samplesPerPixel = 1,
           bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
-          rowsPerStrip = rps, stripOffsets = offsets)
+          rowsPerStrip = rps, stripOffsets = offsets,
+          compression = compression, predictor = predictor, stripByteCounts = byteCounts)
       }
     } finally raf.close()
   }

@@ -225,8 +225,8 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b))
   }
 
-  test("compressed BigTIFF is rejected with a typed error") {
-    // flip the compression tag of a valid fixture to 5 (LZW)
+  test("unsupported BigTIFF compression is rejected with a typed error") {
+    // flip the compression tag of a valid fixture to 7 (JPEG, unsupported)
     val src = TiffFixtures.writeBigTiff(s"$tmp/big43e.tif", 4, 4,
       (c, r) => 1.0, 0.0, 10.0, 0.5, None)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
@@ -237,15 +237,106 @@ class GeoTiffSourceSpec extends SparkSpec {
     var found = false
     for (i <- 0 until n.toInt) {
       val off = ifd.toInt + 8 + i * 20
-      if ((bb.getShort(off) & 0xffff) == 259) { bb.putShort(off + 12, 5); found = true }
+      if ((bb.getShort(off) & 0xffff) == 259) { bb.putShort(off + 12, 7); found = true }
     }
     assert(found)
-    val bad = s"$tmp/big43e_lzw.tif"
+    val bad = s"$tmp/big43e_jpeg.tif"
     java.nio.file.Files.write(java.nio.file.Paths.get(bad), bytes)
     val e = intercept[IllegalArgumentException] {
       graft.sources.tiff.TiffTags.read(bad)
     }
-    assert(e.getMessage.contains("compression"))
+    assert(e.getMessage.contains("compression 7 unsupported"))
+  }
+
+  test("DEFLATE BigTIFF == uncompressed BigTIFF == classic TIFF on the same pixels") {
+    def v(c: Int, r: Int): Double = if ((r + c) % 7 == 0) -9999.0 else r * 100.0 + c
+    val deflated = TiffFixtures.writeBigTiff(s"$tmp/big43z.tif", 10, 8, v,
+      10.0, 50.0, 0.5, Some("-9999"), rowsPerStrip = 3, compression = 8)
+    val m = graft.sources.tiff.TiffTags.read(deflated)
+    assert(m.compression == 8 && m.stripByteCounts.length == 3)
+    val classic = Raster.raster2df(spark, Seq(f32))
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val plain = Raster.raster2df(spark, Seq(TiffFixtures.writeBigTiff(s"$tmp/big43u.tif",
+      10, 8, v, 10.0, 50.0, 0.5, Some("-9999"), rowsPerStrip = 3)))
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val z = Raster.raster2df(spark, Seq(deflated))
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(z.nonEmpty && z.sameElements(classic) && z.sameElements(plain))
+  }
+
+  test("u8 DEFLATE + predictor 2 BigTIFF (the GDAL shape) multi-window read is exact") {
+    // real-world forest-cover layout: u8, DEFLATE, horizontal differencing
+    def v(c: Int, r: Int): Double = ((c * 31 + r * 17) % 251).toDouble
+    val p = TiffFixtures.writeBigTiff(s"$tmp/big43zp.tif", 300, 200, v,
+      -180.0, 90.0, 1.0, Some("0"), rowsPerStrip = 16,
+      dtype = TiffFixtures.U8, compression = 8, predictor = 2)
+    val m = graft.sources.tiff.TiffTags.read(p)
+    assert(m.compression == 8 && m.predictor == 2 && m.bitsPerSample == 8)
+    val one = Raster.raster2df(spark, Seq(p), maxBlockSize = 4096)
+      .orderBy("lat", "lon").collect()
+    val many = Raster.raster2df(spark, Seq(p), maxBlockSize = 128)
+      .orderBy("lat", "lon").collect()
+    assert(one.length == (for (r <- 0 until 200; c <- 0 until 300 if v(c, r) != 0.0) yield 1).size)
+    assert(one.map(_.toSeq).sameElements(many.map(_.toSeq)))
+    // spot value: u8 widens to short
+    val row = one.head
+    assert(row.schema("val1").dataType.typeName == "short")
+  }
+
+  test("s16 big-endian DEFLATE + predictor 2 round-trips (byte order in the predictor)") {
+    def v(c: Int, r: Int): Double = ((c * 13 + r * 7) % 2000 - 1000).toDouble
+    val be = TiffFixtures.writeBigTiff(s"$tmp/big43zbe.tif", 40, 30, v,
+      0.0, 30.0, 0.5, None, rowsPerStrip = 7, bigEndian = true,
+      dtype = TiffFixtures.S16, compression = 8, predictor = 2)
+    val plain = TiffFixtures.writeBigTiff(s"$tmp/big43ube.tif", 40, 30, v,
+      0.0, 30.0, 0.5, None, rowsPerStrip = 7, dtype = TiffFixtures.S16)
+    val a = Raster.raster2df(spark, Seq(be)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val b = Raster.raster2df(spark, Seq(plain)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+  }
+
+  test("LZW BigTIFF reads identically to uncompressed (code width growth exercised)") {
+    // ~9k samples of noisy u8 per strip forces 9->10->11-bit LZW codes
+    def v(c: Int, r: Int): Double = ((c * 7 + r * 13) % 251).toDouble
+    val lzw = TiffFixtures.writeBigTiff(s"$tmp/big43l.tif", 96, 96, v,
+      0.0, 48.0, 0.5, None, rowsPerStrip = 48,
+      dtype = TiffFixtures.U8, compression = 5)
+    val plain = TiffFixtures.writeBigTiff(s"$tmp/big43lu.tif", 96, 96, v,
+      0.0, 48.0, 0.5, None, rowsPerStrip = 48, dtype = TiffFixtures.U8)
+    val m = graft.sources.tiff.TiffTags.read(lzw)
+    assert(m.compression == 5)
+    val a = Raster.raster2df(spark, Seq(lzw)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val b = Raster.raster2df(spark, Seq(plain)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.length == 96 * 96 && a.sameElements(b))
+  }
+
+  test("LZW decoder matches the JDK's independent LZW encoder byte-for-byte") {
+    // the JDK TIFF writer is an independent LZW implementation: decoding its
+    // strips pins the early-change rule empirically (not just round-trip)
+    val p = TiffFixtures.write(s"$tmp/classic_lzw.tif", 96, 96, TiffFixtures.U8,
+      (c, r) => ((c * 7 + r * 13) % 251).toDouble,
+      0.0, 48.0, 0.5, None, compressionType = "LZW")
+    val m = graft.sources.tiff.TiffTags.read(p)
+    assert(m.compression == 5, s"JDK writer produced compression ${m.compression}")
+    assert(m.predictor == 1, s"JDK writer used predictor ${m.predictor}; test assumes none")
+    assert(m.stripOffsets.nonEmpty && m.stripByteCounts.length == m.stripOffsets.length)
+    val raf = new java.io.RandomAccessFile(p, "r")
+    val got = new Array[Byte](96 * 96)
+    try {
+      var pos = 0
+      for (s <- m.stripOffsets.indices) {
+        val rows = math.min(m.rowsPerStrip, 96L - s * m.rowsPerStrip).toInt
+        val comp = new Array[Byte](m.stripByteCounts(s).toInt)
+        raf.seek(m.stripOffsets(s)); raf.readFully(comp)
+        val out = new Array[Byte](rows * 96)
+        val n = graft.sources.tiff.TiffLzw.decode(comp, out)
+        assert(n == out.length, s"strip $s decoded $n of ${out.length} bytes")
+        System.arraycopy(out, 0, got, pos, n); pos += n
+      }
+      assert(pos == got.length)
+    } finally raf.close()
+    val expect = Array.tabulate(96 * 96)(i => (((i % 96) * 7 + (i / 96) * 13) % 251).toByte)
+    assert(java.util.Arrays.equals(got, expect))
   }
 
   test("multi-band: reading bands 1-3 of one RGB raster as three columns") {

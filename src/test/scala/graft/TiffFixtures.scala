@@ -32,7 +32,8 @@ object TiffFixtures {
       originY: Double,
       pixelSize: Double,
       noData: Option[String],
-      tileSize: Int = 0): String = {
+      tileSize: Int = 0,
+      compressionType: String = null): String = {
 
     val (bufType, img) = dtype match {
       case F32 =>
@@ -67,6 +68,10 @@ object TiffFixtures {
       if (tileSize > 0) {
         param.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
         param.setTiling(tileSize, tileSize, 0, 0)
+      }
+      if (compressionType != null) {
+        param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        param.setCompressionType(compressionType)
       }
       val meta = writer.getDefaultImageMetadata(ImageTypeSpecifier.createFromRenderedImage(img), param)
       val dir = TIFFDirectory.createFromMetadata(meta)
@@ -135,11 +140,13 @@ object TiffFixtures {
     path
   }
 
-  /** Hand-written little-endian BigTIFF (magic 43, 8-byte offsets): f32
-    * samples, uncompressed strips, same GeoTIFF tags as [[write]]. ImageIO's
-    * TIFF writer cannot emit BigTIFF, so the byte layout is assembled
-    * directly — which doubles as documentation of what TiffTags must parse.
-    * `rowsPerStrip <= 0` means one strip for the whole image.
+  /** Hand-written BigTIFF (magic 43, 8-byte offsets), same GeoTIFF tags as
+    * [[write]]. ImageIO's TIFF writer cannot emit BigTIFF, so the byte
+    * layout is assembled directly — which doubles as documentation of what
+    * TiffTags must parse. `rowsPerStrip <= 0` means one strip for the whole
+    * image. Supports f32/u8/s16 samples, compression 1 (none), 8 (DEFLATE)
+    * or 5 (LZW via [[lzwEncode]]), and predictor 2 (horizontal differencing,
+    * integer dtypes only) — the layouts the engine's strip decoder claims.
     */
   def writeBigTiff(
       path: String,
@@ -151,17 +158,69 @@ object TiffFixtures {
       pixelSize: Double,
       noData: Option[String],
       rowsPerStrip: Int = 0,
-      bigEndian: Boolean = false): String = {
+      bigEndian: Boolean = false,
+      dtype: Dtype = F32,
+      compression: Int = 1,
+      predictor: Int = 1): String = {
     import java.nio.{ByteBuffer, ByteOrder}
+    val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val (bps, sampleFormat) = dtype match {
+      case F32 => (32, 3)
+      case U8 => (8, 1)
+      case S16 => (16, 2)
+    }
+    require(predictor == 1 || dtype != F32, "predictor 2 requires integer samples")
+    require(Set(1, 5, 8).contains(compression), s"fixture compression $compression unsupported")
+    val bytesPer = bps / 8
     val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
     val nStrips = (height + rps - 1) / rps
-    val pixOff = 16L
-    val pixBytes = width.toLong * height * 4
-    val stripOff = Array.tabulate(nStrips)(s => pixOff + s.toLong * rps * width * 4)
-    val stripCnt = Array.tabulate(nStrips) { s =>
-      math.min(rps, height - s * rps).toLong * width * 4
+
+    // per-strip payloads: raw samples -> predictor differencing -> codec
+    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+      val rows = math.min(rps, height - s * rps)
+      val raw = ByteBuffer.allocate(rows * width * bytesPer).order(order)
+      for (r <- s * rps until s * rps + rows; c <- 0 until width) dtype match {
+        case F32 => raw.putFloat(value(c, r).toFloat)
+        case U8 => raw.put((value(c, r).toInt & 0xff).toByte)
+        case S16 => raw.putShort(value(c, r).toInt.toShort)
+      }
+      val arr = raw.array()
+      if (predictor == 2) {
+        val bb = ByteBuffer.wrap(arr).order(order)
+        for (r <- 0 until rows) {
+          val base = r * width * bytesPer
+          var x = width - 1
+          while (x >= 1) {
+            val i = base + x * bytesPer
+            bytesPer match {
+              case 1 => arr(i) = (arr(i) - arr(i - 1)).toByte
+              case 2 => bb.putShort(i, (bb.getShort(i) - bb.getShort(i - 2)).toShort)
+              case _ => bb.putInt(i, bb.getInt(i) - bb.getInt(i - 4))
+            }
+            x -= 1
+          }
+        }
+      }
+      compression match {
+        case 1 => arr
+        case 8 =>
+          val d = new java.util.zip.Deflater()
+          try {
+            d.setInput(arr); d.finish()
+            val out = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            while (!d.finished()) { val n = d.deflate(tmp); out.write(tmp, 0, n) }
+            out.toByteArray
+          } finally d.end()
+        case 5 => lzwEncode(arr)
+      }
     }
-    var cur = pixOff + pixBytes
+
+    val pixOff = 16L
+    val stripOff = new Array[Long](nStrips)
+    var cur = pixOff
+    for (s <- 0 until nStrips) { stripOff(s) = cur; cur += strips(s).length }
+    val stripCnt = strips.map(_.length.toLong)
     val scaleOff = cur; cur += 24
     val tieOff = cur; cur += 48
     val soOff = cur; if (nStrips > 1) cur += nStrips * 8L
@@ -170,15 +229,15 @@ object TiffFixtures {
     val ndOff = cur
     ndBytes.foreach { b => if (b.length > 8) cur += b.length }
     val ifdOff = cur
-    val nTags = 11 + (if (ndBytes.isDefined) 1 else 0)
+    val nTags = 11 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0)
     val total = (ifdOff + 8 + nTags * 20 + 8).toInt
-    val buf = ByteBuffer.allocate(total)
-      .order(if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN)
+    val buf = ByteBuffer.allocate(total).order(order)
     // header: II/MM, 43, offset-size 8, pad 0, IFD offset
     val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
     buf.put(bom).put(bom).putShort(43).putShort(8).putShort(0).putLong(ifdOff)
-    for (r <- 0 until height; c <- 0 until width)
-      buf.putFloat((pixOff + (r.toLong * width + c) * 4).toInt, value(c, r).toFloat)
+    for (s <- 0 until nStrips) {
+      buf.position(stripOff(s).toInt); buf.put(strips(s))
+    }
     buf.position(scaleOff.toInt)
     buf.putDouble(pixelSize).putDouble(pixelSize).putDouble(0.0)
     buf.position(tieOff.toInt)
@@ -201,15 +260,17 @@ object TiffFixtures {
     }
     entry(256, 4, 1)(_.putInt(width))              // ImageWidth
     entry(257, 4, 1)(_.putInt(height))             // ImageLength
-    entry(258, 3, 1)(_.putShort(32))               // BitsPerSample
-    entry(259, 3, 1)(_.putShort(1))                // Compression = none
+    entry(258, 3, 1)(_.putShort(bps.toShort))      // BitsPerSample
+    entry(259, 3, 1)(_.putShort(compression.toShort)) // Compression
     entry(273, 16, nStrips.toLong)(b =>            // StripOffsets (LONG8)
       if (nStrips == 1) b.putLong(stripOff(0)) else b.putLong(soOff))
     entry(277, 3, 1)(_.putShort(1))                // SamplesPerPixel
     entry(278, 4, 1)(_.putInt(rps))                // RowsPerStrip
     entry(279, 16, nStrips.toLong)(b =>            // StripByteCounts (LONG8)
       if (nStrips == 1) b.putLong(stripCnt(0)) else b.putLong(scOff))
-    entry(339, 3, 1)(_.putShort(3))                // SampleFormat = float
+    if (predictor != 1)
+      entry(317, 3, 1)(_.putShort(predictor.toShort)) // Predictor
+    entry(339, 3, 1)(_.putShort(sampleFormat.toShort)) // SampleFormat
     entry(33550, 12, 3)(_.putLong(scaleOff))       // ModelPixelScale
     entry(33922, 12, 6)(_.putLong(tieOff))         // ModelTiepoint
     ndBytes.foreach { b =>
@@ -221,5 +282,53 @@ object TiffFixtures {
     f.getParentFile.mkdirs()
     java.nio.file.Files.write(f.toPath, buf.array())
     path
+  }
+
+  /** TIFF-variant LZW encoder for fixtures (TIFF 6.0 §13): MSB-first bit
+    * packing, ClearCode 256 / EOI 257, code width 9→12. The width bump fires
+    * one dictionary-add LATER than the decoder's (encoder's add-counter
+    * leads the decoder's by exactly one at the same code index), which
+    * realizes the spec's "early change" on the shared code boundary — the
+    * GeoTiffSourceSpec cross-check against the JDK's independent LZW writer
+    * pins the decoder side empirically.
+    */
+  def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new scala.collection.mutable.ArrayBuffer[Byte](data.length)
+    var cur = 0L
+    var curBits = 0
+    var codeBits = 9
+    def write(code: Int): Unit = {
+      cur = (cur << codeBits) | (code & ((1 << codeBits) - 1))
+      curBits += codeBits
+      while (curBits >= 8) { curBits -= 8; out += ((cur >>> curBits) & 0xff).toByte }
+    }
+    val dict = new java.util.HashMap[Long, Integer]()
+    var next = 258
+    write(256) // Clear
+    var prefixCode = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (prefixCode < 0) prefixCode = b
+      else {
+        val key = (prefixCode.toLong << 8) | b
+        val found = dict.get(key)
+        if (found != null) prefixCode = found.intValue()
+        else {
+          write(prefixCode)
+          dict.put(key, Integer.valueOf(next)); next += 1
+          if (next == (1 << codeBits) && codeBits < 12) codeBits += 1
+          if (next >= 4093) { // reset well before the 12-bit table edge
+            write(256); dict.clear(); next = 258; codeBits = 9
+          }
+          prefixCode = b
+        }
+      }
+      i += 1
+    }
+    if (prefixCode >= 0) write(prefixCode)
+    write(257) // EOI
+    if (curBits > 0) out += ((cur << (8 - curBits)) & 0xff).toByte
+    out.toArray
   }
 }
