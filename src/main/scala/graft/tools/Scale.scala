@@ -1107,6 +1107,9 @@ object StreamRehearsal {
           e: org.apache.spark.sql.streaming.StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
+    // the engine-side late-drop guard: if the mtime stamping above ever
+    // regresses, the run fails loudly instead of silently losing ranges
+    val dropGuard = graft.streaming.WatermarkDropGuard.install(spark)
     val t0 = System.nanoTime()
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", perTrigger).parquet(inDir)
@@ -1127,6 +1130,8 @@ object StreamRehearsal {
     // the listener bus is async — drain it before reading the peak
     Thread.sleep(500)
     q.stop()
+    dropGuard.assertClean() // zero tolerance: a drop here means lost ranges
+    dropGuard.uninstall(spark)
     spark.streams.removeListener(listener)
     val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
     // batch composition: the conversations the final watermark closed
