@@ -45,6 +45,14 @@ object TextHash {
     * pre-round-10 lambda-CSE warning no longer applies — the native
     * expression evaluates its child once per row — but projecting the
     * token array as an attribute first remains good plan hygiene.)
+    *
+    * n = 1 null-element behavior (round-10 advice): the pre-round-10 form
+    * was `array_distinct(toks)`, which PRESERVED null elements; the
+    * native expression maps a null token to "" (honoring the result's
+    * containsNull=false, and matching concat_ws-of-one-null for n >= 2).
+    * Callers passing token arrays containing nulls with n = 1 get [""]
+    * where they previously got [null]. [[tokens]] never produces null
+    * elements, so in-repo callers are unaffected.
     */
   def wordShinglesOf(toks: Column, n: Int): Column =
     coalesce(

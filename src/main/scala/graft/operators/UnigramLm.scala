@@ -27,10 +27,11 @@ import org.apache.spark.sql.functions._
   *
   * Training is corpus-scale ONLY ONCE (the [[Bpe]] contract): one pass
   * builds the word-type table, and each EM round is ONE distributed scan
-  * of the Heaps-law-bounded type table — the Viterbi DP runs inside a
-  * single `aggregate` fold per row (positions are the fold sequence, so
-  * the dp/backtrace arrays build sequentially with no expression
-  * blowup and no extra exchange) — followed by a ≤ |V|-row count collect
+  * of the Heaps-law-bounded type table — the Viterbi DP runs inside the
+  * native codegen'd [[graft.functions.expr.UnigramSegF]] (hash-table
+  * vocabulary lookups; the earlier `aggregate`-fold form scanned a map
+  * literal linearly per candidate, unusable at production vocab sizes)
+  * — followed by a ≤ |V|-row count collect
   * (the bounded-trainer pattern shared with k-means, logistic GD and the
   * MW reweighter). The M-step is |V|-row driver arithmetic. Encoding is
   * a dictionary equi-join against the segmented type table.
@@ -47,11 +48,11 @@ import org.apache.spark.sql.functions._
   */
 object UnigramLm {
 
-  val MaxVocab = 4096
+  /** Production tokenizer vocabularies are 8k–64k pieces; the cap exists
+    * only to keep the bounded-trainer collects honest (≤ |V| rows each).
+    */
+  val MaxVocab = 65536
   val MaxWordLenCap = 64
-  /** Effectively -inf for DP purposes while staying NaN-free under
-    * addition; any feasible all-chars path scores far above one -1e9. */
-  private val NegInf = -1.0e9
 
   /** Candidate vocabulary `(piece, cnt)`: every substring of length
     * 1..`maxPieceLen` of every (≤ `maxWordLen`) word type, weighted by
@@ -83,58 +84,33 @@ object UnigramLm {
   }
 
   /** The word-type table with a `pieces` column: the Viterbi segmentation
-    * of each (≤ `maxWordLen`) word under literal log-probs `lp`. One
-    * `aggregate` fold builds dp[j] = max over piece lengths l of
-    * dp[j−l] + lp(word[j−l+1..j]) with backpointers; a second fold walks
-    * the backpointers (pieces come out last-first — order is irrelevant
-    * to counting and sizing). The lp map is materialized as an attribute
-    * first: Catalyst does not CSE into lambda bodies, so referencing the
-    * literal map directly would rebuild it per element.
+    * of each (≤ `maxWordLen`) word under log-probs `lp` — dp[j] = max over
+    * piece lengths l of dp[j−l] + lp(word[j−l+1..j]), strict `>` so ties
+    * keep the shortest last piece, backtrace pieces last-first, plus the
+    * word's Viterbi log-likelihood as `score` (what [[scoreCounts]]'s
+    * perplexity estimate consumes).
+    *
+    * The DP runs in the native codegen'd
+    * [[graft.functions.expr.UnigramSegF]]: the original `aggregate`-fold
+    * form carried the vocabulary as a map LITERAL, and `element_at` on a
+    * literal map is a linear key scan — O(|V|) per DP candidate, which at
+    * a production vocabulary (8k+) made each EM round quadratic-ish in
+    * vocab size. The expression's hash table restores O(1) lookups with
+    * the identical cell-by-cell arithmetic (the q147 oracle still unrolls
+    * every DP cell and matches).
     */
   def segmented(wt: DataFrame, lp: Map[String, Double],
       maxPieceLen: Int): DataFrame = {
     require(lp.nonEmpty && lp.size <= MaxVocab,
       s"vocab size must be in [1, $MaxVocab], got ${lp.size}")
-    val lpm = map(lp.toSeq.sortBy(_._1)
-      .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
-    val n = length(col("word"))
-    val base = wt.withColumn("lpm", lpm)
-    val dp = aggregate(
-      sequence(lit(1), n),
-      array(struct(lit(0.0).as("d"), lit(0).as("b"))),
-      (acc: Column, j: Column) => {
-        val cands = (1 to maxPieceLen).map { l =>
-          val piece = col("word").substr(j - lit(l) + lit(1), lit(l))
-          val lpv = coalesce(element_at(col("lpm"), piece), lit(NegInf))
-          val prev = when(lit(l) <= j,
-            element_at(acc, j - lit(l) + lit(1)).getField("d"))
-            .otherwise(lit(NegInf))
-          struct((prev + lpv).as("d"), lit(l).as("b"))
-        }
-        // left fold, strict >: ties keep the earlier (shorter) piece
-        val best = cands.reduceLeft((a, b) =>
-          when(b.getField("d") > a.getField("d"), b).otherwise(a))
-        concat(acc, array(best))
-      })
-    val withDp = base.withColumn("dp", dp)
-    val pieces = aggregate(
-      sequence(lit(1), n),
-      struct(n.as("pos"), array().cast("array<string>").as("ps")),
-      (acc: Column, _: Column) => {
-        val pos = acc.getField("pos")
-        val b = element_at(col("dp"), pos + lit(1)).getField("b")
-        when(pos > 0,
-          struct((pos - b).as("pos"),
-            concat(acc.getField("ps"),
-              array(col("word").substr(pos - b + lit(1), b))).as("ps")))
-          .otherwise(acc)
-      }).getField("ps")
-    withDp
-      .withColumn("pieces", pieces)
-      // the word's Viterbi log-likelihood (dp[n].d) — free to surface here
-      // and what [[scoreCounts]]'s perplexity estimate consumes
-      .withColumn("score", element_at(col("dp"), n + lit(1)).getField("d"))
-      .drop("dp", "lpm")
+    val seg = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.expr.UnigramSegF(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("word")),
+        lp, maxPieceLen))
+    wt.withColumn("seg", seg)
+      .withColumn("pieces", col("seg.pieces"))
+      .withColumn("score", col("seg.score"))
+      .drop("seg")
   }
 
   /** Trains `iters` hard-EM rounds; returns the full trajectory

@@ -37,7 +37,28 @@ object ArtifactCache {
   val Cap = 64
   def get[K, V](m: java.util.concurrent.ConcurrentHashMap[K, V], k: K)(
       build: => V): V = {
-    if (m.size > Cap) m.clear()
+    if (m.size > Cap) {
+      // Evicted values are often localCheckpoint(true) frames whose
+      // persisted RDD blocks are NOT freed by dropping the reference —
+      // best-effort unpersist them so an overflow does not leak blocks for
+      // the JVM lifetime (round-10 advice). The size check and clear are
+      // deliberately not atomic with computeIfAbsent: a racing builder's
+      // fresh entry can be dropped and rebuilt once — benign, every value
+      // is reproducible.
+      val it = m.values().iterator()
+      while (it.hasNext) {
+        it.next() match {
+          case df: org.apache.spark.sql.Dataset[_] =>
+            try df.queryExecution.optimizedPlan match {
+              case lr: org.apache.spark.sql.execution.LogicalRDD =>
+                lr.rdd.unpersist(false); ()
+              case _ => ()
+            } catch { case scala.util.control.NonFatal(_) => () }
+          case _ => ()
+        }
+      }
+      m.clear()
+    }
     m.computeIfAbsent(k, _ => build)
   }
 }
@@ -80,8 +101,14 @@ object Scratch {
       val latch = new java.util.concurrent.CountDownLatch(1)
       val prev = inFlight.putIfAbsent(key, latch)
       if (prev == null) {
-        try { build; built.add(key); () }
-        finally { inFlight.remove(key); latch.countDown() }
+        try {
+          // double-check after winning the latch: a thread that observed
+          // !built, then stalled while another thread finished the build
+          // and removed ITS latch, would otherwise re-run the build and
+          // rewrite the parquet under concurrent readers (round-10 advice)
+          if (!built.contains(key)) { build; built.add(key) }
+          ()
+        } finally { inFlight.remove(key); latch.countDown() }
       } else prev.await()
     }
   }

@@ -46,6 +46,18 @@ object SftPrep {
     Scratch.once(p) {
       val store = Tables.documents(s, dir).filter(col("doc_id") < StoreIds)
         .select(col("doc_id"), substring(col("text"), 1, TurnChars).as("turn_text"))
+      // Parity invariant (round-10 advice): the Scala pipeline sessionizes
+      // AFTER this inner join while the DuckDB prelude sessionizes BEFORE
+      // its join — equivalent ONLY while the join drops nothing, i.e.
+      // every id 0..StoreIds-1 exists in this dataset's documents table.
+      // A dataset violating that would shift session boundaries between
+      // the engines and surface as opaque oracle hash drift; fail loudly
+      // instead.
+      val nStore = store.count()
+      require(nStore == StoreIds.toLong,
+        s"content store has $nStore of $StoreIds ids in $dir — the " +
+          "sessionize-after-join parity contract needs all of doc_id 0.." +
+          s"${StoreIds - 1} present (see turnsSqlPrelude)")
       val ev = Tables.events(s, dir)
         .select(col("user_id"), col("event_id"), col("ts_us"),
           ChatSft.roleOf(col("event_type")).as("role"),
@@ -127,6 +139,14 @@ object SftPrep {
     * WITHIN each user-decade shard — the q58 sub-shard contract: the
     * running sum's window partition is bounded by the shard, not the
     * corpus.
+    *
+    * Bin semantics (round-10 advice): bins are CUMULATIVE-QUOTIENT bins —
+    * `bin = floor(cum_before / Capacity)` — and conversations never
+    * split, so a conversation straddling a boundary counts wholly in the
+    * earlier bin and `bin_tokens` MAY exceed Capacity (as may any single
+    * conversation longer than Capacity). Capacity is the packing target,
+    * not a hard per-bin cap; q161's efficiency card reports the resulting
+    * overflow/waste explicitly.
     */
   private def q157(s: SparkSession, dir: String): DataFrame = {
     val nt = size(split(ChatSft.renderTurn(col("role"), col("turn_text")), " "))
