@@ -148,20 +148,30 @@ object SftPrep {
     * not a hard per-bin cap; q161's efficiency card reports the resulting
     * overflow/waste explicitly.
     */
-  private def q157(s: SparkSession, dir: String): DataFrame = {
+  /** Per-conversation token totals with the q157/q160 shard key — the
+    * input row set of every packing variant below.
+    */
+  private def convTokens(s: SparkSession, dir: String): DataFrame = {
     val nt = size(split(ChatSft.renderTurn(col("role"), col("turn_text")), " "))
-    val conv = turns(s, dir)
+    turns(s, dir)
       .select(col("user_id"), col("session_id"), col("role"), nt.as("nt"))
       .groupBy(col("user_id"), col("session_id"))
       .agg(sum(col("nt")).as("n_tokens"),
         sum(when(col("role") === "assistant", col("nt")).otherwise(0L))
           .as("loss_tokens"))
+      .withColumn("shard", floor(col("user_id") / 10.0).cast("int"))
+  }
+
+  /** The q157 per-(shard, bin) aggregate under the cumulative-quotient
+    * contract — shared by q157 (the packing) and q161 (its efficiency
+    * card).
+    */
+  private def packedBins(s: SparkSession, dir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard")).orderBy(col("user_id"), col("session_id"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    conv
-      .withColumn("shard", floor(col("user_id") / 10.0).cast("int"))
+    convTokens(s, dir)
       .withColumn("cum_before", sum(col("n_tokens")).over(w) - col("n_tokens"))
       .select(col("shard"),
         floor(col("cum_before") / Capacity.toDouble).cast("int").as("bin"),
@@ -169,8 +179,10 @@ object SftPrep {
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_convs"), sum(col("n_tokens")).as("bin_tokens"),
         sum(col("loss_tokens")).as("loss_tokens"))
-      .orderBy(col("shard"), col("bin"))
   }
+
+  private def q157(s: SparkSession, dir: String): DataFrame =
+    packedBins(s, dir).orderBy(col("shard"), col("bin"))
 
   private val q157Sql =
     s"""$turnsSqlPrelude
@@ -403,11 +415,320 @@ object SftPrep {
        |FROM sp s JOIN offs o USING (user_id, session_id)
        |ORDER BY shard, bin, seq_start""".stripMargin
 
+  /** B29 — q161: the packing-EFFICIENCY card for q157's cumulative-
+    * quotient bins (the card SftPrep's bin-semantics doc promises): per
+    * bin, the overflow past Capacity (quotient bins may straddle — a
+    * boundary conversation counts wholly in the earlier bin), the padding
+    * a trainer would burn filling the bin to Capacity, the waste fraction
+    * (padding / Capacity), and the loss-token share of the bin (the
+    * fraction of packed tokens that actually train). Pure integer
+    * arithmetic plus two r4-snapped ratios of integers — exactly
+    * oracle-checkable. The strategy A/B (true first-fit vs
+    * best-fit-decreasing under a HARD Capacity) is q163.
+    */
+  private def q161(s: SparkSession, dir: String): DataFrame =
+    packedBins(s, dir)
+      .withColumn("overflow_tokens",
+        greatest(lit(0L), col("bin_tokens") - Capacity.toLong))
+      .withColumn("padding_tokens",
+        greatest(lit(0L), lit(Capacity.toLong) - col("bin_tokens")))
+      .withColumn("waste_frac",
+        Parity.r4(col("padding_tokens") / Capacity.toDouble))
+      .withColumn("loss_share",
+        Parity.r4(col("loss_tokens").cast("double") / col("bin_tokens")))
+      .orderBy(col("shard"), col("bin"))
+
+  private val q161Sql =
+    s"""$turnsSqlPrelude
+       |, conv AS (
+       |  SELECT user_id, session_id,
+       |    CAST(SUM(CAST(len(string_split(turn, ' ')) AS INT)) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CASE WHEN role = 'assistant'
+       |      THEN CAST(len(string_split(turn, ' ')) AS INT) ELSE 0 END) AS BIGINT)
+       |      AS loss_tokens
+       |  FROM turns GROUP BY 1, 2
+       |), binned AS (
+       |  SELECT CAST(FLOOR(user_id / 10.0) AS INT) AS shard,
+       |    CAST(FLOOR((CAST(SUM(n_tokens) OVER (
+       |      PARTITION BY CAST(FLOOR(user_id / 10.0) AS INT)
+       |      ORDER BY user_id, session_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - n_tokens) / $Capacity.0) AS INT) AS bin,
+       |    n_tokens, loss_tokens
+       |  FROM conv
+       |), card AS (
+       |  SELECT shard, bin, COUNT(*) AS n_convs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+       |    CAST(SUM(loss_tokens) AS BIGINT) AS loss_tokens
+       |  FROM binned GROUP BY shard, bin
+       |)
+       |SELECT shard, bin, n_convs, bin_tokens, loss_tokens,
+       |  GREATEST(0, bin_tokens - $Capacity) AS overflow_tokens,
+       |  GREATEST(0, $Capacity - bin_tokens) AS padding_tokens,
+       |  FLOOR(CAST(GREATEST(0, $Capacity - bin_tokens) AS DOUBLE)
+       |    / $Capacity.0 * 10000 + 0.5) / 10000.0 AS waste_frac,
+       |  FLOOR(CAST(loss_tokens AS DOUBLE) / bin_tokens * 10000 + 0.5)
+       |    / 10000.0 AS loss_share
+       |FROM card
+       |ORDER BY shard, bin""".stripMargin
+
+  /** Packed (user_id, session_id) → one long — conversations need a single
+    * node id for cluster formation; session ids are per-user cumulative
+    * counts, bounded far below 2^20 by the per-user event cap.
+    */
+  private val PackMul = 1L << 20
+
+  /** B20/B41 — q162: the conversation-dedup ACTION closing q159's loop
+    * (the q100→q105 / q112→q113 detect/act split applied to the SFT
+    * family): near-dup conversation pairs (Hamming ≤ 3 on the rendered-
+    * transcript SimHash, q159's detect step) form duplicate clusters via
+    * [[graft.operators.DedupClusters]]; each cluster keeps its LOWEST
+    * (user_id, session_id) representative and carries `dup_count` (the
+    * cluster size — how many near-identical transcripts the survivor
+    * stands for), so packing a deduped corpus can still weight by
+    * multiplicity. Singletons survive with dup_count = 1. Same user_id < 5
+    * oracle slice as q159; the unbounded path is the same pipeline over
+    * `SimHash.candidatePairs`.
+    */
+  private def q162(s: SparkSession, dir: String): DataFrame = {
+    val convs = ChatSft.renderConversations(
+        turns(s, dir).filter(col("user_id") < 5), "user_id", "role", "turn_text")
+      .select(col("user_id"), col("session_id"),
+        graft.operators.SimHash.simhashOfText(col("rendered")).as("simhash"),
+        (col("user_id") * PackMul + col("session_id")).as("cid"))
+    val a = convs.select(col("cid").as("id_a"), col("simhash").as("h_a"))
+    val b = convs.select(col("cid").as("id_b"), col("simhash").as("h_b"))
+    val pairs = a.join(b, col("id_a") < col("id_b"))
+      .filter(graft.operators.SimHash.hamming(col("h_a"), col("h_b")) <= 3)
+      .select(col("id_a"), col("id_b"))
+    graft.operators.DedupClusters.clusterAssignments(convs, "cid", pairs)
+      .filter(col("cid") === col("cluster_id"))
+      .select(floor(col("cid") / PackMul.toDouble).cast("long").as("user_id"),
+        pmod(col("cid"), lit(PackMul)).as("session_id"),
+        col("cluster_size").as("dup_count"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  private def q162Sql: String =
+    s"""${turnsSqlPrelude.replaceFirst("WITH t AS", "WITH RECURSIVE t AS")}
+       |, convr AS (
+       |  SELECT user_id, session_id,
+       |    string_agg(turn, chr(10) ORDER BY ts_us, event_id) AS rendered
+       |  FROM turns WHERE user_id < 5 GROUP BY 1, 2
+       |), ctok AS (
+       |  SELECT user_id, session_id,
+       |    unnest(list_distinct(string_split(rendered, ' '))) AS t
+       |  FROM convr
+       |), cth AS (
+       |  SELECT user_id, session_id,
+       |    ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM ctok
+       |), bitsum AS (
+       |  SELECT user_id, session_id, b,
+       |    SUM(CASE WHEN (h >> b) % 2 = 1 THEN 1 ELSE -1 END) AS sgn
+       |  FROM cth, range(0, 32) r(b) GROUP BY 1, 2, 3
+       |), sh AS (
+       |  SELECT user_id, session_id,
+       |    CAST(user_id AS BIGINT) * $PackMul + session_id AS cid,
+       |    SUM(CASE WHEN sgn > 0 THEN (1::BIGINT << b) ELSE 0 END) AS simhash
+       |  FROM bitsum GROUP BY 1, 2
+       |), pairs AS (
+       |  SELECT a.cid AS id_a, b.cid AS id_b
+       |  FROM sh a JOIN sh b ON a.cid < b.cid
+       |  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst
+       |), comp AS (
+       |  SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id
+       |), labeled AS (
+       |  SELECT c.cid, COALESCE(k.cluster_id, c.cid) AS cluster_id
+       |  FROM sh c LEFT JOIN comp k ON k.id = c.cid
+       |), counted AS (
+       |  -- the size window must run BEFORE the representative filter
+       |  -- (WHERE evaluates before window functions in the same SELECT)
+       |  SELECT cid, cluster_id,
+       |    COUNT(*) OVER (PARTITION BY cluster_id) AS dup_count
+       |  FROM labeled
+       |)
+       |SELECT CAST(FLOOR(cid / $PackMul.0) AS BIGINT) AS user_id,
+       |  cid % $PackMul AS session_id, dup_count
+       |FROM counted
+       |WHERE cid = cluster_id
+       |ORDER BY user_id, session_id""".stripMargin
+
+  /** B29 — q163: the packing-strategy A/B the q161 card motivates — per
+    * shard, the shipped cumulative-quotient scheme vs TRUE first-fit (hard
+    * Capacity, arrival order) vs best-fit-decreasing (size-descending,
+    * fullest fitting bin, the classic ~11/9·OPT heuristic), plus the
+    * ceil(total/Capacity) lower bound. Conversations never split; a
+    * conversation longer than Capacity opens its own permanently-oversize
+    * bin under every strategy, so the oversize overflow is
+    * strategy-invariant and reported once. All integer arithmetic.
+    *
+    * Scale posture: the greedy folds are inherently sequential PER SHARD
+    * (each placement depends on all earlier fills), so they run as one
+    * `mapGroups` per shard — the q58 sub-shard contract bounds a shard's
+    * conversation count by construction, shards fan out across the
+    * cluster, and nothing ever collects to the driver. The oracle replays
+    * both folds as recursive CTEs carrying the bin-fill list.
+    */
+  private def q163(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cap = Capacity.toLong
+    convTokens(s, dir)
+      .select(col("shard"), col("user_id").cast("long"),
+        col("session_id").cast("long"), col("n_tokens").cast("long"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (shard, it) =>
+        // local defs only: closures over enclosing-object methods are the
+        // repo's documented Task-not-serializable trap
+        val convs = it.map { case (_, u, sess, n) => (u, sess, n) }.toArray
+        def fold(order: Array[(Long, Long, Long)], bestFit: Boolean)
+            : (Long, Long) = {
+          val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+          order.foreach { case (_, _, n) =>
+            var pick = -1
+            var best = -1L
+            var i = 0
+            while (i < fills.length) {
+              if (fills(i) + n <= cap &&
+                  (pick < 0 || (bestFit && fills(i) > best))) {
+                pick = i; best = fills(i)
+                if (!bestFit) i = fills.length // first fit: stop at first
+              }
+              i += 1
+            }
+            if (pick < 0) fills += n else fills(pick) += n
+          }
+          (fills.length.toLong,
+            fills.map(f => math.max(0L, cap - f)).sum)
+        }
+        val arrival = convs.sortBy { case (u, sess, _) => (u, sess) }
+        val bySize = convs.sortBy { case (u, sess, n) => (-n, u, sess) }
+        val (ffBins, ffPad) = fold(arrival, bestFit = false)
+        val (bfdBins, bfdPad) = fold(bySize, bestFit = true)
+        // the shipped quotient scheme, replayed on the same arrival order
+        var cum = 0L
+        val byBin = scala.collection.mutable.LongMap.empty[Long]
+        arrival.foreach { case (_, _, n) =>
+          val bin = cum / cap
+          byBin(bin) = byBin.getOrElse(bin, 0L) + n
+          cum += n
+        }
+        // a plain tuple, not a case class of the enclosing object: the
+        // closure must not capture SftPrep (Task not serializable)
+        (shard, convs.length.toLong, cum,
+          convs.count(_._3 > cap).toLong,
+          convs.map(c => math.max(0L, c._3 - cap)).sum,
+          (cum + cap - 1) / cap,
+          byBin.size.toLong,
+          byBin.values.map(f => math.max(0L, cap - f)).sum,
+          byBin.values.map(f => math.max(0L, f - cap)).sum,
+          ffBins, ffPad, bfdBins, bfdPad)
+      }
+      .toDF("shard", "n_convs", "total_tokens", "oversize_convs",
+        "oversize_overflow", "lb_bins", "q_bins", "q_padding", "q_overflow",
+        "ff_bins", "ff_padding", "bfd_bins", "bfd_padding")
+      .orderBy(col("shard"))
+  }
+
+  /** One recursive bin-fill fold as SQL: `$tag` prefixes the CTE names,
+    * `$orderExpr` fixes the placement order, `$posExpr` picks the bin
+    * (first-fit: first that fits; best-fit: fullest that fits —
+    * `list_position` on the max qualifying fill, first index on ties).
+    * Not-found is 0 in DuckDB's `list_position`, not NULL.
+    */
+  private def packFoldCtes(tag: String, orderExpr: String, posExpr: String) =
+    s"""${tag}_ordered AS (
+       |  SELECT shard, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY shard ORDER BY $orderExpr) AS rn,
+       |    COUNT(*) OVER (PARTITION BY shard) AS n
+       |  FROM convt
+       |), ${tag}_fold AS (
+       |  SELECT shard, 0::BIGINT AS i, CAST([] AS BIGINT[]) AS fills, MAX(n) AS n
+       |  FROM ${tag}_ordered GROUP BY shard
+       |  UNION ALL
+       |  SELECT p.shard, p.i + 1,
+       |    CASE WHEN x.pos = 0 THEN p.fills || [o.n_tokens]
+       |         ELSE p.fills[1:x.pos-1] || [p.fills[x.pos] + o.n_tokens] || p.fills[x.pos+1:] END,
+       |    p.n
+       |  FROM ${tag}_fold p
+       |  JOIN ${tag}_ordered o ON o.shard = p.shard AND o.rn = p.i + 1,
+       |  LATERAL (SELECT $posExpr AS pos) x
+       |), ${tag}_done AS (
+       |  SELECT shard, CAST(len(fills) AS BIGINT) AS bins,
+       |    CAST(list_sum(list_transform(fills,
+       |      f -> GREATEST(0, $Capacity - f))) AS BIGINT) AS padding
+       |  FROM ${tag}_fold WHERE i = n
+       |)""".stripMargin
+
+  private def q163Sql: String = {
+    val ffPos =
+      s"""COALESCE(list_position(
+         |      list_transform(p.fills, f -> f + o.n_tokens <= $Capacity),
+         |      true), 0)""".stripMargin
+    val bfdPos =
+      s"""COALESCE(list_position(p.fills, list_max(
+         |      list_filter(p.fills, f -> f + o.n_tokens <= $Capacity))), 0)""".stripMargin
+    s"""${turnsSqlPrelude.replaceFirst("WITH t AS", "WITH RECURSIVE t AS")}
+       |, convt AS (
+       |  SELECT CAST(FLOOR(user_id / 10.0) AS INT) AS shard,
+       |    user_id, session_id,
+       |    CAST(SUM(CAST(len(string_split(turn, ' ')) AS INT)) AS BIGINT) AS n_tokens
+       |  FROM turns GROUP BY 2, 3
+       |), quotient AS (
+       |  SELECT shard, bin, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+       |  FROM (
+       |    SELECT shard,
+       |      CAST(FLOOR((CAST(SUM(n_tokens) OVER (PARTITION BY shard
+       |        ORDER BY user_id, session_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        - n_tokens) / $Capacity.0) AS INT) AS bin,
+       |      n_tokens
+       |    FROM convt
+       |  ) b GROUP BY shard, bin
+       |), qstats AS (
+       |  SELECT shard, COUNT(*) AS q_bins,
+       |    CAST(SUM(GREATEST(0, $Capacity - bin_tokens)) AS BIGINT) AS q_padding,
+       |    CAST(SUM(GREATEST(0, bin_tokens - $Capacity)) AS BIGINT) AS q_overflow
+       |  FROM quotient GROUP BY shard
+       |), ${packFoldCtes("ff", "user_id, session_id", ffPos)}
+       |, ${packFoldCtes("bfd", "n_tokens DESC, user_id, session_id", bfdPos)}
+       |, totals AS (
+       |  SELECT shard, COUNT(*) AS n_convs,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CASE WHEN n_tokens > $Capacity THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS oversize_convs,
+       |    CAST(SUM(GREATEST(0, n_tokens - $Capacity)) AS BIGINT)
+       |      AS oversize_overflow,
+       |    CAST((SUM(n_tokens) + ${Capacity - 1}) // $Capacity AS BIGINT)
+       |      AS lb_bins
+       |  FROM convt GROUP BY shard
+       |)
+       |SELECT t.shard, t.n_convs, t.total_tokens, t.oversize_convs,
+       |  t.oversize_overflow, t.lb_bins, q.q_bins, q.q_padding, q.q_overflow,
+       |  f.bins AS ff_bins, f.padding AS ff_padding,
+       |  d.bins AS bfd_bins, d.padding AS bfd_padding
+       |FROM totals t
+       |JOIN qstats q USING (shard)
+       |JOIN ff_done f USING (shard)
+       |JOIN bfd_done d USING (shard)
+       |ORDER BY t.shard""".stripMargin
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q155_chat_render", q155, Some(q155Sql)),
     QueryDef("q156_loss_mask_spans", q156, Some(q156Sql)),
     QueryDef("q157_sft_pack", q157, Some(q157Sql)),
     QueryDef("q158_preference_pairs", q158, Some(q158Sql)),
     QueryDef("q159_conversation_neardup", q159, Some(q159Sql)),
-    QueryDef("q160_sft_sequences", q160, Some(q160Sql)))
+    QueryDef("q160_sft_sequences", q160, Some(q160Sql)),
+    QueryDef("q161_pack_efficiency", q161, Some(q161Sql)),
+    QueryDef("q162_conversation_dedup_action", q162, Some(q162Sql)),
+    QueryDef("q163_pack_ab", q163, Some(q163Sql)))
 }

@@ -441,5 +441,40 @@ class PipelineSpec extends SparkSpec {
       .filter(col("prev_end").isNotNull && col("seq_start") <= col("prev_end"))
       .count()
     assert(overlapping === 0L)
+    // 6 — the dedup ACTION (q162) ahead of packing, with exact accounting:
+    //     every sliced conversation is represented exactly once
+    //     (sum(dup_count) == conversation count), no q159 near-dup pair
+    //     survives with BOTH endpoints kept, and packing the deduped
+    //     survivors conserves their token total exactly
+    val deduped = q("q162_conversation_dedup_action").localCheckpoint(true)
+    val sliced = rendered.filter(col("user_id") < 5)
+    assert(deduped.agg(sum(col("dup_count"))).as[Long].head() === sliced.count(),
+      "dedup action must account every conversation exactly once")
+    val dupPairs = q("q159_conversation_neardup").localCheckpoint(true)
+    val kept = deduped.select(col("user_id"), col("session_id"))
+    val bothKept = dupPairs
+      .join(kept.toDF("user_a", "sess_a"), Seq("user_a", "sess_a"))
+      .join(kept.toDF("user_b", "sess_b"), Seq("user_b", "sess_b"))
+      .count()
+    assert(bothKept === 0L,
+      s"$bothKept near-dup pairs kept both endpoints — the action dropped nothing")
+    // pack ONLY the survivors (the "ahead of packing" wiring): quotient
+    // bins over the kept slice conserve the survivors' q157-tokenization
+    // total — no token appears twice and none is lost
+    val convTok = fullRendered
+      .filter(col("user_id") < 5)
+      .join(kept, Seq("user_id", "session_id"))
+      .select(size(split(col("rendered"), " ")).cast("long").as("nt"))
+      .localCheckpoint(true)
+    val keptTokens = convTok.agg(sum(col("nt"))).as[Long].head()
+    val packedKept = convTok
+      .withColumn("cum", sum(col("nt")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("nt"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("bin", floor((col("cum") - col("nt")) / 2048.0))
+      .groupBy(col("bin")).agg(sum(col("nt")).as("bin_tokens"))
+    assert(packedKept.agg(sum(col("bin_tokens"))).as[Long].head() === keptTokens,
+      "packing the deduped survivors must conserve their token total")
   }
 }
