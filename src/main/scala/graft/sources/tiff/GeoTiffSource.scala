@@ -275,12 +275,13 @@ private[tiff] final class AwtPixelGrid(r: java.awt.image.Raster, band: Int = 0) 
   def getSampleDouble(x: Int, y: Int): Double = r.getSampleDouble(x, y, band)
 }
 
-/** Raw strip window reader for BigTIFF. Uncompressed strips are seek-read
+/** Raw chunk window reader for BigTIFF. Uncompressed strips are seek-read
   * row by row (a task reads O(window) bytes of a raster of any size:
   * sample (row, col) lives at stripOffsets(row / rowsPerStrip) +
   * ((row % rowsPerStrip) * width + col) * bytesPerSample); DEFLATE/LZW
   * strips are decompressed once per overlapping strip and the window's
-  * columns extracted ([[StripDecode]], O(strip + window) memory).
+  * columns extracted ([[StripDecode]], O(strip + window) memory); TILED
+  * layouts (COG) decode each overlapping tile once (O(tile + window)).
   */
 private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWindow)
   extends PixelGrid {
@@ -289,7 +290,8 @@ private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWi
   private val rowBytes = window.width * bytesPer
   private val buf: java.nio.ByteBuffer = {
     val arr =
-      if (meta.compression == 1) StripDecode.readRawWindow(meta, window, bytesPer)
+      if (meta.tiled) StripDecode.readTiledWindow(meta, window, bytesPer)
+      else if (meta.compression == 1) StripDecode.readRawWindow(meta, window, bytesPer)
       else StripDecode.readCompressedWindow(meta, window, bytesPer)
     java.nio.ByteBuffer.wrap(arr).order(
       if (meta.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN

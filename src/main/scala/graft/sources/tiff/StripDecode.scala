@@ -4,10 +4,12 @@ import java.io.RandomAccessFile
 import java.nio.{ByteBuffer, ByteOrder}
 import java.util.zip.Inflater
 
-/** Strip decode for the BigTIFF raw reader: window extraction over
-  * uncompressed strips (seek-only, O(window) I/O) and over DEFLATE/LZW
+/** Chunk decode for the BigTIFF raw reader: window extraction over
+  * uncompressed strips (seek-only, O(window) I/O), over DEFLATE/LZW
   * compressed strips (each overlapping strip is decompressed once, the
-  * predictor is undone, and only the window's columns are kept).
+  * predictor is undone, and only the window's columns are kept), and over
+  * TILED layouts (the cloud-optimized-GeoTIFF shape — same codecs, tile
+  * geometry, padded edge tiles).
   *
   * Memory posture: uncompressed reads hold O(window) bytes; compressed reads
   * hold O(strip + window) — GDAL writes small strips (commonly 1–16 rows), so
@@ -81,46 +83,116 @@ private[tiff] object StripDecode {
     } finally raf.close()
   }
 
+  /** Window bytes from a TILED layout (the COG shape): decode every tile
+    * intersecting the window (each exactly once) and copy the intersecting
+    * runs. Edge tiles are PADDED to the full tile size in the file
+    * (TIFF 6.0 §15 — unlike strips), so every tile decodes to exactly
+    * tileWidth × tileLength samples and the predictor always runs at the
+    * full tile width; the pad columns/rows are simply never copied.
+    * Memory: O(tile + window) per task, the strip bound with the tile as
+    * the chunk.
+    */
+  def readTiledWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int): Array[Byte] = {
+    val tw = meta.tileWidth
+    val tl = meta.tileLength
+    val tilesAcross = (meta.width + tw - 1) / tw
+    val rowBytes = window.width * bytesPer
+    val out = new Array[Byte](rowBytes * window.height)
+    val raf = new RandomAccessFile(meta.path, "r")
+    try {
+      val tc0 = window.colOff / tw
+      val tc1 = (window.colOff + window.width - 1) / tw
+      val tr0 = window.rowOff / tl
+      val tr1 = (window.rowOff + window.height - 1) / tl
+      var tr = tr0
+      while (tr <= tr1) {
+        var tc = tc0
+        while (tc <= tc1) {
+          val tile = decodeChunk(meta, raf, tr * tilesAcross + tc,
+            rows = tl, rowWidth = tw, bytesPer = bytesPer, tiled = true)
+          val x0 = math.max(window.colOff, tc * tw)
+          val x1 = math.min(window.colOff + window.width, (tc + 1) * tw)
+          val y0 = math.max(window.rowOff, tr * tl)
+          val y1 = math.min(window.rowOff + window.height, (tr + 1) * tl)
+          val runBytes = (x1 - x0) * bytesPer
+          var y = y0
+          while (y < y1) {
+            val srcOff = ((y - tr * tl) * tw + (x0 - tc * tw)) * bytesPer
+            val dstOff = (y - window.rowOff) * rowBytes + (x0 - window.colOff) * bytesPer
+            System.arraycopy(tile, srcOff, out, dstOff, runBytes)
+            y += 1
+          }
+          tc += 1
+        }
+        tr += 1
+      }
+      out
+    } finally raf.close()
+  }
+
   /** One strip, decompressed and predictor-undone, at full strip width. */
   private def decodeStrip(
       meta: TiffTags.RasterMeta,
       raf: RandomAccessFile,
       stripIdx: Int,
       rowsInStrip: Int,
-      bytesPer: Int): Array[Byte] = {
-    val compLen = meta.stripByteCounts(stripIdx)
-    require(compLen > 0 && compLen <= Int.MaxValue,
-      s"${meta.path}: strip $stripIdx has implausible byte count $compLen")
-    val comp = new Array[Byte](compLen.toInt)
-    raf.seek(meta.stripOffsets(stripIdx))
-    raf.readFully(comp)
+      bytesPer: Int): Array[Byte] =
+    decodeChunk(meta, raf, stripIdx, rows = rowsInStrip, rowWidth = meta.width,
+      bytesPer = bytesPer, tiled = false)
 
-    val expected = rowsInStrip * meta.width * bytesPer
+  /** One chunk (strip or tile), decompressed and predictor-undone, at its
+    * full row width. Tiles always decode to the padded full tile size;
+    * strips to rowsInStrip × imageWidth.
+    */
+  private def decodeChunk(
+      meta: TiffTags.RasterMeta,
+      raf: RandomAccessFile,
+      chunkIdx: Int,
+      rows: Int,
+      rowWidth: Int,
+      bytesPer: Int,
+      tiled: Boolean): Array[Byte] = {
+    val offsets = if (tiled) meta.tileOffsets else meta.stripOffsets
+    val kind = if (tiled) "tile" else "strip"
+    val expected = rows * rowWidth * bytesPer
     val out = new Array[Byte](expected)
-    meta.compression match {
-      case 8 | 32946 => // zlib DEFLATE ("Adobe" code 8 and the legacy 32946 are the same stream)
-        val inf = new Inflater()
-        try {
-          inf.setInput(comp)
-          var off = 0
-          while (off < expected && !inf.finished()) {
-            val n = inf.inflate(out, off, expected - off)
-            if (n == 0 && inf.needsInput())
-              throw new IllegalStateException(
-                s"${meta.path}: strip $stripIdx DEFLATE stream truncated at $off/$expected bytes")
-            off += n
-          }
-          require(off == expected,
-            s"${meta.path}: strip $stripIdx inflated to $off bytes, expected $expected")
-        } finally inf.end()
-      case 5 =>
-        val n = TiffLzw.decode(comp, out)
-        require(n == expected,
-          s"${meta.path}: strip $stripIdx LZW-decoded to $n bytes, expected $expected")
-      case c =>
-        throw new IllegalStateException(s"${meta.path}: unexpected compression $c in decodeStrip")
+    if (meta.compression == 1) {
+      raf.seek(offsets(chunkIdx))
+      raf.readFully(out)
+    } else {
+      val counts = if (tiled) meta.tileByteCounts else meta.stripByteCounts
+      val compLen = counts(chunkIdx)
+      require(compLen > 0 && compLen <= Int.MaxValue,
+        s"${meta.path}: $kind $chunkIdx has implausible byte count $compLen")
+      val comp = new Array[Byte](compLen.toInt)
+      raf.seek(offsets(chunkIdx))
+      raf.readFully(comp)
+      meta.compression match {
+        case 8 | 32946 => // zlib DEFLATE ("Adobe" code 8 and the legacy 32946 are the same stream)
+          val inf = new Inflater()
+          try {
+            inf.setInput(comp)
+            var off = 0
+            while (off < expected && !inf.finished()) {
+              val n = inf.inflate(out, off, expected - off)
+              if (n == 0 && inf.needsInput())
+                throw new IllegalStateException(
+                  s"${meta.path}: $kind $chunkIdx DEFLATE stream truncated at $off/$expected bytes")
+              off += n
+            }
+            require(off == expected,
+              s"${meta.path}: $kind $chunkIdx inflated to $off bytes, expected $expected")
+          } finally inf.end()
+        case 5 =>
+          val n = TiffLzw.decode(comp, out)
+          require(n == expected,
+            s"${meta.path}: $kind $chunkIdx LZW-decoded to $n bytes, expected $expected")
+        case c =>
+          throw new IllegalStateException(s"${meta.path}: unexpected compression $c in decodeChunk")
+      }
     }
-    if (meta.predictor == 2) unpredict(out, meta, rowsInStrip, bytesPer)
+    if (meta.predictor == 2)
+      unpredict(out, rows, rowWidth, bytesPer, meta.littleEndian)
     out
   }
 
@@ -129,8 +201,8 @@ private[tiff] object StripDecode {
     * sample width, in the file's byte order. Integer samples only (the float
     * predictor, 3, is rejected at tag-read time).
     */
-  private def unpredict(arr: Array[Byte], meta: TiffTags.RasterMeta, rowsInStrip: Int, bytesPer: Int): Unit = {
-    val w = meta.width
+  private def unpredict(arr: Array[Byte], rowsInStrip: Int, w: Int,
+      bytesPer: Int, littleEndian: Boolean): Unit = {
     bytesPer match {
       case 1 =>
         var r = 0
@@ -142,7 +214,7 @@ private[tiff] object StripDecode {
         }
       case _ =>
         val bb = ByteBuffer.wrap(arr).order(
-          if (meta.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+          if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
         var r = 0
         while (r < rowsInStrip) {
           val base = r * w * bytesPer

@@ -12,12 +12,13 @@ import java.nio.{ByteBuffer, ByteOrder}
   * 8-byte offsets) in both byte orders, IFD0 only. BigTIFF matters at the
   * posture this engine claims: real-world global rasters exceed the 4 GiB
   * classic-TIFF limit routinely. ImageIO cannot decode BigTIFF, so for
-  * BigTIFF we also read the strip layout tags (259/273/277/278/279/317) and
-  * the source decodes strips itself ([[GeoTiffPartitionReader]] via
+  * BigTIFF we also read the chunk layout tags — strips (273/278/279) OR
+  * tiles (322/323/324/325, the cloud-optimized-GeoTIFF shape) — and the
+  * source decodes chunks itself ([[GeoTiffPartitionReader]] via
   * [[StripDecode]]): uncompressed, DEFLATE, and LZW, with the horizontal-
   * differencing predictor — the layouts GDAL writes for real large rasters.
-  * Unsupported layouts (tiled, multi-band BigTIFF, other codecs) are
-  * rejected with a typed error rather than garbage.
+  * Unsupported layouts (multi-band BigTIFF, other codecs) are rejected with
+  * a typed error rather than garbage.
   *
   * Tags read:
   *   - 256/257 ImageWidth/ImageLength
@@ -61,7 +62,16 @@ object TiffTags {
       // (uncompressed strip lengths are computable from the grid).
       compression: Int = 1,
       predictor: Int = 1,
-      stripByteCounts: IndexedSeq[Long] = Vector.empty) {
+      stripByteCounts: IndexedSeq[Long] = Vector.empty,
+      // Tiled layout (COG — cloud-optimized GeoTIFF — is TILED + DEFLATE):
+      // tileWidth > 0 means tiles, not strips; edge tiles are PADDED to the
+      // full tile size in the file (TIFF 6.0 §15, unlike strips).
+      tileWidth: Int = 0,
+      tileLength: Int = 0,
+      tileOffsets: IndexedSeq[Long] = Vector.empty,
+      tileByteCounts: IndexedSeq[Long] = Vector.empty) {
+
+    def tiled: Boolean = tileWidth > 0
 
     /** Pixel-centroid longitude of column `col`. */
     def lonOf(col: Double): Double = originX + (col + 0.5) * pixelScaleX
@@ -214,11 +224,12 @@ object TiffTags {
           predictor = shortOrLong(317, 1),
           stripByteCounts = longs(279).map(_.toIndexedSeq).getOrElse(Vector.empty))
       } else {
-        // BigTIFF pixels are decoded by our own strip reader (ImageIO has no
+        // BigTIFF pixels are decoded by our own chunk reader (ImageIO has no
         // BigTIFF support): uncompressed, DEFLATE (8 and the legacy 32946),
-        // and LZW (5) stripped single-band layouts, predictor none or
-        // horizontal-differencing — i.e. what GDAL actually writes for large
-        // rasters. Everything else gets a typed error, never garbage.
+        // and LZW (5) single-band layouts — stripped OR tiled (COG) —
+        // predictor none or horizontal-differencing, i.e. what GDAL actually
+        // writes for large rasters. Everything else gets a typed error,
+        // never garbage.
         val compression = shortOrLong(259, 1)
         require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
           s"$path: BigTIFF compression $compression unsupported (1=none, 5=LZW, 8/32946=DEFLATE)")
@@ -230,8 +241,34 @@ object TiffTags {
         val spp = shortOrLong(277, 1)
         require(spp == 1,
           s"$path: BigTIFF SamplesPerPixel $spp unsupported (only single-band)")
-        require(!entries.contains(322) && !entries.contains(324),
-          s"$path: tiled BigTIFF unsupported (only stripped layout)")
+        if (entries.contains(322) || entries.contains(324)) {
+          // Tiled layout (tags 322/323/324/325) — the cloud-optimized
+          // GeoTIFF (COG) shape: TILED + DEFLATE is the modern distribution
+          // format for exactly the reference's datasets. Same codecs and
+          // predictor as strips, different chunk geometry.
+          require(!entries.contains(273),
+            s"$path: both StripOffsets (273) and tile tags present — malformed")
+          val tw = shortOrLong(322)
+          val tl = shortOrLong(323)
+          require(tw > 0 && tl > 0,
+            s"$path: tiled BigTIFF missing TileWidth/TileLength (322/323)")
+          val tOffsets = longs(324).getOrElse(throw new IllegalArgumentException(
+            s"$path: tiled BigTIFF missing TileOffsets (324)")).toIndexedSeq
+          val nTiles = ((width + tw - 1) / tw).toLong * ((height + tl - 1) / tl)
+          require(tOffsets.length.toLong == nTiles,
+            s"$path: ${tOffsets.length} tile offsets for $nTiles tiles")
+          val tCounts =
+            if (compression == 1) Vector.empty[Long]
+            else longs(325).getOrElse(throw new IllegalArgumentException(
+              s"$path: compressed tiled BigTIFF missing TileByteCounts (325)")).toIndexedSeq
+          RasterMeta(path, width, height, bps, sampleFormat,
+            scale(0), scale(1), originX, originY, noData,
+            samplesPerPixel = 1,
+            bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
+            compression = compression, predictor = predictor,
+            tileWidth = tw, tileLength = tl,
+            tileOffsets = tOffsets, tileByteCounts = tCounts)
+        } else {
         val offsets = longs(273).getOrElse(
           throw new IllegalArgumentException(s"$path: BigTIFF missing StripOffsets (273)"))
           .toIndexedSeq
@@ -247,6 +284,7 @@ object TiffTags {
           bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
           rowsPerStrip = rps, stripOffsets = offsets,
           compression = compression, predictor = predictor, stripByteCounts = byteCounts)
+        }
       }
     } finally raf.close()
   }

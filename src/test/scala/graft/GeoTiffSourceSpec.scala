@@ -310,6 +310,59 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(a.length == 96 * 96 && a.sameElements(b))
   }
 
+  test("tiled DEFLATE BigTIFF (the COG shape) == stripped DEFLATE == uncompressed pixels") {
+    // cloud-optimized GeoTIFFs are TILED + DEFLATE (+ predictor 2 for u8);
+    // 64×48 tiles over a 300×200 grid leaves padded edge tiles on both axes
+    def v(c: Int, r: Int): Double = ((c * 31 + r * 17) % 251).toDouble
+    val tiled = TiffFixtures.writeBigTiffTiled(s"$tmp/cog.tif", 300, 200, v,
+      -180.0, 90.0, 1.0, Some("0"), tileWidth = 64, tileLength = 48,
+      dtype = TiffFixtures.U8, compression = 8, predictor = 2)
+    val m = graft.sources.tiff.TiffTags.read(tiled)
+    assert(m.tiled && m.tileWidth == 64 && m.tileLength == 48 &&
+      m.tileOffsets.length == 5 * 5 && m.compression == 8 && m.predictor == 2)
+    val stripped = TiffFixtures.writeBigTiff(s"$tmp/cog_strips.tif", 300, 200, v,
+      -180.0, 90.0, 1.0, Some("0"), rowsPerStrip = 16,
+      dtype = TiffFixtures.U8, compression = 8, predictor = 2)
+    val plain = TiffFixtures.writeBigTiff(s"$tmp/cog_plain.tif", 300, 200, v,
+      -180.0, 90.0, 1.0, Some("0"), rowsPerStrip = 16, dtype = TiffFixtures.U8)
+    val t = Raster.raster2df(spark, Seq(tiled)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val s = Raster.raster2df(spark, Seq(stripped)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val p = Raster.raster2df(spark, Seq(plain)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(t.nonEmpty && t.sameElements(s) && t.sameElements(p))
+    // windows that cross tile boundaries read identically to one window
+    val many = Raster.raster2df(spark, Seq(tiled), maxBlockSize = 100)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(many.sameElements(t))
+  }
+
+  test("tiled LZW big-endian BigTIFF reads identically to uncompressed") {
+    def v(c: Int, r: Int): Double = ((c * 13 + r * 7) % 2000 - 1000).toDouble
+    val tiled = TiffFixtures.writeBigTiffTiled(s"$tmp/cog_lzw.tif", 96, 80, v,
+      0.0, 40.0, 0.5, None, tileWidth = 48, tileLength = 32, bigEndian = true,
+      dtype = TiffFixtures.S16, compression = 5, predictor = 2)
+    val plain = TiffFixtures.writeBigTiff(s"$tmp/cog_lzw_u.tif", 96, 80, v,
+      0.0, 40.0, 0.5, None, rowsPerStrip = 16, dtype = TiffFixtures.S16)
+    val m = graft.sources.tiff.TiffTags.read(tiled)
+    assert(m.tiled && m.compression == 5 && !m.littleEndian)
+    val a = Raster.raster2df(spark, Seq(tiled)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val b = Raster.raster2df(spark, Seq(plain)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.length == 96 * 80 && a.sameElements(b))
+  }
+
+  test("uncompressed tiled BigTIFF zips positionally with its stripped twin") {
+    def v(c: Int, r: Int): Double = (c + r * 10).toDouble
+    val tiled = TiffFixtures.writeBigTiffTiled(s"$tmp/cog_u.tif", 10, 8, v,
+      10.0, 50.0, 0.5, None, tileWidth = 4, tileLength = 4)
+    val m = graft.sources.tiff.TiffTags.read(tiled)
+    assert(m.tiled && m.compression == 1 && m.tileByteCounts.isEmpty)
+    val stripped = TiffFixtures.writeBigTiff(s"$tmp/cog_u_s.tif", 10, 8, v,
+      10.0, 50.0, 0.5, None, rowsPerStrip = 3)
+    val z = Raster.raster2df(spark, Seq(tiled, stripped))
+      .filter(org.apache.spark.sql.functions.col("val1") =!=
+        org.apache.spark.sql.functions.col("val2")).count()
+    assert(z == 0L)
+  }
+
   test("LZW decoder matches the JDK's independent LZW encoder byte-for-byte") {
     // the JDK TIFF writer is an independent LZW implementation: decoding its
     // strips pins the early-change rule empirically (not just round-trip)

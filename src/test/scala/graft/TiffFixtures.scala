@@ -284,6 +284,152 @@ object TiffFixtures {
     path
   }
 
+  /** TILED BigTIFF writer (the cloud-optimized-GeoTIFF chunk shape): tags
+    * 322/323/324/325 instead of the strip trio; edge tiles PADDED to the
+    * full tile size with zero samples (TIFF 6.0 §15), predictor and codec
+    * applied per tile at full tile width — exactly the layout the reader's
+    * decodeChunk expects to undo.
+    */
+  def writeBigTiffTiled(
+      path: String,
+      width: Int,
+      height: Int,
+      value: (Int, Int) => Double,
+      originX: Double,
+      originY: Double,
+      pixelSize: Double,
+      noData: Option[String],
+      tileWidth: Int,
+      tileLength: Int,
+      bigEndian: Boolean = false,
+      dtype: Dtype = F32,
+      compression: Int = 1,
+      predictor: Int = 1): String = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+    val (bps, sampleFormat) = dtype match {
+      case F32 => (32, 3)
+      case U8 => (8, 1)
+      case S16 => (16, 2)
+    }
+    require(predictor == 1 || dtype != F32, "predictor 2 requires integer samples")
+    require(Set(1, 5, 8).contains(compression), s"fixture compression $compression unsupported")
+    val bytesPer = bps / 8
+    val tilesAcross = (width + tileWidth - 1) / tileWidth
+    val tilesDown = (height + tileLength - 1) / tileLength
+    val nTiles = tilesAcross * tilesDown
+
+    val tiles: Array[Array[Byte]] = Array.tabulate(nTiles) { t =>
+      val tc = t % tilesAcross
+      val tr = t / tilesAcross
+      val raw = ByteBuffer.allocate(tileWidth * tileLength * bytesPer).order(order)
+      for (r <- tr * tileLength until (tr + 1) * tileLength;
+           c <- tc * tileWidth until (tc + 1) * tileWidth) {
+        // pad cells (outside the image) are zero samples
+        val v = if (r < height && c < width) value(c, r) else 0.0
+        dtype match {
+          case F32 => raw.putFloat(v.toFloat)
+          case U8 => raw.put((v.toInt & 0xff).toByte)
+          case S16 => raw.putShort(v.toInt.toShort)
+        }
+      }
+      val arr = raw.array()
+      if (predictor == 2) {
+        val bb = ByteBuffer.wrap(arr).order(order)
+        for (r <- 0 until tileLength) {
+          val base = r * tileWidth * bytesPer
+          var x = tileWidth - 1
+          while (x >= 1) {
+            val i = base + x * bytesPer
+            bytesPer match {
+              case 1 => arr(i) = (arr(i) - arr(i - 1)).toByte
+              case 2 => bb.putShort(i, (bb.getShort(i) - bb.getShort(i - 2)).toShort)
+              case _ => bb.putInt(i, bb.getInt(i) - bb.getInt(i - 4))
+            }
+            x -= 1
+          }
+        }
+      }
+      compression match {
+        case 1 => arr
+        case 8 =>
+          val d = new java.util.zip.Deflater()
+          try {
+            d.setInput(arr); d.finish()
+            val out = new java.io.ByteArrayOutputStream()
+            val tmp = new Array[Byte](8192)
+            while (!d.finished()) { val n = d.deflate(tmp); out.write(tmp, 0, n) }
+            out.toByteArray
+          } finally d.end()
+        case 5 => lzwEncode(arr)
+      }
+    }
+
+    val pixOff = 16L
+    val tileOff = new Array[Long](nTiles)
+    var cur = pixOff
+    for (t <- 0 until nTiles) { tileOff(t) = cur; cur += tiles(t).length }
+    val tileCnt = tiles.map(_.length.toLong)
+    val scaleOff = cur; cur += 24
+    val tieOff = cur; cur += 48
+    val toOff = cur; if (nTiles > 1) cur += nTiles * 8L
+    val tcOff = cur; if (nTiles > 1) cur += nTiles * 8L
+    val ndBytes = noData.map(s => s.getBytes("US-ASCII") :+ 0.toByte)
+    val ndOff = cur
+    ndBytes.foreach { b => if (b.length > 8) cur += b.length }
+    val ifdOff = cur
+    val nTags = 13 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0)
+    val total = (ifdOff + 8 + nTags * 20 + 8).toInt
+    val buf = ByteBuffer.allocate(total).order(order)
+    val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
+    buf.put(bom).put(bom).putShort(43).putShort(8).putShort(0).putLong(ifdOff)
+    for (t <- 0 until nTiles) {
+      buf.position(tileOff(t).toInt); buf.put(tiles(t))
+    }
+    buf.position(scaleOff.toInt)
+    buf.putDouble(pixelSize).putDouble(pixelSize).putDouble(0.0)
+    buf.position(tieOff.toInt)
+    Seq(0.0, 0.0, 0.0, originX, originY, 0.0).foreach(buf.putDouble)
+    if (nTiles > 1) {
+      buf.position(toOff.toInt); tileOff.foreach(buf.putLong)
+      buf.position(tcOff.toInt); tileCnt.foreach(buf.putLong)
+    }
+    ndBytes.foreach { b => if (b.length > 8) { buf.position(ndOff.toInt); buf.put(b) } }
+    buf.position(ifdOff.toInt)
+    buf.putLong(nTags.toLong)
+    def entry(tag: Int, tpe: Int, count: Long)(writeVal: ByteBuffer => Unit): Unit = {
+      buf.putShort(tag.toShort).putShort(tpe.toShort).putLong(count)
+      val pos = buf.position()
+      writeVal(buf)
+      buf.position(pos + 8)
+    }
+    entry(256, 4, 1)(_.putInt(width))              // ImageWidth
+    entry(257, 4, 1)(_.putInt(height))             // ImageLength
+    entry(258, 3, 1)(_.putShort(bps.toShort))      // BitsPerSample
+    entry(259, 3, 1)(_.putShort(compression.toShort)) // Compression
+    entry(277, 3, 1)(_.putShort(1))                // SamplesPerPixel
+    if (predictor != 1)
+      entry(317, 3, 1)(_.putShort(predictor.toShort)) // Predictor
+    entry(322, 4, 1)(_.putInt(tileWidth))          // TileWidth
+    entry(323, 4, 1)(_.putInt(tileLength))         // TileLength
+    entry(324, 16, nTiles.toLong)(b =>             // TileOffsets (LONG8)
+      if (nTiles == 1) b.putLong(tileOff(0)) else b.putLong(toOff))
+    entry(325, 16, nTiles.toLong)(b =>             // TileByteCounts (LONG8)
+      if (nTiles == 1) b.putLong(tileCnt(0)) else b.putLong(tcOff))
+    entry(339, 3, 1)(_.putShort(sampleFormat.toShort)) // SampleFormat
+    entry(33550, 12, 3)(_.putLong(scaleOff))       // ModelPixelScale
+    entry(33922, 12, 6)(_.putLong(tieOff))         // ModelTiepoint
+    ndBytes.foreach { b =>
+      entry(42113, 2, b.length.toLong)(bb =>       // GDAL_NODATA
+        if (b.length <= 8) bb.put(b) else bb.putLong(ndOff))
+    }
+    buf.putLong(0L) // next-IFD terminator
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, buf.array())
+    path
+  }
+
   /** TIFF-variant LZW encoder for fixtures (TIFF 6.0 §13): MSB-first bit
     * packing, ClearCode 256 / EOI 257, code width 9→12. The width bump fires
     * one dictionary-add LATER than the decoder's (encoder's add-counter
