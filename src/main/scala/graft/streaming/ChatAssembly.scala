@@ -55,10 +55,12 @@ final case class ClosedConv(
   * feed ranges out of order — the watermark races ahead on a newer range
   * and older ranges are then dropped as late, SILENTLY (a 10M-event
   * rehearsal lost 0.8M of 3.0M conversations to exactly this before the
-  * producer stamped mtimes in range order). Either guarantee mtime order
-  * matches event-time order on the producer side, or install
-  * [[WatermarkDropGuard]] on the session so any `numRowsDroppedByWatermark`
-  * surfaces loudly instead of as missing output.
+  * producer stamped mtimes in range order). Guarantee mtime order matches
+  * event-time order on the producer side. The detection side is on by
+  * default: declaring the watermark here auto-installs the session's
+  * [[WatermarkDropGuard]], so any `numRowsDroppedByWatermark` surfaces as
+  * a loud ERROR log instead of as missing output (opt out with
+  * `spark.graft.streaming.autoDropGuard=false`).
   */
 object ChatAssembly {
 
@@ -81,7 +83,7 @@ object ChatAssembly {
     def close(uid: Long, c: OpenConv): ClosedConv =
       ClosedConv(uid, IntervalState.usToTs(c.start_us),
         IntervalState.usToTs(c.last_us), c.turns.size.toLong, render(c.turns))
-    events.withWatermark("ts", delay)
+    Streams.wm(events, "ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenConvs, ClosedConv](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

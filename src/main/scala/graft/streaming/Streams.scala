@@ -47,6 +47,18 @@ final case class ClosedSession(
   */
 object Streams {
 
+  /** Every watermark this module declares routes through here so the
+    * session-level [[WatermarkDropGuard]] is auto-installed (opt-out via
+    * `spark.graft.streaming.autoDropGuard=false`): a watermark is where
+    * silent late-drops become possible, so attaching the detector is part
+    * of declaring one. Batch frames (the oracle-parity twins) skip the
+    * install — no streaming listener events exist to observe.
+    */
+  private[graft] def wm[T](ds: Dataset[T], tsCol: String, delay: String): Dataset[T] = {
+    if (ds.isStreaming) WatermarkDropGuard.ensureInstalled(ds.sparkSession)
+    ds.withWatermark(tsCol, delay)
+  }
+
   /** B35 — tumbling-window counts per event type. */
   def tumblingCounts(events: DataFrame, size: String = "10 minutes"): DataFrame =
     events
@@ -77,11 +89,11 @@ object Streams {
     * watermark are dropped.
     */
   def watermarkedTumbling(events: DataFrame, delay: String = "10 minutes"): DataFrame =
-    tumblingCounts(events.withWatermark("ts", delay))
+    tumblingCounts(wm(events, "ts", delay))
 
   /** B38 — stateful dedup by event_id, state bounded by the watermark. */
   def dedupWithinWatermark(events: DataFrame, delay: String = "10 minutes"): DataFrame =
-    events.withWatermark("ts", delay)
+    wm(events, "ts", delay)
       .dropDuplicatesWithinWatermark("event_id")
 
   /** Stream-stream inner join: match each purchase to the clicks of the
@@ -93,9 +105,9 @@ object Streams {
       clicks: DataFrame,
       purchases: DataFrame,
       delay: String = "10 minutes"): DataFrame = {
-    val c = clicks.withWatermark("ts", delay)
+    val c = wm(clicks, "ts", delay)
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"), col("ts").as("c_ts"))
-    val p = purchases.withWatermark("ts", delay)
+    val p = wm(purchases, "ts", delay)
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
     c.join(p,
       col("c_user") === col("p_user") &&
@@ -132,7 +144,7 @@ object Streams {
       watermark: Option[(String, String)] = None): DataFrame = watermark match {
     case Some((tsCol, delay)) =>
       lsh.rawCandidatesAgainstIndex(
-          docs.withWatermark(tsCol, delay), "doc_id", "text", index,
+          wm(docs, tsCol, delay), "doc_id", "text", index,
           maxBucket, carry = Seq(tsCol))
         .select(col("new_id").as("doc_id"), col("index_id").as("matched_id"),
           col(tsCol))
@@ -207,7 +219,7 @@ object Streams {
     // threshold, so a batch of non-duplicates would never advance it and
     // dedup state would never expire
     val src = watermark match {
-      case Some((tsCol, delay)) => vectors.withWatermark(tsCol, delay)
+      case Some((tsCol, delay)) => wm(vectors, tsCol, delay)
       case None => vectors
     }
     val probed = src
@@ -264,10 +276,10 @@ object Streams {
       right: DataFrame,
       tolerance: String = "1 hour",
       delay: String = "10 minutes"): DataFrame = {
-    val l = left.withWatermark("ts", delay)
+    val l = wm(left, "ts", delay)
       .select(col("event_id").as("l_id"), col("user_id").as("l_user"),
         col("ts").as("l_ts"), col("value").as("l_value"))
-    val r = right.withWatermark("ts", delay)
+    val r = wm(right, "ts", delay)
       .select(col("user_id").as("r_user"), col("ts").as("r_ts"),
         col("value").as("r_value"))
     l.join(r,
@@ -316,7 +328,7 @@ object Streams {
     def close(uid: Long, s: OpenSession): ClosedSession =
       ClosedSession(uid, IntervalState.usToTs(s.start_us),
         IntervalState.usToTs(s.last_us), s.n_events, s.sum_value)
-    events.withWatermark("ts", delay)
+    wm(events, "ts", delay)
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSessions, ClosedSession](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {

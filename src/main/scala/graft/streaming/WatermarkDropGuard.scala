@@ -123,4 +123,33 @@ object WatermarkDropGuard {
     * already posted are delivered in order well within this bound).
     */
   def awaitQuiescence(millis: Long = 500L): Unit = Thread.sleep(millis)
+
+  /** Set to "false" to opt OUT of the automatic per-session guard that the
+    * streaming entry points ([[Streams]], [[ChatAssembly]]) install.
+    */
+  val AutoConf = "spark.graft.streaming.autoDropGuard"
+
+  // weak keys: the session's listener bus holds the guard, never the
+  // reverse, so a dropped session unregisters itself from this map instead
+  // of being pinned for the JVM lifetime (the ArtifactCache session rule)
+  private val auto = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, WatermarkDropGuard]())
+
+  /** Idempotently install the session's automatic guard (opt-out rather
+    * than opt-in — production users get drop detection without reading the
+    * scaladoc): the first watermark-bearing entry point called on a
+    * streaming frame attaches ONE loud-logging guard per session; later
+    * calls reuse it. Honors [[AutoConf]] = "false".
+    */
+  def ensureInstalled(spark: SparkSession): Unit =
+    if (spark.conf.get(AutoConf, "true").toBoolean) auto.synchronized {
+      if (!auto.containsKey(spark)) auto.put(spark, install(spark))
+      ()
+    }
+
+  /** The session's auto-installed guard, if [[ensureInstalled]] created one
+    * (inspection hook for tests and rehearsals).
+    */
+  def autoGuard(spark: SparkSession): Option[WatermarkDropGuard] =
+    auto.synchronized(Option(auto.get(spark)))
 }

@@ -97,6 +97,57 @@ class WatermarkDropGuardSpec extends SparkSpec {
     }
   }
 
+  test("auto-install: declaring a watermark attaches the session guard; conf opts out") {
+    // the drop-producing directory again, but WITHOUT an explicit install:
+    // ChatAssembly.assemble's own watermark declaration must attach the
+    // session guard (opt-out semantics), and the auto guard must tally the
+    // same two dropped rows
+    // a FRESH session isolates the auto-install state: earlier tests in
+    // this suite already triggered assemble's watermark on the shared
+    // session, so its auto guard exists and carries their tallies
+    val s2 = spark.newSession()
+    val dir = java.nio.file.Files.createTempDirectory("graft-wmg-auto").toFile
+    try {
+      val t0 = 1700000000000L
+      writeOne(dir, "b.parquet", convB, t0)
+      writeOne(dir, "s.parquet", spacer, t0 + 1000L)
+      writeOne(dir, "a.parquet", convA, t0 + 2000L)
+      writeOne(dir, "c.parquet", flush, t0 + 3000L)
+      val schema = s2.read.parquet(dir.getAbsolutePath).schema
+      def stream = s2.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(dir.getAbsolutePath)
+        .as[TurnEvent]
+      // opted out: no auto guard appears
+      s2.conf.set(WatermarkDropGuard.AutoConf, "false")
+      try {
+        val q0 = ChatAssembly.assemble(stream, "30 minutes", "10 minutes")
+          .writeStream.format("memory").queryName("t_wmg_optout")
+          .outputMode(OutputMode.Append).start()
+        try q0.processAllAvailable() finally q0.stop()
+        assert(WatermarkDropGuard.autoGuard(s2).isEmpty,
+          "autoDropGuard=false must suppress the automatic install")
+      } finally s2.conf.unset(WatermarkDropGuard.AutoConf)
+      // default: the watermark declaration installs exactly one guard...
+      val q = ChatAssembly.assemble(stream, "30 minutes", "10 minutes")
+        .writeStream.format("memory").queryName("t_wmg_auto")
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally q.stop()
+      WatermarkDropGuard.awaitQuiescence()
+      val g = WatermarkDropGuard.autoGuard(s2)
+        .getOrElse(fail("watermark declaration did not auto-install the guard"))
+      assert(g.totalDropped == convA.size.toLong,
+        s"auto guard tallied ${g.totalDropped}, expected ${convA.size}")
+      // ...and a second declaration reuses it rather than stacking another
+      val before = g
+      graft.streaming.Streams.wm(stream, "ts", "10 minutes")
+      assert(WatermarkDropGuard.autoGuard(s2).exists(_ eq before),
+        "ensureInstalled must be idempotent per session")
+      g.uninstall(s2)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("mtimes in event-time order: zero drops and the full output") {
     val dir = java.nio.file.Files.createTempDirectory("graft-wmg-ok").toFile
     try {
