@@ -198,7 +198,10 @@ object Bpe {
         size(split(trim(col("sym")), " ")).cast("long").as("n_pieces"))
     docs.select(col(idCol).as(idCol), explode(split(col(textCol), " ")).as("word"))
       .filter(col("word") =!= "")
-      .join(dict, "word")
+      // declared join strategy (UnigramLm.encodeCounts' comment): the
+      // type-bounded dict is the build side; a lying static estimate on
+      // the caller's corpus frame must never broadcast the words side
+      .join(dict.hint("shuffle_hash"), "word")
       .groupBy(col(idCol))
       .agg(sum(col("n_pieces")).as("n_pieces"))
   }

@@ -180,7 +180,15 @@ object UnigramLm {
     val long = types.filter(length(col("word")) > maxWordLen)
       .select(col("word"), length(col("word")).cast("long").as("np"))
     val dict = short.union(long)
-    words.join(dict, "word")
+    // The dictionary join's strategy is DECLARED, not left to static size
+    // estimates: the corpus side arrives through arbitrary caller frames
+    // (a localCheckpoint LogicalRDD under-reports and Catalyst then
+    // broadcast the 40M-row WORDS side as a 3.7 GiB disk-spilled hashed
+    // relation — measured, 86 s of a 94 s 1M-doc encode). The shuffle_hash
+    // hint on the type-bounded dict makes it the build side with no
+    // sort and no corpus broadcast at any scale; AQE still upgrades to a
+    // dict broadcast when the runtime shuffle turns out tiny.
+    words.join(dict.hint("shuffle_hash"), "word")
       .groupBy(col(idCol))
       .agg(sum(col("np")).as("n_pieces"))
   }
@@ -215,7 +223,9 @@ object UnigramLm {
     val dict = segmented(types, lp, maxPieceLen)
       .select(col("word"), size(col("pieces")).cast("long").as("np"),
         graft.queries.Parity.r6(col("score")).as("sc"))
-    words.join(dict, "word")
+    // declared join strategy — see encodeCounts' comment (the corpus side
+    // must never become the broadcast build through a lying estimate)
+    words.join(dict.hint("shuffle_hash"), "word")
       .groupBy(col(idCol))
       .agg(sum(col("np")).as("n_pieces"),
         graft.queries.Parity.r6(sum(col("sc"))).as("lp_sum"))

@@ -740,6 +740,43 @@ object ScaleRehearsal {
     // (b) the trajectory is prefix-stable across retrains; (c) encoding
     // the full 1M-doc corpus under the trained model is one dictionary
     // join. `dir` unused.
+    // Round-12 profile of the 93.5 s unigram 1M-doc encode: both round-11
+    // rehearsal runs logged a 3.7 GiB broadcast falling back to disk
+    // mid-encode — this probe re-runs ONLY the encode under a trained
+    // 8k-piece model, prints the final adaptive plan (the verify skill's
+    // AQE rule: collect the SAME Dataset first), and stage-times it, so
+    // the broadcast's owner and the time split (segment vs join vs agg)
+    // stop being guesses. `dir` unused.
+    "unigram_encode_profile" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val docs = s.range(1000000L).mapPartitions { it =>
+        val nV = 100000.0
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97L + 13L)
+          val text = Array.fill(40) {
+            val i = math.exp(rng.nextDouble() * math.log(nV + 1)).toLong
+            s"t$i"
+          }.mkString(" ")
+          (id, text)
+        }
+      }.toDF("doc_id", "text").localCheckpoint(true)
+      val wt = graft.operators.Bpe.wordTypes(docs, "text").localCheckpoint(true)
+      val (_, lp) = graft.operators.UnigramLm.train(
+        wt, maxPieceLen = 8, vocabSize = 8192, iters = 1, maxWordLen = 16)
+      val t0 = System.nanoTime()
+      val enc = graft.operators.UnigramLm.encodeCounts(
+        docs, lp, "doc_id", "text", maxPieceLen = 8, maxWordLen = 16)
+      // collect() executes THIS Dataset's QueryExecution, so the final
+      // adaptive plan (real join strategies) is readable afterwards
+      val rows = enc.collect()
+      val tEnc = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val total = rows.iterator.map(_.getLong(1)).sum
+      println(s"== encode docs=${rows.length} total_pieces=$total in $tEnc s; final plan:")
+      println(enc.queryExecution.executedPlan.toString.take(8000))
+      Seq((tEnc, total)).toDF("encode_sec", "total_pieces")
+    }),
     "unigram_8k_1m" -> ((s, _) => {
       import org.apache.spark.sql.functions._
       import s.implicits._
