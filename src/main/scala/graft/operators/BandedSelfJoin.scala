@@ -17,16 +17,60 @@ import org.apache.spark.sql.functions._
   * the cap.
   */
 private[graft] object BandedSelfJoin {
-  def pairs(keyed: DataFrame, maxBucket: Int): DataFrame = {
-    val bounded =
-      if (maxBucket <= 0) keyed
-      else keyed
-        .withColumn("bucket_n",
-          count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
-        .filter(col("bucket_n") <= maxBucket)
+
+  /** `saltAbove > 0` additionally SALTS buckets larger than it (the
+    * [[SparseCosineJoin]] head-term shape): the a-side gets
+    * `salt = hash(id) mod S`, the b-side replicates to every salt, and the
+    * join key grows by the salt — each (a, b) pair still meets exactly
+    * once (at the a-row's salt), so the pair set is row-identical to the
+    * unsalted plan (DedupSpec proves it), while one capped bucket's cap²
+    * pair-verify spreads over S reducer keys instead of landing on one
+    * straggler task. `S = min(⌈(bucket_n/saltAbove)²⌉, 64)` bounds per-key
+    * candidate volume at ~saltAbove² and b-side replication at 64×, and
+    * buckets at or under the threshold keep S = 1 (same work, same
+    * result). The salted plan's two sides differ (pmod vs explode), so it
+    * forgoes the unsalted plan's AQE exchange reuse — that trade only
+    * makes sense where a quadratic bucket exists, which is why it is
+    * opt-in.
+    */
+  def pairs(keyed: DataFrame, maxBucket: Int, saltAbove: Int = 0): DataFrame = {
+    if (saltAbove <= 0) {
+      val bounded =
+        if (maxBucket <= 0) keyed
+        else keyed
+          .withColumn("bucket_n",
+            count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+          .filter(col("bucket_n") <= maxBucket)
+          .drop("bucket_n")
+      // both sides are the SAME plan: AQE computes the keys once and
+      // reads the (band, key) exchange twice
+      bounded.as("a").join(bounded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+    } else {
+      val counted = keyed.withColumn("bucket_n",
+        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      // the salted sides differ (pmod vs explode), so AQE cannot reuse one
+      // exchange for both — materialize the keyed rows ONCE here or the
+      // whole upstream pipeline (e.g. a conversation render) runs twice;
+      // blocks are freed by the ContextCleaner when the frame drops
+      val bounded = (
+        if (maxBucket <= 0) counted
+        else counted.filter(col("bucket_n") <= maxBucket)
+      ).localCheckpoint(true)
+      val nSalt = greatest(least(
+        ceil(pow(col("bucket_n") / lit(saltAbove.toDouble), 2.0)),
+        lit(64.0)).cast("int"), lit(1))
+      val a = bounded
+        .withColumn("graft_salt", pmod(xxhash64(col("id")), nSalt).cast("int"))
         .drop("bucket_n")
-    bounded.as("a").join(bounded.as("b"),
-      col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.id") < col("b.id"))
+      val b = bounded
+        .withColumn("graft_salt", explode(sequence(lit(0), nSalt - 1)))
+        .drop("bucket_n")
+      a.as("a").join(b.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.graft_salt") === col("b.graft_salt") &&
+          col("a.id") < col("b.id"))
+    }
   }
 }

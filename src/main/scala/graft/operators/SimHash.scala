@@ -76,6 +76,12 @@ object SimHash {
     * corpus scale, degenerate fingerprints (e.g. the all-zero fingerprint of
     * token-free documents) would otherwise put one quadratic bucket on a
     * single reducer. Disabled when <= 0.
+    *
+    * `saltAbove` spreads each surviving bucket's pair-verify over up to 64
+    * salted reducer keys ([[BandedSelfJoin]]'s doc): with a cap alone, one
+    * 1024-row capped bucket still runs ~cap²/2 Hamming checks in ONE task —
+    * the measured 14 s straggler of the 3M-conversation rehearsal. Same
+    * pair set, opt-in (0 = off).
     */
   def candidatePairs(
       df: DataFrame,
@@ -83,7 +89,8 @@ object SimHash {
       textCol: String,
       bands: Int = 4,
       maxHamming: Int = 3,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0,
+      saltAbove: Int = 0): DataFrame = {
     require(Bits % bands == 0, s"bands must divide $Bits, got $bands")
     require(maxHamming < bands,
       s"banded pairing is only complete for maxHamming < bands ($maxHamming >= $bands)")
@@ -96,7 +103,7 @@ object SimHash {
       .select(col("id"), col("fp"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => bandKey(col("fp"), b, width))).as(Seq("band", "key")))
-    BandedSelfJoin.pairs(keyed, maxBucket)
+    BandedSelfJoin.pairs(keyed, maxBucket, saltAbove)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

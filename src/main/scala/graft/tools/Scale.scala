@@ -157,6 +157,28 @@ object ScaleRehearsal {
     * oracle-checkability (q101's 8 deterministic centroids vs the
     * k-grows-with-N semantic-dedup contract).
     */
+  /** The q159 scale form's input: every conversation of the slice,
+    * rendered (the declared query bounds all-pairs at user_id < 5 for its
+    * oracle; these rehearsal modes fingerprint and pair ALL of them).
+    */
+  private def q159Convs(s: org.apache.spark.sql.SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val store = graft.Tables.documents(s, dir).filter(col("doc_id") < 500)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("turn_text"))
+    val ev = graft.Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        graft.operators.ChatSft.roleOf(col("event_type")).as("role"),
+        pmod(col("event_id"), lit(500)).as("doc_id"))
+      .join(broadcast(store), "doc_id")
+    graft.operators.ChatSft.renderConversations(
+        graft.operators.ChatSft.sessionTurns(
+          ev, "user_id", "ts_us", "event_id", 1800000000L),
+        "user_id", "role", "turn_text")
+      .select((col("user_id") * 1000000L + col("session_id")).as("conv_id"),
+        col("rendered"))
+  }
+
   private val extraQueries: Map[String,
       (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame] = Map(
     // q159's UNBOUNDED scale form: every conversation in the slice
@@ -165,23 +187,38 @@ object ScaleRehearsal {
     // maxBucket caps the genuinely-degenerate buckets this synthetic
     // corpus produces (hundreds of single-turn conversations render
     // byte-identically — real near-dups, quadratic within a bucket).
-    "q159_banded" -> ((s, dir) => {
+    "q159_banded" -> ((s, dir) =>
+      graft.operators.SimHash.candidatePairs(q159Convs(s, dir),
+        "conv_id", "rendered", bands = 4, maxHamming = 3, maxBucket = 1024)),
+    // The capped buckets' pair-verify spread over salted reducer keys —
+    // the round-11 straggler fix (max task was 14 s of a 27 s wall with
+    // the cap alone). Same pair set by construction; q159_banded_ab
+    // checks that AT SCALE via count + order-free pair checksum.
+    "q159_banded_salted" -> ((s, dir) =>
+      graft.operators.SimHash.candidatePairs(q159Convs(s, dir),
+        "conv_id", "rendered", bands = 4, maxHamming = 3, maxBucket = 1024,
+        saltAbove = 128)),
+    "q159_banded_ab" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
-      val store = graft.Tables.documents(s, dir).filter(col("doc_id") < 500)
-        .select(col("doc_id"), substring(col("text"), 1, 80).as("turn_text"))
-      val ev = graft.Tables.events(s, dir)
-        .select(col("user_id"), col("event_id"), col("ts_us"),
-          graft.operators.ChatSft.roleOf(col("event_type")).as("role"),
-          pmod(col("event_id"), lit(500)).as("doc_id"))
-        .join(broadcast(store), "doc_id")
-      val convs = graft.operators.ChatSft.renderConversations(
-          graft.operators.ChatSft.sessionTurns(
-            ev, "user_id", "ts_us", "event_id", 1800000000L),
-          "user_id", "role", "turn_text")
-        .select((col("user_id") * 1000000L + col("session_id")).as("conv_id"),
-          col("rendered"))
-      graft.operators.SimHash.candidatePairs(convs, "conv_id", "rendered",
-        bands = 4, maxHamming = 3, maxBucket = 1024)
+      import s.implicits._
+      val convs = q159Convs(s, dir).localCheckpoint(true)
+      def run(saltAbove: Int): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val r = graft.operators.SimHash.candidatePairs(convs, "conv_id",
+            "rendered", bands = 4, maxHamming = 3, maxBucket = 1024,
+            saltAbove = saltAbove)
+          // bit_xor: order-free and overflow-free (ANSI sum of hashes throws)
+          .agg(count(lit(1)), bit_xor(xxhash64(col("id_a"), col("id_b"),
+            col("hamming")))).as[(Long, Long)].head()
+        (r._1, r._2, math.rint((System.nanoTime() - t0) / 1e7) / 100.0)
+      }
+      val (nU, ckU, tU) = run(0)
+      val (nS, ckS, tS) = run(128)
+      require(nU == nS && ckU == ckS,
+        s"salted pair set diverged: $nU/$ckU unsalted vs $nS/$ckS salted")
+      println(s"""{"probe":"q159_banded_ab","pairs":$nU,"checksum_equal":true,""" +
+        s""""unsalted_sec":$tU,"salted_sec":$tS}""")
+      Seq((nU, tU, tS)).toDF("pairs", "unsalted_sec", "salted_sec")
     }),
     "q100_window" -> ((s, dir) =>
       graft.operators.SubstringDedup.duplicatedSpans(

@@ -148,6 +148,29 @@ class DedupSpec extends SparkSpec {
     assert(SimHash.candidatePairs(many, "doc_id", "text").count() == 40L * 39 / 2)
   }
 
+  test("simhash salted pair-verify emits the identical pair set") {
+    // saltAbove = 1 forces every bucket onto the salted path at the max
+    // 64-way split (bucket_n² ≥ 64 for any real bucket here), including
+    // cross-salt pairs — the set must equal the unsalted plan's exactly,
+    // with and without the bucket cap, and each pair exactly once
+    def set(maxBucket: Int, saltAbove: Int) =
+      SimHash.candidatePairs(docs, "doc_id", "text", bands = 4,
+          maxHamming = 3, maxBucket = maxBucket, saltAbove = saltAbove)
+        .as[(Long, Long, Int)].collect()
+    for (mb <- Seq(0, 10)) {
+      val un = set(mb, 0)
+      val sa = set(mb, 1)
+      assert(sa.length == sa.toSet.size, s"maxBucket=$mb: salted plan emitted a pair twice")
+      assert(sa.toSet == un.toSet, s"maxBucket=$mb: salted pair set diverged")
+    }
+    // the degenerate mega-bucket (40 identical docs, every pair real):
+    // 64-way salting must still emit all 780 pairs exactly once
+    val many = (1 to 40).map(i => (i.toLong, "same same text")).toDF("doc_id", "text")
+    val saltedMany = SimHash.candidatePairs(many, "doc_id", "text", saltAbove = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(saltedMany.length == 40 * 39 / 2 && saltedMany.toSet.size == saltedMany.length)
+  }
+
   test("dedup operators leave no cached RDDs behind (round-1 leak)") {
     val before = spark.sparkContext.getPersistentRDDs.keySet
     val lsh = MinHashLSH(12, 3, 1)
