@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.ChatSft
 
-/** q155–q157: SFT / chat-data preparation ([[graft.operators.ChatSft]])
+/** q155–q163: SFT / chat-data preparation ([[graft.operators.ChatSft]])
   * — the assembly pipeline that turns an interaction log plus a content
   * store into supervised fine-tuning sequences:
   *
@@ -15,7 +15,10 @@ import graft.operators.ChatSft
   *     character offsets into the rendered string;
   *   - q157 packs conversations into fixed token-budget bins and
   *     accounts loss tokens per bin (the number SFT batch efficiency is
-  *     measured by).
+  *     measured by); q161 is its efficiency card and q163 the
+  *     packing-strategy A/B (quotient vs first-fit vs best-fit-decreasing);
+  *   - q158–q160, q162: preference pairs, conversation near-dup detect
+  *     and its dedup ACTION, and the span-remapping packing action.
   *
   * The synthetic wiring: conversations are the q24 30-minute-gap
   * sessions of `events`; each event's turn text is fetched from the
