@@ -277,11 +277,26 @@ object SftPrep {
     * bounds the pair space for the oracle; fingerprints reuse the shared
     * turns artifact.
     */
+  /** Rendered-conversation SimHash fingerprints of the user_id < 5 oracle
+    * slice — the DETECT stage shared by q159 (pair listing) and q162 (the
+    * dedup action), built once per (JVM, dataset) like the turns artifact
+    * (integer fingerprints round-trip parquet exactly; a drift between the
+    * two queries' fingerprinting is structurally impossible).
+    */
+  private def convFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val p = Scratch.path("convsimhash", dir)
+    Scratch.once(p) {
+      graft.operators.ChatSft.renderConversations(
+          turns(s, dir).filter(col("user_id") < 5), "user_id", "role", "turn_text")
+        .select(col("user_id"), col("session_id"),
+          graft.operators.SimHash.simhashOfText(col("rendered")).as("simhash"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
   private def q159(s: SparkSession, dir: String): DataFrame = {
-    val sh = graft.operators.ChatSft.renderConversations(
-        turns(s, dir).filter(col("user_id") < 5), "user_id", "role", "turn_text")
-      .select(col("user_id"), col("session_id"),
-        graft.operators.SimHash.simhashOfText(col("rendered")).as("simhash"))
+    val sh = convFingerprints(s, dir)
     val a = sh.select(col("user_id").as("user_a"), col("session_id").as("sess_a"),
       col("simhash").as("h_a"))
     val b = sh.select(col("user_id").as("user_b"), col("session_id").as("sess_b"),
@@ -494,11 +509,8 @@ object SftPrep {
     * `SimHash.candidatePairs`.
     */
   private def q162(s: SparkSession, dir: String): DataFrame = {
-    val convs = ChatSft.renderConversations(
-        turns(s, dir).filter(col("user_id") < 5), "user_id", "role", "turn_text")
-      .select(col("user_id"), col("session_id"),
-        graft.operators.SimHash.simhashOfText(col("rendered")).as("simhash"),
-        (col("user_id") * PackMul + col("session_id")).as("cid"))
+    val convs = convFingerprints(s, dir)
+      .withColumn("cid", col("user_id") * PackMul + col("session_id"))
     val a = convs.select(col("cid").as("id_a"), col("simhash").as("h_a"))
     val b = convs.select(col("cid").as("id_b"), col("simhash").as("h_b"))
     val pairs = a.join(b, col("id_a") < col("id_b"))

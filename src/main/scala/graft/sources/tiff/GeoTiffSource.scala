@@ -291,7 +291,12 @@ private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWi
   private val buf: java.nio.ByteBuffer = {
     val arr =
       if (meta.tiled) StripDecode.readTiledWindow(meta, window, bytesPer)
-      else if (meta.compression == 1) StripDecode.readRawWindow(meta, window, bytesPer)
+      // predictor 2 stores row deltas from COLUMN 0, so a window read that
+      // skips columns cannot undo it — an uncompressed predictor-2 strip
+      // (legal: some writers strip the codec but keep the predictor) must
+      // take the full-strip decode path, not the raw seek-read
+      else if (meta.compression == 1 && meta.predictor == 1)
+        StripDecode.readRawWindow(meta, window, bytesPer)
       else StripDecode.readCompressedWindow(meta, window, bytesPer)
     java.nio.ByteBuffer.wrap(arr).order(
       if (meta.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN

@@ -150,25 +150,46 @@ class DedupSpec extends SparkSpec {
 
   test("simhash salted pair-verify emits the identical pair set") {
     // saltAbove = 1 forces every bucket onto the salted path at the max
-    // 64-way split (bucket_n² ≥ 64 for any real bucket here), including
-    // cross-salt pairs — the set must equal the unsalted plan's exactly,
-    // with and without the bucket cap, and each pair exactly once
+    // 64-way split, including cross-salt pairs — the set must equal the
+    // unsalted plan's exactly, with and without the bucket cap
     def set(maxBucket: Int, saltAbove: Int) =
       SimHash.candidatePairs(docs, "doc_id", "text", bands = 4,
           maxHamming = 3, maxBucket = maxBucket, saltAbove = saltAbove)
         .as[(Long, Long, Int)].collect()
-    for (mb <- Seq(0, 10)) {
-      val un = set(mb, 0)
-      val sa = set(mb, 1)
-      assert(sa.length == sa.toSet.size, s"maxBucket=$mb: salted plan emitted a pair twice")
-      assert(sa.toSet == un.toSet, s"maxBucket=$mb: salted pair set diverged")
-    }
-    // the degenerate mega-bucket (40 identical docs, every pair real):
-    // 64-way salting must still emit all 780 pairs exactly once
+    for (mb <- Seq(0, 10))
+      assert(set(mb, 1).toSet == set(mb, 0).toSet,
+        s"maxBucket=$mb: salted pair set diverged")
+  }
+
+  test("salted banded self-join meets each pair exactly once per agreeing band") {
+    import org.apache.spark.sql.functions.col
+    // PRE-distinct, on BandedSelfJoin directly — candidatePairs' trailing
+    // distinct() would mask a double-emitting salt bug. One 40-row bucket
+    // forced onto the max 64-way split: exactly C(40,2) raw join rows,
+    // no pair twice, none lost.
+    val oneBucket = (1 to 40).map(i => (i.toLong, 0, 0L)).toDF("id", "band", "key")
+    val raw = graft.operators.BandedSelfJoin.pairs(oneBucket, maxBucket = 0, saltAbove = 1)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect()
+    assert(raw.length == 40 * 39 / 2, s"raw salted join emitted ${raw.length} rows")
+    assert(raw.toSet.size == raw.length, "raw salted join emitted a pair twice")
+    // ids sharing TWO bands must meet once per band (the multi-band shape
+    // distinct() exists for), same as the unsalted plan
+    val twoBands = (1 to 12).flatMap(i => Seq((i.toLong, 0, 0L), (i.toLong, 1, 7L)))
+      .toDF("id", "band", "key")
+    val rawSalted = graft.operators.BandedSelfJoin.pairs(twoBands, 0, saltAbove = 1)
+      .select(col("a.band"), col("a.id"), col("b.id"))
+      .as[(Int, Long, Long)].collect()
+    val rawPlain = graft.operators.BandedSelfJoin.pairs(twoBands, 0)
+      .select(col("a.band"), col("a.id"), col("b.id"))
+      .as[(Int, Long, Long)].collect()
+    assert(rawSalted.length == 2 * (12 * 11 / 2) &&
+      rawSalted.toSet.size == rawSalted.length)
+    assert(rawSalted.toSet == rawPlain.toSet)
+    // the degenerate mega-bucket through the public operator still yields
+    // every real pair after dedup
     val many = (1 to 40).map(i => (i.toLong, "same same text")).toDF("doc_id", "text")
-    val saltedMany = SimHash.candidatePairs(many, "doc_id", "text", saltAbove = 1)
-      .select("id_a", "id_b").as[(Long, Long)].collect()
-    assert(saltedMany.length == 40 * 39 / 2 && saltedMany.toSet.size == saltedMany.length)
+    assert(SimHash.candidatePairs(many, "doc_id", "text", saltAbove = 1)
+      .count() == 40L * 39 / 2)
   }
 
   test("dedup operators leave no cached RDDs behind (round-1 leak)") {

@@ -310,6 +310,25 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(a.length == 96 * 96 && a.sameElements(b))
   }
 
+  test("uncompressed stripped BigTIFF with predictor 2 decodes via the full-strip path") {
+    // legal tag combo some writers leave behind (predictor kept, codec
+    // stripped): the raw seek-read CANNOT undo row deltas that start at
+    // column 0, so this must route through the full-strip decode —
+    // pixels must equal the predictor-less twin, across window splits
+    def v(c: Int, r: Int): Double = ((c * 31 + r * 17) % 251).toDouble
+    val pred = TiffFixtures.writeBigTiff(s"$tmp/big43up2.tif", 300, 200, v,
+      -180.0, 90.0, 1.0, None, rowsPerStrip = 16,
+      dtype = TiffFixtures.U8, compression = 1, predictor = 2)
+    val plain = TiffFixtures.writeBigTiff(s"$tmp/big43up1.tif", 300, 200, v,
+      -180.0, 90.0, 1.0, None, rowsPerStrip = 16, dtype = TiffFixtures.U8)
+    val m = graft.sources.tiff.TiffTags.read(pred)
+    assert(m.compression == 1 && m.predictor == 2)
+    val a = Raster.raster2df(spark, Seq(pred), maxBlockSize = 128)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val b = Raster.raster2df(spark, Seq(plain)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.length == 300 * 200 && a.sameElements(b))
+  }
+
   test("tiled DEFLATE BigTIFF (the COG shape) == stripped DEFLATE == uncompressed pixels") {
     // cloud-optimized GeoTIFFs are TILED + DEFLATE (+ predictor 2 for u8);
     // 64×48 tiles over a 300×200 grid leaves padded edge tiles on both axes

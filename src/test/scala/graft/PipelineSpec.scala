@@ -458,23 +458,39 @@ class PipelineSpec extends SparkSpec {
       .count()
     assert(bothKept === 0L,
       s"$bothKept near-dup pairs kept both endpoints — the action dropped nothing")
-    // pack ONLY the survivors (the "ahead of packing" wiring): quotient
-    // bins over the kept slice conserve the survivors' q157-tokenization
-    // total — no token appears twice and none is lost
+    // pack ONLY the survivors (the "ahead of packing" wiring): the
+    // quotient binning of the kept slice, computed by the DataFrame
+    // window, must equal an independent driver-side fold over the same
+    // rows in the same (user_id, session_id) order — a real
+    // cross-implementation check of the cum/bin arithmetic (a
+    // partition-and-resum identity would hold for ANY bin assignment)
     val convTok = fullRendered
       .filter(col("user_id") < 5)
       .join(kept, Seq("user_id", "session_id"))
-      .select(size(split(col("rendered"), " ")).cast("long").as("nt"))
+      .select(col("user_id").cast("long"), col("session_id").cast("long"),
+        size(split(col("rendered"), " ")).cast("long").as("nt"))
       .localCheckpoint(true)
-    val keptTokens = convTok.agg(sum(col("nt"))).as[Long].head()
-    val packedKept = convTok
-      .withColumn("cum", sum(col("nt")).over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("nt"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-      .withColumn("bin", floor((col("cum") - col("nt")) / 2048.0))
-      .groupBy(col("bin")).agg(sum(col("nt")).as("bin_tokens"))
-    assert(packedKept.agg(sum(col("bin_tokens"))).as[Long].head() === keptTokens,
-      "packing the deduped survivors must conserve their token total")
+    val wPack = org.apache.spark.sql.expressions.Window
+      .orderBy(col("user_id"), col("session_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val dfBins = convTok
+      .withColumn("cum", sum(col("nt")).over(wPack))
+      .withColumn("bin", floor((col("cum") - col("nt")) / 2048.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("nt")).as("bin_tokens"))
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val folded = scala.collection.mutable.Map[Long, (Long, Long)]()
+    var cum = 0L
+    convTok.orderBy(col("user_id"), col("session_id"))
+      .as[(Long, Long, Long)].collect().foreach { case (_, _, nt) =>
+        val bin = cum / 2048L
+        val (n0, t0) = folded.getOrElse(bin, (0L, 0L))
+        folded(bin) = (n0 + 1, t0 + nt)
+        cum += nt
+      }
+    assert(dfBins == folded.toMap,
+      s"survivor packing bins diverge: window=$dfBins fold=${folded.toMap}")
+    assert(cum > 0 && dfBins.values.map(_._2).sum === cum)
   }
 }

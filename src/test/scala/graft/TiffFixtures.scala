@@ -378,7 +378,8 @@ object TiffFixtures {
     val ndOff = cur
     ndBytes.foreach { b => if (b.length > 8) cur += b.length }
     val ifdOff = cur
-    val nTags = 13 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0)
+    // 12 unconditional entries: 256,257,258,259,277,322,323,324,325,339,33550,33922
+    val nTags = 12 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0)
     val total = (ifdOff + 8 + nTags * 20 + 8).toInt
     val buf = ByteBuffer.allocate(total).order(order)
     val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
