@@ -283,11 +283,18 @@ private[tiff] final class AwtPixelGrid(r: java.awt.image.Raster, band: Int = 0) 
   * columns extracted ([[StripDecode]], O(strip + window) memory); TILED
   * layouts (COG) decode each overlapping tile once (O(tile + window)).
   */
-private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWindow)
+private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWindow,
+    band: Int = 0)
   extends PixelGrid {
 
+  require(band >= 0 && band < meta.samplesPerPixel,
+    s"${meta.path}: band ${band + 1} of ${meta.samplesPerPixel} requested")
   private val bytesPer = meta.bitsPerSample / 8
-  private val rowBytes = window.width * bytesPer
+  // chunky (pixel-interleaved) layout: a pixel's samples are adjacent,
+  // so band selection is a fixed byte offset within the pixel stride
+  private val pixBytes = bytesPer * meta.samplesPerPixel
+  private val rowBytes = window.width * pixBytes
+  private val bandOff = band * bytesPer
   private val buf: java.nio.ByteBuffer = {
     val arr =
       if (meta.tiled) StripDecode.readTiledWindow(meta, window, bytesPer)
@@ -303,7 +310,7 @@ private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWi
       else java.nio.ByteOrder.BIG_ENDIAN)
   }
 
-  private def idx(x: Int, y: Int): Int = y * rowBytes + x * bytesPer
+  private def idx(x: Int, y: Int): Int = y * rowBytes + x * pixBytes + bandOff
 
   /** Integer sample with the same conventions as AWT's getSample: unsigned
     * widths zero-extend, signed widths sign-extend, 32-bit returns raw bits
@@ -356,9 +363,10 @@ class GeoTiffPartitionReader(
     val arr = new Array[PixelGrid](metas.length)
     valueIdx.foreach { i =>
       if (metas(i).bigTiff) {
-        require(bands(i) == 1,
-          s"${metas(i).path}: BigTIFF raw reader is single-band; band ${bands(i)} requested")
-        arr(i) = new RawStripGrid(metas(i), window)
+        require(bands(i) >= 1 && bands(i) <= metas(i).samplesPerPixel,
+          s"${metas(i).path}: band ${bands(i)} out of range " +
+            s"(raster has ${metas(i).samplesPerPixel} bands)")
+        arr(i) = new RawStripGrid(metas(i), window, bands(i) - 1)
       } else {
         val reader = ImageIO.getImageReadersByFormatName("tiff").next()
         val iis = ImageIO.createImageInputStream(new File(metas(i).path))

@@ -33,7 +33,9 @@ private[tiff] object StripDecode {
     * * bytesPerSample).
     */
   def readRawWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int): Array[Byte] = {
-    val rowBytes = window.width * bytesPer
+    val spp = meta.samplesPerPixel
+    val pixBytes = bytesPer * spp
+    val rowBytes = window.width * pixBytes
     val raf = new RandomAccessFile(meta.path, "r")
     try {
       val arr = new Array[Byte](rowBytes * window.height)
@@ -43,7 +45,7 @@ private[tiff] object StripDecode {
         val strip = (row / meta.rowsPerStrip).toInt
         val rowInStrip = row % meta.rowsPerStrip
         raf.seek(meta.stripOffsets(strip) +
-          (rowInStrip * meta.width + window.colOff) * bytesPer)
+          (rowInStrip * meta.width + window.colOff) * pixBytes)
         raf.readFully(arr, y * rowBytes, rowBytes)
         y += 1
       }
@@ -56,7 +58,8 @@ private[tiff] object StripDecode {
     * width, then copy the window's columns of the window's rows.
     */
   def readCompressedWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int): Array[Byte] = {
-    val rowBytes = window.width * bytesPer
+    val pixBytes = bytesPer * meta.samplesPerPixel
+    val rowBytes = window.width * pixBytes
     val out = new Array[Byte](rowBytes * window.height)
     val raf = new RandomAccessFile(meta.path, "r")
     try {
@@ -72,7 +75,7 @@ private[tiff] object StripDecode {
         val yHi = math.min((window.rowOff + window.height).toLong, stripRow0 + rowsInStrip)
         var y = yLo
         while (y < yHi) {
-          val srcOff = ((y - stripRow0) * meta.width + window.colOff).toInt * bytesPer
+          val srcOff = ((y - stripRow0) * meta.width + window.colOff).toInt * pixBytes
           val dstOff = (y - window.rowOff).toInt * rowBytes
           System.arraycopy(strip, srcOff, out, dstOff, rowBytes)
           y += 1
@@ -96,7 +99,8 @@ private[tiff] object StripDecode {
     val tw = meta.tileWidth
     val tl = meta.tileLength
     val tilesAcross = (meta.width + tw - 1) / tw
-    val rowBytes = window.width * bytesPer
+    val pixBytes = bytesPer * meta.samplesPerPixel
+    val rowBytes = window.width * pixBytes
     val out = new Array[Byte](rowBytes * window.height)
     val raf = new RandomAccessFile(meta.path, "r")
     try {
@@ -114,11 +118,11 @@ private[tiff] object StripDecode {
           val x1 = math.min(window.colOff + window.width, (tc + 1) * tw)
           val y0 = math.max(window.rowOff, tr * tl)
           val y1 = math.min(window.rowOff + window.height, (tr + 1) * tl)
-          val runBytes = (x1 - x0) * bytesPer
+          val runBytes = (x1 - x0) * pixBytes
           var y = y0
           while (y < y1) {
-            val srcOff = ((y - tr * tl) * tw + (x0 - tc * tw)) * bytesPer
-            val dstOff = (y - window.rowOff) * rowBytes + (x0 - window.colOff) * bytesPer
+            val srcOff = ((y - tr * tl) * tw + (x0 - tc * tw)) * pixBytes
+            val dstOff = (y - window.rowOff) * rowBytes + (x0 - window.colOff) * pixBytes
             System.arraycopy(tile, srcOff, out, dstOff, runBytes)
             y += 1
           }
@@ -154,7 +158,8 @@ private[tiff] object StripDecode {
       tiled: Boolean): Array[Byte] = {
     val offsets = if (tiled) meta.tileOffsets else meta.stripOffsets
     val kind = if (tiled) "tile" else "strip"
-    val expected = rows * rowWidth * bytesPer
+    val spp = meta.samplesPerPixel
+    val expected = rows * rowWidth * bytesPer * spp
     val out = new Array[Byte](expected)
     if (meta.compression == 1) {
       raf.seek(offsets(chunkIdx))
@@ -192,37 +197,41 @@ private[tiff] object StripDecode {
       }
     }
     if (meta.predictor == 2)
-      unpredict(out, rows, rowWidth, bytesPer, meta.littleEndian)
+      unpredict(out, rows, rowWidth, bytesPer, meta.littleEndian, spp)
     out
   }
 
   /** Undo TIFF predictor 2 (horizontal differencing) in place: within each
-    * row, each sample is stored as the delta from its left neighbour, per
-    * sample width, in the file's byte order. Integer samples only (the float
-    * predictor, 3, is rejected at tag-read time).
+    * row, each sample is stored as the delta from the SAME CHANNEL of the
+    * pixel to its left (stride = samplesPerPixel in the chunky layout —
+    * spp = 1 degenerates to the plain left neighbour), per sample width, in
+    * the file's byte order. Integer samples only (the float predictor, 3,
+    * is rejected at tag-read time).
     */
   private def unpredict(arr: Array[Byte], rowsInStrip: Int, w: Int,
-      bytesPer: Int, littleEndian: Boolean): Unit = {
+      bytesPer: Int, littleEndian: Boolean, spp: Int): Unit = {
+    val rowSamples = w * spp
     bytesPer match {
       case 1 =>
         var r = 0
         while (r < rowsInStrip) {
-          val base = r * w
-          var x = 1
-          while (x < w) { arr(base + x) = (arr(base + x) + arr(base + x - 1)).toByte; x += 1 }
+          val base = r * rowSamples
+          var x = spp
+          while (x < rowSamples) { arr(base + x) = (arr(base + x) + arr(base + x - spp)).toByte; x += 1 }
           r += 1
         }
       case _ =>
         val bb = ByteBuffer.wrap(arr).order(
           if (littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        val stride = spp * bytesPer
         var r = 0
         while (r < rowsInStrip) {
-          val base = r * w * bytesPer
-          var x = 1
-          while (x < w) {
+          val base = r * rowSamples * bytesPer
+          var x = spp
+          while (x < rowSamples) {
             val i = base + x * bytesPer
-            if (bytesPer == 2) bb.putShort(i, (bb.getShort(i) + bb.getShort(i - 2)).toShort)
-            else bb.putInt(i, bb.getInt(i) + bb.getInt(i - 4))
+            if (bytesPer == 2) bb.putShort(i, (bb.getShort(i) + bb.getShort(i - stride)).toShort)
+            else bb.putInt(i, bb.getInt(i) + bb.getInt(i - stride))
             x += 1
           }
           r += 1

@@ -17,7 +17,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   * source decodes chunks itself ([[GeoTiffPartitionReader]] via
   * [[StripDecode]]): uncompressed, DEFLATE, and LZW, with the horizontal-
   * differencing predictor — the layouts GDAL writes for real large rasters.
-  * Unsupported layouts (multi-band BigTIFF, other codecs) are rejected with
+  * Multi-band BigTIFF decodes in the chunky (pixel-interleaved) layout;
+  * unsupported layouts (planar multi-band, other codecs) are rejected with
   * a typed error rather than garbage.
   *
   * Tags read:
@@ -238,9 +239,31 @@ object TiffTags {
           s"$path: TIFF predictor $predictor unsupported (1=none, 2=horizontal differencing)")
         require(predictor == 1 || sampleFormat != 3,
           s"$path: predictor 2 over float samples is unsupported (predictor 3 territory)")
+        // multi-band: chunky (pixel-interleaved, PlanarConfiguration 1 —
+        // the GDAL INTERLEAVE=PIXEL default) decodes natively; planar
+        // (separate sample planes) gets a typed error. BitsPerSample /
+        // SampleFormat carry one entry per band — mixed-depth bands are
+        // rejected, uniform ones collapse to the single value the decode
+        // math uses.
         val spp = shortOrLong(277, 1)
-        require(spp == 1,
-          s"$path: BigTIFF SamplesPerPixel $spp unsupported (only single-band)")
+        require(spp >= 1 && spp <= 16,
+          s"$path: implausible BigTIFF SamplesPerPixel $spp")
+        if (spp > 1) {
+          val planar = shortOrLong(284, 1)
+          require(planar == 1,
+            s"$path: BigTIFF PlanarConfiguration $planar unsupported " +
+              "(only 1 = chunky/pixel-interleaved)")
+        }
+        def uniform(tag: Int, name: String, got: Int): Unit =
+          entries.get(tag).foreach { e =>
+            val b = payload(e)
+            val vals = (0 until e.count.toInt).map(i => intAt(e, b, i)).distinct
+            require(vals.size == 1 && vals.head == got.toLong,
+              s"$path: per-band $name values ${vals.mkString(",")} unsupported " +
+                "(bands must share one sample layout)")
+          }
+        uniform(258, "BitsPerSample", bps)
+        uniform(339, "SampleFormat", sampleFormat)
         if (entries.contains(322) || entries.contains(324)) {
           // Tiled layout (tags 322/323/324/325) — the cloud-optimized
           // GeoTIFF (COG) shape: TILED + DEFLATE is the modern distribution
@@ -263,7 +286,7 @@ object TiffTags {
               s"$path: compressed tiled BigTIFF missing TileByteCounts (325)")).toIndexedSeq
           RasterMeta(path, width, height, bps, sampleFormat,
             scale(0), scale(1), originX, originY, noData,
-            samplesPerPixel = 1,
+            samplesPerPixel = spp,
             bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
             compression = compression, predictor = predictor,
             tileWidth = tw, tileLength = tl,
@@ -280,7 +303,7 @@ object TiffTags {
             s"$path: compressed BigTIFF missing StripByteCounts (279)")).toIndexedSeq
         RasterMeta(path, width, height, bps, sampleFormat,
           scale(0), scale(1), originX, originY, noData,
-          samplesPerPixel = 1,
+          samplesPerPixel = spp,
           bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
           rowsPerStrip = rps, stripOffsets = offsets,
           compression = compression, predictor = predictor, stripByteCounts = byteCounts)

@@ -382,6 +382,68 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(z == 0L)
   }
 
+  test("multi-band BigTIFF (chunky) reads bands as columns, equal to classic RGB") {
+    // same band data as the classic RGB test, as a pixel-interleaved
+    // DEFLATE + predictor-2 stripped BigTIFF: band selection is a byte
+    // offset in the pixel stride, the predictor differences per channel
+    def bv(b: Int, c: Int, r: Int): Double = b match {
+      case 0 => c * 10
+      case 1 => r * 20
+      case _ => c + r
+    }
+    val big = TiffFixtures.writeBigTiff(s"$tmp/big_rgb.tif", 10, 8, null,
+      10.0, 50.0, 0.5, None, rowsPerStrip = 3,
+      dtype = TiffFixtures.U8, compression = 8, predictor = 2,
+      spp = 3, bandValue = bv)
+    val m = graft.sources.tiff.TiffTags.read(big)
+    assert(m.bigTiff && m.samplesPerPixel == 3 && m.compression == 8 && m.predictor == 2)
+    val classic = TiffFixtures.writeRGB(s"$tmp/big_rgb_classic.tif", 10, 8,
+      (band, c, r) => bv(band - 1, c, r).toInt, 10.0, 50.0, 0.5)
+    val dfB = Raster.raster2df(spark, Seq(big, big, big),
+      colNames = Seq("red", "green", "blue"), bands = Seq(1, 2, 3))
+    val dfC = Raster.raster2df(spark, Seq(classic, classic, classic),
+      colNames = Seq("red", "green", "blue"), bands = Seq(1, 2, 3))
+    val a = dfB.orderBy("lat", "lon").collect().map(_.toSeq)
+    val b = dfC.orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.length == 80 && a.sameElements(b))
+    // windows that split the grid agree with the single-window read
+    val many = Raster.raster2df(spark, Seq(big, big, big),
+      colNames = Seq("red", "green", "blue"), bands = Seq(1, 2, 3), maxBlockSize = 4)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(many.sameElements(a))
+  }
+
+  test("multi-band TILED BigTIFF == its stripped twin; planar and bad bands reject") {
+    def bv(b: Int, c: Int, r: Int): Double = b match {
+      case 0 => (c * 7 + r) % 251
+      case _ => (r * 5 + c) % 251
+    }
+    val tiled = TiffFixtures.writeBigTiffTiled(s"$tmp/cog_rgb.tif", 30, 20, null,
+      0.0, 10.0, 0.5, None, tileWidth = 16, tileLength = 8,
+      dtype = TiffFixtures.U8, compression = 8, predictor = 2,
+      spp = 2, bandValue = bv)
+    val stripped = TiffFixtures.writeBigTiff(s"$tmp/cog_rgb_s.tif", 30, 20, null,
+      0.0, 10.0, 0.5, None, rowsPerStrip = 4,
+      dtype = TiffFixtures.U8, spp = 2, bandValue = bv)
+    def both(p: String) = Raster.raster2df(spark, Seq(p, p),
+      colNames = Seq("b1", "b2"), bands = Seq(1, 2))
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val t = both(tiled)
+    assert(t.length == 30 * 20 && t.sameElements(both(stripped)))
+    // planar multi-band: typed rejection at tag-read time
+    val planar = TiffFixtures.writeBigTiff(s"$tmp/planar.tif", 10, 8, null,
+      0.0, 10.0, 0.5, None, spp = 2, bandValue = bv, planarOverride = 2)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.tiff.TiffTags.read(planar)
+    }
+    assert(e.getMessage.contains("PlanarConfiguration 2 unsupported"))
+    // out-of-range band: typed rejection at read time
+    val e2 = intercept[Exception] {
+      Raster.raster2df(spark, Seq(tiled), colNames = Seq("v"), bands = Seq(3)).collect()
+    }
+    assert(e2.getMessage != null)
+  }
+
   test("LZW decoder matches the JDK's independent LZW encoder byte-for-byte") {
     // the JDK TIFF writer is an independent LZW implementation: decoding its
     // strips pins the early-change rule empirically (not just round-trip)

@@ -161,7 +161,10 @@ object TiffFixtures {
       bigEndian: Boolean = false,
       dtype: Dtype = F32,
       compression: Int = 1,
-      predictor: Int = 1): String = {
+      predictor: Int = 1,
+      spp: Int = 1,
+      bandValue: (Int, Int, Int) => Double = null,
+      planarOverride: Int = 0): String = {
     import java.nio.{ByteBuffer, ByteOrder}
     val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val (bps, sampleFormat) = dtype match {
@@ -171,31 +174,39 @@ object TiffFixtures {
     }
     require(predictor == 1 || dtype != F32, "predictor 2 requires integer samples")
     require(Set(1, 5, 8).contains(compression), s"fixture compression $compression unsupported")
+    require(spp >= 1 && spp <= 4, "fixture spp must be 1..4 (per-band tags written inline)")
+    require(spp == 1 || bandValue != null, "multi-band fixtures need bandValue(band, c, r)")
     val bytesPer = bps / 8
     val rps = if (rowsPerStrip <= 0) height else rowsPerStrip
     val nStrips = (height + rps - 1) / rps
+    def sampleAt(b: Int, c: Int, r: Int): Double =
+      if (spp == 1) value(c, r) else bandValue(b, c, r)
 
-    // per-strip payloads: raw samples -> predictor differencing -> codec
+    // per-strip payloads: raw samples (chunky: bands adjacent per pixel)
+    // -> predictor differencing (stride = spp) -> codec
     val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
       val rows = math.min(rps, height - s * rps)
-      val raw = ByteBuffer.allocate(rows * width * bytesPer).order(order)
-      for (r <- s * rps until s * rps + rows; c <- 0 until width) dtype match {
-        case F32 => raw.putFloat(value(c, r).toFloat)
-        case U8 => raw.put((value(c, r).toInt & 0xff).toByte)
-        case S16 => raw.putShort(value(c, r).toInt.toShort)
-      }
+      val raw = ByteBuffer.allocate(rows * width * bytesPer * spp).order(order)
+      for (r <- s * rps until s * rps + rows; c <- 0 until width; b <- 0 until spp)
+        dtype match {
+          case F32 => raw.putFloat(sampleAt(b, c, r).toFloat)
+          case U8 => raw.put((sampleAt(b, c, r).toInt & 0xff).toByte)
+          case S16 => raw.putShort(sampleAt(b, c, r).toInt.toShort)
+        }
       val arr = raw.array()
       if (predictor == 2) {
         val bb = ByteBuffer.wrap(arr).order(order)
+        val rowSamples = width * spp
+        val stride = spp * bytesPer
         for (r <- 0 until rows) {
-          val base = r * width * bytesPer
-          var x = width - 1
-          while (x >= 1) {
+          val base = r * rowSamples * bytesPer
+          var x = rowSamples - 1
+          while (x >= spp) {
             val i = base + x * bytesPer
             bytesPer match {
-              case 1 => arr(i) = (arr(i) - arr(i - 1)).toByte
-              case 2 => bb.putShort(i, (bb.getShort(i) - bb.getShort(i - 2)).toShort)
-              case _ => bb.putInt(i, bb.getInt(i) - bb.getInt(i - 4))
+              case 1 => arr(i) = (arr(i) - arr(i - stride)).toByte
+              case 2 => bb.putShort(i, (bb.getShort(i) - bb.getShort(i - stride)).toShort)
+              case _ => bb.putInt(i, bb.getInt(i) - bb.getInt(i - stride))
             }
             x -= 1
           }
@@ -229,7 +240,8 @@ object TiffFixtures {
     val ndOff = cur
     ndBytes.foreach { b => if (b.length > 8) cur += b.length }
     val ifdOff = cur
-    val nTags = 11 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0)
+    val nTags = 11 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0) +
+      (if (spp > 1 || planarOverride > 0) 1 else 0)
     val total = (ifdOff + 8 + nTags * 20 + 8).toInt
     val buf = ByteBuffer.allocate(total).order(order)
     // header: II/MM, 43, offset-size 8, pad 0, IFD offset
@@ -260,17 +272,22 @@ object TiffFixtures {
     }
     entry(256, 4, 1)(_.putInt(width))              // ImageWidth
     entry(257, 4, 1)(_.putInt(height))             // ImageLength
-    entry(258, 3, 1)(_.putShort(bps.toShort))      // BitsPerSample
+    entry(258, 3, spp.toLong)(b =>                 // BitsPerSample (per band; spp<=4 fits inline)
+      (0 until spp).foreach(_ => b.putShort(bps.toShort)))
     entry(259, 3, 1)(_.putShort(compression.toShort)) // Compression
     entry(273, 16, nStrips.toLong)(b =>            // StripOffsets (LONG8)
       if (nStrips == 1) b.putLong(stripOff(0)) else b.putLong(soOff))
-    entry(277, 3, 1)(_.putShort(1))                // SamplesPerPixel
+    entry(277, 3, 1)(_.putShort(spp.toShort))      // SamplesPerPixel
     entry(278, 4, 1)(_.putInt(rps))                // RowsPerStrip
     entry(279, 16, nStrips.toLong)(b =>            // StripByteCounts (LONG8)
       if (nStrips == 1) b.putLong(stripCnt(0)) else b.putLong(scOff))
+    if (spp > 1 || planarOverride > 0)
+      entry(284, 3, 1)(_.putShort(                 // PlanarConfiguration
+        (if (planarOverride > 0) planarOverride else 1).toShort))
     if (predictor != 1)
       entry(317, 3, 1)(_.putShort(predictor.toShort)) // Predictor
-    entry(339, 3, 1)(_.putShort(sampleFormat.toShort)) // SampleFormat
+    entry(339, 3, spp.toLong)(b =>                 // SampleFormat (per band)
+      (0 until spp).foreach(_ => b.putShort(sampleFormat.toShort)))
     entry(33550, 12, 3)(_.putLong(scaleOff))       // ModelPixelScale
     entry(33922, 12, 6)(_.putLong(tieOff))         // ModelTiepoint
     ndBytes.foreach { b =>
@@ -304,7 +321,9 @@ object TiffFixtures {
       bigEndian: Boolean = false,
       dtype: Dtype = F32,
       compression: Int = 1,
-      predictor: Int = 1): String = {
+      predictor: Int = 1,
+      spp: Int = 1,
+      bandValue: (Int, Int, Int) => Double = null): String = {
     import java.nio.{ByteBuffer, ByteOrder}
     val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val (bps, sampleFormat) = dtype match {
@@ -314,6 +333,8 @@ object TiffFixtures {
     }
     require(predictor == 1 || dtype != F32, "predictor 2 requires integer samples")
     require(Set(1, 5, 8).contains(compression), s"fixture compression $compression unsupported")
+    require(spp >= 1 && spp <= 4, "fixture spp must be 1..4 (per-band tags written inline)")
+    require(spp == 1 || bandValue != null, "multi-band fixtures need bandValue(band, c, r)")
     val bytesPer = bps / 8
     val tilesAcross = (width + tileWidth - 1) / tileWidth
     val tilesDown = (height + tileLength - 1) / tileLength
@@ -322,11 +343,15 @@ object TiffFixtures {
     val tiles: Array[Array[Byte]] = Array.tabulate(nTiles) { t =>
       val tc = t % tilesAcross
       val tr = t / tilesAcross
-      val raw = ByteBuffer.allocate(tileWidth * tileLength * bytesPer).order(order)
+      val raw = ByteBuffer.allocate(tileWidth * tileLength * bytesPer * spp).order(order)
       for (r <- tr * tileLength until (tr + 1) * tileLength;
-           c <- tc * tileWidth until (tc + 1) * tileWidth) {
+           c <- tc * tileWidth until (tc + 1) * tileWidth;
+           b <- 0 until spp) {
         // pad cells (outside the image) are zero samples
-        val v = if (r < height && c < width) value(c, r) else 0.0
+        val v =
+          if (r >= height || c >= width) 0.0
+          else if (spp == 1) value(c, r)
+          else bandValue(b, c, r)
         dtype match {
           case F32 => raw.putFloat(v.toFloat)
           case U8 => raw.put((v.toInt & 0xff).toByte)
@@ -336,15 +361,17 @@ object TiffFixtures {
       val arr = raw.array()
       if (predictor == 2) {
         val bb = ByteBuffer.wrap(arr).order(order)
+        val rowSamples = tileWidth * spp
+        val stride = spp * bytesPer
         for (r <- 0 until tileLength) {
-          val base = r * tileWidth * bytesPer
-          var x = tileWidth - 1
-          while (x >= 1) {
+          val base = r * rowSamples * bytesPer
+          var x = rowSamples - 1
+          while (x >= spp) {
             val i = base + x * bytesPer
             bytesPer match {
-              case 1 => arr(i) = (arr(i) - arr(i - 1)).toByte
-              case 2 => bb.putShort(i, (bb.getShort(i) - bb.getShort(i - 2)).toShort)
-              case _ => bb.putInt(i, bb.getInt(i) - bb.getInt(i - 4))
+              case 1 => arr(i) = (arr(i) - arr(i - stride)).toByte
+              case 2 => bb.putShort(i, (bb.getShort(i) - bb.getShort(i - stride)).toShort)
+              case _ => bb.putInt(i, bb.getInt(i) - bb.getInt(i - stride))
             }
             x -= 1
           }
@@ -379,7 +406,8 @@ object TiffFixtures {
     ndBytes.foreach { b => if (b.length > 8) cur += b.length }
     val ifdOff = cur
     // 12 unconditional entries: 256,257,258,259,277,322,323,324,325,339,33550,33922
-    val nTags = 12 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0)
+    val nTags = 12 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0) +
+      (if (spp > 1) 1 else 0)
     val total = (ifdOff + 8 + nTags * 20 + 8).toInt
     val buf = ByteBuffer.allocate(total).order(order)
     val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
@@ -406,9 +434,12 @@ object TiffFixtures {
     }
     entry(256, 4, 1)(_.putInt(width))              // ImageWidth
     entry(257, 4, 1)(_.putInt(height))             // ImageLength
-    entry(258, 3, 1)(_.putShort(bps.toShort))      // BitsPerSample
+    entry(258, 3, spp.toLong)(b =>                 // BitsPerSample (per band)
+      (0 until spp).foreach(_ => b.putShort(bps.toShort)))
     entry(259, 3, 1)(_.putShort(compression.toShort)) // Compression
-    entry(277, 3, 1)(_.putShort(1))                // SamplesPerPixel
+    entry(277, 3, 1)(_.putShort(spp.toShort))      // SamplesPerPixel
+    if (spp > 1)
+      entry(284, 3, 1)(_.putShort(1))              // PlanarConfiguration (chunky)
     if (predictor != 1)
       entry(317, 3, 1)(_.putShort(predictor.toShort)) // Predictor
     entry(322, 4, 1)(_.putInt(tileWidth))          // TileWidth
@@ -417,7 +448,8 @@ object TiffFixtures {
       if (nTiles == 1) b.putLong(tileOff(0)) else b.putLong(toOff))
     entry(325, 16, nTiles.toLong)(b =>             // TileByteCounts (LONG8)
       if (nTiles == 1) b.putLong(tileCnt(0)) else b.putLong(tcOff))
-    entry(339, 3, 1)(_.putShort(sampleFormat.toShort)) // SampleFormat
+    entry(339, 3, spp.toLong)(b =>                 // SampleFormat (per band)
+      (0 until spp).foreach(_ => b.putShort(sampleFormat.toShort)))
     entry(33550, 12, 3)(_.putLong(scaleOff))       // ModelPixelScale
     entry(33922, 12, 6)(_.putLong(tieOff))         // ModelTiepoint
     ndBytes.foreach { b =>
