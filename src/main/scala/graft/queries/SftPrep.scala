@@ -575,82 +575,20 @@ object SftPrep {
        |WHERE cid = cluster_id
        |ORDER BY user_id, session_id""".stripMargin
 
-  /** B29 — q163: the packing-strategy A/B the q161 card motivates — per
-    * shard, the shipped cumulative-quotient scheme vs TRUE first-fit (hard
-    * Capacity, arrival order) vs best-fit-decreasing (size-descending,
-    * fullest fitting bin, the classic ~11/9·OPT heuristic), plus the
-    * ceil(total/Capacity) lower bound. Conversations never split; a
-    * conversation longer than Capacity opens its own permanently-oversize
-    * bin under every strategy, so the oversize overflow is
-    * strategy-invariant and reported once. All integer arithmetic.
-    *
-    * Scale posture: the greedy folds are inherently sequential PER SHARD
-    * (each placement depends on all earlier fills), so they run as one
-    * `mapGroups` per shard — the q58 sub-shard contract bounds a shard's
-    * conversation count by construction, shards fan out across the
-    * cluster, and nothing ever collects to the driver. The oracle replays
-    * both folds as recursive CTEs carrying the bin-fill list.
+  /** B29 — q163: the packing-strategy A/B the q161 card motivates
+    * ([[graft.operators.Packing.strategyAb]] — quotient vs TRUE first-fit
+    * vs best-fit-decreasing, per shard, plus the ceil(total/Capacity)
+    * lower bound; all integer arithmetic; the operator doc carries the
+    * per-shard sequential-fold scale contract). The oracle replays both
+    * greedy folds as recursive CTEs carrying the bin-fill list.
     */
-  private def q163(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val cap = Capacity.toLong
-    convTokens(s, dir)
-      .select(col("shard"), col("user_id").cast("long"),
-        col("session_id").cast("long"), col("n_tokens").cast("long"))
-      .as[(Int, Long, Long, Long)]
-      .groupByKey(_._1)
-      .mapGroups { (shard, it) =>
-        // local defs only: closures over enclosing-object methods are the
-        // repo's documented Task-not-serializable trap
-        val convs = it.map { case (_, u, sess, n) => (u, sess, n) }.toArray
-        def fold(order: Array[(Long, Long, Long)], bestFit: Boolean)
-            : (Long, Long) = {
-          val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-          order.foreach { case (_, _, n) =>
-            var pick = -1
-            var best = -1L
-            var i = 0
-            while (i < fills.length) {
-              if (fills(i) + n <= cap &&
-                  (pick < 0 || (bestFit && fills(i) > best))) {
-                pick = i; best = fills(i)
-                if (!bestFit) i = fills.length // first fit: stop at first
-              }
-              i += 1
-            }
-            if (pick < 0) fills += n else fills(pick) += n
-          }
-          (fills.length.toLong,
-            fills.map(f => math.max(0L, cap - f)).sum)
-        }
-        val arrival = convs.sortBy { case (u, sess, _) => (u, sess) }
-        val bySize = convs.sortBy { case (u, sess, n) => (-n, u, sess) }
-        val (ffBins, ffPad) = fold(arrival, bestFit = false)
-        val (bfdBins, bfdPad) = fold(bySize, bestFit = true)
-        // the shipped quotient scheme, replayed on the same arrival order
-        var cum = 0L
-        val byBin = scala.collection.mutable.LongMap.empty[Long]
-        arrival.foreach { case (_, _, n) =>
-          val bin = cum / cap
-          byBin(bin) = byBin.getOrElse(bin, 0L) + n
-          cum += n
-        }
-        // a plain tuple, not a case class of the enclosing object: the
-        // closure must not capture SftPrep (Task not serializable)
-        (shard, convs.length.toLong, cum,
-          convs.count(_._3 > cap).toLong,
-          convs.map(c => math.max(0L, c._3 - cap)).sum,
-          (cum + cap - 1) / cap,
-          byBin.size.toLong,
-          byBin.values.map(f => math.max(0L, cap - f)).sum,
-          byBin.values.map(f => math.max(0L, f - cap)).sum,
-          ffBins, ffPad, bfdBins, bfdPad)
-      }
-      .toDF("shard", "n_convs", "total_tokens", "oversize_convs",
-        "oversize_overflow", "lb_bins", "q_bins", "q_padding", "q_overflow",
-        "ff_bins", "ff_padding", "bfd_bins", "bfd_padding")
+  private def q163(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.strategyAb(
+      convTokens(s, dir)
+        .select(col("shard"), col("user_id").cast("long").as("k1"),
+          col("session_id").cast("long").as("k2"), col("n_tokens")),
+      Capacity.toLong)
       .orderBy(col("shard"))
-  }
 
   /** One recursive bin-fill fold as SQL: `$tag` prefixes the CTE names,
     * `$orderExpr` fixes the placement order, `$posExpr` picks the bin
@@ -721,7 +659,9 @@ object SftPrep {
        |      AS oversize_convs,
        |    CAST(SUM(GREATEST(0, n_tokens - $Capacity)) AS BIGINT)
        |      AS oversize_overflow,
-       |    CAST((SUM(n_tokens) + ${Capacity - 1}) // $Capacity AS BIGINT)
+       |    CAST(SUM(CASE WHEN n_tokens > $Capacity THEN 1 ELSE 0 END)
+       |      + (SUM(CASE WHEN n_tokens <= $Capacity THEN n_tokens ELSE 0 END)
+       |         + ${Capacity - 1}) // $Capacity AS BIGINT)
        |      AS lb_bins
        |  FROM convt GROUP BY shard
        |)

@@ -220,6 +220,40 @@ object ScaleRehearsal {
         s""""unsalted_sec":$tU,"salted_sec":$tS}""")
       Seq((nU, tU, tS)).toDF("pairs", "unsalted_sec", "salted_sec")
     }),
+    // q163's strategy A/B at the scale where the strategies genuinely
+    // differ: sf0.1's conversations average ~16 tokens against a 2048
+    // capacity (every strategy lands within 0.5% of the lower bound —
+    // recorded honestly in BASELINE), so this mode packs 1M synthetic
+    // conversations with a lognormal size profile (median ~400, heavy
+    // tail past capacity) over 1000 shards. The per-shard sequential fold
+    // is the parallel unit — 1000 shards fan out across the cluster.
+    "pack_ab_1m" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val items = s.range(1000000L).mapPartitions { it =>
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 5L)
+          val n = math.max(8L, math.min(6144L,
+            math.exp(rng.nextGaussian() * 0.9 + 6.0).toLong))
+          ((id % 1000L).toInt, id / 1000L, id, n)
+        }
+      }.toDF("shard", "k1", "k2", "n_tokens").localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val r = graft.operators.Packing.strategyAb(items, 2048L)
+        .agg(sum("n_convs"), sum("total_tokens"), sum("oversize_convs"),
+          sum("lb_bins"), sum("q_bins"), sum("q_padding"), sum("q_overflow"),
+          sum("ff_bins"), sum("ff_padding"),
+          sum("bfd_bins"), sum("bfd_padding")).head()
+      val sec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      println(s"""{"probe":"pack_ab_1m","sec":$sec,"convs":${r.getLong(0)},""" +
+        s""""tokens":${r.getLong(1)},"oversize":${r.getLong(2)},""" +
+        s""""lb_bins":${r.getLong(3)},"q_bins":${r.getLong(4)},""" +
+        s""""q_padding":${r.getLong(5)},"q_overflow":${r.getLong(6)},""" +
+        s""""ff_bins":${r.getLong(7)},"ff_padding":${r.getLong(8)},""" +
+        s""""bfd_bins":${r.getLong(9)},"bfd_padding":${r.getLong(10)}}""")
+      Seq((sec, r.getLong(7), r.getLong(9))).toDF("sec", "ff_bins", "bfd_bins")
+    }),
     "q100_window" -> ((s, dir) =>
       graft.operators.SubstringDedup.duplicatedSpans(
         graft.Tables.documents(s, dir), "doc_id", "text",
