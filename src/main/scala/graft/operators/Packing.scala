@@ -37,6 +37,46 @@ import org.apache.spark.sql.functions._
   */
 object Packing {
 
+  /** Best-fit-decreasing ASSIGNMENTS — the ACTION the [[strategyAb]] card
+    * motivates when a corpus is in the large-conversation regime: every
+    * item gets its hard-capacity BFD bin id (1-based, in bin-creation
+    * order per shard; an oversize item opens its own bin). Same fold as
+    * the `bfd_*` columns of [[strategyAb]] — deterministic by the
+    * (n_tokens desc, k1, k2) placement order — so
+    * `max(bin) == bfd_bins` and per-bin sums reconcile with `bfd_padding`
+    * exactly (PackingSpec pins both). Input contract as [[strategyAb]].
+    */
+  def bfdAssignments(items: DataFrame, capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val cap = capacity
+    items
+      .select(col("shard").cast("int"), col("k1").cast("long"),
+        col("k2").cast("long"), col("n_tokens").cast("long"))
+      .as[(Int, Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroups { (shard, it) =>
+        val bySize = it.map { case (_, a, b, n) => (a, b, n) }.toArray
+          .sortBy { case (a, b, n) => (-n, a, b) }
+        val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
+        bySize.iterator.map { case (a, b, n) =>
+          var pick = -1
+          var best = -1L
+          var i = 0
+          while (i < fills.length) {
+            if (fills(i) + n <= cap && fills(i) > best) { pick = i; best = fills(i) }
+            i += 1
+          }
+          val bin =
+            if (pick < 0) { fills += n; fills.length }
+            else { fills(pick) += n; pick + 1 }
+          (shard, a, b, n, bin)
+        }
+      }
+      .toDF("shard", "k1", "k2", "n_tokens", "bin")
+  }
+
   /** `items` must have exactly (shard INT, k1 LONG, k2 LONG, n_tokens
     * LONG): (k1, k2) is the arrival order within the shard and the
     * deterministic tie-break of the size-descending order. Returns one row

@@ -676,6 +676,60 @@ object SftPrep {
        |ORDER BY t.shard""".stripMargin
   }
 
+  /** B29 — q164: the packing-strategy ACTION closing the q163 A/B loop
+    * (the q100→q105 detect/act split applied to packing strategy): every
+    * conversation gets its hard-capacity BEST-FIT-DECREASING bin id
+    * ([[graft.operators.Packing.bfdAssignments]] — 1-based, bin-creation
+    * order per shard; oversize conversations open their own bin), the
+    * assignment a trainer in the large-conversation regime packs by. The
+    * oracle replays the BFD fold as a recursive CTE that carries the
+    * chosen bin per step alongside the fill list.
+    */
+  private def q164(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Packing.bfdAssignments(
+      convTokens(s, dir)
+        .select(col("shard"), col("user_id").cast("long").as("k1"),
+          col("session_id").cast("long").as("k2"), col("n_tokens")),
+      Capacity.toLong)
+      .select(col("shard"), col("k1").as("user_id"), col("k2").as("session_id"),
+        col("n_tokens"), col("bin"))
+      .orderBy(col("shard"), col("user_id"), col("session_id"))
+
+  private def q164Sql: String =
+    s"""${turnsSqlPrelude.replaceFirst("WITH t AS", "WITH RECURSIVE t AS")}
+       |, convt AS (
+       |  SELECT CAST(FLOOR(user_id / 10.0) AS INT) AS shard,
+       |    user_id, session_id,
+       |    CAST(SUM(CAST(len(string_split(turn, ' ')) AS INT)) AS BIGINT) AS n_tokens
+       |  FROM turns GROUP BY 2, 3
+       |), bfda_ordered AS (
+       |  SELECT shard, user_id, session_id, n_tokens,
+       |    ROW_NUMBER() OVER (PARTITION BY shard
+       |      ORDER BY n_tokens DESC, user_id, session_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY shard) AS n
+       |  FROM convt
+       |), bfda_fold AS (
+       |  SELECT shard, 0::BIGINT AS i, CAST([] AS BIGINT[]) AS fills,
+       |    0::BIGINT AS bin, MAX(n) AS n
+       |  FROM bfda_ordered GROUP BY shard
+       |  UNION ALL
+       |  SELECT p.shard, p.i + 1,
+       |    CASE WHEN x.pos = 0 THEN p.fills || [o.n_tokens]
+       |         ELSE p.fills[1:x.pos-1] || [p.fills[x.pos] + o.n_tokens] || p.fills[x.pos+1:] END,
+       |    CAST(CASE WHEN x.pos = 0 THEN len(p.fills) + 1 ELSE x.pos END AS BIGINT),
+       |    p.n
+       |  FROM bfda_fold p
+       |  JOIN bfda_ordered o ON o.shard = p.shard AND o.rn = p.i + 1,
+       |  LATERAL (SELECT COALESCE(list_position(p.fills, list_max(
+       |      list_filter(p.fills, f -> f + o.n_tokens <= $Capacity))), 0) AS pos) x
+       |)
+       |SELECT o.shard, CAST(o.user_id AS BIGINT) AS user_id,
+       |  o.session_id, o.n_tokens, CAST(f.bin AS INT) AS bin
+       |FROM bfda_fold f
+       |JOIN bfda_ordered o ON o.shard = f.shard AND o.rn = f.i
+       |WHERE f.i >= 1
+       |ORDER BY o.shard, o.user_id, o.session_id""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q155_chat_render", q155, Some(q155Sql)),
     QueryDef("q156_loss_mask_spans", q156, Some(q156Sql)),
@@ -685,5 +739,6 @@ object SftPrep {
     QueryDef("q160_sft_sequences", q160, Some(q160Sql)),
     QueryDef("q161_pack_efficiency", q161, Some(q161Sql)),
     QueryDef("q162_conversation_dedup_action", q162, Some(q162Sql)),
-    QueryDef("q163_pack_ab", q163, Some(q163Sql)))
+    QueryDef("q163_pack_ab", q163, Some(q163Sql)),
+    QueryDef("q164_pack_bfd_action", q164, Some(q164Sql)))
 }
