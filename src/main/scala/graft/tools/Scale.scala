@@ -254,6 +254,50 @@ object ScaleRehearsal {
         s""""bfd_bins":${r.getLong(9)},"bfd_padding":${r.getLong(10)}}""")
       Seq((sec, r.getLong(7), r.getLong(9))).toDF("sec", "ff_bins", "bfd_bins")
     }),
+    // q164's ACTION at the same 1M-conversation scale: time the BFD
+    // assignment fold itself, then reconcile per shard against the
+    // strategyAb card DISTRIBUTED (all 1000 shards, not a sample):
+    // max(bin) == bfd_bins and sum(max(0, C - fill)) == bfd_padding.
+    // A divergence between the card and the action would mean the two
+    // folds drifted — the invariant PackingSpec pins at 300 rows, held
+    // at 1M.
+    "pack_bfd_1m" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val cap = 2048L
+      val items = s.range(1000000L).mapPartitions { it =>
+        it.map { jid =>
+          val id: Long = jid
+          val rng = new scala.util.Random(id * 0x9E3779B97F4A7C15L + 5L)
+          val n = math.max(8L, math.min(6144L,
+            math.exp(rng.nextGaussian() * 0.9 + 6.0).toLong))
+          ((id % 1000L).toInt, id / 1000L, id, n)
+        }
+      }.toDF("shard", "k1", "k2", "n_tokens").localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val asg = graft.operators.Packing.bfdAssignments(items, cap)
+        .localCheckpoint(true)
+      val nAsg = asg.count()
+      val sec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val fromAsg = asg.groupBy(col("shard"), col("bin"))
+        .agg(sum(col("n_tokens")).as("fill"))
+        .groupBy(col("shard"))
+        .agg(max(col("bin")).cast("long").as("a_bins"),
+          sum(greatest(lit(0L), lit(cap) - col("fill"))).as("a_padding"))
+      val card = graft.operators.Packing.strategyAb(items, cap)
+        .select(col("shard"), col("bfd_bins"), col("bfd_padding"))
+      val mismatches = fromAsg.join(card, "shard")
+        .filter(col("a_bins") =!= col("bfd_bins") ||
+          col("a_padding") =!= col("bfd_padding"))
+        .count()
+      val tot = fromAsg.agg(sum("a_bins"), sum("a_padding"))
+        .as[(Long, Long)].head()
+      require(mismatches == 0L,
+        s"$mismatches of 1000 shards diverged between bfdAssignments and strategyAb")
+      println(s"""{"probe":"pack_bfd_1m","assign_sec":$sec,"rows":$nAsg,""" +
+        s""""bins":${tot._1},"padding":${tot._2},"shard_mismatches":$mismatches}""")
+      Seq((sec, nAsg, tot._1)).toDF("assign_sec", "rows", "bins")
+    }),
     "q100_window" -> ((s, dir) =>
       graft.operators.SubstringDedup.duplicatedSpans(
         graft.Tables.documents(s, dir), "doc_id", "text",
