@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.ChatSft
 
-/** q155–q163: SFT / chat-data preparation ([[graft.operators.ChatSft]])
+/** q155–q165: SFT / chat-data preparation ([[graft.operators.ChatSft]])
   * — the assembly pipeline that turns an interaction log plus a content
   * store into supervised fine-tuning sequences:
   *
@@ -18,7 +18,11 @@ import graft.operators.ChatSft
   *     measured by); q161 is its efficiency card and q163 the
   *     packing-strategy A/B (quotient vs first-fit vs best-fit-decreasing);
   *   - q158–q160, q162: preference pairs, conversation near-dup detect
-  *     and its dedup ACTION, and the span-remapping packing action.
+  *     and its dedup ACTION, and the span-remapping packing action;
+  *   - q164–q165: the hard-capacity best-fit-decreasing ACTIONS the A/B
+  *     motivates in the large-conversation regime — per-conversation BFD
+  *     bin assignments, and the trainer's loss-mask table remapped into
+  *     BFD packed-sequence coordinates (q160's remap under q164's bins).
   *
   * The synthetic wiring: conversations are the q24 30-minute-gap
   * sessions of `events`; each event's turn text is fetched from the
@@ -730,6 +734,125 @@ object SftPrep {
        |WHERE f.i >= 1
        |ORDER BY o.shard, o.user_id, o.session_id""".stripMargin
 
+  /** B29 — q165: the trainer-facing sequence table under the q164 BFD
+    * assignments — q160's span-remap applied to the hard-capacity packing
+    * (q160 remaps under the cumulative-quotient contract; a trainer in the
+    * large-conversation regime packs by q164's bins instead and needs the
+    * same (seq_start, seq_end) mask table in THOSE coordinates).
+    * Concatenation order within a bin is the BFD placement order —
+    * (n_tokens desc, user_id, session_id), i.e. the global per-shard
+    * placement rank restricted to the bin — with the q160 "\n\n" joiner,
+    * so offsets are one running-length window over (shard, bin). The
+    * oracle reuses q164's recursive BFD fold and carries r_len through it.
+    */
+  private def q165(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = turns(s, dir)
+    val turnCol = ChatSft.renderTurn(col("role"), col("turn_text"))
+    val conv = t
+      .select(col("user_id").cast("long").as("user_id"), col("session_id"),
+        col("turn_idx"), turnCol.as("turn"), size(split(turnCol, " ")).as("nt"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(sum(col("nt")).as("n_tokens"),
+        length(array_join(
+          transform(array_sort(collect_list(struct(col("turn_idx"), col("turn")))),
+            x => x.getField("turn")), "\n")).as("r_len"))
+      .withColumn("shard", floor(col("user_id") / 10.0).cast("int"))
+    val asg = graft.operators.Packing.bfdAssignments(
+      conv.select(col("shard"), col("user_id").as("k1"),
+        col("session_id").cast("long").as("k2"), col("n_tokens")),
+      Capacity.toLong)
+      .select(col("shard"), col("k1").as("user_id"), col("k2").as("session_id"),
+        col("n_tokens"), col("bin"))
+    val wOff = Window.partitionBy(col("shard"), col("bin"))
+      .orderBy(col("n_tokens").desc, col("user_id"), col("session_id"))
+    val offs = asg
+      .join(conv.select(col("user_id"),
+        col("session_id").cast("long").as("session_id"), col("r_len")),
+        Seq("user_id", "session_id"))
+      .withColumn("conv_off",
+        sum(col("r_len")).over(wOff.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)) - col("r_len")
+          + (row_number().over(wOff) - 1) * 2L)
+      .select(col("user_id"), col("session_id"), col("shard"), col("bin"),
+        col("conv_off"))
+    ChatSft.lossMaskSpans(t, "user_id", "role", "turn_text")
+      .select(col("user_id").cast("long").as("user_id"),
+        col("session_id").cast("long").as("session_id"),
+        col("turn_idx"), col("span_start"), col("span_end"))
+      .join(offs, Seq("user_id", "session_id"))
+      .select(col("shard"), col("bin"), col("user_id"), col("session_id"),
+        col("turn_idx"),
+        (col("conv_off") + col("span_start")).as("seq_start"),
+        (col("conv_off") + col("span_end")).as("seq_end"))
+      .orderBy(col("shard"), col("bin"), col("seq_start"))
+  }
+
+  private def q165Sql: String =
+    s"""${turnsSqlPrelude.replaceFirst("WITH t AS", "WITH RECURSIVE t AS")}
+       |, convt AS (
+       |  SELECT CAST(FLOOR(user_id / 10.0) AS INT) AS shard,
+       |    user_id, session_id,
+       |    CAST(SUM(CAST(len(string_split(turn, ' ')) AS INT)) AS BIGINT) AS n_tokens,
+       |    CAST(len(string_agg(turn, chr(10) ORDER BY ts_us, event_id)) AS INT) AS r_len
+       |  FROM turns GROUP BY 1, 2, 3
+       |), bfda_ordered AS (
+       |  SELECT shard, user_id, session_id, n_tokens, r_len,
+       |    ROW_NUMBER() OVER (PARTITION BY shard
+       |      ORDER BY n_tokens DESC, user_id, session_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY shard) AS n
+       |  FROM convt
+       |), bfda_fold AS (
+       |  SELECT shard, 0::BIGINT AS i, CAST([] AS BIGINT[]) AS fills,
+       |    0::BIGINT AS bin, MAX(n) AS n
+       |  FROM bfda_ordered GROUP BY shard
+       |  UNION ALL
+       |  SELECT p.shard, p.i + 1,
+       |    CASE WHEN x.pos = 0 THEN p.fills || [o.n_tokens]
+       |         ELSE p.fills[1:x.pos-1] || [p.fills[x.pos] + o.n_tokens] || p.fills[x.pos+1:] END,
+       |    CAST(CASE WHEN x.pos = 0 THEN len(p.fills) + 1 ELSE x.pos END AS BIGINT),
+       |    p.n
+       |  FROM bfda_fold p
+       |  JOIN bfda_ordered o ON o.shard = p.shard AND o.rn = p.i + 1,
+       |  LATERAL (SELECT COALESCE(list_position(p.fills, list_max(
+       |      list_filter(p.fills, f -> f + o.n_tokens <= $Capacity))), 0) AS pos) x
+       |), asg AS (
+       |  SELECT o.shard, o.user_id, o.session_id, o.r_len, o.rn,
+       |    CAST(f.bin AS INT) AS bin
+       |  FROM bfda_fold f
+       |  JOIN bfda_ordered o ON o.shard = f.shard AND o.rn = f.i
+       |  WHERE f.i >= 1
+       |), offs AS (
+       |  SELECT shard, bin, user_id, session_id,
+       |    CAST(SUM(r_len) OVER (PARTITION BY shard, bin ORDER BY rn
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      - r_len
+       |      + 2 * (ROW_NUMBER() OVER (PARTITION BY shard, bin ORDER BY rn) - 1)
+       |      AS conv_off
+       |  FROM asg
+       |), sp AS (
+       |  SELECT user_id, session_id, turn_idx,
+       |    CAST(cum + (turn_idx - 1) + 1 AS BIGINT) AS span_start,
+       |    CAST(cum + (turn_idx - 1) + tl AS BIGINT) AS span_end
+       |  FROM (
+       |    SELECT user_id, session_id, turn_idx, role,
+       |      CAST(len(turn) AS INT) AS tl,
+       |      CAST(SUM(CAST(len(turn) AS INT)) OVER (
+       |        PARTITION BY user_id, session_id ORDER BY turn_idx
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |        - CAST(len(turn) AS INT) AS cum
+       |    FROM turns
+       |  ) x
+       |  WHERE role = 'assistant'
+       |)
+       |SELECT o.shard, o.bin, CAST(s.user_id AS BIGINT) AS user_id,
+       |  CAST(s.session_id AS BIGINT) AS session_id, s.turn_idx,
+       |  CAST(o.conv_off + s.span_start AS BIGINT) AS seq_start,
+       |  CAST(o.conv_off + s.span_end AS BIGINT) AS seq_end
+       |FROM sp s
+       |JOIN offs o ON o.user_id = s.user_id AND o.session_id = s.session_id
+       |ORDER BY o.shard, o.bin, seq_start""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef("q155_chat_render", q155, Some(q155Sql)),
     QueryDef("q156_loss_mask_spans", q156, Some(q156Sql)),
@@ -740,5 +863,6 @@ object SftPrep {
     QueryDef("q161_pack_efficiency", q161, Some(q161Sql)),
     QueryDef("q162_conversation_dedup_action", q162, Some(q162Sql)),
     QueryDef("q163_pack_ab", q163, Some(q163Sql)),
-    QueryDef("q164_pack_bfd_action", q164, Some(q164Sql)))
+    QueryDef("q164_pack_bfd_action", q164, Some(q164Sql)),
+    QueryDef("q165_pack_bfd_sequences", q165, Some(q165Sql)))
 }
