@@ -22,10 +22,12 @@ import java.util.zip.Inflater
   * Covers the layouts real large GeoTIFFs ship with (the reference's own
   * domain — e.g. WRI/Hansen forest-cover tiles are u8 DEFLATE PREDICTOR=2):
   * compression 1 (none), 8/32946 (zlib DEFLATE), 5 (LZW, MSB-first with the
-  * TIFF early-change rule), predictor 1 (none) and 2 (horizontal
-  * differencing over integer samples).
+  * TIFF early-change rule), 32773 (PackBits RLE — legacy tiles), predictor
+  * 1 (none), 2 (horizontal differencing over integer samples) and 3
+  * (floating-point byte differencing — the GDAL PREDICTOR=3 layout float
+  * DEM/biomass COGs ship with).
   */
-private[tiff] object StripDecode {
+private[graft] object StripDecode {
 
   /** Window bytes from uncompressed strips: seek each window row inside its
     * strip and read exactly window.width samples (sample (row, col) lives at
@@ -192,21 +194,56 @@ private[tiff] object StripDecode {
           val n = TiffLzw.decode(comp, out)
           require(n == expected,
             s"${meta.path}: $kind $chunkIdx LZW-decoded to $n bytes, expected $expected")
+        case 32773 =>
+          val n = packBitsDecode(comp, out)
+          require(n == expected,
+            s"${meta.path}: $kind $chunkIdx PackBits-decoded to $n bytes, expected $expected")
         case c =>
           throw new IllegalStateException(s"${meta.path}: unexpected compression $c in decodeChunk")
       }
     }
     if (meta.predictor == 2)
       unpredict(out, rows, rowWidth, bytesPer, meta.littleEndian, spp)
+    else if (meta.predictor == 3)
+      unpredictFloat(out, rows, rowWidth, bytesPer, meta.littleEndian, spp)
     out
+  }
+
+  /** TIFF PackBits (compression 32773, TIFF 6.0 §9 — the Macintosh RLE
+    * scheme legacy tiles still ship with): control byte n as SIGNED —
+    * 0..127 copies n+1 literal bytes, -1..-127 repeats the next byte 1-n
+    * times, -128 is a no-op. Returns bytes produced; a packet that would
+    * overrun `out` or a truncated literal run fails loudly.
+    */
+  private[graft] def packBitsDecode(in: Array[Byte], out: Array[Byte]): Int = {
+    var ip = 0
+    var op = 0
+    while (ip < in.length && op < out.length) {
+      val n = in(ip).toInt // signed
+      ip += 1
+      if (n >= 0) {
+        val len = n + 1
+        require(ip + len <= in.length, s"PackBits literal run truncated at $ip")
+        require(op + len <= out.length, s"PackBits literal run overruns output at $op")
+        System.arraycopy(in, ip, out, op, len)
+        ip += len; op += len
+      } else if (n != -128) {
+        val len = 1 - n
+        require(ip < in.length, s"PackBits repeat run missing byte at $ip")
+        require(op + len <= out.length, s"PackBits repeat run overruns output at $op")
+        java.util.Arrays.fill(out, op, op + len, in(ip))
+        ip += 1; op += len
+      } // -128: no-op per spec
+    }
+    op
   }
 
   /** Undo TIFF predictor 2 (horizontal differencing) in place: within each
     * row, each sample is stored as the delta from the SAME CHANNEL of the
     * pixel to its left (stride = samplesPerPixel in the chunky layout —
     * spp = 1 degenerates to the plain left neighbour), per sample width, in
-    * the file's byte order. Integer samples only (the float predictor, 3,
-    * is rejected at tag-read time).
+    * the file's byte order. Integer samples only (float samples use
+    * predictor 3 — [[unpredictFloat]]).
     */
   private def unpredict(arr: Array[Byte], rowsInStrip: Int, w: Int,
       bytesPer: Int, littleEndian: Boolean, spp: Int): Unit = {
@@ -236,6 +273,47 @@ private[tiff] object StripDecode {
           }
           r += 1
         }
+    }
+  }
+
+  /** Undo TIFF predictor 3 (floating-point horizontal differencing, TIFF
+    * Technical Note 3 — what GDAL writes for Float32 rasters with
+    * PREDICTOR=3, e.g. DEM/biomass COGs) in place. The on-disk row is the
+    * samples' bytes SPLIT INTO PLANES most-significant byte first (plane
+    * order is defined on the VALUE, independent of the file's byte-order
+    * mark), then byte-differenced across the whole row with a stride of
+    * samplesPerPixel bytes. Undo = cumulative byte sum at the same stride,
+    * then re-interleave each sample's bytes in the FILE's byte order (the
+    * order the window buffer is later read with). Implemented from the
+    * published note; row width is the chunk's full row (image width for
+    * strips, padded tile width for tiles), exactly like predictor 2.
+    */
+  private def unpredictFloat(arr: Array[Byte], rowsInStrip: Int, w: Int,
+      bytesPer: Int, littleEndian: Boolean, spp: Int): Unit = {
+    val wc = w * spp                 // samples per row
+    val rowBytes = wc * bytesPer
+    val tmp = new Array[Byte](rowBytes)
+    var r = 0
+    while (r < rowsInStrip) {
+      val base = r * rowBytes
+      var i = spp
+      while (i < rowBytes) {
+        arr(base + i) = (arr(base + i) + arr(base + i - spp)).toByte
+        i += 1
+      }
+      System.arraycopy(arr, base, tmp, 0, rowBytes)
+      var s = 0
+      while (s < wc) {
+        var b = 0
+        while (b < bytesPer) {
+          // plane b holds every sample's b-th most-significant byte
+          val dst = if (littleEndian) bytesPer - 1 - b else b
+          arr(base + s * bytesPer + dst) = tmp(b * wc + s)
+          b += 1
+        }
+        s += 1
+      }
+      r += 1
     }
   }
 }

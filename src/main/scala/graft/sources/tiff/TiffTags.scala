@@ -227,18 +227,23 @@ object TiffTags {
       } else {
         // BigTIFF pixels are decoded by our own chunk reader (ImageIO has no
         // BigTIFF support): uncompressed, DEFLATE (8 and the legacy 32946),
-        // and LZW (5) single-band layouts — stripped OR tiled (COG) —
-        // predictor none or horizontal-differencing, i.e. what GDAL actually
-        // writes for large rasters. Everything else gets a typed error,
-        // never garbage.
+        // and LZW (5) layouts — stripped OR tiled (COG) — predictor none,
+        // horizontal-differencing (2, integer samples) or floating-point
+        // (3, float samples), i.e. what GDAL actually writes for large
+        // rasters. Everything else gets a typed error, never garbage.
         val compression = shortOrLong(259, 1)
-        require(compression == 1 || compression == 5 || compression == 8 || compression == 32946,
-          s"$path: BigTIFF compression $compression unsupported (1=none, 5=LZW, 8/32946=DEFLATE)")
+        require(compression == 1 || compression == 5 || compression == 8 ||
+            compression == 32946 || compression == 32773,
+          s"$path: BigTIFF compression $compression unsupported " +
+            "(1=none, 5=LZW, 8/32946=DEFLATE, 32773=PackBits)")
         val predictor = shortOrLong(317, 1)
-        require(predictor == 1 || predictor == 2,
-          s"$path: TIFF predictor $predictor unsupported (1=none, 2=horizontal differencing)")
-        require(predictor == 1 || sampleFormat != 3,
-          s"$path: predictor 2 over float samples is unsupported (predictor 3 territory)")
+        require(predictor == 1 || predictor == 2 || predictor == 3,
+          s"$path: TIFF predictor $predictor unsupported " +
+            "(1=none, 2=horizontal differencing, 3=floating-point)")
+        require(predictor != 2 || sampleFormat != 3,
+          s"$path: predictor 2 over float samples is malformed (floats use predictor 3)")
+        require(predictor != 3 || sampleFormat == 3,
+          s"$path: predictor 3 (floating-point differencing) over integer samples is malformed")
         // multi-band: chunky (pixel-interleaved, PlanarConfiguration 1 —
         // the GDAL INTERLEAVE=PIXEL default) decodes natively; planar
         // (separate sample planes) gets a typed error. BitsPerSample /

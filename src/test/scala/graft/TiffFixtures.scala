@@ -140,13 +140,43 @@ object TiffFixtures {
     path
   }
 
+  /** TIFF Technical Note 3 floating-point predictor, ENCODE side (the
+    * GDAL PREDICTOR=3 float layout): per row, split each sample's bytes
+    * into planes most-significant byte first (plane order defined on the
+    * VALUE, not the file byte order), then byte-difference the whole row at
+    * a stride of `spp` bytes. The reader's StripDecode.unpredictFloat is
+    * the inverse; GeoTiffSourceSpec pins this encoder byte-for-byte against
+    * a hand-computed row so the pair cannot be wrong together.
+    */
+  private def fpDiffRows(arr: Array[Byte], rows: Int, rowWidth: Int,
+      bytesPer: Int, littleEndian: Boolean, spp: Int): Unit = {
+    val wc = rowWidth * spp
+    val rowBytes = wc * bytesPer
+    val tmp = new Array[Byte](rowBytes)
+    for (r <- 0 until rows) {
+      val base = r * rowBytes
+      System.arraycopy(arr, base, tmp, 0, rowBytes)
+      for (s <- 0 until wc; b <- 0 until bytesPer) {
+        val src = if (littleEndian) bytesPer - 1 - b else b
+        arr(base + b * wc + s) = tmp(s * bytesPer + src)
+      }
+      var i = rowBytes - 1
+      while (i >= spp) {
+        arr(base + i) = (arr(base + i) - arr(base + i - spp)).toByte
+        i -= 1
+      }
+    }
+  }
+
   /** Hand-written BigTIFF (magic 43, 8-byte offsets), same GeoTIFF tags as
     * [[write]]. ImageIO's TIFF writer cannot emit BigTIFF, so the byte
     * layout is assembled directly — which doubles as documentation of what
     * TiffTags must parse. `rowsPerStrip <= 0` means one strip for the whole
-    * image. Supports f32/u8/s16 samples, compression 1 (none), 8 (DEFLATE)
-    * or 5 (LZW via [[lzwEncode]]), and predictor 2 (horizontal differencing,
-    * integer dtypes only) — the layouts the engine's strip decoder claims.
+    * image. Supports f32/u8/s16 samples, compression 1 (none), 8 (DEFLATE),
+    * 5 (LZW via [[lzwEncode]]) or 32773 (PackBits via [[packBitsEncode]]),
+    * predictor 2 (horizontal differencing,
+    * integer dtypes only) and predictor 3 (floating-point differencing,
+    * f32 only) — the layouts the engine's strip decoder claims.
     */
   def writeBigTiff(
       path: String,
@@ -172,8 +202,10 @@ object TiffFixtures {
       case U8 => (8, 1)
       case S16 => (16, 2)
     }
-    require(predictor == 1 || dtype != F32, "predictor 2 requires integer samples")
-    require(Set(1, 5, 8).contains(compression), s"fixture compression $compression unsupported")
+    require(predictor != 2 || dtype != F32, "predictor 2 requires integer samples")
+    require(predictor != 3 || dtype == F32, "predictor 3 requires float samples")
+    require(Set(1, 5, 8, 32773).contains(compression),
+      s"fixture compression $compression unsupported")
     require(spp >= 1 && spp <= 4, "fixture spp must be 1..4 (per-band tags written inline)")
     require(spp == 1 || bandValue != null, "multi-band fixtures need bandValue(band, c, r)")
     val bytesPer = bps / 8
@@ -211,7 +243,8 @@ object TiffFixtures {
             x -= 1
           }
         }
-      }
+      } else if (predictor == 3)
+        fpDiffRows(arr, rows, width, bytesPer, order == ByteOrder.LITTLE_ENDIAN, spp)
       compression match {
         case 1 => arr
         case 8 =>
@@ -224,6 +257,7 @@ object TiffFixtures {
             out.toByteArray
           } finally d.end()
         case 5 => lzwEncode(arr)
+        case 32773 => packBitsEncode(arr)
       }
     }
 
@@ -331,8 +365,10 @@ object TiffFixtures {
       case U8 => (8, 1)
       case S16 => (16, 2)
     }
-    require(predictor == 1 || dtype != F32, "predictor 2 requires integer samples")
-    require(Set(1, 5, 8).contains(compression), s"fixture compression $compression unsupported")
+    require(predictor != 2 || dtype != F32, "predictor 2 requires integer samples")
+    require(predictor != 3 || dtype == F32, "predictor 3 requires float samples")
+    require(Set(1, 5, 8, 32773).contains(compression),
+      s"fixture compression $compression unsupported")
     require(spp >= 1 && spp <= 4, "fixture spp must be 1..4 (per-band tags written inline)")
     require(spp == 1 || bandValue != null, "multi-band fixtures need bandValue(band, c, r)")
     val bytesPer = bps / 8
@@ -376,7 +412,9 @@ object TiffFixtures {
             x -= 1
           }
         }
-      }
+      } else if (predictor == 3)
+        fpDiffRows(arr, tileLength, tileWidth, bytesPer,
+          order == ByteOrder.LITTLE_ENDIAN, spp)
       compression match {
         case 1 => arr
         case 8 =>
@@ -389,6 +427,7 @@ object TiffFixtures {
             out.toByteArray
           } finally d.end()
         case 5 => lzwEncode(arr)
+        case 32773 => packBitsEncode(arr)
       }
     }
 
@@ -471,6 +510,39 @@ object TiffFixtures {
     * GeoTiffSourceSpec cross-check against the JDK's independent LZW writer
     * pins the decoder side empirically.
     */
+  /** TIFF 6.0 §9 PackBits encoder: repeat packets for runs of >= 2 equal
+    * bytes (max 128), literal packets otherwise, breaking a literal when a
+    * run of >= 3 begins (the spec's recommendation). The decoder side is
+    * pinned against the spec's own worked example in GeoTiffSourceSpec, so
+    * the pair cannot be mutually-inverse-but-wrong.
+    */
+  def packBitsEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out.write(1 - run) // signed control: -(run-1)
+        out.write(data(i))
+        i += run
+      } else {
+        val start = i
+        var j = i + 1
+        def runLen(k: Int): Int = {
+          var r = 1
+          while (k + r < data.length && r < 3 && data(k + r) == data(k)) r += 1
+          r
+        }
+        while (j < data.length && j - start < 128 && runLen(j) < 3) j += 1
+        out.write(j - start - 1)
+        out.write(data, start, j - start)
+        i = j
+      }
+    }
+    out.toByteArray
+  }
+
   def lzwEncode(data: Array[Byte]): Array[Byte] = {
     val out = new scala.collection.mutable.ArrayBuffer[Byte](data.length)
     var cur = 0L
