@@ -25,7 +25,8 @@ object Raster {
       colNames: Seq[String] = Nil,
       maxBlockSize: Int = 4096,
       calcArea: Boolean = false,
-      bands: Seq[Int] = Nil): DataFrame = {
+      bands: Seq[Int] = Nil,
+      overview: Int = 0): DataFrame = {
     require(rasters.forall(!_.contains(",")),
       s"raster paths must not contain ',': ${rasters.filter(_.contains(","))}")
     require(colNames.forall(!_.contains(",")),
@@ -39,6 +40,9 @@ object Raster {
     // path with different band indices); default = band 1, the reference's
     // behavior
     if (bands.nonEmpty) reader = reader.option("bands", bands.mkString(","))
+    // COG overview level: scan the k-th reduced-resolution IFD of the
+    // pyramid instead of full-res pixels (0 = full res)
+    if (overview > 0) reader = reader.option("overview", overview)
     reader.load()
   }
 

@@ -44,8 +44,10 @@ import graft.functions.GeoMath
   * (comma-separated, default val1..valN), `bands` (comma-separated 1-based
   * band per raster, default all 1 — repeat a path with different bands to
   * read several bands of one file), `maxBlockSize` (default 4096),
-  * `calcArea` (boolean, default false). Paths/colNames must not contain
-  * ',' (flat string options).
+  * `calcArea` (boolean, default false), `overview` (COG overview level:
+  * 0 = full resolution, k = the k-th reduced-resolution IFD of the
+  * pyramid — scan coarse data without touching full-res chunks; BigTIFF
+  * only). Paths/colNames must not contain ',' (flat string options).
   *
   * Scale posture: planning reads only TIFF headers (one tiny IFD read per
   * raster); each task decodes exactly its window via an ImageIO region
@@ -88,7 +90,11 @@ object GeoTiffTable {
     require(bands.size == paths.size,
       s"bands has ${bands.size} entries for ${paths.size} rasters")
     require(bands.forall(_ >= 1), s"band indices are 1-based, got $bands")
-    new GeoTiffTable(paths, colNames, maxBlock, calcArea, bands)
+    // COG overview level: 0 = full resolution (default), k = the k-th
+    // reduced-resolution IFD — scan the pyramid instead of full-res data
+    val overview = Option(options.get("overview")).map(_.toInt).getOrElse(0)
+    require(overview >= 0, s"overview must be >= 0, got $overview")
+    new GeoTiffTable(paths, colNames, maxBlock, calcArea, bands, overview)
   }
 
   /** Smallest Spark type that holds the raster's sample type (Spark has no
@@ -114,11 +120,12 @@ class GeoTiffTable(
     colNames: Seq[String],
     maxBlockSize: Int,
     calcArea: Boolean,
-    bands: Seq[Int])
+    bands: Seq[Int],
+    overview: Int = 0)
   extends Table with SupportsRead {
 
   lazy val metas: Seq[TiffTags.RasterMeta] = {
-    val ms = paths.map(TiffTags.read)
+    val ms = paths.map(TiffTags.readOverview(_, overview))
     val first = ms.head
     ms.tail.foreach { m =>
       require(first.sameGrid(m),

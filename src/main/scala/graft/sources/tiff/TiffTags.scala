@@ -91,7 +91,23 @@ object TiffTags {
     7 -> 1, 8 -> 2, 9 -> 4, 10 -> 8, 11 -> 4, 12 -> 8, 13 -> 4,
     16 -> 8, 17 -> 8, 18 -> 8)
 
-  def read(path: String): RasterMeta = {
+  def read(path: String): RasterMeta = readOverview(path, 0)
+
+  /** Read the `overview`-th image of the file's IFD chain (0 = the
+    * full-resolution IFD0; k >= 1 = the k-th reduced-resolution overview —
+    * the pyramid a cloud-optimized GeoTIFF carries so consumers can scan at
+    * a coarser zoom without reading full-res data). Per GDAL convention,
+    * overview IFDs carry no geo tags of their own: the grid is INHERITED
+    * from IFD0 — same top-left origin, pixel scale multiplied by the
+    * decimation factor (fullWidth / overviewWidth per axis, which keeps the
+    * geographic extent of the raster identical at every level even when the
+    * reduced dimensions are rounded). An overview that does carry its own
+    * ModelPixelScale/ModelTiepoint keeps them. NoData likewise inherits
+    * from IFD0 unless overridden. BigTIFF only for k >= 1 (the classic path
+    * decodes through ImageIO, which is pinned to image 0 here).
+    */
+  def readOverview(path: String, overview: Int): RasterMeta = {
+    require(overview >= 0, s"$path: overview must be >= 0, got $overview")
     val raf = new RandomAccessFile(path, "r")
     try {
       val head = new Array[Byte](16)
@@ -123,28 +139,55 @@ object TiffTags {
       val (countSize, entrySize, valueFieldSize, valueFieldOff) =
         if (bigTiff) (8, 20, 8, 12) else (2, 12, 4, 8)
 
-      raf.seek(ifdOffset)
-      val cntBuf = new Array[Byte](countSize)
-      raf.readFully(cntBuf)
-      val cb = ByteBuffer.wrap(cntBuf).order(order)
-      val n = (if (bigTiff) cb.getLong(0) else (cb.getShort(0) & 0xffff).toLong).toInt
-      val entriesRaw = new Array[Byte](n * entrySize)
-      raf.readFully(entriesRaw)
-      val eb = ByteBuffer.wrap(entriesRaw).order(order)
+      require(bigTiff || overview == 0,
+        s"$path: overview reads are supported for BigTIFF only " +
+          "(classic TIFF decodes via ImageIO, pinned to image 0)")
 
-      val entries = (0 until n).map { i =>
-        val off = i * entrySize
-        val tag = eb.getShort(off) & 0xffff
-        val tpe = eb.getShort(off + 2) & 0xffff
-        val count =
-          if (bigTiff) eb.getLong(off + 4)
-          else eb.getInt(off + 4).toLong & 0xffffffffL
-        val inline = new Array[Byte](valueFieldSize)
-        eb.position(off + valueFieldOff); eb.get(inline); eb.position(0)
-        val ib = ByteBuffer.wrap(inline).order(order)
-        val valueOffset = if (bigTiff) ib.getLong(0) else ib.getInt(0).toLong & 0xffffffffL
-        Entry(tag, tpe, count, valueOffset, inline)
-      }.map(e => e.tag -> e).toMap
+      /** Entries of the IFD at `at`, plus the next-IFD offset (0 = end). */
+      def parseEntries(at: Long): (Map[Int, Entry], Long) = {
+        raf.seek(at)
+        val cntBuf = new Array[Byte](countSize)
+        raf.readFully(cntBuf)
+        val cb = ByteBuffer.wrap(cntBuf).order(order)
+        val n = (if (bigTiff) cb.getLong(0) else (cb.getShort(0) & 0xffff).toLong).toInt
+        val nextPtrSize = if (bigTiff) 8 else 4
+        val entriesRaw = new Array[Byte](n * entrySize + nextPtrSize)
+        raf.readFully(entriesRaw)
+        val eb = ByteBuffer.wrap(entriesRaw).order(order)
+        val es = (0 until n).map { i =>
+          val off = i * entrySize
+          val tag = eb.getShort(off) & 0xffff
+          val tpe = eb.getShort(off + 2) & 0xffff
+          val count =
+            if (bigTiff) eb.getLong(off + 4)
+            else eb.getInt(off + 4).toLong & 0xffffffffL
+          val inline = new Array[Byte](valueFieldSize)
+          eb.position(off + valueFieldOff); eb.get(inline); eb.position(0)
+          val ib = ByteBuffer.wrap(inline).order(order)
+          val valueOffset = if (bigTiff) ib.getLong(0) else ib.getInt(0).toLong & 0xffffffffL
+          Entry(tag, tpe, count, valueOffset, inline)
+        }.map(e => e.tag -> e).toMap
+        val nextOff =
+          if (bigTiff) eb.getLong(n * entrySize)
+          else eb.getInt(n * entrySize).toLong & 0xffffffffL
+        (es, nextOff)
+      }
+
+      val (entries0, next0) = parseEntries(ifdOffset)
+      // walk the chain to the requested image; IFD0's geo/extent is kept
+      // for overview inheritance
+      var entriesK = entries0
+      var nextK = next0
+      var level = 0
+      while (level < overview) {
+        require(nextK != 0L,
+          s"$path: overview $overview requested but the IFD chain has only " +
+            s"${level + 1} image(s)")
+        val r = parseEntries(nextK)
+        entriesK = r._1; nextK = r._2
+        level += 1
+      }
+      val entries = entriesK
 
       def payload(e: Entry): ByteBuffer = {
         val size = TypeSizes.getOrElse(e.fieldType, 1) * e.count.toInt
@@ -166,23 +209,28 @@ object TiffTags {
           s"$path: tag ${e.tag} expected integer type, got $t")
       }
 
-      def shortOrLong(tag: Int, default: Int = -1): Int = entries.get(tag) match {
-        case None => default
-        case Some(e) => intAt(e, payload(e), 0).toInt
-      }
+      def shortOrLongIn(es: Map[Int, Entry], tag: Int, default: Int = -1): Int =
+        es.get(tag) match {
+          case None => default
+          case Some(e) => intAt(e, payload(e), 0).toInt
+        }
+      def shortOrLong(tag: Int, default: Int = -1): Int =
+        shortOrLongIn(entries, tag, default)
 
       def longs(tag: Int): Option[Array[Long]] = entries.get(tag).map { e =>
         val b = payload(e)
         Array.tabulate(e.count.toInt)(i => intAt(e, b, i))
       }
 
-      def doubles(tag: Int): Option[Array[Double]] = entries.get(tag).map { e =>
-        require(e.fieldType == 12, s"$path: tag $tag expected DOUBLE, got type ${e.fieldType}")
-        val b = payload(e)
-        Array.tabulate(e.count.toInt)(i => b.getDouble(i * 8))
-      }
+      def doublesIn(es: Map[Int, Entry], tag: Int): Option[Array[Double]] =
+        es.get(tag).map { e =>
+          require(e.fieldType == 12, s"$path: tag $tag expected DOUBLE, got type ${e.fieldType}")
+          val b = payload(e)
+          Array.tabulate(e.count.toInt)(i => b.getDouble(i * 8))
+        }
+      def doubles(tag: Int): Option[Array[Double]] = doublesIn(entries, tag)
 
-      def ascii(tag: Int): Option[String] = entries.get(tag).map { e =>
+      def asciiIn(es: Map[Int, Entry], tag: Int): Option[String] = es.get(tag).map { e =>
         val b = payload(e)
         val bytes = new Array[Byte](e.count.toInt)
         b.get(bytes)
@@ -191,32 +239,50 @@ object TiffTags {
         // disable the NoData mask
         new String(bytes, "US-ASCII").takeWhile(_ != '\u0000').trim
       }
+      def ascii(tag: Int): Option[String] = asciiIn(entries, tag)
 
       val width = shortOrLong(256)
       val height = shortOrLong(257)
       require(width > 0 && height > 0, s"$path: missing ImageWidth/ImageLength")
       val bps = shortOrLong(258, 1)
       val sampleFormat = shortOrLong(339, 1)
-      val scale = doubles(33550).getOrElse(
-        throw new IllegalArgumentException(s"$path: missing GeoTIFF ModelPixelScale (33550)"))
-      val tie = doubles(33922).getOrElse(
-        throw new IllegalArgumentException(s"$path: missing GeoTIFF ModelTiepoint (33922)"))
-      // Tiepoint maps raster (i, j) -> geo (x, y); origin = top-left corner.
-      val originX = tie(3) - tie(0) * scale(0)
-      val originY = tie(4) + tie(1) * scale(1)
+      // Geo grid: an IFD's own tags win; an overview without them (the GDAL
+      // COG shape) inherits IFD0's origin with the pixel scale multiplied by
+      // the decimation factor per axis -- extent-preserving even when the
+      // reduced dimensions are rounded.
+      val (scaleX, scaleY, originX, originY) = (doubles(33550), doubles(33922)) match {
+        case (Some(scale), Some(tie)) =>
+          // Tiepoint maps raster (i, j) -> geo (x, y); origin = top-left corner.
+          (scale(0), scale(1), tie(3) - tie(0) * scale(0), tie(4) + tie(1) * scale(1))
+        case _ if overview > 0 =>
+          val s0 = doublesIn(entries0, 33550).getOrElse(throw new IllegalArgumentException(
+            s"$path: missing GeoTIFF ModelPixelScale (33550) on IFD0"))
+          val t0 = doublesIn(entries0, 33922).getOrElse(throw new IllegalArgumentException(
+            s"$path: missing GeoTIFF ModelTiepoint (33922) on IFD0"))
+          val w0 = shortOrLongIn(entries0, 256)
+          val h0 = shortOrLongIn(entries0, 257)
+          require(w0 >= width && h0 >= height,
+            s"$path: overview $overview ($width x $height) larger than IFD0 ($w0 x $h0)")
+          (s0(0) * (w0.toDouble / width), s0(1) * (h0.toDouble / height),
+            t0(3) - t0(0) * s0(0), t0(4) + t0(1) * s0(1))
+        case _ =>
+          throw new IllegalArgumentException(s"$path: missing GeoTIFF ModelPixelScale (33550)")
+      }
       // GDAL writes lowercase "nan" for float NaN nodata; Java's toDouble
       // only accepts "NaN", so normalize case before parsing.
-      val noData = ascii(42113).flatMap { s =>
+      def parseNd(s: String): Option[Double] =
         if (s.equalsIgnoreCase("nan")) Some(Double.NaN)
         else scala.util.Try(s.toDouble).toOption
-      }
+      val noData = ascii(42113)
+        .orElse(if (overview > 0) asciiIn(entries0, 42113) else None)
+        .flatMap(parseNd)
 
       if (!bigTiff) {
         // ImageIO decodes classic-TIFF pixels, so nothing is gated here; the
         // strip layout is still recorded (informational, and it lets tests
         // cross-check our strip decoder against independently-written files).
         RasterMeta(path, width, height, bps, sampleFormat,
-          scale(0), scale(1), originX, originY, noData,
+          scaleX, scaleY, originX, originY, noData,
           samplesPerPixel = shortOrLong(277, 1),
           littleEndian = order == ByteOrder.LITTLE_ENDIAN,
           rowsPerStrip = entries.get(278).map(e => intAt(e, payload(e), 0)).getOrElse(height.toLong),
@@ -290,7 +356,7 @@ object TiffTags {
             else longs(325).getOrElse(throw new IllegalArgumentException(
               s"$path: compressed tiled BigTIFF missing TileByteCounts (325)")).toIndexedSeq
           RasterMeta(path, width, height, bps, sampleFormat,
-            scale(0), scale(1), originX, originY, noData,
+            scaleX, scaleY, originX, originY, noData,
             samplesPerPixel = spp,
             bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
             compression = compression, predictor = predictor,
@@ -307,7 +373,7 @@ object TiffTags {
           else longs(279).getOrElse(throw new IllegalArgumentException(
             s"$path: compressed BigTIFF missing StripByteCounts (279)")).toIndexedSeq
         RasterMeta(path, width, height, bps, sampleFormat,
-          scale(0), scale(1), originX, originY, noData,
+          scaleX, scaleY, originX, originY, noData,
           samplesPerPixel = spp,
           bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
           rowsPerStrip = rps, stripOffsets = offsets,

@@ -484,6 +484,65 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(a.nonEmpty && a.sameElements(b) && t.sameElements(b))
   }
 
+  test("COG overview pyramid: each level reads its own IFD with an inherited grid") {
+    // distinct values per level prove WHICH IFD was decoded; geo tags and
+    // nodata live only on IFD0 (the GDAL convention) and must inherit
+    def v(k: Int, c: Int, r: Int): Double =
+      if (k == 0 && c == 0 && r == 0) -9999.0 else k * 1000.0 + r * 10.0 + c
+    val p = TiffFixtures.writeBigTiffOverviews(s"$tmp/ovr.tif", 20, 12, v,
+      10.0, 50.0, 0.25, Some("-9999"), levels = 2, rowsPerStrip = 5,
+      compression = 8)
+    // level 1: 10 x 6, scale doubled; level 2: 5 x 3, scale 4x
+    val m0 = graft.sources.tiff.TiffTags.read(p)
+    val m1 = graft.sources.tiff.TiffTags.readOverview(p, 1)
+    val m2 = graft.sources.tiff.TiffTags.readOverview(p, 2)
+    assert(m0.width == 20 && m0.height == 12 && m0.pixelScaleX == 0.25)
+    assert(m1.width == 10 && m1.height == 6 &&
+      m1.pixelScaleX == 0.5 && m1.pixelScaleY == 0.5 &&
+      m1.originX == 10.0 && m1.originY == 50.0 && m1.noData.contains(-9999.0))
+    // level 2 = ceil(20/4) x ceil(12/4) = 5 x 3, scale 4x on both axes
+    assert(m2.width == 5 && m2.height == 3 &&
+      m2.pixelScaleX == 1.0 && m2.pixelScaleY == 1.0)
+    val full = Raster.raster2df(spark, Seq(p)).orderBy("lat", "lon").collect()
+    val o1 = Raster.raster2df(spark, Seq(p), overview = 1).orderBy("lat", "lon").collect()
+    // full res: 20*12 minus the one nodata pixel
+    assert(full.length == 20 * 12 - 1)
+    assert(o1.length == 10 * 6)
+    // overview-1 values are the level-1 samples, at level-1 pixel centers
+    val expect1 = (for (r <- 0 until 6; c <- 0 until 10)
+      yield (10.0 + (c + 0.5) * 0.5, 50.0 - (r + 0.5) * 0.5, 1000.0 + r * 10.0 + c))
+      .sortBy(t => (t._2, t._1))
+    val got1 = o1.map(w => (w.getDouble(0), w.getDouble(1), w.getFloat(2).toDouble))
+    assert(got1.sameElements(expect1))
+    // a level past the chain fails loudly
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.tiff.TiffTags.readOverview(p, 3)
+    }
+    assert(e.getMessage.contains("IFD chain has only"))
+    // classic TIFF cannot serve overviews (ImageIO path is image-0 pinned)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.tiff.TiffTags.readOverview(f32, 1)
+    }
+    assert(e2.getMessage.contains("BigTIFF only"))
+  }
+
+  test("COG overviews of two rasters zip positionally at the same level") {
+    def va(k: Int, c: Int, r: Int): Double = k * 100.0 + c + r
+    def vb(k: Int, c: Int, r: Int): Double = k * 200.0 + c * 2.0 + r
+    val a = TiffFixtures.writeBigTiffOverviews(s"$tmp/ovr_a.tif", 16, 8, va,
+      0.0, 40.0, 0.5, None, levels = 1)
+    val b = TiffFixtures.writeBigTiffOverviews(s"$tmp/ovr_b.tif", 16, 8, vb,
+      0.0, 40.0, 0.5, None, levels = 1)
+    val z = Raster.raster2df(spark, Seq(a, b), overview = 1)
+      .orderBy("lat", "lon").collect()
+    assert(z.length == 8 * 4)
+    z.foreach { w =>
+      val c = ((w.getDouble(0) - 0.0) / 1.0 - 0.5).round.toInt
+      val r = ((40.0 - w.getDouble(1)) / 1.0 - 0.5).round.toInt
+      assert(w.getFloat(2).toDouble == va(1, c, r) && w.getFloat(3).toDouble == vb(1, c, r))
+    }
+  }
+
   test("predictor/sample-format mismatches are rejected with typed errors") {
     // patch tag 317 in place (the compression-rejection trick): a u8 file
     // claiming predictor 3, and an f32 file claiming predictor 2, are both

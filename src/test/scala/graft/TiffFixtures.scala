@@ -335,6 +335,145 @@ object TiffFixtures {
     path
   }
 
+  /** BigTIFF with an OVERVIEW PYRAMID (the COG IFD-chain shape): IFD0 at
+    * full resolution carrying the geo/nodata tags, then `levels` reduced-
+    * resolution IFDs chained behind it — each with NewSubfileType = 1,
+    * ceil-halved dimensions per level and NO geo tags of its own (the GDAL
+    * convention the reader's inheritance covers). `valueAt(level, c, r)`
+    * supplies samples in LEVEL coordinates, so tests can give every level
+    * distinct values and prove which IFD was read. Stripped layout,
+    * uncompressed or DEFLATE, single band, little-endian.
+    */
+  def writeBigTiffOverviews(
+      path: String,
+      width: Int,
+      height: Int,
+      valueAt: (Int, Int, Int) => Double,
+      originX: Double,
+      originY: Double,
+      pixelSize: Double,
+      noData: Option[String],
+      levels: Int,
+      rowsPerStrip: Int = 0,
+      dtype: Dtype = F32,
+      compression: Int = 1): String = {
+    import java.nio.{ByteBuffer, ByteOrder}
+    require(levels >= 1, "need at least one overview level")
+    require(Set(1, 8).contains(compression), "overview fixture supports none/DEFLATE")
+    val order = ByteOrder.LITTLE_ENDIAN
+    val (bps, sampleFormat) = dtype match {
+      case F32 => (32, 3)
+      case U8 => (8, 1)
+      case S16 => (16, 2)
+    }
+    val bytesPer = bps / 8
+    val ndBytes = noData.map(s => s.getBytes("US-ASCII") :+ 0.toByte)
+    def deflate(arr: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      try {
+        d.setInput(arr); d.finish()
+        val out = new java.io.ByteArrayOutputStream()
+        val tmp = new Array[Byte](8192)
+        while (!d.finished()) { val n = d.deflate(tmp); out.write(tmp, 0, n) }
+        out.toByteArray
+      } finally d.end()
+    }
+
+    final case class Lvl(w: Int, h: Int, rps: Int, strips: Array[Array[Byte]])
+    val lvls = (0 to levels).map { k =>
+      val w = (width + (1 << k) - 1) >> k
+      val h = (height + (1 << k) - 1) >> k
+      val rps = if (rowsPerStrip <= 0) h else math.min(rowsPerStrip, h)
+      val nStrips = (h + rps - 1) / rps
+      val strips = Array.tabulate(nStrips) { s =>
+        val rows = math.min(rps, h - s * rps)
+        val raw = ByteBuffer.allocate(rows * w * bytesPer).order(order)
+        for (r <- s * rps until s * rps + rows; c <- 0 until w) dtype match {
+          case F32 => raw.putFloat(valueAt(k, c, r).toFloat)
+          case U8 => raw.put((valueAt(k, c, r).toInt & 0xff).toByte)
+          case S16 => raw.putShort(valueAt(k, c, r).toInt.toShort)
+        }
+        if (compression == 8) deflate(raw.array()) else raw.array()
+      }
+      Lvl(w, h, rps, strips)
+    }
+
+    // first pass: lay out [pixels][payloads][IFD] per level, chain offsets
+    var cur = 16L
+    final case class Layout(stripOff: Array[Long], scaleOff: Long, tieOff: Long,
+        ndOff: Long, soOff: Long, scOff: Long, ifdOff: Long, nTags: Int)
+    val layouts = lvls.zipWithIndex.map { case (l, k) =>
+      val stripOff = new Array[Long](l.strips.length)
+      for (s <- l.strips.indices) { stripOff(s) = cur; cur += l.strips(s).length }
+      val isFull = k == 0
+      val scaleOff = if (isFull) { val o = cur; cur += 24; o } else 0L
+      val tieOff = if (isFull) { val o = cur; cur += 48; o } else 0L
+      val ndOff = if (isFull && ndBytes.exists(_.length > 8)) {
+        val o = cur; cur += ndBytes.get.length; o
+      } else 0L
+      val multi = l.strips.length > 1
+      val soOff = if (multi) { val o = cur; cur += l.strips.length * 8L; o } else 0L
+      val scOff = if (multi) { val o = cur; cur += l.strips.length * 8L; o } else 0L
+      val nTags = (if (isFull) 11 + (if (ndBytes.isDefined) 1 else 0) else 10)
+      val ifdOff = cur
+      cur += 8 + nTags * 20L + 8
+      Layout(stripOff, scaleOff, tieOff, ndOff, soOff, scOff, ifdOff, nTags)
+    }
+
+    val buf = ByteBuffer.allocate(cur.toInt).order(order)
+    buf.put('I'.toByte).put('I'.toByte).putShort(43).putShort(8).putShort(0)
+    buf.putLong(layouts(0).ifdOff)
+    for (((l, lay), k) <- lvls.zip(layouts).zipWithIndex) {
+      for (s <- l.strips.indices) {
+        buf.position(lay.stripOff(s).toInt); buf.put(l.strips(s))
+      }
+      if (k == 0) {
+        buf.position(lay.scaleOff.toInt)
+        Seq(pixelSize, pixelSize, 0.0).foreach(buf.putDouble)
+        buf.position(lay.tieOff.toInt)
+        Seq(0.0, 0.0, 0.0, originX, originY, 0.0).foreach(buf.putDouble)
+        ndBytes.foreach { b => if (b.length > 8) { buf.position(lay.ndOff.toInt); buf.put(b) } }
+      }
+      if (l.strips.length > 1) {
+        buf.position(lay.soOff.toInt); lay.stripOff.foreach(buf.putLong)
+        buf.position(lay.scOff.toInt); l.strips.foreach(s => buf.putLong(s.length.toLong))
+      }
+      buf.position(lay.ifdOff.toInt)
+      buf.putLong(lay.nTags.toLong)
+      def entry(tag: Int, tpe: Int, count: Long)(writeVal: ByteBuffer => Unit): Unit = {
+        buf.putShort(tag.toShort).putShort(tpe.toShort).putLong(count)
+        val pos = buf.position()
+        writeVal(buf)
+        buf.position(pos + 8)
+      }
+      if (k > 0) entry(254, 4, 1)(_.putInt(1)) // NewSubfileType: reduced image
+      entry(256, 4, 1)(_.putInt(l.w))
+      entry(257, 4, 1)(_.putInt(l.h))
+      entry(258, 3, 1)(_.putShort(bps.toShort))
+      entry(259, 3, 1)(_.putShort(compression.toShort))
+      entry(273, 16, l.strips.length.toLong)(b =>
+        if (l.strips.length == 1) b.putLong(lay.stripOff(0)) else b.putLong(lay.soOff))
+      entry(277, 3, 1)(_.putShort(1))
+      entry(278, 4, 1)(_.putInt(l.rps))
+      entry(279, 16, l.strips.length.toLong)(b =>
+        if (l.strips.length == 1) b.putLong(l.strips(0).length.toLong) else b.putLong(lay.scOff))
+      entry(339, 3, 1)(_.putShort(sampleFormat.toShort))
+      if (k == 0) {
+        entry(33550, 12, 3)(_.putLong(lay.scaleOff))
+        entry(33922, 12, 6)(_.putLong(lay.tieOff))
+        ndBytes.foreach { b =>
+          entry(42113, 2, b.length.toLong)(bb =>
+            if (b.length <= 8) bb.put(b) else bb.putLong(lay.ndOff))
+        }
+      }
+      buf.putLong(if (k < levels) layouts(k + 1).ifdOff else 0L) // chain
+    }
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    java.nio.file.Files.write(f.toPath, buf.array())
+    path
+  }
+
   /** TILED BigTIFF writer (the cloud-optimized-GeoTIFF chunk shape): tags
     * 322/323/324/325 instead of the strip trio; edge tiles PADDED to the
     * full tile size with zero samples (TIFF 6.0 §15), predictor and codec
