@@ -297,21 +297,25 @@ private[tiff] final class RawStripGrid(meta: TiffTags.RasterMeta, window: TiffWi
   require(band >= 0 && band < meta.samplesPerPixel,
     s"${meta.path}: band ${band + 1} of ${meta.samplesPerPixel} requested")
   private val bytesPer = meta.bitsPerSample / 8
-  // chunky (pixel-interleaved) layout: a pixel's samples are adjacent,
-  // so band selection is a fixed byte offset within the pixel stride
-  private val pixBytes = bytesPer * meta.samplesPerPixel
+  // chunky (pixel-interleaved) layout: a pixel's samples are adjacent, so
+  // band selection is a fixed byte offset within the pixel stride. Planar
+  // layout: only the requested band's plane is read at all (band selection
+  // = chunk selection, strictly less I/O), and the plane is spp=1-shaped.
+  private val planar = meta.planarConfig == 2
+  private val plane = if (planar) band else -1
+  private val pixBytes = if (planar) bytesPer else bytesPer * meta.samplesPerPixel
   private val rowBytes = window.width * pixBytes
-  private val bandOff = band * bytesPer
+  private val bandOff = if (planar) 0 else band * bytesPer
   private val buf: java.nio.ByteBuffer = {
     val arr =
-      if (meta.tiled) StripDecode.readTiledWindow(meta, window, bytesPer)
+      if (meta.tiled) StripDecode.readTiledWindow(meta, window, bytesPer, plane)
       // predictor 2 stores row deltas from COLUMN 0, so a window read that
       // skips columns cannot undo it — an uncompressed predictor-2 strip
       // (legal: some writers strip the codec but keep the predictor) must
       // take the full-strip decode path, not the raw seek-read
       else if (meta.compression == 1 && meta.predictor == 1)
-        StripDecode.readRawWindow(meta, window, bytesPer)
-      else StripDecode.readCompressedWindow(meta, window, bytesPer)
+        StripDecode.readRawWindow(meta, window, bytesPer, plane)
+      else StripDecode.readCompressedWindow(meta, window, bytesPer, plane)
     java.nio.ByteBuffer.wrap(arr).order(
       if (meta.littleEndian) java.nio.ByteOrder.LITTLE_ENDIAN
       else java.nio.ByteOrder.BIG_ENDIAN)

@@ -34,8 +34,10 @@ private[graft] object StripDecode {
     * stripOffsets(row / rowsPerStrip) + ((row % rowsPerStrip) * width + col)
     * * bytesPerSample).
     */
-  def readRawWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int): Array[Byte] = {
-    val spp = meta.samplesPerPixel
+  def readRawWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int,
+      plane: Int = -1): Array[Byte] = {
+    val spp = if (plane >= 0) 1 else meta.samplesPerPixel
+    val stripBase = if (plane >= 0) plane * stripsPerBand(meta) else 0
     val pixBytes = bytesPer * spp
     val rowBytes = window.width * pixBytes
     val raf = new RandomAccessFile(meta.path, "r")
@@ -46,7 +48,7 @@ private[graft] object StripDecode {
         val row = (window.rowOff + y).toLong
         val strip = (row / meta.rowsPerStrip).toInt
         val rowInStrip = row % meta.rowsPerStrip
-        raf.seek(meta.stripOffsets(strip) +
+        raf.seek(meta.stripOffsets(stripBase + strip) +
           (rowInStrip * meta.width + window.colOff) * pixBytes)
         raf.readFully(arr, y * rowBytes, rowBytes)
         y += 1
@@ -55,12 +57,21 @@ private[graft] object StripDecode {
     } finally raf.close()
   }
 
+  /** Strips per band: the planar layout stores each band's strips
+    * plane-major, so band b's strip s sits at index b * stripsPerBand + s.
+    */
+  private def stripsPerBand(meta: TiffTags.RasterMeta): Int =
+    ((meta.height + meta.rowsPerStrip - 1) / meta.rowsPerStrip).toInt
+
   /** Window bytes from compressed strips: decompress every strip overlapping
     * the window's rows (each exactly once), undo the predictor at full strip
     * width, then copy the window's columns of the window's rows.
     */
-  def readCompressedWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int): Array[Byte] = {
-    val pixBytes = bytesPer * meta.samplesPerPixel
+  def readCompressedWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int,
+      plane: Int = -1): Array[Byte] = {
+    val spp = if (plane >= 0) 1 else meta.samplesPerPixel
+    val stripBase = if (plane >= 0) plane * stripsPerBand(meta) else 0
+    val pixBytes = bytesPer * spp
     val rowBytes = window.width * pixBytes
     val out = new Array[Byte](rowBytes * window.height)
     val raf = new RandomAccessFile(meta.path, "r")
@@ -71,7 +82,8 @@ private[graft] object StripDecode {
       while (s <= lastStrip) {
         val stripRow0 = s.toLong * meta.rowsPerStrip
         val rowsInStrip = math.min(meta.rowsPerStrip, meta.height - stripRow0).toInt
-        val strip = decodeStrip(meta, raf, s, rowsInStrip, bytesPer)
+        val strip = decodeChunk(meta, raf, stripBase + s, rows = rowsInStrip,
+          rowWidth = meta.width, bytesPer = bytesPer, tiled = false, spp = spp)
         // copy the intersection of this strip's rows with the window's rows
         val yLo = math.max(window.rowOff.toLong, stripRow0)
         val yHi = math.min((window.rowOff + window.height).toLong, stripRow0 + rowsInStrip)
@@ -97,11 +109,15 @@ private[graft] object StripDecode {
     * Memory: O(tile + window) per task, the strip bound with the tile as
     * the chunk.
     */
-  def readTiledWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int): Array[Byte] = {
+  def readTiledWindow(meta: TiffTags.RasterMeta, window: TiffWindow, bytesPer: Int,
+      plane: Int = -1): Array[Byte] = {
     val tw = meta.tileWidth
     val tl = meta.tileLength
     val tilesAcross = (meta.width + tw - 1) / tw
-    val pixBytes = bytesPer * meta.samplesPerPixel
+    val tilesDown = (meta.height + tl - 1) / tl
+    val spp = if (plane >= 0) 1 else meta.samplesPerPixel
+    val tileBase = if (plane >= 0) plane * tilesAcross * tilesDown else 0
+    val pixBytes = bytesPer * spp
     val rowBytes = window.width * pixBytes
     val out = new Array[Byte](rowBytes * window.height)
     val raf = new RandomAccessFile(meta.path, "r")
@@ -114,8 +130,8 @@ private[graft] object StripDecode {
       while (tr <= tr1) {
         var tc = tc0
         while (tc <= tc1) {
-          val tile = decodeChunk(meta, raf, tr * tilesAcross + tc,
-            rows = tl, rowWidth = tw, bytesPer = bytesPer, tiled = true)
+          val tile = decodeChunk(meta, raf, tileBase + tr * tilesAcross + tc,
+            rows = tl, rowWidth = tw, bytesPer = bytesPer, tiled = true, spp = spp)
           val x0 = math.max(window.colOff, tc * tw)
           val x1 = math.min(window.colOff + window.width, (tc + 1) * tw)
           val y0 = math.max(window.rowOff, tr * tl)
@@ -136,19 +152,13 @@ private[graft] object StripDecode {
     } finally raf.close()
   }
 
-  /** One strip, decompressed and predictor-undone, at full strip width. */
-  private def decodeStrip(
-      meta: TiffTags.RasterMeta,
-      raf: RandomAccessFile,
-      stripIdx: Int,
-      rowsInStrip: Int,
-      bytesPer: Int): Array[Byte] =
-    decodeChunk(meta, raf, stripIdx, rows = rowsInStrip, rowWidth = meta.width,
-      bytesPer = bytesPer, tiled = false)
-
   /** One chunk (strip or tile), decompressed and predictor-undone, at its
     * full row width. Tiles always decode to the padded full tile size;
-    * strips to rowsInStrip × imageWidth.
+    * strips to rowsInStrip × imageWidth. `spp` is the samples-per-pixel OF
+    * THE CHUNK: the file's samplesPerPixel for chunky layouts, 1 for a
+    * planar plane (whose chunk index the caller has already offset by
+    * plane × chunksPerBand) — it sizes the chunk and is the predictor
+    * stride.
     */
   private def decodeChunk(
       meta: TiffTags.RasterMeta,
@@ -157,10 +167,10 @@ private[graft] object StripDecode {
       rows: Int,
       rowWidth: Int,
       bytesPer: Int,
-      tiled: Boolean): Array[Byte] = {
+      tiled: Boolean,
+      spp: Int): Array[Byte] = {
     val offsets = if (tiled) meta.tileOffsets else meta.stripOffsets
     val kind = if (tiled) "tile" else "strip"
-    val spp = meta.samplesPerPixel
     val expected = rows * rowWidth * bytesPer * spp
     val out = new Array[Byte](expected)
     if (meta.compression == 1) {

@@ -17,9 +17,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   * source decodes chunks itself ([[GeoTiffPartitionReader]] via
   * [[StripDecode]]): uncompressed, DEFLATE, and LZW, with the horizontal-
   * differencing predictor — the layouts GDAL writes for real large rasters.
-  * Multi-band BigTIFF decodes in the chunky (pixel-interleaved) layout;
-  * unsupported layouts (planar multi-band, other codecs) are rejected with
-  * a typed error rather than garbage.
+  * Multi-band BigTIFF decodes pixel-interleaved
+  * (chunky) or band-separate planes (planar); unsupported layouts (other
+  * codecs, mixed-depth bands) are rejected with a typed error rather than
+  * garbage.
   *
   * Tags read:
   *   - 256/257 ImageWidth/ImageLength
@@ -70,7 +71,11 @@ object TiffTags {
       tileWidth: Int = 0,
       tileLength: Int = 0,
       tileOffsets: IndexedSeq[Long] = Vector.empty,
-      tileByteCounts: IndexedSeq[Long] = Vector.empty) {
+      tileByteCounts: IndexedSeq[Long] = Vector.empty,
+      // 1 = chunky (pixel-interleaved), 2 = planar (band-separate chunks,
+      // the GDAL INTERLEAVE=BAND layout): in planar files each band's
+      // chunks are stored plane-major (all of band 1's, then band 2's...)
+      planarConfig: Int = 1) {
 
     def tiled: Boolean = tileWidth > 0
 
@@ -311,20 +316,19 @@ object TiffTags {
         require(predictor != 3 || sampleFormat == 3,
           s"$path: predictor 3 (floating-point differencing) over integer samples is malformed")
         // multi-band: chunky (pixel-interleaved, PlanarConfiguration 1 —
-        // the GDAL INTERLEAVE=PIXEL default) decodes natively; planar
-        // (separate sample planes) gets a typed error. BitsPerSample /
-        // SampleFormat carry one entry per band — mixed-depth bands are
-        // rejected, uniform ones collapse to the single value the decode
-        // math uses.
+        // the GDAL INTERLEAVE=PIXEL default) and planar (band-separate
+        // chunks, INTERLEAVE=BAND; chunks stored plane-major) both decode
+        // natively. BitsPerSample / SampleFormat carry one entry per band —
+        // mixed-depth bands are rejected, uniform ones collapse to the
+        // single value the decode math uses.
         val spp = shortOrLong(277, 1)
         require(spp >= 1 && spp <= 16,
           s"$path: implausible BigTIFF SamplesPerPixel $spp")
-        if (spp > 1) {
-          val planar = shortOrLong(284, 1)
-          require(planar == 1,
-            s"$path: BigTIFF PlanarConfiguration $planar unsupported " +
-              "(only 1 = chunky/pixel-interleaved)")
-        }
+        val planarCfg = if (spp > 1) shortOrLong(284, 1) else 1
+        require(planarCfg == 1 || planarCfg == 2,
+          s"$path: BigTIFF PlanarConfiguration $planarCfg unsupported " +
+            "(1 = chunky/pixel-interleaved, 2 = planar/band-separate)")
+        val planesPerChunk = if (planarCfg == 2) spp.toLong else 1L
         def uniform(tag: Int, name: String, got: Int): Unit =
           entries.get(tag).foreach { e =>
             val b = payload(e)
@@ -348,7 +352,8 @@ object TiffTags {
             s"$path: tiled BigTIFF missing TileWidth/TileLength (322/323)")
           val tOffsets = longs(324).getOrElse(throw new IllegalArgumentException(
             s"$path: tiled BigTIFF missing TileOffsets (324)")).toIndexedSeq
-          val nTiles = ((width + tw - 1) / tw).toLong * ((height + tl - 1) / tl)
+          val nTiles = ((width + tw - 1) / tw).toLong * ((height + tl - 1) / tl) *
+            planesPerChunk
           require(tOffsets.length.toLong == nTiles,
             s"$path: ${tOffsets.length} tile offsets for $nTiles tiles")
           val tCounts =
@@ -361,7 +366,8 @@ object TiffTags {
             bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
             compression = compression, predictor = predictor,
             tileWidth = tw, tileLength = tl,
-            tileOffsets = tOffsets, tileByteCounts = tCounts)
+            tileOffsets = tOffsets, tileByteCounts = tCounts,
+            planarConfig = planarCfg)
         } else {
         val offsets = longs(273).getOrElse(
           throw new IllegalArgumentException(s"$path: BigTIFF missing StripOffsets (273)"))
@@ -377,7 +383,8 @@ object TiffTags {
           samplesPerPixel = spp,
           bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
           rowsPerStrip = rps, stripOffsets = offsets,
-          compression = compression, predictor = predictor, stripByteCounts = byteCounts)
+          compression = compression, predictor = predictor, stripByteCounts = byteCounts,
+          planarConfig = planarCfg)
         }
       }
     } finally raf.close()

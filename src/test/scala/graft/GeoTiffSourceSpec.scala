@@ -638,18 +638,68 @@ class GeoTiffSourceSpec extends SparkSpec {
       .orderBy("lat", "lon").collect().map(_.toSeq)
     val t = both(tiled)
     assert(t.length == 30 * 20 && t.sameElements(both(stripped)))
-    // planar multi-band: typed rejection at tag-read time
-    val planar = TiffFixtures.writeBigTiff(s"$tmp/planar.tif", 10, 8, null,
-      0.0, 10.0, 0.5, None, spp = 2, bandValue = bv, planarOverride = 2)
+    // bogus PlanarConfiguration value: typed rejection at tag-read time
+    val bogus = TiffFixtures.writeBigTiff(s"$tmp/planar_bad.tif", 10, 8, null,
+      0.0, 10.0, 0.5, None, spp = 2, bandValue = bv, planarOverride = 3)
     val e = intercept[IllegalArgumentException] {
-      graft.sources.tiff.TiffTags.read(planar)
+      graft.sources.tiff.TiffTags.read(bogus)
     }
-    assert(e.getMessage.contains("PlanarConfiguration 2 unsupported"))
+    assert(e.getMessage.contains("PlanarConfiguration 3 unsupported"))
     // out-of-range band: typed rejection at read time
     val e2 = intercept[Exception] {
       Raster.raster2df(spark, Seq(tiled), colNames = Seq("v"), bands = Seq(3)).collect()
     }
     assert(e2.getMessage != null)
+  }
+
+  test("PLANAR multi-band BigTIFF (band-separate) == its chunky twin, strips and tiles") {
+    // GDAL INTERLEAVE=BAND: each band's chunks stored plane-major. Band
+    // selection reads ONLY that band's plane; values must equal the chunky
+    // (pixel-interleaved) twin's on every band, across window splits.
+    def bv(b: Int, c: Int, r: Int): Double = b match {
+      case 0 => (c * 7 + r) % 251
+      case _ => (r * 5 + c) % 251
+    }
+    val chunky = TiffFixtures.writeBigTiff(s"$tmp/pl_chunky.tif", 30, 20, null,
+      0.0, 10.0, 0.5, None, rowsPerStrip = 4,
+      dtype = TiffFixtures.U8, spp = 2, bandValue = bv)
+    val planarS = TiffFixtures.writeBigTiff(s"$tmp/pl_strips.tif", 30, 20, null,
+      0.0, 10.0, 0.5, None, rowsPerStrip = 4,
+      dtype = TiffFixtures.U8, compression = 8, predictor = 2,
+      spp = 2, bandValue = bv, planar = true)
+    val planarT = TiffFixtures.writeBigTiffTiled(s"$tmp/pl_tiles.tif", 30, 20, null,
+      0.0, 10.0, 0.5, None, tileWidth = 16, tileLength = 8,
+      dtype = TiffFixtures.U8, compression = 8, predictor = 2,
+      spp = 2, bandValue = bv, planar = true)
+    val m = graft.sources.tiff.TiffTags.read(planarS)
+    assert(m.planarConfig == 2 && m.samplesPerPixel == 2 &&
+      m.stripOffsets.length == 2 * 5) // 2 planes x ceil(20/4) strips
+    def both(p: String, block: Int = 4096) = Raster.raster2df(spark, Seq(p, p),
+      colNames = Seq("b1", "b2"), bands = Seq(1, 2), maxBlockSize = block)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val c = both(chunky)
+    assert(c.length == 30 * 20)
+    assert(both(planarS).sameElements(c) && both(planarT).sameElements(c))
+    // windows that split the grid agree too
+    assert(both(planarS, 8).sameElements(c) && both(planarT, 8).sameElements(c))
+  }
+
+  test("PLANAR f32 predictor-3 strips: per-plane stride 1, both byte orders") {
+    def bv(b: Int, c: Int, r: Int): Double = b * 5000.0 + math.cos(c * 0.21) * 100.0 + r
+    val chunky = TiffFixtures.writeBigTiff(s"$tmp/pl3_chunky.tif", 24, 16, null,
+      0.0, 8.0, 0.5, None, rowsPerStrip = 5, spp = 2, bandValue = bv)
+    for ((be, name) <- Seq((false, "le"), (true, "be"))) {
+      val planar = TiffFixtures.writeBigTiff(s"$tmp/pl3_$name.tif", 24, 16, null,
+        0.0, 8.0, 0.5, None, rowsPerStrip = 5, bigEndian = be,
+        compression = 8, predictor = 3, spp = 2, bandValue = bv, planar = true)
+      for (band <- Seq(1, 2)) {
+        val a = Raster.raster2df(spark, Seq(planar), bands = Seq(band))
+          .orderBy("lat", "lon").collect().map(_.toSeq)
+        val b = Raster.raster2df(spark, Seq(chunky), bands = Seq(band))
+          .orderBy("lat", "lon").collect().map(_.toSeq)
+        assert(a.length == 24 * 16 && a.sameElements(b), s"$name band $band")
+      }
+    }
   }
 
   test("LZW decoder matches the JDK's independent LZW encoder byte-for-byte") {

@@ -194,7 +194,8 @@ object TiffFixtures {
       predictor: Int = 1,
       spp: Int = 1,
       bandValue: (Int, Int, Int) => Double = null,
-      planarOverride: Int = 0): String = {
+      planarOverride: Int = 0,
+      planar: Boolean = false): String = {
     import java.nio.{ByteBuffer, ByteOrder}
     val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val (bps, sampleFormat) = dtype match {
@@ -214,12 +215,18 @@ object TiffFixtures {
     def sampleAt(b: Int, c: Int, r: Int): Double =
       if (spp == 1) value(c, r) else bandValue(b, c, r)
 
-    // per-strip payloads: raw samples (chunky: bands adjacent per pixel)
-    // -> predictor differencing (stride = spp) -> codec
-    val strips: Array[Array[Byte]] = Array.tabulate(nStrips) { s =>
+    // per-strip payloads: raw samples (chunky: bands adjacent per pixel;
+    // planar: plane-major — all of band 0's strips, then band 1's...)
+    // -> predictor differencing (stride = spp; 1 within a planar plane)
+    // -> codec
+    val nChunks = if (planar) spp * nStrips else nStrips
+    val strips: Array[Array[Byte]] = Array.tabulate(nChunks) { idx =>
+      val (bandSel, s) = if (planar) (idx / nStrips, idx % nStrips) else (-1, idx)
+      val chunkSpp = if (planar) 1 else spp
       val rows = math.min(rps, height - s * rps)
-      val raw = ByteBuffer.allocate(rows * width * bytesPer * spp).order(order)
-      for (r <- s * rps until s * rps + rows; c <- 0 until width; b <- 0 until spp)
+      val raw = ByteBuffer.allocate(rows * width * bytesPer * chunkSpp).order(order)
+      for (r <- s * rps until s * rps + rows; c <- 0 until width;
+           b <- (if (planar) bandSel until bandSel + 1 else 0 until spp))
         dtype match {
           case F32 => raw.putFloat(sampleAt(b, c, r).toFloat)
           case U8 => raw.put((sampleAt(b, c, r).toInt & 0xff).toByte)
@@ -228,12 +235,12 @@ object TiffFixtures {
       val arr = raw.array()
       if (predictor == 2) {
         val bb = ByteBuffer.wrap(arr).order(order)
-        val rowSamples = width * spp
-        val stride = spp * bytesPer
+        val rowSamples = width * chunkSpp
+        val stride = chunkSpp * bytesPer
         for (r <- 0 until rows) {
           val base = r * rowSamples * bytesPer
           var x = rowSamples - 1
-          while (x >= spp) {
+          while (x >= chunkSpp) {
             val i = base + x * bytesPer
             bytesPer match {
               case 1 => arr(i) = (arr(i) - arr(i - stride)).toByte
@@ -244,7 +251,7 @@ object TiffFixtures {
           }
         }
       } else if (predictor == 3)
-        fpDiffRows(arr, rows, width, bytesPer, order == ByteOrder.LITTLE_ENDIAN, spp)
+        fpDiffRows(arr, rows, width, bytesPer, order == ByteOrder.LITTLE_ENDIAN, chunkSpp)
       compression match {
         case 1 => arr
         case 8 =>
@@ -262,14 +269,14 @@ object TiffFixtures {
     }
 
     val pixOff = 16L
-    val stripOff = new Array[Long](nStrips)
+    val stripOff = new Array[Long](nChunks)
     var cur = pixOff
-    for (s <- 0 until nStrips) { stripOff(s) = cur; cur += strips(s).length }
+    for (s <- 0 until nChunks) { stripOff(s) = cur; cur += strips(s).length }
     val stripCnt = strips.map(_.length.toLong)
     val scaleOff = cur; cur += 24
     val tieOff = cur; cur += 48
-    val soOff = cur; if (nStrips > 1) cur += nStrips * 8L
-    val scOff = cur; if (nStrips > 1) cur += nStrips * 8L
+    val soOff = cur; if (nChunks > 1) cur += nChunks * 8L
+    val scOff = cur; if (nChunks > 1) cur += nChunks * 8L
     val ndBytes = noData.map(s => s.getBytes("US-ASCII") :+ 0.toByte)
     val ndOff = cur
     ndBytes.foreach { b => if (b.length > 8) cur += b.length }
@@ -281,14 +288,14 @@ object TiffFixtures {
     // header: II/MM, 43, offset-size 8, pad 0, IFD offset
     val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
     buf.put(bom).put(bom).putShort(43).putShort(8).putShort(0).putLong(ifdOff)
-    for (s <- 0 until nStrips) {
+    for (s <- 0 until nChunks) {
       buf.position(stripOff(s).toInt); buf.put(strips(s))
     }
     buf.position(scaleOff.toInt)
     buf.putDouble(pixelSize).putDouble(pixelSize).putDouble(0.0)
     buf.position(tieOff.toInt)
     Seq(0.0, 0.0, 0.0, originX, originY, 0.0).foreach(buf.putDouble)
-    if (nStrips > 1) {
+    if (nChunks > 1) {
       buf.position(soOff.toInt); stripOff.foreach(buf.putLong)
       buf.position(scOff.toInt); stripCnt.foreach(buf.putLong)
     }
@@ -309,15 +316,16 @@ object TiffFixtures {
     entry(258, 3, spp.toLong)(b =>                 // BitsPerSample (per band; spp<=4 fits inline)
       (0 until spp).foreach(_ => b.putShort(bps.toShort)))
     entry(259, 3, 1)(_.putShort(compression.toShort)) // Compression
-    entry(273, 16, nStrips.toLong)(b =>            // StripOffsets (LONG8)
-      if (nStrips == 1) b.putLong(stripOff(0)) else b.putLong(soOff))
+    entry(273, 16, nChunks.toLong)(b =>            // StripOffsets (LONG8)
+      if (nChunks == 1) b.putLong(stripOff(0)) else b.putLong(soOff))
     entry(277, 3, 1)(_.putShort(spp.toShort))      // SamplesPerPixel
     entry(278, 4, 1)(_.putInt(rps))                // RowsPerStrip
-    entry(279, 16, nStrips.toLong)(b =>            // StripByteCounts (LONG8)
-      if (nStrips == 1) b.putLong(stripCnt(0)) else b.putLong(scOff))
+    entry(279, 16, nChunks.toLong)(b =>            // StripByteCounts (LONG8)
+      if (nChunks == 1) b.putLong(stripCnt(0)) else b.putLong(scOff))
     if (spp > 1 || planarOverride > 0)
       entry(284, 3, 1)(_.putShort(                 // PlanarConfiguration
-        (if (planarOverride > 0) planarOverride else 1).toShort))
+        (if (planarOverride > 0) planarOverride
+         else if (planar) 2 else 1).toShort))
     if (predictor != 1)
       entry(317, 3, 1)(_.putShort(predictor.toShort)) // Predictor
     entry(339, 3, spp.toLong)(b =>                 // SampleFormat (per band)
@@ -496,7 +504,8 @@ object TiffFixtures {
       compression: Int = 1,
       predictor: Int = 1,
       spp: Int = 1,
-      bandValue: (Int, Int, Int) => Double = null): String = {
+      bandValue: (Int, Int, Int) => Double = null,
+      planar: Boolean = false): String = {
     import java.nio.{ByteBuffer, ByteOrder}
     val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val (bps, sampleFormat) = dtype match {
@@ -513,15 +522,19 @@ object TiffFixtures {
     val bytesPer = bps / 8
     val tilesAcross = (width + tileWidth - 1) / tileWidth
     val tilesDown = (height + tileLength - 1) / tileLength
-    val nTiles = tilesAcross * tilesDown
+    val nTilesGeo = tilesAcross * tilesDown
+    // planar: plane-major tile order (all of band 0's tiles, then band 1's)
+    val nTiles = if (planar) nTilesGeo * spp else nTilesGeo
 
     val tiles: Array[Array[Byte]] = Array.tabulate(nTiles) { t =>
-      val tc = t % tilesAcross
-      val tr = t / tilesAcross
-      val raw = ByteBuffer.allocate(tileWidth * tileLength * bytesPer * spp).order(order)
+      val (bandSel, tg) = if (planar) (t / nTilesGeo, t % nTilesGeo) else (-1, t)
+      val chunkSpp = if (planar) 1 else spp
+      val tc = tg % tilesAcross
+      val tr = tg / tilesAcross
+      val raw = ByteBuffer.allocate(tileWidth * tileLength * bytesPer * chunkSpp).order(order)
       for (r <- tr * tileLength until (tr + 1) * tileLength;
            c <- tc * tileWidth until (tc + 1) * tileWidth;
-           b <- 0 until spp) {
+           b <- (if (planar) bandSel until bandSel + 1 else 0 until spp)) {
         // pad cells (outside the image) are zero samples
         val v =
           if (r >= height || c >= width) 0.0
@@ -536,12 +549,12 @@ object TiffFixtures {
       val arr = raw.array()
       if (predictor == 2) {
         val bb = ByteBuffer.wrap(arr).order(order)
-        val rowSamples = tileWidth * spp
-        val stride = spp * bytesPer
+        val rowSamples = tileWidth * chunkSpp
+        val stride = chunkSpp * bytesPer
         for (r <- 0 until tileLength) {
           val base = r * rowSamples * bytesPer
           var x = rowSamples - 1
-          while (x >= spp) {
+          while (x >= chunkSpp) {
             val i = base + x * bytesPer
             bytesPer match {
               case 1 => arr(i) = (arr(i) - arr(i - stride)).toByte
@@ -553,7 +566,7 @@ object TiffFixtures {
         }
       } else if (predictor == 3)
         fpDiffRows(arr, tileLength, tileWidth, bytesPer,
-          order == ByteOrder.LITTLE_ENDIAN, spp)
+          order == ByteOrder.LITTLE_ENDIAN, chunkSpp)
       compression match {
         case 1 => arr
         case 8 =>
@@ -617,7 +630,8 @@ object TiffFixtures {
     entry(259, 3, 1)(_.putShort(compression.toShort)) // Compression
     entry(277, 3, 1)(_.putShort(spp.toShort))      // SamplesPerPixel
     if (spp > 1)
-      entry(284, 3, 1)(_.putShort(1))              // PlanarConfiguration (chunky)
+      entry(284, 3, 1)(_.putShort(                 // PlanarConfiguration
+        (if (planar) 2 else 1).toShort))
     if (predictor != 1)
       entry(317, 3, 1)(_.putShort(predictor.toShort)) // Predictor
     entry(322, 4, 1)(_.putInt(tileWidth))          // TileWidth
