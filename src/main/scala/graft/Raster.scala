@@ -31,6 +31,7 @@ object Raster {
       s"raster paths must not contain ',': ${rasters.filter(_.contains(","))}")
     require(colNames.forall(!_.contains(",")),
       s"column names must not contain ',': ${colNames.filter(_.contains(","))}")
+    require(overview >= 0, s"overview must be >= 0, got $overview")
     var reader = spark.read.format("geotiff")
       .option("paths", rasters.mkString(","))
       .option("maxBlockSize", maxBlockSize)

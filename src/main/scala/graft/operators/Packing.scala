@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Sequence-packing strategy comparison (the q163 surface, reusable at
@@ -35,7 +35,31 @@ import org.apache.spark.sql.functions._
   * fine at the thousands-of-items-per-shard scale the sharding contract
   * implies.
   */
-object Packing {
+// Serializable so executor closures may call the shared `place` fold (the
+// module reference is captured; a stateless singleton round-trips freely).
+object Packing extends Serializable {
+
+  /** ONE hard-capacity greedy placement step, shared by [[strategyAb]] and
+    * [[bfdAssignments]] so the card and the action cannot drift by
+    * construction: put `n` into the first (firstFit) or fullest-fitting
+    * (bestFit) bin of `fills`, opening a new bin when none fits (an
+    * oversize item therefore opens its own). Returns the 1-based bin id.
+    */
+  private def place(fills: scala.collection.mutable.ArrayBuffer[Long],
+      n: Long, cap: Long, bestFit: Boolean): Int = {
+    var pick = -1
+    var best = -1L
+    var i = 0
+    while (i < fills.length) {
+      if (fills(i) + n <= cap && (pick < 0 || (bestFit && fills(i) > best))) {
+        pick = i; best = fills(i)
+        if (!bestFit) i = fills.length // first fit: stop at first
+      }
+      i += 1
+    }
+    if (pick < 0) { fills += n; fills.length }
+    else { fills(pick) += n; pick + 1 }
+  }
 
   /** Best-fit-decreasing ASSIGNMENTS — the ACTION the [[strategyAb]] card
     * motivates when a corpus is in the large-conversation regime: every
@@ -61,17 +85,7 @@ object Packing {
           .sortBy { case (a, b, n) => (-n, a, b) }
         val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
         bySize.iterator.map { case (a, b, n) =>
-          var pick = -1
-          var best = -1L
-          var i = 0
-          while (i < fills.length) {
-            if (fills(i) + n <= cap && fills(i) > best) { pick = i; best = fills(i) }
-            i += 1
-          }
-          val bin =
-            if (pick < 0) { fills += n; fills.length }
-            else { fills(pick) += n; pick + 1 }
-          (shard, a, b, n, bin)
+          (shard, a, b, n, place(fills, n, cap, bestFit = true))
         }
       }
       .toDF("shard", "k1", "k2", "n_tokens", "bin")
@@ -93,26 +107,11 @@ object Packing {
       .as[(Int, Long, Long, Long)]
       .groupByKey(_._1)
       .mapGroups { (shard, it) =>
-        // local defs only: closures over enclosing-object methods are the
-        // repo's documented Task-not-serializable trap
         val convs = it.map { case (_, a, b, n) => (a, b, n) }.toArray
         def fold(order: Array[(Long, Long, Long)], bestFit: Boolean)
             : (Long, Long) = {
           val fills = scala.collection.mutable.ArrayBuffer.empty[Long]
-          order.foreach { case (_, _, n) =>
-            var pick = -1
-            var best = -1L
-            var i = 0
-            while (i < fills.length) {
-              if (fills(i) + n <= cap &&
-                  (pick < 0 || (bestFit && fills(i) > best))) {
-                pick = i; best = fills(i)
-                if (!bestFit) i = fills.length // first fit: stop at first
-              }
-              i += 1
-            }
-            if (pick < 0) fills += n else fills(pick) += n
-          }
+          order.foreach { case (_, _, n) => place(fills, n, cap, bestFit) }
           (fills.length.toLong,
             fills.map(f => math.max(0L, cap - f)).sum)
         }

@@ -354,11 +354,14 @@ object SftPrep {
     * window over the (shard, bin) partitioning q157 established; spans
     * join per conversation. All integer arithmetic.
     */
-  private def q160(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val t = turns(s, dir)
+  /** Per-conversation token total and rendered length — ONE definition of
+    * the render contract (the "\n" turn joiner, turn_idx order) shared by
+    * q160's quotient offsets and q165's BFD offsets, so the two packing
+    * coordinate systems cannot drift on what a conversation renders to.
+    */
+  private def convRendered(s: SparkSession, dir: String): DataFrame = {
     val turnCol = ChatSft.renderTurn(col("role"), col("turn_text"))
-    val conv = t
+    turns(s, dir)
       .select(col("user_id"), col("session_id"), col("turn_idx"),
         turnCol.as("turn"), size(split(turnCol, " ")).as("nt"))
       .groupBy(col("user_id"), col("session_id"))
@@ -366,6 +369,12 @@ object SftPrep {
         length(array_join(
           transform(array_sort(collect_list(struct(col("turn_idx"), col("turn")))),
             x => x.getField("turn")), "\n")).as("r_len"))
+  }
+
+  private def q160(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val t = turns(s, dir)
+    val conv = convRendered(s, dir)
     val wBin = Window.partitionBy(col("shard"))
       .orderBy(col("user_id"), col("session_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -689,6 +698,35 @@ object SftPrep {
     * oracle replays the BFD fold as a recursive CTE that carries the
     * chosen bin per step alongside the fill list.
     */
+  /** The bin-carrying BFD recursive fold q164Sql and q165Sql both replay
+    * (ONE copy, so the two oracles cannot drift on placement semantics):
+    * `bfda_ordered` ranks `convt` by the placement order — extra columns
+    * ride along for the caller's final projection — and `bfda_fold`
+    * carries the per-shard fill list plus the bin chosen at each step.
+    * Callers join `bfda_fold` to `bfda_ordered` on (shard, rn = i),
+    * skipping the i = 0 seed row.
+    */
+  private def bfdBinFoldCtes(extraOrderedCols: String): String =
+    s""", bfda_ordered AS (
+       |  SELECT shard, user_id, session_id, n_tokens$extraOrderedCols,
+       |    ROW_NUMBER() OVER (PARTITION BY shard
+       |      ORDER BY n_tokens DESC, user_id, session_id) AS rn
+       |  FROM convt
+       |), bfda_fold AS (
+       |  SELECT shard, 0::BIGINT AS i, CAST([] AS BIGINT[]) AS fills,
+       |    0::BIGINT AS bin
+       |  FROM bfda_ordered GROUP BY shard
+       |  UNION ALL
+       |  SELECT p.shard, p.i + 1,
+       |    CASE WHEN x.pos = 0 THEN p.fills || [o.n_tokens]
+       |         ELSE p.fills[1:x.pos-1] || [p.fills[x.pos] + o.n_tokens] || p.fills[x.pos+1:] END,
+       |    CAST(CASE WHEN x.pos = 0 THEN len(p.fills) + 1 ELSE x.pos END AS BIGINT)
+       |  FROM bfda_fold p
+       |  JOIN bfda_ordered o ON o.shard = p.shard AND o.rn = p.i + 1,
+       |  LATERAL (SELECT COALESCE(list_position(p.fills, list_max(
+       |      list_filter(p.fills, f -> f + o.n_tokens <= $Capacity))), 0) AS pos) x
+       |)""".stripMargin
+
   private def q164(s: SparkSession, dir: String): DataFrame =
     graft.operators.Packing.bfdAssignments(
       convTokens(s, dir)
@@ -706,27 +744,7 @@ object SftPrep {
        |    user_id, session_id,
        |    CAST(SUM(CAST(len(string_split(turn, ' ')) AS INT)) AS BIGINT) AS n_tokens
        |  FROM turns GROUP BY 2, 3
-       |), bfda_ordered AS (
-       |  SELECT shard, user_id, session_id, n_tokens,
-       |    ROW_NUMBER() OVER (PARTITION BY shard
-       |      ORDER BY n_tokens DESC, user_id, session_id) AS rn,
-       |    COUNT(*) OVER (PARTITION BY shard) AS n
-       |  FROM convt
-       |), bfda_fold AS (
-       |  SELECT shard, 0::BIGINT AS i, CAST([] AS BIGINT[]) AS fills,
-       |    0::BIGINT AS bin, MAX(n) AS n
-       |  FROM bfda_ordered GROUP BY shard
-       |  UNION ALL
-       |  SELECT p.shard, p.i + 1,
-       |    CASE WHEN x.pos = 0 THEN p.fills || [o.n_tokens]
-       |         ELSE p.fills[1:x.pos-1] || [p.fills[x.pos] + o.n_tokens] || p.fills[x.pos+1:] END,
-       |    CAST(CASE WHEN x.pos = 0 THEN len(p.fills) + 1 ELSE x.pos END AS BIGINT),
-       |    p.n
-       |  FROM bfda_fold p
-       |  JOIN bfda_ordered o ON o.shard = p.shard AND o.rn = p.i + 1,
-       |  LATERAL (SELECT COALESCE(list_position(p.fills, list_max(
-       |      list_filter(p.fills, f -> f + o.n_tokens <= $Capacity))), 0) AS pos) x
-       |)
+       |)${bfdBinFoldCtes("")}
        |SELECT o.shard, CAST(o.user_id AS BIGINT) AS user_id,
        |  o.session_id, o.n_tokens, CAST(f.bin AS INT) AS bin
        |FROM bfda_fold f
@@ -748,15 +766,9 @@ object SftPrep {
   private def q165(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = turns(s, dir)
-    val turnCol = ChatSft.renderTurn(col("role"), col("turn_text"))
-    val conv = t
+    val conv = convRendered(s, dir)
       .select(col("user_id").cast("long").as("user_id"), col("session_id"),
-        col("turn_idx"), turnCol.as("turn"), size(split(turnCol, " ")).as("nt"))
-      .groupBy(col("user_id"), col("session_id"))
-      .agg(sum(col("nt")).as("n_tokens"),
-        length(array_join(
-          transform(array_sort(collect_list(struct(col("turn_idx"), col("turn")))),
-            x => x.getField("turn")), "\n")).as("r_len"))
+        col("n_tokens"), col("r_len"))
       .withColumn("shard", floor(col("user_id") / 10.0).cast("int"))
     val asg = graft.operators.Packing.bfdAssignments(
       conv.select(col("shard"), col("user_id").as("k1"),
@@ -796,27 +808,8 @@ object SftPrep {
        |    CAST(SUM(CAST(len(string_split(turn, ' ')) AS INT)) AS BIGINT) AS n_tokens,
        |    CAST(len(string_agg(turn, chr(10) ORDER BY ts_us, event_id)) AS INT) AS r_len
        |  FROM turns GROUP BY 1, 2, 3
-       |), bfda_ordered AS (
-       |  SELECT shard, user_id, session_id, n_tokens, r_len,
-       |    ROW_NUMBER() OVER (PARTITION BY shard
-       |      ORDER BY n_tokens DESC, user_id, session_id) AS rn,
-       |    COUNT(*) OVER (PARTITION BY shard) AS n
-       |  FROM convt
-       |), bfda_fold AS (
-       |  SELECT shard, 0::BIGINT AS i, CAST([] AS BIGINT[]) AS fills,
-       |    0::BIGINT AS bin, MAX(n) AS n
-       |  FROM bfda_ordered GROUP BY shard
-       |  UNION ALL
-       |  SELECT p.shard, p.i + 1,
-       |    CASE WHEN x.pos = 0 THEN p.fills || [o.n_tokens]
-       |         ELSE p.fills[1:x.pos-1] || [p.fills[x.pos] + o.n_tokens] || p.fills[x.pos+1:] END,
-       |    CAST(CASE WHEN x.pos = 0 THEN len(p.fills) + 1 ELSE x.pos END AS BIGINT),
-       |    p.n
-       |  FROM bfda_fold p
-       |  JOIN bfda_ordered o ON o.shard = p.shard AND o.rn = p.i + 1,
-       |  LATERAL (SELECT COALESCE(list_position(p.fills, list_max(
-       |      list_filter(p.fills, f -> f + o.n_tokens <= $Capacity))), 0) AS pos) x
-       |), asg AS (
+       |)${bfdBinFoldCtes(", r_len")}
+       |, asg AS (
        |  SELECT o.shard, o.user_id, o.session_id, o.r_len, o.rn,
        |    CAST(f.bin AS INT) AS bin
        |  FROM bfda_fold f

@@ -156,7 +156,10 @@ object TiffTags {
         val cb = ByteBuffer.wrap(cntBuf).order(order)
         val n = (if (bigTiff) cb.getLong(0) else (cb.getShort(0) & 0xffff).toLong).toInt
         val nextPtrSize = if (bigTiff) 8 else 4
-        val entriesRaw = new Array[Byte](n * entrySize + nextPtrSize)
+        // tolerate files truncated right after the last entry (accepted
+        // before the chain walk existed): a missing next pointer reads as 0
+        val truncated = at + countSize + n.toLong * entrySize + nextPtrSize > raf.length()
+        val entriesRaw = new Array[Byte](n * entrySize + (if (truncated) 0 else nextPtrSize))
         raf.readFully(entriesRaw)
         val eb = ByteBuffer.wrap(entriesRaw).order(order)
         val es = (0 until n).map { i =>
@@ -173,7 +176,8 @@ object TiffTags {
           Entry(tag, tpe, count, valueOffset, inline)
         }.map(e => e.tag -> e).toMap
         val nextOff =
-          if (bigTiff) eb.getLong(n * entrySize)
+          if (truncated) 0L
+          else if (bigTiff) eb.getLong(n * entrySize)
           else eb.getInt(n * entrySize).toLong & 0xffffffffL
         (es, nextOff)
       }
@@ -270,6 +274,8 @@ object TiffTags {
             s"$path: overview $overview ($width x $height) larger than IFD0 ($w0 x $h0)")
           (s0(0) * (w0.toDouble / width), s0(1) * (h0.toDouble / height),
             t0(3) - t0(0) * s0(0), t0(4) + t0(1) * s0(1))
+        case (Some(_), None) =>
+          throw new IllegalArgumentException(s"$path: missing GeoTIFF ModelTiepoint (33922)")
         case _ =>
           throw new IllegalArgumentException(s"$path: missing GeoTIFF ModelPixelScale (33550)")
       }
@@ -360,6 +366,8 @@ object TiffTags {
             if (compression == 1) Vector.empty[Long]
             else longs(325).getOrElse(throw new IllegalArgumentException(
               s"$path: compressed tiled BigTIFF missing TileByteCounts (325)")).toIndexedSeq
+          require(compression == 1 || tCounts.length == tOffsets.length,
+            s"$path: ${tCounts.length} tile byte counts for ${tOffsets.length} tiles")
           RasterMeta(path, width, height, bps, sampleFormat,
             scaleX, scaleY, originX, originY, noData,
             samplesPerPixel = spp,
@@ -374,10 +382,19 @@ object TiffTags {
           .toIndexedSeq
         val rps = entries.get(278).map(e => intAt(e, payload(e), 0))
           .getOrElse(height.toLong)
+        // chunk-count validation mirrors the tiled branch: a planar file
+        // carries planes x stripsPerBand strips — a short offsets array must
+        // fail HERE with a typed error, not as an index crash in a task
+        val expectStrips = ((height + rps - 1) / rps) * planesPerChunk
+        require(offsets.length.toLong == expectStrips,
+          s"$path: ${offsets.length} strip offsets for $expectStrips strips " +
+            s"(rowsPerStrip=$rps, planes=$planesPerChunk)")
         val byteCounts =
           if (compression == 1) Vector.empty[Long]
           else longs(279).getOrElse(throw new IllegalArgumentException(
             s"$path: compressed BigTIFF missing StripByteCounts (279)")).toIndexedSeq
+        require(compression == 1 || byteCounts.length == offsets.length,
+          s"$path: ${byteCounts.length} strip byte counts for ${offsets.length} strips")
         RasterMeta(path, width, height, bps, sampleFormat,
           scaleX, scaleY, originX, originY, noData,
           samplesPerPixel = spp,
