@@ -46,8 +46,9 @@ import graft.functions.GeoMath
   * read several bands of one file), `maxBlockSize` (default 4096),
   * `calcArea` (boolean, default false), `overview` (COG overview level:
   * 0 = full resolution, k = the k-th reduced-resolution IFD of the
-  * pyramid — scan coarse data without touching full-res chunks; BigTIFF
-  * only). Paths/colNames must not contain ',' (flat string options).
+  * pyramid — scan coarse data without touching full-res chunks; classic
+  * and BigTIFF). Paths/colNames must not contain ',' (flat string
+  * options).
   *
   * Scale posture: planning reads only TIFF headers (one tiny IFD read per
   * raster); each task decodes exactly its window via an ImageIO region
@@ -385,7 +386,8 @@ class GeoTiffPartitionReader(
           reader.setInput(iis)
           val p = reader.getDefaultReadParam
           p.setSourceRegion(new Rectangle(window.colOff, window.rowOff, window.width, window.height))
-          arr(i) = new AwtPixelGrid(reader.read(0, p).getRaster, bands(i) - 1)
+          arr(i) = new AwtPixelGrid(
+            reader.read(metas(i).imageIndex, p).getRaster, bands(i) - 1)
         } finally {
           reader.dispose()
           iis.close()

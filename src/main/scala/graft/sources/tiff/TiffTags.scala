@@ -75,7 +75,11 @@ object TiffTags {
       // 1 = chunky (pixel-interleaved), 2 = planar (band-separate chunks,
       // the GDAL INTERLEAVE=BAND layout): in planar files each band's
       // chunks are stored plane-major (all of band 1's, then band 2's...)
-      planarConfig: Int = 1) {
+      planarConfig: Int = 1,
+      // which image of the file's IFD chain this meta describes (0 = full
+      // resolution) — the ImageIO image index for the classic-TIFF decode
+      // path; the BigTIFF chunk reader carries the chunk offsets directly
+      imageIndex: Int = 0) {
 
     def tiled: Boolean = tileWidth > 0
 
@@ -108,8 +112,9 @@ object TiffTags {
     * geographic extent of the raster identical at every level even when the
     * reduced dimensions are rounded). An overview that does carry its own
     * ModelPixelScale/ModelTiepoint keeps them. NoData likewise inherits
-    * from IFD0 unless overridden. BigTIFF only for k >= 1 (the classic path
-    * decodes through ImageIO, which is pinned to image 0 here).
+    * from IFD0 unless overridden. Works for BigTIFF (the chunk reader uses
+    * the selected IFD's offsets directly) AND classic TIFF (the ImageIO
+    * decode uses the selected image index).
     */
   def readOverview(path: String, overview: Int): RasterMeta = {
     require(overview >= 0, s"$path: overview must be >= 0, got $overview")
@@ -143,10 +148,6 @@ object TiffTags {
       // BigTIFF: 8-byte entry count, 20-byte entries, 8-byte value field
       val (countSize, entrySize, valueFieldSize, valueFieldOff) =
         if (bigTiff) (8, 20, 8, 12) else (2, 12, 4, 8)
-
-      require(bigTiff || overview == 0,
-        s"$path: overview reads are supported for BigTIFF only " +
-          "(classic TIFF decodes via ImageIO, pinned to image 0)")
 
       /** Entries of the IFD at `at`, plus the next-IFD offset (0 = end). */
       def parseEntries(at: Long): (Map[Int, Entry], Long) = {
@@ -300,7 +301,8 @@ object TiffTags {
           stripOffsets = longs(273).map(_.toIndexedSeq).getOrElse(Vector.empty),
           compression = shortOrLong(259, 1),
           predictor = shortOrLong(317, 1),
-          stripByteCounts = longs(279).map(_.toIndexedSeq).getOrElse(Vector.empty))
+          stripByteCounts = longs(279).map(_.toIndexedSeq).getOrElse(Vector.empty),
+          imageIndex = overview)
       } else {
         // BigTIFF pixels are decoded by our own chunk reader (ImageIO has no
         // BigTIFF support): uncompressed, DEFLATE (8 and the legacy 32946),

@@ -519,11 +519,42 @@ class GeoTiffSourceSpec extends SparkSpec {
       graft.sources.tiff.TiffTags.readOverview(p, 3)
     }
     assert(e.getMessage.contains("IFD chain has only"))
-    // classic TIFF cannot serve overviews (ImageIO path is image-0 pinned)
+    // a single-image classic file has no overview 1 either
     val e2 = intercept[IllegalArgumentException] {
       graft.sources.tiff.TiffTags.readOverview(f32, 1)
     }
-    assert(e2.getMessage.contains("BigTIFF only"))
+    assert(e2.getMessage.contains("IFD chain has only"))
+  }
+
+  test("CLASSIC multi-page overview pyramid reads per level through ImageIO") {
+    def v(k: Int, c: Int, r: Int): Double = (k * 50 + c * 3 + r) % 251
+    val p = TiffFixtures.writeClassicOverviews(s"$tmp/ovr_classic.tif", 18, 10, v,
+      5.0, 40.0, 0.5, Some("255"), levels = 2)
+    val m0 = graft.sources.tiff.TiffTags.read(p)
+    val m1 = graft.sources.tiff.TiffTags.readOverview(p, 1)
+    assert(!m0.bigTiff && m0.width == 18 && m0.imageIndex == 0)
+    assert(m1.width == 9 && m1.height == 5 && m1.imageIndex == 1 &&
+      m1.pixelScaleX == 1.0 && m1.originX == 5.0 && m1.noData.contains(255.0))
+    val o1 = Raster.raster2df(spark, Seq(p), overview = 1).orderBy("lat", "lon").collect()
+    assert(o1.length == 9 * 5)
+    o1.foreach { w =>
+      val c = ((w.getDouble(0) - 5.0) / 1.0 - 0.5).round.toInt
+      val r = ((40.0 - w.getDouble(1)) / 1.0 - 0.5).round.toInt
+      assert(w.getShort(2).toDouble == v(1, c, r), s"($c,$r)")
+    }
+    // overview 2 = ceil(18/4) x ceil(10/4) = 5 x 3: the rounded dims make
+    // the inherited scale NON-integral (0.5 * 18/5 = 1.8 per axis-ratio),
+    // exactly the extent-preserving rule; distinct values prove selection
+    val m2 = graft.sources.tiff.TiffTags.readOverview(p, 2)
+    assert(m2.width == 5 && m2.height == 3 &&
+      math.abs(m2.pixelScaleX - 0.5 * 18.0 / 5) < 1e-12 &&
+      math.abs(m2.pixelScaleY - 0.5 * 10.0 / 3) < 1e-12)
+    val o2 = Raster.raster2df(spark, Seq(p), overview = 2).orderBy("lat", "lon").collect()
+    assert(o2.length == 5 * 3 && o2.forall { w =>
+      val c = ((w.getDouble(0) - 5.0) / m2.pixelScaleX - 0.5).round.toInt
+      val r = ((40.0 - w.getDouble(1)) / m2.pixelScaleY - 0.5).round.toInt
+      w.getShort(2).toDouble == v(2, c, r)
+    })
   }
 
   test("COG overviews of two rasters zip positionally at the same level") {

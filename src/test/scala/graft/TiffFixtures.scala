@@ -97,6 +97,65 @@ object TiffFixtures {
     path
   }
 
+  /** CLASSIC multi-page GeoTIFF with an overview pyramid, written through
+    * ImageIO's sequence API: image 0 at full resolution carries the geo
+    * tags; each further image is ceil-halved and carries none (the GDAL
+    * convention — the reader inherits the grid). u8 samples;
+    * `valueAt(level, c, r)` in level coordinates.
+    */
+  def writeClassicOverviews(
+      path: String,
+      width: Int,
+      height: Int,
+      valueAt: (Int, Int, Int) => Double,
+      originX: Double,
+      originY: Double,
+      pixelSize: Double,
+      noData: Option[String],
+      levels: Int): String = {
+    require(levels >= 1, "need at least one overview level")
+    val writer = ImageIO.getImageWritersByFormatName("tiff").next()
+    val f = new File(path)
+    f.getParentFile.mkdirs()
+    f.delete()
+    val ios = ImageIO.createImageOutputStream(f)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      for (k <- 0 to levels) {
+        val w = (width + (1 << k) - 1) >> k
+        val h = (height + (1 << k) - 1) >> k
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        val wr = img.getRaster
+        for (r <- 0 until h; c <- 0 until w) wr.setSample(c, r, 0, valueAt(k, c, r).toInt)
+        val param = writer.getDefaultWriteParam
+        val meta = writer.getDefaultImageMetadata(
+          ImageTypeSpecifier.createFromRenderedImage(img), param)
+        val dir = TIFFDirectory.createFromMetadata(meta)
+        if (k == 0) {
+          val scaleTag = new TIFFTag("ModelPixelScale", 33550, 1 << TIFFTag.TIFF_DOUBLE)
+          val tieTag = new TIFFTag("ModelTiepoint", 33922, 1 << TIFFTag.TIFF_DOUBLE)
+          val nodataTag = new TIFFTag("GDAL_NODATA", 42113, 1 << TIFFTag.TIFF_ASCII)
+          val set = new TIFFTagSet(java.util.Arrays.asList(scaleTag, tieTag, nodataTag))
+          dir.addTagSet(set)
+          dir.addTIFFField(new TIFFField(scaleTag, TIFFTag.TIFF_DOUBLE, 3,
+            Array[Double](pixelSize, pixelSize, 0.0)))
+          dir.addTIFFField(new TIFFField(tieTag, TIFFTag.TIFF_DOUBLE, 6,
+            Array[Double](0.0, 0.0, 0.0, originX, originY, 0.0)))
+          noData.foreach { nd =>
+            dir.addTIFFField(new TIFFField(nodataTag, TIFFTag.TIFF_ASCII, 1, Array[String](nd)))
+          }
+        }
+        writer.writeToSequence(new IIOImage(img, null, dir.getAsMetadata), param)
+      }
+      writer.endWriteSequence()
+    } finally {
+      ios.close()
+      writer.dispose()
+    }
+    path
+  }
+
   /** 3-band RGB GeoTIFF (u8 per band) via ImageIO, with the same geo tags:
     * band values come from `value(band, c, r)` with band 1..3 = R,G,B.
     */
