@@ -79,8 +79,16 @@ object Raster {
   def zonalStats(points: DataFrame, cellDeg: Double): DataFrame = {
     import org.apache.spark.sql.functions._
     require(cellDeg > 0, s"cellDeg must be positive, got $cellDeg")
-    val valueCols = points.columns.filterNot(Seq("lon", "lat", "area").contains)
-    // n_pixels leads so the aggregation list is never empty (a lon/lat-only
+    // projected frames carry x/y instead of lon/lat (CRS-gated naming in
+    // the source); the cell math is identical, the cell columns keep the
+    // frame's own names
+    val (xc, yc) =
+      if (points.columns.contains("lon")) ("lon", "lat")
+      else if (points.columns.contains("x")) ("x", "y")
+      else throw new IllegalArgumentException(
+        s"zonalStats needs lon/lat or x/y coordinate columns, got ${points.columns.mkString(", ")}")
+    val valueCols = points.columns.filterNot(Seq(xc, yc, "area").contains)
+    // n_pixels leads so the aggregation list is never empty (a coord-only
     // frame is a valid count-per-cell rollup, not a crash)
     val aggs = Seq(count(lit(1)).as("n_pixels")) ++ valueCols.flatMap { c =>
       Seq(count(col(c)).as(s"${c}_n"), avg(col(c)).as(s"${c}_mean"),
@@ -89,10 +97,10 @@ object Raster {
       Seq(sum(col("area")).as("area_sum")) else Nil)
     points
       .groupBy(
-        (floor(col("lon") / cellDeg) * cellDeg).as("cell_lon"),
-        (floor(col("lat") / cellDeg) * cellDeg).as("cell_lat"))
+        (floor(col(xc) / cellDeg) * cellDeg).as(s"cell_$xc"),
+        (floor(col(yc) / cellDeg) * cellDeg).as(s"cell_$yc"))
       .agg(aggs.head, aggs.tail: _*)
-      .orderBy(col("cell_lon"), col("cell_lat"))
+      .orderBy(col(s"cell_$xc"), col(s"cell_$yc"))
   }
 
   /** Parsed CLI arguments (extracted from main so the flag grammar is

@@ -131,20 +131,42 @@ class GeoTiffTable(
     ms.tail.foreach { m =>
       require(first.sameGrid(m),
         s"raster grid mismatch: ${first.path} vs ${m.path} (extent/resolution must be identical)")
+      require(first.nonGeographic == m.nonGeographic,
+        s"raster CRS mismatch: ${first.path} (model type ${first.crsModelType}) vs " +
+          s"${m.path} (model type ${m.crsModelType}) — geographic and projected " +
+          "rasters cannot share a point grid")
     }
     ms.zip(bands).foreach { case (m, b) =>
       require(b <= m.samplesPerPixel,
         s"${m.path}: band $b requested but raster has ${m.samplesPerPixel} band(s)")
     }
+    // Geodesic pixel area assumes WGS84 degrees (GeoMath.pixelAreaM2): on a
+    // projected/geocentric CRS the coordinates are meters and the formula
+    // returns garbage — typed-reject rather than emit wrong numbers.
+    require(!calcArea || !first.nonGeographic,
+      s"${first.path}: calcArea requires a geographic CRS — the GeoKeyDirectory declares " +
+        s"model type ${first.crsModelType.getOrElse(-1)}" +
+        first.epsg.fold("")(e => s" (EPSG:$e)") +
+        "; geodesic area over projected coordinates would be meaningless")
     ms
   }
+
+  /** Coordinate column names: lon/lat for geographic (or undeclared — the
+    * reference era's files) CRS, neutral x/y when the GeoKeyDirectory
+    * declares a projected/geocentric model — those coordinates are meters,
+    * and NAMING them lon/lat is the silent-garbage failure this gate exists
+    * to prevent. Window pruning and the affine math are CRS-agnostic and
+    * work identically under either naming.
+    */
+  lazy val coordNames: (String, String) =
+    if (metas.head.nonGeographic) ("x", "y") else ("lon", "lat")
 
   override def name(): String = s"geotiff(${paths.mkString(",")})"
 
   override def schema(): StructType = {
     val base = Seq(
-      StructField("lon", DoubleType, nullable = false),
-      StructField("lat", DoubleType, nullable = false)) ++
+      StructField(coordNames._1, DoubleType, nullable = false),
+      StructField(coordNames._2, DoubleType, nullable = false)) ++
       metas.zip(colNames).map { case (m, n) =>
         StructField(n, GeoTiffTable.sparkType(m), nullable = false)
       }
@@ -155,7 +177,8 @@ class GeoTiffTable(
     util.EnumSet.of(TableCapability.BATCH_READ)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GeoTiffScanBuilder(metas, colNames, schema(), maxBlockSize, calcArea, bands)
+    new GeoTiffScanBuilder(metas, colNames, schema(), maxBlockSize, calcArea, bands,
+      coordNames)
 }
 
 class GeoTiffScanBuilder(
@@ -164,12 +187,16 @@ class GeoTiffScanBuilder(
     fullSchema: StructType,
     maxBlockSize: Int,
     calcArea: Boolean,
-    bands: Seq[Int])
+    bands: Seq[Int],
+    coordNames: (String, String))
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
+  private val (xName, yName) = coordNames
   private var required: StructType = fullSchema
   private var pushed: Array[Filter] = Array.empty
-  // lon/lat bounds harvested from pushed filters, used for window pruning
+  // coordinate bounds harvested from pushed filters, used for window pruning
+  // (the names are lon/lat on geographic files, x/y on projected ones — the
+  // affine window math is identical either way)
   private var lonMin = Double.NegativeInfinity
   private var lonMax = Double.PositiveInfinity
   private var latMin = Double.NegativeInfinity
@@ -181,14 +208,14 @@ class GeoTiffScanBuilder(
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val usable = ArrayBuffer[Filter]()
     filters.foreach {
-      case f @ GreaterThan("lon", v: Number) => lonMin = lonMin.max(v.doubleValue()); usable += f
-      case f @ GreaterThanOrEqual("lon", v: Number) => lonMin = lonMin.max(v.doubleValue()); usable += f
-      case f @ LessThan("lon", v: Number) => lonMax = lonMax.min(v.doubleValue()); usable += f
-      case f @ LessThanOrEqual("lon", v: Number) => lonMax = lonMax.min(v.doubleValue()); usable += f
-      case f @ GreaterThan("lat", v: Number) => latMin = latMin.max(v.doubleValue()); usable += f
-      case f @ GreaterThanOrEqual("lat", v: Number) => latMin = latMin.max(v.doubleValue()); usable += f
-      case f @ LessThan("lat", v: Number) => latMax = latMax.min(v.doubleValue()); usable += f
-      case f @ LessThanOrEqual("lat", v: Number) => latMax = latMax.min(v.doubleValue()); usable += f
+      case f @ GreaterThan(`xName`, v: Number) => lonMin = lonMin.max(v.doubleValue()); usable += f
+      case f @ GreaterThanOrEqual(`xName`, v: Number) => lonMin = lonMin.max(v.doubleValue()); usable += f
+      case f @ LessThan(`xName`, v: Number) => lonMax = lonMax.min(v.doubleValue()); usable += f
+      case f @ LessThanOrEqual(`xName`, v: Number) => lonMax = lonMax.min(v.doubleValue()); usable += f
+      case f @ GreaterThan(`yName`, v: Number) => latMin = latMin.max(v.doubleValue()); usable += f
+      case f @ GreaterThanOrEqual(`yName`, v: Number) => latMin = latMin.max(v.doubleValue()); usable += f
+      case f @ LessThan(`yName`, v: Number) => latMax = latMax.min(v.doubleValue()); usable += f
+      case f @ LessThanOrEqual(`yName`, v: Number) => latMax = latMax.min(v.doubleValue()); usable += f
       case _ => ()
     }
     pushed = usable.toArray
@@ -441,9 +468,13 @@ class GeoTiffPartitionReader(
     * pixel, millions of times per task).
     */
   private lazy val extractors: Array[(Int, Int) => Any] = fieldNames.map { f =>
-    if (f == "lon")
+    // geographic files name the coordinates lon/lat; projected ones x/y —
+    // same affine math, honest names (the table gated the schema)
+    val xName = if (m0.nonGeographic) "x" else "lon"
+    val yName = if (m0.nonGeographic) "y" else "lat"
+    if (f == xName)
       (x: Int, _: Int) => java.lang.Double.valueOf(m0.lonOf((window.colOff + x).toDouble))
-    else if (f == "lat")
+    else if (f == yName)
       (_: Int, y: Int) => java.lang.Double.valueOf(m0.latOf((window.rowOff + y).toDouble))
     else if (f == "area" && calcArea)
       (_: Int, y: Int) => java.lang.Double.valueOf(

@@ -22,12 +22,27 @@ import java.util.zip.Inflater
   * Covers the layouts real large GeoTIFFs ship with (the reference's own
   * domain — e.g. WRI/Hansen forest-cover tiles are u8 DEFLATE PREDICTOR=2):
   * compression 1 (none), 8/32946 (zlib DEFLATE), 5 (LZW, MSB-first with the
-  * TIFF early-change rule), 32773 (PackBits RLE — legacy tiles), predictor
-  * 1 (none), 2 (horizontal differencing over integer samples) and 3
-  * (floating-point byte differencing — the GDAL PREDICTOR=3 layout float
-  * DEM/biomass COGs ship with).
+  * TIFF early-change rule), 32773 (PackBits RLE — legacy tiles), 50000
+  * (ZSTD — GDAL's modern COG default, decoded via the zstd-jni Spark itself
+  * ships), predictor 1 (none), 2 (horizontal differencing over integer
+  * samples) and 3 (floating-point byte differencing — the GDAL PREDICTOR=3
+  * layout float DEM/biomass COGs ship with).
   */
 private[graft] object StripDecode {
+
+  /** Byte-size of a window/chunk buffer, computed in Long and gated at the
+    * JVM array limit: a whole-image single-strip BigTIFF (rowsPerStrip
+    * defaults to the full height) or a wide multi-band chunk can push
+    * rows × width × bytesPer × spp past Int.MaxValue, which bare Int
+    * arithmetic turns into a NegativeArraySizeException instead of the
+    * typed error this module promises.
+    */
+  private[graft] def checkedSize(path: String, what: String, n: Long): Int = {
+    require(n > 0 && n <= Int.MaxValue,
+      s"$path: $what of $n bytes exceeds the 2 GiB JVM buffer limit — " +
+        "use a smaller maxBlockSize, or re-chunk the raster (smaller strips/tiles)")
+    n.toInt
+  }
 
   /** Window bytes from uncompressed strips: seek each window row inside its
     * strip and read exactly window.width samples (sample (row, col) lives at
@@ -42,7 +57,8 @@ private[graft] object StripDecode {
     val rowBytes = window.width * pixBytes
     val raf = new RandomAccessFile(meta.path, "r")
     try {
-      val arr = new Array[Byte](rowBytes * window.height)
+      val arr = new Array[Byte](checkedSize(meta.path, "window buffer",
+        rowBytes.toLong * window.height))
       var y = 0
       while (y < window.height) {
         val row = (window.rowOff + y).toLong
@@ -73,7 +89,8 @@ private[graft] object StripDecode {
     val stripBase = if (plane >= 0) plane * stripsPerBand(meta) else 0
     val pixBytes = bytesPer * spp
     val rowBytes = window.width * pixBytes
-    val out = new Array[Byte](rowBytes * window.height)
+    val out = new Array[Byte](checkedSize(meta.path, "window buffer",
+      rowBytes.toLong * window.height))
     val raf = new RandomAccessFile(meta.path, "r")
     try {
       val firstStrip = (window.rowOff.toLong / meta.rowsPerStrip).toInt
@@ -119,7 +136,8 @@ private[graft] object StripDecode {
     val tileBase = if (plane >= 0) plane * tilesAcross * tilesDown else 0
     val pixBytes = bytesPer * spp
     val rowBytes = window.width * pixBytes
-    val out = new Array[Byte](rowBytes * window.height)
+    val out = new Array[Byte](checkedSize(meta.path, "window buffer",
+      rowBytes.toLong * window.height))
     val raf = new RandomAccessFile(meta.path, "r")
     try {
       val tc0 = window.colOff / tw
@@ -171,7 +189,8 @@ private[graft] object StripDecode {
       spp: Int): Array[Byte] = {
     val offsets = if (tiled) meta.tileOffsets else meta.stripOffsets
     val kind = if (tiled) "tile" else "strip"
-    val expected = rows * rowWidth * bytesPer * spp
+    val expected = checkedSize(meta.path, s"$kind $chunkIdx decode buffer",
+      rows.toLong * rowWidth * bytesPer * spp)
     val out = new Array[Byte](expected)
     if (meta.compression == 1) {
       raf.seek(offsets(chunkIdx))
@@ -208,6 +227,11 @@ private[graft] object StripDecode {
           val n = packBitsDecode(comp, out)
           require(n == expected,
             s"${meta.path}: $kind $chunkIdx PackBits-decoded to $n bytes, expected $expected")
+        case 50000 => // ZSTD — GDAL's modern COG default; zstd-jni ships on Spark's classpath
+          val n = com.github.luben.zstd.Zstd.decompressByteArray(
+            out, 0, expected, comp, 0, comp.length)
+          require(n == expected,
+            s"${meta.path}: $kind $chunkIdx ZSTD-decoded to $n bytes, expected $expected")
         case c =>
           throw new IllegalStateException(s"${meta.path}: unexpected compression $c in decodeChunk")
       }

@@ -29,6 +29,12 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     273 StripOffsets, 279 StripByteCounts (BigTIFF only)
   *   - 33550 ModelPixelScale (GeoTIFF: sx, sy, sz)
   *   - 33922 ModelTiepoint  (GeoTIFF: i, j, k, x, y, z)
+  *   - 34264 ModelTransformation (GeoTIFF: row-major 4×4 affine — accepted
+  *     when axis-aligned, i.e. zero rotation/shear terms; true rotation is
+  *     typed-rejected, not misreported as a missing-tag error)
+  *   - 34735 GeoKeyDirectory (GeoTIFF CRS keys: GTModelTypeGeoKey 1024
+  *     decides whether coordinates are geographic lon/lat or projected
+  *     eastings/northings; 2048/3072 carry the EPSG code)
   *   - 42113 GDAL_NODATA    (ASCII)
   *
   * Mirrors the metadata the reference obtains from rasterio.open —
@@ -79,9 +85,27 @@ object TiffTags {
       // which image of the file's IFD chain this meta describes (0 = full
       // resolution) — the ImageIO image index for the classic-TIFF decode
       // path; the BigTIFF chunk reader carries the chunk offsets directly
-      imageIndex: Int = 0) {
+      imageIndex: Int = 0,
+      // GeoKeyDirectory (34735) CRS facts. crsModelType = GTModelTypeGeoKey
+      // 1024 (1=projected, 2=geographic, 3=geocentric; 32767=user-defined);
+      // None when the file carries no GeoKeyDirectory at all. epsg = the
+      // GeographicTypeGeoKey (2048) for geographic files, the
+      // ProjectedCSTypeGeoKey (3072) for projected ones, when present.
+      crsModelType: Option[Int] = None,
+      epsg: Option[Int] = None) {
 
     def tiled: Boolean = tileWidth > 0
+
+    /** True when the file DECLARES a non-geographic model (a GeoKeyDirectory
+      * with GTModelTypeGeoKey != geographic): its coordinates are then
+      * eastings/northings in meters (or a geocentric/user-defined frame), so
+      * the source must not name them lon/lat and geodesic area (which
+      * assumes WGS84 degrees) must be typed-rejected. A file with NO
+      * GeoKeyDirectory keeps the historical geographic assumption — the
+      * reference consumed that era's lon/lat rasters, and the engine's
+      * golden fixtures are pinned to it.
+      */
+    def nonGeographic: Boolean = crsModelType.exists(_ != 2)
 
     /** Pixel-centroid longitude of column `col`. */
     def lonOf(col: Double): Double = originX + (col + 0.5) * pixelScaleX
@@ -256,29 +280,94 @@ object TiffTags {
       require(width > 0 && height > 0, s"$path: missing ImageWidth/ImageLength")
       val bps = shortOrLong(258, 1)
       val sampleFormat = shortOrLong(339, 1)
-      // Geo grid: an IFD's own tags win; an overview without them (the GDAL
-      // COG shape) inherits IFD0's origin with the pixel scale multiplied by
-      // the decimation factor per axis -- extent-preserving even when the
+      // Geo grid of one IFD from its OWN tags: ModelPixelScale (33550) +
+      // ModelTiepoint (33922) when both are present (they travel as a pair —
+      // exactly one is a malformed file and fails with the missing tag
+      // NAMED, never a silent fallback); otherwise an axis-aligned
+      // ModelTransformation (34264, the row-major 4×4 affine some writers
+      // emit instead of the pair — legal GeoTIFF). Rotation/shear terms in
+      // 34264 are typed-rejected: the point-table contract (lon strictly a
+      // function of col, lat of row) does not hold on a rotated grid. When
+      // a file carries BOTH the pair and 34264, the pair wins (the GeoTIFF
+      // spec calls them exclusive; GDAL prefers the pair too).
+      def gridOwn(es: Map[Int, Entry], label: String): Option[(Double, Double, Double, Double)] =
+        (doublesIn(es, 33550), doublesIn(es, 33922)) match {
+          case (Some(scale), Some(tie)) =>
+            // Tiepoint maps raster (i, j) -> geo (x, y); origin = top-left corner.
+            Some((scale(0), scale(1), tie(3) - tie(0) * scale(0), tie(4) + tie(1) * scale(1)))
+          case (Some(_), None) =>
+            throw new IllegalArgumentException(
+              s"$path: $label has ModelPixelScale (33550) but no ModelTiepoint (33922) — the pair is required together")
+          case (None, Some(_)) =>
+            throw new IllegalArgumentException(
+              s"$path: $label has ModelTiepoint (33922) but no ModelPixelScale (33550) — the pair is required together")
+          case (None, None) =>
+            doublesIn(es, 34264).map { m =>
+              require(m.length == 16,
+                s"$path: $label ModelTransformation (34264) has ${m.length} values, expected a 4x4 matrix (16)")
+              require(m(1) == 0.0 && m(4) == 0.0,
+                s"$path: rotated/sheared grid unsupported — ModelTransformation (34264) carries " +
+                  s"rotation terms (m01=${m(1)}, m10=${m(4)}); only axis-aligned transforms are supported")
+              require(m(0) > 0.0 && m(5) < 0.0,
+                s"$path: ModelTransformation (34264) with flipped axes unsupported " +
+                  s"(m00=${m(0)} must be > 0 and m11=${m(5)} must be < 0 — north-up only)")
+              // pixelScaleY is carried as a positive magnitude (applied
+              // negative by latOf), matching the ModelPixelScale convention
+              (m(0), -m(5), m(3), m(7))
+            }
+        }
+      // An IFD's own grid wins; an overview without one (the GDAL COG shape)
+      // inherits IFD0's origin with the pixel scale multiplied by the
+      // decimation factor per axis -- extent-preserving even when the
       // reduced dimensions are rounded.
-      val (scaleX, scaleY, originX, originY) = (doubles(33550), doubles(33922)) match {
-        case (Some(scale), Some(tie)) =>
-          // Tiepoint maps raster (i, j) -> geo (x, y); origin = top-left corner.
-          (scale(0), scale(1), tie(3) - tie(0) * scale(0), tie(4) + tie(1) * scale(1))
-        case _ if overview > 0 =>
-          val s0 = doublesIn(entries0, 33550).getOrElse(throw new IllegalArgumentException(
-            s"$path: missing GeoTIFF ModelPixelScale (33550) on IFD0"))
-          val t0 = doublesIn(entries0, 33922).getOrElse(throw new IllegalArgumentException(
-            s"$path: missing GeoTIFF ModelTiepoint (33922) on IFD0"))
-          val w0 = shortOrLongIn(entries0, 256)
-          val h0 = shortOrLongIn(entries0, 257)
-          require(w0 >= width && h0 >= height,
-            s"$path: overview $overview ($width x $height) larger than IFD0 ($w0 x $h0)")
-          (s0(0) * (w0.toDouble / width), s0(1) * (h0.toDouble / height),
-            t0(3) - t0(0) * s0(0), t0(4) + t0(1) * s0(1))
-        case (Some(_), None) =>
-          throw new IllegalArgumentException(s"$path: missing GeoTIFF ModelTiepoint (33922)")
-        case _ =>
-          throw new IllegalArgumentException(s"$path: missing GeoTIFF ModelPixelScale (33550)")
+      val (scaleX, scaleY, originX, originY) =
+        gridOwn(entries, if (overview > 0) s"overview IFD $overview" else "IFD0") match {
+          case Some(g) => g
+          case None if overview > 0 =>
+            val (s0x, s0y, o0x, o0y) = gridOwn(entries0, "IFD0").getOrElse(
+              throw new IllegalArgumentException(
+                s"$path: missing GeoTIFF grid on IFD0 — need ModelPixelScale (33550) + " +
+                  "ModelTiepoint (33922), or an axis-aligned ModelTransformation (34264)"))
+            val w0 = shortOrLongIn(entries0, 256)
+            val h0 = shortOrLongIn(entries0, 257)
+            require(w0 >= width && h0 >= height,
+              s"$path: overview $overview ($width x $height) larger than IFD0 ($w0 x $h0)")
+            (s0x * (w0.toDouble / width), s0y * (h0.toDouble / height), o0x, o0y)
+          case None =>
+            throw new IllegalArgumentException(
+              s"$path: missing GeoTIFF grid — need ModelPixelScale (33550) + ModelTiepoint " +
+                "(33922), or an axis-aligned ModelTransformation (34264)")
+        }
+      // GeoKeyDirectory (34735): a SHORT array — 4-short header
+      // (KeyDirectoryVersion, KeyRevision, MinorRevision, NumberOfKeys)
+      // followed by NumberOfKeys 4-short entries (KeyID, TIFFTagLocation,
+      // Count, ValueOffset). Only inline SHORT-valued keys (TIFFTagLocation
+      // == 0, the encoding of every key read here) are extracted; keys
+      // stored in the companion double/ascii params tags don't carry the CRS
+      // facts this source gates on. Overviews inherit IFD0's keys like the
+      // rest of the geo metadata.
+      def geoKeysIn(es: Map[Int, Entry]): Option[Map[Int, Int]] = es.get(34735).map { e =>
+        require(e.fieldType == 3,
+          s"$path: GeoKeyDirectory (34735) expected SHORT, got type ${e.fieldType}")
+        val b = payload(e)
+        val nKeys = b.getShort(6) & 0xffff
+        require(e.count >= 4L * (nKeys + 1),
+          s"$path: GeoKeyDirectory (34735) declares $nKeys keys but carries only ${e.count} shorts")
+        (0 until nKeys).flatMap { i =>
+          val off = (4 + i * 4) * 2
+          val keyId = b.getShort(off) & 0xffff
+          val tagLoc = b.getShort(off + 2) & 0xffff
+          val v = b.getShort(off + 6) & 0xffff
+          if (tagLoc == 0) Some(keyId -> v) else None
+        }.toMap
+      }
+      val geoKeys = geoKeysIn(entries)
+        .orElse(if (overview > 0) geoKeysIn(entries0) else None)
+      val crsModelType = geoKeys.flatMap(_.get(1024))
+      val epsg = crsModelType.flatMap {
+        case 2 => geoKeys.flatMap(_.get(2048)) // GeographicTypeGeoKey
+        case 1 => geoKeys.flatMap(_.get(3072)) // ProjectedCSTypeGeoKey
+        case _ => None
       }
       // GDAL writes lowercase "nan" for float NaN nodata; Java's toDouble
       // only accepts "NaN", so normalize case before parsing.
@@ -302,7 +391,8 @@ object TiffTags {
           compression = shortOrLong(259, 1),
           predictor = shortOrLong(317, 1),
           stripByteCounts = longs(279).map(_.toIndexedSeq).getOrElse(Vector.empty),
-          imageIndex = overview)
+          imageIndex = overview,
+          crsModelType = crsModelType, epsg = epsg)
       } else {
         // BigTIFF pixels are decoded by our own chunk reader (ImageIO has no
         // BigTIFF support): uncompressed, DEFLATE (8 and the legacy 32946),
@@ -312,9 +402,9 @@ object TiffTags {
         // rasters. Everything else gets a typed error, never garbage.
         val compression = shortOrLong(259, 1)
         require(compression == 1 || compression == 5 || compression == 8 ||
-            compression == 32946 || compression == 32773,
+            compression == 32946 || compression == 32773 || compression == 50000,
           s"$path: BigTIFF compression $compression unsupported " +
-            "(1=none, 5=LZW, 8/32946=DEFLATE, 32773=PackBits)")
+            "(1=none, 5=LZW, 8/32946=DEFLATE, 32773=PackBits, 50000=ZSTD)")
         val predictor = shortOrLong(317, 1)
         require(predictor == 1 || predictor == 2 || predictor == 3,
           s"$path: TIFF predictor $predictor unsupported " +
@@ -377,7 +467,8 @@ object TiffTags {
             compression = compression, predictor = predictor,
             tileWidth = tw, tileLength = tl,
             tileOffsets = tOffsets, tileByteCounts = tCounts,
-            planarConfig = planarCfg)
+            planarConfig = planarCfg,
+            crsModelType = crsModelType, epsg = epsg)
         } else {
         val offsets = longs(273).getOrElse(
           throw new IllegalArgumentException(s"$path: BigTIFF missing StripOffsets (273)"))
@@ -403,7 +494,8 @@ object TiffTags {
           bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
           rowsPerStrip = rps, stripOffsets = offsets,
           compression = compression, predictor = predictor, stripByteCounts = byteCounts,
-          planarConfig = planarCfg)
+          planarConfig = planarCfg,
+          crsModelType = crsModelType, epsg = epsg)
         }
       }
     } finally raf.close()

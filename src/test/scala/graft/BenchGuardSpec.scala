@@ -42,6 +42,19 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.regressions(Seq("zzz" -> 99.0, "a" -> -1.0), bands).isEmpty)
   }
 
+  test("resweep trigger: >25% sweep-total spread, needs at least two sweeps") {
+    // BENCH_r12 signature: one contended sweep far above the others
+    assert(Bench.needsResweep(Seq(115.0, 230.0, 170.0)))
+    // idle run: totals within the documented run-to-run band
+    assert(!Bench.needsResweep(Seq(115.0, 118.0, 121.0)))
+    // boundary: exactly 25% over does not fire (strict >)
+    assert(!Bench.needsResweep(Seq(100.0, 125.0)))
+    assert(Bench.needsResweep(Seq(100.0, 125.001)))
+    // single sweep: no spread to judge
+    assert(!Bench.needsResweep(Seq(100.0)))
+    assert(!Bench.needsResweep(Nil))
+  }
+
   test("committed band file exists, parses, and covers the declared catalog") {
     assert(java.nio.file.Files.exists(bandPath),
       s"band file $bandPath missing — record with SPARK_GRAFT_BENCH_RECORD_BANDS")

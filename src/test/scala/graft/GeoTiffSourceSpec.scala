@@ -810,4 +810,207 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(df.columns.toSeq == Seq("lon", "a"))
     assert(df.count() == 68)
   }
+
+  // ---- CRS (GeoKeyDirectory, tag 34735) ----
+
+  def v7(c: Int, r: Int): Double = if ((r + c) % 7 == 0) -9999.0 else r * 100.0 + c
+
+  test("geographic GeoKeyDirectory (EPSG:4326): lon/lat + calcArea accepted, classic and BigTIFF") {
+    val classic = TiffFixtures.write(s"$tmp/geo4326.tif", 10, 8, TiffFixtures.F32,
+      v7, 10.0, 50.0, 0.5, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val big = TiffFixtures.writeBigTiff(s"$tmp/geo4326big.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"), rowsPerStrip = 3,
+      geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    for (p <- Seq(classic, big)) {
+      val m = graft.sources.tiff.TiffTags.read(p)
+      assert(m.crsModelType.contains(2) && m.epsg.contains(4326) && !m.nonGeographic)
+    }
+    // golden unchanged: a declared-geographic file reads exactly like the
+    // geokey-less twin, area column included
+    val base = Raster.raster2df(spark, Seq(f32), calcArea = true)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    for (p <- Seq(classic, big)) {
+      val got = Raster.raster2df(spark, Seq(p), calcArea = true)
+        .orderBy("lat", "lon").collect().map(_.toSeq)
+      assert(got.nonEmpty && got.sameElements(base))
+    }
+  }
+
+  test("projected GeoKeyDirectory (EPSG:32633): x/y naming, calcArea typed-rejected") {
+    // UTM-style grid: origin/scale in meters
+    val big = TiffFixtures.writeBigTiff(s"$tmp/proj32633.tif", 10, 8, v7,
+      500000.0, 4649776.0, 30.0, Some("-9999"), rowsPerStrip = 3,
+      geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    val classic = TiffFixtures.write(s"$tmp/proj32633c.tif", 10, 8, TiffFixtures.F32,
+      v7, 500000.0, 4649776.0, 30.0, Some("-9999"),
+      geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    for (p <- Seq(big, classic)) {
+      val m = graft.sources.tiff.TiffTags.read(p)
+      assert(m.crsModelType.contains(1) && m.epsg.contains(32633) && m.nonGeographic)
+      val df = Raster.raster2df(spark, Seq(p))
+      assert(df.columns.toSeq == Seq("x", "y", "val1"))
+      // same affine math under the honest names: pixel (c=1, r=0) centroid
+      val row = df.filter(col("val1") === 1.0f).collect()
+      assert(row.length == 1)
+      assert(row(0).getDouble(0) == 500000.0 + 1.5 * 30.0)
+      assert(row(0).getDouble(1) == 4649776.0 - 0.5 * 30.0)
+      // geodesic area over meters would be garbage — typed error, not numbers
+      val e = intercept[IllegalArgumentException] {
+        Raster.raster2df(spark, Seq(p), calcArea = true).collect()
+      }
+      assert(e.getMessage.contains("calcArea requires a geographic CRS"))
+      assert(e.getMessage.contains("32633"))
+    }
+  }
+
+  test("projected x/y filters prune windows and still return exact results") {
+    val p = TiffFixtures.writeBigTiff(s"$tmp/proj_prune.tif", 300, 200,
+      (c, r) => if ((c * 31 + r * 17) % 11 == 0) -1.0 else ((c * 7 + r * 3) % 1000).toDouble,
+      500000.0, 4649776.0, 30.0, Some("-1"), rowsPerStrip = 16,
+      geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    val full = Raster.raster2df(spark, Seq(p), maxBlockSize = 64)
+    val pred = col("x") > 503000.0 && col("y") < 4647000.0
+    val filtered = full.filter(pred)
+    // pruning: fewer partitions scanned than the unfiltered plan
+    assert(filtered.rdd.getNumPartitions < full.rdd.getNumPartitions)
+    val expect = full.collect().filter(r => r.getDouble(0) > 503000.0 && r.getDouble(1) < 4647000.0)
+      .map(_.toSeq).sortBy(_.toString)
+    val got = filtered.collect().map(_.toSeq).sortBy(_.toString)
+    assert(got.nonEmpty && got.sameElements(expect))
+  }
+
+  test("geographic + projected rasters refuse to zip") {
+    val geo = TiffFixtures.writeBigTiff(s"$tmp/mix_geo.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val prj = TiffFixtures.writeBigTiff(s"$tmp/mix_prj.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"), geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    val e = intercept[Exception] {
+      Raster.raster2df(spark, Seq(geo, prj), colNames = Seq("a", "b")).collect()
+    }
+    assert(e.getMessage.contains("CRS mismatch"))
+  }
+
+  // ---- ModelTransformation (tag 34264) ----
+
+  test("axis-aligned ModelTransformation (34264) decodes equal to its ModelPixelScale twin") {
+    val mt = Array[Double](
+      0.5, 0.0, 0.0, 10.0,
+      0.0, -0.5, 0.0, 50.0,
+      0.0, 0.0, 0.0, 0.0,
+      0.0, 0.0, 0.0, 1.0)
+    val viaMt = TiffFixtures.writeBigTiff(s"$tmp/mt_axis.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"), rowsPerStrip = 3, modelTransform = mt)
+    val m = graft.sources.tiff.TiffTags.read(viaMt)
+    assert(m.pixelScaleX == 0.5 && m.pixelScaleY == 0.5)
+    assert(m.originX == 10.0 && m.originY == 50.0)
+    val twin = Raster.raster2df(spark, Seq(f32)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val got = Raster.raster2df(spark, Seq(viaMt)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(got.nonEmpty && got.sameElements(twin))
+  }
+
+  test("rotated ModelTransformation is rejected with the rotation error, not a missing-tag one") {
+    val rot = Array[Double](
+      0.49, 0.1, 0.0, 10.0,
+      -0.1, -0.49, 0.0, 50.0,
+      0.0, 0.0, 0.0, 0.0,
+      0.0, 0.0, 0.0, 1.0)
+    val p = TiffFixtures.writeBigTiff(s"$tmp/mt_rot.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"), modelTransform = rot)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.tiff.TiffTags.read(p)
+    }
+    assert(e.getMessage.contains("rotated/sheared"))
+    assert(!e.getMessage.contains("missing"))
+    // flipped-axis (south-up) transforms get their own typed message
+    val flip = Array[Double](
+      0.5, 0.0, 0.0, 10.0,
+      0.0, 0.5, 0.0, 50.0,
+      0.0, 0.0, 0.0, 0.0,
+      0.0, 0.0, 0.0, 1.0)
+    val pf = TiffFixtures.writeBigTiff(s"$tmp/mt_flip.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"), modelTransform = flip)
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sources.tiff.TiffTags.read(pf)
+    }
+    assert(e2.getMessage.contains("flipped axes"))
+  }
+
+  test("a file with neither the pixel-scale pair nor 34264 names both options") {
+    // strip the geo tags by writing a transform fixture, then zeroing its
+    // 34264 tag id so the parser sees no grid source at all
+    val p = TiffFixtures.writeBigTiff(s"$tmp/mt_none.tif", 4, 4,
+      (c, r) => 1.0, 0.0, 10.0, 0.5, None, modelTransform = Array[Double](
+        0.5, 0, 0, 0, 0, -0.5, 0, 10, 0, 0, 0, 0, 0, 0, 0, 1))
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getLong(8)
+    val n = bb.getLong(ifd.toInt)
+    for (i <- 0 until n.toInt) {
+      val off = ifd.toInt + 8 + i * 20
+      if ((bb.getShort(off) & 0xffff) == 34264) bb.putShort(off, 60000.toShort)
+    }
+    val bad = s"$tmp/mt_none_stripped.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad), bytes)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.tiff.TiffTags.read(bad)
+    }
+    assert(e.getMessage.contains("33550") && e.getMessage.contains("34264"))
+  }
+
+  // ---- ZSTD (compression 50000) ----
+
+  test("ZSTD BigTIFF (stripped and tiled) == DEFLATE twin on the same pixels") {
+    def vz(c: Int, r: Int): Double =
+      if ((c * 31 + r * 17) % 11 == 0) -1.0 else ((c * 7 + r * 3) % 250).toDouble
+    val deflS = TiffFixtures.writeBigTiff(s"$tmp/z_defl.tif", 64, 48, vz,
+      0.0, 20.0, 0.25, Some("-1"), rowsPerStrip = 7, compression = 8,
+      dtype = TiffFixtures.U8, predictor = 2)
+    val zstdS = TiffFixtures.writeBigTiff(s"$tmp/z_zstd.tif", 64, 48, vz,
+      0.0, 20.0, 0.25, Some("-1"), rowsPerStrip = 7, compression = 50000,
+      dtype = TiffFixtures.U8, predictor = 2)
+    val m = graft.sources.tiff.TiffTags.read(zstdS)
+    assert(m.compression == 50000)
+    val a = Raster.raster2df(spark, Seq(deflS)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val b = Raster.raster2df(spark, Seq(zstdS)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+    // tiled (the actual GDAL ZSTD COG shape), f32 + predictor 3
+    def vf(c: Int, r: Int): Double =
+      if ((r + c) % 9 == 0) -9999.0 else math.sin(c * 0.37) * 100 + r
+    val deflT = TiffFixtures.writeBigTiffTiled(s"$tmp/zt_defl.tif", 70, 50, vf,
+      0.0, 20.0, 0.25, Some("-9999"), tileWidth = 32, tileLength = 16,
+      compression = 8, predictor = 3)
+    val zstdT = TiffFixtures.writeBigTiffTiled(s"$tmp/zt_zstd.tif", 70, 50, vf,
+      0.0, 20.0, 0.25, Some("-9999"), tileWidth = 32, tileLength = 16,
+      compression = 50000, predictor = 3)
+    val at = Raster.raster2df(spark, Seq(deflT)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val bt = Raster.raster2df(spark, Seq(zstdT)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(at.nonEmpty && at.sameElements(bt))
+  }
+
+  // ---- overview partial geo tags; chunk-size overflow guard ----
+
+  test("an overview IFD carrying only one of the geo-tag pair is rejected, not inherited past") {
+    val p = TiffFixtures.writeBigTiffOverviews(s"$tmp/ovr_partial.tif", 16, 12,
+      (k, c, r) => (k * 50 + c + r).toDouble, 0.0, 10.0, 0.5, None,
+      levels = 2, dtype = TiffFixtures.U8, partialGeoLevel = 1)
+    // IFD0 and the untouched level still read
+    assert(graft.sources.tiff.TiffTags.read(p).width == 16)
+    assert(graft.sources.tiff.TiffTags.readOverview(p, 2).width == 4)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.tiff.TiffTags.readOverview(p, 1)
+    }
+    assert(e.getMessage.contains("ModelPixelScale (33550) but no ModelTiepoint"))
+    assert(e.getMessage.contains("overview IFD 1"))
+  }
+
+  test("chunk/window buffers past 2 GiB fail with the typed size error") {
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.tiff.StripDecode.checkedSize("big.tif", "strip 0 decode buffer",
+        3L * 1024 * 1024 * 1024)
+    }
+    assert(e.getMessage.contains("exceeds the 2 GiB"))
+    assert(e.getMessage.contains("big.tif"))
+    // boundary: Int.MaxValue itself is accepted
+    assert(graft.sources.tiff.StripDecode.checkedSize("f", "w", Int.MaxValue.toLong) == Int.MaxValue)
+  }
 }

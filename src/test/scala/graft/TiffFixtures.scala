@@ -33,7 +33,10 @@ object TiffFixtures {
       pixelSize: Double,
       noData: Option[String],
       tileSize: Int = 0,
-      compressionType: String = null): String = {
+      compressionType: String = null,
+      // GeoKeyDirectory (34735) inline SHORT keys, e.g. Seq(1024 -> 2,
+      // 2048 -> 4326) for geographic WGS84
+      geoKeys: Seq[(Int, Int)] = Nil): String = {
 
     val (bufType, img) = dtype match {
       case F32 =>
@@ -78,14 +81,21 @@ object TiffFixtures {
 
       val scaleTag = new TIFFTag("ModelPixelScale", 33550, 1 << TIFFTag.TIFF_DOUBLE)
       val tieTag = new TIFFTag("ModelTiepoint", 33922, 1 << TIFFTag.TIFF_DOUBLE)
+      val geoKeyTag = new TIFFTag("GeoKeyDirectory", 34735, 1 << TIFFTag.TIFF_SHORT)
       val nodataTag = new TIFFTag("GDAL_NODATA", 42113, 1 << TIFFTag.TIFF_ASCII)
-      val set = new TIFFTagSet(java.util.Arrays.asList(scaleTag, tieTag, nodataTag))
+      val set = new TIFFTagSet(java.util.Arrays.asList(scaleTag, tieTag, geoKeyTag, nodataTag))
       dir.addTagSet(set)
 
       dir.addTIFFField(new TIFFField(scaleTag, TIFFTag.TIFF_DOUBLE, 3,
         Array[Double](pixelSize, pixelSize, 0.0)))
       dir.addTIFFField(new TIFFField(tieTag, TIFFTag.TIFF_DOUBLE, 6,
         Array[Double](0.0, 0.0, 0.0, originX, originY, 0.0)))
+      if (geoKeys.nonEmpty) {
+        // header (version 1, revision 1.0, nKeys) + (keyId, 0, 1, value) quads
+        val shorts: Array[Char] = (Array(1, 1, 0, geoKeys.length) ++
+          geoKeys.flatMap { case (k, v) => Seq(k, 0, 1, v) }).map(_.toChar)
+        dir.addTIFFField(new TIFFField(geoKeyTag, TIFFTag.TIFF_SHORT, shorts.length, shorts))
+      }
       noData.foreach { nd =>
         dir.addTIFFField(new TIFFField(nodataTag, TIFFTag.TIFF_ASCII, 1, Array[String](nd)))
       }
@@ -254,7 +264,14 @@ object TiffFixtures {
       spp: Int = 1,
       bandValue: (Int, Int, Int) => Double = null,
       planarOverride: Int = 0,
-      planar: Boolean = false): String = {
+      planar: Boolean = false,
+      // GeoKeyDirectory (34735) inline SHORT keys, e.g.
+      // Seq(1024 -> 2, 2048 -> 4326) for geographic WGS84
+      geoKeys: Seq[(Int, Int)] = Nil,
+      // when non-null (16 doubles, row-major 4x4), tag 34264
+      // ModelTransformation is written INSTEAD of the
+      // ModelPixelScale/ModelTiepoint pair
+      modelTransform: Array[Double] = null): String = {
     import java.nio.{ByteBuffer, ByteOrder}
     val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val (bps, sampleFormat) = dtype match {
@@ -264,8 +281,10 @@ object TiffFixtures {
     }
     require(predictor != 2 || dtype != F32, "predictor 2 requires integer samples")
     require(predictor != 3 || dtype == F32, "predictor 3 requires float samples")
-    require(Set(1, 5, 8, 32773).contains(compression),
+    require(Set(1, 5, 8, 32773, 50000).contains(compression),
       s"fixture compression $compression unsupported")
+    require(modelTransform == null || modelTransform.length == 16,
+      "modelTransform must be a 16-double row-major 4x4 matrix")
     require(spp >= 1 && spp <= 4, "fixture spp must be 1..4 (per-band tags written inline)")
     require(spp == 1 || bandValue != null, "multi-band fixtures need bandValue(band, c, r)")
     val bytesPer = bps / 8
@@ -324,6 +343,7 @@ object TiffFixtures {
           } finally d.end()
         case 5 => lzwEncode(arr)
         case 32773 => packBitsEncode(arr)
+        case 50000 => com.github.luben.zstd.Zstd.compress(arr)
       }
     }
 
@@ -332,15 +352,26 @@ object TiffFixtures {
     var cur = pixOff
     for (s <- 0 until nChunks) { stripOff(s) = cur; cur += strips(s).length }
     val stripCnt = strips.map(_.length.toLong)
-    val scaleOff = cur; cur += 24
-    val tieOff = cur; cur += 48
+    val useMt = modelTransform != null
+    val scaleOff = cur; if (!useMt) cur += 24
+    val tieOff = cur; if (!useMt) cur += 48
+    val mtOff = cur; if (useMt) cur += 128
+    // GeoKeyDirectory payload: header (version 1, revision 1.0, nKeys) then
+    // one (keyId, tagLoc=0, count=1, value) quad per key
+    val gkShorts: Array[Short] =
+      if (geoKeys.isEmpty) Array.empty
+      else (Array(1, 1, 0, geoKeys.length) ++
+        geoKeys.flatMap { case (k, v) => Seq(k, 0, 1, v) }).map(_.toShort)
+    val gkOff = cur
+    if (gkShorts.length * 2 > 8) cur += gkShorts.length * 2L
     val soOff = cur; if (nChunks > 1) cur += nChunks * 8L
     val scOff = cur; if (nChunks > 1) cur += nChunks * 8L
     val ndBytes = noData.map(s => s.getBytes("US-ASCII") :+ 0.toByte)
     val ndOff = cur
     ndBytes.foreach { b => if (b.length > 8) cur += b.length }
     val ifdOff = cur
-    val nTags = 11 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0) +
+    val nTags = (if (useMt) 10 else 11) + (if (gkShorts.nonEmpty) 1 else 0) +
+      (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0) +
       (if (spp > 1 || planarOverride > 0) 1 else 0)
     val total = (ifdOff + 8 + nTags * 20 + 8).toInt
     val buf = ByteBuffer.allocate(total).order(order)
@@ -350,10 +381,19 @@ object TiffFixtures {
     for (s <- 0 until nChunks) {
       buf.position(stripOff(s).toInt); buf.put(strips(s))
     }
-    buf.position(scaleOff.toInt)
-    buf.putDouble(pixelSize).putDouble(pixelSize).putDouble(0.0)
-    buf.position(tieOff.toInt)
-    Seq(0.0, 0.0, 0.0, originX, originY, 0.0).foreach(buf.putDouble)
+    if (useMt) {
+      buf.position(mtOff.toInt)
+      modelTransform.foreach(buf.putDouble)
+    } else {
+      buf.position(scaleOff.toInt)
+      buf.putDouble(pixelSize).putDouble(pixelSize).putDouble(0.0)
+      buf.position(tieOff.toInt)
+      Seq(0.0, 0.0, 0.0, originX, originY, 0.0).foreach(buf.putDouble)
+    }
+    if (gkShorts.length * 2 > 8) {
+      buf.position(gkOff.toInt)
+      gkShorts.foreach(buf.putShort)
+    }
     if (nChunks > 1) {
       buf.position(soOff.toInt); stripOff.foreach(buf.putLong)
       buf.position(scOff.toInt); stripCnt.foreach(buf.putLong)
@@ -389,8 +429,16 @@ object TiffFixtures {
       entry(317, 3, 1)(_.putShort(predictor.toShort)) // Predictor
     entry(339, 3, spp.toLong)(b =>                 // SampleFormat (per band)
       (0 until spp).foreach(_ => b.putShort(sampleFormat.toShort)))
-    entry(33550, 12, 3)(_.putLong(scaleOff))       // ModelPixelScale
-    entry(33922, 12, 6)(_.putLong(tieOff))         // ModelTiepoint
+    if (useMt)
+      entry(34264, 12, 16)(_.putLong(mtOff))       // ModelTransformation
+    else {
+      entry(33550, 12, 3)(_.putLong(scaleOff))     // ModelPixelScale
+      entry(33922, 12, 6)(_.putLong(tieOff))       // ModelTiepoint
+    }
+    if (gkShorts.nonEmpty)
+      entry(34735, 3, gkShorts.length.toLong)(b => // GeoKeyDirectory
+        if (gkShorts.length * 2 <= 8) gkShorts.foreach(b.putShort)
+        else b.putLong(gkOff))
     ndBytes.foreach { b =>
       entry(42113, 2, b.length.toLong)(bb =>       // GDAL_NODATA
         if (b.length <= 8) bb.put(b) else bb.putLong(ndOff))
@@ -423,7 +471,11 @@ object TiffFixtures {
       levels: Int,
       rowsPerStrip: Int = 0,
       dtype: Dtype = F32,
-      compression: Int = 1): String = {
+      compression: Int = 1,
+      // when >= 1, that overview level carries ONLY a ModelPixelScale (no
+      // tiepoint) — a malformed file the reader must reject, not silently
+      // inherit past
+      partialGeoLevel: Int = -1): String = {
     import java.nio.{ByteBuffer, ByteOrder}
     require(levels >= 1, "need at least one overview level")
     require(Set(1, 8).contains(compression), "overview fixture supports none/DEFLATE")
@@ -473,7 +525,8 @@ object TiffFixtures {
       val stripOff = new Array[Long](l.strips.length)
       for (s <- l.strips.indices) { stripOff(s) = cur; cur += l.strips(s).length }
       val isFull = k == 0
-      val scaleOff = if (isFull) { val o = cur; cur += 24; o } else 0L
+      val isPartial = k == partialGeoLevel && k > 0
+      val scaleOff = if (isFull || isPartial) { val o = cur; cur += 24; o } else 0L
       val tieOff = if (isFull) { val o = cur; cur += 48; o } else 0L
       val ndOff = if (isFull && ndBytes.exists(_.length > 8)) {
         val o = cur; cur += ndBytes.get.length; o
@@ -481,7 +534,8 @@ object TiffFixtures {
       val multi = l.strips.length > 1
       val soOff = if (multi) { val o = cur; cur += l.strips.length * 8L; o } else 0L
       val scOff = if (multi) { val o = cur; cur += l.strips.length * 8L; o } else 0L
-      val nTags = (if (isFull) 11 + (if (ndBytes.isDefined) 1 else 0) else 10)
+      val nTags = (if (isFull) 11 + (if (ndBytes.isDefined) 1 else 0)
+        else 10 + (if (isPartial) 1 else 0))
       val ifdOff = cur
       cur += 8 + nTags * 20L + 8
       Layout(stripOff, scaleOff, tieOff, ndOff, soOff, scOff, ifdOff, nTags)
@@ -500,6 +554,9 @@ object TiffFixtures {
         buf.position(lay.tieOff.toInt)
         Seq(0.0, 0.0, 0.0, originX, originY, 0.0).foreach(buf.putDouble)
         ndBytes.foreach { b => if (b.length > 8) { buf.position(lay.ndOff.toInt); buf.put(b) } }
+      } else if (k == partialGeoLevel) {
+        buf.position(lay.scaleOff.toInt)
+        Seq(pixelSize * 2, pixelSize * 2, 0.0).foreach(buf.putDouble)
       }
       if (l.strips.length > 1) {
         buf.position(lay.soOff.toInt); lay.stripOff.foreach(buf.putLong)
@@ -532,7 +589,8 @@ object TiffFixtures {
           entry(42113, 2, b.length.toLong)(bb =>
             if (b.length <= 8) bb.put(b) else bb.putLong(lay.ndOff))
         }
-      }
+      } else if (k == partialGeoLevel)
+        entry(33550, 12, 3)(_.putLong(lay.scaleOff)) // scale WITHOUT tiepoint
       buf.putLong(if (k < levels) layouts(k + 1).ifdOff else 0L) // chain
     }
     val f = new File(path)
@@ -574,7 +632,7 @@ object TiffFixtures {
     }
     require(predictor != 2 || dtype != F32, "predictor 2 requires integer samples")
     require(predictor != 3 || dtype == F32, "predictor 3 requires float samples")
-    require(Set(1, 5, 8, 32773).contains(compression),
+    require(Set(1, 5, 8, 32773, 50000).contains(compression),
       s"fixture compression $compression unsupported")
     require(spp >= 1 && spp <= 4, "fixture spp must be 1..4 (per-band tags written inline)")
     require(spp == 1 || bandValue != null, "multi-band fixtures need bandValue(band, c, r)")
@@ -639,6 +697,7 @@ object TiffFixtures {
           } finally d.end()
         case 5 => lzwEncode(arr)
         case 32773 => packBitsEncode(arr)
+        case 50000 => com.github.luben.zstd.Zstd.compress(arr)
       }
     }
 
