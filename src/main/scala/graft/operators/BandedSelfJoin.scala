@@ -53,7 +53,14 @@ private[graft] object BandedSelfJoin {
       // the salted sides differ (pmod vs explode), so AQE cannot reuse one
       // exchange for both — materialize the keyed rows ONCE here or the
       // whole upstream pipeline (e.g. a conversation render) runs twice;
-      // blocks are freed by the ContextCleaner when the frame drops
+      // blocks are freed by the ContextCleaner when the frame drops.
+      // Caveats of localCheckpoint(true), accepted because this branch is
+      // opt-in: (a) it is EAGER — building the DataFrame runs the upstream
+      // pipeline right here, a side effect of construction; (b) it is
+      // NON-RELIABLE — the blocks live on executors, so losing one (kill/
+      // decommission) fails the job instead of recomputing lineage. On a
+      // cluster with executor churn, prefer saltAbove = 0 (the AQE-reusing
+      // unsalted plan) or checkpoint `keyed` to reliable storage first.
       val bounded = (
         if (maxBucket <= 0) counted
         else counted.filter(col("bucket_n") <= maxBucket)

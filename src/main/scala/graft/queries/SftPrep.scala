@@ -522,7 +522,17 @@ object SftPrep {
     * `SimHash.candidatePairs`.
     */
   private def q162(s: SparkSession, dir: String): DataFrame = {
+    // contract guard: the packing is only injective while session_id stays
+    // under PackMul — if the per-user event cap ever grows past 2^20
+    // sessions, ids would silently collide and clusters would merge
+    // wrongly. raise_error makes the drift fail loudly inside the plan
+    // (no extra action), not as corrupted output.
     val convs = convFingerprints(s, dir)
+      .withColumn("session_id",
+        when(col("session_id") >= PackMul, expr(
+          s"raise_error(concat('q162: session_id ', session_id, " +
+            s"' >= $PackMul breaks the (user_id, session_id) packing contract'))"))
+          .otherwise(col("session_id")))
       .withColumn("cid", col("user_id") * PackMul + col("session_id"))
     val a = convs.select(col("cid").as("id_a"), col("simhash").as("h_a"))
     val b = convs.select(col("cid").as("id_b"), col("simhash").as("h_b"))

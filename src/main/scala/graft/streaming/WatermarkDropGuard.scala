@@ -126,6 +126,11 @@ object WatermarkDropGuard {
 
   /** Set to "false" to opt OUT of the automatic per-session guard that the
     * streaming entry points ([[Streams]], [[ChatAssembly]]) install.
+    *
+    * The conf is consulted only at install time: it must be "false" BEFORE
+    * the session's first watermark-bearing call — flipping it after a guard
+    * is installed does not remove the existing listener (use
+    * [[autoGuard]].foreach(g => spark.streams.removeListener(g)) for that).
     */
   val AutoConf = "spark.graft.streaming.autoDropGuard"
 

@@ -492,5 +492,78 @@ class PipelineSpec extends SparkSpec {
     assert(dfBins == folded.toMap,
       s"survivor packing bins diverge: window=$dfBins fold=${folded.toMap}")
     assert(cum > 0 && dfBins.values.map(_._2).sum === cum)
+    // 7 — the OTHER packing regime end-to-end: the q163 A/B found the
+    //     regime split (quotient for tiny convs, BFD near capacity), so the
+    //     capstone packs the SAME dedup survivors through the q164
+    //     hard-capacity BFD arm too, with the same exact accounting:
+    //     every survivor placed exactly once, no multi-conversation bin
+    //     over capacity (only an oversize singleton may exceed it), token
+    //     totals conserved, and q156's spans remapped into BFD sequence
+    //     coordinates stay in-bounds, length-preserving and disjoint.
+    val bfdItems = convTok
+      .select(floor(col("user_id") / 10.0).cast("int").as("shard"),
+        col("user_id").as("k1"), col("session_id").as("k2"), col("nt").as("n_tokens"))
+    val bfd = graft.operators.Packing.bfdAssignments(bfdItems, 2048L)
+      .localCheckpoint(true)
+    assert(bfd.count() === convTok.count(),
+      "BFD must place every dedup survivor exactly once")
+    assert(bfd.select(col("k1"), col("k2")).distinct().count() === convTok.count())
+    val overCap = bfd.groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("n_tokens")).as("tok"))
+      .filter(col("n") > 1 && col("tok") > 2048L).count()
+    assert(overCap === 0L,
+      s"$overCap multi-conversation BFD bins exceed capacity — the hard cap leaked")
+    assert(bfd.agg(sum(col("n_tokens"))).as[Long].head() === cum,
+      "BFD packing must conserve the survivors' token total")
+    // spans → BFD coordinates (the q165 remap shape on the survivor slice):
+    // concatenation order within a bin = BFD placement order
+    // (n_tokens desc, user_id, session_id), "\n\n" joiner
+    val wBfd = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"), col("bin"))
+      .orderBy(col("n_tokens").desc, col("user_id"), col("session_id"))
+    val bfdOffs = bfd
+      .select(col("shard"), col("bin"), col("k1").as("user_id"),
+        col("k2").as("session_id"), col("n_tokens"))
+      .join(fullRendered.select(col("user_id").cast("long").as("user_id"),
+        col("session_id").cast("long").as("session_id"),
+        length(col("rendered")).cast("long").as("r_len")),
+        Seq("user_id", "session_id"))
+      .withColumn("conv_off",
+        sum(col("r_len")).over(wBfd.rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)) - col("r_len")
+          + (row_number().over(wBfd) - 1) * 2L)
+    val bfdSeqs = spans
+      .select(col("user_id").cast("long").as("user_id"),
+        col("session_id").cast("long").as("session_id"),
+        col("span_start"), col("span_end"))
+      .join(bfdOffs, Seq("user_id", "session_id"))
+      .select(col("shard"), col("bin"),
+        (col("conv_off") + col("span_start")).as("seq_start"),
+        (col("conv_off") + col("span_end")).as("seq_end"),
+        (col("span_end") - col("span_start")).as("span_len"),
+        col("conv_off"), col("r_len"))
+      .localCheckpoint(true)
+    // every survivor's span remapped exactly once (survivors only — the
+    // dropped duplicates' spans must NOT appear)
+    val survivorSpans = spans
+      .join(kept.toDF("user_id", "session_id"), Seq("user_id", "session_id"))
+      .count()
+    assert(bfdSeqs.count() === survivorSpans,
+      "BFD sequences must carry exactly the survivors' spans")
+    // in-bounds within the conversation's slot, length preserved
+    val oobBfd = bfdSeqs.filter(
+      col("seq_start") < col("conv_off") + 1 ||
+        col("seq_end") > col("conv_off") + col("r_len") ||
+        col("seq_end") - col("seq_start") =!= col("span_len")).count()
+    assert(oobBfd === 0L, s"$oobBfd BFD-remapped spans out of bounds or resized")
+    // disjoint within each (shard, bin) sequence
+    val bfdOverlap = bfdSeqs
+      .withColumn("prev_end", lag(col("seq_end"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("shard"), col("bin")).orderBy(col("seq_start"))))
+      .filter(col("prev_end").isNotNull && col("seq_start") <= col("prev_end"))
+      .count()
+    assert(bfdOverlap === 0L, s"$bfdOverlap overlapping spans in BFD sequences")
   }
 }
