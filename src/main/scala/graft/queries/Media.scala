@@ -223,11 +223,79 @@ object Media {
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
 
+  /** The VIDEO seam as a declared, ORACLE-CHECKED query (the q95 corpus-
+    * stands-in-for-media pattern, multi-frame edition): each document
+    * renders to a REAL animated GIF with doc_id % 4 + 2 frames, each frame
+    * a uniform gray of (doc_id*31 + f*17) % 256 painted through an
+    * explicit 256-gray IndexColorModel (palette indices survive the GIF
+    * round-trip bit-exactly), then the production video path runs
+    * unmodified — [[Multimodal.frameFeatures]]: open the container once,
+    * scan the frame directory, decode ONLY the stride-sampled frames. The
+    * oracle recomputes frame counts, sampled indices, and per-frame grays
+    * from the defining arithmetic — so the real encode→demux→per-frame-
+    * decode chain is hash-pinned end to end (a decoder that read frame 0
+    * every time, or missampled the stride, fails the compare).
+    */
+  private def q166(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .select(col("doc_id")).as[Long]
+      .mapPartitions { it =>
+        // one gray palette + ONE writer per partition (a partition iterator
+        // is single-threaded, and an ImageIO writer is reusable across
+        // outputs — per-row registry lookup + instantiation is the kind of
+        // codec-init cost the mapPartitions batching exists to amortize;
+        // the JDK GIF writer holds no native resources, so letting the
+        // partition-long instance be GC'd without dispose() is safe)
+        val ramp = Array.tabulate[Byte](256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        it.map { id =>
+          val nf = (id % 4 + 2).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < nf) {
+              val g = ((id * 31 + f * 17) % 256).toInt
+              val img = new java.awt.image.BufferedImage(8, 8,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              val r = img.getRaster
+              var i = 0
+              while (i < 64) { r.setSample(i % 8, i / 8, 0, g); i += 1 }
+              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally ios.close()
+          graft.multimodal.MediaRow(id, s"mem://doc/$id.gif", bos.toByteArray, Map.empty)
+        }
+      }
+    Multimodal.frameFeatures(media, stride = 2)
+      .toDF()
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        col("width"), col("height"), col("mean_byte").cast("int").as("gray"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val q166Sql =
+    """SELECT d.doc_id,
+      |  CAST(d.doc_id % 4 + 2 AS INT) AS n_frames,
+      |  CAST(t.f AS INT) AS frame_idx,
+      |  8 AS width, 8 AS height,
+      |  CAST((d.doc_id * 31 + t.f * 17) % 256 AS INT) AS gray
+      |FROM documents d,
+      |  UNNEST(generate_series(0, CAST(d.doc_id % 4 + 1 AS BIGINT), 2)) AS t(f)
+      |ORDER BY doc_id, frame_idx""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_media", q38, Some(q38Sql)),
     QueryDef("q39_ann_bruteforce", q39, Some(q39Sql)),
     QueryDef("q41_vector_stats", q41, Some(q41Sql)),
     QueryDef("q59_embedding_quantize", q59, Some(q59Sql)),
     QueryDef("q61_media_resize", q61, Some(q61Sql)),
-    QueryDef("q95_image_neardup", q95, None))
+    QueryDef("q95_image_neardup", q95, None),
+    QueryDef("q166_video_frames", q166, Some(q166Sql)))
 }

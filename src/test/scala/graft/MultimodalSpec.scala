@@ -297,6 +297,47 @@ class MultimodalSpec extends SparkSpec {
     assert(frames == Seq(0, 2, 4, 6))
   }
 
+  test("frameFeatures decodes only the sampled frames, each with ITS OWN pixels") {
+    import graft.multimodal.MediaRow
+    // indexed-palette frames: gray g(f) = 20 + f*30 survives the GIF
+    // round-trip bit-exactly, so each sampled frame's mean pins that the
+    // right frame was decoded (a reader stuck on frame 0 fails here)
+    def gif(frames: Int): Array[Byte] = {
+      val ramp = Array.tabulate[Byte](256)(_.toByte)
+      val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(8, 8,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val r = img.getRaster
+        for (y <- 0 until 8; x <- 0 until 8) r.setSample(x, y, 0, 20 + f * 30)
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "mem://v1.gif", gif(5), Map.empty[String, String]),
+      MediaRow(2L, "mem://v2.gif", gif(1), Map.empty[String, String])).toDS()
+    val got = Multimodal.frameFeatures(rows, stride = 2).collect()
+      .map(f => (f.doc_id, f.frame_idx) -> f).toMap
+    assert(got.keySet == Set((1L, 0), (1L, 2), (1L, 4), (2L, 0)))
+    got.foreach { case ((_, fi), f) =>
+      assert(f.width == 8 && f.height == 8)
+      assert(f.mean_byte == (20 + fi * 30).toDouble,
+        s"frame $fi decoded wrong pixels: mean ${f.mean_byte}")
+    }
+    assert(got((1L, 0)).n_frames == 5 && got((2L, 0)).n_frames == 1)
+    // stride must be positive
+    intercept[IllegalArgumentException] {
+      Multimodal.frameFeatures(rows, stride = 0)
+    }
+  }
+
   private implicit class MapOps(rows: Array[(Long, Int, Int, Int)]) {
     def toMap3: Map[Long, (Int, Int, Int)] =
       rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
