@@ -77,16 +77,34 @@ object Raster {
     * only intersecting raster windows are ever decoded.
     */
   def zonalStats(points: DataFrame, cellDeg: Double): DataFrame = {
-    import org.apache.spark.sql.functions._
-    require(cellDeg > 0, s"cellDeg must be positive, got $cellDeg")
     // projected frames carry x/y instead of lon/lat (CRS-gated naming in
     // the source); the cell math is identical, the cell columns keep the
-    // frame's own names
+    // frame's own names. When BOTH pairs exist the coordinates are
+    // ambiguous (e.g. a projected frame whose USER-NAMED value columns are
+    // lon/lat) — guessing would aggregate band values as coordinates, so
+    // the caller must name them via the explicit overload.
+    val hasLonLat = points.columns.contains("lon") && points.columns.contains("lat")
+    val hasXy = points.columns.contains("x") && points.columns.contains("y")
+    if (hasLonLat && hasXy)
+      throw new IllegalArgumentException(
+        "zonalStats: frame carries both lon/lat and x/y — ambiguous coordinates; " +
+          "name them explicitly with zonalStats(points, cellDeg, xCol, yCol)")
     val (xc, yc) =
-      if (points.columns.contains("lon")) ("lon", "lat")
-      else if (points.columns.contains("x")) ("x", "y")
+      if (hasLonLat) ("lon", "lat")
+      else if (hasXy) ("x", "y")
       else throw new IllegalArgumentException(
         s"zonalStats needs lon/lat or x/y coordinate columns, got ${points.columns.mkString(", ")}")
+    zonalStats(points, cellDeg, xc, yc)
+  }
+
+  /** [[zonalStats]] with explicit coordinate columns — the unambiguous door
+    * when the frame's value columns shadow a coordinate naming convention.
+    */
+  def zonalStats(points: DataFrame, cellDeg: Double, xc: String, yc: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(cellDeg > 0, s"cellDeg must be positive, got $cellDeg")
+    require(points.columns.contains(xc) && points.columns.contains(yc),
+      s"zonalStats: coordinate columns $xc/$yc not in ${points.columns.mkString(", ")}")
     val valueCols = points.columns.filterNot(Seq(xc, yc, "area").contains)
     // n_pixels leads so the aggregation list is never empty (a coord-only
     // frame is a valid count-per-cell rollup, not a crash)

@@ -98,6 +98,15 @@ object GeoTiffTable {
     new GeoTiffTable(paths, colNames, maxBlock, calcArea, bands, overview)
   }
 
+  /** Coordinate column names for a raster: lon/lat for geographic (or
+    * undeclared — the reference era's files) CRS, neutral x/y when the
+    * GeoKeyDirectory declares a projected/geocentric model. THE single
+    * point of truth — the table's schema and the partition reader's
+    * extractors both resolve names here, so they cannot drift apart.
+    */
+  def coordNames(meta: TiffTags.RasterMeta): (String, String) =
+    if (meta.nonGeographic) ("x", "y") else ("lon", "lat")
+
   /** Smallest Spark type that holds the raster's sample type (Spark has no
     * unsigned ints, so unsigned widens: u8->short, u16->int, u32->long).
     */
@@ -135,6 +144,19 @@ class GeoTiffTable(
         s"raster CRS mismatch: ${first.path} (model type ${first.crsModelType}) vs " +
           s"${m.path} (model type ${m.crsModelType}) — geographic and projected " +
           "rasters cannot share a point grid")
+      // same kind is not enough: two DIFFERENT projected CRSs (UTM zones
+      // routinely share identical numeric grids — false easting 500000,
+      // same scale) or two geographic datums would zip pixels from
+      // locations hundreds of km apart. When both sides declare a model
+      // type / EPSG code, they must agree exactly; an undeclared side
+      // (no GeoKeyDirectory) stays compatible with anything of its kind.
+      for (a <- first.crsModelType; b <- m.crsModelType)
+        require(a == b,
+          s"raster CRS mismatch: ${first.path} (model type $a) vs ${m.path} (model type $b)")
+      for (a <- first.epsg; b <- m.epsg)
+        require(a == b,
+          s"raster CRS mismatch: ${first.path} (EPSG:$a) vs ${m.path} (EPSG:$b) — " +
+            "identical numeric grids in different CRSs are different places")
     }
     ms.zip(bands).foreach { case (m, b) =>
       require(b <= m.samplesPerPixel,
@@ -151,15 +173,13 @@ class GeoTiffTable(
     ms
   }
 
-  /** Coordinate column names: lon/lat for geographic (or undeclared — the
-    * reference era's files) CRS, neutral x/y when the GeoKeyDirectory
-    * declares a projected/geocentric model — those coordinates are meters,
-    * and NAMING them lon/lat is the silent-garbage failure this gate exists
-    * to prevent. Window pruning and the affine math are CRS-agnostic and
-    * work identically under either naming.
+  /** Coordinate column names (resolved by [[GeoTiffTable.coordNames]], the
+    * single point of truth): naming a projected raster's meters lon/lat is
+    * the silent-garbage failure the CRS gate exists to prevent. Window
+    * pruning and the affine math are CRS-agnostic and work identically
+    * under either naming.
     */
-  lazy val coordNames: (String, String) =
-    if (metas.head.nonGeographic) ("x", "y") else ("lon", "lat")
+  lazy val coordNames: (String, String) = GeoTiffTable.coordNames(metas.head)
 
   override def name(): String = s"geotiff(${paths.mkString(",")})"
 
@@ -467,11 +487,11 @@ class GeoTiffPartitionReader(
     * must not do string comparisons or name lookups (this runs per valid
     * pixel, millions of times per task).
     */
+  // same affine math under either CRS naming; resolved by the table's
+  // single point of truth so reader and schema cannot drift
+  private val (xName, yName) = GeoTiffTable.coordNames(m0)
+
   private lazy val extractors: Array[(Int, Int) => Any] = fieldNames.map { f =>
-    // geographic files name the coordinates lon/lat; projected ones x/y —
-    // same affine math, honest names (the table gated the schema)
-    val xName = if (m0.nonGeographic) "x" else "lon"
-    val yName = if (m0.nonGeographic) "y" else "lat"
     if (f == xName)
       (x: Int, _: Int) => java.lang.Double.valueOf(m0.lonOf((window.colOff + x).toDouble))
     else if (f == yName)

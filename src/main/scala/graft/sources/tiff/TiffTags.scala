@@ -349,6 +349,12 @@ object TiffTags {
       def geoKeysIn(es: Map[Int, Entry]): Option[Map[Int, Int]] = es.get(34735).map { e =>
         require(e.fieldType == 3,
           s"$path: GeoKeyDirectory (34735) expected SHORT, got type ${e.fieldType}")
+        // the 4-short header must exist before NumberOfKeys can be read —
+        // a shorter entry would otherwise throw a raw IndexOutOfBounds
+        // from the buffer, not this module's typed error
+        require(e.count >= 4,
+          s"$path: GeoKeyDirectory (34735) carries only ${e.count} shorts — " +
+            "the 4-short header is mandatory")
         val b = payload(e)
         val nKeys = b.getShort(6) & 0xffff
         require(e.count >= 4L * (nKeys + 1),

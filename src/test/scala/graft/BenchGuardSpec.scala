@@ -42,15 +42,20 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(Bench.regressions(Seq("zzz" -> 99.0, "a" -> -1.0), bands).isEmpty)
   }
 
-  test("resweep trigger: >25% sweep-total spread, needs at least two sweeps") {
-    // BENCH_r12 signature: one contended sweep far above the others
+  test("resweep trigger: >25% spread among WARM sweeps (sweep 1 is structurally cold)") {
+    // BENCH_r12 signature: contended warm sweeps disagree wildly
     assert(Bench.needsResweep(Seq(115.0, 230.0, 170.0)))
-    // idle run: totals within the documented run-to-run band
+    // idle run: warm sweeps within the documented run-to-run band
     assert(!Bench.needsResweep(Seq(115.0, 118.0, 121.0)))
-    // boundary: exactly 25% over does not fire (strict >)
+    // the normal idle shape — sweep 1 elevated by artifact builds + JIT,
+    // warm sweeps agreeing — must NOT fire (else every run pays a 4th
+    // sweep and the flag stops witnessing contention)
+    assert(!Bench.needsResweep(Seq(140.0, 106.0, 104.0)))
+    // boundary among warm sweeps: exactly 25% over does not fire (strict >)
+    assert(!Bench.needsResweep(Seq(500.0, 100.0, 125.0)))
+    assert(Bench.needsResweep(Seq(500.0, 100.0, 125.001)))
+    // fewer than two warm sweeps: no spread to judge
     assert(!Bench.needsResweep(Seq(100.0, 125.0)))
-    assert(Bench.needsResweep(Seq(100.0, 125.001)))
-    // single sweep: no spread to judge
     assert(!Bench.needsResweep(Seq(100.0)))
     assert(!Bench.needsResweep(Nil))
   }

@@ -890,6 +890,47 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("CRS mismatch"))
   }
 
+  test("two DIFFERENT projected CRSs refuse to zip even on identical numeric grids") {
+    // UTM zones share the same false easting / scale — the identical
+    // numeric grid is exactly how this silent-garbage case arises
+    val z33 = TiffFixtures.writeBigTiff(s"$tmp/utm33.tif", 10, 8, v7,
+      500000.0, 4649776.0, 30.0, Some("-9999"), geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    val z34 = TiffFixtures.writeBigTiff(s"$tmp/utm34.tif", 10, 8, v7,
+      500000.0, 4649776.0, 30.0, Some("-9999"), geoKeys = Seq(1024 -> 1, 3072 -> 32634))
+    val e = intercept[Exception] {
+      Raster.raster2df(spark, Seq(z33, z34), colNames = Seq("a", "b")).collect()
+    }
+    assert(e.getMessage.contains("EPSG:32633") && e.getMessage.contains("EPSG:32634"))
+    // different geographic datums likewise
+    val g1 = TiffFixtures.writeBigTiff(s"$tmp/dat1.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val g2 = TiffFixtures.writeBigTiff(s"$tmp/dat2.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4267))
+    val e2 = intercept[Exception] {
+      Raster.raster2df(spark, Seq(g1, g2), colNames = Seq("a", "b")).collect()
+    }
+    assert(e2.getMessage.contains("EPSG:4326") && e2.getMessage.contains("EPSG:4267"))
+    // an UNDECLARED raster (no GeoKeyDirectory) stays zip-compatible with a
+    // declared-geographic one of the same grid
+    assert(Raster.raster2df(spark, Seq(f32, g1), colNames = Seq("a", "b")).count() > 0)
+  }
+
+  test("zonalStats: ambiguous coordinate pairs reject; the explicit overload resolves") {
+    val prj = TiffFixtures.writeBigTiff(s"$tmp/zs_prj.tif", 10, 8, v7,
+      500000.0, 4649776.0, 30.0, Some("-9999"), geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    // user-chosen value column named "lon" on a projected frame: both
+    // pairs present -> guessing would aggregate band values as coordinates
+    val frame = Raster.raster2df(spark, Seq(prj, prj), colNames = Seq("lon", "lat"))
+    assert(frame.columns.toSeq == Seq("x", "y", "lon", "lat"))
+    val e = intercept[IllegalArgumentException] {
+      Raster.zonalStats(frame, 60.0)
+    }
+    assert(e.getMessage.contains("ambiguous"))
+    val zs = Raster.zonalStats(frame, 60.0, "x", "y").collect()
+    assert(zs.nonEmpty)
+    assert(zs.map(_.getLong(2)).sum == frame.count()) // n_pixels accounts all rows
+  }
+
   // ---- ModelTransformation (tag 34264) ----
 
   test("axis-aligned ModelTransformation (34264) decodes equal to its ModelPixelScale twin") {

@@ -19,6 +19,17 @@ object TiffFixtures {
   case object U8 extends Dtype
   case object S16 extends Dtype
 
+  /** GeoKeyDirectory (34735) payload from inline SHORT keys: the 4-short
+    * header (version 1, revision 1.0, nKeys) followed by one
+    * (keyId, tagLoc=0, count=1, value) quad per key — shared by the classic
+    * and BigTIFF writers so the two fixtures cannot encode different
+    * directory layouts.
+    */
+  def geoKeyShorts(geoKeys: Seq[(Int, Int)]): Array[Short] =
+    if (geoKeys.isEmpty) Array.empty
+    else (Array(1, 1, 0, geoKeys.length) ++
+      geoKeys.flatMap { case (k, v) => Seq(k, 0, 1, v) }).map(_.toShort)
+
   /** value(col, row) = sample; `originX/originY` = top-left corner geo
     * coords; `pixelSize` degrees per pixel (square, north-up).
     */
@@ -91,9 +102,8 @@ object TiffFixtures {
       dir.addTIFFField(new TIFFField(tieTag, TIFFTag.TIFF_DOUBLE, 6,
         Array[Double](0.0, 0.0, 0.0, originX, originY, 0.0)))
       if (geoKeys.nonEmpty) {
-        // header (version 1, revision 1.0, nKeys) + (keyId, 0, 1, value) quads
-        val shorts: Array[Char] = (Array(1, 1, 0, geoKeys.length) ++
-          geoKeys.flatMap { case (k, v) => Seq(k, 0, 1, v) }).map(_.toChar)
+        // ImageIO carries TIFF_SHORT data as char[]
+        val shorts: Array[Char] = geoKeyShorts(geoKeys).map(s => (s & 0xffff).toChar)
         dir.addTIFFField(new TIFFField(geoKeyTag, TIFFTag.TIFF_SHORT, shorts.length, shorts))
       }
       noData.foreach { nd =>
@@ -356,12 +366,7 @@ object TiffFixtures {
     val scaleOff = cur; if (!useMt) cur += 24
     val tieOff = cur; if (!useMt) cur += 48
     val mtOff = cur; if (useMt) cur += 128
-    // GeoKeyDirectory payload: header (version 1, revision 1.0, nKeys) then
-    // one (keyId, tagLoc=0, count=1, value) quad per key
-    val gkShorts: Array[Short] =
-      if (geoKeys.isEmpty) Array.empty
-      else (Array(1, 1, 0, geoKeys.length) ++
-        geoKeys.flatMap { case (k, v) => Seq(k, 0, 1, v) }).map(_.toShort)
+    val gkShorts: Array[Short] = geoKeyShorts(geoKeys)
     val gkOff = cur
     if (gkShorts.length * 2 > 8) cur += gkShorts.length * 2L
     val soOff = cur; if (nChunks > 1) cur += nChunks * 8L
