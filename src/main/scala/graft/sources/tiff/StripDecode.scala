@@ -24,9 +24,12 @@ import java.util.zip.Inflater
   * compression 1 (none), 8/32946 (zlib DEFLATE), 5 (LZW, MSB-first with the
   * TIFF early-change rule), 32773 (PackBits RLE — legacy tiles), 50000
   * (ZSTD — GDAL's modern COG default, decoded via the zstd-jni Spark itself
-  * ships), predictor 1 (none), 2 (horizontal differencing over integer
-  * samples) and 3 (floating-point byte differencing — the GDAL PREDICTOR=3
-  * layout float DEM/biomass COGs ship with).
+  * ships), 7 (new-style JPEG per TIFF TechNote 2 — abbreviated per-chunk
+  * streams merged with the shared JPEGTables tag and decoded by the JDK's
+  * JPEG reader; 8-bit imagery COGs), predictor 1 (none), 2 (horizontal
+  * differencing over integer samples) and 3 (floating-point byte
+  * differencing — the GDAL PREDICTOR=3 layout float DEM/biomass COGs ship
+  * with).
   */
 private[graft] object StripDecode {
 
@@ -232,6 +235,45 @@ private[graft] object StripDecode {
             out, 0, expected, comp, 0, comp.length)
           require(n == expected,
             s"${meta.path}: $kind $chunkIdx ZSTD-decoded to $n bytes, expected $expected")
+        case 7 => // new-style JPEG (TIFF TechNote 2), decoded by the JDK's JPEG reader
+          val stream: Array[Byte] =
+            if (meta.jpegTables.isEmpty) comp
+            else {
+              // abbreviated chunk + shared JPEGTables: merged stream =
+              // SOI + tables body (its SOI/EOI stripped) + chunk sans SOI.
+              // TiffTags validated the tables' SOI…EOI envelope already.
+              require(comp.length >= 2 &&
+                  (comp(0) & 0xff) == 0xff && (comp(1) & 0xff) == 0xd8,
+                s"${meta.path}: $kind $chunkIdx JPEG stream lacks an SOI marker")
+              val t = meta.jpegTables
+              val merged = new Array[Byte](t.length - 4 + comp.length)
+              merged(0) = 0xff.toByte
+              merged(1) = 0xd8.toByte
+              var i = 0
+              while (i < t.length - 4) { merged(2 + i) = t(2 + i); i += 1 }
+              System.arraycopy(comp, 2, merged, t.length - 2, comp.length - 2)
+              merged
+            }
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+          require(img != null,
+            s"${meta.path}: $kind $chunkIdx JPEG stream failed to decode")
+          require(img.getWidth == rowWidth && img.getHeight == rows,
+            s"${meta.path}: $kind $chunkIdx JPEG decodes to ${img.getWidth}x${img.getHeight}, " +
+              s"chunk is ${rowWidth}x$rows")
+          val ras = img.getRaster
+          require(ras.getNumBands == spp,
+            s"${meta.path}: $kind $chunkIdx JPEG has ${ras.getNumBands} bands, file declares $spp")
+          var o = 0
+          var y = 0
+          while (y < rows) {
+            var x = 0
+            while (x < rowWidth) {
+              var b = 0
+              while (b < spp) { out(o) = ras.getSample(x, y, b).toByte; o += 1; b += 1 }
+              x += 1
+            }
+            y += 1
+          }
         case c =>
           throw new IllegalStateException(s"${meta.path}: unexpected compression $c in decodeChunk")
       }

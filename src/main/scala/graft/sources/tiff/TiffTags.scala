@@ -92,7 +92,12 @@ object TiffTags {
       // GeographicTypeGeoKey (2048) for geographic files, the
       // ProjectedCSTypeGeoKey (3072) for projected ones, when present.
       crsModelType: Option[Int] = None,
-      epsg: Option[Int] = None) {
+      epsg: Option[Int] = None,
+      // JPEGTables (347, TIFF TechNote 2): the shared quantization/Huffman
+      // table stream (SOI…EOI) that abbreviated per-chunk JPEG streams
+      // (compression 7) are merged with before decode. Empty = chunks are
+      // full interchange streams.
+      jpegTables: IndexedSeq[Byte] = Vector.empty) {
 
     def tiled: Boolean = tileWidth > 0
 
@@ -407,11 +412,31 @@ object TiffTags {
         // (3, float samples), i.e. what GDAL actually writes for large
         // rasters. Everything else gets a typed error, never garbage.
         val compression = shortOrLong(259, 1)
-        require(compression == 1 || compression == 5 || compression == 8 ||
-            compression == 32946 || compression == 32773 || compression == 50000,
+        require(compression == 1 || compression == 5 || compression == 7 ||
+            compression == 8 || compression == 32946 || compression == 32773 ||
+            compression == 50000,
           s"$path: BigTIFF compression $compression unsupported " +
-            "(1=none, 5=LZW, 8/32946=DEFLATE, 32773=PackBits, 50000=ZSTD)")
+            "(1=none, 5=LZW, 7=JPEG, 8/32946=DEFLATE, 32773=PackBits, 50000=ZSTD)")
+        // new-style JPEG (7, TIFF TechNote 2): 8-bit unsigned samples only
+        // (the JDK JPEG decoder's domain), no predictor (meaningless over a
+        // transform codec), chunky layout (GDAL writes JPEG chunky)
+        require(compression != 7 || (bps == 8 && sampleFormat == 1),
+          s"$path: JPEG-in-TIFF requires 8-bit unsigned samples, got $bps-bit format $sampleFormat")
+        val jpegTables: IndexedSeq[Byte] =
+          if (compression != 7) Vector.empty
+          else entries.get(347).map { e =>
+            val b = payload(e)
+            val arr = new Array[Byte](e.count.toInt)
+            b.get(arr)
+            require(arr.length >= 4 &&
+                (arr(0) & 0xff) == 0xff && (arr(1) & 0xff) == 0xd8 &&
+                (arr(arr.length - 2) & 0xff) == 0xff && (arr(arr.length - 1) & 0xff) == 0xd9,
+              s"$path: JPEGTables (347) is not an SOI…EOI stream")
+            arr.toIndexedSeq
+          }.getOrElse(Vector.empty)
         val predictor = shortOrLong(317, 1)
+        require(compression != 7 || predictor == 1,
+          s"$path: predictor $predictor over JPEG chunks is malformed")
         require(predictor == 1 || predictor == 2 || predictor == 3,
           s"$path: TIFF predictor $predictor unsupported " +
             "(1=none, 2=horizontal differencing, 3=floating-point)")
@@ -432,6 +457,8 @@ object TiffTags {
         require(planarCfg == 1 || planarCfg == 2,
           s"$path: BigTIFF PlanarConfiguration $planarCfg unsupported " +
             "(1 = chunky/pixel-interleaved, 2 = planar/band-separate)")
+        require(compression != 7 || planarCfg == 1,
+          s"$path: JPEG-in-TIFF planar layout unsupported (GDAL writes JPEG chunky)")
         val planesPerChunk = if (planarCfg == 2) spp.toLong else 1L
         def uniform(tag: Int, name: String, got: Int): Unit =
           entries.get(tag).foreach { e =>
@@ -474,7 +501,7 @@ object TiffTags {
             tileWidth = tw, tileLength = tl,
             tileOffsets = tOffsets, tileByteCounts = tCounts,
             planarConfig = planarCfg,
-            crsModelType = crsModelType, epsg = epsg)
+            crsModelType = crsModelType, epsg = epsg, jpegTables = jpegTables)
         } else {
         val offsets = longs(273).getOrElse(
           throw new IllegalArgumentException(s"$path: BigTIFF missing StripOffsets (273)"))
@@ -501,7 +528,7 @@ object TiffTags {
           rowsPerStrip = rps, stripOffsets = offsets,
           compression = compression, predictor = predictor, stripByteCounts = byteCounts,
           planarConfig = planarCfg,
-          crsModelType = crsModelType, epsg = epsg)
+          crsModelType = crsModelType, epsg = epsg, jpegTables = jpegTables)
         }
       }
     } finally raf.close()

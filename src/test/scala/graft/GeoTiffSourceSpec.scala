@@ -226,7 +226,8 @@ class GeoTiffSourceSpec extends SparkSpec {
   }
 
   test("unsupported BigTIFF compression is rejected with a typed error") {
-    // flip the compression tag of a valid fixture to 7 (JPEG, unsupported)
+    // flip the compression tag of a valid fixture to 6 (OLD-style JPEG —
+    // deprecated by TIFF TechNote 2 and unsupported; new-style 7 decodes)
     val src = TiffFixtures.writeBigTiff(s"$tmp/big43e.tif", 4, 4,
       (c, r) => 1.0, 0.0, 10.0, 0.5, None)
     val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
@@ -237,7 +238,7 @@ class GeoTiffSourceSpec extends SparkSpec {
     var found = false
     for (i <- 0 until n.toInt) {
       val off = ifd.toInt + 8 + i * 20
-      if ((bb.getShort(off) & 0xffff) == 259) { bb.putShort(off + 12, 7); found = true }
+      if ((bb.getShort(off) & 0xffff) == 259) { bb.putShort(off + 12, 6); found = true }
     }
     assert(found)
     val bad = s"$tmp/big43e_jpeg.tif"
@@ -245,7 +246,7 @@ class GeoTiffSourceSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException] {
       graft.sources.tiff.TiffTags.read(bad)
     }
-    assert(e.getMessage.contains("compression 7 unsupported"))
+    assert(e.getMessage.contains("compression 6 unsupported"))
   }
 
   test("DEFLATE BigTIFF == uncompressed BigTIFF == classic TIFF on the same pixels") {
@@ -1026,6 +1027,68 @@ class GeoTiffSourceSpec extends SparkSpec {
     val at = Raster.raster2df(spark, Seq(deflT)).orderBy("lat", "lon").collect().map(_.toSeq)
     val bt = Raster.raster2df(spark, Seq(zstdT)).orderBy("lat", "lon").collect().map(_.toSeq)
     assert(at.nonEmpty && at.sameElements(bt))
+  }
+
+  // ---- JPEG-in-TIFF (compression 7, TIFF TechNote 2) ----
+
+  test("tiled JPEG BigTIFF decodes; shared-JPEGTables twin == full-stream twin") {
+    // uniform gray per tile: DC-only blocks at max quality round-trip the
+    // JDK encoder/decoder exactly, so values are assertable, not just
+    // self-consistent
+    def vg(c: Int, r: Int): Double = (((r / 16) * 5 + (c / 16)) * 37 % 255 + 1).toDouble
+    val full = TiffFixtures.writeBigTiffTiled(s"$tmp/jpeg_full.tif", 70, 50, vg,
+      0.0, 20.0, 0.25, Some("0"), tileWidth = 16, tileLength = 16,
+      dtype = TiffFixtures.U8, compression = 7)
+    val shared = TiffFixtures.writeBigTiffTiled(s"$tmp/jpeg_tabs.tif", 70, 50, vg,
+      0.0, 20.0, 0.25, Some("0"), tileWidth = 16, tileLength = 16,
+      dtype = TiffFixtures.U8, compression = 7, jpegTablesShared = true)
+    val mF = graft.sources.tiff.TiffTags.read(full)
+    val mS = graft.sources.tiff.TiffTags.read(shared)
+    assert(mF.compression == 7 && mF.jpegTables.isEmpty)
+    assert(mS.compression == 7 && mS.jpegTables.nonEmpty)
+    // the shared layout is strictly smaller on disk (tables stored once)
+    assert(new java.io.File(shared).length < new java.io.File(full).length)
+    val a = Raster.raster2df(spark, Seq(full)).orderBy("lat", "lon").collect()
+    val b = Raster.raster2df(spark, Seq(shared)).orderBy("lat", "lon").collect()
+    assert(a.nonEmpty && a.map(_.toSeq).sameElements(b.map(_.toSeq)))
+    // exact values: pixel (c, r) carries its tile's gray
+    a.foreach { row =>
+      val c = ((row.getDouble(0) - 0.0) / 0.25 - 0.5).round.toInt
+      val r = ((20.0 - row.getDouble(1)) / 0.25 - 0.5).round.toInt
+      assert(row.getShort(2).toDouble == vg(c, r), s"pixel ($c,$r)")
+    }
+    // multi-window == single-window across tile boundaries
+    val one = Raster.raster2df(spark, Seq(shared), maxBlockSize = 4096)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val many = Raster.raster2df(spark, Seq(shared), maxBlockSize = 24)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(one.sameElements(many))
+  }
+
+  test("JPEG-in-TIFF typed rejections: predictor, sample width") {
+    val good = TiffFixtures.writeBigTiffTiled(s"$tmp/jpeg_ok.tif", 16, 16,
+      (c, r) => 100.0, 0.0, 20.0, 0.25, None, tileWidth = 16, tileLength = 16,
+      dtype = TiffFixtures.U8, compression = 7)
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(good))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getLong(8)
+    val n = bb.getLong(ifd.toInt)
+    def patchTag(tag: Int, value: Short): Boolean = {
+      var found = false
+      for (i <- 0 until n.toInt) {
+        val off = ifd.toInt + 8 + i * 20
+        if ((bb.getShort(off) & 0xffff) == tag) { bb.putShort(off + 12, value); found = true }
+      }
+      found
+    }
+    // 16-bit JPEG is malformed: flip BitsPerSample to 16
+    assert(patchTag(258, 16))
+    val bad16 = s"$tmp/jpeg_bad16.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(bad16), bytes)
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.tiff.TiffTags.read(bad16)
+    }
+    assert(e.getMessage.contains("JPEG-in-TIFF requires 8-bit"))
   }
 
   // ---- overview partial geo tags; chunk-size overflow guard ----

@@ -30,6 +30,69 @@ object TiffFixtures {
     else (Array(1, 1, 0, geoKeys.length) ++
       geoKeys.flatMap { case (k, v) => Seq(k, 0, 1, v) }).map(_.toShort)
 
+  /** Full interchange JPEG stream for one chunk's chunky u8 samples
+    * (grayscale or RGB), via the JDK encoder at maximum quality.
+    */
+  def jpegEncode(samples: Array[Byte], w: Int, h: Int, spp: Int): Array[Byte] = {
+    require(spp == 1 || spp == 3, s"JPEG fixture supports 1 or 3 bands, got $spp")
+    val img =
+      if (spp == 1) {
+        val im = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+        im.getRaster.setDataElements(0, 0, w, h, samples)
+        im
+      } else {
+        val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var i = 0
+        for (y <- 0 until h; x <- 0 until w) {
+          im.setRGB(x, y, ((samples(i) & 0xff) << 16) |
+            ((samples(i + 1) & 0xff) << 8) | (samples(i + 2) & 0xff))
+          i += 3
+        }
+        im
+      }
+    val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      val p = writer.getDefaultWriteParam
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionQuality(1.0f)
+      writer.write(null, new IIOImage(img, null, null), p)
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Split a full JPEG stream into (JPEGTables stream, abbreviated stream)
+    * per TIFF TechNote 2: DQT/DHT segments move to the tables stream
+    * (SOI + tables + EOI); everything else — SOF, SOS, entropy data — stays
+    * in the abbreviated per-chunk stream. The reader's merge is the inverse.
+    */
+  def splitJpegTables(full: Array[Byte]): (Array[Byte], Array[Byte]) = {
+    require((full(0) & 0xff) == 0xff && (full(1) & 0xff) == 0xd8, "not a JPEG stream")
+    val tables = new java.io.ByteArrayOutputStream()
+    val rest = new java.io.ByteArrayOutputStream()
+    tables.write(0xff); tables.write(0xd8)
+    rest.write(0xff); rest.write(0xd8)
+    var i = 2
+    var done = false
+    while (i < full.length && !done) {
+      require((full(i) & 0xff) == 0xff, s"bad JPEG marker prefix at $i")
+      val m = full(i + 1) & 0xff
+      if (m == 0xda) { // SOS: scan data runs to EOI — all stays in the chunk
+        rest.write(full, i, full.length - i)
+        done = true
+      } else {
+        val len = (((full(i + 2) & 0xff) << 8) | (full(i + 3) & 0xff)) + 2
+        if (m == 0xdb || m == 0xc4) tables.write(full, i, len)
+        else rest.write(full, i, len)
+        i += len
+      }
+    }
+    tables.write(0xff); tables.write(0xd9)
+    (tables.toByteArray, rest.toByteArray)
+  }
+
   /** value(col, row) = sample; `originX/originY` = top-left corner geo
     * coords; `pixelSize` degrees per pixel (square, north-up).
     */
@@ -627,7 +690,10 @@ object TiffFixtures {
       predictor: Int = 1,
       spp: Int = 1,
       bandValue: (Int, Int, Int) => Double = null,
-      planar: Boolean = false): String = {
+      planar: Boolean = false,
+      // compression 7 only: move DQT/DHT out of every chunk into one
+      // shared JPEGTables (347) tag — the TechNote-2 layout GDAL writes
+      jpegTablesShared: Boolean = false): String = {
     import java.nio.{ByteBuffer, ByteOrder}
     val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val (bps, sampleFormat) = dtype match {
@@ -637,8 +703,10 @@ object TiffFixtures {
     }
     require(predictor != 2 || dtype != F32, "predictor 2 requires integer samples")
     require(predictor != 3 || dtype == F32, "predictor 3 requires float samples")
-    require(Set(1, 5, 8, 32773, 50000).contains(compression),
+    require(Set(1, 5, 7, 8, 32773, 50000).contains(compression),
       s"fixture compression $compression unsupported")
+    require(compression != 7 || (dtype == U8 && predictor == 1 && !planar),
+      "JPEG fixture requires u8 chunky samples without a predictor")
     require(spp >= 1 && spp <= 4, "fixture spp must be 1..4 (per-band tags written inline)")
     require(spp == 1 || bandValue != null, "multi-band fixtures need bandValue(band, c, r)")
     val bytesPer = bps / 8
@@ -701,34 +769,45 @@ object TiffFixtures {
             out.toByteArray
           } finally d.end()
         case 5 => lzwEncode(arr)
+        case 7 => jpegEncode(arr, tileWidth, tileLength, chunkSpp)
         case 32773 => packBitsEncode(arr)
         case 50000 => com.github.luben.zstd.Zstd.compress(arr)
       }
     }
+    // TechNote-2 shared tables: every chunk's DQT/DHT are identical (same
+    // writer, same params), so tile 0's extracted tables stand for all
+    val (jtBytes, finalTiles) =
+      if (compression == 7 && jpegTablesShared) {
+        val splits = tiles.map(splitJpegTables)
+        (splits(0)._1, splits.map(_._2))
+      } else (Array.empty[Byte], tiles)
 
     val pixOff = 16L
     val tileOff = new Array[Long](nTiles)
     var cur = pixOff
-    for (t <- 0 until nTiles) { tileOff(t) = cur; cur += tiles(t).length }
-    val tileCnt = tiles.map(_.length.toLong)
+    for (t <- 0 until nTiles) { tileOff(t) = cur; cur += finalTiles(t).length }
+    val tileCnt = finalTiles.map(_.length.toLong)
     val scaleOff = cur; cur += 24
     val tieOff = cur; cur += 48
     val toOff = cur; if (nTiles > 1) cur += nTiles * 8L
     val tcOff = cur; if (nTiles > 1) cur += nTiles * 8L
+    val jtOff = cur
+    if (jtBytes.length > 8) cur += jtBytes.length
     val ndBytes = noData.map(s => s.getBytes("US-ASCII") :+ 0.toByte)
     val ndOff = cur
     ndBytes.foreach { b => if (b.length > 8) cur += b.length }
     val ifdOff = cur
     // 12 unconditional entries: 256,257,258,259,277,322,323,324,325,339,33550,33922
     val nTags = 12 + (if (ndBytes.isDefined) 1 else 0) + (if (predictor != 1) 1 else 0) +
-      (if (spp > 1) 1 else 0)
+      (if (spp > 1) 1 else 0) + (if (jtBytes.nonEmpty) 1 else 0)
     val total = (ifdOff + 8 + nTags * 20 + 8).toInt
     val buf = ByteBuffer.allocate(total).order(order)
     val bom = if (bigEndian) 'M'.toByte else 'I'.toByte
     buf.put(bom).put(bom).putShort(43).putShort(8).putShort(0).putLong(ifdOff)
     for (t <- 0 until nTiles) {
-      buf.position(tileOff(t).toInt); buf.put(tiles(t))
+      buf.position(tileOff(t).toInt); buf.put(finalTiles(t))
     }
+    if (jtBytes.length > 8) { buf.position(jtOff.toInt); buf.put(jtBytes) }
     buf.position(scaleOff.toInt)
     buf.putDouble(pixelSize).putDouble(pixelSize).putDouble(0.0)
     buf.position(tieOff.toInt)
@@ -765,6 +844,9 @@ object TiffFixtures {
       if (nTiles == 1) b.putLong(tileCnt(0)) else b.putLong(tcOff))
     entry(339, 3, spp.toLong)(b =>                 // SampleFormat (per band)
       (0 until spp).foreach(_ => b.putShort(sampleFormat.toShort)))
+    if (jtBytes.nonEmpty)
+      entry(347, 7, jtBytes.length.toLong)(b =>    // JPEGTables (UNDEFINED)
+        if (jtBytes.length <= 8) b.put(jtBytes) else b.putLong(jtOff))
     entry(33550, 12, 3)(_.putLong(scaleOff))       // ModelPixelScale
     entry(33922, 12, 6)(_.putLong(tieOff))         // ModelTiepoint
     ndBytes.foreach { b =>
