@@ -273,6 +273,13 @@ object Multimodal {
   def aHash64(bytes: Array[Byte]): Long = {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "bytes are not a decodable image")
+    aHash64Of(img)
+  }
+
+  /** [[aHash64]] of an already-decoded image — the per-frame unit the video
+    * fingerprint path reuses (one container decode, many frame hashes).
+    */
+  def aHash64Of(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth
     val h = img.getHeight
     val cells = new Array[Double](64)
@@ -421,6 +428,81 @@ object Multimodal {
       media: Dataset[MediaRow], maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame =
     bandedFpPairs(audioHashes(media), "afp", maxHamming, maxBucket)
+
+  /** Per-sampled-frame perceptual hashes of a multi-frame (video-shaped)
+    * container: (doc_id, k, fhash) where k is the SAMPLE RANK (0, 1, 2, …
+    * over the stride-sampled frames) — rank, not raw frame index, so two
+    * videos sampled at the same stride align positionally. Container
+    * opened once per row; only sampled frames decode ([[frameFeatures]]'s
+    * cost shape).
+    */
+  def videoFrameHashes(media: Dataset[MediaRow], stride: Int): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(m.bytes))
+      var reader: javax.imageio.ImageReader = null
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        require(readers.hasNext, s"${m.uri}: bytes are not a decodable media container")
+        reader = readers.next()
+        reader.setInput(iis)
+        val nFrames = reader.getNumImages(true)
+        require(nFrames >= 1, s"${m.uri}: container holds no frames")
+        (0 until nFrames by stride).zipWithIndex.map { case (f, k) =>
+          (m.doc_id, k, aHash64Of(reader.read(f)))
+        }.toVector
+      } finally {
+        if (reader != null) reader.dispose()
+        iis.close()
+      }
+    }).toDF("doc_id", "k", "fhash")
+  }
+
+  /** VIDEO near-duplicate pairs — the image/audio banded shape lifted to
+    * frame SEQUENCES: candidates form when any sample rank's frame hashes
+    * collide on a 16-bit band AT THE SAME RANK (the per-frame pigeonhole —
+    * near-dup videos agree frame-by-frame, so some rank's hashes are
+    * within Hamming 3 and share a band), then the verdict is the MEAN
+    * per-frame Hamming over the ranks both videos have, ≤ `maxMeanHamming`.
+    * The rank rides inside the join key (key = rank << 16 | band bits), so
+    * the candidate stage is still one (band, key) equi-join through
+    * [[graft.operators.BandedSelfJoin]] — bucket-capped, never all-pairs —
+    * and the verify stage is one equi-join on (pair, rank) + one hash
+    * aggregate. Same flat-field caveat as [[aHash64]], bounded by the cap.
+    */
+  def videoNearDupPairs(
+      media: Dataset[MediaRow], stride: Int = 2,
+      maxMeanHamming: Double = 3.0, maxBucket: Int = 10000): DataFrame = {
+    // the frame hashes feed the banded candidate join AND both sides of
+    // the rank-aligned verify join — materialize the container decodes
+    // once (the expensive part) instead of re-running them per consumer;
+    // same eager/non-reliable trade as BandedSelfJoin's salted branch,
+    // documented there
+    val fh = videoFrameHashes(media, stride).localCheckpoint(true)
+    val keyed = fh.select(
+      col("doc_id").as("id"), col("k"), col("fhash"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          (col("k").cast("long") * 65536L +
+            shiftrightunsigned(col("fhash"), 16 * b)
+              .bitwiseAND(lit(0xffffL))).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = graft.operators.BandedSelfJoin.pairs(keyed, maxBucket)
+      .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
+      .distinct()
+    val fa = fh.toDF("doc_id_a", "k", "h_a")
+    val fb = fh.toDF("doc_id_b", "k", "h_b")
+    cand.join(fa, "doc_id_a")
+      .join(fb, Seq("doc_id_b", "k"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"))
+      .agg(
+        avg(bit_count(col("h_a").bitwiseXOR(col("h_b")))).as("mean_hamming"),
+        count(lit(1)).as("n_common"))
+      .filter(col("mean_hamming") <= maxMeanHamming)
+  }
 
   /** "Resize": emit target dims + scale factors (stub math, real plumbing). */
   def resizePlan(decoded: Dataset[DecodedMedia], maxSide: Int): DataFrame =

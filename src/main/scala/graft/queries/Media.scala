@@ -203,8 +203,15 @@ object Media {
     */
   private def q95(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the documents table is one parquet file -> ONE scan partition; the
+    // per-doc codec work must fan out across cores (measured on q167's
+    // 3-frame variant: the hash materialization alone drops 5.1 -> ~0.5 s
+    // at local[32]; the banded-join stage dominates the warm total here,
+    // so q95's end-to-end is render-bound only on fewer cores)
     val media = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
         val toks = text.split(" ").distinct.sorted
         val img = new java.awt.image.BufferedImage(8, 8,
@@ -239,7 +246,9 @@ object Media {
   private def q166(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val media = Tables.documents(s, dir)
-      .select(col("doc_id")).as[Long]
+      .select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism) // one file -> fan out the codec work
+      .as[Long]
       .mapPartitions { it =>
         // one gray palette + ONE writer per partition (a partition iterator
         // is single-threaded, and an ImageIO writer is reusable across
@@ -290,6 +299,69 @@ object Media {
       |  UNNEST(generate_series(0, CAST(d.doc_id % 4 + 1 AS BIGINT), 2)) AS t(f)
       |ORDER BY doc_id, frame_idx""".stripMargin
 
+  /** VIDEO near-dup as a full-corpus scale path (rows-only — DuckDB cannot
+    * decode GIF; q95's pattern lifted to frame SEQUENCES): each document
+    * renders to a REAL 3-frame animated GIF whose frames sample the sorted
+    * distinct token set under per-frame rotations (order-insensitive, so
+    * near-duplicate texts produce near-identical frame sequences; painted
+    * through the exact 256-gray palette so detection depends on content,
+    * not GIF quantization), then the production chain runs unmodified:
+    * one container decode per doc → per-frame aHash64 → rank-aligned
+    * banded candidates → mean per-frame Hamming verdict. No all-pairs
+    * path; the equality/threshold semantics are spec-pinned in
+    * MultimodalSpec.
+    *
+    * Declared on the doc_id % 3 = 0 slice (the q140/q159 oracle-slice
+    * discipline): the sf0.1 corpus carries a 1,965-document identical-
+    * template bucket, so the FULL corpus's candidate volume is 6.9M raw
+    * pairs / 62,169 verified — real work the bench budget shouldn't pay
+    * per sweep; the full-corpus run is recorded in BASELINE (the operator
+    * is unchanged — banded, bucket-capped — only the input is sliced).
+    */
+  private def q167(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism) // one file -> fan out the codec work
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val ramp = Array.tabulate[Byte](256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        it.map { case (id, text) =>
+          val toks = text.split(" ").distinct.sorted
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          try {
+            writer.setOutput(ios)
+            writer.prepareWriteSequence(null)
+            var f = 0
+            while (f < 3) {
+              val img = new java.awt.image.BufferedImage(8, 8,
+                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+              val r = img.getRaster
+              var i = 0
+              while (i < 64) {
+                val g = math.floorMod(
+                  toks(((i + f * 21) % 64) * toks.length / 64).hashCode, 256)
+                r.setSample(i % 8, i / 8, 0, g)
+                i += 1
+              }
+              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+              f += 1
+            }
+            writer.endWriteSequence()
+          } finally ios.close()
+          graft.multimodal.MediaRow(id, s"mem://doc/$id.vid.gif", bos.toByteArray, Map.empty)
+        }
+      }
+    Multimodal.videoNearDupPairs(media, stride = 1, maxMeanHamming = 3.0)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        round(col("mean_hamming"), 4).as("mean_hamming"), col("n_common"))
+      .orderBy(col("doc_id_a"), col("doc_id_b"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_media", q38, Some(q38Sql)),
     QueryDef("q39_ann_bruteforce", q39, Some(q39Sql)),
@@ -297,5 +369,6 @@ object Media {
     QueryDef("q59_embedding_quantize", q59, Some(q59Sql)),
     QueryDef("q61_media_resize", q61, Some(q61Sql)),
     QueryDef("q95_image_neardup", q95, None),
-    QueryDef("q166_video_frames", q166, Some(q166Sql)))
+    QueryDef("q166_video_frames", q166, Some(q166Sql)),
+    QueryDef("q167_video_neardup", q167, None))
 }

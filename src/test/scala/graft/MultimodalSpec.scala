@@ -338,6 +338,62 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("video near-dup: rank-aligned banded pairs find the noisy copy, not the stranger") {
+    import graft.multimodal.MediaRow
+    val ramp = Array.tabulate[Byte](256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+    // patterned frames (gradients) so aHash has structure; `noise` flips a
+    // few pixels slightly (a re-encode-style perturbation); `invert` makes
+    // a genuinely different video
+    def gif(frames: Int, noise: Int, invert: Boolean): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until frames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(16, 16,
+          java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val r = img.getRaster
+        for (y <- 0 until 16; x <- 0 until 16) {
+          val base = if (invert) (15 - x) * 14 + (15 - y) * 2 else x * 14 + y * 2
+          val v = math.min(255, base + f * 3 + (if (noise > 0 && (x + y * 16) % 37 == 0) noise else 0))
+          r.setSample(x, y, 0, v)
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence(); writer.dispose(); ios.close()
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(1L, "mem://v1.gif", gif(5, 0, invert = false), Map.empty[String, String]),
+      // noisy copy with TWO extra frames: alignment must use the common ranks
+      MediaRow(2L, "mem://v2.gif", gif(7, 2, invert = false), Map.empty[String, String]),
+      MediaRow(3L, "mem://v3.gif", gif(5, 0, invert = true), Map.empty[String, String])).toDS()
+    val pairs = Multimodal.videoNearDupPairs(rows, stride = 2, maxMeanHamming = 3.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(pairs.contains((1L, 2L)), s"noisy copy not found: $pairs")
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)),
+      s"inverted stranger matched: $pairs")
+    // common ranks: v1 samples frames 0,2,4 (3 ranks); v2 samples 0,2,4,6
+    // (4 ranks) — the verdict must aggregate over the 3 shared ranks
+    assert(pairs((1L, 2L))._2 == 3L, s"expected 3 common ranks: ${pairs((1L, 2L))}")
+    assert(pairs((1L, 2L))._1 <= 3.0)
+    // frame hashes: rank is the alignment key and only sampled frames hash
+    val fh = Multimodal.videoFrameHashes(rows, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(fh.keySet.count(_._1 == 1L) == 3 && fh.keySet.count(_._1 == 2L) == 4)
+    // per-rank hashes carry the signal the pairing rides on: the noisy
+    // copy stays within the per-frame threshold at every shared rank, the
+    // inverted stranger does not at rank 0
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    (0 until 3).foreach { k =>
+      assert(ham(fh((1L, k)), fh((2L, k))) <= 3, s"rank $k drifted")
+    }
+    assert(ham(fh((1L, 0)), fh((3L, 0))) > 3)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Int, Int, Int)]) {
     def toMap3: Map[Long, (Int, Int, Int)] =
       rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
