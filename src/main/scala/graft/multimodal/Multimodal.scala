@@ -440,24 +440,39 @@ object Multimodal {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(m.bytes))
-      var reader: javax.imageio.ImageReader = null
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, s"${m.uri}: bytes are not a decodable media container")
-        reader = readers.next()
-        reader.setInput(iis)
-        val nFrames = reader.getNumImages(true)
-        require(nFrames >= 1, s"${m.uri}: container holds no frames")
-        (0 until nFrames by stride).zipWithIndex.map { case (f, k) =>
-          (m.doc_id, k, aHash64Of(reader.read(f)))
-        }.toVector
-      } finally {
-        if (reader != null) reader.dispose()
-        iis.close()
-      }
+      sampledFrames(m, stride) { (img, _, k, _) => (m.doc_id, k, aHash64Of(img)) }
     }).toDF("doc_id", "k", "fhash")
+  }
+
+  /** Shared container-sampling scaffold for the video path: open the
+    * container ONCE, scan the frame directory, decode only every
+    * `stride`-th frame, and hand each decoded frame to `perFrame(img,
+    * frameIdx, sampleRank, nFrames)`. [[frameFeatures]] and
+    * [[videoFrameHashes]] are both thin bodies over this — swapping the
+    * ImageIO reader lookup for a real video demuxer changes exactly one
+    * place. Results are materialized inside the row scope (the reader and
+    * stream close on exit; a lazy iterator escaping would read a dead
+    * reader).
+    */
+  private def sampledFrames[T](m: MediaRow, stride: Int)(
+      perFrame: (java.awt.image.BufferedImage, Int, Int, Int) => T): Vector[T] = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(m.bytes))
+    var reader: javax.imageio.ImageReader = null
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      require(readers.hasNext, s"${m.uri}: bytes are not a decodable media container")
+      reader = readers.next()
+      reader.setInput(iis)
+      val nFrames = reader.getNumImages(true)
+      require(nFrames >= 1, s"${m.uri}: container holds no frames")
+      (0 until nFrames by stride).zipWithIndex.map { case (f, k) =>
+        perFrame(reader.read(f), f, k, nFrames)
+      }.toVector
+    } finally {
+      if (reader != null) reader.dispose()
+      iis.close()
+    }
   }
 
   /** VIDEO near-duplicate pairs — the image/audio banded shape lifted to
@@ -475,6 +490,12 @@ object Multimodal {
   def videoNearDupPairs(
       media: Dataset[MediaRow], stride: Int = 2,
       maxMeanHamming: Double = 3.0, maxBucket: Int = 10000): DataFrame = {
+    // candidate completeness: mean ≤ t over the common ranks ⇒ some rank's
+    // per-frame Hamming ≤ t, and 4 bands over 64 bits pigeonhole that rank
+    // only for t < 4 — the same geometry bound bandedFpPairs enforces
+    require(maxMeanHamming < 4,
+      "4 bands over 64 bits are only pigeonhole-complete for mean Hamming < 4; " +
+        "raise the band count to raise the threshold")
     // the frame hashes feed the banded candidate join AND both sides of
     // the rank-aligned verify join — materialize the container decodes
     // once (the expensive part) instead of re-running them per consumer;
@@ -539,39 +560,22 @@ object Multimodal {
     require(stride >= 1, s"stride must be >= 1, got $stride")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new java.io.ByteArrayInputStream(m.bytes))
-      var reader: javax.imageio.ImageReader = null
-      try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        require(readers.hasNext, s"${m.uri}: bytes are not a decodable media container")
-        reader = readers.next()
-        reader.setInput(iis)
-        val nFrames = reader.getNumImages(true)
-        require(nFrames >= 1, s"${m.uri}: container holds no frames")
-        // materialize inside the row scope: the reader/stream close on exit,
-        // so a lazy iterator escaping this block would read a dead reader
-        (0 until nFrames by stride).map { f =>
-          val img = reader.read(f)
-          val w = img.getWidth
-          val h = img.getHeight
-          var sum = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val rgb = img.getRGB(x, y)
-              sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
-              x += 1
-            }
-            y += 1
+      sampledFrames(m, stride) { (img, f, _, nFrames) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        var sum = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sum += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
           }
-          FrameFeatures(m.doc_id, m.uri, nFrames, f, w, h,
-            sum.toDouble / (w.toLong * h * 3))
-        }.toVector
-      } finally {
-        if (reader != null) reader.dispose()
-        iis.close()
+          y += 1
+        }
+        FrameFeatures(m.doc_id, m.uri, nFrames, f, w, h,
+          sum.toDouble / (w.toLong * h * 3))
       }
     })
   }

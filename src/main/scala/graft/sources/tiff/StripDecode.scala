@@ -245,16 +245,23 @@ private[graft] object StripDecode {
               require(comp.length >= 2 &&
                   (comp(0) & 0xff) == 0xff && (comp(1) & 0xff) == 0xd8,
                 s"${meta.path}: $kind $chunkIdx JPEG stream lacks an SOI marker")
-              val t = meta.jpegTables
+              val t = meta.jpegTables.toArray // one unboxed copy, then block copies
               val merged = new Array[Byte](t.length - 4 + comp.length)
               merged(0) = 0xff.toByte
               merged(1) = 0xd8.toByte
-              var i = 0
-              while (i < t.length - 4) { merged(2 + i) = t(2 + i); i += 1 }
+              System.arraycopy(t, 2, merged, 2, t.length - 4)
               System.arraycopy(comp, 2, merged, t.length - 2, comp.length - 2)
               merged
             }
-          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(stream))
+          // MemoryCacheImageInputStream, NOT ImageIO.read(InputStream): the
+          // latter routes through the default disk-cache stream — one temp
+          // file created and deleted PER CHUNK on the hot decode path —
+          // when the bytes are already fully in memory
+          val mis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(stream))
+          // ImageIO.read(ImageInputStream) closes the stream itself (both
+          // on success and failure) — closing again throws "closed"
+          val img = javax.imageio.ImageIO.read(mis)
           require(img != null,
             s"${meta.path}: $kind $chunkIdx JPEG stream failed to decode")
           require(img.getWidth == rowWidth && img.getHeight == rows,

@@ -422,6 +422,18 @@ object TiffTags {
         // transform codec), chunky layout (GDAL writes JPEG chunky)
         require(compression != 7 || (bps == 8 && sampleFormat == 1),
           s"$path: JPEG-in-TIFF requires 8-bit unsigned samples, got $bps-bit format $sampleFormat")
+        // PhotometricInterpretation (262) gates which color models the JDK
+        // decode's output actually matches the file's declared samples:
+        // 1 = grayscale, 2 = RGB, 6 = YCbCr (the GDAL JPEG default — the
+        // reader converts to RGB, which IS the intended sample meaning).
+        // Separated/CMYK (5), palette (3), CIELab (8)… would decode to
+        // values whose meaning silently differs — typed error, not garbage.
+        if (compression == 7) {
+          val photo = shortOrLong(262, if (shortOrLong(277, 1) == 1) 1 else 6)
+          require(photo == 1 || photo == 2 || photo == 6,
+            s"$path: JPEG-in-TIFF PhotometricInterpretation $photo unsupported " +
+              "(1=grayscale, 2=RGB, 6=YCbCr)")
+        }
         val jpegTables: IndexedSeq[Byte] =
           if (compression != 7) Vector.empty
           else entries.get(347).map { e =>

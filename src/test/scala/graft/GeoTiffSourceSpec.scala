@@ -1065,30 +1065,65 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(one.sameElements(many))
   }
 
-  test("JPEG-in-TIFF typed rejections: predictor, sample width") {
-    val good = TiffFixtures.writeBigTiffTiled(s"$tmp/jpeg_ok.tif", 16, 16,
-      (c, r) => 100.0, 0.0, 20.0, 0.25, None, tileWidth = 16, tileLength = 16,
-      dtype = TiffFixtures.U8, compression = 7)
-    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(good))
-    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
-    val ifd = bb.getLong(8)
-    val n = bb.getLong(ifd.toInt)
-    def patchTag(tag: Int, value: Short): Boolean = {
+  test("JPEG-in-TIFF typed rejections: sample width, predictor, planar, photometric") {
+    // patch helper: flip one SHORT tag value of a little-endian BigTIFF
+    def patched(src: String, dst: String, tag: Int, value: Short): String = {
+      val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(src))
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val ifd = bb.getLong(8)
+      val n = bb.getLong(ifd.toInt)
       var found = false
       for (i <- 0 until n.toInt) {
         val off = ifd.toInt + 8 + i * 20
         if ((bb.getShort(off) & 0xffff) == tag) { bb.putShort(off + 12, value); found = true }
       }
-      found
+      assert(found, s"tag $tag not present to patch")
+      java.nio.file.Files.write(java.nio.file.Paths.get(dst), bytes)
+      dst
     }
-    // 16-bit JPEG is malformed: flip BitsPerSample to 16
-    assert(patchTag(258, 16))
-    val bad16 = s"$tmp/jpeg_bad16.tif"
-    java.nio.file.Files.write(java.nio.file.Paths.get(bad16), bytes)
-    val e = intercept[IllegalArgumentException] {
-      graft.sources.tiff.TiffTags.read(bad16)
+    def rejectMsg(p: String): String =
+      intercept[IllegalArgumentException] { graft.sources.tiff.TiffTags.read(p) }.getMessage
+    val good = TiffFixtures.writeBigTiffTiled(s"$tmp/jpeg_ok.tif", 16, 16,
+      (c, r) => 100.0, 0.0, 20.0, 0.25, None, tileWidth = 16, tileLength = 16,
+      dtype = TiffFixtures.U8, compression = 7)
+    // 16-bit JPEG is malformed
+    assert(rejectMsg(patched(good, s"$tmp/jpeg_bad16.tif", 258, 16))
+      .contains("JPEG-in-TIFF requires 8-bit"))
+    // predictor over a transform codec is malformed: take a DEFLATE +
+    // predictor-2 twin and flip its compression to 7
+    val defl2 = TiffFixtures.writeBigTiffTiled(s"$tmp/jpeg_pred_src.tif", 16, 16,
+      (c, r) => 100.0, 0.0, 20.0, 0.25, None, tileWidth = 16, tileLength = 16,
+      dtype = TiffFixtures.U8, compression = 8, predictor = 2)
+    assert(rejectMsg(patched(defl2, s"$tmp/jpeg_pred.tif", 259, 7))
+      .contains("predictor 2 over JPEG chunks is malformed"))
+    // planar JPEG is unsupported: planar DEFLATE twin, compression flipped
+    val planar = TiffFixtures.writeBigTiffTiled(s"$tmp/jpeg_planar_src.tif", 16, 16,
+      null, 0.0, 20.0, 0.25, None, tileWidth = 16, tileLength = 16,
+      dtype = TiffFixtures.U8, compression = 8, spp = 3,
+      bandValue = (b, c, r) => (b * 10 + c) % 200, planar = true)
+    assert(rejectMsg(patched(planar, s"$tmp/jpeg_planar.tif", 259, 7))
+      .contains("JPEG-in-TIFF planar layout unsupported"))
+    // separated/CMYK photometric would decode to garbage: inject 262 = 5
+    // by repurposing the SampleFormat tag id? no — patch the photometric
+    // via the predictor-free good fixture's Compression... the fixture
+    // writes no 262 tag, so patch an EXISTING short tag id to 262 with
+    // value 5: flip tag id 339 (SampleFormat, count 1 here) to 262 and its
+    // value to 5 — the resulting IFD is a legal JPEG TIFF declaring CMYK
+    val bytes = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(good))
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd = bb.getLong(8)
+    val n = bb.getLong(ifd.toInt)
+    var found = false
+    for (i <- 0 until n.toInt) {
+      val off = ifd.toInt + 8 + i * 20
+      if ((bb.getShort(off) & 0xffff) == 339) {
+        bb.putShort(off, 262.toShort); bb.putShort(off + 12, 5.toShort); found = true
+      }
     }
-    assert(e.getMessage.contains("JPEG-in-TIFF requires 8-bit"))
+    assert(found)
+    val cmyk = s"$tmp/jpeg_cmyk.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(cmyk), bytes)
+    assert(rejectMsg(cmyk).contains("PhotometricInterpretation 5 unsupported"))
   }
 
   // ---- overview partial geo tags; chunk-size overflow guard ----
