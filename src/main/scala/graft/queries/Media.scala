@@ -318,48 +318,81 @@ object Media {
     * per sweep; the full-corpus run is recorded in BASELINE (the operator
     * is unchanged — banded, bucket-capped — only the input is sliced).
     */
-  private def q167(s: SparkSession, dir: String): DataFrame = {
+  /** The sliced video near-dup PAIR frame, computed once per (JVM, dataset)
+    * and landed in a Scratch parquet (the q100/q105 shared-span shape):
+    * q167 declares the pairs and q168 acts on them — detect once, act
+    * many. Deterministic (integer ids, avg of integer bit-counts over
+    * integer n_common — exact double arithmetic) so the cached path is
+    * value-identical to inline.
+    */
+  private def videoPairs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media = Tables.documents(s, dir)
-      .filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), col("text"))
-      .repartition(s.sparkContext.defaultParallelism) // one file -> fan out the codec work
-      .as[(Long, String)]
-      .mapPartitions { it =>
-        val ramp = Array.tabulate[Byte](256)(_.toByte)
-        val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
-        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-        it.map { case (id, text) =>
-          val toks = text.split(" ").distinct.sorted
-          val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          try {
-            writer.setOutput(ios)
-            writer.prepareWriteSequence(null)
-            var f = 0
-            while (f < 3) {
-              val img = new java.awt.image.BufferedImage(8, 8,
-                java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
-              val r = img.getRaster
-              var i = 0
-              while (i < 64) {
-                val g = math.floorMod(
-                  toks(((i + f * 21) % 64) * toks.length / 64).hashCode, 256)
-                r.setSample(i % 8, i / 8, 0, g)
-                i += 1
+    val p = Scratch.path("vidpairs167", dir)
+    Scratch.once(p) {
+      val media = Tables.documents(s, dir)
+        .filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism) // one file -> fan out the codec work
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          val ramp = Array.tabulate[Byte](256)(_.toByte)
+          val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+          val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+          it.map { case (id, text) =>
+            val toks = text.split(" ").distinct.sorted
+            val bos = new java.io.ByteArrayOutputStream()
+            val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+            try {
+              writer.setOutput(ios)
+              writer.prepareWriteSequence(null)
+              var f = 0
+              while (f < 3) {
+                val img = new java.awt.image.BufferedImage(8, 8,
+                  java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+                val r = img.getRaster
+                var i = 0
+                while (i < 64) {
+                  val g = math.floorMod(
+                    toks(((i + f * 21) % 64) * toks.length / 64).hashCode, 256)
+                  r.setSample(i % 8, i / 8, 0, g)
+                  i += 1
+                }
+                writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+                f += 1
               }
-              writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
-              f += 1
-            }
-            writer.endWriteSequence()
-          } finally ios.close()
-          graft.multimodal.MediaRow(id, s"mem://doc/$id.vid.gif", bos.toByteArray, Map.empty)
+              writer.endWriteSequence()
+            } finally ios.close()
+            graft.multimodal.MediaRow(id, s"mem://doc/$id.vid.gif", bos.toByteArray, Map.empty)
+          }
         }
-      }
-    Multimodal.videoNearDupPairs(media, stride = 1, maxMeanHamming = 3.0)
-      .select(col("doc_id_a"), col("doc_id_b"),
-        round(col("mean_hamming"), 4).as("mean_hamming"), col("n_common"))
-      .orderBy(col("doc_id_a"), col("doc_id_b"))
+      Multimodal.videoNearDupPairs(media, stride = 1, maxMeanHamming = 3.0)
+        .select(col("doc_id_a"), col("doc_id_b"),
+          round(col("mean_hamming"), 4).as("mean_hamming"), col("n_common"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
+  private def q167(s: SparkSession, dir: String): DataFrame =
+    videoPairs(s, dir).orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  /** The video dedup ACTION closing q167's loop (the q113/q162 detect/act
+    * split applied to the video family): near-dup pairs → connected
+    * components → keep each component's lowest doc_id carrying dup_count.
+    * Rows-only like its detector (DuckDB cannot decode GIF); the exact
+    * accounting — every sliced video represented once, no pair surviving
+    * whole — is pinned in MultimodalSpec.
+    */
+  private def q168(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
+    val pairs = videoPairs(s, dir)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+    graft.operators.DedupClusters.clusterAssignments(members, "doc_id", pairs)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_size").as("dup_count"))
+      .orderBy(col("doc_id"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -370,5 +403,6 @@ object Media {
     QueryDef("q61_media_resize", q61, Some(q61Sql)),
     QueryDef("q95_image_neardup", q95, None),
     QueryDef("q166_video_frames", q166, Some(q166Sql)),
-    QueryDef("q167_video_neardup", q167, None))
+    QueryDef("q167_video_neardup", q167, None),
+    QueryDef("q168_video_dedup_action", q168, None))
 }

@@ -394,6 +394,31 @@ class MultimodalSpec extends SparkSpec {
     assert(ham(fh((1L, 0)), fh((3L, 0))) > 3)
   }
 
+  test("video dedup action (q168): exact accounting over the q167 pair graph") {
+    val d = sf()
+    val pairs = graft.queries.Catalog.queries("q167_video_neardup")(spark, d)
+      .localCheckpoint(true)
+    val action = graft.queries.Catalog.queries("q168_video_dedup_action")(spark, d)
+      .localCheckpoint(true)
+    val sliced = Tables.documents(spark, d).filter(col("doc_id") % 3 === 0)
+    // every sliced video represented exactly once
+    assert(action.agg(sum(col("dup_count"))).as[Long].head() === sliced.count())
+    // no near-dup pair survives with both endpoints kept
+    val kept = action.select(col("doc_id"))
+    val bothKept = pairs
+      .join(kept.toDF("doc_id_a"), Seq("doc_id_a"))
+      .join(kept.toDF("doc_id_b"), Seq("doc_id_b"))
+      .count()
+    assert(bothKept === 0L, s"$bothKept pairs kept both endpoints")
+    // survivors are the lowest ids of their components: no survivor is the
+    // HIGHER endpoint of any pair whose lower endpoint is also a survivor
+    // (already implied by bothKept == 0; pin dup_count >= 1 and > 1 exists
+    // whenever pairs exist)
+    assert(action.filter(col("dup_count") < 1).count() === 0L)
+    if (pairs.count() > 0)
+      assert(action.filter(col("dup_count") > 1).count() > 0L)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Int, Int, Int)]) {
     def toMap3: Map[Long, (Int, Int, Int)] =
       rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
