@@ -298,6 +298,88 @@ object ScaleRehearsal {
         s""""bins":${tot._1},"padding":${tot._2},"shard_mismatches":$mismatches}""")
       Seq((sec, nAsg, tot._1)).toDF("assign_sec", "rows", "bins")
     }),
+    // Video near-dup at 50k real containers (q167/q168's posture probe):
+    // 10k groups of 5 — members 0..3 identical gradient videos, member 4
+    // the inverted stranger. Asserts PLANTED RECALL (every within-group
+    // identical pair found at mean Hamming 0 — 6 per group) and the
+    // ACTION's exact accounting (sum(dup_count) == corpus size), so the
+    // rehearsal verifies at scale, not just times.
+    "video_neardup_50k" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val n = 50000L
+      val media = s.range(n).repartition(64).as[Long].mapPartitions { it =>
+        val ramp = Array.tabulate[Byte](256)(_.toByte)
+        val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
+        val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+        it.map { jid =>
+          val id: Long = jid
+          val group = id / 5
+          // members 0..3 share the group's content seed (identical videos);
+          // member 4 is a distinct stranger. Pixels are pseudo-random per
+          // (seed, frame, x, y) — aHash needs hash-DIVERSE content for a
+          // realistic bucket distribution (the first cut used gradients,
+          // which all collapse to the same half-plane aHash and blew the
+          // candidate volume through a handful of 25k-member buckets)
+          val seed = if (id % 5 == 4) group + 1000000007L else group
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < 3) {
+            val img = new java.awt.image.BufferedImage(16, 16,
+              java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+            val r = img.getRaster
+            var y = 0
+            while (y < 16) {
+              var x = 0
+              while (x < 16) {
+                var h = seed * 0x9E3779B97F4A7C15L + (f * 256 + y * 16 + x) * 0xC2B2AE3D27D4EB4FL
+                h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+                r.setSample(x, y, 0, (h & 0xff).toInt)
+                x += 1
+              }
+              y += 1
+            }
+            writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          graft.multimodal.MediaRow(id, s"mem://v/$id.gif", bos.toByteArray, Map.empty)
+        }
+      }.localCheckpoint(true)
+      val nm = media.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.multimodal.Multimodal
+        .videoNearDupPairs(media, stride = 1, maxMeanHamming = 3.0)
+        .localCheckpoint(true)
+      val nPairs = pairs.count()
+      val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val planted = pairs.filter(
+        floor(col("doc_id_a") / 5) === floor(col("doc_id_b") / 5) &&
+          pmod(col("doc_id_a"), lit(5)) < 4 && pmod(col("doc_id_b"), lit(5)) < 4 &&
+          col("mean_hamming") === 0.0).count()
+      val expectPlanted = (n / 5) * 6
+      require(planted == expectPlanted,
+        s"planted recall broke: $planted of $expectPlanted within-group pairs found")
+      val t1 = System.nanoTime()
+      val act = graft.operators.DedupClusters.clusterAssignments(
+        media.toDF().select(col("doc_id")), "doc_id",
+        pairs.select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
+        .filter(col("doc_id") === col("cluster_id"))
+        .agg(sum(col("cluster_size")).as("accounted"), count(lit(1)).as("survivors"))
+        .as[(Long, Long)].head()
+      val actSec = math.rint((System.nanoTime() - t1) / 1e7) / 100.0
+      require(act._1 == nm,
+        s"action accounting broke: ${act._1} accounted of $nm videos")
+      println(s"""{"probe":"video_neardup_50k","videos":$nm,"pairs":$nPairs,""" +
+        s""""planted_found":$planted,"survivors":${act._2},""" +
+        s""""pair_sec":$pairSec,"action_sec":$actSec}""")
+      Seq((nPairs, act._2, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
+    }),
+
     "q100_window" -> ((s, dir) =>
       graft.operators.SubstringDedup.duplicatedSpans(
         graft.Tables.documents(s, dir), "doc_id", "text",
