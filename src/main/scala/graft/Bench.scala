@@ -162,8 +162,12 @@ object Bench {
     // totals spread >25% (BENCH_r12's forensic signature; sweep 1 is
     // structurally cold and excluded). The extra observations tighten
     // every per-query min and shift the median toward the idle truth
-    // without discarding any data.
-    val resweep = needsResweep(sweepTotals)
+    // without discarding any data. Skipped when any query failed: a
+    // fast-failing query deflates its sweep's wall total, so the spread
+    // trigger would read failure asymmetry as contention — and the run is
+    // already rejected via failed>0, so a recovery sweep buys nothing.
+    val anyFailed = names.exists(n => timings(n).exists(_ < 0))
+    val resweep = !anyFailed && needsResweep(sweepTotals)
     if (resweep) {
       System.err.println(f"[bench] sweep totals ${sweepTotals.mkString(", ")} spread >25%% — running one recovery sweep")
       runSweep(repeats + 1)

@@ -480,7 +480,11 @@ object Multimodal {
     * collide on a 16-bit band AT THE SAME RANK (the per-frame pigeonhole —
     * near-dup videos agree frame-by-frame, so some rank's hashes are
     * within Hamming 3 and share a band), then the verdict is the MEAN
-    * per-frame Hamming over the ranks both videos have, ≤ `maxMeanHamming`.
+    * per-frame Hamming over the ranks both videos have, ≤ `maxMeanHamming`,
+    * AND the shared ranks must cover ≥ `minCommonFrac` of the LONGER
+    * video's ranks (a 1-frame clip matching rank 0 is not a near-dup of a
+    * 10-rank video; of the shorter side the overlap is vacuously 1 since
+    * ranks are contiguous from 0).
     * The rank rides inside the join key (key = rank << 16 | band bits), so
     * the candidate stage is still one (band, key) equi-join through
     * [[graft.operators.BandedSelfJoin]] — bucket-capped, never all-pairs —
@@ -489,18 +493,27 @@ object Multimodal {
     */
   def videoNearDupPairs(
       media: Dataset[MediaRow], stride: Int = 2,
-      maxMeanHamming: Double = 3.0, maxBucket: Int = 10000): DataFrame = {
+      maxMeanHamming: Double = 3.0, maxBucket: Int = 10000,
+      minCommonFrac: Double = 0.5): DataFrame = {
     // candidate completeness: mean ≤ t over the common ranks ⇒ some rank's
     // per-frame Hamming ≤ t, and 4 bands over 64 bits pigeonhole that rank
     // only for t < 4 — the same geometry bound bandedFpPairs enforces
     require(maxMeanHamming < 4,
       "4 bands over 64 bits are only pigeonhole-complete for mean Hamming < 4; " +
         "raise the band count to raise the threshold")
+    require(minCommonFrac >= 0 && minCommonFrac <= 1,
+      s"minCommonFrac must be in [0, 1], got $minCommonFrac")
     // the frame hashes feed the banded candidate join AND both sides of
     // the rank-aligned verify join — materialize the container decodes
-    // once (the expensive part) instead of re-running them per consumer;
-    // same eager/non-reliable trade as BandedSelfJoin's salted branch,
-    // documented there
+    // once (the expensive part) instead of re-running them per consumer.
+    // localCheckpoint is EAGER but NOT reliable: the materialized blocks
+    // live on executors, so on a real cluster an executor loss after this
+    // point fails the job (lineage is cut) instead of recomputing — the
+    // same trade BandedSelfJoin's salted branch documents. On local[N]
+    // (this build's mode) there is no executor churn; a production
+    // deployment with preemptible/churning executors should swap this for
+    // persist(MEMORY_AND_DISK) + count() (lineage kept, decode may rerun
+    // on loss) or checkpoint() to reliable storage.
     val fh = videoFrameHashes(media, stride).localCheckpoint(true)
     val keyed = fh.select(
       col("doc_id").as("id"), col("k"), col("fhash"),
@@ -516,13 +529,24 @@ object Multimodal {
       .distinct()
     val fa = fh.toDF("doc_id_a", "k", "h_a")
     val fb = fh.toDF("doc_id_b", "k", "h_b")
+    // Overlap floor: sample ranks are contiguous from 0, so n_common =
+    // min(n_a, n_b) — a fraction OF THE SHORTER video is vacuously 1.
+    // The meaningful guard is against length asymmetry: a 1-rank clip
+    // agreeing on its single shared rank must not be declared a near-dup
+    // of a 10-rank video, so require n_common ≥ ceil(minCommonFrac ×
+    // max(n_a, n_b)). Equal-length videos always pass (frac = 1).
+    val cnt = fh.groupBy(col("doc_id")).agg(count(lit(1)).as("nf"))
     cand.join(fa, "doc_id_a")
       .join(fb, Seq("doc_id_b", "k"))
       .groupBy(col("doc_id_a"), col("doc_id_b"))
       .agg(
         avg(bit_count(col("h_a").bitwiseXOR(col("h_b")))).as("mean_hamming"),
         count(lit(1)).as("n_common"))
-      .filter(col("mean_hamming") <= maxMeanHamming)
+      .join(cnt.toDF("doc_id_a", "nf_a"), "doc_id_a")
+      .join(cnt.toDF("doc_id_b", "nf_b"), "doc_id_b")
+      .filter(col("mean_hamming") <= maxMeanHamming &&
+        col("n_common") >= ceil(lit(minCommonFrac) * greatest(col("nf_a"), col("nf_b"))))
+      .select(col("doc_id_a"), col("doc_id_b"), col("mean_hamming"), col("n_common"))
   }
 
   /** "Resize": emit target dims + scale factors (stub math, real plumbing). */

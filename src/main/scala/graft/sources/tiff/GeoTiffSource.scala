@@ -80,6 +80,8 @@ object GeoTiffTable {
       .getOrElse(paths.indices.map(i => s"val${i + 1}"))
     require(colNames.size == paths.size,
       s"colNames has ${colNames.size} entries for ${paths.size} rasters")
+    require(colNames.map(_.toLowerCase).distinct.size == colNames.size,
+      s"colNames has duplicates: ${colNames.mkString(", ")}")
     val maxBlock = Option(options.get("maxBlockSize")).map(_.toInt).getOrElse(4096)
     require(maxBlock > 0, s"maxBlockSize must be positive, got $maxBlock")
     val calcArea = Option(options.get("calcArea")).exists(_.toBoolean)
@@ -170,6 +172,19 @@ class GeoTiffTable(
         s"model type ${first.crsModelType.getOrElse(-1)}" +
         first.epsg.fold("")(e => s" (EPSG:$e)") +
         "; geodesic area over projected coordinates would be meaningless")
+    // Band columns must not shadow the coordinate/area fields THIS table
+    // emits (coordNames depends on the CRS kind, so the check lives here,
+    // after metas resolve — a band named "lon" on a projected x/y frame is
+    // legal and zonalStats' ambiguity guard handles it): a duplicate field
+    // name would make the extractor emit the coordinate for both copies
+    // and the band values silently unreadable. Case-insensitive because
+    // Spark's default analyzer resolves names case-insensitively.
+    val cn = GeoTiffTable.coordNames(first)
+    val emitted = Set(cn._1, cn._2) ++ (if (calcArea) Set("area") else Set.empty)
+    val clash = colNames.filter(n => emitted.contains(n.toLowerCase))
+    require(clash.isEmpty,
+      s"colNames ${clash.mkString(", ")} collide with this table's coordinate/area " +
+        s"columns (${emitted.mkString(", ")}) — rename the band column(s)")
     ms
   }
 

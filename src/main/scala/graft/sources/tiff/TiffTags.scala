@@ -424,15 +424,22 @@ object TiffTags {
           s"$path: JPEG-in-TIFF requires 8-bit unsigned samples, got $bps-bit format $sampleFormat")
         // PhotometricInterpretation (262) gates which color models the JDK
         // decode's output actually matches the file's declared samples:
-        // 1 = grayscale, 2 = RGB, 6 = YCbCr (the GDAL JPEG default — the
-        // reader converts to RGB, which IS the intended sample meaning).
+        // 1 = grayscale, 6 = YCbCr (the GDAL JPEG default — the reader
+        // converts to RGB, which IS the intended sample meaning).
+        // RGB-stored (2) is rejected too: a 3-component JPEG stream with
+        // no Adobe/component-ID hints is ASSUMED YCbCr by the JDK decoder,
+        // which would apply a spurious inverse color transform to the
+        // stored RGB — silently wrong samples, exactly what this gate
+        // exists to block (GDAL's own JPEG-in-TIFF output is 1 or 6).
         // Separated/CMYK (5), palette (3), CIELab (8)… would decode to
         // values whose meaning silently differs — typed error, not garbage.
         if (compression == 7) {
           val photo = shortOrLong(262, if (shortOrLong(277, 1) == 1) 1 else 6)
-          require(photo == 1 || photo == 2 || photo == 6,
+          require(photo == 1 || photo == 6,
             s"$path: JPEG-in-TIFF PhotometricInterpretation $photo unsupported " +
-              "(1=grayscale, 2=RGB, 6=YCbCr)")
+              "(1=grayscale and 6=YCbCr only: the JDK decoder infers the " +
+              "colorspace from the stream, so RGB-stored (2) risks a spurious " +
+              "YCbCr transform)")
         }
         val jpegTables: IndexedSeq[Byte] =
           if (compression != 7) Vector.empty

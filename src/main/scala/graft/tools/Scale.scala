@@ -324,6 +324,10 @@ object ScaleRehearsal {
           val seed = if (id % 5 == 4) group + 1000000007L else group
           val bos = new java.io.ByteArrayOutputStream()
           val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          // try/finally like Media.scala's writers: an encode failure
+          // mid-row must not leak the stream or leave the shared writer
+          // holding stale output
+          try {
           writer.setOutput(ios)
           writer.prepareWriteSequence(null)
           var f = 0
@@ -346,7 +350,7 @@ object ScaleRehearsal {
             f += 1
           }
           writer.endWriteSequence()
-          ios.close()
+          } finally ios.close()
           graft.multimodal.MediaRow(id, s"mem://v/$id.gif", bos.toByteArray, Map.empty)
         }
       }.localCheckpoint(true)

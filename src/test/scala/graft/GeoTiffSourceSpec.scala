@@ -1124,6 +1124,24 @@ class GeoTiffSourceSpec extends SparkSpec {
     val cmyk = s"$tmp/jpeg_cmyk.tif"
     java.nio.file.Files.write(java.nio.file.Paths.get(cmyk), bytes)
     assert(rejectMsg(cmyk).contains("PhotometricInterpretation 5 unsupported"))
+    // RGB-stored (photometric 2) rejects too: the JDK decoder infers the
+    // colorspace from the stream (3 components, no Adobe marker → assumed
+    // YCbCr) and would apply a spurious inverse transform to stored RGB —
+    // the round-13 advice finding. Same patch trick, value 2.
+    val bytes2 = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(good))
+    val bb2 = java.nio.ByteBuffer.wrap(bytes2).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val ifd2 = bb2.getLong(8)
+    for (i <- 0 until bb2.getLong(ifd2.toInt).toInt) {
+      val off = ifd2.toInt + 8 + i * 20
+      if ((bb2.getShort(off) & 0xffff) == 339) {
+        bb2.putShort(off, 262.toShort); bb2.putShort(off + 12, 2.toShort)
+      }
+    }
+    val rgbStored = s"$tmp/jpeg_rgb_stored.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(rgbStored), bytes2)
+    val m2 = rejectMsg(rgbStored)
+    assert(m2.contains("PhotometricInterpretation 2 unsupported") &&
+      m2.contains("spurious"))
   }
 
   // ---- overview partial geo tags; chunk-size overflow guard ----

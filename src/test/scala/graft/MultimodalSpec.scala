@@ -392,6 +392,19 @@ class MultimodalSpec extends SparkSpec {
       assert(ham(fh((1L, k)), fh((2L, k))) <= 3, s"rank $k drifted")
     }
     assert(ham(fh((1L, 0)), fh((3L, 0))) > 3)
+    // overlap floor (round-13 advice): a 1-frame clip agreeing with a
+    // 10-frame video on the single shared rank is NOT a near-dup of the
+    // whole video at the default minCommonFrac (1 < ceil(0.5*5 ranks)),
+    // but IS surfaced when the caller disables the floor
+    val asym = Seq(
+      MediaRow(1L, "mem://v1.gif", gif(10, 0, invert = false), Map.empty[String, String]),
+      MediaRow(2L, "mem://clip.gif", gif(1, 0, invert = false), Map.empty[String, String])).toDS()
+    assert(Multimodal.videoNearDupPairs(asym, stride = 2, maxMeanHamming = 3.0)
+      .count() == 0L, "length-asymmetric pair escaped the overlap floor")
+    val loose = Multimodal.videoNearDupPairs(asym, stride = 2, maxMeanHamming = 3.0,
+      minCommonFrac = 0.0).collect()
+    assert(loose.length == 1 && loose(0).getLong(3) == 1L,
+      s"floor-disabled pair missing: ${loose.toSeq}")
   }
 
   test("video dedup action (q168): exact accounting over the q167 pair graph") {
