@@ -113,6 +113,26 @@ class DedupClustersSpec extends SparkSpec {
     assert(a.exists(_._3 > 1), "fixture has no multi-member cluster — test is vacuous")
   }
 
+  test("declared q56 (Scratch artifact path) equals the inline chain, value for value") {
+    // q56 lands its pair+CC result in a detect-once Scratch parquet (the
+    // q113/q167 shape); the artifact must be value-identical to running
+    // the chain inline — integer-only output, so exact set equality.
+    import graft.operators.SimHash
+    val d = sf()
+    val declared = graft.queries.Catalog.queries("q56_dedup_clusters_full")(spark, d)
+      .as[(Long, Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, d)
+    val pairs = SimHash.candidatePairs(docs, "doc_id", "text",
+        bands = 4, maxHamming = 2, maxBucket = 50)
+      .select("id_a", "id_b")
+    val inline = DedupClusters.clusterAssignments(docs, "doc_id", pairs)
+      .filter(col("cluster_size") > 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(declared == inline,
+      s"artifact diverges: only-artifact=${declared -- inline} only-inline=${inline -- declared}")
+    assert(inline.nonEmpty, "corpus has no multi-member cluster — test is vacuous")
+  }
+
   test("plan stays bounded: the result is a checkpointed leaf, not a composed tree") {
     // the operator must truncate lineage each round — a composed plan over
     // R rounds is exponential in R and hangs Catalyst long before R = 6
