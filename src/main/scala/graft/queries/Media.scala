@@ -395,6 +395,79 @@ object Media {
       .orderBy(col("doc_id"))
   }
 
+  /** AUDIO near-dup pair frame — the missing third of the multimodal dedup
+    * symmetry (image q95, video q167): each document renders to a REAL
+    * PCM16 RIFF/WAVE clip whose loudness ENVELOPE samples the sorted
+    * distinct token set (order-insensitive, so near-duplicate texts
+    * produce near-identical envelopes; 64 constant-amplitude windows × 8
+    * samples align exactly with [[Multimodal.audioFp64]]'s 64 envelope
+    * cells), then the production chain runs unmodified: javax.sound PCM16
+    * decode → 64-bit envelope fingerprint → banded (band, key) equi-join
+    * with the mega-bucket cap → exact bit_count on candidates. No
+    * all-pairs path. Rows-only (DuckDB cannot decode WAV); the
+    * threshold/equality semantics are spec-pinned in MultimodalSpec.
+    *
+    * Computed once per (JVM, dataset) and landed in a Scratch parquet
+    * (the q167→q168 detect-once shape): q169 declares the pairs, q170
+    * acts on them. Deterministic (integer ids and bit-count Hamming), so
+    * the cached path is value-identical to inline.
+    */
+  private def audioPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = Scratch.path("audpairs169", dir)
+    Scratch.once(p) {
+      val media = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism) // one file -> fan out the codec work
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val toks = text.split(" ").distinct.sorted
+          val n = 512 // 64 envelope windows x 8 samples
+          val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(8000).putInt(16000)
+            .putShort(2).putShort(16)
+          bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+          var i = 0
+          while (i < 64) {
+            // positive DC amplitude per window: window i's mean |amplitude|
+            // is exactly amp, so the fingerprint depends on content only
+            val amp = (1 + math.floorMod(
+              toks(i * toks.length / 64).hashCode, 4096)).toShort
+            var k = 0
+            while (k < 8) { bb.putShort(amp); k += 1 }
+            i += 1
+          }
+          graft.multimodal.MediaRow(id, s"mem://doc/$id.wav", bb.array(), Map.empty)
+        })
+      Multimodal.audioNearDupPairs(media, maxHamming = 3)
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
+  private def q169(s: SparkSession, dir: String): DataFrame =
+    audioPairs(s, dir).orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  /** The audio dedup ACTION closing q169's loop (q168's shape on the audio
+    * pair graph): near-dup pairs → connected components → keep each
+    * component's lowest doc_id carrying dup_count. Rows-only like its
+    * detector; the exact accounting — every clip represented once, no
+    * pair surviving whole — is pinned in MultimodalSpec.
+    */
+  private def q170(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = audioPairs(s, dir)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+    graft.operators.DedupClusters.clusterAssignments(members, "doc_id", pairs)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_size").as("dup_count"))
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q38_multimodal_media", q38, Some(q38Sql)),
     QueryDef("q39_ann_bruteforce", q39, Some(q39Sql)),
@@ -404,5 +477,7 @@ object Media {
     QueryDef("q95_image_neardup", q95, None),
     QueryDef("q166_video_frames", q166, Some(q166Sql)),
     QueryDef("q167_video_neardup", q167, None),
-    QueryDef("q168_video_dedup_action", q168, None))
+    QueryDef("q168_video_dedup_action", q168, None),
+    QueryDef("q169_audio_neardup", q169, None),
+    QueryDef("q170_audio_dedup_action", q170, None))
 }

@@ -383,6 +383,72 @@ object ScaleRehearsal {
         s""""pair_sec":$pairSec,"action_sec":$actSec}""")
       Seq((nPairs, act._2, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
     }),
+    // Audio near-dup at 50k real PCM16 clips (q169/q170's posture probe,
+    // the video rehearsal's shape on the WAV path): 10k groups of 5 —
+    // members 0..3 identical envelopes, member 4 a stranger. Envelope
+    // windows are pseudo-random per (seed, window) so fingerprints are
+    // hash-DIVERSE (the video rehearsal's gradient lesson applied).
+    // Asserts PLANTED RECALL (6 exact-collision pairs per group) and the
+    // ACTION's exact accounting (sum(dup_count) == corpus size).
+    "audio_neardup_50k" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val n = 50000L
+      val media = s.range(n).repartition(64).as[Long].mapPartitions { it =>
+        it.map { jid =>
+          val id: Long = jid
+          val group = id / 5
+          val seed = if (id % 5 == 4) group + 1000000007L else group
+          val ns = 512 // 64 envelope windows x 8 samples, audioFp64-aligned
+          val bb = java.nio.ByteBuffer.allocate(44 + ns * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + ns * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(8000).putInt(16000)
+            .putShort(2).putShort(16)
+          bb.put("data".getBytes("US-ASCII")).putInt(ns * 2)
+          var i = 0
+          while (i < 64) {
+            var h = seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+            h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+            val amp = (1 + math.floorMod(h, 4096L)).toShort
+            var k = 0
+            while (k < 8) { bb.putShort(amp); k += 1 }
+            i += 1
+          }
+          graft.multimodal.MediaRow(id, s"mem://a/$id.wav", bb.array(), Map.empty)
+        }
+      }.localCheckpoint(true)
+      val nm = media.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.multimodal.Multimodal
+        .audioNearDupPairs(media, maxHamming = 3)
+        .localCheckpoint(true)
+      val nPairs = pairs.count()
+      val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val planted = pairs.filter(
+        floor(col("doc_id_a") / 5) === floor(col("doc_id_b") / 5) &&
+          pmod(col("doc_id_a"), lit(5)) < 4 && pmod(col("doc_id_b"), lit(5)) < 4 &&
+          col("hamming") === 0).count()
+      val expectPlanted = (n / 5) * 6
+      require(planted == expectPlanted,
+        s"planted recall broke: $planted of $expectPlanted within-group pairs found")
+      val t1 = System.nanoTime()
+      val act = graft.operators.DedupClusters.clusterAssignments(
+        media.toDF().select(col("doc_id")), "doc_id",
+        pairs.select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
+        .filter(col("doc_id") === col("cluster_id"))
+        .agg(sum(col("cluster_size")).as("accounted"), count(lit(1)).as("survivors"))
+        .as[(Long, Long)].head()
+      val actSec = math.rint((System.nanoTime() - t1) / 1e7) / 100.0
+      require(act._1 == nm,
+        s"action accounting broke: ${act._1} accounted of $nm clips")
+      println(s"""{"probe":"audio_neardup_50k","clips":$nm,"pairs":$nPairs,""" +
+        s""""planted_found":$planted,"survivors":${act._2},""" +
+        s""""pair_sec":$pairSec,"action_sec":$actSec}""")
+      Seq((nPairs, act._2, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
+    }),
 
     "q100_window" -> ((s, dir) =>
       graft.operators.SubstringDedup.duplicatedSpans(

@@ -432,6 +432,43 @@ class MultimodalSpec extends SparkSpec {
       assert(action.filter(col("dup_count") > 1).count() > 0L)
   }
 
+  test("audio near-dup (q169): pairs are symmetric-free, thresholded, and find the template clones") {
+    val d = sf()
+    val pairs = graft.queries.Catalog.queries("q169_audio_neardup")(spark, d)
+      .localCheckpoint(true)
+    // contract: a < b (no self/dup pairs), Hamming within the declared threshold
+    assert(pairs.filter(col("doc_id_a") >= col("doc_id_b")).count() === 0L)
+    assert(pairs.filter(col("hamming") > 3).count() === 0L)
+    // the corpus's identical-template documents render to identical
+    // envelopes — at least one exact-collision pair must surface
+    assert(pairs.filter(col("hamming") === 0).count() > 0L,
+      "no exact envelope collision found — the render lost the near-dup signal")
+    // determinism across invocations (the Scratch artifact is value-stable)
+    val again = graft.queries.Catalog.queries("q169_audio_neardup")(spark, d)
+    assert(pairs.count() === again.count())
+  }
+
+  test("audio dedup action (q170): exact accounting over the q169 pair graph") {
+    val d = sf()
+    val pairs = graft.queries.Catalog.queries("q169_audio_neardup")(spark, d)
+      .localCheckpoint(true)
+    val action = graft.queries.Catalog.queries("q170_audio_dedup_action")(spark, d)
+      .localCheckpoint(true)
+    // every clip represented exactly once
+    assert(action.agg(sum(col("dup_count"))).as[Long].head() ===
+      Tables.documents(spark, d).count())
+    // no near-dup pair survives with both endpoints kept
+    val kept = action.select(col("doc_id"))
+    val bothKept = pairs
+      .join(kept.toDF("doc_id_a"), Seq("doc_id_a"))
+      .join(kept.toDF("doc_id_b"), Seq("doc_id_b"))
+      .count()
+    assert(bothKept === 0L, s"$bothKept pairs kept both endpoints")
+    assert(action.filter(col("dup_count") < 1).count() === 0L)
+    if (pairs.count() > 0)
+      assert(action.filter(col("dup_count") > 1).count() > 0L)
+  }
+
   private implicit class MapOps(rows: Array[(Long, Int, Int, Int)]) {
     def toMap3: Map[Long, (Int, Int, Int)] =
       rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
