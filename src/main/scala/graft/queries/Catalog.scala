@@ -124,7 +124,7 @@ object Catalog {
         Curation.defs ++ TimeSeries.defs ++ Classifier.defs ++ Tokenizer.defs ++
         Reporting.defs ++ BudgetSelect.defs ++ Coreset.defs ++ Clustering.defs ++ Mixture.defs ++ HardNegatives.defs ++
         RetrievalEval.defs ++ UnigramTok.defs ++ QualitySignals.defs ++
-        CurationPipeline.defs ++ SftPrep.defs
+        CurationPipeline.defs ++ SftPrep.defs ++ Langid.defs
     // a duplicated name would silently SHADOW a query in the Maps below —
     // the driver would then verify one query twice and the other never
     val dups = defs.groupBy(_.name).filter(_._2.size > 1).keys

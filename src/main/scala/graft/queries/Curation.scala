@@ -329,6 +329,13 @@ object Curation {
     * hash order — deterministic "random" sampling that cannot drift between
     * runs or engines. The window partitions by language, so per-partition
     * state is the quota count, not the corpus.
+    *
+    * Label source: the declared query reads the corpus's `lang` METADATA
+    * column, but the operator is label-source-agnostic — a corpus without
+    * trustworthy tags joins [[Langid]]'s q171 `(doc_id, lang_pred)` frame
+    * instead (rename `lang_pred` → `lang`; the balancing logic is
+    * unchanged). Same substitution applies to every lang-gated consumer
+    * (q144-style mixing, q152 ppl buckets, q154 gates).
     */
   private def q70(s: SparkSession, dir: String): DataFrame = {
     val h = TextHash.h60(concat(lit("bal:"), col("doc_id").cast("string")))
@@ -366,14 +373,28 @@ object Curation {
     * floor-rounded (negative scores: round() HALF_UP vs half-even
     * diverges, floor(x·1e4+0.5) does not).
     */
+  /** Per-(JVM, dataset) exact char-bigram count store `(doc_id, bg, c)` —
+    * the char-LM's sufficient statistic (integer counts, parquet
+    * round-trips identically), shared by q73's LM scoring and the langid
+    * family (q171/q172): featurize once, consume everywhere.
+    */
+  private[queries] def docBigrams(s: SparkSession, dir: String): DataFrame = {
+    val p = Scratch.path("bigramlm", dir)
+    Scratch.once(p) {
+      val bigrams = explode(
+        when(length(col("text")) >= 2,
+          transform(sequence(lit(1), length(col("text")) - 1),
+            i => col("text").substr(i, lit(2))))
+          .otherwise(array().cast("array<string>"))).as("bg")
+      Tables.documents(s, dir).select(col("doc_id"), bigrams)
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
   private def q73(s: SparkSession, dir: String): DataFrame = {
-    val bigrams = explode(
-      when(length(col("text")) >= 2,
-        transform(sequence(lit(1), length(col("text")) - 1),
-          i => col("text").substr(i, lit(2))))
-        .otherwise(array().cast("array<string>"))).as("bg")
     val docs = Tables.documents(s, dir)
-    val bg = docs.select(col("doc_id"), bigrams)
     // The (doc_id, bg) pre-aggregation collapses the 9M-row bigram stream
     // via map-side combine BEFORE anything shuffles. Two rejected
     // alternatives, both measured slower at sf0.1: broadcast-joining the
@@ -395,14 +416,7 @@ object Curation {
     // once per (JVM, dataset) as a Scratch artifact instead of an eager
     // per-invocation checkpoint: the CCNet shape trains the LM once and
     // scores many batches, and bench sweeps 2+ skip the 9M-row explode.
-    val docBg = {
-      val p = Scratch.path("bigramlm", dir)
-      Scratch.once(p) {
-        bg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
-          .write.mode("overwrite").parquet(p)
-      }
-      s.read.parquet(p)
-    }
+    val docBg = Curation.docBigrams(s, dir)
     val model = docBg.groupBy(col("bg")).agg(sum(col("c")).as("mc"))
     val total = docs.agg(
       sum(greatest(length(col("text")) - 1, lit(0))).as("n_total"))
