@@ -172,6 +172,15 @@ class GeoTiffTable(
         s"model type ${first.crsModelType.getOrElse(-1)}" +
         first.epsg.fold("")(e => s" (EPSG:$e)") +
         "; geodesic area over projected coordinates would be meaningless")
+    // The trapezoid pixel-area formula assumes axis-aligned north-up rows
+    // (constant latitude per row, lon/lat-parallel pixel edges): a rotated
+    // grid's pixels are parallelograms in lon/lat and the formula would be
+    // silently wrong — typed error, never garbage. Reading VALUES from a
+    // rotated grid is fully supported.
+    require(!calcArea || !first.rotated,
+      s"${first.path}: calcArea requires an axis-aligned grid — the ModelTransformation " +
+        s"(34264) carries rotation terms (m01=${first.rotX}, m10=${first.rotY}); the " +
+        "trapezoid area formula assumes lon/lat-parallel pixel edges")
     // Band columns must not shadow the coordinate/area fields THIS table
     // emits (coordNames depends on the CRS kind, so the check lives here,
     // after metas resolve — a band named "lon" on a projected x/y frame is
@@ -297,13 +306,20 @@ class GeoTiffScan(
       var c = 0
       while (c < m.width) {
         val w = math.min(maxBlockSize, m.width - c)
-        // window geo bounds (north-up): lon grows with col, lat shrinks with row
-        val wLonMin = m.originX + c * m.pixelScaleX
-        val wLonMax = m.originX + (c + w) * m.pixelScaleX
-        val wLatMax = m.originY - r * m.pixelScaleY
-        val wLatMin = m.originY - (r + h) * m.pixelScaleY
-        val overlaps = wLonMax >= lonMin && wLonMin <= lonMax &&
-          wLatMax >= latMin && wLatMin <= latMax
+        // window geo bounds from its FOUR corners: exact under the full
+        // affine (an affine maps the window rectangle to a parallelogram,
+        // whose coordinate extrema are at corners). On axis-aligned grids
+        // (rot = 0) this reduces to the historical separable bounds.
+        def cornerX(cc: Int, rr: Int): Double =
+          m.originX + cc * m.pixelScaleX + rr * m.rotX
+        def cornerY(cc: Int, rr: Int): Double =
+          m.originY + cc * m.rotY - rr * m.pixelScaleY
+        val xs = Array(cornerX(c, r), cornerX(c + w, r),
+          cornerX(c, r + h), cornerX(c + w, r + h))
+        val ys = Array(cornerY(c, r), cornerY(c + w, r),
+          cornerY(c, r + h), cornerY(c + w, r + h))
+        val overlaps = xs.max >= lonMin && xs.min <= lonMax &&
+          ys.max >= latMin && ys.min <= latMax
         if (overlaps) parts += GeoTiffPartition(TiffWindow(c, r, w, h))
         c += w
       }
@@ -508,12 +524,18 @@ class GeoTiffPartitionReader(
 
   private lazy val extractors: Array[(Int, Int) => Any] = fieldNames.map { f =>
     if (f == xName)
-      (x: Int, _: Int) => java.lang.Double.valueOf(m0.lonOf((window.colOff + x).toDouble))
+      (x: Int, y: Int) => java.lang.Double.valueOf(
+        m0.lonOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble))
     else if (f == yName)
-      (_: Int, y: Int) => java.lang.Double.valueOf(m0.latOf((window.rowOff + y).toDouble))
+      (x: Int, y: Int) => java.lang.Double.valueOf(
+        m0.latOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble))
     else if (f == "area" && calcArea)
-      (_: Int, y: Int) => java.lang.Double.valueOf(
-        GeoMath.pixelAreaM2(m0.latOf((window.rowOff + y).toDouble), m0.pixelScaleY, m0.pixelScaleX))
+      // calcArea is typed-rejected on rotated grids (GeoTiffTable.metas),
+      // so lat here genuinely depends on the row alone
+      (x: Int, y: Int) => java.lang.Double.valueOf(
+        GeoMath.pixelAreaM2(
+          m0.latOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble),
+          m0.pixelScaleY, m0.pixelScaleX))
     else {
       val i = colNames.indexOf(f)
       require(i >= 0, s"unknown required column $f")

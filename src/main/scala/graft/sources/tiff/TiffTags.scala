@@ -29,9 +29,10 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     273 StripOffsets, 279 StripByteCounts (BigTIFF only)
   *   - 33550 ModelPixelScale (GeoTIFF: sx, sy, sz)
   *   - 33922 ModelTiepoint  (GeoTIFF: i, j, k, x, y, z)
-  *   - 34264 ModelTransformation (GeoTIFF: row-major 4×4 affine — accepted
-  *     when axis-aligned, i.e. zero rotation/shear terms; true rotation is
-  *     typed-rejected, not misreported as a missing-tag error)
+  *   - 34264 ModelTransformation (GeoTIFF: row-major 4×4 affine — the FULL
+  *     affine including rotation/shear terms is accepted since round 14;
+  *     flipped axes stay typed-rejected, and geodesic pixel AREA is
+  *     typed-rejected on rotated grids)
   *   - 34735 GeoKeyDirectory (GeoTIFF CRS keys: GTModelTypeGeoKey 1024
   *     decides whether coordinates are geographic lon/lat or projected
   *     eastings/northings; 2048/3072 carry the EPSG code)
@@ -97,7 +98,14 @@ object TiffTags {
       // table stream (SOI…EOI) that abbreviated per-chunk JPEG streams
       // (compression 7) are merged with before decode. Empty = chunks are
       // full interchange streams.
-      jpegTables: IndexedSeq[Byte] = Vector.empty) {
+      jpegTables: IndexedSeq[Byte] = Vector.empty,
+      // Full-affine rotation/shear terms from ModelTransformation (34264):
+      // rotX = m01 (geo-X change per ROW step), rotY = m10 (geo-Y change
+      // per COL step). 0.0 for the axis-aligned pair/34264 shapes — in
+      // that case every coordinate formula reduces bit-for-bit to the
+      // historical separable form (x + 0.0 is exact in IEEE).
+      rotX: Double = 0.0,
+      rotY: Double = 0.0) {
 
     def tiled: Boolean = tileWidth > 0
 
@@ -112,17 +120,33 @@ object TiffTags {
       */
     def nonGeographic: Boolean = crsModelType.exists(_ != 2)
 
-    /** Pixel-centroid longitude of column `col`. */
-    def lonOf(col: Double): Double = originX + (col + 0.5) * pixelScaleX
-    /** Pixel-centroid latitude of row `row` (north-up: lat decreases with row). */
-    def latOf(row: Double): Double = originY - (row + 0.5) * pixelScaleY
+    /** True when the grid carries rotation/shear terms (full-affine 34264):
+      * coordinates are then functions of BOTH indices and the axis-aligned
+      * shortcuts (separable window pruning, trapezoid pixel area) don't
+      * apply.
+      */
+    def rotated: Boolean = rotX != 0.0 || rotY != 0.0
+
+    /** Pixel-centroid geo-X of pixel (col, row) — the FULL affine
+      * `x = ox + (col+½)·sx + (row+½)·rx`; rx = 0 on axis-aligned grids
+      * reduces this exactly to the historical lon-of-col form.
+      */
+    def lonOf(col: Double, row: Double): Double =
+      originX + (col + 0.5) * pixelScaleX + (row + 0.5) * rotX
+    /** Pixel-centroid geo-Y of pixel (col, row) (north-up: decreases with
+      * row; the rotation term adds the per-col drift on rotated grids).
+      */
+    def latOf(col: Double, row: Double): Double =
+      originY + (col + 0.5) * rotY - (row + 0.5) * pixelScaleY
 
     def sameGrid(other: RasterMeta, eps: Double = 1e-9): Boolean =
       width == other.width && height == other.height &&
         math.abs(pixelScaleX - other.pixelScaleX) < eps &&
         math.abs(pixelScaleY - other.pixelScaleY) < eps &&
         math.abs(originX - other.originX) < eps &&
-        math.abs(originY - other.originY) < eps
+        math.abs(originY - other.originY) < eps &&
+        math.abs(rotX - other.rotX) < eps &&
+        math.abs(rotY - other.rotY) < eps
   }
 
   private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 5 -> 8, 6 -> 1,
@@ -288,18 +312,25 @@ object TiffTags {
       // Geo grid of one IFD from its OWN tags: ModelPixelScale (33550) +
       // ModelTiepoint (33922) when both are present (they travel as a pair —
       // exactly one is a malformed file and fails with the missing tag
-      // NAMED, never a silent fallback); otherwise an axis-aligned
-      // ModelTransformation (34264, the row-major 4×4 affine some writers
-      // emit instead of the pair — legal GeoTIFF). Rotation/shear terms in
-      // 34264 are typed-rejected: the point-table contract (lon strictly a
-      // function of col, lat of row) does not hold on a rotated grid. When
-      // a file carries BOTH the pair and 34264, the pair wins (the GeoTIFF
-      // spec calls them exclusive; GDAL prefers the pair too).
-      def gridOwn(es: Map[Int, Entry], label: String): Option[(Double, Double, Double, Double)] =
+      // NAMED, never a silent fallback); otherwise a ModelTransformation
+      // (34264, the row-major 4×4 affine some writers emit instead of the
+      // pair — legal GeoTIFF), including ROTATION/SHEAR terms since round
+      // 14: both coordinates are emitted as full functions of (col, row),
+      // so the reader no longer assumes separability (geodesic pixel AREA
+      // stays typed-rejected on rotated grids — the trapezoid formula
+      // assumes axis alignment). Flipped axes (m00 <= 0 or m11 >= 0) stay
+      // rejected: the window planner and the north-up fixtures assume the
+      // dominant terms keep the standard orientation. When a file carries
+      // BOTH the pair and 34264, the pair wins (the GeoTIFF spec calls
+      // them exclusive; GDAL prefers the pair too).
+      // Returns (scaleX, scaleY, originX, originY, rotX, rotY).
+      def gridOwn(es: Map[Int, Entry], label: String)
+          : Option[(Double, Double, Double, Double, Double, Double)] =
         (doublesIn(es, 33550), doublesIn(es, 33922)) match {
           case (Some(scale), Some(tie)) =>
             // Tiepoint maps raster (i, j) -> geo (x, y); origin = top-left corner.
-            Some((scale(0), scale(1), tie(3) - tie(0) * scale(0), tie(4) + tie(1) * scale(1)))
+            Some((scale(0), scale(1), tie(3) - tie(0) * scale(0),
+              tie(4) + tie(1) * scale(1), 0.0, 0.0))
           case (Some(_), None) =>
             throw new IllegalArgumentException(
               s"$path: $label has ModelPixelScale (33550) but no ModelTiepoint (33922) — the pair is required together")
@@ -310,38 +341,40 @@ object TiffTags {
             doublesIn(es, 34264).map { m =>
               require(m.length == 16,
                 s"$path: $label ModelTransformation (34264) has ${m.length} values, expected a 4x4 matrix (16)")
-              require(m(1) == 0.0 && m(4) == 0.0,
-                s"$path: rotated/sheared grid unsupported — ModelTransformation (34264) carries " +
-                  s"rotation terms (m01=${m(1)}, m10=${m(4)}); only axis-aligned transforms are supported")
               require(m(0) > 0.0 && m(5) < 0.0,
                 s"$path: ModelTransformation (34264) with flipped axes unsupported " +
                   s"(m00=${m(0)} must be > 0 and m11=${m(5)} must be < 0 — north-up only)")
               // pixelScaleY is carried as a positive magnitude (applied
-              // negative by latOf), matching the ModelPixelScale convention
-              (m(0), -m(5), m(3), m(7))
+              // negative by latOf), matching the ModelPixelScale convention;
+              // m01/m10 ride through verbatim as the rotation terms
+              (m(0), -m(5), m(3), m(7), m(1), m(4))
             }
         }
       // An IFD's own grid wins; an overview without one (the GDAL COG shape)
       // inherits IFD0's origin with the pixel scale multiplied by the
       // decimation factor per axis -- extent-preserving even when the
       // reduced dimensions are rounded.
-      val (scaleX, scaleY, originX, originY) =
+      val (scaleX, scaleY, originX, originY, rotX, rotY) =
         gridOwn(entries, if (overview > 0) s"overview IFD $overview" else "IFD0") match {
           case Some(g) => g
           case None if overview > 0 =>
-            val (s0x, s0y, o0x, o0y) = gridOwn(entries0, "IFD0").getOrElse(
+            val (s0x, s0y, o0x, o0y, r0x, r0y) = gridOwn(entries0, "IFD0").getOrElse(
               throw new IllegalArgumentException(
                 s"$path: missing GeoTIFF grid on IFD0 — need ModelPixelScale (33550) + " +
-                  "ModelTiepoint (33922), or an axis-aligned ModelTransformation (34264)"))
+                  "ModelTiepoint (33922), or a ModelTransformation (34264)"))
             val w0 = shortOrLongIn(entries0, 256)
             val h0 = shortOrLongIn(entries0, 257)
             require(w0 >= width && h0 >= height,
               s"$path: overview $overview ($width x $height) larger than IFD0 ($w0 x $h0)")
-            (s0x * (w0.toDouble / width), s0y * (h0.toDouble / height), o0x, o0y)
+            // decimation scales every per-index derivative: per-col terms
+            // (sx, ry) by the col factor, per-row terms (sy, rx) by the row
+            // factor — extent-preserving exactly like the axis-aligned case
+            (s0x * (w0.toDouble / width), s0y * (h0.toDouble / height), o0x, o0y,
+              r0x * (h0.toDouble / height), r0y * (w0.toDouble / width))
           case None =>
             throw new IllegalArgumentException(
               s"$path: missing GeoTIFF grid — need ModelPixelScale (33550) + ModelTiepoint " +
-                "(33922), or an axis-aligned ModelTransformation (34264)")
+                "(33922), or a ModelTransformation (34264)")
         }
       // GeoKeyDirectory (34735): a SHORT array — 4-short header
       // (KeyDirectoryVersion, KeyRevision, MinorRevision, NumberOfKeys)
@@ -395,6 +428,7 @@ object TiffTags {
         // cross-check our strip decoder against independently-written files).
         RasterMeta(path, width, height, bps, sampleFormat,
           scaleX, scaleY, originX, originY, noData,
+          rotX = rotX, rotY = rotY,
           samplesPerPixel = shortOrLong(277, 1),
           littleEndian = order == ByteOrder.LITTLE_ENDIAN,
           rowsPerStrip = entries.get(278).map(e => intAt(e, payload(e), 0)).getOrElse(height.toLong),
@@ -514,6 +548,7 @@ object TiffTags {
             s"$path: ${tCounts.length} tile byte counts for ${tOffsets.length} tiles")
           RasterMeta(path, width, height, bps, sampleFormat,
             scaleX, scaleY, originX, originY, noData,
+          rotX = rotX, rotY = rotY,
             samplesPerPixel = spp,
             bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
             compression = compression, predictor = predictor,
@@ -542,6 +577,7 @@ object TiffTags {
           s"$path: ${byteCounts.length} strip byte counts for ${offsets.length} strips")
         RasterMeta(path, width, height, bps, sampleFormat,
           scaleX, scaleY, originX, originY, noData,
+          rotX = rotX, rotY = rotY,
           samplesPerPixel = spp,
           bigTiff = true, littleEndian = order == ByteOrder.LITTLE_ENDIAN,
           rowsPerStrip = rps, stripOffsets = offsets,

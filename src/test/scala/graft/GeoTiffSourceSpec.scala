@@ -950,7 +950,7 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(got.nonEmpty && got.sameElements(twin))
   }
 
-  test("rotated ModelTransformation is rejected with the rotation error, not a missing-tag one") {
+  test("rotated ModelTransformation (34264) reads with full-affine coordinates") {
     val rot = Array[Double](
       0.49, 0.1, 0.0, 10.0,
       -0.1, -0.49, 0.0, 50.0,
@@ -958,12 +958,63 @@ class GeoTiffSourceSpec extends SparkSpec {
       0.0, 0.0, 0.0, 1.0)
     val p = TiffFixtures.writeBigTiff(s"$tmp/mt_rot.tif", 10, 8, v7,
       10.0, 50.0, 0.5, Some("-9999"), modelTransform = rot)
-    val e = intercept[IllegalArgumentException] {
-      graft.sources.tiff.TiffTags.read(p)
+    val m = graft.sources.tiff.TiffTags.read(p)
+    assert(m.rotated && m.rotX == 0.1 && m.rotY == -0.1)
+    assert(m.pixelScaleX == 0.49 && m.pixelScaleY == 0.49)
+    assert(m.originX == 10.0 && m.originY == 50.0)
+    // every emitted point inverts exactly (2x2 affine inverse) to an
+    // integer pixel whose value matches the content function — the
+    // pixel→geo→pixel round-trip THROUGH the rotation, on real file bytes
+    val rows = Raster.raster2df(spark, Seq(p), colNames = Seq("v")).collect()
+    val expectValid = (0 until 8).flatMap(r => (0 until 10).map(c => (c, r)))
+      .count { case (c, r) => v7(c, r) != -9999.0 }
+    assert(rows.length == expectValid)
+    val det = m.pixelScaleX * (-m.pixelScaleY) - m.rotX * m.rotY
+    rows.foreach { row =>
+      val (x, y, v) = (row.getDouble(0), row.getDouble(1), row.getFloat(2))
+      val dx = x - m.originX
+      val dy = y - m.originY
+      val c = math.rint((dx * (-m.pixelScaleY) - dy * m.rotX) / det - 0.5).toInt
+      val r = math.rint((m.pixelScaleX * dy - m.rotY * dx) / det - 0.5).toInt
+      assert(c >= 0 && c < 10 && r >= 0 && r < 8, s"inverse mapped outside grid: ($c, $r)")
+      assert(v.toDouble == v7(c, r), s"pixel ($c, $r): value $v vs ${v7(c, r)}")
+      assert(math.abs(m.lonOf(c.toDouble, r.toDouble) - x) < 1e-12 &&
+        math.abs(m.latOf(c.toDouble, r.toDouble) - y) < 1e-12)
     }
-    assert(e.getMessage.contains("rotated/sheared"))
-    assert(!e.getMessage.contains("missing"))
-    // flipped-axis (south-up) transforms get their own typed message
+    // windowed reads equal the single-window read (corner-based pruning
+    // plans every window; per-pixel math is window-offset-invariant)
+    val whole = Raster.raster2df(spark, Seq(p), colNames = Seq("v"))
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val windowed = Raster.raster2df(spark, Seq(p), colNames = Seq("v"), maxBlockSize = 3)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(windowed.sameElements(whole))
+    // pushdown pruning on the rotated grid must not drop valid points:
+    // compare a pushed lon/lat filter against the in-memory filter
+    val filtered = Raster.raster2df(spark, Seq(p), colNames = Seq("v"), maxBlockSize = 3)
+      .filter(col("lon") > 11.0 && col("lat") < 49.0)
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val inMem = whole.filter(s =>
+      s(0).asInstanceOf[Double] > 11.0 && s(1).asInstanceOf[Double] < 49.0)
+    assert(filtered.nonEmpty && filtered.sameElements(inMem))
+    // same-rotation twins zip; a rotation mismatch is a grid mismatch
+    val p2 = TiffFixtures.writeBigTiff(s"$tmp/mt_rot2.tif", 10, 8,
+      (c, r) => (c * r).toDouble, 10.0, 50.0, 0.5, Some("-9999"), modelTransform = rot)
+    assert(Raster.raster2df(spark, Seq(p, p2), colNames = Seq("a", "b")).count() == expectValid)
+    val axis = TiffFixtures.writeBigTiff(s"$tmp/mt_axis_twin.tif", 10, 8, v7,
+      10.0, 50.0, 0.49, Some("-9999"))
+    val eZip = intercept[Exception] {
+      Raster.raster2df(spark, Seq(p, axis), colNames = Seq("a", "b")).collect()
+    }
+    assert(eZip.getMessage.contains("grid mismatch"))
+    // geodesic area stays typed-rejected on rotated grids, reason named
+    val eArea = intercept[IllegalArgumentException] {
+      Raster.raster2df(spark, Seq(p), colNames = Seq("v"), calcArea = true).collect()
+    }
+    assert(eArea.getMessage.contains("axis-aligned") &&
+      eArea.getMessage.contains("rotation terms"))
+  }
+
+  test("flipped-axis ModelTransformation stays rejected with its own typed message") {
     val flip = Array[Double](
       0.5, 0.0, 0.0, 10.0,
       0.0, 0.5, 0.0, 50.0,
