@@ -36,6 +36,15 @@ import org.apache.spark.sql.SparkSession
   * (sweep 1 is excluded — it pays the artifact builds and codegen JIT by
   * design and is elevated on every run), ONE extra recovery sweep runs and
   * is folded into the same per-query stats, recorded via `resweep:true`.
+  *
+  * Catalog-growth budget (round-14, measured — BASELINE "per-query
+  * fixed-overhead cost model" row): each declared query costs ~0.1 s of
+  * pure harness floor (plan + noop commit) plus its real sf0.1 work —
+  * ~0.56 s/query observed across the catalog — so the static 134.8 s gate
+  * leaves roughly 60–70 more LIGHT queries of headroom. New families must
+  * land shared detect-once Scratch artifacts from day one (the q167/q168
+  * and q169/q170 shape); a family that rebuilds its detector per sweep
+  * spends 5–20 light-query budgets.
   */
 object Bench {
   private def median(xs: Seq[Double]): Double = {
