@@ -414,6 +414,33 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** Canonical PCM16 mono RIFF/WAVE (8000 Hz, 512 samples) whose 64
+    * constant-amplitude envelope windows (× 8 samples each) align exactly
+    * with [[audioFp64]]'s 64 envelope cells — window i's mean |amplitude|
+    * is exactly `amps(i)`. The single source of truth for every synthetic
+    * audio corpus (declared q169 render, 50k rehearsal), so the format
+    * constants cannot drift between the query and its posture probe.
+    */
+  def envelopeWav(amps: Array[Short]): Array[Byte] = {
+    require(amps.length == 64, s"need 64 window amplitudes, got ${amps.length}")
+    val n = 512
+    val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
+    var i = 0
+    while (i < 64) {
+      var k = 0
+      while (k < 8) { bb.putShort(amps(i)); k += 1 }
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Per-clip audio fingerprints, batched per partition. (doc_id, afp). */
   def audioHashes(media: Dataset[MediaRow]): DataFrame = {
     import media.sparkSession.implicits._
@@ -544,8 +571,13 @@ object Multimodal {
         count(lit(1)).as("n_common"))
       .join(cnt.toDF("doc_id_a", "nf_a"), "doc_id_a")
       .join(cnt.toDF("doc_id_b", "nf_b"), "doc_id_b")
+      // direct >= with a 1e-9 epsilon, NOT ceil: n_common is integral, so
+      // n >= frac·max is the documented contract exactly — ceil of an
+      // unsnapped IEEE product (0.1·30 = 3.0000000000000004 → 4) would
+      // exclude pairs that meet the fraction on the boundary
       .filter(col("mean_hamming") <= maxMeanHamming &&
-        col("n_common") >= ceil(lit(minCommonFrac) * greatest(col("nf_a"), col("nf_b"))))
+        col("n_common").cast("double") >=
+          lit(minCommonFrac) * greatest(col("nf_a"), col("nf_b")) - lit(1e-9))
       .select(col("doc_id_a"), col("doc_id_b"), col("mean_hamming"), col("n_common"))
   }
 

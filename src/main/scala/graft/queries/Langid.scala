@@ -81,7 +81,7 @@ object Langid {
     val rankW = Window.partitionBy(col("doc_id"))
       .orderBy(col("dot_i").desc, col("cl").asc)
     val totW = Window.partitionBy(col("doc_id"))
-    dots
+    val predicted = dots
       .withColumn("rn", row_number().over(rankW))
       .withColumn("tot_i", sum(col("dot_i")).over(totW))
       .filter(col("rn") === 1)
@@ -89,8 +89,18 @@ object Langid {
         Parity.r4(when(col("tot_i") > 0,
           col("dot_i").cast("double") / col("tot_i")).otherwise(lit(0.0)))
           .as("confidence"))
-      .join(lab, "doc_id")
-      .select(col("doc_id"), col("lang_pred"), col("confidence"), col("lang"))
+    // Coverage guard: a document shorter than 2 characters has no bigrams,
+    // so it never reaches the feature frame — LEFT-join from the label
+    // frame and fall back to the alphabetically-lowest class at confidence
+    // 0 (the same tie-break an all-zero dot vector gets), so "scores every
+    // document" holds on degenerate corpora too.
+    val minLang = nc.agg(min(col("lang")).as("min_lang"))
+    lab.join(predicted, Seq("doc_id"), "left")
+      .crossJoin(broadcast(minLang))
+      .select(col("doc_id"),
+        coalesce(col("lang_pred"), col("min_lang")).as("lang_pred"),
+        coalesce(col("confidence"), lit(0.0)).as("confidence"),
+        col("lang"))
   }
 
   /** Scored frame once per (JVM, dataset) — q171 declares it, q172's card
@@ -162,14 +172,18 @@ object Langid {
       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY dot_i DESC, cl) AS rn,
       |    SUM(dot_i) OVER (PARTITION BY doc_id) AS tot_i
       |  FROM dots
+      |), pred AS (
+      |  SELECT doc_id, cl AS lang_pred,
+      |    FLOOR(CASE WHEN tot_i > 0
+      |        THEN CAST(dot_i AS DOUBLE) / tot_i ELSE 0.0 END
+      |      * 10000 + 0.5) / 10000.0 AS confidence
+      |  FROM ranked WHERE rn = 1
       |), scored AS (
-      |  SELECT r.doc_id, r.cl AS lang_pred,
-      |    FLOOR(CASE WHEN r.tot_i > 0
-      |        THEN CAST(r.dot_i AS DOUBLE) / r.tot_i ELSE 0.0 END
-      |      * 10000 + 0.5) / 10000.0 AS confidence,
+      |  SELECT l.doc_id,
+      |    COALESCE(p.lang_pred, (SELECT MIN(lang) FROM nc)) AS lang_pred,
+      |    COALESCE(p.confidence, 0.0) AS confidence,
       |    l.lang
-      |  FROM ranked r JOIN lab l USING (doc_id)
-      |  WHERE r.rn = 1
+      |  FROM lab l LEFT JOIN pred p USING (doc_id)
       |)""".stripMargin
 
   private val q171Sql = scoreSql +

@@ -213,7 +213,7 @@ object Media {
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
       .mapPartitions(_.map { case (id, text) =>
-        val toks = text.split(" ").distinct.sorted
+        val toks = sortedToks(text)
         val img = new java.awt.image.BufferedImage(8, 8,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
         var i = 0
@@ -339,7 +339,7 @@ object Media {
           val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
           val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
           it.map { case (id, text) =>
-            val toks = text.split(" ").distinct.sorted
+            val toks = sortedToks(text)
             val bos = new java.io.ByteArrayOutputStream()
             val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
             try {
@@ -421,32 +421,31 @@ object Media {
         .repartition(s.sparkContext.defaultParallelism) // one file -> fan out the codec work
         .as[(Long, String)]
         .mapPartitions(_.map { case (id, text) =>
-          val toks = text.split(" ").distinct.sorted
-          val n = 512 // 64 envelope windows x 8 samples
-          val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
-            .put("WAVE".getBytes("US-ASCII"))
-          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-            .putShort(1).putShort(1).putInt(8000).putInt(16000)
-            .putShort(2).putShort(16)
-          bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
-          var i = 0
-          while (i < 64) {
-            // positive DC amplitude per window: window i's mean |amplitude|
-            // is exactly amp, so the fingerprint depends on content only
-            val amp = (1 + math.floorMod(
-              toks(i * toks.length / 64).hashCode, 4096)).toShort
-            var k = 0
-            while (k < 8) { bb.putShort(amp); k += 1 }
-            i += 1
-          }
-          graft.multimodal.MediaRow(id, s"mem://doc/$id.wav", bb.array(), Map.empty)
+          val toks = sortedToks(text)
+          // positive DC amplitude per window: window i's mean |amplitude|
+          // is exactly amp, so the fingerprint depends on content only
+          val amps = Array.tabulate[Short](64)(i =>
+            (1 + math.floorMod(toks(i * toks.length / 64).hashCode, 4096)).toShort)
+          graft.multimodal.MediaRow(id, s"mem://doc/$id.wav",
+            Multimodal.envelopeWav(amps), Map.empty)
         })
       Multimodal.audioNearDupPairs(media, maxHamming = 3)
         .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(p)
+  }
+
+  /** Sorted distinct whitespace tokens with an empty-text guard: a
+    * whitespace-only document splits to an EMPTY array (JVM semantics),
+    * which would index-crash every `toks(i * toks.length / 64)` sampler —
+    * fall back to one sentinel token so degenerate docs render a constant
+    * (and therefore mutually-colliding, cap-bounded) asset instead of
+    * poisoning the whole corpus render. Shared by the image (q95), video
+    * (q167) and audio (q169) corpus-stands-in builders.
+    */
+  private def sortedToks(text: String): Array[String] = {
+    val t = text.split(" ").distinct.sorted
+    if (t.isEmpty) Array("") else t
   }
 
   private def q169(s: SparkSession, dir: String): DataFrame =

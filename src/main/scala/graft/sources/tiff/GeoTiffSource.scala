@@ -80,7 +80,10 @@ object GeoTiffTable {
       .getOrElse(paths.indices.map(i => s"val${i + 1}"))
     require(colNames.size == paths.size,
       s"colNames has ${colNames.size} entries for ${paths.size} rasters")
-    require(colNames.map(_.toLowerCase).distinct.size == colNames.size,
+    // Locale.ROOT: Spark's own case-insensitive resolution is locale-free,
+    // so this check must be too (a Turkish default locale lowercases 'I'
+    // to dotless ı and would let 'ID,id' evade the guard)
+    require(colNames.map(_.toLowerCase(java.util.Locale.ROOT)).distinct.size == colNames.size,
       s"colNames has duplicates: ${colNames.mkString(", ")}")
     val maxBlock = Option(options.get("maxBlockSize")).map(_.toInt).getOrElse(4096)
     require(maxBlock > 0, s"maxBlockSize must be positive, got $maxBlock")
@@ -190,7 +193,7 @@ class GeoTiffTable(
     // Spark's default analyzer resolves names case-insensitively.
     val cn = GeoTiffTable.coordNames(first)
     val emitted = Set(cn._1, cn._2) ++ (if (calcArea) Set("area") else Set.empty)
-    val clash = colNames.filter(n => emitted.contains(n.toLowerCase))
+    val clash = colNames.filter(n => emitted.contains(n.toLowerCase(java.util.Locale.ROOT)))
     require(clash.isEmpty,
       s"colNames ${clash.mkString(", ")} collide with this table's coordinate/area " +
         s"columns (${emitted.mkString(", ")}) — rename the band column(s)")

@@ -399,25 +399,16 @@ object ScaleRehearsal {
           val id: Long = jid
           val group = id / 5
           val seed = if (id % 5 == 4) group + 1000000007L else group
-          val ns = 512 // 64 envelope windows x 8 samples, audioFp64-aligned
-          val bb = java.nio.ByteBuffer.allocate(44 + ns * 2)
-            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-          bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + ns * 2)
-            .put("WAVE".getBytes("US-ASCII"))
-          bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
-            .putShort(1).putShort(1).putInt(8000).putInt(16000)
-            .putShort(2).putShort(16)
-          bb.put("data".getBytes("US-ASCII")).putInt(ns * 2)
-          var i = 0
-          while (i < 64) {
+          // shared envelopeWav helper: the rehearsal renders through the
+          // SAME format path as the declared q169 corpus, so the 64x8
+          // window layout cannot drift from audioFp64's cells
+          val amps = Array.tabulate[Short](64) { i =>
             var h = seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
             h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
-            val amp = (1 + math.floorMod(h, 4096L)).toShort
-            var k = 0
-            while (k < 8) { bb.putShort(amp); k += 1 }
-            i += 1
+            (1 + math.floorMod(h, 4096L)).toShort
           }
-          graft.multimodal.MediaRow(id, s"mem://a/$id.wav", bb.array(), Map.empty)
+          graft.multimodal.MediaRow(id, s"mem://a/$id.wav",
+            graft.multimodal.Multimodal.envelopeWav(amps), Map.empty)
         }
       }.localCheckpoint(true)
       val nm = media.count()

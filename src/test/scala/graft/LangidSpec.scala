@@ -32,6 +32,40 @@ class LangidSpec extends SparkSpec {
     assert(scores.exceptAll(again).count() === 0L)
   }
 
+  test("degenerate corpus: empty/whitespace/1-char docs still score (fallback) and render audio") {
+    // round-14 review finding: docs with <2 chars have no bigrams and
+    // vanished from q171/q172; whitespace-only text split to an EMPTY
+    // token array and crashed the media renders. Pin both guards on a
+    // tiny corpus containing exactly those shapes.
+    val tmp = java.nio.file.Files.createTempDirectory("degen").toString
+    Seq(
+      (0L, "", "en", "web", 0L),
+      (1L, " ", "fr", "web", 1L),
+      (2L, "a", "de", "web", 1L),
+      (3L, "hello world hello spark join table", "zh", "web", 35L),
+      (4L, "hello world hello spark join batch", "es", "web", 35L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val scores = graft.queries.Catalog.queries("q171_langid_score")(spark, tmp)
+      .collect()
+    assert(scores.length == 5, s"expected all 5 docs scored, got ${scores.length}")
+    val degenerate = scores.filter(r => r.getLong(0) <= 1L)
+    // no-bigram docs (0: empty, 1: single space = one ' ' bigram? no — a
+    // 1-char text has zero bigrams) fall back at confidence 0
+    val noBigram = scores.filter(r => Set(0L, 2L).contains(r.getLong(0)))
+    noBigram.foreach { r =>
+      assert(r.getDouble(2) == 0.0, s"doc ${r.getLong(0)}: expected confidence 0, got $r")
+    }
+    assert(degenerate.nonEmpty)
+    // the audio and video renders survive the whitespace-only doc
+    assert(graft.queries.Catalog.queries("q169_audio_neardup")(spark, tmp)
+      .count() >= 0L)
+    assert(graft.queries.Catalog.queries("q167_video_neardup")(spark, tmp)
+      .count() >= 0L)
+    assert(graft.queries.Catalog.queries("q95_image_neardup")(spark, tmp)
+      .count() >= 0L)
+  }
+
   test("q172 confusion card marginals account for every document; accuracy is near-prior") {
     val cm = graft.queries.Catalog.queries("q172_langid_confusion")(spark, d)
       .localCheckpoint(true)
