@@ -26,7 +26,8 @@ object Raster {
       maxBlockSize: Int = 4096,
       calcArea: Boolean = false,
       bands: Seq[Int] = Nil,
-      overview: Int = 0): DataFrame = {
+      overview: Int = 0,
+      resample: String = ""): DataFrame = {
     require(rasters.forall(!_.contains(",")),
       s"raster paths must not contain ',': ${rasters.filter(_.contains(","))}")
     require(colNames.forall(!_.contains(",")),
@@ -44,6 +45,9 @@ object Raster {
     // COG overview level: scan the k-th reduced-resolution IFD of the
     // pyramid instead of full-res pixels (0 = full res)
     if (overview > 0) reader = reader.option("overview", overview)
+    // resample="nearest": secondary rasters may carry a different same-CRS
+    // grid, sampled at the mask grid's pixel centroids
+    if (resample.nonEmpty) reader = reader.option("resample", resample)
     reader.load()
   }
 
@@ -60,9 +64,11 @@ object Raster {
       maxBlockSize: Int = 4096,
       calcArea: Boolean = false,
       singleFile: Boolean = false,
-      bands: Seq[Int] = Nil): Unit = {
+      bands: Seq[Int] = Nil,
+      resample: String = ""): Unit = {
     val sep = if (separator == "t") "\t" else separator
-    val df = raster2df(spark, rasters, colNames, maxBlockSize, calcArea, bands)
+    val df = raster2df(spark, rasters, colNames, maxBlockSize, calcArea, bands,
+      resample = resample)
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite").option("sep", sep).option("header", true).csv(output)
   }
@@ -131,7 +137,8 @@ object Raster {
       separator: String = ",",
       maxBlockSize: Int = 4096,
       calcArea: Boolean = false,
-      bands: Seq[Int] = Nil)
+      bands: Seq[Int] = Nil,
+      resample: String = "")
 
   def parseArgs(args: Array[String]): CliArgs = {
     val positional = scala.collection.mutable.ArrayBuffer[String]()
@@ -140,6 +147,7 @@ object Raster {
     var maxBlock = 4096
     var calcArea = false
     var bands: Seq[Int] = Nil
+    var resample = ""
     var i = 0
     def flagValue(name: String): String = {
       require(i + 1 < args.length, s"$name requires a value")
@@ -152,6 +160,7 @@ object Raster {
         case "--max_block_size" => maxBlock = flagValue("--max_block_size").toInt; i += 2
         case "--calc_area" => calcArea = true; i += 1
         case "--bands" => bands = flagValue("--bands").split(',').toSeq.map(_.trim.toInt); i += 2
+        case "--resample" => resample = flagValue("--resample"); i += 2
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $f")
         case p => positional += p; i += 1
@@ -159,11 +168,12 @@ object Raster {
     }
     require(positional.size >= 2, "usage: raster2csv INPUT... OUTPUT [options]")
     CliArgs(positional.init.toSeq, positional.last,
-      colNames, separator, maxBlock, calcArea, bands)
+      colNames, separator, maxBlock, calcArea, bands, resample)
   }
 
   /** CLI: raster2csv INPUT... OUTPUT [--col_names a,b] [--separator ,|;|t]
     * [--max_block_size N] [--calc_area] [--bands 1,2,...]
+    * [--resample nearest]
     */
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
@@ -174,7 +184,8 @@ object Raster {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     try raster2csv(spark, a.inputs, a.output, a.separator, a.colNames,
-      a.maxBlockSize, a.calcArea, singleFile = false, bands = a.bands)
+      a.maxBlockSize, a.calcArea, singleFile = false, bands = a.bands,
+      resample = a.resample)
     finally spark.stop()
   }
 }

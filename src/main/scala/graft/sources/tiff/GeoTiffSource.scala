@@ -27,7 +27,11 @@ import graft.functions.GeoMath
   * anchors unverified per SURVEY §0): one output row per pixel where the
   * FIRST raster has data; columns (lon, lat, <one per raster>[, area]).
   * Values of rasters 2..n pass through raw even when they equal their own
-  * NoData. Grids must match exactly or planning fails.
+  * NoData. Grids must match exactly or planning fails — unless
+  * `resample=nearest`, which lets secondaries carry a DIFFERENT grid of
+  * the same CRS (they must cover the mask extent; each output pixel
+  * samples the secondary cell containing its mask-centroid — the
+  * 30 m-mask + 250 m-layer combination raster users actually have).
   *
   * Spark mapping:
   *   - window planning (A2)  -> one InputPartition per <=maxBlockSize² window
@@ -47,8 +51,9 @@ import graft.functions.GeoMath
   * `calcArea` (boolean, default false), `overview` (COG overview level:
   * 0 = full resolution, k = the k-th reduced-resolution IFD of the
   * pyramid — scan coarse data without touching full-res chunks; classic
-  * and BigTIFF). Paths/colNames must not contain ',' (flat string
-  * options).
+  * and BigTIFF), `resample` ('nearest': secondary rasters may carry a
+  * different same-CRS grid, sampled at the mask grid's centroids).
+  * Paths/colNames must not contain ',' (flat string options).
   *
   * Scale posture: planning reads only TIFF headers (one tiny IFD read per
   * raster); each task decodes exactly its window via an ImageIO region
@@ -100,7 +105,14 @@ object GeoTiffTable {
     // reduced-resolution IFD — scan the pyramid instead of full-res data
     val overview = Option(options.get("overview")).map(_.toInt).getOrElse(0)
     require(overview >= 0, s"overview must be >= 0, got $overview")
-    new GeoTiffTable(paths, colNames, maxBlock, calcArea, bands, overview)
+    // resample=nearest (round 14): secondary rasters may carry DIFFERENT
+    // grids (same CRS) — each output pixel samples the secondary cell
+    // containing its mask-grid centroid. Absent/empty = grids must match.
+    val resample = Option(options.get("resample")).map(_.trim).filter(_.nonEmpty)
+    resample.foreach(r => require(r.equalsIgnoreCase("nearest"),
+      s"unsupported resample mode '$r' — only 'nearest' is supported"))
+    new GeoTiffTable(paths, colNames, maxBlock, calcArea, bands, overview,
+      resample.isDefined)
   }
 
   /** Coordinate column names for a raster: lon/lat for geographic (or
@@ -136,15 +148,22 @@ class GeoTiffTable(
     maxBlockSize: Int,
     calcArea: Boolean,
     bands: Seq[Int],
-    overview: Int = 0)
+    overview: Int = 0,
+    resampleNearest: Boolean = false)
   extends Table with SupportsRead {
 
   lazy val metas: Seq[TiffTags.RasterMeta] = {
     val ms = paths.map(TiffTags.readOverview(_, overview))
     val first = ms.head
     ms.tail.foreach { m =>
-      require(first.sameGrid(m),
-        s"raster grid mismatch: ${first.path} vs ${m.path} (extent/resolution must be identical)")
+      // identical grids required UNLESS resample=nearest was requested:
+      // then the mask (first) grid defines the output and each secondary
+      // is sampled at the mask centroids — but it must COVER the mask
+      // extent, so every output pixel maps inside it (checked below)
+      require(resampleNearest || first.sameGrid(m),
+        s"raster grid mismatch: ${first.path} vs ${m.path} (extent/resolution must be " +
+          "identical; pass option resample=nearest to sample a different-grid raster " +
+          "at the mask grid's pixel centroids)")
       require(first.nonGeographic == m.nonGeographic,
         s"raster CRS mismatch: ${first.path} (model type ${first.crsModelType}) vs " +
           s"${m.path} (model type ${m.crsModelType}) — geographic and projected " +
@@ -162,6 +181,24 @@ class GeoTiffTable(
         require(a == b,
           s"raster CRS mismatch: ${first.path} (EPSG:$a) vs ${m.path} (EPSG:$b) — " +
             "identical numeric grids in different CRSs are different places")
+      if (resampleNearest && !first.sameGrid(m)) {
+        // all four mask-extent centroid corners must land inside the
+        // secondary (linear map -> extrema at corners). Clamping at read
+        // time would silently substitute edge values — typed error instead.
+        val corners = for {
+          cc <- Seq(0, first.width - 1)
+          rr <- Seq(0, first.height - 1)
+        } yield (first.lonOf(cc.toDouble, rr.toDouble), first.latOf(cc.toDouble, rr.toDouble))
+        val det = m.pixelScaleX * (-m.pixelScaleY) - m.rotX * m.rotY
+        corners.foreach { case (gx, gy) =>
+          val p = ((gx - m.originX) * (-m.pixelScaleY) - (gy - m.originY) * m.rotX) / det
+          val q = (m.pixelScaleX * (gy - m.originY) - m.rotY * (gx - m.originX)) / det
+          require(p >= 0 && p < m.width && q >= 0 && q < m.height,
+            s"resample=nearest: ${m.path} does not cover the mask grid of ${first.path} — " +
+              f"mask centroid ($gx%.6f, $gy%.6f) maps to fractional pixel ($p%.3f, $q%.3f) " +
+              s"outside ${m.width}x${m.height}")
+        }
+      }
     }
     ms.zip(bands).foreach { case (m, b) =>
       require(b <= m.samplesPerPixel,
@@ -225,7 +262,7 @@ class GeoTiffTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoTiffScanBuilder(metas, colNames, schema(), maxBlockSize, calcArea, bands,
-      coordNames)
+      coordNames, resampleNearest)
 }
 
 class GeoTiffScanBuilder(
@@ -235,7 +272,8 @@ class GeoTiffScanBuilder(
     maxBlockSize: Int,
     calcArea: Boolean,
     bands: Seq[Int],
-    coordNames: (String, String))
+    coordNames: (String, String),
+    resampleNearest: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private val (xName, yName) = coordNames
@@ -275,7 +313,7 @@ class GeoTiffScanBuilder(
 
   override def build(): Scan =
     new GeoTiffScan(metas, colNames, required, maxBlockSize, calcArea, bands,
-      lonMin, lonMax, latMin, latMax)
+      lonMin, lonMax, latMin, latMax, resampleNearest)
 }
 
 /** A grid window: the unit of parallelism (reference A2). */
@@ -290,7 +328,8 @@ class GeoTiffScan(
     maxBlockSize: Int,
     calcArea: Boolean,
     bands: Seq[Int],
-    lonMin: Double, lonMax: Double, latMin: Double, latMax: Double)
+    lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
+    resampleNearest: Boolean = false)
   extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = required
@@ -332,7 +371,8 @@ class GeoTiffScan(
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new GeoTiffReaderFactory(metas.toArray, colNames.toArray, required, calcArea, bands.toArray)
+    new GeoTiffReaderFactory(metas.toArray, colNames.toArray, required, calcArea,
+      bands.toArray, resampleNearest)
 }
 
 class GeoTiffReaderFactory(
@@ -340,11 +380,12 @@ class GeoTiffReaderFactory(
     colNames: Array[String],
     required: StructType,
     calcArea: Boolean,
-    bands: Array[Int])
+    bands: Array[Int],
+    resampleNearest: Boolean = false)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoTiffPartitionReader(metas, colNames, required,
-      partition.asInstanceOf[GeoTiffPartition].window, calcArea, bands)
+      partition.asInstanceOf[GeoTiffPartition].window, calcArea, bands, resampleNearest)
 }
 
 /** Uniform window-of-pixels accessor: (x, y) are WINDOW-relative. Two
@@ -442,7 +483,8 @@ class GeoTiffPartitionReader(
     required: StructType,
     window: TiffWindow,
     calcArea: Boolean,
-    bands: Array[Int])
+    bands: Array[Int],
+    resampleNearest: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   private val m0 = metas(0)
@@ -452,21 +494,51 @@ class GeoTiffPartitionReader(
   private val valueIdx: Array[Int] = metas.indices
     .filter(i => i == 0 || fieldNames.contains(colNames(i))).toArray
 
+  /** Per-raster read window: the mask window itself unless resample=nearest
+    * paired a DIFFERENT grid — then the secondary reads the bounding window
+    * of the mask window's pixel-centroid images under ITS inverse affine
+    * (linear map → extrema at corners; clamped, coverage already validated
+    * at planning). Memory stays O(window) per raster: a coarser secondary
+    * reads a SMALLER window, a k×-finer one reads ≤ k× the mask window.
+    */
+  private val readWindows: Array[TiffWindow] = metas.map { mi =>
+    if (!resampleNearest || mi.sameGrid(m0)) window
+    else {
+      val det = mi.pixelScaleX * (-mi.pixelScaleY) - mi.rotX * mi.rotY
+      val corners = for {
+        cc <- Seq(window.colOff, window.colOff + window.width - 1)
+        rr <- Seq(window.rowOff, window.rowOff + window.height - 1)
+      } yield (m0.lonOf(cc.toDouble, rr.toDouble), m0.latOf(cc.toDouble, rr.toDouble))
+      val ps = corners.map { case (gx, gy) =>
+        ((gx - mi.originX) * (-mi.pixelScaleY) - (gy - mi.originY) * mi.rotX) / det
+      }
+      val qs = corners.map { case (gx, gy) =>
+        (mi.pixelScaleX * (gy - mi.originY) - mi.rotY * (gx - mi.originX)) / det
+      }
+      val c0 = math.min(math.max(math.floor(ps.min).toInt, 0), mi.width - 1)
+      val c1 = math.min(math.max(math.floor(ps.max).toInt, 0), mi.width - 1)
+      val r0 = math.min(math.max(math.floor(qs.min).toInt, 0), mi.height - 1)
+      val r1 = math.min(math.max(math.floor(qs.max).toInt, 0), mi.height - 1)
+      TiffWindow(c0, r0, c1 - c0 + 1, r1 - r0 + 1)
+    }
+  }
+
   private lazy val rasters: Array[PixelGrid] = {
     val arr = new Array[PixelGrid](metas.length)
     valueIdx.foreach { i =>
+      val rw = readWindows(i)
       if (metas(i).bigTiff) {
         require(bands(i) >= 1 && bands(i) <= metas(i).samplesPerPixel,
           s"${metas(i).path}: band ${bands(i)} out of range " +
             s"(raster has ${metas(i).samplesPerPixel} bands)")
-        arr(i) = new RawStripGrid(metas(i), window, bands(i) - 1)
+        arr(i) = new RawStripGrid(metas(i), rw, bands(i) - 1)
       } else {
         val reader = ImageIO.getImageReadersByFormatName("tiff").next()
         val iis = ImageIO.createImageInputStream(new File(metas(i).path))
         try {
           reader.setInput(iis)
           val p = reader.getDefaultReadParam
-          p.setSourceRegion(new Rectangle(window.colOff, window.rowOff, window.width, window.height))
+          p.setSourceRegion(new Rectangle(rw.colOff, rw.rowOff, rw.width, rw.height))
           arr(i) = new AwtPixelGrid(
             reader.read(metas(i).imageIndex, p).getRaster, bands(i) - 1)
         } finally {
@@ -542,7 +614,35 @@ class GeoTiffPartitionReader(
     else {
       val i = colNames.indexOf(f)
       require(i >= 0, s"unknown required column $f")
+      valueExtractor(i)
+    }
+  }
+
+  /** Value extractor for raster i: window-relative identity on matching
+    * grids; under resample=nearest with a different grid, each mask pixel's
+    * centroid maps through the secondary's inverse affine and samples the
+    * CELL containing it (floor of the fractional index — standard
+    * nearest-neighbor regridding). Constants are resolved once; the
+    * per-pixel cost is a handful of fused multiply-adds.
+    */
+  private def valueExtractor(i: Int): (Int, Int) => Any = {
+    val mi = metas(i)
+    if (!resampleNearest || mi.sameGrid(m0)) {
       (x: Int, y: Int) => sampleValue(i, x, y)
+    } else {
+      val rw = readWindows(i)
+      val det = mi.pixelScaleX * (-mi.pixelScaleY) - mi.rotX * mi.rotY
+      (x: Int, y: Int) => {
+        val gx = m0.lonOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
+        val gy = m0.latOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
+        val p = ((gx - mi.originX) * (-mi.pixelScaleY) - (gy - mi.originY) * mi.rotX) / det
+        val q = (mi.pixelScaleX * (gy - mi.originY) - mi.rotY * (gx - mi.originX)) / det
+        // clamp into the read window: coverage was validated at planning,
+        // so this only absorbs last-ulp boundary wobble
+        val cs = math.min(math.max(math.floor(p).toInt - rw.colOff, 0), rw.width - 1)
+        val rs = math.min(math.max(math.floor(q).toInt - rw.rowOff, 0), rw.height - 1)
+        sampleValue(i, cs, rs)
+      }
     }
   }
 

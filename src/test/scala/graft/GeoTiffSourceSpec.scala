@@ -1014,6 +1014,91 @@ class GeoTiffSourceSpec extends SparkSpec {
       eArea.getMessage.contains("rotation terms"))
   }
 
+  test("resample=nearest: coarser and finer secondaries sample the covering cell exactly") {
+    // mask: 10x8 @ 0.5 deg, origin (10, 50); secondary values g(c, r) = r*10 + c
+    val mask = TiffFixtures.writeBigTiff(s"$tmp/rs_mask.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"))
+    def g(c: Int, r: Int): Double = r * 10.0 + c
+    // 2x coarser secondary on the same origin: mask pixel (c, r) centroid
+    // falls in secondary cell (c/2, r/2)
+    val coarse = TiffFixtures.writeBigTiff(s"$tmp/rs_coarse.tif", 5, 4, g,
+      10.0, 50.0, 1.0, None)
+    val rows = Raster.raster2df(spark, Seq(mask, coarse), colNames = Seq("m", "b"),
+      resample = "nearest").collect()
+    val expectValid = (0 until 8).flatMap(r => (0 until 10).map(c => (c, r)))
+      .count { case (c, r) => v7(c, r) != -9999.0 }
+    assert(rows.length == expectValid)
+    rows.foreach { row =>
+      val c = math.rint((row.getDouble(0) - 10.0) / 0.5 - 0.5).toInt
+      val r = math.rint((50.0 - row.getDouble(1)) / 0.5 - 0.5).toInt
+      assert(row.getFloat(3).toDouble == g(c / 2, r / 2),
+        s"pixel ($c, $r): got ${row.getFloat(3)}, want ${g(c / 2, r / 2)}")
+    }
+    // 2x finer secondary: centroid falls in cell (2c+1, 2r+1)
+    val fine = TiffFixtures.writeBigTiff(s"$tmp/rs_fine.tif", 20, 16,
+      (c, r) => r * 100.0 + c, 10.0, 50.0, 0.25, None)
+    Raster.raster2df(spark, Seq(mask, fine), colNames = Seq("m", "b"),
+      resample = "nearest").collect().foreach { row =>
+      val c = math.rint((row.getDouble(0) - 10.0) / 0.5 - 0.5).toInt
+      val r = math.rint((50.0 - row.getDouble(1)) / 0.5 - 0.5).toInt
+      assert(row.getFloat(3).toDouble == (2 * r + 1) * 100.0 + (2 * c + 1),
+        s"pixel ($c, $r): got ${row.getFloat(3)}")
+    }
+    // windowed reads equal the single-window read (per-window secondary
+    // windows + global-index mapping must agree across window offsets)
+    val whole = Raster.raster2df(spark, Seq(mask, coarse), colNames = Seq("m", "b"),
+      resample = "nearest").orderBy("lat", "lon").collect().map(_.toSeq)
+    val windowed = Raster.raster2df(spark, Seq(mask, coarse), colNames = Seq("m", "b"),
+      resample = "nearest", maxBlockSize = 3).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(windowed.sameElements(whole))
+    // identical grids under resample degenerate to the plain zip
+    val twin = TiffFixtures.writeBigTiff(s"$tmp/rs_twin.tif", 10, 8, g,
+      10.0, 50.0, 0.5, None)
+    val plain = Raster.raster2df(spark, Seq(mask, twin), colNames = Seq("m", "b"))
+      .orderBy("lat", "lon").collect().map(_.toSeq)
+    val viaRs = Raster.raster2df(spark, Seq(mask, twin), colNames = Seq("m", "b"),
+      resample = "nearest").orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(viaRs.sameElements(plain))
+  }
+
+  test("resample=nearest typed rejections: coverage, mode, CRS, and the no-resample hint") {
+    val mask = TiffFixtures.writeBigTiff(s"$tmp/rs2_mask.tif", 10, 8, v7,
+      10.0, 50.0, 0.5, Some("-9999"))
+    // secondary shifted east so the mask's west centroids fall outside
+    val shifted = TiffFixtures.writeBigTiff(s"$tmp/rs2_shift.tif", 5, 4,
+      (c, r) => 1.0, 10.5, 50.0, 1.0, None)
+    val eCov = intercept[IllegalArgumentException] {
+      Raster.raster2df(spark, Seq(mask, shifted), colNames = Seq("m", "b"),
+        resample = "nearest").collect()
+    }
+    assert(eCov.getMessage.contains("does not cover"))
+    // unsupported mode names itself
+    val eMode = intercept[IllegalArgumentException] {
+      Raster.raster2df(spark, Seq(mask, shifted), colNames = Seq("m", "b"),
+        resample = "bilinear").collect()
+    }
+    assert(eMode.getMessage.contains("only 'nearest'"))
+    // resample does NOT bypass the CRS gate: different projected EPSGs with
+    // different (covering) grids still reject on EPSG, not on coverage
+    val z33 = TiffFixtures.writeBigTiff(s"$tmp/rs2_z33.tif", 10, 8, v7,
+      500000.0, 4649776.0, 30.0, Some("-9999"), geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    val z34 = TiffFixtures.writeBigTiff(s"$tmp/rs2_z34.tif", 20, 16,
+      (c, r) => 1.0, 499900.0, 4649876.0, 30.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 32634))
+    val eCrs = intercept[Exception] {
+      Raster.raster2df(spark, Seq(z33, z34), colNames = Seq("m", "b"),
+        resample = "nearest").collect()
+    }
+    assert(eCrs.getMessage.contains("EPSG:32633") && eCrs.getMessage.contains("EPSG:32634"))
+    // without resample, the grid-mismatch error teaches the option
+    val coarse = TiffFixtures.writeBigTiff(s"$tmp/rs2_coarse.tif", 5, 4,
+      (c, r) => 1.0, 10.0, 50.0, 1.0, None)
+    val eGrid = intercept[Exception] {
+      Raster.raster2df(spark, Seq(mask, coarse), colNames = Seq("m", "b")).collect()
+    }
+    assert(eGrid.getMessage.contains("grid mismatch") &&
+      eGrid.getMessage.contains("resample=nearest"))
+  }
+
   test("flipped-axis ModelTransformation stays rejected with its own typed message") {
     val flip = Array[Double](
       0.5, 0.0, 0.0, 10.0,
