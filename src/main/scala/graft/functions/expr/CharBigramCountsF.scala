@@ -50,13 +50,30 @@ case class CharBigramCountsF(child: Expression) extends UnaryExpression {
 
 object CharBigramCountsF {
   def compute(s: UTF8String): MapData = {
-    val n = s.numChars()
+    // One linear pass over the UTF-8 bytes recording each codepoint's
+    // start offset, then bigrams are byte slices. The previous
+    // substringSQL(i, 2) loop re-walked the string from byte 0 on EVERY
+    // call — O(n²) per document, measured as a 160 s task on the 1M-doc
+    // slice's 70k-char outliers (round 14). Bigram values and their
+    // first-occurrence insertion order are identical (substringSQL is
+    // codepoint-based, as is this walk).
+    val bytes = s.getBytes
+    val nb = bytes.length
+    val offs = new Array[Int](s.numChars() + 1)
+    var i = 0
+    var c = 0
+    while (i < nb) {
+      offs(c) = i
+      i += UTF8String.numBytesForFirstByte(bytes(i))
+      c += 1
+    }
+    offs(c) = nb
     val counts = new java.util.LinkedHashMap[UTF8String, Int]()
-    var i = 1
-    while (i < n) {
-      val bg = s.substringSQL(i, 2)
+    var k = 0
+    while (k + 1 < c) {
+      val bg = UTF8String.fromBytes(bytes, offs(k), offs(k + 2) - offs(k))
       counts.merge(bg, 1, (a, b) => a + b)
-      i += 1
+      k += 1
     }
     val keys = new Array[Any](counts.size)
     val vals = new Array[Any](counts.size)

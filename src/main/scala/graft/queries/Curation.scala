@@ -381,13 +381,22 @@ object Curation {
   private[queries] def docBigrams(s: SparkSession, dir: String): DataFrame = {
     val p = Scratch.path("bigramlm", dir)
     Scratch.once(p) {
-      val bigrams = explode(
-        when(length(col("text")) >= 2,
-          transform(sequence(lit(1), length(col("text")) - 1),
-            i => col("text").substr(i, lit(2))))
-          .otherwise(array().cast("array<string>"))).as("bg")
-      Tables.documents(s, dir).select(col("doc_id"), bigrams)
-        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+      // Round-14 (measured at the 1M-doc sf2 slice): the native
+      // char_bigram_counts expression IS the per-doc histogram, so the
+      // store build needs NO shuffle at all — explode the map instead of
+      // exploding raw bigrams into a 108M-group hash aggregate. 224.5 s →
+      // 157.3 s at 1M docs with a bit-identical store checksum (the HOF
+      // explode also ran interpreted — the known round-10 lesson). The
+      // repartition fans the no-shuffle pipeline out when the corpus is a
+      // single parquet file (the q95 single-scan-partition lesson).
+      val counts = org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.functions.expr.CharBigramCountsF(
+          org.apache.spark.sql.graftbridge.Bridge.expression(col("text"))))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), explode(counts).as(Seq("bg", "c")))
+        .select(col("doc_id"), col("bg"), col("c").cast("long").as("c"))
         .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(p)
@@ -395,12 +404,13 @@ object Curation {
 
   private def q73(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    // The (doc_id, bg) pre-aggregation collapses the 9M-row bigram stream
-    // via map-side combine BEFORE anything shuffles. Two rejected
-    // alternatives, both measured slower at sf0.1: broadcast-joining the
-    // model into the raw stream (4.7s — all 9M rows through join+agg) and
-    // the char_bigram_counts map expression (3.5s vs 3.3s — per-doc map
-    // allocation loses to codegen'd hash aggregation). The total needs no
+    // The (doc_id, bg) store collapses the bigram stream before anything
+    // shuffles (round 14: the store build itself now rides the native
+    // char_bigram_counts map — see docBigrams; the sf0.1-era measurement
+    // that the map expression "loses to codegen'd hash aggregation" held
+    // only while the consumer re-aggregated — as the per-doc STORE source
+    // it wins 1.43x at 1M docs with a bit-identical result, because the
+    // histogram needs no shuffle at all). The total needs no
     // bigram pass at all — a doc of length L contributes exactly
     // max(L-1, 0) bigrams. docBg feeds the model aggregate (a BROADCAST
     // side) and the main join (a shuffle consumer). Round-9 honesty pass:
