@@ -14,15 +14,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *   explode(transform(sequence(1, length(text)-1), i -> substr(text, i, 2)))
   *   ... groupBy(doc_id, bg).count()
   *
-  * Use this when the CONSUMER wants per-document histograms (feature
-  * vectors, per-doc divergence scoring): one row per document, no explode.
-  * For corpus-level aggregation (q73's LM model) the plain explode +
-  * codegen'd hash aggregation measured ~7% FASTER than exploding these
-  * maps — per-row map allocation loses to Tungsten's hash aggregate — so
-  * q73 deliberately does not use it; the honest measurement is recorded
-  * in its comment. Bigrams are codepoint-based (UTF8String.substringSQL),
-  * identical to SQL substr(text, i, 2); equality with the explode+count
-  * derivation is tested in CurationSpec. Key order is unspecified.
+  * Use this when the consumer wants PER-DOCUMENT histograms — which since
+  * round 14 includes the shared bigram STORE ([[graft.queries.Curation]]
+  * docBigrams): exploding these maps is the store's rows with NO
+  * aggregation shuffle at all, measured 1.43× faster than the raw-bigram
+  * explode + 108M-group hash aggregate at 1M docs. (The round-10
+  * measurement that the map form loses ~7% held only when the consumer
+  * re-aggregated CORPUS-wide over the exploded rows — Tungsten's hash
+  * aggregate beat per-row map allocation there; as the store source the
+  * aggregate does not exist.) Bigrams are codepoint-based, value- and
+  * key-order-identical to the old substringSQL walk and to SQL
+  * substr(text, i, 2); equality with the explode+count derivation is
+  * tested in CurationSpec. Key order is first-occurrence.
   */
 case class CharBigramCountsF(child: Expression) extends UnaryExpression {
 

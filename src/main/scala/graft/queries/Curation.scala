@@ -383,12 +383,15 @@ object Curation {
     Scratch.once(p) {
       // Round-14 (measured at the 1M-doc sf2 slice): the native
       // char_bigram_counts expression IS the per-doc histogram, so the
-      // store build needs NO shuffle at all — explode the map instead of
+      // build needs no AGGREGATION shuffle — explode the map instead of
       // exploding raw bigrams into a 108M-group hash aggregate. 224.5 s →
       // 157.3 s at 1M docs with a bit-identical store checksum (the HOF
       // explode also ran interpreted — the known round-10 lesson). The
-      // repartition fans the no-shuffle pipeline out when the corpus is a
-      // single parquet file (the q95 single-scan-partition lesson).
+      // one remaining exchange is the deliberate round-robin repartition
+      // of the raw (doc_id, text) rows below — it fans the otherwise
+      // shuffle-free pipeline out when the corpus is a single parquet
+      // file (the q95 single-scan-partition lesson) and costs one pass
+      // over the text bytes.
       val counts = org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.expr.CharBigramCountsF(
           org.apache.spark.sql.graftbridge.Bridge.expression(col("text"))))

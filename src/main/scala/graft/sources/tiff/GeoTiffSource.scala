@@ -189,10 +189,9 @@ class GeoTiffTable(
           cc <- Seq(0, first.width - 1)
           rr <- Seq(0, first.height - 1)
         } yield (first.lonOf(cc.toDouble, rr.toDouble), first.latOf(cc.toDouble, rr.toDouble))
-        val det = m.pixelScaleX * (-m.pixelScaleY) - m.rotX * m.rotY
         corners.foreach { case (gx, gy) =>
-          val p = ((gx - m.originX) * (-m.pixelScaleY) - (gy - m.originY) * m.rotX) / det
-          val q = (m.pixelScaleX * (gy - m.originY) - m.rotY * (gx - m.originX)) / det
+          val p = m.fracColOf(gx, gy)
+          val q = m.fracRowOf(gx, gy)
           require(p >= 0 && p < m.width && q >= 0 && q < m.height,
             s"resample=nearest: ${m.path} does not cover the mask grid of ${first.path} — " +
               f"mask centroid ($gx%.6f, $gy%.6f) maps to fractional pixel ($p%.3f, $q%.3f) " +
@@ -341,13 +340,38 @@ class GeoTiffScan(
 
   override def planInputPartitions(): Array[InputPartition] = {
     val m = metas.head
+    // Effective block bound (round-14 review finding): under
+    // resample=nearest a k×-FINER secondary's read window grows k per
+    // AXIS (k² pixels), so the MASK windows must shrink until every
+    // raster's window stays ≤ maxBlockSize per side — that is the
+    // O(maxBlockSize²) memory contract the scaladoc promises. The map is
+    // linear, so a (w, h) mask window spans ≤ |dCol|·w + |dRow|·h
+    // secondary cells per axis, where dCol/dRow are the images of the
+    // mask's unit col/row steps under the secondary's inverse affine
+    // (computed via the shared RasterMeta.fracColOf/fracRowOf, so
+    // planning and read-time cannot drift). Coarser secondaries leave
+    // the block untouched (growth < 1).
+    val effBlock: Int =
+      if (!resampleNearest) maxBlockSize
+      else metas.tail.filterNot(_.sameGrid(m)).foldLeft(maxBlockSize) { (acc, mi) =>
+        def span(dx: Double, dy: Double): (Double, Double) = (
+          math.abs(mi.fracColOf(m.originX + dx, m.originY + dy) -
+            mi.fracColOf(m.originX, m.originY)),
+          math.abs(mi.fracRowOf(m.originX + dx, m.originY + dy) -
+            mi.fracRowOf(m.originX, m.originY)))
+        val (pc, qc) = span(m.pixelScaleX, m.rotY) // per mask COL step
+        val (pr, qr) = span(m.rotX, -m.pixelScaleY) // per mask ROW step
+        val growth = math.max(pc + pr, qc + qr)
+        if (growth <= 1.0) acc
+        else math.min(acc, math.max(1, math.floor(maxBlockSize / growth).toInt))
+      }
     val parts = ArrayBuffer[InputPartition]()
     var r = 0
     while (r < m.height) {
-      val h = math.min(maxBlockSize, m.height - r)
+      val h = math.min(effBlock, m.height - r)
       var c = 0
       while (c < m.width) {
-        val w = math.min(maxBlockSize, m.width - c)
+        val w = math.min(effBlock, m.width - c)
         // window geo bounds from its FOUR corners: exact under the full
         // affine (an affine maps the window rectangle to a parallelogram,
         // whose coordinate extrema are at corners). On axis-aligned grids
@@ -504,17 +528,12 @@ class GeoTiffPartitionReader(
   private val readWindows: Array[TiffWindow] = metas.map { mi =>
     if (!resampleNearest || mi.sameGrid(m0)) window
     else {
-      val det = mi.pixelScaleX * (-mi.pixelScaleY) - mi.rotX * mi.rotY
       val corners = for {
         cc <- Seq(window.colOff, window.colOff + window.width - 1)
         rr <- Seq(window.rowOff, window.rowOff + window.height - 1)
       } yield (m0.lonOf(cc.toDouble, rr.toDouble), m0.latOf(cc.toDouble, rr.toDouble))
-      val ps = corners.map { case (gx, gy) =>
-        ((gx - mi.originX) * (-mi.pixelScaleY) - (gy - mi.originY) * mi.rotX) / det
-      }
-      val qs = corners.map { case (gx, gy) =>
-        (mi.pixelScaleX * (gy - mi.originY) - mi.rotY * (gx - mi.originX)) / det
-      }
+      val ps = corners.map { case (gx, gy) => mi.fracColOf(gx, gy) }
+      val qs = corners.map { case (gx, gy) => mi.fracRowOf(gx, gy) }
       val c0 = math.min(math.max(math.floor(ps.min).toInt, 0), mi.width - 1)
       val c1 = math.min(math.max(math.floor(ps.max).toInt, 0), mi.width - 1)
       val r0 = math.min(math.max(math.floor(qs.min).toInt, 0), mi.height - 1)
@@ -631,16 +650,15 @@ class GeoTiffPartitionReader(
       (x: Int, y: Int) => sampleValue(i, x, y)
     } else {
       val rw = readWindows(i)
-      val det = mi.pixelScaleX * (-mi.pixelScaleY) - mi.rotX * mi.rotY
       (x: Int, y: Int) => {
         val gx = m0.lonOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
         val gy = m0.latOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
-        val p = ((gx - mi.originX) * (-mi.pixelScaleY) - (gy - mi.originY) * mi.rotX) / det
-        val q = (mi.pixelScaleX * (gy - mi.originY) - mi.rotY * (gx - mi.originX)) / det
         // clamp into the read window: coverage was validated at planning,
         // so this only absorbs last-ulp boundary wobble
-        val cs = math.min(math.max(math.floor(p).toInt - rw.colOff, 0), rw.width - 1)
-        val rs = math.min(math.max(math.floor(q).toInt - rw.rowOff, 0), rw.height - 1)
+        val cs = math.min(math.max(
+          math.floor(mi.fracColOf(gx, gy)).toInt - rw.colOff, 0), rw.width - 1)
+        val rs = math.min(math.max(
+          math.floor(mi.fracRowOf(gx, gy)).toInt - rw.rowOff, 0), rw.height - 1)
         sampleValue(i, cs, rs)
       }
     }

@@ -139,6 +139,25 @@ object TiffTags {
     def latOf(col: Double, row: Double): Double =
       originY + (col + 0.5) * rotY - (row + 0.5) * pixelScaleY
 
+    /** Determinant of the 2×2 affine [sx rx; ry −sy] — nonzero for every
+      * accepted grid (axis-aligned: −sx·sy < 0; rotated grids keep
+      * |rot| < scale by the flipped-axes gate's practical regime).
+      */
+    def affineDet: Double = pixelScaleX * (-pixelScaleY) - rotX * rotY
+
+    /** Fractional COLUMN index of geo point (gx, gy) under the full
+      * inverse affine: `floor` of it is the cell containing the point.
+      * THE single copy of the inverse — the coverage check, the
+      * per-window secondary read planning, and the per-pixel
+      * nearest-neighbor sampler all call this, so they cannot drift.
+      */
+    def fracColOf(gx: Double, gy: Double): Double =
+      ((gx - originX) * (-pixelScaleY) - (gy - originY) * rotX) / affineDet
+
+    /** Fractional ROW index of geo point (gx, gy) — see [[fracColOf]]. */
+    def fracRowOf(gx: Double, gy: Double): Double =
+      (pixelScaleX * (gy - originY) - rotY * (gx - originX)) / affineDet
+
     def sameGrid(other: RasterMeta, eps: Double = 1e-9): Boolean =
       width == other.width && height == other.height &&
         math.abs(pixelScaleX - other.pixelScaleX) < eps &&

@@ -1051,6 +1051,18 @@ class GeoTiffSourceSpec extends SparkSpec {
     val windowed = Raster.raster2df(spark, Seq(mask, coarse), colNames = Seq("m", "b"),
       resample = "nearest", maxBlockSize = 3).orderBy("lat", "lon").collect().map(_.toSeq)
     assert(windowed.sameElements(whole))
+    // a k×-FINER secondary shrinks the PLANNED mask windows so every
+    // raster's read window stays ≤ maxBlockSize per side (the round-14
+    // review finding: without this the secondary window grows k² pixels
+    // and breaks the O(maxBlockSize²) memory contract). 2×-finer at
+    // maxBlockSize=4 → effective block 2 → ceil(10/2)·ceil(8/2) = 20
+    // partitions vs ceil(10/4)·ceil(8/4) = 6 for the coarse secondary.
+    val fineParts = Raster.raster2df(spark, Seq(mask, fine), colNames = Seq("m", "b"),
+      resample = "nearest", maxBlockSize = 4).rdd.getNumPartitions
+    assert(fineParts == 20, s"expected 20 shrunk windows, got $fineParts")
+    val coarseParts = Raster.raster2df(spark, Seq(mask, coarse), colNames = Seq("m", "b"),
+      resample = "nearest", maxBlockSize = 4).rdd.getNumPartitions
+    assert(coarseParts == 6, s"coarser secondary must not shrink windows, got $coarseParts")
     // identical grids under resample degenerate to the plain zip
     val twin = TiffFixtures.writeBigTiff(s"$tmp/rs_twin.tif", 10, 8, g,
       10.0, 50.0, 0.5, None)
