@@ -192,6 +192,40 @@ object Langid {
       |FROM scored
       |ORDER BY doc_id""".stripMargin
 
+  /** The q70 substitution contract, machine-checked: language-balanced
+    * sampling (fixed quota 20 per class, deterministic md5 order — q70's
+    * exact logic) driven by the PREDICTED label instead of the metadata
+    * column. This is how a corpus with no trustworthy lang tags runs the
+    * balancing stage: join q171's scores, rename lang_pred → lang, change
+    * nothing else. Oracle replays featurize → train → argmax → quota.
+    */
+  private def q173(s: SparkSession, dir: String): DataFrame = {
+    val h = graft.functions.TextHash.h60(
+      concat(lit("bal:"), col("doc_id").cast("string")))
+    scoresStore(s, dir)
+      .select(col("lang_pred").as("lang"), col("doc_id"), h.as("hkey"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("hkey"), col("doc_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("lang"), col("rk"), col("doc_id"))
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val q173Sql = scoreSql +
+    """
+      |SELECT lang, rk, doc_id
+      |FROM (
+      |  SELECT lang, doc_id,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS INT) AS rk
+      |  FROM (
+      |    SELECT lang_pred AS lang, doc_id,
+      |      ('0x' || substr(md5('bal:' || doc_id::VARCHAR), 1, 15))::BIGINT AS h
+      |    FROM scored
+      |  )
+      |) t
+      |WHERE rk <= 20
+      |ORDER BY lang, rk""".stripMargin
+
   private val q172Sql = scoreSql +
     """, cm AS (
       |  SELECT lang, lang_pred, COUNT(*) AS n FROM scored GROUP BY 1, 2
@@ -204,5 +238,6 @@ object Langid {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q171_langid_score", q171, Some(q171Sql)),
-    QueryDef("q172_langid_confusion", q172, Some(q172Sql)))
+    QueryDef("q172_langid_confusion", q172, Some(q172Sql)),
+    QueryDef("q173_langid_balanced_sample", q173, Some(q173Sql)))
 }
