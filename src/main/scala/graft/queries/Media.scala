@@ -416,23 +416,33 @@ object Media {
     import s.implicits._
     val p = Scratch.path("audpairs169", dir)
     Scratch.once(p) {
-      val media = Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        .repartition(s.sparkContext.defaultParallelism) // one file -> fan out the codec work
-        .as[(Long, String)]
-        .mapPartitions(_.map { case (id, text) =>
-          val toks = sortedToks(text)
-          // positive DC amplitude per window: window i's mean |amplitude|
-          // is exactly amp, so the fingerprint depends on content only
-          val amps = Array.tabulate[Short](64)(i =>
-            (1 + math.floorMod(toks(i * toks.length / 64).hashCode, 4096)).toShort)
-          graft.multimodal.MediaRow(id, s"mem://doc/$id.wav",
-            Multimodal.envelopeWav(amps), Map.empty)
-        })
-      Multimodal.audioNearDupPairs(media, maxHamming = 3)
+      Multimodal.audioNearDupPairs(audioMedia(s, dir), maxHamming = 3)
         .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(p)
+  }
+
+  /** The documents-as-audio corpus render (one real PCM16 clip per doc) —
+    * shared by the q169 pair build and the scale rehearsals so the
+    * rendered corpus cannot drift between the declared query and its
+    * posture probes.
+    */
+  private[graft] def audioMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism) // one file -> fan out the codec work
+      .as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val toks = sortedToks(text)
+        // positive DC amplitude per window: window i's mean |amplitude|
+        // is exactly amp, so the fingerprint depends on content only
+        val amps = Array.tabulate[Short](64)(i =>
+          (1 + math.floorMod(toks(i * toks.length / 64).hashCode, 4096)).toShort)
+        graft.multimodal.MediaRow(id, s"mem://doc/$id.wav",
+          Multimodal.envelopeWav(amps), Map.empty)
+      })
   }
 
   /** Sorted distinct whitespace tokens with an empty-text guard: a

@@ -441,6 +441,41 @@ object ScaleRehearsal {
       Seq((nPairs, act._2, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
     }),
 
+    // Audio near-dup over a REAL document corpus at the production cap:
+    // the declared q169's default maxBucket=10000 is sized for the sf0.1
+    // catalog; at 1M docs the synthetic corpus's template structure makes
+    // degenerate envelope mega-buckets (measured: 386.7 s / 73.6 GB spill
+    // uncapped-in-practice, and the uncapped pair graph then OOM'd the CC
+    // action). maxBucket=100 is the q44/q54 full-corpus precedent — the
+    // documented recall sacrifice on degenerate buckets that makes
+    // template-heavy corpora safe. Asserts the dedup action's exact
+    // accounting on the capped graph.
+    "audio_neardup_sf2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val media = graft.queries.Media.audioMedia(s, dir).localCheckpoint(true)
+      val nm = media.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.multimodal.Multimodal
+        .audioNearDupPairs(media, maxHamming = 3, maxBucket = 100)
+        .localCheckpoint(true)
+      val nPairs = pairs.count()
+      val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val t1 = System.nanoTime()
+      val act = graft.operators.DedupClusters.clusterAssignments(
+        media.toDF().select(col("doc_id")), "doc_id",
+        pairs.select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
+        .filter(col("doc_id") === col("cluster_id"))
+        .agg(sum(col("cluster_size")).as("accounted"), count(lit(1)).as("survivors"))
+        .as[(Long, Long)].head()
+      val actSec = math.rint((System.nanoTime() - t1) / 1e7) / 100.0
+      require(act._1 == nm,
+        s"action accounting broke: ${act._1} accounted of $nm clips")
+      println(s"""{"probe":"audio_neardup_sf2","clips":$nm,"pairs":$nPairs,""" +
+        s""""survivors":${act._2},"pair_sec":$pairSec,"action_sec":$actSec}""")
+      Seq((nPairs, act._2, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
+    }),
+
     "q100_window" -> ((s, dir) =>
       graft.operators.SubstringDedup.duplicatedSpans(
         graft.Tables.documents(s, dir), "doc_id", "text",
