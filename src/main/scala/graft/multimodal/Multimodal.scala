@@ -368,16 +368,99 @@ object Multimodal {
     bandedFpPairs(imageHashes(media), "ahash", maxHamming, maxBucket)
 
   /** 64-bit audio energy-envelope fingerprint — [[aHash64]]'s audio twin:
-    * decode PCM16 (same JDK javax.sound path as [[WavCodec]]), split the
-    * sample stream into 64 equal time windows, mean |amplitude| per window,
-    * threshold each at the global window mean. Invariant to sample-rate
+    * decode PCM16 (canonical little-endian RIFF/WAVE via a lock-free
+    * direct parse — see [[parseCanonicalPcm16]] for why javax.sound is
+    * only the fallback — anything else through the same JDK javax.sound
+    * path as [[WavCodec]]), split the sample stream into 64 equal time
+    * windows, mean |amplitude| per window, threshold each at the global
+    * window mean. Both decode paths produce the identical fingerprint;
+    * equality is property-pinned in MultimodalSpec. Invariant to sample-rate
     * metadata and robust to small edits/noise; sensitive to the loudness
     * envelope, which is what near-duplicate re-encodes preserve. Same
     * honest limitation as flat images: near-silence (or any constant
     * envelope, e.g. an unmodulated pure tone) hashes toward all-zeros and
     * collides; the mega-bucket cap in the pairing bounds the blast radius.
     */
-  def audioFp64(bytes: Array[Byte]): Long = {
+  def audioFp64(bytes: Array[Byte]): Long =
+    parseCanonicalPcm16(bytes) match {
+      case Some((off, nSamples)) => fpFromPcm16Le(bytes, off, nSamples)
+      case None => audioFp64ViaJavaxSound(bytes)
+    }
+
+  /** (data offset, sample count) of a canonical little-endian PCM16
+    * RIFF/WAVE payload — the lock-free FAST PATH for the overwhelmingly
+    * common case. None → the caller falls back to javax.sound, which
+    * either decodes the exotic layout (big-endian, extensible,
+    * compressed) or errors loudly — so behavior on every input is
+    * unchanged, only the canonical case gets cheap. The fallback is a
+    * correctness door, not a throughput one: AudioSystem
+    * .getAudioInputStream serializes under a global lock — measured
+    * 181 µs/call single-threaded and ZERO speedup at 32 threads (138.7 s
+    * for 640k calls), so a 1M-clip corpus paid ~220 s of effectively
+    * single-core decode before this path existed (BASELINE round-14 row).
+    */
+  private def parseCanonicalPcm16(b: Array[Byte]): Option[(Int, Int)] = {
+    def tag(i: Int, s: String): Boolean =
+      b(i) == s.charAt(0).toByte && b(i + 1) == s.charAt(1).toByte &&
+        b(i + 2) == s.charAt(2).toByte && b(i + 3) == s.charAt(3).toByte
+    def u16(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    def u32(i: Int): Long = (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+    if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var pos = 12
+    var fmtOk = false
+    while (pos + 8 <= b.length) {
+      val sz = u32(pos + 4)
+      val body = pos + 8
+      if (sz < 0 || sz > b.length - body) return None
+      if (tag(pos, "fmt ")) {
+        if (sz < 16) return None
+        // audioFormat(2) channels(2) rate(4) byteRate(4) align(2) bits(2)
+        fmtOk = u16(body) == 1 && u16(body + 14) == 16
+        if (!fmtOk) return None // PCM16 only; everything else -> javax.sound
+      } else if (tag(pos, "data")) {
+        if (!fmtOk) return None
+        val n = (sz / 2).toInt
+        if (n < 1) return None // empty data -> fallback's typed error
+        return Some((body, n))
+      }
+      pos = body + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+    }
+    None
+  }
+
+  /** The envelope fold over little-endian PCM16 samples at `off` — the
+    * identical 64-cell math as the javax.sound path (the fingerprint is a
+    * function of the flat interleaved sample stream in both).
+    */
+  private def fpFromPcm16Le(b: Array[Byte], off: Int, n: Int): Long = {
+    val cells = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      val s0 = (i.toLong * n / 64).toInt
+      val s1 = math.max(s0 + 1, ((i + 1).toLong * n / 64).toInt)
+      var sum = 0L
+      var s = s0
+      while (s < s1) {
+        val idx = off + s * 2
+        val v = ((b(idx) & 0xff) | (b(idx + 1) << 8)).toShort
+        sum += math.abs(v.toLong)
+        s += 1
+      }
+      cells(i) = sum.toDouble / (s1 - s0)
+      i += 1
+    }
+    val mean = cells.sum / 64
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (cells(i) > mean) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  private[graft] def audioFp64ViaJavaxSound(bytes: Array[Byte]): Long = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {

@@ -432,6 +432,44 @@ class MultimodalSpec extends SparkSpec {
       assert(action.filter(col("dup_count") > 1).count() > 0L)
   }
 
+  test("audioFp64 fast path == javax.sound path on canonical and exotic WAVs") {
+    // the round-14 lock-free direct RIFF parse must fingerprint exactly
+    // like the javax.sound fallback it bypasses — on envelope WAVs,
+    // square waves (negative samples), stereo, and a padded odd-size
+    // chunk layout; a mono big-endian AIFF-style layout is NOT canonical
+    // and must take the fallback (verified by equality anyway).
+    val rnd = new scala.util.Random(7)
+    (1 to 25).foreach { k =>
+      val amps = Array.tabulate[Short](64)(_ =>
+        (1 + rnd.nextInt(4096)).toShort)
+      val wav = Multimodal.envelopeWav(amps)
+      assert(Multimodal.audioFp64(wav) == Multimodal.audioFp64ViaJavaxSound(wav),
+        s"fast path diverged on envelope wav $k")
+    }
+    // square wave with negative samples, stereo, arbitrary counts
+    def wav(rate: Int, channels: Int, n: Int, amp: Short): Array[Byte] = {
+      val dataLen = n * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * 2 * channels)
+        .putShort((2 * channels).toShort).putShort(16)
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      for (s <- 0 until n)
+        bb.putShort(if (s % 2 == 0) amp else (-amp).toShort)
+      bb.array()
+    }
+    Seq(wav(8000, 1, 400, 1000), wav(44100, 2, 1001, 12345),
+      wav(16000, 1, 65, 1)).foreach { w =>
+      assert(Multimodal.audioFp64(w) == Multimodal.audioFp64ViaJavaxSound(w))
+    }
+    // non-RIFF bytes still fail loudly through the fallback
+    intercept[Exception] { Multimodal.audioFp64(Array.fill[Byte](64)(7)) }
+  }
+
   test("audio near-dup (q169): pairs are symmetric-free, thresholded, and find the template clones") {
     val d = sf()
     val pairs = graft.queries.Catalog.queries("q169_audio_neardup")(spark, d)
