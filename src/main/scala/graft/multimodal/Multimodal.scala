@@ -174,6 +174,14 @@ object Multimodal {
     */
   object WavCodec extends MediaCodec {
     def openPartition(): Array[Byte] => (Int, Int, Int, Double) = { bytes =>
+      // canonical little-endian PCM16 takes the lock-free direct parse
+      // (AudioSystem serializes globally — see parseCanonicalPcm16);
+      // everything else falls back to javax.sound below, identical values
+      Multimodal.decodeCanonicalPcm16(bytes).getOrElse(
+        decodeViaJavaxSound(bytes))
+    }
+
+    private def decodeViaJavaxSound(bytes: Array[Byte]): (Int, Int, Int, Double) = {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(bytes))
       try {
@@ -383,7 +391,7 @@ object Multimodal {
     */
   def audioFp64(bytes: Array[Byte]): Long =
     parseCanonicalPcm16(bytes) match {
-      case Some((off, nSamples)) => fpFromPcm16Le(bytes, off, nSamples)
+      case Some(c) => fpFromPcm16Le(bytes, c.off, c.nSamples)
       case None => audioFp64ViaJavaxSound(bytes)
     }
 
@@ -399,7 +407,14 @@ object Multimodal {
     * for 640k calls), so a 1M-clip corpus paid ~220 s of effectively
     * single-core decode before this path existed (BASELINE round-14 row).
     */
-  private def parseCanonicalPcm16(b: Array[Byte]): Option[(Int, Int)] = {
+  /** Canonical-PCM16 parse result: data offset, total sample count (across
+    * channels — the flat interleaved stream both consumers fold over),
+    * sample rate, channel count.
+    */
+  private final case class CanonicalPcm16(
+      off: Int, nSamples: Int, rate: Int, channels: Int)
+
+  private def parseCanonicalPcm16(b: Array[Byte]): Option[CanonicalPcm16] = {
     def tag(i: Int, s: String): Boolean =
       b(i) == s.charAt(0).toByte && b(i + 1) == s.charAt(1).toByte &&
         b(i + 2) == s.charAt(2).toByte && b(i + 3) == s.charAt(3).toByte
@@ -409,6 +424,8 @@ object Multimodal {
     if (b.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
     var pos = 12
     var fmtOk = false
+    var rate = 0
+    var channels = 0
     while (pos + 8 <= b.length) {
       val sz = u32(pos + 4)
       val body = pos + 8
@@ -418,11 +435,16 @@ object Multimodal {
         // audioFormat(2) channels(2) rate(4) byteRate(4) align(2) bits(2)
         fmtOk = u16(body) == 1 && u16(body + 14) == 16
         if (!fmtOk) return None // PCM16 only; everything else -> javax.sound
+        channels = u16(body + 2)
+        if (channels < 1) return None
+        val r = u32(body + 4)
+        if (r < 1 || r > Int.MaxValue) return None
+        rate = r.toInt
       } else if (tag(pos, "data")) {
         if (!fmtOk) return None
         val n = (sz / 2).toInt
         if (n < 1) return None // empty data -> fallback's typed error
-        return Some((body, n))
+        return Some(CanonicalPcm16(body, n, rate, channels))
       }
       pos = body + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
     }
@@ -459,6 +481,24 @@ object Multimodal {
     }
     hash
   }
+
+  /** Typed canonical decode for [[WavCodec]]'s fast path — the codec tuple
+    * (rate, channels, samples per channel, mean |amplitude|) from the same
+    * lock-free parse; None → the caller falls back to javax.sound.
+    */
+  private[multimodal] def decodeCanonicalPcm16(
+      bytes: Array[Byte]): Option[(Int, Int, Int, Double)] =
+    parseCanonicalPcm16(bytes).map { c =>
+      var sum = 0L
+      var i = 0
+      while (i < c.nSamples) {
+        val idx = c.off + i * 2
+        val v = ((bytes(idx) & 0xff) | (bytes(idx + 1) << 8)).toShort
+        sum += math.abs(v.toLong)
+        i += 1
+      }
+      (c.rate, c.channels, c.nSamples / c.channels, sum.toDouble / c.nSamples)
+    }
 
   private[graft] def audioFp64ViaJavaxSound(bytes: Array[Byte]): Long = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
