@@ -164,13 +164,17 @@ object Multimodal {
     }
   }
 
-  /** Real audio codec on JDK javax.sound (same zero-dependency standing as
-    * [[ImageIoCodec]]'s javax.imageio — and, unlike a hand-rolled RIFF
-    * parser, the chunk walking, bounds checking, and WAVE_FORMAT_EXTENSIBLE
-    * handling are the JDK's problem). The codec tuple maps
-    * audio-semantically: (sample_rate, channels, n_samples_per_channel,
-    * mean |amplitude|); prefer the typed [[decodeAudio]] door, which names
-    * the fields honestly instead of reusing the image schema.
+  /** Real audio codec: canonical little-endian PCM16 RIFF parses on the
+    * lock-free direct path ([[parseCanonicalPcm16]] — AudioSystem
+    * serializes under a global lock, so per-row JDK decode makes an
+    * executor single-core); everything else — big-endian, compressed,
+    * WAVE_FORMAT_EXTENSIBLE — falls back to JDK javax.sound (same
+    * zero-dependency standing as [[ImageIoCodec]]'s javax.imageio), whose
+    * frame-truncation semantics the direct parse mirrors exactly. The
+    * codec tuple maps audio-semantically: (sample_rate, channels,
+    * n_samples_per_channel, mean |amplitude|); prefer the typed
+    * [[decodeAudio]] door, which names the fields honestly instead of
+    * reusing the image schema.
     */
   object WavCodec extends MediaCodec {
     def openPartition(): Array[Byte] => (Int, Int, Int, Double) = { bytes =>
@@ -442,20 +446,28 @@ object Multimodal {
         rate = r.toInt
       } else if (tag(pos, "data")) {
         if (!fmtOk) return None
-        val n = (sz / 2).toInt
-        if (n < 1) return None // empty data -> fallback's typed error
-        return Some(CanonicalPcm16(body, n, rate, channels))
+        // FRAME-align like javax.sound does: a data chunk that is not a
+        // multiple of blockAlign is truncated to whole frames (a stereo
+        // chunk of 2002 bytes decodes 1000 samples, not 1001 — the
+        // round-14 review's empirically-confirmed divergence), and a
+        // sub-frame chunk (0 whole frames) falls back so the JDK path
+        // raises its typed "empty audio data" error.
+        val frames = (sz / (2L * channels)).toInt
+        if (frames < 1) return None
+        return Some(CanonicalPcm16(body, frames * channels, rate, channels))
       }
       pos = body + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
     }
     None
   }
 
-  /** The envelope fold over little-endian PCM16 samples at `off` — the
-    * identical 64-cell math as the javax.sound path (the fingerprint is a
-    * function of the flat interleaved sample stream in both).
+  /** THE single copy of the 64-cell envelope fold, parameterized on a
+    * sample accessor so the lock-free fast path and the javax.sound
+    * fallback share the math STRUCTURALLY (a windowing tweak cannot split
+    * the fingerprint space between them) — the property test then checks
+    * the decode, not two hand-kept copies.
     */
-  private def fpFromPcm16Le(b: Array[Byte], off: Int, n: Int): Long = {
+  private def envelopeFp64(absSample: Int => Long, n: Int): Long = {
     val cells = new Array[Double](64)
     var i = 0
     while (i < 64) {
@@ -463,12 +475,7 @@ object Multimodal {
       val s1 = math.max(s0 + 1, ((i + 1).toLong * n / 64).toInt)
       var sum = 0L
       var s = s0
-      while (s < s1) {
-        val idx = off + s * 2
-        val v = ((b(idx) & 0xff) | (b(idx + 1) << 8)).toShort
-        sum += math.abs(v.toLong)
-        s += 1
-      }
+      while (s < s1) { sum += absSample(s); s += 1 }
       cells(i) = sum.toDouble / (s1 - s0)
       i += 1
     }
@@ -481,6 +488,12 @@ object Multimodal {
     }
     hash
   }
+
+  private def fpFromPcm16Le(b: Array[Byte], off: Int, n: Int): Long =
+    envelopeFp64(s => {
+      val idx = off + s * 2
+      math.abs(((b(idx) & 0xff) | (b(idx + 1) << 8)).toShort.toLong)
+    }, n)
 
   /** Typed canonical decode for [[WavCodec]]'s fast path — the codec tuple
     * (rate, channels, samples per channel, mean |amplitude|) from the same
@@ -515,25 +528,7 @@ object Multimodal {
       val bb = java.nio.ByteBuffer.wrap(data).order(
         if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)
-      val cells = new Array[Double](64)
-      var i = 0
-      while (i < 64) {
-        val s0 = (i.toLong * n / 64).toInt
-        val s1 = math.max(s0 + 1, ((i + 1).toLong * n / 64).toInt)
-        var sum = 0L
-        var s = s0
-        while (s < s1) { sum += math.abs(bb.getShort(s * 2).toLong); s += 1 }
-        cells(i) = sum.toDouble / (s1 - s0)
-        i += 1
-      }
-      val mean = cells.sum / 64
-      var hash = 0L
-      i = 0
-      while (i < 64) {
-        if (cells(i) > mean) hash |= (1L << i)
-        i += 1
-      }
-      hash
+      envelopeFp64(s => math.abs(bb.getShort(s * 2).toLong), n)
     } finally ais.close()
   }
 

@@ -149,6 +149,32 @@ object ScaleDataGen {
   */
 object ScaleRehearsal {
 
+  /** Shared dedup-action accounting for the near-dup rehearsal probes
+    * (video 50k / audio 50k / audio sf2 — ONE copy of the invariant, per
+    * the round-14 review): pairs → connected components → lowest-id
+    * survivors; REQUIRES sum(dup_count) == corpus size; returns
+    * (survivors, action seconds).
+    */
+  private def dedupActionStats(
+      media: org.apache.spark.sql.Dataset[graft.multimodal.MediaRow],
+      pairs: org.apache.spark.sql.DataFrame,
+      nm: Long): (Long, Double) = {
+    import org.apache.spark.sql.functions._
+    val s = media.sparkSession
+    import s.implicits._
+    val t1 = System.nanoTime()
+    val act = graft.operators.DedupClusters.clusterAssignments(
+      media.toDF().select(col("doc_id")), "doc_id",
+      pairs.select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
+      .filter(col("doc_id") === col("cluster_id"))
+      .agg(sum(col("cluster_size")).as("accounted"), count(lit(1)).as("survivors"))
+      .as[(Long, Long)].head()
+    val actSec = math.rint((System.nanoTime() - t1) / 1e7) / 100.0
+    require(act._1 == nm,
+      s"action accounting broke: ${act._1} accounted of $nm assets")
+    (act._2, actSec)
+  }
+
   /** Rehearsal-only entries beyond the declared catalog: strategy-PINNED
     * forms of operators whose declared queries auto-select, so the
     * rehearsal can measure both sides of an auto-threshold (the numbers
@@ -368,20 +394,11 @@ object ScaleRehearsal {
       val expectPlanted = (n / 5) * 6
       require(planted == expectPlanted,
         s"planted recall broke: $planted of $expectPlanted within-group pairs found")
-      val t1 = System.nanoTime()
-      val act = graft.operators.DedupClusters.clusterAssignments(
-        media.toDF().select(col("doc_id")), "doc_id",
-        pairs.select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
-        .filter(col("doc_id") === col("cluster_id"))
-        .agg(sum(col("cluster_size")).as("accounted"), count(lit(1)).as("survivors"))
-        .as[(Long, Long)].head()
-      val actSec = math.rint((System.nanoTime() - t1) / 1e7) / 100.0
-      require(act._1 == nm,
-        s"action accounting broke: ${act._1} accounted of $nm videos")
+      val (survivors, actSec) = dedupActionStats(media, pairs, nm)
       println(s"""{"probe":"video_neardup_50k","videos":$nm,"pairs":$nPairs,""" +
-        s""""planted_found":$planted,"survivors":${act._2},""" +
+        s""""planted_found":$planted,"survivors":$survivors,""" +
         s""""pair_sec":$pairSec,"action_sec":$actSec}""")
-      Seq((nPairs, act._2, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
+      Seq((nPairs, survivors, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
     }),
     // Audio near-dup at 50k real PCM16 clips (q169/q170's posture probe,
     // the video rehearsal's shape on the WAV path): 10k groups of 5 —
@@ -425,20 +442,11 @@ object ScaleRehearsal {
       val expectPlanted = (n / 5) * 6
       require(planted == expectPlanted,
         s"planted recall broke: $planted of $expectPlanted within-group pairs found")
-      val t1 = System.nanoTime()
-      val act = graft.operators.DedupClusters.clusterAssignments(
-        media.toDF().select(col("doc_id")), "doc_id",
-        pairs.select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
-        .filter(col("doc_id") === col("cluster_id"))
-        .agg(sum(col("cluster_size")).as("accounted"), count(lit(1)).as("survivors"))
-        .as[(Long, Long)].head()
-      val actSec = math.rint((System.nanoTime() - t1) / 1e7) / 100.0
-      require(act._1 == nm,
-        s"action accounting broke: ${act._1} accounted of $nm clips")
+      val (survivors, actSec) = dedupActionStats(media, pairs, nm)
       println(s"""{"probe":"audio_neardup_50k","clips":$nm,"pairs":$nPairs,""" +
-        s""""planted_found":$planted,"survivors":${act._2},""" +
+        s""""planted_found":$planted,"survivors":$survivors,""" +
         s""""pair_sec":$pairSec,"action_sec":$actSec}""")
-      Seq((nPairs, act._2, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
+      Seq((nPairs, survivors, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
     }),
 
     // Audio near-dup over a REAL document corpus at the production cap:
@@ -461,19 +469,10 @@ object ScaleRehearsal {
         .localCheckpoint(true)
       val nPairs = pairs.count()
       val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
-      val t1 = System.nanoTime()
-      val act = graft.operators.DedupClusters.clusterAssignments(
-        media.toDF().select(col("doc_id")), "doc_id",
-        pairs.select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
-        .filter(col("doc_id") === col("cluster_id"))
-        .agg(sum(col("cluster_size")).as("accounted"), count(lit(1)).as("survivors"))
-        .as[(Long, Long)].head()
-      val actSec = math.rint((System.nanoTime() - t1) / 1e7) / 100.0
-      require(act._1 == nm,
-        s"action accounting broke: ${act._1} accounted of $nm clips")
+      val (survivors, actSec) = dedupActionStats(media, pairs, nm)
       println(s"""{"probe":"audio_neardup_sf2","clips":$nm,"pairs":$nPairs,""" +
-        s""""survivors":${act._2},"pair_sec":$pairSec,"action_sec":$actSec}""")
-      Seq((nPairs, act._2, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
+        s""""survivors":$survivors,"pair_sec":$pairSec,"action_sec":$actSec}""")
+      Seq((nPairs, survivors, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
     }),
 
     "q100_window" -> ((s, dir) =>

@@ -446,8 +446,12 @@ class MultimodalSpec extends SparkSpec {
       assert(Multimodal.audioFp64(wav) == Multimodal.audioFp64ViaJavaxSound(wav),
         s"fast path diverged on envelope wav $k")
     }
-    // square wave with negative samples, stereo, arbitrary counts
-    def wav(rate: Int, channels: Int, n: Int, amp: Short): Array[Byte] = {
+    // VARYING samples incl. negatives (a constant |amplitude| hashes to 0
+    // on every path and proves nothing — the round-14 second-review
+    // finding), stereo, and a NON-FRAME-ALIGNED data chunk (1001 samples
+    // at blockAlign 4): javax.sound frame-truncates to 1000 samples, and
+    // the fast path must mirror that exactly
+    def wav(rate: Int, channels: Int, n: Int, seed: Int): Array[Byte] = {
       val dataLen = n * 2
       val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -458,14 +462,21 @@ class MultimodalSpec extends SparkSpec {
         .putInt(rate * 2 * channels)
         .putShort((2 * channels).toShort).putShort(16)
       bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
-      for (s <- 0 until n)
-        bb.putShort(if (s % 2 == 0) amp else (-amp).toShort)
+      val r = new scala.util.Random(seed)
+      for (_ <- 0 until n)
+        bb.putShort((r.nextInt(20000) - 10000).toShort)
       bb.array()
     }
-    Seq(wav(8000, 1, 400, 1000), wav(44100, 2, 1001, 12345),
-      wav(16000, 1, 65, 1)).foreach { w =>
-      assert(Multimodal.audioFp64(w) == Multimodal.audioFp64ViaJavaxSound(w))
+    Seq(wav(8000, 1, 400, 1), wav(44100, 2, 1001, 2), wav(44100, 2, 1000, 3),
+      wav(16000, 1, 65, 4)).foreach { w =>
+      assert(Multimodal.audioFp64(w) == Multimodal.audioFp64ViaJavaxSound(w),
+        "fast path diverged from javax.sound")
     }
+    // sub-frame data (one stereo sample = half a frame) must stay a LOUD
+    // error through the fallback, exactly like the pre-fast-path behavior
+    val subFrame = wav(8000, 2, 1, 5)
+    val e = intercept[Exception] { Multimodal.audioFp64(subFrame) }
+    assert(e.getMessage.contains("empty audio"), e.getMessage)
     // non-RIFF bytes still fail loudly through the fallback
     intercept[Exception] { Multimodal.audioFp64(Array.fill[Byte](64)(7)) }
   }
