@@ -53,6 +53,73 @@ object Bench {
     if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
   }
 
+  /** Host-speed calibration probe (round-15, VERDICT r14 task 1). Two rounds
+    * running, the official bench record was polluted by a measured ~25–30%
+    * host oscillation (uniform inflation across untouched queries at low
+    * loadavg — throttling/neighbor noise, not load), turning a green tree
+    * into a nominal gate breach that only a human A/B could adjudicate. The
+    * record is now self-normalizing: a DETERMINISTIC single-thread CPU probe
+    * (a fixed 200M-iteration multiply/rotate/xor mix — xxhash-style avalanche,
+    * no memory traffic, so it tracks core speed rather than cache luck) runs
+    * at each sweep start and its wall seconds are emitted as `calib_secs`
+    * next to `loadavg`. Reading rule (also in BASELINE.md):
+    *
+    *   normalized_total = value × CalibNominalSecs / median(calib_secs)
+    *
+    * On the idle machine the probe measures ~0.44 s (recorded nominal below),
+    * so calib ≈ nominal and the correction is ~1. In an oscillation window
+    * the probe inflates by the same factor as every other single-thread
+    * workload and the division removes it. The JSON carries both the raw
+    * `value` (the gate-facing headline, unchanged semantics) and
+    * `normalized_total`, so a machine reading a 142-vs-134.8 record can see
+    * "the host was 1.25× slow; normalized 114 s is green" without a judge
+    * re-run. The workload is pinned by [[calibWork]]'s return value in
+    * BenchGuardSpec — changing the loop invalidates the nominal, and the
+    * spec makes that loud.
+    */
+  val CalibIters: Long = 200000000L
+  /** Idle-machine nominal for [[CalibIters]], measured 2026-08-15 (loadavg
+    * 0.16, 5 runs: 0.4525/0.4398/0.4390/0.4399/0.4395 — first run carries
+    * residual JIT; the probe warms itself before timing). */
+  val CalibNominalSecs: Double = 0.44
+
+  /** The fixed calibration workload. Pure function of `iters`; the spec pins
+    * its value at [[CalibIters]] so the nominal cannot silently drift. */
+  def calibWork(iters: Long): Long = {
+    var h = 0x9E3779B97F4A7C15L
+    var i = 0L
+    while (i < iters) {
+      h = java.lang.Long.rotateLeft(h * 0xC2B2AE3D27D4EB4FL, 31) + 0x165667B19E3779F9L
+      h ^= h >>> 29
+      i += 1
+    }
+    h
+  }
+
+  // Sink for the probe's hash so the JIT cannot dead-code the loop.
+  @volatile private var calibSink: Long = 0L
+
+  /** Wall seconds of [[calibWork]] at [[CalibIters]], after a short untimed
+    * warm pass so sweep 1's probe is not inflated by C2 compilation of the
+    * loop itself. */
+  def calibrationProbe(): Double = {
+    calibSink = calibWork(10000000L) // JIT warm, untimed
+    val t0 = System.nanoTime()
+    calibSink = calibWork(CalibIters)
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The reading rule, as arithmetic: scale the raw total by
+    * nominal/median(calib). Poisoned totals (failed queries → -1) and
+    * missing/invalid probe observations pass through unchanged — the
+    * normalizer must never turn a rejected run into an accepted one. */
+  def normalizedTotal(total: Double, calibs: Seq[Double],
+      nominal: Double = CalibNominalSecs): Double = {
+    val valid = calibs.filter(_ > 0)
+    if (total < 0 || valid.isEmpty) total
+    else math.rint(total * nominal / median(valid) * 1000) / 1000
+  }
+
   /** Per-query regression guard (round-10): a recorded band file maps each
     * query to its [min, max] sweep spread from a previously-committed run
     * at the same sf. A query whose current median exceeds `driftFactor` ×
@@ -151,8 +218,10 @@ object Bench {
       catch { case scala.util.control.NonFatal(_) => -1.0 }
     var sweepTotals = Vector.empty[Double]
     var sweepLoads = Vector.empty[Double]
+    var sweepCalibs = Vector.empty[Double]
     def runSweep(sweep: Int): Unit = {
       sweepLoads :+= r3(loadavg1())
+      sweepCalibs :+= r3(calibrationProbe())
       val s0 = System.nanoTime()
       for (name <- names) {
         val fn = SparkEntry.queries(name)
@@ -205,13 +274,15 @@ object Bench {
       r3(names.map(n => timings(n).filter(_ >= 0).min).sum)
     val sweepsJson = sweepTotals.mkString("[", ",", "]")
     val loadsJson = sweepLoads.mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"failed":$failed,"repeats":$repeats,"resweep":$resweep,"sweep_totals":$sweepsJson,"loadavg":$loadsJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val calibsJson = sweepCalibs.mkString("[", ",", "]")
+    val normTotal = normalizedTotal(total, sweepCalibs)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"normalized_total":$normTotal,"calib_secs":$calibsJson,"calib_nominal":$CalibNominalSecs,"failed":$failed,"repeats":$repeats,"resweep":$resweep,"sweep_totals":$sweepsJson,"loadavg":$loadsJson,"queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     // Second, SHORT summary line: the full line above is >2000 chars at 127
     // queries, and a tail-capture of the process output slices off its head —
     // including the total (BENCH_r08 had rc=0 but parsed:null for exactly
     // this reason). Printing the headline fields again in a compact trailer
     // guarantees any bounded tail capture still contains a parseable total.
-    val trailer = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"failed":$failed,"queries":${names.length},"sweep_totals":$sweepsJson,"loadavg":$loadsJson,"sf":"$sfDir"}"""
+    val trailer = s"""{"metric":"total","value":$total,"unit":"sec","min_total":$minTotal,"normalized_total":$normTotal,"calib_secs":$calibsJson,"calib_nominal":$CalibNominalSecs,"failed":$failed,"queries":${names.length},"sweep_totals":$sweepsJson,"loadavg":$loadsJson,"sf":"$sfDir"}"""
     println(trailer)
     // Also emit the trailer on STDERR: sbt prefixes every stdout line with
     // "[info] ", which defeats line-oriented JSON parsing downstream
@@ -238,7 +309,7 @@ object Bench {
       }
       val rj = regs.map { case (n, med, hi) => s"\"" + n + s"\":[$med,$hi]" }
         .mkString("{", ",", "}")
-      val guard = s"""{"metric":"guard","regressions":$rj,"checked":${bands.size},"bands":"$path"}"""
+      val guard = s"""{"metric":"guard","regressions":$rj,"checked":${bands.size},"raw_total":$total,"normalized_total":$normTotal,"calib_secs":$calibsJson,"bands":"$path"}"""
       println(guard); System.err.println(guard)
       regs.nonEmpty
     }.getOrElse(false)

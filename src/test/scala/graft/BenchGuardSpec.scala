@@ -60,6 +60,35 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.needsResweep(Nil))
   }
 
+  test("calibration workload is pinned (changing the loop invalidates the nominal)") {
+    // The recorded CalibNominalSecs (0.44 s idle) is only meaningful while
+    // the probe's workload stays bit-identical. This pin is the hash of the
+    // full 200M-iteration mix measured when the nominal was recorded
+    // (2026-08-15); any edit to calibWork or CalibIters fails here and
+    // forces a re-measured nominal.
+    assert(Bench.CalibIters === 200000000L)
+    assert(Bench.calibWork(Bench.CalibIters) === -3056747973042344347L)
+    // determinism at a cheap size too (the in-probe JIT warm pass)
+    assert(Bench.calibWork(1000L) === Bench.calibWork(1000L))
+  }
+
+  test("normalizedTotal applies nominal/median(calib) and passes poisoned totals through") {
+    // the r14 incident shape: raw 142.66 s on a host measuring 25% slow
+    // (calib 0.55 vs nominal 0.44) normalizes to 114.128 — under the gate
+    assert(Bench.normalizedTotal(142.66, Seq(0.55, 0.55, 0.55), nominal = 0.44) === 114.128)
+    // median across sweeps, not mean: one contended probe doesn't skew it
+    assert(Bench.normalizedTotal(100.0, Seq(0.44, 0.44, 4.4), nominal = 0.44) === 100.0)
+    // idle machine: correction ~1
+    assert(Bench.normalizedTotal(100.0, Seq(0.44), nominal = 0.44) === 100.0)
+    // poisoned total (failed queries) must stay poisoned
+    assert(Bench.normalizedTotal(-1.0, Seq(0.44)) === -1.0)
+    // no valid probe observations: raw passes through unchanged
+    assert(Bench.normalizedTotal(100.0, Nil) === 100.0)
+    assert(Bench.normalizedTotal(100.0, Seq(-1.0, 0.0)) === 100.0)
+    // result is r3-rounded
+    assert(Bench.normalizedTotal(100.0, Seq(0.66), nominal = 0.44) === 66.667)
+  }
+
   test("committed band file exists, parses, and covers the declared catalog") {
     assert(java.nio.file.Files.exists(bandPath),
       s"band file $bandPath missing — record with SPARK_GRAFT_BENCH_RECORD_BANDS")
