@@ -415,10 +415,10 @@ object Multimodal {
     * channels — the flat interleaved stream both consumers fold over),
     * sample rate, channel count.
     */
-  private final case class CanonicalPcm16(
+  private[graft] final case class CanonicalPcm16(
       off: Int, nSamples: Int, rate: Int, channels: Int)
 
-  private def parseCanonicalPcm16(b: Array[Byte]): Option[CanonicalPcm16] = {
+  private[graft] def parseCanonicalPcm16(b: Array[Byte]): Option[CanonicalPcm16] = {
     def tag(i: Int, s: String): Boolean =
       b(i) == s.charAt(0).toByte && b(i + 1) == s.charAt(1).toByte &&
         b(i + 2) == s.charAt(2).toByte && b(i + 3) == s.charAt(3).toByte
@@ -441,6 +441,14 @@ object Multimodal {
         if (!fmtOk) return None // PCM16 only; everything else -> javax.sound
         channels = u16(body + 2)
         if (channels < 1) return None
+        // Declared blockAlign must agree with the recomputed 2·channels.
+        // The fast path derives frame size as 2·channels; OpenJDK's
+        // WaveFileReader happens to recompute it the same way, but that is
+        // an implementation detail, not the header contract — a malformed
+        // file declaring e.g. blockAlign=4 for mono PCM16 goes to
+        // javax.sound so the two derivations can never silently disagree
+        // (round-14 ADVICE hardening).
+        if (u16(body + 12) != 2 * channels) return None
         val r = u32(body + 4)
         if (r < 1 || r > Int.MaxValue) return None
         rate = r.toInt

@@ -75,9 +75,16 @@ object Langid {
       .join(nc, "lang")
       .select(col("slot"), col("lang").as("cl"),
         Parity.r6(col("sx") / col("n_c")).as("mu"))
+    // The +1e-7 bias (applied identically in the DuckDB form): x sits on a
+    // 1e-4 grid and mu on 1e-6, so each product is an exact 1e-10-grid
+    // decimal and sum·1e6 can land EXACTLY on a .5 floor boundary, where
+    // ~1e-12 engine-order summation noise would flip dot_i by 1 (and with it
+    // the argmax). The bias pushes boundary cases a half-step past the edge
+    // on both engines — far above the noise (1e-12) and far below the grid
+    // pitch (1e-4), so it can never move a non-boundary value.
     val dots = xn.join(broadcast(mu), "slot")
       .groupBy(col("doc_id"), col("cl"))
-      .agg(floor(sum(col("x") * col("mu")) * 1e6 + 0.5).cast("long").as("dot_i"))
+      .agg(floor(sum(col("x") * col("mu")) * 1e6 + 0.5 + 1e-7).cast("long").as("dot_i"))
     val rankW = Window.partitionBy(col("doc_id"))
       .orderBy(col("dot_i").desc, col("cl").asc)
     val totW = Window.partitionBy(col("doc_id"))
@@ -164,7 +171,7 @@ object Langid {
       |  GROUP BY x.slot, l.lang
       |), dots AS (
       |  SELECT x.doc_id, m.cl,
-      |    CAST(FLOOR(SUM(x.x * m.mu) * 1000000 + 0.5) AS BIGINT) AS dot_i
+      |    CAST(FLOOR(SUM(x.x * m.mu) * 1000000 + 0.5 + 0.0000001) AS BIGINT) AS dot_i
       |  FROM xn x JOIN mu m ON m.slot = x.slot
       |  GROUP BY 1, 2
       |), ranked AS (

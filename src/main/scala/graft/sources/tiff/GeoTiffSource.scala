@@ -362,8 +362,14 @@ class GeoTiffScan(
         val (pc, qc) = span(m.pixelScaleX, m.rotY) // per mask COL step
         val (pr, qr) = span(m.rotX, -m.pixelScaleY) // per mask ROW step
         val growth = math.max(pc + pr, qc + qr)
+        // The -1: the read window's CELL count is floor(ps.max) -
+        // floor(ps.min) + 1, which can exceed the fractional span by one
+        // after flooring both ends — so bounding the span alone leaves the
+        // documented "≤ maxBlockSize per side" contract off by one
+        // (round-14 ADVICE). Shrinking the span budget by one cell makes
+        // the post-floor count provably ≤ maxBlockSize.
         if (growth <= 1.0) acc
-        else math.min(acc, math.max(1, math.floor(maxBlockSize / growth).toInt))
+        else math.min(acc, math.max(1, math.floor(maxBlockSize / growth).toInt - 1))
       }
     val parts = ArrayBuffer[InputPartition]()
     var r = 0

@@ -479,6 +479,23 @@ class MultimodalSpec extends SparkSpec {
     assert(e.getMessage.contains("empty audio"), e.getMessage)
     // non-RIFF bytes still fail loudly through the fallback
     intercept[Exception] { Multimodal.audioFp64(Array.fill[Byte](64)(7)) }
+    // Declared-blockAlign gate (round-14 ADVICE): the fast path derives
+    // frame size as 2·channels, and OpenJDK's reader HAPPENS to recompute
+    // it the same way — so a malformed header (blockAlign=4 on mono PCM16)
+    // is undetectable by output equality alone. Pin the routing: the
+    // canonical parser must REJECT the mismatched header (falls back to
+    // javax.sound) and accept it once corrected, and the end-to-end
+    // fingerprint stays equal either way.
+    val badAlign = wav(8000, 1, 400, 6)
+    badAlign(44 - 12) = 4 // fmt body offset 12 (blockAlign lo byte): 2 -> 4
+    assert(Multimodal.parseCanonicalPcm16(badAlign).isEmpty,
+      "mismatched blockAlign must not take the fast path")
+    assert(Multimodal.audioFp64(badAlign) ==
+      Multimodal.audioFp64ViaJavaxSound(badAlign))
+    val goodAlign = wav(8000, 1, 400, 6)
+    assert(Multimodal.parseCanonicalPcm16(goodAlign).isDefined)
+    assert(Multimodal.audioFp64(goodAlign) == Multimodal.audioFp64(badAlign),
+      "same samples must fingerprint identically through either path")
   }
 
   test("audio near-dup (q169): pairs are symmetric-free, thresholded, and find the template clones") {
