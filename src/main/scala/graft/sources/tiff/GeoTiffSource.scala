@@ -211,15 +211,12 @@ class GeoTiffTable(
         s"model type ${first.crsModelType.getOrElse(-1)}" +
         first.epsg.fold("")(e => s" (EPSG:$e)") +
         "; geodesic area over projected coordinates would be meaningless")
-    // The trapezoid pixel-area formula assumes axis-aligned north-up rows
-    // (constant latitude per row, lon/lat-parallel pixel edges): a rotated
-    // grid's pixels are parallelograms in lon/lat and the formula would be
-    // silently wrong — typed error, never garbage. Reading VALUES from a
-    // rotated grid is fully supported.
-    require(!calcArea || !first.rotated,
-      s"${first.path}: calcArea requires an axis-aligned grid — the ModelTransformation " +
-        s"(34264) carries rotation terms (m01=${first.rotX}, m10=${first.rotY}); the " +
-        "trapezoid area formula assumes lon/lat-parallel pixel edges")
+    // Rotated grids compute area through the Jacobian generalization
+    // (GeoMath.pixelAreaAffineM2, round-15): pixels are parallelograms in
+    // lon/lat, integrated exactly along the dominant lat-step edge and by
+    // 2-point Gauss along the other. Axis-aligned grids keep the historical
+    // trapezoid formula bit-for-bit (the function's rot=0 branch). The only
+    // remaining calcArea gate is the geographic-CRS one above.
     // Band columns must not shadow the coordinate/area fields THIS table
     // emits (coordNames depends on the CRS kind, so the check lives here,
     // after metas resolve — a band named "lon" on a projected x/y frame is
@@ -630,12 +627,14 @@ class GeoTiffPartitionReader(
       (x: Int, y: Int) => java.lang.Double.valueOf(
         m0.latOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble))
     else if (f == "area" && calcArea)
-      // calcArea is typed-rejected on rotated grids (GeoTiffTable.metas),
-      // so lat here genuinely depends on the row alone
+      // full-affine area (round-15): delegates to the historical trapezoid
+      // bit-for-bit when rotX = rotY = 0, so axis-aligned outputs are
+      // unchanged; on rotated grids the centroid latitude varies per COLUMN
+      // too, which latOf already carries
       (x: Int, y: Int) => java.lang.Double.valueOf(
-        GeoMath.pixelAreaM2(
+        GeoMath.pixelAreaAffineM2(
           m0.latOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble),
-          m0.pixelScaleY, m0.pixelScaleX))
+          m0.pixelScaleX, m0.pixelScaleY, m0.rotX, m0.rotY))
     else {
       val i = colNames.indexOf(f)
       require(i >= 0, s"unknown required column $f")

@@ -31,8 +31,8 @@ import java.nio.{ByteBuffer, ByteOrder}
   *   - 33922 ModelTiepoint  (GeoTIFF: i, j, k, x, y, z)
   *   - 34264 ModelTransformation (GeoTIFF: row-major 4×4 affine — the FULL
   *     affine including rotation/shear terms is accepted since round 14;
-  *     flipped axes stay typed-rejected, and geodesic pixel AREA is
-  *     typed-rejected on rotated grids)
+  *     flipped axes stay typed-rejected; geodesic pixel AREA on rotated
+  *     grids computes through the Jacobian generalization since round 15)
   *   - 34735 GeoKeyDirectory (GeoTIFF CRS keys: GTModelTypeGeoKey 1024
   *     decides whether coordinates are geographic lon/lat or projected
   *     eastings/northings; 2048/3072 carry the EPSG code)
@@ -336,8 +336,8 @@ object TiffTags {
       // pair — legal GeoTIFF), including ROTATION/SHEAR terms since round
       // 14: both coordinates are emitted as full functions of (col, row),
       // so the reader no longer assumes separability (geodesic pixel AREA
-      // stays typed-rejected on rotated grids — the trapezoid formula
-      // assumes axis alignment). Flipped axes (m00 <= 0 or m11 >= 0) stay
+      // on rotated grids uses GeoMath.pixelAreaAffineM2's Jacobian form
+      // since round 15). Flipped axes (m00 <= 0 or m11 >= 0) stay
       // rejected: the window planner and the north-up fixtures assume the
       // dominant terms keep the standard orientation. When a file carries
       // BOTH the pair and 34264, the pair wins (the GeoTIFF spec calls

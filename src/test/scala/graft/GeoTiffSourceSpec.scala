@@ -1006,12 +1006,24 @@ class GeoTiffSourceSpec extends SparkSpec {
       Raster.raster2df(spark, Seq(p, axis), colNames = Seq("a", "b")).collect()
     }
     assert(eZip.getMessage.contains("grid mismatch"))
-    // geodesic area stays typed-rejected on rotated grids, reason named
-    val eArea = intercept[IllegalArgumentException] {
-      Raster.raster2df(spark, Seq(p), colNames = Seq("v"), calcArea = true).collect()
+    // geodesic area on the rotated grid (round 15): every row's area is
+    // exactly the Jacobian formula at ITS centroid latitude — positive,
+    // and within a whisker of |det|·(flat-degree→ellipsoid) of the
+    // axis-aligned area at the same latitude (the rotation preserves
+    // |det|, so the areas differ only by the quadrature across the tilt)
+    val withArea = Raster.raster2df(spark, Seq(p), colNames = Seq("v"), calcArea = true)
+      .collect()
+    assert(withArea.length == expectValid)
+    withArea.foreach { row =>
+      val (lat, a) = (row.getDouble(1), row.getDouble(3))
+      assert(a == graft.functions.GeoMath.pixelAreaAffineM2(
+        lat, m.pixelScaleX, m.pixelScaleY, m.rotX, m.rotY),
+        s"area at lat $lat diverged from the Jacobian formula")
+      val axisAtLat = graft.functions.GeoMath.pixelAreaM2(
+        lat, math.abs(det) / m.pixelScaleX, m.pixelScaleX)
+      assert(a > 0 && math.abs(a / axisAtLat - 1.0) < 1e-4,
+        s"rotated-pixel area $a vs same-|det| axis-aligned $axisAtLat at lat $lat")
     }
-    assert(eArea.getMessage.contains("axis-aligned") &&
-      eArea.getMessage.contains("rotation terms"))
   }
 
   test("resample=nearest: coarser and finer secondaries sample the covering cell exactly") {
