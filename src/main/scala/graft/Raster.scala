@@ -45,8 +45,11 @@ object Raster {
     // COG overview level: scan the k-th reduced-resolution IFD of the
     // pyramid instead of full-res pixels (0 = full res)
     if (overview > 0) reader = reader.option("overview", overview)
-    // resample="nearest": secondary rasters may carry a different same-CRS
-    // grid, sampled at the mask grid's pixel centroids
+    // resample="nearest": secondary rasters may carry a different grid —
+    // same-CRS (sampled at the mask grid's pixel centroids through the
+    // inverse affine) or, since round 15, a different DECLARED CRS with a
+    // supported transform (EPSG:4326 ↔ UTM 326xx/327xx, or UTM ↔ UTM
+    // through the shared geographic leg)
     if (resample.nonEmpty) reader = reader.option("resample", resample)
     reader.load()
   }

