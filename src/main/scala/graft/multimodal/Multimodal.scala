@@ -487,11 +487,23 @@ object Multimodal {
       cells(i) = sum.toDouble / (s1 - s0)
       i += 1
     }
-    val mean = cells.sum / 64
+    bitsFromCells(cells, 0, 64)
+  }
+
+  /** The 64-bit envelope hash of `cells(off until off + 64)`: bit i set when
+    * the cell exceeds the window mean — THE single copy of the bit rule,
+    * shared by the whole-clip fingerprint and the trim-tolerant
+    * sub-fingerprints so the two spaces cannot drift.
+    */
+  private def bitsFromCells(cells: Array[Double], off: Int, n: Int): Long = {
+    var sum = 0.0
+    var i = 0
+    while (i < n) { sum += cells(off + i); i += 1 }
+    val mean = sum / n
     var hash = 0L
     i = 0
-    while (i < 64) {
-      if (cells(i) > mean) hash |= (1L << i)
+    while (i < n) {
+      if (cells(off + i) > mean) hash |= (1L << i)
       i += 1
     }
     hash
@@ -521,7 +533,11 @@ object Multimodal {
       (c.rate, c.channels, c.nSamples / c.channels, sum.toDouble / c.nSamples)
     }
 
-  private[graft] def audioFp64ViaJavaxSound(bytes: Array[Byte]): Long = {
+  /** javax.sound decode handing `f` an |sample| accessor + count — the
+    * exotic-layout fallback door shared by the whole-clip fingerprint and
+    * the block envelope (one decode body, two consumers).
+    */
+  private def viaJavaxSound[T](bytes: Array[Byte])(f: (Int => Long, Int) => T): T = {
     val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(bytes))
     try {
@@ -536,8 +552,40 @@ object Multimodal {
       val bb = java.nio.ByteBuffer.wrap(data).order(
         if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
         else java.nio.ByteOrder.LITTLE_ENDIAN)
-      envelopeFp64(s => math.abs(bb.getShort(s * 2).toLong), n)
+      f(s => math.abs(bb.getShort(s * 2).toLong), n)
     } finally ais.close()
+  }
+
+  private[graft] def audioFp64ViaJavaxSound(bytes: Array[Byte]): Long =
+    viaJavaxSound(bytes)(envelopeFp64)
+
+  /** Mean |amplitude| per FIXED-SIZE block of `blockSamples` samples (a
+    * trailing partial block is dropped — fixed duration is what makes a
+    * hop-aligned trim a pure SHIFT of the cell sequence). Lock-free
+    * canonical parse with the javax.sound fallback, like [[audioFp64]].
+    */
+  private[graft] def blockEnvelope(bytes: Array[Byte], blockSamples: Int): Array[Double] = {
+    def cellsOf(abs: Int => Long, n: Int): Array[Double] = {
+      val nBlocks = n / blockSamples
+      val cells = new Array[Double](nBlocks)
+      var j = 0
+      while (j < nBlocks) {
+        var sum = 0L
+        var s = j * blockSamples
+        val e = s + blockSamples
+        while (s < e) { sum += abs(s); s += 1 }
+        cells(j) = sum.toDouble / blockSamples
+        j += 1
+      }
+      cells
+    }
+    parseCanonicalPcm16(bytes) match {
+      case Some(c) => cellsOf(s => {
+        val idx = c.off + s * 2
+        math.abs(((bytes(idx) & 0xff) | (bytes(idx + 1) << 8)).toShort.toLong)
+      }, c.nSamples)
+      case None => viaJavaxSound(bytes)(cellsOf)
+    }
   }
 
   /** Canonical PCM16 mono RIFF/WAVE (8000 Hz, 512 samples) whose 64
@@ -549,7 +597,17 @@ object Multimodal {
     */
   def envelopeWav(amps: Array[Short]): Array[Byte] = {
     require(amps.length == 64, s"need 64 window amplitudes, got ${amps.length}")
-    val n = 512
+    pcm16Wav(Array.tabulate[Short](512)(s => amps(s / 8)))
+  }
+
+  /** Canonical PCM16 mono RIFF/WAVE (8000 Hz) of arbitrary sample content —
+    * [[envelopeWav]]'s header math generalized (it delegates here, so the
+    * two renders share one byte layout). The trim-tolerant family's corpus
+    * and spec WAVs come from this.
+    */
+  def pcm16Wav(samples: Array[Short]): Array[Byte] = {
+    val n = samples.length
+    require(n >= 1, "need at least one sample")
     val bb = java.nio.ByteBuffer.allocate(44 + n * 2)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
@@ -559,11 +617,7 @@ object Multimodal {
       .putShort(2).putShort(16)
     bb.put("data".getBytes("US-ASCII")).putInt(n * 2)
     var i = 0
-    while (i < 64) {
-      var k = 0
-      while (k < 8) { bb.putShort(amps(i)); k += 1 }
-      i += 1
-    }
+    while (i < n) { bb.putShort(samples(i)); i += 1 }
     bb.array()
   }
 
@@ -581,6 +635,131 @@ object Multimodal {
       media: Dataset[MediaRow], maxHamming: Int = 3,
       maxBucket: Int = 10000): DataFrame =
     bandedFpPairs(audioHashes(media), "afp", maxHamming, maxBucket)
+
+  /** TRIM-TOLERANT sub-fingerprints (round 15): [[audioFp64]] hashes the
+    * whole clip's 64 scale-normalized envelope cells, so a trimmed/padded
+    * near-dup — the commonest real audio edit — shifts every cell and
+    * escapes. Here the envelope is computed over FIXED-duration blocks
+    * ([[blockEnvelope]]) and hashed over overlapping 64-block windows at
+    * stride `hopBlocks`: `(doc_id, rank, sfp)`. A trim by a multiple of
+    * `hopBlocks × blockSamples` samples is then a pure RANK SHIFT — the
+    * interior sub-fingerprints are bit-identical; a non-hop-aligned trim
+    * lands within the Hamming tolerance when the envelope is locally
+    * smooth. Clips shorter than 64 blocks fall back to the whole-clip
+    * fingerprint at rank 0 (trim tolerance needs at least one full
+    * window; short clips still pair with near-identical short clips).
+    * The bit rule is [[bitsFromCells]] — the SAME rule the whole-clip
+    * fingerprint uses, one copy.
+    */
+  def audioSubFps(media: Dataset[MediaRow], blockSamples: Int = 1024,
+      hopBlocks: Int = 16): DataFrame = {
+    require(blockSamples >= 1, s"blockSamples must be >= 1, got $blockSamples")
+    require(hopBlocks >= 1, s"hopBlocks must be >= 1, got $hopBlocks")
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      val cells = blockEnvelope(m.bytes, blockSamples)
+      if (cells.length < 64) Iterator.single((m.doc_id, 0, audioFp64(m.bytes)))
+      else Iterator.tabulate((cells.length - 64) / hopBlocks + 1)(j =>
+        (m.doc_id, j, bitsFromCells(cells, j * hopBlocks, 64)))
+    }).toDF("doc_id", "rank", "sfp")
+  }
+
+  /** Trim-robust audio near-duplicate pairs (VERDICT r14 task 4) — the
+    * winnowed-substring idea ([[graft.operators.SubstringDedup]]'s q106
+    * shape) applied to audio: candidates form when ANY sub-fingerprint
+    * band collides CONTENT-keyed (no rank in the key — a trim shifts
+    * ranks, so rank-keyed joins are exactly what misses it); each
+    * candidate pair's MODAL rank offset (most collisions; ties toward the
+    * smaller shift) is then verified by ONE offset-aligned equi-join:
+    * mean per-rank Hamming ≤ `maxMeanHamming` over the aligned overlap,
+    * which must cover ≥ `minCoverFrac` of the SHORTER side's ranks (a
+    * trimmed clip is a subsequence, so the shorter side should be nearly
+    * fully explained — the video path's floor is against the LONGER side
+    * because its clips share a start; a trimmed clip does not).
+    *
+    * Output: (doc_id_a, doc_id_b, offset, mean_hamming, n_common) with
+    * a < b; offset = rank_a − rank_b of the alignment.
+    *
+    * Scale shape: the same (band, key) equi-join scaffold as every other
+    * near-dup family ([[graft.operators.BandedSelfJoin]], mega-bucket
+    * capped, never all-pairs); sub-fps are ~n_blocks/hop rows per clip
+    * (bounded, a few dozen for typical clips); the verify stage is one
+    * equi-join on (doc, aligned rank) + one hash aggregate. The sub-fp
+    * frame feeds the candidate AND both verify sides, so it is
+    * localCheckpoint-materialized once — the videoNearDupPairs trade,
+    * same cluster caveat documented there.
+    */
+  def audioNearDupPairsTrimTolerant(
+      media: Dataset[MediaRow], blockSamples: Int = 1024, hopBlocks: Int = 16,
+      maxMeanHamming: Double = 3.0, maxBucket: Int = 10000,
+      minCoverFrac: Double = 0.9): DataFrame = {
+    require(maxMeanHamming < 4,
+      "the 4 composite bands pigeonhole two consecutive aligned ranks with " +
+        "combined Hamming < 4; raise the band count to raise the threshold")
+    require(minCoverFrac >= 0 && minCoverFrac <= 1,
+      s"minCoverFrac must be in [0, 1], got $minCoverFrac")
+    val sf = audioSubFps(media, blockSamples, hopBlocks).localCheckpoint(true)
+    // CONSECUTIVE-RANK COMPOSITE band keys (the 50k rehearsal's scale
+    // lesson, measured): sub-fingerprinting multiplies the row count by
+    // ~ranks-per-clip, and at 2.45M rows a bare 16-bit band bucket holds
+    // ~37 RANDOM entries — ~88M spurious candidate pairs, 70 GB of
+    // aggregate spill, one 477 s straggler. Pairing each rank's band bits
+    // with the NEXT rank's same-band bits widens the key to 32 bits
+    // (random collisions ∝ n²/2³² ≈ thousands, not millions) while a
+    // hop-aligned trim still matches exactly — its consecutive ranks are
+    // bit-identical too. Candidate completeness contract (stated, weaker
+    // than the verify threshold): a pair is guaranteed a candidate when
+    // some two CONSECUTIVE aligned ranks have combined Hamming ≤ 3 (≤ 3
+    // errors across 4 composite bands leave one band clean); real
+    // near-dup audio with thin noise has many exact ranks, and exact
+    // trims match everywhere. Single-rank clips (the short-clip fallback
+    // space) compose with themselves, so identical shorts still pair.
+    val leadW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("rank"))
+    val nrW = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val grams = sf
+      .withColumn("sfp_next", lead(col("sfp"), 1).over(leadW))
+      .withColumn("nr", count(lit(1)).over(nrW))
+      .filter(col("sfp_next").isNotNull || col("nr") === 1)
+      .withColumn("sfp2", coalesce(col("sfp_next"), col("sfp")))
+    val keyed = grams.select(
+      col("doc_id").as("id"), col("rank"),
+      explode(array((0 until 4).map { b =>
+        struct(lit(b).as("band"),
+          (shiftrightunsigned(col("sfp"), 16 * b).bitwiseAND(lit(0xffffL)) * 65536L +
+            shiftrightunsigned(col("sfp2"), 16 * b).bitwiseAND(lit(0xffffL))).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("rank"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val best = graft.operators.BandedSelfJoin.pairs(keyed, maxBucket)
+      .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"),
+        (col("a.rank") - col("b.rank")).as("offset"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"), col("offset"))
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id_a"), col("doc_id_b"))
+          .orderBy(col("n_hits").desc, abs(col("offset")).asc, col("offset").asc)))
+      .filter(col("rn") === 1)
+      .select(col("doc_id_a"), col("doc_id_b"), col("offset"))
+    val fa = sf.toDF("doc_id_a", "rank_a", "h_a")
+    val fb = sf.toDF("doc_id_b", "rank_b", "h_b")
+    val cnt = sf.groupBy(col("doc_id")).agg(count(lit(1)).as("nr"))
+    best.join(fa, Seq("doc_id_a"))
+      .withColumn("rank_b", col("rank_a") - col("offset"))
+      .join(fb, Seq("doc_id_b", "rank_b"))
+      .groupBy(col("doc_id_a"), col("doc_id_b"), col("offset"))
+      .agg(
+        avg(bit_count(col("h_a").bitwiseXOR(col("h_b")))).as("mean_hamming"),
+        count(lit(1)).as("n_common"))
+      .join(cnt.toDF("doc_id_a", "nr_a"), "doc_id_a")
+      .join(cnt.toDF("doc_id_b", "nr_b"), "doc_id_b")
+      // >= with epsilon, not ceil — the videoNearDupPairs boundary rule
+      .filter(col("mean_hamming") <= maxMeanHamming &&
+        col("n_common").cast("double") >=
+          lit(minCoverFrac) * least(col("nr_a"), col("nr_b")) - lit(1e-9))
+      .select(col("doc_id_a"), col("doc_id_b"), col("offset"),
+        col("mean_hamming"), col("n_common"))
+  }
 
   /** Per-sampled-frame perceptual hashes of a multi-frame (video-shaped)
     * container: (doc_id, k, fhash) where k is the SAMPLE RANK (0, 1, 2, …

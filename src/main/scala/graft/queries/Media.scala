@@ -461,6 +461,82 @@ object Media {
   private def q169(s: SparkSession, dir: String): DataFrame =
     audioPairs(s, dir).orderBy(col("doc_id_a"), col("doc_id_b"))
 
+  /** The trim-planted audio corpus (round 15): every document renders a
+    * 256-block clip whose per-block amplitude samples its sorted token set
+    * (the [[audioMedia]] recipe at 4× length), EXCEPT docs with
+    * doc_id % 5 == 4, which instead render their PREDECESSOR's clip with
+    * the first hop·(1 + doc_id % 3) blocks trimmed off — the commonest
+    * real audio edit, planted deterministically so the declared query has
+    * known-answer pairs. The whole-clip fingerprint (q169's space)
+    * scale-normalizes over the clip length and therefore MISSES these;
+    * catching them is exactly what the sub-fingerprint family exists for
+    * (spec-pinned in MultimodalSpec).
+    */
+  private[graft] def audioTrimMedia(s: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[graft.multimodal.MediaRow] = {
+    import s.implicits._
+    // local defs only: an object-method call inside the mapPartitions
+    // closure would capture Media$ (not serializable — the repo's
+    // documented closure trap)
+    def baseSamples(text: String): Array[Short] = {
+      val t = text.split(" ").distinct.sorted // sortedToks, inlined
+      val toks = if (t.isEmpty) Array("") else t
+      Array.tabulate[Short](256 * 8) { sIdx =>
+        val i = sIdx / 8
+        (1 + math.floorMod(toks(i * toks.length / 256).hashCode, 4096)).toShort
+      }
+    }
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+      col("text").as("prev_text"))
+    docs.join(prev, Seq("doc_id"), "left")
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[(Long, String, Option[String])]
+      .mapPartitions(_.map { case (id, text, prevText) =>
+        val samples = prevText match {
+          case Some(pt) if id % 5 == 4 =>
+            // hop-aligned front trim of the predecessor's clip:
+            // 4 (hopBlocks) × 8 (blockSamples) × k samples
+            baseSamples(pt).drop(4 * 8 * (1 + (id % 3)).toInt)
+          case _ => baseSamples(text)
+        }
+        graft.multimodal.MediaRow(id, s"mem://doc/$id.trim.wav",
+          Multimodal.pcm16Wav(samples), Map.empty)
+      })
+  }
+
+  /** Trim-robust pair frame, detect-once (the q169/q170 artifact shape —
+    * the family lands its shared Scratch artifact from day one, per the
+    * round-14 cost-model rule): q174 declares the pairs, q175 acts on
+    * them. Rows-only (DuckDB cannot decode WAV); planted-trim recall and
+    * offsets are spec-pinned in MultimodalSpec.
+    */
+  private def audioTrimPairs(s: SparkSession, dir: String): DataFrame = {
+    val p = Scratch.path("audtrim174", dir)
+    Scratch.once(p) {
+      Multimodal.audioNearDupPairsTrimTolerant(audioTrimMedia(s, dir),
+        blockSamples = 8, hopBlocks = 4)
+        .select(col("doc_id_a"), col("doc_id_b"), col("offset"),
+          round(col("mean_hamming"), 4).as("mean_hamming"), col("n_common"))
+        .write.mode("overwrite").parquet(p)
+    }
+    s.read.parquet(p)
+  }
+
+  private def q174(s: SparkSession, dir: String): DataFrame =
+    audioTrimPairs(s, dir).orderBy(col("doc_id_a"), col("doc_id_b"))
+
+  /** The trim-family dedup ACTION (q170's shape on the trim pair graph). */
+  private def q175(s: SparkSession, dir: String): DataFrame = {
+    val members = Tables.documents(s, dir).select(col("doc_id"))
+    val pairs = audioTrimPairs(s, dir)
+      .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
+    graft.operators.DedupClusters.clusterAssignments(members, "doc_id", pairs)
+      .filter(col("doc_id") === col("cluster_id"))
+      .select(col("doc_id"), col("cluster_size").as("dup_count"))
+      .orderBy(col("doc_id"))
+  }
+
   /** The audio dedup ACTION closing q169's loop (q168's shape on the audio
     * pair graph): near-dup pairs → connected components → keep each
     * component's lowest doc_id carrying dup_count. Rows-only like its
@@ -488,5 +564,7 @@ object Media {
     QueryDef("q167_video_neardup", q167, None),
     QueryDef("q168_video_dedup_action", q168, None),
     QueryDef("q169_audio_neardup", q169, None),
-    QueryDef("q170_audio_dedup_action", q170, None))
+    QueryDef("q170_audio_dedup_action", q170, None),
+    QueryDef("q174_audio_trim_neardup", q174, None),
+    QueryDef("q175_audio_trim_dedup_action", q175, None))
 }

@@ -449,6 +449,61 @@ object ScaleRehearsal {
       Seq((nPairs, survivors, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
     }),
 
+    // TRIM-robust audio near-dup at 50k clips (q174/q175's posture probe,
+    // round 15): 10k groups of 5 — member 0 a 256-block base clip with
+    // pseudo-random per-block envelope, members 1–3 hop-aligned FRONT
+    // TRIMS of it (1–3 hops), member 4 a stranger. Every within-group
+    // pair among members 0–3 is a planted trim relation (6 per group, 60k
+    // total) that the WHOLE-clip fingerprint misses by construction;
+    // asserts 100% planted recall at mean_hamming 0 with the correct
+    // rank offsets, plus the action's exact accounting.
+    "audio_trim_neardup_50k" -> ((s, _) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val n = 50000L
+      val hop = 4; val bs = 8
+      val media = s.range(n).repartition(64).as[Long].mapPartitions { it =>
+        it.map { jid =>
+          val id: Long = jid
+          val group = id / 5
+          val member = (id % 5).toInt
+          val seed = if (member == 4) group + 1000000007L else group
+          val samples = Array.tabulate[Short](256 * bs) { sIdx =>
+            val i = sIdx / bs
+            var h = seed * 0x9E3779B97F4A7C15L + i * 0xC2B2AE3D27D4EB4FL
+            h ^= (h >>> 29); h *= 0xBF58476D1CE4E5B9L; h ^= (h >>> 32)
+            (1 + math.floorMod(h, 4096L)).toShort
+          }
+          val trimmed = if (member >= 1 && member <= 3)
+            samples.drop(hop * bs * member) else samples
+          graft.multimodal.MediaRow(id, s"mem://t/$id.wav",
+            graft.multimodal.Multimodal.pcm16Wav(trimmed), Map.empty)
+        }
+      }.localCheckpoint(true)
+      val nm = media.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.multimodal.Multimodal
+        .audioNearDupPairsTrimTolerant(media, blockSamples = bs, hopBlocks = hop)
+        .localCheckpoint(true)
+      val nPairs = pairs.count()
+      val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val planted = pairs.filter(
+        floor(col("doc_id_a") / 5) === floor(col("doc_id_b") / 5) &&
+          pmod(col("doc_id_a"), lit(5)) < 4 && pmod(col("doc_id_b"), lit(5)) < 4 &&
+          col("mean_hamming") === 0.0 &&
+          // offset = member_b - member_a (front trims shift ranks down)
+          col("offset") === pmod(col("doc_id_b"), lit(5)) - pmod(col("doc_id_a"), lit(5))
+      ).count()
+      val expectPlanted = (n / 5) * 6
+      require(planted == expectPlanted,
+        s"planted trim recall broke: $planted of $expectPlanted within-group pairs found")
+      val (survivors, actSec) = dedupActionStats(media, pairs, nm)
+      println(s"""{"probe":"audio_trim_neardup_50k","clips":$nm,"pairs":$nPairs,""" +
+        s""""planted_found":$planted,"survivors":$survivors,""" +
+        s""""pair_sec":$pairSec,"action_sec":$actSec}""")
+      Seq((nPairs, survivors, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
+    }),
+
     // Audio near-dup over a REAL document corpus at the production cap:
     // the declared q169's default maxBucket=10000 is sized for the sf0.1
     // catalog; at 1M docs the synthetic corpus's template structure makes

@@ -535,6 +535,86 @@ class MultimodalSpec extends SparkSpec {
       assert(action.filter(col("dup_count") > 1).count() > 0L)
   }
 
+  test("trim-tolerant audio: hop-aligned trims pair at the planted offset; the whole-clip path misses them") {
+    import graft.multimodal.MediaRow
+    // per-block-constant clips: 256 blocks × 8 samples, blockSamples = 8 in
+    // the operator so block means are exact
+    val rnd = new scala.util.Random(11)
+    val baseAmps = Array.fill[Short](256)((1 + rnd.nextInt(4096)).toShort)
+    val otherAmps = Array.fill[Short](256)((1 + rnd.nextInt(4096)).toShort)
+    def samplesOf(amps: Array[Short]): Array[Short] =
+      Array.tabulate[Short](amps.length * 8)(s => amps(s / 8))
+    val hop = 16
+    val trimBlocks = 2 * hop // a 2-hop front trim: pure rank shift by 2
+    val rows = Seq(
+      MediaRow(1L, "mem://t/base.wav", Multimodal.pcm16Wav(samplesOf(baseAmps)), Map.empty),
+      MediaRow(2L, "mem://t/trim.wav",
+        Multimodal.pcm16Wav(samplesOf(baseAmps).drop(trimBlocks * 8)), Map.empty),
+      MediaRow(3L, "mem://t/other.wav", Multimodal.pcm16Wav(samplesOf(otherAmps)), Map.empty)
+    ).toDS()
+    // sub-fp shape: base 256 blocks -> (256-64)/16+1 = 13 ranks; trim -> 11
+    val sf16 = Multimodal.audioSubFps(rows, blockSamples = 8, hopBlocks = hop)
+    val byDoc = sf16.groupBy(col("doc_id")).count().as[(Long, Long)].collect().toMap
+    assert(byDoc(1L) === 13L && byDoc(2L) === 11L && byDoc(3L) === 13L)
+    // the trimmed clip's rank j sub-fp is BIT-IDENTICAL to base rank j+2
+    val fps = sf16.as[(Long, Int, Long)].collect()
+      .groupBy(_._1).map { case (id, xs) => id -> xs.map(x => x._2 -> x._3).toMap }
+    (0 until 11).foreach(j => assert(fps(2L)(j) === fps(1L)(j + 2),
+      s"rank $j of the trim != rank ${j + 2} of the base"))
+    // pairs: exactly (1, 2) at offset +2, mean_hamming 0, full coverage of
+    // the shorter side; the random distinct clip pairs with nothing
+    val pairs = Multimodal.audioNearDupPairsTrimTolerant(rows,
+      blockSamples = 8, hopBlocks = hop)
+      .as[(Long, Long, Int, Double, Long)].collect()
+    assert(pairs.toSeq === Seq((1L, 2L, 2, 0.0, 11L)), pairs.mkString(", "))
+    // the GAP this closes, demonstrated: the whole-clip fingerprint
+    // scale-normalizes over the clip length, so the SAME trimmed pair
+    // escapes the q169 operator entirely
+    val whole = Multimodal.audioNearDupPairs(rows, maxHamming = 3).count()
+    assert(whole === 0L,
+      "the whole-clip path unexpectedly caught the trimmed pair — the trim family would be redundant")
+    // clips shorter than one full window fall back to the whole-clip space
+    val shorty = Seq(
+      MediaRow(7L, "mem://t/s1.wav", Multimodal.pcm16Wav(samplesOf(baseAmps.take(32))), Map.empty),
+      MediaRow(8L, "mem://t/s2.wav", Multimodal.pcm16Wav(samplesOf(baseAmps.take(32))), Map.empty)
+    ).toDS()
+    val sFps = Multimodal.audioSubFps(shorty, blockSamples = 8, hopBlocks = hop)
+      .as[(Long, Int, Long)].collect()
+    assert(sFps.length === 2 && sFps.forall(_._2 == 0))
+    assert(sFps(0)._3 === sFps(1)._3, "identical short clips must share the fallback fp")
+  }
+
+  test("audio trim family (q174/q175): planted predecessor trims are found and acted on") {
+    val d = sf()
+    val docs = Tables.documents(spark, d).select(col("doc_id")).as[Long].collect().toSet
+    val planted = docs.filter(id => id % 5 == 4 && docs.contains(id - 1))
+      .map(id => (id - 1, id))
+    val pairs = graft.queries.Catalog.queries("q174_audio_trim_neardup")(spark, d)
+      .localCheckpoint(true)
+    assert(pairs.filter(col("doc_id_a") >= col("doc_id_b")).count() === 0L)
+    // 100% planted recall, each at mean_hamming 0 with a nonzero offset
+    // (the trim is hop-aligned by construction)
+    val found = pairs.select(col("doc_id_a"), col("doc_id_b"), col("offset"),
+      col("mean_hamming")).as[(Long, Long, Int, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    planted.foreach { case (a, b) =>
+      val hit = found.get((a, b))
+      assert(hit.isDefined, s"planted trim pair ($a, $b) not found")
+      assert(hit.get._1 > 0 && hit.get._2 == 0.0,
+        s"planted pair ($a, $b): offset/hamming ${hit.get} — expected exact shifted match")
+    }
+    // action: exact accounting (the q170 contract on the trim graph)
+    val action = graft.queries.Catalog.queries("q175_audio_trim_dedup_action")(spark, d)
+      .localCheckpoint(true)
+    assert(action.agg(sum(col("dup_count"))).as[Long].head() === docs.size.toLong)
+    val kept = action.select(col("doc_id"))
+    val bothKept = pairs
+      .join(kept.toDF("doc_id_a"), Seq("doc_id_a"))
+      .join(kept.toDF("doc_id_b"), Seq("doc_id_b"))
+      .count()
+    assert(bothKept === 0L, s"$bothKept pairs kept both endpoints")
+  }
+
   private implicit class MapOps(rows: Array[(Long, Int, Int, Int)]) {
     def toMap3: Map[Long, (Int, Int, Int)] =
       rows.map { case (id, a, b, c) => id -> ((a, b, c)) }.toMap
