@@ -39,7 +39,23 @@ object CurationPipeline {
 
   private val DsirSlots = 16
 
-  private def q154(s: SparkSession, dir: String): DataFrame = {
+  private def q154(s: SparkSession, dir: String): DataFrame =
+    card(s, dir, QualitySignals.dsirWeights(s, dir))
+
+  /** q176 — q154's card in UNTRUSTED-METADATA mode (VERDICT r14 task 6):
+    * the one gate that consumed the corpus's `lang` column (DSIR's target
+    * slice) now gates on q171's PREDICTED label instead — the substitution
+    * contract q173 proved on the q70 sampler, wired into the heavyweight
+    * consumer. Everything else (repetition, contamination, ppl tertile,
+    * the verdict CASE, the card shape) is byte-identical to q154, and the
+    * oracle replays the ENTIRE composition: langid featurize → closed-form
+    * train → integer-grid argmax spliced into the unigram-LM + four-gate
+    * statement.
+    */
+  private def q176(s: SparkSession, dir: String): DataFrame =
+    card(s, dir, QualitySignals.dsirWeightsPred(s, dir))
+
+  private def card(s: SparkSession, dir: String, dsirFrame: DataFrame): DataFrame = {
     val docs = Tables.documents(s, dir)
     val train = docs.filter(col("doc_id") >= 10)
     // every signal frame is the SHARED per-(session, dataset) artifact its
@@ -55,7 +71,7 @@ object CurationPipeline {
         Parity.r4(-col("lp_sum") / col("n_pieces")).as("nll"))
       .withColumn("ptile",
         ntile(3).over(Window.orderBy(col("nll"), col("doc_id"))))
-    val dsir = QualitySignals.dsirWeights(s, dir)
+    val dsir = dsirFrame
       .filter(col("doc_id") >= 10)
       .select(col("doc_id"), col("log_weight"))
       .withColumn("wtile",
@@ -93,20 +109,39 @@ object CurationPipeline {
   /** The one-statement oracle: unigram-LM training prelude (seed + EM,
     * shared CTE names with q147/q152 by construction), Viterbi dictionary
     * + per-doc NLL, prefixed repetition/contamination/DSIR blocks, both
-    * ntiles, verdict, card. */
-  private def q154Sql: String = {
+    * ntiles, verdict, card. With `pred = true` (q176), the langid scoring
+    * prelude (Langid.scoreCtesSql — featurize → closed-form centroid train
+    * → integer-grid argmax) is spliced into the chain and the DSIR token
+    * frame takes its language from the PREDICTED label, so the composed
+    * statement replays the full untrusted-metadata pipeline. */
+  private def q154Sql: String = cardSql(pred = false)
+  private def q176Sql: String = cardSql(pred = true)
+
+  private def cardSql(pred: Boolean): String = {
     val W = UnigramTok.W
     val npCase = (1 to W)
       .map(s => s"CASE WHEN fpiece$s IS NOT NULL THEN 1 ELSE 0 END")
       .mkString(" + ")
     val scCase = "CASE fn " +
       (1 to W).map(j => s"WHEN $j THEN fd$j").mkString(" ") + " END"
+    val dsTk = if (pred)
+      """, ds_tk AS (
+      |  SELECT d.doc_id, sc.lang_pred AS lang,
+      |    unnest(string_split(d.text, ' ')) AS tok
+      |  FROM documents d JOIN scored sc USING (doc_id)
+      |)""".stripMargin
+    else
+      """, ds_tk AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
+      |  FROM documents
+      |)""".stripMargin
     UnigramTok.seedSql +
       (1 to UnigramTok.T).map(UnigramTok.emSql).mkString +
       s""", wtenc AS (
       |  SELECT word FROM wt WHERE len(word) <= $W
       |)""".stripMargin +
       UnigramTok.dpSql("f", "wtenc", s"lp${UnigramTok.T}") +
+      (if (pred) ", " + Langid.scoreCtesSql.stripSuffix("\n") else "") +
       s""", pp_dict AS MATERIALIZED (
       |  SELECT word, CAST($npCase AS BIGINT) AS np,
       |    FLOOR(($scCase) * 1000000 + 0.5) / 1000000.0 AS sc
@@ -165,10 +200,7 @@ object CurationPipeline {
       |      / COUNT(*) * 10000 + 0.5) / 10000.0 AS cfrac
       |  FROM con_g c LEFT JOIN con_bench b USING (gram)
       |  WHERE c.doc_id >= 10 GROUP BY 1
-      |), ds_tk AS (
-      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok
-      |  FROM documents
-      |), ds_sl AS (
+      |)""".stripMargin + dsTk + s""", ds_sl AS (
       |  SELECT doc_id, lang,
       |    ('0x' || substr(md5(tok), 1, 15))::BIGINT % $DsirSlots AS slot
       |  FROM ds_tk WHERE tok <> ''
@@ -229,5 +261,6 @@ object CurationPipeline {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q154_curation_pipeline", q154, Some(q154Sql)))
+    QueryDef("q154_curation_pipeline", q154, Some(q154Sql)),
+    QueryDef("q176_curation_pipeline_langpred", q176, Some(q176Sql)))
 }

@@ -111,10 +111,11 @@ object Langid {
   }
 
   /** Scored frame once per (JVM, dataset) — q171 declares it, q172's card
-    * aggregates it (the detect-once discipline). Deterministic (snapped
-    * grids, integer argmax), so cached == inline value for value.
+    * aggregates it, and q176's untrusted-metadata curation gate joins it
+    * (the detect-once discipline). Deterministic (snapped grids, integer
+    * argmax), so cached == inline value for value.
     */
-  private def scoresStore(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def scoresStore(s: SparkSession, dir: String): DataFrame = {
     val p = Scratch.path("langid171", dir)
     Scratch.once(p) {
       langidScores(s, dir).write.mode("overwrite").parquet(p)
@@ -192,6 +193,15 @@ object Langid {
       |    l.lang
       |  FROM lab l LEFT JOIN pred p USING (doc_id)
       |)""".stripMargin
+
+  /** The scoring prelude as BARE CTEs (no leading WITH) for composition
+    * into other oracles' chains — q176 splices it before its DSIR block so
+    * the composed statement replays featurize → train → argmax inline.
+    * CTE names (bg, docbg, sl, xn, lab, nc, mu, dots, ranked, pred,
+    * scored) are disjoint from the unigram-LM and q154 block names by
+    * inspection; a collision would fail the composed oracle loudly.
+    */
+  private[queries] val scoreCtesSql: String = scoreSql.stripPrefix("WITH ")
 
   private val q171Sql = scoreSql +
     """

@@ -46,6 +46,21 @@ object QualitySignals {
     artifact(s, dir, "dsir")(Dsir.importanceWeights(Tables.documents(s, dir),
       col("lang") === "en", "doc_id", "text", NSlots))
 
+  /** DSIR weights with the target slice defined by the PREDICTED language
+    * (q171's in-engine classifier) instead of the metadata column — the
+    * untrusted-metadata mode a real crawl needs (VERDICT r14 task 6). The
+    * langid scores ride their own per-(JVM, dataset) Scratch store, so
+    * this artifact adds one broadcast-sized equi-join over the q151 shape.
+    */
+  private[queries] def dsirWeightsPred(s: SparkSession, dir: String): DataFrame =
+    artifact(s, dir, "dsir_pred") {
+      val docs = Tables.documents(s, dir)
+        .join(Langid.scoresStore(s, dir).select(col("doc_id"), col("lang_pred")),
+          Seq("doc_id"))
+      Dsir.importanceWeights(docs, col("lang_pred") === "en",
+        "doc_id", "text", NSlots)
+    }
+
   // ---------- q149: repetition signals ----------
 
   private def q149(s: SparkSession, dir: String): DataFrame =
