@@ -387,11 +387,28 @@ object Curation {
       // exploding raw bigrams into a 108M-group hash aggregate. 224.5 s →
       // 157.3 s at 1M docs with a bit-identical store checksum (the HOF
       // explode also ran interpreted — the known round-10 lesson). The
-      // one remaining exchange is the deliberate round-robin repartition
-      // of the raw (doc_id, text) rows below — it fans the otherwise
+      // first exchange is the deliberate round-robin repartition of the
+      // raw (doc_id, text) rows below — it fans the otherwise
       // shuffle-free pipeline out when the corpus is a single parquet
       // file (the q95 single-scan-partition lesson) and costs one pass
       // over the text bytes.
+      //
+      // Round-15 (the q73 warm-cost diagnosis, measured): that fan-out
+      // count also became the store's FILE count — 32 files of ~23 KB at
+      // sf0.1 — and every warm consumer paid ~0.35–0.5 s of per-file
+      // open/footer overhead across its two store scans (q73 warm medians
+      // doubled r13→r14 on bit-identical CONTENT; the layout A/B pinned
+      // it: 32 files ≈ 1.0–1.2 s vs 4–5 files ≈ 0.6–0.7 s, sorting
+      // variants strictly worse). The second, AQE-SIZED exchange below
+      // fixes the file count without giving up the compute fan-out:
+      // repartition by column (no explicit N) lets AQE pick the partition
+      // count from the actual shuffle bytes — measured: 4 files at sf0.1
+      // (the fastest consumer layout in the A/B), the same 32 at the
+      // 1M-doc slice where ~6 MB-compressed files are already right
+      // (AQE's parallelismFirst floor). Build-cost trade, measured both
+      // scales: +0.2 s warm at sf0.1 (0.5 → 0.7 s), +1.6 s warm at 1M
+      // docs (3.5 → 5.1 s) — paid once per (JVM, dataset), repaid by the
+      // first one or two warm consumer reads.
       val counts = org.apache.spark.sql.graftbridge.Bridge.column(
         graft.functions.expr.CharBigramCountsF(
           org.apache.spark.sql.graftbridge.Bridge.expression(col("text"))))
@@ -400,6 +417,7 @@ object Curation {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), explode(counts).as(Seq("bg", "c")))
         .select(col("doc_id"), col("bg"), col("c").cast("long").as("c"))
+        .repartition(col("doc_id"))
         .write.mode("overwrite").parquet(p)
     }
     s.read.parquet(p)

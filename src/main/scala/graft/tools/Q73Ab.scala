@@ -1,0 +1,160 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throwaway A/B for the round-15 q73 warm-cost diagnosis (VERDICT r14
+  * task 5): builds the char-bigram store in the two layouts the suspect
+  * round-14 change swapped — (A) round-robin doc-clustered (current), (B)
+  * the old shuffle-clustered aggregate output — plus candidates (C) A
+  * sorted by bg within partitions and (D) A coalesced to fewer files, then
+  * times the UNCHANGED q73 consumer body warm on each.
+  */
+object Q73Ab {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val counts = org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.functions.expr.CharBigramCountsF(
+        org.apache.spark.sql.graftbridge.Bridge.expression(col("text"))))
+    val base = graft.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"))
+
+    // warm-consumer mode: the DECLARED q73 through its real Scratch store
+    // (first run pays the build; the rest are the warm medians the bench
+    // band records)
+    if (args.length > 1 && args(1) == "warmq73") {
+      val q = graft.SparkEntry.queries("q73_lm_score")
+      (1 to 7).foreach { i =>
+        val t0 = System.nanoTime()
+        q(spark, dir).write.format("noop").mode("overwrite").save()
+        println(f"q73 run $i: ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      }
+      spark.stop()
+      return
+    }
+
+    // build-only mode: just the old-vs-new BUILD cost at a big slice —
+    // skips the five consumer-layout stores (already measured at sf0.1)
+    if (args.length > 1 && args(1) == "buildonly") {
+      def buildTime(label: String, shuffleWrite: Boolean): Unit = {
+        val p = s"/tmp/q73ab/build_$label"
+        val t0 = System.nanoTime()
+        val exploded = base.repartition(32)
+          .select(col("doc_id"), explode(counts).as(Seq("bg", "c")))
+          .select(col("doc_id"), col("bg"), col("c").cast("long").as("c"))
+        val out = if (shuffleWrite) exploded.repartition(col("doc_id")) else exploded
+        out.write.mode("overwrite").parquet(p)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val fs = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        println(f"build $label%-10s ${sec}%.1f s files=${fs.length} bytes=${fs.map(_.length).sum}")
+      }
+      buildTime("old", shuffleWrite = false)
+      buildTime("new", shuffleWrite = true)
+      buildTime("old2", shuffleWrite = false) // second pass: JIT/cache-warm A/B
+      buildTime("new2", shuffleWrite = true)
+      spark.stop()
+      return
+    }
+
+    def write(df: DataFrame, p: String): Unit =
+      df.write.mode("overwrite").parquet(p)
+
+    // A: current layout — round-robin repartition, per-doc histogram explode
+    val pA = "/tmp/q73ab/storeA"
+    write(base.repartition(32)
+      .select(col("doc_id"), explode(counts).as(Seq("bg", "c")))
+      .select(col("doc_id"), col("bg"), col("c").cast("long").as("c")), pA)
+    // B: the old layout — raw bigram explode + groupBy(doc_id, bg) output
+    val pB = "/tmp/q73ab/storeB"
+    val rawBg = base.repartition(32)
+      .select(col("doc_id"),
+        explode(expr("transform(sequence(1, greatest(length(text) - 1, 0))," +
+          " i -> substring(text, i, 2))")).as("bg"))
+    write(rawBg.groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c")), pB)
+    // C: A, sorted by bg within partitions
+    val pC = "/tmp/q73ab/storeC"
+    write(spark.read.parquet(pA).repartition(32).sortWithinPartitions("bg"), pC)
+    // D: A, coalesced to 4 files
+    val pD = "/tmp/q73ab/storeD"
+    write(spark.read.parquet(pA).coalesce(4), pD)
+    // E: A, sorted by doc_id within partitions
+    val pE = "/tmp/q73ab/storeE"
+    write(spark.read.parquet(pA).repartition(32).sortWithinPartitions("doc_id", "bg"), pE)
+
+    // the UNCHANGED q73 consumer body over a given store path
+    def consumer(p: String): DataFrame = {
+      val docs = graft.Tables.documents(spark, dir)
+      val docBg = spark.read.parquet(p)
+      val model = docBg.groupBy(col("bg")).agg(sum(col("c")).as("mc"))
+      val total = docs.agg(
+        sum(greatest(length(col("text")) - 1, lit(0))).as("n_total"))
+      val term = floor(
+        log(col("mc").cast("double") / col("n_total")) * 1e6 + 0.5).cast("long")
+      val raw = sum(col("c") * col("term")).cast("double") / 1e6 / sum(col("c"))
+      docBg.join(broadcast(model), "bg").crossJoin(broadcast(total))
+        .withColumn("term", term)
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_bigrams"),
+          graft.queries.Parity.r4(raw).as("lm_score"))
+        .orderBy(col("doc_id"))
+    }
+
+    // parity first: every layout must produce the same result checksum
+    def checksum(p: String): Long = consumer(p)
+      .select(bit_xor(xxhash64(col("doc_id"), col("n_bigrams"),
+        col("lm_score").cast("string"))).as("x")).as[Long].head()
+    val sums = Seq(pA, pB, pC, pD, pE).map(checksum)
+    require(sums.distinct.size == 1, s"layouts disagree: $sums")
+
+    def time(p: String, label: String): Unit = {
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        consumer(p).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val s2 = ts.drop(1) // first is codegen-warm
+      println(f"$label%-28s warm ${s2.map(t => f"$t%.3f").mkString(" ")}  median ${s2.sorted.apply(s2.size / 2)}%.3f")
+    }
+    // interleave twice to spread cache/JIT effects
+    for (_ <- 1 to 2) {
+      time(pA, "A round-robin doc-clustered")
+      time(pB, "B shuffle-clustered agg out")
+      time(pC, "C sorted by bg")
+      time(pD, "D coalesced 4 files")
+      time(pE, "E sorted by doc_id")
+    }
+    // build-cost A/B (run with a big slice, e.g. /tmp/graft_scale/sf2):
+    // the current build without vs with the AQE-sized write shuffle
+    if (args.length > 1 && args(1) == "build") {
+      def buildTime(label: String, shuffleWrite: Boolean): Unit = {
+        val p = s"/tmp/q73ab/build_$label"
+        val t0 = System.nanoTime()
+        val exploded = base.repartition(32)
+          .select(col("doc_id"), explode(counts).as(Seq("bg", "c")))
+          .select(col("doc_id"), col("bg"), col("c").cast("long").as("c"))
+        val out = if (shuffleWrite) exploded.repartition(col("doc_id")) else exploded
+        out.write.mode("overwrite").parquet(p)
+        val sec = (System.nanoTime() - t0) / 1e9
+        val fs = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        println(f"build $label%-10s ${sec}%.1f s files=${fs.length} bytes=${fs.map(_.length).sum}")
+      }
+      buildTime("old", shuffleWrite = false)
+      buildTime("new", shuffleWrite = true)
+    }
+    // file stats
+    Seq(pA -> "A", pB -> "B", pC -> "C", pD -> "D", pE -> "E").foreach { case (p, l) =>
+      val fs = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+      println(f"$l files=${fs.length}%3d bytes=${fs.map(_.length).sum}%10d")
+    }
+    spark.stop()
+  }
+}
