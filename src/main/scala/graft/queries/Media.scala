@@ -461,16 +461,22 @@ object Media {
   private def q169(s: SparkSession, dir: String): DataFrame =
     audioPairs(s, dir).orderBy(col("doc_id_a"), col("doc_id_b"))
 
-  /** The trim-planted audio corpus (round 15): every document renders a
-    * 256-block clip whose per-block amplitude samples its sorted token set
-    * (the [[audioMedia]] recipe at 4× length), EXCEPT docs with
-    * doc_id % 5 == 4, which instead render their PREDECESSOR's clip with
-    * the first hop·(1 + doc_id % 3) blocks trimmed off — the commonest
+  /** The trim-planted audio corpus (round 15): members (doc_id % 3 == 0 —
+    * the q167 video family's declared-slice precedent; the full-corpus
+    * posture lives in the `audio_trim_neardup_50k` rehearsal) each render
+    * a 256-block clip whose per-block amplitude samples the doc's sorted
+    * token set (the [[audioMedia]] recipe at 4× length), EXCEPT every
+    * fifth member, which instead renders the PREVIOUS member's clip with
+    * the first hop·(1 + memberIdx % 3) blocks trimmed off — the commonest
     * real audio edit, planted deterministically so the declared query has
     * known-answer pairs. The whole-clip fingerprint (q169's space)
     * scale-normalizes over the clip length and therefore MISSES these;
     * catching them is exactly what the sub-fingerprint family exists for
-    * (spec-pinned in MultimodalSpec).
+    * (spec-pinned in MultimodalSpec). The slice matters for cost: the
+    * corpus's TEMPLATE documents render identical clips, whose composite
+    * grams form mega-buckets; the first full-corpus build measured 310 s
+    * cold at sf0.1 where the sliced one is ~30 s (sweep-1 forensics,
+    * round 15).
     */
   private[graft] def audioTrimMedia(s: SparkSession, dir: String)
       : org.apache.spark.sql.Dataset[graft.multimodal.MediaRow] = {
@@ -486,18 +492,21 @@ object Media {
         (1 + math.floorMod(toks(i * toks.length / 256).hashCode, 4096)).toShort
       }
     }
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-    val prev = docs.select((col("doc_id") + 1).as("doc_id"),
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"), col("text"))
+    val prev = docs.select((col("doc_id") + 3).as("doc_id"),
       col("text").as("prev_text"))
     docs.join(prev, Seq("doc_id"), "left")
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String, Option[String])]
       .mapPartitions(_.map { case (id, text, prevText) =>
+        val memberIdx = id / 3
         val samples = prevText match {
-          case Some(pt) if id % 5 == 4 =>
-            // hop-aligned front trim of the predecessor's clip:
+          case Some(pt) if memberIdx % 5 == 4 =>
+            // hop-aligned front trim of the previous member's clip:
             // 4 (hopBlocks) × 8 (blockSamples) × k samples
-            baseSamples(pt).drop(4 * 8 * (1 + (id % 3)).toInt)
+            baseSamples(pt).drop(4 * 8 * (1 + (memberIdx % 3)).toInt)
           case _ => baseSamples(text)
         }
         graft.multimodal.MediaRow(id, s"mem://doc/$id.trim.wav",
@@ -526,9 +535,13 @@ object Media {
   private def q174(s: SparkSession, dir: String): DataFrame =
     audioTrimPairs(s, dir).orderBy(col("doc_id_a"), col("doc_id_b"))
 
-  /** The trim-family dedup ACTION (q170's shape on the trim pair graph). */
+  /** The trim-family dedup ACTION (q170's shape on the trim pair graph;
+    * members are the q174 slice, so accounting covers the rendered corpus
+    * exactly — the q168 convention). */
   private def q175(s: SparkSession, dir: String): DataFrame = {
-    val members = Tables.documents(s, dir).select(col("doc_id"))
+    val members = Tables.documents(s, dir)
+      .filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id"))
     val pairs = audioTrimPairs(s, dir)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))
     graft.operators.DedupClusters.clusterAssignments(members, "doc_id", pairs)

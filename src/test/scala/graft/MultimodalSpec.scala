@@ -586,9 +586,12 @@ class MultimodalSpec extends SparkSpec {
 
   test("audio trim family (q174/q175): planted predecessor trims are found and acted on") {
     val d = sf()
-    val docs = Tables.documents(spark, d).select(col("doc_id")).as[Long].collect().toSet
-    val planted = docs.filter(id => id % 5 == 4 && docs.contains(id - 1))
-      .map(id => (id - 1, id))
+    // members = the q167-style declared slice; every fifth member renders
+    // the previous member's clip trimmed
+    val docs = Tables.documents(spark, d).select(col("doc_id")).as[Long].collect()
+      .filter(_ % 3 == 0).toSet
+    val planted = docs.filter(id => (id / 3) % 5 == 4 && docs.contains(id - 3))
+      .map(id => (id - 3, id))
     val pairs = graft.queries.Catalog.queries("q174_audio_trim_neardup")(spark, d)
       .localCheckpoint(true)
     assert(pairs.filter(col("doc_id_a") >= col("doc_id_b")).count() === 0L)
@@ -603,7 +606,7 @@ class MultimodalSpec extends SparkSpec {
       assert(hit.get._1 > 0 && hit.get._2 == 0.0,
         s"planted pair ($a, $b): offset/hamming ${hit.get} — expected exact shifted match")
     }
-    // action: exact accounting (the q170 contract on the trim graph)
+    // action: exact accounting over the SLICE (the q168/q170 contract)
     val action = graft.queries.Catalog.queries("q175_audio_trim_dedup_action")(spark, d)
       .localCheckpoint(true)
     assert(action.agg(sum(col("dup_count"))).as[Long].head() === docs.size.toLong)
