@@ -478,7 +478,13 @@ object Media {
     * cold at sf0.1 where the sliced one is ~30 s (sweep-1 forensics,
     * round 15).
     */
-  private[graft] def audioTrimMedia(s: SparkSession, dir: String)
+  /** `sliceMod`: members are doc_id % sliceMod == 0 — 3 for the declared
+    * queries (cost posture above), 1 for the FULL corpus in the sf2
+    * rehearsal (`audio_trim_neardup_sf2`), so the production-scale probe
+    * renders every document through the same code path.
+    */
+  private[graft] def audioTrimMedia(s: SparkSession, dir: String,
+      sliceMod: Int = 3)
       : org.apache.spark.sql.Dataset[graft.multimodal.MediaRow] = {
     import s.implicits._
     // local defs only: an object-method call inside the mapPartitions
@@ -492,16 +498,17 @@ object Media {
         (1 + math.floorMod(toks(i * toks.length / 256).hashCode, 4096)).toShort
       }
     }
+    val mod = sliceMod.toLong
     val docs = Tables.documents(s, dir)
-      .filter(col("doc_id") % 3 === 0)
+      .filter(col("doc_id") % mod === 0)
       .select(col("doc_id"), col("text"))
-    val prev = docs.select((col("doc_id") + 3).as("doc_id"),
+    val prev = docs.select((col("doc_id") + mod).as("doc_id"),
       col("text").as("prev_text"))
     docs.join(prev, Seq("doc_id"), "left")
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String, Option[String])]
       .mapPartitions(_.map { case (id, text, prevText) =>
-        val memberIdx = id / 3
+        val memberIdx = id / mod
         val samples = prevText match {
           case Some(pt) if memberIdx % 5 == 4 =>
             // hop-aligned front trim of the previous member's clip:

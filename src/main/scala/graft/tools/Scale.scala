@@ -504,6 +504,45 @@ object ScaleRehearsal {
       Seq((nPairs, survivors, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
     }),
 
+    // TRIM-robust audio near-dup over the FULL REAL corpus at the
+    // production cap (round 15): 1M template-heavy documents rendered
+    // through the declared family's own code path (sliceMod=1 — no
+    // slice), 49 sub-fingerprints per clip → ~49M sub-fp rows. Probes
+    // the two postures the declared slice sidesteps: (a) the composite
+    // 32-bit band keys' random-collision floor at 20× the 50k rehearsal's
+    // row count, and (b) template mega-buckets under the q44/q54
+    // production cap (maxBucket=100 — the same documented recall
+    // sacrifice as audio_neardup_sf2). Asserts planted recall on the
+    // every-fifth-member trims whose base group is NOT cap-degenerate is
+    // nontrivial and the action's exact accounting over all 1M clips.
+    "audio_trim_neardup_sf2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val media = graft.queries.Media.audioTrimMedia(s, dir, sliceMod = 1)
+        .localCheckpoint(true)
+      val nm = media.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.multimodal.Multimodal
+        .audioNearDupPairsTrimTolerant(media, blockSamples = 8, hopBlocks = 4,
+          maxBucket = 100)
+        .localCheckpoint(true)
+      val nPairs = pairs.count()
+      val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      // planted trims: member 5k+4 is a trim of member 5k+3 (sliceMod=1 →
+      // memberIdx = doc_id); count how many planted pairs survived the
+      // production cap (template groups above it legitimately lose theirs)
+      val planted = pairs.filter(
+        col("doc_id_b") === col("doc_id_a") + 1 &&
+          pmod(col("doc_id_b"), lit(5)) === 4 &&
+          col("mean_hamming") === 0.0 && col("offset") > 0).count()
+      val (survivors, actSec) = dedupActionStats(media, pairs, nm)
+      println(s"""{"probe":"audio_trim_neardup_sf2","clips":$nm,"pairs":$nPairs,""" +
+        s""""planted_found":$planted,"survivors":$survivors,""" +
+        s""""pair_sec":$pairSec,"action_sec":$actSec}""")
+      require(planted > 0, "no planted trim pair survived — the family is broken at scale")
+      Seq((nPairs, survivors, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
+    }),
+
     // Audio near-dup over a REAL document corpus at the production cap:
     // the declared q169's default maxBucket=10000 is sized for the sf0.1
     // catalog; at 1M docs the synthetic corpus's template structure makes
