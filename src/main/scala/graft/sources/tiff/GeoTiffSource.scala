@@ -176,8 +176,9 @@ class GeoTiffTable(
           s"raster CRS mismatch: ${first.path} (model type ${first.crsModelType}) vs " +
             s"${m.path} (model type ${m.crsModelType}) — geographic and projected " +
             "rasters cannot share a point grid" +
-            (if (resampleNearest) "; only EPSG:4326 ↔ UTM (EPSG:326xx/327xx) pairs " +
-              "have a supported resample transform" else ""))
+            (if (resampleNearest) "; supported resample transforms are same-datum " +
+              "pairs of EPSG:4326/UTM 326xx/327xx (WGS84) or EPSG:4269/UTM 269xx " +
+              "(NAD83)" else ""))
         // same kind is not enough: two DIFFERENT projected CRSs (UTM zones
         // routinely share identical numeric grids — false easting 500000,
         // same scale) or two geographic datums would zip pixels from
@@ -192,7 +193,8 @@ class GeoTiffTable(
             s"raster CRS mismatch: ${first.path} (EPSG:$a) vs ${m.path} (EPSG:$b) — " +
               "identical numeric grids in different CRSs are different places" +
               (if (resampleNearest) "; supported resample transforms cover " +
-                "EPSG:4326 and UTM (EPSG:326xx/327xx) only" else ""))
+                "same-datum pairs of EPSG:4326/UTM 326xx/327xx (WGS84) and " +
+                "EPSG:4269/UTM 269xx (NAD83) only" else ""))
       }
       if (resampleNearest && (crossCrs || !first.sameGrid(m))) {
         // Every mask centroid must land inside the secondary — clamping at

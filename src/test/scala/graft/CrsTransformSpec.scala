@@ -133,6 +133,57 @@ class CrsTransformSpec extends AnyFunSuite {
     assert(math.abs(e2 - e0) < 1e-6 && math.abs(n2 - n0) < 1e-6)
   }
 
+  test("NAD83 family (round 15): GRS80 ellipsoid, same series shape, datum never crossed") {
+    // EPSG:26915 = NAD83 UTM zone 15N (cm 93°W) on GRS80
+    val p15 = CrsTransform.utmParams(26915).get
+    assert(p15.cmDeg === -93.0 && p15.falseNorthing === 0.0 &&
+      (p15.ell eq CrsTransform.Grs80))
+    assert(CrsTransform.utmParams(26900).isEmpty &&
+      CrsTransform.utmParams(26924).isEmpty) // published zone range 1–23
+    // the GRS80 meridian arc differs from WGS84's (different flattening):
+    // pin the CM northing against a GRS80 Simpson integration
+    def arcGrs80(latDeg: Double): Double = {
+      val a = 6378137.0
+      val e2 = (1.0 / 298.257222101) * (2.0 - 1.0 / 298.257222101)
+      val hi = math.toRadians(latDeg)
+      val steps = 200000
+      val h = hi / steps
+      var sum = 0.0
+      for (i <- 0 to steps) {
+        val s = math.sin(i * h)
+        val coef = if (i == 0 || i == steps) 1.0 else if (i % 2 == 1) 4.0 else 2.0
+        sum += coef * a * (1.0 - e2) / math.pow(1.0 - e2 * s * s, 1.5)
+      }
+      sum * h / 3.0
+    }
+    for (lat <- Seq(29.0, 44.5)) {
+      val (_, nn) = CrsTransform.forward(p15, -93.0, lat)
+      assert(math.abs(nn - 0.9996 * arcGrs80(lat)) < 1e-4,
+        s"lat=$lat: NAD83 northing $nn vs k0*GRS80 arc ${0.9996 * arcGrs80(lat)}")
+    }
+    // round-trip on the NAD83 ellipsoid
+    check(Prop.forAll(Gen.choose(-96.0, -90.0), Gen.choose(25.0, 49.0)) {
+      (lon, lat) =>
+        val (e, nn) = CrsTransform.forward(p15, lon, lat)
+        val (lon2, lat2) = CrsTransform.inverse(p15, e, nn)
+        math.abs(lon2 - lon) < 1e-11 && math.abs(lat2 - lat) < 1e-11
+    })
+    // same-datum pairs transform; CROSS-DATUM pairs never do
+    assert(CrsTransform.between(4269, 26915).isDefined)
+    assert(CrsTransform.between(26915, 4269).isDefined)
+    assert(CrsTransform.between(26915, 26914).isDefined) // NAD83 zone↔zone
+    assert(CrsTransform.between(4326, 26915).isEmpty, "WGS84 geo × NAD83 UTM must not transform")
+    assert(CrsTransform.between(4269, 32615).isEmpty, "NAD83 geo × WGS84 UTM must not transform")
+    assert(CrsTransform.between(26915, 32615).isEmpty, "cross-datum UTM twins must not transform")
+    // the two ellipsoids genuinely differ in the output (flattening is the
+    // only difference, ~0.1 mm of polar radius — visible at high latitude
+    // northings at the 0.1 mm level, NOT conflated away)
+    val pW = CrsTransform.utmParams(32615).get
+    val (_, nW) = CrsTransform.forward(pW, -93.0, 60.0)
+    val (_, nN) = CrsTransform.forward(p15, -93.0, 60.0)
+    assert(nW != nN && math.abs(nW - nN) < 0.01, s"dN=${nW - nN}")
+  }
+
   test("zipTransform gates on declared, distinct, supported EPSG pairs") {
     import graft.sources.tiff.TiffTags.RasterMeta
     def meta(epsg: Option[Int], model: Option[Int]) =

@@ -1213,6 +1213,42 @@ class GeoTiffSourceSpec extends SparkSpec {
         resample = "nearest", calcArea = true).collect()
     }
     assert(eArea.getMessage.contains("geographic CRS"))
+    // NAD83 family (round 15): a 4269 mask near zone 15's CM samples a
+    // 26915 secondary through the GRS80 transform, row-checked the same way
+    val nadMask = TiffFixtures.writeBigTiff(s"$tmp/xcrs_nadmask.tif", 10, 8, v7,
+      -94.0, 47.0, 0.2, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4269))
+    val nadUtm = TiffFixtures.writeBigTiff(s"$tmp/xcrs_nadutm.tif", 120, 120, g,
+      350000.0, 5260000.0, 2000.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 26915))
+    val p15 = CrsTransform.utmParams(26915).get
+    Raster.raster2df(spark, Seq(nadMask, nadUtm), colNames = Seq("m", "b"),
+      resample = "nearest").collect().foreach { row =>
+      val (lon, lat, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (e, n) = CrsTransform.forward(p15, lon, lat)
+      val cc = math.floor((e - 350000.0) / 2000.0).toInt
+      val rr = math.floor((5260000.0 - n) / 2000.0).toInt
+      assert(b.toDouble == g(cc, rr), s"NAD83 ($lon, $lat) cell ($cc, $rr): got $b")
+    }
+    // CROSS-DATUM pairs stay typed-rejected even under resample=nearest:
+    // the WGS84 mask must not silently sample the NAD83 secondary
+    val eDatum = intercept[Exception] {
+      Raster.raster2df(spark, Seq(mask, nadUtm), colNames = Seq("m", "b"),
+        resample = "nearest").collect()
+    }
+    // (rejects at the CRS-kind gate — geographic vs projected — whose
+    // message teaches the supported same-datum set)
+    assert(eDatum.getMessage.contains("CRS mismatch") &&
+      eDatum.getMessage.contains("same-datum"))
+    // and the PROJECTED×PROJECTED cross-datum twin rejects at the EPSG
+    // gate with both codes named
+    val wgsUtmTwin = TiffFixtures.writeBigTiff(s"$tmp/xcrs_wgstwin.tif", 120, 120, g,
+      350000.0, 5260000.0, 2000.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 32615))
+    val eDatum2 = intercept[Exception] {
+      Raster.raster2df(spark, Seq(wgsUtmTwin, nadUtm), colNames = Seq("m", "b"),
+        resample = "nearest").collect()
+    }
+    assert(eDatum2.getMessage.contains("EPSG:32615") &&
+      eDatum2.getMessage.contains("EPSG:26915") &&
+      eDatum2.getMessage.contains("same-datum"))
   }
 
   test("flipped-axis ModelTransformation stays rejected with its own typed message") {
