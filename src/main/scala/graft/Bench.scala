@@ -289,13 +289,26 @@ object Bench {
     // (BENCH_r09 had the trailer in the tail but parsed:null for exactly
     // this reason). sbt leaves stderr unprefixed.
     System.err.println(trailer)
-    // Record mode: persist this run's spread as the band file for later
-    // guard runs (only meaningful on a fully-green sweep).
+    // Record mode: persist this run's WARM spread as the band file for
+    // later guard runs (only meaningful on a fully-green sweep). Warm-only
+    // (round 15): sweep 1 pays every Scratch artifact build, so including
+    // it put a query's COLD cost in its band ceiling — q174's first
+    // recorded band was [0.44, 106.4], making its guard threshold ~213 s
+    // against a 0.53 s warm median, i.e. inert. The guard compares
+    // warm-dominated MEDIANS, so the recorded ceiling must be the warm
+    // spread. The emitted `spread` field keeps the full min/max — it is
+    // the cold-cost diagnostic; only the RECORDED bands drop sweep 1
+    // (when more than one sweep ran).
     sys.env.get("SPARK_GRAFT_BENCH_RECORD_BANDS").foreach { path =>
       if (failed == 0) {
+        val warmSpread = names.map { n =>
+          val all = timings(n)
+          val ts = (if (all.length > 1) all.drop(1) else all).filter(_ >= 0)
+          s"\"" + n + "\":[" + r3(ts.min) + "," + r3(ts.max) + "]"
+        }.mkString("{", ",", "}")
         val w = new java.io.PrintWriter(path, "UTF-8")
-        try w.println(spread) finally w.close()
-        System.err.println(s"[bench] recorded bands for ${names.length} queries to $path")
+        try w.println(warmSpread) finally w.close()
+        System.err.println(s"[bench] recorded WARM bands for ${names.length} queries to $path")
       } else System.err.println(s"[bench] NOT recording bands: $failed queries failed")
     }
     // Guard mode: fail the run if any query's median drifted past its band.

@@ -478,13 +478,20 @@ object Media {
     * cold at sf0.1 where the sliced one is ~30 s (sweep-1 forensics,
     * round 15).
     */
-  /** `sliceMod`: members are doc_id % sliceMod == 0 — 3 for the declared
-    * queries (cost posture above), 1 for the FULL corpus in the sf2
-    * rehearsal (`audio_trim_neardup_sf2`), so the production-scale probe
-    * renders every document through the same code path.
+  /** The declared trim family's slice modulus — ONE constant tying the
+    * corpus render, q175's member set, and the spec's plant arithmetic
+    * together (a divergence would silently break the action's exact
+    * accounting over the rendered corpus).
+    */
+  private[graft] val TrimSliceMod = 3
+
+  /** `sliceMod`: members are doc_id % sliceMod == 0 — [[TrimSliceMod]] for
+    * the declared queries (cost posture above), 1 for the FULL corpus in
+    * the sf2 rehearsal (`audio_trim_neardup_sf2`), so the production-scale
+    * probe renders every document through the same code path.
     */
   private[graft] def audioTrimMedia(s: SparkSession, dir: String,
-      sliceMod: Int = 3)
+      sliceMod: Int = TrimSliceMod)
       : org.apache.spark.sql.Dataset[graft.multimodal.MediaRow] = {
     import s.implicits._
     // local defs only: an object-method call inside the mapPartitions
@@ -547,7 +554,7 @@ object Media {
     * exactly — the q168 convention). */
   private def q175(s: SparkSession, dir: String): DataFrame = {
     val members = Tables.documents(s, dir)
-      .filter(col("doc_id") % 3 === 0)
+      .filter(col("doc_id") % TrimSliceMod === 0)
       .select(col("doc_id"))
     val pairs = audioTrimPairs(s, dir)
       .select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b"))

@@ -33,7 +33,11 @@ object CrsTransform {
   /** Ellipsoid defining constants plus the derived Krüger series
     * coefficients (α forward / β inverse, Karney 2011 eq. 35–36, to n⁴).
     */
-  final class Ellipsoid(val name: String, val a: Double, val f: Double) {
+  // A case class: structural equality + serializability matter because
+  // TmParams (Serializable case class) embeds one — a TmParams captured in
+  // a task closure must not crash job submission, and a deserialized copy
+  // must still pass the datum gate (which therefore compares ==, not eq).
+  final case class Ellipsoid(name: String, a: Double, f: Double) {
     val e2: Double = f * (2.0 - f)
     val e: Double = math.sqrt(e2)
     private val n = f / (2.0 - f)
@@ -54,11 +58,11 @@ object CrsTransform {
   }
 
   /** WGS84 (same defining constants as GeoMath's). */
-  val Wgs84: Ellipsoid = new Ellipsoid("WGS84", 6378137.0, 1.0 / 298.257223563)
+  val Wgs84: Ellipsoid = Ellipsoid("WGS84", 6378137.0, 1.0 / 298.257223563)
   /** GRS80 — NAD83's ellipsoid; same semi-major axis, flattening differs
     * from WGS84's in the 9th significant digit (≈0.1 mm of polar radius).
     */
-  val Grs80: Ellipsoid = new Ellipsoid("GRS80", 6378137.0, 1.0 / 298.257222101)
+  val Grs80: Ellipsoid = Ellipsoid("GRS80", 6378137.0, 1.0 / 298.257222101)
 
   private val K0 = 0.9996
 
@@ -162,7 +166,7 @@ object CrsTransform {
     for {
       (ea, pa) <- side(src)
       (eb, pb) <- side(dst)
-      if ea eq eb // same datum only — never silently conflate NAD83/WGS84
+      if ea == eb // same datum only — never silently conflate NAD83/WGS84
     } yield {
       val toGeo: (Double, Double) => (Double, Double) =
         pa.map(p => (x: Double, y: Double) => inverse(p, x, y))

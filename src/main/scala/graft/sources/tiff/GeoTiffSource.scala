@@ -158,10 +158,12 @@ class GeoTiffTable(
     ms.tail.foreach { m =>
       // Cross-CRS zip (round 15): under resample=nearest, a secondary whose
       // DECLARED EPSG differs from the mask's but has a supported transform
-      // (4326 ↔ UTM 326zz/327zz, or UTM zone ↔ UTM zone through the shared
-      // geographic leg) is sampled through that transform instead of being
-      // rejected — the most common real pairing in land-cover work. Every
-      // other mismatched pair keeps its typed rejection below.
+      // — SAME-DATUM pairs of {4326, UTM 326zz/327zz} (WGS84) or {4269,
+      // UTM 269zz} (NAD83/GRS80), including UTM zone ↔ UTM zone through
+      // the shared geographic leg — is sampled through that transform
+      // instead of being rejected: the most common real pairings in
+      // land-cover work. Cross-datum and every other mismatched pair keeps
+      // its typed rejection below.
       val crossCrs = resampleNearest && CrsTransform.zipTransform(first, m).isDefined
       // identical grids required UNLESS resample=nearest was requested:
       // then the mask (first) grid defines the output and each secondary

@@ -588,10 +588,11 @@ class MultimodalSpec extends SparkSpec {
     val d = sf()
     // members = the q167-style declared slice; every fifth member renders
     // the previous member's clip trimmed
+    val mod = graft.queries.Media.TrimSliceMod
     val docs = Tables.documents(spark, d).select(col("doc_id")).as[Long].collect()
-      .filter(_ % 3 == 0).toSet
-    val planted = docs.filter(id => (id / 3) % 5 == 4 && docs.contains(id - 3))
-      .map(id => (id - 3, id))
+      .filter(_ % mod == 0).toSet
+    val planted = docs.filter(id => (id / mod) % 5 == 4 && docs.contains(id - mod))
+      .map(id => (id - mod, id))
     val pairs = graft.queries.Catalog.queries("q174_audio_trim_neardup")(spark, d)
       .localCheckpoint(true)
     assert(pairs.filter(col("doc_id_a") >= col("doc_id_b")).count() === 0L)
