@@ -573,6 +573,30 @@ class MultimodalSpec extends SparkSpec {
     val whole = Multimodal.audioNearDupPairs(rows, maxHamming = 3).count()
     assert(whole === 0L,
       "the whole-clip path unexpectedly caught the trimmed pair — the trim family would be redundant")
+    // PADDING is the trim's mirror image and must also pair (the scaladoc
+    // claims both): front-padding prepends blocks (base aligns at a
+    // NEGATIVE offset from the padded clip's perspective), end-padding
+    // appends them (interior windows untouched -> offset 0)
+    val padAmps = Array.fill[Short](trimBlocks)((1 + rnd.nextInt(4096)).toShort)
+    val padded = Seq(
+      MediaRow(1L, "mem://t/base.wav", Multimodal.pcm16Wav(samplesOf(baseAmps)), Map.empty),
+      MediaRow(4L, "mem://t/frontpad.wav",
+        Multimodal.pcm16Wav(samplesOf(padAmps ++ baseAmps)), Map.empty),
+      MediaRow(5L, "mem://t/endpad.wav",
+        Multimodal.pcm16Wav(samplesOf(baseAmps ++ padAmps)), Map.empty)
+    ).toDS()
+    val padPairs = Multimodal.audioNearDupPairsTrimTolerant(padded,
+      blockSamples = 8, hopBlocks = hop)
+      .as[(Long, Long, Int, Double, Long)].collect().sortBy(_._2).toSeq
+    // (1,4): base rank j == front-padded rank j+2 -> offset = rank_a - rank_b = -2
+    // (1,5): end-padded shares every base rank -> offset 0, full coverage
+    // (4,5) is NOT a pair by the declared contract: the two paddings share
+    // only the base's 13 windows of their 15 ranks each (13 < 0.9*15) —
+    // the coverage floor treats "both extend a common core" differently
+    // from "one is a trim of the other", by design
+    assert(padPairs.map(p => (p._1, p._2, p._3, p._4)) ===
+      Seq((1L, 4L, -2, 0.0), (1L, 5L, 0, 0.0)),
+      padPairs.mkString(", "))
     // clips shorter than one full window fall back to the whole-clip space
     val shorty = Seq(
       MediaRow(7L, "mem://t/s1.wav", Multimodal.pcm16Wav(samplesOf(baseAmps.take(32))), Map.empty),
