@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Throughput probe for the cross-CRS resample zip (round 15): measures the
+  * per-pixel Krüger-transform cost against the plain scan and the same-grid
+  * zip on a 16 Mpx mask — the raster rows BASELINE quotes in Mpx/s. Test
+  * scope because it renders through [[TiffFixtures]].
+  *
+  * Run: `sbt "Test/runMain graft.CrsZipProbe"`.
+  */
+object CrsZipProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val tmp = java.nio.file.Files.createTempDirectory("crszip").toString
+    // 4000×4000 f32 mask @ 0.0005° (2°×2° footprint), ~6% nodata
+    def v(c: Int, r: Int): Double = if ((c * 31 + r * 17) % 16 == 0) -9999.0 else c + r * 0.5
+    val mask = TiffFixtures.writeBigTiff(s"$tmp/mask.tif", 4000, 4000, v,
+      14.0, 48.0, 0.0005, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    // same-grid twin for the positional-zip baseline
+    val twin = TiffFixtures.writeBigTiff(s"$tmp/twin.tif", 4000, 4000,
+      (c, r) => (c ^ r).toDouble, 14.0, 48.0, 0.0005, Some("-9999"),
+      geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    // UTM 32633 secondary covering the footprint at 100 m
+    val utm = TiffFixtures.writeBigTiff(s"$tmp/utm.tif", 1800, 2600,
+      (c, r) => (c + r).toDouble, 420000.0, 5330000.0, 100.0, None,
+      geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    def time(label: String)(body: => Long): Unit = {
+      body // warm (codegen + footer caches)
+      val ts = (1 to 5).map { _ =>
+        val t0 = System.nanoTime()
+        val n = body
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      val med = ts.map(_._2).sorted.apply(2)
+      println(f"$label%-28s median $med%.3f s  ${16.0 / med}%.1f Mpx/s (rows=${ts.head._1})")
+    }
+    time("plain scan")(
+      Raster.raster2df(spark, Seq(mask), colNames = Seq("a"), maxBlockSize = 1024).count())
+    time("same-grid zip")(
+      Raster.raster2df(spark, Seq(mask, twin), colNames = Seq("a", "b"),
+        maxBlockSize = 1024).count())
+    time("cross-CRS zip (4326->UTM)")(
+      Raster.raster2df(spark, Seq(mask, utm), colNames = Seq("a", "b"),
+        maxBlockSize = 1024, resample = "nearest").count())
+    spark.stop()
+  }
+}
