@@ -157,6 +157,22 @@ object Bench {
     warm.size > 1 && warm.max > warm.min * 1.25
   }
 
+  /** The guard-facing statistic for one query: the median of its WARM
+    * observations (sweep 1 dropped when more than one sweep ran — it pays
+    * the one-time Scratch artifact builds by design). Recorded bands are
+    * warm-only (round 15), so comparing an all-sweep median against them is
+    * wrong whenever the cold sweep is in the mix: at REPEATS=2 the
+    * all-sweep median is the MEAN of cold and warm, and q174 (~106 s cold,
+    * ~0.5 s warm) would read ~53 s against a 0.6 s ceiling — a guaranteed
+    * false regression under a legal env setting (round-15 advice).
+    * A failed warm observation (-1) poisons the query, same as the
+    * headline rule.
+    */
+  def guardMedian(sweeps: Seq[Double]): Double = {
+    val warm = if (sweeps.length > 1) sweeps.drop(1) else sweeps
+    if (warm.isEmpty || warm.exists(_ < 0)) -1.0 else median(warm)
+  }
+
   /** Regressions under the drift rule. The absolute floor (default 0.25 s)
     * keeps sub-100ms queries from tripping the guard on scheduler jitter
     * alone: a 0.04 s query at 0.09 s is noise, not a plan change.
@@ -312,11 +328,25 @@ object Bench {
       } else System.err.println(s"[bench] NOT recording bands: $failed queries failed")
     }
     // Guard mode: fail the run if any query's median drifted past its band.
+    // WARM medians (round 16, advice): recorded bands are warm-only (sweep 1
+    // dropped), so the guard's statistic must be too — at REPEATS=2 the
+    // all-sweep median is the mean of cold and warm, and a query with a
+    // large one-time artifact build (q174: ~106 s cold vs ~0.5 s warm) would
+    // read ~53 s against a ~0.6 s warm ceiling: a guaranteed false
+    // regression under a legal env setting. When only one sweep ran there
+    // is no warm subset; that sweep is structurally cold, so band-guard
+    // mode refuses rather than comparing cold observations to warm bands.
+    val guardMedians = names.map(n => n -> r3(guardMedian(timings(n))))
     val regressed = sys.env.get("SPARK_GRAFT_BENCH_BANDS").map { path =>
+      if (repeats < 2) {
+        System.err.println("[bench] band-guard mode requires >= 2 sweeps " +
+          "(sweep 1 is structurally cold; bands are warm-only) — guard skipped, run rejected")
+        true
+      } else {
       val bands = parseBands(
         new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
           java.nio.charset.StandardCharsets.UTF_8))
-      val regs = regressions(perQuery, bands)
+      val regs = regressions(guardMedians, bands)
       regs.foreach { case (n, med, hi) =>
         System.err.println(f"[bench] REGRESSION $n: median $med%.3f s vs recorded band max $hi%.3f s")
       }
@@ -325,6 +355,7 @@ object Bench {
       val guard = s"""{"metric":"guard","regressions":$rj,"checked":${bands.size},"raw_total":$total,"normalized_total":$normTotal,"calib_secs":$calibsJson,"bands":"$path"}"""
       println(guard); System.err.println(guard)
       regs.nonEmpty
+      }
     }.getOrElse(false)
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -60,6 +60,25 @@ class BenchGuardSpec extends AnyFunSuite {
     assert(!Bench.needsResweep(Nil))
   }
 
+  test("guard statistic is the WARM median (cold sweep 1 dropped when >1 sweep ran)") {
+    // the round-15 advice scenario: REPEATS=2, a query with a ~106 s
+    // one-time artifact build and a 0.5 s warm cost. The all-sweep median
+    // would read 53.25 s against a ~0.6 s warm-band ceiling — a guaranteed
+    // false regression; the guard statistic must be the warm 0.5 s.
+    assert(Bench.guardMedian(Seq(106.0, 0.5)) === 0.5)
+    assert(Bench.guardMedian(Seq(106.0, 0.5, 0.46)) === 0.48)
+    // single sweep: no warm subset — the cold observation passes through
+    // (main refuses band-guard mode at repeats < 2, so this value is never
+    // compared to a warm band; it still backs the headline fields)
+    assert(Bench.guardMedian(Seq(106.0)) === 106.0)
+    // a failed warm observation poisons the query, same as the headline rule
+    assert(Bench.guardMedian(Seq(0.5, -1.0, 0.5)) === -1.0)
+    // a failed COLD observation also poisons via the headline failed-count
+    // path; guardMedian itself only judges the warm subset
+    assert(Bench.guardMedian(Seq(-1.0, 0.5)) === 0.5)
+    assert(Bench.guardMedian(Nil) === -1.0)
+  }
+
   test("calibration workload is pinned (changing the loop invalidates the nominal)") {
     // The recorded CalibNominalSecs (0.44 s idle) is only meaningful while
     // the probe's workload stays bit-identical. This pin is the hash of the
