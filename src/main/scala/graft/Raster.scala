@@ -27,7 +27,8 @@ object Raster {
       calcArea: Boolean = false,
       bands: Seq[Int] = Nil,
       overview: Int = 0,
-      resample: String = ""): DataFrame = {
+      resample: String = "",
+      datumBridge: String = ""): DataFrame = {
     require(rasters.forall(!_.contains(",")),
       s"raster paths must not contain ',': ${rasters.filter(_.contains(","))}")
     require(colNames.forall(!_.contains(",")),
@@ -51,6 +52,10 @@ object Raster {
     // supported transform (EPSG:4326 ↔ UTM 326xx/327xx, or UTM ↔ UTM
     // through the shared geographic leg)
     if (resample.nonEmpty) reader = reader.option("resample", resample)
+    // datumBridge="epsg1188": OPT-IN cross-datum (NAD83<->WGS84) resample
+    // zips through the published EPSG:1188 zero-shift transform (~1-2 m
+    // accuracy); the default keeps cross-datum pairs typed-rejected
+    if (datumBridge.nonEmpty) reader = reader.option("datumBridge", datumBridge)
     reader.load()
   }
 
@@ -68,10 +73,11 @@ object Raster {
       calcArea: Boolean = false,
       singleFile: Boolean = false,
       bands: Seq[Int] = Nil,
-      resample: String = ""): Unit = {
+      resample: String = "",
+      datumBridge: String = ""): Unit = {
     val sep = if (separator == "t") "\t" else separator
     val df = raster2df(spark, rasters, colNames, maxBlockSize, calcArea, bands,
-      resample = resample)
+      resample = resample, datumBridge = datumBridge)
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode("overwrite").option("sep", sep).option("header", true).csv(output)
   }
@@ -141,7 +147,8 @@ object Raster {
       maxBlockSize: Int = 4096,
       calcArea: Boolean = false,
       bands: Seq[Int] = Nil,
-      resample: String = "")
+      resample: String = "",
+      datumBridge: String = "")
 
   def parseArgs(args: Array[String]): CliArgs = {
     val positional = scala.collection.mutable.ArrayBuffer[String]()
@@ -151,6 +158,7 @@ object Raster {
     var calcArea = false
     var bands: Seq[Int] = Nil
     var resample = ""
+    var datumBridge = ""
     var i = 0
     def flagValue(name: String): String = {
       require(i + 1 < args.length, s"$name requires a value")
@@ -164,6 +172,7 @@ object Raster {
         case "--calc_area" => calcArea = true; i += 1
         case "--bands" => bands = flagValue("--bands").split(',').toSeq.map(_.trim.toInt); i += 2
         case "--resample" => resample = flagValue("--resample"); i += 2
+        case "--datum_bridge" => datumBridge = flagValue("--datum_bridge"); i += 2
         case f if f.startsWith("--") =>
           throw new IllegalArgumentException(s"unknown flag: $f")
         case p => positional += p; i += 1
@@ -171,12 +180,12 @@ object Raster {
     }
     require(positional.size >= 2, "usage: raster2csv INPUT... OUTPUT [options]")
     CliArgs(positional.init.toSeq, positional.last,
-      colNames, separator, maxBlock, calcArea, bands, resample)
+      colNames, separator, maxBlock, calcArea, bands, resample, datumBridge)
   }
 
   /** CLI: raster2csv INPUT... OUTPUT [--col_names a,b] [--separator ,|;|t]
     * [--max_block_size N] [--calc_area] [--bands 1,2,...]
-    * [--resample nearest]
+    * [--resample nearest] [--datum_bridge epsg1188]
     */
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)
@@ -188,7 +197,7 @@ object Raster {
       .getOrCreate()
     try raster2csv(spark, a.inputs, a.output, a.separator, a.colNames,
       a.maxBlockSize, a.calcArea, singleFile = false, bands = a.bands,
-      resample = a.resample)
+      resample = a.resample, datumBridge = a.datumBridge)
     finally spark.stop()
   }
 }

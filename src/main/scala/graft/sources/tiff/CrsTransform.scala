@@ -1,32 +1,53 @@
 package graft.sources.tiff
 
-/** Geographic ↔ Transverse Mercator (UTM zone) coordinate transforms,
-  * implemented from the PUBLIC Krüger n-series as presented in Karney 2011
-  * ("Transverse Mercator with an accuracy of a few nanometers", J. Geodesy
-  * 85(8)) — the same series EPSG Guidance Note 7 part 2 tabulates for the
-  * "Transverse Mercator" method (EPSG:9807). Series truncated at n⁴: within
-  * a UTM zone's ±3° of central meridian the truncation error is
-  * sub-millimeter, orders of magnitude below any raster pixel.
+/** Coordinate transforms between the supported CRSs, implemented from PUBLIC
+  * formulas only:
+  *
+  *   - Geographic ↔ Transverse Mercator (UTM zones): the Krüger n-series as
+  *     presented in Karney 2011 ("Transverse Mercator with an accuracy of a
+  *     few nanometers", J. Geodesy 85(8)) — the same series EPSG Guidance
+  *     Note 7 part 2 tabulates for method 9807. Truncated at n⁴: within a
+  *     UTM zone's ±3° of central meridian the truncation error is
+  *     sub-millimeter. Beyond ~10° of the central meridian the truncation
+  *     grows fast and the map eventually stops being a diffeomorphism, so
+  *     TM legs carry a HARD Δλ guard ([[MaxTmDeltaLonDeg]], round 16): a
+  *     point transformed farther than that from the zone's central meridian
+  *     throws a typed error instead of degrading silently — which also
+  *     protects the boundary-bounds-interior argument the zip coverage
+  *     check relies on.
+  *   - Geographic ↔ Albers Equal-Area Conic (round 16): EPSG GN7-2 method
+  *     9822 closed forms — the CONUS land-cover CRS family (EPSG:5070/6350)
+  *     plus California Albers (EPSG:3310).
+  *   - Geographic ↔ Lambert Conformal Conic 2SP (round 16): EPSG GN7-2
+  *     method 9802 closed forms — the NAD83 California State Plane zones
+  *     (EPSG:26941–26946, meters).
   *
   * This exists for the resample=nearest zip (SURVEY §2A A5): the most common
-  * real pairing in land-cover work is a geographic mask against a
-  * UTM-projected secondary (or vice versa). The transform plugs into the
-  * existing per-centroid inverse-affine sampling loop
+  * real pairing in land-cover work is a geographic mask against a projected
+  * secondary (UTM, or CONUS Albers for NLCD-class products). The transform
+  * plugs into the existing per-centroid inverse-affine sampling loop
   * ([[GeoTiffPartitionReader]]) — no new I/O or window machinery. CRS pairs
   * WITHOUT a supported transform keep their typed rejection.
   *
   * Two datum families are supported, each on its own ellipsoid (round 15):
   * WGS84 — EPSG:4326 geographic, EPSG:326zz/327zz UTM — and NAD83 —
-  * EPSG:4269 geographic, EPSG:269zz UTM (GRS80 ellipsoid, the dominant US
-  * land-cover pairing). Transforms NEVER cross datums: NAD83 and WGS84
-  * differ by a time-dependent shift (meters today) that cannot be computed
-  * from the public defining constants alone, so a 4326 ↔ 26915 zip stays a
-  * typed rejection rather than silently treating the datums as equal.
+  * EPSG:4269 geographic, EPSG:269zz UTM, the Albers/LCC codes above (GRS80
+  * ellipsoid, the dominant US land-cover pairing). EPSG:6350 is NAD83(2011),
+  * a later NAD83 REALIZATION (cm-level from the 4269 original — far below
+  * any raster pixel) and is treated as the NAD83 family. Transforms never
+  * cross datums BY DEFAULT: NAD83 and WGS84 differ by a time-dependent shift
+  * (meters today) that cannot be computed from the public defining constants
+  * alone, so a 4326 ↔ 26915 zip stays a typed rejection rather than silently
+  * treating the datums as equal. Round 16 adds an OPT-IN bridge: the
+  * published EPSG:1188 "NAD83 to WGS84 (1)" transform (geocentric
+  * translation with dX=dY=dZ=0, stated accuracy ~2 m) via
+  * `option("datumBridge", "epsg1188")` — the standard practical answer when
+  * meter-level accuracy suffices, never applied silently.
   *
-  * Scale design: [[forward]]/[[inverse]] are allocation-light straight-line
-  * math (one specialized Tuple2 per call) suitable for the per-pixel hot
-  * path; a 100 TB scan pays the same trig a native reprojection engine
-  * does, distributed across tasks.
+  * Scale design: [[Proj.fwd]]/[[Proj.inv]] are allocation-light
+  * straight-line math (one specialized Tuple2 per call) suitable for the
+  * per-pixel hot path; a 100 TB scan pays the same trig a native
+  * reprojection engine does, distributed across tasks.
   */
 object CrsTransform {
 
@@ -34,8 +55,8 @@ object CrsTransform {
     * coefficients (α forward / β inverse, Karney 2011 eq. 35–36, to n⁴).
     */
   // A case class: structural equality + serializability matter because
-  // TmParams (Serializable case class) embeds one — a TmParams captured in
-  // a task closure must not crash job submission, and a deserialized copy
+  // Proj (Serializable case classes) embeds one — a Proj captured in a
+  // task closure must not crash job submission, and a deserialized copy
   // must still pass the datum gate (which therefore compares ==, not eq).
   final case class Ellipsoid(name: String, a: Double, f: Double) {
     val e2: Double = f * (2.0 - f)
@@ -66,9 +87,152 @@ object CrsTransform {
 
   private val K0 = 0.9996
 
+  /** Hard Δλ bound for Transverse Mercator legs (round-16 advice): the n⁴
+    * Krüger truncation is sub-millimeter within a zone's ±3° and still
+    * sub-centimeter at ±10°, but degrades rapidly beyond — and far from the
+    * meridian the truncated map stops being injective, which would also
+    * undermine the coverage gate's boundary-bounds-interior argument. A
+    * secondary DECLARED as UTM but spanning an unusually wide extent now
+    * fails loudly instead of being sampled with silently growing error.
+    */
+  val MaxTmDeltaLonDeg: Double = 10.0
+
+  /** A supported projection: geographic (lon, lat degrees) ↔ projected
+    * (easting, northing meters) on its datum's ellipsoid.
+    */
+  sealed trait Proj extends Serializable {
+    def ell: Ellipsoid
+    /** geographic → projected */
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double)
+    /** projected → geographic */
+    def inv(easting: Double, northing: Double): (Double, Double)
+  }
+
+  // m(φ) — the reduced-length parallel-circle radius factor, shared by both
+  // conic methods (GN7-2: m = cosφ / sqrt(1 − e²sin²φ))
+  @inline private def mOf(ell: Ellipsoid, phi: Double): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1.0 - ell.e2 * s * s)
+  }
+
   /** Transverse Mercator parameters of one projected CRS. */
   final case class TmParams(cmDeg: Double, falseEasting: Double,
       falseNorthing: Double, scale: Double, ell: Ellipsoid = Wgs84)
+    extends Proj {
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) =
+      forward(this, lonDeg, latDeg)
+    def inv(easting: Double, northing: Double): (Double, Double) =
+      inverse(this, easting, northing)
+  }
+
+  /** Albers Equal-Area Conic (EPSG method 9822, ellipsoidal closed forms).
+    * Derived constants follow GN7-2's symbols: n, C, ρ₀. The two standard
+    * parallels must be distinct (every registered code's are).
+    */
+  final case class AlbersParams(lat0Deg: Double, cmDeg: Double,
+      sp1Deg: Double, sp2Deg: Double,
+      falseEasting: Double, falseNorthing: Double, ell: Ellipsoid)
+    extends Proj {
+    require(sp1Deg != sp2Deg, "Albers 2SP requires distinct standard parallels")
+    // q(φ) = (1−e²)[ sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e·sinφ)/(1+e·sinφ)) ]
+    @inline private def qOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      (1.0 - ell.e2) * (s / (1.0 - ell.e2 * s * s) -
+        math.log((1.0 - ell.e * s) / (1.0 + ell.e * s)) / (2.0 * ell.e))
+    }
+    private val m1 = mOf(ell, math.toRadians(sp1Deg))
+    private val m2 = mOf(ell, math.toRadians(sp2Deg))
+    private val q1 = qOf(math.toRadians(sp1Deg))
+    private val q2 = qOf(math.toRadians(sp2Deg))
+    val n: Double = (m1 * m1 - m2 * m2) / (q2 - q1)
+    val cBig: Double = m1 * m1 + n * q1
+    val rho0: Double = ell.a * math.sqrt(cBig - n * qOf(math.toRadians(lat0Deg))) / n
+
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val arg = cBig - n * qOf(math.toRadians(latDeg))
+      // C − n·q < 0 means the point is beyond the projection's antipodal
+      // limit — fail loudly, never emit NaN coordinates into a sampler
+      require(arg >= 0,
+        f"Albers (cm $cmDeg%.2f°, parallels $sp1Deg%.2f°/$sp2Deg%.2f°): " +
+          f"latitude $latDeg%.4f° is outside the projection's domain")
+      val rho = ell.a * math.sqrt(arg) / n
+      val theta = n * math.toRadians(lonDeg - cmDeg)
+      (falseEasting + rho * math.sin(theta),
+        falseNorthing + rho0 - rho * math.cos(theta))
+    }
+
+    def inv(easting: Double, northing: Double): (Double, Double) = {
+      val dx = easting - falseEasting
+      val dy = rho0 - (northing - falseNorthing)
+      // for n < 0 (southern-parallel cones) both ρ and the atan2 arguments
+      // flip sign (GN7-2's stated rule); every registered code has n > 0
+      val rho = (if (n < 0) -1.0 else 1.0) * math.sqrt(dx * dx + dy * dy)
+      val theta = if (n < 0) math.atan2(-dx, -dy) else math.atan2(dx, dy)
+      val q = (cBig - rho * rho * n * n / (ell.a * ell.a)) / n
+      val lon = cmDeg + math.toDegrees(theta / n)
+      // latitude from q by GN7-2's fixed-point iteration, seeded at the
+      // spherical limit asin(q/2); converges quadratically for e² ≪ 1
+      var phi = math.asin(math.min(1.0, math.max(-1.0, q / 2.0)))
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        val om = 1.0 - ell.e2 * s * s
+        phi += om * om / (2.0 * math.cos(phi)) *
+          (q / (1.0 - ell.e2) - s / om +
+            math.log((1.0 - ell.e * s) / (1.0 + ell.e * s)) / (2.0 * ell.e))
+        i += 1
+      }
+      (lon, math.toDegrees(phi))
+    }
+  }
+
+  /** Lambert Conformal Conic, 2 standard parallels (EPSG method 9802,
+    * ellipsoidal closed forms). GN7-2 symbols: t, m, n, F, ρ₀.
+    */
+  final case class LccParams(lat0Deg: Double, cmDeg: Double,
+      sp1Deg: Double, sp2Deg: Double,
+      falseEasting: Double, falseNorthing: Double, ell: Ellipsoid)
+    extends Proj {
+    require(sp1Deg != sp2Deg, "LCC 2SP requires distinct standard parallels")
+    // t(φ) = tan(π/4 − φ/2) / ((1 − e·sinφ)/(1 + e·sinφ))^(e/2)
+    @inline private def tOf(phi: Double): Double = {
+      val s = math.sin(phi)
+      math.tan(math.Pi / 4.0 - phi / 2.0) /
+        math.pow((1.0 - ell.e * s) / (1.0 + ell.e * s), ell.e / 2.0)
+    }
+    private val m1 = mOf(ell, math.toRadians(sp1Deg))
+    private val m2 = mOf(ell, math.toRadians(sp2Deg))
+    private val t1 = tOf(math.toRadians(sp1Deg))
+    private val t2 = tOf(math.toRadians(sp2Deg))
+    val n: Double = (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    val fBig: Double = m1 / (n * math.pow(t1, n))
+    val rho0: Double = ell.a * fBig * math.pow(tOf(math.toRadians(lat0Deg)), n)
+
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = ell.a * fBig * math.pow(tOf(math.toRadians(latDeg)), n)
+      val theta = n * math.toRadians(lonDeg - cmDeg)
+      (falseEasting + rho * math.sin(theta),
+        falseNorthing + rho0 - rho * math.cos(theta))
+    }
+
+    def inv(easting: Double, northing: Double): (Double, Double) = {
+      val dx = easting - falseEasting
+      val dy = rho0 - (northing - falseNorthing)
+      val rho = (if (n < 0) -1.0 else 1.0) * math.sqrt(dx * dx + dy * dy)
+      val theta = if (n < 0) math.atan2(-dx, -dy) else math.atan2(dx, dy)
+      val tP = math.pow(rho / (ell.a * fBig), 1.0 / n)
+      // conformal→geodetic latitude by GN7-2's fixed-point iteration
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(
+          tP * math.pow((1.0 - ell.e * s) / (1.0 + ell.e * s), ell.e / 2.0))
+        i += 1
+      }
+      (cmDeg + math.toDegrees(theta / n), math.toDegrees(phi))
+    }
+  }
 
   /** UTM zone parameters: EPSG:326zz/327zz (WGS84 north/south) and
     * EPSG:269zz (NAD83 north, zones 1–23 — the published range).
@@ -81,6 +245,38 @@ object CrsTransform {
       else return None
     Some(TmParams(zone * 6.0 - 183.0, 500000.0, if (south) 1e7 else 0.0, K0, ell))
   }
+
+  /** Conic registry (round 16): published EPSG parameter sets, NAD83 family.
+    *   - 5070  NAD83 / Conus Albers (NLCD-class CONUS land cover);
+    *     6350 is NAD83(2011) / Conus Albers — identical parameters, a
+    *     cm-level later realization of NAD83, treated as the same family
+    *   - 3310  NAD83 / California Albers
+    *   - 26941–26946  NAD83 / California SPCS zones 1–6 (LCC 2SP, meters;
+    *     SPCS83 parameters: FE 2 000 000 m, FN 500 000 m)
+    */
+  def conicParams(epsg: Int): Option[Proj] = epsg match {
+    case 5070 | 6350 =>
+      Some(AlbersParams(23.0, -96.0, 29.5, 45.5, 0.0, 0.0, Grs80))
+    case 3310 =>
+      Some(AlbersParams(0.0, -120.0, 34.0, 40.5, 0.0, -4000000.0, Grs80))
+    case 26941 =>
+      Some(LccParams(39.0 + 20.0 / 60, -122.0, 40.0, 41.0 + 40.0 / 60, 2e6, 5e5, Grs80))
+    case 26942 =>
+      Some(LccParams(37.0 + 40.0 / 60, -122.0, 38.0 + 20.0 / 60, 39.0 + 50.0 / 60, 2e6, 5e5, Grs80))
+    case 26943 =>
+      Some(LccParams(36.5, -120.5, 37.0 + 4.0 / 60, 38.0 + 26.0 / 60, 2e6, 5e5, Grs80))
+    case 26944 =>
+      Some(LccParams(35.0 + 20.0 / 60, -119.0, 36.0, 37.0 + 15.0 / 60, 2e6, 5e5, Grs80))
+    case 26945 =>
+      Some(LccParams(33.5, -118.0, 34.0 + 2.0 / 60, 35.0 + 28.0 / 60, 2e6, 5e5, Grs80))
+    case 26946 =>
+      Some(LccParams(32.0 + 10.0 / 60, -116.25, 32.0 + 47.0 / 60, 33.0 + 53.0 / 60, 2e6, 5e5, Grs80))
+    case _ => None
+  }
+
+  /** Every supported projected CRS: UTM zones, then the conic registry. */
+  def projParams(epsg: Int): Option[Proj] =
+    utmParams(epsg).orElse(conicParams(epsg))
 
   /** Geographic (lon, lat degrees) → projected (easting, northing meters). */
   def forward(p: TmParams, lonDeg: Double, latDeg: Double): (Double, Double) = {
@@ -148,47 +344,119 @@ object CrsTransform {
   private def atanh(x: Double): Double = 0.5 * math.log((1.0 + x) / (1.0 - x))
   private def asinh(x: Double): Double = math.log(x + math.sqrt(x * x + 1.0))
 
-  /** A CRS's place in the supported set: its datum ellipsoid, plus TM
-    * parameters when projected (None = the datum's geographic CRS).
+  /** The opt-in NAD83 ↔ WGS84 bridge: the published EPSG:1188 "NAD83 to
+    * WGS84 (1)" transform — a geocentric translation (method 9603) with
+    * dX = dY = dZ = 0, stated accuracy ~2 m (the real shift is
+    * time-dependent and grows ~1–2 cm/year; this is the standard practical
+    * answer when meter-level accuracy suffices). Implemented properly
+    * through geocentric XYZ at h = 0 (geodetic→XYZ on the source ellipsoid,
+    * zero shift, XYZ→geodetic on the target by fixed-point iteration on
+    * tanφ) rather than as an identity — the two ellipsoids' flattenings
+    * differ, even if only at the 0.1 mm level.
     */
-  private def side(epsg: Int): Option[(Ellipsoid, Option[TmParams])] =
+  def epsg1188Bridge(from: Ellipsoid, to: Ellipsoid)(
+      lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val phi = math.toRadians(latDeg)
+    val s = math.sin(phi)
+    val nu = from.a / math.sqrt(1.0 - from.e2 * s * s)
+    // h = 0: the raster's coordinates are surface positions
+    val pr = nu * math.cos(phi) // sqrt(X² + Y²); longitude is unchanged
+    val z = nu * (1.0 - from.e2) * s
+    var phi2 = math.atan2(z, pr * (1.0 - to.e2))
+    var i = 0
+    while (i < 5) {
+      val s2 = math.sin(phi2)
+      val nu2 = to.a / math.sqrt(1.0 - to.e2 * s2 * s2)
+      phi2 = math.atan2(z + to.e2 * nu2 * s2, pr)
+      i += 1
+    }
+    (lonDeg, math.toDegrees(phi2))
+  }
+
+  /** Datums the EPSG:1188 bridge may connect — exactly WGS84 ↔ NAD83
+    * (GRS80); the option never enables any other datum pair.
+    */
+  def bridgeable(a: Ellipsoid, b: Ellipsoid): Boolean =
+    a != b && Set(a, b) == Set(Wgs84, Grs80)
+
+  /** A CRS's place in the supported set: its datum ellipsoid, plus
+    * projection parameters when projected (None = the datum's geographic
+    * CRS).
+    */
+  private def side(epsg: Int): Option[(Ellipsoid, Option[Proj])] =
     if (epsg == 4326) Some((Wgs84, None))
     else if (epsg == 4269) Some((Grs80, None))
-    else utmParams(epsg).map(p => (p.ell, Some(p)))
+    else projParams(epsg).map(p => (p.ell, Some(p)))
 
   /** Coordinate transform from CRS `src` to CRS `dst`, when both are in
     * the supported set AND share a datum: decomposed as src→geographic→dst
-    * on that datum's ellipsoid. None for any other pair — including
-    * CROSS-DATUM pairs (4326 ↔ NAD83 UTM), whose shift is not computable
-    * from defining constants — so the caller keeps its typed rejection.
+    * on that datum's ellipsoid. With `datumBridge = true`, WGS84 ↔ NAD83
+    * pairs additionally transform through the EPSG:1188 zero-shift bridge
+    * (~2 m accuracy — see [[epsg1188Bridge]]); no other datum pair is ever
+    * bridged. None for any other pair, so the caller keeps its typed
+    * rejection. TM legs enforce [[MaxTmDeltaLonDeg]] (round-16 advice) —
+    * a geographic intermediate farther than that from a TM side's central
+    * meridian throws a typed error instead of degrading silently.
     */
-  def between(src: Int, dst: Int): Option[(Double, Double) => (Double, Double)] =
+  def between(src: Int, dst: Int, datumBridge: Boolean = false)
+      : Option[(Double, Double) => (Double, Double)] =
     for {
       (ea, pa) <- side(src)
       (eb, pb) <- side(dst)
-      if ea == eb // same datum only — never silently conflate NAD83/WGS84
+      bridge <-
+        if (ea == eb) Some(None: Option[(Double, Double) => (Double, Double)])
+        else if (datumBridge && bridgeable(ea, eb))
+          Some(Some(epsg1188Bridge(ea, eb) _): Option[(Double, Double) => (Double, Double)])
+        else None // cross-datum without the opt-in: keep the typed rejection
     } yield {
-      val toGeo: (Double, Double) => (Double, Double) =
-        pa.map(p => (x: Double, y: Double) => inverse(p, x, y))
-          .getOrElse((x: Double, y: Double) => (x, y))
-      val fromGeo: (Double, Double) => (Double, Double) =
-        pb.map(p => (x: Double, y: Double) => forward(p, x, y))
-          .getOrElse((x: Double, y: Double) => (x, y))
-      (x: Double, y: Double) => { val (gx, gy) = toGeo(x, y); fromGeo(gx, gy) }
+      // Δλ guard bounds per TM side (NaN = no TM on that side: every
+      // comparison with NaN is false, so the guard is branch-predicted away)
+      def cmOf(p: Option[Proj]): Double = p match {
+        case Some(tm: TmParams) => tm.cmDeg
+        case _ => Double.NaN
+      }
+      val srcCm = cmOf(pa)
+      val dstCm = cmOf(pb)
+      def guard(lon: Double, cm: Double, epsg: Int): Unit =
+        if (math.abs(lon - cm) > MaxTmDeltaLonDeg)
+          throw new IllegalArgumentException(
+            f"EPSG:$epsg (Transverse Mercator, central meridian $cm%.1f°): " +
+              f"point at longitude $lon%.4f° is ${math.abs(lon - cm)}%.2f° from " +
+              f"the central meridian — beyond the ±$MaxTmDeltaLonDeg%.0f° bound " +
+              "where the Krüger n⁴ series is accurate; this raster pairing " +
+              "cannot be transformed reliably")
+      (x: Double, y: Double) => {
+        val (gx0, gy0) = pa match {
+          case Some(p) => p.inv(x, y)
+          case None => (x, y)
+        }
+        guard(gx0, srcCm, src)
+        val (gx, gy) = bridge match {
+          case Some(br) => br(gx0, gy0)
+          case None => (gx0, gy0)
+        }
+        guard(gx, dstCm, dst)
+        pb match {
+          case Some(p) => p.fwd(gx, gy)
+          case None => (gx, gy)
+        }
+      }
     }
 
   /** The transform a resample=nearest zip needs to sample raster `b` at
     * raster `a`'s pixel centroids — Some only when both files DECLARE an
-    * EPSG, the codes differ, and the pair is supported (same datum).
-    * Same/undeclared CRSs return None and take the affine-only path (with
-    * its existing equality gates).
+    * EPSG, the codes differ, and the pair is supported: same datum, or
+    * WGS84 ↔ NAD83 under the opt-in `datumBridge` (EPSG:1188 zero-shift,
+    * ~2 m). Same/undeclared CRSs return None and take the affine-only path
+    * (with its existing equality gates).
     */
-  def zipTransform(a: TiffTags.RasterMeta, b: TiffTags.RasterMeta)
+  def zipTransform(a: TiffTags.RasterMeta, b: TiffTags.RasterMeta,
+      datumBridge: Boolean = false)
       : Option[(Double, Double) => (Double, Double)] =
     for {
       ea <- a.epsg
       eb <- b.epsg
       if ea != eb
-      t <- between(ea, eb)
+      t <- between(ea, eb, datumBridge)
     } yield t
 }

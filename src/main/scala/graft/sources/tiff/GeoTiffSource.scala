@@ -111,8 +111,17 @@ object GeoTiffTable {
     val resample = Option(options.get("resample")).map(_.trim).filter(_.nonEmpty)
     resample.foreach(r => require(r.equalsIgnoreCase("nearest"),
       s"unsupported resample mode '$r' — only 'nearest' is supported"))
+    // datumBridge=epsg1188 (round 16): OPT-IN cross-datum zips through the
+    // published EPSG:1188 "NAD83 to WGS84 (1)" zero-shift transform
+    // (~1–2 m accuracy). Default stays the typed rejection — the NAD83/WGS84
+    // shift is time-dependent and must never be conflated silently.
+    val datumBridge = Option(options.get("datumBridge")).map(_.trim).filter(_.nonEmpty)
+    datumBridge.foreach(b => require(b.equalsIgnoreCase("epsg1188"),
+      s"unsupported datumBridge '$b' — only 'epsg1188' (the published " +
+        "NAD83<->WGS84 zero-shift geocentric translation, ~1-2 m accuracy) " +
+        "is supported; no other datum pair has a bridge"))
     new GeoTiffTable(paths, colNames, maxBlock, calcArea, bands, overview,
-      resample.isDefined)
+      resample.isDefined, datumBridge.isDefined)
   }
 
   /** Coordinate column names for a raster: lon/lat for geographic (or
@@ -149,7 +158,8 @@ class GeoTiffTable(
     calcArea: Boolean,
     bands: Seq[Int],
     overview: Int = 0,
-    resampleNearest: Boolean = false)
+    resampleNearest: Boolean = false,
+    datumBridge: Boolean = false)
   extends Table with SupportsRead {
 
   lazy val metas: Seq[TiffTags.RasterMeta] = {
@@ -159,12 +169,15 @@ class GeoTiffTable(
       // Cross-CRS zip (round 15): under resample=nearest, a secondary whose
       // DECLARED EPSG differs from the mask's but has a supported transform
       // — SAME-DATUM pairs of {4326, UTM 326zz/327zz} (WGS84) or {4269,
-      // UTM 269zz} (NAD83/GRS80), including UTM zone ↔ UTM zone through
-      // the shared geographic leg — is sampled through that transform
-      // instead of being rejected: the most common real pairings in
-      // land-cover work. Cross-datum and every other mismatched pair keeps
-      // its typed rejection below.
-      val crossCrs = resampleNearest && CrsTransform.zipTransform(first, m).isDefined
+      // UTM 269zz, the Albers/LCC conic registry: 5070/6350/3310 Albers,
+      // 26941–26946 California LCC} (NAD83/GRS80), including projected ↔
+      // projected through the shared geographic leg — is sampled through
+      // that transform instead of being rejected: the most common real
+      // pairings in land-cover work. Cross-datum pairs keep their typed
+      // rejection unless datumBridge=epsg1188 opted in (round 16); every
+      // other mismatched pair keeps its typed rejection below.
+      val crossCrs = resampleNearest &&
+        CrsTransform.zipTransform(first, m, datumBridge).isDefined
       // identical grids required UNLESS resample=nearest was requested:
       // then the mask (first) grid defines the output and each secondary
       // is sampled at the mask centroids — but it must COVER the mask
@@ -179,8 +192,10 @@ class GeoTiffTable(
             s"${m.path} (model type ${m.crsModelType}) — geographic and projected " +
             "rasters cannot share a point grid" +
             (if (resampleNearest) "; supported resample transforms are same-datum " +
-              "pairs of EPSG:4326/UTM 326xx/327xx (WGS84) or EPSG:4269/UTM 269xx " +
-              "(NAD83)" else ""))
+              "pairs of EPSG:4326/UTM 326xx/327xx (WGS84) or EPSG:4269/UTM 269xx/" +
+              "Albers 5070,6350,3310/LCC 26941-26946 (NAD83); cross-datum " +
+              "NAD83<->WGS84 pairs additionally need option datumBridge=epsg1188 " +
+              "(~1-2 m accuracy)" else ""))
         // same kind is not enough: two DIFFERENT projected CRSs (UTM zones
         // routinely share identical numeric grids — false easting 500000,
         // same scale) or two geographic datums would zip pixels from
@@ -196,7 +211,9 @@ class GeoTiffTable(
               "identical numeric grids in different CRSs are different places" +
               (if (resampleNearest) "; supported resample transforms cover " +
                 "same-datum pairs of EPSG:4326/UTM 326xx/327xx (WGS84) and " +
-                "EPSG:4269/UTM 269xx (NAD83) only" else ""))
+                "EPSG:4269/UTM 269xx/Albers 5070,6350,3310/LCC 26941-26946 " +
+                "(NAD83); cross-datum NAD83<->WGS84 pairs additionally need " +
+                "option datumBridge=epsg1188 (~1-2 m accuracy)" else ""))
       }
       if (resampleNearest && (crossCrs || !first.sameGrid(m))) {
         // Every mask centroid must land inside the secondary — clamping at
@@ -208,29 +225,58 @@ class GeoTiffTable(
         // the interior — sampled at 64 points per edge (inter-sample
         // curvature within a zone is meters at most, and the reader pads
         // its windows by 2 cells).
-        val t = CrsTransform.zipTransform(first, m)
-        val samples: Seq[(Double, Double)] =
-          if (t.isEmpty) for {
-            cc <- Seq(0, first.width - 1)
-            rr <- Seq(0, first.height - 1)
-          } yield (cc.toDouble, rr.toDouble)
-          else {
-            val k = 64
-            val cs = (0 to k).map(i => (first.width - 1).toDouble * i / k)
-            val rs = (0 to k).map(i => (first.height - 1).toDouble * i / k)
-            (cs.map(c => (c, 0.0)) ++ cs.map(c => (c, (first.height - 1).toDouble)) ++
-              rs.map(r => (0.0, r)) ++ rs.map(r => ((first.width - 1).toDouble, r))).distinct
-          }
-        samples.foreach { case (cc, rr) =>
+        val t = CrsTransform.zipTransform(first, m, datumBridge)
+        def frac(cc: Double, rr: Double): (Double, Double) = {
           var gx = first.lonOf(cc, rr)
           var gy = first.latOf(cc, rr)
           t.foreach { f => val (tx, ty) = f(gx, gy); gx = tx; gy = ty }
-          val p = m.fracColOf(gx, gy)
-          val q = m.fracRowOf(gx, gy)
-          require(p >= 0 && p < m.width && q >= 0 && q < m.height,
-            s"resample=nearest: ${m.path} does not cover the mask grid of ${first.path} — " +
-              f"mask centroid maps to ($gx%.6f, $gy%.6f), fractional pixel ($p%.3f, $q%.3f) " +
-              s"outside ${m.width}x${m.height}")
+          (m.fracColOf(gx, gy), m.fracRowOf(gx, gy))
+        }
+        if (t.isEmpty) {
+          // affine pair: the extrema are EXACTLY at the four corners, so a
+          // plain in-bounds check is complete — no inter-sample gap exists
+          for (cc <- Seq(0, first.width - 1); rr <- Seq(0, first.height - 1)) {
+            val (p, q) = frac(cc.toDouble, rr.toDouble)
+            require(p >= 0 && p < m.width && q >= 0 && q < m.height,
+              s"resample=nearest: ${m.path} does not cover the mask grid of ${first.path} — " +
+                f"mask centroid at pixel ($cc, $rr) maps to fractional pixel ($p%.3f, $q%.3f) " +
+                s"outside ${m.width}x${m.height}")
+          }
+        } else {
+          // cross-CRS: the map is smooth and injective over the supported
+          // domains, so the image of the centroid-rectangle BOUNDARY bounds
+          // the interior — sampled at 64 points per edge. Inward MARGIN
+          // (round-16 advice): a centroid BETWEEN samples can bow past the
+          // sampled chord by the curve's sagitta; a secondary that only
+          // just covers the mask would pass a zero-margin check and then
+          // silently clamp that centroid to an edge cell at read time — the
+          // exact substitution this gate exists to prevent. The sagitta is
+          // bounded by the measured per-edge second difference of the
+          // samples themselves (sagitta ≈ κh²/8 vs second diff ≈ κh² — a
+          // 4–8× safety factor), so exact-coverage edge cases fail loudly.
+          val k = 64
+          val cs = (0 to k).map(i => (first.width - 1).toDouble * i / k)
+          val rs = (0 to k).map(i => (first.height - 1).toDouble * i / k)
+          val edges: Seq[IndexedSeq[(Double, Double)]] = Seq(
+            cs.map(c => frac(c, 0.0)),
+            cs.map(c => frac(c, (first.height - 1).toDouble)),
+            rs.map(r => frac(0.0, r)),
+            rs.map(r => frac((first.width - 1).toDouble, r)))
+          val secondDiff = edges.iterator.flatMap(_.sliding(3).map {
+            case Seq((p0, q0), (p1, q1), (p2, q2)) =>
+              math.max(math.abs(p0 - 2 * p1 + p2), math.abs(q0 - 2 * q1 + q2))
+            case _ => 0.0
+          }).foldLeft(0.0)(math.max)
+          val margin = secondDiff + 1e-9 * math.max(m.width, m.height).toDouble
+          edges.flatten.foreach { case (p, q) =>
+            require(p >= margin && p < m.width - margin &&
+              q >= margin && q < m.height - margin,
+              s"resample=nearest: ${m.path} does not cover the mask grid of ${first.path} " +
+                f"with the required inter-sample-curvature margin ($margin%.6f px) — " +
+                f"a mask centroid maps to fractional pixel ($p%.3f, $q%.3f) of " +
+                s"${m.width}x${m.height}; a centroid between boundary samples could " +
+                "land outside and be silently clamped to an edge cell")
+          }
         }
       }
     }
@@ -293,7 +339,7 @@ class GeoTiffTable(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GeoTiffScanBuilder(metas, colNames, schema(), maxBlockSize, calcArea, bands,
-      coordNames, resampleNearest)
+      coordNames, resampleNearest, datumBridge)
 }
 
 class GeoTiffScanBuilder(
@@ -304,7 +350,8 @@ class GeoTiffScanBuilder(
     calcArea: Boolean,
     bands: Seq[Int],
     coordNames: (String, String),
-    resampleNearest: Boolean = false)
+    resampleNearest: Boolean = false,
+    datumBridge: Boolean = false)
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private val (xName, yName) = coordNames
@@ -344,7 +391,7 @@ class GeoTiffScanBuilder(
 
   override def build(): Scan =
     new GeoTiffScan(metas, colNames, required, maxBlockSize, calcArea, bands,
-      lonMin, lonMax, latMin, latMax, resampleNearest)
+      lonMin, lonMax, latMin, latMax, resampleNearest, datumBridge)
 }
 
 /** A grid window: the unit of parallelism (reference A2). */
@@ -360,7 +407,8 @@ class GeoTiffScan(
     calcArea: Boolean,
     bands: Seq[Int],
     lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
-    resampleNearest: Boolean = false)
+    resampleNearest: Boolean = false,
+    datumBridge: Boolean = false)
   extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = required
@@ -386,9 +434,9 @@ class GeoTiffScan(
     val effBlock: Int =
       if (!resampleNearest) maxBlockSize
       else metas.tail
-        .filter(mi => !mi.sameGrid(m) || CrsTransform.zipTransform(m, mi).isDefined)
+        .filter(mi => !mi.sameGrid(m) || CrsTransform.zipTransform(m, mi, datumBridge).isDefined)
         .foldLeft(maxBlockSize) { (acc, mi) =>
-        val t = CrsTransform.zipTransform(m, mi)
+        val t = CrsTransform.zipTransform(m, mi, datumBridge)
         // secondary fractional index of mask pixel (c, r)'s centroid,
         // through the cross-CRS transform when one applies — the same
         // composition the per-pixel sampler uses, so planning and read
@@ -468,7 +516,7 @@ class GeoTiffScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GeoTiffReaderFactory(metas.toArray, colNames.toArray, required, calcArea,
-      bands.toArray, resampleNearest)
+      bands.toArray, resampleNearest, datumBridge)
 }
 
 class GeoTiffReaderFactory(
@@ -477,11 +525,13 @@ class GeoTiffReaderFactory(
     required: StructType,
     calcArea: Boolean,
     bands: Array[Int],
-    resampleNearest: Boolean = false)
+    resampleNearest: Boolean = false,
+    datumBridge: Boolean = false)
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoTiffPartitionReader(metas, colNames, required,
-      partition.asInstanceOf[GeoTiffPartition].window, calcArea, bands, resampleNearest)
+      partition.asInstanceOf[GeoTiffPartition].window, calcArea, bands, resampleNearest,
+      datumBridge)
 }
 
 /** Uniform window-of-pixels accessor: (x, y) are WINDOW-relative. Two
@@ -580,7 +630,8 @@ class GeoTiffPartitionReader(
     window: TiffWindow,
     calcArea: Boolean,
     bands: Array[Int],
-    resampleNearest: Boolean = false)
+    resampleNearest: Boolean = false,
+    datumBridge: Boolean = false)
   extends PartitionReader[InternalRow] {
 
   private val m0 = metas(0)
@@ -594,7 +645,7 @@ class GeoTiffPartitionReader(
   // declared, distinct, supported EPSG pair — recomputed here from the
   // metas (the factory ships no lambdas), identical to the planner's.
   private val crsTs: Array[Option[(Double, Double) => (Double, Double)]] =
-    metas.map(mi => CrsTransform.zipTransform(m0, mi))
+    metas.map(mi => CrsTransform.zipTransform(m0, mi, datumBridge))
 
   // a secondary is sampled (vs positionally zipped) when its grid differs
   // OR a cross-CRS transform applies

@@ -184,6 +184,269 @@ class CrsTransformSpec extends AnyFunSuite {
     assert(nW != nN && math.abs(nW - nN) < 0.01, s"dN=${nW - nN}")
   }
 
+  // ---- round 16: conic projections (Albers 9822, LCC 9802) ----------------
+  //
+  // No reference vectors are reachable offline, so the pins are projection
+  // THEOREMS that uniquely characterize each method, computed through code
+  // paths the implementation does not share: the spherical limit against
+  // Snyder's closed spherical formulas, numeric-derivative scale checks at
+  // the standard parallels (= 1 by construction of n), the equal-area
+  // Jacobian identity for Albers (|det J| = M·N·cosφ everywhere), and the
+  // conformality identity for LCC (isotropic scale + orthogonality).
+
+  private val alb = CrsTransform.conicParams(5070).get
+    .asInstanceOf[CrsTransform.AlbersParams]
+  private val lcc = CrsTransform.conicParams(26943).get
+    .asInstanceOf[CrsTransform.LccParams]
+
+  // meridional / prime-vertical curvature radii on the ellipsoid — written
+  // from the curvature formulas, not from anything in CrsTransform
+  private def radiiM(ell: CrsTransform.Ellipsoid, latDeg: Double): (Double, Double) = {
+    val s = math.sin(math.toRadians(latDeg))
+    val w2 = 1.0 - ell.e2 * s * s
+    (ell.a * (1.0 - ell.e2) / math.pow(w2, 1.5), ell.a / math.sqrt(w2))
+  }
+
+  // numeric Jacobian of p.fwd at (lon, lat), per RADIAN
+  private def jacobian(p: CrsTransform.Proj, lon: Double, lat: Double)
+      : (Double, Double, Double, Double) = {
+    val dd = 1e-5
+    val (eL0, nL0) = p.fwd(lon - dd / 2, lat)
+    val (eL1, nL1) = p.fwd(lon + dd / 2, lat)
+    val (eP0, nP0) = p.fwd(lon, lat - dd / 2)
+    val (eP1, nP1) = p.fwd(lon, lat + dd / 2)
+    val h = math.toRadians(dd)
+    ((eL1 - eL0) / h, (nL1 - nL0) / h, (eP1 - eP0) / h, (nP1 - nP0) / h)
+  }
+
+  test("conic registry: published parameter sets, nothing else") {
+    assert(alb.cmDeg === -96.0 && alb.lat0Deg === 23.0 &&
+      alb.sp1Deg === 29.5 && alb.sp2Deg === 45.5 && (alb.ell eq CrsTransform.Grs80))
+    // 6350 (NAD83(2011) / Conus Albers) carries the identical parameters
+    assert(CrsTransform.conicParams(6350).get === alb)
+    // California Albers: nonzero false northing
+    val ca = CrsTransform.conicParams(3310).get.asInstanceOf[CrsTransform.AlbersParams]
+    assert(ca.falseNorthing === -4000000.0 && ca.cmDeg === -120.0)
+    // all six SPCS83 California LCC zones, meter-based
+    for (z <- 26941 to 26946) assert(CrsTransform.conicParams(z).isDefined, s"zone $z")
+    assert(lcc.falseEasting === 2e6 && lcc.falseNorthing === 5e5 && lcc.cmDeg === -120.5)
+    // registry is closed: neighbors of real codes resolve to nothing
+    assert(CrsTransform.conicParams(5071).isEmpty)
+    assert(CrsTransform.conicParams(26947).isEmpty)
+    assert(CrsTransform.conicParams(3857).isEmpty)
+    // projParams unifies UTM + conics
+    assert(CrsTransform.projParams(32633).isDefined)
+    assert(CrsTransform.projParams(5070).isDefined)
+    assert(CrsTransform.projParams(4326).isEmpty)
+  }
+
+  test("Albers: the projection origin maps to the false origin") {
+    val (e, n) = alb.fwd(-96.0, 23.0)
+    assert(math.abs(e) < 1e-9 && math.abs(n) < 1e-9, s"($e, $n)")
+    val ca = CrsTransform.conicParams(3310).get
+    val (e2, n2) = ca.fwd(-120.0, 0.0)
+    assert(math.abs(e2) < 1e-9 && math.abs(n2 - (-4000000.0)) < 1e-9)
+  }
+
+  test("Albers: scale along both standard parallels is exactly 1 (numeric derivative)") {
+    // k(φ) along a parallel = |dP/dλ| / (N(φ)·cosφ); n and C are DEFINED so
+    // k(sp1) = k(sp2) = 1 — true of the genuine 9822 constants only
+    for (sp <- Seq(29.5, 45.5); lon <- Seq(-110.0, -96.0, -80.0)) {
+      val (dEl, dNl, _, _) = jacobian(alb, lon, sp)
+      val (_, nu) = radiiM(CrsTransform.Grs80, sp)
+      val k = math.hypot(dEl, dNl) / (nu * math.cos(math.toRadians(sp)))
+      assert(math.abs(k - 1.0) < 1e-7, s"k($sp) at lon $lon = $k")
+    }
+  }
+
+  test("Albers: equal-area — |det J| equals the ellipsoidal area element everywhere") {
+    // THE defining property of method 9822: areas are preserved, so the
+    // Jacobian determinant per (dλ, dφ) equals M(φ)·N(φ)·cosφ at every
+    // point, not just on the parallels
+    for (lat <- Seq(25.0, 31.0, 37.5, 44.0, 48.5); lon <- Seq(-122.0, -104.0, -96.0, -75.0)) {
+      val (dEl, dNl, dEp, dNp) = jacobian(alb, lon, lat)
+      val det = math.abs(dEl * dNp - dEp * dNl)
+      val (mM, nu) = radiiM(CrsTransform.Grs80, lat)
+      val want = mM * nu * math.cos(math.toRadians(lat))
+      assert(math.abs(det / want - 1.0) < 1e-6, s"($lon, $lat): det $det vs $want")
+    }
+  }
+
+  test("Albers: ellipsoidal forms reduce to Snyder's spherical Albers at e -> 0") {
+    // near-sphere ellipsoid: the GN7-2 q/m machinery must converge to the
+    // closed spherical formulas (Snyder 1987 eq. 14-1..14-6), which share
+    // no code with the implementation
+    val sph = CrsTransform.Ellipsoid("near-sphere", 6370000.0, 1e-12)
+    val p = CrsTransform.AlbersParams(23.0, -96.0, 29.5, 45.5, 0.0, 0.0, sph)
+    def sphericalAlbers(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val r = 6370000.0
+      val phi1 = math.toRadians(29.5); val phi2 = math.toRadians(45.5)
+      val n = (math.sin(phi1) + math.sin(phi2)) / 2.0
+      val c = math.cos(phi1) * math.cos(phi1) + 2.0 * n * math.sin(phi1)
+      def rho(phi: Double) = r * math.sqrt(c - 2.0 * n * math.sin(phi)) / n
+      val rho0 = rho(math.toRadians(23.0))
+      val theta = n * math.toRadians(lonDeg - (-96.0))
+      (rho(math.toRadians(latDeg)) * math.sin(theta),
+        rho0 - rho(math.toRadians(latDeg)) * math.cos(theta))
+    }
+    for (lat <- Seq(25.0, 35.0, 45.0, 48.0); lon <- Seq(-120.0, -96.0, -70.0)) {
+      val (e, n) = p.fwd(lon, lat)
+      val (eS, nS) = sphericalAlbers(lon, lat)
+      assert(math.abs(e - eS) < 1e-3 && math.abs(n - nS) < 1e-3,
+        s"($lon, $lat): ($e, $n) vs spherical ($eS, $nS)")
+    }
+  }
+
+  test("Albers: forward then inverse round-trips across CONUS") {
+    check(Prop.forAll(Gen.choose(-124.0, -67.0), Gen.choose(25.0, 49.0)) {
+      (lon, lat) =>
+        val (e, n) = alb.fwd(lon, lat)
+        val (lon2, lat2) = alb.inv(e, n)
+        math.abs(lon2 - lon) < 1e-11 && math.abs(lat2 - lat) < 1e-11
+    })
+    // a 2SP cone's domain covers the WHOLE ellipsoid: at the pole the sqrt
+    // argument reduces (spherically) to (1−sinφ1)(1−sinφ2) > 0 for any
+    // distinct parallels, so the fwd domain require is purely defensive —
+    // pin that the poles map to FINITE coordinates, never NaN
+    val (eS, nS) = alb.fwd(-96.0, -90.0)
+    val (eN, nN) = alb.fwd(-96.0, 90.0)
+    assert(eS.isFinite && nS.isFinite && eN.isFinite && nN.isFinite)
+  }
+
+  test("LCC: origin, scale 1 at both standard parallels, conformality") {
+    val (e0, n0) = lcc.fwd(-120.5, 36.5)
+    assert(math.abs(e0 - 2e6) < 1e-9 && math.abs(n0 - 5e5) < 1e-9)
+    // scale along each standard parallel is 1 by construction of n and F
+    for (sp <- Seq(37.0 + 4.0 / 60, 38.0 + 26.0 / 60); lon <- Seq(-122.5, -120.5, -118.5)) {
+      val (dEl, dNl, _, _) = jacobian(lcc, lon, sp)
+      val (_, nu) = radiiM(CrsTransform.Grs80, sp)
+      val k = math.hypot(dEl, dNl) / (nu * math.cos(math.toRadians(sp)))
+      assert(math.abs(k - 1.0) < 1e-7, s"k($sp) at lon $lon = $k")
+    }
+    // conformal: isotropic local scale (h = k) and orthogonal image axes
+    for (lat <- Seq(36.0, 37.5, 39.0); lon <- Seq(-123.0, -120.5, -118.0)) {
+      val (dEl, dNl, dEp, dNp) = jacobian(lcc, lon, lat)
+      val (mM, nu) = radiiM(CrsTransform.Grs80, lat)
+      val k = math.hypot(dEl, dNl) / (nu * math.cos(math.toRadians(lat)))
+      val h = math.hypot(dEp, dNp) / mM
+      assert(math.abs(h / k - 1.0) < 1e-6, s"($lon, $lat): h $h vs k $k")
+      val cosAngle = (dEl * dEp + dNl * dNp) /
+        (math.hypot(dEl, dNl) * math.hypot(dEp, dNp))
+      assert(math.abs(cosAngle) < 1e-6, s"($lon, $lat): axes not orthogonal ($cosAngle)")
+    }
+  }
+
+  test("LCC: ellipsoidal forms reduce to Snyder's spherical LCC at e -> 0") {
+    val sph = CrsTransform.Ellipsoid("near-sphere", 6370000.0, 1e-12)
+    val p = CrsTransform.LccParams(36.5, -120.5, 37.0 + 4.0 / 60, 38.0 + 26.0 / 60,
+      0.0, 0.0, sph)
+    def sphericalLcc(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val r = 6370000.0
+      val phi1 = math.toRadians(37.0 + 4.0 / 60)
+      val phi2 = math.toRadians(38.0 + 26.0 / 60)
+      val n = math.log(math.cos(phi1) / math.cos(phi2)) /
+        math.log(math.tan(math.Pi / 4 + phi2 / 2) / math.tan(math.Pi / 4 + phi1 / 2))
+      val f = math.cos(phi1) * math.pow(math.tan(math.Pi / 4 + phi1 / 2), n) / n
+      def rho(phi: Double) = r * f / math.pow(math.tan(math.Pi / 4 + phi / 2), n)
+      val rho0 = rho(math.toRadians(36.5))
+      val theta = n * math.toRadians(lonDeg - (-120.5))
+      (rho(math.toRadians(latDeg)) * math.sin(theta),
+        rho0 - rho(math.toRadians(latDeg)) * math.cos(theta))
+    }
+    for (lat <- Seq(36.0, 37.5, 39.0); lon <- Seq(-123.0, -120.5, -118.0)) {
+      val (e, n) = p.fwd(lon, lat)
+      val (eS, nS) = sphericalLcc(lon, lat)
+      assert(math.abs(e - eS) < 1e-3 && math.abs(n - nS) < 1e-3,
+        s"($lon, $lat): ($e, $n) vs spherical ($eS, $nS)")
+    }
+  }
+
+  test("LCC: forward then inverse round-trips across the zone") {
+    check(Prop.forAll(Gen.choose(-124.0, -117.0), Gen.choose(35.5, 39.5)) {
+      (lon, lat) =>
+        val (e, n) = lcc.fwd(lon, lat)
+        val (lon2, lat2) = lcc.inv(e, n)
+        math.abs(lon2 - lon) < 1e-11 && math.abs(lat2 - lat) < 1e-11
+    })
+  }
+
+  test("between: conics compose on the NAD83 datum; cross-datum still gated") {
+    assert(CrsTransform.between(4269, 5070).isDefined)
+    assert(CrsTransform.between(5070, 4269).isDefined)
+    assert(CrsTransform.between(4269, 26943).isDefined)
+    assert(CrsTransform.between(26915, 5070).isDefined) // UTM <-> Albers, shared geo leg
+    assert(CrsTransform.between(5070, 26943).isDefined) // Albers <-> LCC
+    assert(CrsTransform.between(4326, 5070).isEmpty, "WGS84 geo x NAD83 Albers: cross-datum")
+    assert(CrsTransform.between(32615, 5070).isEmpty, "WGS84 UTM x NAD83 Albers: cross-datum")
+    // 4269 -> 5070 IS the Albers forward; Albers <-> LCC round-trips
+    val f = CrsTransform.between(4269, 5070).get
+    assert(f(-100.0, 40.0) === alb.fwd(-100.0, 40.0))
+    val a2l = CrsTransform.between(5070, 26943).get
+    val l2a = CrsTransform.between(26943, 5070).get
+    val (e0, n0) = alb.fwd(-120.0, 37.5)
+    val (e1, n1) = a2l(e0, n0)
+    val (e2, n2) = l2a(e1, n1)
+    assert(math.abs(e2 - e0) < 1e-6 && math.abs(n2 - n0) < 1e-6)
+  }
+
+  test("datum bridge (round 16): EPSG:1188 zero-shift, opt-in, WGS84<->NAD83 only") {
+    // without the opt-in every cross-datum pair stays None (pins unchanged
+    // round-15 behavior)
+    assert(CrsTransform.between(4326, 4269).isEmpty)
+    assert(CrsTransform.between(4326, 26915).isEmpty)
+    // with the opt-in: geographic pairs, geo x UTM, geo x Albers all compose
+    assert(CrsTransform.between(4326, 4269, datumBridge = true).isDefined)
+    assert(CrsTransform.between(4326, 26915, datumBridge = true).isDefined)
+    assert(CrsTransform.between(4326, 5070, datumBridge = true).isDefined)
+    assert(CrsTransform.between(26915, 32615, datumBridge = true).isDefined)
+    // the opt-in does NOT open unsupported pairs (no laundering through it)
+    assert(CrsTransform.between(4326, 3857, datumBridge = true).isEmpty)
+    assert(CrsTransform.between(4267, 4326, datumBridge = true).isEmpty, "NAD27 never bridges")
+    assert(!CrsTransform.bridgeable(CrsTransform.Wgs84, CrsTransform.Wgs84))
+    assert(CrsTransform.bridgeable(CrsTransform.Wgs84, CrsTransform.Grs80))
+    // the zero-shift bridge: longitude EXACTLY unchanged (the geocentric
+    // translation is zero and both ellipsoids share an axis); latitude
+    // moves by the flattening difference only — hand bound: Δφ ≈
+    // Δf·sin(2φ) ≈ 1.6e-11·sin(2φ) rad < 1e-9 deg, nonzero at mid-latitudes
+    val br = CrsTransform.epsg1188Bridge(CrsTransform.Wgs84, CrsTransform.Grs80) _
+    val (lonB, latB) = br(-100.0, 45.0)
+    assert(lonB === -100.0)
+    assert(math.abs(latB - 45.0) < 1e-8 && latB != 45.0)
+    // bridge round-trip closes
+    val back = CrsTransform.epsg1188Bridge(CrsTransform.Grs80, CrsTransform.Wgs84) _
+    val (lonR, latR) = back(lonB, latB)
+    assert(math.abs(lonR - (-100.0)) < 1e-12 && math.abs(latR - 45.0) < 1e-12)
+    // at the equator and pole the two ellipsoids' surfaces meet on-axis:
+    // the bridge is the identity there
+    assert(br(-100.0, 0.0) === (-100.0, 0.0))
+    // end-to-end: 4326 -> 5070 with the bridge equals bridge-then-Albers
+    val t = CrsTransform.between(4326, 5070, datumBridge = true).get
+    val (bx, by) = br(-100.0, 40.0)
+    assert(t(-100.0, 40.0) === alb.fwd(bx, by))
+  }
+
+  test("TM meridian guard (round 16): >10 deg from the central meridian fails loudly") {
+    // zone 33 cm = 15E: 24.9E transforms, 25.1E throws a typed error that
+    // names the bound — the n^4 truncation degrades rapidly out there and
+    // the coverage gate's boundary-bounds-interior argument needs the map
+    // to stay a diffeomorphism
+    val t = CrsTransform.between(4326, 32633).get
+    t(24.9, 45.0) // inside the bound: fine
+    val e = intercept[IllegalArgumentException] { t(25.1, 45.0) }
+    assert(e.getMessage.contains("central meridian") && e.getMessage.contains("32633"))
+    // the INVERSE leg guards too: an easting whose geographic image is
+    // beyond the bound (forward computed with the raw series, which has no
+    // guard — the guard lives in the composed transform)
+    val (eFar, nFar) = CrsTransform.forward(p33, 25.5, 0.0)
+    val inv = CrsTransform.between(32633, 4326).get
+    val e2 = intercept[IllegalArgumentException] { inv(eFar, nFar) }
+    assert(e2.getMessage.contains("central meridian"))
+    // conic legs carry no Δλ guard (closed forms, no series truncation):
+    // CONUS Albers happily spans 57 degrees of longitude
+    val ta = CrsTransform.between(4269, 5070).get
+    ta(-124.0, 45.0); ta(-67.0, 45.0)
+  }
+
   test("zipTransform gates on declared, distinct, supported EPSG pairs") {
     import graft.sources.tiff.TiffTags.RasterMeta
     def meta(epsg: Option[Int], model: Option[Int]) =

@@ -48,6 +48,23 @@ object CrsZipProbe {
     time("cross-CRS zip (4326->UTM)")(
       Raster.raster2df(spark, Seq(mask, utm), colNames = Seq("a", "b"),
         maxBlockSize = 1024, resample = "nearest").count())
+    // round 16: conic (Albers 5070) and datum-bridged legs. CONUS-footprint
+    // masks — 5070 is CONUS-parameterized; same 16 Mpx shape as above.
+    val maskUs = TiffFixtures.writeBigTiff(s"$tmp/mask_us.tif", 4000, 4000, v,
+      -100.0, 45.0, 0.0005, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4269))
+    val maskUsW = TiffFixtures.writeBigTiff(s"$tmp/mask_usw.tif", 4000, 4000, v,
+      -100.0, 45.0, 0.0005, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    // EPSG:5070 secondary @ 200 m covering the mask centroids' images
+    // (E in [-4e5, -5e4], N in [2.15e6, 2.5e6])
+    val alb = TiffFixtures.writeBigTiff(s"$tmp/alb.tif", 1750, 1750,
+      (c, r) => (c + r).toDouble, -400000.0, 2500000.0, 200.0, None,
+      geoKeys = Seq(1024 -> 1, 3072 -> 5070))
+    time("conic zip (4269->Albers)")(
+      Raster.raster2df(spark, Seq(maskUs, alb), colNames = Seq("a", "b"),
+        maxBlockSize = 1024, resample = "nearest").count())
+    time("bridged zip (4326->5070)")(
+      Raster.raster2df(spark, Seq(maskUsW, alb), colNames = Seq("a", "b"),
+        maxBlockSize = 1024, resample = "nearest", datumBridge = "epsg1188").count())
     spark.stop()
   }
 }

@@ -1251,6 +1251,117 @@ class GeoTiffSourceSpec extends SparkSpec {
       eDatum2.getMessage.contains("same-datum"))
   }
 
+  test("conic cross-CRS resample (round 16): a 4269 mask samples an EPSG:5070 Albers secondary") {
+    import graft.sources.tiff.CrsTransform
+    val alb = CrsTransform.conicParams(5070).get
+    // mask: NAD83 geographic 10×8 @ 0.2°, origin (-100°, 45°) — the NLCD
+    // shape: a geographic AOI over a CONUS Albers land-cover product
+    val mask = TiffFixtures.writeBigTiff(s"$tmp/alb_mask.tif", 10, 8, v7,
+      -100.0, 45.0, 0.2, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4269))
+    // secondary: EPSG:5070, 150×150 @ 4 km covering E [-500k, 100k],
+    // N [2.1e6, 2.7e6] — a superset of the mask centroids' Albers images
+    def g(c: Int, r: Int): Double = r * 1000.0 + c
+    val sec = TiffFixtures.writeBigTiff(s"$tmp/alb_sec.tif", 150, 150, g,
+      -500000.0, 2700000.0, 4000.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 5070))
+    val rows = Raster.raster2df(spark, Seq(mask, sec), colNames = Seq("m", "b"),
+      resample = "nearest").collect()
+    val expectValid = (0 until 8).flatMap(r => (0 until 10).map(c => (c, r)))
+      .count { case (c, r) => v7(c, r) != -9999.0 }
+    assert(rows.length == expectValid)
+    // row check through the independently property-pinned Albers forward
+    rows.foreach { row =>
+      val (lon, lat, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (e, n) = alb.fwd(lon, lat)
+      val cc = math.floor((e - (-500000.0)) / 4000.0).toInt
+      val rr = math.floor((2700000.0 - n) / 4000.0).toInt
+      assert(b.toDouble == g(cc, rr),
+        s"($lon, $lat) -> Albers ($e, $n) cell ($cc, $rr): got $b want ${g(cc, rr)}")
+    }
+    // windowed == single-window through the conic transform
+    val whole = Raster.raster2df(spark, Seq(mask, sec), colNames = Seq("m", "b"),
+      resample = "nearest").orderBy("lat", "lon").collect().map(_.toSeq)
+    val windowed = Raster.raster2df(spark, Seq(mask, sec), colNames = Seq("m", "b"),
+      resample = "nearest", maxBlockSize = 3).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(windowed.sameElements(whole))
+    // LCC zone 3 secondary over a California-ish mask, same row-check shape
+    val lcc = CrsTransform.conicParams(26943).get
+    val caMask = TiffFixtures.writeBigTiff(s"$tmp/lcc_mask.tif", 10, 8, v7,
+      -121.5, 38.2, 0.1, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4269))
+    val lccSec = TiffFixtures.writeBigTiff(s"$tmp/lcc_sec.tif", 200, 200, g,
+      1700000.0, 900000.0, 2000.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 26943))
+    Raster.raster2df(spark, Seq(caMask, lccSec), colNames = Seq("m", "b"),
+      resample = "nearest").collect().foreach { row =>
+      val (lon, lat, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (e, n) = lcc.fwd(lon, lat)
+      val cc = math.floor((e - 1700000.0) / 2000.0).toInt
+      val rr = math.floor((900000.0 - n) / 2000.0).toInt
+      assert(b.toDouble == g(cc, rr), s"LCC ($lon, $lat) cell ($cc, $rr): got $b")
+    }
+  }
+
+  test("datumBridge=epsg1188 (round 16): opt-in NAD83<->WGS84 zip, default stays rejected") {
+    import graft.sources.tiff.CrsTransform
+    // a WGS84 mask over the same NAD83 Albers secondary as above
+    val mask = TiffFixtures.writeBigTiff(s"$tmp/br_mask.tif", 10, 8, v7,
+      -100.0, 45.0, 0.2, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    def g(c: Int, r: Int): Double = r * 1000.0 + c
+    val sec = TiffFixtures.writeBigTiff(s"$tmp/br_sec.tif", 150, 150, g,
+      -500000.0, 2700000.0, 4000.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 5070))
+    // default: typed rejection whose message NAMES the opt-in option
+    val eDef = intercept[Exception] {
+      Raster.raster2df(spark, Seq(mask, sec), colNames = Seq("m", "b"),
+        resample = "nearest").collect()
+    }
+    assert(eDef.getMessage.contains("datumBridge=epsg1188"), eDef.getMessage)
+    // opted in: samples through bridge-then-Albers, row-checked
+    val t = CrsTransform.between(4326, 5070, datumBridge = true).get
+    val rows = Raster.raster2df(spark, Seq(mask, sec), colNames = Seq("m", "b"),
+      resample = "nearest", datumBridge = "epsg1188").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { row =>
+      val (lon, lat, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (e, n) = t(lon, lat)
+      val cc = math.floor((e - (-500000.0)) / 4000.0).toInt
+      val rr = math.floor((2700000.0 - n) / 4000.0).toInt
+      assert(b.toDouble == g(cc, rr), s"bridged ($lon, $lat) cell ($cc, $rr): got $b")
+    }
+    // the option does NOT open non-bridgeable pairs: WGS84 x web mercator
+    // still rejects even with the bridge requested
+    val merc = TiffFixtures.writeBigTiff(s"$tmp/br_merc.tif", 20, 16,
+      (c, r) => 1.0, -11000000.0, 5700000.0, 30.0, None,
+      geoKeys = Seq(1024 -> 1, 3072 -> 3857))
+    val eMerc = intercept[Exception] {
+      Raster.raster2df(spark, Seq(mask, merc), colNames = Seq("m", "b"),
+        resample = "nearest", datumBridge = "epsg1188").collect()
+    }
+    assert(eMerc.getMessage.contains("EPSG:3857") ||
+      eMerc.getMessage.contains("model type"))
+    // an unknown bridge value is rejected at the option boundary, naming
+    // the one supported bridge
+    val eVal = intercept[Exception] {
+      Raster.raster2df(spark, Seq(mask, sec), colNames = Seq("m", "b"),
+        resample = "nearest", datumBridge = "helmert").collect()
+    }
+    assert(eVal.getMessage.contains("epsg1188"), eVal.getMessage)
+  }
+
+  test("TM meridian guard surfaces at planning (round 16): wide-of-zone pairing fails loudly") {
+    // mask at lon 27..32 — 12–17° east of zone 33's central meridian (15°):
+    // the coverage gate's first boundary sample trips the Δλ guard, so the
+    // job fails at PLANNING with the typed message, not mid-scan with
+    // silently degraded coordinates
+    val mask = TiffFixtures.writeBigTiff(s"$tmp/mg_mask.tif", 10, 8, v7,
+      27.0, 46.0, 0.5, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val utm = TiffFixtures.writeBigTiff(s"$tmp/mg_utm.tif", 100, 100,
+      (c, r) => 1.0, 400000.0, 5200000.0, 8000.0, None,
+      geoKeys = Seq(1024 -> 1, 3072 -> 32633))
+    val e = intercept[Exception] {
+      Raster.raster2df(spark, Seq(mask, utm), colNames = Seq("m", "b"),
+        resample = "nearest").collect()
+    }
+    assert(e.getMessage.contains("central meridian"), e.getMessage)
+  }
+
   test("flipped-axis ModelTransformation stays rejected with its own typed message") {
     val flip = Array[Double](
       0.5, 0.0, 0.0, 10.0,
