@@ -41,10 +41,18 @@ import org.apache.spark.sql.functions._
   * toward the SHORTEST last piece (strict `>` in a left fold over piece
   * lengths 1..P — equivalently: first index attaining the max, which is
   * what the oracle's GREATEST + first-match CASE computes); log-probs
-  * are r6-snapped. The one cross-engine risk is libm `ln` (both engines
-  * snap AFTER the log): a probability whose log lands within ~1e-13 of
-  * a 1e-6 grid edge could snap differently — the q143/calibratePlatt
-  * residual risk class, documented not guarded.
+  * are r6-snapped. The one cross-engine transcendental is libm `ln`
+  * (both engines snap AFTER the log); since round 16 it is GUARDED, not
+  * merely documented: [[lnR6Guarded]] measures each log's distance from
+  * its r6 half-boundary and typed-rejects inside the guard window, so a
+  * probability whose log could snap differently across libms fails
+  * LOUDLY at training time instead of silently hash-mismatching. Every
+  * other cross-engine value is exact: the ratio is one IEEE division of
+  * integer-valued doubles (correctly rounded, bit-identical in both
+  * engines), and the Viterbi DP is inductively bit-deterministic given
+  * identical lp maps — both engines evaluate the same `dp[j−l] + lp`
+  * double op on the same operands in the same cell order, so path sums
+  * and ties agree exactly (no accumulated-noise tie flip is possible).
   */
 object UnigramLm {
 
@@ -53,6 +61,32 @@ object UnigramLm {
     */
   val MaxVocab = 65536
   val MaxWordLenCap = 64
+
+  /** r6-snapped `ln` with the cross-engine boundary guard (round 16,
+    * retiring the carried libm-`ln` snap risk). Both engines snap
+    * `ln(ratio)` to the 1e-6 grid; their libms may disagree by ~1 ulp
+    * (≤ ~2e-15 absolute for |ln| ≤ 30, i.e. ≤ ~2e-9 grid units after the
+    * ×1e6), so a log landing essentially ON a half-boundary could snap to
+    * different grid points. The guard measures the distance of
+    * `ln(x)·1e6 + 0.5` from its nearest integer: if the engine observes
+    * > 2e-8 grid units, the true distance exceeds ~1.4e-8 and the other
+    * libm's value (within ~2e-9 of true) provably snaps to the SAME grid
+    * point; inside the window the trainer fails loudly with a typed error
+    * naming the offending probability. Fire probability ~4e-8 per piece
+    * per round — never observed in 16 rounds of two-sf verifies; loud if
+    * it ever is.
+    */
+  def lnR6Guarded(x: Double): Double = {
+    val y = math.log(x)
+    val f = y * 1e6 + 0.5
+    val d = math.abs(f - math.rint(f))
+    require(d > 2e-8,
+      f"unigram-LM parity guard: ln($x%.17g) = $y%.17g lies $d%.3g grid " +
+        "units from an r6 half-boundary (threshold 2e-8) — cross-engine " +
+        "libm ln could snap it to different 1e-6 grid points; retrain with " +
+        "a different vocabSize/corpus slice to shift the counts")
+    math.floor(f) / 1e6
+  }
 
   /** Candidate vocabulary `(piece, cnt)`: every substring of length
     * 1..`maxPieceLen` of every (≤ `maxWordLen`) word type, weighted by
@@ -142,7 +176,10 @@ object UnigramLm {
       val tot = counts.values.sum
       val ratio = piecesSorted.map(p =>
         p -> ((counts.getOrElse(p, 0L) + 1.0) / (tot + v))).toMap
-      (ratio.map { case (p, x) => p -> r6(math.log(x)) },
+      // ln through the boundary guard (round 16); the ratio itself is one
+      // IEEE division of integer-valued doubles — bit-identical in both
+      // engines — so its snap needs no guard
+      (ratio.map { case (p, x) => p -> lnR6Guarded(x) },
         ratio.map { case (p, x) => p -> r6(x) })
     }
     val traj = Seq.newBuilder[(Int, String, Double)]

@@ -73,4 +73,20 @@ class UnigramLmSpec extends SparkSpec {
     assert(counts(1L) == 3L, counts)
     assert(counts(2L) == 13L, counts)
   }
+
+  test("libm-ln boundary guard (round 16): a half-grid log-prob fails loudly, neighbors pass") {
+    import graft.operators.UnigramLm
+    // constructed boundary case: y0 = -0.5000005 sits exactly on an r6
+    // half-boundary (y0*1e6 + 0.5 = -500000, an integer); exp then log
+    // reproduces y0 to ~1 ulp, far inside the 2e-8-grid-unit guard window
+    val xBad = math.exp(-0.5000005)
+    val e = intercept[IllegalArgumentException] { UnigramLm.lnR6Guarded(xBad) }
+    assert(e.getMessage.contains("half-boundary"), e.getMessage)
+    // 0.3 grid units off the boundary: passes and equals the plain snap
+    val xOk = math.exp(-0.5000002)
+    assert(UnigramLm.lnR6Guarded(xOk) ===
+      math.floor(math.log(xOk) * 1e6 + 0.5) / 1e6)
+    // ordinary smoothed ratios sail through (fire probability ~4e-8/value)
+    for (c <- 0 to 60) UnigramLm.lnR6Guarded((c + 1.0) / (1000.0 + 61))
+  }
 }
