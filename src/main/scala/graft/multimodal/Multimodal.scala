@@ -340,6 +340,25 @@ object Multimodal {
       .toDF("doc_id", "ahash")
   }
 
+  /** Sentinel `maxBucket` for the media near-dup families: derive the cap
+    * from the measured fingerprint row count via
+    * [[graft.operators.BandedSelfJoin.derivedCap]] (the rows/2^keyBits
+    * rule) instead of a constant. Round 16 — the constant catalog default
+    * (10000) was measured wrong twice (BASELINE rounds 14–15: 73.6 GB of
+    * spill at 1M whole-clip fingerprints; q174's ~95 s sweep-1 build).
+    */
+  val DeriveCap: Int = -1
+
+  /** Resolve a `maxBucket` argument: the [[DeriveCap]] sentinel computes
+    * the data-derived cap from `rows` (the fingerprint/gram row count per
+    * band) and the band key's width; 0 keeps the explicit-uncapped
+    * semantics; positive values pass through. Callers count `rows` on an
+    * ALREADY-MATERIALIZED frame so derivation never re-runs a decode.
+    */
+  private def resolveCap(maxBucket: Int, rows: => Long, keyBits: Int): Int =
+    if (maxBucket == DeriveCap) graft.operators.BandedSelfJoin.derivedCap(rows, keyBits)
+    else maxBucket
+
   /** Shared 64-bit-fingerprint banded pairing — the SimHash/MinHash scale
     * scaffold ([[graft.operators.BandedSelfJoin]]) applied to media
     * fingerprints: four 16-bit bands, candidates by (band, key) equi-join
@@ -347,15 +366,22 @@ object Multimodal {
     * bits agree on ≥1 whole band), exact `bit_count(xor)` on candidates
     * only, and the mega-bucket cap bounds the degenerate buckets that flat
     * images / near-silent audio hash into. No all-pairs comparison exists
-    * at any scale.
+    * at any scale. `maxBucket = DeriveCap` materializes the hashes once
+    * (localCheckpoint — eager, non-reliable; the videoNearDupPairs trade,
+    * documented there) and derives the cap from their count; `repOverCap`
+    * keeps over-cap buckets reachable through representative stars instead
+    * of dropping them (recall preserved through the dedup action — the
+    * template-corpus fix, measured at 1M in BASELINE).
     */
   private def bandedFpPairs(
       hashes: DataFrame, fpCol: String,
-      maxHamming: Int, maxBucket: Int): DataFrame = {
+      maxHamming: Int, maxBucket: Int, repOverCap: Boolean): DataFrame = {
     require(maxHamming < 4,
       "4 bands over 64 bits are only pigeonhole-complete for Hamming <= 3; " +
         "raise the band count to raise the threshold")
-    val keyed = hashes.select(
+    val h = if (maxBucket == DeriveCap) hashes.localCheckpoint(true) else hashes
+    val cap = resolveCap(maxBucket, h.count(), keyBits = 16)
+    val keyed = h.select(
       col("doc_id").as("id"), col(fpCol),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
@@ -364,7 +390,8 @@ object Multimodal {
       }: _*)).as("bk"))
       .select(col("id"), col(fpCol),
         col("bk.band").as("band"), col("bk.key").as("key"))
-    graft.operators.BandedSelfJoin.pairs(keyed, maxBucket)
+    graft.operators.BandedSelfJoin.pairs(keyed, cap,
+        repOverCap = repOverCap && cap > 0)
       .select(col(s"a.id").as("doc_id_a"), col(s"b.id").as("doc_id_b"),
         bit_count(col(s"a.$fpCol").bitwiseXOR(col(s"b.$fpCol"))).as("hamming"))
       .distinct()
@@ -376,8 +403,8 @@ object Multimodal {
     */
   def imageNearDupPairs(
       media: Dataset[MediaRow], maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame =
-    bandedFpPairs(imageHashes(media), "ahash", maxHamming, maxBucket)
+      maxBucket: Int = DeriveCap, repOverCap: Boolean = true): DataFrame =
+    bandedFpPairs(imageHashes(media), "ahash", maxHamming, maxBucket, repOverCap)
 
   /** 64-bit audio energy-envelope fingerprint — [[aHash64]]'s audio twin:
     * decode PCM16 (canonical little-endian RIFF/WAVE via a lock-free
@@ -634,8 +661,8 @@ object Multimodal {
     */
   def audioNearDupPairs(
       media: Dataset[MediaRow], maxHamming: Int = 3,
-      maxBucket: Int = 10000): DataFrame =
-    bandedFpPairs(audioHashes(media), "afp", maxHamming, maxBucket)
+      maxBucket: Int = DeriveCap, repOverCap: Boolean = true): DataFrame =
+    bandedFpPairs(audioHashes(media), "afp", maxHamming, maxBucket, repOverCap)
 
   /** TRIM-TOLERANT sub-fingerprints (round 15): [[audioFp64]] hashes the
     * whole clip's 64 scale-normalized envelope cells, so a trimmed/padded
@@ -701,8 +728,8 @@ object Multimodal {
     */
   def audioNearDupPairsTrimTolerant(
       media: Dataset[MediaRow], blockSamples: Int = 1024, hopBlocks: Int = 16,
-      maxMeanHamming: Double = 3.0, maxBucket: Int = 10000,
-      minCoverFrac: Double = 0.9): DataFrame = {
+      maxMeanHamming: Double = 3.0, maxBucket: Int = DeriveCap,
+      minCoverFrac: Double = 0.9, repOverCap: Boolean = true): DataFrame = {
     require(maxMeanHamming < 4,
       "the 4 composite bands pigeonhole two consecutive aligned ranks with " +
         "combined Hamming < 4; raise the band count to raise the threshold")
@@ -740,7 +767,13 @@ object Multimodal {
             shiftrightunsigned(col("sfp2"), 16 * b).bitwiseAND(lit(0xffffL))).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("rank"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val best = graft.operators.BandedSelfJoin.pairs(keyed, maxBucket)
+    // sf is already materialized above, so the derive-mode count is a
+    // cheap scan of checkpointed blocks, never a second decode; the gram
+    // count per band is the sub-fp count minus the dropped tail ranks —
+    // sf.count() is the (slightly conservative) bound the rule wants
+    val cap = resolveCap(maxBucket, sf.count(), keyBits = 32)
+    val best = graft.operators.BandedSelfJoin.pairs(keyed, cap,
+        repOverCap = repOverCap && cap > 0)
       .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"),
         (col("a.rank") - col("b.rank")).as("offset"))
       .groupBy(col("doc_id_a"), col("doc_id_b"), col("offset"))
@@ -835,8 +868,8 @@ object Multimodal {
     */
   def videoNearDupPairs(
       media: Dataset[MediaRow], stride: Int = 2,
-      maxMeanHamming: Double = 3.0, maxBucket: Int = 10000,
-      minCommonFrac: Double = 0.5): DataFrame = {
+      maxMeanHamming: Double = 3.0, maxBucket: Int = DeriveCap,
+      minCommonFrac: Double = 0.5, repOverCap: Boolean = true): DataFrame = {
     // candidate completeness: mean ≤ t over the common ranks ⇒ some rank's
     // per-frame Hamming ≤ t, and 4 bands over 64 bits pigeonhole that rank
     // only for t < 4 — the same geometry bound bandedFpPairs enforces
@@ -857,6 +890,15 @@ object Multimodal {
     // persist(MEMORY_AND_DISK) + count() (lineage kept, decode may rerun
     // on loss) or checkpoint() to reliable storage.
     val fh = videoFrameHashes(media, stride).localCheckpoint(true)
+    // the band key carries the sample rank, so the collision space per
+    // key is the per-RANK row count over 2^16: derive the cap from the
+    // most populated rank (one tiny aggregate over the checkpointed
+    // hashes; rank 0 in practice — every video has one)
+    val cap = resolveCap(maxBucket, {
+      val m = fh.groupBy(col("k")).agg(count(lit(1)).as("n"))
+        .agg(max(col("n"))).head()
+      if (m.isNullAt(0)) 0L else m.getLong(0)
+    }, keyBits = 16)
     val keyed = fh.select(
       col("doc_id").as("id"), col("k"), col("fhash"),
       explode(array((0 until 4).map { b =>
@@ -866,7 +908,8 @@ object Multimodal {
               .bitwiseAND(lit(0xffffL))).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = graft.operators.BandedSelfJoin.pairs(keyed, maxBucket)
+    val cand = graft.operators.BandedSelfJoin.pairs(keyed, cap,
+        repOverCap = repOverCap && cap > 0)
       .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
       .distinct()
     val fa = fh.toDF("doc_id_a", "k", "h_a")

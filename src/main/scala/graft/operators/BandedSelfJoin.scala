@@ -18,6 +18,33 @@ import org.apache.spark.sql.functions._
   */
 private[graft] object BandedSelfJoin {
 
+  /** Data-derived mega-bucket cap (round 16, VERDICT r15 task 3): the
+    * constant catalog default (10000) was measured wrong twice — 73.6 GB
+    * of spill at 1M whole-clip audio fingerprints, and q174's ~95 s
+    * sweep-1 build at sf0.1, both from template buckets the constant let
+    * through. The rule replaces the constant with the repo's own
+    * rows/2^keyBits arithmetic, checked at plan time by the caller once
+    * the fingerprint row count is known:
+    *
+    *   E = rowsPerBand / 2^keyBits      (expected RANDOM bucket size)
+    *   cap = max(floor, 16 × ⌈E⌉)
+    *
+    * A uniform hash key makes bucket sizes ~Poisson(E); P(n ≥ 16E) is
+    * Chernoff-negligible for any E ≥ 1, and the floor covers the E < 1
+    * regime's small-count noise — so any bucket OVER the derived cap is
+    * degenerate content (templates, near-silence, flat fields), never a
+    * random collision. Combined with representative pairing
+    * ([[pairs]]' `repOverCap`) the cap then costs recall nothing: over-cap
+    * buckets keep their members reachable through one star of verified
+    * edges instead of being dropped.
+    */
+  def derivedCap(rowsPerBand: Long, keyBits: Int, floor: Int = 32): Int = {
+    require(rowsPerBand >= 0, s"rowsPerBand must be >= 0, got $rowsPerBand")
+    require(keyBits >= 1 && keyBits <= 62, s"keyBits must be in [1, 62], got $keyBits")
+    val expected = math.ceil(rowsPerBand.toDouble / math.pow(2.0, keyBits))
+    math.max(floor.toLong, math.min(Int.MaxValue.toLong, 16L * expected.toLong)).toInt
+  }
+
   /** `saltAbove > 0` additionally SALTS buckets larger than it (the
     * [[SparseCosineJoin]] head-term shape): the a-side gets
     * `salt = hash(id) mod S`, the b-side replicates to every salt, and the
@@ -32,9 +59,53 @@ private[graft] object BandedSelfJoin {
     * forgoes the unsalted plan's AQE exchange reuse — that trade only
     * makes sense where a quadratic bucket exists, which is why it is
     * opt-in.
+    *
+    * `repOverCap` (round 16): instead of DROPPING buckets larger than
+    * `maxBucket`, pair every over-cap member against ONE deterministic
+    * representative (the bucket's min id) — n−1 star edges instead of
+    * n²/2, so the cost stays linear in the degenerate bucket while the
+    * downstream verify + connected-components action keeps the whole
+    * bucket reachable (a template corpus' trims all verify against the
+    * representative and land in one cluster — the recall the drop
+    * semantics sacrificed, measured at 1M in BASELINE). Buckets at or
+    * under the cap are pair-identical to the plain form. The output
+    * contract (a.id < b.id) holds because the representative is the
+    * bucket's MINIMUM id. Mutually exclusive with salting: a star has no
+    * quadratic hot key to spread.
     */
-  def pairs(keyed: DataFrame, maxBucket: Int, saltAbove: Int = 0): DataFrame = {
-    if (saltAbove <= 0) {
+  def pairs(keyed: DataFrame, maxBucket: Int, saltAbove: Int = 0,
+      repOverCap: Boolean = false): DataFrame = {
+    if (repOverCap) {
+      require(maxBucket > 0, "repOverCap needs a positive maxBucket")
+      require(saltAbove <= 0,
+        "repOverCap and saltAbove are mutually exclusive: the star's cost " +
+          "is already linear, there is no quadratic bucket left to salt")
+      val w = Window.partitionBy(col("band"), col("key"))
+      // One window pass computes both the count and the representative.
+      // The cap must live in the JOIN SIDES, not the join condition: a
+      // residual predicate is applied AFTER the sort-merge join emits a
+      // key group's combinations, so a 500k-member template bucket would
+      // still pay G²/4 comparisons before the filter (measured: the
+      // condition-form's 439 s / 113 GB-spill / 200 s-straggler 1M run,
+      // vs ~131 s for this form — BASELINE round 16). Left side = every
+      // member of a small bucket plus only the REPRESENTATIVE's rows of
+      // an over-cap bucket, so per-bucket comparisons are n² small /
+      // |rep rows|×G big — linear in the degenerate bucket. rep = min id
+      // < every other member, so a.id < b.id already orders the star.
+      // The two sides differ, so (like the salted branch, same caveats)
+      // the keyed rows are materialized once rather than recomputed.
+      val counted = keyed
+        .withColumn("bucket_n", count(lit(1)).over(w))
+        .withColumn("rep_id", min(col("id")).over(w))
+        .localCheckpoint(true)
+      val aSide = counted
+        .filter(col("bucket_n") <= maxBucket || col("id") === col("rep_id"))
+        .drop("bucket_n", "rep_id")
+      val bSide = counted.drop("bucket_n", "rep_id")
+      aSide.as("a").join(bSide.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+    } else if (saltAbove <= 0) {
       val bounded =
         if (maxBucket <= 0) keyed
         else keyed

@@ -114,12 +114,18 @@ final case class MinHashLSH(
     * `maxBucket` guards against degenerate mega-buckets: buckets with more
     * than `maxBucket` members are dropped (at scale a near-constant document
     * cluster would otherwise make one reducer quadratic). Disabled when <= 0.
+    *
+    * `repOverCap` swaps the over-cap DROP for representative stars
+    * ([[BandedSelfJoin.pairs]]'s doc): linear cost in the degenerate
+    * bucket, recall preserved through the verify + cluster action. Opt-in
+    * so declared oracle-checked queries stay byte-stable.
     */
   def candidatePairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
-      maxBucket: Int = 0): DataFrame = {
+      maxBucket: Int = 0,
+      repOverCap: Boolean = false): DataFrame = {
     // Zero-shingle documents (shorter than the shingle width) all share the
     // fold's initial accumulator signature and would bucket together; their
     // band hashes are the CONSTANTS below, so excluding them costs one
@@ -131,7 +137,8 @@ final case class MinHashLSH(
     // cap + self-join scaffold (no cache, AQE exchange reuse) is shared
     // with SimHash in BandedSelfJoin.
     val keyed = bandIndex(df, idCol, textCol)
-    BandedSelfJoin.pairs(keyed, maxBucket)
+    BandedSelfJoin.pairs(keyed, maxBucket,
+        repOverCap = repOverCap && maxBucket > 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }

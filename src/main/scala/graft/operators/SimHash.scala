@@ -82,6 +82,11 @@ object SimHash {
     * 1024-row capped bucket still runs ~cap²/2 Hamming checks in ONE task —
     * the measured 14 s straggler of the 3M-conversation rehearsal. Same
     * pair set, opt-in (0 = off).
+    *
+    * `repOverCap` swaps the over-cap DROP for representative stars
+    * ([[BandedSelfJoin.pairs]]'s doc) — linear cost, recall preserved
+    * through the verify + cluster action; opt-in, mutually exclusive with
+    * `saltAbove`.
     */
   def candidatePairs(
       df: DataFrame,
@@ -90,7 +95,8 @@ object SimHash {
       bands: Int = 4,
       maxHamming: Int = 3,
       maxBucket: Int = 0,
-      saltAbove: Int = 0): DataFrame = {
+      saltAbove: Int = 0,
+      repOverCap: Boolean = false): DataFrame = {
     require(Bits % bands == 0, s"bands must divide $Bits, got $bands")
     require(maxHamming < bands,
       s"banded pairing is only complete for maxHamming < bands ($maxHamming >= $bands)")
@@ -103,7 +109,8 @@ object SimHash {
       .select(col("id"), col("fp"),
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => bandKey(col("fp"), b, width))).as(Seq("band", "key")))
-    BandedSelfJoin.pairs(keyed, maxBucket, saltAbove)
+    BandedSelfJoin.pairs(keyed, maxBucket, saltAbove,
+        repOverCap = repOverCap && maxBucket > 0)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hamming(col("a.fp"), col("b.fp")).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -105,7 +105,7 @@ object QualitySignals {
   /** Per-train-doc contaminated-shingle counts vs the doc_id<10 benchmark
     * slice: `(doc_id, n_shingles, n_contaminated, contaminated_frac)` —
     * shared by q150 and the q154 pipeline. */
-  private[queries] def contaminationFrac(docs: DataFrame): DataFrame = {
+  private[graft] def contaminationFrac(docs: DataFrame): DataFrame = {
     // token array projected as an attribute below the shingle transform
     // (the q67 lesson: no CSE into lambdas)
     def grams(d: DataFrame) = d

@@ -142,6 +142,36 @@ object ScaleDataGen {
   }
 }
 
+/** Per-stage task-metric counters shared by the rehearsal mains
+  * ([[ScaleRehearsal]], [[PipelineRehearsal]]): shuffle write, memory/disk
+  * spill, peak execution memory, max task wall — the numbers that say
+  * whether a plan would survive a 100x scale-up, not just whether it
+  * finishes.
+  */
+private[tools] class StageMetrics extends org.apache.spark.scheduler.SparkListener {
+  @volatile var shuffleWrite = 0L
+  @volatile var memSpill = 0L
+  @volatile var diskSpill = 0L
+  @volatile var peakExecMem = 0L
+  @volatile var maxTaskMs = 0L
+  override def onTaskEnd(
+      te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+    val m = te.taskMetrics
+    if (m != null) {
+      shuffleWrite += m.shuffleWriteMetrics.bytesWritten
+      memSpill += m.memoryBytesSpilled
+      diskSpill += m.diskBytesSpilled
+      peakExecMem = math.max(peakExecMem, m.peakExecutionMemory)
+      // the skew signal: one straggler task = one hot join key
+      maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
+    }
+  }
+  def reset(): Unit = {
+    shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakExecMem = 0
+    maxTaskMs = 0
+  }
+}
+
 /** Run named declared queries over a [[ScaleDataGen]] slice, one sweep,
   * with per-query wall time + task-metric counters (shuffle write, memory/
   * disk spill, peak execution memory) — the numbers that say whether a
@@ -504,43 +534,66 @@ object ScaleRehearsal {
       Seq((nPairs, survivors, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
     }),
 
-    // TRIM-robust audio near-dup over the FULL REAL corpus at the
-    // production cap (round 15): 1M template-heavy documents rendered
-    // through the declared family's own code path (sliceMod=1 — no
-    // slice), 49 sub-fingerprints per clip → ~49M sub-fp rows. Probes
-    // the two postures the declared slice sidesteps: (a) the composite
-    // 32-bit band keys' random-collision floor at 20× the 50k rehearsal's
-    // row count, and (b) template mega-buckets under the q44/q54
-    // production cap (maxBucket=100 — the same documented recall
-    // sacrifice as audio_neardup_sf2). Asserts planted recall on the
-    // every-fifth-member trims whose base group is NOT cap-degenerate is
-    // nontrivial and the action's exact accounting over all 1M clips.
+    // TRIM-robust audio near-dup over the FULL REAL corpus (rounds 15–16):
+    // 1M template-heavy documents rendered through the declared family's
+    // own code path (sliceMod=1 — no slice), 49 sub-fingerprints per clip
+    // → ~49M sub-fp rows. Round 16 turns this into the cap-posture A/B
+    // the VERDICT asked for: arm A is round-15's production posture
+    // (maxBucket=100, over-cap buckets DROPPED — the documented recall
+    // sacrifice: 2,405 of ~200k planted trims kept), arm B is the new
+    // DEFAULT (data-derived cap + representative stars). Measured per
+    // arm: direct planted-pair recall AND CLUSTER recall — the fraction
+    // of planted (base, trim) pairs landing in one dedup cluster, which
+    // is what the ACTION consumes; the representative star's whole point
+    // is that cluster recall survives the cap even where the direct pair
+    // edge is replaced by two rep edges.
     "audio_trim_neardup_sf2" -> ((s, dir) => {
       import org.apache.spark.sql.functions._
       import s.implicits._
       val media = graft.queries.Media.audioTrimMedia(s, dir, sliceMod = 1)
         .localCheckpoint(true)
       val nm = media.count()
-      val t0 = System.nanoTime()
-      val pairs = graft.multimodal.Multimodal
-        .audioNearDupPairsTrimTolerant(media, blockSamples = 8, hopBlocks = 4,
-          maxBucket = 100)
+      // planted trims at sliceMod=1: doc 5k+4 is a front trim of 5k+3
+      val plantedPairs = s.range(nm / 5)
+        .select((col("id") * 5 + 3).as("p_a"), (col("id") * 5 + 4).as("p_b"))
         .localCheckpoint(true)
-      val nPairs = pairs.count()
-      val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
-      // planted trims: member 5k+4 is a trim of member 5k+3 (sliceMod=1 →
-      // memberIdx = doc_id); count how many planted pairs survived the
-      // production cap (template groups above it legitimately lose theirs)
-      val planted = pairs.filter(
-        col("doc_id_b") === col("doc_id_a") + 1 &&
-          pmod(col("doc_id_b"), lit(5)) === 4 &&
-          col("mean_hamming") === 0.0 && col("offset") > 0).count()
-      val (survivors, actSec) = dedupActionStats(media, pairs, nm)
-      println(s"""{"probe":"audio_trim_neardup_sf2","clips":$nm,"pairs":$nPairs,""" +
-        s""""planted_found":$planted,"survivors":$survivors,""" +
-        s""""pair_sec":$pairSec,"action_sec":$actSec}""")
-      require(planted > 0, "no planted trim pair survived — the family is broken at scale")
-      Seq((nPairs, survivors, pairSec, actSec)).toDF("pairs", "survivors", "pair_sec", "action_sec")
+      val nPlanted = plantedPairs.count()
+      def arm(name: String, mb: Int, rep: Boolean): (Long, Long, Double, Double) = {
+        val t0 = System.nanoTime()
+        val pairs = graft.multimodal.Multimodal
+          .audioNearDupPairsTrimTolerant(media, blockSamples = 8, hopBlocks = 4,
+            maxBucket = mb, repOverCap = rep)
+          .localCheckpoint(true)
+        val nPairs = pairs.count()
+        val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+        val direct = pairs.filter(
+          col("doc_id_b") === col("doc_id_a") + 1 &&
+            pmod(col("doc_id_b"), lit(5)) === 4 &&
+            col("mean_hamming") === 0.0 && col("offset") > 0).count()
+        // cluster recall: both planted endpoints in one dedup component
+        val asg = graft.operators.DedupClusters.clusterAssignments(
+          media.toDF().select(col("doc_id")), "doc_id",
+          pairs.select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
+          .localCheckpoint(true)
+        val sameCluster = plantedPairs
+          .join(asg.select(col("doc_id").as("p_a"), col("cluster_id").as("c_a")), "p_a")
+          .join(asg.select(col("doc_id").as("p_b"), col("cluster_id").as("c_b")), "p_b")
+          .filter(col("c_a") === col("c_b")).count()
+        val acc = asg.filter(col("doc_id") === col("cluster_id"))
+          .agg(sum(col("cluster_size"))).as[Long].head()
+        require(acc == nm, s"$name action accounting broke: $acc of $nm")
+        println(s"""{"probe":"audio_trim_neardup_sf2","arm":"$name",""" +
+          s""""clips":$nm,"pairs":$nPairs,"planted":$nPlanted,""" +
+          s""""planted_direct":$direct,"planted_same_cluster":$sameCluster,""" +
+          s""""pair_sec":$pairSec}""")
+        (nPairs, direct, sameCluster.toDouble, pairSec)
+      }
+      val (_, _, dropCluster, _) = arm("drop_cap100", 100, rep = false)
+      val (_, _, repCluster, _) = arm("derived_rep", graft.multimodal.Multimodal.DeriveCap, rep = true)
+      require(repCluster > dropCluster,
+        s"representative stars must recover cluster recall: $repCluster <= $dropCluster")
+      Seq((dropCluster, repCluster, nPlanted))
+        .toDF("drop_same_cluster", "rep_same_cluster", "planted")
     }),
 
     // Audio near-dup over a REAL document corpus at the production cap:
@@ -1438,30 +1491,6 @@ object ScaleRehearsal {
     pairs.agg(count(lit(1)).as("n_pairs"))
   }
 
-  private class Metrics extends org.apache.spark.scheduler.SparkListener {
-    @volatile var shuffleWrite = 0L
-    @volatile var memSpill = 0L
-    @volatile var diskSpill = 0L
-    @volatile var peakExecMem = 0L
-    @volatile var maxTaskMs = 0L
-    override def onTaskEnd(
-        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
-      val m = te.taskMetrics
-      if (m != null) {
-        shuffleWrite += m.shuffleWriteMetrics.bytesWritten
-        memSpill += m.memoryBytesSpilled
-        diskSpill += m.diskBytesSpilled
-        peakExecMem = math.max(peakExecMem, m.peakExecutionMemory)
-        // the skew signal: one straggler task = one hot join key
-        maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
-      }
-    }
-    def reset(): Unit = {
-      shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakExecMem = 0
-      maxTaskMs = 0
-    }
-  }
-
   def main(args: Array[String]): Unit = {
     require(args.length >= 2, "usage: ScaleRehearsal <dir> <query> [query...]")
     val dir = args(0)
@@ -1490,7 +1519,7 @@ object ScaleRehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.plans.GraftFunctions.installPlanRewrites(spark)
-    val metrics = new Metrics
+    val metrics = new StageMetrics
     spark.sparkContext.addSparkListener(metrics)
     spark.range(10).write.format("noop").mode("overwrite").save()
     def gb(x: Long): Double = math.rint(x / 1e7) / 100.0

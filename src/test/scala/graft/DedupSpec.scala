@@ -41,6 +41,45 @@ class DedupSpec extends SparkSpec {
     assert(lsh.candidatePairs(many, "doc_id", "text").count() == 50L * 49 / 2)
   }
 
+  test("repOverCap: over-cap buckets keep the representative star, small buckets are pair-identical") {
+    // 50 identical docs (one mega-bucket per band) + one small near-dup
+    // group: with repOverCap the mega-bucket must contribute exactly the
+    // n-1 star edges rooted at the minimum id, while the small group's
+    // pair set is unchanged from the plain capped form
+    val many = (1 to 50).map(i => (i.toLong, "same same text")) ++
+      Seq((100L, "tiny pair group alpha"), (101L, "tiny pair group alpha"))
+    val df = many.toDF("doc_id", "text")
+    val lsh = MinHashLSH(12, 3, 1)
+    val star = lsh.candidatePairs(df, "doc_id", "text",
+        maxBucket = 10, repOverCap = true)
+      .as[(Long, Long)].collect().toSet
+    val expected = (2 to 50).map(i => (1L, i.toLong)).toSet + ((100L, 101L))
+    assert(star == expected, s"got ${star.size} pairs")
+    // the drop form loses the mega-bucket entirely; the star form keeps
+    // every member reachable through the representative
+    val dropped = lsh.candidatePairs(df, "doc_id", "text", maxBucket = 10)
+      .as[(Long, Long)].collect().toSet
+    assert(dropped == Set((100L, 101L)))
+    // under-cap corpus: rep mode is pair-identical to the plain form
+    val plain = lsh.candidatePairs(docs, "doc_id", "text", maxBucket = 100)
+      .as[(Long, Long)].collect().toSet
+    val rep = lsh.candidatePairs(docs, "doc_id", "text",
+        maxBucket = 100, repOverCap = true)
+      .as[(Long, Long)].collect().toSet
+    assert(rep == plain)
+  }
+
+  test("derivedCap: floor in the sparse regime, 16x expected when keys saturate") {
+    import graft.operators.BandedSelfJoin.derivedCap
+    // E << 1: any over-floor bucket is degenerate content, never random
+    assert(derivedCap(81000L, keyBits = 32) == 32)
+    assert(derivedCap(0L, keyBits = 16) == 32)
+    // E = 1M/2^16 ~ 15.3 -> 16 x ceil(E) = 256
+    assert(derivedCap(1000000L, keyBits = 16) == 256)
+    // custom floor wins when larger
+    assert(derivedCap(1000L, keyBits = 16, floor = 64) == 64)
+  }
+
   test("minhash: index-based incremental candidates == self-join cross pairs") {
     // scale-path hash family (xxhash64) — the config q63's oracle twin
     // (md5 parity) does NOT cover
