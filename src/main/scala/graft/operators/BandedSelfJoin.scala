@@ -84,10 +84,11 @@ private[graft] object BandedSelfJoin {
       // One window pass computes both the count and the representative.
       // The cap must live in the JOIN SIDES, not the join condition: a
       // residual predicate is applied AFTER the sort-merge join emits a
-      // key group's combinations, so a 500k-member template bucket would
-      // still pay G²/4 comparisons before the filter (measured: the
-      // condition-form's 439 s / 113 GB-spill / 200 s-straggler 1M run,
-      // vs ~131 s for this form — BASELINE round 16). Left side = every
+      // key group's combinations, so a mega-bucket still pays ~G²/4
+      // comparisons before the filter (measured on the 1M trim corpus,
+      // normalized against the unchanged drop-arm run next to each form:
+      // condition-form 3.8× the drop arm; this form 2.2× — BASELINE
+      // round 16; pair sets identical). Left side = every
       // member of a small bucket plus only the REPRESENTATIVE's rows of
       // an over-cap bucket, so per-bucket comparisons are n² small /
       // |rep rows|×G big — linear in the degenerate bucket. rep = min id

@@ -87,9 +87,21 @@ object PipelineRehearsal {
 
     // 1 — exact substring excision acts FIRST (verbatim boilerplate must
     // not glue distinct docs together in the fuzzier near-dup stage);
-    // fully-excised docs drop out, n_chars recomputed on the clean text
+    // fully-excised docs drop out, n_chars recomputed on the clean text.
+    // k = 40 chars, NOT the declared q100's k = 20: the slice's 30-word
+    // vocabulary saturates 20-char grams at 1M docs (~86 occurrences of
+    // EVERY gram → the whole corpus reads as duplicated spans; the first
+    // run excised 99.4% of it and paid a 419 s gram-table straggler).
+    // 40 chars ≈ 8 words keeps random word-soup unique (30⁸ ≫ corpus
+    // positions) while still excising the 10-word boilerplate phrases
+    // (~55 chars — a 40-char window fits inside) and exact-dup docs.
+    // hashShuffle = true is the documented 100 TB variant (8-byte gram
+    // hashes shuffled instead of 40-char strings; the declared q100 keeps
+    // the exact-string twin for its oracle) — the string-keyed composed
+    // run paid 1648 s / 117 GB spill / a 692 s sort straggler here.
     val clean = stage("excise") {
-      val ex = graft.operators.SubstringDedup.excise(docs, "doc_id", "text", k = 20)
+      val ex = graft.operators.SubstringDedup.excise(docs, "doc_id", "text",
+        k = 40, hashShuffle = true)
       val c = docs.drop("text", "n_chars")
         .join(ex.filter(length(col("clean_text")) > 0)
           .select(col("doc_id"), col("clean_text").as("text")), "doc_id")
@@ -188,9 +200,10 @@ object PipelineRehearsal {
       println(s"""{"stage_detail":"gates_funnel",""" +
         funnel.toSeq.sortBy(_._1).map { case (k, v) => s""""$k":$v""" }
           .mkString(",") + "}")
+      // n_chars rides along: the mixing stage's classifier features need it
       val k = all.filter(col("verdict") === "kept")
         .select(col("doc_id"), col("source"), col("lang"), col("text"),
-          col("n_pieces"))
+          col("n_chars"), col("n_pieces"))
         .localCheckpoint(true)
       (k, k.count())
     }
