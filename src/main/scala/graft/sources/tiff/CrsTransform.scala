@@ -21,6 +21,16 @@ package graft.sources.tiff
   *   - Geographic ↔ Lambert Conformal Conic 2SP (round 16): EPSG GN7-2
   *     method 9802 closed forms — the NAD83 California State Plane zones
   *     (EPSG:26941–26946, meters).
+  *   - Geographic ↔ Polar Stereographic (round 16): EPSG GN7-2 methods
+  *     9829 (variant B, standard parallel — the NSIDC sea-ice grids
+  *     EPSG:3413/3976 and Antarctic EPSG:3031) and 9810 (variant A, scale
+  *     at the pole — UPS, EPSG:5041/5042 and legacy 32661/32761), closed
+  *     forms, pinned against GN7-2's own published worked examples.
+  *   - Geographic ↔ Popular Visualisation Pseudo-Mercator (round 16):
+  *     EPSG method 1024, EPSG:3857 "Web Mercator" — spherical Mercator
+  *     arithmetic on the WGS84 semi-major axis applied to ELLIPSOIDAL
+  *     latitude (the method's defining quirk, and why it is neither
+  *     conformal nor equal-area). Every web-tile basemap ships in it.
   *
   * This exists for the resample=nearest zip (SURVEY §2A A5): the most common
   * real pairing in land-cover work is a geographic mask against a projected
@@ -234,6 +244,140 @@ object CrsTransform {
     }
   }
 
+  /** Polar Stereographic, variant B (EPSG method 9829): the projection is
+    * defined by its standard parallel `latTsDeg` (signed — its sign picks
+    * the aspect; every registered code's λ0 is the GN7-2 "longitude of
+    * origin"). Closed ellipsoidal forms; the south aspect folds into the
+    * north-aspect equations by Snyder's sign-reversal rule (Working Manual
+    * p. 161), which reproduces GN7-2's south-case E/N orientation exactly
+    * (pinned against GN7-2's own worked example in CrsTransformSpec).
+    */
+  final case class PolarStereoBParams(latTsDeg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double, ell: Ellipsoid)
+    extends Proj {
+    require(math.abs(latTsDeg) > 0.0, "variant B needs a signed standard parallel")
+    private val north = latTsDeg > 0
+    /** ρ = rhoFactor·t(φ); a·m(φF)/t(φF) makes the parallel scale exactly
+      * 1 at φF (variant B's definition).
+      */
+    val rhoFactor: Double = {
+      val phiF = math.toRadians(math.abs(latTsDeg))
+      ell.a * mOf(ell, phiF) / tPolar(ell, phiF)
+    }
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) =
+      polarFwd(ell, north, rhoFactor, lon0Deg, falseEasting, falseNorthing,
+        lonDeg, latDeg)
+    def inv(easting: Double, northing: Double): (Double, Double) =
+      polarInv(ell, north, rhoFactor, lon0Deg, falseEasting, falseNorthing,
+        easting, northing)
+  }
+
+  /** Polar Stereographic, variant A (EPSG method 9810): defined by the
+    * scale factor `k0` AT the pole — the UPS parameterization. Same
+    * closed forms as variant B with ρ = 2·a·k0·t / √((1+e)^(1+e)(1−e)^(1−e))
+    * (GN7-2's variant-A radius).
+    */
+  final case class PolarStereoAParams(north: Boolean, k0: Double,
+      lon0Deg: Double, falseEasting: Double, falseNorthing: Double,
+      ell: Ellipsoid)
+    extends Proj {
+    val rhoFactor: Double =
+      2.0 * ell.a * k0 / math.sqrt(
+        math.pow(1.0 + ell.e, 1.0 + ell.e) * math.pow(1.0 - ell.e, 1.0 - ell.e))
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) =
+      polarFwd(ell, north, rhoFactor, lon0Deg, falseEasting, falseNorthing,
+        lonDeg, latDeg)
+    def inv(easting: Double, northing: Double): (Double, Double) =
+      polarInv(ell, north, rhoFactor, lon0Deg, falseEasting, falseNorthing,
+        easting, northing)
+  }
+
+  /** Conformal colatitude tangent in the NORTH-folded frame (GN7-2 /
+    * Snyder 15-9): t = tan(π/4 − φ/2)·[(1+e·sinφ)/(1−e·sinφ)]^(e/2).
+    * t(π/2) = 0 (the pole), t grows without bound toward the OPPOSITE
+    * pole — hence [[MinPolarFoldedLatDeg]].
+    */
+  @inline private def tPolar(ell: Ellipsoid, phi: Double): Double = {
+    val s = math.sin(phi)
+    math.tan(math.Pi / 4.0 - phi / 2.0) *
+      math.pow((1.0 + ell.e * s) / (1.0 - ell.e * s), ell.e / 2.0)
+  }
+
+  /** Hard folded-latitude bound for polar stereographic forward legs: the
+    * closed forms are exact (no series truncation), but ρ diverges toward
+    * the opposite pole; beyond 60° into the opposite hemisphere ρ exceeds
+    * ~25,000 km — far outside any published polar grid's extent — so a
+    * point there signals a mis-declared CRS and fails loudly rather than
+    * sampling a wildly-distorted position.
+    */
+  val MinPolarFoldedLatDeg: Double = -60.0
+
+  private def polarFwd(ell: Ellipsoid, north: Boolean, rhoFactor: Double,
+      lon0Deg: Double, fe: Double, fn: Double,
+      lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val s = if (north) 1.0 else -1.0
+    val phiFold = s * math.toRadians(latDeg)
+    require(math.toDegrees(phiFold) > MinPolarFoldedLatDeg,
+      f"polar stereographic (${if (north) "north" else "south"} aspect): " +
+        f"latitude $latDeg%.4f° is more than ${-MinPolarFoldedLatDeg}%.0f° " +
+        "into the opposite hemisphere — outside any published polar grid; " +
+        "this raster pairing cannot be transformed reliably")
+    val rho = rhoFactor * tPolar(ell, phiFold)
+    val theta = math.toRadians(lonDeg - lon0Deg)
+    (fe + rho * math.sin(theta), fn - s * rho * math.cos(theta))
+  }
+
+  private def polarInv(ell: Ellipsoid, north: Boolean, rhoFactor: Double,
+      lon0Deg: Double, fe: Double, fn: Double,
+      easting: Double, northing: Double): (Double, Double) = {
+    val s = if (north) 1.0 else -1.0
+    val dx = easting - fe
+    val dy = northing - fn
+    val tP = math.hypot(dx, dy) / rhoFactor
+    // at the pole atan2(0, 0) = 0 — the conventional λ = λ0 there
+    val lon = lon0Deg + math.toDegrees(math.atan2(dx, -s * dy))
+    // conformal→geodetic by GN7-2's fixed-point iteration (same shape as
+    // the LCC leg); seeded at the conformal sphere value
+    var phi = math.Pi / 2.0 - 2.0 * math.atan(tP)
+    var i = 0
+    while (i < 8) {
+      val sn = math.sin(phi)
+      phi = math.Pi / 2.0 - 2.0 * math.atan(
+        tP * math.pow((1.0 - ell.e * sn) / (1.0 + ell.e * sn), ell.e / 2.0))
+      i += 1
+    }
+    (lon, s * math.toDegrees(phi))
+  }
+
+  /** Popular Visualisation Pseudo-Mercator (EPSG method 1024; EPSG:3857).
+    * x = a·λ, y = a·ln(tan(π/4 + φ/2)) with ELLIPSOIDAL φ on the sphere of
+    * radius a — the method's published definition (and why a 1024 grid is
+    * NOT the ellipsoidal Mercator 9804: they differ by ~20 km at mid
+    * latitudes, pinned in CrsTransformSpec). The inverse is analytic, so
+    * round-trips close to machine precision with no iteration.
+    */
+  final case class WebMercParams(ell: Ellipsoid = Wgs84) extends Proj {
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      require(math.abs(latDeg) <= MaxWebMercatorLatDeg,
+        f"EPSG:3857 (Pseudo-Mercator): latitude $latDeg%.4f° is beyond the " +
+          f"±$MaxWebMercatorLatDeg%.2f° published extent of the projection " +
+          "(y diverges at the poles); this raster pairing cannot be " +
+          "transformed reliably")
+      val phi = math.toRadians(latDeg)
+      (ell.a * math.toRadians(lonDeg),
+        ell.a * math.log(math.tan(math.Pi / 4.0 + phi / 2.0)))
+    }
+    def inv(easting: Double, northing: Double): (Double, Double) =
+      (math.toDegrees(easting / ell.a),
+        math.toDegrees(2.0 * math.atan(math.exp(northing / ell.a)) - math.Pi / 2.0))
+  }
+
+  /** The published square Web-Mercator extent is |φ| ≤ 2·atan(e^π) − π/2
+    * ≈ 85.051129° (where |y| = a·π); the guard sits just above it so grids
+    * at exactly the standard extent pass.
+    */
+  val MaxWebMercatorLatDeg: Double = 85.06
+
   /** UTM zone parameters: EPSG:326zz/327zz (WGS84 north/south) and
     * EPSG:269zz (NAD83 north, zones 1–23 — the published range).
     */
@@ -274,9 +418,36 @@ object CrsTransform {
     case _ => None
   }
 
-  /** Every supported projected CRS: UTM zones, then the conic registry. */
+  /** Polar + web registry (round 16): published EPSG parameter sets, all
+    * WGS84 datum.
+    *   - 3413  WGS 84 / NSIDC Sea Ice Polar Stereographic North
+    *     (variant B: standard parallel 70°N, λ0 −45°)
+    *   - 3976  WGS 84 / NSIDC Sea Ice Polar Stereographic South
+    *     (variant B: standard parallel 70°S, λ0 0°)
+    *   - 3031  WGS 84 / Antarctic Polar Stereographic
+    *     (variant B: standard parallel 71°S, λ0 0°)
+    *   - 5041/5042  WGS 84 / UPS North/South (E,N) — variant A, k0 0.994
+    *     at the pole, FE = FN = 2 000 000 m; 32661/32761 are the legacy
+    *     codes for the same grids
+    *   - 3857  WGS 84 / Pseudo-Mercator (method 1024)
+    */
+  def polarWebParams(epsg: Int): Option[Proj] = epsg match {
+    case 3413 => Some(PolarStereoBParams(70.0, -45.0, 0.0, 0.0, Wgs84))
+    case 3976 => Some(PolarStereoBParams(-70.0, 0.0, 0.0, 0.0, Wgs84))
+    case 3031 => Some(PolarStereoBParams(-71.0, 0.0, 0.0, 0.0, Wgs84))
+    case 5041 | 32661 =>
+      Some(PolarStereoAParams(north = true, 0.994, 0.0, 2e6, 2e6, Wgs84))
+    case 5042 | 32761 =>
+      Some(PolarStereoAParams(north = false, 0.994, 0.0, 2e6, 2e6, Wgs84))
+    case 3857 => Some(WebMercParams())
+    case _ => None
+  }
+
+  /** Every supported projected CRS: UTM zones, the conic registry, then
+    * the polar/web registry.
+    */
   def projParams(epsg: Int): Option[Proj] =
-    utmParams(epsg).orElse(conicParams(epsg))
+    utmParams(epsg).orElse(conicParams(epsg)).orElse(polarWebParams(epsg))
 
   /** Geographic (lon, lat degrees) → projected (easting, northing meters). */
   def forward(p: TmParams, lonDeg: Double, latDeg: Double): (Double, Double) = {

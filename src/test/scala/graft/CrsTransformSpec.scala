@@ -117,7 +117,9 @@ class CrsTransformSpec extends AnyFunSuite {
     assert(CrsTransform.between(4326, 32633).isDefined)
     assert(CrsTransform.between(32733, 4326).isDefined)
     assert(CrsTransform.between(32633, 32634).isDefined) // zone-to-zone composes
-    assert(CrsTransform.between(4326, 3857).isEmpty) // web mercator: unsupported
+    assert(CrsTransform.between(4326, 3857).isDefined) // web mercator (round 16)
+    assert(CrsTransform.between(4326, 3413).isDefined) // NSIDC north (round 16)
+    assert(CrsTransform.between(4326, 3035).isEmpty) // ETRS89 LAEA: unsupported
     assert(CrsTransform.between(4267, 32633).isEmpty) // NAD27 datum: unsupported
     // 4326 -> UTM matches forward(); UTM -> 4326 matches inverse()
     val f = CrsTransform.between(4326, 32633).get
@@ -400,7 +402,11 @@ class CrsTransformSpec extends AnyFunSuite {
     assert(CrsTransform.between(4326, 5070, datumBridge = true).isDefined)
     assert(CrsTransform.between(26915, 32615, datumBridge = true).isDefined)
     // the opt-in does NOT open unsupported pairs (no laundering through it)
-    assert(CrsTransform.between(4326, 3857, datumBridge = true).isEmpty)
+    assert(CrsTransform.between(4326, 3035, datumBridge = true).isEmpty)
+    // ... and the WGS84 polar/web family bridges to NAD83 like any other
+    // same-registry projection (shared geographic leg + EPSG:1188)
+    assert(CrsTransform.between(4269, 3413, datumBridge = true).isDefined)
+    assert(CrsTransform.between(4269, 3413).isEmpty)
     assert(CrsTransform.between(4267, 4326, datumBridge = true).isEmpty, "NAD27 never bridges")
     assert(!CrsTransform.bridgeable(CrsTransform.Wgs84, CrsTransform.Wgs84))
     assert(CrsTransform.bridgeable(CrsTransform.Wgs84, CrsTransform.Grs80))
@@ -458,6 +464,193 @@ class CrsTransformSpec extends AnyFunSuite {
     assert(CrsTransform.zipTransform(utm, geo).isDefined)
     assert(CrsTransform.zipTransform(geo, geo).isEmpty) // same CRS: affine path
     assert(CrsTransform.zipTransform(geo, meta(None, None)).isEmpty) // undeclared
-    assert(CrsTransform.zipTransform(geo, meta(Some(3857), Some(1))).isEmpty)
+    assert(CrsTransform.zipTransform(geo, meta(Some(3857), Some(1))).isDefined)
+    assert(CrsTransform.zipTransform(geo, meta(Some(3035), Some(1))).isEmpty)
+  }
+
+  // ---- round 16: polar stereographic (9829/9810) + web mercator (1024) ----
+  // The pin strategy: GN7-2's OWN published worked examples (independent
+  // external vectors, remembered digits re-verified numerically before
+  // being pinned), plus the same theorem suite the conics use — parallel
+  // scale 1 at the standard parallel, conformality, the geometric
+  // stereographic construction at e → 0, and machine-precision round-trips.
+
+  private val ps3413 = CrsTransform.polarWebParams(3413).get
+    .asInstanceOf[CrsTransform.PolarStereoBParams]
+  private val ps3031 = CrsTransform.polarWebParams(3031).get
+    .asInstanceOf[CrsTransform.PolarStereoBParams]
+  private val ups5041 = CrsTransform.polarWebParams(5041).get
+    .asInstanceOf[CrsTransform.PolarStereoAParams]
+  private val web = CrsTransform.polarWebParams(3857).get
+    .asInstanceOf[CrsTransform.WebMercParams]
+
+  test("polar/web registry: published parameter sets, nothing else") {
+    assert(ps3413.latTsDeg === 70.0 && ps3413.lon0Deg === -45.0 &&
+      ps3413.falseEasting === 0.0 && (ps3413.ell eq CrsTransform.Wgs84))
+    assert(ps3031.latTsDeg === -71.0 && ps3031.lon0Deg === 0.0)
+    assert(CrsTransform.polarWebParams(3976).get
+      .asInstanceOf[CrsTransform.PolarStereoBParams].latTsDeg === -70.0)
+    assert(ups5041.north && ups5041.k0 === 0.994 &&
+      ups5041.falseEasting === 2e6 && ups5041.falseNorthing === 2e6)
+    // legacy UPS codes alias the 5041/5042 grids
+    assert(CrsTransform.polarWebParams(32661).get === ups5041)
+    assert(!CrsTransform.polarWebParams(5042).get
+      .asInstanceOf[CrsTransform.PolarStereoAParams].north)
+    assert(CrsTransform.polarWebParams(32761).get ===
+      CrsTransform.polarWebParams(5042).get)
+    // registry is closed: neighbors resolve to nothing
+    assert(CrsTransform.polarWebParams(3414).isEmpty)
+    assert(CrsTransform.polarWebParams(3858).isEmpty)
+    assert(CrsTransform.polarWebParams(32633).isEmpty)
+    // projParams unifies all three registries
+    assert(CrsTransform.projParams(3413).isDefined)
+    assert(CrsTransform.projParams(3857).isDefined)
+  }
+
+  test("polar stereographic variant B: GN7-2's published worked example") {
+    // GN7-2 method 9829 example (Australian Antarctic Polar Stereographic
+    // parameter set): φF = 71°S, λ0 = 70°E, FE = FN = 6 000 000 m;
+    // φ = 75°S, λ = 120°E → E = 7 255 380.79 m, N = 7 053 389.56 m
+    val p = CrsTransform.PolarStereoBParams(-71.0, 70.0, 6e6, 6e6,
+      CrsTransform.Wgs84)
+    val (e, n) = p.fwd(120.0, -75.0)
+    assert(math.abs(e - 7255380.79) < 0.01, s"E $e")
+    assert(math.abs(n - 7053389.56) < 0.01, s"N $n")
+    val (lon, lat) = p.inv(7255380.79, 7053389.56)
+    assert(math.abs(lon - 120.0) < 1e-7 && math.abs(lat - (-75.0)) < 1e-7)
+  }
+
+  test("polar stereographic variant A: GN7-2's published worked example (UPS shape)") {
+    // GN7-2 method 9810 example: k0 = 0.994 at the north pole, λ0 = 0,
+    // FE = FN = 2 000 000 m; φ = 73°N, λ = 44°E →
+    // E = 3 320 416.75 m, N = 632 668.43 m
+    val (e, n) = ups5041.fwd(44.0, 73.0)
+    assert(math.abs(e - 3320416.75) < 0.01, s"E $e")
+    assert(math.abs(n - 632668.43) < 0.01, s"N $n")
+    val (lon, lat) = ups5041.inv(3320416.75, 632668.43)
+    assert(math.abs(lon - 44.0) < 1e-7 && math.abs(lat - 73.0) < 1e-7)
+  }
+
+  test("polar stereographic: pole maps to false origin; λ is the ray azimuth") {
+    // variant B north: t(90°) = 0 exactly, so the pole IS the false origin
+    val (e0, n0) = ps3413.fwd(17.0, 90.0) // any λ at the pole
+    assert(math.abs(e0) < 1e-9 && math.abs(n0) < 1e-9)
+    // meridians are straight rays: along λ, the azimuth atan2(dx, −dy)
+    // equals λ − λ0 for every ρ (north aspect)
+    for (lon <- Seq(-170.0, -45.0, 0.0, 63.5); lat <- Seq(65.0, 75.0, 88.0)) {
+      val (e, n) = ps3413.fwd(lon, lat)
+      val az = math.toDegrees(math.atan2(e, -n))
+      val want = ((lon + 45.0) % 360.0 + 540.0) % 360.0 - 180.0
+      assert(math.abs(az - want) < 1e-9, s"az($lon, $lat) = $az want $want")
+    }
+    // south aspect (3031): ray azimuth is atan2(dx, dy) = λ − λ0
+    for (lon <- Seq(-120.0, 0.0, 77.0); lat <- Seq(-66.0, -80.0)) {
+      val (e, n) = ps3031.fwd(lon, lat)
+      assert(math.abs(math.toDegrees(math.atan2(e, n)) - lon) < 1e-9)
+    }
+  }
+
+  test("polar stereographic: parallel scale is exactly 1 on the standard parallel") {
+    for (lon <- Seq(-90.0, -45.0, 30.0)) {
+      val (dEl, dNl, _, _) = jacobian(ps3413, lon, 70.0)
+      val (_, nu) = radiiM(CrsTransform.Wgs84, 70.0)
+      val k = math.hypot(dEl, dNl) / (nu * math.cos(math.toRadians(70.0)))
+      assert(math.abs(k - 1.0) < 1e-7, s"k at lon $lon = $k")
+    }
+    // variant A: scale at the POLE is k0 — evaluate just off the pole
+    // where the numeric derivative is stable
+    val (dEl, dNl, _, _) = jacobian(ups5041, 0.0, 89.99)
+    val (_, nu) = radiiM(CrsTransform.Wgs84, 89.99)
+    val k = math.hypot(dEl, dNl) / (nu * math.cos(math.toRadians(89.99)))
+    assert(math.abs(k - 0.994) < 1e-6, s"k near pole = $k")
+  }
+
+  test("polar stereographic: conformality (isotropic scale, orthogonal axes)") {
+    for (p <- Seq[CrsTransform.Proj](ps3413, ps3031, ups5041);
+         lon <- Seq(-60.0, 10.0); latAbs <- Seq(62.0, 78.0, 86.0)) {
+      val lat = p match {
+        case b: CrsTransform.PolarStereoBParams if b.latTsDeg < 0 => -latAbs
+        case a: CrsTransform.PolarStereoAParams if !a.north => -latAbs
+        case _ => latAbs
+      }
+      val (dEl, dNl, dEp, dNp) = jacobian(p, lon, lat)
+      val (mM, nu) = radiiM(CrsTransform.Wgs84, lat)
+      val k = math.hypot(dEl, dNl) / (nu * math.cos(math.toRadians(lat)))
+      val h = math.hypot(dEp, dNp) / mM
+      assert(math.abs(h / k - 1.0) < 1e-6, s"($lon, $lat): h $h vs k $k")
+      val cosAngle = (dEl * dEp + dNl * dNp) /
+        (math.hypot(dEl, dNl) * math.hypot(dEp, dNp))
+      assert(math.abs(cosAngle) < 1e-6, s"($lon, $lat): not orthogonal")
+    }
+  }
+
+  test("polar stereographic: e → 0 reduces to the geometric projection from the antipodal pole") {
+    // On a sphere, stereographic projection from the south pole onto the
+    // north tangent plane is the GEOMETRIC map ρ_geom = 2R·tan(π/4 − φ/2);
+    // variant B rescales it by a constant. So ρ/ρ_geom must be the SAME
+    // constant at every latitude, and ρ(φF) must equal R·cos(φF) (parallel
+    // scale 1 there).
+    val sph = CrsTransform.Ellipsoid("near-sphere", 6370000.0, 1e-12)
+    val p = CrsTransform.PolarStereoBParams(70.0, 0.0, 0.0, 0.0, sph)
+    def rho(lat: Double): Double = { val (e, n) = p.fwd(0.0, lat); math.hypot(e, n) }
+    def rhoGeom(lat: Double): Double =
+      2.0 * sph.a * math.tan(math.Pi / 4.0 - math.toRadians(lat) / 2.0)
+    val c0 = rho(70.0) / rhoGeom(70.0)
+    for (lat <- Seq(45.0, 60.0, 80.0, 89.0))
+      assert(math.abs(rho(lat) / rhoGeom(lat) - c0) < 1e-9, s"lat $lat")
+    assert(math.abs(rho(70.0) - sph.a * math.cos(math.toRadians(70.0))) < 1e-3)
+  }
+
+  test("polar stereographic: round-trips and the folded-latitude guard") {
+    check(Prop.forAll(Gen.choose(-180.0, 180.0), Gen.choose(-55.0, 90.0)) {
+      (lon, lat) =>
+        val (e, n) = ps3413.fwd(lon, lat)
+        val (lon2, lat2) = ps3413.inv(e, n)
+        val dLon = math.abs(((lon2 - lon) % 360.0 + 540.0) % 360.0 - 180.0)
+        (math.abs(lat - 90.0) < 1e-9 || dLon < 1e-9) && math.abs(lat2 - lat) < 1e-9
+    })
+    check(Prop.forAll(Gen.choose(-180.0, 180.0), Gen.choose(-90.0, 55.0)) {
+      (lon, lat) =>
+        val (e, n) = ps3031.fwd(lon, lat)
+        val (lon2, lat2) = ps3031.inv(e, n)
+        val dLon = math.abs(((lon2 - lon) % 360.0 + 540.0) % 360.0 - 180.0)
+        (math.abs(lat + 90.0) < 1e-9 || dLon < 1e-9) && math.abs(lat2 - lat) < 1e-9
+    })
+    // beyond 60° into the opposite hemisphere: loud typed failure
+    val eG = intercept[IllegalArgumentException] { ps3413.fwd(0.0, -61.0) }
+    assert(eG.getMessage.contains("opposite hemisphere"))
+    val eS = intercept[IllegalArgumentException] { ps3031.fwd(0.0, 61.0) }
+    assert(eS.getMessage.contains("opposite hemisphere"))
+    ps3413.fwd(0.0, -59.0) // just inside: fine
+  }
+
+  test("web mercator: analytic inverse, the square-extent identity, and the 1024-vs-9804 gap") {
+    // round-trips close to machine precision (no iteration anywhere)
+    check(Prop.forAll(Gen.choose(-180.0, 180.0), Gen.choose(-85.0, 85.0)) {
+      (lon, lat) =>
+        val (e, n) = web.fwd(lon, lat)
+        val (lon2, lat2) = web.inv(e, n)
+        math.abs(lon2 - lon) < 1e-12 && math.abs(lat2 - lat) < 1e-12
+    })
+    // the square extent: at φ* = 2·atan(e^π) − π/2 the ordinate equals
+    // a·π exactly — an identity that exercises ln∘tan against exp∘atan
+    val latStar = math.toDegrees(2.0 * math.atan(math.exp(math.Pi)) - math.Pi / 2.0)
+    val (eStar, nStar) = web.fwd(180.0, latStar)
+    assert(math.abs(eStar - 6378137.0 * math.Pi) < 1e-6)
+    assert(math.abs(nStar - 6378137.0 * math.Pi) < 1e-6)
+    // method 1024 is the SPHERICAL formula on ellipsoidal latitude: at 40°N
+    // it must sit tens of km north of the ellipsoidal Mercator (9804) —
+    // pins that we implemented the web-tile method, not classic Mercator
+    val el = CrsTransform.Wgs84
+    val phi = math.toRadians(40.0)
+    val s = math.sin(phi)
+    val y9804 = el.a * math.log(math.tan(math.Pi / 4.0 + phi / 2.0) *
+      math.pow((1.0 - el.e * s) / (1.0 + el.e * s), el.e / 2.0))
+    val (_, y1024) = web.fwd(0.0, 40.0)
+    val gap = y1024 - y9804
+    assert(gap > 10000.0 && gap < 50000.0, s"1024 − 9804 gap at 40° = $gap m")
+    // latitude guard: beyond the published extent fails loudly
+    val eLat = intercept[IllegalArgumentException] { web.fwd(0.0, 85.2) }
+    assert(eLat.getMessage.contains("85.06"))
   }
 }

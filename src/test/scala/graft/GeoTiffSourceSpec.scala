@@ -1108,18 +1108,19 @@ class GeoTiffSourceSpec extends SparkSpec {
     }
     assert(eMode.getMessage.contains("only 'nearest'"))
     // resample does NOT bypass the CRS gate for pairs WITHOUT a supported
-    // transform (round 15: 4326 ↔ UTM and UTM ↔ UTM now transform; web
-    // mercator has no transform here): still rejects on EPSG, and the
-    // error now teaches which pairs ARE supported
+    // transform (round 15: 4326 ↔ UTM and UTM ↔ UTM now transform; round
+    // 16 added web mercator and the polar grids, so the canonical
+    // UNSUPPORTED code here is now ETRS89 LAEA): still rejects on EPSG,
+    // and the error teaches which pairs ARE supported
     val z33 = TiffFixtures.writeBigTiff(s"$tmp/rs2_z33.tif", 10, 8, v7,
       500000.0, 4649776.0, 30.0, Some("-9999"), geoKeys = Seq(1024 -> 1, 3072 -> 32633))
-    val merc = TiffFixtures.writeBigTiff(s"$tmp/rs2_merc.tif", 20, 16,
-      (c, r) => 1.0, 499900.0, 4649876.0, 30.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 3857))
+    val laea = TiffFixtures.writeBigTiff(s"$tmp/rs2_laea.tif", 20, 16,
+      (c, r) => 1.0, 499900.0, 4649876.0, 30.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 3035))
     val eCrs = intercept[Exception] {
-      Raster.raster2df(spark, Seq(z33, merc), colNames = Seq("m", "b"),
+      Raster.raster2df(spark, Seq(z33, laea), colNames = Seq("m", "b"),
         resample = "nearest").collect()
     }
-    assert(eCrs.getMessage.contains("EPSG:32633") && eCrs.getMessage.contains("EPSG:3857") &&
+    assert(eCrs.getMessage.contains("EPSG:32633") && eCrs.getMessage.contains("EPSG:3035") &&
       eCrs.getMessage.contains("supported resample transforms"))
     // adjacent UTM zones DO transform now — this tiny zone-34 raster is
     // nowhere near the zone-33 mask once actually reprojected, so the
@@ -1299,6 +1300,76 @@ class GeoTiffSourceSpec extends SparkSpec {
     }
   }
 
+  test("polar + web mercator cross-CRS resample (round 16): 4326 masks sample 3413 and 3857 secondaries") {
+    import graft.sources.tiff.CrsTransform
+    def g(c: Int, r: Int): Double = r * 1000.0 + c
+    // Arctic mask: 4326, 10×8 @ 0.5°, origin (−50°, 78°N) — the sea-ice
+    // shape: a geographic AOI over an NSIDC EPSG:3413 product. Centroid
+    // images span x [−142.2k, −5.9k], y [−1716.6k, −1327.4k]
+    val psMask = TiffFixtures.writeBigTiff(s"$tmp/ps_mask.tif", 10, 8, v7,
+      -50.0, 78.0, 0.5, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val psSec = TiffFixtures.writeBigTiff(s"$tmp/ps_sec.tif", 45, 110, g,
+      -160000.0, -1300000.0, 4000.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 3413))
+    val ps = CrsTransform.polarWebParams(3413).get
+    val psRows = Raster.raster2df(spark, Seq(psMask, psSec), colNames = Seq("m", "b"),
+      resample = "nearest").collect()
+    val expectValid = (0 until 8).flatMap(r => (0 until 10).map(c => (c, r)))
+      .count { case (c, r) => v7(c, r) != -9999.0 }
+    assert(psRows.length == expectValid)
+    // row check through the independently pinned polar-stereo forward
+    psRows.foreach { row =>
+      val (lon, lat, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (e, n) = ps.fwd(lon, lat)
+      val cc = math.floor((e - (-160000.0)) / 4000.0).toInt
+      val rr = math.floor((-1300000.0 - n) / 4000.0).toInt
+      assert(b.toDouble == g(cc, rr),
+        s"($lon, $lat) -> 3413 ($e, $n) cell ($cc, $rr): got $b want ${g(cc, rr)}")
+    }
+    // windowed == single-window through the polar transform
+    val whole = Raster.raster2df(spark, Seq(psMask, psSec), colNames = Seq("m", "b"),
+      resample = "nearest").orderBy("lat", "lon").collect().map(_.toSeq)
+    val windowed = Raster.raster2df(spark, Seq(psMask, psSec), colNames = Seq("m", "b"),
+      resample = "nearest", maxBlockSize = 3).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(windowed.sameElements(whole))
+    // web mercator secondary under the mid-latitude mask (the basemap-tile
+    // shape); same row-check through the pinned method-1024 forward
+    val wmMask = TiffFixtures.writeBigTiff(s"$tmp/wm_mask.tif", 10, 8, v7,
+      14.0, 48.5, 0.5, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val wmSec = TiffFixtures.writeBigTiff(s"$tmp/wm_sec.tif", 120, 145, g,
+      1550000.0, 6200000.0, 5000.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 3857))
+    val wm = CrsTransform.polarWebParams(3857).get
+    val wmRows = Raster.raster2df(spark, Seq(wmMask, wmSec), colNames = Seq("m", "b"),
+      resample = "nearest").collect()
+    assert(wmRows.length == expectValid)
+    wmRows.foreach { row =>
+      val (lon, lat, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (e, n) = wm.fwd(lon, lat)
+      val cc = math.floor((e - 1550000.0) / 5000.0).toInt
+      val rr = math.floor((6200000.0 - n) / 5000.0).toInt
+      assert(b.toDouble == g(cc, rr),
+        s"($lon, $lat) -> 3857 ($e, $n) cell ($cc, $rr): got $b want ${g(cc, rr)}")
+    }
+    // the reverse direction: a 3413 mask samples a 4326 secondary via the
+    // pinned inverse; output keeps projected x/y naming
+    def g2(c: Int, r: Int): Double = r * 100.0 + c
+    val psM2 = TiffFixtures.writeBigTiff(s"$tmp/ps_mask2.tif", 10, 8, v7,
+      -100000.0, -1400000.0, 4000.0, Some("-9999"),
+      geoKeys = Seq(1024 -> 1, 3072 -> 3413))
+    val geoSec2 = TiffFixtures.writeBigTiff(s"$tmp/ps_geosec.tif", 60, 30, g2,
+      -52.0, 79.0, 0.1, None, geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val rev = Raster.raster2df(spark, Seq(psM2, geoSec2), colNames = Seq("m", "b"),
+      resample = "nearest")
+    assert(rev.columns.take(2).toSeq == Seq("x", "y"))
+    rev.collect().foreach { row =>
+      val (x, y, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (lon, lat) = ps.inv(x, y)
+      val cc = math.floor((lon - (-52.0)) / 0.1).toInt
+      val rr = math.floor((79.0 - lat) / 0.1).toInt
+      assert(b.toDouble == g2(cc, rr),
+        s"($x, $y) -> geo ($lon, $lat) cell ($cc, $rr): got $b want ${g2(cc, rr)}")
+    }
+  }
+
   test("datumBridge=epsg1188 (round 16): opt-in NAD83<->WGS84 zip, default stays rejected") {
     import graft.sources.tiff.CrsTransform
     // a WGS84 mask over the same NAD83 Albers secondary as above
@@ -1325,17 +1396,18 @@ class GeoTiffSourceSpec extends SparkSpec {
       val rr = math.floor((2700000.0 - n) / 4000.0).toInt
       assert(b.toDouble == g(cc, rr), s"bridged ($lon, $lat) cell ($cc, $rr): got $b")
     }
-    // the option does NOT open non-bridgeable pairs: WGS84 x web mercator
-    // still rejects even with the bridge requested
-    val merc = TiffFixtures.writeBigTiff(s"$tmp/br_merc.tif", 20, 16,
+    // the option does NOT open unsupported pairs: an ETRS89 LAEA secondary
+    // still rejects even with the bridge requested (round 16 moved this pin
+    // off 3857, which is now a supported WGS84 projection)
+    val laeaSec = TiffFixtures.writeBigTiff(s"$tmp/br_laea.tif", 20, 16,
       (c, r) => 1.0, -11000000.0, 5700000.0, 30.0, None,
-      geoKeys = Seq(1024 -> 1, 3072 -> 3857))
-    val eMerc = intercept[Exception] {
-      Raster.raster2df(spark, Seq(mask, merc), colNames = Seq("m", "b"),
+      geoKeys = Seq(1024 -> 1, 3072 -> 3035))
+    val eLaea = intercept[Exception] {
+      Raster.raster2df(spark, Seq(mask, laeaSec), colNames = Seq("m", "b"),
         resample = "nearest", datumBridge = "epsg1188").collect()
     }
-    assert(eMerc.getMessage.contains("EPSG:3857") ||
-      eMerc.getMessage.contains("model type"))
+    assert(eLaea.getMessage.contains("EPSG:3035") ||
+      eLaea.getMessage.contains("model type"))
     // an unknown bridge value is rejected at the option boundary, naming
     // the one supported bridge
     val eVal = intercept[Exception] {
