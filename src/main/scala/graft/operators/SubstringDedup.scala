@@ -267,15 +267,29 @@ object SubstringDedup {
       minDocs: Int = 2,
       hashShuffle: Boolean = false,
       singlePass: Option[Boolean] = None,
-      maxGramFreq: Int = 0): DataFrame = {
+      maxGramFreq: Int = 0,
+      maxCoverage: Double = DefaultMaxCoverage): DataFrame = {
     // spans feed three branches (mid, lastSeg, hasSpan); materialize the
     // expensive gram-explode/window pipeline once — the span list is tiny
     // relative to the corpus. `base` is deliberately NOT cached: its three
     // references are column-pruned scans, the right trade at corpus scale.
     val spans = duplicatedSpans(docs, idCol, textCol, k, minDocs,
       hashShuffle, singlePass, maxGramFreq).localCheckpoint()
-    exciseSpans(docs, idCol, textCol, spans)
+    exciseSpans(docs, idCol, textCol, spans, maxCoverage)
   }
+
+  /** Saturation ceiling for the excise ACTION (round 16): the 1M-doc
+    * composed-pipeline rehearsal showed k = 20 saturating on a 30-word
+    * vocabulary — nearly EVERY text window recurred somewhere, the span
+    * set covered 99.4% of all corpus characters, and excision silently
+    * destroyed the corpus instead of deduplicating it (k = 40 restored the
+    * intended semantics). Spans covering more than this fraction of all
+    * characters are treated as evidence the gram width sits below the
+    * corpus's collision floor, and the action fails loudly instead.
+    * Corpora that are genuinely this duplicated (pure template dumps) opt
+    * in with `maxCoverage = 1.0`.
+    */
+  val DefaultMaxCoverage: Double = 0.95
 
   /** [[excise]] stitching over an ALREADY-COMPUTED span frame (doc_id,
     * span_start, span_end — [[duplicatedSpans]]'s shape): the production
@@ -288,8 +302,35 @@ object SubstringDedup {
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      spans: DataFrame): DataFrame = {
+      spans: DataFrame,
+      maxCoverage: Double = DefaultMaxCoverage): DataFrame = {
+    require(maxCoverage > 0.0 && maxCoverage <= 1.0,
+      s"maxCoverage must be in (0, 1], got $maxCoverage")
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // the saturation guard (see [[DefaultMaxCoverage]]): two tiny jobs —
+    // a sum over the (materialized, span-count-sized) span frame and one
+    // column-pruned length scan — before the action that cannot be undone.
+    // maxCoverage = 1.0 skips both (the explicit opt-in).
+    if (maxCoverage < 1.0) {
+      val spanChars = spans
+        .agg(coalesce(sum(col("span_end") - col("span_start") + 1), lit(0L)))
+        .head().getLong(0)
+      if (spanChars > 0) {
+        val totalChars = base
+          .agg(coalesce(sum(length(col("text")).cast("long")), lit(0L)))
+          .head().getLong(0)
+        val cov = spanChars.toDouble / math.max(1L, totalChars).toDouble
+        require(cov <= maxCoverage,
+          f"excise: duplicated spans cover ${cov * 100}%.1f%% of all corpus " +
+            f"characters (ceiling ${maxCoverage * 100}%.0f%%) — at this " +
+            "saturation the gram width is almost certainly below the " +
+            "corpus's collision floor (every window of text recurs " +
+            "somewhere), and excision would destroy the corpus rather than " +
+            "deduplicate it. Raise k (the 1M-doc composition rehearsal " +
+            "needed k = 40 where k = 20 saturated), or pass " +
+            "maxCoverage = 1.0 to excise deliberately")
+      }
+    }
     val w = Window.partitionBy(col("doc_id")).orderBy(col("span_start"))
     val mid = spans
       .withColumn("prev_end", lag(col("span_end"), 1, 0).over(w))

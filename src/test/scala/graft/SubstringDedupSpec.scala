@@ -285,4 +285,32 @@ class SubstringDedupSpec extends SparkSpec {
       k = 20, minDocs = 3)
     assert(strict.count() == 0)
   }
+
+  test("saturation guard (round 16): near-total span coverage fails loudly, opt-in excises") {
+    // the composed-rehearsal failure in miniature: every doc is drawn from
+    // the same tiny phrase pool, so at k = 20 essentially every window
+    // recurs in some other doc and spans cover ~100% of all characters
+    val pool = Seq(shared, "another repeated phrase shared across documents")
+    val saturated = (1 to 40).map { i =>
+      (i.toLong, pool(i % 2) + " " + pool((i + 1) % 2))
+    }.toDF("doc_id", "text")
+    val eSat = intercept[IllegalArgumentException] {
+      SubstringDedup.excise(saturated, "doc_id", "text").collect()
+    }
+    assert(eSat.getMessage.contains("collision floor") &&
+      eSat.getMessage.contains("maxCoverage = 1.0"), eSat.getMessage)
+    // the explicit opt-in performs the action (a genuinely template-heavy
+    // corpus CAN be excised deliberately) — and here removes everything
+    val optIn = SubstringDedup.excise(saturated, "doc_id", "text",
+      maxCoverage = 1.0)
+      .agg(sum(length(col("clean_text")))).as[Long].head()
+    assert(optIn == 0L, s"opt-in should excise the saturated corpus, kept $optIn chars")
+    // a healthy corpus (coverage ~54% in the unchanged/partial/total
+    // fixture above) never trips the default guard — pinned by the other
+    // excise tests running guard-enabled — and the threshold is validated
+    val eArg = intercept[IllegalArgumentException] {
+      SubstringDedup.excise(saturated, "doc_id", "text", maxCoverage = 0.0)
+    }
+    assert(eArg.getMessage.contains("(0, 1]"))
+  }
 }
