@@ -24,14 +24,23 @@ import java.util.zip.Inflater
   * compression 1 (none), 8/32946 (zlib DEFLATE), 5 (LZW, MSB-first with the
   * TIFF early-change rule), 32773 (PackBits RLE — legacy tiles), 50000
   * (ZSTD — GDAL's modern COG default, decoded via the zstd-jni Spark itself
-  * ships), 7 (new-style JPEG per TIFF TechNote 2 — abbreviated per-chunk
-  * streams merged with the shared JPEGTables tag and decoded by the JDK's
-  * JPEG reader; 8-bit imagery COGs), predictor 1 (none), 2 (horizontal
-  * differencing over integer samples) and 3 (floating-point byte
-  * differencing — the GDAL PREDICTOR=3 layout float DEM/biomass COGs ship
-  * with).
+  * ships), 34925 (LZMA — libtiff/GDAL's COMPRESS=LZMA writes each chunk as
+  * a complete .xz container stream; decoded via the org.tukaani.xz jar
+  * Spark itself ships, with the header-less legacy .lzma "alone" layout
+  * sniffed by the absence of the 6-byte xz magic), 7 (new-style JPEG per
+  * TIFF TechNote 2 — abbreviated per-chunk streams merged with the shared
+  * JPEGTables tag and decoded by the JDK's JPEG reader; 8-bit imagery
+  * COGs), predictor 1 (none), 2 (horizontal differencing over integer
+  * samples) and 3 (floating-point byte differencing — the GDAL PREDICTOR=3
+  * layout float DEM/biomass COGs ship with).
   */
 private[graft] object StripDecode {
+
+  /** LZMA decoder memory ceiling in KiB (256 MiB): presets 0–9 need at
+    * most a 64 MiB dictionary, so any chunk header demanding more is
+    * corrupt or hostile and fails typed instead of allocating.
+    */
+  private val LzmaMemLimitKiB: Int = 1 << 18
 
   /** Byte-size of a window/chunk buffer, computed in Long and gated at the
     * JVM array limit: a whole-image single-strip BigTIFF (rowsPerStrip
@@ -235,6 +244,27 @@ private[graft] object StripDecode {
             out, 0, expected, comp, 0, comp.length)
           require(n == expected,
             s"${meta.path}: $kind $chunkIdx ZSTD-decoded to $n bytes, expected $expected")
+        case 34925 => // LZMA — libtiff writes one .xz container stream per chunk
+          val isXz = comp.length >= 6 && (comp(0) & 0xff) == 0xfd &&
+            comp(1) == '7' && comp(2) == 'z' && comp(3) == 'X' &&
+            comp(4) == 'Z' && comp(5) == 0
+          val bis = new java.io.ByteArrayInputStream(comp)
+          // the memlimit (KiB) bounds the decoder's dictionary allocation —
+          // a corrupt header cannot demand gigabytes before failing; real
+          // presets top out at a 64 MiB dictionary
+          val in: java.io.InputStream =
+            if (isXz) new org.tukaani.xz.XZInputStream(bis, LzmaMemLimitKiB)
+            else new org.tukaani.xz.LZMAInputStream(bis, LzmaMemLimitKiB)
+          try {
+            var off = 0
+            var n = 0
+            while (off < expected &&
+                { n = in.read(out, off, expected - off); n > 0 }) off += n
+            require(off == expected && in.read() < 0,
+              s"${meta.path}: $kind $chunkIdx LZMA-decoded to " +
+                s"${if (off == expected) "more than " else ""}$off bytes, " +
+                s"expected exactly $expected")
+          } finally in.close()
         case 7 => // new-style JPEG (TIFF TechNote 2), decoded by the JDK's JPEG reader
           val stream: Array[Byte] =
             if (meta.jpegTables.isEmpty) comp

@@ -467,9 +467,10 @@ object TiffTags {
         val compression = shortOrLong(259, 1)
         require(compression == 1 || compression == 5 || compression == 7 ||
             compression == 8 || compression == 32946 || compression == 32773 ||
-            compression == 50000,
+            compression == 50000 || compression == 34925,
           s"$path: BigTIFF compression $compression unsupported " +
-            "(1=none, 5=LZW, 7=JPEG, 8/32946=DEFLATE, 32773=PackBits, 50000=ZSTD)")
+            "(1=none, 5=LZW, 7=JPEG, 8/32946=DEFLATE, 32773=PackBits, " +
+            "34925=LZMA, 50000=ZSTD)")
         // new-style JPEG (7, TIFF TechNote 2): 8-bit unsigned samples only
         // (the JDK JPEG decoder's domain), no predictor (meaningless over a
         // transform codec), chunky layout (GDAL writes JPEG chunky)

@@ -1500,6 +1500,40 @@ class GeoTiffSourceSpec extends SparkSpec {
     assert(at.nonEmpty && at.sameElements(bt))
   }
 
+  test("LZMA BigTIFF (round 16, stripped and tiled) == DEFLATE twin; alone-format sniffed") {
+    def vz(c: Int, r: Int): Double =
+      if ((c * 31 + r * 17) % 11 == 0) -1.0 else ((c * 7 + r * 3) % 250).toDouble
+    val deflS = TiffFixtures.writeBigTiff(s"$tmp/lz_defl.tif", 64, 48, vz,
+      0.0, 20.0, 0.25, Some("-1"), rowsPerStrip = 7, compression = 8,
+      dtype = TiffFixtures.U8, predictor = 2)
+    val lzmaS = TiffFixtures.writeBigTiff(s"$tmp/lz_lzma.tif", 64, 48, vz,
+      0.0, 20.0, 0.25, Some("-1"), rowsPerStrip = 7, compression = 34925,
+      dtype = TiffFixtures.U8, predictor = 2)
+    assert(graft.sources.tiff.TiffTags.read(lzmaS).compression == 34925)
+    val a = Raster.raster2df(spark, Seq(deflS)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val b = Raster.raster2df(spark, Seq(lzmaS)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.nonEmpty && a.sameElements(b))
+    // the legacy header-less .lzma "alone" chunk layout decodes through the
+    // format sniff to the identical table
+    val aloneS = TiffFixtures.writeBigTiff(s"$tmp/lz_alone.tif", 64, 48, vz,
+      0.0, 20.0, 0.25, Some("-1"), rowsPerStrip = 7, compression = 34925,
+      dtype = TiffFixtures.U8, predictor = 2, lzmaAlone = true)
+    val c = Raster.raster2df(spark, Seq(aloneS)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(a.sameElements(c))
+    // tiled (the GDAL COMPRESS=LZMA COG shape), f32 + predictor 3
+    def vf(c: Int, r: Int): Double =
+      if ((r + c) % 9 == 0) -9999.0 else math.sin(c * 0.37) * 100 + r
+    val deflT = TiffFixtures.writeBigTiffTiled(s"$tmp/lzt_defl.tif", 70, 50, vf,
+      0.0, 20.0, 0.25, Some("-9999"), tileWidth = 32, tileLength = 16,
+      compression = 8, predictor = 3)
+    val lzmaT = TiffFixtures.writeBigTiffTiled(s"$tmp/lzt_lzma.tif", 70, 50, vf,
+      0.0, 20.0, 0.25, Some("-9999"), tileWidth = 32, tileLength = 16,
+      compression = 34925, predictor = 3)
+    val at = Raster.raster2df(spark, Seq(deflT)).orderBy("lat", "lon").collect().map(_.toSeq)
+    val bt = Raster.raster2df(spark, Seq(lzmaT)).orderBy("lat", "lon").collect().map(_.toSeq)
+    assert(at.nonEmpty && at.sameElements(bt))
+  }
+
   // ---- JPEG-in-TIFF (compression 7, TIFF TechNote 2) ----
 
   test("tiled JPEG BigTIFF decodes; shared-JPEGTables twin == full-stream twin") {

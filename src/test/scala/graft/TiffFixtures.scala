@@ -344,7 +344,11 @@ object TiffFixtures {
       // when non-null (16 doubles, row-major 4x4), tag 34264
       // ModelTransformation is written INSTEAD of the
       // ModelPixelScale/ModelTiepoint pair
-      modelTransform: Array[Double] = null): String = {
+      modelTransform: Array[Double] = null,
+      // compression 34925 only: encode chunks in the header-less legacy
+      // .lzma "alone" layout instead of the .xz container libtiff writes —
+      // exercises the reader's format sniff
+      lzmaAlone: Boolean = false): String = {
     import java.nio.{ByteBuffer, ByteOrder}
     val order = if (bigEndian) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
     val (bps, sampleFormat) = dtype match {
@@ -354,7 +358,7 @@ object TiffFixtures {
     }
     require(predictor != 2 || dtype != F32, "predictor 2 requires integer samples")
     require(predictor != 3 || dtype == F32, "predictor 3 requires float samples")
-    require(Set(1, 5, 8, 32773, 50000).contains(compression),
+    require(Set(1, 5, 8, 32773, 34925, 50000).contains(compression),
       s"fixture compression $compression unsupported")
     require(modelTransform == null || modelTransform.length == 16,
       "modelTransform must be a 16-double row-major 4x4 matrix")
@@ -416,6 +420,7 @@ object TiffFixtures {
           } finally d.end()
         case 5 => lzwEncode(arr)
         case 32773 => packBitsEncode(arr)
+        case 34925 => lzmaEncode(arr, alone = lzmaAlone)
         case 50000 => com.github.luben.zstd.Zstd.compress(arr)
       }
     }
@@ -703,7 +708,7 @@ object TiffFixtures {
     }
     require(predictor != 2 || dtype != F32, "predictor 2 requires integer samples")
     require(predictor != 3 || dtype == F32, "predictor 3 requires float samples")
-    require(Set(1, 5, 7, 8, 32773, 50000).contains(compression),
+    require(Set(1, 5, 7, 8, 32773, 34925, 50000).contains(compression),
       s"fixture compression $compression unsupported")
     require(compression != 7 || (dtype == U8 && predictor == 1 && !planar),
       "JPEG fixture requires u8 chunky samples without a predictor")
@@ -771,6 +776,7 @@ object TiffFixtures {
         case 5 => lzwEncode(arr)
         case 7 => jpegEncode(arr, tileWidth, tileLength, chunkSpp)
         case 32773 => packBitsEncode(arr)
+        case 34925 => lzmaEncode(arr, alone = false)
         case 50000 => com.github.luben.zstd.Zstd.compress(arr)
       }
     }
@@ -874,6 +880,28 @@ object TiffFixtures {
     * pinned against the spec's own worked example in GeoTiffSourceSpec, so
     * the pair cannot be mutually-inverse-but-wrong.
     */
+  /** LZMA chunk payload for compression 34925: a complete .xz container
+    * stream per chunk (check NONE — the layout libtiff's COMPRESS=LZMA
+    * writes), or the legacy header-less .lzma "alone" stream when `alone`
+    * (exercises the reader's magic sniff). Encoded with the org.tukaani.xz
+    * jar from Spark's own classpath — a different codebase from nothing:
+    * the reader uses the same jar, but the container formats are
+    * public specs and the decoded bytes are asserted against DEFLATE
+    * twins, so an encode/decode-inverse-but-wrong pair cannot pass.
+    */
+  def lzmaEncode(data: Array[Byte], alone: Boolean): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val opts = new org.tukaani.xz.LZMA2Options(6)
+    if (alone) {
+      val out = new org.tukaani.xz.LZMAOutputStream(bos, opts, data.length.toLong)
+      out.write(data); out.close()
+    } else {
+      val out = new org.tukaani.xz.XZOutputStream(bos, opts, org.tukaani.xz.XZ.CHECK_NONE)
+      out.write(data); out.finish(); out.close()
+    }
+    bos.toByteArray
+  }
+
   def packBitsEncode(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var i = 0
