@@ -65,6 +65,25 @@ object CrsZipProbe {
     time("bridged zip (4326->5070)")(
       Raster.raster2df(spark, Seq(maskUsW, alb), colNames = Seq("a", "b"),
         maxBlockSize = 1024, resample = "nearest", datumBridge = "epsg1188").count())
+    // round 16: polar stereographic (NSIDC 3413) and web mercator (3857)
+    // legs. Arctic-footprint mask for the polar leg; centroid images span
+    // x [-132.9k, -68.2k], y [-1521.8k, -1299.5k]
+    val maskAr = TiffFixtures.writeBigTiff(s"$tmp/mask_ar.tif", 4000, 4000, v,
+      -50.0, 78.0, 0.0005, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val ps = TiffFixtures.writeBigTiff(s"$tmp/ps.tif", 400, 1250,
+      (c, r) => (c + r).toDouble, -140000.0, -1290000.0, 200.0, None,
+      geoKeys = Seq(1024 -> 1, 3072 -> 3413))
+    time("polar zip (4326->3413)")(
+      Raster.raster2df(spark, Seq(maskAr, ps), colNames = Seq("a", "b"),
+        maxBlockSize = 1024, resample = "nearest").count())
+    // web mercator secondary @ 200 m under the original mid-latitude mask
+    // (x [1558.5k, 1781.1k], y [5780.3k, 6106.9k])
+    val wm = TiffFixtures.writeBigTiff(s"$tmp/wm.tif", 1200, 1700,
+      (c, r) => (c + r).toDouble, 1550000.0, 6115000.0, 200.0, None,
+      geoKeys = Seq(1024 -> 1, 3072 -> 3857))
+    time("web mercator zip (4326->3857)")(
+      Raster.raster2df(spark, Seq(mask, wm), colNames = Seq("a", "b"),
+        maxBlockSize = 1024, resample = "nearest").count())
     spark.stop()
   }
 }
