@@ -203,16 +203,24 @@ final case class MinHashLSH(
       index: DataFrame,
       maxBucket: Int = 0,
       carry: Seq[String] = Nil): DataFrame = {
-    val idx =
-      if (maxBucket <= 0) index
+    // the cap applies to BOTH sides (round 16): capping only the index
+    // leaves a degenerate BATCH bucket free to fan every one of its rows
+    // out against a just-under-cap index bucket — the 1M ingest rehearsal
+    // measured exactly that shape (template-remnant signatures, tens of
+    // millions of joined rows, GBs of sort spill per micro-batch). A
+    // bucket over the cap on either side is degenerate content by the
+    // derived-cap rule, so both sides drop it symmetrically.
+    def dropHot(df: DataFrame): DataFrame =
+      if (maxBucket <= 0) df
       else {
-        val hot = index.groupBy(col("band"), col("key"))
+        val hot = df.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucket)
           .select(col("band"), col("key"))
-        index.join(hot, Seq("band", "key"), "left_anti")
+        df.join(hot, Seq("band", "key"), "left_anti")
       }
-    val batch = bandIndex(newDf, idCol, textCol, carry)
+    val idx = dropHot(index)
+    val batch = dropHot(bandIndex(newDf, idCol, textCol, carry))
     batch.as("n")
       .join(idx.as("x"),
         col("n.band") === col("x.band") && col("n.key") === col("x.key"))

@@ -94,8 +94,10 @@ object IngestRehearsal {
     println(s"""{"stage":"train_gate","sec":${math.rint((System.nanoTime() - t0w) / 1e7) / 100.0},"docs":$per}""")
 
     // maxBucket: the round's banded-family lesson applied — a degenerate
-    // band bucket (residual template content) must never go quadratic;
-    // 2000 is far above any honest bucket on the excised feed
+    // band bucket (residual template content) must never go quadratic.
+    // 64 >> any honest dup group on this feed (planted groups are ≤ ~10);
+    // the first 1M run at 2000 measured 29 GB of per-batch sort spill from
+    // remnant-signature buckets riding just under the cap
     // threshold 0.55, not the 0.5 default: the cascade-trained gate passes
     // essentially the whole excised feed at the midpoint (all slice langs
     // are in the cascade's allow set), which would measure a no-op stage;
@@ -104,7 +106,7 @@ object IngestRehearsal {
     val cfg = IngestPipeline.Config(
       corpusPath = s"$work/corpus", indexPath = s"$work/index",
       statsPath = s"$work/stats", qualityWeights = weights,
-      qualityThreshold = 0.55, numBuckets = 64, maxBucket = 2000)
+      qualityThreshold = 0.55, numBuckets = 64, maxBucket = 64)
 
     val spool = s"$work/spool"
     new java.io.File(spool).mkdirs()
@@ -121,8 +123,12 @@ object IngestRehearsal {
       for (i <- 0 until nBatches) {
         metrics.reset()
         val t0 = System.nanoTime()
+        // repartition(1), NOT coalesce(1): coalesce collapses the upstream
+        // filter over the whole checkpointed slice into the single writer
+        // task (measured ~15-25 s of the max-task line); repartition keeps
+        // the scan parallel and shuffles only the batch to the writer
         docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
-          .coalesce(1).write.mode("append").parquet(spool)
+          .repartition(1).write.mode("append").parquet(spool)
         q.processAllAvailable()
         val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
         Thread.sleep(500) // listener bus is async
