@@ -177,10 +177,16 @@ final case class MinHashLSH(
     * (new_id, index_id) pairs; self-matches (same id on both sides, e.g.
     * re-ingested rows) are dropped.
     *
-    * `maxBucket` drops index buckets larger than the cap before the join —
-    * the same mega-bucket guard candidatePairs applies: one degenerate
-    * boilerplate bucket in the index would otherwise cost
-    * batch-bucket x index-bucket rows per arriving batch. Disabled <= 0.
+    * `maxBucket` (disabled <= 0) caps the INDEX side of the join: an
+    * over-cap index bucket is reduced to its MIN-ID representative row,
+    * so candidate volume is bounded by batch-band-rows x maxBucket per
+    * band (one degenerate boilerplate bucket would otherwise cost
+    * batch-bucket x index-bucket rows per arriving batch) while an exact
+    * replay of an indexed doc still meets a candidate even in a
+    * degenerate bucket. The batch side is never aggregated — capping it
+    * would be an unsupported streaming plan AND would let a mass replay
+    * (more copies than the cap, arriving in one batch) sail through
+    * index dedup entirely.
     */
   def candidatesAgainstIndex(
       newDf: DataFrame,
@@ -203,24 +209,35 @@ final case class MinHashLSH(
       index: DataFrame,
       maxBucket: Int = 0,
       carry: Seq[String] = Nil): DataFrame = {
-    // the cap applies to BOTH sides (round 16): capping only the index
-    // leaves a degenerate BATCH bucket free to fan every one of its rows
-    // out against a just-under-cap index bucket — the 1M ingest rehearsal
-    // measured exactly that shape (template-remnant signatures, tens of
-    // millions of joined rows, GBs of sort spill per micro-batch). A
-    // bucket over the cap on either side is degenerate content by the
-    // derived-cap rule, so both sides drop it symmetrically.
-    def dropHot(df: DataFrame): DataFrame =
-      if (maxBucket <= 0) df
+    // The cap bounds JOIN FAN-OUT, not batch membership (round 16, twice
+    // revised by measurement): with the cap on the index side only, every
+    // batch row joins at most maxBucket index rows per band, so candidate
+    // volume is ≤ batchBandRows × maxBucket — linear in the batch. (The
+    // first 1M ingest rehearsal paid 29 GB of sort spill exactly because a
+    // 2000-cap let degenerate remnant buckets ride just under it; the cost
+    // bound scales with the cap, so SIZE the cap, don't widen it.) The
+    // batch side is deliberately NOT aggregated: a groupBy + left_anti on
+    // a STREAMING batch is an unsupported streaming plan — capping there
+    // would break streamDedupAgainstIndex(maxBucket > 0) at query start.
+    // Over-cap INDEX buckets keep their MIN-ID ROW as a representative
+    // star instead of vanishing (the round's representative-star rule):
+    // an exact replay of an indexed doc still meets SOME candidate even
+    // when its bucket is degenerate, rather than sailing through dedup —
+    // the verify step decides, at one extra row per hot key.
+    val idx =
+      if (maxBucket <= 0) index
       else {
-        val hot = df.groupBy(col("band"), col("key"))
+        val hot = index.groupBy(col("band"), col("key"))
           .agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucket)
           .select(col("band"), col("key"))
-        df.join(hot, Seq("band", "key"), "left_anti")
+        val reps = index.join(hot, Seq("band", "key"))
+          .groupBy(col("band"), col("key"))
+          .agg(min(col("id")).as("id"))
+        index.join(hot, Seq("band", "key"), "left_anti")
+          .unionByName(reps.select(index.columns.map(col).toIndexedSeq: _*))
       }
-    val idx = dropHot(index)
-    val batch = dropHot(bandIndex(newDf, idCol, textCol, carry))
+    val batch = bandIndex(newDf, idCol, textCol, carry)
     batch.as("n")
       .join(idx.as("x"),
         col("n.band") === col("x.band") && col("n.key") === col("x.key"))

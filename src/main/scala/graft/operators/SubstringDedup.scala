@@ -303,14 +303,19 @@ object SubstringDedup {
       idCol: String,
       textCol: String,
       spans: DataFrame,
-      maxCoverage: Double = DefaultMaxCoverage): DataFrame = {
+      maxCoverage: Double = 1.0): DataFrame = {
     require(maxCoverage > 0.0 && maxCoverage <= 1.0,
       s"maxCoverage must be in (0, 1], got $maxCoverage")
     val base = docs.select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // the saturation guard (see [[DefaultMaxCoverage]]): two tiny jobs —
     // a sum over the (materialized, span-count-sized) span frame and one
     // column-pruned length scan — before the action that cannot be undone.
-    // maxCoverage = 1.0 skips both (the explicit opt-in).
+    // DEFAULT OFF here (1.0) and ON in [[excise]]: excise computes fresh
+    // spans, which is where saturation is discovered; this entry point is
+    // the detect-once/ACT-MANY path over a caller-owned artifact (q105
+    // re-runs it every bench sweep), where re-paying a corpus length scan
+    // per action to re-reach the same verdict is waste — the guard runs
+    // once, when the artifact's spans are computed.
     if (maxCoverage < 1.0) {
       val spanChars = spans
         .agg(coalesce(sum(col("span_end") - col("span_start") + 1), lit(0L)))

@@ -60,7 +60,10 @@ object IngestPipeline {
       numBuckets: Int = 64,
       lsh: MinHashLSH = MinHashLSH(),
       jaccardThreshold: Double = 0.8,
-      maxBucket: Int = 0)
+      maxBucket: Int = 0) {
+    /** The replay-fence ledger (one row per committed batch id). */
+    def ledgerPath: String = statsPath + "_ledger"
+  }
 
   /** Per-batch accounting: `ingested = dupIndex + dupBatch + gated +
     * appended` (disjoint by construction — index dups are removed before
@@ -107,6 +110,35 @@ object IngestPipeline {
   def processBatch(
       spark: SparkSession, batch: DataFrame, cfg: Config,
       batchId: Long): BatchReport = {
+    import spark.implicits._
+    // REPLAY FENCE: foreachBatch is at-least-once — after a crash the
+    // last uncommitted batch re-runs, and none of the three artifact
+    // mutations is naturally idempotent (index append would duplicate
+    // band rows; the stats XOR checksum would cancel the batch out). The
+    // ledger records each batch id AFTER its mutations, so a replay of a
+    // COMMITTED batch returns its recorded report without re-mutating.
+    // Honest residual window: a crash INSIDE the mutation sequence
+    // (corpus written, ledger not) still replays the mutations — plain
+    // parquet has no atomic multi-table commit; that is what table
+    // formats add on top of exactly this pattern.
+    val replayed =
+      if (!exists(spark, cfg.ledgerPath)) None
+      else spark.read.parquet(cfg.ledgerPath)
+        .filter(col("batch_id") === batchId)
+        .select(col("batch_id"), col("ingested"), col("dup_index"),
+          col("dup_batch"), col("gated"), col("appended"))
+        .as[(Long, Long, Long, Long, Long, Long)].collect().headOption
+    replayed match {
+      case Some((id, in, di, db, g, ap)) => BatchReport(id, in, di, db, g, ap)
+      case None => foldBatch(spark, batch, cfg, batchId)
+    }
+  }
+
+  /** The unfenced fold body — every artifact mutation lives here. */
+  private def foldBatch(
+      spark: SparkSession, batch: DataFrame, cfg: Config,
+      batchId: Long): BatchReport = {
+    import spark.implicits._
     // one bounded materialization: every stage below reuses it, and the
     // counts the report needs must not recompute a streaming source
     val docs = batch
@@ -124,7 +156,12 @@ object IngestPipeline {
         val index = spark.read.parquet(cfg.indexPath)
         val cand = cfg.lsh
           .candidatesAgainstIndex(docs, "doc_id", "text", index, cfg.maxBucket)
+        // batch text WINS over corpus text for ids present in both: a
+        // re-crawled id's candidates must verify against the text the
+        // corpus will hold AFTER this batch, not the stale row — else a
+        // stale-text match silently drops the revision as a duplicate
         val texts = corpusTexts(spark, cfg, cand.select(col("index_id").as("id")).distinct())
+          .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .unionByName(docs.select(col("doc_id"), col("text")))
         cfg.lsh
           .verifyJaccard(
@@ -138,10 +175,15 @@ object IngestPipeline {
     val nDupIdx = nIn - afterIdx.count()
 
     // 2. verified intra-batch dedup, keep-first: drop every id with a
-    // verified smaller-id partner (candidatePairs emits id_a < id_b)
+    // verified smaller-id partner (candidatePairs emits id_a < id_b).
+    // repOverCap: over-cap batch buckets pair against their min-id
+    // representative instead of vanishing — without it a mass arrival of
+    // NEW duplicates (more copies than the cap, none indexed yet) would
+    // sail through intra-batch dedup entirely
     val dupBatchIds = cfg.lsh
       .verifyJaccard(
-        cfg.lsh.candidatePairs(afterIdx, "doc_id", "text", cfg.maxBucket),
+        cfg.lsh.candidatePairs(afterIdx, "doc_id", "text", cfg.maxBucket,
+          repOverCap = true),
         afterIdx, "doc_id", "text")
       .filter(col("jaccard") >= cfg.jaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
@@ -171,13 +213,23 @@ object IngestPipeline {
         .write.mode("append").parquet(cfg.indexPath)
       Curation.mergeDocStats(spark, cfg.statsPath, kept)
     }
-    BatchReport(batchId, nIn, nDupIdx, nDupBatch, nIn - nDupIdx - nDupBatch - nKept, nKept)
+    val report = BatchReport(
+      batchId, nIn, nDupIdx, nDupBatch, nIn - nDupIdx - nDupBatch - nKept, nKept)
+    // commit the fence LAST (see the replay note above); zero-kept batches
+    // are fenced too — their report must replay stably
+    Seq((report.batchId, report.ingested, report.dupIndex, report.dupBatch,
+        report.gated, report.appended))
+      .toDF("batch_id", "ingested", "dup_index", "dup_batch", "gated", "appended")
+      .coalesce(1).write.mode("append").parquet(cfg.ledgerPath)
+    report
   }
 
   /** The streaming entry: `foreachBatch` over [[processBatch]], reports
     * delivered to `onReport` in batch order (single-writer by
-    * construction). Start with a checkpointLocation for exactly-once
-    * artifact mutation across restarts.
+    * construction). Start with a checkpointLocation so restarts resume at
+    * the right batch; delivery is foreachBatch's at-least-once, with the
+    * batch-id ledger making replays of COMMITTED batches no-ops (see the
+    * replay-fence note in [[processBatch]] for the residual window).
     */
   def stream(
       docs: DataFrame, cfg: Config)(

@@ -91,7 +91,7 @@ object IngestRehearsal {
     val weights = QualityClassifier.trainLogistic(
       QualityClassifier.features(b0), QualityClassifier.cascadeLabels(b0),
       iters = 2)
-    println(s"""{"stage":"train_gate","sec":${math.rint((System.nanoTime() - t0w) / 1e7) / 100.0},"docs":$per}""")
+    println(s"""{"stage":"train_gate","sec":${math.rint((System.nanoTime() - t0w) / 1e7) / 100.0},"docs":${b0.count()}}""")
 
     // maxBucket: the round's banded-family lesson applied — a degenerate
     // band bucket (residual template content) must never go quadratic.

@@ -103,6 +103,44 @@ class IngestPipelineSpec extends SparkSpec {
     assert(rows.size == 1 && rows.head._2 == longText("revised"))
   }
 
+  test("replay fence: re-running a committed batch id returns its report without re-mutating") {
+    val root = java.nio.file.Files.createTempDirectory("ingest_replay").toString
+    val c = cfg(root)
+    val r0 = IngestPipeline.processBatch(spark, batch1.toDF(), c, 0L)
+    val corpusBefore = corpusRows(root)
+    val statsBefore = spark.read.parquet(s"$root/stats").collect().toSeq.toString
+    val idxBefore = spark.read.parquet(s"$root/index").count()
+    // the at-least-once replay (crash after commit, before checkpoint)
+    val rReplay = IngestPipeline.processBatch(spark, batch1.toDF(), c, 0L)
+    assert(rReplay === r0)
+    assert(corpusRows(root) == corpusBefore)
+    assert(spark.read.parquet(s"$root/index").count() == idxBefore,
+      "index must not gain duplicate band rows on replay")
+    assert(spark.read.parquet(s"$root/stats").collect().toSeq.toString == statsBefore,
+      "stats must not double-count on replay")
+  }
+
+  test("mass replay beyond the bucket cap still dedups (index star + intra-batch star)") {
+    val root = java.nio.file.Files.createTempDirectory("ingest_mass").toString
+    // cap of 4 so the 12-copy flood is far over it
+    val c = cfg(root).copy(maxBucket = 4)
+    val r0 = IngestPipeline.processBatch(
+      spark, Seq(doc(1, longText("alpha"))).toDF(), c, 0L)
+    assert(r0.appended == 1)
+    // 12 exact copies of the INDEXED text arrive in one batch: every band
+    // bucket of the copies is over the cap; the index-side representative
+    // star plus the intra-batch repOverCap star must still kill them all
+    val flood = (100L to 111L).map(i => doc(i, longText("alpha")))
+    val r1 = IngestPipeline.processBatch(spark, flood.toDF(), c, 1L)
+    assert(r1.appended == 0 && r1.dupIndex + r1.dupBatch == 12, r1.toString)
+    assert(corpusRows(root).map(_._1) == Set(1L))
+    // and a flood of NEW duplicates (nothing indexed) keeps exactly one
+    val flood2 = (200L to 211L).map(i => doc(i, longText("omega")))
+    val r2 = IngestPipeline.processBatch(spark, flood2.toDF(), c, 2L)
+    assert(r2.appended == 1 && r2.dupBatch == 11, r2.toString)
+    assert(corpusRows(root).map(_._1) == Set(1L, 200L))
+  }
+
   test("stream (foreachBatch) == the hand-driven fold: reports and artifacts") {
     val sRoot = java.nio.file.Files.createTempDirectory("ingest_stream").toString
     val hRoot = java.nio.file.Files.createTempDirectory("ingest_hand").toString

@@ -157,6 +157,20 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
     val got = spark.table("t_lshdedup").as[(Long, Long)].collect().toSet
     assert(got == Set((10L, 1L), (12L, 1L)))
+    // maxBucket > 0 must remain a SUPPORTED streaming plan (round 16: the
+    // cap is index-side only — a batch-side groupBy + left_anti here would
+    // throw UnsupportedOperationChecker at query start)
+    val input2 = MemoryStream[(Long, String)]
+    val q2 = Streams.streamDedupAgainstIndex(
+        input2.toDF().toDF("doc_id", "text"), index, lsh, maxBucket = 5)
+      .writeStream.format("memory").queryName("t_lshdedup_cap")
+      .outputMode(OutputMode.Append).start()
+    try {
+      input2.addData(Seq((20L, "the quick brown fox jumps over the lazy dog")))
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(spark.table("t_lshdedup_cap").as[(Long, Long)].collect().toSet ==
+      Set((20L, 1L)))
   }
 
   test("watermarked LSH dedup: suppressed within the delay, state expires after") {
