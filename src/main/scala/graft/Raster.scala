@@ -52,9 +52,11 @@ object Raster {
     // supported transform (EPSG:4326 ↔ UTM 326xx/327xx, or UTM ↔ UTM
     // through the shared geographic leg)
     if (resample.nonEmpty) reader = reader.option("resample", resample)
-    // datumBridge="epsg1188": OPT-IN cross-datum (NAD83<->WGS84) resample
-    // zips through the published EPSG:1188 zero-shift transform (~1-2 m
-    // accuracy); the default keeps cross-datum pairs typed-rejected
+    // datumBridge: OPT-IN cross-datum resample zips through the published
+    // zero-shift transform the value NAMES — "epsg1188" (NAD83<->WGS84,
+    // ~1-2 m) or "epsg1149" (ETRS89<->WGS84, ~1 m); the default keeps
+    // cross-datum pairs typed-rejected, and a value never opens a pair it
+    // does not name
     if (datumBridge.nonEmpty) reader = reader.option("datumBridge", datumBridge)
     reader.load()
   }
@@ -185,7 +187,7 @@ object Raster {
 
   /** CLI: raster2csv INPUT... OUTPUT [--col_names a,b] [--separator ,|;|t]
     * [--max_block_size N] [--calc_area] [--bands 1,2,...]
-    * [--resample nearest] [--datum_bridge epsg1188]
+    * [--resample nearest] [--datum_bridge epsg1188|epsg1149]
     */
   def main(args: Array[String]): Unit = {
     val a = parseArgs(args)

@@ -31,6 +31,11 @@ package graft.sources.tiff
   *     arithmetic on the WGS84 semi-major axis applied to ELLIPSOIDAL
   *     latitude (the method's defining quirk, and why it is neither
   *     conformal nor equal-area). Every web-tile basemap ships in it.
+  *   - Geographic ↔ Lambert Azimuthal Equal-Area (round 16): EPSG GN7-2
+  *     method 9820 closed forms, oblique aspect (EPSG:3035 — the EU
+  *     INSPIRE standard, CORINE-class land cover; ETRS89 datum, pinned
+  *     against GN7-2's own worked example) and polar aspect
+  *     (EPSG:3573–3576, the WGS84 North Pole LAEA family).
   *
   * This exists for the resample=nearest zip (SURVEY §2A A5): the most common
   * real pairing in land-cover work is a geographic mask against a projected
@@ -39,20 +44,26 @@ package graft.sources.tiff
   * ([[GeoTiffPartitionReader]]) — no new I/O or window machinery. CRS pairs
   * WITHOUT a supported transform keep their typed rejection.
   *
-  * Two datum families are supported, each on its own ellipsoid (round 15):
-  * WGS84 — EPSG:4326 geographic, EPSG:326zz/327zz UTM — and NAD83 —
-  * EPSG:4269 geographic, EPSG:269zz UTM, the Albers/LCC codes above (GRS80
-  * ellipsoid, the dominant US land-cover pairing). EPSG:6350 is NAD83(2011),
-  * a later NAD83 REALIZATION (cm-level from the 4269 original — far below
-  * any raster pixel) and is treated as the NAD83 family. Transforms never
-  * cross datums BY DEFAULT: NAD83 and WGS84 differ by a time-dependent shift
-  * (meters today) that cannot be computed from the public defining constants
-  * alone, so a 4326 ↔ 26915 zip stays a typed rejection rather than silently
-  * treating the datums as equal. Round 16 adds an OPT-IN bridge: the
-  * published EPSG:1188 "NAD83 to WGS84 (1)" transform (geocentric
-  * translation with dX=dY=dZ=0, stated accuracy ~2 m) via
-  * `option("datumBridge", "epsg1188")` — the standard practical answer when
-  * meter-level accuracy suffices, never applied silently.
+  * Three datum families are supported, each with its own [[Ellipsoid]]
+  * identity (rounds 15–16): WGS84 — EPSG:4326 geographic, EPSG:326zz/327zz
+  * UTM, the polar/web/polar-LAEA codes — NAD83 — EPSG:4269 geographic,
+  * EPSG:269zz UTM, the Albers/LCC codes (GRS80 ellipsoid, the dominant US
+  * land-cover pairing) — and ETRS89 — EPSG:4258 geographic, EPSG:3035 LAEA
+  * (the EU pairing). ETRS89 and NAD83 share GRS80's CONSTANTS but are
+  * different datums on different plates; the [[Etrs89]] instance compares
+  * unequal to [[Grs80]] by name, so they can never silently compose.
+  * EPSG:6350 is NAD83(2011), a later NAD83 REALIZATION (cm-level from the
+  * 4269 original — far below any raster pixel) and is treated as the NAD83
+  * family. Transforms never cross datums BY DEFAULT: the shifts are
+  * time-dependent (meters today) and not computable from the public
+  * defining constants alone, so a 4326 ↔ 26915 zip stays a typed rejection
+  * rather than silently treating the datums as equal. Rounds 16 adds
+  * OPT-IN bridges, each a published zero-shift geocentric translation the
+  * option value must NAME: `option("datumBridge", "epsg1188")` for
+  * WGS84 ↔ NAD83 (~2 m) and `option("datumBridge", "epsg1149")` for
+  * WGS84 ↔ ETRS89 (~1 m) — the standard practical answers when meter-level
+  * accuracy suffices, never applied silently, and never opening a pair the
+  * value does not name.
   *
   * Scale design: [[Proj.fwd]]/[[Proj.inv]] are allocation-light
   * straight-line math (one specialized Tuple2 per call) suitable for the
@@ -94,6 +105,14 @@ object CrsTransform {
     * from WGS84's in the 9th significant digit (≈0.1 mm of polar radius).
     */
   val Grs80: Ellipsoid = Ellipsoid("GRS80", 6378137.0, 1.0 / 298.257222101)
+  /** ETRS89 (round 16) — GEOMETRICALLY the same GRS80 ellipsoid as NAD83,
+    * but a DIFFERENT datum (tied to the Eurasian plate; NAD83 to the North
+    * American plate — they sit meters apart and drift). The Ellipsoid's
+    * name participates in equality precisely so this instance compares
+    * UNEQUAL to [[Grs80]]: the datum gate is identity, not constants, and
+    * an ETRS89 raster must never silently compose with a NAD83 one.
+    */
+  val Etrs89: Ellipsoid = Ellipsoid("GRS80 (ETRS89)", 6378137.0, 1.0 / 298.257222101)
 
   private val K0 = 0.9996
 
@@ -125,6 +144,36 @@ object CrsTransform {
     math.cos(phi) / math.sqrt(1.0 - ell.e2 * s * s)
   }
 
+  // q(φ) — the authalic-latitude auxiliary (GN7-2):
+  // q = (1−e²)[ sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e·sinφ)/(1+e·sinφ)) ].
+  // Shared by Albers (9822) and LAEA (9820) — both equal-area methods.
+  @inline private def qAuthalic(ell: Ellipsoid, phi: Double): Double = {
+    val s = math.sin(phi)
+    (1.0 - ell.e2) * (s / (1.0 - ell.e2 * s * s) -
+      math.log((1.0 - ell.e * s) / (1.0 + ell.e * s)) / (2.0 * ell.e))
+  }
+
+  // latitude from q — Newton on t = sinφ (dq/dt = 2(1−e²)/(1−e²t²)²,
+  // positive everywhere, so the solve is monotone and needs NO cosφ
+  // division). GN7-2's classical fixed-point iterates on φ itself and
+  // divides by cosφ, which loses digits catastrophically near the pole
+  // (measured: 0.014° of error at φ = 89.999° — a polar-LAEA round-trip
+  // failure ScalaCheck found the day the polar aspect landed); the t-form
+  // is exact there (t(pole) = 1 is a regular point of q). Shared by the
+  // Albers and LAEA inverses.
+  private def phiFromQ(ell: Ellipsoid, q: Double): Double = {
+    var t = math.min(1.0, math.max(-1.0, q / 2.0))
+    var i = 0
+    while (i < 12) {
+      val om = 1.0 - ell.e2 * t * t
+      val qt = (1.0 - ell.e2) * (t / om -
+        math.log((1.0 - ell.e * t) / (1.0 + ell.e * t)) / (2.0 * ell.e))
+      t = math.min(1.0, math.max(-1.0, t + (q - qt) * om * om / (2.0 * (1.0 - ell.e2))))
+      i += 1
+    }
+    math.asin(t)
+  }
+
   /** Transverse Mercator parameters of one projected CRS. */
   final case class TmParams(cmDeg: Double, falseEasting: Double,
       falseNorthing: Double, scale: Double, ell: Ellipsoid = Wgs84)
@@ -144,12 +193,7 @@ object CrsTransform {
       falseEasting: Double, falseNorthing: Double, ell: Ellipsoid)
     extends Proj {
     require(sp1Deg != sp2Deg, "Albers 2SP requires distinct standard parallels")
-    // q(φ) = (1−e²)[ sinφ/(1−e²sin²φ) − (1/2e)·ln((1−e·sinφ)/(1+e·sinφ)) ]
-    @inline private def qOf(phi: Double): Double = {
-      val s = math.sin(phi)
-      (1.0 - ell.e2) * (s / (1.0 - ell.e2 * s * s) -
-        math.log((1.0 - ell.e * s) / (1.0 + ell.e * s)) / (2.0 * ell.e))
-    }
+    @inline private def qOf(phi: Double): Double = qAuthalic(ell, phi)
     private val m1 = mOf(ell, math.toRadians(sp1Deg))
     private val m2 = mOf(ell, math.toRadians(sp2Deg))
     private val q1 = qOf(math.toRadians(sp1Deg))
@@ -180,19 +224,83 @@ object CrsTransform {
       val theta = if (n < 0) math.atan2(-dx, -dy) else math.atan2(dx, dy)
       val q = (cBig - rho * rho * n * n / (ell.a * ell.a)) / n
       val lon = cmDeg + math.toDegrees(theta / n)
-      // latitude from q by GN7-2's fixed-point iteration, seeded at the
-      // spherical limit asin(q/2); converges quadratically for e² ≪ 1
-      var phi = math.asin(math.min(1.0, math.max(-1.0, q / 2.0)))
-      var i = 0
-      while (i < 8) {
-        val s = math.sin(phi)
-        val om = 1.0 - ell.e2 * s * s
-        phi += om * om / (2.0 * math.cos(phi)) *
-          (q / (1.0 - ell.e2) - s / om +
-            math.log((1.0 - ell.e * s) / (1.0 + ell.e * s)) / (2.0 * ell.e))
-        i += 1
+      (lon, math.toDegrees(phiFromQ(ell, q)))
+    }
+  }
+
+  /** Lambert Azimuthal Equal-Area (EPSG method 9820, ellipsoidal closed
+    * forms — GN7-2 symbols qₚ, β, R_q, D, B). Two aspects:
+    *   - OBLIQUE (|lat0| < 90): the EPSG:3035 shape (ETRS89-LAEA, the EU
+    *     standard for CORINE-class land cover), pinned against GN7-2's own
+    *     worked example;
+    *   - POLAR (|lat0| = 90): ρ = a·√(qₚ − q), the North-Pole LAEA family
+    *     (EPSG:3573–3576) — the general oblique forms are 0/0 there.
+    */
+  final case class LaeaParams(lat0Deg: Double, lon0Deg: Double,
+      falseEasting: Double, falseNorthing: Double, ell: Ellipsoid)
+    extends Proj {
+    private val north = lat0Deg > 0
+    private val polar = math.abs(lat0Deg) == 90.0
+    private val qp = qAuthalic(ell, math.Pi / 2.0)
+    /** authalic sphere radius */
+    val rq: Double = ell.a * math.sqrt(qp / 2.0)
+    private val beta0 = math.asin(
+      math.min(1.0, math.max(-1.0, qAuthalic(ell, math.toRadians(lat0Deg)) / qp)))
+    private val sinB0 = math.sin(beta0)
+    private val cosB0 = math.cos(beta0)
+    private val dBig =
+      if (polar) Double.NaN
+      else ell.a * mOf(ell, math.toRadians(lat0Deg)) / (rq * cosB0)
+
+    def fwd(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val q = qAuthalic(ell, math.toRadians(latDeg))
+      val dl = math.toRadians(lonDeg - lon0Deg)
+      if (polar) {
+        val s = if (north) 1.0 else -1.0
+        // qp − s·q ≥ 0 always (|q| ≤ qp); exact 0 at the projection pole
+        val rho = ell.a * math.sqrt(math.max(0.0, qp - s * q))
+        (falseEasting + rho * math.sin(dl),
+          falseNorthing - s * rho * math.cos(dl))
+      } else {
+        val beta = math.asin(math.min(1.0, math.max(-1.0, q / qp)))
+        val denom = 1.0 + sinB0 * math.sin(beta) + cosB0 * math.cos(beta) * math.cos(dl)
+        // denom → 0 only at the ANTIPODE of the projection origin, where
+        // LAEA is undefined — fail loudly, never emit infinities
+        require(denom > 1e-12,
+          f"LAEA (origin $lat0Deg%.2f°, $lon0Deg%.2f°): point " +
+            f"($lonDeg%.4f°, $latDeg%.4f°) is at the projection's antipode " +
+            "where the map is undefined; this raster pairing cannot be " +
+            "transformed reliably")
+        val b = rq * math.sqrt(2.0 / denom)
+        (falseEasting + b * dBig * math.cos(beta) * math.sin(dl),
+          falseNorthing + (b / dBig) *
+            (cosB0 * math.sin(beta) - sinB0 * math.cos(beta) * math.cos(dl)))
       }
-      (lon, math.toDegrees(phi))
+    }
+
+    def inv(easting: Double, northing: Double): (Double, Double) = {
+      val dx = easting - falseEasting
+      val dy = northing - falseNorthing
+      if (polar) {
+        val s = if (north) 1.0 else -1.0
+        val rho = math.hypot(dx, dy)
+        val q = s * (qp - rho * rho / (ell.a * ell.a))
+        val lon = lon0Deg + math.toDegrees(math.atan2(dx, -s * dy))
+        (lon, math.toDegrees(phiFromQ(ell, q)))
+      } else {
+        val rho = math.hypot(dx / dBig, dBig * dy)
+        if (rho < 1e-12) (lon0Deg, lat0Deg) // the origin itself
+        else {
+          val ce = 2.0 * math.asin(math.min(1.0, rho / (2.0 * rq)))
+          val sinCe = math.sin(ce)
+          val cosCe = math.cos(ce)
+          val betaP = math.asin(math.min(1.0, math.max(-1.0,
+            cosCe * sinB0 + dBig * dy * sinCe * cosB0 / rho)))
+          val lon = lon0Deg + math.toDegrees(math.atan2(dx * sinCe,
+            dBig * rho * cosB0 * cosCe - dBig * dBig * dy * sinB0 * sinCe))
+          (lon, math.toDegrees(phiFromQ(ell, qp * math.sin(betaP))))
+        }
+      }
     }
   }
 
@@ -443,11 +551,27 @@ object CrsTransform {
     case _ => None
   }
 
-  /** Every supported projected CRS: UTM zones, the conic registry, then
-    * the polar/web registry.
+  /** LAEA registry (round 16): published EPSG parameter sets.
+    *   - 3035  ETRS89-extended / LAEA Europe — the EU INSPIRE standard
+    *     (CORINE-class land cover ships in it); ETRS89 datum
+    *   - 3573–3576  WGS 84 / North Pole LAEA (Canada λ0 −100°, Atlantic
+    *     −40°, Europe 10°, Russia 90°) — polar aspect, FE = FN = 0
+    */
+  def laeaParams(epsg: Int): Option[Proj] = epsg match {
+    case 3035 => Some(LaeaParams(52.0, 10.0, 4321000.0, 3210000.0, Etrs89))
+    case 3573 => Some(LaeaParams(90.0, -100.0, 0.0, 0.0, Wgs84))
+    case 3574 => Some(LaeaParams(90.0, -40.0, 0.0, 0.0, Wgs84))
+    case 3575 => Some(LaeaParams(90.0, 10.0, 0.0, 0.0, Wgs84))
+    case 3576 => Some(LaeaParams(90.0, 90.0, 0.0, 0.0, Wgs84))
+    case _ => None
+  }
+
+  /** Every supported projected CRS: UTM zones, the conic registry, the
+    * polar/web registry, then LAEA.
     */
   def projParams(epsg: Int): Option[Proj] =
     utmParams(epsg).orElse(conicParams(epsg)).orElse(polarWebParams(epsg))
+      .orElse(laeaParams(epsg))
 
   /** Geographic (lon, lat degrees) → projected (easting, northing meters). */
   def forward(p: TmParams, lonDeg: Double, latDeg: Double): (Double, Double) = {
@@ -550,6 +674,28 @@ object CrsTransform {
   def bridgeable(a: Ellipsoid, b: Ellipsoid): Boolean =
     a != b && Set(a, b) == Set(Wgs84, Grs80)
 
+  /** The zero-shift bridge a given option VALUE applies to a given datum
+    * pair — the value is informed consent for ONE SPECIFIC published
+    * transform, never a generic "ignore datums" switch:
+    *   - `epsg1188` → WGS84 ↔ NAD83 ("NAD83 to WGS84 (1)", ~2 m)
+    *   - `epsg1149` → WGS84 ↔ ETRS89 ("ETRS89 to WGS84 (1)", ~1 m — the
+    *     plates drift ~2.5 cm/year, same caveat class as 1188)
+    * Both are geocentric translations with dX = dY = dZ = 0, so they share
+    * [[epsg1188Bridge]]'s math (which is NOT an identity: the ellipsoid
+    * change still reshapes latitude); any other (value, pair) combination
+    * returns None and the caller keeps its typed rejection.
+    */
+  def bridgeTransform(value: String, a: Ellipsoid, b: Ellipsoid)
+      : Option[(Double, Double) => (Double, Double)] = {
+    val pair = Set(a, b)
+    if (a == b) None
+    else if (value.equalsIgnoreCase("epsg1188") && pair == Set(Wgs84, Grs80))
+      Some(epsg1188Bridge(a, b) _)
+    else if (value.equalsIgnoreCase("epsg1149") && pair == Set(Wgs84, Etrs89))
+      Some(epsg1188Bridge(a, b) _)
+    else None
+  }
+
   /** A CRS's place in the supported set: its datum ellipsoid, plus
     * projection parameters when projected (None = the datum's geographic
     * CRS).
@@ -557,27 +703,31 @@ object CrsTransform {
   private def side(epsg: Int): Option[(Ellipsoid, Option[Proj])] =
     if (epsg == 4326) Some((Wgs84, None))
     else if (epsg == 4269) Some((Grs80, None))
+    else if (epsg == 4258) Some((Etrs89, None)) // ETRS89 geographic
     else projParams(epsg).map(p => (p.ell, Some(p)))
 
   /** Coordinate transform from CRS `src` to CRS `dst`, when both are in
     * the supported set AND share a datum: decomposed as src→geographic→dst
-    * on that datum's ellipsoid. With `datumBridge = true`, WGS84 ↔ NAD83
-    * pairs additionally transform through the EPSG:1188 zero-shift bridge
-    * (~2 m accuracy — see [[epsg1188Bridge]]); no other datum pair is ever
-    * bridged. None for any other pair, so the caller keeps its typed
+    * on that datum's ellipsoid. A non-empty `datumBridge` option value
+    * additionally admits exactly the pair that value names (see
+    * [[bridgeTransform]]: `"epsg1188"` = WGS84 ↔ NAD83, `"epsg1149"` =
+    * WGS84 ↔ ETRS89, both ~1–2 m zero-shift transforms); no other datum
+    * pair is ever bridged, and a value never opens a pair it does not
+    * name. None for any other pair, so the caller keeps its typed
     * rejection. TM legs enforce [[MaxTmDeltaLonDeg]] (round-16 advice) —
     * a geographic intermediate farther than that from a TM side's central
     * meridian throws a typed error instead of degrading silently.
     */
-  def between(src: Int, dst: Int, datumBridge: Boolean = false)
+  def between(src: Int, dst: Int, datumBridge: String = "")
       : Option[(Double, Double) => (Double, Double)] =
     for {
       (ea, pa) <- side(src)
       (eb, pb) <- side(dst)
       bridge <-
         if (ea == eb) Some(None: Option[(Double, Double) => (Double, Double)])
-        else if (datumBridge && bridgeable(ea, eb))
-          Some(Some(epsg1188Bridge(ea, eb) _): Option[(Double, Double) => (Double, Double)])
+        else if (datumBridge.nonEmpty)
+          bridgeTransform(datumBridge, ea, eb).map(br =>
+            Some(br): Option[(Double, Double) => (Double, Double)])
         else None // cross-datum without the opt-in: keep the typed rejection
     } yield {
       // Δλ guard bounds per TM side (NaN = no TM on that side: every
@@ -617,12 +767,13 @@ object CrsTransform {
   /** The transform a resample=nearest zip needs to sample raster `b` at
     * raster `a`'s pixel centroids — Some only when both files DECLARE an
     * EPSG, the codes differ, and the pair is supported: same datum, or
-    * WGS84 ↔ NAD83 under the opt-in `datumBridge` (EPSG:1188 zero-shift,
-    * ~2 m). Same/undeclared CRSs return None and take the affine-only path
+    * the exact pair a non-empty `datumBridge` value names (epsg1188 =
+    * WGS84 ↔ NAD83, epsg1149 = WGS84 ↔ ETRS89; ~1–2 m zero-shift).
+    * Same/undeclared CRSs return None and take the affine-only path
     * (with its existing equality gates).
     */
   def zipTransform(a: TiffTags.RasterMeta, b: TiffTags.RasterMeta,
-      datumBridge: Boolean = false)
+      datumBridge: String = "")
       : Option[(Double, Double) => (Double, Double)] =
     for {
       ea <- a.epsg

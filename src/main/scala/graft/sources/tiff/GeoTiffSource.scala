@@ -111,17 +111,20 @@ object GeoTiffTable {
     val resample = Option(options.get("resample")).map(_.trim).filter(_.nonEmpty)
     resample.foreach(r => require(r.equalsIgnoreCase("nearest"),
       s"unsupported resample mode '$r' — only 'nearest' is supported"))
-    // datumBridge=epsg1188 (round 16): OPT-IN cross-datum zips through the
-    // published EPSG:1188 "NAD83 to WGS84 (1)" zero-shift transform
-    // (~1–2 m accuracy). Default stays the typed rejection — the NAD83/WGS84
-    // shift is time-dependent and must never be conflated silently.
+    // datumBridge (round 16): OPT-IN cross-datum zips through a published
+    // zero-shift transform the VALUE must name — epsg1188 (NAD83<->WGS84,
+    // ~2 m) or epsg1149 (ETRS89<->WGS84, ~1 m). Default stays the typed
+    // rejection — the shifts are time-dependent and must never be
+    // conflated silently, and a value never opens a pair it does not name.
     val datumBridge = Option(options.get("datumBridge")).map(_.trim).filter(_.nonEmpty)
-    datumBridge.foreach(b => require(b.equalsIgnoreCase("epsg1188"),
+    datumBridge.foreach(b => require(
+      b.equalsIgnoreCase("epsg1188") || b.equalsIgnoreCase("epsg1149"),
       s"unsupported datumBridge '$b' — only 'epsg1188' (the published " +
         "NAD83<->WGS84 zero-shift geocentric translation, ~1-2 m accuracy) " +
-        "is supported; no other datum pair has a bridge"))
+        "and 'epsg1149' (the ETRS89<->WGS84 twin, ~1 m) are supported; no " +
+        "other datum pair has a bridge"))
     new GeoTiffTable(paths, colNames, maxBlock, calcArea, bands, overview,
-      resample.isDefined, datumBridge.isDefined)
+      resample.isDefined, datumBridge.map(_.toLowerCase).getOrElse(""))
   }
 
   /** Coordinate column names for a raster: lon/lat for geographic (or
@@ -159,7 +162,7 @@ class GeoTiffTable(
     bands: Seq[Int],
     overview: Int = 0,
     resampleNearest: Boolean = false,
-    datumBridge: Boolean = false)
+    datumBridge: String = "")
   extends Table with SupportsRead {
 
   lazy val metas: Seq[TiffTags.RasterMeta] = {
@@ -192,10 +195,12 @@ class GeoTiffTable(
             s"${m.path} (model type ${m.crsModelType}) — geographic and projected " +
             "rasters cannot share a point grid" +
             (if (resampleNearest) "; supported resample transforms are same-datum " +
-              "pairs of EPSG:4326/UTM 326xx/327xx (WGS84) or EPSG:4269/UTM 269xx/" +
-              "Albers 5070,6350,3310/LCC 26941-26946 (NAD83); cross-datum " +
-              "NAD83<->WGS84 pairs additionally need option datumBridge=epsg1188 " +
-              "(~1-2 m accuracy)" else ""))
+              "pairs of EPSG:4326/UTM 326xx/327xx/polar 3413,3976,3031/UPS/" +
+              "3857/polar LAEA 3573-3576 (WGS84), EPSG:4269/UTM 269xx/" +
+              "Albers 5070,6350,3310/LCC 26941-26946 (NAD83), or EPSG:4258/" +
+              "LAEA 3035 (ETRS89); cross-datum pairs additionally need option " +
+              "datumBridge=epsg1188 (NAD83<->WGS84) or epsg1149 " +
+              "(ETRS89<->WGS84), ~1-2 m accuracy" else ""))
         // same kind is not enough: two DIFFERENT projected CRSs (UTM zones
         // routinely share identical numeric grids — false easting 500000,
         // same scale) or two geographic datums would zip pixels from
@@ -210,10 +215,12 @@ class GeoTiffTable(
             s"raster CRS mismatch: ${first.path} (EPSG:$a) vs ${m.path} (EPSG:$b) — " +
               "identical numeric grids in different CRSs are different places" +
               (if (resampleNearest) "; supported resample transforms cover " +
-                "same-datum pairs of EPSG:4326/UTM 326xx/327xx (WGS84) and " +
+                "same-datum pairs of EPSG:4326/UTM 326xx/327xx/polar " +
+                "3413,3976,3031/UPS/3857/polar LAEA 3573-3576 (WGS84), " +
                 "EPSG:4269/UTM 269xx/Albers 5070,6350,3310/LCC 26941-26946 " +
-                "(NAD83); cross-datum NAD83<->WGS84 pairs additionally need " +
-                "option datumBridge=epsg1188 (~1-2 m accuracy)" else ""))
+                "(NAD83), and EPSG:4258/LAEA 3035 (ETRS89); cross-datum " +
+                "pairs additionally need option datumBridge=epsg1188 " +
+                "(NAD83<->WGS84) or epsg1149 (ETRS89<->WGS84), ~1-2 m accuracy" else ""))
       }
       if (resampleNearest && (crossCrs || !first.sameGrid(m))) {
         // Every mask centroid must land inside the secondary — clamping at
@@ -351,7 +358,7 @@ class GeoTiffScanBuilder(
     bands: Seq[Int],
     coordNames: (String, String),
     resampleNearest: Boolean = false,
-    datumBridge: Boolean = false)
+    datumBridge: String = "")
   extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
 
   private val (xName, yName) = coordNames
@@ -408,7 +415,7 @@ class GeoTiffScan(
     bands: Seq[Int],
     lonMin: Double, lonMax: Double, latMin: Double, latMax: Double,
     resampleNearest: Boolean = false,
-    datumBridge: Boolean = false)
+    datumBridge: String = "")
   extends Scan with Batch with Serializable {
 
   override def readSchema(): StructType = required
@@ -526,7 +533,7 @@ class GeoTiffReaderFactory(
     calcArea: Boolean,
     bands: Array[Int],
     resampleNearest: Boolean = false,
-    datumBridge: Boolean = false)
+    datumBridge: String = "")
   extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new GeoTiffPartitionReader(metas, colNames, required,
@@ -631,7 +638,7 @@ class GeoTiffPartitionReader(
     calcArea: Boolean,
     bands: Array[Int],
     resampleNearest: Boolean = false,
-    datumBridge: Boolean = false)
+    datumBridge: String = "")
   extends PartitionReader[InternalRow] {
 
   private val m0 = metas(0)

@@ -119,8 +119,13 @@ class CrsTransformSpec extends AnyFunSuite {
     assert(CrsTransform.between(32633, 32634).isDefined) // zone-to-zone composes
     assert(CrsTransform.between(4326, 3857).isDefined) // web mercator (round 16)
     assert(CrsTransform.between(4326, 3413).isDefined) // NSIDC north (round 16)
-    assert(CrsTransform.between(4326, 3035).isEmpty) // ETRS89 LAEA: unsupported
+    // round 16: 3035 is now REGISTERED (ETRS89 LAEA) — 4326 × 3035 stays
+    // None because it CROSSES DATUMS without the epsg1149 opt-in, while
+    // the same-datum ETRS89 pair composes
+    assert(CrsTransform.between(4326, 3035).isEmpty)
+    assert(CrsTransform.between(4258, 3035).isDefined)
     assert(CrsTransform.between(4267, 32633).isEmpty) // NAD27 datum: unsupported
+    assert(CrsTransform.between(4326, 2154).isEmpty) // RGF93 Lambert-93: unsupported
     // 4326 -> UTM matches forward(); UTM -> 4326 matches inverse()
     val f = CrsTransform.between(4326, 32633).get
     assert(f(16.0, 48.0) === CrsTransform.forward(p33, 16.0, 48.0))
@@ -397,17 +402,32 @@ class CrsTransformSpec extends AnyFunSuite {
     assert(CrsTransform.between(4326, 4269).isEmpty)
     assert(CrsTransform.between(4326, 26915).isEmpty)
     // with the opt-in: geographic pairs, geo x UTM, geo x Albers all compose
-    assert(CrsTransform.between(4326, 4269, datumBridge = true).isDefined)
-    assert(CrsTransform.between(4326, 26915, datumBridge = true).isDefined)
-    assert(CrsTransform.between(4326, 5070, datumBridge = true).isDefined)
-    assert(CrsTransform.between(26915, 32615, datumBridge = true).isDefined)
-    // the opt-in does NOT open unsupported pairs (no laundering through it)
-    assert(CrsTransform.between(4326, 3035, datumBridge = true).isEmpty)
+    assert(CrsTransform.between(4326, 4269, datumBridge = "epsg1188").isDefined)
+    assert(CrsTransform.between(4326, 26915, datumBridge = "epsg1188").isDefined)
+    assert(CrsTransform.between(4326, 5070, datumBridge = "epsg1188").isDefined)
+    assert(CrsTransform.between(26915, 32615, datumBridge = "epsg1188").isDefined)
+    // a bridge VALUE never opens a pair it does not name (no laundering):
+    // epsg1188 is the NAD83 transform — it must not admit the ETRS89 pair,
+    // and vice versa (round 16: 3035 IS registered, the value gate is what
+    // rejects here)
+    assert(CrsTransform.between(4326, 3035, datumBridge = "epsg1188").isEmpty)
+    assert(CrsTransform.between(4326, 3035, datumBridge = "epsg1149").isDefined)
+    assert(CrsTransform.between(4326, 4258, datumBridge = "epsg1149").isDefined)
+    assert(CrsTransform.between(4326, 4269, datumBridge = "epsg1149").isEmpty)
+    assert(CrsTransform.between(4326, 26915, datumBridge = "epsg1149").isEmpty)
+    // ETRS89 and NAD83 share GRS80's constants but are DIFFERENT datums:
+    // no composition, no bridge under either value (neither names the pair)
+    assert(CrsTransform.between(4258, 4269).isEmpty)
+    assert(CrsTransform.between(4258, 26915).isEmpty)
+    assert(CrsTransform.between(3035, 5070, datumBridge = "epsg1188").isEmpty)
+    assert(CrsTransform.between(3035, 5070, datumBridge = "epsg1149").isEmpty)
+    assert(CrsTransform.between(4258, 4269, datumBridge = "epsg1188").isEmpty)
+    assert(CrsTransform.between(4258, 4269, datumBridge = "epsg1149").isEmpty)
     // ... and the WGS84 polar/web family bridges to NAD83 like any other
     // same-registry projection (shared geographic leg + EPSG:1188)
-    assert(CrsTransform.between(4269, 3413, datumBridge = true).isDefined)
+    assert(CrsTransform.between(4269, 3413, datumBridge = "epsg1188").isDefined)
     assert(CrsTransform.between(4269, 3413).isEmpty)
-    assert(CrsTransform.between(4267, 4326, datumBridge = true).isEmpty, "NAD27 never bridges")
+    assert(CrsTransform.between(4267, 4326, datumBridge = "epsg1188").isEmpty, "NAD27 never bridges")
     assert(!CrsTransform.bridgeable(CrsTransform.Wgs84, CrsTransform.Wgs84))
     assert(CrsTransform.bridgeable(CrsTransform.Wgs84, CrsTransform.Grs80))
     // the zero-shift bridge: longitude EXACTLY unchanged (the geocentric
@@ -426,7 +446,7 @@ class CrsTransformSpec extends AnyFunSuite {
     // the bridge is the identity there
     assert(br(-100.0, 0.0) === (-100.0, 0.0))
     // end-to-end: 4326 -> 5070 with the bridge equals bridge-then-Albers
-    val t = CrsTransform.between(4326, 5070, datumBridge = true).get
+    val t = CrsTransform.between(4326, 5070, datumBridge = "epsg1188").get
     val (bx, by) = br(-100.0, 40.0)
     assert(t(-100.0, 40.0) === alb.fwd(bx, by))
   }
@@ -652,5 +672,133 @@ class CrsTransformSpec extends AnyFunSuite {
     // latitude guard: beyond the published extent fails loudly
     val eLat = intercept[IllegalArgumentException] { web.fwd(0.0, 85.2) }
     assert(eLat.getMessage.contains("85.06"))
+  }
+
+  // ---- round 16: Lambert Azimuthal Equal-Area (9820) + the ETRS89 datum --
+
+  private val laea35 = CrsTransform.laeaParams(3035).get
+    .asInstanceOf[CrsTransform.LaeaParams]
+  private val laeaNp = CrsTransform.laeaParams(3575).get
+    .asInstanceOf[CrsTransform.LaeaParams]
+
+  test("LAEA registry: published parameter sets; ETRS89 is its own datum") {
+    assert(laea35.lat0Deg === 52.0 && laea35.lon0Deg === 10.0 &&
+      laea35.falseEasting === 4321000.0 && laea35.falseNorthing === 3210000.0 &&
+      (laea35.ell eq CrsTransform.Etrs89))
+    for ((code, lon0) <- Seq(3573 -> -100.0, 3574 -> -40.0, 3575 -> 10.0, 3576 -> 90.0)) {
+      val p = CrsTransform.laeaParams(code).get.asInstanceOf[CrsTransform.LaeaParams]
+      assert(p.lat0Deg === 90.0 && p.lon0Deg === lon0 && (p.ell eq CrsTransform.Wgs84))
+    }
+    assert(CrsTransform.laeaParams(3036).isEmpty)
+    assert(CrsTransform.laeaParams(3577).isEmpty) // Australian Albers: not LAEA
+    // ETRS89 shares GRS80's CONSTANTS but compares UNEQUAL — the datum
+    // gate is identity, not geometry (a NAD83 raster must never silently
+    // compose with an ETRS89 one)
+    assert(CrsTransform.Etrs89.a === CrsTransform.Grs80.a &&
+      CrsTransform.Etrs89.f === CrsTransform.Grs80.f &&
+      CrsTransform.Etrs89 != CrsTransform.Grs80)
+  }
+
+  test("LAEA oblique: GN7-2's published worked example (EPSG:3035 parameters)") {
+    // GN7-2 method 9820 example: φ = 50°N, λ = 5°E →
+    // E = 3 962 799.45 m, N = 2 999 718.85 m
+    val (e, n) = laea35.fwd(5.0, 50.0)
+    assert(math.abs(e - 3962799.45) < 0.01, s"E $e")
+    assert(math.abs(n - 2999718.85) < 0.01, s"N $n")
+    val (lon, lat) = laea35.inv(3962799.45, 2999718.85)
+    assert(math.abs(lon - 5.0) < 1e-7 && math.abs(lat - 50.0) < 1e-7)
+    // the projection origin maps to the false origin exactly
+    val (e0, n0) = laea35.fwd(10.0, 52.0)
+    assert(math.abs(e0 - 4321000.0) < 1e-6 && math.abs(n0 - 3210000.0) < 1e-6)
+  }
+
+  test("LAEA: equal-area — |det J| equals the ellipsoidal area element everywhere") {
+    // the same oracle the Albers suite uses: |det J| per radian² must equal
+    // M(φ)·N(φ)·cosφ — written from curvature radii, no projection code
+    for ((p, pts) <- Seq(
+        laea35 -> Seq((5.0, 50.0), (10.0, 52.0), (24.0, 61.0), (-8.0, 38.0)),
+        laeaNp -> Seq((10.0, 80.0), (-100.0, 65.0), (90.0, 72.5), (170.0, 55.0)))) {
+      for ((lon, lat) <- pts) {
+        val (dEl, dNl, dEp, dNp) = jacobian(p, lon, lat)
+        val det = math.abs(dEl * dNp - dNl * dEp)
+        val (mM, nu) = radiiM(p.ell, lat)
+        val want = mM * nu * math.cos(math.toRadians(lat))
+        assert(math.abs(det / want - 1.0) < 1e-6, s"($lon, $lat): $det vs $want")
+      }
+    }
+  }
+
+  test("LAEA polar: e → 0 reduces to the equal-area chord ρ = 2R·sin(c/2)") {
+    val sph = CrsTransform.Ellipsoid("near-sphere", 6370000.0, 1e-12)
+    val p = CrsTransform.LaeaParams(90.0, 0.0, 0.0, 0.0, sph)
+    for (lat <- Seq(89.0, 75.0, 50.0, 10.0, -20.0)) {
+      val (e, n) = p.fwd(33.0, lat)
+      val rho = math.hypot(e, n)
+      val want = 2.0 * sph.a * math.sin((math.Pi / 2.0 - math.toRadians(lat)) / 2.0)
+      // RELATIVE tolerance: at f = 1e-12 the ln((1−es)/(1+es))/(2e) term
+      // carries ~1e-16/e of rounding noise in q, which √(qp − q) amplifies
+      // near the pole (≈6 mm of a 111 km ρ at 89°) — double-precision
+      // artifact of the near-sphere trick, not projection error
+      assert(math.abs(rho / want - 1.0) < 1e-6, s"lat $lat: rho $rho vs chord $want")
+    }
+    // and the pole itself maps to the origin
+    val (e9, n9) = laeaNp.fwd(123.0, 90.0)
+    assert(math.abs(e9) < 1e-6 && math.abs(n9) < 1e-6)
+  }
+
+  test("LAEA: round-trips (oblique across Europe, polar across the Arctic) and the antipode guard") {
+    check(Prop.forAll(Gen.choose(-25.0, 45.0), Gen.choose(28.0, 72.0)) {
+      (lon, lat) =>
+        val (e, n) = laea35.fwd(lon, lat)
+        val (lon2, lat2) = laea35.inv(e, n)
+        math.abs(lon2 - lon) < 1e-9 && math.abs(lat2 - lat) < 1e-9
+    })
+    check(Prop.forAll(Gen.choose(-180.0, 180.0), Gen.choose(0.0, 90.0)) {
+      (lon, lat) =>
+        val (e, n) = laeaNp.fwd(lon, lat)
+        val (lon2, lat2) = laeaNp.inv(e, n)
+        val dLon = math.abs(((lon2 - lon) % 360.0 + 540.0) % 360.0 - 180.0)
+        (math.abs(lat - 90.0) < 1e-9 || dLon < 1e-9) && math.abs(lat2 - lat) < 1e-9
+    })
+    // the antipode of the oblique origin is undefined — loud typed failure
+    val eAnti = intercept[IllegalArgumentException] { laea35.fwd(-170.0, -52.0) }
+    assert(eAnti.getMessage.contains("antipode"))
+    // deterministic near-pole pin: the classical cosφ-division fixed point
+    // for φ(q) was 0.014° wrong at 89.999° (ScalaCheck found it the day
+    // the polar aspect landed; the Newton-in-sinφ solve replaced it) —
+    // keep the exact regression case
+    for (lat <- Seq(89.85966316255292, 89.999)) {
+      val (e, n) = laeaNp.fwd(0.0, lat)
+      val (_, lat2) = laeaNp.inv(e, n)
+      assert(math.abs(lat2 - lat) < 1e-9, s"near-pole φ(q): $lat -> $lat2")
+    }
+  }
+
+  test("epsg1149 bridge: ETRS89 <-> WGS84 zero-shift, value-gated, sub-mm latitude reshape") {
+    // same zero-shift math as 1188 (the ellipsoids differ in f only at the
+    // 0.1 mm level); longitude exactly unchanged
+    val br = CrsTransform.bridgeTransform("epsg1149",
+      CrsTransform.Wgs84, CrsTransform.Etrs89).get
+    for ((lon, lat) <- Seq((10.0, 52.0), (-5.0, 40.0), (25.0, 65.0))) {
+      val (lon2, lat2) = br(lon, lat)
+      assert(lon2 === lon)
+      assert(math.abs(lat2 - lat) < 1e-9, s"Δφ ${lat2 - lat}")
+    }
+    // value gating is exhaustive: wrong value, wrong pair, same datum
+    assert(CrsTransform.bridgeTransform("epsg1149",
+      CrsTransform.Wgs84, CrsTransform.Grs80).isEmpty)
+    assert(CrsTransform.bridgeTransform("epsg1188",
+      CrsTransform.Wgs84, CrsTransform.Etrs89).isEmpty)
+    assert(CrsTransform.bridgeTransform("epsg1149",
+      CrsTransform.Etrs89, CrsTransform.Etrs89).isEmpty)
+    assert(CrsTransform.bridgeTransform("epsg1149",
+      CrsTransform.Grs80, CrsTransform.Etrs89).isEmpty, "NAD83 x ETRS89 never bridges")
+    // end-to-end: 4326 -> 3035 with the bridge equals bridge-then-LAEA
+    val t = CrsTransform.between(4326, 3035, datumBridge = "epsg1149").get
+    val (gx, gy) = CrsTransform.bridgeTransform("epsg1149",
+      CrsTransform.Wgs84, CrsTransform.Etrs89).get(5.0, 50.0)
+    val (we, wn) = laea35.fwd(gx, gy)
+    val (te, tn) = t(5.0, 50.0)
+    assert(math.abs(te - we) < 1e-9 && math.abs(tn - wn) < 1e-9)
   }
 }

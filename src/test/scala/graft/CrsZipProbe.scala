@@ -84,6 +84,17 @@ object CrsZipProbe {
     time("web mercator zip (4326->3857)")(
       Raster.raster2df(spark, Seq(mask, wm), colNames = Seq("a", "b"),
         maxBlockSize = 1024, resample = "nearest").count())
+    // round 16: LAEA (ETRS89 3035, the CORINE pairing) — ETRS89 mask over
+    // the EU LAEA grid @ 200 m; centroid images span x [4180.6k, 4321.0k],
+    // y [3098.7k, 3323.1k]
+    val maskEu = TiffFixtures.writeBigTiff(s"$tmp/mask_eu.tif", 4000, 4000, v,
+      8.0, 53.0, 0.0005, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4258))
+    val laea = TiffFixtures.writeBigTiff(s"$tmp/laea.tif", 760, 1180,
+      (c, r) => (c + r).toDouble, 4175000.0, 3328000.0, 200.0, None,
+      geoKeys = Seq(1024 -> 1, 3072 -> 3035))
+    time("laea zip (4258->3035)")(
+      Raster.raster2df(spark, Seq(maskEu, laea), colNames = Seq("a", "b"),
+        maxBlockSize = 1024, resample = "nearest").count())
     spark.stop()
   }
 }

@@ -1370,6 +1370,70 @@ class GeoTiffSourceSpec extends SparkSpec {
     }
   }
 
+  test("LAEA cross-CRS resample (round 16): a 4258 mask samples an EPSG:3035 secondary; ETRS89 is datum-gated") {
+    import graft.sources.tiff.CrsTransform
+    val laea = CrsTransform.laeaParams(3035).get
+    def g(c: Int, r: Int): Double = r * 1000.0 + c
+    // ETRS89 mask 10×8 @ 0.2°, origin (8°, 53°N) — the CORINE shape: a
+    // geographic AOI over the EU-standard LAEA land-cover grid
+    val mask = TiffFixtures.writeBigTiff(s"$tmp/laea_mask.tif", 10, 8, v7,
+      8.0, 53.0, 0.2, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4258))
+    // secondary: EPSG:3035, 80×105 @ 2 km covering x [4.17e6, 4.33e6],
+    // y [3.12e6, 3.33e6] — a superset of the mask centroids' images
+    val sec = TiffFixtures.writeBigTiff(s"$tmp/laea_sec.tif", 80, 105, g,
+      4170000.0, 3330000.0, 2000.0, None, geoKeys = Seq(1024 -> 1, 3072 -> 3035))
+    val rows = Raster.raster2df(spark, Seq(mask, sec), colNames = Seq("m", "b"),
+      resample = "nearest").collect()
+    val expectValid = (0 until 8).flatMap(r => (0 until 10).map(c => (c, r)))
+      .count { case (c, r) => v7(c, r) != -9999.0 }
+    assert(rows.length == expectValid)
+    rows.foreach { row =>
+      val (lon, lat, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (e, n) = laea.fwd(lon, lat)
+      val cc = math.floor((e - 4170000.0) / 2000.0).toInt
+      val rr = math.floor((3330000.0 - n) / 2000.0).toInt
+      assert(b.toDouble == g(cc, rr),
+        s"($lon, $lat) -> 3035 ($e, $n) cell ($cc, $rr): got $b want ${g(cc, rr)}")
+    }
+    // a WGS84 mask over the same secondary: cross-datum, rejected by
+    // default; epsg1149 opts in (and the row check runs through the
+    // bridge-then-LAEA composition); epsg1188 does NOT open the pair
+    val wgsMask = TiffFixtures.writeBigTiff(s"$tmp/laea_wgs.tif", 10, 8, v7,
+      8.0, 53.0, 0.2, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4326))
+    val eDef = intercept[Exception] {
+      Raster.raster2df(spark, Seq(wgsMask, sec), colNames = Seq("m", "b"),
+        resample = "nearest").collect()
+    }
+    assert(eDef.getMessage.contains("same-datum") ||
+      eDef.getMessage.contains("datumBridge"), eDef.getMessage)
+    val eWrongVal = intercept[Exception] {
+      Raster.raster2df(spark, Seq(wgsMask, sec), colNames = Seq("m", "b"),
+        resample = "nearest", datumBridge = "epsg1188").collect()
+    }
+    assert(eWrongVal.getMessage.contains("EPSG"), eWrongVal.getMessage)
+    val t = CrsTransform.between(4326, 3035, datumBridge = "epsg1149").get
+    Raster.raster2df(spark, Seq(wgsMask, sec), colNames = Seq("m", "b"),
+      resample = "nearest", datumBridge = "epsg1149").collect().foreach { row =>
+      val (lon, lat, b) = (row.getDouble(0), row.getDouble(1), row.getFloat(3))
+      val (e, n) = t(lon, lat)
+      val cc = math.floor((e - 4170000.0) / 2000.0).toInt
+      val rr = math.floor((3330000.0 - n) / 2000.0).toInt
+      assert(b.toDouble == g(cc, rr), s"bridged ($lon, $lat) cell ($cc, $rr): got $b")
+    }
+    // NAD83 x ETRS89 (shared GRS80 constants, different datums): rejected
+    // under BOTH bridge values — neither names the pair
+    val nadMask = TiffFixtures.writeBigTiff(s"$tmp/laea_nad.tif", 10, 8, v7,
+      8.0, 53.0, 0.2, Some("-9999"), geoKeys = Seq(1024 -> 2, 2048 -> 4269))
+    for (bridge <- Seq("", "epsg1188", "epsg1149")) {
+      val eNad = intercept[Exception] {
+        Raster.raster2df(spark, Seq(nadMask, sec), colNames = Seq("m", "b"),
+          resample = "nearest", datumBridge = bridge).collect()
+      }
+      assert(eNad.getMessage.contains("EPSG") || eNad.getMessage.contains("same-datum"),
+        s"bridge='$bridge': ${eNad.getMessage}")
+    }
+  }
+
   test("datumBridge=epsg1188 (round 16): opt-in NAD83<->WGS84 zip, default stays rejected") {
     import graft.sources.tiff.CrsTransform
     // a WGS84 mask over the same NAD83 Albers secondary as above
@@ -1385,7 +1449,7 @@ class GeoTiffSourceSpec extends SparkSpec {
     }
     assert(eDef.getMessage.contains("datumBridge=epsg1188"), eDef.getMessage)
     // opted in: samples through bridge-then-Albers, row-checked
-    val t = CrsTransform.between(4326, 5070, datumBridge = true).get
+    val t = CrsTransform.between(4326, 5070, datumBridge = "epsg1188").get
     val rows = Raster.raster2df(spark, Seq(mask, sec), colNames = Seq("m", "b"),
       resample = "nearest", datumBridge = "epsg1188").collect()
     assert(rows.nonEmpty)
