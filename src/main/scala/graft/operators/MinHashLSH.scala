@@ -181,12 +181,14 @@ final case class MinHashLSH(
     * over-cap index bucket is reduced to its MIN-ID representative row,
     * so candidate volume is bounded by batch-band-rows x maxBucket per
     * band (one degenerate boilerplate bucket would otherwise cost
-    * batch-bucket x index-bucket rows per arriving batch) while an exact
-    * replay of an indexed doc still meets a candidate even in a
-    * degenerate bucket. The batch side is never aggregated — capping it
-    * would be an unsupported streaming plan AND would let a mass replay
-    * (more copies than the cap, arriving in one batch) sail through
-    * index dedup entirely.
+    * batch-bucket x index-bucket rows per arriving batch) while every
+    * batch row in a degenerate bucket still meets the bucket's
+    * representative as a candidate (a single-text flood is always caught;
+    * see the recall contract at the implementation for the mixed-bucket
+    * tail the cap deliberately trades). The batch side is never
+    * aggregated — capping it would be an unsupported streaming plan AND
+    * would let a mass replay (more copies than the cap, arriving in one
+    * batch) sail through index dedup entirely.
     */
   def candidatesAgainstIndex(
       newDf: DataFrame,
@@ -221,9 +223,16 @@ final case class MinHashLSH(
     // would break streamDedupAgainstIndex(maxBucket > 0) at query start.
     // Over-cap INDEX buckets keep their MIN-ID ROW as a representative
     // star instead of vanishing (the round's representative-star rule):
-    // an exact replay of an indexed doc still meets SOME candidate even
-    // when its bucket is degenerate, rather than sailing through dedup —
-    // the verify step decides, at one extra row per hot key.
+    // every batch row that lands in a degenerate bucket still meets one
+    // candidate, at one extra row per hot key. Recall contract, stated
+    // precisely: the star GUARANTEES a candidate, and the verify step
+    // decides — so a flood of copies of ONE text is always caught (its
+    // bucket members share the text, so the rep IS the text), but an
+    // exact replay of a NON-representative member of a MIXED over-cap
+    // bucket (> maxBucket distinct texts sharing a band hash) can verify
+    // below threshold against the rep and slip through. The cap trades
+    // exactly that tail for the bounded join; size it above honest bucket
+    // sizes so only degenerate content ever hits the star.
     val idx =
       if (maxBucket <= 0) index
       else {
@@ -231,9 +240,13 @@ final case class MinHashLSH(
           .agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucket)
           .select(col("band"), col("key"))
+        // reps re-join the index on (band, key, min id) so a caller index
+        // carrying EXTRA columns keeps them (the pre-star code accepted
+        // any schema; selecting synthesized columns would reject it)
         val reps = index.join(hot, Seq("band", "key"))
           .groupBy(col("band"), col("key"))
           .agg(min(col("id")).as("id"))
+          .join(index, Seq("band", "key", "id"))
         index.join(hot, Seq("band", "key"), "left_anti")
           .unionByName(reps.select(index.columns.map(col).toIndexedSeq: _*))
       }

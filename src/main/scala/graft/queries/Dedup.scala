@@ -398,6 +398,12 @@ object Dedup {
       graft.operators.SubstringDedup
         .duplicatedSpans(Tables.documents(s, dir), "doc_id", "text", k = 20)
         .write.mode("overwrite").parquet(p)
+      // saturation guard at artifact-BUILD time (round 16): q105's
+      // act-many exciseSpans inherits this verdict instead of re-paying a
+      // corpus length scan per action — a saturated corpus (k below the
+      // collision floor) fails the build loudly, never excises silently
+      graft.operators.SubstringDedup.coverageGuard(
+        Tables.documents(s, dir), "doc_id", "text", s.read.parquet(p))
     }
     s.read.parquet(p)
   }

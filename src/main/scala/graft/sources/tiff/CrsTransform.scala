@@ -281,14 +281,29 @@ object CrsTransform {
     def inv(easting: Double, northing: Double): (Double, Double) = {
       val dx = easting - falseEasting
       val dy = northing - falseNorthing
+      // out-of-disk guard (both aspects): LAEA's valid image is the disk
+      // ρ ≤ 2·R_q; beyond it the inverse would CLAMP to the antipode and
+      // a zip would silently sample the wrong hemisphere — mis-declared
+      // or corrupt coordinates fail loudly instead (the TM Δλ / web
+      // mercator extent posture). The 1e-6 slack absorbs rounding on
+      // points exactly at the bounding circle.
+      def diskGuard(rho: Double): Unit =
+        require(rho <= 2.0 * rq * (1.0 + 1e-6),
+          f"LAEA (origin $lat0Deg%.2f°, $lon0Deg%.2f°): projected point " +
+            f"($easting%.1f, $northing%.1f) lies ρ=$rho%.1f m from the " +
+            f"origin, outside the projection's ${2.0 * rq}%.1f m bounding " +
+            "circle — not a valid LAEA coordinate; this raster pairing " +
+            "cannot be transformed reliably")
       if (polar) {
         val s = if (north) 1.0 else -1.0
         val rho = math.hypot(dx, dy)
+        diskGuard(rho)
         val q = s * (qp - rho * rho / (ell.a * ell.a))
         val lon = lon0Deg + math.toDegrees(math.atan2(dx, -s * dy))
         (lon, math.toDegrees(phiFromQ(ell, q)))
       } else {
         val rho = math.hypot(dx / dBig, dBig * dy)
+        diskGuard(rho)
         if (rho < 1e-12) (lon0Deg, lat0Deg) // the origin itself
         else {
           val ce = 2.0 * math.asin(math.min(1.0, rho / (2.0 * rq)))
@@ -668,11 +683,13 @@ object CrsTransform {
     (lonDeg, math.toDegrees(phi2))
   }
 
-  /** Datums the EPSG:1188 bridge may connect — exactly WGS84 ↔ NAD83
-    * (GRS80); the option never enables any other datum pair.
+  /** Datums the EPSG:1188 VALUE may connect — delegates to
+    * [[bridgeTransform]] so this can never drift from the value-gated
+    * design as pairs are added (it answers "does epsg1188 apply?", which
+    * is exactly WGS84 ↔ NAD83; ETRS89 has its own value, epsg1149).
     */
   def bridgeable(a: Ellipsoid, b: Ellipsoid): Boolean =
-    a != b && Set(a, b) == Set(Wgs84, Grs80)
+    bridgeTransform("epsg1188", a, b).isDefined
 
   /** The zero-shift bridge a given option VALUE applies to a given datum
     * pair — the value is informed consent for ONE SPECIFIC published

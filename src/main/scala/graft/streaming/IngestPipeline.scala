@@ -120,14 +120,33 @@ object IngestPipeline {
     // Honest residual window: a crash INSIDE the mutation sequence
     // (corpus written, ledger not) still replays the mutations — plain
     // parquet has no atomic multi-table commit; that is what table
-    // formats add on top of exactly this pattern.
+    // formats add on top of exactly this pattern. Cost note: the fence
+    // reads the whole ledger (one tiny file per committed batch), so a
+    // very long-lived stream pays a growing listing cost per batch —
+    // compact the ledger on the same cadence as compactBuckets.
     val replayed =
       if (!exists(spark, cfg.ledgerPath)) None
-      else spark.read.parquet(cfg.ledgerPath)
-        .filter(col("batch_id") === batchId)
-        .select(col("batch_id"), col("ingested"), col("dup_index"),
-          col("dup_batch"), col("gated"), col("appended"))
-        .as[(Long, Long, Long, Long, Long, Long)].collect().headOption
+      else {
+        val rows = spark.read.parquet(cfg.ledgerPath)
+          .select(col("batch_id"), col("ingested"), col("dup_index"),
+            col("dup_batch"), col("gated"), col("appended"))
+          .as[(Long, Long, Long, Long, Long, Long)].collect()
+        val maxId = rows.iterator.map(_._1).max
+        // a GENUINE foreachBatch replay can only be the LAST committed
+        // batch (delivery is in-order; only the newest uncommitted batch
+        // re-runs after a crash). A batchId BELOW the ledger's max means
+        // the stream's checkpoint does not match these artifacts — the
+        // classic "reset the checkpoint, keep the tables" mistake — and
+        // treating it as a replay would SILENTLY swallow the new data:
+        // refuse loudly instead.
+        require(batchId >= maxId,
+          s"ingest ledger at ${cfg.ledgerPath} already holds batches up to " +
+            s"$maxId but this stream delivered batch $batchId — the " +
+            "checkpointLocation does not match these artifacts (was it " +
+            "reset?); refusing to treat new data as a replay. Restart from " +
+            "the original checkpoint, or point at fresh artifact paths")
+        rows.find(_._1 == batchId)
+      }
     replayed match {
       case Some((id, in, di, db, g, ap)) => BatchReport(id, in, di, db, g, ap)
       case None => foldBatch(spark, batch, cfg, batchId)
@@ -159,7 +178,13 @@ object IngestPipeline {
         // batch text WINS over corpus text for ids present in both: a
         // re-crawled id's candidates must verify against the text the
         // corpus will hold AFTER this batch, not the stale row — else a
-        // stale-text match silently drops the revision as a duplicate
+        // stale-text match silently drops the revision as a duplicate.
+        // Known residual edge, accepted: if the re-crawl is ITSELF dropped
+        // later this batch (dup or gated), another doc that verified
+        // against its NEW text was judged against text the corpus never
+        // holds — the converse (stale-wins) loses REVISIONS outright,
+        // which is the worse failure; exactness here needs a second
+        // verification pass over the batch's final survivor set
         val texts = corpusTexts(spark, cfg, cand.select(col("index_id").as("id")).distinct())
           .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .unionByName(docs.select(col("doc_id"), col("text")))

@@ -772,6 +772,17 @@ class CrsTransformSpec extends AnyFunSuite {
       val (_, lat2) = laeaNp.inv(e, n)
       assert(math.abs(lat2 - lat) < 1e-9, s"near-pole φ(q): $lat -> $lat2")
     }
+    // the inverse refuses coordinates outside the projection's bounding
+    // disk (ρ > 2R_q) instead of clamping to the antipode — the same
+    // fail-loudly posture as the TM Δλ and web-mercator extent guards
+    val eDisk = intercept[IllegalArgumentException] {
+      laeaNp.inv(2.1e7, 0.0) // 21,000 km from the pole: beyond 2R_q ≈ 12,742 km
+    }
+    assert(eDisk.getMessage.contains("bounding"), eDisk.getMessage)
+    val eDiskOb = intercept[IllegalArgumentException] {
+      laea35.inv(4321000.0 + 1.6e7, 3210000.0)
+    }
+    assert(eDiskOb.getMessage.contains("bounding"), eDiskOb.getMessage)
   }
 
   test("epsg1149 bridge: ETRS89 <-> WGS84 zero-shift, value-gated, sub-mm latitude reshape") {

@@ -100,6 +100,31 @@ class DedupSpec extends SparkSpec {
     assert(viaIndex.nonEmpty)
   }
 
+  test("index star cap (round 16): over-cap buckets reduce to their min-id rep, extra columns survive") {
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 2)
+    // 70 IDENTICAL docs: every band bucket of the index holds 70 rows —
+    // far over cap 4 — so each bucket must reduce to exactly the min-id
+    // representative (id 1), and a new copy's only candidates are (new, 1)
+    val same = (1L to 70L).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val idx = lsh.bandIndex(same, "doc_id", "text")
+    val batch = Seq((999L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val cand = lsh.candidatesAgainstIndex(batch, "doc_id", "text", idx, maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cand == Set((999L, 1L)), cand.toString)
+    // a caller index carrying EXTRA columns keeps working under the cap
+    // (the rep rows re-join the original schema rather than synthesizing)
+    val idxTagged = idx.withColumn("src", lit("crawl-7"))
+    val cand2 = lsh.candidatesAgainstIndex(batch, "doc_id", "text", idxTagged, maxBucket = 4)
+      .as[(Long, Long)].collect().toSet
+    assert(cand2 == Set((999L, 1L)))
+    // under-cap buckets are untouched: without the cap all 70 match
+    val all = lsh.candidatesAgainstIndex(batch, "doc_id", "text", idx)
+      .as[(Long, Long)].collect().toSet
+    assert(all == (1L to 70L).map((999L, _)).toSet)
+  }
+
   test("native minhash_sig is bit-identical to the HOF fold it replaced") {
     // deliberately NO GraftFunctions.register: signature() must work on
     // any session (Bridge-wrapped expression, no registry precondition)

@@ -118,6 +118,15 @@ class IngestPipelineSpec extends SparkSpec {
       "index must not gain duplicate band rows on replay")
     assert(spark.read.parquet(s"$root/stats").collect().toSeq.toString == statsBefore,
       "stats must not double-count on replay")
+    // a batch id BELOW the ledger's max is NOT a legal replay (foreachBatch
+    // only ever re-delivers the last uncommitted batch): it means the
+    // checkpoint was reset against live artifacts — refuse loudly instead
+    // of silently swallowing the new data as "already processed"
+    IngestPipeline.processBatch(spark, batch2.toDF(), c, 1L)
+    val eReset = intercept[IllegalArgumentException] {
+      IngestPipeline.processBatch(spark, batch1.toDF(), c, 0L)
+    }
+    assert(eReset.getMessage.contains("checkpoint"), eReset.getMessage)
   }
 
   test("mass replay beyond the bucket cap still dedups (index star + intra-batch star)") {
