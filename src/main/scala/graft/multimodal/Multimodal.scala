@@ -375,7 +375,8 @@ object Multimodal {
     */
   private def bandedFpPairs(
       hashes: DataFrame, fpCol: String,
-      maxHamming: Int, maxBucket: Int, repOverCap: Boolean): DataFrame = {
+      maxHamming: Int, maxBucket: Int, repOverCap: Boolean,
+      numReps: Int = 1): DataFrame = {
     require(maxHamming < 4,
       "4 bands over 64 bits are only pigeonhole-complete for Hamming <= 3; " +
         "raise the band count to raise the threshold")
@@ -391,7 +392,7 @@ object Multimodal {
       .select(col("id"), col(fpCol),
         col("bk.band").as("band"), col("bk.key").as("key"))
     graft.operators.BandedSelfJoin.pairs(keyed, cap,
-        repOverCap = repOverCap && cap > 0)
+        repOverCap = repOverCap && cap > 0, numReps = numReps)
       .select(col(s"a.id").as("doc_id_a"), col(s"b.id").as("doc_id_b"),
         bit_count(col(s"a.$fpCol").bitwiseXOR(col(s"b.$fpCol"))).as("hamming"))
       .distinct()
@@ -403,8 +404,10 @@ object Multimodal {
     */
   def imageNearDupPairs(
       media: Dataset[MediaRow], maxHamming: Int = 3,
-      maxBucket: Int = DeriveCap, repOverCap: Boolean = true): DataFrame =
-    bandedFpPairs(imageHashes(media), "ahash", maxHamming, maxBucket, repOverCap)
+      maxBucket: Int = DeriveCap, repOverCap: Boolean = true,
+      numReps: Int = 1): DataFrame =
+    bandedFpPairs(imageHashes(media), "ahash", maxHamming, maxBucket,
+      repOverCap, numReps)
 
   /** 64-bit audio energy-envelope fingerprint — [[aHash64]]'s audio twin:
     * decode PCM16 (canonical little-endian RIFF/WAVE via a lock-free
@@ -661,8 +664,10 @@ object Multimodal {
     */
   def audioNearDupPairs(
       media: Dataset[MediaRow], maxHamming: Int = 3,
-      maxBucket: Int = DeriveCap, repOverCap: Boolean = true): DataFrame =
-    bandedFpPairs(audioHashes(media), "afp", maxHamming, maxBucket, repOverCap)
+      maxBucket: Int = DeriveCap, repOverCap: Boolean = true,
+      numReps: Int = 1): DataFrame =
+    bandedFpPairs(audioHashes(media), "afp", maxHamming, maxBucket,
+      repOverCap, numReps)
 
   /** TRIM-TOLERANT sub-fingerprints (round 15): [[audioFp64]] hashes the
     * whole clip's 64 scale-normalized envelope cells, so a trimmed/padded
@@ -729,7 +734,8 @@ object Multimodal {
   def audioNearDupPairsTrimTolerant(
       media: Dataset[MediaRow], blockSamples: Int = 1024, hopBlocks: Int = 16,
       maxMeanHamming: Double = 3.0, maxBucket: Int = DeriveCap,
-      minCoverFrac: Double = 0.9, repOverCap: Boolean = true): DataFrame = {
+      minCoverFrac: Double = 0.9, repOverCap: Boolean = true,
+      numReps: Int = 1): DataFrame = {
     require(maxMeanHamming < 4,
       "the 4 composite bands pigeonhole two consecutive aligned ranks with " +
         "combined Hamming < 4; raise the band count to raise the threshold")
@@ -773,7 +779,7 @@ object Multimodal {
     // sf.count() is the (slightly conservative) bound the rule wants
     val cap = resolveCap(maxBucket, sf.count(), keyBits = 32)
     val best = graft.operators.BandedSelfJoin.pairs(keyed, cap,
-        repOverCap = repOverCap && cap > 0)
+        repOverCap = repOverCap && cap > 0, numReps = numReps)
       .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"),
         (col("a.rank") - col("b.rank")).as("offset"))
       .groupBy(col("doc_id_a"), col("doc_id_b"), col("offset"))
@@ -869,7 +875,8 @@ object Multimodal {
   def videoNearDupPairs(
       media: Dataset[MediaRow], stride: Int = 2,
       maxMeanHamming: Double = 3.0, maxBucket: Int = DeriveCap,
-      minCommonFrac: Double = 0.5, repOverCap: Boolean = true): DataFrame = {
+      minCommonFrac: Double = 0.5, repOverCap: Boolean = true,
+      numReps: Int = 1): DataFrame = {
     // candidate completeness: mean ≤ t over the common ranks ⇒ some rank's
     // per-frame Hamming ≤ t, and 4 bands over 64 bits pigeonhole that rank
     // only for t < 4 — the same geometry bound bandedFpPairs enforces
@@ -909,7 +916,7 @@ object Multimodal {
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
     val cand = graft.operators.BandedSelfJoin.pairs(keyed, cap,
-        repOverCap = repOverCap && cap > 0)
+        repOverCap = repOverCap && cap > 0, numReps = numReps)
       .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"))
       .distinct()
     val fa = fh.toDF("doc_id_a", "k", "h_a")

@@ -61,51 +61,92 @@ private[graft] object BandedSelfJoin {
     * opt-in.
     *
     * `repOverCap` (round 16): instead of DROPPING buckets larger than
-    * `maxBucket`, pair every over-cap member against ONE deterministic
-    * representative (the bucket's min id) — n−1 star edges instead of
-    * n²/2, so the cost stays linear in the degenerate bucket while the
-    * downstream verify + connected-components action keeps the whole
-    * bucket reachable (a template corpus' trims all verify against the
-    * representative and land in one cluster — the recall the drop
-    * semantics sacrificed, measured at 1M in BASELINE). Buckets at or
-    * under the cap are pair-identical to the plain form. The output
-    * contract (a.id < b.id) holds because the representative is the
-    * bucket's MINIMUM id. Mutually exclusive with salting: a star has no
+    * `maxBucket`, pair every over-cap member against deterministic
+    * representatives — star edges instead of n²/2, so the cost stays
+    * linear in the degenerate bucket while the downstream verify +
+    * connected-components action keeps the whole bucket reachable (a
+    * template corpus' trims all verify against a representative and land
+    * in one cluster — the recall the drop semantics sacrificed, measured
+    * at 1M in BASELINE). Buckets at or under the cap are pair-identical
+    * to the plain form. Mutually exclusive with salting: a star has no
     * quadratic hot key to spread.
+    *
+    * `numReps` (round 17, VERDICT r16 task 3): the round-16 single
+    * min-id representative left 59% of the 1M trim-audio corpus' planted
+    * pairs un-clustered — a MIXED over-cap bucket (several template
+    * VARIANTS sharing one band key) pairs every member against a rep of
+    * possibly the WRONG variant, and the strict verify kills the star
+    * edge. With `numReps = R`, each over-cap bucket keeps R
+    * representatives spread by ID STRIDE (ranks 1, 1+⌈n/R⌉, 1+2⌈n/R⌉, …
+    * in id order — deterministic, and interleaved variants get sampled
+    * across the id range), and every member pairs with EVERY rep
+    * regardless of id order — R·n edges, still linear. The a.id < b.id
+    * contract holds by emitting rep→member edges from whichever side is
+    * smaller: edges₁ = (small-bucket members ∪ reps) × all members with
+    * a.id < b.id (rep-rep pairs included once); edges₂ = over-cap
+    * NON-rep members × reps with a.id < b.id (the member-below-rep half
+    * single-rep stars never had). R = 1 keeps the round-16 plan exactly
+    * (edges₂ is provably empty below the min-id rep and is not built).
     */
   def pairs(keyed: DataFrame, maxBucket: Int, saltAbove: Int = 0,
-      repOverCap: Boolean = false): DataFrame = {
+      repOverCap: Boolean = false, numReps: Int = 1): DataFrame = {
+    require(numReps >= 1, s"numReps must be >= 1, got $numReps")
     if (repOverCap) {
       require(maxBucket > 0, "repOverCap needs a positive maxBucket")
       require(saltAbove <= 0,
         "repOverCap and saltAbove are mutually exclusive: the star's cost " +
           "is already linear, there is no quadratic bucket left to salt")
-      val w = Window.partitionBy(col("band"), col("key"))
-      // One window pass computes both the count and the representative.
-      // The cap must live in the JOIN SIDES, not the join condition: a
-      // residual predicate is applied AFTER the sort-merge join emits a
-      // key group's combinations, so a mega-bucket still pays ~G²/4
-      // comparisons before the filter (measured on the 1M trim corpus,
-      // normalized against the unchanged drop-arm run next to each form:
-      // condition-form 3.8× the drop arm; this form 2.2× — BASELINE
-      // round 16; pair sets identical). Left side = every
-      // member of a small bucket plus only the REPRESENTATIVE's rows of
-      // an over-cap bucket, so per-bucket comparisons are n² small /
-      // |rep rows|×G big — linear in the degenerate bucket. rep = min id
-      // < every other member, so a.id < b.id already orders the star.
+      // One window pass (one sort: both specs share partitioning AND
+      // ordering) computes the count and the id-rank the stride reps
+      // derive from. The cap must live in the JOIN SIDES, not the join
+      // condition: a residual predicate is applied AFTER the sort-merge
+      // join emits a key group's combinations, so a mega-bucket still
+      // pays ~G²/4 comparisons before the filter (measured on the 1M
+      // trim corpus, normalized against the unchanged drop-arm run next
+      // to each form: condition-form 3.8× the drop arm; this form 2.2× —
+      // BASELINE round 16; pair sets identical). Left side = every
+      // member of a small bucket plus only REPRESENTATIVE rows of an
+      // over-cap bucket, so per-bucket comparisons are n² small /
+      // |rep rows|×G big — linear in the degenerate bucket.
       // The two sides differ, so (like the salted branch, same caveats)
       // the keyed rows are materialized once rather than recomputed.
+      val wOrd = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
+      val wAll = wOrd.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val stride = greatest(
+        ceil(col("bucket_n").cast("double") / lit(numReps.toDouble)).cast("long"),
+        lit(1L))
       val counted = keyed
-        .withColumn("bucket_n", count(lit(1)).over(w))
-        .withColumn("rep_id", min(col("id")).over(w))
+        .withColumn("bucket_n", count(lit(1)).over(wAll))
+        // dense_rank, NOT row_number: a clip's sub-fingerprints can put
+        // the same id in one bucket several times (different ranks), and
+        // row_number would tie-break among equal ids nondeterministically
+        // AND split an id's rows across rep/non-rep. dense_rank is a pure
+        // function of the id VALUE, so a selected rep keeps ALL its rows
+        // (the round-16 min-id semantics, generalized to R id-classes).
+        .withColumn("is_rep",
+          col("bucket_n") > maxBucket &&
+            pmod(dense_rank().over(wOrd).cast("long") - 1L, stride) === 0L)
         .localCheckpoint(true)
       val aSide = counted
-        .filter(col("bucket_n") <= maxBucket || col("id") === col("rep_id"))
-        .drop("bucket_n", "rep_id")
-      val bSide = counted.drop("bucket_n", "rep_id")
-      aSide.as("a").join(bSide.as("b"),
+        .filter(col("bucket_n") <= maxBucket || col("is_rep"))
+        .drop("bucket_n", "is_rep")
+      val bSide = counted.drop("bucket_n", "is_rep")
+      val edges = aSide.as("a").join(bSide.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
+      if (numReps == 1) edges // the min-id rep has no member below it
+      else {
+        val aNonRep = counted
+          .filter(col("bucket_n") > maxBucket && !col("is_rep"))
+          .drop("bucket_n", "is_rep")
+        val bReps = counted.filter(col("is_rep")).drop("bucket_n", "is_rep")
+        // positional union: the joined frames carry duplicate column
+        // names (a.*, b.*), which unionByName cannot address
+        edges.union(aNonRep.as("a").join(bReps.as("b"),
+          col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+            col("a.id") < col("b.id")))
+      }
     } else if (saltAbove <= 0) {
       val bounded =
         if (maxBucket <= 0) keyed

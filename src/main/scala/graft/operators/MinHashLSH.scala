@@ -125,7 +125,8 @@ final case class MinHashLSH(
       idCol: String,
       textCol: String,
       maxBucket: Int = 0,
-      repOverCap: Boolean = false): DataFrame = {
+      repOverCap: Boolean = false,
+      numReps: Int = 1): DataFrame = {
     // Zero-shingle documents (shorter than the shingle width) all share the
     // fold's initial accumulator signature and would bucket together; their
     // band hashes are the CONSTANTS below, so excluding them costs one
@@ -138,7 +139,7 @@ final case class MinHashLSH(
     // with SimHash in BandedSelfJoin.
     val keyed = bandIndex(df, idCol, textCol)
     BandedSelfJoin.pairs(keyed, maxBucket,
-        repOverCap = repOverCap && maxBucket > 0)
+        repOverCap = repOverCap && maxBucket > 0, numReps = numReps)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
@@ -210,6 +211,24 @@ final case class MinHashLSH(
       textCol: String,
       index: DataFrame,
       maxBucket: Int = 0,
+      carry: Seq[String] = Nil): DataFrame =
+    candidatesFromBands(
+      bandIndex(newDf, idCol, textCol, carry), index, maxBucket, carry)
+
+  /** The (band, key) candidate join over PRECOMPUTED batch band rows — the
+    * shared core of [[rawCandidatesAgainstIndex]], and the entry the
+    * bucketed-store path uses ([[LshIndexStore]]): a caller that needs the
+    * batch's band rows anyway (to derive the touched store buckets for a
+    * pruned index read) computes them ONCE and joins here without
+    * re-hashing the batch. `batchBands` must be [[bandIndex]]-shaped
+    * (id, band, key, carry...); semantics are identical to
+    * [[rawCandidatesAgainstIndex]], including the `maxBucket`
+    * representative-star cap on the index side.
+    */
+  def candidatesFromBands(
+      batchBands: DataFrame,
+      index: DataFrame,
+      maxBucket: Int = 0,
       carry: Seq[String] = Nil): DataFrame = {
     // The cap bounds JOIN FAN-OUT, not batch membership (round 16, twice
     // revised by measurement): with the cap on the index side only, every
@@ -250,7 +269,7 @@ final case class MinHashLSH(
         index.join(hot, Seq("band", "key"), "left_anti")
           .unionByName(reps.select(index.columns.map(col).toIndexedSeq: _*))
       }
-    val batch = bandIndex(newDf, idCol, textCol, carry)
+    val batch = batchBands
     batch.as("n")
       .join(idx.as("x"),
         col("n.band") === col("x.band") && col("n.key") === col("x.key"))

@@ -80,6 +80,24 @@ object SubstringDedup {
       base: DataFrame, threshold: Long = SinglePassMaxBytes): Boolean =
     base.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(threshold)
 
+  /** The `gramSalt = 0` auto-derivation (round 17, VERDICT r16 task 2):
+    * one salt unit per 16 MiB of Catalyst's corpus-size estimate, capped
+    * at 32 — plan-time arithmetic, no extra job, monotone in corpus size.
+    * Rationale: the two-pass join's worst key group is a single gram
+    * owning a whole partition's positions; a salt of S splits any group's
+    * SMJ sort ~S ways, so sizing S by corpus bytes bounds the largest
+    * sort at roughly one comfortable task regardless of gram skew. The
+    * estimate comes from `optimizedPlan.stats` (file metadata), the
+    * [[autoSinglePass]] trade. Corpora below the [[SinglePassMaxBytes]]
+    * window threshold never reach the two-pass branch, so the derived
+    * salt only ever applies where the exchange is already large.
+    */
+  private[graft] def derivedGramSalt(base: DataFrame): Int = {
+    val bytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    val units = (bytes + BigInt((16L << 20) - 1)) / BigInt(16L << 20)
+    units.min(BigInt(32)).max(BigInt(1)).toInt
+  }
+
   /** WINNOWED duplicated spans — the sub-linear fingerprint variant of
     * [[duplicatedSpans]] (Schleimer et al. 2003, the MOSS algorithm):
     * instead of shuffling EVERY k-gram position, each sliding window of
@@ -268,14 +286,64 @@ object SubstringDedup {
       hashShuffle: Boolean = false,
       singlePass: Option[Boolean] = None,
       maxGramFreq: Int = 0,
-      maxCoverage: Double = DefaultMaxCoverage): DataFrame = {
+      maxCoverage: Double = DefaultMaxCoverage,
+      gramSalt: Int = 0): DataFrame = {
     // spans feed three branches (mid, lastSeg, hasSpan); materialize the
     // expensive gram-explode/window pipeline once — the span list is tiny
     // relative to the corpus. `base` is deliberately NOT cached: its three
     // references are column-pruned scans, the right trade at corpus scale.
     val spans = duplicatedSpans(docs, idCol, textCol, k, minDocs,
-      hashShuffle, singlePass, maxGramFreq).localCheckpoint()
+      hashShuffle, singlePass, maxGramFreq, gramSalt).localCheckpoint()
     exciseSpans(docs, idCol, textCol, spans, maxCoverage)
+  }
+
+  /** Corpus-DERIVED gram width — DESIGN §8.3's collision-horizon rule made
+    * the default instead of a constant the caller must guess (round 17,
+    * VERDICT r16 task 4). The 1M composition rehearsal proved the failure
+    * mode: on a dense vocabulary, k = 20 SATURATED (the expected random
+    * recurrence of every 20-char window exceeded 1, spans covered 99.4%
+    * of all characters, and excision destroyed the corpus); k = 40
+    * restored the semantics. The rule: a random k-gram spans ~k/w̄ words
+    * (w̄ = mean word length + 1 for the separator), so ~V^(k/w̄) distinct
+    * grams exist against N ≈ total chars of positions — the expected
+    * frequency of a random gram is N / V^(k/w̄), and duplication is a
+    * SIGNAL exactly when that expectation is ≤ 1:
+    *
+    *   k = ⌈ w̄ · ln(N) / ln(V) ⌉, clamped to [kMin, kMax]
+    *
+    * On the 1M slice (V = 30, w̄ ≈ 7, N ≈ 4.6e8) this lands at ~41 — the
+    * empirically-proven 40 — and on natural vocabularies (V ≥ 10⁴) it
+    * clamps to the Lee-et-al.-era floor of 20. One aggregate pass derives
+    * (V, N): `approx_count_distinct` for V (an HLL estimate is exactly
+    * right for a log argument; ±2% moves k by < 1) and token counts for
+    * N/w̄ — at 100 TB this is a map-side-combined scan, and the result
+    * should be derived once per corpus alongside the other token stats.
+    * [[coverageGuard]] stays as the loud backstop for corpora whose
+    * structure defeats the independence assumption.
+    */
+  def derivedGramWidth(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      kMin: Int = 20,
+      kMax: Int = 120): Int = {
+    require(kMin >= 1 && kMax >= kMin, s"need 1 <= kMin <= kMax, got [$kMin, $kMax]")
+    val row = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .agg(
+        approx_count_distinct(col("w")).as("v"),
+        count(lit(1)).as("nw"),
+        sum(length(col("w")).cast("long")).as("wchars"))
+      .head()
+    if (row.isNullAt(2)) return kMin // empty corpus: any width is fine
+    val v = math.max(2L, row.getLong(0))
+    val nw = math.max(1L, row.getLong(1))
+    val wchars = math.max(1L, row.getLong(2))
+    val wbar = wchars.toDouble / nw.toDouble + 1.0
+    val n = (wchars + nw).toDouble // ≈ total chars ≈ gram positions
+    val k = math.ceil(wbar * math.log(n) / math.log(v.toDouble)).toInt
+    math.max(kMin, math.min(kMax, k))
   }
 
   /** Saturation ceiling for the excise ACTION (round 16): the 1M-doc
@@ -405,9 +473,12 @@ object SubstringDedup {
       minDocs: Int = 2,
       hashShuffle: Boolean = false,
       singlePass: Option[Boolean] = None,
-      maxGramFreq: Int = 0): DataFrame = {
+      maxGramFreq: Int = 0,
+      gramSalt: Int = 0): DataFrame = {
     require(k >= 1, s"gram length must be positive, got $k")
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    require(gramSalt >= 0 && gramSalt <= 4096,
+      s"gramSalt must be in [0, 4096] (0 = derive), got $gramSalt")
     val base = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= k) // sequence(1, n) descends for n < 1
@@ -434,10 +505,35 @@ object SubstringDedup {
           .filter(col("lo") =!= col("hi") && freqOk(col("cnt")))
           .select(col("doc_id"), col("pos"))
       } else {
-        // co-partition on gram: the aggregate inherits this exchange and
-        // the join probes it SMJ-style, so Catalyst never broadcasts the
-        // full exploded frame (see scaladoc timings)
-        val parted = grams.repartition(col("gram"))
+        // SALTED co-partitioning (round 17, VERDICT r16 task 2): the 1M
+        // composition's 352 s straggler was the two-pass exchange's
+        // largest partition — a hot gram (boilerplate line, run of
+        // spaces) puts ALL its positions in ONE partition via
+        // repartition(gram), and neither AQE skew handling (blocked on a
+        // user-specified repartition with a reused exchange) nor the
+        // map-side combine (the JOIN side is unaggregated rows) can
+        // split it. The fix is the SparseCosineJoin head-term shape
+        // applied to the gram key: every position row salts by
+        // hash(doc_id, pos) mod S, the dup-gram side replicates to all S
+        // salts, and the ONE exchange moves to (gram, salt) — any gram's
+        // sort group splits ~S ways, the (a, b) row still meets its dup
+        // gram exactly once (at its own salt), so the marked set — and
+        // every downstream span/excision — is byte-identical
+        // (SubstringDedupSpec proves it). Costs vs S = 1: the aggregate
+        // no longer rides the join's exchange (partial agg on the salted
+        // partitions + one combined-row exchange on gram), and the dup
+        // side replicates ×S — both bounded, both flat; the straggler
+        // was neither. S derives from the corpus-size estimate
+        // ([[derivedGramSalt]]) when `gramSalt = 0`; `gramSalt = 1`
+        // forces the round-16 single-key plan.
+        val s = if (gramSalt == 0) derivedGramSalt(base) else gramSalt
+        val parted =
+          if (s <= 1) grams.repartition(col("gram"))
+          else grams
+            .withColumn("gsalt",
+              pmod(xxhash64(col("doc_id"), col("pos")), lit(s.toLong))
+                .cast("int"))
+            .repartition(col("gram"), col("gsalt"))
         val dup =
           if (minDocs == 2)
             parted.groupBy(col("gram"))
@@ -451,8 +547,15 @@ object SubstringDedup {
                 count(lit(1)).as("cnt"))
               .filter(col("nd") >= minDocs && freqOk(col("cnt")))
               .select(col("gram"))
-        parted.join(dup, "gram")
-          .select(col("doc_id"), col("pos"))
+        if (s <= 1)
+          parted.join(dup, "gram")
+            .select(col("doc_id"), col("pos"))
+        else
+          parted.join(
+              dup.withColumn("gsalt",
+                explode(sequence(lit(0), lit(s - 1)))),
+              Seq("gram", "gsalt"))
+            .select(col("doc_id"), col("pos"))
       }
     islandsToSpans(marked, k, gap = k)
   }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextHash
-import graft.operators.{DedupClusters, MinHashLSH, SimHash}
+import graft.operators.{DedupClusters, MinHashLSH, QualityClassifier, SimHash}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -694,6 +694,21 @@ object Curation {
   def bucketOf(key: org.apache.spark.sql.Column, numBuckets: Int): org.apache.spark.sql.Column =
     pmod(xxhash64(key), lit(numBuckets.toLong)).cast("int")
 
+  /** The duplicate-key guard shared by [[upsertByKey]] and any bootstrap
+    * that seeds a keyed living table (e.g. the ingest pipeline's
+    * first-batch [[writeBucketed]]): a batch with two rows per key would
+    * either merge nondeterministically (upsert) or silently violate the
+    * one-row-per-key contract every later upsert assumes (bootstrap) —
+    * both paths must fail the SAME typed way (round-16 ADVICE). Cost: one
+    * limit(1) aggregate over the BATCH.
+    */
+  def requireUniqueKeys(df: DataFrame, keyCol: String): Unit = {
+    val dupKeys = df.groupBy(col(keyCol)).count()
+      .filter(col("count") > 1).limit(1).count()
+    require(dupKeys == 0L,
+      s"upsert batch has duplicate '$keyCol' values — dedupe first (merge order would be nondeterministic)")
+  }
+
   /** Lay a table out hash-partitioned by key bucket — the layout
     * [[upsertByKey]] requires. `numBuckets` sizes the unit of rewrite: at
     * 100 TB pick it so one bucket (table_size / numBuckets) is a
@@ -739,10 +754,7 @@ object Curation {
       keyCol: String, numBuckets: Int): Unit = {
     import spark.implicits._
     require(numBuckets > 0, "numBuckets must be positive")
-    val dupKeys = updates.groupBy(col(keyCol)).count()
-      .filter(col("count") > 1).limit(1).count()
-    require(dupKeys == 0L,
-      s"upsert batch has duplicate '$keyCol' values — dedupe first (merge order would be nondeterministic)")
+    requireUniqueKeys(updates, keyCol)
     val upd = updates.withColumn("__bucket", bucketOf(col(keyCol), numBuckets))
     val affected = upd.select("__bucket").distinct().as[Int].collect().toSeq
     val existing = spark.read.parquet(path)
@@ -1036,8 +1048,122 @@ object Curation {
       |GROUP BY source
       |ORDER BY source""".stripMargin
 
+  /** B38 — the COMPOSED ingest fold, ORACLE-CHECKED (q177, round 17;
+    * VERDICT r16 task 5): the streaming ingest was the one major family
+    * whose fold semantics had no DuckDB-checked declared query — it was
+    * spec-pinned (stream == hand-driven fold) and 1M-rehearsed, but the
+    * driver's hard signal never covered it. This declares a bounded
+    * TWO-BATCH fold over the SAME pure verdict core the stream runs
+    * ([[graft.streaming.IngestPipeline.classifyBatch]] — not a parallel
+    * re-implementation): batch 1 (doc_id < 300) folds with no index
+    * (intra-batch verified keep-first dedup, then the quality gate);
+    * batch 2 (300–399) dedups against the band index batch 1's appended
+    * docs built, then intra-batch, then the gate. Output: one verdict row
+    * per document, verdict ∈ dup_index | dup_batch | gated | appended —
+    * the per-doc form of the accounting identity the rehearsals check in
+    * aggregate.
+    *
+    * Oracle parity: the q63 md5 band-hash CTEs (signature → bands →
+    * collision join), exact set-Jaccard at the r4 grid (threshold 0.6,
+    * the q63/q66 convention), and a LENGTH-RULE gate — weight 1.0 on the
+    * x_len feature slot only, so p = r4(sigmoid(r4(ln(n_chars/300)))) and
+    * the gate binds at n_chars ≥ 300 (the IngestPipelineSpec trick; the
+    * full-featured gate's oracle is q120/q137's job — q177's new content
+    * is the fold COMPOSITION). The production fold differs only in hash
+    * family (xxhash64), threshold, and the bucketed-store pruned read —
+    * shapes q63/q85 and the store spec cover.
+    */
+  private def q177(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("doc_id") < 400)
+      .select(col("doc_id"), col("text"), col("n_chars"))
+    val b1 = docs.filter(col("doc_id") < 300)
+    val b2 = docs.filter(col("doc_id") >= 300)
+    val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1,
+      oracleParityHash = true)
+    val w = Array.tabulate(QualityClassifier.Dims)(i => if (i == 16) 1.0 else 0.0)
+    val v1 = graft.streaming.IngestPipeline.classifyBatch(
+      b1, None,
+      ids => ids.limit(0).select(col("id").as("doc_id"), lit("").as("text")),
+      lsh, 0.6, w, 0.5, parityRound = true)
+    val kept1 = b1.join(
+      v1.filter(col("verdict") === "appended").select("doc_id"), "doc_id")
+    val v2 = graft.streaming.IngestPipeline.classifyBatch(
+      b2, Some(_ => lsh.bandIndex(kept1, "doc_id", "text")),
+      ids => kept1.select(col("doc_id"), col("text"))
+        .join(ids.select(col("id").as("doc_id")), "doc_id"),
+      lsh, 0.6, w, 0.5, parityRound = true)
+    v1.select(lit(1).as("batch"), col("doc_id"), col("verdict"))
+      .unionByName(
+        v2.select(lit(2).as("batch"), col("doc_id"), col("verdict")))
+      .orderBy(col("doc_id"))
+  }
+
+  private val q177Sql =
+    """WITH d AS (
+      |  SELECT doc_id, text, n_chars FROM documents WHERE doc_id < 400
+      |), sh AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS s FROM d
+      |), sig AS (
+      |  SELECT doc_id, list_transform(generate_series(0, 11), j ->
+      |    list_min(list_transform(s, t ->
+      |      ('0x' || substr(md5(j || ':' || t), 1, 15))::BIGINT))) AS sg
+      |  FROM sh
+      |), bands AS (
+      |  SELECT doc_id, b, md5(array_to_string(sg[b*4+1:b*4+4], ',')) AS bh
+      |  FROM sig, range(0, 3) r(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+      |  FROM bands a JOIN bands x ON a.b = x.b AND a.bh = x.bh
+      |    AND a.doc_id < x.doc_id
+      |), ver AS (
+      |  SELECT id_a, id_b FROM cand
+      |  JOIN sh sa ON sa.doc_id = id_a
+      |  JOIN sh sb ON sb.doc_id = id_b
+      |  WHERE FLOOR(len(list_intersect(sa.s, sb.s))::DOUBLE
+      |      / len(list_distinct(list_concat(sa.s, sb.s))) * 10000 + 0.5)
+      |      / 10000.0 >= 0.6
+      |), keep AS (
+      |  SELECT doc_id FROM d
+      |  WHERE FLOOR(1.0 / (1.0 + exp(-(FLOOR(ln(GREATEST(n_chars, 1) / 300.0)
+      |      * 10000 + 0.5) / 10000.0))) * 10000 + 0.5) / 10000.0 >= 0.5
+      |), dupb1 AS (
+      |  SELECT DISTINCT id_b AS doc_id FROM ver WHERE id_a < 300 AND id_b < 300
+      |), v1 AS (
+      |  SELECT 1 AS batch, doc_id,
+      |    CASE WHEN doc_id IN (SELECT doc_id FROM dupb1) THEN 'dup_batch'
+      |         WHEN doc_id IN (SELECT doc_id FROM keep) THEN 'appended'
+      |         ELSE 'gated' END AS verdict
+      |  FROM d WHERE doc_id < 300
+      |), kept1 AS (
+      |  SELECT doc_id FROM v1 WHERE verdict = 'appended'
+      |), dupi2 AS (
+      |  SELECT DISTINCT v.id_b AS doc_id FROM ver v
+      |  JOIN kept1 k ON k.doc_id = v.id_a
+      |  WHERE v.id_b >= 300
+      |), after2 AS (
+      |  SELECT doc_id FROM d WHERE doc_id >= 300
+      |    AND doc_id NOT IN (SELECT doc_id FROM dupi2)
+      |), dupb2 AS (
+      |  SELECT DISTINCT v.id_b AS doc_id FROM ver v
+      |  JOIN after2 fa ON fa.doc_id = v.id_a
+      |  JOIN after2 fb ON fb.doc_id = v.id_b
+      |), v2 AS (
+      |  SELECT 2 AS batch, doc_id,
+      |    CASE WHEN doc_id IN (SELECT doc_id FROM dupi2) THEN 'dup_index'
+      |         WHEN doc_id IN (SELECT doc_id FROM dupb2) THEN 'dup_batch'
+      |         WHEN doc_id IN (SELECT doc_id FROM keep) THEN 'appended'
+      |         ELSE 'gated' END AS verdict
+      |  FROM d WHERE doc_id >= 300
+      |)
+      |SELECT batch, doc_id, verdict FROM v1
+      |UNION ALL
+      |SELECT batch, doc_id, verdict FROM v2
+      |ORDER BY doc_id""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q63_incremental_dedup", q63, Some(q63Sql)),
+    QueryDef("q177_ingest_fold", q177, Some(q177Sql)),
     QueryDef("q64_hash_split", q64, Some(q64Sql)),
     QueryDef("q65_text_normalize", q65, Some(q65Sql)),
     QueryDef("q66_repetition", q66, Some(q66Sql)),

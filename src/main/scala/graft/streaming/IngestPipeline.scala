@@ -3,8 +3,9 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
 
-import graft.operators.{MinHashLSH, QualityClassifier}
+import graft.operators.{LshIndexStore, MinHashLSH, QualityClassifier}
 import graft.queries.Curation
 
 /** The COMPOSED streaming ingest — the streaming twin of the batch
@@ -14,8 +15,9 @@ import graft.queries.Curation
   *
   *   1. the bucketed corpus table ([[Curation.writeBucketed]] layout,
   *      mutated by [[Curation.upsertByKey]]),
-  *   2. the persisted LSH band index ([[MinHashLSH.bandIndex]], appended
-  *      per batch so batch N+1 dedups against everything batch N kept),
+  *   2. the persisted LSH band index — since round 17 a
+  *      [[LshIndexStore]] BUCKETED by (band, key), so batch N+1 dedups
+  *      against everything batch N kept through a PRUNED read,
   *   3. the mergeable stats table ([[Curation.mergeDocStats]]).
   *
   * Per batch: verified near-dup dedup against the index (candidates from
@@ -30,17 +32,21 @@ import graft.queries.Curation
   * function, so the stream's semantics ARE "the sequential-batch fold",
   * which is what IngestPipelineSpec pins (stream == the same fold driven
   * by hand, plus the per-batch accounting identity ingested = dup_index +
-  * dup_batch + gated + appended).
+  * dup_batch + gated + appended). The verdict core is the PURE
+  * [[classifyBatch]], which is also what the declared oracle query q177
+  * replays CTE-by-CTE in DuckDB — the fold semantics are hash-checked,
+  * not just spec-pinned.
   *
   * Same-id re-arrivals are NOT duplicates: the band join filters self-id
   * matches and [[Curation.upsertByKey]] replaces the old row — re-crawl
   * semantics, consistent with the living-table contract.
   *
-  * Scale posture, stated honestly: the band-candidate join shuffles the
-  * INDEX side every micro-batch (the index is written append-only,
-  * unbucketed). At 100 TB the index store should be laid out bucketed by
-  * (band, key) so the join co-partitions against a pruned read instead —
-  * the seam is the `spark.read.parquet(indexPath)` in one place below.
+  * Scale posture (round 17 — the round-16 seam closed): the index is a
+  * (band, key)-bucketed store, the batch's band rows are computed once and
+  * BROADCAST into the candidate join, and the index side is read
+  * partition-PRUNED to the buckets the batch touches — no full-index
+  * shuffle anywhere in the per-batch plan, so per-batch cost is
+  * (touched buckets × bucket size) + batch, flat in stream lifetime.
   * Single-writer like every living-table mutation (foreachBatch serializes
   * batches naturally); the corpus fetch, upsert, and stats merge are all
   * bounded by batch size × touched buckets, never corpus size.
@@ -50,6 +56,9 @@ object IngestPipeline {
   /** Ingest configuration. `qualityWeights` is the
     * [[QualityClassifier.Dims]]-sized trained weight vector; docs scoring
     * below `qualityThreshold` (on the r4-rounded sigmoid `p`) are gated.
+    * `numBuckets` buckets the CORPUS by doc_id; `indexBuckets` buckets the
+    * band INDEX by (band, key) — size it so one bucket is a comfortable
+    * pruned read (index rows ≈ 3× corpus docs at the default banding).
     */
   final case class Config(
       corpusPath: String,
@@ -60,7 +69,8 @@ object IngestPipeline {
       numBuckets: Int = 64,
       lsh: MinHashLSH = MinHashLSH(),
       jaccardThreshold: Double = 0.8,
-      maxBucket: Int = 0) {
+      maxBucket: Int = 0,
+      indexBuckets: Int = 64) {
     /** The replay-fence ledger (one row per committed batch id). */
     def ledgerPath: String = statsPath + "_ledger"
   }
@@ -102,6 +112,126 @@ object IngestPipeline {
         .select(col("doc_id"), col("text"))
   }
 
+  /** Per-document ingest verdicts for ONE micro-batch — the PURE core of
+    * the fold, shared verbatim by [[processBatch]] (which adds the
+    * replay fence and the artifact mutations) and by the declared oracle
+    * query q177 (which replays this exact function against a DuckDB CTE
+    * chain). Returns `(doc_id, verdict)` with verdict ∈ `dup_index` |
+    * `dup_batch` | `gated` | `appended` — one row per batch doc, the four
+    * classes disjoint by construction (index dups removed before
+    * intra-batch pairing; gating applies to dedup survivors).
+    *
+    * `batch` must carry (doc_id, text, n_chars) — the feature columns the
+    * quality gate reads; extra columns pass through untouched.
+    *
+    * `index`: `None` = no index exists yet (every doc skips straight to
+    * intra-batch dedup). `Some(prunedRead)` receives the batch's
+    * ALREADY-MATERIALIZED band rows and returns the index rows they could
+    * join — [[LshIndexStore.readPrunedFor]] for the bucketed store, or a
+    * constant in-plan frame for bounded/oracle forms. The batch band rows
+    * are computed ONCE here (localCheckpoint — bounded by batch × bands)
+    * and feed both the pruned read's bucket derivation and the join, and
+    * the batch side is BROADCAST into the candidate join: a micro-batch
+    * is bounded by the trigger while the index side is not, so the
+    * (pruned) index subset streams through a hash join without being
+    * shuffled. Callers whose "batch" is corpus-sized should use
+    * [[MinHashLSH.candidatesAgainstIndex]] directly instead.
+    *
+    * `corpusTextsOf` maps a small frame of matched index ids (column
+    * `id`) to their (doc_id, text) rows — the pruned corpus fetch in
+    * production, a plain frame lookup in bounded forms.
+    *
+    * `parityRound` applies the repo's r4 grid to the Jaccard threshold
+    * compare (floor(j·1e4+0.5)/1e4 ≥ τ — the q63/q66 oracle convention,
+    * so DuckDB and Spark agree when |∩|/|∪| lands exactly on a half-ulp
+    * boundary). The production fold keeps the raw compare (default).
+    */
+  def classifyBatch(
+      batch: DataFrame,
+      index: Option[DataFrame => DataFrame],
+      corpusTextsOf: DataFrame => DataFrame,
+      lsh: MinHashLSH,
+      jaccardThreshold: Double,
+      qualityWeights: Array[Double],
+      qualityThreshold: Double,
+      maxBucket: Int = 0,
+      parityRound: Boolean = false): DataFrame = {
+    val jc =
+      if (parityRound) graft.queries.Parity.r4(col("jaccard"))
+      else col("jaccard")
+
+    // 1. verified dedup against the index (skipped before one exists)
+    val dupIdxIds = index match {
+      case None =>
+        batch.select(col("doc_id")).limit(0)
+      case Some(prunedRead) =>
+        // band rows once: bucket derivation + join both read them
+        val batchBands = lsh.bandIndex(batch, "doc_id", "text")
+          .localCheckpoint(true)
+        val idx = prunedRead(batchBands)
+        val cand = lsh
+          .candidatesFromBands(broadcast(batchBands), idx, maxBucket)
+          .distinct()
+        // batch text WINS over corpus text for ids present in both: a
+        // re-crawled id's candidates must verify against the text the
+        // corpus will hold AFTER this batch, not the stale row — else a
+        // stale-text match silently drops the revision as a duplicate.
+        // Known residual edge, accepted: if the re-crawl is ITSELF dropped
+        // later this batch (dup or gated), another doc that verified
+        // against its NEW text was judged against text the corpus never
+        // holds — the converse (stale-wins) loses REVISIONS outright,
+        // which is the worse failure; exactness here needs a second
+        // verification pass over the batch's final survivor set
+        val texts = corpusTextsOf(
+            cand.select(col("index_id").as("id")).distinct())
+          .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
+          .unionByName(batch.select(col("doc_id"), col("text")))
+        lsh.verifyJaccard(
+            cand.select(col("new_id").as("id_a"), col("index_id").as("id_b")),
+            texts, "doc_id", "text")
+          .filter(jc >= jaccardThreshold)
+          .select(col("id_a").as("doc_id")).distinct()
+    }
+    val afterIdx = batch.join(dupIdxIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // 2. verified intra-batch dedup, keep-first: drop every id with a
+    // verified smaller-id partner (candidatePairs emits id_a < id_b).
+    // repOverCap: over-cap batch buckets pair against their min-id
+    // representative instead of vanishing — without it a mass arrival of
+    // NEW duplicates (more copies than the cap, none indexed yet) would
+    // sail through intra-batch dedup entirely
+    val dupBatchIds = lsh
+      .verifyJaccard(
+        lsh.candidatePairs(afterIdx, "doc_id", "text", maxBucket,
+          repOverCap = true),
+        afterIdx, "doc_id", "text")
+      .filter(jc >= jaccardThreshold)
+      .select(col("id_b").as("doc_id")).distinct()
+    val clean = afterIdx.join(dupBatchIds, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+
+    // 3. quality gate on the r4-rounded sigmoid score
+    val keepIds = QualityClassifier
+      .score(QualityClassifier.features(clean), qualityWeights)
+      .filter(col("p") >= qualityThreshold)
+      .select(col("doc_id"))
+
+    batch.select(col("doc_id"))
+      .join(dupIdxIds.select(col("doc_id"), lit(1).as("di")), Seq("doc_id"), "left")
+      .join(dupBatchIds.select(col("doc_id"), lit(1).as("db")), Seq("doc_id"), "left")
+      .join(keepIds.select(col("doc_id"), lit(1).as("kp")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("di") === 1, "dup_index")
+          .when(col("db") === 1, "dup_batch")
+          .when(col("kp") === 1, "appended")
+          .otherwise("gated").as("verdict"))
+  }
+
+  private val ledgerSchema = StructType(
+    Seq("batch_id", "ingested", "dup_index", "dup_batch", "gated", "appended")
+      .map(n => StructField(n, LongType)))
+
   /** One fold step — the exact function `foreachBatch` runs, callable
     * directly for the batch twin (IngestPipelineSpec drives it by hand to
     * pin stream == fold). The batch must carry (doc_id, text, source,
@@ -120,37 +250,55 @@ object IngestPipeline {
     // Honest residual window: a crash INSIDE the mutation sequence
     // (corpus written, ledger not) still replays the mutations — plain
     // parquet has no atomic multi-table commit; that is what table
-    // formats add on top of exactly this pattern. Cost note: the fence
-    // reads the whole ledger (one tiny file per committed batch), so a
-    // very long-lived stream pays a growing listing cost per batch —
-    // compact the ledger on the same cadence as compactBuckets.
+    // formats add on top of exactly this pattern. The per-batch read is
+    // schema-EXPLICIT (no inference) so a ledger directory left behind by
+    // a crash during the very first write — zero readable rows — reads
+    // as absent instead of wedging the stream on an undiagnostic
+    // inference error (round-16 ADVICE); the growing listing cost is
+    // bounded by [[compactLedger]] on the corpus-compaction cadence.
     val replayed =
       if (!exists(spark, cfg.ledgerPath)) None
       else {
-        val rows = spark.read.parquet(cfg.ledgerPath)
-          .select(col("batch_id"), col("ingested"), col("dup_index"),
-            col("dup_batch"), col("gated"), col("appended"))
+        val rows = spark.read.schema(ledgerSchema).parquet(cfg.ledgerPath)
           .as[(Long, Long, Long, Long, Long, Long)].collect()
-        val maxId = rows.iterator.map(_._1).max
-        // a GENUINE foreachBatch replay can only be the LAST committed
-        // batch (delivery is in-order; only the newest uncommitted batch
-        // re-runs after a crash). A batchId BELOW the ledger's max means
-        // the stream's checkpoint does not match these artifacts — the
-        // classic "reset the checkpoint, keep the tables" mistake — and
-        // treating it as a replay would SILENTLY swallow the new data:
-        // refuse loudly instead.
-        require(batchId >= maxId,
-          s"ingest ledger at ${cfg.ledgerPath} already holds batches up to " +
-            s"$maxId but this stream delivered batch $batchId — the " +
-            "checkpointLocation does not match these artifacts (was it " +
-            "reset?); refusing to treat new data as a replay. Restart from " +
-            "the original checkpoint, or point at fresh artifact paths")
-        rows.find(_._1 == batchId)
+        if (rows.isEmpty) None // crashed mid-first-write: nothing committed
+        else {
+          val maxId = rows.iterator.map(_._1).max
+          // a GENUINE foreachBatch replay can only be the LAST committed
+          // batch (delivery is in-order; only the newest uncommitted batch
+          // re-runs after a crash). A batchId BELOW the ledger's max means
+          // the stream's checkpoint does not match these artifacts — the
+          // classic "reset the checkpoint, keep the tables" mistake — and
+          // treating it as a replay would SILENTLY swallow the new data:
+          // refuse loudly instead.
+          require(batchId >= maxId,
+            s"ingest ledger at ${cfg.ledgerPath} already holds batches up to " +
+              s"$maxId but this stream delivered batch $batchId — the " +
+              "checkpointLocation does not match these artifacts (was it " +
+              "reset?); refusing to treat new data as a replay. Restart from " +
+              "the original checkpoint, or point at fresh artifact paths")
+          rows.find(_._1 == batchId)
+        }
       }
     replayed match {
       case Some((id, in, di, db, g, ap)) => BatchReport(id, in, di, db, g, ap)
       case None => foldBatch(spark, batch, cfg, batchId)
     }
+  }
+
+  /** Rewrite the replay-fence ledger as one file — the compaction the
+    * fence's per-batch full read assumes (each committed batch appends a
+    * tiny file; after thousands of batches the listing dominates the
+    * read). Content-preserving; run it BETWEEN batches (single-writer,
+    * like every living-table mutation — foreachBatch's serialization
+    * makes "between batches" the natural cadence, e.g. alongside
+    * [[graft.queries.Curation.compactBuckets]]).
+    */
+  def compactLedger(spark: SparkSession, cfg: Config): Unit = {
+    if (!exists(spark, cfg.ledgerPath)) return
+    val rows = spark.read.schema(ledgerSchema).parquet(cfg.ledgerPath)
+      .localCheckpoint(true) // sever the scan before overwriting its files
+    rows.coalesce(1).write.mode("overwrite").parquet(cfg.ledgerPath)
   }
 
   /** The unfenced fold body — every artifact mutation lives here. */
@@ -164,82 +312,48 @@ object IngestPipeline {
       .select(col("doc_id"), col("text"), col("source"), col("lang"),
         col("n_chars"))
       .localCheckpoint(true)
-    val nIn = docs.count()
 
-    // 1. verified dedup against the persisted index (skipped before the
-    // first batch creates it)
-    val dupIdxIds =
-      if (!exists(spark, cfg.indexPath))
-        spark.emptyDataFrame.select(lit(0L).as("doc_id")).limit(0)
-      else {
-        val index = spark.read.parquet(cfg.indexPath)
-        val cand = cfg.lsh
-          .candidatesAgainstIndex(docs, "doc_id", "text", index, cfg.maxBucket)
-        // batch text WINS over corpus text for ids present in both: a
-        // re-crawled id's candidates must verify against the text the
-        // corpus will hold AFTER this batch, not the stale row — else a
-        // stale-text match silently drops the revision as a duplicate.
-        // Known residual edge, accepted: if the re-crawl is ITSELF dropped
-        // later this batch (dup or gated), another doc that verified
-        // against its NEW text was judged against text the corpus never
-        // holds — the converse (stale-wins) loses REVISIONS outright,
-        // which is the worse failure; exactness here needs a second
-        // verification pass over the batch's final survivor set
-        val texts = corpusTexts(spark, cfg, cand.select(col("index_id").as("id")).distinct())
-          .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
-          .unionByName(docs.select(col("doc_id"), col("text")))
-        cfg.lsh
-          .verifyJaccard(
-            cand.select(col("new_id").as("id_a"), col("index_id").as("id_b")),
-            texts, "doc_id", "text")
-          .filter(col("jaccard") >= cfg.jaccardThreshold)
-          .select(col("id_a").as("doc_id")).distinct()
-      }
-    val afterIdx = docs.join(dupIdxIds, Seq("doc_id"), "left_anti")
+    val index =
+      if (!exists(spark, cfg.indexPath)) None
+      else Some((bands: DataFrame) =>
+        LshIndexStore.readPrunedFor(spark, cfg.indexPath, bands,
+          cfg.indexBuckets))
+    val verdicts = classifyBatch(
+        docs, index, ids => corpusTexts(spark, cfg, ids),
+        cfg.lsh, cfg.jaccardThreshold, cfg.qualityWeights,
+        cfg.qualityThreshold, cfg.maxBucket)
       .localCheckpoint(true)
-    val nDupIdx = nIn - afterIdx.count()
-
-    // 2. verified intra-batch dedup, keep-first: drop every id with a
-    // verified smaller-id partner (candidatePairs emits id_a < id_b).
-    // repOverCap: over-cap batch buckets pair against their min-id
-    // representative instead of vanishing — without it a mass arrival of
-    // NEW duplicates (more copies than the cap, none indexed yet) would
-    // sail through intra-batch dedup entirely
-    val dupBatchIds = cfg.lsh
-      .verifyJaccard(
-        cfg.lsh.candidatePairs(afterIdx, "doc_id", "text", cfg.maxBucket,
-          repOverCap = true),
-        afterIdx, "doc_id", "text")
-      .filter(col("jaccard") >= cfg.jaccardThreshold)
-      .select(col("id_b").as("doc_id")).distinct()
-    val clean = afterIdx.join(dupBatchIds, Seq("doc_id"), "left_anti")
+    val byVerdict = verdicts.groupBy(col("verdict")).count()
+      .as[(String, Long)].collect().toMap
+    def n(v: String): Long = byVerdict.getOrElse(v, 0L)
+    val nKept = n("appended")
+    val kept = docs
+      .join(verdicts.filter(col("verdict") === "appended").select("doc_id"),
+        "doc_id")
       .localCheckpoint(true)
-    val nDupBatch = nIn - nDupIdx - clean.count()
-
-    // 3. quality gate on the r4-rounded sigmoid score
-    val keepIds = QualityClassifier
-      .score(QualityClassifier.features(clean), cfg.qualityWeights)
-      .filter(col("p") >= cfg.qualityThreshold)
-      .select(col("doc_id"))
-    val kept = clean.join(keepIds, Seq("doc_id"))
-      .localCheckpoint(true)
-    val nKept = kept.count()
 
     // 4. the three living artifacts — corpus upsert (bootstrap on first
     // batch), index append, stats merge. Order matters: the index must
     // only ever reference docs the corpus holds (verification reads their
     // texts back), so the corpus write goes first.
     if (nKept > 0) {
-      if (!exists(spark, cfg.corpusPath))
+      if (!exists(spark, cfg.corpusPath)) {
+        // same duplicate-key contract as upsertByKey (round-16 ADVICE):
+        // without it, two same-id rows in batch 0 — self-id pairs are
+        // never intra-batch candidates — would silently seed a
+        // duplicate-key corpus that only LATER batches' upserts reject
+        Curation.requireUniqueKeys(kept, "doc_id")
         Curation.writeBucketed(kept, cfg.corpusPath, "doc_id", cfg.numBuckets)
-      else
+      } else
         Curation.upsertByKey(spark, cfg.corpusPath, kept, "doc_id", cfg.numBuckets)
-      cfg.lsh.bandIndex(kept, "doc_id", "text")
-        .write.mode("append").parquet(cfg.indexPath)
+      LshIndexStore.append(
+        cfg.lsh.bandIndex(kept, "doc_id", "text"), cfg.indexPath,
+        cfg.indexBuckets)
       Curation.mergeDocStats(spark, cfg.statsPath, kept)
     }
     val report = BatchReport(
-      batchId, nIn, nDupIdx, nDupBatch, nIn - nDupIdx - nDupBatch - nKept, nKept)
+      batchId, verdicts.count(), n("dup_index"), n("dup_batch"), n("gated"),
+      nKept)
     // commit the fence LAST (see the replay note above); zero-kept batches
     // are fenced too — their report must replay stably
     Seq((report.batchId, report.ingested, report.dupIndex, report.dupBatch,

@@ -70,8 +70,11 @@ object IngestRehearsal {
     // saturation note; fully-excised docs drop out, n_chars recomputed.
     val t0e = System.nanoTime()
     val raw = spark.read.parquet(s"$dir/documents.parquet")
+    val kd = graft.operators.SubstringDedup
+      .derivedGramWidth(raw, "doc_id", "text")
+    println(s"""{"stage":"derive_gram_width","k":$kd}""")
     val docs = graft.operators.SubstringDedup
-      .excise(raw, "doc_id", "text", k = 40, hashShuffle = true)
+      .excise(raw, "doc_id", "text", k = kd, hashShuffle = true)
       .filter(length(col("clean_text")) > 0)
       .join(raw.select(col("doc_id"), col("source"), col("lang")), "doc_id")
       .select(col("doc_id"), col("clean_text").as("text"), col("source"),
@@ -130,6 +133,10 @@ object IngestRehearsal {
         docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
           .repartition(1).write.mode("append").parquet(spool)
         q.processAllAvailable()
+        // exercise the ledger compaction on the live stream once, mid-run:
+        // the stream is idle between spools (processAllAvailable returned),
+        // which is exactly the single-writer window the contract names
+        if (i == nBatches / 2) IngestPipeline.compactLedger(spark, cfg)
         val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
         Thread.sleep(500) // listener bus is async
         val r = reports.synchronized(reports.last)

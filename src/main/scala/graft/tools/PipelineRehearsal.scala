@@ -100,8 +100,14 @@ object PipelineRehearsal {
     // the exact-string twin for its oracle) — the string-keyed composed
     // run paid 1648 s / 117 GB spill / a 692 s sort straggler here.
     val clean = stage("excise") {
+      // round 17: k DERIVED from the corpus (the collision-horizon rule —
+      // lands at ~41 on this slice, the empirically-proven 40) and the
+      // two-pass exchange salted by default (gramSalt = 0 auto-derives)
+      val kd = graft.operators.SubstringDedup
+        .derivedGramWidth(docs, "doc_id", "text")
+      println(s"""{"stage":"derive_gram_width","k":$kd}""")
       val ex = graft.operators.SubstringDedup.excise(docs, "doc_id", "text",
-        k = 40, hashShuffle = true)
+        k = kd, hashShuffle = true)
       val c = docs.drop("text", "n_chars")
         .join(ex.filter(length(col("clean_text")) > 0)
           .select(col("doc_id"), col("clean_text").as("text")), "doc_id")

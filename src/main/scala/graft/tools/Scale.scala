@@ -558,11 +558,12 @@ object ScaleRehearsal {
         .select((col("id") * 5 + 3).as("p_a"), (col("id") * 5 + 4).as("p_b"))
         .localCheckpoint(true)
       val nPlanted = plantedPairs.count()
-      def arm(name: String, mb: Int, rep: Boolean): (Long, Long, Double, Double) = {
+      def arm(name: String, mb: Int, rep: Boolean,
+          numReps: Int = 1): (Long, Long, Double, Double) = {
         val t0 = System.nanoTime()
         val pairs = graft.multimodal.Multimodal
           .audioNearDupPairsTrimTolerant(media, blockSamples = 8, hopBlocks = 4,
-            maxBucket = mb, repOverCap = rep)
+            maxBucket = mb, repOverCap = rep, numReps = numReps)
           .localCheckpoint(true)
         val nPairs = pairs.count()
         val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
@@ -592,8 +593,16 @@ object ScaleRehearsal {
       val (_, _, repCluster, _) = arm("derived_rep", graft.multimodal.Multimodal.DeriveCap, rep = true)
       require(repCluster > dropCluster,
         s"representative stars must recover cluster recall: $repCluster <= $dropCluster")
-      Seq((dropCluster, repCluster, nPlanted))
-        .toDF("drop_same_cluster", "rep_same_cluster", "planted")
+      // round 17: MULTI-representative stars — the r16 single-rep residual
+      // was 59% of planted pairs stuck in MIXED over-cap buckets whose
+      // min-id rep is the wrong template variant; R=8 id-stride reps give
+      // each member 8 verified-edge chances at linear (8n) cost
+      val (_, _, rep8Cluster, _) = arm("derived_rep8",
+        graft.multimodal.Multimodal.DeriveCap, rep = true, numReps = 8)
+      require(rep8Cluster > repCluster,
+        s"multi-reps must recover mixed-bucket recall: $rep8Cluster <= $repCluster")
+      Seq((dropCluster, repCluster, rep8Cluster, nPlanted))
+        .toDF("drop_same_cluster", "rep_same_cluster", "rep8_same_cluster", "planted")
     }),
 
     // Audio near-dup over a REAL document corpus at the production cap:

@@ -69,6 +69,46 @@ class DedupSpec extends SparkSpec {
     assert(rep == plain)
   }
 
+  test("multi-representative stars (round 17): R id-stride reps cover a mixed over-cap bucket") {
+    import graft.operators.BandedSelfJoin
+    // one over-cap bucket of 40 members (ids 1..40) + one small bucket —
+    // synthetic keyed rows drive the scaffold directly, since a genuinely
+    // MIXED bucket (several texts sharing a band hash) is what the trim
+    // corpus shows at 1M but MinHash cannot be made to produce on demand
+    val keyed = ((1 to 40).map(i => (i.toLong, 0, "k")) ++
+      Seq((100L, 0, "s"), (101L, 0, "s"), (102L, 0, "s")))
+      .toDF("id", "band", "key")
+    val pairsOf = (r: Int) => BandedSelfJoin
+      .pairs(keyed, maxBucket = 10, repOverCap = true, numReps = r)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val small = Set((100L, 101L), (100L, 102L), (101L, 102L))
+    // R=1 must be byte-identical to the round-16 min-id star
+    assert(pairsOf(1) == (2 to 40).map(i => (1L, i.toLong)).toSet ++ small)
+    // R=4 over n=40: stride ceil(40/4)=10 -> rep ids {1, 11, 21, 31};
+    // EVERY member pairs with EVERY rep regardless of id order (member 15
+    // meets reps 1, 11 below it AND 21, 31 above it), rep-rep pairs once
+    val reps = Set(1L, 11L, 21L, 31L)
+    val expected = (for {
+      m <- (1 to 40).map(_.toLong); r <- reps; if m != r
+    } yield (math.min(m, r), math.max(m, r))).toSet ++ small
+    assert(pairsOf(4) == expected, s"got ${pairsOf(4).size}, want ${expected.size}")
+    // duplicate-id rows (a clip's several sub-fps in one bucket) keep rep
+    // selection deterministic: dense_rank ranks id VALUES (no row_number
+    // tie-break), and the stride derives from the ROW count — the
+    // quantity the cap governs — so 41 rows over R=4 give stride 11 and
+    // rep ids {1, 12, 23, 34}; still ≤ R reps, still a pure function of
+    // the bucket's contents
+    val dup = keyed.unionByName(Seq((7L, 0, "k")).toDF("id", "band", "key"))
+    val withDup = BandedSelfJoin
+      .pairs(dup, maxBucket = 10, repOverCap = true, numReps = 4)
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val reps2 = Set(1L, 12L, 23L, 34L)
+    val expected2 = (for {
+      m <- (1 to 40).map(_.toLong); r <- reps2; if m != r
+    } yield (math.min(m, r), math.max(m, r))).toSet ++ small
+    assert(withDup == expected2, s"got ${withDup.size}, want ${expected2.size}")
+  }
+
   test("derivedCap: floor in the sparse regime, 16x expected when keys saturate") {
     import graft.operators.BandedSelfJoin.derivedCap
     // E << 1: any over-floor bucket is degenerate content, never random

@@ -150,6 +150,78 @@ class IngestPipelineSpec extends SparkSpec {
     assert(corpusRows(root).map(_._1) == Set(1L, 200L))
   }
 
+  test("bucketed index store: pruned read sees exactly what a full read would join") {
+    val root = java.nio.file.Files.createTempDirectory("ingest_store").toString
+    val c = cfg(root).copy(indexBuckets = 16)
+    Seq(batch1, batch2).zipWithIndex.foreach { case (b, i) =>
+      IngestPipeline.processBatch(spark, b.toDF(), c, i.toLong)
+    }
+    val store = spark.read.parquet(s"$root/index")
+    // layout: every row's partition value re-derives from its (band, key)
+    val mismatch = store.filter(col("__bucket") =!=
+      graft.operators.LshIndexStore.bucketOf(col("band"), col("key"), 16))
+    assert(mismatch.count() == 0L, "a row landed outside its (band,key) bucket")
+    // pruned-read contract: for a probe batch, candidates from the pruned
+    // read equal candidates from the full store
+    val probe = Seq(doc(50, nearDup("bravo")), doc(51, longText("zulu"))).toDF()
+    val lsh = c.lsh
+    val bands = lsh.bandIndex(probe, "doc_id", "text").localCheckpoint(true)
+    val pruned = graft.operators.LshIndexStore
+      .readPrunedFor(spark, s"$root/index", bands, 16)
+    val full = graft.operators.LshIndexStore.readAll(spark, s"$root/index")
+    val candOf = (idx: org.apache.spark.sql.DataFrame) =>
+      lsh.candidatesFromBands(bands, idx)
+        .select(col("new_id"), col("index_id"))
+        .as[(Long, Long)].collect().toSet
+    assert(candOf(pruned) == candOf(full))
+    assert(candOf(pruned).contains((50L, 2L)), "near-dup of indexed doc 2 must surface")
+    // and the pruning is real: the probe touches fewer buckets than exist
+    val touched = bands.select(
+      graft.operators.LshIndexStore.bucketOf(col("band"), col("key"), 16).as("b"))
+      .distinct().count()
+    assert(touched < 16, s"probe touched all $touched buckets — pruning untestable")
+  }
+
+  test("bootstrap batch with duplicate doc_ids fails the same typed way upsert does") {
+    val root = java.nio.file.Files.createTempDirectory("ingest_dupkey").toString
+    val c = cfg(root)
+    // same id, two non-near-dup long texts: neither intra-batch dedup (self-id
+    // pairs are never candidates) nor the gate drops one — the write must refuse
+    val bad = Seq(doc(1, longText("alpha")), doc(1, longText("bravo")))
+    val e = intercept[IllegalArgumentException] {
+      IngestPipeline.processBatch(spark, bad.toDF(), c, 0L)
+    }
+    assert(e.getMessage.contains("duplicate 'doc_id'"), e.getMessage)
+  }
+
+  test("ledger: empty directory reads as absent; compaction preserves the fence") {
+    val root = java.nio.file.Files.createTempDirectory("ingest_ledger").toString
+    val c = cfg(root)
+    // a crash during the very first ledger write leaves the directory with
+    // no readable rows — the next batch must fold normally, not wedge
+    new java.io.File(c.ledgerPath).mkdirs()
+    val r0 = IngestPipeline.processBatch(spark, batch1.toDF(), c, 0L)
+    assert(r0.ingested == 4)
+    IngestPipeline.processBatch(spark, batch2.toDF(), c, 1L)
+    // compact between batches: content-preserving, single file
+    IngestPipeline.compactLedger(spark, c)
+    val files = new java.io.File(c.ledgerPath).listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected 1 ledger file after compaction, got $files")
+    // the fence still works off the compacted ledger: a replay of the last
+    // committed batch returns its report without re-mutating...
+    val corpusBefore = corpusRows(root)
+    val idxBefore = spark.read.parquet(s"$root/index").count()
+    val rReplay = IngestPipeline.processBatch(spark, batch2.toDF(), c, 1L)
+    assert(rReplay.batchId == 1L && corpusRows(root) == corpusBefore)
+    assert(spark.read.parquet(s"$root/index").count() == idxBefore)
+    // ...and the checkpoint-reset refusal still fires
+    val e = intercept[IllegalArgumentException] {
+      IngestPipeline.processBatch(spark, batch1.toDF(), c, 0L)
+    }
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+  }
+
   test("stream (foreachBatch) == the hand-driven fold: reports and artifacts") {
     val sRoot = java.nio.file.Files.createTempDirectory("ingest_stream").toString
     val hRoot = java.nio.file.Files.createTempDirectory("ingest_hand").toString

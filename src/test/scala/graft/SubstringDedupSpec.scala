@@ -11,9 +11,11 @@ class SubstringDedupSpec extends SparkSpec {
 
   private def spans(df: org.apache.spark.sql.DataFrame, k: Int = 20,
       hashShuffle: Boolean = false,
-      singlePass: Option[Boolean] = Some(true)): Set[(Long, Int, Int, Int)] =
+      singlePass: Option[Boolean] = Some(true),
+      gramSalt: Int = 1): Set[(Long, Int, Int, Int)] =
     SubstringDedup.duplicatedSpans(df, "doc_id", "text", k = k,
-        hashShuffle = hashShuffle, singlePass = singlePass)
+        hashShuffle = hashShuffle, singlePass = singlePass,
+        gramSalt = gramSalt)
       .as[(Long, Int, Int, Int)].collect().toSet
 
   test("planted shared sentence yields exactly the shared span in each doc") {
@@ -94,6 +96,40 @@ class SubstringDedupSpec extends SparkSpec {
     for (hs <- Seq(false, true); sp <- Seq(Some(false), Some(true), None))
       assert(spans(docs, hashShuffle = hs, singlePass = sp) == baseline,
         s"hashShuffle=$hs singlePass=$sp diverged")
+    // SALTED two-pass (round 17): the (gram, salt) exchange must be
+    // byte-identical to the single-key plan — every position row meets
+    // its dup gram exactly once, at its own salt — including on a corpus
+    // with a HOT gram (the shared phrases repeat across many docs)
+    for (hs <- Seq(false, true); gs <- Seq(0, 4, 32))
+      assert(spans(docs, hashShuffle = hs, singlePass = Some(false),
+          gramSalt = gs) == baseline,
+        s"hashShuffle=$hs gramSalt=$gs diverged")
+  }
+
+  test("derivedGramWidth: dense vocabularies widen k, natural ones keep the floor") {
+    val rng = new scala.util.Random(7)
+    // dense: 30-word vocabulary, 400 docs x 80 words — the 1M slice's
+    // regime scaled down; the collision-horizon rule must push k well
+    // above the 20 default (at slice scale it lands at ~41, the
+    // empirically-proven 40)
+    val vocab = Vector.tabulate(30)(i => s"word$i")
+    val dense = (1 to 400).map { i =>
+      (i.toLong, Seq.fill(80)(vocab(rng.nextInt(30))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val kDense = SubstringDedup.derivedGramWidth(dense, "doc_id", "text")
+    assert(kDense > 20 && kDense < 60, s"dense corpus derived k = $kDense")
+    // natural: high-diversity vocabulary — the rule clamps to the floor
+    val natural = (1 to 400).map { i =>
+      (i.toLong, Seq.fill(80)(rng.alphanumeric.take(6).mkString).mkString(" "))
+    }.toDF("doc_id", "text")
+    val kNat = SubstringDedup.derivedGramWidth(natural, "doc_id", "text")
+    assert(kNat == 20, s"natural corpus derived k = $kNat")
+    // monotone in corpus size at fixed vocabulary: more positions -> wider k
+    val denseBig = (1 to 400).map { i =>
+      (i.toLong, Seq.fill(800)(vocab(rng.nextInt(30))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val kBig = SubstringDedup.derivedGramWidth(denseBig, "doc_id", "text")
+    assert(kBig >= kDense, s"k must not shrink with corpus size: $kDense -> $kBig")
   }
 
   test("excise removes exactly the spans: unchanged, partial, and total cases") {
