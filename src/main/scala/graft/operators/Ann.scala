@@ -150,10 +150,25 @@ object Ann {
 
   /** Trained coarse quantizer: seeded Lloyd's iterations (spherical k-means
     * by cosine) over a BOUNDED deterministic sample of ~nCells*sampleFactor
-    * vectors. The sample size is independent of corpus scale, so the
-    * driver-side training cost is O(sample * nCells * dim * iters) — fixed —
-    * while the selection itself is the same shuffle-free hash-mod scan as
-    * [[ivfCentroids]]. Deterministic: same corpus + params => same centroids.
+    * vectors. The sample size is independent of corpus scale — the
+    * selection is the same shuffle-free hash-mod scan as [[ivfCentroids]].
+    * Deterministic: same corpus + params => same centroids.
+    *
+    * The assignment scan (each sample vector's nearest centroid) is
+    * O(sample * nCells * dim) flops per iteration — at nCells near
+    * [[SemDeDup.DriverTrainMaxK]] that is ~10^10 flops, which run SERIALLY
+    * on the driver cost the 1M composition rehearsal a 90–199 s stage
+    * (round-16 watch item). Round 17 distributes exactly that scan: the
+    * collected sample is parallelized once (the same sample*dim floats the
+    * collect already moved), each iteration broadcasts the centroids and
+    * executors score it — nearest-centroid is a PER-VECTOR pure function
+    * with no cross-row accumulation, so executor math is bit-identical to
+    * the old driver loop — and only the assignment ints (4*sample bytes)
+    * come back. The centroid UPDATE then accumulates on the driver in
+    * sample order, the same float-addition order as the round-16 serial
+    * form, so trained centroids (and every downstream oracle hash) are
+    * byte-identical; only the wall moves, from one driver thread to
+    * sample/partitions-sized executor tasks.
     */
   def ivfCentroidsKMeans(
       corpus: Dataset[Vec],
@@ -169,23 +184,40 @@ object Ann {
     var cents: Array[Array[Double]] = sample.zipWithIndex.collect {
       case (v, i) if i % math.max(1, sample.length / nCells) == 0 => v
     }.take(nCells).map(_.embedding.map(_.toDouble))
-    var iter = 0
-    while (iter < iters) {
-      val sums = Array.fill(nCells)(new Array[Double](dim))
-      val counts = new Array[Long](nCells)
-      sample.foreach { v =>
-        val ci = nearestCentroid(v.embedding, cents)
-        counts(ci) += 1
-        val s = sums(ci)
-        var i = 0
-        while (i < dim) { s(i) += v.embedding(i); i += 1 }
+    val sc = corpus.sparkSession.sparkContext
+    // parallelize preserves element order through collect, so the returned
+    // assignment array lines up with `sample` by index; slice count only
+    // shapes task granularity, never the result
+    val sampleRdd = sc.parallelize(
+      sample.map(_.embedding).toIndexedSeq,
+      math.max(1, math.min(sc.defaultParallelism * 2, sample.length / 64)))
+    sampleRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      var iter = 0
+      while (iter < iters) {
+        val bcCents = sc.broadcast(cents)
+        val assigns: Array[Int] =
+          sampleRdd.map(emb => nearestCentroid(emb, bcCents.value)).collect()
+        bcCents.destroy()
+        val sums = Array.fill(nCells)(new Array[Double](dim))
+        val counts = new Array[Long](nCells)
+        var si = 0
+        while (si < sample.length) {
+          val ci = assigns(si)
+          counts(ci) += 1
+          val s = sums(ci)
+          val emb = sample(si).embedding
+          var i = 0
+          while (i < dim) { s(i) += emb(i); i += 1 }
+          si += 1
+        }
+        cents = Array.tabulate(nCells) { ci =>
+          if (counts(ci) == 0L) cents(ci) // empty cluster: keep previous seed
+          else sums(ci).map(_ / counts(ci))
+        }
+        iter += 1
       }
-      cents = Array.tabulate(nCells) { ci =>
-        if (counts(ci) == 0L) cents(ci) // empty cluster: keep previous seed
-        else sums(ci).map(_ / counts(ci))
-      }
-      iter += 1
-    }
+    } finally sampleRdd.unpersist(blocking = false)
     cents.zipWithIndex.map { case (c, i) => Vec(i.toLong, c.map(_.toFloat)) }
   }
 

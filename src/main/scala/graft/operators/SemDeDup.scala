@@ -197,10 +197,15 @@ object SemDeDup {
     * cluster key at execution time.
     *
     * Training auto-selects by k: [[Ann.ivfCentroidsKMeans]] runs Lloyd's
-    * on a driver-side sample of 32*k points — ~32*k^2*d*iters driver
-    * flops, QUADRATIC in k, fast only to k ~ [[DriverTrainMaxK]] (about
-    * 2M vectors at the default target). Beyond that the trainer switches
-    * to [[Ann.kMeansCentroidsDistributed]] (Spark ML k-means||, O(n*k*d)
+    * on a bounded sample of 32*k points — ~32*k^2*d*iters assignment
+    * flops, QUADRATIC in k. Round 17 moved that assignment scan onto
+    * executors (broadcast centroids, per-vector scoring, only assignment
+    * ints return — byte-identical centroids, see the trainer's doc), so
+    * the driver's own work per iteration is the O(32*k*d) centroid
+    * update; [[DriverTrainMaxK]] now bounds the SAMPLE the driver holds
+    * (32*k vectors, about 2M corpus vectors at the default target), not a
+    * serial-compute wall. Beyond it the trainer switches to
+    * [[Ann.kMeansCentroidsDistributed]] (Spark ML k-means||, O(n*k*d)
     * per iteration across executors, full corpus not a sample). The two
     * trainers yield different (both valid) quantizers, so a given corpus
     * gets deterministic output from whichever side of the threshold it
