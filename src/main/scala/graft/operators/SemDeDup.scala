@@ -72,8 +72,10 @@ object SemDeDup {
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
-      minCos: Double): DataFrame =
-    pairStage(assignCarry(members, idCol, vecCol, centroids), minCos)
+      minCos: Double,
+      saltAbove: Int = 0): DataFrame =
+    pairStage(assignCarry(members, idCol, vecCol, centroids), minCos,
+      saltAbove)
 
   /** Squared-distance to each centroid, shared by every assignment path.
     * The c_id domain guard lives here so every argmin sees it: ids must
@@ -169,8 +171,35 @@ object SemDeDup {
   /** Same-cluster pair scoring over an assigned frame
     * (vec_id, cluster, embedding, nm): every pair with
     * round(cos, 4) >= minCos, vec_a < vec_b.
+    *
+    * `saltAbove > 0` routes the self-join through [[BandedSelfJoin]]'s
+    * salted branch (cluster = the bucket key): clusters larger than the
+    * threshold split their quadratic scan over up-to-64 salted reducer
+    * keys. Round-17 motivation, MEASURED: k-means balance is a hope, not
+    * a contract (the class doc's own caveat) — on the 1M slice's 400k
+    * embeddings the trained-quantizer pair stage put a whole dense
+    * cluster's n²/2 cosine scan in ONE task (111.5 s of a 125 s wall,
+    * attributed by stage), and AQE's skew-join cannot split it because
+    * both join sides reuse one exchange. The salted plan's pair SET is
+    * identical (each pair meets at the a-row's salt exactly once —
+    * DedupSpec's set-equality proof covers the shared branch), so oracle
+    * hashes are unchanged wherever it engages. Off by default: the
+    * unsalted plan keeps AQE exchange reuse and lazy construction, the
+    * right trade for the pinned-centroid oracle twins; the AUTO (scale)
+    * forms default it to their targetClusterSize.
     */
-  private def pairStage(assigned: DataFrame, minCos: Double): DataFrame = {
+  private def pairStage(
+      assigned: DataFrame, minCos: Double, saltAbove: Int = 0): DataFrame = {
+    if (saltAbove > 0) {
+      val keyed = assigned.select(col("vec_id").as("id"), lit(0).as("band"),
+        col("cluster").as("key"), col("embedding"), col("nm"))
+      return BandedSelfJoin.pairs(keyed, maxBucket = 0, saltAbove = saltAbove)
+        .select(col("a.key").as("cluster"),
+          col("a.id").as("vec_a"), col("b.id").as("vec_b"),
+          cosScore(col("a.embedding"), col("b.embedding"),
+            col("a.nm"), col("b.nm")).as("cos_sim"))
+        .filter(col("cos_sim") >= minCos)
+    }
     val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("e_a"), col("nm").as("nm_a"))
     val b = assigned.select(col("cluster").as("cl_b"), col("vec_id").as("vec_b"),
@@ -249,9 +278,12 @@ object SemDeDup {
       minCos: Double,
       targetClusterSize: Int = 1024,
       iters: Int = 5): DataFrame =
+    // saltAbove = the target: clusters at/under the size the quantizer
+    // AIMS for pay one salt key (same work); only the quantizer's misses
+    // (dense regions Lloyd's could not split) spread — see pairStage
     pairs(members, idCol, vecCol,
       trainedCentroids(members, idCol, vecCol, targetClusterSize, iters),
-      minCos)
+      minCos, saltAbove = targetClusterSize)
 
   /** The SemDeDup ACTION closing the pairs loop (as excise closes the
     * duplicated-spans loop): semantic duplicate components = connected
@@ -271,8 +303,9 @@ object SemDeDup {
       idCol: String,
       vecCol: String,
       centroids: DataFrame,
-      minCos: Double): DataFrame = {
-    val p = pairs(members, idCol, vecCol, centroids, minCos)
+      minCos: Double,
+      saltAbove: Int = 0): DataFrame = {
+    val p = pairs(members, idCol, vecCol, centroids, minCos, saltAbove)
       .select(col("vec_a").as("id_a"), col("vec_b").as("id_b"))
     val assign = DedupClusters.clusterAssignments(members, idCol, p)
     members.join(
@@ -282,7 +315,8 @@ object SemDeDup {
   }
 
   /** [[dedup]] under [[pairsAuto]]'s trained, size-scaled quantizer — the
-    * form a 100 TB corpus runs.
+    * form a 100 TB corpus runs (pair stage salted at the target, like
+    * [[pairsAuto]]).
     */
   def dedupAuto(
       members: DataFrame,
@@ -293,7 +327,7 @@ object SemDeDup {
       iters: Int = 5): DataFrame =
     dedup(members, idCol, vecCol,
       trainedCentroids(members, idCol, vecCol, targetClusterSize, iters),
-      minCos)
+      minCos, saltAbove = targetClusterSize)
 
   // ---- persisted index lifecycle ------------------------------------
   //

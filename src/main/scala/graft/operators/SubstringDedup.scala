@@ -309,9 +309,16 @@ object SubstringDedup {
     * frequency of a random gram is N / V^(k/w̄), and duplication is a
     * SIGNAL exactly when that expectation is ≤ 1:
     *
-    *   k = ⌈ w̄ · ln(N) / ln(V) ⌉, clamped to [kMin, kMax]
+    *   k = ⌈ w̄ · ln(N · margin) / ln(V) ⌉, clamped to [kMin, kMax]
     *
-    * On the 1M slice (V = 30, w̄ ≈ 7, N ≈ 4.6e8) this lands at ~41 — the
+    * `margin` bounds the expected RANDOM gram frequency at 1/margin, not
+    * at 1: the margin-free form (round 17's first cut) satisfies "≤ 1"
+    * but a 0.7-expected-recurrence gram space still marks a third of all
+    * random positions as duplicated — measured on the 1M slice, the
+    * margin-free k = 34 over-excised enough to shift every downstream
+    * funnel count (and push the ingest rehearsal's trained gate from 77%
+    * to 97% rejection). margin = 64 → expectation ≤ 1/64, which on the
+    * 1M slice (V = 30, w̄ ≈ 5.6, N ≈ 5e8) lands at k = 41 — the
     * empirically-proven 40 — and on natural vocabularies (V ≥ 10⁴) it
     * clamps to the Lee-et-al.-era floor of 20. One aggregate pass derives
     * (V, N): `approx_count_distinct` for V (an HLL estimate is exactly
@@ -326,8 +333,10 @@ object SubstringDedup {
       idCol: String,
       textCol: String,
       kMin: Int = 20,
-      kMax: Int = 120): Int = {
+      kMax: Int = 120,
+      margin: Double = 64.0): Int = {
     require(kMin >= 1 && kMax >= kMin, s"need 1 <= kMin <= kMax, got [$kMin, $kMax]")
+    require(margin >= 1.0, s"margin must be >= 1 (1 = expectation-at-1), got $margin")
     val row = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -342,7 +351,7 @@ object SubstringDedup {
     val wchars = math.max(1L, row.getLong(2))
     val wbar = wchars.toDouble / nw.toDouble + 1.0
     val n = (wchars + nw).toDouble // ≈ total chars ≈ gram positions
-    val k = math.ceil(wbar * math.log(n) / math.log(v.toDouble)).toInt
+    val k = math.ceil(wbar * math.log(n * margin) / math.log(v.toDouble)).toInt
     math.max(kMin, math.min(kMax, k))
   }
 
@@ -483,12 +492,31 @@ object SubstringDedup {
       .select(col(idCol).as("doc_id"), col(textCol).as("text"))
       .filter(length(col("text")) >= k) // sequence(1, n) descends for n < 1
     val useWindowMarking = singlePass.getOrElse(autoSinglePass(base))
-    val gramExpr = expr(s"substr(text, pos, $k)")
-    val grams = base
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
-      .select(col("doc_id"), col("pos"),
-        (if (hashShuffle) xxhash64(gramExpr) else gramExpr).as("gram"))
+    val grams =
+      if (hashShuffle) {
+        // ONE linear pass per document (round 17): the explode+substr form
+        // below re-walks the UTF8 string from byte 0 per position —
+        // O(n²) codepoint steps per doc, measured as the 1M composition's
+        // REAL excise straggler (220 s scan/explode map tasks on 70k-char
+        // outlier docs; the round's gram-key salting left it untouched
+        // because it was never reducer skew). gram_hashes emits the same
+        // xxhash64(substr(text, pos, k)) values bit-for-bit from byte
+        // slices over a single offset walk — see GramHashesF.
+        graft.plans.GraftFunctions.register(docs.sparkSession)
+        base
+          .select(col("doc_id"),
+            posexplode(graft.plans.GraftFunctions.gramHashes(col("text"), k)))
+          .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))
+      } else {
+        // exact-string grams (the oracle-parity form): substr's per-call
+        // walk is the price of carrying the strings at all — this variant
+        // is for bounded/declared shapes, not the 100 TB path
+        base
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+          .select(col("doc_id"), col("pos"),
+            expr(s"substr(text, pos, $k)").as("gram"))
+      }
     // minDocs == 2 (the standard dedup threshold) needs no COUNT(DISTINCT):
     // a gram occurs in >= 2 distinct docs iff min(doc_id) != max(doc_id) —
     // min/max are both window-able (single pass) and map-side combinable

@@ -69,6 +69,14 @@ object GraftFunctions {
           case other => GraftErrors.fail(
             s"word_shingles argument 2 (n) must be an integer literal, got ${other.sql}")
         })),
+      ("gram_hashes", classOf[graft.functions.expr.GramHashesF],
+        checked("gram_hashes", 2)(c => c(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+              org.apache.spark.sql.types.IntegerType) =>
+            graft.functions.expr.GramHashesF(c(0), v)
+          case other => GraftErrors.fail(
+            s"gram_hashes argument 2 (k) must be an integer literal, got ${other.sql}")
+        })),
       // Spark ships these two for its own runtime row-level filtering but
       // does not register them for users; graft's bloom decontamination
       // ([[graft.operators.BloomDecontaminate]]) surfaces them — a
@@ -183,6 +191,12 @@ object GraftFunctions {
     * [[register]] applied (operators call it themselves).
     */
   def vecDot(a: Column, b: Column): Column = call_function("vec_dot", a, b)
+
+  /** All k-gram xxhash64 values of a string in one linear pass — see
+    * [[graft.functions.expr.GramHashesF]].
+    */
+  def gramHashes(text: Column, k: Int): Column =
+    call_function("gram_hashes", text, org.apache.spark.sql.functions.lit(k))
 }
 
 /** `spark.sql.extensions` entry point injecting the native functions and

@@ -48,7 +48,10 @@ object IngestRehearsal {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 8×cpus reducers like the batch rehearsals (round 17): the excise
+      // FEED pays the same 20 GB gram exchange; per-batch streaming
+      // shuffles are tiny and AQE coalesces them back down
+      .config("spark.sql.shuffle.partitions", 8 * cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", s"${8 * 1024 * 1024}")
@@ -146,7 +149,9 @@ object IngestRehearsal {
           s""""shuffle_write_gb":${gb(metrics.shuffleWrite)},""" +
           s""""mem_spill_gb":${gb(metrics.memSpill)},""" +
           s""""disk_spill_gb":${gb(metrics.diskSpill)},""" +
-          s""""max_task_sec":${metrics.maxTaskMs / 1000.0}}""")
+          s""""max_task_sec":${metrics.maxTaskMs / 1000.0},""" +
+          s""""max_task_stage":"${metrics.maxTaskStage}",""" +
+          s""""top_stages":"${metrics.topStages()}"}""")
       }
     } finally q.stop()
     val totalSec = math.rint((System.nanoTime() - tAll) / 1e7) / 100.0

@@ -50,7 +50,10 @@ object PipelineRehearsal {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 8×cpus reducers, not the bench contract's 32 — the ScaleRehearsal
+      // session doc has the round-17 measurement (600 MB/78 GB-spill sort
+      // tasks of plain volume at 32); AQE coalesces small stages back down
+      .config("spark.sql.shuffle.partitions", 8 * cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // the ScaleRehearsal knob-sizing note: split the slice's small part
@@ -77,7 +80,9 @@ object PipelineRehearsal {
         s""""mem_spill_gb":${gb(metrics.memSpill)},""" +
         s""""disk_spill_gb":${gb(metrics.diskSpill)},""" +
         s""""peak_task_mem_gb":${gb(metrics.peakExecMem)},""" +
-        s""""max_task_sec":${metrics.maxTaskMs / 1000.0}}""")
+        s""""max_task_sec":${metrics.maxTaskMs / 1000.0},""" +
+        s""""max_task_stage":"${metrics.maxTaskStage}",""" +
+        s""""top_stages":"${metrics.topStages()}"}""")
       out
     }
 
@@ -259,8 +264,14 @@ object PipelineRehearsal {
     }
     val wSum = mixture.filter(col("iter") === 4)
       .agg(sum(col("weight"))).as[Double].head()
-    require(math.abs(wSum - 1.0) < 1e-6,
-      s"final mixture weights must sum to 1, got $wSum")
+    // weights are r6-SNAPPED after the final normalize (MixtureReweight's
+    // determinism contract), so the sum is 1 ± half a grid unit PER SOURCE
+    // by design. The round-16 tolerance (1e-6 flat) was tighter than the
+    // operator's own contract and broke on the first kept-set change
+    // (derived k=34 shifted the funnel; sum landed at 1 − 2e-6).
+    val nSrc = mixture.select(col("source")).distinct().count()
+    require(math.abs(wSum - 1.0) <= nSrc * 5e-7 + 1e-9,
+      s"final mixture weights must sum to 1 within $nSrc half-grid units, got $wSum")
 
     // 7 — BFD packing of the kept docs' LM piece counts into 2048-token
     // sequences over 1000 shards; exact accounting required

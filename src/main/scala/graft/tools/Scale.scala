@@ -154,6 +154,17 @@ private[tools] class StageMetrics extends org.apache.spark.scheduler.SparkListen
   @volatile var diskSpill = 0L
   @volatile var peakExecMem = 0L
   @volatile var maxTaskMs = 0L
+  @volatile private var maxTaskStageId = -1
+  // stage id -> callsite name, so the straggler task can be ATTRIBUTED
+  // (round 17: the excise salt A/B measured a max task that did NOT
+  // shrink with the salt — without knowing WHICH stage owns it, a fix
+  // can't be judged). TrieMap: listener events arrive on the bus thread.
+  private val stageNames =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  override def onStageSubmitted(
+      ss: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+    stageNames.put(ss.stageInfo.stageId,
+      ss.stageInfo.name.linesIterator.nextOption().getOrElse(""))
   override def onTaskEnd(
       te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
@@ -163,12 +174,47 @@ private[tools] class StageMetrics extends org.apache.spark.scheduler.SparkListen
       diskSpill += m.diskBytesSpilled
       peakExecMem = math.max(peakExecMem, m.peakExecutionMemory)
       // the skew signal: one straggler task = one hot join key
-      maxTaskMs = math.max(maxTaskMs, m.executorRunTime)
+      if (m.executorRunTime > maxTaskMs) {
+        maxTaskMs = m.executorRunTime
+        maxTaskStageId = te.stageId
+      }
+      val prev = stageMaxTask.getOrElse(te.stageId, 0L)
+      if (m.executorRunTime > prev)
+        stageMaxTask.put(te.stageId, m.executorRunTime)
     }
   }
+  // per-stage max task + the stage's RDD scope chain (Exchange/Sort/
+  // HashAggregate/SortMergeJoin...): under AQE every intermediate query
+  // stage is submitted async, so the CALLSITE name is the same useless
+  // "withThreadLocalCaptured" for all of them — the physical-operator
+  // scopes are the only thing that says WHICH exchange the straggler
+  // belongs to.
+  private val stageMaxTask =
+    scala.collection.concurrent.TrieMap.empty[Int, Long]
+  private val stageScopes =
+    scala.collection.concurrent.TrieMap.empty[Int, String]
+  override def onStageCompleted(
+      sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+    val scopes = sc.stageInfo.rddInfos
+      .flatMap(_.scope.map(_.name)).distinct.take(6).mkString(">")
+    stageScopes.put(sc.stageInfo.stageId, scopes)
+  }
+  /** The straggler's stage callsite (JSON-safe: quotes stripped). */
+  def maxTaskStage: String =
+    stageNames.getOrElse(maxTaskStageId, s"stage $maxTaskStageId")
+      .replace("\"", "'")
+  /** Top-N stages by max task, with their operator scopes — the straggler
+    * attribution line. JSON-safe string.
+    */
+  def topStages(n: Int = 3): String =
+    stageMaxTask.toSeq.sortBy(-_._2).take(n).map { case (sid, ms) =>
+      val scope = stageScopes.getOrElse(sid, "?")
+      s"$sid:${ms / 1000.0}s[$scope]"
+    }.mkString("; ").replace("\"", "'")
   def reset(): Unit = {
     shuffleWrite = 0; memSpill = 0; diskSpill = 0; peakExecMem = 0
-    maxTaskMs = 0
+    maxTaskMs = 0; maxTaskStageId = -1
+    stageMaxTask.clear()
   }
 }
 
@@ -233,6 +279,29 @@ object ScaleRehearsal {
         "user_id", "role", "turn_text")
       .select((col("user_id") * 1000000L + col("session_id")).as("conv_id"),
         col("rendered"))
+  }
+
+  /** One arm of the excise salt A/B: duplicated spans at the composed
+    * rehearsal's production shape, reduced to (count, order-free
+    * checksum) so arm equality is a one-row compare printed per arm.
+    */
+  private def spanChecksum(
+      s: org.apache.spark.sql.SparkSession, dir: String,
+      gramSalt: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spans = graft.operators.SubstringDedup.duplicatedSpans(
+      graft.Tables.documents(s, dir), "doc_id", "text",
+      k = 40, hashShuffle = true, singlePass = Some(false),
+      gramSalt = gramSalt)
+    val out = spans.agg(
+      count(lit(1)).as("spans"),
+      expr("bit_xor(xxhash64(doc_id, span_start, span_end, span_len))")
+        .as("checksum"))
+      .localCheckpoint(true)
+    val row = out.head()
+    println(s"""{"probe":"excise_spans","gram_salt":$gramSalt,""" +
+      s""""spans":${row.getLong(0)},"checksum":${row.getLong(1)}}""")
+    out
   }
 
   private val extraQueries: Map[String,
@@ -605,6 +674,48 @@ object ScaleRehearsal {
         .toDF("drop_same_cluster", "rep_same_cluster", "rep8_same_cluster", "planted")
     }),
 
+    // The R=8 arm ALONE in a fresh JVM: the three-arm A/B above exhausted
+    // the box's ~80 GB free disk on arm 3 — arms 1–2's shuffle files are
+    // only reclaimed by the ContextCleaner on GC, so within one JVM the
+    // third arm starts with most of the headroom already spent. A
+    // measured-infra constraint, not an operator property; the solo form
+    // gives the multi-rep arm the whole disk.
+    "audio_trim_rep8_sf2" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      import s.implicits._
+      val media = graft.queries.Media.audioTrimMedia(s, dir, sliceMod = 1)
+        .localCheckpoint(true)
+      val nm = media.count()
+      val plantedPairs = s.range(nm / 5)
+        .select((col("id") * 5 + 3).as("p_a"), (col("id") * 5 + 4).as("p_b"))
+        .localCheckpoint(true)
+      val nPlanted = plantedPairs.count()
+      val t0 = System.nanoTime()
+      val pairs = graft.multimodal.Multimodal
+        .audioNearDupPairsTrimTolerant(media, blockSamples = 8, hopBlocks = 4,
+          maxBucket = graft.multimodal.Multimodal.DeriveCap, repOverCap = true,
+          numReps = 8)
+        .localCheckpoint(true)
+      val nPairs = pairs.count()
+      val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
+      val asg = graft.operators.DedupClusters.clusterAssignments(
+        media.toDF().select(col("doc_id")), "doc_id",
+        pairs.select(col("doc_id_a").as("id_a"), col("doc_id_b").as("id_b")))
+        .localCheckpoint(true)
+      val sameCluster = plantedPairs
+        .join(asg.select(col("doc_id").as("p_a"), col("cluster_id").as("c_a")), "p_a")
+        .join(asg.select(col("doc_id").as("p_b"), col("cluster_id").as("c_b")), "p_b")
+        .filter(col("c_a") === col("c_b")).count()
+      val acc = asg.filter(col("doc_id") === col("cluster_id"))
+        .agg(sum(col("cluster_size"))).as[Long].head()
+      require(acc == nm, s"rep8 action accounting broke: $acc of $nm")
+      println(s"""{"probe":"audio_trim_rep8_sf2","clips":$nm,"pairs":$nPairs,""" +
+        s""""planted":$nPlanted,"planted_same_cluster":$sameCluster,""" +
+        s""""pair_sec":$pairSec}""")
+      Seq((nPairs, sameCluster, nPlanted))
+        .toDF("pairs", "rep8_same_cluster", "planted")
+    }),
+
     // Audio near-dup over a REAL document corpus at the production cap:
     // the declared q169's default maxBucket=10000 is sized for the sf0.1
     // catalog; at 1M docs the synthetic corpus's template structure makes
@@ -643,6 +754,16 @@ object ScaleRehearsal {
       graft.operators.SubstringDedup.duplicatedSpans(
         graft.Tables.documents(s, dir), "doc_id", "text",
         k = 20, hashShuffle = true, singlePass = Some(false))),
+    // Round-17 salted-exchange A/B (VERDICT r16 task 2): the composed
+    // rehearsal's excise stage at its exact production shape (k = 40,
+    // hashShuffle), one arm FORCED to the round-16 single-key plan
+    // (gramSalt = 1), one on the derived salt (gramSalt = 0). Each arm
+    // prints its span count + an order-free span-set checksum — the two
+    // MUST match (SubstringDedupSpec's identity, re-proven at 1M), and
+    // the harness's max_task line per arm is the straggler measurement
+    // the round's done-criterion reads.
+    "excise_spans_salt1" -> ((s, dir) => spanChecksum(s, dir, gramSalt = 1)),
+    "excise_spans_salted" -> ((s, dir) => spanChecksum(s, dir, gramSalt = 0)),
     // q111's declared form uses targetClusterSize=64 to force trained
     // cells at verify scale; at 400k+ vectors that k would hit the
     // driver-side Lloyd's quadratic-in-k wall (SemDeDup.pairsAuto doc) —
@@ -1513,7 +1634,14 @@ object ScaleRehearsal {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      // 256, not the bench contract's 32 (round 17): the excise probe's
+      // 20 GB gram exchange over 32 fixed reducers put 600+ MB in every
+      // sort task — 78 GB of spill and a 236 s straggler of plain VOLUME,
+      // not skew (the salt A/B split the keys checksum-identically and
+      // the straggler did not move). A real cluster sizes reducer count
+      // to data — the brief's own knob rule — and AQE coalesces the
+      // small stages back down (advisory 64 MB), so light probes pay ~0.
+      .config("spark.sql.shuffle.partitions", 8 * cpus.toInt)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // The sf2 slice is ~180 MB across 32 small part files; the default
@@ -1550,7 +1678,9 @@ object ScaleRehearsal {
         s""""mem_spill_gb":${gb(metrics.memSpill)},""" +
         s""""disk_spill_gb":${gb(metrics.diskSpill)},""" +
         s""""peak_task_mem_gb":${gb(metrics.peakExecMem)},""" +
-        s""""max_task_sec":${metrics.maxTaskMs / 1000.0}}""")
+        s""""max_task_sec":${metrics.maxTaskMs / 1000.0},""" +
+        s""""max_task_stage":"${metrics.maxTaskStage}",""" +
+        s""""top_stages":"${metrics.topStages()}"}""")
     }
     spark.stop()
   }

@@ -106,6 +106,36 @@ class SubstringDedupSpec extends SparkSpec {
         s"hashShuffle=$hs gramSalt=$gs diverged")
   }
 
+  test("gram_hashes == xxhash64(substr) bit-for-bit, incl. multibyte text") {
+    // the one-pass native gram hasher (round 17 — the excise straggler
+    // fix) must emit Spark's own xxhash64 over the same window bytes, or
+    // persisted gram artifacts and recorded probe checksums silently fork
+    graft.plans.GraftFunctions.register(spark)
+    val rng = new scala.util.Random(7)
+    val pool = "abc λμν 漢字テスト émojis é́ 0123"
+    val docs = ((1 to 60).map { i =>
+      (i.toLong, Seq.fill(rng.nextInt(40) + 5)(
+        pool(rng.nextInt(pool.length))).mkString)
+    } :+ (61L, "") :+ (62L, "short")).toDF("doc_id", "text")
+    for (k <- Seq(1, 3, 7)) {
+      val fused = docs.select(col("doc_id"),
+          graft.plans.GraftFunctions.gramHashes(col("text"), k).as("h_fused"))
+        .as[(Long, Seq[Long])].collect().toMap
+      val sql = docs
+        .filter(length(col("text")) >= k)
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(1), length(col("text")) - (k - 1))).as("pos"))
+        .select(col("doc_id"), col("pos"),
+          xxhash64(expr(s"substr(text, pos, $k)")).as("xh"))
+        .as[(Long, Int, Long)].collect()
+        .groupBy(_._1)
+        .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toSeq }
+      for ((id, h) <- fused)
+        assert(h == sql.getOrElse(id, Seq.empty[Long]),
+          s"k=$k doc $id: fused $h vs sql ${sql.get(id)}")
+    }
+  }
+
   test("derivedGramWidth: dense vocabularies widen k, natural ones keep the floor") {
     val rng = new scala.util.Random(7)
     // dense: 30-word vocabulary, 400 docs x 80 words — the 1M slice's
@@ -118,6 +148,13 @@ class SubstringDedupSpec extends SparkSpec {
     }.toDF("doc_id", "text")
     val kDense = SubstringDedup.derivedGramWidth(dense, "doc_id", "text")
     assert(kDense > 20 && kDense < 60, s"dense corpus derived k = $kDense")
+    // the margin is load-bearing: expectation-at-1 (margin = 1) must give
+    // a strictly narrower k than the default expectation-at-1/64 — the
+    // 1M measurement showed the narrower k over-excising (BASELINE r17)
+    val kDense1 = SubstringDedup
+      .derivedGramWidth(dense, "doc_id", "text", margin = 1.0)
+    assert(kDense > kDense1,
+      s"margin must widen k: margin-free $kDense1 vs default $kDense")
     // natural: high-diversity vocabulary — the rule clamps to the floor
     val natural = (1 to 400).map { i =>
       (i.toLong, Seq.fill(80)(rng.alphanumeric.take(6).mkString).mkString(" "))
