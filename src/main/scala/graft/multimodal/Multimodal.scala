@@ -767,19 +767,34 @@ object Multimodal {
       .withColumn("sfp2", coalesce(col("sfp_next"), col("sfp")))
     val keyed = grams.select(
       col("doc_id").as("id"), col("rank"),
+      // variant stratum for multi-rep stars: the FULL composite window
+      // content behind the band key. Two rows share it iff their
+      // (sfp, sfp2) windows are identical — i.e. they are the same
+      // content variant at some alignment — which is exactly the
+      // population a strict Hamming-0 rep edge can verify. See
+      // BandedSelfJoin.pairs repStratCol (round 17).
+      xxhash64(col("sfp"), col("sfp2")).as("strat"),
       explode(array((0 until 4).map { b =>
         struct(lit(b).as("band"),
           (shiftrightunsigned(col("sfp"), 16 * b).bitwiseAND(lit(0xffffL)) * 65536L +
             shiftrightunsigned(col("sfp2"), 16 * b).bitwiseAND(lit(0xffffL))).as("key"))
       }: _*)).as("bk"))
-      .select(col("id"), col("rank"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .select(col("id"), col("rank"), col("strat"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
     // sf is already materialized above, so the derive-mode count is a
     // cheap scan of checkpointed blocks, never a second decode; the gram
     // count per band is the sub-fp count minus the dropped tail ranks —
     // sf.count() is the (slightly conservative) bound the rule wants
     val cap = resolveCap(maxBucket, sf.count(), keyBits = 32)
+    // numReps > 1 routes through the STRATIFIED star (one rep per EXACT
+    // fingerprint-variant class, edges within class only — ~n edges
+    // total): the id-stride form's R·n edges were measured unrunnable on
+    // this corpus' 10⁵-row template buckets (R = 8 exhausted 80 GB of
+    // shuffle disk twice), and its cross-variant probes are exactly the
+    // edges the Hamming verify rejects anyway
     val best = graft.operators.BandedSelfJoin.pairs(keyed, cap,
-        repOverCap = repOverCap && cap > 0, numReps = numReps)
+        repOverCap = repOverCap && cap > 0, numReps = numReps,
+        repStratCol = if (numReps > 1) Some("strat") else None)
       .select(col("a.id").as("doc_id_a"), col("b.id").as("doc_id_b"),
         (col("a.rank") - col("b.rank")).as("offset"))
       .groupBy(col("doc_id_a"), col("doc_id_b"), col("offset"))

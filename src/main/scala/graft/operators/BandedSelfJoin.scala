@@ -87,11 +87,78 @@ private[graft] object BandedSelfJoin {
     * NON-rep members × reps with a.id < b.id (the member-below-rep half
     * single-rep stars never had). R = 1 keeps the round-16 plan exactly
     * (edges₂ is provably empty below the min-id rep and is not built).
+    *
+    * `repStratCol` (round 17, the DESIGN §8.2 "spread by fingerprint
+    * distance" option, measured necessary): id-stride reps pair every
+    * member with EVERY rep — R·n edges — and on the 1M trim corpus'
+    * 10⁵-row mega-buckets R = 8 needed more shuffle than this box's
+    * 80 GB disk twice over. Stratified reps replace "every rep" with
+    * "YOUR variant's rep": members class by `xxhash64(stratCol)` — a
+    * payload column that identifies the member's content variant (the
+    * full fingerprint behind the band key), so same-variant rows land in
+    * one class — and each over-cap class keeps its own min-id rep, with
+    * edges only WITHIN the class. Cost is ~n edges TOTAL, same scale as
+    * the single-rep star: per (band, key, class) join group the rep side
+    * has exactly one row, so group combos sum to the bucket size — even
+    * the adversarial all-distinct-variant bucket (every row its own
+    * class, every row a rep) yields 1×1 groups, linear work, zero edges.
+    * That is why the class space is NOT folded down to `numReps` (a
+    * first cut classed by `pmod(hash, R)`, and on the 1M trim corpus'
+    * thousands-of-variants buckets birthday collisions handed a large
+    * fraction of variants a WRONG-variant rep — R = 8 recalled 104k and
+    * R = 1024 only 117k of 200k planted pairs, where exact classes have
+    * no collision term at all, at the same linear cost). Recall targets
+    * exactly the pairs the strict verify can confirm — cross-variant
+    * star edges, the ones stride reps spend R·n edges probing, verify
+    * to nothing by definition. Small buckets class to 0, so their
+    * all-pairs semantics are untouched; `numReps` is ignored in this
+    * branch (kept for the id-stride form).
     */
   def pairs(keyed: DataFrame, maxBucket: Int, saltAbove: Int = 0,
-      repOverCap: Boolean = false, numReps: Int = 1): DataFrame = {
+      repOverCap: Boolean = false, numReps: Int = 1,
+      repStratCol: Option[String] = None): DataFrame = {
     require(numReps >= 1, s"numReps must be >= 1, got $numReps")
-    if (repOverCap) {
+    if (repOverCap && repStratCol.isDefined) {
+      require(maxBucket > 0, "repOverCap needs a positive maxBucket")
+      require(saltAbove <= 0,
+        "repOverCap and saltAbove are mutually exclusive: the star's cost " +
+          "is already linear, there is no quadratic bucket left to salt")
+      val strat = col(repStratCol.get)
+      val wBucket = Window.partitionBy(col("band"), col("key"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val counted0 = keyed
+        .withColumn("bucket_n", count(lit(1)).over(wBucket))
+        .withColumn("graft_cls",
+          when(col("bucket_n") > maxBucket, xxhash64(strat))
+            .otherwise(lit(0L)))
+      val wCls = Window.partitionBy(col("band"), col("key"), col("graft_cls"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // row-level rep mark: a clip id can appear in several classes
+      // (different ranks → different variants of content); each of its
+      // rows is rep exactly where its class elected it
+      val counted = counted0
+        .withColumn("is_rep",
+          col("bucket_n") > maxBucket && col("id") === min(col("id")).over(wCls))
+        .localCheckpoint(true)
+      val aSide = counted
+        .filter(col("bucket_n") <= maxBucket || col("is_rep"))
+        .drop("bucket_n", "is_rep")
+      val bSide = counted.drop("bucket_n", "is_rep")
+      // class in the join key: small buckets are all class 0 (their
+      // all-pairs join is unchanged); over-cap edges stay within class
+      val edges = aSide.as("a").join(bSide.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.graft_cls") === col("b.graft_cls") &&
+          col("a.id") < col("b.id"))
+      val aNonRep = counted
+        .filter(col("bucket_n") > maxBucket && !col("is_rep"))
+        .drop("bucket_n", "is_rep")
+      val bReps = counted.filter(col("is_rep")).drop("bucket_n", "is_rep")
+      edges.union(aNonRep.as("a").join(bReps.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.graft_cls") === col("b.graft_cls") &&
+          col("a.id") < col("b.id")))
+    } else if (repOverCap) {
       require(maxBucket > 0, "repOverCap needs a positive maxBucket")
       require(saltAbove <= 0,
         "repOverCap and saltAbove are mutually exclusive: the star's cost " +

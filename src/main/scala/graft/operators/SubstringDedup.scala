@@ -503,7 +503,16 @@ object SubstringDedup {
         // xxhash64(substr(text, pos, k)) values bit-for-bit from byte
         // slices over a single offset walk — see GramHashesF.
         graft.plans.GraftFunctions.register(docs.sparkSession)
+        // fan-out rebalance BEFORE the explode: one document byte becomes
+        // ~30 exchange bytes of gram rows, so input-FILE parallelism is
+        // ~30× too coarse for the explode+hash+shuffle-write work — the 1M
+        // composition measured 150–240 s scan-stage map tasks (33 file
+        // splits) where the same work over shuffle.partitions round-robin
+        // chunks is seconds. The rebalance exchange carries only the raw
+        // docs (cheap), and both downstream consumers (dup aggregate +
+        // join probe) REUSE it, so the corpus is scanned once.
         base
+          .repartition()
           .select(col("doc_id"),
             posexplode(graft.plans.GraftFunctions.gramHashes(col("text"), k)))
           .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("gram"))

@@ -691,10 +691,16 @@ object ScaleRehearsal {
         .localCheckpoint(true)
       val nPlanted = plantedPairs.count()
       val t0 = System.nanoTime()
+      // numReps > 1 routes to STRATIFIED reps: edge count is ~n (each
+      // member pairs only with its own variant class's rep) and classes
+      // are EXACT variants since the pmod fold-down was dropped — the
+      // folded form's birthday collisions were measured handing most
+      // variants a wrong-variant rep (R=8: 104,143/200k cluster recall;
+      // R=1024: 116,697/200k; exact classes have no collision term).
       val pairs = graft.multimodal.Multimodal
         .audioNearDupPairsTrimTolerant(media, blockSamples = 8, hopBlocks = 4,
           maxBucket = graft.multimodal.Multimodal.DeriveCap, repOverCap = true,
-          numReps = 8)
+          numReps = 2)
         .localCheckpoint(true)
       val nPairs = pairs.count()
       val pairSec = math.rint((System.nanoTime() - t0) / 1e7) / 100.0

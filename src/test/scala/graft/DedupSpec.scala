@@ -109,6 +109,34 @@ class DedupSpec extends SparkSpec {
     assert(withDup == expected2, s"got ${withDup.size}, want ${expected2.size}")
   }
 
+  test("stratified stars (round 17): variant classes get their OWN reps, edges stay in class") {
+    import graft.operators.BandedSelfJoin
+    // one over-cap bucket of 40 members carrying a VARIANT payload
+    // (interleaved: odd ids variant A, even variant B — the mixed-bucket
+    // shape that defeats a single min-id rep), plus one small bucket
+    // whose all-pairs semantics must be untouched by stratification
+    val keyed = ((1 to 40).map(i =>
+      (i.toLong, 0, "k", if (i % 2 == 1) 1111L else 2222L)) ++
+      Seq((100L, 0, "s", 1L), (101L, 0, "s", 2L), (102L, 0, "s", 3L)))
+      .toDF("id", "band", "key", "strat")
+    val got = BandedSelfJoin
+      .pairs(keyed, maxBucket = 10, repOverCap = true, numReps = 8,
+        repStratCol = Some("strat"))
+      .select(col("a.id"), col("b.id")).as[(Long, Long)].collect().toSet
+    val small = Set((100L, 101L), (100L, 102L), (101L, 102L))
+    // classes are EXACT variant classes (xxhash64 of the strat value, no
+    // fold-down): each variant's members pair with exactly their OWN
+    // variant's min-id rep (A -> 1, B -> 2) and never across
+    val aIds = (1 to 40).filter(_ % 2 == 1).map(_.toLong)
+    val bIds = (1 to 40).filter(_ % 2 == 0).map(_.toLong)
+    val separate =
+      aIds.filter(_ != 1L).map(m => (1L, m)).toSet ++
+        bIds.filter(_ != 2L).map(m => (2L, m)).toSet ++ small
+    assert(got == separate,
+      s"got ${got.size} pairs (${got.toSeq.sorted.take(8)}...); " +
+        s"want per-variant stars + untouched small bucket (${separate.size})")
+  }
+
   test("derivedCap: floor in the sparse regime, 16x expected when keys saturate") {
     import graft.operators.BandedSelfJoin.derivedCap
     // E << 1: any over-floor bucket is degenerate content, never random
