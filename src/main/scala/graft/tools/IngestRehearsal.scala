@@ -112,7 +112,13 @@ object IngestRehearsal {
     val cfg = IngestPipeline.Config(
       corpusPath = s"$work/corpus", indexPath = s"$work/index",
       statsPath = s"$work/stats", qualityWeights = weights,
-      qualityThreshold = 0.55, numBuckets = 64, maxBucket = 64)
+      qualityThreshold = 0.55, numBuckets = 64, maxBucket = 64,
+      // the product maintenance cadence (ledger + index + corpus
+      // compaction between batches) — the rehearsal drives the REAL
+      // path instead of compacting by hand; without it the pruned index
+      // read opens batches×buckets files and the per-batch wall drifts
+      // up with file count (measured +23% over 10 batches, round 17)
+      maintainEvery = 5)
 
     val spool = s"$work/spool"
     new java.io.File(spool).mkdirs()
@@ -136,19 +142,6 @@ object IngestRehearsal {
         docs.filter(col("doc_id") >= i * per && col("doc_id") < (i + 1) * per)
           .repartition(1).write.mode("append").parquet(spool)
         q.processAllAvailable()
-        // exercise the ledger + index compaction on the live stream once,
-        // mid-run: the stream is idle between spools (processAllAvailable
-        // returned), which is exactly the single-writer window the
-        // contract names. The index append writes one file per touched
-        // bucket per batch — without compaction the pruned read opens
-        // batches×buckets files and the per-batch wall drifts up with
-        // file count (measured +23% over 10 batches, round 17).
-        if (i == nBatches / 2) {
-          IngestPipeline.compactLedger(spark, cfg)
-          val compacted = graft.operators.LshIndexStore.compact(
-            spark, cfg.indexPath, maxFilesPerBucket = 4)
-          println(s"""{"stage":"index_compact","buckets":${compacted.length}}""")
-        }
         val secs = math.rint((System.nanoTime() - t0) / 1e7) / 100.0
         Thread.sleep(500) // listener bus is async
         val r = reports.synchronized(reports.last)

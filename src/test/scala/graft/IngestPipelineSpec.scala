@@ -222,6 +222,41 @@ class IngestPipelineSpec extends SparkSpec {
     assert(e.getMessage.contains("checkpoint"), e.getMessage)
   }
 
+  test("maintenance cadence: artifacts byte-equal to the uncompacted fold, files folded, fence intact") {
+    val rootA = java.nio.file.Files.createTempDirectory("ingest_maintain").toString
+    val rootB = java.nio.file.Files.createTempDirectory("ingest_nomaint").toString
+    // cadence fires after batch 1 commits ((1+1) % 2 == 0); threshold 1
+    // forces a real rewrite of every multi-file bucket
+    val cA = cfg(rootA).copy(maintainEvery = 2, maintainMaxFiles = 1)
+    val cB = cfg(rootB)
+    val reportsA = Seq(batch1, batch2).zipWithIndex.map { case (b, i) =>
+      IngestPipeline.processBatch(spark, b.toDF(), cA, i.toLong) }
+    val reportsB = Seq(batch1, batch2).zipWithIndex.map { case (b, i) =>
+      IngestPipeline.processBatch(spark, b.toDF(), cB, i.toLong) }
+    assert(reportsA == reportsB)
+    // compaction is content-preserving across all three artifacts
+    assert(corpusRows(rootA) == corpusRows(rootB))
+    def idxRows(r: String): Set[String] =
+      graft.operators.LshIndexStore.readAll(spark, s"$r/index")
+        .select(col("id"), col("band"), col("key"))
+        .collect().map(_.toString).toSet
+    assert(idxRows(rootA) == idxRows(rootB))
+    // the physical fold really happened: ledger is one file, and no
+    // index/corpus bucket holds more than maintainMaxFiles data files
+    def dataFiles(d: java.io.File): Int =
+      d.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(dataFiles(new java.io.File(cA.ledgerPath)) == 1)
+    for (store <- Seq("index", "corpus");
+         b <- new java.io.File(s"$rootA/$store").listFiles()
+           if b.isDirectory && b.getName.startsWith("__bucket="))
+      assert(dataFiles(b) <= 1, s"$store/${b.getName}: ${dataFiles(b)} files")
+    // the replay fence still reads the compacted ledger: replaying the
+    // last committed batch returns its report without re-mutating
+    val before = corpusRows(rootA)
+    val replay = IngestPipeline.processBatch(spark, batch2.toDF(), cA, 1L)
+    assert(replay == reportsA.last && corpusRows(rootA) == before)
+  }
+
   test("stream (foreachBatch) == the hand-driven fold: reports and artifacts") {
     val sRoot = java.nio.file.Files.createTempDirectory("ingest_stream").toString
     val hRoot = java.nio.file.Files.createTempDirectory("ingest_hand").toString
