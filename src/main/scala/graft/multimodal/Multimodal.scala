@@ -69,6 +69,23 @@ object Multimodal {
     def openPartition(): Array[Byte] => (Int, Int, Int, Double)
   }
 
+  /** Keep ImageIO streams IN MEMORY (round 17, guide §1.1/§6): with the
+    * default `useCache=true`, every `ImageIO.read(InputStream)` /
+    * `createImageInput(Output)Stream` over an in-memory byte stream is
+    * backed by a DISK cache file in java.io.tmpdir — one file create +
+    * write + delete per decoded/encoded row. For this engine's media rows
+    * the payloads are already whole byte arrays, so the spill file buys
+    * nothing and costs two things, both measured on q95/q166: a per-row
+    * disk round-trip (the dominant per-row cost for 8×8 thumbnails), and
+    * 4-5× wall-clock oscillation whenever the backing disk is busy — the
+    * CPU calibration probe stays nominal while codec queries quadruple,
+    * exactly the disk-latency signature. Executor-JVM-global and
+    * idempotent; called once per codec partition so cluster executors get
+    * it too (local mode shares one JVM).
+    */
+  private[graft] def imageIoInMemory(): Unit =
+    if (javax.imageio.ImageIO.getUseCache) javax.imageio.ImageIO.setUseCache(false)
+
   /** ======= STUB ======= deterministic fake codec standing in for a real
     * video/audio decoder (this container ships no such codecs). "Header"
     * layout it pretends to parse: byte0→width, byte1→height, byte2→frame
@@ -99,7 +116,9 @@ object Multimodal {
     * over every 8-bit RGB component of every pixel.
     */
   object ImageIoCodec extends MediaCodec {
-    def openPartition(): Array[Byte] => (Int, Int, Int, Double) = { bytes =>
+    def openPartition(): Array[Byte] => (Int, Int, Int, Double) = {
+      imageIoInMemory()
+      bytes =>
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
       require(img != null, "bytes are not a decodable image")
       val w = img.getWidth
@@ -128,7 +147,9 @@ object Multimodal {
     * pretend header.
     */
   object GifCodec extends MediaCodec {
-    def openPartition(): Array[Byte] => (Int, Int, Int, Double) = { bytes =>
+    def openPartition(): Array[Byte] => (Int, Int, Int, Double) = {
+      imageIoInMemory()
+      bytes =>
       val iis = javax.imageio.ImageIO.createImageInputStream(
         new java.io.ByteArrayInputStream(bytes))
       // the reader lookup can reject the bytes — from that point on the
@@ -283,6 +304,7 @@ object Multimodal {
     * below is unchanged by the choice of per-image hash.
     */
   def aHash64(bytes: Array[Byte]): Long = {
+    imageIoInMemory()
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
     require(img != null, "bytes are not a decodable image")
     aHash64Of(img)
@@ -852,6 +874,7 @@ object Multimodal {
     */
   private def sampledFrames[T](m: MediaRow, stride: Int)(
       perFrame: (java.awt.image.BufferedImage, Int, Int, Int) => T): Vector[T] = {
+    imageIoInMemory()
     val iis = javax.imageio.ImageIO.createImageInputStream(
       new java.io.ByteArrayInputStream(m.bytes))
     var reader: javax.imageio.ImageReader = null

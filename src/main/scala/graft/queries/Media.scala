@@ -212,7 +212,9 @@ object Media {
       .select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism)
       .as[(Long, String)]
-      .mapPartitions(_.map { case (id, text) =>
+      .mapPartitions { it =>
+        graft.multimodal.Multimodal.imageIoInMemory() // no disk cache file per encode
+        it.map { case (id, text) =>
         val toks = sortedToks(text)
         val img = new java.awt.image.BufferedImage(8, 8,
           java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -225,7 +227,7 @@ object Media {
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(img, "png", bos)
         graft.multimodal.MediaRow(id, s"mem://doc/$id.png", bos.toByteArray, Map.empty)
-      })
+      }}
     Multimodal.imageNearDupPairs(media, maxHamming = 3)
       .orderBy(col("doc_id_a"), col("doc_id_b"))
   }
@@ -256,6 +258,7 @@ object Media {
         // codec-init cost the mapPartitions batching exists to amortize;
         // the JDK GIF writer holds no native resources, so letting the
         // partition-long instance be GC'd without dispose() is safe)
+        graft.multimodal.Multimodal.imageIoInMemory() // no disk cache file per encode
         val ramp = Array.tabulate[Byte](256)(_.toByte)
         val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
@@ -335,6 +338,7 @@ object Media {
         .repartition(s.sparkContext.defaultParallelism) // one file -> fan out the codec work
         .as[(Long, String)]
         .mapPartitions { it =>
+          graft.multimodal.Multimodal.imageIoInMemory() // no disk cache file per encode
           val ramp = Array.tabulate[Byte](256)(_.toByte)
           val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
           val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()

@@ -434,6 +434,7 @@ object ScaleRehearsal {
       import s.implicits._
       val n = 50000L
       val media = s.range(n).repartition(64).as[Long].mapPartitions { it =>
+        graft.multimodal.Multimodal.imageIoInMemory()
         val ramp = Array.tabulate[Byte](256)(_.toByte)
         val icm = new java.awt.image.IndexColorModel(8, 256, ramp, ramp, ramp)
         val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
