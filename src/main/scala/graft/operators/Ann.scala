@@ -185,20 +185,41 @@ object Ann {
       case (v, i) if i % math.max(1, sample.length / nCells) == 0 => v
     }.take(nCells).map(_.embedding.map(_.toDouble))
     val sc = corpus.sparkSession.sparkContext
+    // Size-gated execution of the assignment scan (round 17): distributing
+    // it exists for the DriverTrainMaxK regime (~10^10 flops/iteration at
+    // the 1M rehearsal), but each distributed iteration is a Spark job, and
+    // at small sample*k*dim the job-launch floor dwarfs the math — the
+    // round's bench showed every trained-quantizer query (q111/q146/...)
+    // paying ~5 scheduler round-trips to score a few thousand vectors. The
+    // scan is a per-vector pure function either way (same nearestCentroid,
+    // same sample order), so the driver loop below is bit-identical to the
+    // distributed map; only the wall changes. Gate at ~10^8 flops/iteration
+    // (< ~100 ms serial): below it the driver scores, above it executors do.
+    val flopsPerIter = sample.length.toLong * nCells.toLong * dim.toLong
+    val driverScore = flopsPerIter <= (1L << 27)
     // parallelize preserves element order through collect, so the returned
     // assignment array lines up with `sample` by index; slice count only
     // shapes task granularity, never the result
-    val sampleRdd = sc.parallelize(
-      sample.map(_.embedding).toIndexedSeq,
-      math.max(1, math.min(sc.defaultParallelism * 2, sample.length / 64)))
-    sampleRdd.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val sampleRdd = if (driverScore) null else {
+      val r = sc.parallelize(
+        sample.map(_.embedding).toIndexedSeq,
+        math.max(1, math.min(sc.defaultParallelism * 2, sample.length / 64)))
+      r.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      r
+    }
     try {
       var iter = 0
       while (iter < iters) {
-        val bcCents = sc.broadcast(cents)
         val assigns: Array[Int] =
-          sampleRdd.map(emb => nearestCentroid(emb, bcCents.value)).collect()
-        bcCents.destroy()
+          if (driverScore) {
+            val cs = cents
+            sample.map(v => nearestCentroid(v.embedding, cs))
+          } else {
+            val bcCents = sc.broadcast(cents)
+            val a = sampleRdd.map(emb => nearestCentroid(emb, bcCents.value)).collect()
+            bcCents.destroy()
+            a
+          }
         val sums = Array.fill(nCells)(new Array[Double](dim))
         val counts = new Array[Long](nCells)
         var si = 0
@@ -217,7 +238,7 @@ object Ann {
         }
         iter += 1
       }
-    } finally sampleRdd.unpersist(blocking = false)
+    } finally if (sampleRdd != null) sampleRdd.unpersist(blocking = false)
     cents.zipWithIndex.map { case (c, i) => Vec(i.toLong, c.map(_.toFloat)) }
   }
 

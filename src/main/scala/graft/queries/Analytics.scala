@@ -525,20 +525,29 @@ object Analytics {
     * way through its aggregates.
     */
   private def q142(s: SparkSession, dir: String): DataFrame = {
-    val base = lpaEdges(s, dir)
+    // Round-17 shape: the symmetrized edge list is exactly base ∪
+    // reversed(base) with NO overlap (src is always "c:…", dst always
+    // "s:…"), so every statistic over `sym` is the base statistic doubled
+    // — and the old form evaluated the orders⋈lineitem⋈distinct edge
+    // build TWICE (once per union arm) before its checkpoint, then
+    // shuffled 2× the rows through every aggregate. This computes each
+    // statistic over `base` once and doubles it: m2 = 2|E|, deg(v) counts
+    // v's appearances on either endpoint, within counts same-label edges
+    // once and doubles. Identical output rows (driver-checked oracle
+    // hash); half the edge-build work, half the aggregate shuffle bytes.
+    val base = lpaEdges(s, dir).localCheckpoint(true)
     val lab = lpaLabels(s, dir)
-    val sym = base
-      .union(base.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
-    val m2 = sym.agg(count(lit(1)).as("m2"))
-    val degsum = sym.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .join(lab.select(col("id").as("src"), col("lbl")), "src")
+    val m2 = base.agg((count(lit(1)) * 2).as("m2"))
+    val degsum = base.select(col("src").as("id"))
+      .unionAll(base.select(col("dst").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      .join(lab.select(col("id"), col("lbl")), "id")
       .groupBy(col("lbl")).agg(sum(col("deg")).as("degsum"))
-    val within = sym
+    val within = base
       .join(lab.select(col("id").as("src"), col("lbl").as("sl")), "src")
       .join(lab.select(col("id").as("dst"), col("lbl").as("dl")), "dst")
       .filter(col("sl") === col("dl"))
-      .groupBy(col("sl").as("lbl")).agg(count(lit(1)).as("within"))
+      .groupBy(col("sl").as("lbl")).agg((count(lit(1)) * 2).as("within"))
     val nn = lab.groupBy(col("lbl")).agg(count(lit(1)).as("n_nodes"))
     nn.join(degsum, "lbl")
       .join(within, Seq("lbl"), "left")

@@ -1082,12 +1082,19 @@ object Curation {
     val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1,
       oracleParityHash = true)
     val w = Array.tabulate(QualityClassifier.Dims)(i => if (i == 16) 1.0 else 0.0)
+    // v1 feeds FOUR readers (kept1 twice inside classifyBatch(b2) — the
+    // index build and the corpus-text fetch — plus the final union), and
+    // kept1 three; materializing both once turns ~5 re-runs of the whole
+    // batch-1 dedup DAG into two tiny cached reads (round-17 measurement:
+    // 4.6 s → the checkpointed form in OPTIMIZATION_r17.md)
     val v1 = graft.streaming.IngestPipeline.classifyBatch(
       b1, None,
       ids => ids.limit(0).select(col("id").as("doc_id"), lit("").as("text")),
       lsh, 0.6, w, 0.5, parityRound = true)
+      .localCheckpoint(true)
     val kept1 = b1.join(
       v1.filter(col("verdict") === "appended").select("doc_id"), "doc_id")
+      .localCheckpoint(true)
     val v2 = graft.streaming.IngestPipeline.classifyBatch(
       b2, Some(_ => lsh.bandIndex(kept1, "doc_id", "text")),
       ids => kept1.select(col("doc_id"), col("text"))

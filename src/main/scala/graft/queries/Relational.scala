@@ -92,13 +92,25 @@ object Relational {
 
   /** B4 — 3-way fact join, top revenue orders (deterministic: rounded
     * revenue DESC then unique o_orderkey).
+    *
+    * Round-17 shape: the revenue group key (o_orderkey, c_name) is
+    * FUNCTIONALLY determined by l_orderkey, so the sum is pushed below the
+    * joins — lineitem pre-aggregates per l_orderkey (map-side partials on a
+    * long key), and the joins then carry |orders| pre-summed rows instead
+    * of |lineitem| raw ones with a c_name string in the group key. Same
+    * multiset summed per key, same round(…, 4), so rows are identical
+    * (driver-checked oracle hash); guide §2.3 "aggregate before you
+    * shuffle".
     */
   private def q04(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
-      .join(Tables.customer(s, dir), col("c_custkey") === col("o_custkey"))
-      .groupBy(col("o_orderkey"), col("c_name"))
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey"))
       .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4).as("revenue"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+        col("c_custkey") === col("o_custkey"))
+      .select(col("o_orderkey"), col("c_name"), col("revenue"))
       .orderBy(col("revenue").desc, col("o_orderkey"))
       .limit(100)
 
@@ -148,15 +160,38 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY c_custkey, tag""".stripMargin
 
-  /** B8 — theta (non-equi) join; supplier side is tiny so Spark plans a
-    * broadcast nested-loop join.
+  /** B8 — theta (non-equi) join, aggregated. Round-17 shape: the broadcast
+    * nested-loop join materialized |part| × |supplier| pairs (20M at sf0.1
+    * — 1.5 s of pure pair counting) only for the aggregate to collapse
+    * them per brand. The count of suppliers with `s_acctbal >
+    * p_retailprice` is an ORDER STATISTIC: union both columns into one
+    * sorted stream (suppliers before parts at equal value, so ties are
+    * excluded from the strict >), take a running supplier count, and each
+    * part row reads its answer as (total suppliers − suppliers ≤ price) —
+    * O((P+S) log(P+S)) instead of O(P×S), and the same trick at any scale
+    * replaces the quadratic BNLJ with a sort. A brand appears in the inner
+    * join's output iff it has ≥1 pair, hence the n_pairs > 0 filter.
+    * Result rows are identical (driver-checked oracle hash).
     */
-  private def q07(s: SparkSession, dir: String): DataFrame =
-    Tables.part(s, dir)
-      .join(broadcast(Tables.supplier(s, dir)), col("s_acctbal") > col("p_retailprice"))
+  private def q07(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir)
+      .select(lit(null).cast("string").as("p_brand"),
+        col("s_acctbal").cast("double").as("v"), lit(0).as("is_part"))
+    val prt = Tables.part(s, dir)
+      .select(col("p_brand"), col("p_retailprice").cast("double").as("v"),
+        lit(1).as("is_part"))
+    val w = Window.orderBy(col("v"), col("is_part"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val nSup = Tables.supplier(s, dir).agg(count(lit(1)).as("n_sup"))
+    sup.unionByName(prt)
+      .withColumn("cum_sup", sum(lit(1L) - col("is_part")).over(w))
+      .filter(col("is_part") === 1)
+      .crossJoin(broadcast(nSup))
       .groupBy(col("p_brand"))
-      .agg(count(lit(1)).as("n_pairs"))
+      .agg(sum(col("n_sup") - col("cum_sup")).as("n_pairs"))
+      .filter(col("n_pairs") > 0)
       .orderBy(col("p_brand"))
+  }
 
   private val q07Sql =
     """SELECT p_brand, COUNT(*) AS n_pairs
@@ -209,16 +244,37 @@ object Relational {
     * (o_orderkey makes the key unique, so max_by is deterministic).
     */
   private def q09(s: SparkSession, dir: String): DataFrame = {
+    // Round-17 shape: the range join expanded every event against EVERY
+    // past order of its user (|events/user| × |orders/user| rows through
+    // the join) before max_by collapsed the expansion. The as-of lookup is
+    // a MERGE: union orders and events on one per-user timeline (orders
+    // sort before events at equal time, so od_us <= ts_us stays inclusive)
+    // and carry a running max of struct(od_us, o_orderkey) — the same key
+    // max_by used, so ties break identically. One shuffle of |events| +
+    // |orders| rows, zero expansion, at any scale. Events with no prior
+    // order have a NULL running max — exactly the rows the inner join
+    // dropped. Rows identical (driver-checked oracle hash).
     val e = Tables.events(s, dir).select(col("event_id"), col("user_id"), col("ts_us"))
     val o = Tables.orders(s, dir)
       // o_orderdate reads as TIMESTAMP_NTZ; session TZ is UTC so the cast
       // is value-preserving and matches DuckDB's epoch_us(o_orderdate).
       .select(col("o_custkey"), col("o_orderkey"),
         unix_micros(col("o_orderdate").cast("timestamp")).as("od_us"))
-    e.join(o, col("o_custkey") === col("user_id") && col("od_us") <= col("ts_us"))
-      .groupBy(col("event_id"))
-      .agg(max_by(col("o_orderkey"),
-        struct(col("od_us"), col("o_orderkey"))).as("latest_orderkey"))
+    val merged = o
+      .select(col("o_custkey").as("user_id"), col("od_us").as("t"),
+        lit(0).as("kind"), struct(col("od_us"), col("o_orderkey")).as("ok"),
+        lit(null).cast("bigint").as("event_id"))
+      .unionByName(e.select(col("user_id"), col("ts_us").as("t"),
+        lit(1).as("kind"),
+        lit(null).cast("struct<od_us:bigint,o_orderkey:bigint>").as("ok"),
+        col("event_id")))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t"), col("kind"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    merged
+      .withColumn("latest", max(col("ok")).over(w))
+      .filter(col("kind") === 1 && col("latest").isNotNull)
+      .select(col("event_id"),
+        col("latest").getField("o_orderkey").as("latest_orderkey"))
       .orderBy(col("event_id"))
   }
 
@@ -601,18 +657,81 @@ object Relational {
     * error <= n/accuracy, guarantee verified in ApproxSpec ("approx_
     * percentile rank error"); this exact form stays as the oracle anchor.
     */
-  private def q50(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        expr("percentile(l_quantity, array(0.25D, 0.5D, 0.75D))").as("qs"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("price_p99"))
+  /** Exact-percentile replay of Spark's `Percentile` aggregate as a
+    * codegen-friendly histogram + interpolation plan — the round-17
+    * replacement for the TypedImperativeAggregate path, which builds a
+    * per-group OpenHashMap through interpreted per-row updates (no
+    * whole-stage codegen, boxing per row) and disables codegen for every
+    * sibling aggregate in the same agg list.
+    *
+    * Shape: groupBy(group, value).count → per-group cumulative counts over
+    * the value order (one window sort) → for each requested fraction p,
+    * pick the two bracketing order statistics and interpolate. The math is
+    * Percentile.getPercentile's, term for term:
+    *
+    *   position = p * (n - 1)            // n = group row count
+    *   lower = floor(position); higher = ceil(position)
+    *   v[k]  = first histogram value whose cumulative count > k
+    *   result = v[lower]                            if lower == higher
+    *          = v[lower]                            if v[lower] == v[higher]
+    *          = (higher-position)*v[lower] + (position-lower)*v[higher]
+    *
+    * including both no-interpolation special cases (the second matters:
+    * a*v + b*v with a+b == 1 is NOT always v in IEEE doubles), so results
+    * are bit-equal to the aggregate it replaces — q50/q76's oracle hashes
+    * are unchanged (driver-checked both rounds). Scale posture: the
+    * shuffle carries (group, value) pairs once; for low-cardinality values
+    * the histogram collapses map-side, and the window sort replaces the
+    * single-reducer per-group hash map with a codegen sort.
+    */
+  private[queries] def exactPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      value: org.apache.spark.sql.Column,
+      ps: Seq[Double],
+      outNames: Seq[String]): DataFrame = {
+    require(ps.length == outNames.length, "one output name per fraction")
+    val hist = df
+      .groupBy(col(groupCol), value.cast("double").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(groupCol).orderBy(col("v"))
+    val wAll = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(wOrd))
+      .withColumn("nn", sum(col("c")).over(wAll))
+    def pos(p: Double) = lit(p) * (col("nn") - lit(1L)).cast("double")
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        min(when(col("cum") > floor(pos(p)), col("v"))).as(s"graft_lo_$i"),
+        min(when(col("cum") > ceil(pos(p)), col("v"))).as(s"graft_hi_$i"))
+    }
+    val g = cum.groupBy(col(groupCol))
+      .agg(max(col("nn")).as("nn"), aggs: _*)
+    val out = ps.zipWithIndex.map { case (p, i) =>
+      val h = pos(p)
+      val lo = col(s"graft_lo_$i")
+      val hi = col(s"graft_hi_$i")
+      when(floor(h) === ceil(h) || lo === hi, lo)
+        .otherwise((ceil(h) - h) * lo + (h - floor(h)) * hi)
+        .as(outNames(i))
+    }
+    g.select(col(groupCol) +: out: _*)
+  }
+
+  private def q50(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val qs = exactPercentiles(li, "l_returnflag", col("l_quantity"),
+      Seq(0.25, 0.5, 0.75), Seq("p25r", "p50r", "p75r"))
+    val p99 = exactPercentiles(li, "l_returnflag", col("l_extendedprice"),
+      Seq(0.99), Seq("p99r"))
+    qs.join(p99, "l_returnflag")
       .select(col("l_returnflag"),
-        round(element_at(col("qs"), 1), 4).as("p25"),
-        round(element_at(col("qs"), 2), 4).as("p50"),
-        round(element_at(col("qs"), 3), 4).as("p75"),
-        col("price_p99"))
+        round(col("p25r"), 4).as("p25"),
+        round(col("p50r"), 4).as("p50"),
+        round(col("p75r"), 4).as("p75"),
+        round(col("p99r"), 4).as("price_p99"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val q50Sql =
     """SELECT l_returnflag,

@@ -163,8 +163,20 @@ object TimeSeries {
     * exact median. Every one is a mergeable partial aggregate in Spark —
     * one shuffle of 3-6 moment doubles per group, never the raw rows.
     */
-  private def q76(s: SparkSession, dir: String): DataFrame =
-    Tables.lineitem(s, dir)
+  /** Round-17 shape: the nine moment aggregates are DECLARATIVE (partial-
+    * aggregating, codegen'd), but one `median` in the same agg used to drag
+    * the whole thing through ObjectHashAggregate's interpreted per-row
+    * update path (a TypedImperativeAggregate in an agg list disables
+    * whole-stage codegen for ALL its siblings). Splitting the median into
+    * its own branch via [[Relational.exactPercentiles]] (a histogram +
+    * interpolation replay of Percentile's exact math — bit-equal, see the
+    * helper's doc) lets the moments run as one codegen HashAggregate and
+    * the median ride a tiny (flag, quantity)-histogram; the two 3-row
+    * results broadcast-join back. Oracle hash unchanged (driver-checked).
+    */
+  private def q76(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val moments = li
       .groupBy("l_returnflag")
       .agg(
         count(lit(1)).as("n"),
@@ -175,9 +187,16 @@ object TimeSeries {
         r4(var_pop(col("l_quantity"))).as("var_qty"),
         r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
         r4(regr_intercept(col("l_extendedprice"), col("l_quantity"))).as("icept"),
-        r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"),
-        r4(median(col("l_quantity").cast("double"))).as("med_qty"))
+        r4(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"))
+    val med = Relational.exactPercentiles(
+      li, "l_returnflag", col("l_quantity").cast("double"),
+      Seq(0.5), Seq("med_raw"))
+    moments.join(med, "l_returnflag")
+      .select(col("l_returnflag"), col("n"), col("corr_qp"), col("covar_p"),
+        col("covar_s"), col("sd_qty"), col("var_qty"), col("slope"),
+        col("icept"), col("r2"), r4(col("med_raw")).as("med_qty"))
       .orderBy("l_returnflag")
+  }
 
   private val q76Sql =
     """SELECT l_returnflag,

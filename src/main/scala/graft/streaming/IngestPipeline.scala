@@ -192,14 +192,22 @@ object IngestPipeline {
             cand.select(col("index_id").as("id")).distinct())
           .join(batch.select(col("doc_id")), Seq("doc_id"), "left_anti")
           .unionByName(batch.select(col("doc_id"), col("text")))
+        // materialized once (tiny id frame): it is read twice — the
+        // afterIdx anti-join and the final verdict join — and without the
+        // checkpoint each reader re-runs the whole candidate+verify DAG
         lsh.verifyJaccard(
             cand.select(col("new_id").as("id_a"), col("index_id").as("id_b")),
             texts, "doc_id", "text")
           .filter(jc >= jaccardThreshold)
           .select(col("id_a").as("doc_id")).distinct()
+          .localCheckpoint(true)
     }
-    val afterIdx = batch.join(dupIdxIds, Seq("doc_id"), "left_anti")
-      .localCheckpoint(true)
+    // with no index the anti-join is against a statically-empty frame —
+    // afterIdx IS the batch, and a checkpoint would only buy a copy
+    val afterIdx =
+      if (index.isEmpty) batch.join(dupIdxIds, Seq("doc_id"), "left_anti")
+      else batch.join(dupIdxIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint(true)
 
     // 2. verified intra-batch dedup, keep-first: drop every id with a
     // verified smaller-id partner (candidatePairs emits id_a < id_b).
@@ -207,6 +215,9 @@ object IngestPipeline {
     // representative instead of vanishing — without it a mass arrival of
     // NEW duplicates (more copies than the cap, none indexed yet) would
     // sail through intra-batch dedup entirely
+    // same two-reader materialization as dupIdxIds (clean + final verdict
+    // join); `clean` itself then derives from two checkpointed frames by
+    // one tiny anti-join, cheap to recompute, so it no longer checkpoints
     val dupBatchIds = lsh
       .verifyJaccard(
         lsh.candidatePairs(afterIdx, "doc_id", "text", maxBucket,
@@ -214,8 +225,8 @@ object IngestPipeline {
         afterIdx, "doc_id", "text")
       .filter(jc >= jaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
-    val clean = afterIdx.join(dupBatchIds, Seq("doc_id"), "left_anti")
       .localCheckpoint(true)
+    val clean = afterIdx.join(dupBatchIds, Seq("doc_id"), "left_anti")
 
     // 3. quality gate on the r4-rounded sigmoid score
     val keepIds = QualityClassifier
