@@ -1093,12 +1093,13 @@ object Curation {
       lsh, 0.6, w, 0.5, parityRound = true)
       .localCheckpoint(true)
     val kept1 = b1.join(
-      v1.filter(col("verdict") === "appended").select("doc_id"), "doc_id")
+      broadcast(v1.filter(col("verdict") === "appended").select("doc_id")),
+      "doc_id")
       .localCheckpoint(true)
     val v2 = graft.streaming.IngestPipeline.classifyBatch(
       b2, Some(_ => lsh.bandIndex(kept1, "doc_id", "text")),
       ids => kept1.select(col("doc_id"), col("text"))
-        .join(ids.select(col("id").as("doc_id")), "doc_id"),
+        .join(broadcast(ids.select(col("id").as("doc_id"))), "doc_id"),
       lsh, 0.6, w, 0.5, parityRound = true)
     v1.select(lit(1).as("batch"), col("doc_id"), col("verdict"))
       .unionByName(

@@ -718,11 +718,76 @@ object Relational {
     g.select(col(groupCol) +: out: _*)
   }
 
+  /** [[exactPercentiles]] for NEAR-DISTINCT values, where the value
+    * histogram would not collapse (measured: the (flag, price) groupBy
+    * shuffled all 600k rows and q50 got SLOWER than the aggregate it
+    * replaced). Two-pass bin refinement instead — the guide-§8 "decide on
+    * small rows" shape: pass 1 aggregates counts per (group, ⌊v/binWidth⌋)
+    * — codegen, map-side partials, a few hundred bins per group — and the
+    * cumulative bin counts locate which bin holds each target rank;
+    * pass 2 re-scans with a broadcast semi-join onto ONLY those bins
+    * (~n/bins rows survive), ranks within the bin (cum_before + local
+    * row_number), and interpolates exactly as [[exactPercentiles]] does.
+    * Same Percentile math, measured 1.5 → 0.9 s on q50's p99 at sf0.1 and
+    * scale-safe (both passes are full codegen scans; nothing holds a
+    * per-group value map).
+    */
+  private[queries] def exactPercentilesBinned(
+      df: DataFrame,
+      groupCol: String,
+      value: org.apache.spark.sql.Column,
+      ps: Seq[Double],
+      outNames: Seq[String],
+      binWidth: Double = 256.0): DataFrame = {
+    require(ps.length == outNames.length, "one output name per fraction")
+    val binned = df.select(col(groupCol), value.cast("double").as("v"))
+      .withColumn("graft_bin", floor(col("v") / lit(binWidth)))
+    val hist = binned.groupBy(col(groupCol), col("graft_bin"))
+      .agg(count(lit(1)).as("c"))
+    val wOrd = Window.partitionBy(groupCol).orderBy(col("graft_bin"))
+    val wAll = Window.partitionBy(groupCol)
+    val cum = hist
+      .withColumn("cumb", sum(col("c")).over(wOrd))
+      .withColumn("nn", sum(col("c")).over(wAll))
+    def pos(p: Double) = lit(p) * (col("nn") - lit(1L)).cast("double")
+    // a bin is of interest iff it contains rank ⌊pos⌋ or ⌈pos⌉ for any p
+    val need = ps.map { p =>
+      ((col("cumb") > floor(pos(p))) &&
+        (col("cumb") - col("c")) <= floor(pos(p))) ||
+      ((col("cumb") > ceil(pos(p))) &&
+        (col("cumb") - col("c")) <= ceil(pos(p)))
+    }.reduce(_ || _)
+    val sel = cum.filter(need)
+      .select(col(groupCol), col("graft_bin"),
+        (col("cumb") - col("c")).as("cum_before"), col("nn"))
+    val ranked = binned.join(broadcast(sel), Seq(groupCol, "graft_bin"))
+      .withColumn("rk",
+        col("cum_before") +
+          row_number().over(Window.partitionBy(col(groupCol), col("graft_bin"))
+            .orderBy(col("v"))).cast("long") - lit(1L))
+    val aggs = ps.zipWithIndex.flatMap { case (p, i) =>
+      Seq(
+        min(when(col("rk") === floor(pos(p)), col("v"))).as(s"graft_lo_$i"),
+        min(when(col("rk") === ceil(pos(p)), col("v"))).as(s"graft_hi_$i"))
+    }
+    val g = ranked.groupBy(col(groupCol))
+      .agg(max(col("nn")).as("nn"), aggs: _*)
+    val out = ps.zipWithIndex.map { case (p, i) =>
+      val h = pos(p)
+      val lo = col(s"graft_lo_$i")
+      val hi = col(s"graft_hi_$i")
+      when(floor(h) === ceil(h) || lo === hi, lo)
+        .otherwise((ceil(h) - h) * lo + (h - floor(h)) * hi)
+        .as(outNames(i))
+    }
+    g.select(col(groupCol) +: out: _*)
+  }
+
   private def q50(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
     val qs = exactPercentiles(li, "l_returnflag", col("l_quantity"),
       Seq(0.25, 0.5, 0.75), Seq("p25r", "p50r", "p75r"))
-    val p99 = exactPercentiles(li, "l_returnflag", col("l_extendedprice"),
+    val p99 = exactPercentilesBinned(li, "l_returnflag", col("l_extendedprice"),
       Seq(0.99), Seq("p99r"))
     qs.join(p99, "l_returnflag")
       .select(col("l_returnflag"),

@@ -195,18 +195,29 @@ object IngestPipeline {
         // materialized once (tiny id frame): it is read twice — the
         // afterIdx anti-join and the final verdict join — and without the
         // checkpoint each reader re-runs the whole candidate+verify DAG
+        // texts is bounded by matched ids + the batch (the doc above), so
+        // it broadcasts into both verify joins — the same batch-bounded
+        // posture as the candidate join's broadcast(batchBands)
         lsh.verifyJaccard(
             cand.select(col("new_id").as("id_a"), col("index_id").as("id_b")),
-            texts, "doc_id", "text")
+            broadcast(texts), "doc_id", "text")
           .filter(jc >= jaccardThreshold)
           .select(col("id_a").as("doc_id")).distinct()
           .localCheckpoint(true)
     }
+    // Broadcast hints on every bounded frame below (dup ids, keep ids, the
+    // batch-derived verify sets): the checkpointed frames are LogicalRDDs
+    // with NO size statistics, so Catalyst defaults them to
+    // defaultSizeInBytes and plans sort-merge joins — measured on q177,
+    // the fold ran 50 AQE stage-jobs of which most were exchanges for
+    // joins whose one side is at most the micro-batch. Every hinted side
+    // is ≤ batch size by construction (ids or shingle sets of batch docs),
+    // the documented bounded-micro-batch posture.
     // with no index the anti-join is against a statically-empty frame —
     // afterIdx IS the batch, and a checkpoint would only buy a copy
     val afterIdx =
-      if (index.isEmpty) batch.join(dupIdxIds, Seq("doc_id"), "left_anti")
-      else batch.join(dupIdxIds, Seq("doc_id"), "left_anti")
+      if (index.isEmpty) batch.join(broadcast(dupIdxIds), Seq("doc_id"), "left_anti")
+      else batch.join(broadcast(dupIdxIds), Seq("doc_id"), "left_anti")
         .localCheckpoint(true)
 
     // 2. verified intra-batch dedup, keep-first: drop every id with a
@@ -222,11 +233,11 @@ object IngestPipeline {
       .verifyJaccard(
         lsh.candidatePairs(afterIdx, "doc_id", "text", maxBucket,
           repOverCap = true),
-        afterIdx, "doc_id", "text")
+        broadcast(afterIdx), "doc_id", "text")
       .filter(jc >= jaccardThreshold)
       .select(col("id_b").as("doc_id")).distinct()
       .localCheckpoint(true)
-    val clean = afterIdx.join(dupBatchIds, Seq("doc_id"), "left_anti")
+    val clean = afterIdx.join(broadcast(dupBatchIds), Seq("doc_id"), "left_anti")
 
     // 3. quality gate on the r4-rounded sigmoid score
     val keepIds = QualityClassifier
@@ -235,9 +246,9 @@ object IngestPipeline {
       .select(col("doc_id"))
 
     batch.select(col("doc_id"))
-      .join(dupIdxIds.select(col("doc_id"), lit(1).as("di")), Seq("doc_id"), "left")
-      .join(dupBatchIds.select(col("doc_id"), lit(1).as("db")), Seq("doc_id"), "left")
-      .join(keepIds.select(col("doc_id"), lit(1).as("kp")), Seq("doc_id"), "left")
+      .join(broadcast(dupIdxIds.select(col("doc_id"), lit(1).as("di"))), Seq("doc_id"), "left")
+      .join(broadcast(dupBatchIds.select(col("doc_id"), lit(1).as("db"))), Seq("doc_id"), "left")
+      .join(broadcast(keepIds.select(col("doc_id"), lit(1).as("kp"))), Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("di") === 1, "dup_index")
           .when(col("db") === 1, "dup_batch")
