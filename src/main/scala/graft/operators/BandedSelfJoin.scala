@@ -228,8 +228,24 @@ private[graft] object BandedSelfJoin {
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
     } else {
-      val counted = keyed.withColumn("bucket_n",
-        count(lit(1)).over(Window.partitionBy(col("band"), col("key"))))
+      // Round 17: bucket counts come from a groupBy (map-side partials,
+      // tiny result) broadcast-joined back, NOT a count-over-window — the
+      // window hash-partitioned and SORTED every keyed row just to tag it
+      // with its bucket size, a full extra exchange on the salted path's
+      // hot input. Only buckets ABOVE the engagement threshold are kept
+      // (bounded by the number of degenerate keys, so the broadcast is
+      // safe at any scale); absent rows coalesce to bucket_n = 1, which
+      // yields the same nSalt = 1 / cap verdict as their true sub-
+      // threshold count. The threshold is min(maxBucket, saltAbove) when
+      // both engage so the cap filter still sees every over-cap bucket.
+      val thr = if (maxBucket > 0) math.min(maxBucket.toLong, saltAbove.toLong)
+        else saltAbove.toLong
+      val hot = keyed.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > thr)
+      val counted = keyed
+        .join(broadcast(hot), Seq("band", "key"), "left")
+        .withColumn("bucket_n", coalesce(col("bucket_n"), lit(1L)))
       // the salted sides differ (pmod vs explode), so AQE cannot reuse one
       // exchange for both — materialize the keyed rows ONCE here or the
       // whole upstream pipeline (e.g. a conversation render) runs twice;

@@ -78,6 +78,115 @@ object Bpe {
         concat(lit(" "), array_join(split(col("word"), ""), " "), lit(" "))
           .as("sym"))
 
+  /** Driver fast-path gate (round 17, the connectedComponents /
+    * ivfCentroidsKMeans size-adaptive pattern): at or below this many word
+    * TYPES the whole merge loop runs on the driver over the collected type
+    * table — each distributed iteration costs ~6 Spark stage-jobs
+    * (explode+agg, joins, 1-row argmax collect, checkpoint) regardless of
+    * data size, and the bench corpus has 31 types, so 6 merges paid ~36
+    * scheduler round-trips to fold a few hundred strings. Above the gate
+    * the original distributed loop runs unchanged (word types are
+    * Heaps-law bounded but can reach millions at 100 TB). Both paths
+    * compute the identical trajectory: same exact integer pair/symbol
+    * counts, same left-associative double divisions for the WordPiece
+    * score, ties broken by UNSIGNED UTF-8 BYTE order ([[utf8Cmp]] — what
+    * Spark's string ordering is; String.compareTo would diverge on
+    * supplementary characters), same doubled-delimiter replace chain.
+    */
+  val DriverTrainMaxTypes: Int = 65536
+
+  private def utf8Cmp(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Spark `trim` strips ASCII space ONLY; String.trim strips all <= ' '. */
+  private def trimSpaces(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    s.substring(i, j)
+  }
+
+  /** The merge loop over a collected `(word, freq, sym)` table — the
+    * driver twin of the distributed loops in [[train]] /
+    * [[trainWordPiece]] (BpeSpec pins trajectory equality on both
+    * selection rules). */
+  private def trainLoopDriver(
+      types0: Array[(String, Long, String)],
+      nMerges: Int,
+      wordpiece: Boolean): (Seq[Merge], Array[(String, Long, String)]) = {
+    var types = types0
+    val merges = Seq.newBuilder[Merge]
+    var learned = 0
+    var exhausted = false
+    while (learned < nMerges && !exhausted) {
+      val pairCnt = scala.collection.mutable.LinkedHashMap[(String, String), Long]()
+      val symCnt = scala.collection.mutable.HashMap[String, Long]()
+      types.foreach { case (_, freq, sym) =>
+        val a = trimSpaces(sym).split(" ")
+        var k = 0
+        while (k < a.length - 1) {
+          val key = (a(k), a(k + 1))
+          pairCnt.update(key, pairCnt.getOrElse(key, 0L) + freq)
+          k += 1
+        }
+        if (wordpiece) {
+          var i = 0
+          while (i < a.length) {
+            symCnt.update(a(i), symCnt.getOrElse(a(i), 0L) + freq)
+            i += 1
+          }
+        }
+      }
+      if (pairCnt.isEmpty) exhausted = true
+      else {
+        var bestKey: (String, String) = null
+        var bestCnt = 0L
+        var bestScore = 0.0
+        pairCnt.foreach { case (key, cnt) =>
+          // the same left-associative divisions as the distributed plan
+          val score =
+            if (wordpiece) cnt.toDouble / symCnt(key._1) / symCnt(key._2)
+            else 0.0
+          val better =
+            if (bestKey == null) true
+            else if (wordpiece && score != bestScore) score > bestScore
+            else if (!wordpiece && cnt != bestCnt) cnt > bestCnt
+            else {
+              val cl = utf8Cmp(key._1, bestKey._1)
+              if (cl != 0) cl < 0 else utf8Cmp(key._2, bestKey._2) < 0
+            }
+          if (better) { bestKey = key; bestCnt = cnt; bestScore = score }
+        }
+        val m = Merge(bestKey._1, bestKey._2, bestCnt)
+        merges += m
+        learned += 1
+        val pat = " " + m.l + "  " + m.r + " "
+        val rep = " " + m.l + m.r + " "
+        types = types.map { case (w, f, sym) =>
+          (w, f, sym.replace(" ", "  ").replace(pat, rep).replace("  ", " "))
+        }
+      }
+    }
+    (merges.result(), types)
+  }
+
+  /** The collected type table when it fits the driver gate, else null. */
+  private def collectIfSmall(wordTypes: DataFrame): Array[(String, Long, String)] = {
+    val local = wordTypes.select("word", "freq", "sym")
+      .limit(DriverTrainMaxTypes + 1).collect()
+    if (local.length > DriverTrainMaxTypes) null
+    else local.map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+  }
+
+  private def localTypesDf(
+      spark: SparkSession, types: Array[(String, Long, String)]): DataFrame = {
+    import spark.implicits._
+    types.toSeq.toDF("word", "freq", "sym")
+  }
+
   /** Learns `nMerges` merge rules; returns them plus the final word-type
     * frame (the encoding dictionary). Deterministic: argmax ties break on
     * (l, r) order.
@@ -85,6 +194,18 @@ object Bpe {
   def train(wordTypes: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1 && nMerges <= 10000,
       s"nMerges must be in [1, 10000], got $nMerges")
+    val small = collectIfSmall(wordTypes)
+    if (small != null) {
+      val (ms, fin) = trainLoopDriver(small, nMerges, wordpiece = false)
+      return (ms, localTypesDf(wordTypes.sparkSession, fin))
+    }
+    trainDistributed(wordTypes, nMerges)
+  }
+
+  /** The distributed merge loop — package-private so BpeSpec can pin its
+    * trajectory equal to [[trainLoopDriver]]'s on the same input. */
+  private[graft] def trainDistributed(
+      wordTypes: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
     var wt = wordTypes.localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var learned = 0
@@ -137,6 +258,18 @@ object Bpe {
   def trainWordPiece(wordTypes: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
     require(nMerges >= 1 && nMerges <= 10000,
       s"nMerges must be in [1, 10000], got $nMerges")
+    val small = collectIfSmall(wordTypes)
+    if (small != null) {
+      val (ms, fin) = trainLoopDriver(small, nMerges, wordpiece = true)
+      return (ms, localTypesDf(wordTypes.sparkSession, fin))
+    }
+    trainWordPieceDistributed(wordTypes, nMerges)
+  }
+
+  /** [[trainDistributed]]'s WordPiece twin, package-private for the same
+    * trajectory-equality spec. */
+  private[graft] def trainWordPieceDistributed(
+      wordTypes: DataFrame, nMerges: Int): (Seq[Merge], DataFrame) = {
     var wt = wordTypes.localCheckpoint(true)
     val merges = Seq.newBuilder[Merge]
     var learned = 0

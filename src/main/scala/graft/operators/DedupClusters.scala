@@ -59,10 +59,21 @@ object DedupClusters {
       rounds: Int = 16,
       driverMaxPairs: Long = 5000000L): DataFrame = {
     val spark = pairs.sparkSession
-    if (driverMaxPairs > 0 && pairs.limit((driverMaxPairs + 1).toInt).count() <= driverMaxPairs) {
+    // ONE evaluation decides the path AND feeds it (round 17): the old
+    // size probe ran the whole upstream pair pipeline (LSH candidates +
+    // verify, for the dedup callers) once for the count and AGAIN for the
+    // collect — limit(max+1).collect() answers both at the same cost as
+    // the probe alone. Oversized pair sets pay one truncated collect
+    // before falling through to the distributed loop, a fraction of one
+    // of its rounds.
+    val edgeList0: Array[org.apache.spark.sql.Row] =
+      if (driverMaxPairs > 0)
+        pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit((driverMaxPairs + 1).toInt).collect()
+      else null
+    if (edgeList0 != null && edgeList0.length <= driverMaxPairs) {
       import spark.implicits._
-      val edgeList = pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-        .as[(Long, Long)].collect()
+      val edgeList = edgeList0.map(r => (r.getLong(0), r.getLong(1)))
       val parent = scala.collection.mutable.Map[Long, Long]()
       // iterative find with path compression: a recursive form would
       // overflow the stack on a multi-million-edge chain

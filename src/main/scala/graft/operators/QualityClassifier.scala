@@ -148,7 +148,11 @@ object QualityClassifier {
   def trainLogistic(feat: DataFrame, labels: DataFrame, iters: Int = 3,
       lr: Double = 0.5, l2: Double = 0.0, snapR6: Boolean = true): Array[Double] = {
     require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
-    val joined = feat.join(labels, "doc_id")
+    // labels and per-doc margins are bounded by the LABELED set — small by
+    // the nature of training data — so they broadcast; the feature frame
+    // is the big side and is never shuffled for either join (round 17:
+    // these planned as sort-merge when the inputs carried no statistics)
+    val joined = feat.join(broadcast(labels), "doc_id")
     val n = labels.count().toDouble
     require(n > 0, "trainLogistic: empty label set")
     var wts = Array.fill(Dims)(0.0)
@@ -162,7 +166,7 @@ object QualityClassifier {
         .groupBy(col("doc_id"), col("y")).agg(sum(col("wx")).as("m"))
         .select(col("doc_id"), col("y"),
           (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
-      val grad = feat.join(margins, "doc_id")
+      val grad = feat.join(broadcast(margins), "doc_id")
         .groupBy(col("slot"))
         .agg((sum(col("x") * (col("p") - col("y"))) / n).as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap

@@ -789,7 +789,7 @@ object Relational {
       Seq(0.25, 0.5, 0.75), Seq("p25r", "p50r", "p75r"))
     val p99 = exactPercentilesBinned(li, "l_returnflag", col("l_extendedprice"),
       Seq(0.99), Seq("p99r"))
-    qs.join(p99, "l_returnflag")
+    qs.join(broadcast(p99), "l_returnflag")
       .select(col("l_returnflag"),
         round(col("p25r"), 4).as("p25"),
         round(col("p50r"), 4).as("p50"),

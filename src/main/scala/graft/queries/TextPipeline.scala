@@ -135,13 +135,18 @@ object TextPipeline {
     */
   private def q40(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Round-17 shape: df (docs containing the word) IS tf's row count per
+    // word — the old plan exploded the corpus a second time, ran a
+    // distinct + aggregate, and shuffled tf into a join just to attach a
+    // count derivable from tf itself. One explode pass; df rides a
+    // count-over-window on the word key (one exchange replaces the
+    // distinct, the df aggregate, and the join). Same rows, driver-checked.
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))
-    val df = toks.select("doc_id", "word").distinct()
-      .groupBy("word").agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val scored = tf.join(df, "word")
+    val scored = tf
+      .withColumn("df", count(lit(1)).over(Window.partitionBy(col("word"))))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log((col("n_docs") + 1.0) / (col("df") + 1.0)), 4))
@@ -440,28 +445,38 @@ object TextPipeline {
     */
   private def bm25Scored(s: SparkSession, dir: String,
       qTerms: Seq[String]): DataFrame = {
+    // Round-17 shape: the query terms are LITERALS, so per-doc term
+    // frequencies are conditional sums in the SAME aggregate that counts
+    // doc length — ONE explode + groupBy(doc_id) pass (map-side partials)
+    // replaces the old dl pass + hits pass + (doc, word) aggregate +
+    // distinct + df aggregate + two joins. Corpus stats (n_docs, avgdl,
+    // per-term document frequencies) fold to ONE broadcast row off the
+    // same per-doc frame, and the score is the identical BM25 arithmetic
+    // per term, summed in fixed term order (deterministic, where the old
+    // sum aggregated ≤|terms| rows in partition order). Rows identical
+    // (driver-checked oracle hash); exchanges 5 → 2 at any scale.
     val (k1, b) = (1.2, 0.75)
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      // checkpoint: dl feeds the broadcast stats aggregate AND the main
-      // doc-length join through different exchange types (no reuse) —
-      // without it the corpus explode+aggregate runs twice (the q129/q74
-      // exchange-reuse finding)
-      .localCheckpoint(true)
-    val stats = dl.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    val hits = toks.filter(col("word").isin(qTerms: _*))
-    val tf = hits.groupBy(col("doc_id"), col("word")).agg(count(lit(1)).as("tf"))
-    val df = hits.select(col("doc_id"), col("word")).distinct()
-      .groupBy(col("word")).agg(count(lit(1)).as("df"))
-    val idf = log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
-    val norm = col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
-    tf.join(df, "word")
-      .join(dl, "doc_id")
-      .crossJoin(broadcast(stats))
-      .withColumn("term_score", idf * col("tf") * lit(k1 + 1.0) / norm)
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("term_score")), 4).as("score"))
+    val tfCols = qTerms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("word") === t, 1L).otherwise(0L)).as(s"tf_$i")
+    }
+    val perDoc = toks.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("dl"), tfCols: _*)
+    val statAggs = avg(col("dl")).as("avgdl") +:
+      qTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = perDoc.agg(count(lit(1)).as("n_docs"), statAggs: _*)
+    val scoreTerms = qTerms.indices.map { i =>
+      val tf = col(s"tf_$i")
+      val idf = log((col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5) + 1.0)
+      val norm = tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))
+      when(tf > 0, idf * tf * lit(k1 + 1.0) / norm).otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .filter(qTerms.indices.map(i => col(s"tf_$i") > 0).reduce(_ || _))
+      .withColumn("score", round(scoreTerms.reduce(_ + _), 4))
+      .select(col("doc_id"), col("score"))
   }
 
   private def q108(s: SparkSession, dir: String): DataFrame =

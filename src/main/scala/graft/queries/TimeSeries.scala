@@ -191,7 +191,7 @@ object TimeSeries {
     val med = Relational.exactPercentiles(
       li, "l_returnflag", col("l_quantity").cast("double"),
       Seq(0.5), Seq("med_raw"))
-    moments.join(med, "l_returnflag")
+    moments.join(broadcast(med), "l_returnflag")
       .select(col("l_returnflag"), col("n"), col("corr_qp"), col("covar_p"),
         col("covar_s"), col("sd_qty"), col("var_qty"), col("slope"),
         col("icept"), col("r2"), r4(col("med_raw")).as("med_qty"))

@@ -143,4 +143,31 @@ class BpeSpec extends SparkSpec {
     val (merges, _) = Bpe.train(Bpe.wordTypes(docs, "text"), 5)
     assert(merges.isEmpty, "single-char words admit no merges")
   }
+
+  test("driver fast-path trains the identical trajectory (BPE + WordPiece)") {
+    // round 17: train/trainWordPiece run the merge loop on the driver when
+    // the type table fits DriverTrainMaxTypes; the distributed loop must
+    // yield the SAME merges and the SAME final dictionary — both selection
+    // rules, real corpus (sf0.001 documents), plus a tie-heavy toy corpus
+    // where (l, r) ordering decides every argmax
+    for (docs <- Seq(
+        Tables.documents(spark, sf()),
+        corpus(0L -> "ab ab ba ba", 1L -> "ba ab ba ab"))) {
+      val wt = Bpe.wordTypes(docs, "text")
+      val (mFast, dFast) = Bpe.train(wt, 6)
+      val (mDist, dDist) = Bpe.trainDistributed(wt, 6)
+      assert(mFast == mDist)
+      assert(dFast.select("word", "freq", "sym")
+        .except(dDist.select("word", "freq", "sym")).isEmpty)
+      assert(dDist.select("word", "freq", "sym")
+        .except(dFast.select("word", "freq", "sym")).isEmpty)
+      val (wFast, wtFast) = Bpe.trainWordPiece(wt, 6)
+      val (wDist, wtDist) = Bpe.trainWordPieceDistributed(wt, 6)
+      assert(wFast == wDist)
+      assert(wtFast.select("word", "freq", "sym")
+        .except(wtDist.select("word", "freq", "sym")).isEmpty)
+      assert(wtDist.select("word", "freq", "sym")
+        .except(wtFast.select("word", "freq", "sym")).isEmpty)
+    }
+  }
 }

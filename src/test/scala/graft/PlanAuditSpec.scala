@@ -77,10 +77,15 @@ class PlanAuditSpec extends SparkSpec {
     assert("Exchange hashpartitioning".r.findAllIn(p).size <= 1, p)
   }
 
-  test("q76: stat family is one partial+final aggregate pair, one exchange") {
+  test("q76: moments stay codegen HashAggregate; median rides the histogram") {
+    // round-17 shape: the nine moment aggregates must NOT fall back to the
+    // interpreted ObjectHashAggregate path (the old plan put `median` in
+    // the same agg list, which dragged all nine through it), and the
+    // 3-row median branch must broadcast back, never sort-merge
     val p = finalPlan("q76_stat_funcs")
-    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ObjectHashAggregate") && !p.contains("SortAggregate"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
   }
 
   test("q67: decontamination gram sets broadcast; corpus side never shuffles for the join") {
