@@ -240,11 +240,24 @@ private[graft] object BandedSelfJoin {
       // both engage so the cap filter still sees every over-cap bucket.
       val thr = if (maxBucket > 0) math.min(maxBucket.toLong, saltAbove.toLong)
         else saltAbove.toLong
-      val hot = keyed.groupBy(col("band"), col("key"))
+      // Round-18 (ADVICE r17): the hot frame is bounded by the number of
+      // DEGENERATE buckets in ordinary corpora, but that count is
+      // data-dependent — a corpus with millions of moderately hot
+      // (band, key) buckets would make a forced broadcast arbitrarily
+      // large and fail the job (availability, not correctness). The frame
+      // is materialized once (its aggregate ran exactly once inside the
+      // old join plan too — the checkpoint relocates, not adds, that
+      // work) and size-probed: above the bound the hint is dropped and
+      // the planner shuffle-joins instead. ~1M (band, key, n) rows ≈
+      // 40 MB framed — a safe broadcast ceiling at any scale.
+      val hot0 = keyed.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") > thr)
+        .localCheckpoint(true)
+      val hot =
+        if (hot0.count() <= 1000000L) broadcast(hot0) else hot0
       val counted = keyed
-        .join(broadcast(hot), Seq("band", "key"), "left")
+        .join(hot, Seq("band", "key"), "left")
         .withColumn("bucket_n", coalesce(col("bucket_n"), lit(1L)))
       // the salted sides differ (pmod vs explode), so AQE cannot reuse one
       // exchange for both — materialize the keyed rows ONCE here or the

@@ -88,20 +88,29 @@ object QualityClassifier {
         docs.select(col(idCol).as("doc_id"), lit(18).as("slot"), lit(1.0).as("x")))
   }
 
+  /** The q97 rule-cascade label as a row-wise COLUMN — the single
+    * definition behind [[cascadeLabels]] and every caller that computes
+    * the label in place instead of joining the label frame back (q124:
+    * the join was a doc_id-keyed self-join for a projection).
+    */
+  def cascadeLabelCol(textCol: String = "text", nCharsCol: String = "n_chars",
+      langCol: String = "lang"): Column = {
+    val toks = split(col(textCol), " ")
+    val total = size(toks)
+    val dis = size(array_distinct(toks))
+    when((col(nCharsCol) >= 100) && (col(nCharsCol) <= 500) &&
+      ((total - dis) * 100 <= total * 55) &&
+      col(langCol).isin("en", "de", "fr", "es", "zh"), 1.0)
+      .otherwise(0.0)
+  }
+
   /** Weak labels from the q97 rule cascade: `(doc_id, y)` with y ∈ {0.0, 1.0}
     * (1 = kept by every rule). */
   def cascadeLabels(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", nCharsCol: String = "n_chars",
-      langCol: String = "lang"): DataFrame = {
-    val toks = split(col(textCol), " ")
-    val total = size(toks)
-    val dis = size(array_distinct(toks))
+      langCol: String = "lang"): DataFrame =
     docs.select(col(idCol).as("doc_id"),
-      when((col(nCharsCol) >= 100) && (col(nCharsCol) <= 500) &&
-        ((total - dis) * 100 <= total * 55) &&
-        col(langCol).isin("en", "de", "fr", "es", "zh"), 1.0)
-        .otherwise(0.0).as("y"))
-  }
+      cascadeLabelCol(textCol, nCharsCol, langCol).as("y"))
 
   /** Closed-form centroid (Rocchio) classifier, entirely in-plan: per-class
     * per-slot means over the IMPLICIT-ZERO feature space (sum over present
@@ -148,13 +157,22 @@ object QualityClassifier {
   def trainLogistic(feat: DataFrame, labels: DataFrame, iters: Int = 3,
       lr: Double = 0.5, l2: Double = 0.0, snapR6: Boolean = true): Array[Double] = {
     require(iters >= 1 && iters <= 100, s"iters must be in [1, 100], got $iters")
+    val n = labels.count().toDouble
+    require(n > 0, "trainLogistic: empty label set")
     // labels and per-doc margins are bounded by the LABELED set — small by
     // the nature of training data — so they broadcast; the feature frame
     // is the big side and is never shuffled for either join (round 17:
-    // these planned as sort-merge when the inputs carried no statistics)
-    val joined = feat.join(broadcast(labels), "doc_id")
-    val n = labels.count().toDouble
-    require(n > 0, "trainLogistic: empty label set")
+    // these planned as sort-merge when the inputs carried no statistics).
+    // Round-18 (ADVICE r17): the hints are GATED on the label count n —
+    // already computed above — so a caller with a huge labeled set falls
+    // back to the planner's shuffle join instead of blowing the broadcast
+    // / driver memory limit (4M (id, y) rows ≈ 64 MB framed, a safe hint
+    // ceiling; the per-doc margins frame is one row per labeled doc, the
+    // same bound).
+    val hintBounded = n <= 4000000
+    def bounded(df: DataFrame): DataFrame =
+      if (hintBounded) broadcast(df) else df
+    val joined = feat.join(bounded(labels), "doc_id")
     var wts = Array.fill(Dims)(0.0)
     for (_ <- 1 to iters) {
       val wCol = map(wts.toIndexedSeq.zipWithIndex.flatMap {
@@ -166,7 +184,7 @@ object QualityClassifier {
         .groupBy(col("doc_id"), col("y")).agg(sum(col("wx")).as("m"))
         .select(col("doc_id"), col("y"),
           (lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"))
-      val grad = feat.join(broadcast(margins), "doc_id")
+      val grad = feat.join(bounded(margins), "doc_id")
         .groupBy(col("slot"))
         .agg((sum(col("x") * (col("p") - col("y"))) / n).as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
@@ -222,6 +240,84 @@ object QualityClassifier {
       t += 1
     }
     (a, b)
+  }
+
+  /** The fused single-pass twin of `score(features(docs), weights)` —
+    * spec-pinned to produce the identical `(doc_id, p, pred)` frame
+    * (QualityClassifierSpec). The long form builds an n·19-row frame
+    * (explode + groupBy(doc_id, slot) + a per-doc norm window + a four-arm
+    * union re-scanning `docs` three more times) only for [[score]] to
+    * collapse it straight back to one row per doc; here the per-doc
+    * hashed-slot counts are [[HashSlots]] conditional sums in ONE
+    * aggregate (map-side partials, guide §2.3/§2.4) and the engineered
+    * features stay row-wise, so the whole gate is one exchange and one
+    * scan of `docs` (round 18, the q177 fold's quality gate).
+    *
+    * Equivalence argument, term by term: Σc² is integer arithmetic, so the
+    * norm is bit-equal to the window form; each xᵢ replays the long form's
+    * r4(c/nrm) (an absent (doc, slot) row is c = 0 → x = r4(0) = 0, and
+    * 0·wᵢ adds exactly ±0.0 to the sum); engineered terms are the same
+    * expressions with a NULL coalesced to the 0.0 the long form's
+    * null-skipping SUM gave them (the bias row keeps m non-null there, so
+    * coalescing per term lands on the same value). The dot product's
+    * fixed term order vs the aggregate's partition order is the identical
+    * last-ulp tolerance class the r4(sigmoid) snap already absorbs
+    * cross-engine — every consumer is oracle-checked on top.
+    *
+    * When every hashed-slot weight is zero (q177's length-rule gate) the
+    * token pass is statically dropped: every skipped term is exactly ±0.0
+    * in the long form's sum, and the gate becomes a pure projection —
+    * zero exchanges.
+    *
+    * `broadcastCounts` hints the per-doc count frame into its join — for
+    * callers whose `docs` is micro-batch-bounded
+    * ([[graft.streaming.IngestPipeline.classifyBatch]]'s documented
+    * posture); leave false for corpus-scale frames.
+    */
+  def scoreDocs(docs: DataFrame, weights: Array[Double],
+      idCol: String = "doc_id", textCol: String = "text",
+      nCharsCol: String = "n_chars",
+      broadcastCounts: Boolean = false): DataFrame = {
+    require(weights.length == Dims, s"expected $Dims weights, got ${weights.length}")
+    val toks = split(col(textCol), " ")
+    val xLen = Parity.r4(log(greatest(col(nCharsCol), lit(1)) / lit(300.0)))
+    val xDiv = Parity.r4(size(array_distinct(toks)).cast("double") / size(toks)
+      - lit(0.5))
+    def engDot(len: Column, div: Column): Column =
+      coalesce(lit(weights(16)) * len, lit(0.0)) +
+        coalesce(lit(weights(17)) * div, lit(0.0)) +
+        lit(weights(18)) * lit(1.0)
+    val perDocM =
+      if (weights.take(HashSlots).forall(_ == 0.0))
+        docs.select(col(idCol).as("doc_id"), engDot(xLen, xDiv).as("m"))
+      else {
+        val slot = pmod(graft.functions.TextHash.h60(col("tok")),
+          lit(HashSlots.toLong))
+        val cAggs = (0 until HashSlots).map(i =>
+          sum(when(col("slot") === i, 1L).otherwise(0L)).as(s"c_$i"))
+        val counts = docs
+          .select(col(idCol).as("doc_id"),
+            explode(graft.functions.TextHash.tokens(col(textCol))).as("tok"))
+          .filter(col("tok") =!= "")
+          .select(col("doc_id"), slot.as("slot"))
+          .groupBy(col("doc_id"))
+          .agg(cAggs.head, cAggs.tail: _*)
+        val nrm = sqrt((0 until HashSlots)
+          .map(i => col(s"c_$i") * col(s"c_$i")).reduce(_ + _))
+        val hashedDot = (0 until HashSlots)
+          .map(i => lit(weights(i)) * Parity.r4(col(s"c_$i") / col("nrm")))
+          .reduce(_ + _)
+        docs.select(col(idCol).as("doc_id"), xLen.as("x_len"), xDiv.as("x_div"))
+          .join(if (broadcastCounts) broadcast(counts) else counts,
+            Seq("doc_id"), "left")
+          .withColumn("nrm", nrm)
+          .select(col("doc_id"),
+            (coalesce(when(col("nrm") > 0, hashedDot), lit(0.0)) +
+              engDot(col("x_len"), col("x_div"))).as("m"))
+      }
+    perDocM.select(col("doc_id"),
+      Parity.r4(lit(1.0) / (lit(1.0) + exp(-col("m")))).as("p"),
+      (col("m") > 0).as("pred"))
   }
 
   /** Scores `feat` with literal `weights`: `(doc_id, p, pred)` where

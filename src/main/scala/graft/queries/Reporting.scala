@@ -22,8 +22,14 @@ object Reporting {
     */
   private def q124(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val labels = graft.operators.QualityClassifier.cascadeLabels(docs)
-    val base = docs.join(labels, "doc_id")
+    // Round-18: the cascade label is a row-wise projection of docs, so
+    // joining the label FRAME back on doc_id was a doc_id-keyed self-join
+    // (second scan + shuffle) for a column computable in place — doc_id is
+    // the table key, so the join was row-for-row. Same label expression
+    // (one definition, QualityClassifier.cascadeLabelCol); one scan, no
+    // join, identical rows.
+    val base = docs
+      .withColumn("y", graft.operators.QualityClassifier.cascadeLabelCol())
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),

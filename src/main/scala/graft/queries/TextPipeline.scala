@@ -455,6 +455,12 @@ object TextPipeline {
     // per term, summed in fixed term order (deterministic, where the old
     // sum aggregated ≤|terms| rows in partition order). Rows identical
     // (driver-checked oracle hash); exchanges 5 → 2 at any scale.
+    // one tf_i column per LIST ELEMENT: a repeated term would be scored
+    // once per copy where the old per-(doc, word) aggregate scored each
+    // distinct word once (ADVICE r17) — latent with the literal callers,
+    // pinned loudly here
+    require(qTerms == qTerms.distinct,
+      s"bm25Scored requires distinct query terms, got $qTerms")
     val (k1, b) = (1.2, 0.75)
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))

@@ -215,10 +215,8 @@ object IngestPipeline {
     // the documented bounded-micro-batch posture.
     // with no index the anti-join is against a statically-empty frame —
     // afterIdx IS the batch, and a checkpoint would only buy a copy
-    val afterIdx =
-      if (index.isEmpty) batch.join(broadcast(dupIdxIds), Seq("doc_id"), "left_anti")
-      else batch.join(broadcast(dupIdxIds), Seq("doc_id"), "left_anti")
-        .localCheckpoint(true)
+    val antiIdx = batch.join(broadcast(dupIdxIds), Seq("doc_id"), "left_anti")
+    val afterIdx = if (index.isEmpty) antiIdx else antiIdx.localCheckpoint(true)
 
     // 2. verified intra-batch dedup, keep-first: drop every id with a
     // verified smaller-id partner (candidatePairs emits id_a < id_b).
@@ -239,9 +237,14 @@ object IngestPipeline {
       .localCheckpoint(true)
     val clean = afterIdx.join(broadcast(dupBatchIds), Seq("doc_id"), "left_anti")
 
-    // 3. quality gate on the r4-rounded sigmoid score
+    // 3. quality gate on the r4-rounded sigmoid score — the fused
+    // single-pass scorer (round 18): the long-form features frame ran
+    // three exchanges and re-derived `clean` (itself an anti-join of two
+    // checkpointed frames) once per union arm, FOUR times per gate;
+    // scoreDocs is one scan + at most one batch-bounded aggregate
+    // (spec-pinned equal to score(features(clean), w))
     val keepIds = QualityClassifier
-      .score(QualityClassifier.features(clean), qualityWeights)
+      .scoreDocs(clean, qualityWeights, broadcastCounts = true)
       .filter(col("p") >= qualityThreshold)
       .select(col("doc_id"))
 

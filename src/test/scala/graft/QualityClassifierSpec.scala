@@ -26,6 +26,45 @@ class QualityClassifierSpec extends SparkSpec {
     assert(norms.count() == 0)
   }
 
+  // round 18: the fused gate must equal the long-form compose exactly —
+  // (doc_id, p, pred) sets compared on raw doubles, not a tolerance
+  private def assertScoreDocsEqual(d: org.apache.spark.sql.DataFrame,
+      w: Array[Double]): Unit = {
+    val long = QualityClassifier.score(QualityClassifier.features(d), w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val wide = QualityClassifier.scoreDocs(d, w)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    assert(wide == long,
+      s"scoreDocs diverged: only-long=${(long -- wide).take(3)} " +
+        s"only-wide=${(wide -- long).take(3)}")
+  }
+
+  test("scoreDocs == score(features(docs)) on the real corpus, mixed weights") {
+    val w = Array.tabulate(QualityClassifier.Dims)(i => (i % 5 - 2) * 0.37)
+    assertScoreDocsEqual(docs, w)
+  }
+
+  test("scoreDocs == score∘features with all hashed weights zero (static skip)") {
+    val w = Array.tabulate(QualityClassifier.Dims)(i =>
+      if (i == 16) 1.0 else if (i == 17) -0.25 else if (i == 18) 0.1 else 0.0)
+    assertScoreDocsEqual(docs, w)
+  }
+
+  test("scoreDocs == score∘features on degenerate docs (empty/blank/repeated text)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "", 0L),                      // empty text: no token rows
+      (2L, "   ", 3L),                   // blank-only tokens filtered out
+      (3L, "a a a a a a", 11L),          // one slot, heavy repeat
+      (4L, "x", 1L),                     // single token
+      (5L, "the quick brown fox jumps over lazy dog again and", 49L))
+      .toDF("doc_id", "text", "n_chars")
+    val mixed = Array.tabulate(QualityClassifier.Dims)(i => 0.1 * (i - 9))
+    assertScoreDocsEqual(d, mixed)
+    assertScoreDocsEqual(d, Array.tabulate(QualityClassifier.Dims)(i =>
+      if (i >= 16) 0.5 else 0.0))
+  }
+
   test("logistic GD separates a linearly separable planted corpus") {
     import spark.implicits._
     // y = 1 iff the length feature (slot 16) is positive; all other slots noise
