@@ -250,26 +250,33 @@ private[graft] object BandedSelfJoin {
       // work) and size-probed: above the bound the hint is dropped and
       // the planner shuffle-joins instead. ~1M (band, key, n) rows ≈
       // 40 MB framed — a safe broadcast ceiling at any scale.
-      val hot0 = keyed.groupBy(col("band"), col("key"))
+      // the salted sides differ (pmod vs explode), so AQE cannot reuse one
+      // exchange for both — materialize the keyed rows ONCE or the whole
+      // upstream pipeline (e.g. a conversation render) runs per reader.
+      // Round-18: the checkpoint moved UP from the counted join to `keyed`
+      // itself — the r17 shape evaluated the upstream pipeline TWICE (the
+      // hot aggregate and the join's probe side both sat above raw
+      // `keyed` inside one checkpoint job); now every consumer (the hot
+      // aggregate, the probe side, the bounded materialization) reads the
+      // in-memory blocks. Blocks are freed by the ContextCleaner when the
+      // frame drops. Caveats of localCheckpoint(true), accepted because
+      // this branch is opt-in: (a) it is EAGER — building the DataFrame
+      // runs the upstream pipeline right here, a side effect of
+      // construction; (b) it is NON-RELIABLE — the blocks live on
+      // executors, so losing one (kill/decommission) fails the job
+      // instead of recomputing lineage. On a cluster with executor churn,
+      // prefer saltAbove = 0 (the AQE-reusing unsalted plan) or
+      // checkpoint `keyed` to reliable storage first.
+      val keyedOnce = keyed.localCheckpoint(true)
+      val hot0 = keyedOnce.groupBy(col("band"), col("key"))
         .agg(count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") > thr)
         .localCheckpoint(true)
       val hot =
         if (hot0.count() <= 1000000L) broadcast(hot0) else hot0
-      val counted = keyed
+      val counted = keyedOnce
         .join(hot, Seq("band", "key"), "left")
         .withColumn("bucket_n", coalesce(col("bucket_n"), lit(1L)))
-      // the salted sides differ (pmod vs explode), so AQE cannot reuse one
-      // exchange for both — materialize the keyed rows ONCE here or the
-      // whole upstream pipeline (e.g. a conversation render) runs twice;
-      // blocks are freed by the ContextCleaner when the frame drops.
-      // Caveats of localCheckpoint(true), accepted because this branch is
-      // opt-in: (a) it is EAGER — building the DataFrame runs the upstream
-      // pipeline right here, a side effect of construction; (b) it is
-      // NON-RELIABLE — the blocks live on executors, so losing one (kill/
-      // decommission) fails the job instead of recomputing lineage. On a
-      // cluster with executor churn, prefer saltAbove = 0 (the AQE-reusing
-      // unsalted plan) or checkpoint `keyed` to reliable storage first.
       val bounded = (
         if (maxBucket <= 0) counted
         else counted.filter(col("bucket_n") <= maxBucket)

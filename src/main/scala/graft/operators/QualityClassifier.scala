@@ -172,6 +172,77 @@ object QualityClassifier {
     val hintBounded = n <= 4000000
     def bounded(df: DataFrame): DataFrame =
       if (hintBounded) broadcast(df) else df
+    def snap(upd: Double): Double =
+      // floor(x*1e6+0.5) — the Parity.r6 form, NOT rint: DuckDB's oracle
+      // snaps with FLOOR(x*1e6+0.5)/1e6 and the two must agree on .5s
+      if (snapR6) math.floor(upd * 1e6 + 0.5) / 1e6 else upd
+    // Round-18 driver fast-path (the Bpe/connectedComponents size-adaptive
+    // pattern, VERDICT r17 item 6): at or below the gate the labeled
+    // feature rows are collected ONCE and the whole GD loop runs on the
+    // driver — each distributed iteration was two joins + two aggregates +
+    // a 19-row collect (~7 scheduler round-trips), pure overhead at
+    // trainer-sized inputs. Trajectory equality is the r6-snap argument
+    // the class doc makes for CROSS-ENGINE parity, applied to summation
+    // order: the driver accumulates in collected-partition order while
+    // Spark merges partial aggregates in arbitrary order — both land
+    // inside the 1e-6 snap grid that already absorbs DuckDB's own order
+    // (QualityClassifierSpec pins driver == distributed on the real
+    // corpus and a planted one; every consumer is oracle-checked on top).
+    // Above the gate the distributed loop is unchanged.
+    if (n <= DriverTrainMaxDocs) {
+      val rows = feat.join(bounded(labels), "doc_id")
+        .select(col("doc_id"), col("slot"), col("x"), col("y"))
+        .collect()
+      // group per doc in collected order; docs in first-appearance order
+      val docIds = scala.collection.mutable.LinkedHashMap[Long, Int]()
+      rows.foreach { r =>
+        val id = r.getLong(0)
+        if (!docIds.contains(id)) docIds(id) = docIds.size
+      }
+      val nd = docIds.size
+      val ys = new Array[Double](nd)
+      val slots = new Array[Int](rows.length)
+      val xs = new Array[Double](rows.length)
+      val docOf = new Array[Int](rows.length)
+      var i = 0
+      while (i < rows.length) {
+        val r = rows(i)
+        val d = docIds(r.getLong(0))
+        docOf(i) = d; slots(i) = r.getInt(1); xs(i) = r.getDouble(2)
+        ys(d) = r.getDouble(3)
+        i += 1
+      }
+      var wts = Array.fill(Dims)(0.0)
+      for (_ <- 1 to iters) {
+        val m = new Array[Double](nd)
+        var j = 0
+        while (j < rows.length) { m(docOf(j)) += wts(slots(j)) * xs(j); j += 1 }
+        val p = m.map(v => 1.0 / (1.0 + math.exp(-v)))
+        val g = new Array[Double](Dims)
+        j = 0
+        while (j < rows.length) {
+          g(slots(j)) += xs(j) * (p(docOf(j)) - ys(docOf(j))); j += 1
+        }
+        wts = wts.zipWithIndex.map { case (wv, s) =>
+          snap(wv - lr * (g(s) / n + l2 * wv))
+        }
+      }
+      return wts
+    }
+    trainLogisticDistributed(feat, labels, iters, lr, l2, snapR6)
+  }
+
+  /** The distributed GD loop, unconditionally — spec-visible so
+    * QualityClassifierSpec can pin driver == distributed trajectories on
+    * the same inputs. */
+  private[graft] def trainLogisticDistributed(
+      feat: DataFrame, labels: DataFrame, iters: Int = 3,
+      lr: Double = 0.5, l2: Double = 0.0, snapR6: Boolean = true): Array[Double] = {
+    val n = labels.count().toDouble
+    require(n > 0, "trainLogistic: empty label set")
+    val hintBounded = n <= 4000000
+    def bounded(df: DataFrame): DataFrame =
+      if (hintBounded) broadcast(df) else df
     val joined = feat.join(bounded(labels), "doc_id")
     var wts = Array.fill(Dims)(0.0)
     for (_ <- 1 to iters) {
@@ -190,13 +261,17 @@ object QualityClassifier {
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       wts = wts.zipWithIndex.map { case (wv, s) =>
         val upd = wv - lr * (grad.getOrElse(s, 0.0) + l2 * wv)
-        // floor(x*1e6+0.5) — the Parity.r6 form, NOT rint: DuckDB's oracle
-        // snaps with FLOOR(x*1e6+0.5)/1e6 and the two must agree on .5s
         if (snapR6) math.floor(upd * 1e6 + 0.5) / 1e6 else upd
       }
     }
     wts
   }
+
+  /** [[trainLogistic]]'s driver-loop gate: the collected frame is
+    * n·[[Dims]] (doc, slot, x, y) rows — ~65k labeled docs ≈ 1.2M rows /
+    * ~40 MB, the same bounded-trainer materialization class as Bpe's
+    * 65536 word types. Training sets past this size train distributed. */
+  val DriverTrainMaxDocs: Double = 65536.0
 
   /** Platt scaling (Platt 1999): calibrate a raw scorer's outputs into
     * probabilities by fitting sigmoid(a·s + b) to the labels with

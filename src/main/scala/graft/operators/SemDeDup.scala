@@ -128,12 +128,127 @@ object SemDeDup {
   private def unpackCluster(packed: Column): Column =
     pmod(packed, lit(MaxCentroids.toLong))
 
+  /** Gate for the row-wise LITERAL argmin (round 18): at or below this k
+    * the centroid table is collected to the driver (k+1-row limit probe —
+    * centroids are broadcast-small by contract, and the pinned-oracle /
+    * bench-scale quantizers are single-digit k) and the argmin becomes
+    * `least()` over k codegen'd packed-long expressions — no n×k crossJoin
+    * expansion, no hash aggregate, no exchange, and [[pairs]] loses its
+    * id-keyed re-join too (the embedding never leaves the row). The pack
+    * per (member, centroid) is the IDENTICAL expression [[packExpr]]
+    * evaluates — c2 = vec_dot(lit, lit) constant-folds through the same
+    * native kernel — and least() skips NULLs exactly like min(), so the
+    * winning cluster is bit-identical (SemDeDupSpec pins literal ==
+    * aggregate). Above the gate the expression tree bloats past what
+    * codegen compiles well — MEASURED: k = 32 literal packs ran ~2×
+    * slower than the crossJoin + map-side-combined aggregate on q111,
+    * while k = 8 (q101/q112's pinned oracle centroids) is a clear win —
+    * so the gate sits below the measured break-even, and the 1M-scale
+    * trained quantizers (k in the hundreds) keep the aggregate shape.
+    */
+  val LiteralAssignMaxK: Int = 16
+
+  /** The driver-side centroid list when the literal path applies: ids
+    * validated on the driver (same domain as the in-plan guard), vectors
+    * as typed literals of their NATIVE element type so every downstream
+    * vec_dot sees the same arithmetic. None → use the aggregate path
+    * (too many centroids, a NULL row, or a non-float/double element).
+    * Carries the max centroid L2 norm for [[requirePackable]]'s bound.
+    */
+  private final case class LitCents(cs: Seq[(Long, Column)], maxNorm: Double)
+
+  private def literalCents(centroids: DataFrame): Option[LitCents] = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+    val elemT = centroids.schema.find(_.name == "c_emb").map(_.dataType) match {
+      case Some(ArrayType(t, _)) => t
+      case _ => return None
+    }
+    if (elemT != FloatType && elemT != DoubleType) return None
+    val rows = centroids
+      .select(col("c_id").cast("long").as("c_id"), col("c_emb"))
+      .limit(LiteralAssignMaxK + 1).collect()
+    if (rows.length > LiteralAssignMaxK || rows.isEmpty ||
+      rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) None
+    else {
+      var maxN2 = 0.0
+      val cs = rows.toSeq.map { r =>
+        val id = r.getLong(0)
+        require(id >= 0 && id < MaxCentroids,
+          s"semdedup centroid id out of [0, $MaxCentroids): $id")
+        val vals: Seq[Double] =
+          if (elemT == FloatType) r.getSeq[Float](1).map(_.toDouble)
+          else r.getSeq[Double](1)
+        maxN2 = math.max(maxN2, vals.map(x => x * x).sum)
+        val emb = if (elemT == FloatType) typedLit(r.getSeq[Float](1))
+          else typedLit(r.getSeq[Double](1))
+        (id, emb)
+      }
+      Some(LitCents(cs, math.sqrt(maxN2)))
+    }
+  }
+
+  /** The [[packExpr]] magnitude guard, literal-path form: raise_error
+    * ANYWHERE in a projection forfeits whole-stage codegen for the whole
+    * stage (measured: the per-pack guard tripled q101's warm time, and
+    * even ONE guarded branch cost ~0.5 s), so the literal path checks the
+    * bound ONCE at plan-construction with a tiny max-norm aggregate
+    * instead of per (row, centroid). Cauchy–Schwarz: d2 ≤ (‖x‖ + ‖c‖)²,
+    * so max‖x‖ + max‖c‖ under the pack limit ⇒ NO pack can overflow —
+    * the same loud-failure class as the in-plan guard (checked for every
+    * row, raised at construction instead of mid-job), conservative only
+    * in the garbage-magnitude regime both guards exist to reject.
+    */
+  private def requirePackable(base: DataFrame, maxCentNorm: Double): Unit = {
+    val maxE2 = base.agg(max(col("e2"))).collect()(0)
+    if (!maxE2.isNullAt(0)) {
+      val bound = math.sqrt((1L << 46).toDouble / 10000.0)
+      require(math.sqrt(maxE2.getDouble(0)) + maxCentNorm < bound,
+        "semdedup: squared centroid distances too large to pack " +
+          s"(max embedding norm ${math.sqrt(maxE2.getDouble(0))}, max " +
+          s"centroid norm $maxCentNorm) — normalize the embedding column")
+    }
+  }
+
+  /** One centroid's packed-long ordering key against the row's
+    * (embedding, e2) — [[packExpr]] with the centroid columns replaced by
+    * literals; the magnitude guard lives in [[requirePackable]]. */
+  private def packLit(cId: Long, cEmb: Column): Column = {
+    val d2 = col("e2") + vecDot(cEmb, cEmb) -
+      lit(2.0) * vecDot(col("embedding"), cEmb)
+    floor(d2 * 10000.0 + 0.5).cast("long") * MaxCentroids.toLong + lit(cId)
+  }
+
+  private def clusterLit(cs: Seq[(Long, Column)]): Column = {
+    val packs = cs.map { case (id, emb) => packLit(id, emb) }
+    unpackCluster(if (packs.length == 1) packs.head else least(packs: _*))
+  }
+
   /** Embedding-free assignment — (vec_id, cluster) via the packed-long
     * argmin. This is the index build/append path, where assignments are
     * persisted and embeddings stay in the corpus; the aggregate state is
-    * one long, the exchange one row per member.
+    * one long, the exchange one row per member. Small centroid tables
+    * (≤ [[LiteralAssignMaxK]]) take the row-wise literal path instead —
+    * zero exchanges, identical clusters.
     */
   def assign(
+      members: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    GraftFunctions.register(members.sparkSession)
+    val base = members
+      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+      .withColumn("e2", vecDot(col("embedding"), col("embedding")))
+    literalCents(centroids) match {
+      case Some(lc) =>
+        requirePackable(base, lc.maxNorm)
+        base.select(col("vec_id"), clusterLit(lc.cs).as("cluster"))
+      case None => assignAgg(members, idCol, vecCol, centroids)
+    }
+  }
+
+  /** The crossJoin + packed-argmin aggregate path, unconditionally —
+    * spec-visible so SemDeDupSpec can pin literal == aggregate on the
+    * same inputs. */
+  private[graft] def assignAgg(
       members: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame = {
     GraftFunctions.register(members.sparkSession)
@@ -147,20 +262,34 @@ object SemDeDup {
   }
 
   /** [[assign]] plus the pair-scoring columns: (vec_id, cluster,
-    * embedding, nm). The embedding is NOT carried through the aggregate
-    * (a first(array) buffer would force the same SortAggregate the packed
-    * argmin exists to avoid) — it re-attaches by an id-keyed join of n
-    * rows, which at 400k x 64-dim is ~100 MB of exchange vs the 134 GB
-    * of measured sort spill it replaces.
+    * embedding, nm). On the aggregate path the embedding is NOT carried
+    * through the aggregate (a first(array) buffer would force the same
+    * SortAggregate the packed argmin exists to avoid) — it re-attaches by
+    * an id-keyed join of n rows, which at 400k x 64-dim is ~100 MB of
+    * exchange vs the 134 GB of measured sort spill it replaces. On the
+    * literal path (round 18) the cluster is a row-wise expression, so
+    * nothing re-attaches: one scan, one projection.
     */
   private def assignCarry(
       members: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame =
-    members
-      .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
-      .join(assign(members, idCol, vecCol, centroids), "vec_id")
-      .select(col("vec_id"), col("cluster"), col("embedding"),
-        sqrt(vecDot(col("embedding"), col("embedding"))).as("nm"))
+      centroids: DataFrame): DataFrame = {
+    GraftFunctions.register(members.sparkSession)
+    literalCents(centroids) match {
+      case Some(lc) =>
+        val base = members
+          .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+          .withColumn("e2", vecDot(col("embedding"), col("embedding")))
+        requirePackable(base, lc.maxNorm)
+        base.select(col("vec_id"), clusterLit(lc.cs).as("cluster"),
+          col("embedding"), sqrt(col("e2")).as("nm"))
+      case None =>
+        members
+          .select(col(idCol).as("vec_id"), col(vecCol).as("embedding"))
+          .join(assign(members, idCol, vecCol, centroids), "vec_id")
+          .select(col("vec_id"), col("cluster"), col("embedding"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("nm"))
+    }
+  }
 
   /** The ONE cosine-scoring expression (rounding included) every pair
     * emitter shares — a parity-precision tweak lands everywhere at once.
@@ -200,9 +329,17 @@ object SemDeDup {
             col("a.nm"), col("b.nm")).as("cos_sim"))
         .filter(col("cos_sim") >= minCos)
     }
-    val a = assigned.select(col("cluster"), col("vec_id").as("vec_a"),
+    // Round-18: materialize the assigned frame ONCE before the self-join —
+    // the hoped-for AQE exchange reuse between the two sides never fired
+    // in the executed q101 plan (both subtrees ran end to end, scans and
+    // argmin included: 18 exchanges, two full assignment pipelines). The
+    // checkpoint is the exchange payload the join shipped anyway (n rows
+    // with embeddings); same eager/non-reliable caveats as the salted
+    // branch's, accepted for the same reason.
+    val once = assigned.localCheckpoint(true)
+    val a = once.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("e_a"), col("nm").as("nm_a"))
-    val b = assigned.select(col("cluster").as("cl_b"), col("vec_id").as("vec_b"),
+    val b = once.select(col("cluster").as("cl_b"), col("vec_id").as("vec_b"),
       col("embedding").as("e_b"), col("nm").as("nm_b"))
     a.join(b, col("cluster") === col("cl_b") && col("vec_a") < col("vec_b"))
       .withColumn("cos_sim",

@@ -93,8 +93,9 @@ object BudgetSelect {
     val docs = Tables.documents(s, dir)
     val scores = Classifier.cachedCentroidScores(s, dir)
       .select(col("doc_id"), col("score"))
-    val (_, dict) = Tokenizer.cachedBpe(s, dir)
-    val counts = Bpe.encodeCounts(docs, dict, "doc_id", "text")
+    // round 18: the per-doc encode is the shared per-(session, dataset)
+    // artifact (q123's frame) instead of a fresh corpus encode per sweep
+    val counts = Tokenizer.cachedEncodeCounts(s, dir)
     // checkpoint: perDoc feeds BOTH the 1-row budget aggregate (a
     // broadcast exchange) and the window (a shuffle exchange) — different
     // exchange types never reuse, so without materialization the whole

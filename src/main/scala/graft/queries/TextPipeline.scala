@@ -141,6 +141,10 @@ object TextPipeline {
     // count derivable from tf itself. One explode pass; df rides a
     // count-over-window on the word key (one exchange replaces the
     // distinct, the df aggregate, and the join). Same rows, driver-checked.
+    // Round-18 re-measured the obvious "aggregate + join back" variant
+    // (tf.groupBy(word).count ⋈ tf) and it was WORSE (0.88 → 1.06-1.25 s):
+    // AQE did not reuse tf's exchange across the two readers, so the
+    // corpus exploded twice — kept the window form.
     val docs = Tables.documents(s, dir)
     val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("word"))
     val tf = toks.groupBy("doc_id", "word").agg(count(lit(1)).as("tf"))

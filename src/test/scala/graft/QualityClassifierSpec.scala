@@ -85,6 +85,30 @@ class QualityClassifierSpec extends SparkSpec {
     assert(w(16) > 0, "the separating weight must be learned positive")
   }
 
+  test("trainLogistic: driver fast-path == distributed trajectory (round 18)") {
+    // real corpus (the q121 input shape, labeled-set size under the gate)
+    val wDrv = QualityClassifier.trainLogistic(feat, labels, iters = 3)
+    val wDst = QualityClassifier.trainLogisticDistributed(feat, labels, iters = 3)
+    assert(wDrv.toSeq == wDst.toSeq,
+      s"trajectory diverged on the corpus: ${wDrv.toSeq} vs ${wDst.toSeq}")
+    // longer run compounds any per-step divergence
+    val wDrv20 = QualityClassifier.trainLogistic(feat, labels, iters = 20, lr = 1.0)
+    val wDst20 = QualityClassifier.trainLogisticDistributed(feat, labels, iters = 20, lr = 1.0)
+    assert(wDrv20.toSeq == wDst20.toSeq)
+    // planted frame with unlabeled docs (inner-join drop must match),
+    // labeled docs missing feature rows, and a slot absent everywhere
+    import spark.implicits._
+    val f = ((0L until 60L).flatMap { id =>
+      Seq((id, 16, (id % 7).toDouble / 7 - 0.5), (id, 18, 1.0)) ++
+        (if (id % 3 == 0) Seq((id, 2, 0.125)) else Nil)
+    } :+ (999L, 5, 0.25)).toDF("doc_id", "slot", "x") // 999 unlabeled
+    val l = ((0L until 60L).map(id => (id, if (id % 2 == 0) 1.0 else 0.0)) :+
+      (998L, 1.0)).toDF("doc_id", "y") // 998 labeled, featureless
+    val a = QualityClassifier.trainLogistic(f, l, iters = 5)
+    val b = QualityClassifier.trainLogisticDistributed(f, l, iters = 5)
+    assert(a.toSeq == b.toSeq, s"planted trajectory diverged: ${a.toSeq} vs ${b.toSeq}")
+  }
+
   test("trainLogistic is deterministic across runs") {
     val w1 = QualityClassifier.trainLogistic(feat, labels, iters = 3)
     val w2 = QualityClassifier.trainLogistic(feat, labels, iters = 3)

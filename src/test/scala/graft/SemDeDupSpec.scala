@@ -17,6 +17,24 @@ class SemDeDupSpec extends SparkSpec {
     Array.fill(16)(r.nextGaussian().toFloat * scale)
   }
 
+  test("literal-argmin assignment == crossJoin+aggregate argmin (round 18)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // adversarial: coincident members and centroids (exact ties resolved
+    // by the packed c_id low bits), a zero vector, and clustered noise
+    val cents = (0 until 7).map(i => (i.toLong, vec(i))).toDF("c_id", "c_emb")
+    val members = ((0 until 300).map { i =>
+      val base = vec(i % 7)
+      (1000L + i, base.map(x => x + 0.01f * rnd.nextInt(3)))
+    } ++ Seq((2000L, vec(3)), (2001L, Array.fill(16)(0f))))
+      .toDF("vec_id", "embedding")
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lit = m(graft.operators.SemDeDup.assign(members, "vec_id", "embedding", cents))
+    val agg = m(graft.operators.SemDeDup.assignAgg(members, "vec_id", "embedding", cents))
+    assert(lit == agg, s"diverged on ${lit.keySet.filter(k => lit(k) != agg.getOrElse(k, -1L)).take(5)}")
+  }
+
   test("planted near-duplicates are found with trained centroids") {
     import spark.implicits._
     // three well-separated centers, 30 members each, plus one exact
