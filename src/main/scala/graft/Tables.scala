@@ -27,6 +27,21 @@ object Tables {
     if (name == "events") events(spark, dir)
     else guard(name, spark.read.parquet(s"$dir/$name.parquet"), s"$dir/$name.parquet")
 
+  /** On-disk bytes of a table — the cheap size-gate metric for plan-shape
+    * decisions (q07's prefix sum, lpaEdges' broadcast hint): one
+    * filesystem metadata call instead of running the optimizer for
+    * `stats.sizeInBytes` (round 18, measured: two optimizer runs per
+    * construction cost q07 ~+0.2 s per bench pass). Compressed bytes, so
+    * thresholds are conservative in the safe direction — real data is
+    * larger in memory. 0 for a missing path (gates then take the
+    * small-input branch, which never errors on its own). */
+  def fileBytes(spark: SparkSession, dir: String, name: String): Long =
+    try {
+      val p = new org.apache.hadoop.fs.Path(s"$dir/$name.parquet")
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getContentSummary(p).getLength
+    } catch { case scala.util.control.NonFatal(_) => 0L }
+
   /** Accepted microsecond-precision timestamp encodings; NANOS-era events
     * data loads as bigint via an explicit per-read schema (no session conf). */
   private val TsTypes = Set("timestamp", "timestamp_ntz")

