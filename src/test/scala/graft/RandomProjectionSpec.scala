@@ -24,6 +24,25 @@ class RandomProjectionSpec extends SparkSpec {
     assert(posFrac > 0.45 && posFrac < 0.55, s"sign balance off: $posFrac")
   }
 
+  test("vec_dot projection is bit-identical to the declarative HOF form") {
+    // the r18 physical form (one native vec_dot per output dim) must equal
+    // the original transform/aggregate/zip_with form on raw doubles — the
+    // q114/q115 oracle hashes depend on it
+    val emb = Tables.embeddings(spark, sf("sf0.01"))
+    val fast = RandomProjection.project(emb, "vec_id", "embedding", m = 16)
+    val matrix = typedLit(RandomProjection.signMatrix(16, 64))
+    val v = col("embedding").cast("array<double>")
+    val ref = emb.select(col("vec_id"),
+      transform(matrix, r =>
+        aggregate(zip_with(v, r, (x, s) => x * s), lit(0.0),
+          (acc, x) => acc + x)).as("proj"))
+    val mismatches = fast.as("f").join(ref.as("r"), "vec_id")
+      .filter(col("f.proj") =!= col("r.proj"))
+      .count()
+    assert(mismatches == 0, s"$mismatches rows differ from the HOF reference")
+    assert(fast.count() == emb.count())
+  }
+
   test("pairwise squared distances survive projection within the JL bound") {
     val emb = Tables.embeddings(spark, sf("sf0.01"))
     val proj = RandomProjection.project(emb, "vec_id", "embedding", m = 16)
