@@ -577,13 +577,28 @@ object Relational {
       |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
       |LIMIT 20""".stripMargin
 
-  /** B18 — INTERSECT and EXCEPT (set semantics), tagged and unioned. */
+  /** B18 — INTERSECT and EXCEPT (set semantics), tagged and unioned.
+    *
+    * One pass, not two (r18): Catalyst rewrites INTERSECT/EXCEPT to a
+    * distinct aggregate + semi/anti join EACH — two full lineitem
+    * aggregations feeding two joins, for partitions of the SAME distinct
+    * key set. The union of the two branches is exactly every distinct
+    * l_suppkey tagged by whether it appears in supplier, so one distinct +
+    * one left join (null-safe, matching set-op NULL-equality; supplier is
+    * deduped first so the join cannot fan out) computes both branches in a
+    * single pass. The planner broadcasts the supplier side from its own
+    * size estimate — no explicit hint on the corpus-proportional table.
+    */
   private def q16(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir).select(col("l_suppkey").as("suppkey"))
-    val su = Tables.supplier(s, dir).select(col("s_suppkey").as("suppkey"))
-    val both = li.intersect(su).select(col("suppkey"), lit("in_both").as("tag"))
-    val liOnly = li.except(su).select(col("suppkey"), lit("li_only").as("tag"))
-    both.unionByName(liOnly).orderBy(col("suppkey"), col("tag"))
+    val su = Tables.supplier(s, dir).select(col("s_suppkey").as("su_key"))
+      .distinct().withColumn("in_su", lit(true))
+    li.distinct()
+      .join(su, col("suppkey") <=> col("su_key"), "left")
+      .select(col("suppkey"),
+        when(col("in_su").isNotNull, lit("in_both"))
+          .otherwise(lit("li_only")).as("tag"))
+      .orderBy(col("suppkey"), col("tag"))
   }
 
   private val q16Sql =
