@@ -87,14 +87,20 @@ object Reporting {
     * oracle-checked.
     */
   private def q125(s: SparkSession, dir: String): DataFrame = {
+    // bounded slice (≤120 rows at any scale) read by five subtrees (band
+    // self-join, both verify shingle sides, both split sides — the join on
+    // id_a/id_b restricts the split lookup to pair ids, which are < 120 by
+    // construction, so deriving splits from the slice is row-identical);
+    // materialize once instead of five parquet scans — ~0.60 -> ~0.48 s
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+      .localCheckpoint(true)
     val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1,
       oracleParityHash = true)
     val pairs = lsh.verifyJaccard(
         lsh.candidatePairs(docs, "doc_id", "text"), docs, "doc_id", "text")
       .filter(round(col("jaccard"), 4) >= 0.6)
     val split = graft.functions.TextHash.h60(col("doc_id").cast("string")) % 100
-    val splits = Tables.documents(s, dir)
+    val splits = docs
       .select(col("doc_id"),
         when(split < 80, lit("train")).when(split < 90, lit("val"))
           .otherwise(lit("test")).as("split"))
@@ -236,7 +242,10 @@ object Reporting {
     * connected components + the cluster-keyed split.
     */
   private def q131(s: SparkSession, dir: String): DataFrame = {
+    // same bounded-slice materialization as q125 (band self-join + two
+    // verify sides + the cluster-assignment universe read the slice)
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 120)
+      .localCheckpoint(true)
     val lsh = MinHashLSH(numHashes = 12, numBands = 3, shingleSize = 1,
       oracleParityHash = true)
     val pairs = lsh.verifyJaccard(

@@ -58,9 +58,19 @@ class PlanAuditSpec extends SparkSpec {
     assert(!scans.contains("props") && !scans.contains("value"), scans)
   }
 
-  test("q63: incremental-dedup doc_id bounds are pushed into both scans") {
-    val scans = scanLines(finalPlan("q63_incremental_dedup"))
-    assert(scans.contains("(doc_id#") && scans.contains("< 400"), scans)
+  test("q63: the bounded slice is materialized once, not re-scanned") {
+    // r18 shape: the ≤400-row slice is localCheckpointed at construction
+    // (where its own scan DOES push the doc_id bound — asserted below via
+    // the slice plan), so the final q63 plan must read the in-memory RDD
+    // and never re-scan documents' parquet for its four consumers
+    val p = finalPlan("q63_incremental_dedup")
+    assert(!scanLines(p).contains("documents"), scanLines(p))
+    assert(p.contains("ExistingRDD") || p.contains("Scan ExistingRDD"), p)
+    val slice = graft.Tables.documents(spark, sf("sf0.01"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 400)
+    val slicePlan = slice.queryExecution.executedPlan.toString
+    assert(slicePlan.contains("(doc_id#") && slicePlan.contains("< 400"),
+      slicePlan)
   }
 
   test("q79: EXISTS/NOT EXISTS decorrelate to broadcast semi + anti joins") {
