@@ -96,11 +96,24 @@ object SparseCosineJoin {
         greatest(lit(256.0),
           least(col("n_docs") / 2.0, lit(64.0) * sqrt(col("n_docs"))))
       else lit(maxDfFrac) * col("n_docs")
+    // The weighted postings are read by FOUR consumers below (both join
+    // sides, which differ by the salt shape so AQE cannot reuse one
+    // exchange, and the norm aggregate joined back twice) — unchecked, the
+    // whole explode→tf→df→join pipeline re-executes per consumer (measured
+    // 3-4x at sf0.1: q117 0.85 -> 0.17 s warm). LAZY localCheckpoint: the
+    // first action materializes the postings once (MEMORY_AND_DISK, the
+    // same rows the pair join shuffles anyway) and every consumer reads
+    // the blocks; laziness keeps plan-building job-free, which the SQL TVF
+    // builder (analysis-time construction, EXPLAIN must not run jobs)
+    // requires. Same non-reliable-storage caveat as the salted
+    // BandedSelfJoin branch: an executor loss fails the job rather than
+    // recomputing lineage.
     val w = tf.join(df, "t")
       .crossJoin(broadcast(stats))
       .filter(col("df") <= dfCap)
       .select(col("id"), col("t"), col("df"),
         (col("tf") * log(col("n_docs") / col("df"))).as("w"))
+      .localCheckpoint(false)
     val norms = w.groupBy(col("id")).agg(sqrt(sum(col("w") * col("w"))).as("nm"))
     // per-term salt count (1 = unsalted); see the head-term skew note above
     val nSalt = least(

@@ -196,8 +196,23 @@ object SqlTableFunctions {
       fail(s"$fn argument 4 (min cosine) must be in [0, 1], got $minCos")
     if (maxDfFrac <= 0 || maxDfFrac > 1)
       fail(s"$fn argument 5 (max df fraction) must be in (0, 1], got $maxDfFrac")
-    graft.operators.SparseCosineJoin.pairs(docs, idCol, textCol, minCos, maxDfFrac)
-      .queryExecution.logical
+    if (!docs.columns.contains(idCol))
+      fail(s"$fn argument 2 (id column): no column '$idCol' in the documents table")
+    // Deferred since r18: the operator materializes its weighted postings
+    // once (localCheckpoint — four consumers), and under AQE even a lazy
+    // checkpoint's toRdd executes the upstream stages, so an eagerly-built
+    // plan would run jobs at ANALYSIS time (EXPLAIN must never execute —
+    // the ExtensionsSpec contract). The leaf defers construction with the
+    // rest of the work to action time, like jl_project's width probe.
+    DeferredResult.memoized(fn,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a", docs.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("id_b", docs.schema(idCol).dataType),
+        org.apache.spark.sql.types.StructField("cos",
+          org.apache.spark.sql.types.DoubleType))),
+      argsKey(docs, idCol, textCol, minCos, maxDfFrac),
+      () => graft.operators.SparseCosineJoin
+        .pairs(docs, idCol, textCol, minCos, maxDfFrac))
   }
 
   /** rrf_fuse(lex_table, sem_table, id_col, score_col, top_k [, per_list_k, rrf_k])
