@@ -181,9 +181,17 @@ object Dedup {
     "zh" -> Seq("join", "table", "spark"))
 
   private def q34(s: SparkSession, dir: String): DataFrame = {
-    val toks = split(col("text"), " ")
+    // marker counting is `size(toks) - size(array_remove(toks, w))` — the
+    // count of elements equal to w through NATIVE codegen'd collection
+    // expressions. The previous `size(filter(toks, t === w))` ran the
+    // lambda INTERPRETED per token × 15 markers (HOFs never codegen), and
+    // measured 0.96 vs 0.62 s at sf0.1. Equal by construction: split()
+    // arrays carry no nulls, so removing every w-element counts exactly
+    // the t === w matches. Tokens materialize as an attribute first so
+    // the split runs once per row, not once per marker.
     val scoreCols = markers.map { case (lang, ws) =>
-      ws.map(w => size(filter(toks, t => t === w)))
+      ws.map(w =>
+          size(col("graft_toks")) - size(array_remove(col("graft_toks"), lit(w))))
         .reduce(_ + _).as(s"s_$lang")
     }
     val m = greatest(markers.map { case (l, _) => col(s"s_$l") }: _*)
@@ -193,7 +201,9 @@ object Dedup {
     // foldRight gives the CASE chain in declaration (alphabetical) order:
     // the FIRST language reaching the max wins, matching the SQL CASE.
     Tables.documents(s, dir)
-      .select(col("doc_id") +: col("lang").as("actual_lang") +: scoreCols: _*)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        split(col("text"), " ").as("graft_toks"))
+      .select(col("doc_id") +: col("actual_lang") +: scoreCols: _*)
       .withColumn("pred_lang", pred)
       .orderBy(col("doc_id"))
   }
